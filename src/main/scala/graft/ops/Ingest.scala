@@ -1,0 +1,142 @@
+package graft.ops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.load
+import graft.model.DdbAttr
+import graft.ops.Relational.Q
+import graft.store.TableStore
+
+/** Ingest pack (SURVEY.md §2.A): the zero-ETL pipeline's batch half —
+  * PITR-export decode, schema inference/evolution, snapshot load into the
+  * snapshot-versioned table store, partitioned sink, maintenance.
+  *
+  * Oracle strategy: the export fixtures are generated *inside* the query by
+  * AttributeValue-encoding a fixture table (pure column expressions), so the
+  * decode path is validated end-to-end against the original rows — encode →
+  * export JSON → infer/decode → typed table must equal the source, and the
+  * DuckDB oracle is a plain SELECT on that source.
+  */
+object Ingest {
+
+  /** orders rows → export JSON lines (the `ExportTableToPointInTime` shape,
+    * reference src:135) → decoded back to typed columns. */
+  private val scanDdbExport: Q = (s, d) => {
+    val orders = load(s, d, "orders")
+    val raw = orders.select(DdbAttr.encodeLine(orders.schema).as("json"))
+    DdbAttr.decode(raw, orders.schema, keyColumns = Seq("o_orderkey"))
+      .orderBy(col("o_orderkey").asc_nulls_first)
+  }
+
+  /** Schemaless inference (`glue:CreateTable` analog): encode customer,
+    * forget the schema, re-derive it from the export bytes, decode. */
+  private val schemaInfer: Q = (s, d) => {
+    val cust = load(s, d, "customer")
+    val raw = cust.select(DdbAttr.encodeLine(cust.schema).as("json"))
+    val inferred = DdbAttr.inferSchema(s, raw)
+    DdbAttr.decode(raw, inferred)
+      .select(inferred.fieldNames.sorted.map(col): _*)
+      .orderBy(col("c_custkey").asc_nulls_first)
+  }
+
+  /** Two export generations with new attributes appearing → merged schema
+    * (`glue:UpdateTable`/`GetTableVersions` analog, reference src:113-115);
+    * earlier generation reads as NULL for late columns. */
+  private val schemaEvolve: Q = (s, d) => {
+    val cust = load(s, d, "customer")
+    val gen1src = cust.select(col("c_custkey"), col("c_name"), lit(1L).as("gen"))
+    val gen2src = cust.select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+      col("c_mktsegment"), lit(2L).as("gen"))
+    val raw1 = gen1src.select(DdbAttr.encodeLine(gen1src.schema).as("json"))
+    val raw2 = gen2src.select(DdbAttr.encodeLine(gen2src.schema).as("json"))
+    val merged = DdbAttr.mergeSchemas(
+      DdbAttr.inferSchema(s, raw1), DdbAttr.inferSchema(s, raw2))
+    DdbAttr.decode(raw1, merged).unionByName(DdbAttr.decode(raw2, merged))
+      .select(merged.fieldNames.sorted.map(col): _*)
+      .orderBy(col("gen").asc_nulls_first, col("c_custkey").asc_nulls_first)
+  }
+
+  /** Full snapshot load: export → typed → partitioned snapshot commit →
+    * snapshot read (reference README.md:159-166 steps 1-6). */
+  private val snapshotLoad: Q = (s, d) => {
+    val orders = load(s, d, "orders")
+    val raw = orders.select(DdbAttr.encodeLine(orders.schema).as("json"))
+    val typed = DdbAttr.decode(raw, orders.schema)
+    val store = new TableStore(s,
+      Files.createTempDirectory("graft_snapshot_load").toString)
+    store.commitSnapshot(typed, partitionBy = Seq("o_orderstatus"))
+    store.readSnapshot().orderBy(col("o_orderkey").asc_nulls_first)
+  }
+
+  /** Partitioned columnar write + read-back (`PutTableData` analog,
+    * reference src:100). Partitioning by the filter column is what enables
+    * partition pruning at 100 TB. */
+  private val sinkPartitionedParquet: Q = (s, d) => {
+    val li = load(s, d, "lineitem")
+    val out = Files.createTempDirectory("graft_sink").toString
+    li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
+    s.read.parquet(out)
+      .select(li.schema.fieldNames.map(col): _*)
+      .orderBy(li.schema.fieldNames.map(c => col(c).asc_nulls_first): _*)
+  }
+
+  /** Small-file compaction + unreferenced-file GC
+    * (reference `unreferencedFileRemoval`, README.md:132-137). Summary row;
+    * content preservation is asserted in scalatest. */
+  private val maintenanceCompact: Q = (s, d) => {
+    val li = load(s, d, "lineitem")
+    val store = new TableStore(s,
+      Files.createTempDirectory("graft_compact").toString)
+    store.commitSnapshot(li.repartition(16))
+    val filesBefore = store.manifest(store.currentVersion()).files.size
+    store.compact(targetFiles = 1)
+    val filesAfter = store.manifest(store.currentVersion()).files.size
+    val vacuumed = store.vacuum(keepSnapshots = 1).size
+    val nRows = store.readSnapshot().count()
+    import s.implicits._
+    Seq((nRows, filesBefore, filesAfter, vacuumed))
+      .toDF("n_rows", "files_before", "files_after", "vacuumed_dirs")
+  }
+
+  val queries: Map[String, Q] = Map(
+    "scan_ddb_export" -> scanDdbExport,
+    "schema_infer" -> schemaInfer,
+    "schema_evolve" -> schemaEvolve,
+    "snapshot_load" -> snapshotLoad,
+    "sink_partitioned_parquet" -> sinkPartitionedParquet,
+    "maintenance_compact" -> maintenanceCompact,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "scan_ddb_export" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+
+    "schema_infer" ->
+      """SELECT c_acctbal, CAST(c_custkey AS BIGINT) AS c_custkey, c_mktsegment,
+        |       c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey
+        |FROM customer ORDER BY c_custkey ASC NULLS FIRST""".stripMargin,
+
+    "schema_evolve" ->
+      """SELECT * FROM (
+        |  SELECT CAST(NULL AS DOUBLE) AS c_acctbal, CAST(c_custkey AS BIGINT) AS c_custkey,
+        |         CAST(NULL AS VARCHAR) AS c_mktsegment, c_name, CAST(1 AS BIGINT) AS gen
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_acctbal, CAST(c_custkey AS BIGINT), c_mktsegment, c_name, CAST(2 AS BIGINT)
+        |  FROM customer) t
+        |ORDER BY gen ASC NULLS FIRST, c_custkey ASC NULLS FIRST""".stripMargin,
+
+    "snapshot_load" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+
+    "sink_partitioned_parquet" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+        |       l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+        |FROM lineitem ORDER BY l_orderkey ASC NULLS FIRST, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate""".stripMargin,
+  )
+}

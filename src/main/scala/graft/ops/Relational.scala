@@ -34,7 +34,8 @@ object Relational {
         (dec2(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec2(col("l_discount"))))
           .cast("double").as("disc_price"),
         upper(col("l_returnflag")).as("flag"))
-      .orderBy(col("l_orderkey").asc_nulls_first, col("l_linenumber").asc_nulls_first)
+      .orderBy(col("l_orderkey").asc_nulls_first, col("l_linenumber").asc_nulls_first,
+        col("disc_price").asc_nulls_first, col("flag").asc_nulls_first)
 
   /** Key-condition pattern: PK equality + SK range, mirroring DynamoDB key
     * access (reference README.md:81-84). Pushed to the parquet scan. */
@@ -45,7 +46,8 @@ object Relational {
           lit("1997-01-01 00:00:00").cast("timestamp"),
           lit("1998-12-31 00:00:00").cast("timestamp")))
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_shipdate"))
-      .orderBy(col("l_orderkey").asc_nulls_first, col("l_linenumber").asc_nulls_first)
+      .orderBy(col("l_orderkey").asc_nulls_first, col("l_linenumber").asc_nulls_first,
+        col("l_quantity").asc_nulls_first, col("l_shipdate").asc_nulls_first)
 
   // ---------------------------------------------------------------- §2.C joins
   private val joinInnerHash: Q = (s, d) =>
@@ -60,7 +62,8 @@ object Relational {
     load(s, d, "lineitem")
       .join(broadcast(load(s, d, "part")), col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey"), col("l_linenumber"), col("p_name"), col("p_brand"))
-      .orderBy(col("l_orderkey").asc_nulls_first, col("l_linenumber").asc_nulls_first)
+      .orderBy(col("l_orderkey").asc_nulls_first, col("l_linenumber").asc_nulls_first,
+        col("p_name").asc_nulls_first, col("p_brand").asc_nulls_first)
 
   private val joinLeftOuter: Q = (s, d) =>
     load(s, d, "customer")
@@ -303,14 +306,14 @@ object Relational {
         |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS disc_price,
         |  UPPER(l_returnflag) AS flag
         |FROM lineitem
-        |ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST""".stripMargin,
+        |ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST, disc_price ASC NULLS FIRST, flag ASC NULLS FIRST""".stripMargin,
 
     "filter_pred" ->
       """SELECT l_orderkey, l_linenumber, l_quantity, l_shipdate
         |FROM lineitem
         |WHERE l_returnflag = 'R'
         |  AND l_shipdate BETWEEN TIMESTAMP '1997-01-01 00:00:00' AND TIMESTAMP '1998-12-31 00:00:00'
-        |ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST""".stripMargin,
+        |ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST, l_quantity ASC NULLS FIRST, l_shipdate ASC NULLS FIRST""".stripMargin,
 
     "join_inner_hash" ->
       """SELECT o_orderkey, c_custkey, c_name, o_totalprice
@@ -320,7 +323,7 @@ object Relational {
     "join_broadcast" ->
       """SELECT l_orderkey, l_linenumber, p_name, p_brand
         |FROM lineitem JOIN part ON l_partkey = p_partkey
-        |ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST""".stripMargin,
+        |ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST, p_name ASC NULLS FIRST, p_brand ASC NULLS FIRST""".stripMargin,
 
     "join_left_outer" ->
       """SELECT c_custkey, c_name, o_orderkey, o_totalprice

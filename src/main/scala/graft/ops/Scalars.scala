@@ -53,7 +53,9 @@ object Scalars {
         floor(col("l_extendedprice")).as("floor_price"),
         ceil(col("l_discount") * 100).as("disc_pct"),
         (col("l_orderkey") % 7).as("mod7"))
-      .orderBy(col("l_orderkey").asc_nulls_first, col("l_linenumber").asc_nulls_first)
+      .orderBy(col("l_orderkey").asc_nulls_first, col("l_linenumber").asc_nulls_first,
+        col("price_r1").asc_nulls_first, col("sqrt_qty").asc_nulls_first,
+        col("disc_pct").asc_nulls_first)
 
   private val fnCaseNull: Q = (s, d) =>
     load(s, d, "orders")
@@ -145,7 +147,7 @@ object Scalars {
         |  FLOOR(l_extendedprice) AS floor_price,
         |  CEIL(l_discount * 100) AS disc_pct,
         |  l_orderkey % 7 AS mod7
-        |FROM lineitem ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST""".stripMargin,
+        |FROM lineitem ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST, price_r1 ASC NULLS FIRST, sqrt_qty ASC NULLS FIRST, disc_pct ASC NULLS FIRST""".stripMargin,
 
     "fn_case_null" ->
       """SELECT o_orderkey,

@@ -1,0 +1,197 @@
+package graft.store
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Snapshot-versioned parquet table with an atomic manifest pointer.
+  *
+  * Spark-native model of the reference's Iceberg-on-S3-Tables target
+  * (reference src/dynamodb-zero-etl-s3tables.ts:99-100 —
+  * `GetTableMetadataLocation`/`UpdateTableMetadataLocation` +
+  * `Get/PutTableData`; schema versioning per
+  * src/dynamodb-zero-etl-s3tables.ts:112-115 `glue:UpdateTable` +
+  * `GetTableVersions`). No Iceberg jars ship with the image (SURVEY §1.3), so
+  * the manifest layer is self-managed:
+  *
+  *   <root>/data/snap-<id>/...parquet      immutable columnar data files
+  *   <root>/manifest/v<id>.json            snapshot: files, schema, parent
+  *
+  * Commit protocol (mirrors Iceberg's optimistic metadata swap and the
+  * reference Lambda's `PolicyHashCondition` CAS,
+  * lambda/catalog-policy-handler.js:60): write data files first, then
+  * atomically `create`+`rename` the next manifest version — rename onto an
+  * existing path fails, so two racing writers can commit at most one
+  * `v<id>.json`; the loser retries against the new parent. Data before
+  * pointer, exactly the reference's dependency ordering (src:218-221).
+  *
+  * Scale: all data moves through `DataFrame.write.parquet` (distributed);
+  * only the O(#files) manifest touches the driver. Snapshot data is laid out
+  * per-commit, so readers of snapshot N never see in-flight files and vacuum
+  * can GC unreferenced snapshots (reference `unreferencedFileRemoval`,
+  * README.md:132-137).
+  */
+class TableStore(val spark: SparkSession, val root: String) {
+  import TableStore._
+
+  private val rootPath = new Path(root)
+  private def fs: FileSystem =
+    rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+  private def manifestDir = new Path(rootPath, "manifest")
+  private def dataDir = new Path(rootPath, "data")
+
+  /** Latest committed snapshot id, or -1 for an empty table. */
+  def currentVersion(): Long = {
+    val f = fs
+    if (!f.exists(manifestDir)) -1L
+    else
+      f.listStatus(manifestDir).map(_.getPath.getName)
+        .collect { case ManifestName(v) => v.toLong }
+        .foldLeft(-1L)(math.max)
+  }
+
+  def manifest(version: Long): Manifest = {
+    val p = new Path(manifestDir, s"v$version.json")
+    val in = fs.open(p)
+    val bytes = try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      out.toByteArray
+    } finally in.close()
+    Manifest.fromJson(new String(bytes, "UTF-8"))
+  }
+
+  /** Append a new snapshot whose content is exactly `df` (full-table commit).
+    * `expectedParent` is the CAS guard: commit fails if another writer
+    * committed since the caller read `currentVersion()`. */
+  def commitSnapshot(df: DataFrame, partitionBy: Seq[String] = Nil,
+      expectedParent: Option[Long] = None): Long = {
+    val parent = currentVersion()
+    expectedParent.foreach { exp =>
+      if (exp != parent)
+        throw new IllegalStateException(
+          s"CAS conflict: expected parent snapshot $exp but found $parent")
+    }
+    val next = parent + 1
+    val snapDir = new Path(dataDir, s"snap-$next")
+    val writer = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(snapDir.toString)
+    val files = listDataFiles(snapDir)
+    val m = Manifest(next, parent, df.schema, snapDir.toString, files,
+      partitionBy, System.currentTimeMillis())
+    writeManifestAtomic(m)
+    next
+  }
+
+  /** Read a snapshot (default: current). Time travel = pass an older id —
+    * the analog of Iceberg snapshot reads over versioned metadata
+    * (reference src:114-115 `GetTableVersion(s)`). */
+  def readSnapshot(version: Long = -1L): DataFrame = {
+    val v = if (version >= 0) version else currentVersion()
+    require(v >= 0, s"table at $root has no committed snapshot")
+    val m = manifest(v)
+    val df = spark.read.schema(dataReadSchema(m)).parquet(m.location)
+    // restore declared column order (partition columns come back last)
+    df.select(m.schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+  }
+
+  /** Schema history across snapshots — `glue:GetTableVersions` analog. */
+  def schemaHistory(): Seq[(Long, StructType)] =
+    (0L to currentVersion()).map(v => v -> manifest(v).schema)
+
+  /** Rewrite the current snapshot into `targetFiles` files per partition —
+    * small-file compaction. Content-preserving; commits a new snapshot. */
+  def compact(targetFiles: Int = 1): Long = {
+    val m = manifest(currentVersion())
+    val df = readSnapshot()
+    commitSnapshot(df.repartition(targetFiles), m.partitionBy)
+  }
+
+  /** Delete data files not referenced by any manifest newer than
+    * `keepSnapshots` back — the reference's `unreferencedFileRemoval`
+    * (README.md:132-137). Returns deleted snapshot data dirs. */
+  def vacuum(keepSnapshots: Int = 1): Seq[String] = {
+    val cur = currentVersion()
+    val keepFrom = math.max(0L, cur - keepSnapshots + 1)
+    val f = fs
+    // qualify both sides: manifests may record scheme-less paths while
+    // listStatus returns fully-qualified URIs
+    val referenced = (keepFrom to cur)
+      .map(v => f.makeQualified(new Path(manifest(v).location)).toString).toSet
+    if (!f.exists(dataDir)) return Nil
+    val dead = f.listStatus(dataDir).map(_.getPath)
+      .filter(p => !referenced.contains(f.makeQualified(p).toString))
+    dead.foreach(p => f.delete(p, true))
+    dead.map(_.toString).toSeq
+  }
+
+  private def dataReadSchema(m: Manifest): StructType = m.schema
+
+  private def listDataFiles(dir: Path): Seq[String] = {
+    val f = fs
+    val it = f.listFiles(dir, true)
+    val out = scala.collection.mutable.ArrayBuffer[String]()
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.isFile && s.getPath.getName.endsWith(".parquet"))
+        out += s.getPath.toString
+    }
+    out.toSeq
+  }
+
+  private def writeManifestAtomic(m: Manifest): Unit = {
+    val f = fs
+    f.mkdirs(manifestDir)
+    val tmp = new Path(manifestDir, s".tmp-${m.version}-${System.nanoTime()}")
+    val out = f.create(tmp, false)
+    try out.write(m.toJson.getBytes("UTF-8")) finally out.close()
+    val dest = new Path(manifestDir, s"v${m.version}.json")
+    // rename onto an existing manifest fails → optimistic-concurrency guard
+    if (f.exists(dest) || !f.rename(tmp, dest)) {
+      f.delete(tmp, false)
+      throw new IllegalStateException(
+        s"CAS conflict committing snapshot ${m.version} at $root")
+    }
+  }
+}
+
+object TableStore {
+  private val ManifestName = "v(\\d+)\\.json".r
+
+  final case class Manifest(version: Long, parent: Long, schema: StructType,
+      location: String, files: Seq[String], partitionBy: Seq[String],
+      committedAtMs: Long) {
+    def toJson: String = {
+      def js(s: String) = "\"" + s.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+      val fileArr = files.map(js).mkString("[", ",", "]")
+      val partArr = partitionBy.map(js).mkString("[", ",", "]")
+      s"""{"version":$version,"parent":$parent,"committedAtMs":$committedAtMs,
+         |"location":${js(location)},"partitionBy":$partArr,
+         |"schema":${js(schema.json)},"files":$fileArr}""".stripMargin
+    }
+  }
+
+  object Manifest {
+    def fromJson(s: String): Manifest = {
+      // json4s ships with Spark; parse without extra deps
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      implicit val fmt: Formats = DefaultFormats
+      val j = JsonMethods.parse(s)
+      Manifest(
+        (j \ "version").extract[Long],
+        (j \ "parent").extract[Long],
+        DataType.fromJson((j \ "schema").extract[String]).asInstanceOf[StructType],
+        (j \ "location").extract[String],
+        (j \ "files").extract[Seq[String]],
+        (j \ "partitionBy").extract[Seq[String]],
+        (j \ "committedAtMs").extract[Long])
+    }
+  }
+}
