@@ -1,0 +1,56 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Last-writer-wins CDC merge — the data-plane core of the reference's
+  * continuous half (`AWS::Glue::Integration`, reference
+  * src/dynamodb-zero-etl-s3tables.ts:211-215; "Data flows automatically",
+  * README.md:12).
+  *
+  * A change batch carries INSERT/MODIFY/REMOVE records with a per-key total
+  * order (`seqCol`, the stream sequence number — SURVEY §7.5.3). Applying a
+  * batch onto a base snapshot:
+  *
+  *   - the record with the highest `seqCol` per key wins (LWW),
+  *   - base rows rank below every change (sequence -1),
+  *   - a winning REMOVE is a tombstone: the key disappears,
+  *   - re-applying the same batch is a no-op (idempotent, mirroring the
+  *     reference Lambda's remove-then-merge Sid reconciliation,
+  *     lambda/catalog-policy-handler.js:52-61).
+  *
+  * Scale: one hash shuffle on the key columns + a per-key window; with AQE
+  * the skewed-key case splits automatically. No driver-side state.
+  */
+object CdcApply {
+
+  val OpInsert = "INSERT"
+  val OpModify = "MODIFY"
+  val OpRemove = "REMOVE"
+
+  /** Apply `changes` onto `base`. `changes` must carry the key columns, every
+    * base payload column (REMOVE payloads may be null), `seqCol`, `opCol`. */
+  def apply(base: DataFrame, changes: DataFrame, keys: Seq[String],
+      seqCol: String = "seq", opCol: String = "op"): DataFrame = {
+    require(keys.nonEmpty, "CDC merge requires at least one key column")
+    val missing = keys.filterNot(changes.columns.contains)
+    require(missing.isEmpty, s"change batch is missing key columns: $missing")
+
+    val payload = base.columns.toSeq
+    val baseTagged = base
+      .withColumn(seqCol, lit(-1L))
+      .withColumn(opCol, lit(OpInsert))
+    val all = baseTagged.unionByName(changes.select(
+      (payload ++ Seq(seqCol, opCol)).map(col): _*))
+
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(seqCol).desc)
+    all.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1 && col(opCol) =!= OpRemove)
+      .select(payload.map(col): _*)
+  }
+
+  /** Deterministic change-batch column template for fixtures/tests. */
+  def changeCols(op: Column, seq: Column, payload: Seq[Column]): Seq[Column] =
+    payload ++ Seq(seq.as("seq"), op.as("op"))
+}

@@ -1,0 +1,209 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.load
+import graft.etl.CdcApply
+import graft.ops.Relational.Q
+import graft.util.Det._
+
+/** CDC + streaming pack, batch form (SURVEY.md §2.I).
+  *
+  * The reference's integration replicates continuously
+  * (src/dynamodb-zero-etl-s3tables.ts:211-215); DuckDB can't stream, so each
+  * operator exists twice: the oracled batch twin here, and the Structured
+  * Streaming form in [[graft.streaming.StreamingOps]] (scalatest-verified,
+  * sharing the same aggregation expressions).
+  *
+  * The CDC fixture is derived deterministically from `orders` inside the
+  * query (same derivation in the oracle SQL): REMOVE for keys %10=0, MODIFY
+  * for even keys (with a second, higher-sequence MODIFY for %4=0 — same-key
+  * multi-update in one batch), INSERT of fresh keys for %7=0.
+  */
+object CdcStreamOps {
+
+  /** The zero-ETL core: LWW upsert + tombstones onto a base snapshot. */
+  private val cdcApply: Q = (s, d) => {
+    val o = load(s, d, "orders")
+    val k = col("o_orderkey")
+    val one1 = lit("1.10").cast("decimal(18,2)")
+    val one2 = lit("1.20").cast("decimal(18,2)")
+
+    val removes = o.filter(k % 10 === 0).select(
+      CdcApply.changeCols(lit(CdcApply.OpRemove), lit(1L),
+        Seq(k, lit(null).cast("long").as("o_custkey"),
+          lit(null).cast("string").as("o_orderstatus"),
+          lit(null).cast("double").as("o_totalprice"),
+          lit(null).cast("timestamp_ntz").as("o_orderdate"),
+          lit(null).cast("string").as("o_orderpriority"))): _*)
+    val mod1 = o.filter(k % 2 === 0 && k % 10 =!= 0).select(
+      CdcApply.changeCols(lit(CdcApply.OpModify), lit(1L),
+        Seq(k, col("o_custkey"), lit("U").as("o_orderstatus"),
+          (dec2(col("o_totalprice")) * one1).cast("double").as("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority"))): _*)
+    val mod2 = o.filter(k % 4 === 0 && k % 10 =!= 0).select(
+      CdcApply.changeCols(lit(CdcApply.OpModify), lit(2L),
+        Seq(k, col("o_custkey"), lit("V").as("o_orderstatus"),
+          (dec2(col("o_totalprice")) * one2).cast("double").as("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority"))): _*)
+    val inserts = o.filter(k % 7 === 0).select(
+      CdcApply.changeCols(lit(CdcApply.OpInsert), lit(1L),
+        Seq((k + 1000000000L).as("o_orderkey"), col("o_custkey"),
+          lit("N").as("o_orderstatus"), col("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority"))): _*)
+
+    val changes = removes.unionByName(mod1).unionByName(mod2).unionByName(inserts)
+    CdcApply(o, changes, keys = Seq("o_orderkey"))
+      .orderBy(col("o_orderkey").asc_nulls_first)
+  }
+
+  /** Event-time tumbling window (1 h), epoch-aligned — identical bucketing to
+    * DuckDB's date_trunc('hour'). */
+  private val tumbling: Q = (s, d) =>
+    load(s, d, "events")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("window_start").asc_nulls_first, col("event_type").asc_nulls_first)
+
+  /** Sliding window (1 h window, 15 min slide): each event lands in 4
+    * epoch-aligned windows. */
+  private val sliding: Q = (s, d) =>
+    load(s, d, "events")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy(col("window_start").asc_nulls_first, col("event_type").asc_nulls_first)
+
+  /** Session windows, 30 min gap per user; session end = last event + gap
+    * (Spark session_window semantics, emulated with lag-gap cumulative sums
+    * in the oracle). */
+  private val session: Q = (s, d) =>
+    load(s, d, "events")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n"), col("sum_value"))
+      .orderBy(col("user_id").asc_nulls_first, col("session_start").asc_nulls_first)
+
+  /** Watermark-dedup batch twin: deterministic keep-first (by event time,
+    * then id) per duplicate key (user, type, minute bucket) — what streaming
+    * dropDuplicates does in arrival order, pinned to a total order. */
+  private val dedupWatermark: Q = (s, d) => {
+    val bucket = date_trunc("minute", col("ts")).as("minute_bucket")
+    val w = Window.partitionBy(col("user_id"), col("event_type"), col("minute_bucket"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+    load(s, d, "events")
+      .select(col("user_id"), col("event_type"), bucket, col("event_id"), col("ts"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("event_type"), col("minute_bucket"),
+        col("event_id"), col("ts"))
+      .orderBy(col("user_id").asc_nulls_first, col("event_type").asc_nulls_first,
+        col("minute_bucket").asc_nulls_first)
+  }
+
+  /** Stateful per-key running aggregate, batch twin (streaming form uses
+    * transformWithState-style per-key state; see streaming module). */
+  private val statefulRunning: Q = (s, d) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").asc, col("event_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    load(s, d, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("running_events", count(lit(1)).over(w))
+      .withColumn("running_value", sum(dec2(col("value"))).over(w).cast("double"))
+      .orderBy(col("user_id").asc_nulls_first, col("event_id").asc_nulls_first)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "cdc_apply" -> cdcApply,
+    "stream_tumbling_window" -> tumbling,
+    "stream_sliding_window" -> sliding,
+    "stream_session_window" -> session,
+    "stream_dedup_watermark" -> dedupWatermark,
+    "stream_stateful_running" -> statefulRunning,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "cdc_apply" ->
+      """WITH survivors AS (
+        |  SELECT o_orderkey,
+        |         o_custkey,
+        |         CASE WHEN o_orderkey % 4 = 0 THEN 'V'
+        |              WHEN o_orderkey % 2 = 0 THEN 'U'
+        |              ELSE o_orderstatus END AS o_orderstatus,
+        |         CASE WHEN o_orderkey % 4 = 0
+        |                THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.20 AS DECIMAL(18,2)) AS DOUBLE)
+        |              WHEN o_orderkey % 2 = 0
+        |                THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.10 AS DECIMAL(18,2)) AS DOUBLE)
+        |              ELSE o_totalprice END AS o_totalprice,
+        |         o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 10 <> 0
+        |), inserted AS (
+        |  SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey,
+        |         'N' AS o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |)
+        |SELECT * FROM survivors UNION ALL SELECT * FROM inserted
+        |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+
+    "stream_tumbling_window" ->
+      """SELECT DATE_TRUNC('hour', ts) AS window_start, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY window_start ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin,
+
+    "stream_sliding_window" ->
+      """SELECT MAKE_TIMESTAMP((EPOCH_US(ts) // 900000000 - k.k) * 900000000) AS window_start,
+        |  event_type, COUNT(*) AS n,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events, (SELECT UNNEST(RANGE(4)) AS k) k
+        |GROUP BY 1, 2
+        |ORDER BY window_start ASC NULLS FIRST, event_type ASC NULLS FIRST""".stripMargin,
+
+    "stream_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR ts >= LAG(ts) OVER w + INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC)
+        |), s AS (
+        |  SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g
+        |)
+        |SELECT MIN(ts) AS session_start,
+        |       MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+        |       user_id, COUNT(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id ASC NULLS FIRST, session_start ASC NULLS FIRST""".stripMargin,
+
+    "stream_dedup_watermark" ->
+      """SELECT user_id, event_type, minute_bucket, event_id, ts FROM (
+        |  SELECT user_id, event_type, DATE_TRUNC('minute', ts) AS minute_bucket, event_id, ts,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id, event_type, DATE_TRUNC('minute', ts)
+        |                       ORDER BY ts ASC, event_id ASC) AS rn
+        |  FROM events) t
+        |WHERE rn = 1
+        |ORDER BY user_id ASC NULLS FIRST, event_type ASC NULLS FIRST, minute_bucket ASC NULLS FIRST""".stripMargin,
+
+    "stream_stateful_running" ->
+      """SELECT user_id, event_id, ts, value,
+        |  COUNT(*) OVER w AS running_events,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS running_value
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id ASC NULLS FIRST, event_id ASC NULLS FIRST""".stripMargin,
+  )
+}

@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.load
+import graft.ops.LlmCommon._
+import graft.ops.LlmDedup.{cosine, lshBucket}
+import graft.ops.Relational.Q
+
+/** Similarity search + multimodal columns (SURVEY.md §2.J).
+  *
+  * Scale design: brute-force cosine is one broadcast (the query vector) +
+  * a map-side projection + TakeOrderedAndProject — no shuffle of the corpus.
+  * The IVF/LSH variant prunes the corpus to matching buckets before scoring,
+  * the 100 TB path (bucket column becomes a partition key on disk, turning
+  * probes into partition pruning).
+  */
+object LlmSim {
+
+  /** Brute-force cosine top-k against the vec_id=0 query vector
+    * (SURVEY `sim_search_topk`). Rounded to 6 dp so engine-side ulp noise in
+    * the double fold can't flip the ranking, with vec_id tie-break. */
+  private val simSearchTopk: Q = (s, d) => {
+    val emb = load(s, d, "embeddings")
+    val qv = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").as("qv"))
+    emb.crossJoin(broadcast(qv))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        round(cosine(col("embedding"), col("qv")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc_nulls_last, col("vec_id").asc_nulls_first)
+      .limit(20)
+  }
+
+  /** Bucket-pruned ANN (SURVEY §2.J extension `sim_search_ivf`): sign-LSH
+    * coarse buckets; only the query's bucket is scored. Multi-probe (flip one
+    * bit) widens recall without widening the scan. */
+  def lshTopK(emb: DataFrame, queryId: Long, k: Int, dim: Int): DataFrame = {
+    val nPlanes = 8
+    val bucketed = emb.select(col("vec_id"), col("embedding"),
+      lshBucket(col("embedding"), nPlanes, dim).as("bucket"))
+    val q = bucketed.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qv"), col("bucket").as("qbucket"))
+    // probe set: exact bucket plus all 1-bit flips
+    val probes = q.select(col("qv"), explode(array(
+      (col("qbucket") +: (0 until nPlanes).map(i =>
+        col("qbucket").bitwiseXOR(shiftleft(lit(1L), i)))): _*)).as("pbucket"))
+    bucketed.join(broadcast(probes), col("bucket") === col("pbucket"))
+      .filter(col("vec_id") =!= queryId)
+      .select(col("vec_id"), round(cosine(col("embedding"), col("qv")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc_nulls_last, col("vec_id").asc_nulls_first)
+      .limit(k)
+  }
+
+  private val simSearchIvf: Q = (s, d) =>
+    lshTopK(load(s, d, "embeddings"), queryId = 0L, k = 20, dim = 64)
+
+  /** Multimodal passthrough (SURVEY `multimodal_schema`): binary payload +
+    * embedding vector + typed metadata survive a partitioned sink roundtrip;
+    * scalar projections are oracled. */
+  private val multimodalSchema: Q = (s, d) => {
+    val docs = load(s, d, "documents")
+    val emb = load(s, d, "embeddings")
+    val joined = docs.join(emb, col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("text").cast("binary").as("payload"),
+        col("embedding"), struct(col("lang"), col("source")).as("meta"))
+    val out = java.nio.file.Files.createTempDirectory("graft_mm").toString
+    joined.write.mode("overwrite").partitionBy().parquet(out)
+    s.read.parquet(out)
+      .select(col("doc_id"), length(col("payload")).as("n_bytes"),
+        size(col("embedding")).as("dim"),
+        col("meta.lang").as("lang"), col("meta.source").as("source"))
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+
+  /** Stubbed media decode (SURVEY §2.J extension `multimodal_decode`): the
+    * image/audio libs aren't in this container, so the decoder is a
+    * deterministic fake — but the Spark plumbing is real: binary column in,
+    * typed struct + frame-sample array out, computed per-partition in batches
+    * (`mapPartitions`), the same shape a Pandas-UDF/Arrow pipeline has. */
+  private val multimodalDecode: Q = (s, d) => {
+    import s.implicits._
+    val docs = load(s, d, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+    docs.mapPartitions { it =>
+      it.map { case (id, bytes) =>
+        // FAKE decode: real decoders (JPEG/PNG/WAV) parse these fields from
+        // the header; here they're derived deterministically from content.
+        val n = bytes.length
+        val width = 64 + (n % 577)
+        val height = 64 + ((n * 31) % 419)
+        val frames = 1 + (n % 30)
+        val sampled = (0 until math.min(4, frames)).map(i => i.toLong * (frames / math.min(4, frames))).toArray
+        (id, width, height, frames, sampled)
+      }
+    }.toDF("doc_id", "width", "height", "n_frames", "sampled_frames")
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "sim_search_topk" -> simSearchTopk,
+    "sim_search_ivf" -> simSearchIvf,
+    "multimodal_schema" -> multimodalSchema,
+    "multimodal_decode" -> multimodalDecode,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "sim_search_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  ROUND(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), q.qv) /
+        |    (SQRT(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+        |     SQRT(LIST_DOT_PRODUCT(q.qv, q.qv))), 6) AS cos_sim
+        |FROM embeddings, q
+        |WHERE vec_id <> 0
+        |ORDER BY cos_sim DESC NULLS LAST, vec_id ASC NULLS FIRST
+        |LIMIT 20""".stripMargin,
+
+    "multimodal_schema" ->
+      """SELECT doc_id, CAST(n_chars AS INT) AS n_bytes, CAST(LEN(embedding) AS INT) AS dim,
+        |       lang, source
+        |FROM documents JOIN embeddings ON doc_id = vec_id
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+  )
+}

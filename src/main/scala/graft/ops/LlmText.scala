@@ -1,0 +1,183 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables.load
+import graft.ops.LlmCommon._
+import graft.ops.Relational.Q
+import graft.util.Det._
+
+/** Text analysis for training-data pipelines (SURVEY.md §2.J + north-star
+  * extensions): corpus stats, token counting, quality scoring, language-ID
+  * heuristic, content fingerprinting.
+  *
+  * Everything is per-row projection + one hash aggregation — at 100 TB these
+  * are single-pass, map-side-combinable scans with no skew risk.
+  */
+object LlmText {
+
+  private def toks(c: Column): Column = tokens(c)
+
+  /** Corpus stats per source (SURVEY `text_stats`). */
+  private val textStats: Q = (s, d) =>
+    load(s, d, "documents")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(toks(col("text"))).cast("long")).as("total_tokens"),
+        (sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
+        countDistinct(col("lang")).as("n_langs"))
+      .orderBy(col("source").asc_nulls_first)
+
+  /** Token counting, whitespace + BPE-ish regex (north-star extension
+    * `text_tokens`): word pieces are runs of letters, digits, or single
+    * non-alphanumeric glyphs — a cheap proxy for byte-pair token counts. */
+  private val textTokens: Q = (s, d) =>
+    load(s, d, "documents")
+      .select(
+        col("doc_id"),
+        size(toks(col("text"))).as("ws_tokens"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("bpe_ish_tokens"),
+        col("n_chars"))
+      .orderBy(col("doc_id").asc_nulls_first)
+
+  /** Quality scoring (north-star extension `text_quality`): length,
+    * mean-token-length and stopword-ratio blended, as a filterable score. */
+  private val textQuality: Q = (s, d) => {
+    val allStop = StopwordsByLang.flatMap(_._2).distinct
+    val t = toks(col("text"))
+    val nTok = size(t)
+    val meanLen = when(nTok > 0,
+      aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / nTok)
+      .otherwise(lit(0.0))
+    val stopRatio = when(size(array_distinct(t)) > 0,
+      size(array_intersect(t, array(allStop.map(lit): _*))).cast("double") /
+        size(array_distinct(t)))
+      .otherwise(lit(0.0))
+    val lenScore = least(lit(1.0), col("n_chars").cast("double") / 500.0)
+    val score = round(lenScore * 0.4 + stopRatio * 0.3 +
+      least(lit(1.0), meanLen / 8.0) * 0.3, 6)
+    load(s, d, "documents")
+      .select(col("doc_id"), nTok.as("n_tokens"),
+        round(meanLen, 6).as("mean_token_len"),
+        round(stopRatio, 6).as("stopword_ratio"), score.as("quality_score"))
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+
+  /** Language-ID heuristic (north-star extension `text_langid`): stopword-hit
+    * argmax with a fixed tie-break priority (en > es > de > fr > zh > und). */
+  private val textLangid: Q = (s, d) => {
+    val t = array_distinct(toks(col("text")))
+    val hits = StopwordsByLang.map { case (lang, words) =>
+      lang -> size(array_intersect(t, array(words.map(lit): _*)))
+    }
+    val hitCols = hits.map { case (lang, c) => c.as(s"hits_$lang") }
+    val best = hits.foldLeft((lit("und"), lit(0))) {
+      case ((bestLang, bestHits), (lang, c)) =>
+        (when(c > bestHits, lit(lang)).otherwise(bestLang),
+          when(c > bestHits, c).otherwise(bestHits))
+    }
+    load(s, d, "documents")
+      .select((col("doc_id") +: col("lang").as("labeled_lang") +: hitCols :+
+        best._1.as("predicted_lang")): _*)
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+
+  /** Content fingerprint (north-star extension `text_fingerprint`):
+    * order-independent bag-of-words digest — md5 over the sorted distinct
+    * token set — plus the distinct-token count. Word-order-insensitive
+    * companion to `dedup_exact`. */
+  private val textFingerprint: Q = (s, d) => {
+    val sorted = array_sort(array_distinct(toks(col("text"))))
+    load(s, d, "documents")
+      .select(col("doc_id"),
+        md5(concat_ws(" ", sorted)).as("fingerprint"),
+        size(sorted).as("n_distinct_tokens"))
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "text_stats" -> textStats,
+    "text_tokens" -> textTokens,
+    "text_quality" -> textQuality,
+    "text_langid" -> textLangid,
+    "text_fingerprint" -> textFingerprint,
+  )
+
+  private def stopList(lang: String): String =
+    StopwordsByLang.toMap.apply(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private val allStopList: String =
+    StopwordsByLang.flatMap(_._2).distinct.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  val oracles: Map[String, String] = Map(
+    "text_stats" ->
+      """SELECT source, COUNT(*) AS n_docs,
+        |  CAST(SUM(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\S+'))) AS BIGINT) AS total_tokens,
+        |  CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+        |  COUNT(DISTINCT lang) AS n_langs
+        |FROM documents GROUP BY source
+        |ORDER BY source ASC NULLS FIRST""".stripMargin,
+
+    "text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\S+')) AS INT) AS ws_tokens,
+        |  CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS INT) AS bpe_ish_tokens,
+        |  n_chars
+        |FROM documents ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "text_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, n_chars,
+         |    REGEXP_EXTRACT_ALL(LOWER(text), '\\S+') AS toks
+         |  FROM documents
+         |), m AS (
+         |  SELECT doc_id, n_chars, toks,
+         |    CAST(LEN(toks) AS INT) AS n_tokens,
+         |    CASE WHEN LEN(toks) > 0
+         |      THEN CAST(LIST_SUM(LIST_TRANSFORM(toks, x -> LENGTH(x))) AS DOUBLE) / LEN(toks)
+         |      ELSE 0.0 END AS mean_token_len,
+         |    CASE WHEN LEN(LIST_DISTINCT(toks)) > 0
+         |      THEN CAST(LEN(LIST_INTERSECT(toks, $allStopList)) AS DOUBLE) / LEN(LIST_DISTINCT(toks))
+         |      ELSE 0.0 END AS stopword_ratio
+         |  FROM t
+         |)
+         |SELECT doc_id, n_tokens,
+         |  ROUND(mean_token_len, 6) AS mean_token_len,
+         |  ROUND(stopword_ratio, 6) AS stopword_ratio,
+         |  ROUND(LEAST(1.0, CAST(n_chars AS DOUBLE) / 500.0) * 0.4 + stopword_ratio * 0.3 +
+         |        LEAST(1.0, mean_token_len / 8.0) * 0.3, 6) AS quality_score
+         |FROM m ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "text_langid" -> {
+      val hitExprs = LlmCommon.StopwordsByLang.map { case (lang, _) =>
+        s"CAST(LEN(LIST_INTERSECT(t, ${stopList(lang)})) AS INT) AS hits_$lang"
+      }.mkString(",\n|    ")
+      val folded = LlmCommon.StopwordsByLang.map(_._1).foldLeft(("'und'", "0")) {
+        case ((bl, bh), lang) =>
+          (s"CASE WHEN hits_$lang > $bh THEN '$lang' ELSE $bl END",
+            s"CASE WHEN hits_$lang > $bh THEN hits_$lang ELSE $bh END")
+      }._1
+      s"""WITH d AS (
+         |  SELECT doc_id, lang AS labeled_lang,
+         |    LIST_DISTINCT(REGEXP_EXTRACT_ALL(LOWER(text), '\\S+')) AS t
+         |  FROM documents
+         |), h AS (
+         |  SELECT doc_id, labeled_lang,
+         |    $hitExprs
+         |  FROM d
+         |)
+         |SELECT doc_id, labeled_lang, hits_en, hits_es, hits_de, hits_fr, hits_zh,
+         |  $folded AS predicted_lang
+         |FROM h ORDER BY doc_id ASC NULLS FIRST""".stripMargin
+    },
+
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        |  MD5(ARRAY_TO_STRING(LIST_SORT(LIST_DISTINCT(REGEXP_EXTRACT_ALL(LOWER(text), '\S+'))), ' ')) AS fingerprint,
+        |  CAST(LEN(LIST_DISTINCT(REGEXP_EXTRACT_ALL(LOWER(text), '\S+'))) AS INT) AS n_distinct_tokens
+        |FROM documents ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+  )
+}
