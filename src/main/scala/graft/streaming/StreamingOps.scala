@@ -1,0 +1,99 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+import graft.etl.CdcApply
+import graft.store.TableStore
+import graft.util.Det._
+
+/** Structured Streaming forms of the §2.I operators — the continuous half of
+  * the reference's zero-ETL integration (`AWS::Glue::Integration`, reference
+  * src/dynamodb-zero-etl-s3tables.ts:211-215; "Data flows automatically",
+  * README.md:12).
+  *
+  * Each transform takes an unbounded DataFrame (readStream / MemoryStream)
+  * and shares its aggregation shape with the oracled batch twin in
+  * [[graft.ops.CdcStreamOps]]. Late-data policy pinned per SURVEY §2.I:
+  * 10-minute watermark, late rows dropped.
+  *
+  * Scale: state size is bounded by the watermark (windows/dedup) or by key
+  * cardinality (running state); all operators shuffle once on their grouping
+  * keys and checkpoint incrementally — the micro-batch cadence is the
+  * integration's apply cadence (SURVEY §3.4).
+  */
+object StreamingOps {
+
+  val WatermarkDelay = "10 minutes"
+
+  /** Event-time tumbling counts/sums (streaming `stream_tumbling_window`). */
+  def tumbling(events: DataFrame): DataFrame =
+    events.withWatermark("ts", WatermarkDelay)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding window (1 h / 15 min) aggregate. */
+  def sliding(events: DataFrame): DataFrame =
+    events.withWatermark("ts", WatermarkDelay)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Session windows with a 30-minute gap per user. */
+  def session(events: DataFrame): DataFrame =
+    events.withWatermark("ts", WatermarkDelay)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n"), col("sum_value"))
+
+  /** Watermarked exactly-once-per-key dedup. */
+  def dedup(events: DataFrame): DataFrame =
+    events.withWatermark("ts", WatermarkDelay)
+      .dropDuplicates("user_id", "event_type", "minute_bucket")
+
+  case class EventRow(user_id: Long, event_id: Long, value: Double)
+  case class RunningState(n: Long, sum: Double)
+  case class RunningOut(user_id: Long, running_events: Long, running_value: Double)
+
+  /** Arbitrary stateful per-key running aggregate
+    * (`stream_stateful_running`): emits the updated running count/sum per key
+    * per micro-batch via mapGroupsWithState. */
+  def statefulRunning(events: Dataset[EventRow]): Dataset[RunningOut] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[RunningState, RunningOut](
+        GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[EventRow], state: GroupState[RunningState]) =>
+          val prev = state.getOption.getOrElse(RunningState(0L, 0.0))
+          // decimal-exact accumulation to mirror the batch twin
+          val (n, sum) = rows.foldLeft((prev.n, BigDecimal(prev.sum))) {
+            case ((c, acc), r) => (c + 1, acc + BigDecimal(r.value).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+          }
+          state.update(RunningState(n, sum.toDouble))
+          RunningOut(userId, n, sum.toDouble)
+      }
+  }
+
+  /** Continuous CDC apply (streaming `cdc_apply`): each micro-batch of
+    * change records is LWW-merged onto the store's current snapshot and
+    * committed — `foreachBatch` + [[CdcApply]], the Glue-integration loop. */
+  def cdcApplyStream(changes: DataFrame, store: TableStore, keys: Seq[String],
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    changes.writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val base = store.readSnapshot()
+        val merged = CdcApply(base, batch, keys)
+        store.commitSnapshot(merged)
+        ()
+      }
+      .start()
+}

@@ -1,0 +1,125 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.StreamingOps
+
+/** Structured Streaming twins (SURVEY §5.2.4): MemoryStream-driven window
+  * results, watermark late-data drops, stateful running aggregates, and the
+  * foreachBatch CDC loop. */
+class StreamingSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  case class Ev(ts: Timestamp, event_type: String, user_id: Long, value: Double)
+
+  test("tumbling window aggregates by event-time hour") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.tumbling(in.toDF())
+      .writeStream.format("memory").queryName("tumb_out")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData(
+        Ev(ts("2024-01-01 10:05:00"), "click", 1, 1.0),
+        Ev(ts("2024-01-01 10:55:00"), "click", 2, 2.0),
+        Ev(ts("2024-01-01 11:05:00"), "click", 1, 4.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT window_start, n, sum_value FROM tumb_out ORDER BY window_start")
+        .as[(Timestamp, Long, Double)].collect()
+      assert(rows.toSeq == Seq(
+        (ts("2024-01-01 10:00:00"), 2L, 3.0),
+        (ts("2024-01-01 11:00:00"), 1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("watermark drops events later than 10 minutes behind the max ts") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.tumbling(in.toDF())
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(Ev(ts("2024-01-01 10:05:00"), "click", 1, 1.0))
+      q.processAllAvailable()
+      // advance watermark far past hour 10
+      in.addData(Ev(ts("2024-01-01 13:00:00"), "click", 1, 1.0))
+      q.processAllAvailable()
+      // late arrival for hour 10: behind watermark -> dropped
+      in.addData(Ev(ts("2024-01-01 10:10:00"), "click", 9, 100.0))
+      q.processAllAvailable()
+      // close remaining windows so everything emittable is emitted
+      in.addData(Ev(ts("2024-01-01 23:00:00"), "click", 1, 1.0))
+      q.processAllAvailable()
+      val hour10 = spark.sql(
+        "SELECT n, sum_value FROM late_out WHERE window_start = TIMESTAMP '2024-01-01 10:00:00'")
+        .as[(Long, Double)].collect()
+      assert(hour10.toSeq == Seq((1L, 1.0))) // the late row never lands
+    } finally q.stop()
+  }
+
+  test("session windows split on 30-minute gaps per user") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Ev]
+    val q = StreamingOps.session(in.toDF())
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData(
+        Ev(ts("2024-01-01 10:00:00"), "click", 1, 1.0),
+        Ev(ts("2024-01-01 10:10:00"), "click", 1, 2.0),
+        Ev(ts("2024-01-01 11:30:00"), "click", 1, 3.0))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT session_start, session_end, n FROM sess_out ORDER BY session_start")
+        .as[(Timestamp, Timestamp, Long)].collect()
+      assert(rows.toSeq == Seq(
+        (ts("2024-01-01 10:00:00"), ts("2024-01-01 10:40:00"), 2L),
+        (ts("2024-01-01 11:30:00"), ts("2024-01-01 12:00:00"), 1L)))
+    } finally q.stop()
+  }
+
+  test("stateful running aggregate accumulates across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[StreamingOps.EventRow]
+    val q = StreamingOps.statefulRunning(in.toDS())
+      .writeStream.format("memory").queryName("run_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      in.addData(StreamingOps.EventRow(1, 1, 10.0), StreamingOps.EventRow(1, 2, 5.0))
+      q.processAllAvailable()
+      in.addData(StreamingOps.EventRow(1, 3, 1.0))
+      q.processAllAvailable()
+      val last = spark.sql(
+        "SELECT running_events, running_value FROM run_out WHERE running_events = 3")
+        .as[(Long, Double)].collect()
+      assert(last.toSeq == Seq((3L, 16.0)))
+    } finally q.stop()
+  }
+
+  test("foreachBatch CDC loop merges change batches into the table store") {
+    implicit val sqlCtx = spark.sqlContext
+    val store = new graft.store.TableStore(spark,
+      Files.createTempDirectory("graft_stream_cdc").toString)
+    store.commitSnapshot(Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "s", "v"))
+    val in = MemoryStream[(Long, String, Double, Long, String)]
+    val checkpoint = Files.createTempDirectory("graft_stream_ckpt").toString
+    val changes = in.toDF().toDF("k", "s", "v", "seq", "op")
+    val q = StreamingOps.cdcApplyStream(changes, store, Seq("k"), checkpoint)
+    try {
+      in.addData((1L, "a2", 11.0, 1L, "MODIFY"), (2L, null, 0.0, 2L, "REMOVE"),
+        (3L, "c", 30.0, 3L, "INSERT"))
+      q.awaitTermination() // AvailableNow: terminates when drained
+      val rows = store.readSnapshot().as[(Long, String, Double)].collect().toSet
+      assert(rows == Set((1L, "a2", 11.0), (3L, "c", 30.0)))
+      assert(store.currentVersion() == 1L)
+    } finally q.stop()
+  }
+}

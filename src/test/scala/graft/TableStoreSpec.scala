@@ -1,0 +1,82 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.store.TableStore
+
+/** Snapshot store: commit/read/time-travel/compaction/GC/CAS
+  * (SURVEY §5.2.3d + §4.1 manifest-CAS analog of the reference Lambda's
+  * PolicyHashCondition). */
+class TableStoreSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshStore() =
+    new TableStore(spark, Files.createTempDirectory("graft_ts_spec").toString)
+
+  test("commit + read returns identical content and schema") {
+    val store = freshStore()
+    val li = Tables.load(spark, sfDir, "lineitem")
+    store.commitSnapshot(li)
+    val back = store.readSnapshot()
+    assert(back.schema.fieldNames.toSeq == li.schema.fieldNames.toSeq)
+    assert(back.count() == li.count())
+    assert(back.exceptAll(li).count() == 0)
+  }
+
+  test("partitioned commit restores declared column order and types") {
+    val store = freshStore()
+    val o = Tables.load(spark, sfDir, "orders")
+    store.commitSnapshot(o, partitionBy = Seq("o_orderstatus"))
+    val back = store.readSnapshot()
+    assert(back.schema.fieldNames.toSeq == o.schema.fieldNames.toSeq)
+    assert(back.exceptAll(o).count() == 0)
+  }
+
+  test("time travel reads older snapshots; schema history is versioned") {
+    val store = freshStore()
+    val v0 = store.commitSnapshot(Seq((1L, "a")).toDF("k", "v"))
+    val v1 = store.commitSnapshot(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    assert(v0 == 0 && v1 == 1)
+    assert(store.readSnapshot(v0).count() == 1)
+    assert(store.readSnapshot(v1).count() == 2)
+    assert(store.schemaHistory().map(_._1) == Seq(0L, 1L))
+  }
+
+  test("compaction preserves the row multiset and reduces files") {
+    val store = freshStore()
+    val li = Tables.load(spark, sfDir, "lineitem").repartition(16)
+    store.commitSnapshot(li)
+    val before = store.manifest(store.currentVersion()).files.size
+    store.compact(targetFiles = 1)
+    val after = store.manifest(store.currentVersion()).files.size
+    assert(before > after && after == 1)
+    assert(store.readSnapshot().exceptAll(li).count() == 0)
+    assert(store.readSnapshot().count() == li.count())
+  }
+
+  test("vacuum removes unreferenced snapshot dirs, keeps referenced ones") {
+    val store = freshStore()
+    store.commitSnapshot(Seq((1L, "a")).toDF("k", "v"))
+    store.commitSnapshot(Seq((2L, "b")).toDF("k", "v"))
+    val deleted = store.vacuum(keepSnapshots = 1)
+    assert(deleted.size == 1 && deleted.head.contains("snap-0"))
+    assert(store.readSnapshot().count() == 1) // current still readable
+  }
+
+  test("CAS: stale expected parent is rejected") {
+    val store = freshStore()
+    store.commitSnapshot(Seq((1L, "a")).toDF("k", "v"))
+    val e = intercept[IllegalStateException](
+      store.commitSnapshot(Seq((2L, "b")).toDF("k", "v"),
+        expectedParent = Some(5L)))
+    assert(e.getMessage.contains("CAS"))
+  }
+
+  test("empty table read fails with a descriptive error") {
+    val store = freshStore()
+    val e = intercept[IllegalArgumentException](store.readSnapshot())
+    assert(e.getMessage.contains("no committed snapshot"))
+  }
+}
