@@ -35,19 +35,21 @@ object LlmDedup {
   private val Bands = 16
   private val RowsPerBand = NumHashes / Bands
 
-  /** doc_id, minhash signature (64 longs), distinct-shingle-hash set. */
+  /** doc_id, minhash signature (64 longs), SORTED distinct-shingle-hash set.
+    *
+    * Signature fold runs in [[graft.functions.SketchAggs.MinHashAgg]] — a
+    * typed imperative aggregate whose inner loop is plain JIT'd Scala with
+    * map-side combine (Spark's lambda higher-order functions evaluate
+    * interpreted per element, an order of magnitude slower here). The
+    * shingle set is kept sorted for the codegen'd merge-scan intersection
+    * used during verification. Docs with no shingles are dropped. */
   def minhashSignatures(docs: DataFrame, shingleLen: Int = 3): DataFrame = {
-    val sh = docs
+    val mh = udaf(new graft.functions.SketchAggs.MinHashAgg(NumHashes))
+    docs
       .select(col("doc_id"), explode(shingles(tokens(col("text")), shingleLen)).as("sh"))
       .select(col("doc_id"), hash32(col("sh")).as("h"))
-    val mins = hashParams(NumHashes).zipWithIndex.map { case ((a, b), i) =>
-      min((col("h") * a + b) % MinhashPrime).as(s"m$i")
-    }
-    sh.groupBy(col("doc_id"))
-      .agg(mins.head, (mins.tail :+ collect_set(col("h")).as("sh_set")): _*)
-      .select(col("doc_id"),
-        array((0 until NumHashes).map(i => col(s"m$i")): _*).as("sig"),
-        col("sh_set"))
+      .groupBy(col("doc_id"))
+      .agg(mh(col("h")).as("sig"), array_sort(collect_set(col("h"))).as("sh_set"))
   }
 
   /** Near-dup pairs: shingles → minhash → LSH banding → candidate pairs →
@@ -57,7 +59,10 @@ object LlmDedup {
     * would be capped/sketched (or re-derived from text for candidates only) —
     * the banding math is unchanged. */
   def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    // signatures feed both banding sides and both verification joins; persist
+    // so the shingle-explode + 64-way min aggregation runs once, not 4x
     val sigs = minhashSignatures(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col("doc_id"), col("sig"),
         explode(transform(sequence(lit(0), lit(Bands - 1)), b => struct(
           b.as("band"),
@@ -77,9 +82,11 @@ object LlmDedup {
         .withColumnRenamed("sh_set", "set_a"), Seq("doc_a"))
       .join(sets.withColumnRenamed("doc_id", "doc_b")
         .withColumnRenamed("sh_set", "set_b"), Seq("doc_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
-          size(array_union(col("set_a"), col("set_b"))))
+      .withColumn("_inter",
+        graft.functions.SortedIntersectCount(col("set_a"), col("set_b")))
+      .withColumn("jaccard", // |A∪B| = |A|+|B|-|A∩B|: skip building the union
+        col("_inter").cast("double") /
+          (size(col("set_a")) + size(col("set_b")) - col("_inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first)
@@ -90,19 +97,16 @@ object LlmDedup {
 
   // ------------------------------------------------------------------ SimHash
 
-  /** 64-bit SimHash per document: sign of the per-bit weighted sum of token
-    * hashes. */
+  /** 64-bit SimHash per document: sign of the per-bit vote of token hashes,
+    * folded in [[graft.functions.SketchAggs.SimHashAgg]] (JIT'd imperative
+    * aggregate with map-side combine). */
   def simhash(docs: DataFrame): DataFrame = {
-    val tok = docs
+    val sh = udaf(new graft.functions.SketchAggs.SimHashAgg)
+    docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
       .select(col("doc_id"), xxhash64(col("t")).as("h"))
-    val bitSums = (0 until 64).map(j =>
-      sum(shiftright(col("h"), j).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$j"))
-    val withSums = tok.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
-    val fp = (0 until 64).map(j =>
-      when(col(s"b$j") > 0, shiftleft(lit(1L), j)).otherwise(lit(0L)))
-      .reduce((x, y) => x.bitwiseOR(y))
-    withSums.select(col("doc_id"), fp.as("simhash"))
+      .groupBy(col("doc_id"))
+      .agg(sh(col("h")).as("simhash"))
   }
 
   /** Near-dup pairs with Hamming distance ≤ 3 (SURVEY §2.J extension
@@ -111,6 +115,7 @@ object LlmDedup {
     * equi-join on (chunk index, chunk value) — no all-pairs scan. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
     val fp = simhash(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunks = fp.select(col("doc_id"), col("simhash"),
         explode(array((0 until 4).map(c => struct(
           lit(c).as("chunk"),
@@ -136,15 +141,20 @@ object LlmDedup {
     * `dedup_ngram_jaccard`): block on (lang, token-count bucket) so the
     * quadratic comparison only runs inside small blocks. */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
+    // grams as 64-bit hashes: array_intersect/union over longs is far
+    // cheaper than over strings, and the self-join shuffles 8 bytes/gram
     val prepped = docs.select(col("doc_id"), col("lang"),
-        shingles(tokens(col("text")), n).as("grams"))
+        array_sort(transform(shingles(tokens(col("text")), n), g => xxhash64(g))).as("grams"))
       .withColumn("bucket", (size(col("grams")) / 32).cast("int"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     prepped.as("x").join(prepped.as("y"),
         col("x.lang") === col("y.lang") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
-      .withColumn("jaccard",
-        size(array_intersect(col("x.grams"), col("y.grams"))).cast("double") /
-          size(array_union(col("x.grams"), col("y.grams"))))
+      .withColumn("_inter",
+        graft.functions.SortedIntersectCount(col("x.grams"), col("y.grams")))
+      .withColumn("jaccard", // |A∪B| = |A|+|B|-|A∩B|: skip building the union
+        col("_inter").cast("double") /
+          (size(col("x.grams")) + size(col("y.grams")) - col("_inter")))
       .filter(col("jaccard") >= threshold)
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         round(col("jaccard"), 6).as("jaccard"))
@@ -163,9 +173,10 @@ object LlmDedup {
   }
 
   private[ops] def dotLit(vec: Column, plane: Seq[Double]): Column =
-    plane.zipWithIndex.map { case (w, i) =>
-      element_at(vec, i + 1).cast("double") * w
-    }.reduce(_ + _)
+    // loop-based fold: an unrolled 64-term sum per plane blows past the
+    // JIT/codegen method-size limits and falls back to interpreted eval
+    aggregate(zip_with(vec, typedLit(plane), (u, w) => u.cast("double") * w),
+      lit(0.0), (acc, x) => acc + x)
 
   /** Sign-bit LSH bucket id over `nPlanes` hyperplanes. */
   def lshBucket(vec: Column, nPlanes: Int, dim: Int): Column =
@@ -185,6 +196,7 @@ object LlmDedup {
   def embeddingDupPairs(emb: DataFrame, dim: Int, threshold: Double): DataFrame = {
     val bucketed = emb.select(col("vec_id"), col("embedding"),
       lshBucket(col("embedding"), nPlanes = 12, dim).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     bucketed.as("x").join(bucketed.as("y"),
         col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
       .withColumn("cos_sim", cosine(col("x.embedding"), col("y.embedding")))
