@@ -37,19 +37,26 @@ object LlmDedup {
 
   /** doc_id, minhash signature (64 longs), SORTED distinct-shingle-hash set.
     *
-    * Signature fold runs in [[graft.functions.SketchAggs.MinHashAgg]] — a
-    * typed imperative aggregate whose inner loop is plain JIT'd Scala with
-    * map-side combine (Spark's lambda higher-order functions evaluate
-    * interpreted per element, an order of magnitude slower here). The
-    * shingle set is kept sorted for the codegen'd merge-scan intersection
-    * used during verification. Docs with no shingles are dropped. */
+    * Map-only typed kernel ([[graft.functions.TextKernels]]): a per-doc
+    * signature needs no cross-row aggregation, so this is one JIT'd pass
+    * with zero shuffle — the 100 TB shape. The shingle set stays sorted for
+    * the codegen'd merge-scan intersection used during verification. Docs
+    * with no shingles are dropped. */
   def minhashSignatures(docs: DataFrame, shingleLen: Int = 3): DataFrame = {
-    val mh = udaf(new graft.functions.SketchAggs.MinHashAgg(NumHashes))
-    docs
-      .select(col("doc_id"), explode(shingles(tokens(col("text")), shingleLen)).as("sh"))
-      .select(col("doc_id"), hash32(col("sh")).as("h"))
-      .groupBy(col("doc_id"))
-      .agg(mh(col("h")).as("sig"), array_sort(collect_set(col("h"))).as("sh_set"))
+    import docs.sparkSession.implicits._
+    import graft.functions.TextKernels
+    val params = hashParams(NumHashes)
+    val as = params.map(_._1).toArray
+    val bs = params.map(_._2).toArray
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val shs = TextKernels.shingleHashes(TextKernels.tokenize(text), shingleLen)
+          if (shs.isEmpty) None
+          else Some((id, TextKernels.minhashSig(shs, as, bs), shs))
+        }
+      }
+      .toDF("doc_id", "sig", "sh_set")
   }
 
   /** Near-dup pairs: shingles → minhash → LSH banding → candidate pairs →
@@ -97,16 +104,19 @@ object LlmDedup {
 
   // ------------------------------------------------------------------ SimHash
 
-  /** 64-bit SimHash per document: sign of the per-bit vote of token hashes,
-    * folded in [[graft.functions.SketchAggs.SimHashAgg]] (JIT'd imperative
-    * aggregate with map-side combine). */
+  /** 64-bit SimHash per document: sign of the per-bit vote of token hashes.
+    * Map-only typed kernel — zero shuffle (see minhashSignatures). */
   def simhash(docs: DataFrame): DataFrame = {
-    val sh = udaf(new graft.functions.SketchAggs.SimHashAgg)
-    docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-      .select(col("doc_id"), xxhash64(col("t")).as("h"))
-      .groupBy(col("doc_id"))
-      .agg(sh(col("h")).as("simhash"))
+    import docs.sparkSession.implicits._
+    import graft.functions.TextKernels
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val toks = TextKernels.tokenize(text)
+          if (toks.isEmpty) None else Some((id, TextKernels.simhash64(toks)))
+        }
+      }
+      .toDF("doc_id", "simhash")
   }
 
   /** Near-dup pairs with Hamming distance ≤ 3 (SURVEY §2.J extension
@@ -143,8 +153,16 @@ object LlmDedup {
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
     // grams as 64-bit hashes: array_intersect/union over longs is far
     // cheaper than over strings, and the self-join shuffles 8 bytes/gram
-    val prepped = docs.select(col("doc_id"), col("lang"),
-        array_sort(transform(shingles(tokens(col("text")), n), g => xxhash64(g))).as("grams"))
+    import docs.sparkSession.implicits._
+    val prepped = docs.select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        it.map { case (id, lang, text) =>
+          (id, lang, graft.functions.TextKernels.shingleHashes(
+            graft.functions.TextKernels.tokenize(text), n))
+        }
+      }
+      .toDF("doc_id", "lang", "grams")
       .withColumn("bucket", (size(col("grams")) / 32).cast("int"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     prepped.as("x").join(prepped.as("y"),

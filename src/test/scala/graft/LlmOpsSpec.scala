@@ -18,8 +18,8 @@ class LlmOpsSpec extends SparkSuite {
   private def planted = Seq(
     (1L, baseText, "en"),
     (2L, baseText.replace("quick", "fast"), "en"),          // near-dup of 1
-    (3L, "completely different words about spark catalyst optimizer plans and shuffles and joins and aggregates for scale", "en"),
-    (4L, "completely different words about spark catalyst optimizer plans and shuffles and joins and aggregates at scale", "en"), // near-dup of 3
+    (3L, "completely different words about spark catalyst optimizer plans and shuffles and joins and aggregates and exchanges and partitions and codegen stages running for scale on large clusters", "en"),
+    (4L, "completely different words about spark catalyst optimizer plans and shuffles and joins and aggregates and exchanges and partitions and codegen stages running at scale on large clusters", "en"), // near-dup of 3
     (5L, "nothing in common with anything else here pineapple bicycle umbrella quantum", "en"),
   ).toDF("doc_id", "text", "lang")
 
