@@ -1,0 +1,170 @@
+package graft.catalog
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.graftbridge.ParquetTableBridge
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.store.TableStore
+
+/** DataSource V2 catalog over [[TableStore]] snapshot tables — the engine's
+  * analog of the reference's queryable catalog hierarchy
+  * `"s3tablescatalog/bucket"."namespace"."table"` (reference README.md:173;
+  * bucket→namespace→table scoping at src/dynamodb-zero-etl-s3tables.ts:93,102).
+  *
+  * Register and query:
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft", classOf[GraftCatalog].getName)
+  *   spark.conf.set("spark.sql.catalog.graft.warehouse", "/data/warehouse")
+  *   spark.sql("SELECT * FROM graft.analytics.orders LIMIT 10")
+  *   spark.sql("SELECT * FROM graft.analytics.orders VERSION AS OF 0")
+  * }}}
+  *
+  * Reads are served through Spark's stock V2 parquet path (vectorized scan,
+  * filter pushdown, partition pruning) pointed at the manifest-pinned
+  * snapshot directory, so a reader never observes an in-flight commit —
+  * `GetTableMetadataLocation` semantics (reference src:99). `VERSION AS OF n`
+  * maps to snapshot n (`glue:GetTableVersions` analog, src:114-115). Tables
+  * are read-only through SQL; mutations go through TableStore/CdcApply,
+  * which keep the snapshot+manifest invariants.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    warehouse = Option(options.get("warehouse")).getOrElse(
+      throw new IllegalArgumentException(
+        s"catalog $name requires option spark.sql.catalog.$name.warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  private def spark = SparkSession.active
+  private def hadoopConf = spark.sparkContext.hadoopConfiguration
+  private def fs(p: Path) = p.getFileSystem(hadoopConf)
+
+  private def tableRoot(ident: Identifier): String =
+    (warehouse +: ident.namespace.toSeq :+ ident.name).mkString("/")
+
+  private def storeFor(ident: Identifier): TableStore =
+    new TableStore(spark, tableRoot(ident))
+
+  private def snapshotTable(ident: Identifier, version: Option[Long]): Table = {
+    val store = storeFor(ident)
+    val current = store.currentVersion()
+    if (current < 0) throw new NoSuchTableException(ident)
+    val v = version.getOrElse(current)
+    val m = store.manifest(v)
+    new ReadOnlySnapshotTable(ParquetTableBridge.create(
+      s"$catalogName.${ident.namespace.mkString(".")}.${ident.name}@v$v",
+      spark, Seq(m.location), m.schema), m.partitionBy)
+  }
+
+  override def loadTable(ident: Identifier): Table = snapshotTable(ident, None)
+
+  /** `VERSION AS OF <n>` time travel → snapshot n. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    snapshotTable(ident, Some(version.toLong))
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val nsPath = new Path((warehouse +: namespace).mkString("/"))
+    val f = fs(nsPath)
+    if (!f.exists(nsPath)) throw new NoSuchNamespaceException(namespace)
+    f.listStatus(nsPath).filter(_.isDirectory)
+      .filter(s => f.exists(new Path(s.getPath, "manifest")))
+      .map(s => Identifier.of(namespace, s.getPath.getName))
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val partitionBy = partitions.toSeq.map {
+      case t if t.name == "identity" => t.references.head.fieldNames.mkString(".")
+      case other => throw new UnsupportedOperationException(
+        s"graft tables support identity partitioning only, got $other")
+    }
+    val store = storeFor(ident)
+    require(store.currentVersion() < 0, s"table $ident already exists")
+    val empty = spark.createDataFrame(
+      new util.ArrayList[org.apache.spark.sql.Row](), schema)
+    store.commitSnapshot(empty, partitionBy)
+    loadTable(ident)
+  }
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      "schema evolution goes through DdbAttr.mergeSchemas + TableStore commits")
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = new Path(tableRoot(ident))
+    fs(p).delete(p, true)
+  }
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    val from = new Path(tableRoot(oldIdent))
+    val to = new Path(tableRoot(newIdent))
+    if (!fs(from).rename(from, to))
+      throw new IllegalStateException(s"cannot rename $oldIdent to $newIdent")
+  }
+
+  // ----------------------------------------------------------- namespaces
+  override def listNamespaces(): Array[Array[String]] = {
+    val p = new Path(warehouse)
+    val f = fs(p)
+    if (!f.exists(p)) Array.empty
+    else f.listStatus(p).filter(_.isDirectory).map(s => Array(s.getPath.getName))
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces() else Array.empty
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    fs(new Path(warehouse)).exists(new Path((warehouse +: namespace).mkString("/")))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    Map.empty[String, String].asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit =
+    fs(new Path(warehouse)).mkdirs(new Path((warehouse +: namespace).mkString("/")))
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("graft namespaces carry no metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    val p = new Path((warehouse +: namespace).mkString("/"))
+    val f = fs(p)
+    if (!cascade && f.exists(p) && f.listStatus(p).nonEmpty)
+      throw new IllegalStateException(s"namespace ${namespace.mkString(".")} is not empty")
+    f.delete(p, true)
+  }
+}
+
+/** Read-only view of a snapshot: delegates scans to the wrapped V2 parquet
+  * table but advertises no write capability, so SQL DML cannot bypass the
+  * manifest commit protocol. */
+private[catalog] class ReadOnlySnapshotTable(delegate: Table,
+    partitionCols: Seq[String]) extends Table with SupportsRead {
+  override def name(): String = delegate.name()
+  override def schema(): StructType = delegate.schema()
+  override def partitioning(): Array[Transform] = delegate.partitioning()
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    delegate.asInstanceOf[SupportsRead].newScanBuilder(options)
+  override def properties(): util.Map[String, String] = delegate.properties()
+}

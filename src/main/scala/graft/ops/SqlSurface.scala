@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.functions.col
+
+import graft.Tables.load
+import graft.catalog.GraftCatalog
+import graft.ops.Relational.Q
+import graft.store.TableStore
+
+/** The user-facing SQL surface end-to-end (reference README.md:170-173):
+  * commit a snapshot into a [[GraftCatalog]] warehouse, then answer an
+  * aggregate over the three-part name `catalog.namespace.table` — the
+  * engine's form of
+  * `SELECT * FROM "s3tablescatalog/bucket"."namespace"."table"`. */
+object SqlSurface {
+
+  private def catalogFor(s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val tag = math.abs(d.hashCode).toString
+    val cat = s"graft_$tag"
+    if (s.conf.getOption(s"spark.sql.catalog.$cat").isEmpty) {
+      s.conf.set(s"spark.sql.catalog.$cat", classOf[GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", s"/tmp/graft_warehouse_$tag")
+    }
+    cat
+  }
+
+  private val sqlCatalog: Q = (s, d) => {
+    val cat = catalogFor(s, d)
+    val store = new TableStore(s, s"/tmp/graft_warehouse_${math.abs(d.hashCode)}/analytics/orders")
+    store.commitSnapshot(load(s, d, "orders"), partitionBy = Seq("o_orderstatus"))
+    store.vacuum(keepSnapshots = 2)
+    s.catalog.refreshTable(s"$cat.analytics.orders")
+    s.sql(
+      s"""SELECT o_orderstatus, COUNT(*) AS n_orders,
+         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+         |  COUNT(DISTINCT o_custkey) AS n_customers
+         |FROM $cat.analytics.orders
+         |GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin)
+  }
+
+  val queries: Map[String, Q] = Map("sql_catalog" -> sqlCatalog)
+
+  val oracles: Map[String, String] = Map(
+    "sql_catalog" ->
+      """SELECT o_orderstatus, COUNT(*) AS n_orders,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+        |  COUNT(DISTINCT o_custkey) AS n_customers
+        |FROM orders
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin,
+  )
+}
