@@ -1,0 +1,21 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+
+/** SQL registration for graft's custom Catalyst expressions, so the pure-SQL
+  * surface (spark.sql / GraftCatalog users) can reach them too:
+  *
+  * {{{
+  *   GraftFunctions.register(spark)
+  *   spark.sql("SELECT sorted_intersect_count(a.set, b.set) FROM ...")
+  * }}}
+  */
+object GraftFunctions {
+  def register(spark: SparkSession): Unit = {
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry.createOrReplaceTempFunction(
+        "sorted_intersect_count",
+        exprs => SortedIntersectCount(exprs(0), exprs(1)),
+        "built-in")
+  }
+}
