@@ -44,25 +44,37 @@ object LlmText {
       .orderBy(col("doc_id").asc_nulls_first)
 
   /** Quality scoring (north-star extension `text_quality`): length,
-    * mean-token-length and stopword-ratio blended, as a filterable score. */
+    * mean-token-length and stopword-ratio blended into a 0..1000000 score.
+    *
+    * All outputs are exact integers (scaled by 1e6 via integer division):
+    * a blended *float* score sits one ulp from a rounding boundary on some
+    * row at every scale (bit-divergence between engines observed at sf0.1),
+    * while integer arithmetic is boundary-free in both engines. */
   private val textQuality: Q = (s, d) => {
     val allStop = StopwordsByLang.flatMap(_._2).distinct
     val t = toks(col("text"))
-    val nTok = size(t)
-    val meanLen = when(nTok > 0,
-      aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double") / nTok)
-      .otherwise(lit(0.0))
-    val stopRatio = when(size(array_distinct(t)) > 0,
-      size(array_intersect(t, array(allStop.map(lit): _*))).cast("double") /
-        size(array_distinct(t)))
-      .otherwise(lit(0.0))
-    val lenScore = least(lit(1.0), col("n_chars").cast("double") / 500.0)
-    val score = round(lenScore * 0.4 + stopRatio * 0.3 +
-      least(lit(1.0), meanLen / 8.0) * 0.3, 6)
+    val nTok = size(t).cast("long")
+    val sumLen = aggregate(t, lit(0L), (acc, x) => acc + length(x))
+    val nDist = size(array_distinct(t)).cast("long")
+    val nStop = size(array_intersect(t, array(allStop.map(lit): _*))).cast("long")
     load(s, d, "documents")
-      .select(col("doc_id"), nTok.as("n_tokens"),
-        round(meanLen, 6).as("mean_token_len"),
-        round(stopRatio, 6).as("stopword_ratio"), score.as("quality_score"))
+      .withColumn("n_tokens", nTok)
+      .withColumn("sum_len", sumLen)
+      .withColumn("n_dist", nDist)
+      .withColumn("n_stop", nStop)
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("n_tokens") > 0,
+          expr("1000000L * sum_len div n_tokens")).otherwise(lit(0L))
+          .as("mean_token_len_e6"),
+        when(col("n_dist") > 0,
+          expr("1000000L * n_stop div n_dist")).otherwise(lit(0L))
+          .as("stopword_ratio_e6"),
+        // 0.4·min(n_chars,500)/500 + 0.3·n_stop/n_dist + 0.3·min(sum_len, 8·n_tokens)/(8·n_tokens)
+        when(col("n_tokens") > 0 && col("n_dist") > 0,
+          expr("""(400000L * least(n_chars, 500L) div 500L)
+                 | + (300000L * n_stop div n_dist)
+                 | + (300000L * least(sum_len, 8L * n_tokens) div (8L * n_tokens))"""
+            .stripMargin)).otherwise(lit(0L)).as("quality_score_e6"))
       .orderBy(col("doc_id").asc_nulls_first)
   }
 
@@ -134,21 +146,21 @@ object LlmText {
          |    REGEXP_EXTRACT_ALL(LOWER(text), '\\S+') AS toks
          |  FROM documents
          |), m AS (
-         |  SELECT doc_id, n_chars, toks,
-         |    CAST(LEN(toks) AS INT) AS n_tokens,
-         |    CASE WHEN LEN(toks) > 0
-         |      THEN CAST(LIST_SUM(LIST_TRANSFORM(toks, x -> LENGTH(x))) AS DOUBLE) / LEN(toks)
-         |      ELSE 0.0 END AS mean_token_len,
-         |    CASE WHEN LEN(LIST_DISTINCT(toks)) > 0
-         |      THEN CAST(LEN(LIST_INTERSECT(toks, $allStopList)) AS DOUBLE) / LEN(LIST_DISTINCT(toks))
-         |      ELSE 0.0 END AS stopword_ratio
+         |  SELECT doc_id, n_chars,
+         |    CAST(LEN(toks) AS BIGINT) AS n_tokens,
+         |    CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(toks, x -> LENGTH(x))), 0) AS BIGINT) AS sum_len,
+         |    CAST(LEN(LIST_DISTINCT(toks)) AS BIGINT) AS n_dist,
+         |    CAST(LEN(LIST_INTERSECT(toks, $allStopList)) AS BIGINT) AS n_stop
          |  FROM t
          |)
          |SELECT doc_id, n_tokens,
-         |  ROUND(mean_token_len, 6) AS mean_token_len,
-         |  ROUND(stopword_ratio, 6) AS stopword_ratio,
-         |  ROUND(LEAST(1.0, CAST(n_chars AS DOUBLE) / 500.0) * 0.4 + stopword_ratio * 0.3 +
-         |        LEAST(1.0, mean_token_len / 8.0) * 0.3, 6) AS quality_score
+         |  CASE WHEN n_tokens > 0 THEN 1000000 * sum_len // n_tokens ELSE 0 END AS mean_token_len_e6,
+         |  CASE WHEN n_dist > 0 THEN 1000000 * n_stop // n_dist ELSE 0 END AS stopword_ratio_e6,
+         |  CASE WHEN n_tokens > 0 AND n_dist > 0 THEN
+         |    (400000 * LEAST(n_chars, 500) // 500)
+         |    + (300000 * n_stop // n_dist)
+         |    + (300000 * LEAST(sum_len, 8 * n_tokens) // (8 * n_tokens))
+         |  ELSE 0 END AS quality_score_e6
          |FROM m ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
 
     "text_langid" -> {
