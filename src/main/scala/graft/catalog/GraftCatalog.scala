@@ -78,6 +78,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   override def loadTable(ident: Identifier, version: String): Table =
     snapshotTable(ident, Some(version.toLong))
 
+  /** `TIMESTAMP AS OF <ts>` time travel → latest snapshot committed at or
+    * before the timestamp (micros since epoch, per the V2 contract). */
+  override def loadTable(ident: Identifier, timestampMicros: Long): Table = {
+    val store = storeFor(ident)
+    val v = store.versionAsOfTimestamp(timestampMicros / 1000L).getOrElse(
+      throw new NoSuchTableException(ident))
+    snapshotTable(ident, Some(v))
+  }
+
   override def listTables(namespace: Array[String]): Array[Identifier] = {
     val nsPath = new Path((warehouse +: namespace).mkString("/"))
     val f = fs(nsPath)

@@ -235,6 +235,49 @@ object Relational {
       .orderBy(col("o_custkey").asc_nulls_first, col("rn").asc_nulls_first)
   }
 
+  /** Multi-join analytics (TPC-H Q3 shape): shipping-priority revenue.
+    * customer⋈orders⋈lineitem with the two dims filtered before the join;
+    * at scale: two hash shuffles on the join keys, revenue agg map-side. */
+  private val joinMultiQ3: Q = (s, d) => {
+    val one = lit(1).cast("decimal(18,2)")
+    val c = load(s, d, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val o = load(s, d, "orders")
+      .filter(col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    val l = load(s, d, "lineitem")
+      .filter(col("l_shipdate") > lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc_nulls_last, col("l_orderkey").asc_nulls_first)
+      .limit(50)
+  }
+
+  /** Multi-join analytics (TPC-H Q5 shape): revenue per nation across the
+    * whole star. Small dims (supplier/nation/region) broadcast; the two
+    * fact-fact joins shuffle on their keys. */
+  private val joinMultiQ5: Q = (s, d) => {
+    val one = lit(1).cast("decimal(18,2)")
+    val c = load(s, d, "customer")
+    val o = load(s, d, "orders")
+    val l = load(s, d, "lineitem")
+    val sup = load(s, d, "supplier")
+    val n = load(s, d, "nation")
+    val r = load(s, d, "region")
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount"))))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+  }
+
   // --------------------------------------------------------- §2.F sort / top-k
   /** Global order-by + limit → TakeOrderedAndProject: per-partition top-N then
     * a single driver merge of N×partitions rows — no global sort at scale. */
@@ -281,6 +324,8 @@ object Relational {
     "join_anti" -> joinAnti,
     "join_range_theta" -> joinRangeTheta,
     "join_asof" -> joinAsof,
+    "join_multi_q3" -> joinMultiQ3,
+    "join_multi_q5" -> joinMultiQ5,
     "agg_hash_sum" -> aggHashSum,
     "agg_distinct_count" -> aggDistinctCount,
     "agg_approx_distinct" -> aggApproxDistinct,
@@ -355,6 +400,32 @@ object Relational {
         |SELECT p_event_id, p_ts, c_event_id AS click_event_id, c_ts AS click_ts
         |FROM j WHERE rn = 1
         |ORDER BY p_event_id ASC NULLS FIRST""".stripMargin,
+
+    "join_multi_q3" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC NULLS LAST, l_orderkey ASC NULLS FIRST
+        |LIMIT 50""".stripMargin,
+
+    "join_multi_q5" ->
+      """SELECT r_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
 
     "agg_hash_sum" ->
       """SELECT l_returnflag, l_linestatus,

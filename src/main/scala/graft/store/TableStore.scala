@@ -110,12 +110,38 @@ class TableStore(val spark: SparkSession, val root: String) {
     commitSnapshot(df.repartition(targetFiles), m.partitionBy)
   }
 
+  /** Time-based GC matching the reference's `unreferencedDays` semantics
+    * (README.md:132-137): drop snapshots whose commit is older than
+    * `olderThanMs` AND not the current one. Returns deleted data dirs. */
+  def vacuumOlderThan(olderThanMs: Long, nowMs: Long = System.currentTimeMillis())
+      : Seq[String] = {
+    val cur = currentVersion()
+    if (cur < 0) return Nil
+    val stale = (0L until cur).filter(v =>
+      nowMs - manifest(v).committedAtMs > olderThanMs)
+    if (stale.isEmpty) Nil
+    else deleteDataDirs(keepFrom = stale.max + 1)
+  }
+
   /** Delete data files not referenced by any manifest newer than
     * `keepSnapshots` back — the reference's `unreferencedFileRemoval`
     * (README.md:132-137). Returns deleted snapshot data dirs. */
   def vacuum(keepSnapshots: Int = 1): Seq[String] = {
     val cur = currentVersion()
     val keepFrom = math.max(0L, cur - keepSnapshots + 1)
+    deleteDataDirs(keepFrom)
+  }
+
+  /** Latest snapshot committed at or before `tsMs`, if any. */
+  def versionAsOfTimestamp(tsMs: Long): Option[Long] = {
+    val cur = currentVersion()
+    if (cur < 0) None
+    else (0L to cur).filter(v => manifest(v).committedAtMs <= tsMs)
+      .sorted.lastOption
+  }
+
+  private def deleteDataDirs(keepFrom: Long): Seq[String] = {
+    val cur = currentVersion()
     val f = fs
     // qualify both sides: manifests may record scheme-less paths while
     // listStatus returns fully-qualified URIs

@@ -43,6 +43,17 @@ class GraftCatalogSpec extends SparkSuite {
       .filter(col("o_orderkey") < 100).count())
   }
 
+  test("TIMESTAMP AS OF reads the snapshot current at that time") {
+    commitOrders()
+    val store = new graft.store.TableStore(spark, s"$warehouse/analytics/orders")
+    val t0 = store.manifest(0).committedAtMs
+    val n0 = spark.sql(
+      s"SELECT COUNT(*) FROM spec_cat.analytics.orders TIMESTAMP AS OF " +
+        s"'${new java.sql.Timestamp(t0)}'").head().getLong(0)
+    assert(n0 == Tables.load(spark, sfDir, "orders")
+      .filter(col("o_orderkey") < 100).count())
+  }
+
   test("predicates push into the snapshot's parquet scan") {
     commitOrders()
     val df = spark.sql(

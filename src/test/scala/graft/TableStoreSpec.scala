@@ -65,6 +65,33 @@ class TableStoreSpec extends SparkSuite {
     assert(store.readSnapshot().count() == 1) // current still readable
   }
 
+  test("time-based vacuum drops only snapshots older than the retention") {
+    val store = freshStore()
+    store.commitSnapshot(Seq((1L, "a")).toDF("k", "v"))
+    Thread.sleep(30)
+    store.commitSnapshot(Seq((2L, "b")).toDF("k", "v"))
+    val committedAt0 = store.manifest(0).committedAtMs
+    // retention shorter than snapshot-0's age, longer than snapshot-1's
+    val now = store.manifest(1).committedAtMs + 5
+    val deleted = store.vacuumOlderThan(now - committedAt0 - 10, nowMs = now)
+    assert(deleted.size == 1 && deleted.head.contains("snap-0"))
+    assert(store.readSnapshot().count() == 1)
+    // nothing old enough anymore -> no-op
+    assert(store.vacuumOlderThan(1000000L, nowMs = now).isEmpty)
+  }
+
+  test("versionAsOfTimestamp picks the latest snapshot at or before ts") {
+    val store = freshStore()
+    store.commitSnapshot(Seq((1L, "a")).toDF("k", "v"))
+    Thread.sleep(30)
+    store.commitSnapshot(Seq((2L, "b")).toDF("k", "v"))
+    val t0 = store.manifest(0).committedAtMs
+    val t1 = store.manifest(1).committedAtMs
+    assert(store.versionAsOfTimestamp(t0) == Some(0L))
+    assert(store.versionAsOfTimestamp(t1 + 1000) == Some(1L))
+    assert(store.versionAsOfTimestamp(t0 - 1000) == None)
+  }
+
   test("CAS: stale expected parent is rejected") {
     val store = freshStore()
     store.commitSnapshot(Seq((1L, "a")).toDF("k", "v"))
