@@ -85,6 +85,23 @@ class DdbAttrSpec extends SparkSuite {
     intercept[IllegalArgumentException](DdbAttr.mergeSchemas(a, bad))
   }
 
+  test("mergeSchemas commutes on disjoint attribute sets (SURVEY §5.2.3c)") {
+    val rnd = new scala.util.Random(11)
+    val types = Seq(LongType, DoubleType, StringType, BooleanType)
+    for (_ <- 0 until 20) {
+      val names = rnd.shuffle(('a' to 'p').map(c => s"f_$c")).distinct
+      val (an, bn) = names.splitAt(rnd.nextInt(names.size))
+      val key = StructField("k", LongType)
+      val a = StructType(key +: an.map(n => StructField(n, types(rnd.nextInt(4)))))
+      val b = StructType(key +: bn.map(n => StructField(n, types(rnd.nextInt(4)))))
+      val ab = DdbAttr.mergeSchemas(a, b)
+      val ba = DdbAttr.mergeSchemas(b, a)
+      // same field set and same types, independent of merge order
+      assert(ab.fields.map(f => f.name -> f.dataType).toMap ==
+        ba.fields.map(f => f.name -> f.dataType).toMap)
+    }
+  }
+
   test("decode validates key columns like the reference's synth-time checks") {
     val orders = Tables.load(spark, sfDir, "orders")
     val raw = orders.select(DdbAttr.encodeLine(orders.schema).as("json"))
