@@ -80,6 +80,39 @@ object StreamingOps {
       }
   }
 
+  /** Same running aggregate on Spark 4's transformWithState API: typed
+    * ValueState per key, explicit TimeMode/OutputMode — the
+    * `transformWithState` path SURVEY §2.I names. RocksDB-backed state at
+    * cluster scale; state size stays O(distinct keys). */
+  class RunningProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, EventRow, RunningOut] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues}
+    import org.apache.spark.sql.Encoders
+    @transient private var state: org.apache.spark.sql.streaming.ValueState[RunningState] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[RunningState]("running",
+        Encoders.product[RunningState], org.apache.spark.sql.streaming.TTLConfig.NONE)
+    override def handleInputRows(key: Long, rows: Iterator[EventRow],
+        timerValues: TimerValues): Iterator[RunningOut] = {
+      val prev = Option(state.get()).getOrElse(RunningState(0L, 0.0))
+      val (n, sum) = rows.foldLeft((prev.n, BigDecimal(prev.sum))) {
+        case ((c, acc), r) =>
+          (c + 1, acc + BigDecimal(r.value).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+      }
+      state.update(RunningState(n, sum.toDouble))
+      Iterator.single(RunningOut(key, n, sum.toDouble))
+    }
+  }
+
+  /** transformWithState form of [[statefulRunning]]. */
+  def statefulRunningTWS(events: Dataset[EventRow]): Dataset[RunningOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    events.groupByKey(_.user_id)
+      .transformWithState(new RunningProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Continuous CDC apply (streaming `cdc_apply`): each micro-batch of
     * change records is LWW-merged onto the store's current snapshot and
     * committed — `foreachBatch` + [[CdcApply]], the Glue-integration loop. */

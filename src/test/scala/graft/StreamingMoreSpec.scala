@@ -52,6 +52,36 @@ class StreamingMoreSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("transformWithState running aggregate matches mapGroupsWithState") {
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider
+    val prev = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val in = MemoryStream[StreamingOps.EventRow]
+      val q = StreamingOps.statefulRunningTWS(in.toDS())
+        .writeStream.format("memory").queryName("tws_out")
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update()).start()
+      try {
+        in.addData(StreamingOps.EventRow(1, 1, 10.0), StreamingOps.EventRow(2, 2, 7.0))
+        q.processAllAvailable()
+        in.addData(StreamingOps.EventRow(1, 3, 5.0))
+        q.processAllAvailable()
+        val last = spark.sql(
+          "SELECT running_events, running_value FROM tws_out WHERE user_id = 1 " +
+            "ORDER BY running_events DESC LIMIT 1")
+          .as[(Long, Double)].collect()
+        assert(last.toSeq == Seq((2L, 15.0)))
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("MinHashAgg/SimHashAgg (distributed variants) agree with the kernels") {
     import graft.functions.{SketchAggs, TextKernels}
     val text = "the quick brown fox jumps over the lazy dog again and again"
