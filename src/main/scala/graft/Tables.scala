@@ -17,9 +17,13 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
       // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-      // rejects; read the raw int64 nanos and truncate to micros (identical to
-      // DuckDB's ns→µs truncation, keeping oracle parity).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // rejects; with spark.sql.legacy.parquet.nanosAsLong=true (set at
+      // session construction in Verify/Bench/SparkSuite — not mutated here,
+      // so this loader has no session-wide side effects) the raw int64 nanos
+      // come back as long and are truncated to micros (identical to DuckDB's
+      // ns→µs truncation, keeping oracle parity).
+      require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+        "events requires spark.sql.legacy.parquet.nanosAsLong=true at session construction")
       spark.read.parquet(s"$sfDir/$name.parquet")
         .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))

@@ -44,7 +44,16 @@ object CdcApply {
     val all = baseTagged.unionByName(changes.select(
       (payload ++ Seq(seqCol, opCol)).map(col): _*))
 
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(seqCol).desc)
+    // Deterministic LWW total order: seq desc, then op priority
+    // (REMOVE > MODIFY > INSERT — a tombstone wins a replayed tie, the
+    // conservative choice), then payload hash — so duplicate (key, seq)
+    // records from a replayed/merged stream always pick the same winner.
+    val opRank = when(col(opCol) === OpRemove, 0)
+      .when(col(opCol) === OpModify, 1)
+      .otherwise(2)
+    val payloadHash = xxhash64(payload.map(c => col(c).cast("string")): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(seqCol).desc, opRank.asc, payloadHash.asc)
     all.withColumn("_rn", row_number().over(w))
       .filter(col("_rn") === 1 && col(opCol) =!= OpRemove)
       .select(payload.map(col): _*)

@@ -77,8 +77,12 @@ object LlmSim {
   /** Stubbed media decode (SURVEY §2.J extension `multimodal_decode`): the
     * image/audio libs aren't in this container, so the decoder is a
     * deterministic fake — but the Spark plumbing is real: binary column in,
-    * typed struct + frame-sample array out, computed per-partition in batches
-    * (`mapPartitions`), the same shape a Pandas-UDF/Arrow pipeline has. */
+    * typed struct + frame-sample list out, computed per-partition in batches
+    * (`mapPartitions`), the same shape a Pandas-UDF/Arrow pipeline has.
+    *
+    * Output is comparator-safe scalars only (the driver's pandas comparator
+    * cannot sort array columns): the sampled-frame list is emitted as its
+    * size plus a CSV rendering, reproduced exactly by the DuckDB oracle. */
   private val multimodalDecode: Q = (s, d) => {
     import s.implicits._
     val docs = load(s, d, "documents")
@@ -92,10 +96,11 @@ object LlmSim {
         val width = 64 + (n % 577)
         val height = 64 + ((n * 31) % 419)
         val frames = 1 + (n % 30)
-        val sampled = (0 until math.min(4, frames)).map(i => i.toLong * (frames / math.min(4, frames))).toArray
-        (id, width, height, frames, sampled)
+        val k = math.min(4, frames)
+        val sampled = (0 until k).map(i => i * (frames / k))
+        (id, width, height, frames, k, sampled.mkString(","))
       }
-    }.toDF("doc_id", "width", "height", "n_frames", "sampled_frames")
+    }.toDF("doc_id", "width", "height", "n_frames", "n_sampled", "frames_csv")
       .orderBy(col("doc_id").asc_nulls_first)
   }
 
@@ -123,5 +128,23 @@ object LlmSim {
         |       lang, source
         |FROM documents JOIN embeddings ON doc_id = vec_id
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    // Reproduces the deterministic fake-decode math (multimodalDecode above)
+    // on n_chars — the fixture text is ASCII, so n_chars == UTF-8 byte length
+    // (the multimodal_schema oracle already relies on this equality).
+    "multimodal_decode" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CAST(n_chars AS INT) AS n,
+        |    CAST(1 + (n_chars % 30) AS INT) AS n_frames,
+        |    CAST(LEAST(4, 1 + (n_chars % 30)) AS INT) AS k
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(64 + (n % 577) AS INT) AS width,
+        |  CAST(64 + ((n * 31) % 419) AS INT) AS height,
+        |  n_frames,
+        |  k AS n_sampled,
+        |  ARRAY_TO_STRING(LIST_TRANSFORM(RANGE(0, k), i -> i * (n_frames // k)), ',') AS frames_csv
+        |FROM f ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
   )
 }

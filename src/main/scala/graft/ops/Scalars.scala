@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables.load
 import graft.ops.Relational.Q
+import graft.util.Det
 
 /** Scalar-function pack (SURVEY.md §2.H): string / date / math / case-null /
   * array / map / json over the analytics surface the reference provisions
@@ -43,12 +44,18 @@ object Scalars {
         date_add(col("o_orderdate").cast("date"), 30).cast("timestamp").as("due_date"))
       .orderBy(col("o_orderkey").asc_nulls_first)
 
+  /** Rounding policy (NOTES.md double-rounding trap): `round(double, d)`
+    * diverges between Spark (HALF_UP on the shortest decimal repr) and DuckDB
+    * (round on the binary double), so all rounding goes through the exact
+    * DECIMAL path — `round(dec2(col), 1)` is exact decimal arithmetic with
+    * identical HALF_UP semantics in both engines; the final cast to double is
+    * a single deterministic conversion. */
   private val fnMath: Q = (s, d) =>
     load(s, d, "lineitem")
       .select(
         col("l_orderkey"), col("l_linenumber"),
-        round(col("l_extendedprice"), 1).as("price_r1"),
-        abs(col("l_extendedprice") * lit(-1.0)).as("abs_price"),
+        round(Det.dec2(col("l_extendedprice")), 1).cast("double").as("price_r1"),
+        abs(Det.dec2(col("l_extendedprice")).unary_-).cast("double").as("abs_price"),
         sqrt(col("l_quantity")).as("sqrt_qty"),
         floor(col("l_extendedprice")).as("floor_price"),
         ceil(col("l_discount") * 100).as("disc_pct"),
@@ -141,8 +148,8 @@ object Scalars {
 
     "fn_math" ->
       """SELECT l_orderkey, l_linenumber,
-        |  ROUND(l_extendedprice, 1) AS price_r1,
-        |  ABS(l_extendedprice * -1.0) AS abs_price,
+        |  CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS price_r1,
+        |  CAST(ABS(-CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS abs_price,
         |  SQRT(l_quantity) AS sqrt_qty,
         |  FLOOR(l_extendedprice) AS floor_price,
         |  CEIL(l_discount * 100) AS disc_pct,
