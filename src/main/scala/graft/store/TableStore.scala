@@ -40,15 +40,20 @@ class TableStore(val spark: SparkSession, val root: String) {
   private def manifestDir = new Path(rootPath, "manifest")
   private def dataDir = new Path(rootPath, "data")
 
-  /** Latest committed snapshot id, or -1 for an empty table. */
-  def currentVersion(): Long = {
+  /** Snapshot ids that still have a manifest, ascending. Vacuumed versions
+    * drop out of this list (their manifests are deleted with their data), so
+    * every resolution path below tolerates gaps in the version sequence. */
+  def existingVersions(): Seq[Long] = {
     val f = fs
-    if (!f.exists(manifestDir)) -1L
+    if (!f.exists(manifestDir)) Nil
     else
       f.listStatus(manifestDir).map(_.getPath.getName)
         .collect { case ManifestName(v) => v.toLong }
-        .foldLeft(-1L)(math.max)
+        .sorted.toSeq
   }
+
+  /** Latest committed snapshot id, or -1 for an empty table. */
+  def currentVersion(): Long = existingVersions().foldLeft(-1L)(math.max)
 
   def manifest(version: Long): Manifest = {
     val p = new Path(manifestDir, s"v$version.json")
@@ -75,14 +80,24 @@ class TableStore(val spark: SparkSession, val root: String) {
           s"CAS conflict: expected parent snapshot $exp but found $parent")
     }
     val next = parent + 1
-    val snapDir = new Path(dataDir, s"snap-$next")
+    // Unique staging dir per attempt (not the shared snap-<next>): two racing
+    // writers that both compute `next` each stage into their own directory, so
+    // the CAS loser's Overwrite can never clobber the winner's committed data
+    // files — the same isolation Iceberg gets from uniquely-named data files
+    // under its metadata swap (reference src/dynamodb-zero-etl-s3tables.ts:99).
+    val snapDir = new Path(dataDir, s"snap-$next-${System.nanoTime()}")
     val writer = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(snapDir.toString)
     val files = listDataFiles(snapDir)
     val m = Manifest(next, parent, df.schema, snapDir.toString, files,
       partitionBy, System.currentTimeMillis())
-    writeManifestAtomic(m)
+    try writeManifestAtomic(m)
+    catch { case e: Throwable =>
+      // lost the race: remove our orphaned staging dir, leave the winner's
+      fs.delete(snapDir, true)
+      throw e
+    }
     next
   }
 
@@ -92,15 +107,18 @@ class TableStore(val spark: SparkSession, val root: String) {
   def readSnapshot(version: Long = -1L): DataFrame = {
     val v = if (version >= 0) version else currentVersion()
     require(v >= 0, s"table at $root has no committed snapshot")
+    require(existingVersions().contains(v),
+      s"snapshot $v of table at $root does not exist (vacuumed or never committed)")
     val m = manifest(v)
     val df = spark.read.schema(dataReadSchema(m)).parquet(m.location)
     // restore declared column order (partition columns come back last)
     df.select(m.schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
   }
 
-  /** Schema history across snapshots — `glue:GetTableVersions` analog. */
+  /** Schema history across surviving snapshots — `glue:GetTableVersions`
+    * analog. Vacuumed versions are absent (their metadata is gone too). */
   def schemaHistory(): Seq[(Long, StructType)] =
-    (0L to currentVersion()).map(v => v -> manifest(v).schema)
+    existingVersions().map(v => v -> manifest(v).schema)
 
   /** Rewrite the current snapshot into `targetFiles` files per partition —
     * small-file compaction. Content-preserving; commits a new snapshot. */
@@ -117,8 +135,8 @@ class TableStore(val spark: SparkSession, val root: String) {
       : Seq[String] = {
     val cur = currentVersion()
     if (cur < 0) return Nil
-    val stale = (0L until cur).filter(v =>
-      nowMs - manifest(v).committedAtMs > olderThanMs)
+    val stale = existingVersions().filter(v =>
+      v < cur && nowMs - manifest(v).committedAtMs > olderThanMs)
     if (stale.isEmpty) Nil
     else deleteDataDirs(keepFrom = stale.max + 1)
   }
@@ -132,20 +150,23 @@ class TableStore(val spark: SparkSession, val root: String) {
     deleteDataDirs(keepFrom)
   }
 
-  /** Latest snapshot committed at or before `tsMs`, if any. */
-  def versionAsOfTimestamp(tsMs: Long): Option[Long] = {
-    val cur = currentVersion()
-    if (cur < 0) None
-    else (0L to cur).filter(v => manifest(v).committedAtMs <= tsMs)
-      .sorted.lastOption
-  }
+  /** Latest surviving snapshot committed at or before `tsMs`, if any.
+    * Vacuumed versions no longer resolve (manifest removed with the data). */
+  def versionAsOfTimestamp(tsMs: Long): Option[Long] =
+    existingVersions().filter(v => manifest(v).committedAtMs <= tsMs).lastOption
 
+  /** GC of snapshots below `keepFrom`: the manifest is deleted FIRST, then
+    * unreferenced data dirs — so no surviving manifest ever points at deleted
+    * files (the reference's Iceberg snapshot expiry removes metadata along
+    * with the files, README.md:132-137). Returns deleted data dirs. */
   private def deleteDataDirs(keepFrom: Long): Seq[String] = {
-    val cur = currentVersion()
     val f = fs
+    existingVersions().filter(_ < keepFrom).foreach { v =>
+      f.delete(new Path(manifestDir, s"v$v.json"), false)
+    }
     // qualify both sides: manifests may record scheme-less paths while
     // listStatus returns fully-qualified URIs
-    val referenced = (keepFrom to cur)
+    val referenced = existingVersions()
       .map(v => f.makeQualified(new Path(manifest(v).location)).toString).toSet
     if (!f.exists(dataDir)) return Nil
     val dead = f.listStatus(dataDir).map(_.getPath)

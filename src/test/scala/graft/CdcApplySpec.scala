@@ -73,6 +73,28 @@ class CdcApplySpec extends SparkSuite {
     assert(out.size == 3)
   }
 
+  test("property: duplicate (key, seq) records pick a deterministic winner") {
+    val rnd = new scala.util.Random(7)
+    val ops = Array("INSERT", "MODIFY", "REMOVE")
+    for (trial <- 0 until 10) {
+      // legal in a replayed/merged stream: several records share (key, seq)
+      val dup = (0 until 10).map { _ =>
+        val v = rnd.nextInt(100)
+        (1L + rnd.nextInt(3), s"s$v", v.toDouble, rnd.nextInt(3).toLong, ops(rnd.nextInt(3)))
+      }
+      // the winner must not depend on input order or partitioning
+      val a = result(CdcApply(base, changes(dup: _*), Seq("k")))
+      val b = result(CdcApply(base, changes(rnd.shuffle(dup): _*).repartition(7), Seq("k")))
+      assert(a == b, s"trial $trial: $dup")
+      // a REMOVE tied at the top sequence must win over a same-seq upsert
+      val topSeqByKey = dup.groupBy(_._1).map { case (k, rs) => k -> rs.map(_._4).max }
+      topSeqByKey.foreach { case (k, top) =>
+        if (dup.exists(r => r._1 == k && r._4 == top && r._5 == "REMOVE"))
+          assert(!a.exists(_._1 == k), s"trial $trial: tombstone lost the tie for key $k")
+      }
+    }
+  }
+
   test("property: batch split points do not change the final table") {
     val rnd = new scala.util.Random(42)
     val ops = Array("INSERT", "MODIFY", "REMOVE")

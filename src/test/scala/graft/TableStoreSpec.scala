@@ -92,6 +92,50 @@ class TableStoreSpec extends SparkSuite {
     assert(store.versionAsOfTimestamp(t0 - 1000) == None)
   }
 
+  test("vacuum removes manifests too: history and resolution skip GC'd versions") {
+    val store = freshStore()
+    store.commitSnapshot(Seq((1L, "a")).toDF("k", "v"))
+    Thread.sleep(30)
+    store.commitSnapshot(Seq((2L, "b")).toDF("k", "v"))
+    store.commitSnapshot(Seq((3L, "c")).toDF("k", "v"))
+    val t0 = store.manifest(0).committedAtMs
+    store.vacuum(keepSnapshots = 1)
+    // GC'd versions are gone from every resolution surface, not just the data
+    assert(store.existingVersions() == Seq(2L))
+    assert(store.schemaHistory().map(_._1) == Seq(2L))
+    assert(store.versionAsOfTimestamp(t0).isEmpty)
+    val e = intercept[IllegalArgumentException](store.readSnapshot(0))
+    assert(e.getMessage.contains("vacuumed or never committed"))
+    assert(store.readSnapshot().count() == 1)
+  }
+
+  test("racing writers: losers retry, all committed data stays intact") {
+    val store = freshStore()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (0 until 2).map { t =>
+      new Thread(() => {
+        try {
+          for (i <- 0 until 5) {
+            var done = false
+            while (!done) {
+              try { store.commitSnapshot(Seq((t.toLong, i.toLong)).toDF("w", "i")); done = true }
+              catch { case _: IllegalStateException => /* lost the CAS; retry */ }
+            }
+          }
+        } catch { case e: Throwable => errors.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errors.isEmpty, s"unexpected: ${errors.peek()}")
+    assert(store.currentVersion() == 9L)
+    // every committed snapshot readable: no loser overwrote a winner's files
+    store.existingVersions().foreach(v => assert(store.readSnapshot(v).count() == 1))
+    // losers cleaned their orphaned staging dirs: one data dir per commit
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val dataDirs = fs.listStatus(new org.apache.hadoop.fs.Path(store.root, "data"))
+    assert(dataDirs.length == 10, s"expected 10 data dirs, found ${dataDirs.length}")
+  }
+
   test("CAS: stale expected parent is rejected") {
     val store = freshStore()
     store.commitSnapshot(Seq((1L, "a")).toDF("k", "v"))
