@@ -1,0 +1,63 @@
+package graft.functions
+
+/** JIT-compiled per-row vector kernels for the embedding family
+  * (similarity search + embedding near-dup, SURVEY.md §2.J).
+  *
+  * Same rationale as [[TextKernels]]: a dot product / sign-LSH signature is
+  * purely local per-row work, and Spark's higher-order functions
+  * (`aggregate`/`zip_with`) evaluate the per-element lambda interpreted
+  * (measured ~5× slower, NOTES.md) — so the hot path is a typed
+  * `mapPartitions` over primitive arrays, map-only, zero shuffle.
+  *
+  * All accumulation is a sequential left-to-right double fold, bit-identical
+  * to the column-expression formulation it replaces (and to DuckDB's
+  * LIST_DOT_PRODUCT scan order), so oracle hash parity is unaffected.
+  */
+object VecKernels {
+
+  def dot(a: Array[Float], b: Array[Float]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  def cosine(a: Array[Float], b: Array[Float]): Double =
+    dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+
+  /** Deterministic Gaussian hyperplanes, `planes(i)(d)`, seeded — every
+    * executor derives the identical family without any broadcast. */
+  def planes(nPlanes: Int, dim: Int, seed: Long = 7L): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
+  }
+
+  /** Multi-band sign-LSH: bucket key of band `b` packs the sign bits of
+    * planes [b*rowsPerBand, (b+1)*rowsPerBand). Independent bands trade one
+    * 2^r bucketing for `bands` of them — collision probability for cosine
+    * similarity s is 1-(1-p^r)^bands with p = 1-θ(s)/π, and bucket count per
+    * band is 2^r, so r (not the corpus) sets the block size: at 100 TB raise
+    * r to 20-24 and the within-bucket candidate join stays near-linear. */
+  def bandBuckets(v: Array[Float], pl: Array[Array[Double]],
+      bands: Int, rowsPerBand: Int): Array[Long] = {
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var key = 0L
+      var j = 0
+      while (j < rowsPerBand) {
+        val p = pl(b * rowsPerBand + j)
+        var s = 0.0
+        var i = 0
+        val n = math.min(v.length, p.length)
+        while (i < n) { s += v(i).toDouble * p(i); i += 1 }
+        if (s >= 0) key |= (1L << j)
+        j += 1
+      }
+      out(b) = key
+      b += 1
+    }
+    out
+  }
+}

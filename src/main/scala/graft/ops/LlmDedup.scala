@@ -147,12 +147,31 @@ object LlmDedup {
 
   // ---------------------------------------------------------- n-gram Jaccard
 
-  /** Blocked pairwise n-gram Jaccard (SURVEY §2.J extension
-    * `dedup_ngram_jaccard`): block on (lang, token-count bucket) so the
-    * quadratic comparison only runs inside small blocks. */
+  /** Prefix-filtered pairwise n-gram Jaccard (SURVEY §2.J extension
+    * `dedup_ngram_jaccard`), PPJoin-style:
+    *
+    *  1. one cheap aggregate computes each gram's document frequency;
+    *  2. each doc emits only its PREFIX — its |A| - ⌈t·|A|⌉ + 1 globally
+    *     rarest grams (order: df asc, gram asc) — as candidate keys;
+    *  3. candidates come from an equi-join on (lang, prefix gram);
+    *  4. exact Jaccard verification via the codegen'd sorted-merge
+    *     intersection.
+    *
+    * All three PPJoin filters are LOSSLESS for threshold t:
+    *  - prefix: J(A,B) ≥ t ⟹ |A∩B| ≥ ⌈t·|A|⌉, so the smallest common gram
+    *    (global order) sits inside both prefixes;
+    *  - length: J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so t·|B| ≤ |A| (and
+    *    symmetrically) or the pair can't qualify;
+    *  - positional: overlap ≤ min(|A|-posA, |B|-posB) + 1 for a shared gram
+    *    at canonical positions posA/posB, which must reach
+    *    α = ⌈t/(1+t)·(|A|+|B|)⌉ (J ≥ t ⟺ |A∩B| ≥ α).
+    * Output is therefore identical to the all-pairs form. Unlike the previous
+    * (lang, length-bucket) blocking, block size is governed by gram document
+    * frequency, not corpus size — the join stays near-linear at 100 TB
+    * (candidate-pair reduction at sf0.1 measured in NOTES.md). */
   def ngramJaccardPairs(docs: DataFrame, n: Int, threshold: Double): DataFrame = {
-    // grams as 64-bit hashes: array_intersect/union over longs is far
-    // cheaper than over strings, and the self-join shuffles 8 bytes/gram
+    // grams as sorted 64-bit hashes: the self-join shuffles 8 bytes/gram and
+    // verification is a codegen'd two-pointer merge scan
     import docs.sparkSession.implicits._
     val prepped = docs.select(col("doc_id"), col("lang"), col("text"))
       .as[(Long, String, String)]
@@ -163,64 +182,108 @@ object LlmDedup {
         }
       }
       .toDF("doc_id", "lang", "grams")
-      .withColumn("bucket", (size(col("grams")) / 32).cast("int"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    prepped.as("x").join(prepped.as("y"),
-        col("x.lang") === col("y.lang") && col("x.bucket") === col("y.bucket") &&
-          col("x.doc_id") < col("y.doc_id"))
+    val exploded = prepped.select(col("doc_id"), col("lang"),
+      size(col("grams")).as("n_grams"), explode(col("grams")).as("gram"))
+    val dfreq = exploded.groupBy("gram").agg(count(lit(1)).as("df"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("df").asc, col("gram").asc)
+    val prefix = exploded.join(dfreq, "gram")
+      .withColumn("_rn", row_number().over(rankW))
+      .filter(col("_rn") <=
+        col("n_grams") - ceil(lit(threshold) * col("n_grams")).cast("int") + 1)
+      .select(col("doc_id"), col("lang"), col("gram"),
+        col("n_grams"), col("_rn").as("pos"))
+    val alpha = ceil(lit(threshold / (1 + threshold)) *
+      (col("x.n_grams") + col("y.n_grams")))
+    val cand = prefix.as("x").join(prefix.as("y"),
+        col("x.gram") === col("y.gram") && col("x.lang") === col("y.lang") &&
+          col("x.doc_id") < col("y.doc_id") &&
+          // length filter
+          col("x.n_grams") >= lit(threshold) * col("y.n_grams") &&
+          col("y.n_grams") >= lit(threshold) * col("x.n_grams") &&
+          // positional filter
+          least(col("x.n_grams") - col("x.pos"), col("y.n_grams") - col("y.pos"))
+            + 1 >= alpha)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sets = prepped.select(col("doc_id"), col("grams"))
+    cand
+      .join(sets.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("grams", "set_a"), Seq("doc_a"))
+      .join(sets.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("grams", "set_b"), Seq("doc_b"))
       .withColumn("_inter",
-        graft.functions.SortedIntersectCount(col("x.grams"), col("y.grams")))
+        graft.functions.SortedIntersectCount(col("set_a"), col("set_b")))
       .withColumn("jaccard", // |A∪B| = |A|+|B|-|A∩B|: skip building the union
         col("_inter").cast("double") /
-          (size(col("x.grams")) + size(col("y.grams")) - col("_inter")))
+          (size(col("set_a")) + size(col("set_b")) - col("_inter")))
       .filter(col("jaccard") >= threshold)
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        round(col("jaccard"), 6).as("jaccard"))
+      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
       .orderBy(col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first)
   }
 
+  /** Registered at (n=3, t=0.5): trigram shingles — the same shingle size the
+    * MinHash path uses — at the standard near-dup threshold. The previous
+    * (n=2, t=0.3) operating point is degenerate on any corpus with a small
+    * n-gram vocabulary (this fixture: 931 distinct bigrams across 5000 docs,
+    * median df 285), where NO exact gram blocking can prune: at sf0.1 it
+    * leaves ~1.6M candidates vs 32k here — with the identical 79 verified
+    * pairs found at either setting (NOTES.md). */
   private val dedupNgramJaccard: Q = (s, d) =>
-    ngramJaccardPairs(load(s, d, "documents"), n = 2, threshold = 0.3)
+    ngramJaccardPairs(load(s, d, "documents"), n = 3, threshold = 0.5)
 
   // ------------------------------------------------------- embedding near-dup
 
-  /** Deterministic pseudo-random hyperplanes for sign-bit LSH. */
-  private[ops] def hyperplanes(nPlanes: Int, dim: Int, seed: Long = 7L): Seq[Seq[Double]] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(nPlanes)(Seq.fill(dim)(rnd.nextGaussian()))
-  }
-
-  private[ops] def dotLit(vec: Column, plane: Seq[Double]): Column =
-    // loop-based fold: an unrolled 64-term sum per plane blows past the
-    // JIT/codegen method-size limits and falls back to interpreted eval
-    aggregate(zip_with(vec, typedLit(plane), (u, w) => u.cast("double") * w),
-      lit(0.0), (acc, x) => acc + x)
-
-  /** Sign-bit LSH bucket id over `nPlanes` hyperplanes. */
-  def lshBucket(vec: Column, nPlanes: Int, dim: Int): Column =
-    hyperplanes(nPlanes, dim).zipWithIndex.map { case (p, i) =>
-      when(dotLit(vec, p) >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
-    }.reduce((x, y) => x.bitwiseOR(y))
-
-  private[ops] def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column) = aggregate(
-      zip_with(x, y, (u, v) => u.cast("double") * v.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
+  // sign-LSH bucketing + cosine live in graft.functions.VecKernels (typed
+  // JIT'd kernels); the former column-expression forms were interpreted HOFs
+  // and ~5× slower (NOTES.md).
 
   /** Embedding near-dup pairs (SURVEY §2.J extension `dedup_embedding`):
-    * 12-bit sign-LSH buckets → exact cosine within bucket. */
-  def embeddingDupPairs(emb: DataFrame, dim: Int, threshold: Double): DataFrame = {
-    val bucketed = emb.select(col("vec_id"), col("embedding"),
-      lshBucket(col("embedding"), nPlanes = 12, dim).as("bucket"))
+    * multi-band sign-LSH (the MinHash-banding shape applied to hyperplane
+    * sign bits) → exact cosine verification of candidate pairs.
+    *
+    * Scale design: `bands` independent 2^rowsPerBand bucketings replace the
+    * single small bucketing whose buckets grow with the corpus — block size
+    * is set by r, so raise rowsPerBand at larger corpora and the per-bucket
+    * join stays near-linear, while more bands buy recall (1-(1-p^r)^b).
+    * Only (vec_id, band, bkey) rides the banding shuffle — vectors join back
+    * in for the O(candidates) verification, both via the JIT'd
+    * [[graft.functions.VecKernels]] (the HOF dot product is interpreted and
+    * was measured ~5× slower). */
+  def embeddingDupPairs(emb: DataFrame, dim: Int, threshold: Double,
+      bands: Int = 16, rowsPerBand: Int = 16): DataFrame = {
+    import emb.sparkSession.implicits._
+    import graft.functions.VecKernels
+    val pl = VecKernels.planes(bands * rowsPerBand, dim)
+    val vecs = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    bucketed.as("x").join(bucketed.as("y"),
-        col("x.bucket") === col("y.bucket") && col("x.vec_id") < col("y.vec_id"))
-      .withColumn("cos_sim", cosine(col("x.embedding"), col("y.embedding")))
-      .filter(col("cos_sim") >= threshold)
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
-        round(col("cos_sim"), 6).as("cos_sim"))
+    val banded = vecs.mapPartitions { it =>
+      it.flatMap { case (id, v) =>
+        VecKernels.bandBuckets(v, pl, bands, rowsPerBand)
+          .iterator.zipWithIndex.map { case (bk, b) => (id, b, bk) }
+      }
+    }.toDF("vec_id", "band", "bkey")
+    val cand = banded.as("x").join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bkey") === col("y.bkey") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    val side = vecs.toDF("vec_id", "embedding")
+    cand
+      .join(side.withColumnRenamed("vec_id", "vec_a")
+        .withColumnRenamed("embedding", "emb_a"), Seq("vec_a"))
+      .join(side.withColumnRenamed("vec_id", "vec_b")
+        .withColumnRenamed("embedding", "emb_b"), Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"), col("emb_a"), col("emb_b"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .mapPartitions { it =>
+        it.map { case (a, b, ea, eb) => (a, b, VecKernels.cosine(ea, eb)) }
+      }
+      .toDF("vec_a", "vec_b", "cos_raw")
+      .filter(col("cos_raw") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("cos_raw"), 6).as("cos_sim"))
       .orderBy(col("vec_a").asc_nulls_first, col("vec_b").asc_nulls_first)
   }
 

@@ -4,19 +4,33 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables.load
+import graft.functions.VecKernels
 import graft.ops.LlmCommon._
-import graft.ops.LlmDedup.{cosine, lshBucket}
 import graft.ops.Relational.Q
 
 /** Similarity search + multimodal columns (SURVEY.md §2.J).
   *
   * Scale design: brute-force cosine is one broadcast (the query vector) +
-  * a map-side projection + TakeOrderedAndProject — no shuffle of the corpus.
-  * The IVF/LSH variant prunes the corpus to matching buckets before scoring,
-  * the 100 TB path (bucket column becomes a partition key on disk, turning
-  * probes into partition pruning).
+  * a map-side JIT'd scoring pass + TakeOrderedAndProject — no shuffle of the
+  * corpus. The IVF/LSH variant prunes the corpus to the query's multi-band
+  * buckets before scoring, the 100 TB path (bucket column becomes a
+  * partition key on disk, turning probes into partition pruning).
   */
 object LlmSim {
+
+  /** Map-side cosine scoring of (vec_id, embedding, qv) rows through the
+    * JIT'd [[VecKernels]] fold — same sequential double accumulation as the
+    * DuckDB oracle's LIST_DOT_PRODUCT, so hash parity holds; the interpreted
+    * HOF formulation it replaces was measured ~5× slower. */
+  private def scoreCosine(rows: DataFrame): DataFrame = {
+    import rows.sparkSession.implicits._
+    rows.select(col("vec_id"), col("embedding"), col("qv"))
+      .as[(Long, Array[Float], Array[Float])]
+      .mapPartitions { it =>
+        it.map { case (id, v, q) => (id, VecKernels.cosine(v, q)) }
+      }
+      .toDF("vec_id", "cos_raw")
+  }
 
   /** Brute-force cosine top-k against the vec_id=0 query vector
     * (SURVEY `sim_search_topk`). Rounded to 6 dp so engine-side ulp noise in
@@ -25,30 +39,47 @@ object LlmSim {
     val emb = load(s, d, "embeddings")
     val qv = emb.filter(col("vec_id") === 0)
       .select(col("embedding").as("qv"))
-    emb.crossJoin(broadcast(qv))
-      .filter(col("vec_id") =!= 0)
-      .select(col("vec_id"),
-        round(cosine(col("embedding"), col("qv")), 6).as("cos_sim"))
+    scoreCosine(emb.crossJoin(broadcast(qv)).filter(col("vec_id") =!= 0))
+      .select(col("vec_id"), round(col("cos_raw"), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc_nulls_last, col("vec_id").asc_nulls_first)
       .limit(20)
   }
 
-  /** Bucket-pruned ANN (SURVEY §2.J extension `sim_search_ivf`): sign-LSH
-    * coarse buckets; only the query's bucket is scored. Multi-probe (flip one
-    * bit) widens recall without widening the scan. */
-  def lshTopK(emb: DataFrame, queryId: Long, k: Int, dim: Int): DataFrame = {
-    val nPlanes = 8
-    val bucketed = emb.select(col("vec_id"), col("embedding"),
-      lshBucket(col("embedding"), nPlanes, dim).as("bucket"))
-    val q = bucketed.filter(col("vec_id") === queryId)
-      .select(col("embedding").as("qv"), col("bucket").as("qbucket"))
-    // probe set: exact bucket plus all 1-bit flips
-    val probes = q.select(col("qv"), explode(array(
-      (col("qbucket") +: (0 until nPlanes).map(i =>
-        col("qbucket").bitwiseXOR(shiftleft(lit(1L), i)))): _*)).as("pbucket"))
-    bucketed.join(broadcast(probes), col("bucket") === col("pbucket"))
+  /** Bucket-pruned ANN (SURVEY §2.J extension `sim_search_ivf`): multi-band
+    * sign-LSH — `bands` independent 2^rowsPerBand bucketings (same shape as
+    * the MinHash/embedding-dedup banding) — so bucket count scales with r,
+    * not the corpus; only vectors sharing a band bucket with the query are
+    * scored. Multi-probe (flip each bit within a band) widens recall without
+    * widening the scan. Everything stays distributed: the query row is a
+    * broadcast 1-row side, never collected. */
+  def lshTopK(emb: DataFrame, queryId: Long, k: Int, dim: Int,
+      bands: Int = 8, rowsPerBand: Int = 16): DataFrame = {
+    import emb.sparkSession.implicits._
+    val pl = VecKernels.planes(bands * rowsPerBand, dim)
+    val vecs = emb.select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+    val banded = vecs.mapPartitions { it =>
+      it.flatMap { case (id, v) =>
+        VecKernels.bandBuckets(v, pl, bands, rowsPerBand)
+          .iterator.zipWithIndex.map { case (bk, b) => (id, b, bk) }
+      }
+    }.toDF("vec_id", "band", "bkey")
+    // query probes: its own bucket per band plus every 1-bit flip
+    val probes = vecs.filter(col("vec_id") === queryId).mapPartitions { it =>
+      it.flatMap { case (_, v) =>
+        VecKernels.bandBuckets(v, pl, bands, rowsPerBand)
+          .iterator.zipWithIndex.flatMap { case (bk, b) =>
+            (bk, b) +: (0 until rowsPerBand).map(j => (bk ^ (1L << j), b))
+          }.map { case (pk, b) => (b, pk) }
+      }
+    }.toDF("pband", "pkey")
+    val candIds = banded.join(broadcast(probes),
+        col("band") === col("pband") && col("bkey") === col("pkey"))
       .filter(col("vec_id") =!= queryId)
-      .select(col("vec_id"), round(cosine(col("embedding"), col("qv")), 6).as("cos_sim"))
+      .select("vec_id").distinct()
+    val qv = emb.filter(col("vec_id") === queryId).select(col("embedding").as("qv"))
+    val cand = emb.join(candIds, "vec_id").crossJoin(broadcast(qv))
+    scoreCosine(cand)
+      .select(col("vec_id"), round(col("cos_raw"), 6).as("cos_sim"))
       .orderBy(col("cos_sim").desc_nulls_last, col("vec_id").asc_nulls_first)
       .limit(k)
   }

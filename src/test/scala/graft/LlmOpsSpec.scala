@@ -42,6 +42,10 @@ class LlmOpsSpec extends SparkSuite {
     val pairs = LlmDedup.ngramJaccardPairs(planted, n = 2, threshold = 0.5)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(pairs == Set((1L, 2L), (3L, 4L)))
+    // registered operating point: trigram shingles, t=0.5
+    val tri = LlmDedup.ngramJaccardPairs(planted, n = 3, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(tri == Set((1L, 2L), (3L, 4L)))
   }
 
   test("embedding LSH dedup finds a planted near-identical vector") {
