@@ -42,6 +42,35 @@ object Ingest {
       .orderBy(col("c_custkey").asc_nulls_first)
   }
 
+  /** 38-digit `N` precision (SURVEY §7.5.1; the export permission the
+    * pipeline is built on, reference src:135): money-sized decimals and
+    * IDs beyond 2^53 must survive export → infer → decode without silent
+    * precision loss — the inference picks DecimalType(38,18)/(38,0), not
+    * Double/Long. Output is CAST to string on both sides: any lost digit
+    * diverges the text, while the comparator stays type-stable. */
+  private val scanDdbExportDecimal: Q = (s, d) => {
+    import org.apache.spark.sql.types.DecimalType
+    val orders = load(s, d, "orders")
+    val src = orders.select(
+      col("o_orderkey"),
+      concat(lpad(col("o_orderkey").cast("string"), 20, "9"),
+        lit(".123456789012345678")).cast(DecimalType(38, 18)).as("big_dec"),
+      lpad(col("o_orderkey").cast("string"), 19, "8")
+        .cast(DecimalType(38, 0)).as("big_int"))
+    val raw = src.select(DdbAttr.encodeLine(src.schema).as("json"))
+    val inferred = DdbAttr.inferSchema(s, raw)
+    require(inferred("big_dec").dataType == DecimalType(38, 18) &&
+      inferred("big_int").dataType == DecimalType(38, 0) &&
+      inferred("o_orderkey").dataType ==
+        org.apache.spark.sql.types.LongType,
+      s"decimal N inference regressed: $inferred")
+    DdbAttr.decode(raw, inferred)
+      .select(col("o_orderkey"),
+        col("big_dec").cast("string").as("big_dec_str"),
+        col("big_int").cast("string").as("big_int_str"))
+      .orderBy(col("o_orderkey").asc_nulls_first)
+  }
+
   /** Two export generations with new attributes appearing → merged schema
     * (`glue:UpdateTable`/`GetTableVersions` analog, reference src:113-115);
     * earlier generation reads as NULL for late columns. */
@@ -103,6 +132,7 @@ object Ingest {
 
   val queries: Map[String, Q] = Map(
     "scan_ddb_export" -> scanDdbExport,
+    "scan_ddb_export_decimal" -> scanDdbExportDecimal,
     "schema_infer" -> schemaInfer,
     "schema_evolve" -> schemaEvolve,
     "snapshot_load" -> snapshotLoad,
@@ -113,6 +143,13 @@ object Ingest {
   val oracles: Map[String, String] = Map(
     "scan_ddb_export" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+
+    "scan_ddb_export_decimal" ->
+      """SELECT o_orderkey,
+        |  CAST(CAST(LPAD(CAST(o_orderkey AS VARCHAR), 20, '9') || '.123456789012345678'
+        |       AS DECIMAL(38,18)) AS VARCHAR) AS big_dec_str,
+        |  CAST(CAST(LPAD(CAST(o_orderkey AS VARCHAR), 19, '8') AS DECIMAL(38,0)) AS VARCHAR) AS big_int_str
         |FROM orders ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
 
     "schema_infer" ->

@@ -74,6 +74,32 @@ class DdbAttrSpec extends SparkSuite {
     assert(byName("c_name") == StringType)
   }
 
+  test("mixed-type lists infer het-marked and decode losslessly to AV JSON leaves") {
+    val lines = Seq(
+      """{"Item":{"pk":{"S":"a"},"mix":{"L":[{"S":"x"},{"N":"1.5"},{"BOOL":true},{"M":{"k":{"N":"2"}}}]},"nums":{"L":[{"N":"1"},{"N":"2.5"}]}}}""",
+      """{"Item":{"pk":{"S":"b"},"mix":{"L":[{"NULL":true},{"L":[{"S":"deep"}]}]},"nums":{"L":[{"N":"7"}]}}}""")
+    val raw = spark.createDataFrame(
+      lines.map(Row(_)).asJava, StructType(Seq(StructField("json", StringType))))
+    val inferred = DdbAttr.inferSchema(spark, raw)
+    // mixed list → het-marked string array; homogeneous N list → typed doubles
+    assert(inferred("mix").dataType == ArrayType(StringType))
+    assert(inferred("mix").metadata.contains(DdbAttr.HetKey))
+    assert(inferred("nums").dataType == ArrayType(DoubleType))
+    val out = DdbAttr.decode(raw, inferred).orderBy("pk").collect()
+    // every element survives as its AttributeValue JSON — no nulled misfits
+    assert(out(0).getSeq[String](out(0).fieldIndex("mix")).toList == List(
+      """{"S":"x"}""", """{"N":"1.5"}""", """{"BOOL":true}""",
+      """{"M":{"k":{"N":"2"}}}"""))
+    assert(out(1).getSeq[String](out(1).fieldIndex("mix")).toList == List(
+      """{"NULL":true}""", """{"L":[{"S":"deep"}]}"""))
+    assert(out(0).getSeq[Double](out(0).fieldIndex("nums")).toList == List(1.0, 2.5))
+    // encode ∘ decode is the identity on the decoded form (wire-roundtrip)
+    val typed = DdbAttr.decode(raw, inferred)
+    val reencoded = typed.select(DdbAttr.encodeLine(inferred).as("json"))
+    val back = DdbAttr.decode(reencoded, inferred)
+    assert(back.exceptAll(typed).count() == 0 && typed.exceptAll(back).count() == 0)
+  }
+
   test("mergeSchemas widens and appends; incompatible types are rejected") {
     val a = StructType(Seq(StructField("k", LongType), StructField("x", LongType)))
     val b = StructType(Seq(StructField("k", LongType), StructField("x", DoubleType),
