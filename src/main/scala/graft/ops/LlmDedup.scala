@@ -102,6 +102,61 @@ object LlmDedup {
   private val dedupFuzzyMinhash: Q = (s, d) =>
     minhashPairs(load(s, d, "documents"), threshold = 0.5)
 
+  /** Pure-SQL twin of [[minhashPairs]] (same shingles, banding math and
+    * threshold — outputs are asserted identical in LlmOpsSpec): signatures
+    * come from the [[graft.functions.SketchAggs.MinHashAgg]] typed aggregator
+    * registered as a UDAF (partial/final merge ⇒ map-side combine), and
+    * verification calls the codegen'd `sorted_intersect_count` through its
+    * SQL registration ([[graft.functions.GraftFunctions]]) — the surface a
+    * `spark.sql` / catalog user gets. */
+  private val dedupMinhashSql: Q = (s, d) => {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    s.udf.register("graft_minhash64", org.apache.spark.sql.functions.udaf(
+      new graft.functions.SketchAggs.MinHashAgg(NumHashes),
+      org.apache.spark.sql.Encoders.scalaLong))
+    val prepped = load(s, d, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          val shs = graft.functions.TextKernels.shingleHashes(
+            graft.functions.TextKernels.tokenize(text), 3)
+          if (shs.isEmpty) None else Some((id, shs))
+        }
+      }
+      .toDF("doc_id", "sh_set")
+    prepped.createOrReplaceTempView("graft_mh_sets")
+    s.sql(s"""
+      WITH sigs AS (
+        SELECT doc_id, graft_minhash64(sh) AS sig
+        FROM (SELECT doc_id, explode(sh_set) AS sh FROM graft_mh_sets)
+        GROUP BY doc_id),
+      banded AS (
+        SELECT doc_id, bk.band AS band, bk.bkey AS bkey
+        FROM sigs LATERAL VIEW explode(transform(sequence(0, ${Bands - 1}),
+          b -> struct(b AS band,
+            xxhash64(concat_ws('_', b,
+              ${(0 until RowsPerBand).map(r =>
+                s"element_at(sig, b*$RowsPerBand+${r + 1})").mkString(", ")}
+            )) AS bkey))) t AS bk),
+      cand AS (
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM banded x JOIN banded y
+          ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+      verified AS (
+        SELECT doc_a, doc_b,
+          sorted_intersect_count(sa.sh_set, sb.sh_set) AS inter,
+          size(sa.sh_set) AS na, size(sb.sh_set) AS nb
+        FROM cand
+        JOIN graft_mh_sets sa ON sa.doc_id = doc_a
+        JOIN graft_mh_sets sb ON sb.doc_id = doc_b)
+      SELECT doc_a, doc_b,
+        ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+      FROM verified
+      WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+      ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST""")
+  }
+
   // ------------------------------------------------------------------ SimHash
 
   /** 64-bit SimHash per document: sign of the per-bit vote of token hashes.
@@ -293,6 +348,7 @@ object LlmDedup {
   val queries: Map[String, Q] = Map(
     "dedup_exact" -> dedupExact,
     "dedup_fuzzy_minhash" -> dedupFuzzyMinhash,
+    "dedup_minhash_sql" -> dedupMinhashSql,
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_embedding" -> dedupEmbedding,

@@ -31,6 +31,15 @@ class LlmOpsSpec extends SparkSuite {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("SQL minhash twin (udaf + sorted_intersect_count) matches the kernel path") {
+    val kernel = graft.SparkEntry.queries("dedup_fuzzy_minhash")(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSet
+    val sql = graft.SparkEntry.queries("dedup_minhash_sql")(spark, sfDir)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(sql == kernel, s"sql=${sql.size} kernel=${kernel.size}")
+    assert(sql.nonEmpty || kernel.isEmpty)
+  }
+
   test("simhash hamming blocking finds the nearest planted pair") {
     val pairs = LlmDedup.simhashPairs(planted, maxHamming = 12)
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet

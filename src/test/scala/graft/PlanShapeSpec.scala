@@ -47,6 +47,40 @@ class PlanShapeSpec extends SparkSuite {
     assert(p.contains("partial"), p)
   }
 
+  private def shuffleCount(p: String): Int =
+    "[+:]- Exchange ".r.findAllIn(p).length
+
+  test("join_multi_q3 broadcasts the filtered dim and shuffles at most twice") {
+    val p = plan("join_multi_q3")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // one shuffle for the aggregation; top-50 rides TakeOrderedAndProject
+    assert(shuffleCount(p) <= 2, s"too many shuffles (${shuffleCount(p)}):\n$p")
+  }
+
+  test("join_multi_q5 broadcasts all small dims; only agg+sort shuffle") {
+    val p = plan("join_multi_q5")
+    // supplier/nation/region (and the tiny sides at this SF) broadcast —
+    // no sort-merge join anywhere in the star
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(shuffleCount(p) <= 2, s"too many shuffles (${shuffleCount(p)}):\n$p")
+  }
+
+  test("join_asof plans a partial WindowGroupLimit before the exchange") {
+    val p = plan("join_asof")
+    // rank-limit pushdown: per-partition (partial) top-1 group limit runs
+    // below the shuffle, the final one above — the row_number()=1 filter
+    // never materializes whole groups across the wire
+    val hits = "WindowGroupLimit".r.findAllIn(p).length
+    assert(hits >= 2, s"expected partial+final WindowGroupLimit:\n$p")
+    val firstWgl = p.indexOf("WindowGroupLimit")
+    val lastWgl = p.lastIndexOf("WindowGroupLimit")
+    val shuffleBetween = p.substring(firstWgl, lastWgl).contains("- Exchange ")
+    assert(shuffleBetween, s"no exchange between partial and final group limit:\n$p")
+  }
+
   test("flagship entry smoke: rows > 0 (driver t1)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
