@@ -11,7 +11,7 @@ import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.graftbridge.ParquetTableBridge
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.store.TableStore
@@ -111,9 +111,52 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "schema evolution goes through DdbAttr.mergeSchemas + TableStore commits")
+  /** Catalog-side schema evolution — the `glue:UpdateTable` +
+    * `GetTableVersions` analog (reference src:113-115): ADD COLUMN and
+    * widening ALTER COLUMN TYPE commit a new snapshot whose data is the
+    * current snapshot cast/padded to the evolved schema, so every schema
+    * generation stays queryable via `VERSION AS OF` and
+    * [[graft.store.TableStore.schemaHistory]]. Widening legality is decided
+    * by the same rules as export-side evolution
+    * ([[graft.model.DdbAttr.mergeSchemas]]). */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val store = storeFor(ident)
+    val current = store.currentVersion()
+    if (current < 0) throw new NoSuchTableException(ident)
+    val m = store.manifest(current)
+    var schema = m.schema
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          s"nested column adds are not supported: ${add.fieldNames().mkString(".")}")
+        val name = add.fieldNames()(0)
+        require(!schema.fieldNames.contains(name), s"column $name already exists")
+        schema = StructType(schema.fields :+
+          StructField(name, add.dataType(), nullable = true))
+      case upd: TableChange.UpdateColumnType =>
+        require(upd.fieldNames().length == 1,
+          s"nested column updates are not supported: ${upd.fieldNames().mkString(".")}")
+        val name = upd.fieldNames()(0)
+        val field = schema.find(_.name == name).getOrElse(
+          throw new IllegalArgumentException(s"no such column: $name"))
+        // mergeSchemas validates the widen (throws on incompatible types)
+        val widened = graft.model.DdbAttr.mergeSchemas(
+          StructType(Seq(field)),
+          StructType(Seq(StructField(name, upd.newDataType()))))
+        schema = StructType(schema.fields.map(f =>
+          if (f.name == name) widened.head else f))
+      case other => throw new UnsupportedOperationException(
+        s"unsupported table change: $other (ADD COLUMN / widening ALTER TYPE only)")
+    }
+    val df = store.readSnapshot()
+    val evolved = df.select(schema.fields.map { f =>
+      if (df.columns.contains(f.name))
+        org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)
+      else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+    store.commitSnapshot(evolved, m.partitionBy, expectedParent = Some(current))
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = new Path(tableRoot(ident))

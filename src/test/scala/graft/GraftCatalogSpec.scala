@@ -29,6 +29,33 @@ class GraftCatalogSpec extends SparkSuite {
     }
   }
 
+  test("ALTER TABLE evolves the schema through the catalog, versioned") {
+    val store = new TableStore(spark, s"$warehouse/analytics/evolving")
+    store.commitSnapshot(Seq((1L, 10L), (2L, 20L)).toDF("k", "cnt"))
+    val vBefore = store.currentVersion()
+    // add a column, then widen one — each commits a new snapshot version
+    spark.sql("ALTER TABLE spec_cat.analytics.evolving ADD COLUMN note STRING")
+    spark.sql("ALTER TABLE spec_cat.analytics.evolving ALTER COLUMN cnt TYPE DOUBLE")
+    val out = spark.sql(
+      "SELECT k, cnt, note FROM spec_cat.analytics.evolving ORDER BY k")
+      .collect()
+    assert(out.map(_.getDouble(1)).toSeq == Seq(10.0, 20.0))
+    assert(out.forall(_.isNullAt(2)))
+    // every generation stays queryable: GetTableVersions analog
+    val history = store.schemaHistory()
+    assert(history.map(_._1) == (0L to vBefore + 2).toSeq)
+    assert(history.last._2.fieldNames.toSeq == Seq("k", "cnt", "note"))
+    assert(spark.sql(
+      s"SELECT * FROM spec_cat.analytics.evolving VERSION AS OF $vBefore")
+      .schema.fieldNames.toSeq == Seq("k", "cnt"))
+    // non-widening change is rejected (Spark's analyzer catches it before
+    // the catalog; export-side mergeSchemas enforces the same rule)
+    val e = intercept[Exception](spark.sql(
+      "ALTER TABLE spec_cat.analytics.evolving ALTER COLUMN note TYPE BIGINT"))
+    assert(e.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN") ||
+      e.getMessage.contains("incompatible"), e.getMessage)
+  }
+
   test("three-part SQL name resolves and aggregates correctly") {
     commitOrders()
     val n = spark.sql("SELECT COUNT(*) FROM spec_cat.analytics.orders").head().getLong(0)
