@@ -17,11 +17,17 @@ object Bench {
     // per-query numbers measure the queries, not first-touch startup.
     spark.range(1000).selectExpr("sum(id)").collect()
     Tables.names.foreach(t => Tables.load(spark, sfDir, t).limit(1).count())
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Deterministic name order (Map iteration order shifts when queries are
+    // added, skewing cross-round comparisons), and cache isolation: several
+    // dedup queries persist intermediates, and leftover cached blocks put
+    // later queries under memory/GC pressure (measured 3-10x inflation).
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
-    }
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      name -> dt
+    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
