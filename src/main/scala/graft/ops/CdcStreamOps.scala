@@ -108,6 +108,30 @@ object CdcStreamOps {
         col("minute_bucket").asc_nulls_first)
   }
 
+  /** Stream-stream interval join, batch twin (SURVEY §2.I extension): each
+    * purchase joins the same user's clicks from the preceding 30 minutes —
+    * the attribution-join shape. The streaming form
+    * ([[graft.streaming.StreamingOps.intervalJoin]]) is the same predicate
+    * with watermarks bounding both sides' state. One shuffle on user_id;
+    * the time-range predicate rides the equi join as a residual condition,
+    * never a cartesian. */
+  private val streamStreamJoin: Q = (s, d) => {
+    val ev = load(s, d, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").as("p_ts"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("c_ts") <= col("p_ts"))
+      .select(col("p_id"), col("c_id"), col("p_user").as("user_id"),
+        col("p_ts"), col("c_ts"))
+      .orderBy(col("p_id").asc_nulls_first, col("c_id").asc_nulls_first)
+  }
+
   /** Stateful per-key running aggregate, batch twin (streaming form uses
     * transformWithState-style per-key state; see streaming module). */
   private val statefulRunning: Q = (s, d) => {
@@ -128,6 +152,7 @@ object CdcStreamOps {
     "stream_session_window" -> session,
     "stream_dedup_watermark" -> dedupWatermark,
     "stream_stateful_running" -> statefulRunning,
+    "stream_stream_join" -> streamStreamJoin,
   )
 
   val oracles: Map[String, String] = Map(
@@ -196,6 +221,15 @@ object CdcStreamOps {
         |  FROM events) t
         |WHERE rn = 1
         |ORDER BY user_id ASC NULLS FIRST, event_type ASC NULLS FIRST, minute_bucket ASC NULLS FIRST""".stripMargin,
+
+    "stream_stream_join" ->
+      """SELECT p.event_id AS p_id, c.event_id AS c_id,
+        |       p.user_id AS user_id, p.ts AS p_ts, c.ts AS c_ts
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+        |ORDER BY p_id ASC NULLS FIRST, c_id ASC NULLS FIRST""".stripMargin,
 
     "stream_stateful_running" ->
       """SELECT user_id, event_id, ts, value,

@@ -113,6 +113,22 @@ object StreamingOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** Stream-stream interval join (streaming `stream_stream_join`): each
+    * purchase joins the same user's clicks from the preceding 30 minutes.
+    * Watermarks on BOTH sides bound the join state: Spark evicts buffered
+    * click rows once `click_ts + 30 min` falls behind the purchase-side
+    * watermark — state is O(events inside the interval), not unbounded. */
+  def intervalJoin(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases.withWatermark("p_ts", WatermarkDelay)
+    val c = clicks.withWatermark("c_ts", WatermarkDelay)
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("p_id"), col("c_id"), col("p_user").as("user_id"),
+        col("p_ts"), col("c_ts"))
+  }
+
   /** Continuous CDC apply (streaming `cdc_apply`): each micro-batch of
     * change records is LWW-merged onto the store's current snapshot and
     * committed — `foreachBatch` + [[CdcApply]], the Glue-integration loop. */

@@ -104,6 +104,34 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  case class P(p_id: Long, p_user: Long, p_ts: Timestamp)
+  case class C(c_id: Long, c_user: Long, c_ts: Timestamp)
+
+  test("stream-stream interval join attributes clicks within 30 minutes") {
+    implicit val sqlCtx = spark.sqlContext
+    val pIn = MemoryStream[P]
+    val cIn = MemoryStream[C]
+    val q = StreamingOps.intervalJoin(pIn.toDF(), cIn.toDF())
+      .writeStream.format("memory").queryName("ssj_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      cIn.addData(
+        C(100, 1, ts("2024-01-01 10:00:00")), // 20 min before -> joins
+        C(101, 1, ts("2024-01-01 09:00:00")), // 80 min before -> outside
+        C(102, 2, ts("2024-01-01 10:10:00"))) // other user -> no join
+      pIn.addData(P(1, 1, ts("2024-01-01 10:20:00")))
+      q.processAllAvailable()
+      // advance both watermarks so joined rows are finalized
+      pIn.addData(P(9, 9, ts("2024-01-01 13:00:00")))
+      cIn.addData(C(199, 9, ts("2024-01-01 13:00:00")))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT p_id, c_id FROM ssj_out WHERE p_id = 1 ORDER BY c_id")
+        .as[(Long, Long)].collect()
+      assert(rows.toSeq == Seq((1L, 100L)))
+    } finally q.stop()
+  }
+
   test("foreachBatch CDC loop merges change batches into the table store") {
     implicit val sqlCtx = spark.sqlContext
     val store = new graft.store.TableStore(spark,
@@ -112,10 +140,12 @@ class StreamingSpec extends SparkSuite {
     val in = MemoryStream[(Long, String, Double, Long, String)]
     val checkpoint = Files.createTempDirectory("graft_stream_ckpt").toString
     val changes = in.toDF().toDF("k", "s", "v", "seq", "op")
+    // data must land BEFORE start: AvailableNow snapshots available offsets
+    // at query start, so later addData may be silently skipped (flaky)
+    in.addData((1L, "a2", 11.0, 1L, "MODIFY"), (2L, null, 0.0, 2L, "REMOVE"),
+      (3L, "c", 30.0, 3L, "INSERT"))
     val q = StreamingOps.cdcApplyStream(changes, store, Seq("k"), checkpoint)
     try {
-      in.addData((1L, "a2", 11.0, 1L, "MODIFY"), (2L, null, 0.0, 2L, "REMOVE"),
-        (3L, "c", 30.0, 3L, "INSERT"))
       q.awaitTermination() // AvailableNow: terminates when drained
       val rows = store.readSnapshot().as[(Long, String, Double)].collect().toSet
       assert(rows == Set((1L, "a2", 11.0), (3L, "c", 30.0)))
