@@ -157,6 +157,59 @@ object LlmDedup {
       ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST""")
   }
 
+  // -------------------------------------------------------------- clustering
+
+  /** Connected components over a near-dup pair graph → per-doc cluster id
+    * (SURVEY §2.J extension `dedup_clusters`): what a real training-data
+    * pipeline does after pair detection — group transitive duplicates and
+    * keep one representative per cluster.
+    *
+    * Algorithm: distributed min-label propagation. Each doc starts labeled
+    * with its own id; every iteration each doc takes the minimum label among
+    * itself and its neighbors; converges in O(component diameter) rounds
+    * (near-dup components are shallow — dups of a common source). Each round
+    * is one join + one aggregation, and `localCheckpoint` truncates the
+    * growing lineage so planning cost stays constant — the standard iterative
+    * Spark shape. The driver loops; the DATA never leaves the cluster (the
+    * only driver value is the changed-row count). */
+  def connectedComponents(pairs: DataFrame, vertices: DataFrame,
+      maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = vertices.select(col("doc_id"), col("doc_id").as("cluster"))
+      .localCheckpoint(true)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIters) {
+      val viaNeighbor = edges.join(labels, edges("src") === labels("doc_id"))
+        .select(col("dst").as("doc_id"), col("cluster"))
+      val next = labels.unionByName(viaNeighbor)
+        .groupBy("doc_id").agg(min(col("cluster")).as("cluster"))
+        .localCheckpoint(true)
+      changed = next.as("n").join(labels.as("o"), "doc_id")
+        .filter(col("n.cluster") =!= col("o.cluster")).count()
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    labels
+  }
+
+  /** MinHash near-dup pairs → transitive clusters; emits every doc with its
+    * cluster id plus the cluster size (singletons included — the keep-list). */
+  def dupClusters(docs: DataFrame, threshold: Double): DataFrame = {
+    val pairs = minhashPairs(docs, threshold)
+    val labels = connectedComponents(pairs, docs.select(col("doc_id")))
+    val sizes = labels.groupBy("cluster").agg(count(lit(1)).as("cluster_size"))
+    labels.join(sizes, "cluster")
+      .select(col("doc_id"), col("cluster").as("cluster_id"), col("cluster_size"))
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+
+  private val dedupClusters: Q = (s, d) =>
+    dupClusters(load(s, d, "documents"), threshold = 0.5)
+
   // ------------------------------------------------------------------ SimHash
 
   /** 64-bit SimHash per document: sign of the per-bit vote of token hashes.
@@ -349,6 +402,7 @@ object LlmDedup {
     "dedup_exact" -> dedupExact,
     "dedup_fuzzy_minhash" -> dedupFuzzyMinhash,
     "dedup_minhash_sql" -> dedupMinhashSql,
+    "dedup_clusters" -> dedupClusters,
     "dedup_simhash" -> dedupSimhash,
     "dedup_ngram_jaccard" -> dedupNgramJaccard,
     "dedup_embedding" -> dedupEmbedding,

@@ -87,6 +87,36 @@ object LlmSim {
   private val simSearchIvf: Q = (s, d) =>
     lshTopK(load(s, d, "embeddings"), queryId = 0L, k = 20, dim = 64)
 
+  /** Batch top-k (SURVEY §2.J extension `sim_search_batch`): k nearest
+    * corpus vectors for EACH of a set of query vectors — the realistic ANN
+    * serving shape. The query set broadcasts (small side), scoring is one
+    * map-side JIT'd pass over the corpus (no corpus shuffle), and per-query
+    * top-k is a rank window whose partial `WindowGroupLimit` runs before the
+    * exchange — each map task forwards at most k rows per query. */
+  def batchTopK(emb: DataFrame, nQueries: Int, k: Int): DataFrame = {
+    import emb.sparkSession.implicits._
+    val queries = emb.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val scored = emb.filter(col("vec_id") >= nQueries)
+      .crossJoin(broadcast(queries))
+      .select(col("q_id"), col("vec_id"), col("embedding"), col("qv"))
+      .as[(Long, Long, Array[Float], Array[Float])]
+      .mapPartitions { it =>
+        it.map { case (q, id, v, qv) => (q, id, VecKernels.cosine(v, qv)) }
+      }
+      .toDF("q_id", "vec_id", "cos_raw")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("cos_raw").desc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"),
+        round(col("cos_raw"), 6).as("cos_sim"))
+      .orderBy(col("q_id").asc_nulls_first, col("rank").asc_nulls_first)
+  }
+
+  private val simSearchBatch: Q = (s, d) =>
+    batchTopK(load(s, d, "embeddings"), nQueries = 5, k = 10)
+
   /** Multimodal passthrough (SURVEY `multimodal_schema`): binary payload +
     * embedding vector + typed metadata survive a partitioned sink roundtrip;
     * scalar projections are oracled. */
@@ -138,6 +168,7 @@ object LlmSim {
   val queries: Map[String, Q] = Map(
     "sim_search_topk" -> simSearchTopk,
     "sim_search_ivf" -> simSearchIvf,
+    "sim_search_batch" -> simSearchBatch,
     "multimodal_schema" -> multimodalSchema,
     "multimodal_decode" -> multimodalDecode,
   )
@@ -159,6 +190,25 @@ object LlmSim {
         |       lang, source
         |FROM documents JOIN embeddings ON doc_id = vec_id
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "sim_search_batch" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.q_id, e.vec_id,
+        |    LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]), q.qv) /
+        |      (SQRT(LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+        |       SQRT(LIST_DOT_PRODUCT(q.qv, q.qv))) AS cos_raw
+        |  FROM embeddings e, q WHERE e.vec_id >= 5),
+        |ranked AS (
+        |  SELECT q_id, vec_id, cos_raw,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY cos_raw DESC, vec_id ASC) AS INT) AS rank
+        |  FROM scored)
+        |SELECT q_id, rank, vec_id, ROUND(cos_raw, 6) AS cos_sim
+        |FROM ranked WHERE rank <= 10
+        |ORDER BY q_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin,
 
     // Reproduces the deterministic fake-decode math (multimodalDecode above)
     // on n_chars — the fixture text is ASCII, so n_chars == UTF-8 byte length

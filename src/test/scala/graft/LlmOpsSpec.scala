@@ -31,6 +31,20 @@ class LlmOpsSpec extends SparkSuite {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("dup clustering groups transitive near-dups, singletons stay alone") {
+    val chain = planted.unionByName(Seq(
+      // near-dup of doc 2 (and transitively of doc 1)
+      (6L, baseText.replace("quick", "fast").replace("dog", "wolf"), "en"))
+      .toDF("doc_id", "text", "lang"))
+    val out = LlmDedup.dupClusters(chain, threshold = 0.5)
+      .as[(Long, Long, Long)].collect()
+      .map { case (doc, cl, sz) => doc -> (cl, sz) }.toMap
+    assert(out(1L) == (1L, 3L) && out(2L) == (1L, 3L) && out(6L) == (1L, 3L),
+      s"chain cluster wrong: $out")
+    assert(out(3L) == (3L, 2L) && out(4L) == (3L, 2L))
+    assert(out(5L) == (5L, 1L))
+  }
+
   test("SQL minhash twin (udaf + sorted_intersect_count) matches the kernel path") {
     val kernel = graft.SparkEntry.queries("dedup_fuzzy_minhash")(spark, sfDir)
       .as[(Long, Long, Double)].collect().toSet
