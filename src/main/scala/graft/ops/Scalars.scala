@@ -151,8 +151,8 @@ object Scalars {
         |  CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)), 1) AS DOUBLE) AS price_r1,
         |  CAST(ABS(-CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS abs_price,
         |  SQRT(l_quantity) AS sqrt_qty,
-        |  FLOOR(l_extendedprice) AS floor_price,
-        |  CEIL(l_discount * 100) AS disc_pct,
+        |  CAST(FLOOR(l_extendedprice) AS BIGINT) AS floor_price,
+        |  CAST(CEIL(l_discount * 100) AS BIGINT) AS disc_pct,
         |  l_orderkey % 7 AS mod7
         |FROM lineitem ORDER BY l_orderkey ASC NULLS FIRST, l_linenumber ASC NULLS FIRST, price_r1 ASC NULLS FIRST, sqrt_qty ASC NULLS FIRST, disc_pct ASC NULLS FIRST""".stripMargin,
 
