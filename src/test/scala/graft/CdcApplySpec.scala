@@ -95,6 +95,32 @@ class CdcApplySpec extends SparkSuite {
     }
   }
 
+  test("schema evolution: new change attribute widens the table, base rows NULL-pad") {
+    // the continuous-replication UpdateTable analog: a MODIFY introduces an
+    // attribute the base has never seen
+    val ch = Seq(
+      (1L, "a2", 11.0, "web", 1L, "MODIFY"),
+      (9L, "new", 90.0, "app", 1L, "INSERT"))
+      .toDF("k", "s", "v", "chan", "seq", "op")
+    val out = CdcApply(base, ch, Seq("k"))
+    assert(out.columns.toSeq == Seq("k", "s", "v", "chan"))
+    val rows = out.as[(Long, String, Double, Option[String])].collect().toSet
+    assert(rows == Set(
+      (1L, "a2", 11.0, Some("web")),
+      (2L, "b", 20.0, None),
+      (3L, "c", 30.0, None),
+      (9L, "new", 90.0, Some("app"))))
+  }
+
+  test("schema evolution: base column absent from the change batch reads as NULL") {
+    // schemaless source: an absent attribute on a full-image record is NULL
+    val ch = Seq((1L, 11.0, 1L, "MODIFY")).toDF("k", "v", "seq", "op")
+    val out = CdcApply(base, ch, Seq("k"))
+    assert(out.columns.toSeq == Seq("k", "s", "v"))
+    val rows = out.as[(Long, Option[String], Double)].collect().toSet
+    assert(rows == Set((1L, None, 11.0), (2L, Some("b"), 20.0), (3L, Some("c"), 30.0)))
+  }
+
   test("property: batch split points do not change the final table") {
     val rnd = new scala.util.Random(42)
     val ops = Array("INSERT", "MODIFY", "REMOVE")

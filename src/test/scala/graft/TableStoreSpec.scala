@@ -109,6 +109,106 @@ class TableStoreSpec extends SparkSuite {
     assert(store.readSnapshot().count() == 1)
   }
 
+  test("incremental CDC commit leaves untouched buckets' files in place, byte-identical") {
+    val store = freshStore()
+    val base = (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
+    store.commitBucketed(base, Seq("k"), numBuckets = 8)
+    val m0 = store.manifest(0)
+    assert(m0.files.nonEmpty && m0.files.forall(f => TableStore.bucketOfFile(f).nonEmpty))
+    val changes = Seq(
+      (1L, "V1", 1L, "MODIFY"),
+      (2L, null.asInstanceOf[String], 1L, "REMOVE"),
+      (200L, "new", 1L, "INSERT")).toDF("k", "v", "seq", "op")
+    val touched = Seq(1L, 2L, 200L).toDF("k")
+      .select(TableStore.bucketExpr(Seq("k"), 8).as("b")).as[Long].collect().toSet
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    def meta(f: String) = {
+      val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(f))
+      (st.getLen, st.getModificationTime)
+    }
+    val untouched = m0.files.filter(f =>
+      !touched.contains(TableStore.bucketOfFile(f).get))
+    assert(untouched.nonEmpty, "fixture degenerate: every bucket touched")
+    val before = untouched.map(f => f -> meta(f)).toMap
+
+    graft.streaming.StreamingOps.applyCdcBatch(changes, store, Seq("k"), numBuckets = 8)
+
+    val m1 = store.manifest(1)
+    // untouched buckets: same paths in the new manifest, files never rewritten
+    untouched.foreach { f =>
+      assert(m1.files.contains(f), s"untouched file dropped from manifest: $f")
+      assert(meta(f) == before(f), s"untouched file was rewritten: $f")
+    }
+    // touched buckets: no stale parent file survives
+    assert(m1.files.filter(f => touched.contains(TableStore.bucketOfFile(f).get))
+      .forall(!m0.files.contains(_)))
+    // content equals the batch-form LWW merge on the full table
+    val expected = graft.etl.CdcApply(base, changes, Seq("k"))
+    assert(store.readSnapshot().count() == expected.count())
+    assert(store.readSnapshot().exceptAll(expected).count() == 0)
+  }
+
+  test("vacuum keeps snap dirs still referenced through inherited files") {
+    val store = freshStore()
+    store.commitBucketed((1L to 50L).map(i => (i, i.toString)).toDF("k", "v"),
+      Seq("k"), numBuckets = 4)
+    val changes = Seq((1L, "X", 1L, "MODIFY")).toDF("k", "v", "seq", "op")
+    graft.streaming.StreamingOps.applyCdcBatch(changes, store, Seq("k"), numBuckets = 4)
+    // v1 inherits most files from v0's snap dir; expiring v0 must NOT delete it
+    val deleted = store.vacuum(keepSnapshots = 1)
+    assert(deleted.isEmpty, s"vacuum deleted dirs still referenced by v1: $deleted")
+    assert(store.readSnapshot().count() == 50)
+    // a full (bucketed) rewrite drops the dependency; v0+v1 dirs then collect
+    store.compact(targetFiles = 1)
+    val deleted2 = store.vacuum(keepSnapshots = 1)
+    assert(deleted2.size == 2)
+    assert(store.readSnapshot().count() == 50)
+  }
+
+  test("incremental commit widens schema; inherited files read new column as NULL") {
+    val store = freshStore()
+    store.commitBucketed((1L to 20L).map(i => (i, s"v$i")).toDF("k", "v"),
+      Seq("k"), numBuckets = 4)
+    // change batch carries a brand-new attribute
+    val changes = Seq((1L, "V1", "web", 1L, "MODIFY"))
+      .toDF("k", "v", "chan", "seq", "op")
+    graft.streaming.StreamingOps.applyCdcBatch(changes, store, Seq("k"), numBuckets = 4)
+    val back = store.readSnapshot()
+    assert(back.columns.toSeq == Seq("k", "v", "chan"))
+    val rows = back.as[(Long, String, Option[String])].collect()
+    assert(rows.find(_._1 == 1L).get == ((1L, "V1", Some("web"))))
+    assert(rows.filter(_._1 != 1L).forall(_._3.isEmpty))
+    assert(rows.length == 20)
+  }
+
+  test("reference unreferencedFileRemoval parity: unreferencedDays + noncurrentDays") {
+    // The reference exposes two GC knobs (README.md:132-137):
+    //   noncurrentDays  — expire NONCURRENT table versions older than N days
+    //                     → vacuumOlderThan(ageMs): drops stale snapshots
+    //                       (manifest + data) past the retention age;
+    //   unreferencedDays — remove files REFERENCED BY NO metadata
+    //                     → vacuum(): deletes data dirs no surviving
+    //                       manifest points at (e.g. a crashed writer's
+    //                       orphaned staging dir).
+    val store = freshStore()
+    store.commitSnapshot(Seq((1L, "a")).toDF("k", "v"))
+    Thread.sleep(30)
+    store.commitSnapshot(Seq((2L, "b")).toDF("k", "v"))
+    // knob 1: noncurrent v0 is past retention, current v1 is kept
+    val now = store.manifest(1).committedAtMs + 5
+    val expired = store.vacuumOlderThan(
+      now - store.manifest(0).committedAtMs - 10, nowMs = now)
+    assert(expired.size == 1 && expired.head.contains("snap-0"))
+    // knob 2: an orphaned dir referenced by no manifest is collected even
+    // when every snapshot is retained
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val orphan = new org.apache.hadoop.fs.Path(store.root, "data/snap-99-orphan")
+    fs.mkdirs(orphan)
+    val removed = store.vacuum(keepSnapshots = 1000)
+    assert(removed.size == 1 && removed.head.contains("snap-99-orphan"))
+    assert(store.readSnapshot().count() == 1)
+  }
+
   test("racing writers: losers retry, all committed data stays intact") {
     val store = freshStore()
     val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
