@@ -29,27 +29,70 @@ object Bench {
     // GC/JIT-recompilation tail without hiding steady-state cost.
     //
     // Failures are surfaced, not swallowed: an erroring query is excluded
-    // from the total and listed under "errors" (a -1 timing previously read
-    // as a fast success).
-    val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
-    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
-    def once(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
+    // from the total and listed under "errors"; a query whose FIRST run
+    // succeeded keeps that valid timing even if the rerun errors, and is
+    // listed under "flaky" (a -1 timing previously read as a fast success;
+    // a discarded t1 previously read as a full failure).
+    //
+    // Contamination sentinel (VERDICT r3 #2: a co-tenant-loaded sandbox
+    // inflated BENCH_r03 5x and min-of-2 couldn't see it): before every
+    // query, the same constant-work probe (sum over range(1000)) is timed —
+    // on an idle box it's single-digit milliseconds, flat across the sweep;
+    // under external load it inflates with the contention. The JSON carries
+    // the per-query probe times, their median/max, and the names whose
+    // probe exceeded max(50 ms, 5x median), so a polluted run is evident
+    // from the artifact alone. Per-query process-CPU seconds ride along:
+    // wall growing while CPU stays flat = waiting on a contended machine,
+    // not doing more work.
+    val osBean: Option[com.sun.management.OperatingSystemMXBean] =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case b: com.sun.management.OperatingSystemMXBean => Some(b)
+        case _ => None
+      }
+    def cpuNs(): Long = osBean.map(_.getProcessCpuTime).getOrElse(-1L)
+    def sentinelSec(): Double = {
       val t0 = System.nanoTime()
-      val r = try { fn(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable =>
-          val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
-            .linesIterator.next().take(200)
-          System.err.println(s"[bench] $name FAILED: $msg")
-          errors(name) = msg
-          None
-        }
+      spark.range(1000).selectExpr("sum(id)").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    (0 until 3).foreach(_ => sentinelSec()) // steady-state the probe itself
+
+    val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val cpuSec = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val sentinels = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    val flaky = scala.collection.mutable.LinkedHashMap[String, String]()
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : Either[String, (Double, Double)] = {
+      val c0 = cpuNs()
+      val t0 = System.nanoTime()
+      val r = try {
+        fn(spark, sfDir).count()
+        val t = (System.nanoTime() - t0) / 1e9
+        val c = if (c0 < 0) -1.0 else (cpuNs() - c0) / 1e9
+        Right((t, c))
+      } catch { case e: Throwable =>
+        Left(Option(e.getMessage).getOrElse(e.getClass.getName)
+          .linesIterator.next().take(200))
+      }
       spark.catalog.clearCache()
       r
     }
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      once(name, fn).foreach { t1 =>
-        val t = math.min(t1, once(name, fn).getOrElse(t1))
-        if (!errors.contains(name)) timings(name) = t
+      sentinels(name) = sentinelSec()
+      once(fn) match {
+        case Left(msg) =>
+          System.err.println(s"[bench] $name FAILED: $msg")
+          errors(name) = msg
+        case Right((t1, c1)) =>
+          once(fn) match {
+            case Right((t2, c2)) =>
+              if (t2 < t1) { timings(name) = t2; cpuSec(name) = c2 }
+              else { timings(name) = t1; cpuSec(name) = c1 }
+            case Left(msg) => // keep the valid first measurement, flag flaky
+              System.err.println(s"[bench] $name FLAKY on rerun: $msg")
+              timings(name) = t1; cpuSec(name) = c1; flaky(name) = msg
+          }
       }
     }
     def jq(s: String): String =
@@ -58,10 +101,18 @@ object Bench {
         case c if c < ' ' => f"\\u${c.toInt}%04x"
         case c => c.toString
       } + "\""
-    val qs = timings.map { case (k, v) => jq(k) + ":" + v }.mkString("{", ",", "}")
+    def jmap(m: scala.collection.Map[String, Double]): String =
+      m.map { case (k, v) => jq(k) + ":" + v }.mkString("{", ",", "}")
     val es = errors.map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
+    val fl = flaky.map { case (k, v) => jq(k) + ":" + jq(v) }.mkString("{", ",", "}")
+    val sVals = sentinels.values.toSeq.sorted
+    val sMed = if (sVals.isEmpty) 0.0 else sVals(sVals.size / 2)
+    val sMax = if (sVals.isEmpty) 0.0 else sVals.last
+    val contaminated = sentinels.collect {
+      case (k, v) if v > math.max(0.05, 5 * sMed) => jq(k)
+    }.mkString("[", ",", "]")
     val total = timings.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$es,"failed":${errors.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(timings)},"cpu":${jmap(cpuSec)},"sentinel":${jmap(sentinels)},"sentinel_med":$sMed,"sentinel_max":$sMax,"contaminated":$contaminated,"flaky":$fl,"errors":$es,"failed":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,7 +1,5 @@
 package graft.ops
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -94,8 +92,7 @@ object Ingest {
     val orders = load(s, d, "orders")
     val raw = orders.select(DdbAttr.encodeLine(orders.schema).as("json"))
     val typed = DdbAttr.decode(raw, orders.schema)
-    val store = new TableStore(s,
-      Files.createTempDirectory("graft_snapshot_load").toString)
+    val store = new TableStore(s, graft.util.Scratch.dir("snapshot_load"))
     store.commitSnapshot(typed, partitionBy = Seq("o_orderstatus"))
     store.readSnapshot().orderBy(col("o_orderkey").asc_nulls_first)
   }
@@ -105,7 +102,7 @@ object Ingest {
     * partition pruning at 100 TB. */
   private val sinkPartitionedParquet: Q = (s, d) => {
     val li = load(s, d, "lineitem")
-    val out = Files.createTempDirectory("graft_sink").toString
+    val out = graft.util.Scratch.dir("sink")
     li.write.mode("overwrite").partitionBy("l_returnflag").parquet(out)
     s.read.parquet(out)
       .select(li.schema.fieldNames.map(col): _*)
@@ -117,8 +114,7 @@ object Ingest {
     * content preservation is asserted in scalatest. */
   private val maintenanceCompact: Q = (s, d) => {
     val li = load(s, d, "lineitem")
-    val store = new TableStore(s,
-      Files.createTempDirectory("graft_compact").toString)
+    val store = new TableStore(s, graft.util.Scratch.dir("compact"))
     store.commitSnapshot(li.repartition(16))
     val filesBefore = store.manifest(store.currentVersion()).files.size
     store.compact(targetFiles = 1)

@@ -41,8 +41,19 @@ object LlmDedup {
     * signature needs no cross-row aggregation, so this is one JIT'd pass
     * with zero shuffle — the 100 TB shape. The shingle set stays sorted for
     * the codegen'd merge-scan intersection used during verification. Docs
-    * with no shingles are dropped. */
-  def minhashSignatures(docs: DataFrame, shingleLen: Int = 3): DataFrame = {
+    * with no shingles are dropped.
+    *
+    * `maxSet` bounds the per-doc verification set (SCALE.md; ADVICE r2 #8):
+    * the signature is still computed over ALL shingles (map-side, free), but
+    * `sh_set` keeps only the `maxSet` SMALLEST hashes — a KMV
+    * (k-minimum-values) sketch. Hash order is uniform-random over shingles,
+    * so the k smallest are a deterministic uniform sample shared by both
+    * sides of a pair, and |A'∩B'|/|A'∪B'| on the sketches estimates the true
+    * Jaccard. The verify-join shuffle drops from O(total shingles) to
+    * O(docs · maxSet) — the difference between shuffling a document's whole
+    * shingle inventory and a fixed-width sketch at 100 TB. */
+  def minhashSignatures(docs: DataFrame, shingleLen: Int = 3,
+      maxSet: Int = Int.MaxValue): DataFrame = {
     import docs.sparkSession.implicits._
     import graft.functions.TextKernels
     val params = hashParams(NumHashes)
@@ -53,22 +64,28 @@ object LlmDedup {
         it.flatMap { case (id, text) =>
           val shs = TextKernels.shingleHashes(TextKernels.tokenize(text), shingleLen)
           if (shs.isEmpty) None
-          else Some((id, TextKernels.minhashSig(shs, as, bs), shs))
+          else {
+            // shs is sorted ascending: the first maxSet entries ARE the KMV sketch
+            val kept = if (shs.length > maxSet) java.util.Arrays.copyOf(shs, maxSet)
+              else shs
+            Some((id, TextKernels.minhashSig(shs, as, bs), kept))
+          }
         }
       }
       .toDF("doc_id", "sig", "sh_set")
   }
 
   /** Near-dup pairs: shingles → minhash → LSH banding → candidate pairs →
-    * exact-Jaccard verification (SURVEY `dedup_fuzzy_minhash`).
+    * Jaccard verification (SURVEY `dedup_fuzzy_minhash`).
     *
-    * The verification join uses the exact shingle-hash sets; at 100 TB those
-    * would be capped/sketched (or re-derived from text for candidates only) —
-    * the banding math is unchanged. */
-  def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
+    * With the default unbounded `maxSet` the verification is EXACT; at
+    * 100 TB pass a cap (e.g. 256) and verification runs on KMV sketches
+    * (see [[minhashSignatures]]) — banding math unchanged, shuffle bounded. */
+  def minhashPairs(docs: DataFrame, threshold: Double,
+      maxSet: Int = Int.MaxValue): DataFrame = {
     // signatures feed both banding sides and both verification joins; persist
     // so the shingle-explode + 64-way min aggregation runs once, not 4x
-    val sigs = minhashSignatures(docs)
+    val sigs = minhashSignatures(docs, maxSet = maxSet)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val banded = sigs.select(col("doc_id"), col("sig"),
         explode(transform(sequence(lit(0), lit(Bands - 1)), b => struct(
@@ -187,7 +204,14 @@ object LlmDedup {
     var labels = active.select(col("doc_id"), col("doc_id").as("cluster"))
     var iter = 0
     var changed = 1L
+    val sc = pairs.sparkSession.sparkContext
+    // checkpoint-block bookkeeping (ADVICE r3): each round's lazy
+    // localCheckpoint caches a generation of the label RDD; once round N's
+    // blocks are saved (the count below), round N-1's are superseded — free
+    // them instead of keeping up to maxIters generations alive.
+    var prevRoundIds: Set[Int] = Set.empty
     while (changed > 0 && iter < maxIters) {
+      val knownIds = sc.getPersistentRDDs.keySet.toSet
       // ONE driver action per round (VERDICT r2 #4: a separate join+count
       // convergence check doubled the work and made this the slowest bench
       // query): own-label rows ride the union tagged `own`, so min(own
@@ -203,6 +227,9 @@ object LlmDedup {
           min(when(col("own"), col("cluster"))).as("prev"))
         .localCheckpoint(eager = false)
       changed = next.filter(col("cluster") < col("prev")).count()
+      prevRoundIds.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach(_.unpersist(blocking = false)))
+      prevRoundIds = sc.getPersistentRDDs.keySet.toSet -- knownIds
       labels = next.select(col("doc_id"), col("cluster"))
       iter += 1
     }
@@ -426,7 +453,10 @@ object LlmDedup {
     * no float column to hash-diverge across engines. */
   private val dedupEmbedding: Q = (s, d) => {
     val base = load(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-    val planted = base.filter(col("vec_id") % 25 === 0)
+    // vec_id < 10M guard: planted ids are base+10,000,000, so cloning only
+    // sub-10M sources keeps planted ids collision-free under ANY future
+    // fixture id range (ADVICE r3) — and both engines apply the same guard.
+    val planted = base.filter(col("vec_id") % 25 === 0 && col("vec_id") < 10000000L)
       .select((col("vec_id") + 10000000L).as("vec_id"),
         transform(col("embedding"), x => x * lit(2.0f)).as("embedding"))
     embeddingDupPairs(base.unionByName(planted), dim = 64, threshold = 0.9)
@@ -449,11 +479,13 @@ object LlmDedup {
         |planted AS (
         |  SELECT vec_id + 10000000 AS vec_id,
         |         LIST_TRANSFORM(embedding, x -> x * 2) AS embedding
-        |  FROM base WHERE vec_id % 25 = 0),
+        |  FROM base WHERE vec_id % 25 = 0 AND vec_id < 10000000),
         |corpus AS (SELECT * FROM base UNION ALL SELECT * FROM planted)
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
         |FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
-        |WHERE LIST_DOT_PRODUCT(a.embedding, b.embedding)
+        |WHERE LIST_DOT_PRODUCT(a.embedding, a.embedding) > 0
+        |  AND LIST_DOT_PRODUCT(b.embedding, b.embedding) > 0
+        |  AND LIST_DOT_PRODUCT(a.embedding, b.embedding)
         |      / (SQRT(LIST_DOT_PRODUCT(a.embedding, a.embedding))
         |         * SQRT(LIST_DOT_PRODUCT(b.embedding, b.embedding))) >= 0.9
         |ORDER BY vec_a ASC NULLS FIRST, vec_b ASC NULLS FIRST""".stripMargin,

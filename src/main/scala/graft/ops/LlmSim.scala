@@ -126,7 +126,7 @@ object LlmSim {
     val joined = docs.join(emb, col("doc_id") === col("vec_id"))
       .select(col("doc_id"), col("text").cast("binary").as("payload"),
         col("embedding"), struct(col("lang"), col("source")).as("meta"))
-    val out = java.nio.file.Files.createTempDirectory("graft_mm").toString
+    val out = graft.util.Scratch.dir("mm")
     joined.write.mode("overwrite").partitionBy().parquet(out)
     s.read.parquet(out)
       .select(col("doc_id"), length(col("payload")).as("n_bytes"),

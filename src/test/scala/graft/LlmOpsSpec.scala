@@ -31,6 +31,24 @@ class LlmOpsSpec extends SparkSuite {
     assert(!pairs.exists(p => p._1 == 5L || p._2 == 5L))
   }
 
+  test("capped (KMV-sketch) verification sets keep planted-dup recall unchanged") {
+    // SCALE.md mitigation for the O(total shingles) verify-join shuffle:
+    // sh_set capped to the k smallest hashes. At a cap well below the docs'
+    // shingle counts the detected pair set must not change on planted dups.
+    val full = LlmDedup.minhashPairs(planted, threshold = 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val capped = LlmDedup.minhashPairs(planted, threshold = 0.5, maxSet = 12)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(capped == full, s"capped=$capped full=$full")
+    assert(capped.contains((1L, 2L)) && capped.contains((3L, 4L)))
+    // and on the real fixture corpus at test scale
+    val fullFix = LlmDedup.minhashPairs(Tables.load(spark, sfDir, "documents"), 0.5)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val cappedFix = LlmDedup.minhashPairs(Tables.load(spark, sfDir, "documents"), 0.5,
+      maxSet = 64).select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(cappedFix == fullFix, s"fixture drift: ${cappedFix.size} vs ${fullFix.size}")
+  }
+
   test("dup clustering groups transitive near-dups, singletons stay alone") {
     val chain = planted.unionByName(Seq(
       // near-dup of doc 2 (and transitively of doc 1)

@@ -81,6 +81,32 @@ class PlanShapeSpec extends SparkSuite {
     assert(shuffleBetween, s"no exchange between partial and final group limit:\n$p")
   }
 
+  test("LSH bucket as on-disk partition key: the ANN probe scan prunes partitions") {
+    // sim_search_ivf's documented 100 TB path (LlmSim.scala): persist the
+    // corpus partitioned by one band's sign-LSH bucket via TableStore, and a
+    // probe restricted to its (multi-probe) buckets must hit the scan as
+    // PARTITION filters — directory pruning, not data filters.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.functions.VecKernels
+    val pl = VecKernels.planes(8, 64) // one band x 8 hyperplanes -> 256 buckets
+    val indexed = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .mapPartitions(it => it.map { case (id, v) =>
+        (id, v, VecKernels.bandBuckets(v, pl, 1, 8)(0))
+      })
+      .toDF("vec_id", "embedding", "b0")
+    val store = new graft.store.TableStore(spark, graft.util.Scratch.dir("lsh_index"))
+    store.commitSnapshot(indexed, partitionBy = Seq("b0"))
+    val probe = store.readSnapshot().filter(col("b0").isin(5L, 7L, 13L))
+    val p = probe.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: ["), p)
+    assert("PartitionFilters: \\[[^\\]]*b0".r.findFirstIn(p).nonEmpty,
+      s"bucket predicate did not reach PartitionFilters:\n$p")
+    // the bucket predicate must NOT degrade to a post-scan data filter
+    assert("PushedFilters: \\[[^\\]]*b0".r.findFirstIn(p).isEmpty, p)
+  }
+
   test("flagship entry smoke: rows > 0 (driver t1)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
