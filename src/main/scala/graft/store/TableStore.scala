@@ -95,7 +95,11 @@ class TableStore(val spark: SparkSession, val root: String) {
     * (reference src:114-115 `GetTableVersion(s)`). */
   def readSnapshot(version: Long = -1L): DataFrame = {
     val m = manifest(resolveVersion(version))
-    if (m.bucketKeys.nonEmpty) readFiles(m, m.files)
+    val multiDir = {
+      val loc = fs.makeQualified(new Path(m.location)).toString
+      m.files.exists(f => !f.startsWith(loc))
+    }
+    if (m.bucketKeys.nonEmpty || multiDir) readFiles(m, m.files)
     else {
       val df = spark.read.schema(dataReadSchema(m)).parquet(m.location)
       // restore declared column order (partition columns come back last)
@@ -111,18 +115,34 @@ class TableStore(val spark: SparkSession, val root: String) {
     v
   }
 
-  /** Bucketed manifests are read by explicit file list (files of one snapshot
-    * may live under several `snap-*` dirs after incremental commits). Listing
-    * leaf files keeps Spark from inferring the `_gbucket=` path segments as
-    * partition columns, and an evolved (wider) manifest schema reads missing
-    * columns in older files as NULL — merge-on-read schema evolution. */
-  private def readFiles(m: Manifest, files: Seq[String]): DataFrame =
+  /** File-list read for manifests whose files span several `snap-*` dirs
+    * (incremental/append commits inherit parent files). Listing leaf files
+    * keeps Spark from inferring hive path segments as partition columns, and
+    * an evolved (wider) manifest schema reads missing columns in older files
+    * as NULL — merge-on-read schema evolution.
+    *
+    * Declared partition columns that belong to the table schema (hive-layout
+    * tables; NOT the derived `_gbucket`) are reconstructed from each file's
+    * `<col>=<val>` path segment — Iceberg-style metadata columns. Values are
+    * hive-encoded by the writer; only `__HIVE_DEFAULT_PARTITION__` (NULL) is
+    * decoded here, so partition on simple scalar values (ids, flags, dates) —
+    * which is also the only kind that prunes well at 100 TB. */
+  private def readFiles(m: Manifest, files: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
     if (files.isEmpty)
-      spark.createDataFrame(
+      return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
-    else
-      spark.read.schema(m.schema).parquet(files: _*)
-        .select(m.schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+    val partCols = m.partitionBy.filter(m.schema.fieldNames.contains)
+    val dataSchema = StructType(m.schema.filterNot(f => partCols.contains(f.name)))
+    val base = spark.read.schema(dataSchema).parquet(files: _*)
+    val withParts = partCols.foldLeft(base) { (d, c) =>
+      val raw = regexp_extract(input_file_name(),
+        "/" + java.util.regex.Pattern.quote(c) + "=([^/]+)/", 1)
+      d.withColumn(c, when(raw === "__HIVE_DEFAULT_PARTITION__", lit(null))
+        .otherwise(raw).cast(m.schema(c).dataType))
+    }
+    withParts.select(m.schema.fieldNames.map(col): _*)
+  }
 
   /** Manifest-level partition pruning: read ONLY the data files of the given
     * buckets — the scan never touches (or even lists) other buckets' files,
@@ -133,6 +153,33 @@ class TableStore(val spark: SparkSession, val root: String) {
     require(m.bucketKeys.nonEmpty, s"table at $root is not bucket-partitioned")
     val bs = buckets.toSet
     readFiles(m, m.files.filter(f => bucketOfFile(f).exists(bs.contains)))
+  }
+
+  /** Paths an EXTERNAL scanner (the V2 catalog's stock parquet table) should
+    * read for snapshot `version`:
+    *   - all files under the manifest's own dir → that single hive root
+    *     (partition columns discovered from dirs, pruning intact);
+    *   - multi-dir with no in-schema partition columns (bucketed/plain
+    *     layouts — payload complete inside the files) → the leaf files;
+    *   - multi-dir hive layout (appends onto a partitioned table, where
+    *     every inherited dir is fully referenced) → the set of snap dirs.
+    * Mirrors [[readSnapshot]]'s resolution for engines that can only take
+    * paths + schema. */
+  def scanPaths(version: Long = -1L): Seq[String] = {
+    val m = manifest(resolveVersion(version))
+    val qloc = fs.makeQualified(new Path(m.location)).toString
+    if (m.files.forall(_.startsWith(qloc))) Seq(m.location)
+    else {
+      val schemaParts = m.partitionBy.filter(m.schema.fieldNames.contains)
+      if (schemaParts.isEmpty) m.files
+      else {
+        val dirs = m.files.groupBy(snapDirOfFile)
+        require(dirs.forall { case (d, fl) =>
+          listDataFiles(new Path(d)).toSet == fl.toSet },
+          s"snapshot ${m.version} partially references hive dirs; scan by file list")
+        dirs.keys.toSeq
+      }
+    }
   }
 
   /** Commit the full table hash-bucketed on `keys` into `numBuckets` hive
@@ -185,6 +232,42 @@ class TableStore(val spark: SparkSession, val root: String) {
       bucketOfFile(f).exists(b => !touchedSet.contains(b)))
     val m = Manifest(next, parent, changed.schema, snapDir.toString,
       inherited ++ listDataFiles(snapDir), Seq(BucketCol),
+      System.currentTimeMillis(), pm.bucketKeys, pm.numBuckets)
+    commitOrCleanup(m, snapDir)
+  }
+
+  /** Append-only commit (`INSERT INTO` semantics): ONLY `df` is written as
+    * new data files; the manifest inherits every parent file at its existing
+    * path. Write volume is O(new data) at any table size — the append path
+    * never rewrites, the same file-reuse contract as [[commitIncremental]].
+    * Layout follows the parent: bucketed tables bucket the new rows,
+    * hive-partitioned tables extend the hive layout. Schema must match the
+    * parent exactly (use alter/evolve paths to widen first). */
+  def commitAppend(df: DataFrame, expectedParent: Option[Long] = None): Long = {
+    val parent = checkParent(expectedParent)
+    require(parent >= 0, "append requires an existing table snapshot")
+    val pm = manifest(parent)
+    require(df.schema.fieldNames.sorted.toSeq == pm.schema.fieldNames.sorted.toSeq,
+      s"append schema mismatch: ${df.schema.fieldNames.toSeq} vs ${pm.schema.fieldNames.toSeq}")
+    pm.schema.fields.foreach { f =>
+      require(df.schema(f.name).dataType == f.dataType,
+        s"append type mismatch on ${f.name}: ${df.schema(f.name).dataType} vs ${f.dataType}")
+    }
+    val aligned = df.select(pm.schema.fieldNames.map(
+      org.apache.spark.sql.functions.col): _*)
+    val next = parent + 1
+    val snapDir = new Path(dataDir, s"snap-$next-${System.nanoTime()}")
+    if (pm.bucketKeys.nonEmpty)
+      aligned.withColumn(BucketCol, bucketExpr(pm.bucketKeys, pm.numBuckets))
+        .write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
+        .parquet(snapDir.toString)
+    else {
+      val w = aligned.write.mode(SaveMode.Overwrite)
+      (if (pm.partitionBy.nonEmpty) w.partitionBy(pm.partitionBy: _*) else w)
+        .parquet(snapDir.toString)
+    }
+    val m = Manifest(next, parent, pm.schema, snapDir.toString,
+      pm.files ++ listDataFiles(snapDir), pm.partitionBy,
       System.currentTimeMillis(), pm.bucketKeys, pm.numBuckets)
     commitOrCleanup(m, snapDir)
   }

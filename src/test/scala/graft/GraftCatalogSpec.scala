@@ -99,15 +99,50 @@ class GraftCatalogSpec extends SparkSuite {
     assert(df.head().getLong(0) == expected)
   }
 
-  test("SQL DML is rejected: snapshots mutate only through the store") {
+  test("INSERT INTO appends through the commit protocol, reusing existing files") {
+    val store = new TableStore(spark, s"$warehouse/analytics/appendable")
+    store.commitSnapshot(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    val before = store.manifest(store.currentVersion()).files.toSet
+    spark.sql("INSERT INTO spec_cat.analytics.appendable VALUES (3, 'c'), (4, 'd')")
+    val m = store.manifest(store.currentVersion())
+    // append-only: every pre-existing data file inherited at its path
+    assert(before.subsetOf(m.files.toSet), "append rewrote existing files")
+    assert(m.files.size > before.size, "append added no files")
+    val rows = spark.sql(
+      "SELECT k, v FROM spec_cat.analytics.appendable ORDER BY k")
+      .as[(Long, String)].collect().toSeq
+    assert(rows == Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d")))
+  }
+
+  test("INSERT OVERWRITE replaces content as a fresh full snapshot") {
+    val store = new TableStore(spark, s"$warehouse/analytics/overwritable")
+    store.commitSnapshot(Seq((1L, "old")).toDF("k", "v"))
+    spark.sql("INSERT OVERWRITE spec_cat.analytics.overwritable VALUES (9, 'new')")
+    val rows = spark.sql(
+      "SELECT k, v FROM spec_cat.analytics.overwritable ORDER BY k")
+      .as[(Long, String)].collect().toSeq
+    assert(rows == Seq((9L, "new")))
+    // old content still reachable via time travel
+    assert(spark.sql(
+      "SELECT v FROM spec_cat.analytics.overwritable VERSION AS OF 0")
+      .as[String].collect().toSeq == Seq("old"))
+  }
+
+  test("CREATE TABLE AS SELECT materializes a query into the catalog") {
     commitOrders()
-    val e = intercept[Exception](spark.sql(
-      """INSERT INTO spec_cat.analytics.orders
-        |SELECT * FROM spec_cat.analytics.orders LIMIT 1""".stripMargin))
-    assert(e.getMessage.toLowerCase.contains("does not support") ||
-      e.getMessage.toLowerCase.contains("unsupported") ||
-      e.getMessage.toLowerCase.contains("append"),
-      e.getMessage)
+    spark.sql("DROP TABLE IF EXISTS spec_cat.analytics.orders_by_status")
+    spark.sql(
+      """CREATE TABLE spec_cat.analytics.orders_by_status AS
+        |SELECT o_orderstatus, COUNT(*) AS n
+        |FROM spec_cat.analytics.orders GROUP BY o_orderstatus""".stripMargin)
+    val viaCtas = spark.sql(
+      "SELECT o_orderstatus, n FROM spec_cat.analytics.orders_by_status ORDER BY 1")
+      .as[(String, Long)].collect().toSeq
+    val direct = spark.sql(
+      """SELECT o_orderstatus, COUNT(*) FROM spec_cat.analytics.orders
+        |GROUP BY 1 ORDER BY 1""".stripMargin)
+      .as[(String, Long)].collect().toSeq
+    assert(viaCtas == direct && viaCtas.nonEmpty)
   }
 
   test("SHOW TABLES lists committed tables; DDL create/drop works") {

@@ -181,6 +181,21 @@ class TableStoreSpec extends SparkSuite {
     assert(rows.length == 20)
   }
 
+  test("append-only commit on a hive-partitioned table: file reuse + partition recovery") {
+    val store = freshStore()
+    store.commitSnapshot(Seq((1L, "A"), (2L, "B")).toDF("k", "status"),
+      partitionBy = Seq("status"))
+    val before = store.manifest(0).files.toSet
+    store.commitAppend(Seq((3L, "A"), (4L, null.asInstanceOf[String])).toDF("k", "status"))
+    val m = store.manifest(1)
+    assert(before.subsetOf(m.files.toSet), "append rewrote existing files")
+    // multi-dir hive read: partition values recovered from the file paths,
+    // including the NULL partition
+    val rows = store.readSnapshot().as[(Long, Option[String])].collect().toSet
+    assert(rows == Set((1L, Some("A")), (2L, Some("B")), (3L, Some("A")), (4L, None)))
+    assert(store.readSnapshot().columns.toSeq == Seq("k", "status"))
+  }
+
   test("reference unreferencedFileRemoval parity: unreferencedDays + noncurrentDays") {
     // The reference exposes two GC knobs (README.md:132-137):
     //   noncurrentDays  — expire NONCURRENT table versions older than N days
