@@ -110,12 +110,53 @@ object LlmText {
       .orderBy(col("doc_id").asc_nulls_first)
   }
 
+  /** End-to-end corpus cleaning (north-star composite
+    * `pipeline_clean_corpus`): the flow a real training-data pipeline runs
+    * over raw documents —
+    *   1. language gate (labeled lang = en),
+    *   2. quality gate (the exact integer score of `text_quality` ≥ 500k),
+    *   3. exact dedup keeping the lowest doc_id per content hash
+    * — emitting the keep-list with its quality metadata. The near-dup stage
+    * (`dedup_fuzzy_minhash` pairs → `dedup_clusters` representatives)
+    * composes the same way but isn't SQL-expressible, so the ORACLED
+    * pipeline stops at exact dedup.
+    *
+    * Scale: one scan (filters and scoring are a map-side projection — the
+    * gates prune BEFORE any shuffle) + one shuffle on the content hash for
+    * the keep-first window. No collect, no cross-stage barrier. */
+  private val pipelineCleanCorpus: Q = (s, d) => {
+    val allStop = StopwordsByLang.flatMap(_._2).distinct
+    val t = toks(col("text"))
+    val scored = load(s, d, "documents")
+      .filter(col("lang") === "en")
+      .withColumn("n_tokens", size(t).cast("long"))
+      .withColumn("sum_len", aggregate(t, lit(0L), (acc, x) => acc + length(x)))
+      .withColumn("n_dist", size(array_distinct(t)).cast("long"))
+      .withColumn("n_stop",
+        size(array_intersect(t, array(allStop.map(lit): _*))).cast("long"))
+      .withColumn("quality_score_e6",
+        when(col("n_tokens") > 0 && col("n_dist") > 0,
+          expr("""(400000L * least(n_chars, 500L) div 500L)
+                 | + (300000L * n_stop div n_dist)
+                 | + (300000L * least(sum_len, 8L * n_tokens) div (8L * n_tokens))"""
+            .stripMargin)).otherwise(lit(0L)))
+      .filter(col("quality_score_e6") >= 500000L)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(sha2(col("text"), 256)).orderBy(col("doc_id").asc)
+    scored.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("quality_score_e6"))
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
     "text_stats" -> textStats,
     "text_tokens" -> textTokens,
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
     "text_fingerprint" -> textFingerprint,
+    "pipeline_clean_corpus" -> pipelineCleanCorpus,
   )
 
   private def stopList(lang: String): String =
@@ -185,6 +226,35 @@ object LlmText {
          |  $folded AS predicted_lang
          |FROM h ORDER BY doc_id ASC NULLS FIRST""".stripMargin
     },
+
+    "pipeline_clean_corpus" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, n_chars, text,
+         |    REGEXP_EXTRACT_ALL(LOWER(text), '\\S+') AS toks
+         |  FROM documents WHERE lang = 'en'
+         |), m AS (
+         |  SELECT doc_id, source, n_chars, text,
+         |    CAST(LEN(toks) AS BIGINT) AS n_tokens,
+         |    CAST(COALESCE(LIST_SUM(LIST_TRANSFORM(toks, x -> LENGTH(x))), 0) AS BIGINT) AS sum_len,
+         |    CAST(LEN(LIST_DISTINCT(toks)) AS BIGINT) AS n_dist,
+         |    CAST(LEN(LIST_INTERSECT(toks, $allStopList)) AS BIGINT) AS n_stop
+         |  FROM t
+         |), q AS (
+         |  SELECT doc_id, source, text, n_tokens,
+         |    CASE WHEN n_tokens > 0 AND n_dist > 0 THEN
+         |      (400000 * LEAST(n_chars, 500) // 500)
+         |      + (300000 * n_stop // n_dist)
+         |      + (300000 * LEAST(sum_len, 8 * n_tokens) // (8 * n_tokens))
+         |    ELSE 0 END AS quality_score_e6
+         |  FROM m
+         |), k AS (
+         |  SELECT doc_id, source, n_tokens, quality_score_e6,
+         |    ROW_NUMBER() OVER (PARTITION BY SHA256(text) ORDER BY doc_id ASC) AS rn
+         |  FROM q WHERE quality_score_e6 >= 500000
+         |)
+         |SELECT doc_id, source, n_tokens, quality_score_e6
+         |FROM k WHERE rn = 1
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id,
