@@ -3,6 +3,7 @@ package graft.etl
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Last-writer-wins CDC merge — the data-plane core of the reference's
   * continuous half (`AWS::Glue::Integration`, reference
@@ -37,7 +38,11 @@ object CdcApply {
     *   - a change attribute the base has never seen WIDENS the result schema
     *     (appended column; base rows read NULL),
     *   - a base column absent from a change batch decodes as NULL in the
-    *     change rows (absent attribute on a full-image record = NULL). */
+    *     change rows (absent attribute on a full-image record = NULL),
+    *   - a shared column whose TYPE differs (a DynamoDB `N` that outgrew
+    *     long into decimal mid-stream) widens BOTH sides to the
+    *     [[graft.model.DdbAttr.mergeSchemas]] type — the other half of
+    *     `glue:UpdateTable`, VERDICT r4 #5. */
   def apply(base: DataFrame, changes: DataFrame, keys: Seq[String],
       seqCol: String = "seq", opCol: String = "op"): DataFrame = {
     require(keys.nonEmpty, "CDC merge requires at least one key column")
@@ -45,14 +50,29 @@ object CdcApply {
     require(missing.isEmpty, s"change batch is missing key columns: $missing")
 
     val changePayload = changes.columns.filterNot(c => c == seqCol || c == opCol)
-    val newCols = changePayload.filterNot(base.columns.contains).toSeq
-    val payload = base.columns.toSeq ++ newCols
-    val baseWide = newCols.foldLeft(base) { (df, c) =>
-      df.withColumn(c, lit(null).cast(changes.schema(c).dataType))
+    // shared columns whose types differ widen both sides to the merged type
+    val retyped = changePayload.filter(base.columns.contains).flatMap { c =>
+      val bt = base.schema(c).dataType
+      val ct = changes.schema(c).dataType
+      if (bt == ct) None
+      else Some(c -> graft.model.DdbAttr.mergeSchemas(
+        StructType(Seq(base.schema(c))),
+        StructType(Seq(changes.schema(c)))).head.dataType)
+    }.toMap
+    val base0 = retyped.foldLeft(base) { case (df, (c, t)) =>
+      df.withColumn(c, col(c).cast(t))
     }
-    val changesWide = payload.filterNot(changes.columns.contains)
-      .foldLeft(changes) { (df, c) =>
-        df.withColumn(c, lit(null).cast(base.schema(c).dataType))
+    val changes0 = retyped.foldLeft(changes) { case (df, (c, t)) =>
+      df.withColumn(c, col(c).cast(t))
+    }
+    val newCols = changePayload.filterNot(base0.columns.contains).toSeq
+    val payload = base0.columns.toSeq ++ newCols
+    val baseWide = newCols.foldLeft(base0) { (df, c) =>
+      df.withColumn(c, lit(null).cast(changes0.schema(c).dataType))
+    }
+    val changesWide = payload.filterNot(changes0.columns.contains)
+      .foldLeft(changes0) { (df, c) =>
+        df.withColumn(c, lit(null).cast(base0.schema(c).dataType))
       }
     val baseTagged = baseWide
       .withColumn(seqCol, lit(-1L))

@@ -185,7 +185,23 @@ object StreamingOps {
         .distinct().collect().map(_.getLong(0)).toSeq
       val basePart = store.readBuckets(touched)
       val merged = CdcApply(basePart, batch, keys, seqCol, opCol)
-      store.commitIncremental(merged, touched, expectedParent = Some(cur))
+      // Mid-stream TYPE widening (VERDICT r4 #5): if the merge widened a
+      // shared column (an `N` outgrowing long into decimal), stay incremental
+      // when the parquet reader can up-cast inherited files on read
+      // (mergeOnReadWiden — manifest carries the wide type, untouched
+      // buckets' files keep the narrow one); only a widening the reader
+      // can't apply (e.g. long→double) pays a one-time full rewrite.
+      val pm = store.manifest(cur)
+      val morSafe = pm.schema.fields.forall { f =>
+        merged.schema.fields.find(_.name == f.name).exists(g =>
+          TableStore.mergeOnReadWiden(f.dataType, g.dataType))
+      }
+      if (morSafe)
+        store.commitIncremental(merged, touched, expectedParent = Some(cur))
+      else {
+        val full = CdcApply(store.readSnapshot(), batch, keys, seqCol, opCol)
+        store.commitBucketed(full, keys, numBuckets, expectedParent = Some(cur))
+      }
     }
     ()
   }

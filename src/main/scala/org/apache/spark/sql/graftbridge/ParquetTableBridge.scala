@@ -13,9 +13,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * Lives under `org.apache.spark.sql` purely for access; no logic. */
 object ParquetTableBridge {
   def create(name: String, spark: SparkSession, paths: Seq[String],
-      schema: StructType): Table =
+      schema: StructType, options: Map[String, String] = Map.empty): Table = {
+    val opts = new java.util.HashMap[String, String]()
+    options.foreach { case (k, v) => opts.put(k, v) }
     ParquetTable(name,
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
-      CaseInsensitiveStringMap.empty(), paths, Some(schema),
+      new CaseInsensitiveStringMap(opts), paths, Some(schema),
       classOf[ParquetFileFormat])
+  }
 }

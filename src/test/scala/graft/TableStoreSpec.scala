@@ -224,6 +224,106 @@ class TableStoreSpec extends SparkSuite {
     assert(store.readSnapshot().count() == 1)
   }
 
+  test("schema-only commit is metadata-only: identical file list, NULL-padded column, widened type") {
+    val store = freshStore()
+    store.commitBucketed((1L to 40L).map(i => (i, i * 10L)).toDF("k", "amount"),
+      Seq("k"), numBuckets = 4)
+    val m0 = store.manifest(0)
+    // ADD COLUMN note + widen amount long→decimal(38,0): both merge-on-read
+    val widened = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("amount",
+        org.apache.spark.sql.types.DecimalType(38, 0)),
+      org.apache.spark.sql.types.StructField("note",
+        org.apache.spark.sql.types.StringType)))
+    store.commitSchemaOnly(widened)
+    val m1 = store.manifest(1)
+    assert(m1.files == m0.files, "schema-only commit must not touch data files")
+    assert(m1.schema == widened && m1.bucketKeys == Seq("k") && m1.numBuckets == 4)
+    val back = store.readSnapshot()
+    assert(back.columns.toSeq == Seq("k", "amount", "note"))
+    assert(back.schema("amount").dataType ==
+      org.apache.spark.sql.types.DecimalType(38, 0))
+    val rows = back.as[(Long, BigDecimal, Option[String])].collect()
+    assert(rows.length == 40 && rows.forall(r => r._2 == BigDecimal(r._1 * 10)))
+    assert(rows.forall(_._3.isEmpty))
+    // a non-merge-on-read change (long→double) is rejected
+    val bad = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("amount",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("note",
+        org.apache.spark.sql.types.StringType)))
+    val e = intercept[IllegalArgumentException](store.commitSchemaOnly(bad))
+    assert(e.getMessage.contains("merge-on-read"))
+  }
+
+  test("mid-stream type widening stays incremental; untouched files inherited narrow") {
+    val store = freshStore()
+    store.commitBucketed((1L to 50L).map(i => (i, i * 10L)).toDF("k", "amount"),
+      Seq("k"), numBuckets = 8)
+    val m0 = store.manifest(0)
+    // a DynamoDB N outgrew long mid-stream: the batch decodes as decimal(38,0)
+    val big = BigDecimal("99999999999999999999") // > Long.MaxValue
+    val changes = Seq((1L, big, 1L, "MODIFY"))
+      .toDF("k", "amount", "seq", "op")
+      .select(col("k"), col("amount").cast("decimal(38,0)").as("amount"),
+        col("seq"), col("op"))
+    graft.streaming.StreamingOps.applyCdcBatch(changes, store, Seq("k"), numBuckets = 8)
+    val m1 = store.manifest(1)
+    val touched = Seq(1L).toDF("k")
+      .select(TableStore.bucketExpr(Seq("k"), 8).as("b")).as[Long].collect().toSet
+    val untouched = m0.files.filter(f => !touched.contains(TableStore.bucketOfFile(f).get))
+    assert(untouched.nonEmpty)
+    untouched.foreach(f => assert(m1.files.contains(f),
+      s"type widening forced a rewrite of untouched file $f"))
+    assert(m1.schema("amount").dataType ==
+      org.apache.spark.sql.types.DecimalType(38, 0))
+    val back = store.readSnapshot()
+    val rows = back.as[(Long, BigDecimal)].collect().toMap
+    assert(rows(1L) == big)
+    assert(rows(2L) == BigDecimal(20) && rows.size == 50)
+  }
+
+  test("non-merge-on-read widening (long→double) falls back to one full rewrite") {
+    val store = freshStore()
+    store.commitBucketed((1L to 30L).map(i => (i, i * 10L)).toDF("k", "amount"),
+      Seq("k"), numBuckets = 4)
+    val m0 = store.manifest(0)
+    val changes = Seq((1L, 10.5, 1L, "MODIFY")).toDF("k", "amount", "seq", "op")
+    graft.streaming.StreamingOps.applyCdcBatch(changes, store, Seq("k"), numBuckets = 4)
+    val m1 = store.manifest(1)
+    // full rewrite: no parent file survives, schema is wide, data correct
+    assert(m1.files.forall(f => !m0.files.contains(f)))
+    assert(m1.schema("amount").dataType == org.apache.spark.sql.types.DoubleType)
+    val rows = store.readSnapshot().as[(Long, Double)].collect().toMap
+    assert(rows(1L) == 10.5 && rows(2L) == 20.0 && rows.size == 30)
+  }
+
+  test("vacuum reclaims superseded bucket files inside still-pinned snap dirs") {
+    val store = freshStore()
+    store.commitBucketed((1L to 50L).map(i => (i, i.toString)).toDF("k", "v"),
+      Seq("k"), numBuckets = 4)
+    val m0 = store.manifest(0)
+    val changes = Seq((1L, "X", 1L, "MODIFY")).toDF("k", "v", "seq", "op")
+    graft.streaming.StreamingOps.applyCdcBatch(changes, store, Seq("k"), numBuckets = 4)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val touched = TableStore.bucketOfFile(
+      store.manifest(1).files.filterNot(m0.files.contains).head).get
+    val superseded = m0.files.filter(f =>
+      TableStore.bucketOfFile(f).contains(touched))
+    assert(superseded.nonEmpty)
+    // v0's manifest expires; its dir stays pinned via inherited files, but the
+    // superseded touched-bucket files inside it are swept at file granularity
+    store.vacuum(keepSnapshots = 1)
+    superseded.foreach(f => assert(
+      !fs.exists(new org.apache.hadoop.fs.Path(f)),
+      s"superseded file not reclaimed: $f"))
+    val kept = store.manifest(1).files
+    kept.foreach(f => assert(fs.exists(new org.apache.hadoop.fs.Path(f))))
+    assert(store.readSnapshot().count() == 50)
+  }
+
   test("racing writers: losers retry, all committed data stays intact") {
     val store = freshStore()
     val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
