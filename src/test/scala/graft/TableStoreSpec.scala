@@ -324,6 +324,62 @@ class TableStoreSpec extends SparkSuite {
     assert(store.readSnapshot().count() == 50)
   }
 
+  test("manifest column stats skip data files on non-partition predicates") {
+    val store = freshStore()
+    val df = (1L to 800L).map(i => (i, i % 7, s"name$i")).toDF("k", "grp", "v")
+      .repartitionByRange(8, col("k"))
+    store.commitSnapshot(df)
+    val m = store.manifest(0)
+    assert(m.files.size == 8)
+    assert(m.files.forall(m.stats.contains), "every file must carry footer stats")
+    assert(m.files.forall(f => m.stats(f).cols.get("k")
+      .exists(c => c.min.nonEmpty && c.max.nonEmpty)))
+
+    def filesScanned(q: org.apache.spark.sql.DataFrame): Long = {
+      q.collect()
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(scans)
+      }
+      val ss = scans(q.queryExecution.executedPlan)
+      // a fully-pruned scan collapses to an empty LocalTableScan under AQE
+      ss.map(_.metrics("numFiles").value).sum
+    }
+
+    // range-sorted column: a point predicate opens exactly one file
+    val point = store.readSnapshot().filter(col("k") === 400L)
+    assert(point.count() == 1)
+    assert(filesScanned(store.readSnapshot().filter(col("k") === 400L)) == 1)
+    // range predicate: only the overlapping tail of files
+    val range = store.readSnapshot().filter(col("k") >= 701L)
+    assert(range.count() == 100)
+    assert(filesScanned(store.readSnapshot().filter(col("k") >= 701L)) <= 2)
+    // unselective predicate: all files, correct result
+    assert(filesScanned(store.readSnapshot().filter(col("grp") === 3)) == 8)
+    // provably-empty predicate prunes EVERY file from the scan
+    assert(filesScanned(store.readSnapshot().filter(col("k") > 10000L)) == 0)
+    assert(filesScanned(store.readSnapshot().filter(col("grp").isNull)) == 0)
+    // full scan still reads everything
+    assert(store.readSnapshot().count() == 800)
+  }
+
+  test("stats survive incremental commits and skip within bucketed tables") {
+    val store = freshStore()
+    store.commitBucketed(
+      (1L to 400L).map(i => (i, i * 2L)).toDF("k", "amount"), Seq("k"), numBuckets = 4)
+    val changes = Seq((1L, 999L, 1L, "MODIFY")).toDF("k", "amount", "seq", "op")
+    graft.streaming.StreamingOps.applyCdcBatch(changes, store, Seq("k"), numBuckets = 4)
+    val m1 = store.manifest(1)
+    assert(m1.files.forall(m1.stats.contains),
+      "inherited + fresh files must all carry stats after an incremental commit")
+    // a predicate outside every file's bounds scans nothing
+    val q = store.readSnapshot().filter(col("amount") > 100000L)
+    assert(q.count() == 0)
+  }
+
   test("racing writers: losers retry, all committed data stays intact") {
     val store = freshStore()
     val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
