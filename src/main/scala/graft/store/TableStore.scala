@@ -131,7 +131,7 @@ class TableStore(val spark: SparkSession, val root: String) {
     * hive-encoded by the writer; only `__HIVE_DEFAULT_PARTITION__` (NULL) is
     * decoded here, so partition on simple scalar values (ids, flags, dates) —
     * which is also the only kind that prunes well at 100 TB. */
-  private def readFiles(m: Manifest, files: Seq[String]): DataFrame = {
+  private[graft] def readFiles(m: Manifest, files: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
     if (files.isEmpty)
       return spark.createDataFrame(
@@ -317,6 +317,40 @@ class TableStore(val spark: SparkSession, val root: String) {
       pm.files ++ fresh, pm.partitionBy,
       System.currentTimeMillis(), pm.bucketKeys, pm.numBuckets,
       stats = pm.stats ++ FileStats.collect(spark, fresh, pm.schema))
+    commitOrCleanup(m, snapDir)
+  }
+
+  /** File-level copy-on-write commit (plain layouts): `replacement` is the
+    * NEW content of exactly the rows that lived in `replaced` files; every
+    * other data file is inherited at its existing path. The SQL DELETE fast
+    * path uses it on non-bucketed tables after stats pruning — write volume
+    * is O(files that might match), not O(table). Not offered for hive
+    * layouts: replacing part of a snap dir would create the partial-inherit
+    * shape external scanners cannot serve (see [[scanPaths]]). */
+  def commitReplaceFiles(replaced: Seq[String], replacement: DataFrame,
+      expectedParent: Option[Long] = None): Long = {
+    val parent = checkParent(expectedParent)
+    require(parent >= 0, "file-replace commit requires an existing snapshot")
+    val pm = manifest(parent)
+    require(pm.bucketKeys.isEmpty,
+      "bucketed tables replace at bucket granularity (commitIncremental)")
+    require(pm.partitionBy.filter(pm.schema.fieldNames.contains).isEmpty,
+      "hive-partitioned tables cannot replace single files; rewrite partitions")
+    val replacedSet = replaced.toSet
+    require(replacedSet.subsetOf(pm.files.toSet),
+      "replaced files must belong to the parent snapshot")
+    val next = parent + 1
+    val snapDir = new Path(dataDir, s"snap-$next-${System.nanoTime()}")
+    replacement.select(pm.schema.fieldNames.map(
+        org.apache.spark.sql.functions.col): _*)
+      .write.mode(SaveMode.Overwrite).parquet(snapDir.toString)
+    val kept = pm.files.filterNot(replacedSet)
+    val fresh = listDataFiles(snapDir)
+    val keptSet = kept.toSet
+    val m = Manifest(next, parent, pm.schema, snapDir.toString,
+      kept ++ fresh, pm.partitionBy, System.currentTimeMillis(),
+      stats = pm.stats.filter(kv => keptSet(kv._1)) ++
+        FileStats.collect(spark, fresh, pm.schema))
     commitOrCleanup(m, snapDir)
   }
 

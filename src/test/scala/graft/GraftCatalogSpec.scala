@@ -220,6 +220,105 @@ class GraftCatalogSpec extends SparkSuite {
     assert(e.getMessage.contains("readSnapshot"), e.getMessage)
   }
 
+  test("DELETE FROM a bucketed table rewrites only the touched bucket") {
+    val store = new TableStore(spark, s"$warehouse/analytics/del_bucketed")
+    store.commitBucketed((1L to 100L).map(i => (i, s"v$i")).toDF("k", "v"),
+      Seq("k"), numBuckets = 8)
+    val m0 = store.manifest(0)
+    spark.sql("DELETE FROM spec_cat.analytics.del_bucketed WHERE k = 5")
+    val m1 = store.manifest(1)
+    val touched = Seq(5L).toDF("k")
+      .select(TableStore.bucketExpr(Seq("k"), 8).as("b")).as[Long].collect().toSet
+    val untouched = m0.files.filter(f =>
+      !touched.contains(TableStore.bucketOfFile(f).get))
+    assert(untouched.nonEmpty)
+    untouched.foreach(f => assert(m1.files.contains(f),
+      s"DELETE k=5 rewrote an untouched bucket's file: $f"))
+    spark.catalog.refreshTable("spec_cat.analytics.del_bucketed")
+    val rows = spark.sql("SELECT k FROM spec_cat.analytics.del_bucketed")
+      .as[Long].collect().toSet
+    assert(rows.size == 99 && !rows.contains(5L))
+  }
+
+  test("DELETE FROM a plain table replaces only stat-candidate files") {
+    val store = new TableStore(spark, s"$warehouse/analytics/del_plain")
+    store.commitSnapshot((1L to 800L).map(i => (i, i % 5)).toDF("k", "grp")
+      .repartitionByRange(8, col("k")))
+    val m0 = store.manifest(0)
+    assert(m0.files.size == 8)
+    spark.sql("DELETE FROM spec_cat.analytics.del_plain WHERE k BETWEEN 101 AND 150")
+    val m1 = store.manifest(1)
+    // range-sorted files: only the file(s) covering 101-150 are replaced
+    val inherited = m1.files.toSet intersect m0.files.toSet
+    assert(inherited.size >= 6,
+      s"expected most files inherited, kept only ${inherited.size}")
+    spark.catalog.refreshTable("spec_cat.analytics.del_plain")
+    val ks = spark.sql("SELECT k FROM spec_cat.analytics.del_plain")
+      .as[Long].collect().toSet
+    assert(ks.size == 750 && !ks.exists(k => k >= 101 && k <= 150))
+    // no-match delete touches nothing: same version, same files
+    spark.sql("DELETE FROM spec_cat.analytics.del_plain WHERE k > 5000")
+    assert(store.currentVersion() == m1.version)
+  }
+
+  test("UPDATE through SQL rewrites rows copy-on-write") {
+    val store = new TableStore(spark, s"$warehouse/analytics/upd")
+    store.commitBucketed(
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)).toDF("k", "s", "n"),
+      Seq("k"), numBuckets = 2)
+    spark.sql(
+      "UPDATE spec_cat.analytics.upd SET n = n + 100, s = 'upd' WHERE k >= 2")
+    spark.catalog.refreshTable("spec_cat.analytics.upd")
+    val rows = spark.sql("SELECT k, s, n FROM spec_cat.analytics.upd ORDER BY k")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(rows == Seq((1L, "a", 10L), (2L, "upd", 120L), (3L, "upd", 130L)))
+    // the previous content survives as a time-travel snapshot
+    assert(spark.sql(
+      "SELECT n FROM spec_cat.analytics.upd VERSION AS OF 0 WHERE k = 2")
+      .as[Long].head() == 20L)
+  }
+
+  test("UPDATE with a key predicate rewrites only the touched bucket") {
+    val store = new TableStore(spark, s"$warehouse/analytics/upd_targeted")
+    store.commitBucketed((1L to 100L).map(i => (i, i * 10L)).toDF("k", "n"),
+      Seq("k"), numBuckets = 8)
+    val m0 = store.manifest(0)
+    spark.sql("UPDATE spec_cat.analytics.upd_targeted SET n = 0 WHERE k = 7")
+    val m1 = store.manifest(1)
+    val touched = Seq(7L).toDF("k")
+      .select(TableStore.bucketExpr(Seq("k"), 8).as("b")).as[Long].collect().toSet
+    val untouched = m0.files.filter(f =>
+      !touched.contains(TableStore.bucketOfFile(f).get))
+    assert(untouched.nonEmpty)
+    untouched.foreach(f => assert(m1.files.contains(f),
+      s"UPDATE k=7 rewrote an untouched bucket's file: $f"))
+    spark.catalog.refreshTable("spec_cat.analytics.upd_targeted")
+    val got = spark.sql(
+      "SELECT n FROM spec_cat.analytics.upd_targeted WHERE k IN (7, 8) ORDER BY k")
+      .as[Long].collect().toSeq
+    assert(got == Seq(0L, 80L))
+    assert(spark.sql("SELECT COUNT(*) FROM spec_cat.analytics.upd_targeted")
+      .head().getLong(0) == 100)
+  }
+
+  test("MERGE INTO upserts through SQL: update matched, insert unmatched, delete on clause") {
+    val store = new TableStore(spark, s"$warehouse/analytics/mrg")
+    store.commitBucketed(
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)).toDF("k", "s", "n"),
+      Seq("k"), numBuckets = 2)
+    Seq((2L, "B2", 200L), (3L, "C3", -1L), (9L, "new", 90L))
+      .toDF("k", "s", "n").createOrReplaceTempView("mrg_src")
+    spark.sql(
+      """MERGE INTO spec_cat.analytics.mrg t USING mrg_src s ON t.k = s.k
+        |WHEN MATCHED AND s.n < 0 THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET t.s = s.s, t.n = s.n
+        |WHEN NOT MATCHED THEN INSERT (k, s, n) VALUES (s.k, s.s, s.n)""".stripMargin)
+    spark.catalog.refreshTable("spec_cat.analytics.mrg")
+    val rows = spark.sql("SELECT k, s, n FROM spec_cat.analytics.mrg ORDER BY k")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(rows == Seq((1L, "a", 10L), (2L, "B2", 200L), (9L, "new", 90L)))
+  }
+
   test("SHOW TABLES lists committed tables; DDL create/drop works") {
     commitOrders()
     val tables = spark.sql("SHOW TABLES IN spec_cat.analytics")
