@@ -153,6 +153,54 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("maintenance policy keeps a long-running CDC feed bounded") {
+    val store = new graft.store.TableStore(spark,
+      Files.createTempDirectory("graft_cdc_maint").toString)
+    val keys = Seq("k")
+    val policy = StreamingOps.CdcMaintenance(
+      everyNCommits = 4, maxFilesPerBucket = 2, keepSnapshots = 2)
+    store.commitBucketed((1L to 40L).map(i => (i, s"v$i")).toDF("k", "v"),
+      keys, numBuckets = 4)
+    // 14 micro-batches, each MODIFYing a rotating pair of keys — every
+    // bucket keeps accreting files; the policy must keep counts bounded
+    var expected = (1L to 40L).map(i => (i, s"v$i")).toDF("k", "v")
+    for (i <- 1 to 14) {
+      val batch = Seq(
+        (i.toLong % 40 + 1, s"u$i", i.toLong, "MODIFY"),
+        ((i.toLong * 7) % 40 + 1, s"w$i", i.toLong, "MODIFY"))
+        .toDF("k", "v", "seq", "op")
+      StreamingOps.applyCdcBatch(batch, store, keys, numBuckets = 4,
+        maintenance = Some(policy))
+      expected = graft.etl.CdcApply(expected, batch, keys)
+    }
+    val m = store.manifest(store.currentVersion())
+    val perBucket = m.files.groupBy(f =>
+      graft.store.TableStore.bucketOfFile(f).get).values.map(_.size)
+    // between maintenance points at most everyNCommits batches add one file
+    // per touched bucket on top of the compacted floor
+    val bound = policy.maxFilesPerBucket + policy.everyNCommits
+    assert(perBucket.forall(_ <= bound),
+      s"unbounded bucket growth: ${perBucket.toSeq.sorted.reverse}")
+    // snapshot expiry kept manifests bounded too
+    assert(store.existingVersions().size <= policy.keepSnapshots + policy.everyNCommits,
+      s"manifests not expiring: ${store.existingVersions()}")
+    // disk holds only what surviving manifests reference (file-level sweep)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    val onDisk = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(store.root, "data"), true)
+      var n = 0
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    val referenced = store.existingVersions()
+      .flatMap(v => store.manifest(v).files).toSet
+    assert(onDisk <= referenced.size,
+      s"dead files on disk: $onDisk vs ${referenced.size} referenced")
+    // and the data is still exactly the LWW-merged expectation
+    assert(store.readSnapshot().count() == expected.count())
+    assert(store.readSnapshot().exceptAll(expected).count() == 0)
+  }
+
   test("end-to-end continuous pipeline: export files land -> decode -> incremental CDC apply") {
     // the integration's actual loop (reference src:211-215; README.md:159-166):
     // initial export batch-loads the table, then CDC files stream in and are
