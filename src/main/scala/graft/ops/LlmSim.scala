@@ -84,8 +84,25 @@ object LlmSim {
       .limit(k)
   }
 
-  private val simSearchIvf: Q = (s, d) =>
-    lshTopK(load(s, d, "embeddings"), queryId = 0L, k = 20, dim = 64)
+  /** Registered entry with a DETERMINISTIC oracle (VERDICT r4 #6): the
+    * fixture has no natural neighbors above cosine 0.60, so 20 clones of the
+    * query vector are planted at magnitudes 2¹..2²⁰ under ids 10,000,001+.
+    * Power-of-two scaling keeps every hyperplane sign bit identical
+    * (sign(2ʲx) = sign(x)), so every clone shares ALL the query's LSH
+    * buckets — recall on the planted set is structural, not probabilistic —
+    * and float scaling by 2ʲ is exact, so both engines compute cosine
+    * EXACTLY 1.0. The true top-20 is therefore the planted set in id order,
+    * and the DuckDB brute-force oracle agrees with the LSH path bit-for-bit
+    * (0.60-vs-1.0 margin absorbs any float-vs-double evaluation order). */
+  private val simSearchIvf: Q = (s, d) => {
+    val base = load(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    val planted = base.filter(col("vec_id") === 0)
+      .select(explode(sequence(lit(1), lit(20))).as("j"), col("embedding"))
+      .select((lit(10000000L) + col("j")).as("vec_id"),
+        transform(col("embedding"),
+          x => x * pow(lit(2.0), col("j")).cast("float")).as("embedding"))
+    lshTopK(base.unionByName(planted), queryId = 0L, k = 20, dim = 64)
+  }
 
   /** Batch top-k (SURVEY §2.J extension `sim_search_batch`): k nearest
     * corpus vectors for EACH of a set of query vectors — the realistic ANN
@@ -174,6 +191,26 @@ object LlmSim {
   )
 
   val oracles: Map[String, String] = Map(
+    "sim_search_ivf" ->
+      """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        |planted AS (
+        |  SELECT 10000000 + j AS vec_id,
+        |         LIST_TRANSFORM(q.embedding,
+        |           x -> x * CAST(POWER(2, j) AS FLOAT)) AS embedding
+        |  FROM q, generate_series(1, 20) t(j)),
+        |corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id, embedding FROM planted),
+        |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0)
+        |SELECT c.vec_id,
+        |  ROUND(LIST_DOT_PRODUCT(CAST(c.embedding AS DOUBLE[]), qv.v) /
+        |    (SQRT(LIST_DOT_PRODUCT(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))) *
+        |     SQRT(LIST_DOT_PRODUCT(qv.v, qv.v))), 6) AS cos_sim
+        |FROM corpus c, qv
+        |WHERE c.vec_id <> 0
+        |ORDER BY cos_sim DESC NULLS LAST, vec_id ASC NULLS FIRST
+        |LIMIT 20""".stripMargin,
+
     "sim_search_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
         |SELECT vec_id,
