@@ -40,7 +40,8 @@ import graft.store.TableStore
   * semantics, src:99-100) — so SQL can never bypass the snapshot+manifest
   * invariants.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -198,6 +199,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       throw new IllegalStateException(s"cannot rename $oldIdent to $newIdent")
   }
 
+  // ----------------------------------------------------------- procedures
+
+  private[catalog] def storeForPath(parts: Seq[String]): TableStore =
+    new TableStore(spark, (warehouse +: parts).mkString("/"))
+
+  /** `CALL <cat>.system.{compact,expire_snapshots,vacuum}(...)` — SQL
+    * maintenance, the reference's managed-table GC/compaction knobs
+    * (README.md:132-137) on the Iceberg procedure surface. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace.toSeq == GraftProcedures.Namespace.toSeq,
+      s"procedures live under ${catalogName}.system, got ${ident.namespace.mkString(".")}")
+    GraftProcedures.load(this, ident.name)
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.toSeq == GraftProcedures.Namespace.toSeq)
+      GraftProcedures.Names.map(n => Identifier.of(namespace, n)).toArray
+    else Array.empty
+
   // ----------------------------------------------------------- namespaces
   override def listNamespaces(): Array[Array[String]] = {
     val p = new Path(warehouse)
@@ -264,8 +285,18 @@ private[catalog] class SnapshotTable(delegate: Table, store: TableStore,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
-  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    delegate.asInstanceOf[SupportsRead].newScanBuilder(options)
+  /** SQL reads get manifest-level file skipping too (not just store-API
+    * reads): when every file of a non-hive layout carries footer stats, the
+    * scan builder prunes the file list against pushed predicates BEFORE the
+    * parquet scan is built — `SELECT ... WHERE k = x` on a range-sorted
+    * table opens the overlapping files only. Hive layouts keep the stock
+    * dir scan (Spark's own partition pruning). */
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
+    val schemaParts = m.partitionBy.filter(m.schema.fieldNames.contains)
+    if (schemaParts.isEmpty && m.files.nonEmpty && m.files.forall(m.stats.contains))
+      new StatsPruningScanBuilder(name(), store, m, options)
+    else delegate.asInstanceOf[SupportsRead].newScanBuilder(options)
+  }
   override def properties(): util.Map[String, String] = delegate.properties()
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -327,6 +358,64 @@ private[catalog] class SnapshotTable(delegate: Table, store: TableStore,
         keep(store.readFiles(m, candidates)), expectedParent = Some(m.version))
     }
     ()
+  }
+}
+
+/** Pushdown-aware scan builder serving SQL reads with manifest-stats file
+  * skipping. Pushed V1 filters are (a) converted and used to drop files
+  * whose bounds prove no row can match, and (b) forwarded to the inner
+  * parquet builder for row-group/page skipping. EVERY filter is also
+  * returned as post-scan, so Spark keeps the Filter node above the scan —
+  * correctness never depends on the pruning. */
+private[catalog] final class StatsPruningScanBuilder(name: String,
+    store: TableStore, m: TableStore.Manifest,
+    options: CaseInsensitiveStringMap) extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+  import org.apache.spark.sql.sources.{Filter => V1Filter}
+
+  private var inner: ScanBuilder = _
+  private var converted: Array[V1Filter] = Array.empty
+  private var pendingPrune: Option[StructType] = None
+
+  private def ensureInner(files: Seq[String],
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Unit =
+    if (inner == null) {
+      inner = org.apache.spark.sql.graftbridge.ParquetTableBridge
+        .create(name, store.spark, files, m.schema)
+        .asInstanceOf[SupportsRead].newScanBuilder(options)
+      if (exprs.nonEmpty)
+        org.apache.spark.sql.graftbridge.CatalystPushBridge.push(inner, exprs)
+      pendingPrune.foreach(s => inner
+        .asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
+        .pruneColumns(s))
+    }
+
+  override def pushFilters(filters: Array[V1Filter]): Array[V1Filter] = {
+    val pairs = filters.map(f =>
+      f -> V2PredicateTranslator.v1FilterToCatalyst(f, m.schema))
+    val exprs = pairs.flatMap(_._2).toSeq
+    converted = pairs.collect { case (f, Some(_)) => f }
+    val candidates =
+      if (exprs.isEmpty) m.files
+      else m.files.filter(f => m.stats.get(f).forall(st =>
+        graft.store.FileStats.mightMatch(st, m.schema, exprs)))
+    ensureInner(candidates, exprs)
+    filters // all post-scan: the Filter node stays, pruning is best-effort
+  }
+
+  override def pushedFilters(): Array[V1Filter] = converted
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    pendingPrune = Some(requiredSchema)
+    if (inner != null) inner
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
+      .pruneColumns(requiredSchema)
+  }
+
+  override def build(): org.apache.spark.sql.connector.read.Scan = {
+    ensureInner(m.files, Nil)
+    inner.build()
   }
 }
 

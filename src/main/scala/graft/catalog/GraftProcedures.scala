@@ -1,0 +1,110 @@
+package graft.catalog
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.store.TableStore
+
+/** SQL maintenance procedures — the reference's managed-maintenance knobs
+  * (`unreferencedFileRemoval {unreferencedDays, noncurrentDays}`,
+  * README.md:132-137; snapshot/compaction management, src:99-100) exposed
+  * the way an Iceberg user reaches them: `CALL cat.system.<proc>(...)`.
+  *
+  *   CALL cat.system.compact('ns.table', 4)         -- target files/partition
+  *   CALL cat.system.expire_snapshots('ns.table', 86400000)  -- age ms
+  *   CALL cat.system.vacuum('ns.table', 2)          -- keep N snapshots
+  *
+  * Each returns one summary row. All three route through the TableStore
+  * commit/GC protocol — a procedure can no more corrupt a table than any
+  * other writer (CAS manifest swap, manifest-first deletion order). */
+object GraftProcedures {
+
+  val Namespace: Array[String] = Array("system")
+  val Names: Seq[String] = Seq("compact", "expire_snapshots", "vacuum")
+
+  def load(catalog: GraftCatalog, name: String): UnboundProcedure = name match {
+    case "compact" => new CompactProc(catalog)
+    case "expire_snapshots" => new ExpireProc(catalog)
+    case "vacuum" => new VacuumProc(catalog)
+    case other => throw new IllegalArgumentException(
+      s"unknown procedure: $other (have: ${Names.mkString(", ")})")
+  }
+
+  private def storeFor(catalog: GraftCatalog, table: String): TableStore = {
+    val parts = table.split('.')
+    require(parts.length >= 2, s"table must be 'namespace.table', got '$table'")
+    catalog.storeForPath(parts.toSeq)
+  }
+
+  private def result(schema: StructType, values: Array[Any]): java.util.Iterator[Scan] =
+    java.util.List.of[Scan](new LocalScan {
+      override def rows(): Array[InternalRow] =
+        Array(InternalRow.fromSeq(values.toIndexedSeq))
+      override def readSchema(): StructType = schema
+    }).iterator()
+
+  private abstract class GraftProc(procName: String, procDesc: String)
+      extends UnboundProcedure with BoundProcedure {
+    override def name(): String = procName
+    override def description(): String = procDesc
+    override def bind(inputType: StructType): BoundProcedure = this
+    override def isDeterministic: Boolean = false
+  }
+
+  /** Rewrite the current snapshot into `target_files` files per partition —
+    * small-file compaction; content-preserving, new snapshot version. */
+  private final class CompactProc(catalog: GraftCatalog)
+      extends GraftProc("compact",
+        "rewrite the current snapshot into target_files files per partition") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("target_files", IntegerType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val store = storeFor(catalog, input.getUTF8String(0).toString)
+      val before = store.manifest(store.currentVersion()).files.size
+      val v = store.compact(input.getInt(1))
+      val after = store.manifest(v).files.size
+      result(
+        StructType(Seq(StructField("version", LongType),
+          StructField("files_before", IntegerType),
+          StructField("files_after", IntegerType))),
+        Array(v, before, after))
+    }
+  }
+
+  /** Age-based snapshot expiry — `noncurrentDays` analog in milliseconds. */
+  private final class ExpireProc(catalog: GraftCatalog)
+      extends GraftProc("expire_snapshots",
+        "drop non-current snapshots older than older_than_ms") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("older_than_ms", LongType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val store = storeFor(catalog, input.getUTF8String(0).toString)
+      val deleted = store.vacuumOlderThan(input.getLong(1))
+      result(
+        StructType(Seq(StructField("deleted_snapshot_dirs", IntegerType))),
+        Array(deleted.size))
+    }
+  }
+
+  /** Count-based snapshot expiry + unreferenced-file removal —
+    * `unreferencedDays` analog at snapshot granularity. */
+  private final class VacuumProc(catalog: GraftCatalog)
+      extends GraftProc("vacuum",
+        "keep the newest keep_snapshots snapshots; delete unreferenced data") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("keep_snapshots", IntegerType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val store = storeFor(catalog, input.getUTF8String(0).toString)
+      val deleted = store.vacuum(input.getInt(1))
+      result(
+        StructType(Seq(StructField("deleted_snapshot_dirs", IntegerType))),
+        Array(deleted.size))
+    }
+  }
+}

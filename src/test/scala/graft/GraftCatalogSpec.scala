@@ -319,6 +319,48 @@ class GraftCatalogSpec extends SparkSuite {
     assert(rows == Seq((1L, "a", 10L), (2L, "B2", 200L), (9L, "new", 90L)))
   }
 
+  test("SQL reads skip files via manifest stats on non-partition predicates") {
+    val store = new TableStore(spark, s"$warehouse/analytics/skippy")
+    store.commitSnapshot((1L to 800L).map(i => (i, s"name$i")).toDF("k", "v")
+      .repartitionByRange(8, col("k")))
+    assert(store.manifest(0).files.size == 8)
+    val q = spark.sql("SELECT v FROM spec_cat.analytics.skippy WHERE k = 400")
+    assert(q.collect().map(_.getString(0)).toSeq == Seq("name400"))
+    val plan = q.queryExecution.executedPlan.toString
+    val m = "InMemoryFileIndex\\((\\d+) paths\\)".r.findFirstMatchIn(plan)
+    assert(m.nonEmpty, plan.take(800))
+    assert(m.get.group(1).toInt == 1,
+      s"expected 1 of 8 files after stats skipping, scanned ${m.get.group(1)}")
+    assert(plan.contains("PushedFilters") && plan.contains("k"), plan.take(500))
+    // unprunable query still reads everything correctly
+    assert(spark.sql("SELECT COUNT(*) FROM spec_cat.analytics.skippy")
+      .head().getLong(0) == 800)
+  }
+
+  test("CALL system procedures: compact, expire_snapshots, vacuum") {
+    val store = new TableStore(spark, s"$warehouse/analytics/proc_tbl")
+    store.commitSnapshot((1L to 200L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(8))
+    Thread.sleep(30)
+    store.commitAppend(Seq((201L, "x")).toDF("k", "v"))
+    val filesBefore = store.manifest(store.currentVersion()).files.size
+    assert(filesBefore >= 8)
+    val compacted = spark.sql(
+      "CALL spec_cat.system.compact('analytics.proc_tbl', 2)").collect()
+    assert(compacted.length == 1)
+    assert(compacted.head.getInt(1) == filesBefore) // files_before
+    assert(compacted.head.getInt(2) <= 2, compacted.head.toString) // files_after
+    assert(store.readSnapshot().count() == 201)
+    // expire everything older than now → only pre-compact snapshots drop
+    val expired = spark.sql(
+      "CALL spec_cat.system.expire_snapshots('analytics.proc_tbl', 0)").collect()
+    assert(expired.head.getInt(0) >= 1, expired.head.toString)
+    // vacuum keeps the current snapshot; table still reads
+    spark.sql("CALL spec_cat.system.vacuum('analytics.proc_tbl', 1)").collect()
+    assert(store.existingVersions().size == 1)
+    assert(store.readSnapshot().count() == 201)
+  }
+
   test("SHOW TABLES lists committed tables; DDL create/drop works") {
     commitOrders()
     val tables = spark.sql("SHOW TABLES IN spec_cat.analytics")
