@@ -55,17 +55,26 @@ object GraftProcedures {
   }
 
   /** Rewrite the current snapshot into `target_files` files per partition —
-    * small-file compaction; content-preserving, new snapshot version. */
+    * small-file compaction; content-preserving, new snapshot version.
+    * `sort_by` (CSV of columns, default '') range-clusters the rewrite so
+    * per-file min/max bounds become selective — the knob that makes
+    * stats-based file skipping bite on those columns. */
   private final class CompactProc(catalog: GraftCatalog)
       extends GraftProc("compact",
-        "rewrite the current snapshot into target_files files per partition") {
+        "rewrite the current snapshot into target_files files per partition; " +
+          "sort_by range-clusters for stats pruning") {
     override def parameters(): Array[ProcedureParameter] = Array(
       ProcedureParameter.in("table", StringType).build(),
-      ProcedureParameter.in("target_files", IntegerType).build())
+      ProcedureParameter.in("target_files", IntegerType).build(),
+      ProcedureParameter.in("sort_by", StringType).defaultValue("''").build())
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val store = storeFor(catalog, input.getUTF8String(0).toString)
+      val sortBy =
+        if (input.numFields < 3 || input.isNullAt(2)) Nil
+        else input.getUTF8String(2).toString.split(',').map(_.trim)
+          .filter(_.nonEmpty).toSeq
       val before = store.manifest(store.currentVersion()).files.size
-      val v = store.compact(input.getInt(1))
+      val v = store.compact(input.getInt(1), sortBy)
       val after = store.manifest(v).files.size
       result(
         StructType(Seq(StructField("version", LongType),

@@ -409,13 +409,35 @@ class TableStore(val spark: SparkSession, val root: String) {
     existingVersions().map(v => v -> manifest(v).schema)
 
   /** Rewrite the current snapshot into `targetFiles` files per partition —
-    * small-file compaction. Content-preserving; commits a new snapshot. */
-  def compact(targetFiles: Int = 1): Long = {
+    * small-file compaction. Content-preserving; commits a new snapshot.
+    *
+    * `sortBy`: range-cluster the rewrite on these columns (Z-order-lite) —
+    * rows are range-partitioned across the output files and sorted within
+    * each, so every file covers a NARROW `sortBy` interval and the
+    * manifest's min/max bounds prune aggressively on those columns
+    * afterwards. This is what makes stats-based file skipping effective on
+    * a real table: unsorted files all span the full value range and no
+    * bound can exclude them. Bucketed tables sort WITHIN each bucket (the
+    * bucket stays the partition key; `sortBy` tightens file bounds inside
+    * it). */
+  def compact(targetFiles: Int = 1, sortBy: Seq[String] = Nil): Long = {
+    import org.apache.spark.sql.functions.col
     val m = manifest(currentVersion())
     val df = readSnapshot()
-    if (m.bucketKeys.nonEmpty)
-      commitBucketed(df.repartition(targetFiles), m.bucketKeys, m.numBuckets)
-    else commitSnapshot(df.repartition(targetFiles), m.partitionBy)
+    if (m.bucketKeys.nonEmpty) {
+      val arranged =
+        if (sortBy.isEmpty) df.repartition(targetFiles)
+        else df.repartition(math.max(targetFiles, m.numBuckets),
+            bucketExpr(m.bucketKeys, m.numBuckets))
+          .sortWithinPartitions(sortBy.map(col): _*)
+      commitBucketed(arranged, m.bucketKeys, m.numBuckets)
+    } else {
+      val arranged =
+        if (sortBy.isEmpty) df.repartition(targetFiles)
+        else df.repartitionByRange(targetFiles, sortBy.map(col): _*)
+          .sortWithinPartitions(sortBy.map(col): _*)
+      commitSnapshot(arranged, m.partitionBy)
+    }
   }
 
   /** Time-based GC matching the reference's `unreferencedDays` semantics

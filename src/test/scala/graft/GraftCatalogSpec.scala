@@ -359,6 +359,16 @@ class GraftCatalogSpec extends SparkSuite {
     spark.sql("CALL spec_cat.system.vacuum('analytics.proc_tbl', 1)").collect()
     assert(store.existingVersions().size == 1)
     assert(store.readSnapshot().count() == 201)
+    // sorted compaction through SQL: files get tight, disjoint k-bounds
+    spark.sql("CALL spec_cat.system.compact('analytics.proc_tbl', 4, 'k')").collect()
+    val m = store.manifest(store.currentVersion())
+    val bounds = m.files.flatMap(f => m.stats(f).cols.get("k"))
+      .map(c => (BigDecimal(c.min.get), BigDecimal(c.max.get))).sortBy(_._1)
+    assert(bounds.size == 4)
+    bounds.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) => assert(hi < lo, s"overlapping bounds: $bounds")
+      case _ =>
+    }
   }
 
   test("SHOW TABLES lists committed tables; DDL create/drop works") {

@@ -366,6 +366,34 @@ class TableStoreSpec extends SparkSuite {
     assert(store.readSnapshot().count() == 800)
   }
 
+  test("sorted compaction tightens file bounds so point lookups skip files") {
+    val store = freshStore()
+    // 8 UNSORTED files: every file spans nearly the full key range, so no
+    // bound can exclude any file for a point lookup
+    val shuffled = new scala.util.Random(3).shuffle((1L to 800L).toVector)
+    store.commitSnapshot(shuffled.map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(8))
+    def filesScanned(q: org.apache.spark.sql.DataFrame): Long = {
+      q.collect()
+      def scans(p: org.apache.spark.sql.execution.SparkPlan)
+          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          scans(a.executedPlan)
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
+        case other => other.children.flatMap(scans)
+      }
+      scans(q.queryExecution.executedPlan).map(_.metrics("numFiles").value).sum
+    }
+    val before = filesScanned(store.readSnapshot().filter(col("k") === 400L))
+    assert(before == 8, s"unsorted layout should scan all files, got $before")
+    // range-clustered rewrite: each file now covers a narrow k interval
+    store.compact(targetFiles = 8, sortBy = Seq("k"))
+    assert(store.manifest(store.currentVersion()).files.size == 8)
+    val after = filesScanned(store.readSnapshot().filter(col("k") === 400L))
+    assert(after == 1, s"sorted layout should scan 1 file, got $after")
+    assert(store.readSnapshot().count() == 800)
+  }
+
   test("stats survive incremental commits and skip within bucketed tables") {
     val store = freshStore()
     store.commitBucketed(
