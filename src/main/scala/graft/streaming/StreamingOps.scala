@@ -163,6 +163,38 @@ object StreamingOps {
       }
       .start()
 
+  /** Fully SCHEMALESS continuous loop: stream the raw AttributeValue-JSON
+    * export/CDC lines and decode each micro-batch with a schema inferred
+    * FROM THAT BATCH, so mid-stream attribute adds and N-type widenings
+    * (a counter outgrowing long into decimal) flow through with no declared
+    * schema at all — the complete `glue:UpdateTable` loop
+    * (reference src/dynamodb-zero-etl-s3tables.ts:113-115). The commit layer
+    * decides the cheapest sound path per batch: merge-on-read widening stays
+    * incremental (inherited files up-cast on read), only reader-unsupported
+    * changes pay a one-time full rewrite ([[applyCdcBatch]]).
+    *
+    * Scale: per-batch inference is one distributed stats pass over the NEW
+    * lines only (O(batch), not O(table)); decode is a pure projection. */
+  def cdcApplyStreamDynamic(spark: org.apache.spark.sql.SparkSession,
+      path: String, store: TableStore, keys: Seq[String],
+      checkpointDir: String, numBuckets: Int = 64,
+      maintenance: Option[CdcMaintenance] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    spark.readStream.text(path)
+      .select(org.apache.spark.sql.functions.col("value").as("json"))
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val schema = graft.model.DdbAttr.inferSchema(batch.sparkSession, batch)
+          val decoded = graft.model.DdbAttr.decode(batch, schema, keys)
+          applyCdcBatch(decoded, store, keys, numBuckets, maintenance = maintenance)
+        }
+      }
+      .start()
+
   /** Policy-driven maintenance for the continuous loop — the reference's
     * `unreferencedFileRemoval {status, unreferencedDays, noncurrentDays}`
     * (README.md:132-137) as an automatic cadence instead of a manual call

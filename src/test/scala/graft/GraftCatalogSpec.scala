@@ -261,6 +261,40 @@ class GraftCatalogSpec extends SparkSuite {
     assert(store.currentVersion() == m1.version)
   }
 
+  test("DELETE with composite bucket keys targets the derived bucket") {
+    val store = new TableStore(spark, s"$warehouse/analytics/del_multikey")
+    store.commitBucketed(
+      (1L to 60L).map(i => (i % 10, i, s"v$i")).toDF("pk", "sk", "v"),
+      Seq("pk", "sk"), numBuckets = 8)
+    val m0 = store.manifest(0)
+    spark.sql(
+      "DELETE FROM spec_cat.analytics.del_multikey WHERE pk = 3 AND sk = 13")
+    val m1 = store.manifest(1)
+    val touched = Seq((3L, 13L)).toDF("pk", "sk")
+      .select(TableStore.bucketExpr(Seq("pk", "sk"), 8).as("b"))
+      .as[Long].collect().toSet
+    val untouched = m0.files.filter(f =>
+      !touched.contains(TableStore.bucketOfFile(f).get))
+    assert(untouched.nonEmpty)
+    untouched.foreach(f => assert(m1.files.contains(f),
+      s"composite-key DELETE rewrote untouched file $f"))
+    spark.catalog.refreshTable("spec_cat.analytics.del_multikey")
+    assert(spark.sql("SELECT COUNT(*) FROM spec_cat.analytics.del_multikey")
+      .head().getLong(0) == 59)
+  }
+
+  test("TRUNCATE TABLE empties the table, keeping history") {
+    val store = new TableStore(spark, s"$warehouse/analytics/trunc")
+    store.commitSnapshot(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    spark.sql("TRUNCATE TABLE spec_cat.analytics.trunc")
+    spark.catalog.refreshTable("spec_cat.analytics.trunc")
+    assert(spark.sql("SELECT COUNT(*) FROM spec_cat.analytics.trunc")
+      .head().getLong(0) == 0)
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM spec_cat.analytics.trunc VERSION AS OF 0")
+      .head().getLong(0) == 2)
+  }
+
   test("UPDATE through SQL rewrites rows copy-on-write") {
     val store = new TableStore(spark, s"$warehouse/analytics/upd")
     store.commitBucketed(

@@ -153,6 +153,65 @@ class StreamingSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("schemaless dynamic CDC loop widens types and adds attributes mid-stream") {
+    import graft.model.DdbAttr
+    def writeLines(dir: java.nio.file.Path, name: String,
+        df: org.apache.spark.sql.DataFrame): Unit = {
+      val lines = df.select(DdbAttr.encodeLine(df.schema).as("json")).as[String].collect()
+      Files.write(dir.resolve(name), lines.mkString("\n").getBytes("UTF-8"))
+    }
+    val store = new graft.store.TableStore(spark,
+      Files.createTempDirectory("graft_dyn_store").toString)
+    store.commitBucketed(
+      Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)).toDF("k", "s", "amount"),
+      Seq("k"), numBuckets = 4)
+    val changeDir = Files.createTempDirectory("graft_dyn_changes")
+    val ckpt = Files.createTempDirectory("graft_dyn_ckpt").toString
+
+    // batch 1: plain long-range update — stays long
+    writeLines(changeDir, "cdc-000.json",
+      Seq((1L, "a2", 11L, 1L, "MODIFY")).toDF("k", "s", "amount", "seq", "op"))
+    val q1 = StreamingOps.cdcApplyStreamDynamic(
+      spark, changeDir.toString, store, Seq("k"), ckpt, numBuckets = 4)
+    try q1.awaitTermination() finally q1.stop()
+    assert(store.manifest(store.currentVersion())
+      .schema("amount").dataType == org.apache.spark.sql.types.LongType)
+
+    // batch 2: the N outgrows long AND a brand-new attribute appears —
+    // no schema was ever declared anywhere; the loop must widen on its own
+    val big = BigDecimal("99999999999999999999")
+    writeLines(changeDir, "cdc-001.json",
+      Seq((2L, "b2", big, "web", 2L, "MODIFY"))
+        .toDF("k", "s", "amount", "chan", "seq", "op")
+        .select(col("k"), col("s"), col("amount").cast("decimal(38,0)").as("amount"),
+          col("chan"), col("seq"), col("op")))
+    val mBefore = store.manifest(store.currentVersion())
+    val q2 = StreamingOps.cdcApplyStreamDynamic(
+      spark, changeDir.toString, store, Seq("k"), ckpt, numBuckets = 4)
+    try q2.awaitTermination() finally q2.stop()
+
+    val m = store.manifest(store.currentVersion())
+    assert(m.schema("amount").dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType],
+      s"amount not widened: ${m.schema("amount").dataType}")
+    assert(m.schema.fieldNames.contains("chan"))
+    // widening stayed INCREMENTAL: untouched buckets' files inherited
+    val touched = Seq(2L).toDF("k")
+      .select(graft.store.TableStore.bucketExpr(Seq("k"), 4).as("b"))
+      .as[Long].collect().toSet
+    val untouched = mBefore.files.filter(f =>
+      !touched.contains(graft.store.TableStore.bucketOfFile(f).get))
+    assert(untouched.nonEmpty)
+    untouched.foreach(f => assert(m.files.contains(f),
+      s"mid-stream widening rewrote untouched file $f"))
+    val rows = store.readSnapshot()
+      .select(col("k"), col("s"), col("amount").cast("string"), col("chan"))
+      .as[(Long, String, String, Option[String])].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(rows(1L) == (("a2", "11", None)))
+    assert(rows(2L) == (("b2", big.toString, Some("web"))))
+    assert(rows(3L) == (("c", "30", None)))
+  }
+
   test("maintenance policy keeps a long-running CDC feed bounded") {
     val store = new graft.store.TableStore(spark,
       Files.createTempDirectory("graft_cdc_maint").toString)
