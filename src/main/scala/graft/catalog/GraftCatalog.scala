@@ -81,7 +81,33 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       spark, paths, m.schema, opts), store, m)
   }
 
-  override def loadTable(ident: Identifier): Table = snapshotTable(ident, None)
+  override def loadTable(ident: Identifier): Table =
+    if (ident.name.endsWith("$snapshots"))
+      snapshotsMetaTable(Identifier.of(ident.namespace,
+        ident.name.stripSuffix("$snapshots")))
+    else snapshotTable(ident, None)
+
+  /** `SELECT * FROM cat.ns.`tbl$snapshots`` — snapshot history as a queryable
+    * metadata table (version, parent, committed_at, file/byte counts), the
+    * `glue:GetTableVersions` analog surfaced the way Iceberg surfaces its
+    * metadata tables. Driver-computed from manifests: O(#snapshots) rows. */
+  private def snapshotsMetaTable(ident: Identifier): Table = {
+    import org.apache.spark.sql.types._
+    val store = storeFor(ident)
+    if (store.currentVersion() < 0) throw new NoSuchTableException(ident)
+    val schema = StructType(Seq(
+      StructField("version", LongType), StructField("parent", LongType),
+      StructField("committed_at_ms", LongType),
+      StructField("n_files", IntegerType), StructField("bytes", LongType),
+      StructField("n_columns", IntegerType)))
+    val rows = store.existingVersions().map { v =>
+      val m = store.manifest(v)
+      org.apache.spark.sql.catalyst.InternalRow(
+        m.version, m.parent, m.committedAtMs, m.files.size,
+        m.stats.values.map(_.bytes).sum, m.schema.size)
+    }.toArray
+    new MetaTable(s"${ident.name}$$snapshots", schema, rows)
+  }
 
   /** `VERSION AS OF <n>` time travel → snapshot n. */
   override def loadTable(ident: Identifier, version: String): Table =
@@ -297,11 +323,27 @@ private[catalog] class SnapshotTable(delegate: Table, store: TableStore,
       new StatsPruningScanBuilder(name(), store, m, options)
     else delegate.asInstanceOf[SupportsRead].newScanBuilder(options)
   }
-  override def properties(): util.Map[String, String] = delegate.properties()
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new SnapshotWriteBuilder(store, schema(), m)
+
+  /** Manifest facts surfaced through `DESCRIBE TABLE EXTENDED` /
+    * `SHOW TBLPROPERTIES`. */
+  override def properties(): util.Map[String, String] = {
+    val p = new util.HashMap[String, String](delegate.properties())
+    p.put("graft.version", m.version.toString)
+    p.put("graft.committed-at-ms", m.committedAtMs.toString)
+    p.put("graft.num-files", m.files.size.toString)
+    p.put("graft.size-bytes", m.stats.values.map(_.bytes).sum.toString)
+    if (m.bucketKeys.nonEmpty) {
+      p.put("graft.bucket-keys", m.bucketKeys.mkString(","))
+      p.put("graft.num-buckets", m.numBuckets.toString)
+    }
+    if (m.partitionBy.nonEmpty)
+      p.put("graft.partition-by", m.partitionBy.mkString(","))
+    p
+  }
 
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
@@ -359,6 +401,29 @@ private[catalog] class SnapshotTable(delegate: Table, store: TableStore,
     }
     ()
   }
+}
+
+/** Driver-computed metadata table (the `$snapshots` suffix): a handful of
+  * rows served through a LocalScan — no files, no jobs. */
+private[catalog] final class MetaTable(tableName: String, tableSchema: StructType,
+    tableRows: Array[org.apache.spark.sql.catalyst.InternalRow]) extends Table
+    with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def partitioning(): Array[Transform] = Array.empty
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def properties(): util.Map[String, String] =
+    util.Collections.emptyMap()
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        new org.apache.spark.sql.connector.read.LocalScan {
+          override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+            tableRows
+          override def readSchema(): StructType = tableSchema
+        }
+    }
 }
 
 /** Pushdown-aware scan builder serving SQL reads with manifest-stats file

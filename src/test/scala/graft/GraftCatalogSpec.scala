@@ -405,6 +405,29 @@ class GraftCatalogSpec extends SparkSuite {
     }
   }
 
+  test("table introspection: TBLPROPERTIES facts and the $snapshots metadata table") {
+    val store = new TableStore(spark, s"$warehouse/analytics/introspect")
+    store.commitBucketed((1L to 50L).map(i => (i, s"v$i")).toDF("k", "v"),
+      Seq("k"), numBuckets = 4)
+    Thread.sleep(5)
+    graft.streaming.StreamingOps.applyCdcBatch(
+      Seq((1L, "X", 1L, "MODIFY")).toDF("k", "v", "seq", "op"),
+      store, Seq("k"), numBuckets = 4)
+    val props = spark.sql(
+      "SHOW TBLPROPERTIES spec_cat.analytics.introspect")
+      .as[(String, String)].collect().toMap
+    assert(props("graft.version") == "1")
+    assert(props("graft.bucket-keys") == "k" && props("graft.num-buckets") == "4")
+    assert(props("graft.num-files").toInt == store.manifest(1).files.size)
+    assert(props("graft.size-bytes").toLong > 0)
+    val snaps = spark.sql(
+      "SELECT version, parent, n_files FROM spec_cat.analytics.`introspect$snapshots` ORDER BY version")
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(snaps.map(_._1) == Seq(0L, 1L))
+    assert(snaps(1)._2 == 0L)
+    assert(snaps.forall(_._3 > 0))
+  }
+
   test("SHOW TABLES lists committed tables; DDL create/drop works") {
     commitOrders()
     val tables = spark.sql("SHOW TABLES IN spec_cat.analytics")
