@@ -99,12 +99,13 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       StructField("version", LongType), StructField("parent", LongType),
       StructField("committed_at_ms", LongType),
       StructField("n_files", IntegerType), StructField("bytes", LongType),
-      StructField("n_columns", IntegerType)))
+      StructField("n_rows", LongType), StructField("n_columns", IntegerType)))
     val rows = store.existingVersions().map { v =>
       val m = store.manifest(v)
       org.apache.spark.sql.catalyst.InternalRow(
         m.version, m.parent, m.committedAtMs, m.files.size,
-        m.stats.values.map(_.bytes).sum, m.schema.size)
+        m.stats.values.map(_.bytes).sum, m.stats.values.map(_.rows).sum,
+        m.schema.size)
     }.toArray
     new MetaTable(s"${ident.name}$$snapshots", schema, rows)
   }

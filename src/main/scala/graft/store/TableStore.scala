@@ -80,7 +80,7 @@ class TableStore(val spark: SparkSession, val root: String) {
     // the CAS loser's Overwrite can never clobber the winner's committed data
     // files — the same isolation Iceberg gets from uniquely-named data files
     // under its metadata swap (reference src/dynamodb-zero-etl-s3tables.ts:99).
-    val snapDir = new Path(dataDir, s"snap-$next-${System.nanoTime()}")
+    val snapDir = new Path(dataDir, s"snap-$next-${stagingSuffix()}")
     val writer = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(snapDir.toString)
@@ -228,7 +228,7 @@ class TableStore(val spark: SparkSession, val root: String) {
     require(keys.nonEmpty && numBuckets > 0, "bucketed commit needs keys and buckets")
     val parent = checkParent(expectedParent)
     val next = parent + 1
-    val snapDir = new Path(dataDir, s"snap-$next-${System.nanoTime()}")
+    val snapDir = new Path(dataDir, s"snap-$next-${stagingSuffix()}")
     df.withColumn(BucketCol, bucketExpr(keys, numBuckets))
       .write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
       .parquet(snapDir.toString)
@@ -265,7 +265,7 @@ class TableStore(val spark: SparkSession, val root: String) {
           s"${nf.get.dataType} is not a merge-on-read widening")
     }
     val next = parent + 1
-    val snapDir = new Path(dataDir, s"snap-$next-${System.nanoTime()}")
+    val snapDir = new Path(dataDir, s"snap-$next-${stagingSuffix()}")
     changed.withColumn(BucketCol, bucketExpr(pm.bucketKeys, pm.numBuckets))
       .write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
       .parquet(snapDir.toString)
@@ -302,7 +302,7 @@ class TableStore(val spark: SparkSession, val root: String) {
     val aligned = df.select(pm.schema.fieldNames.map(
       org.apache.spark.sql.functions.col): _*)
     val next = parent + 1
-    val snapDir = new Path(dataDir, s"snap-$next-${System.nanoTime()}")
+    val snapDir = new Path(dataDir, s"snap-$next-${stagingSuffix()}")
     if (pm.bucketKeys.nonEmpty)
       aligned.withColumn(BucketCol, bucketExpr(pm.bucketKeys, pm.numBuckets))
         .write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
@@ -340,7 +340,7 @@ class TableStore(val spark: SparkSession, val root: String) {
     require(replacedSet.subsetOf(pm.files.toSet),
       "replaced files must belong to the parent snapshot")
     val next = parent + 1
-    val snapDir = new Path(dataDir, s"snap-$next-${System.nanoTime()}")
+    val snapDir = new Path(dataDir, s"snap-$next-${stagingSuffix()}")
     replacement.select(pm.schema.fieldNames.map(
         org.apache.spark.sql.functions.col): _*)
       .write.mode(SaveMode.Overwrite).parquet(snapDir.toString)
@@ -538,7 +538,11 @@ class TableStore(val spark: SparkSession, val root: String) {
   private def writeManifestAtomic(m: Manifest): Unit = {
     val f = fs
     f.mkdirs(manifestDir)
-    val tmp = new Path(manifestDir, s".tmp-${m.version}-${System.nanoTime()}")
+    // stagingSuffix, not bare nanoTime: racing threads drawing the same
+    // (coarse-granularity) nanoTime would collide on `create(tmp, false)`
+    // with FileAlreadyExistsException — which is NOT the CAS conflict the
+    // retry loops catch
+    val tmp = new Path(manifestDir, s".tmp-${m.version}-${stagingSuffix()}")
     val out = f.create(tmp, false)
     try out.write(m.toJson.getBytes("UTF-8")) finally out.close()
     val dest = new Path(manifestDir, s"v${m.version}.json")
@@ -553,6 +557,16 @@ class TableStore(val spark: SparkSession, val root: String) {
 
 object TableStore {
   private val ManifestName = "v(\\d+)\\.json".r
+
+  /** Staging-dir suffix: nanoTime ALONE is not collision-free — two racing
+    * threads can draw the same value where the clock granularity is coarse
+    * (virtualized hosts), and a shared staging dir would let the CAS loser's
+    * cleanup delete the winner's committed files. The atomic counter makes
+    * the suffix unique within the JVM; nanoTime keeps it unique across
+    * processes. */
+  private val stagingCounter = new java.util.concurrent.atomic.AtomicLong()
+  private def stagingSuffix(): String =
+    s"${System.nanoTime()}-${stagingCounter.incrementAndGet()}"
 
   /** Derived hash-bucket partition column for incremental CDC tables. Never
     * stored in data files — reconstructible from the key columns. */
