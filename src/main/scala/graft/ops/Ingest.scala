@@ -126,8 +126,60 @@ object Ingest {
       .toDF("n_rows", "files_before", "files_after", "vacuumed_dirs")
   }
 
+  /** Incremental consumption (Iceberg incremental-scan analog): commit a
+    * base, append a second generation, read ONLY what arrived between the
+    * two snapshots. The read costs O(new files) — a downstream consumer
+    * polling a 100 TB table processes the delta, never the base. */
+  private val scanIncremental: Q = (s, d) => {
+    val o = load(s, d, "orders")
+    val k = col("o_orderkey")
+    val store = new TableStore(s, graft.util.Scratch.dir("scan_incremental"))
+    val v0 = store.commitSnapshot(o.filter(k % 3 =!= 0))
+    store.commitAppend(o.filter(k % 3 === 0))
+    store.readIncremental(fromVersion = v0)
+      .orderBy(col("o_orderkey").asc_nulls_first)
+  }
+
+  /** Row-level changelog (Iceberg changelog-scan analog): bucketed base,
+    * one CDC batch (deletes %10, updates %9, inserts fresh keys %7), then
+    * the INSERT/UPDATE/DELETE diff between the two snapshots — what a
+    * downstream CDC consumer replays. Only the touched buckets' files are
+    * read on either side (changedFilesBetween); carry-over rows rewritten
+    * unchanged are dropped by the null-safe payload comparison. */
+  private val scanChangelog: Q = (s, d) => {
+    import graft.etl.CdcApply
+    val o = load(s, d, "orders")
+    val k = col("o_orderkey")
+    val store = new TableStore(s, graft.util.Scratch.dir("scan_changelog"))
+    val v0 = store.commitBucketed(o, keys = Seq("o_orderkey"), numBuckets = 16)
+    val removes = o.filter(k % 10 === 0).select(
+      CdcApply.changeCols(lit(CdcApply.OpRemove), lit(1L),
+        Seq(k, lit(null).cast("long").as("o_custkey"),
+          lit(null).cast("string").as("o_orderstatus"),
+          lit(null).cast("double").as("o_totalprice"),
+          lit(null).cast("timestamp_ntz").as("o_orderdate"),
+          lit(null).cast("string").as("o_orderpriority"))): _*)
+    val mods = o.filter(k % 9 === 0 && k % 10 =!= 0).select(
+      CdcApply.changeCols(lit(CdcApply.OpModify), lit(1L),
+        Seq(k, col("o_custkey"), lit("X").as("o_orderstatus"),
+          col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))): _*)
+    val inserts = o.filter(k % 7 === 0).select(
+      CdcApply.changeCols(lit(CdcApply.OpInsert), lit(1L),
+        Seq((k + 1000000000L).as("o_orderkey"), col("o_custkey"),
+          lit("N").as("o_orderstatus"), col("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority"))): _*)
+    graft.streaming.StreamingOps.applyCdcBatch(
+      removes.unionByName(mods).unionByName(inserts), store,
+      keys = Seq("o_orderkey"), numBuckets = 16)
+    store.readChangelog(fromVersion = v0)
+      .orderBy(col("o_orderkey").asc_nulls_first,
+        col("_change_type").asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
     "scan_ddb_export" -> scanDdbExport,
+    "scan_incremental" -> scanIncremental,
+    "scan_changelog" -> scanChangelog,
     "scan_ddb_export_decimal" -> scanDdbExportDecimal,
     "schema_infer" -> schemaInfer,
     "schema_evolve" -> schemaEvolve,
@@ -137,6 +189,29 @@ object Ingest {
   )
 
   val oracles: Map[String, String] = Map(
+    "scan_incremental" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 3 = 0
+        |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+
+    "scan_changelog" ->
+      """WITH del AS (
+        |  SELECT 'DELETE' AS _change_type, o_orderkey, o_custkey, o_orderstatus,
+        |         o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 10 = 0
+        |), upd AS (
+        |  SELECT 'UPDATE' AS _change_type, o_orderkey, o_custkey, 'X' AS o_orderstatus,
+        |         o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 9 = 0 AND o_orderkey % 10 <> 0
+        |), ins AS (
+        |  SELECT 'INSERT' AS _change_type, o_orderkey + 1000000000 AS o_orderkey, o_custkey,
+        |         'N' AS o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |)
+        |SELECT * FROM (
+        |  SELECT * FROM del UNION ALL SELECT * FROM upd UNION ALL SELECT * FROM ins) t
+        |ORDER BY o_orderkey ASC NULLS FIRST, _change_type ASC NULLS FIRST""".stripMargin,
+
     "scan_ddb_export" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
         |FROM orders ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,

@@ -175,6 +175,98 @@ class TableStore(val spark: SparkSession, val root: String) {
     readFiles(m, m.files.filter(f => bucketOfFile(f).exists(bs.contains)))
   }
 
+  /** Manifest-level file diff between two committed snapshots: (added,
+    * removed) data-file lists. Pure metadata — no data is listed or read.
+    * Inherited files (same path in both manifests) are byte-identical by the
+    * commit contract (append/incremental/replace never touch them), so rows
+    * that changed between the two versions live ONLY in these lists — the
+    * basis of incremental consumption at O(changed files), Iceberg's
+    * incremental-scan analog on the metadata surface the reference provisions
+    * (`GetTableMetadataLocation`, reference src/dynamodb-zero-etl-s3tables
+    * .ts:99). */
+  def changedFilesBetween(fromVersion: Long, toVersion: Long = -1L)
+      : (Seq[String], Seq[String]) = {
+    val fv = resolveVersion(fromVersion)
+    val tv = resolveVersion(toVersion)
+    require(fv <= tv, s"changedFilesBetween: from=$fv is newer than to=$tv")
+    val fromSet = manifest(fv).files.toSet
+    val toSet = manifest(tv).files.toSet
+    (manifest(tv).files.filterNot(fromSet), manifest(fv).files.filterNot(toSet))
+  }
+
+  /** Incremental read: the rows of files ADDED between the two snapshots,
+    * under the newer snapshot's schema. For append-only history this is
+    * exactly the appended rows; cost is O(new files) at any table size — a
+    * downstream consumer can poll the table and process only what arrived,
+    * never rescanning the base. */
+  def readIncremental(fromVersion: Long, toVersion: Long = -1L): DataFrame = {
+    val tv = resolveVersion(toVersion)
+    val (added, _) = changedFilesBetween(fromVersion, tv)
+    readFiles(manifest(tv), added)
+  }
+
+  /** Row-level changelog between two snapshots of a keyed table: one row per
+    * changed key with `_change_type` INSERT / UPDATE / DELETE and the
+    * post-image payload (pre-image for DELETEs) — Iceberg's changelog scan,
+    * the shape a downstream CDC consumer replays.
+    *
+    * Scale contract: only files that DIFFER between the two manifests are
+    * read ([[changedFilesBetween]]). A key's rows live in its hash bucket and
+    * the CDC/row-level commit paths rewrite whole buckets (or whole files via
+    * [[commitReplaceFiles]]), so inherited byte-identical files cannot
+    * contain changes — the diff costs O(changed partitions) + one join
+    * shuffled on the key, not O(table). Rewritten-but-unchanged carry-over
+    * rows are dropped by a null-safe struct comparison of the full payload.
+    *
+    * Sound for tables where a key's rows never migrate between files without
+    * the old file leaving the manifest — true for every keyed commit path
+    * here (bucketed CDC, row-level DML, compact). A bare [[commitAppend]] of
+    * a key that already exists elsewhere reports that key as INSERT (append
+    * is a bag operation; keyed tables are maintained through the CDC paths). */
+  def readChangelog(fromVersion: Long, toVersion: Long = -1L,
+      keyCols: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val fv = resolveVersion(fromVersion)
+    val tv = resolveVersion(toVersion)
+    val fm = manifest(fv)
+    val tm = manifest(tv)
+    val keys = if (keyCols.nonEmpty) keyCols else tm.bucketKeys
+    require(keys.nonEmpty,
+      "changelog needs key columns: a bucketed table or explicit keyCols")
+    require(keys.forall(tm.schema.fieldNames.contains),
+      s"changelog keys $keys not in table schema")
+    val (added, removed) = changedFilesBetween(fv, tv)
+    // pre-image rows are read under their OWN manifest (schema + stats),
+    // then aligned to the newer schema: evolved columns NULL-pad, widened
+    // types up-cast — the same merge-on-read rules the table itself uses.
+    val pre0 = readFiles(fm, removed)
+    val pre = tm.schema.fields.foldLeft(pre0) { (df, f) =>
+      if (pre0.columns.contains(f.name))
+        df.withColumn(f.name, col(f.name).cast(f.dataType))
+      else df.withColumn(f.name, lit(null).cast(f.dataType))
+    }.select(tm.schema.fieldNames.map(col): _*)
+    val post = readFiles(tm, added)
+    val payload = tm.schema.fieldNames.filterNot(keys.contains).toSeq
+    val preR = pre.select(keys.map(col) ++
+      payload.map(c => col(c).as(s"_pre_$c")) :+
+      lit(true).as("_pre_exists"): _*)
+    val postR = post.select(keys.map(col) ++
+      payload.map(c => col(c).as(s"_post_$c")) :+
+      lit(true).as("_post_exists"): _*)
+    val j = postR.join(preR, keys, "full_outer")
+    val preImg = struct(payload.map(c => col(s"_pre_$c")): _*)
+    val postImg = struct(payload.map(c => col(s"_post_$c")): _*)
+    val changeType = when(col("_pre_exists").isNull, lit("INSERT"))
+      .when(col("_post_exists").isNull, lit("DELETE"))
+      .when(postImg <=> preImg, lit(null)) // carry-over: rewritten, unchanged
+      .otherwise(lit("UPDATE"))
+    j.withColumn("_change_type", changeType)
+      .filter(col("_change_type").isNotNull)
+      .select((col("_change_type") +: keys.map(col)) ++ payload.map(c =>
+        when(col("_change_type") === "DELETE", col(s"_pre_$c"))
+          .otherwise(col(s"_post_$c")).as(c)): _*)
+  }
+
   /** Paths (+ reader options) an EXTERNAL scanner (the V2 catalog's stock
     * parquet table) should read for snapshot `version`:
     *   - bucketed tables → ALWAYS the leaf files, even when they sit under a
@@ -546,8 +638,20 @@ class TableStore(val spark: SparkSession, val root: String) {
     val out = f.create(tmp, false)
     try out.write(m.toJson.getBytes("UTF-8")) finally out.close()
     val dest = new Path(manifestDir, s"v${m.version}.json")
-    // rename onto an existing manifest fails → optimistic-concurrency guard
-    if (f.exists(dest) || !f.rename(tmp, dest)) {
+    // Optimistic-concurrency guard. exists+rename alone is a TOCTOU window:
+    // POSIX rename() silently REPLACES an existing dest (LocalFileSystem),
+    // so two in-process racers could both pass the exists check and both
+    // "win", losing a commit. The per-root latch closes the window for every
+    // writer in this JVM (the local[n] reality); across processes the
+    // filesystem's own semantics still apply — HDFS rename is atomic
+    // no-replace, so the guard is complete there. The reference's analog is
+    // the PolicyHashCondition conditional put (lambda/catalog-policy-
+    // handler.js:60) — service-side conditional swap.
+    val latch = TableStore.commitLatch(fs.makeQualified(rootPath).toString)
+    val won = latch.synchronized {
+      !f.exists(dest) && f.rename(tmp, dest)
+    }
+    if (!won) {
       f.delete(tmp, false)
       throw new IllegalStateException(
         s"CAS conflict committing snapshot ${m.version} at $root")
@@ -567,6 +671,12 @@ object TableStore {
   private val stagingCounter = new java.util.concurrent.atomic.AtomicLong()
   private def stagingSuffix(): String =
     s"${System.nanoTime()}-${stagingCounter.incrementAndGet()}"
+
+  /** Per-root, per-process commit latch (see [[writeManifestAtomic]]). */
+  private val commitLatches =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def commitLatch(qualifiedRoot: String): Object =
+    commitLatches.computeIfAbsent(qualifiedRoot, _ => new Object)
 
   /** Derived hash-bucket partition column for incremental CDC tables. Never
     * stored in data files — reconstructible from the key columns. */
