@@ -33,6 +33,43 @@ object VecKernels {
     Array.fill(nPlanes)(Array.fill(dim)(rnd.nextGaussian()))
   }
 
+  /** v / ‖v‖₂ as doubles (spherical-k-means coordinates: cosine similarity
+    * becomes a plain dot product). Zero vectors map to zeros. Power-of-two
+    * scalings of v normalize bit-identically (the division is exact), which
+    * is what makes the planted-clone oracle construction deterministic. */
+  def normalize(v: Array[Float]): Array[Double] = {
+    var s = 0.0
+    var i = 0
+    while (i < v.length) { s += v(i).toDouble * v(i).toDouble; i += 1 }
+    val n = math.sqrt(s)
+    val out = new Array[Double](v.length)
+    if (n > 0) { i = 0; while (i < v.length) { out(i) = v(i) / n; i += 1 } }
+    out
+  }
+
+  def dotD(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** Index of the centroid with the highest dot product against `v`
+    * (spherical k-means assignment). Ties break to the LOWEST index (strict
+    * `>`), so bit-identical vectors always land in the same cluster. */
+  def nearestCentroid(v: Array[Double], cents: Array[Array[Double]]): Int = {
+    var best = 0
+    var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < cents.length) {
+      val d = dotD(v, cents(c))
+      if (d > bestDot) { bestDot = d; best = c }
+      c += 1
+    }
+    best
+  }
+
   /** Multi-band sign-LSH: bucket key of band `b` packs the sign bits of
     * planes [b*rowsPerBand, (b+1)*rowsPerBand). Independent bands trade one
     * 2^r bucketing for `bands` of them — collision probability for cosine

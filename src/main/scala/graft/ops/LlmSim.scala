@@ -104,6 +104,122 @@ object LlmSim {
     lshTopK(base.unionByName(planted), queryId = 0L, k = 20, dim = 64)
   }
 
+  /** Spherical k-means cluster assignment: Lloyd iterations expressed as
+    * map-side partial sums. Vectors are L2-normalized so cosine = dot
+    * product; centroids seed deterministically from the `clusters` lowest
+    * vec_ids; each iteration is ONE distributed pass producing per-partition
+    * (cluster, count, sum-vector) partials — the treeAggregate pattern, so
+    * driver traffic is O(partitions × clusters × dim) per iteration,
+    * independent of corpus size (the corpus itself is never collected).
+    * Empty clusters keep their previous centroid. Returns the final
+    * centroids; [[kmeansIvfTopK]] maps assignment back over the corpus.
+    *
+    * At 100 TB the centroid set (k×dim doubles) is still broadcast-sized —
+    * k-means-IVF is exactly the index structure FAISS/Spark-ANN use at that
+    * scale, and the per-iteration cost is one full scan with map-side
+    * combine, no shuffle of the corpus. */
+  def kmeansCentroids(unit: org.apache.spark.sql.Dataset[(Long, Array[Double])],
+      clusters: Int, iters: Int): Array[Array[Double]] = {
+    import unit.sparkSession.implicits._
+    val sc = unit.sparkSession.sparkContext
+    var cents: Array[Array[Double]] = unit.filter(_._1 < clusters)
+      .collect().sortBy(_._1).map(_._2)
+    require(cents.nonEmpty, "kmeans needs seed vectors with vec_id < clusters")
+    for (_ <- 1 to iters) {
+      val bc = sc.broadcast(cents)
+      val partials = unit.mapPartitions { it =>
+        val cs = bc.value
+        val dim = cs(0).length
+        val sums = Array.fill(cs.length)(new Array[Double](dim))
+        val cnts = new Array[Long](cs.length)
+        it.foreach { case (_, v) =>
+          val c = VecKernels.nearestCentroid(v, cs)
+          cnts(c) += 1
+          var i = 0
+          while (i < dim) { sums(c)(i) += v(i); i += 1 }
+        }
+        cnts.indices.iterator.filter(cnts(_) > 0)
+          .map(c => (c, cnts(c), sums(c)))
+      }.collect() // ≤ partitions × clusters rows of dim doubles — metadata-sized
+      val dim = cents(0).length
+      val sums = Array.fill(cents.length)(new Array[Double](dim))
+      val cnts = new Array[Long](cents.length)
+      partials.foreach { case (c, n, s) =>
+        cnts(c) += n
+        var i = 0
+        while (i < dim) { sums(c)(i) += s(i); i += 1 }
+      }
+      cents = cents.indices.map { c =>
+        if (cnts(c) == 0) cents(c)
+        else {
+          val mean = sums(c).map(_ / cnts(c))
+          val norm = math.sqrt(VecKernels.dotD(mean, mean))
+          if (norm > 0) mean.map(_ / norm) else cents(c)
+        }
+      }.toArray
+      bc.destroy()
+    }
+    cents
+  }
+
+  /** k-means-IVF ANN (north-star extension `sim_search_ivf_kmeans`): the
+    * classic IVF index — spherical k-means partitions the corpus into
+    * `clusters` cells; a probe scores ONLY the `nProbe` cells whose centroids
+    * are nearest the query. Complements the LSH variant (`sim_search_ivf`):
+    * k-means cells adapt to the data distribution where LSH buckets are
+    * data-oblivious. The query row stays distributed (1-row dataset →
+    * broadcast join), and at scale the cluster id becomes the on-disk
+    * partition key exactly like the LSH bucket (PlanShapeSpec demonstrates
+    * that pruning shape). */
+  def kmeansIvfTopK(emb: DataFrame, queryId: Long, k: Int, clusters: Int = 16,
+      iters: Int = 4, nProbe: Int = 2): DataFrame = {
+    import emb.sparkSession.implicits._
+    val sc = emb.sparkSession.sparkContext
+    val unit = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) => (id, VecKernels.normalize(v)) })
+    val cents = kmeansCentroids(unit, clusters, iters)
+    val bc = sc.broadcast(cents)
+    val assigned = unit.mapPartitions { it =>
+      val cs = bc.value
+      it.map { case (id, v) => (id, VecKernels.nearestCentroid(v, cs)) }
+    }.toDF("vec_id", "cluster")
+    // the query's nProbe nearest cells, computed distributed (1-row side)
+    val probes = unit.filter(_._1 == queryId).mapPartitions { it =>
+      val cs = bc.value
+      it.flatMap { case (_, q) =>
+        cs.indices.sortBy(c => (-VecKernels.dotD(q, cs(c)), c)).take(nProbe)
+      }
+    }.toDF("cluster")
+    val candIds = assigned.join(broadcast(probes), "cluster")
+      .filter(col("vec_id") =!= queryId)
+      .select("vec_id")
+    val qv = emb.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qv"))
+    scoreCosine(emb.join(candIds, "vec_id").crossJoin(broadcast(qv)))
+      .select(col("vec_id"), round(col("cos_raw"), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc_nulls_last, col("vec_id").asc_nulls_first)
+      .limit(k)
+  }
+
+  /** Registered entry with the same DETERMINISTIC planted-clone oracle as
+    * `sim_search_ivf`: clones at power-of-two magnitudes normalize
+    * bit-identically to the query, so every clone lands in the query's
+    * k-means cell (same argmax, same lowest-index tie-break) — which is
+    * always probed (nProbe ≥ 1). Recall of the planted top-20 is therefore
+    * structural whatever the clustering converges to, and the DuckDB
+    * brute-force oracle agrees exactly (cosine exactly 1.0 vs ≤0.60
+    * naturals). */
+  private val simSearchIvfKmeans: Q = (s, d) => {
+    val base = load(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    val planted = base.filter(col("vec_id") === 0)
+      .select(explode(sequence(lit(1), lit(20))).as("j"), col("embedding"))
+      .select((lit(10000000L) + col("j")).as("vec_id"),
+        transform(col("embedding"),
+          x => x * pow(lit(2.0), col("j")).cast("float")).as("embedding"))
+    kmeansIvfTopK(base.unionByName(planted), queryId = 0L, k = 20)
+  }
+
   /** Batch top-k (SURVEY §2.J extension `sim_search_batch`): k nearest
     * corpus vectors for EACH of a set of query vectors — the realistic ANN
     * serving shape. The query set broadcasts (small side), scoring is one
@@ -185,6 +301,7 @@ object LlmSim {
   val queries: Map[String, Q] = Map(
     "sim_search_topk" -> simSearchTopk,
     "sim_search_ivf" -> simSearchIvf,
+    "sim_search_ivf_kmeans" -> simSearchIvfKmeans,
     "sim_search_batch" -> simSearchBatch,
     "multimodal_schema" -> multimodalSchema,
     "multimodal_decode" -> multimodalDecode,
@@ -192,6 +309,28 @@ object LlmSim {
 
   val oracles: Map[String, String] = Map(
     "sim_search_ivf" ->
+      """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        |planted AS (
+        |  SELECT 10000000 + j AS vec_id,
+        |         LIST_TRANSFORM(q.embedding,
+        |           x -> x * CAST(POWER(2, j) AS FLOAT)) AS embedding
+        |  FROM q, generate_series(1, 20) t(j)),
+        |corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id, embedding FROM planted),
+        |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0)
+        |SELECT c.vec_id,
+        |  ROUND(LIST_DOT_PRODUCT(CAST(c.embedding AS DOUBLE[]), qv.v) /
+        |    (SQRT(LIST_DOT_PRODUCT(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))) *
+        |     SQRT(LIST_DOT_PRODUCT(qv.v, qv.v))), 6) AS cos_sim
+        |FROM corpus c, qv
+        |WHERE c.vec_id <> 0
+        |ORDER BY cos_sim DESC NULLS LAST, vec_id ASC NULLS FIRST
+        |LIMIT 20""".stripMargin,
+
+    // identical planted-clone construction to sim_search_ivf: the true top-20
+    // is the planted set (cosine exactly 1.0) whichever index finds it
+    "sim_search_ivf_kmeans" ->
       """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
         |planted AS (
         |  SELECT 10000000 + j AS vec_id,

@@ -110,6 +110,85 @@ object LlmText {
       .orderBy(col("doc_id").asc_nulls_first)
   }
 
+  /** Repetition metrics over any frame with (doc_id, text) — factored out so
+    * tests can feed planted repetitive docs. All outputs are exact integers
+    * (scaled 1e6, integer division) for cross-engine hash parity:
+    *   - `dup_token_frac_e6`   — 1 - distinct/total tokens (Gopher-style
+    *     duplicate-token fraction);
+    *   - `top_bigram_frac_e6`  — share of bigram-occurrence characters in the
+    *     modal bigram (Gopher "fraction of characters in most common 2-gram");
+    *     ties resolve by taking the max of count×length, deterministic in both
+    *     engines without naming a winner;
+    *   - `dup_bigram_frac_e6`  — share of bigram-occurrence characters in
+    *     bigrams occurring ≥2 times (Gopher "characters in duplicated
+    *     n-grams").
+    * Denominator is total bigram-occurrence characters, so both fractions are
+    * closed in [0, 1e6].
+    *
+    * Scale: map-only projection, zero shuffle, no skew. Per-row cost is
+    * O(distinct-bigrams × doc-length) from the nested HOF scan — ~10⁶ ops for
+    * a 1k-token web doc, fine for corpus filtering; for book-length outliers,
+    * cap with substring(text, 1, N) upstream rather than shuffling an
+    * explode+groupBy formulation (which would move the whole corpus). */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    val t = toks(col("text"))
+    val nTok = size(t).cast("long")
+    val nDist = size(array_distinct(t)).cast("long")
+    val bg = when(size(t) >= 2,
+      transform(sequence(lit(1), size(t) - 1),
+        i => concat_ws(" ", element_at(t, i), element_at(t, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    docs
+      .withColumn("n_tokens", nTok)
+      .withColumn("n_dist", nDist)
+      .withColumn("_bg", bg)
+      .withColumn("_occ", transform(array_distinct(col("_bg")), x =>
+        (size(filter(col("_bg"), y => y === x)) * length(x)).cast("long")))
+      .withColumn("_dup_occ", transform(array_distinct(col("_bg")), x =>
+        when(size(filter(col("_bg"), y => y === x)) >= 2,
+          (size(filter(col("_bg"), y => y === x)) * length(x)).cast("long"))
+          .otherwise(lit(0L))))
+      .withColumn("bg_chars",
+        coalesce(aggregate(col("_occ"), lit(0L), (a, x) => a + x), lit(0L)))
+      .withColumn("top_chars", coalesce(array_max(col("_occ")), lit(0L)))
+      .withColumn("dup_chars",
+        coalesce(aggregate(col("_dup_occ"), lit(0L), (a, x) => a + x), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"),
+        when(col("n_tokens") > 0,
+          expr("1000000L * (n_tokens - n_dist) div n_tokens")).otherwise(lit(0L))
+          .as("dup_token_frac_e6"),
+        when(col("bg_chars") > 0,
+          expr("1000000L * top_chars div bg_chars")).otherwise(lit(0L))
+          .as("top_bigram_frac_e6"),
+        when(col("bg_chars") > 0,
+          expr("1000000L * dup_chars div bg_chars")).otherwise(lit(0L))
+          .as("dup_bigram_frac_e6"))
+  }
+
+  /** Gopher-style repetition filters (north-star extension
+    * `text_repetition`): see [[repetitionStats]]. */
+  private val textRepetition: Q = (s, d) =>
+    repetitionStats(load(s, d, "documents"))
+      .orderBy(col("doc_id").asc_nulls_first)
+
+  /** Deterministic engine-portable train/val/test assignment (north-star
+    * extension `split_train_test`): bucket = first hex byte of
+    * md5(doc_id-as-string), split by byte thresholds 0xcc/0xe6 →
+    * 204/26/26 of 256 ≈ 79.7% / 10.2% / 10.2%. The assignment is a pure
+    * function of the row key — stable under re-partitioning, re-ingestion,
+    * cluster size, and engine (md5 hex is identical everywhere), which is the
+    * property a training pipeline needs so that test docs NEVER migrate into
+    * train between runs. Map-only, zero shuffle. */
+  private val splitTrainTest: Q = (s, d) => {
+    val bucket = substring(md5(col("doc_id").cast("string")), 1, 2)
+    load(s, d, "documents")
+      .select(col("doc_id"), bucket.as("hash_bucket"),
+        when(bucket < "cc", lit("train"))
+          .when(bucket < "e6", lit("val"))
+          .otherwise(lit("test")).as("split"))
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+
   /** End-to-end corpus cleaning (north-star composite
     * `pipeline_clean_corpus`): the flow a real training-data pipeline runs
     * over raw documents —
@@ -156,6 +235,8 @@ object LlmText {
     "text_quality" -> textQuality,
     "text_langid" -> textLangid,
     "text_fingerprint" -> textFingerprint,
+    "text_repetition" -> textRepetition,
+    "split_train_test" -> splitTrainTest,
     "pipeline_clean_corpus" -> pipelineCleanCorpus,
   )
 
@@ -255,6 +336,50 @@ object LlmText {
          |SELECT doc_id, source, n_tokens, quality_score_e6
          |FROM k WHERE rn = 1
          |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, REGEXP_EXTRACT_ALL(LOWER(text), '\S+') AS toks
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id,
+        |    CAST(LEN(toks) AS BIGINT) AS n_tokens,
+        |    CAST(LEN(LIST_DISTINCT(toks)) AS BIGINT) AS n_dist,
+        |    CASE WHEN LEN(toks) >= 2 THEN
+        |      LIST_TRANSFORM(RANGE(1, LEN(toks)), i -> toks[i] || ' ' || toks[i+1])
+        |    ELSE CAST([] AS VARCHAR[]) END AS bg
+        |  FROM t
+        |), o AS (
+        |  SELECT doc_id, n_tokens, n_dist,
+        |    LIST_TRANSFORM(LIST_DISTINCT(bg),
+        |      x -> CAST(LEN(LIST_FILTER(bg, y -> y = x)) * LENGTH(x) AS BIGINT)) AS occ,
+        |    LIST_TRANSFORM(LIST_DISTINCT(bg),
+        |      x -> CASE WHEN LEN(LIST_FILTER(bg, y -> y = x)) >= 2
+        |        THEN CAST(LEN(LIST_FILTER(bg, y -> y = x)) * LENGTH(x) AS BIGINT)
+        |        ELSE 0 END) AS dup_occ
+        |  FROM b
+        |), m AS (
+        |  SELECT doc_id, n_tokens, n_dist,
+        |    CAST(COALESCE(LIST_SUM(occ), 0) AS BIGINT) AS bg_chars,
+        |    CAST(COALESCE(LIST_AGGREGATE(occ, 'max'), 0) AS BIGINT) AS top_chars,
+        |    CAST(COALESCE(LIST_SUM(dup_occ), 0) AS BIGINT) AS dup_chars
+        |  FROM o
+        |)
+        |SELECT doc_id, n_tokens,
+        |  CASE WHEN n_tokens > 0 THEN 1000000 * (n_tokens - n_dist) // n_tokens ELSE 0 END AS dup_token_frac_e6,
+        |  CASE WHEN bg_chars > 0 THEN 1000000 * top_chars // bg_chars ELSE 0 END AS top_bigram_frac_e6,
+        |  CASE WHEN bg_chars > 0 THEN 1000000 * dup_chars // bg_chars ELSE 0 END AS dup_bigram_frac_e6
+        |FROM m ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "split_train_test" ->
+      """WITH b AS (
+        |  SELECT doc_id, SUBSTR(MD5(CAST(doc_id AS VARCHAR)), 1, 2) AS hash_bucket
+        |  FROM documents)
+        |SELECT doc_id, hash_bucket,
+        |  CASE WHEN hash_bucket < 'cc' THEN 'train'
+        |       WHEN hash_bucket < 'e6' THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM b ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
 
     "text_fingerprint" ->
       """SELECT doc_id,

@@ -165,6 +165,70 @@ class LlmOpsSpec extends SparkSuite {
     assert(sameCluster >= 8, s"only $sameCluster/10 from the query's cluster")
   }
 
+  test("kmeans IVF recalls clustered neighbors and prunes the corpus") {
+    // Same planted-cluster corpus as the LSH test: 5 well-separated centers,
+    // ids ≡ c mod 5. The IVF probe must recover clustermates AND touch only
+    // the probed cells (pruning is the point of the index).
+    val rnd = new scala.util.Random(7)
+    val centers = Array.fill(5)(Array.fill(64)(rnd.nextGaussian()))
+    val vecs = (0 until 100).map { i =>
+      val c = centers(i % 5)
+      (i.toLong, c.map(x => (x + rnd.nextGaussian() * 0.15).toFloat))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val approx = LlmSim.kmeansIvfTopK(emb, queryId = 0L, k = 10,
+      clusters = 8, iters = 4, nProbe = 2).select("vec_id").as[Long].collect()
+    val sameCluster = approx.count(_ % 5 == 0)
+    assert(sameCluster >= 8, s"only $sameCluster/10 from the query's cluster")
+    // pruning: with 8 cells over 5 tight clusters, 2 probed cells must hold
+    // strictly less than the full corpus
+    val unit = emb.select(col("vec_id"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) =>
+        (id, graft.functions.VecKernels.normalize(v)) })
+    val cents = LlmSim.kmeansCentroids(unit, clusters = 8, iters = 4)
+    val sizes = unit.mapPartitions(_.map { case (_, v) =>
+      graft.functions.VecKernels.nearestCentroid(v, cents) })
+      .groupByKey(identity).count().collect().toMap
+    assert(sizes.size >= 2, "kmeans collapsed to a single cell")
+    val probedMax = sizes.values.toSeq.sorted.takeRight(2).sum
+    assert(probedMax < 100, s"2 largest cells hold the whole corpus: $sizes")
+  }
+
+  test("repetition metrics: planted repetitive vs diverse docs") {
+    val docs = Seq(
+      (1L, "a a a a"),       // 4 tokens, 1 distinct; one bigram "a a" ×3
+      (2L, "w x y z"),       // all distinct; 3 distinct bigrams, each once
+      (3L, "go go stop go go stop"), // heavy bigram repetition
+      (4L, ""),              // empty: all zeros, no div-by-zero
+    ).toDF("doc_id", "text")
+    val m = graft.ops.LlmText.repetitionStats(docs)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // doc 1: dup_token = 1e6*(4-1)/4; "a a": occ 3×len3=9 of 9 total
+    assert(m(0) == (1L, 4L, 750000L, 1000000L, 1000000L))
+    // doc 2: no repetition anywhere; 3 bigrams à 3 chars, top 3/9
+    assert(m(1) == (2L, 4L, 0L, 333333L, 0L))
+    // doc 3: 6 tokens 2 distinct; bigrams: "go go"×2(5), "go stop"×2(7), "stop go"×1(7)
+    // occ chars: 10+14+7=31, top 14, dup 24
+    assert(m(2) == (3L, 6L, 666666L, 451612L, 774193L))
+    // doc 4: zeros everywhere
+    assert(m(3) == (4L, 0L, 0L, 0L, 0L))
+  }
+
+  test("hash split is deterministic, complete, and near 80/10/10") {
+    val q = graft.SparkEntry.queries("split_train_test")
+    val a = q(spark, sfDir).as[(Long, String, String)].collect()
+    val b = q(spark, sfDir).as[(Long, String, String)].collect()
+    assert(a.toSeq == b.toSeq, "split assignment changed between runs")
+    val n = a.length.toDouble
+    val frac = a.groupBy(_._3).view.mapValues(_.length / n).toMap
+    assert(frac.keySet == Set("train", "val", "test"))
+    assert(math.abs(frac("train") - 204.0 / 256) < 0.06, s"train=${frac("train")}")
+    assert(math.abs(frac("val") - 26.0 / 256) < 0.05, s"val=${frac("val")}")
+    assert(math.abs(frac("test") - 26.0 / 256) < 0.05, s"test=${frac("test")}")
+  }
+
   test("approx_count_distinct is within rsd bounds of the exact count") {
     val li = Tables.load(spark, sfDir, "lineitem")
     val exact = li.select(countDistinct(col("l_orderkey"))).as[Long].head()
