@@ -169,7 +169,36 @@ object CdcStreamOps {
       .orderBy(col("user_id").asc_nulls_first, col("event_id").asc_nulls_first)
   }
 
+  /** The graft-table Structured-Streaming source end-to-end (north-star
+    * streaming-consumption shape): three commits land on a snapshot table;
+    * a stream started AT version 1 (`streaming.start-version`) follows the
+    * manifest chain and emits exactly the rows of generations 1 and 2 — the
+    * base generation is never read, let alone rescanned. AvailableNow +
+    * memory sink keep the run bounded and deterministic; the oracle is the
+    * same two generations derived relationally. */
+  private val streamTableFeed: Q = (s, d) => {
+    val o = load(s, d, "orders")
+    val k = col("o_orderkey")
+    val store = new graft.store.TableStore(
+      s, graft.util.Scratch.dir("stream_table_feed"))
+    store.commitSnapshot(o.filter(k % 3 === 1))
+    store.commitAppend(o.filter(k % 3 === 2))
+    store.commitAppend(o.filter(k % 3 === 0))
+    val qname = "stream_table_feed_" +
+      java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = s.readStream.format(classOf[graft.sources.GraftTableProvider].getName)
+      .option("path", store.root)
+      .option("streaming.start-version", "1")
+      .load()
+      .writeStream.format("memory").queryName(qname)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.table(qname).orderBy(k.asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
+    "stream_table_feed" -> streamTableFeed,
     "cdc_apply" -> cdcApply,
     "cdc_apply_evolve" -> cdcApplyEvolve,
     "stream_tumbling_window" -> tumbling,
@@ -181,6 +210,11 @@ object CdcStreamOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_table_feed" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders WHERE o_orderkey % 3 <> 1
+        |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+
     "cdc_apply" ->
       """WITH survivors AS (
         |  SELECT o_orderkey,

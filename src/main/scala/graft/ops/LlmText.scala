@@ -189,6 +189,60 @@ object LlmText {
       .orderBy(col("doc_id").asc_nulls_first)
   }
 
+  /** Pretraining sequence packing (north-star extension
+    * `pipeline_pack_sequences`): concatenate documents in (source, doc_id)
+    * order and cut the token stream at fixed context-length boundaries
+    * (C = 512) — the standard packing model where documents split across
+    * sequence boundaries rather than leaving pad waste. Emits, per doc, its
+    * token interval in the stream and the first/last sequence it lands in —
+    * what a packing writer needs to materialize shards.
+    *
+    * Scale: one window (running sum) per source partition — identical
+    * shuffle shape to `win_running_sum`; all arithmetic is exact integers.
+    * Sources are independent streams, so at 100 TB each packs in parallel;
+    * skew follows source size, the same partitioning knob as any per-source
+    * window. */
+  private val pipelinePackSequences: Q = (s, d) => {
+    val C = 512L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    load(s, d, "documents")
+      .withColumn("n_tokens", size(toks(col("text"))).cast("long"))
+      .withColumn("start_offset",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .select(col("doc_id"), col("source"), col("n_tokens"), col("start_offset"),
+        expr(s"start_offset div $C").as("first_seq"),
+        when(col("n_tokens") > 0,
+          expr(s"(start_offset + n_tokens - 1) div $C"))
+          .otherwise(expr(s"start_offset div $C")).as("last_seq"))
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+
+  /** Sliding-window token chunking (north-star extension `text_chunk`): the
+    * RAG / long-context ingestion shape — 128-token windows with a 96-token
+    * stride (32 overlap), one output row per chunk, chunk content carried as
+    * an md5 digest (comparator-safe; the text itself regenerates from
+    * doc_id + chunk_id). Map-side generate — `explode` runs inside the scan
+    * stage, no shuffle, no skew beyond doc length. */
+  private val textChunk: Q = (s, d) => {
+    val size_ = 128
+    val step = 96
+    val t = toks(col("text"))
+    load(s, d, "documents")
+      .withColumn("n_tokens", size(t).cast("long"))
+      .withColumn("chunk_id", explode(when(col("n_tokens") > 0,
+        sequence(lit(0L), expr(s"(n_tokens - 1) div $step")))
+        .otherwise(array().cast("array<long>"))))
+      .select(col("doc_id"), col("chunk_id"),
+        least(lit(size_.toLong), col("n_tokens") - col("chunk_id") * step)
+          .as("n_chunk_tokens"),
+        md5(concat_ws(" ",
+          slice(t, (col("chunk_id") * step + 1).cast("int"), lit(size_))))
+          .as("chunk_md5"))
+      .orderBy(col("doc_id").asc_nulls_first, col("chunk_id").asc_nulls_first)
+  }
+
   /** End-to-end corpus cleaning (north-star composite
     * `pipeline_clean_corpus`): the flow a real training-data pipeline runs
     * over raw documents —
@@ -237,6 +291,8 @@ object LlmText {
     "text_fingerprint" -> textFingerprint,
     "text_repetition" -> textRepetition,
     "split_train_test" -> splitTrainTest,
+    "pipeline_pack_sequences" -> pipelinePackSequences,
+    "text_chunk" -> textChunk,
     "pipeline_clean_corpus" -> pipelineCleanCorpus,
   )
 
@@ -370,6 +426,38 @@ object LlmText {
         |  CASE WHEN bg_chars > 0 THEN 1000000 * top_chars // bg_chars ELSE 0 END AS top_bigram_frac_e6,
         |  CASE WHEN bg_chars > 0 THEN 1000000 * dup_chars // bg_chars ELSE 0 END AS dup_bigram_frac_e6
         |FROM m ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "pipeline_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '\S+')) AS BIGINT) AS n_tokens
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, source, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_offset
+        |  FROM t
+        |)
+        |SELECT doc_id, source, n_tokens, start_offset,
+        |  start_offset // 512 AS first_seq,
+        |  CASE WHEN n_tokens > 0 THEN (start_offset + n_tokens - 1) // 512
+        |       ELSE start_offset // 512 END AS last_seq
+        |FROM c ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "text_chunk" ->
+      """WITH t AS (
+        |  SELECT doc_id, REGEXP_EXTRACT_ALL(LOWER(text), '\S+') AS toks
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, toks, CAST(LEN(toks) AS BIGINT) AS n_tokens,
+        |    UNNEST(RANGE(0, CASE WHEN LEN(toks) > 0
+        |      THEN (LEN(toks) - 1) // 96 + 1 ELSE 0 END)) AS chunk_id
+        |  FROM t
+        |)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(LEAST(128, n_tokens - chunk_id * 96) AS BIGINT) AS n_chunk_tokens,
+        |  MD5(ARRAY_TO_STRING(toks[chunk_id * 96 + 1 : chunk_id * 96 + 128], ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id ASC NULLS FIRST, chunk_id ASC NULLS FIRST""".stripMargin,
 
     "split_train_test" ->
       """WITH b AS (

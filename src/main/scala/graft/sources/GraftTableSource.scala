@@ -1,0 +1,213 @@
+package graft.sources
+
+import java.util
+
+import org.apache.spark.paths.SparkPath
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.execution.datasources.PartitionedFile
+import org.apache.spark.sql.graftbridge.FileReadBridge
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.store.TableStore
+
+/** Structured-Streaming source over a [[TableStore]] table: follow a graft
+  * table as a stream, each micro-batch consuming EXACTLY the data files added
+  * by commits since the last processed snapshot — Iceberg's Spark streaming
+  * read (`spark.readStream.format("iceberg")`) re-expressed over the manifest
+  * chain, completing the loop the reference provisions: the continuous CDC
+  * feed lands commits (reference src/dynamodb-zero-etl-s3tables.ts:211-215),
+  * and downstream consumers follow the table without rescanning it.
+  *
+  * {{{
+  *   spark.readStream.format("graft-table")
+  *     .option("path", tableRoot)
+  *     .option("streaming.start-version", "latest")   // or a version, or omit for genesis
+  *     .load()
+  * }}}
+  *
+  * Offsets are snapshot versions (exactly-once via the checkpoint: a batch is
+  * the half-open version interval (start, end]). Commit walk is per-version,
+  * so each micro-batch maps 1:1 to table commits unless
+  * `streaming.max-versions-per-trigger` batches several.
+  *
+  * Scale contract: planning reads manifests only — O(#commits) driver work,
+  * never a file listing; a batch's read volume is O(files added), never
+  * O(table). Append/incremental commits inherit parent files at identical
+  * paths, so "added" is precisely the new data. REWRITE commits (compaction,
+  * CDC bucket rewrites) would re-emit carried-over rows; the stream fails on
+  * them by default, or skips them wholesale with
+  * `streaming.skip-rewrites=true` — the same semantics as Iceberg's
+  * `streaming-skip-overwrite-snapshots`. For row-level change consumption use
+  * [[TableStore.readChangelog]] instead.
+  */
+class GraftTableProvider extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-table"
+
+  private def storeFor(path: String): TableStore = {
+    require(path != null,
+      "graft-table source requires .option(\"path\", <table root>)")
+    new TableStore(SparkSession.active, path)
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val store = storeFor(options.get("path"))
+    val v = store.currentVersion()
+    require(v >= 0, s"graft-table stream: no committed snapshot at ${store.root}")
+    store.manifest(v).schema
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new GraftStreamTable(properties.get("path"), schema)
+}
+
+private[sources] class GraftStreamTable(root: String, tableSchema: StructType)
+    extends Table with SupportsRead {
+  override def name(): String = s"graft-table:$root"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = tableSchema
+        override def description(): String = s"GraftTableStream $root"
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new GraftMicroBatchStream(root, tableSchema, options)
+      }
+    }
+}
+
+/** Offset = highest snapshot version consumed (-1 = nothing yet). */
+private[sources] case class GraftOffset(version: Long) extends Offset {
+  override def json(): String = version.toString
+}
+
+private[sources] case class GraftFilePartition(file: PartitionedFile)
+    extends InputPartition
+
+/** Executes the shipped V1 reader closure per file — the same closure
+  * `FileScanRDD` runs, so vectorization and type handling match the batch
+  * read path. */
+private[sources] class GraftFileReaderFactory(
+    readFn: PartitionedFile => Iterator[InternalRow])
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val rows = FileReadBridge.rows(readFn, p.asInstanceOf[GraftFilePartition].file)
+    new PartitionReader[InternalRow] {
+      private var cur: InternalRow = _
+      override def next(): Boolean =
+        if (rows.hasNext) { cur = rows.next(); true } else false
+      override def get(): InternalRow = cur
+      override def close(): Unit = ()
+    }
+  }
+}
+
+private[sources] class GraftMicroBatchStream(root: String, schema: StructType,
+    options: CaseInsensitiveStringMap)
+    extends MicroBatchStream with SupportsAdmissionControl
+    with SupportsTriggerAvailableNow {
+
+  private def spark = SparkSession.active
+  private def store = new TableStore(spark, root)
+
+  private val skipRewrites = options.getBoolean("streaming.skip-rewrites", false)
+  private val maxVersionsPerTrigger: Option[Int] =
+    Option(options.get("streaming.max-versions-per-trigger")).map(_.toInt)
+
+  /** Version history already consumed when the stream starts: everything up
+    * to and including this version is NOT emitted. Default genesis (-1 —
+    * the whole retained history streams through, availableNow-friendly);
+    * `latest` pins to the current snapshot (only new commits stream);
+    * a number N starts consumption AT version N. */
+  private val startVersion: Long =
+    Option(options.get("streaming.start-version")) match {
+      case Some("latest") => store.currentVersion()
+      case Some(v) => v.toLong - 1
+      case None => -1L
+    }
+
+  override def initialOffset(): Offset = GraftOffset(startVersion)
+
+  override def deserializeOffset(json: String): Offset =
+    GraftOffset(json.trim.toLong)
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
+
+  /** Trigger.AvailableNow: pin the end target at trigger time; rate-limited
+    * batches keep stepping toward it, then the query terminates. */
+  private var availableNowTarget: Option[Long] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(store.currentVersion())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val s = start.asInstanceOf[GraftOffset].version
+    val stepped = maxVersionsPerTrigger match {
+      case Some(n) =>
+        val vs = store.existingVersions().filter(_ > s).take(n)
+        if (vs.isEmpty) s else vs.last
+      case None => math.max(store.currentVersion(), s)
+    }
+    GraftOffset(availableNowTarget.fold(stepped)(t => math.min(stepped, math.max(t, s))))
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftOffset].version
+    val e = end.asInstanceOf[GraftOffset].version
+    if (e <= s) return Array.empty
+    val st = store
+    val versions = st.existingVersions().filter(v => v > s && v <= e)
+    var prev: Set[String] =
+      if (s < 0) Set.empty[String]
+      else {
+        require(st.existingVersions().contains(s),
+          s"stream start snapshot $s of $root was vacuumed; " +
+            "restart the stream from a retained snapshot")
+        st.manifest(s).files.toSet
+      }
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = Array.newBuilder[InputPartition]
+    versions.foreach { v =>
+      val m = st.manifest(v)
+      val cur = m.files.toSet
+      val removed = prev.exists(f => !cur.contains(f))
+      if (!removed) {
+        m.files.filterNot(prev).foreach { f =>
+          val stat = m.stats.get(f)
+          val bytes = stat.map(_.bytes).getOrElse(
+            fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen)
+          val mod = stat.map(_.modTime).getOrElse(0L)
+          out += GraftFilePartition(PartitionedFile(InternalRow.empty,
+            SparkPath.fromPathString(f), 0, bytes, Array.empty, mod, bytes))
+        }
+      } else if (!skipRewrites)
+        throw new IllegalStateException(
+          s"snapshot $v of $root rewrites data files (compaction / CDC bucket " +
+            "rewrite); the streaming read is append-only. Set option " +
+            "streaming.skip-rewrites=true to skip rewrite commits (their rows " +
+            "are NOT emitted), or consume row-level changes via readChangelog.")
+      prev = cur
+    }
+    out.result()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftFileReaderFactory(FileReadBridge.parquetReadFn(spark, schema))
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}

@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+
+import graft.store.TableStore
+
+/** The graft-table Structured-Streaming source: snapshot versions as offsets,
+  * micro-batches reading exactly the files added by new commits. */
+class GraftStreamSourceSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshStore(): TableStore = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_streamsrc").toString
+    new TableStore(spark, dir)
+  }
+
+  private def readTable(store: TableStore, opts: Map[String, String] = Map.empty) = {
+    val r = spark.readStream.format(classOf[graft.sources.GraftTableProvider].getName)
+      .option("path", store.root)
+    opts.foldLeft(r) { case (b, (k, v)) => b.option(k, v) }.load()
+  }
+
+  test("micro-batches consume exactly the files added by each commit") {
+    val store = freshStore()
+    store.commitSnapshot((1L to 40L).map(i => (i, s"v$i")).toDF("k", "v"))
+    val q = readTable(store).writeStream.format("memory")
+      .queryName("feed_inc").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("feed_inc").count() == 40)
+      store.commitAppend((41L to 55L).map(i => (i, s"v$i")).toDF("k", "v"))
+      q.processAllAvailable()
+      assert(spark.table("feed_inc").count() == 55)
+      // incrementality: the second batch carried ONLY the appended rows
+      val lastBatchRows = q.recentProgress.filter(_.numInputRows > 0).last.numInputRows
+      assert(lastBatchRows == 15, s"last batch read $lastBatchRows rows, not the 15 appended")
+      val all = spark.table("feed_inc").as[(Long, String)].collect().sorted
+      assert(all.toSeq == (1L to 55L).map(i => (i, s"v$i")))
+    } finally q.stop()
+  }
+
+  test("start-version=latest emits only commits after stream start") {
+    val store = freshStore()
+    store.commitSnapshot((1L to 30L).map(i => (i, i * 2)).toDF("k", "x"))
+    val q = readTable(store, Map("streaming.start-version" -> "latest"))
+      .writeStream.format("memory").queryName("feed_latest").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("feed_latest").count() == 0, "base rows must not replay")
+      store.commitAppend(Seq((100L, 7L), (101L, 9L)).toDF("k", "x"))
+      q.processAllAvailable()
+      assert(spark.table("feed_latest").as[(Long, Long)].collect().sorted.toSeq ==
+        Seq((100L, 7L), (101L, 9L)))
+    } finally q.stop()
+  }
+
+  test("rewrite commits fail the stream unless skip-rewrites is set") {
+    val store = freshStore()
+    store.commitSnapshot((1L to 20L).map(i => (i, s"v$i")).toDF("k", "v"))
+    val q = readTable(store).writeStream.format("memory")
+      .queryName("feed_rw").start()
+    try {
+      q.processAllAvailable()
+      store.compact(targetFiles = 1) // rewrites every file
+      val e = intercept[StreamingQueryException] { q.processAllAvailable() }
+      assert(e.getMessage.contains("rewrites data files") ||
+        Option(e.getCause).exists(_.getMessage.contains("rewrites data files")))
+    } finally q.stop()
+    // with skip-rewrites: the compaction is skipped wholesale, later appends flow
+    val q2 = readTable(store, Map("streaming.skip-rewrites" -> "true",
+        "streaming.start-version" -> "latest"))
+      .writeStream.format("memory").queryName("feed_rw2").start()
+    try {
+      q2.processAllAvailable()
+      store.compact(targetFiles = 2)
+      store.commitAppend(Seq((100L, "new")).toDF("k", "v"))
+      q2.processAllAvailable()
+      assert(spark.table("feed_rw2").as[(Long, String)].collect().toSeq ==
+        Seq((100L, "new")))
+    } finally q2.stop()
+  }
+
+  test("max-versions-per-trigger paces a backlog into per-commit batches") {
+    val store = freshStore()
+    store.commitSnapshot(Seq((1L, "a")).toDF("k", "v"))
+    store.commitAppend(Seq((2L, "b")).toDF("k", "v"))
+    store.commitAppend(Seq((3L, "c")).toDF("k", "v"))
+    val q = readTable(store, Map("streaming.max-versions-per-trigger" -> "1"))
+      .writeStream.format("memory").queryName("feed_paced")
+      .trigger(Trigger.AvailableNow()).start()
+    try {
+      q.awaitTermination(60000)
+      assert(spark.table("feed_paced").as[(Long, String)].collect().sorted.toSeq ==
+        Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    } finally q.stop()
+  }
+
+  test("stream schema NULL-pads files written before a schema evolution") {
+    val store = freshStore()
+    store.commitSnapshot((1L to 5L).map(i => (i, s"v$i")).toDF("k", "v"))
+    store.commitSchemaOnly(org.apache.spark.sql.types.StructType(
+      store.manifest(store.currentVersion()).schema.fields :+
+        org.apache.spark.sql.types.StructField("extra",
+          org.apache.spark.sql.types.LongType)))
+    store.commitAppend((6L to 8L).map(i => (i, s"v$i", i * 10)).toDF("k", "v", "extra"))
+    val q = readTable(store).writeStream.format("memory")
+      .queryName("feed_evolve").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("feed_evolve").as[(Long, String, Option[Long])]
+        .collect().sortBy(_._1)
+      assert(got.toSeq == (1L to 5L).map(i => (i, s"v$i", None)) ++
+        (6L to 8L).map(i => (i, s"v$i", Some(i * 10))))
+    } finally q.stop()
+  }
+}
