@@ -107,6 +107,37 @@ class PlanShapeSpec extends SparkSuite {
     assert("PushedFilters: \\[[^\\]]*b0".r.findFirstIn(p).isEmpty, p)
   }
 
+  test("kmeans cell as on-disk partition key: the IVF probe scan prunes partitions") {
+    // sim_search_ivf_kmeans' documented 100 TB path (LlmSim.scala): persist
+    // the corpus partitioned by its k-means cell via TableStore; a probe
+    // restricted to its nProbe cells must prune at the PARTITION level.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.functions.VecKernels
+    import graft.ops.LlmSim
+    val unit = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .mapPartitions(_.map { case (id, v) => (id, VecKernels.normalize(v)) })
+    val cents = LlmSim.kmeansCentroids(unit, clusters = 8, iters = 2)
+    val bc = spark.sparkContext.broadcast(cents)
+    val indexed = Tables.load(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding")).as[(Long, Array[Float])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, v) =>
+          (id, v, VecKernels.nearestCentroid(VecKernels.normalize(v), cs).toLong)
+        }
+      }.toDF("vec_id", "embedding", "cell")
+    val store = new graft.store.TableStore(spark, graft.util.Scratch.dir("kmeans_index"))
+    store.commitSnapshot(indexed, partitionBy = Seq("cell"))
+    val probe = store.readSnapshot().filter(col("cell").isin(2L, 5L))
+    val p = probe.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: ["), p)
+    assert("PartitionFilters: \\[[^\\]]*cell".r.findFirstIn(p).nonEmpty,
+      s"cell predicate did not reach PartitionFilters:\n$p")
+    assert("PushedFilters: \\[[^\\]]*cell".r.findFirstIn(p).isEmpty, p)
+  }
+
   test("flagship entry smoke: rows > 0 (driver t1)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
