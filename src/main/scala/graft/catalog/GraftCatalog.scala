@@ -75,10 +75,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // several snap dirs (file reuse); a single-dir manifest scans its root;
     // bucketed tables always scan leaf files so the derived `_gbucket`
     // layout never surfaces as a discovered partition column
-    val (paths, opts) = store.scanPaths(v)
+    val paths = store.scanPaths(v)
     new SnapshotTable(ParquetTableBridge.create(
       s"$catalogName.${ident.namespace.mkString(".")}.${ident.name}@v$v",
-      spark, paths, m.schema, opts), store, m)
+      spark, paths, m.schema), store, m)
   }
 
   override def loadTable(ident: Identifier): Table =
@@ -195,7 +195,12 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     val metadataOnly = m.schema.fields.forall { f =>
       val nf = schema.fields.find(_.name == f.name)
-      nf.exists(g => TableStore.mergeOnReadWiden(f.dataType, g.dataType))
+      // bucket keys must keep their exact type in a metadata-only commit:
+      // row placement hashes the TYPED key value (see commitIncremental);
+      // a key widening falls through to the rewrite branch, which rebuckets
+      nf.exists(g =>
+        if (m.bucketKeys.contains(f.name)) g.dataType == f.dataType
+        else TableStore.mergeOnReadWiden(f.dataType, g.dataType))
     }
     if (metadataOnly) store.commitSchemaOnly(schema, expectedParent = Some(current))
     else {
@@ -432,7 +437,12 @@ private[catalog] final class MetaTable(tableName: String, tableSchema: StructTyp
   * whose bounds prove no row can match, and (b) forwarded to the inner
   * parquet builder for row-group/page skipping. EVERY filter is also
   * returned as post-scan, so Spark keeps the Filter node above the scan —
-  * correctness never depends on the pruning. */
+  * that guards against a row slipping through pushdown, but NOT against a
+  * wrongly dropped file: a file the pruner excludes is never read, so its
+  * rows are unrecoverable downstream. Soundness therefore rests entirely on
+  * [[graft.store.FileStats.mightMatch]] being conservative (it returns
+  * false only when bounds PROVE no row can match; any unusable bound or
+  * unmodeled expression keeps the file). */
 private[catalog] final class StatsPruningScanBuilder(name: String,
     store: TableStore, m: TableStore.Manifest,
     options: CaseInsensitiveStringMap) extends ScanBuilder

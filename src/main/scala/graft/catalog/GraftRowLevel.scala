@@ -118,7 +118,7 @@ private[catalog] final class CowScanBuilder(store: TableStore, version: Long,
       if (cond.isEmpty) m.files
       else m.files.filter(f => m.stats.get(f).forall(st =>
         graft.store.FileStats.mightMatch(st, m.schema, cond)))
-    val (groups, paths, opts) =
+    val (groups, paths) =
       if (m.bucketKeys.nonEmpty) {
         val statsBuckets = candidates.flatMap(TableStore.bucketOfFile).toSet
         val touched =
@@ -127,18 +127,14 @@ private[catalog] final class CowScanBuilder(store: TableStore, version: Long,
             case None => statsBuckets
           }
         (CowBuckets(touched),
-          m.files.filter(f => TableStore.bucketOfFile(f).exists(touched)),
-          Map.empty[String, String])
-      } else if (schemaParts.nonEmpty) {
-        val (p, o) = store.scanPaths(version)
-        (CowWhole, p, o)
-      } else if (cond.isEmpty || candidates.size == m.files.size) {
-        val (p, o) = store.scanPaths(version)
-        (CowWhole, p, o)
-      } else (CowFiles(candidates), candidates, Map.empty[String, String])
+          m.files.filter(f => TableStore.bucketOfFile(f).exists(touched)))
+      } else if (schemaParts.nonEmpty || cond.isEmpty ||
+        candidates.size == m.files.size)
+        (CowWhole, store.scanPaths(version))
+      else (CowFiles(candidates), candidates)
     op.groups = groups
     val inner = org.apache.spark.sql.graftbridge.ParquetTableBridge
-      .create(s"${op.description()}-scan", spark, paths, m.schema, opts)
+      .create(s"${op.description()}-scan", spark, paths, m.schema)
       .asInstanceOf[SupportsRead].newScanBuilder(options)
     required.foreach(r =>
       inner.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]

@@ -84,25 +84,27 @@ object LlmSim {
       .limit(k)
   }
 
-  /** Registered entry with a DETERMINISTIC oracle (VERDICT r4 #6): the
-    * fixture has no natural neighbors above cosine 0.60, so 20 clones of the
-    * query vector are planted at magnitudes 2¹..2²⁰ under ids 10,000,001+.
-    * Power-of-two scaling keeps every hyperplane sign bit identical
-    * (sign(2ʲx) = sign(x)), so every clone shares ALL the query's LSH
-    * buckets — recall on the planted set is structural, not probabilistic —
-    * and float scaling by 2ʲ is exact, so both engines compute cosine
-    * EXACTLY 1.0. The true top-20 is therefore the planted set in id order,
-    * and the DuckDB brute-force oracle agrees with the LSH path bit-for-bit
-    * (0.60-vs-1.0 margin absorbs any float-vs-double evaluation order). */
-  private val simSearchIvf: Q = (s, d) => {
-    val base = load(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-    val planted = base.filter(col("vec_id") === 0)
+  /** DETERMINISTIC ANN oracle construction (VERDICT r4 #6), shared by the
+    * LSH and k-means IVF entries: the fixture has no natural neighbors above
+    * cosine 0.60, so 20 clones of the vec_id=0 query vector are planted at
+    * magnitudes 2¹..2²⁰ under ids 10,000,001+. Power-of-two scaling keeps
+    * every hyperplane sign bit identical (sign(2ʲx) = sign(x)) AND
+    * normalizes bit-identically (the division is exact), so every clone
+    * shares the query's LSH buckets and its k-means cell — recall on the
+    * planted set is structural, not probabilistic — and both engines compute
+    * cosine EXACTLY 1.0. The true top-20 is therefore the planted set in id
+    * order, and the DuckDB brute-force oracle agrees bit-for-bit (the
+    * 0.60-vs-1.0 margin absorbs any float-vs-double evaluation order). */
+  private def plantClones(base: DataFrame): DataFrame =
+    base.unionByName(base.filter(col("vec_id") === 0)
       .select(explode(sequence(lit(1), lit(20))).as("j"), col("embedding"))
       .select((lit(10000000L) + col("j")).as("vec_id"),
         transform(col("embedding"),
-          x => x * pow(lit(2.0), col("j")).cast("float")).as("embedding"))
-    lshTopK(base.unionByName(planted), queryId = 0L, k = 20, dim = 64)
-  }
+          x => x * pow(lit(2.0), col("j")).cast("float")).as("embedding")))
+
+  private val simSearchIvf: Q = (s, d) =>
+    lshTopK(plantClones(load(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"))), queryId = 0L, k = 20, dim = 64)
 
   /** Spherical k-means cluster assignment: Lloyd iterations expressed as
     * map-side partial sums. Vectors are L2-normalized so cosine = dot
@@ -202,23 +204,14 @@ object LlmSim {
       .limit(k)
   }
 
-  /** Registered entry with the same DETERMINISTIC planted-clone oracle as
-    * `sim_search_ivf`: clones at power-of-two magnitudes normalize
-    * bit-identically to the query, so every clone lands in the query's
-    * k-means cell (same argmax, same lowest-index tie-break) — which is
-    * always probed (nProbe ≥ 1). Recall of the planted top-20 is therefore
-    * structural whatever the clustering converges to, and the DuckDB
-    * brute-force oracle agrees exactly (cosine exactly 1.0 vs ≤0.60
-    * naturals). */
-  private val simSearchIvfKmeans: Q = (s, d) => {
-    val base = load(s, d, "embeddings").select(col("vec_id"), col("embedding"))
-    val planted = base.filter(col("vec_id") === 0)
-      .select(explode(sequence(lit(1), lit(20))).as("j"), col("embedding"))
-      .select((lit(10000000L) + col("j")).as("vec_id"),
-        transform(col("embedding"),
-          x => x * pow(lit(2.0), col("j")).cast("float")).as("embedding"))
-    kmeansIvfTopK(base.unionByName(planted), queryId = 0L, k = 20)
-  }
+  /** Same [[plantClones]] construction through the k-means index: clones
+    * land in the query's cell (bit-identical normalized vectors, same argmax
+    * with lowest-index tie-break), which nProbe ≥ 1 always probes — recall
+    * of the planted top-20 is structural whatever the clustering converges
+    * to. */
+  private val simSearchIvfKmeans: Q = (s, d) =>
+    kmeansIvfTopK(plantClones(load(s, d, "embeddings")
+      .select(col("vec_id"), col("embedding"))), queryId = 0L, k = 20)
 
   /** Batch top-k (SURVEY §2.J extension `sim_search_batch`): k nearest
     * corpus vectors for EACH of a set of query vectors — the realistic ANN
@@ -307,48 +300,31 @@ object LlmSim {
     "multimodal_decode" -> multimodalDecode,
   )
 
-  val oracles: Map[String, String] = Map(
-    "sim_search_ivf" ->
-      """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
-        |planted AS (
-        |  SELECT 10000000 + j AS vec_id,
-        |         LIST_TRANSFORM(q.embedding,
-        |           x -> x * CAST(POWER(2, j) AS FLOAT)) AS embedding
-        |  FROM q, generate_series(1, 20) t(j)),
-        |corpus AS (
-        |  SELECT vec_id, embedding FROM embeddings
-        |  UNION ALL SELECT vec_id, embedding FROM planted),
-        |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0)
-        |SELECT c.vec_id,
-        |  ROUND(LIST_DOT_PRODUCT(CAST(c.embedding AS DOUBLE[]), qv.v) /
-        |    (SQRT(LIST_DOT_PRODUCT(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))) *
-        |     SQRT(LIST_DOT_PRODUCT(qv.v, qv.v))), 6) AS cos_sim
-        |FROM corpus c, qv
-        |WHERE c.vec_id <> 0
-        |ORDER BY cos_sim DESC NULLS LAST, vec_id ASC NULLS FIRST
-        |LIMIT 20""".stripMargin,
+  /** One brute-force oracle for both IVF entries: the planted set is the
+    * true top-20 (cosine exactly 1.0) whichever index finds it. */
+  private val plantedTopKOracle: String =
+    """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+      |planted AS (
+      |  SELECT 10000000 + j AS vec_id,
+      |         LIST_TRANSFORM(q.embedding,
+      |           x -> x * CAST(POWER(2, j) AS FLOAT)) AS embedding
+      |  FROM q, generate_series(1, 20) t(j)),
+      |corpus AS (
+      |  SELECT vec_id, embedding FROM embeddings
+      |  UNION ALL SELECT vec_id, embedding FROM planted),
+      |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0)
+      |SELECT c.vec_id,
+      |  ROUND(LIST_DOT_PRODUCT(CAST(c.embedding AS DOUBLE[]), qv.v) /
+      |    (SQRT(LIST_DOT_PRODUCT(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))) *
+      |     SQRT(LIST_DOT_PRODUCT(qv.v, qv.v))), 6) AS cos_sim
+      |FROM corpus c, qv
+      |WHERE c.vec_id <> 0
+      |ORDER BY cos_sim DESC NULLS LAST, vec_id ASC NULLS FIRST
+      |LIMIT 20""".stripMargin
 
-    // identical planted-clone construction to sim_search_ivf: the true top-20
-    // is the planted set (cosine exactly 1.0) whichever index finds it
-    "sim_search_ivf_kmeans" ->
-      """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
-        |planted AS (
-        |  SELECT 10000000 + j AS vec_id,
-        |         LIST_TRANSFORM(q.embedding,
-        |           x -> x * CAST(POWER(2, j) AS FLOAT)) AS embedding
-        |  FROM q, generate_series(1, 20) t(j)),
-        |corpus AS (
-        |  SELECT vec_id, embedding FROM embeddings
-        |  UNION ALL SELECT vec_id, embedding FROM planted),
-        |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0)
-        |SELECT c.vec_id,
-        |  ROUND(LIST_DOT_PRODUCT(CAST(c.embedding AS DOUBLE[]), qv.v) /
-        |    (SQRT(LIST_DOT_PRODUCT(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))) *
-        |     SQRT(LIST_DOT_PRODUCT(qv.v, qv.v))), 6) AS cos_sim
-        |FROM corpus c, qv
-        |WHERE c.vec_id <> 0
-        |ORDER BY cos_sim DESC NULLS LAST, vec_id ASC NULLS FIRST
-        |LIMIT 20""".stripMargin,
+  val oracles: Map[String, String] = Map(
+    "sim_search_ivf" -> plantedTopKOracle,
+    "sim_search_ivf_kmeans" -> plantedTopKOracle,
 
     "sim_search_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)

@@ -116,9 +116,12 @@ object LlmText {
     *   - `dup_token_frac_e6`   — 1 - distinct/total tokens (Gopher-style
     *     duplicate-token fraction);
     *   - `top_bigram_frac_e6`  — share of bigram-occurrence characters in the
-    *     modal bigram (Gopher "fraction of characters in most common 2-gram");
-    *     ties resolve by taking the max of count×length, deterministic in both
-    *     engines without naming a winner;
+    *     HEAVIEST bigram, where weight = occurrences × length. This is a
+    *     length-weighted variant of Gopher's "fraction of characters in the
+    *     most common 2-gram": a rare-but-long bigram can outweigh the modal
+    *     one. Chosen deliberately — maximizing a single integer weight needs
+    *     no tie-break rule, so both engines agree exactly, and character
+    *     mass (not raw count) is what the filter actually thresholds on;
     *   - `dup_bigram_frac_e6`  — share of bigram-occurrence characters in
     *     bigrams occurring ≥2 times (Gopher "characters in duplicated
     *     n-grams").
@@ -142,11 +145,16 @@ object LlmText {
       .withColumn("n_tokens", nTok)
       .withColumn("n_dist", nDist)
       .withColumn("_bg", bg)
-      .withColumn("_occ", transform(array_distinct(col("_bg")), x =>
-        (size(filter(col("_bg"), y => y === x)) * length(x)).cast("long")))
-      .withColumn("_dup_occ", transform(array_distinct(col("_bg")), x =>
-        when(size(filter(col("_bg"), y => y === x)) >= 2,
-          (size(filter(col("_bg"), y => y === x)) * length(x)).cast("long"))
+      // one counting pass per distinct bigram: (count, count×length) pairs,
+      // from which both the all-bigram and the duplicated-only character
+      // masses derive without re-scanning
+      .withColumn("_cw", transform(array_distinct(col("_bg")), x =>
+        struct(size(filter(col("_bg"), y => y === x)).cast("long").as("c"),
+          length(x).cast("long").as("l"))))
+      .withColumn("_occ", transform(col("_cw"),
+        p => p.getField("c") * p.getField("l")))
+      .withColumn("_dup_occ", transform(col("_cw"), p =>
+        when(p.getField("c") >= 2, p.getField("c") * p.getField("l"))
           .otherwise(lit(0L))))
       .withColumn("bg_chars",
         coalesce(aggregate(col("_occ"), lit(0L), (a, x) => a + x), lit(0L)))

@@ -126,10 +126,13 @@ object FileStats {
           Some(BigDecimal(BigInt(n.longValue), scaleOf(pt).getOrElse(0)).toString)
         case _ => Some(n.longValue.toString)
       }
+      // NaN poisons parquet float ordering; ±Infinity is a VALID bound but
+      // has no BigDecimal form in the comparison domain — both drop the
+      // bound (the file simply never prunes on this column: conservative)
       case (FLOAT, f: java.lang.Float) =>
-        if (f.isNaN) None else Some(f.doubleValue.toString)
+        if (f.isNaN || f.isInfinite) None else Some(f.doubleValue.toString)
       case (DOUBLE, d: java.lang.Double) =>
-        if (d.isNaN) None else Some(d.toString)
+        if (d.isNaN || d.isInfinite) None else Some(d.toString)
       case (BOOLEAN, b: java.lang.Boolean) => Some(b.toString)
       case (BINARY | FIXED_LEN_BYTE_ARRAY, b: Binary) => dt match {
         case StringType => Some(b.toStringUsingUTF8)
@@ -174,10 +177,15 @@ object FileStats {
     def lt(o: Dom): Boolean = !v && o.asInstanceOf[BoolD].v
   }
 
-  private def decodeBound(s: String, dt: DataType): Dom = dt match {
-    case StringType => StrD(UTF8String.fromString(s))
-    case BooleanType => BoolD(s.toBoolean)
-    case _ => NumD(BigDecimal(s))
+  /** None = bound recorded in a form this pruner can't order (e.g. an
+    * "Infinity" written by an older manifest) — treated as no bound, so the
+    * file conservatively never prunes on it. */
+  private def decodeBound(s: String, dt: DataType): Option[Dom] = dt match {
+    case StringType => Some(StrD(UTF8String.fromString(s)))
+    case BooleanType => Some(BoolD(s.toBoolean))
+    case _ => try Some(NumD(BigDecimal(s))) catch {
+      case _: NumberFormatException => None
+    }
   }
 
   /** Catalyst literal internal value → comparison domain (None: a type this
@@ -190,8 +198,10 @@ object FileStats {
     case (v: Short, _) => Some(NumD(BigDecimal(v.toInt)))
     case (v: Int, _) => Some(NumD(BigDecimal(v)))
     case (v: Long, _) => Some(NumD(BigDecimal(v)))
-    case (v: Float, _) => if (v.isNaN) None else Some(NumD(BigDecimal(v.toDouble)))
-    case (v: Double, _) => if (v.isNaN) None else Some(NumD(BigDecimal(v)))
+    case (v: Float, _) =>
+      if (v.isNaN || v.isInfinite) None else Some(NumD(BigDecimal(v.toDouble)))
+    case (v: Double, _) =>
+      if (v.isNaN || v.isInfinite) None else Some(NumD(BigDecimal(v)))
     case (v: Decimal, _) => Some(NumD(v.toBigDecimal))
     case _ => None
   }
@@ -219,7 +229,7 @@ object FileStats {
           if (stat.rows > 0 && cs.nulls >= stat.rows) false // all NULL
           else literalDom(lit.value, dt) match {
             case Some(l) =>
-              test(cs.min.map(decodeBound(_, dt)), cs.max.map(decodeBound(_, dt)), l)
+              test(cs.min.flatMap(decodeBound(_, dt)), cs.max.flatMap(decodeBound(_, dt)), l)
             case None => true
           }
         case None => true
@@ -261,8 +271,8 @@ object FileStats {
             else vs.exists { v =>
               literalDom(v, dt) match {
                 case Some(l) =>
-                  cs.min.map(decodeBound(_, dt)).forall(_.lte(l)) &&
-                    cs.max.map(decodeBound(_, dt)).forall(l.lte(_))
+                  cs.min.flatMap(decodeBound(_, dt)).forall(_.lte(l)) &&
+                    cs.max.flatMap(decodeBound(_, dt)).forall(l.lte(_))
                 case None => true
               }
             }
@@ -282,10 +292,10 @@ object FileStats {
               // incremented); overlap test against [min, max]
               val pLower = StrD(prefix)
               val upper = prefixUpperBound(prefix.getBytes)
-              cs.max.map(decodeBound(_, StringType)).forall(mx => pLower.lte(mx)) &&
+              cs.max.flatMap(decodeBound(_, StringType)).forall(mx => pLower.lte(mx)) &&
                 (upper match {
                   case Some(u) =>
-                    cs.min.map(decodeBound(_, StringType)).forall(_.lt(StrD(u)))
+                    cs.min.flatMap(decodeBound(_, StringType)).forall(_.lt(StrD(u)))
                   case None => true // p = 0xFF… : no finite upper bound
                 })
             }

@@ -267,8 +267,8 @@ class TableStore(val spark: SparkSession, val root: String) {
           .otherwise(col(s"_post_$c")).as(c)): _*)
   }
 
-  /** Paths (+ reader options) an EXTERNAL scanner (the V2 catalog's stock
-    * parquet table) should read for snapshot `version`:
+  /** Paths an EXTERNAL scanner (the V2 catalog's stock parquet table)
+    * should read for snapshot `version`:
     *   - bucketed tables → ALWAYS the leaf files, even when they sit under a
     *     single snap dir: a dir scan would partition-discover the derived
     *     `_gbucket=N` dirs and graft a phantom internal column onto the
@@ -289,14 +289,14 @@ class TableStore(val spark: SparkSession, val root: String) {
     *     layout for external scanners.
     * Mirrors [[readSnapshot]]'s resolution for engines that can only take
     * paths + schema. */
-  def scanPaths(version: Long = -1L): (Seq[String], Map[String, String]) = {
+  def scanPaths(version: Long = -1L): Seq[String] = {
     val m = manifest(resolveVersion(version))
     val qloc = fs.makeQualified(new Path(m.location)).toString
-    if (m.bucketKeys.nonEmpty) (m.files, Map.empty)
-    else if (m.files.forall(_.startsWith(qloc))) (Seq(m.location), Map.empty)
+    if (m.bucketKeys.nonEmpty) m.files
+    else if (m.files.forall(_.startsWith(qloc))) Seq(m.location)
     else {
       val schemaParts = m.partitionBy.filter(m.schema.fieldNames.contains)
-      if (schemaParts.isEmpty) (m.files, Map.empty)
+      if (schemaParts.isEmpty) m.files
       else {
         val dirs = m.files.groupBy(snapDirOfFile)
         require(dirs.forall { case (d, fl) =>
@@ -305,7 +305,7 @@ class TableStore(val spark: SparkSession, val root: String) {
             "references only part of a snapshot dir; external scanners cannot " +
             "recover path-encoded partition values from leaf files — read it " +
             "via TableStore.readSnapshot, or compact() to normalize the layout")
-        (dirs.keys.toSeq, Map.empty)
+        dirs.keys.toSeq
       }
     }
   }
@@ -350,11 +350,22 @@ class TableStore(val spark: SparkSession, val root: String) {
       require(nf.nonEmpty, s"incremental commit dropped column ${f.name}")
       // same type, or a widening the parquet reader applies on read
       // (mid-stream type evolution: inherited files keep the narrow type,
-      // the manifest records the wide one — merge-on-read, VERDICT r4 #5)
-      require(nf.get.dataType == f.dataType ||
-        mergeOnReadWiden(f.dataType, nf.get.dataType),
-        s"incremental commit changed type of ${f.name}: ${f.dataType} -> " +
-          s"${nf.get.dataType} is not a merge-on-read widening")
+      // the manifest records the wide one — merge-on-read, VERDICT r4 #5).
+      // BUCKET KEYS are exempt from widening entirely: row placement is
+      // xxhash64 of the key VALUE AS TYPED (Spark hashes a long and the
+      // equal decimal to different values), so a widened key would compute
+      // different buckets for existing rows — duplicate/lost keys. A key
+      // type change must rebucket via a full rewriting commit.
+      if (pm.bucketKeys.contains(f.name))
+        require(nf.get.dataType == f.dataType,
+          s"incremental commit changed type of BUCKET KEY ${f.name}: " +
+            s"${f.dataType} -> ${nf.get.dataType}; key hashes are " +
+            "type-sensitive — rebucket with a full commitBucketed instead")
+      else
+        require(nf.get.dataType == f.dataType ||
+          mergeOnReadWiden(f.dataType, nf.get.dataType),
+          s"incremental commit changed type of ${f.name}: ${f.dataType} -> " +
+            s"${nf.get.dataType} is not a merge-on-read widening")
     }
     val next = parent + 1
     val snapDir = new Path(dataDir, s"snap-$next-${stagingSuffix()}")
@@ -464,10 +475,18 @@ class TableStore(val spark: SparkSession, val root: String) {
     pm.schema.fields.foreach { f =>
       val nf = newSchema.fields.find(_.name == f.name)
       require(nf.nonEmpty, s"schema-only commit dropped column ${f.name}")
-      require(nf.get.dataType == f.dataType ||
-        mergeOnReadWiden(f.dataType, nf.get.dataType),
-        s"schema-only commit: ${f.name}: ${f.dataType} -> ${nf.get.dataType} " +
-          "is not a merge-on-read widening; use a rewriting commit")
+      // bucket keys: exact type only — see commitIncremental; a widened key
+      // hashes differently, so existing rows' bucket placement goes stale
+      if (pm.bucketKeys.contains(f.name))
+        require(nf.get.dataType == f.dataType,
+          s"schema-only commit: BUCKET KEY ${f.name} cannot change type " +
+            s"(${f.dataType} -> ${nf.get.dataType}); rebucket with a full " +
+            "rewriting commit")
+      else
+        require(nf.get.dataType == f.dataType ||
+          mergeOnReadWiden(f.dataType, nf.get.dataType),
+          s"schema-only commit: ${f.name}: ${f.dataType} -> ${nf.get.dataType} " +
+            "is not a merge-on-read widening; use a rewriting commit")
     }
     val m = pm.copy(version = parent + 1, parent = parent,
       schema = newSchema, committedAtMs = System.currentTimeMillis())

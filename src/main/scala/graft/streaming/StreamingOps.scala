@@ -272,9 +272,17 @@ object StreamingOps {
       // buckets' files keep the narrow one); only a widening the reader
       // can't apply (e.g. long→double) pays a one-time full rewrite.
       val pm = store.manifest(cur)
+      // morSafe additionally demands EXACT key types: bucket placement is
+      // xxhash64 of the typed key value, so a widened key (an id outgrowing
+      // long) would hash existing rows to different buckets — the `touched`
+      // set above is already computed under the WIDE type and misses them.
+      // A key-type change therefore always takes the full-rewrite branch,
+      // which re-reads the whole snapshot and rebuckets every row under the
+      // new key type consistently.
       val morSafe = pm.schema.fields.forall { f =>
         merged.schema.fields.find(_.name == f.name).exists(g =>
-          TableStore.mergeOnReadWiden(f.dataType, g.dataType))
+          if (keys.contains(f.name)) g.dataType == f.dataType
+          else TableStore.mergeOnReadWiden(f.dataType, g.dataType))
       }
       if (morSafe)
         store.commitIncremental(merged, touched, expectedParent = Some(cur))

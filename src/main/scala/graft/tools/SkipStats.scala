@@ -21,15 +21,8 @@ object SkipStats {
       val t0 = System.nanoTime()
       val n = q.collect().length.toLong // same plan -> scan metrics populate
       val sec = (System.nanoTime() - t0) / 1e9
-      def scans(p: org.apache.spark.sql.execution.SparkPlan)
-          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          scans(a.executedPlan)
-        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
-        case other => other.children.flatMap(scans)
-      }
-      (scans(q.queryExecution.executedPlan).map(_.metrics("numFiles").value).sum,
-        sec, n)
+      (graft.util.PlanScans.fileScans(q.queryExecution.executedPlan)
+        .map(_.metrics("numFiles").value).sum, sec, n)
     }
 
     val li = graft.Tables.load(spark, sfDir, "lineitem")

@@ -201,6 +201,74 @@ class TableStoreSpec extends SparkSuite {
       ("UPDATE", 5L, "v5", Some("app"))))
   }
 
+  test("bucket-key type widening is rejected on merge-on-read paths, value columns widen") {
+    val store = freshStore()
+    store.commitBucketed((1L to 20L).map(i => (i, i.toInt)).toDF("k", "x"),
+      Seq("k"), numBuckets = 4)
+    // widening the BUCKET KEY would re-hash existing rows to other buckets
+    // (xxhash64 is type-sensitive) — both metadata paths must refuse
+    val keyWide = Seq((BigDecimal(21), 21)).toDF("k", "x")
+      .select(col("k").cast("decimal(38,0)"), col("x"))
+    intercept[IllegalArgumentException] {
+      store.commitIncremental(keyWide, touched = Seq(0L))
+    }
+    intercept[IllegalArgumentException] {
+      store.commitSchemaOnly(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.DecimalType(38, 0)),
+        org.apache.spark.sql.types.StructField("x",
+          org.apache.spark.sql.types.IntegerType))))
+    }
+    // a VALUE column still widens incrementally (int -> long)
+    val valWide = Seq((1L, 100L)).toDF("k", "x")
+    store.commitIncremental(valWide,
+      touched = Seq(1L).toDF("k")
+        .select(TableStore.bucketExpr(Seq("k"), 4).as("b")).as[Long].collect().toSeq)
+    assert(store.readSnapshot().filter(col("k") === 1L)
+      .select(col("x").cast("long")).as[Long].head() == 100L)
+  }
+
+  test("mid-stream bucket-KEY widening falls back to a full rebucket, content exact") {
+    val store = freshStore()
+    graft.streaming.StreamingOps.applyCdcBatch(
+      (1L to 30L).map(i => (i, s"v$i", 1L, "INSERT")).toDF("k", "v", "seq", "op"),
+      store, Seq("k"), numBuckets = 4)
+    assert(store.manifest(store.currentVersion()).schema("k").dataType ==
+      org.apache.spark.sql.types.LongType)
+    // a key outgrowing long arrives as decimal: the loop must NOT take the
+    // incremental path (stale bucket placement) — full rebucket instead
+    val big = BigDecimal("99999999999999999999")
+    val batch = Seq((big, "huge", 2L, "INSERT"), (BigDecimal(5), "V5", 2L, "MODIFY"))
+      .toDF("k", "v", "seq", "op")
+      .select(col("k").cast("decimal(38,0)"), col("v"), col("seq"), col("op"))
+    graft.streaming.StreamingOps.applyCdcBatch(batch, store, Seq("k"), numBuckets = 4)
+    val out = store.readSnapshot()
+      .select(col("k").cast("string"), col("v")).as[(String, String)]
+      .collect().toMap
+    assert(out.size == 31)
+    assert(out("5") == "V5", "pre-widening key must still be reachable (no dup/lost rows)")
+    assert(out("99999999999999999999") == "huge")
+    // and every key resolves through the bucketed read path (placement consistent)
+    val m = store.manifest(store.currentVersion())
+    val b5 = Seq(BigDecimal(5)).toDF("k")
+      .select(col("k").cast("decimal(38,0)"))
+      .select(TableStore.bucketExpr(Seq("k"), m.numBuckets).as("b")).as[Long].head()
+    assert(store.readBuckets(Seq(b5)).filter(col("k") === 5).count() == 1)
+  }
+
+  test("±Infinity float/double footer bounds stay readable and never prune") {
+    val store = freshStore()
+    store.commitSnapshot(Seq(
+      (1L, 1.5), (2L, Double.PositiveInfinity), (3L, -2.0),
+      (4L, Double.NegativeInfinity)).toDF("k", "x"))
+    // commit survived; filtered reads plan and return the right rows
+    assert(store.readSnapshot().filter(col("x") > 0.0).count() == 2)
+    assert(store.readSnapshot().filter(col("x") === Double.PositiveInfinity)
+      .as[(Long, Double)].collect().toSeq == Seq((2L, Double.PositiveInfinity)))
+    // the k column still prunes (its bounds are untainted)
+    assert(store.readSnapshot().filter(col("k") > 100L).count() == 0)
+  }
+
   test("vacuum keeps snap dirs still referenced through inherited files") {
     val store = freshStore()
     store.commitBucketed((1L to 50L).map(i => (i, i.toString)).toDF("k", "v"),
@@ -388,19 +456,8 @@ class TableStoreSpec extends SparkSuite {
     assert(m.files.forall(f => m.stats(f).cols.get("k")
       .exists(c => c.min.nonEmpty && c.max.nonEmpty)))
 
-    def filesScanned(q: org.apache.spark.sql.DataFrame): Long = {
-      q.collect()
-      def scans(p: org.apache.spark.sql.execution.SparkPlan)
-          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          scans(a.executedPlan)
-        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
-        case other => other.children.flatMap(scans)
-      }
-      val ss = scans(q.queryExecution.executedPlan)
-      // a fully-pruned scan collapses to an empty LocalTableScan under AQE
-      ss.map(_.metrics("numFiles").value).sum
-    }
+    def filesScanned(q: org.apache.spark.sql.DataFrame): Long =
+      graft.util.PlanScans.filesScanned(q)
 
     // range-sorted column: a point predicate opens exactly one file
     val point = store.readSnapshot().filter(col("k") === 400L)
@@ -426,17 +483,8 @@ class TableStoreSpec extends SparkSuite {
     val shuffled = new scala.util.Random(3).shuffle((1L to 800L).toVector)
     store.commitSnapshot(shuffled.map(i => (i, s"v$i")).toDF("k", "v")
       .repartition(8))
-    def filesScanned(q: org.apache.spark.sql.DataFrame): Long = {
-      q.collect()
-      def scans(p: org.apache.spark.sql.execution.SparkPlan)
-          : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
-        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-          scans(a.executedPlan)
-        case f: org.apache.spark.sql.execution.FileSourceScanExec => Seq(f)
-        case other => other.children.flatMap(scans)
-      }
-      scans(q.queryExecution.executedPlan).map(_.metrics("numFiles").value).sum
-    }
+    def filesScanned(q: org.apache.spark.sql.DataFrame): Long =
+      graft.util.PlanScans.filesScanned(q)
     val before = filesScanned(store.readSnapshot().filter(col("k") === 400L))
     assert(before == 8, s"unsorted layout should scan all files, got $before")
     // range-clustered rewrite: each file now covers a narrow k interval
