@@ -85,6 +85,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (ident.name.endsWith("$snapshots"))
       snapshotsMetaTable(Identifier.of(ident.namespace,
         ident.name.stripSuffix("$snapshots")))
+    else if (ident.name.endsWith("$files"))
+      filesMetaTable(Identifier.of(ident.namespace,
+        ident.name.stripSuffix("$files")))
     else snapshotTable(ident, None)
 
   /** `SELECT * FROM cat.ns.`tbl$snapshots`` — snapshot history as a queryable
@@ -108,6 +111,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         m.schema.size)
     }.toArray
     new MetaTable(s"${ident.name}$$snapshots", schema, rows)
+  }
+
+  /** `SELECT * FROM cat.ns.`tbl$files`` — the current snapshot's data files
+    * (path, bucket, bytes, rows, stats coverage), Iceberg's `files` metadata
+    * table. Driver-computed from the manifest: O(#files) rows, no data read. */
+  private def filesMetaTable(ident: Identifier): Table = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    val store = storeFor(ident)
+    val cur = store.currentVersion()
+    if (cur < 0) throw new NoSuchTableException(ident)
+    val m = store.manifest(cur)
+    val schema = StructType(Seq(
+      StructField("path", StringType), StructField("bucket", LongType),
+      StructField("bytes", LongType), StructField("rows", LongType),
+      StructField("n_stat_cols", IntegerType)))
+    val rows = m.files.map { f =>
+      val st = m.stats.get(f)
+      org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(f),
+        TableStore.bucketOfFile(f).map(Long.box).orNull,
+        st.map(s => Long.box(s.bytes)).orNull,
+        st.map(s => Long.box(s.rows)).orNull,
+        st.map(s => Int.box(s.cols.size)).orNull)
+    }.toArray
+    new MetaTable(s"${ident.name}$$files", schema, rows)
   }
 
   /** `VERSION AS OF <n>` time travel → snapshot n. */

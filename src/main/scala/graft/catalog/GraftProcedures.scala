@@ -23,12 +23,14 @@ import graft.store.TableStore
 object GraftProcedures {
 
   val Namespace: Array[String] = Array("system")
-  val Names: Seq[String] = Seq("compact", "expire_snapshots", "vacuum")
+  val Names: Seq[String] =
+    Seq("compact", "expire_snapshots", "vacuum", "create_changelog_view")
 
   def load(catalog: GraftCatalog, name: String): UnboundProcedure = name match {
     case "compact" => new CompactProc(catalog)
     case "expire_snapshots" => new ExpireProc(catalog)
     case "vacuum" => new VacuumProc(catalog)
+    case "create_changelog_view" => new ChangelogViewProc(catalog)
     case other => throw new IllegalArgumentException(
       s"unknown procedure: $other (have: ${Names.mkString(", ")})")
   }
@@ -97,6 +99,44 @@ object GraftProcedures {
       result(
         StructType(Seq(StructField("deleted_snapshot_dirs", IntegerType))),
         Array(deleted.size))
+    }
+  }
+
+  /** SQL surface for the row-level changelog — Iceberg's
+    * `create_changelog_view` procedure shape: registers a temp view over
+    * [[TableStore.readChangelog]] (INSERT/UPDATE/DELETE rows between two
+    * snapshots, reading only files that differ), so downstream SQL consumes
+    * table changes without rescanning the table:
+    *
+    *   CALL cat.system.create_changelog_view('ns.tbl', 0, -1, 'tbl_changes')
+    *   SELECT * FROM tbl_changes WHERE _change_type = 'DELETE'
+    *
+    * The view is LAZY — the diff executes when queried, distributed. */
+  private final class ChangelogViewProc(catalog: GraftCatalog)
+      extends GraftProc("create_changelog_view",
+        "register a temp view of row-level changes between two snapshots") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("from_version", LongType).build(),
+      ProcedureParameter.in("to_version", LongType).defaultValue("-1").build(),
+      ProcedureParameter.in("view_name", StringType).defaultValue("''").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val store = storeFor(catalog, table)
+      val from = input.getLong(1)
+      val to = if (input.numFields < 3 || input.isNullAt(2)) -1L else input.getLong(2)
+      val name0 =
+        if (input.numFields < 4 || input.isNullAt(3)) ""
+        else input.getUTF8String(3).toString
+      val viewName =
+        if (name0.nonEmpty) name0 else table.replace('.', '_') + "_changes"
+      store.readChangelog(from, to).createOrReplaceTempView(viewName)
+      result(
+        StructType(Seq(StructField("view_name", StringType),
+          StructField("from_version", LongType),
+          StructField("to_version", LongType))),
+        Array(UTF8String.fromString(viewName), from,
+          if (to < 0) store.currentVersion() else to))
     }
   }
 

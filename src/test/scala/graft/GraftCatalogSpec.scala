@@ -426,6 +426,33 @@ class GraftCatalogSpec extends SparkSuite {
     assert(snaps.map(_._1) == Seq(0L, 1L))
     assert(snaps(1)._2 == 0L)
     assert(snaps.forall(_._3 > 0))
+    // $files: one row per current data file, bucket recovered from the path
+    val files = spark.sql(
+      "SELECT path, bucket, bytes, rows FROM spec_cat.analytics.`introspect$files`")
+      .as[(String, Option[Long], Option[Long], Option[Long])].collect().toSeq
+    val m = store.manifest(store.currentVersion())
+    assert(files.map(_._1).sorted == m.files.sorted)
+    assert(files.forall(f => f._2.exists(b => b >= 0 && b < 4)))
+    assert(files.flatMap(_._4).sum == 50L)
+  }
+
+  test("create_changelog_view surfaces row-level changes through SQL") {
+    val store = new TableStore(spark, s"$warehouse/analytics/changes_sql")
+    store.commitBucketed((1L to 40L).map(i => (i, s"v$i")).toDF("k", "v"),
+      Seq("k"), numBuckets = 4)
+    graft.streaming.StreamingOps.applyCdcBatch(
+      Seq((7L, "V7", 1L, "MODIFY"), (8L, null.asInstanceOf[String], 1L, "REMOVE"),
+        (100L, "new", 1L, "INSERT")).toDF("k", "v", "seq", "op"),
+      store, Seq("k"), numBuckets = 4)
+    val info = spark.sql(
+      "CALL spec_cat.system.create_changelog_view('analytics.changes_sql', 0)")
+      .as[(String, Long, Long)].head()
+    assert(info == ("analytics_changes_sql_changes", 0L, 1L))
+    val changes = spark.sql(
+      "SELECT _change_type, k, v FROM analytics_changes_sql_changes ORDER BY k")
+      .as[(String, Long, String)].collect().toSeq
+    assert(changes == Seq(("UPDATE", 7L, "V7"), ("DELETE", 8L, "v8"),
+      ("INSERT", 100L, "new")))
   }
 
   test("SHOW TABLES lists committed tables; DDL create/drop works") {
