@@ -254,6 +254,30 @@ object Relational {
       .limit(50)
   }
 
+  /** Multi-join analytics (TPC-H Q10 shape): revenue lost to returned items
+    * per customer in a quarter — fact-fact join shuffles on the order key,
+    * the nation dim broadcasts, top customers via TakeOrderedAndProject.
+    * The `l_returnflag = 'R'` and date filters prune both facts BEFORE the
+    * join (pushed to the scans), the property that keeps this shape viable
+    * at 100 TB. */
+  private val joinMultiQ10: Q = (s, d) => {
+    val one = lit(1).cast("decimal(18,2)")
+    val c = load(s, d, "customer")
+    val o = load(s, d, "orders")
+      .filter(col("o_orderdate") >= lit("1997-07-01 00:00:00").cast("timestamp_ntz") &&
+        col("o_orderdate") < lit("1997-10-01 00:00:00").cast("timestamp_ntz"))
+    val l = load(s, d, "lineitem").filter(col("l_returnflag") === "R")
+    val n = load(s, d, "nation")
+    c.join(o, col("c_custkey") === col("o_custkey"))
+      .join(l, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+      .agg(sum(dec2(col("l_extendedprice")) * (one - dec2(col("l_discount"))))
+        .cast("double").as("revenue"))
+      .orderBy(col("revenue").desc_nulls_last, col("c_custkey").asc_nulls_first)
+      .limit(20)
+  }
+
   /** Multi-join analytics (TPC-H Q5 shape): revenue per nation across the
     * whole star. Small dims (supplier/nation/region) broadcast; the two
     * fact-fact joins shuffle on their keys. */
@@ -326,6 +350,7 @@ object Relational {
     "join_asof" -> joinAsof,
     "join_multi_q3" -> joinMultiQ3,
     "join_multi_q5" -> joinMultiQ5,
+    "join_multi_q10" -> joinMultiQ10,
     "agg_hash_sum" -> aggHashSum,
     "agg_distinct_count" -> aggDistinctCount,
     "agg_approx_distinct" -> aggApproxDistinct,
@@ -400,6 +425,20 @@ object Relational {
         |SELECT p_event_id, p_ts, c_event_id AS click_event_id, c_ts AS click_ts
         |FROM j WHERE rn = 1
         |ORDER BY p_event_id ASC NULLS FIRST""".stripMargin,
+
+    "join_multi_q10" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC NULLS LAST, c_custkey ASC NULLS FIRST
+        |LIMIT 20""".stripMargin,
 
     "join_multi_q3" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,

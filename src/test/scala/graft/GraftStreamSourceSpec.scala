@@ -96,6 +96,27 @@ class GraftStreamSourceSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("checkpointed restart resumes from committed offsets") {
+    val store = freshStore()
+    store.commitSnapshot((1L to 10L).map(i => (i, s"v$i")).toDF("k", "v"))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_stream_ckpt").toString
+    val out = java.nio.file.Files.createTempDirectory("graft_stream_out").toString
+    def run(): Unit = {
+      val q = readTable(store).writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt).start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    run()
+    assert(spark.read.parquet(out).count() == 10)
+    store.commitAppend((11L to 15L).map(i => (i, s"v$i")).toDF("k", "v"))
+    // restart against the SAME checkpoint: the source resumes at the
+    // committed version — a from-scratch replay would duplicate the base
+    run()
+    val all = spark.read.parquet(out).as[(Long, String)].collect().sorted
+    assert(all.toSeq == (1L to 15L).map(i => (i, s"v$i")),
+      "restart must deliver exactly the appended commit, no replays")
+  }
+
   test("stream schema NULL-pads files written before a schema evolution") {
     val store = freshStore()
     store.commitSnapshot((1L to 5L).map(i => (i, s"v$i")).toDF("k", "v"))
