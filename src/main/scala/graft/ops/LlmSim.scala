@@ -124,9 +124,12 @@ object LlmSim {
       clusters: Int, iters: Int): Array[Array[Double]] = {
     import unit.sparkSession.implicits._
     val sc = unit.sparkSession.sparkContext
-    var cents: Array[Array[Double]] = unit.filter(_._1 < clusters)
+    // deterministic seeding: the `clusters` lowest vec_ids, whatever the id
+    // space — one TakeOrdered of k rows, no assumption that ids start at 0
+    var cents: Array[Array[Double]] = unit
+      .orderBy(col("_1").asc).limit(clusters)
       .collect().sortBy(_._1).map(_._2)
-    require(cents.nonEmpty, "kmeans needs seed vectors with vec_id < clusters")
+    require(cents.nonEmpty, "kmeans needs at least one seed vector")
     for (_ <- 1 to iters) {
       val bc = sc.broadcast(cents)
       val partials = unit.mapPartitions { it =>

@@ -87,21 +87,28 @@ private[sources] class GraftStreamTable(root: String, tableSchema: StructType)
 }
 
 /** Offset = highest snapshot version consumed (-1 = nothing yet). */
-private[sources] case class GraftOffset(version: Long) extends Offset {
+private[graft] case class GraftOffset(version: Long) extends Offset {
   override def json(): String = version.toString
 }
 
-private[sources] case class GraftFilePartition(file: PartitionedFile)
+/** One scan task: a bin-packed bag of file ranges (Spark's FilePartition
+  * strategy — large files split at `spark.sql.files.maxPartitionBytes`
+  * boundaries, small ones packed together, so task count tracks bytes, not
+  * file count: a commit of 10k tiny files or one 10 GB file both fan out
+  * sensibly). Parquet readers clamp a range to the row groups starting
+  * inside it, so ranged splits are exact. */
+private[graft] case class GraftFilePartition(files: Seq[PartitionedFile])
     extends InputPartition
 
-/** Executes the shipped V1 reader closure per file — the same closure
+/** Executes the shipped V1 reader closure per file range — the same closure
   * `FileScanRDD` runs, so vectorization and type handling match the batch
   * read path. */
 private[sources] class GraftFileReaderFactory(
     readFn: PartitionedFile => Iterator[InternalRow])
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val rows = FileReadBridge.rows(readFn, p.asInstanceOf[GraftFilePartition].file)
+    val rows = p.asInstanceOf[GraftFilePartition].files.iterator
+      .flatMap(f => FileReadBridge.rows(readFn, f))
     new PartitionReader[InternalRow] {
       private var cur: InternalRow = _
       override def next(): Boolean =
@@ -112,7 +119,7 @@ private[sources] class GraftFileReaderFactory(
   }
 }
 
-private[sources] class GraftMicroBatchStream(root: String, schema: StructType,
+private[graft] class GraftMicroBatchStream(root: String, schema: StructType,
     options: CaseInsensitiveStringMap)
     extends MicroBatchStream with SupportsAdmissionControl
     with SupportsTriggerAvailableNow {
@@ -180,7 +187,7 @@ private[sources] class GraftMicroBatchStream(root: String, schema: StructType,
       }
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = Array.newBuilder[InputPartition]
+    val added = Seq.newBuilder[(String, Long, Long)] // path, bytes, modTime
     versions.foreach { v =>
       val m = st.manifest(v)
       val cur = m.files.toSet
@@ -190,9 +197,7 @@ private[sources] class GraftMicroBatchStream(root: String, schema: StructType,
           val stat = m.stats.get(f)
           val bytes = stat.map(_.bytes).getOrElse(
             fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen)
-          val mod = stat.map(_.modTime).getOrElse(0L)
-          out += GraftFilePartition(PartitionedFile(InternalRow.empty,
-            SparkPath.fromPathString(f), 0, bytes, Array.empty, mod, bytes))
+          added += ((f, bytes, stat.map(_.modTime).getOrElse(0L)))
         }
       } else if (!skipRewrites)
         throw new IllegalStateException(
@@ -202,6 +207,38 @@ private[sources] class GraftMicroBatchStream(root: String, schema: StructType,
             "are NOT emitted), or consume row-level changes via readChangelog.")
       prev = cur
     }
+    packPartitions(added.result())
+  }
+
+  /** Spark's FilePartition sizing: split files at maxPartitionBytes
+    * boundaries, then first-fit-pack ranges (open-cost padded) so the batch
+    * fans out by bytes, not by file count. */
+  private def packPartitions(files: Seq[(String, Long, Long)]): Array[InputPartition] = {
+    import org.apache.spark.network.util.JavaUtils.byteStringAsBytes
+    val maxSplit = byteStringAsBytes(
+      spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
+    val openCost = byteStringAsBytes(
+      spark.conf.get("spark.sql.files.openCostInBytes", "4MB"))
+    val splits = files.flatMap { case (f, bytes, mod) =>
+      (0L until math.max(bytes, 1L) by maxSplit).map { start =>
+        PartitionedFile(InternalRow.empty, SparkPath.fromPathString(f),
+          start, math.min(maxSplit, bytes - start), Array.empty, mod, bytes)
+      }
+    }.sortBy(-_.length)
+    val out = Array.newBuilder[InputPartition]
+    val cur = Seq.newBuilder[PartitionedFile]
+    var curBytes = 0L
+    splits.foreach { s =>
+      if (curBytes + s.length + openCost > maxSplit && curBytes > 0) {
+        out += GraftFilePartition(cur.result())
+        cur.clear()
+        curBytes = 0L
+      }
+      cur += s
+      curBytes += s.length + openCost
+    }
+    val last = cur.result()
+    if (last.nonEmpty) out += GraftFilePartition(last)
     out.result()
   }
 
