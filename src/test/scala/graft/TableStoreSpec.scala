@@ -186,6 +186,29 @@ class TableStoreSpec extends SparkSuite {
       ("INSERT", 200L, "new")))
   }
 
+  test("changelog over a plain-table file-replace commit (explicit keyCols)") {
+    val store = freshStore()
+    // 4 sorted files; replace only the file holding k=10..20
+    store.commitSnapshot((1L to 80L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartitionByRange(4, col("k")).sortWithinPartitions("k"))
+    val m0 = store.manifest(0)
+    val target = m0.files.filter(f =>
+      m0.stats(f).cols("k").min.exists(_.toLong <= 15) &&
+        m0.stats(f).cols("k").max.exists(_.toLong >= 15))
+    assert(target.size == 1)
+    val kept = store.readFiles(m0, target)
+      .filter(col("k") =!= 15L && col("k") =!= 16L)
+      .withColumn("v", when(col("k") === 17L, lit("V17")).otherwise(col("v")))
+    store.commitReplaceFiles(target, kept)
+    val cl = store.readChangelog(0, 1, keyCols = Seq("k"))
+      .as[(String, Long, String)].collect().sortBy(_._2)
+    assert(cl.toSeq == Seq(("DELETE", 15L, "v15"), ("DELETE", 16L, "v16"),
+      ("UPDATE", 17L, "V17")))
+    // only the replaced file and its replacement were diffed
+    val (added, removed) = store.changedFilesBetween(0, 1)
+    assert(removed == target && added.nonEmpty && added.size < m0.files.size)
+  }
+
   test("changelog across mid-stream schema evolution NULL-pads the pre-image") {
     val store = freshStore()
     store.commitBucketed((1L to 20L).map(i => (i, s"v$i")).toDF("k", "v"),
