@@ -113,16 +113,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new MetaTable(s"${ident.name}$$snapshots", schema, rows)
   }
 
-  /** `SELECT * FROM cat.ns.`tbl$files`` — the current snapshot's data files
-    * (path, bucket, bytes, rows, stats coverage), Iceberg's `files` metadata
-    * table. Driver-computed from the manifest: O(#files) rows, no data read. */
-  private def filesMetaTable(ident: Identifier): Table = {
+  /** `SELECT * FROM cat.ns.`tbl$files`` — a snapshot's data files (path,
+    * bucket, bytes, rows, stats coverage), Iceberg's `files` metadata table;
+    * `VERSION AS OF n` serves snapshot n's file list. Driver-computed from
+    * the manifest: O(#files) rows, no data read. */
+  private def filesMetaTable(ident: Identifier,
+      version: Option[Long] = None): Table = {
     import org.apache.spark.sql.types._
     import org.apache.spark.unsafe.types.UTF8String
     val store = storeFor(ident)
     val cur = store.currentVersion()
     if (cur < 0) throw new NoSuchTableException(ident)
-    val m = store.manifest(cur)
+    val m = store.manifest(version.getOrElse(cur))
     val schema = StructType(Seq(
       StructField("path", StringType), StructField("bucket", LongType),
       StructField("bytes", LongType), StructField("rows", LongType),
@@ -139,9 +141,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new MetaTable(s"${ident.name}$$files", schema, rows)
   }
 
-  /** `VERSION AS OF <n>` time travel → snapshot n. */
+  /** `VERSION AS OF <n>` time travel → snapshot n. The `$files` metadata
+    * table time-travels too (snapshot n's file list); `$snapshots` is the
+    * whole history by construction, so versioning it is refused clearly. */
   override def loadTable(ident: Identifier, version: String): Table =
-    snapshotTable(ident, Some(version.toLong))
+    if (ident.name.endsWith("$files"))
+      filesMetaTable(Identifier.of(ident.namespace,
+        ident.name.stripSuffix("$files")), Some(version.toLong))
+    else if (ident.name.endsWith("$snapshots"))
+      throw new UnsupportedOperationException(
+        "$snapshots is the full history; query it without VERSION AS OF")
+    else snapshotTable(ident, Some(version.toLong))
 
   /** `TIMESTAMP AS OF <ts>` time travel → latest snapshot committed at or
     * before the timestamp (micros since epoch, per the V2 contract). */

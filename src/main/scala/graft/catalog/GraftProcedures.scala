@@ -119,24 +119,34 @@ object GraftProcedures {
       ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("from_version", LongType).build(),
       ProcedureParameter.in("to_version", LongType).defaultValue("-1").build(),
-      ProcedureParameter.in("view_name", StringType).defaultValue("''").build())
+      ProcedureParameter.in("view_name", StringType).defaultValue("''").build(),
+      // Iceberg's identifier_columns analog: required for plain
+      // (non-bucketed) tables, whose manifests carry no key spec
+      ProcedureParameter.in("key_columns", StringType).defaultValue("''").build())
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      def strAt(i: Int): String =
+        if (input.numFields <= i || input.isNullAt(i)) ""
+        else input.getUTF8String(i).toString
       val table = input.getUTF8String(0).toString
       val store = storeFor(catalog, table)
       val from = input.getLong(1)
-      val to = if (input.numFields < 3 || input.isNullAt(2)) -1L else input.getLong(2)
-      val name0 =
-        if (input.numFields < 4 || input.isNullAt(3)) ""
-        else input.getUTF8String(3).toString
-      val viewName =
-        if (name0.nonEmpty) name0 else table.replace('.', '_') + "_changes"
-      store.readChangelog(from, to).createOrReplaceTempView(viewName)
+      // pin `to` BEFORE building the view: a concurrent commit between the
+      // diff and the result row must not skew the reported watermark
+      val to = {
+        val raw = if (input.numFields < 3 || input.isNullAt(2)) -1L else input.getLong(2)
+        if (raw < 0) store.currentVersion() else raw
+      }
+      val viewName = {
+        val n = strAt(3)
+        if (n.nonEmpty) n else table.replace('.', '_') + "_changes"
+      }
+      val keyCols = strAt(4).split(',').map(_.trim).filter(_.nonEmpty).toSeq
+      store.readChangelog(from, to, keyCols).createOrReplaceTempView(viewName)
       result(
         StructType(Seq(StructField("view_name", StringType),
           StructField("from_version", LongType),
           StructField("to_version", LongType))),
-        Array(UTF8String.fromString(viewName), from,
-          if (to < 0) store.currentVersion() else to))
+        Array(UTF8String.fromString(viewName), from, to))
     }
   }
 

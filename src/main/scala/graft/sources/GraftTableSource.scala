@@ -92,11 +92,11 @@ private[graft] case class GraftOffset(version: Long) extends Offset {
 }
 
 /** One scan task: a bin-packed bag of file ranges (Spark's FilePartition
-  * strategy — large files split at `spark.sql.files.maxPartitionBytes`
-  * boundaries, small ones packed together, so task count tracks bytes, not
-  * file count: a commit of 10k tiny files or one 10 GB file both fan out
-  * sensibly). Parquet readers clamp a range to the row groups starting
-  * inside it, so ranged splits are exact. */
+  * strategy — large files split at max-split-bytes boundaries, small ones
+  * packed together, so task count tracks bytes, not file count: a commit of
+  * 10k tiny files or one 10 GB file both fan out sensibly). The parquet
+  * reader assigns each row group to the range containing its MIDPOINT, so
+  * ranges that tile a file read every row group exactly once. */
 private[graft] case class GraftFilePartition(files: Seq[PartitionedFile])
     extends InputPartition
 
@@ -207,39 +207,10 @@ private[graft] class GraftMicroBatchStream(root: String, schema: StructType,
             "are NOT emitted), or consume row-level changes via readChangelog.")
       prev = cur
     }
-    packPartitions(added.result())
-  }
-
-  /** Spark's FilePartition sizing: split files at maxPartitionBytes
-    * boundaries, then first-fit-pack ranges (open-cost padded) so the batch
-    * fans out by bytes, not by file count. */
-  private def packPartitions(files: Seq[(String, Long, Long)]): Array[InputPartition] = {
-    import org.apache.spark.network.util.JavaUtils.byteStringAsBytes
-    val maxSplit = byteStringAsBytes(
-      spark.conf.get("spark.sql.files.maxPartitionBytes", "128MB"))
-    val openCost = byteStringAsBytes(
-      spark.conf.get("spark.sql.files.openCostInBytes", "4MB"))
-    val splits = files.flatMap { case (f, bytes, mod) =>
-      (0L until math.max(bytes, 1L) by maxSplit).map { start =>
-        PartitionedFile(InternalRow.empty, SparkPath.fromPathString(f),
-          start, math.min(maxSplit, bytes - start), Array.empty, mod, bytes)
-      }
-    }.sortBy(-_.length)
-    val out = Array.newBuilder[InputPartition]
-    val cur = Seq.newBuilder[PartitionedFile]
-    var curBytes = 0L
-    splits.foreach { s =>
-      if (curBytes + s.length + openCost > maxSplit && curBytes > 0) {
-        out += GraftFilePartition(cur.result())
-        cur.clear()
-        curBytes = 0L
-      }
-      cur += s
-      curBytes += s.length + openCost
-    }
-    val last = cur.result()
-    if (last.nonEmpty) out += GraftFilePartition(last)
-    out.result()
+    // Spark's own scan-task sizing (dynamic max split, range splitting,
+    // open-cost packing) — identical layout to a batch file scan
+    FileReadBridge.packFilePartitions(spark, added.result())
+      .map(fs => GraftFilePartition(fs): InputPartition).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

@@ -27,6 +27,29 @@ object FileReadBridge {
         .OPTION_RETURNING_BATCH -> "false"), conf)
   }
 
+  /** Spark's OWN scan-task sizing for a list of (path, bytes, modTime)
+    * files: dynamic max-split-bytes (maxPartitionBytes capped by
+    * bytes-per-core), per-file range splitting, and open-cost-padded
+    * first-fit packing — `FileSourceScanExec`'s exact partition layout,
+    * reused instead of re-derived. */
+  def packFilePartitions(spark: SparkSession,
+      files: Seq[(String, Long, Long)]): Seq[Seq[PartitionedFile]] = {
+    import org.apache.hadoop.fs.{FileStatus, Path}
+    import org.apache.spark.sql.execution.PartitionedFileUtil
+    import org.apache.spark.sql.execution.datasources.{FilePartition, FileStatusWithMetadata}
+    val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val openCost = classic.sessionState.conf.filesOpenCostInBytes
+    val maxSplit: Long = FilePartition.maxSplitBytes(classic,
+      files.map(_._2 + openCost).sum: Long)
+    val splits = files.flatMap { case (p, bytes, mod) =>
+      val st = new FileStatus(bytes, false, 1, 0, mod, new Path(p))
+      PartitionedFileUtil.splitFiles(FileStatusWithMetadata(st), st.getPath,
+        isSplitable = true, maxSplit, InternalRow.empty)
+    }
+    FilePartition.getFilePartitions(classic, splits, maxSplit)
+      .map(_.files.toSeq)
+  }
+
   /** The V1 reader contract smuggles `ColumnarBatch` objects through
     * `Iterator[InternalRow]` when batch output is enabled (FileScanRDD
     * unwraps them the same way); normalize to plain rows. */

@@ -453,6 +453,30 @@ class GraftCatalogSpec extends SparkSuite {
       .as[(String, Long, String)].collect().toSeq
     assert(changes == Seq(("UPDATE", 7L, "V7"), ("DELETE", 8L, "v8"),
       ("INSERT", 100L, "new")))
+    // plain (non-bucketed) tables need key_columns — Iceberg's
+    // identifier_columns analog
+    val plain = new TableStore(spark, s"$warehouse/analytics/changes_plain")
+    plain.commitSnapshot((1L to 10L).map(i => (i, s"v$i")).toDF("k", "v"))
+    spark.sql("DELETE FROM spec_cat.analytics.changes_plain WHERE k = 3")
+    spark.sql("CALL spec_cat.system.create_changelog_view(" +
+      "'analytics.changes_plain', 0, -1, 'plain_changes', 'k')")
+    assert(spark.sql("SELECT _change_type, k FROM plain_changes")
+      .as[(String, Long)].collect().toSeq == Seq(("DELETE", 3L)))
+  }
+
+  test("$files metadata table time-travels with VERSION AS OF") {
+    val store = new TableStore(spark, s"$warehouse/analytics/files_tt")
+    store.commitSnapshot((1L to 5L).map(i => (i, s"v$i")).toDF("k", "v"))
+    store.commitAppend(Seq((6L, "v6")).toDF("k", "v"))
+    val v0Files = spark.sql(
+      "SELECT path FROM spec_cat.analytics.`files_tt$files` VERSION AS OF 0")
+      .as[String].collect().toSet
+    val curFiles = spark.sql(
+      "SELECT path FROM spec_cat.analytics.`files_tt$files`")
+      .as[String].collect().toSet
+    assert(v0Files == store.manifest(0).files.toSet)
+    assert(curFiles == store.manifest(1).files.toSet)
+    assert(v0Files.subsetOf(curFiles) && v0Files != curFiles)
   }
 
   test("SHOW TABLES lists committed tables; DDL create/drop works") {
