@@ -197,8 +197,37 @@ object CdcStreamOps {
     s.table(qname).orderBy(k.asc_nulls_first)
   }
 
+  /** Source → sink roundtrip: three commits on table A stream through the
+    * graft-table source INTO the graft-table sink (table B), which commits
+    * one snapshot per micro-batch with epoch markers; the registered result
+    * is B read back. Exercises both halves of the streaming surface plus the
+    * exactly-once bookkeeping end-to-end; the oracle is the full orders
+    * relation. */
+  private val streamTableRoundtrip: Q = (s, d) => {
+    val o = load(s, d, "orders")
+    val k = col("o_orderkey")
+    val src = new graft.store.TableStore(
+      s, graft.util.Scratch.dir("stream_rt_src"))
+    src.commitSnapshot(o.filter(k % 3 === 1))
+    src.commitAppend(o.filter(k % 3 === 2))
+    src.commitAppend(o.filter(k % 3 === 0))
+    val dstRoot = graft.util.Scratch.dir("stream_rt_dst")
+    val q = s.readStream.format(classOf[graft.sources.GraftTableProvider].getName)
+      .option("path", src.root)
+      .load()
+      .writeStream.format(classOf[graft.sources.GraftTableProvider].getName)
+      .option("path", dstRoot)
+      .option("checkpointLocation", graft.util.Scratch.dir("stream_rt_ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    new graft.store.TableStore(s, dstRoot).readSnapshot()
+      .orderBy(k.asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
     "stream_table_feed" -> streamTableFeed,
+    "stream_table_roundtrip" -> streamTableRoundtrip,
     "cdc_apply" -> cdcApply,
     "cdc_apply_evolve" -> cdcApplyEvolve,
     "stream_tumbling_window" -> tumbling,
@@ -210,6 +239,11 @@ object CdcStreamOps {
   )
 
   val oracles: Map[String, String] = Map(
+    "stream_table_roundtrip" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |FROM orders
+        |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+
     "stream_table_feed" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
         |FROM orders WHERE o_orderkey % 3 <> 1

@@ -47,9 +47,33 @@ import graft.store.TableStore
   * `streaming-skip-overwrite-snapshots`. For row-level change consumption use
   * [[TableStore.readChangelog]] instead.
   */
-class GraftTableProvider extends TableProvider with DataSourceRegister {
+class GraftTableProvider extends TableProvider with DataSourceRegister
+    with org.apache.spark.sql.sources.StreamSinkProvider {
 
   override def shortName(): String = "graft-table"
+
+  /** Streaming SINK over a graft table — the write half of the loop:
+    *
+    * {{{
+    *   df.writeStream.format("graft-table")
+    *     .option("path", tableRoot)
+    *     .option("sink.mode", "cdc").option("sink.keys", "pk")  // or default append
+    *     .option("checkpointLocation", ckpt).start()
+    * }}}
+    *
+    * `append` commits each micro-batch through commitSnapshot/commitAppend
+    * (O(new rows) write volume, full file inheritance); `cdc` runs the
+    * partition-targeted [[graft.streaming.StreamingOps.applyCdcBatch]] merge.
+    * Exactly-once: the sink records the highest committed epoch per query id
+    * in a marker under the table root, so an epoch replayed after a failure
+    * (committed to the table but not yet to the streaming checkpoint) is
+    * skipped instead of double-applied — the transactional-sink discipline
+    * `foreachBatch` leaves to the user, built in. */
+  override def createSink(sqlContext: org.apache.spark.sql.SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink =
+    new GraftTableSink(parameters)
 
   private def storeFor(path: String): TableStore = {
     require(path != null,
@@ -57,11 +81,14 @@ class GraftTableProvider extends TableProvider with DataSourceRegister {
     new TableStore(SparkSession.active, path)
   }
 
+  /** Empty schema when the table has no snapshot yet: the WRITE path probes
+    * this provider before falling back to the V1 sink (a sink's target may
+    * not exist yet); the READ path re-checks at stream creation with a clear
+    * error ([[GraftMicroBatchStream]]). */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val store = storeFor(options.get("path"))
     val v = store.currentVersion()
-    require(v >= 0, s"graft-table stream: no committed snapshot at ${store.root}")
-    store.manifest(v).schema
+    if (v < 0) StructType(Nil) else store.manifest(v).schema
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -80,10 +107,81 @@ private[sources] class GraftStreamTable(root: String, tableSchema: StructType)
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = tableSchema
         override def description(): String = s"GraftTableStream $root"
-        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+          require(tableSchema.nonEmpty,
+            s"graft-table stream: no committed snapshot at $root — commit the " +
+              "table before streaming from it")
           new GraftMicroBatchStream(root, tableSchema, options)
+        }
       }
     }
+}
+
+/** V1 streaming sink into a [[TableStore]] (see
+  * [[GraftTableProvider.createSink]]). One commit per micro-batch; epoch
+  * markers make replays no-ops. */
+private[graft] class GraftTableSink(parameters: Map[String, String])
+    extends org.apache.spark.sql.execution.streaming.Sink {
+  import org.apache.hadoop.fs.Path
+  import org.apache.spark.sql.DataFrame
+
+  private val path = parameters.getOrElse("path",
+    throw new IllegalArgumentException(
+      "graft-table sink requires .option(\"path\", <table root>)"))
+  private val mode = parameters.getOrElse("sink.mode", "append")
+  require(mode == "append" || mode == "cdc",
+    s"sink.mode must be append or cdc, got $mode")
+  private val keys = parameters.get("sink.keys")
+    .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+  private val numBuckets = parameters.getOrElse("sink.buckets", "64").toInt
+  require(mode != "cdc" || keys.nonEmpty, "sink.mode=cdc requires sink.keys")
+
+  private def spark = SparkSession.active
+  private def store = new TableStore(spark, path)
+  private def fs = new Path(path)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Marker file per (table, query id): highest epoch already committed.
+    * The query id is stable across restarts of the same checkpoint (Spark
+    * pins it in the checkpoint metadata and publishes it as a local
+    * property during batch execution), so a replayed epoch skips while a
+    * brand-new query starts fresh. */
+  private def markerPath: Path = {
+    val qid = Option(spark.sparkContext
+      .getLocalProperty(org.apache.spark.sql.execution.streaming
+        .runtime.StreamExecution.QUERY_ID_KEY)).getOrElse("default")
+    new Path(path, s"_stream_sink/$qid")
+  }
+
+  private def lastEpoch(p: Path): Long = {
+    val f = fs
+    if (!f.exists(p)) -1L
+    else {
+      val in = f.open(p)
+      try scala.io.Source.fromInputStream(in).mkString.trim.toLong
+      finally in.close()
+    }
+  }
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    val marker = markerPath
+    if (batchId <= lastEpoch(marker)) return // replayed epoch: already applied
+    // re-plan the batch as a BATCH frame: the incoming DataFrame is wired to
+    // the streaming execution and cannot be reused through DataFrame writes
+    val batch = org.apache.spark.sql.graftbridge.StreamSinkBridge.asBatch(data)
+    val st = store
+    mode match {
+      case "append" =>
+        if (st.currentVersion() < 0) st.commitSnapshot(batch)
+        else st.commitAppend(batch)
+      case "cdc" =>
+        graft.streaming.StreamingOps.applyCdcBatch(batch, st, keys, numBuckets)
+    }
+    val f = fs
+    f.mkdirs(marker.getParent)
+    val out = f.create(marker, true)
+    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+  }
 }
 
 /** Offset = highest snapshot version consumed (-1 = nothing yet). */

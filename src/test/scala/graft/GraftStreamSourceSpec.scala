@@ -135,6 +135,61 @@ class GraftStreamSourceSpec extends SparkSuite {
       "restart must deliver exactly the appended commit, no replays")
   }
 
+  test("graft-table sink: source-to-sink roundtrip, incremental continuation, no replays") {
+    val src = freshStore()
+    val dstRoot = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_sink_ckpt").toString
+    src.commitSnapshot((1L to 30L).map(i => (i, s"v$i")).toDF("k", "v"))
+    src.commitAppend((31L to 40L).map(i => (i, s"v$i")).toDF("k", "v"))
+    def pump(): Unit = {
+      val q = readTable(src).writeStream
+        .format(classOf[graft.sources.GraftTableProvider].getName)
+        .option("path", dstRoot).option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      try q.awaitTermination(120000) finally q.stop()
+    }
+    pump()
+    val dst = new TableStore(spark, dstRoot)
+    assert(dst.readSnapshot().as[(Long, String)].collect().sorted.toSeq ==
+      (1L to 40L).map(i => (i, s"v$i")))
+    // continuation from the same checkpoint: only the new commit flows
+    src.commitAppend(Seq((41L, "v41")).toDF("k", "v"))
+    val versionsBefore = dst.currentVersion()
+    pump()
+    assert(dst.readSnapshot().as[(Long, String)].collect().sorted.toSeq ==
+      (1L to 41L).map(i => (i, s"v$i")))
+    assert(dst.currentVersion() == versionsBefore + 1,
+      "continuation must add exactly one commit, not replay history")
+  }
+
+  test("graft-table sink: a replayed epoch is a no-op (exactly-once marker)") {
+    val dstRoot = java.nio.file.Files.createTempDirectory("graft_sink2").toString
+    val sink = new graft.sources.GraftTableSink(Map("path" -> dstRoot))
+    val batch = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    sink.addBatch(0, batch)
+    val dst = new TableStore(spark, dstRoot)
+    assert(dst.currentVersion() == 0 && dst.readSnapshot().count() == 2)
+    sink.addBatch(0, batch) // failure replay of the same epoch
+    assert(dst.currentVersion() == 0, "replayed epoch must not re-commit")
+    assert(dst.readSnapshot().count() == 2)
+    sink.addBatch(1, Seq((3L, "c")).toDF("k", "v"))
+    assert(dst.currentVersion() == 1 && dst.readSnapshot().count() == 3)
+  }
+
+  test("graft-table sink in cdc mode merges change batches per epoch") {
+    val dstRoot = java.nio.file.Files.createTempDirectory("graft_sink3").toString
+    val sink = new graft.sources.GraftTableSink(Map(
+      "path" -> dstRoot, "sink.mode" -> "cdc", "sink.keys" -> "k",
+      "sink.buckets" -> "4"))
+    sink.addBatch(0,
+      (1L to 10L).map(i => (i, s"v$i", 1L, "INSERT")).toDF("k", "v", "seq", "op"))
+    sink.addBatch(1, Seq((3L, "V3", 2L, "MODIFY"),
+      (4L, null.asInstanceOf[String], 2L, "REMOVE")).toDF("k", "v", "seq", "op"))
+    val dst = new TableStore(spark, dstRoot)
+    val out = dst.readSnapshot().as[(Long, String)].collect().toMap
+    assert(out.size == 9 && out(3L) == "V3" && !out.contains(4L))
+  }
+
   test("stream schema NULL-pads files written before a schema evolution") {
     val store = freshStore()
     store.commitSnapshot((1L to 5L).map(i => (i, s"v$i")).toDF("k", "v"))
