@@ -141,11 +141,19 @@ private[graft] class GraftTableSink(parameters: Map[String, String])
   private def fs = new Path(path)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Marker file per (table, query id): highest epoch already committed.
-    * The query id is stable across restarts of the same checkpoint (Spark
-    * pins it in the checkpoint metadata and publishes it as a local
-    * property during batch execution), so a replayed epoch skips while a
-    * brand-new query starts fresh. */
+  /** Two-phase epoch marker per (table, query id): `intent <e> <preVersion>`
+    * is written BEFORE the table commit, `done <e> <postVersion>` after, so
+    * every crash point is recoverable (single sink writer per table, the
+    * normal streaming topology):
+    *   - replay with `done e` and batchId ≤ e → already applied, skip;
+    *   - replay with `intent e==batchId` and currentVersion > preVersion →
+    *     the commit landed but `done` didn't: finalize the marker, skip —
+    *     THE window a single post-commit marker leaves open;
+    *   - replay with `intent e==batchId` and currentVersion == preVersion →
+    *     the commit never landed: apply normally.
+    * The query id is stable across restarts of the same checkpoint (pinned
+    * in the checkpoint metadata, published as a local property during batch
+    * execution), so a brand-new query starts a fresh marker. */
   private def markerPath: Path = {
     val qid = Option(spark.sparkContext
       .getLocalProperty(org.apache.spark.sql.execution.streaming
@@ -153,23 +161,43 @@ private[graft] class GraftTableSink(parameters: Map[String, String])
     new Path(path, s"_stream_sink/$qid")
   }
 
-  private def lastEpoch(p: Path): Long = {
+  private def readMarker(p: Path): Option[(String, Long, Long)] = {
     val f = fs
-    if (!f.exists(p)) -1L
+    if (!f.exists(p)) None
     else {
       val in = f.open(p)
-      try scala.io.Source.fromInputStream(in).mkString.trim.toLong
-      finally in.close()
+      val s = try scala.io.Source.fromInputStream(in).mkString.trim
+        finally in.close()
+      s.split(' ') match {
+        case Array(state, e, v) => Some((state, e.toLong, v.toLong))
+        case _ => None
+      }
     }
+  }
+
+  private def writeMarker(p: Path, state: String, epoch: Long, version: Long): Unit = {
+    val f = fs
+    f.mkdirs(p.getParent)
+    val out = f.create(p, true)
+    try out.write(s"$state $epoch $version".getBytes("UTF-8")) finally out.close()
   }
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
     val marker = markerPath
-    if (batchId <= lastEpoch(marker)) return // replayed epoch: already applied
+    val st = store
+    readMarker(marker) match {
+      case Some(("done", e, _)) if batchId <= e => return // already applied
+      case Some(("intent", e, preV)) if e == batchId &&
+          st.currentVersion() > preV =>
+        // commit landed, crash before `done`: finalize and skip
+        writeMarker(marker, "done", batchId, st.currentVersion())
+        return
+      case _ => () // fresh epoch, or an intent whose commit never landed
+    }
+    writeMarker(marker, "intent", batchId, st.currentVersion())
     // re-plan the batch as a BATCH frame: the incoming DataFrame is wired to
     // the streaming execution and cannot be reused through DataFrame writes
     val batch = org.apache.spark.sql.graftbridge.StreamSinkBridge.asBatch(data)
-    val st = store
     mode match {
       case "append" =>
         if (st.currentVersion() < 0) st.commitSnapshot(batch)
@@ -177,10 +205,7 @@ private[graft] class GraftTableSink(parameters: Map[String, String])
       case "cdc" =>
         graft.streaming.StreamingOps.applyCdcBatch(batch, st, keys, numBuckets)
     }
-    val f = fs
-    f.mkdirs(marker.getParent)
-    val out = f.create(marker, true)
-    try out.write(batchId.toString.getBytes("UTF-8")) finally out.close()
+    writeMarker(marker, "done", batchId, st.currentVersion())
   }
 }
 

@@ -176,6 +176,33 @@ class GraftStreamSourceSpec extends SparkSuite {
     assert(dst.currentVersion() == 1 && dst.readSnapshot().count() == 3)
   }
 
+  test("graft-table sink: crash between table commit and marker is recovered") {
+    // the window a single post-commit marker leaves open: epoch committed to
+    // the table, `done` never written. Simulate both intent states.
+    val dstRoot = java.nio.file.Files.createTempDirectory("graft_sink4").toString
+    val sink = new graft.sources.GraftTableSink(Map("path" -> dstRoot))
+    sink.addBatch(0, Seq((1L, "a")).toDF("k", "v"))
+    val dst = new TableStore(spark, dstRoot)
+    val marker = new org.apache.hadoop.fs.Path(dstRoot, "_stream_sink/default")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def setMarker(s: String): Unit = {
+      val out = fs.create(marker, true)
+      try out.write(s.getBytes("UTF-8")) finally out.close()
+    }
+    // crash AFTER epoch 1's commit, BEFORE `done`: intent preV=0, commit landed
+    dst.commitAppend(Seq((2L, "b")).toDF("k", "v")) // the landed epoch-1 commit
+    setMarker("intent 1 0")
+    sink.addBatch(1, Seq((2L, "b")).toDF("k", "v")) // replay
+    assert(dst.currentVersion() == 1, "landed epoch must not re-apply")
+    assert(dst.readSnapshot().count() == 2)
+    // crash BEFORE epoch 2's commit landed: intent preV=currentVersion
+    setMarker("intent 2 1")
+    sink.addBatch(2, Seq((3L, "c")).toDF("k", "v")) // replay must APPLY
+    assert(dst.currentVersion() == 2, "unlanded epoch must apply on replay")
+    assert(dst.readSnapshot().as[(Long, String)].collect().sorted.toSeq ==
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
   test("graft-table sink in cdc mode merges change batches per epoch") {
     val dstRoot = java.nio.file.Files.createTempDirectory("graft_sink3").toString
     val sink = new graft.sources.GraftTableSink(Map(
