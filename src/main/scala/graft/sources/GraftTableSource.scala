@@ -2,7 +2,6 @@ package graft.sources
 
 import java.util
 
-import org.apache.spark.paths.SparkPath
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
@@ -72,8 +71,13 @@ class GraftTableProvider extends TableProvider with DataSourceRegister
   override def createSink(sqlContext: org.apache.spark.sql.SQLContext,
       parameters: Map[String, String], partitionColumns: Seq[String],
       outputMode: org.apache.spark.sql.streaming.OutputMode)
-      : org.apache.spark.sql.execution.streaming.Sink =
-    new GraftTableSink(parameters)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    // Complete/Update re-emit rows across batches; appending them would
+    // accumulate stale duplicates (FileStreamSink makes the same call)
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"graft-table sink supports Append output mode only, got $outputMode")
+    new GraftTableSink(parameters, partitionColumns)
+  }
 
   private def storeFor(path: String): TableStore = {
     require(path != null,
@@ -118,9 +122,27 @@ private[sources] class GraftStreamTable(root: String, tableSchema: StructType)
 }
 
 /** V1 streaming sink into a [[TableStore]] (see
-  * [[GraftTableProvider.createSink]]). One commit per micro-batch; epoch
-  * markers make replays no-ops. */
-private[graft] class GraftTableSink(parameters: Map[String, String])
+  * [[GraftTableProvider.createSink]]). One commit per micro-batch, made
+  * exactly-once by an epoch LEDGER under the table root:
+  *
+  *   - every ledger entry is a CREATE-ONLY, ZERO-BYTE file whose NAME
+  *     encodes the fact (`done-<epoch>` / `intent-<epoch>-<preVersion>`) —
+  *     creation is atomic and nothing is ever truncated or rewritten, so no
+  *     crash can tear a record;
+  *   - each epoch's table commit carries the manifest prop
+  *     `graft.stream.epoch = <queryId>:<epoch>`, so a replay holding an
+  *     unfinished intent decides "did MY commit land?" by scanning newer
+  *     manifests for the fingerprint — a maintenance or other foreign
+  *     commit in the crash window is never mistaken for the epoch's own,
+  *     so it can neither lose nor duplicate data.
+  *
+  * Replay: `done-e` with e ≥ batchId → skip; `intent-batchId` whose
+  * fingerprint appears in a manifest newer than its pre-version → finalize
+  * `done` and skip; otherwise apply. The query id is stable across restarts
+  * of a checkpoint (pinned in checkpoint metadata), so continuation works
+  * and a brand-new query starts a clean ledger. */
+private[graft] class GraftTableSink(parameters: Map[String, String],
+    partitionColumns: Seq[String] = Nil)
     extends org.apache.spark.sql.execution.streaming.Sink {
   import org.apache.hadoop.fs.Path
   import org.apache.spark.sql.DataFrame
@@ -134,79 +156,104 @@ private[graft] class GraftTableSink(parameters: Map[String, String])
   private val keys = parameters.get("sink.keys")
     .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
   private val numBuckets = parameters.getOrElse("sink.buckets", "64").toInt
+  require(numBuckets > 0, s"sink.buckets must be positive, got $numBuckets")
   require(mode != "cdc" || keys.nonEmpty, "sink.mode=cdc requires sink.keys")
+  require(mode != "cdc" || partitionColumns.isEmpty,
+    "sink.mode=cdc manages its own bucket partitioning; drop partitionBy")
 
   private def spark = SparkSession.active
   private def store = new TableStore(spark, path)
   private def fs = new Path(path)
     .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Two-phase epoch marker per (table, query id): `intent <e> <preVersion>`
-    * is written BEFORE the table commit, `done <e> <postVersion>` after, so
-    * every crash point is recoverable (single sink writer per table, the
-    * normal streaming topology):
-    *   - replay with `done e` and batchId ≤ e → already applied, skip;
-    *   - replay with `intent e==batchId` and currentVersion > preVersion →
-    *     the commit landed but `done` didn't: finalize the marker, skip —
-    *     THE window a single post-commit marker leaves open;
-    *   - replay with `intent e==batchId` and currentVersion == preVersion →
-    *     the commit never landed: apply normally.
-    * The query id is stable across restarts of the same checkpoint (pinned
-    * in the checkpoint metadata, published as a local property during batch
-    * execution), so a brand-new query starts a fresh marker. */
-  private def markerPath: Path = {
-    val qid = Option(spark.sparkContext
-      .getLocalProperty(org.apache.spark.sql.execution.streaming
-        .runtime.StreamExecution.QUERY_ID_KEY)).getOrElse("default")
-    new Path(path, s"_stream_sink/$qid")
+  /** The streaming query id: Spark's local property during batch execution,
+    * or the explicit `sink.id` option (direct/embedded use). No silent
+    * shared default — two queries on one ledger would cross-contaminate
+    * exactly-once state. */
+  private def queryId: String =
+    Option(spark.sparkContext.getLocalProperty(
+      org.apache.spark.sql.execution.streaming
+        .runtime.StreamExecution.QUERY_ID_KEY))
+      .orElse(parameters.get("sink.id"))
+      .getOrElse(throw new IllegalStateException(
+        "graft-table sink: no streaming query id in scope; set " +
+          ".option(\"sink.id\", ...) when invoking the sink outside a " +
+          "streaming query"))
+
+  private def ledgerDir: Path = new Path(path, s"_stream_sink/$queryId")
+
+  private val DoneName = "done-(\\d+)".r
+  private val IntentName = "intent-(\\d+)-(\\d+)".r
+
+  /** (max done epoch, intent pre-versions by epoch). Entries are
+    * create-only zero-byte files, so a listing is never torn; malformed
+    * names are ignored. */
+  private def readLedger(): (Long, Map[Long, Long]) = {
+    val f = fs
+    if (!f.exists(ledgerDir)) return (-1L, Map.empty)
+    val names = f.listStatus(ledgerDir).map(_.getPath.getName)
+    val done = names.collect { case DoneName(e) => e.toLong }
+    val intents = names.collect { case IntentName(e, v) => e.toLong -> v.toLong }
+    (done.foldLeft(-1L)(math.max), intents.toMap)
   }
 
-  private def readMarker(p: Path): Option[(String, Long, Long)] = {
+  private def record(name: String): Unit = {
     val f = fs
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      val s = try scala.io.Source.fromInputStream(in).mkString.trim
-        finally in.close()
-      s.split(' ') match {
-        case Array(state, e, v) => Some((state, e.toLong, v.toLong))
-        case _ => None
-      }
-    }
+    f.mkdirs(ledgerDir)
+    try f.create(new Path(ledgerDir, name), false).close()
+    catch { case _: java.io.IOException => () } // already recorded: fine
   }
 
-  private def writeMarker(p: Path, state: String, epoch: Long, version: Long): Unit = {
-    val f = fs
-    f.mkdirs(p.getParent)
-    val out = f.create(p, true)
-    try out.write(s"$state $epoch $version".getBytes("UTF-8")) finally out.close()
-  }
+  private def fingerprint(batchId: Long): String = s"$queryId:$batchId"
+
+  /** Did epoch `batchId`'s OWN commit land? Foreign commits (maintenance,
+    * other writers) never carry this query's fingerprint. */
+  private def epochLanded(st: TableStore, batchId: Long, preV: Long): Boolean =
+    st.existingVersions().filter(_ > preV).exists(v =>
+      st.manifest(v).props.get(GraftTableSink.EpochProp)
+        .contains(fingerprint(batchId)))
 
   override def addBatch(batchId: Long, data: DataFrame): Unit = {
-    val marker = markerPath
     val st = store
-    readMarker(marker) match {
-      case Some(("done", e, _)) if batchId <= e => return // already applied
-      case Some(("intent", e, preV)) if e == batchId &&
-          st.currentVersion() > preV =>
-        // commit landed, crash before `done`: finalize and skip
-        writeMarker(marker, "done", batchId, st.currentVersion())
+    val (maxDone, intents) = readLedger()
+    if (batchId <= maxDone) return // already applied and finalized
+    intents.get(batchId) match {
+      case Some(preV) if epochLanded(st, batchId, preV) =>
+        record(s"done-$batchId") // crash was between commit and `done`
         return
       case _ => () // fresh epoch, or an intent whose commit never landed
     }
-    writeMarker(marker, "intent", batchId, st.currentVersion())
+    record(s"intent-$batchId-${st.currentVersion()}")
     // re-plan the batch as a BATCH frame: the incoming DataFrame is wired to
     // the streaming execution and cannot be reused through DataFrame writes
     val batch = org.apache.spark.sql.graftbridge.StreamSinkBridge.asBatch(data)
+    val props = Map(GraftTableSink.EpochProp -> fingerprint(batchId))
     mode match {
       case "append" =>
-        if (st.currentVersion() < 0) st.commitSnapshot(batch)
-        else st.commitAppend(batch)
+        val cur = st.currentVersion()
+        if (cur < 0) st.commitSnapshot(batch, partitionColumns, props = props)
+        else {
+          val declared = st.manifest(cur).partitionBy
+          require(partitionColumns.isEmpty || partitionColumns == declared,
+            s"partitionBy ${partitionColumns.mkString(",")} conflicts with " +
+              s"the table's layout (${declared.mkString(",")})")
+          st.commitAppend(batch, props = props)
+        }
       case "cdc" =>
-        graft.streaming.StreamingOps.applyCdcBatch(batch, st, keys, numBuckets)
+        // several actions consume the batch (touched-bucket derivation +
+        // the merge write); cache so the upstream source is read once
+        batch.persist()
+        try graft.streaming.StreamingOps.applyCdcBatch(
+          batch, st, keys, numBuckets, props = props)
+        finally batch.unpersist()
     }
-    writeMarker(marker, "done", batchId, st.currentVersion())
+    record(s"done-$batchId")
   }
+}
+
+private[graft] object GraftTableSink {
+  /** Manifest prop marking a commit as a specific streaming epoch's. */
+  val EpochProp = "graft.stream.epoch"
 }
 
 /** Offset = highest snapshot version consumed (-1 = nothing yet). */

@@ -72,7 +72,8 @@ class TableStore(val spark: SparkSession, val root: String) {
     * `expectedParent` is the CAS guard: commit fails if another writer
     * committed since the caller read `currentVersion()`. */
   def commitSnapshot(df: DataFrame, partitionBy: Seq[String] = Nil,
-      expectedParent: Option[Long] = None): Long = {
+      expectedParent: Option[Long] = None,
+      props: Map[String, String] = Map.empty): Long = {
     val parent = checkParent(expectedParent)
     val next = parent + 1
     // Unique staging dir per attempt (not the shared snap-<next>): two racing
@@ -87,7 +88,7 @@ class TableStore(val spark: SparkSession, val root: String) {
     val files = listDataFiles(snapDir)
     val m = Manifest(next, parent, df.schema, snapDir.toString, files,
       partitionBy, System.currentTimeMillis(),
-      stats = FileStats.collect(spark, files, df.schema))
+      stats = FileStats.collect(spark, files, df.schema), props = props)
     commitOrCleanup(m, snapDir)
   }
 
@@ -316,7 +317,8 @@ class TableStore(val spark: SparkSession, val root: String) {
     * columns only and the manifest records the bucketing spec, so readers
     * reconstruct or prune on it from metadata alone. */
   def commitBucketed(df: DataFrame, keys: Seq[String], numBuckets: Int,
-      expectedParent: Option[Long] = None): Long = {
+      expectedParent: Option[Long] = None,
+      props: Map[String, String] = Map.empty): Long = {
     require(keys.nonEmpty && numBuckets > 0, "bucketed commit needs keys and buckets")
     val parent = checkParent(expectedParent)
     val next = parent + 1
@@ -327,7 +329,8 @@ class TableStore(val spark: SparkSession, val root: String) {
     val files = listDataFiles(snapDir)
     val m = Manifest(next, parent, df.schema, snapDir.toString,
       files, Seq(BucketCol), System.currentTimeMillis(),
-      keys, numBuckets, stats = FileStats.collect(spark, files, df.schema))
+      keys, numBuckets, stats = FileStats.collect(spark, files, df.schema),
+      props = props)
     commitOrCleanup(m, snapDir)
   }
 
@@ -339,7 +342,8 @@ class TableStore(val spark: SparkSession, val root: String) {
     * Schema may WIDEN (new columns appended): inherited files simply lack the
     * new columns and read back as NULL. */
   def commitIncremental(changed: DataFrame, touched: Seq[Long],
-      expectedParent: Option[Long] = None): Long = {
+      expectedParent: Option[Long] = None,
+      props: Map[String, String] = Map.empty): Long = {
     val parent = checkParent(expectedParent)
     require(parent >= 0, "incremental commit requires an existing snapshot")
     val pm = manifest(parent)
@@ -381,7 +385,7 @@ class TableStore(val spark: SparkSession, val root: String) {
       inherited ++ fresh, Seq(BucketCol),
       System.currentTimeMillis(), pm.bucketKeys, pm.numBuckets,
       stats = pm.stats.filter(kv => inheritedSet(kv._1)) ++
-        FileStats.collect(spark, fresh, changed.schema))
+        FileStats.collect(spark, fresh, changed.schema), props = props)
     commitOrCleanup(m, snapDir)
   }
 
@@ -392,7 +396,8 @@ class TableStore(val spark: SparkSession, val root: String) {
     * Layout follows the parent: bucketed tables bucket the new rows,
     * hive-partitioned tables extend the hive layout. Schema must match the
     * parent exactly (use alter/evolve paths to widen first). */
-  def commitAppend(df: DataFrame, expectedParent: Option[Long] = None): Long = {
+  def commitAppend(df: DataFrame, expectedParent: Option[Long] = None,
+      props: Map[String, String] = Map.empty): Long = {
     val parent = checkParent(expectedParent)
     require(parent >= 0, "append requires an existing table snapshot")
     val pm = manifest(parent)
@@ -419,7 +424,8 @@ class TableStore(val spark: SparkSession, val root: String) {
     val m = Manifest(next, parent, pm.schema, snapDir.toString,
       pm.files ++ fresh, pm.partitionBy,
       System.currentTimeMillis(), pm.bucketKeys, pm.numBuckets,
-      stats = pm.stats ++ FileStats.collect(spark, fresh, pm.schema))
+      stats = pm.stats ++ FileStats.collect(spark, fresh, pm.schema),
+      props = props)
     commitOrCleanup(m, snapDir)
   }
 
@@ -489,7 +495,8 @@ class TableStore(val spark: SparkSession, val root: String) {
             "is not a merge-on-read widening; use a rewriting commit")
     }
     val m = pm.copy(version = parent + 1, parent = parent,
-      schema = newSchema, committedAtMs = System.currentTimeMillis())
+      schema = newSchema, committedAtMs = System.currentTimeMillis(),
+      props = Map.empty)
     writeManifestAtomic(m)
     m.version
   }
@@ -738,10 +745,13 @@ object TableStore {
     }
   }
 
+  /** `props`: free-form commit metadata (e.g. the streaming sink's epoch
+    * fingerprint) — carried by THIS commit only, never inherited. */
   final case class Manifest(version: Long, parent: Long, schema: StructType,
       location: String, files: Seq[String], partitionBy: Seq[String],
       committedAtMs: Long, bucketKeys: Seq[String] = Nil, numBuckets: Int = 0,
-      stats: Map[String, FileStats.FileStat] = Map.empty) {
+      stats: Map[String, FileStats.FileStat] = Map.empty,
+      props: Map[String, String] = Map.empty) {
     def toJson: String = {
       def js(s: String) = "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
@@ -750,9 +760,11 @@ object TableStore {
       val fileArr = files.map(js).mkString("[", ",", "]")
       val partArr = partitionBy.map(js).mkString("[", ",", "]")
       val keyArr = bucketKeys.map(js).mkString("[", ",", "]")
+      val propObj = props.map { case (k, v) => s"${js(k)}:${js(v)}" }
+        .mkString("{", ",", "}")
       s"""{"version":$version,"parent":$parent,"committedAtMs":$committedAtMs,
          |"location":${js(location)},"partitionBy":$partArr,
-         |"bucketKeys":$keyArr,"numBuckets":$numBuckets,
+         |"bucketKeys":$keyArr,"numBuckets":$numBuckets,"props":$propObj,
          |"schema":${js(schema.json)},"files":$fileArr,
          |"stats":${FileStats.statsToJson(stats)}}""".stripMargin
     }
@@ -775,7 +787,8 @@ object TableStore {
         (j \ "committedAtMs").extract[Long],
         (j \ "bucketKeys").extractOrElse[Seq[String]](Nil),
         (j \ "numBuckets").extractOrElse[Int](0),
-        FileStats.statsFromJson(j \ "stats"))
+        FileStats.statsFromJson(j \ "stats"),
+        (j \ "props").extractOrElse[Map[String, String]](Map.empty))
     }
   }
 }

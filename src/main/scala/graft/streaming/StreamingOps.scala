@@ -244,7 +244,8 @@ object StreamingOps {
     * counts bounded under a continuous feed. */
   def applyCdcBatch(batch: DataFrame, store: TableStore, keys: Seq[String],
       numBuckets: Int = 64, seqCol: String = "seq", opCol: String = "op",
-      maintenance: Option[CdcMaintenance] = None): Unit = {
+      maintenance: Option[CdcMaintenance] = None,
+      props: Map[String, String] = Map.empty): Unit = {
     val cur = store.currentVersion()
     val bucketed = cur >= 0 && {
       val m = store.manifest(cur)
@@ -254,11 +255,13 @@ object StreamingOps {
       // bootstrap: empty base with the batch's payload schema
       val payload = batch.columns.filterNot(c => c == seqCol || c == opCol)
       val base = batch.select(payload.map(col): _*).limit(0)
-      store.commitBucketed(CdcApply(base, batch, keys, seqCol, opCol), keys, numBuckets)
+      store.commitBucketed(CdcApply(base, batch, keys, seqCol, opCol),
+        keys, numBuckets, props = props)
     } else if (!bucketed) {
       // one-time migration of a non-bucketed base into the bucketed layout
       val merged = CdcApply(store.readSnapshot(), batch, keys, seqCol, opCol)
-      store.commitBucketed(merged, keys, numBuckets, expectedParent = Some(cur))
+      store.commitBucketed(merged, keys, numBuckets,
+        expectedParent = Some(cur), props = props)
     } else {
       val touched = batch
         .select(TableStore.bucketExpr(keys, numBuckets).as("b"))
@@ -285,10 +288,12 @@ object StreamingOps {
           else TableStore.mergeOnReadWiden(f.dataType, g.dataType))
       }
       if (morSafe)
-        store.commitIncremental(merged, touched, expectedParent = Some(cur))
+        store.commitIncremental(merged, touched, expectedParent = Some(cur),
+          props = props)
       else {
         val full = CdcApply(store.readSnapshot(), batch, keys, seqCol, opCol)
-        store.commitBucketed(full, keys, numBuckets, expectedParent = Some(cur))
+        store.commitBucketed(full, keys, numBuckets,
+          expectedParent = Some(cur), props = props)
       }
     }
     maintenance.foreach { p =>

@@ -162,9 +162,10 @@ class GraftStreamSourceSpec extends SparkSuite {
       "continuation must add exactly one commit, not replay history")
   }
 
-  test("graft-table sink: a replayed epoch is a no-op (exactly-once marker)") {
+  test("graft-table sink: a replayed epoch is a no-op (exactly-once ledger)") {
     val dstRoot = java.nio.file.Files.createTempDirectory("graft_sink2").toString
-    val sink = new graft.sources.GraftTableSink(Map("path" -> dstRoot))
+    val sink = new graft.sources.GraftTableSink(
+      Map("path" -> dstRoot, "sink.id" -> "q2"))
     val batch = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
     sink.addBatch(0, batch)
     val dst = new TableStore(spark, dstRoot)
@@ -176,38 +177,41 @@ class GraftStreamSourceSpec extends SparkSuite {
     assert(dst.currentVersion() == 1 && dst.readSnapshot().count() == 3)
   }
 
-  test("graft-table sink: crash between table commit and marker is recovered") {
-    // the window a single post-commit marker leaves open: epoch committed to
-    // the table, `done` never written. Simulate both intent states.
+  test("graft-table sink: crash between table commit and ledger `done` is recovered") {
+    // epoch committed to the table, `done` never recorded — the replay must
+    // recognize ITS OWN commit by fingerprint, and a FOREIGN commit in the
+    // same window must not be mistaken for it.
     val dstRoot = java.nio.file.Files.createTempDirectory("graft_sink4").toString
-    val sink = new graft.sources.GraftTableSink(Map("path" -> dstRoot))
+    val sink = new graft.sources.GraftTableSink(
+      Map("path" -> dstRoot, "sink.id" -> "q4"))
     sink.addBatch(0, Seq((1L, "a")).toDF("k", "v"))
     val dst = new TableStore(spark, dstRoot)
-    val marker = new org.apache.hadoop.fs.Path(dstRoot, "_stream_sink/default")
-    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    def setMarker(s: String): Unit = {
-      val out = fs.create(marker, true)
-      try out.write(s.getBytes("UTF-8")) finally out.close()
-    }
-    // crash AFTER epoch 1's commit, BEFORE `done`: intent preV=0, commit landed
-    dst.commitAppend(Seq((2L, "b")).toDF("k", "v")) // the landed epoch-1 commit
-    setMarker("intent 1 0")
+    val ledger = new org.apache.hadoop.fs.Path(dstRoot, "_stream_sink/q4")
+    val fs = ledger.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def plant(name: String): Unit = fs.create(
+      new org.apache.hadoop.fs.Path(ledger, name), false).close()
+    // crash AFTER epoch 1's commit (fingerprinted), BEFORE `done`
+    dst.commitAppend(Seq((2L, "b")).toDF("k", "v"),
+      props = Map(graft.sources.GraftTableSink.EpochProp -> "q4:1"))
+    plant("intent-1-0")
     sink.addBatch(1, Seq((2L, "b")).toDF("k", "v")) // replay
     assert(dst.currentVersion() == 1, "landed epoch must not re-apply")
     assert(dst.readSnapshot().count() == 2)
-    // crash BEFORE epoch 2's commit landed: intent preV=currentVersion
-    setMarker("intent 2 1")
-    sink.addBatch(2, Seq((3L, "c")).toDF("k", "v")) // replay must APPLY
-    assert(dst.currentVersion() == 2, "unlanded epoch must apply on replay")
+    // crash BEFORE epoch 2's commit landed, and a FOREIGN (maintenance)
+    // commit fills the window: the replay must still APPLY the batch
+    plant("intent-2-1")
+    dst.compact(targetFiles = 1) // foreign commit, no fingerprint
+    sink.addBatch(2, Seq((3L, "c")).toDF("k", "v"))
     assert(dst.readSnapshot().as[(Long, String)].collect().sorted.toSeq ==
-      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+      Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      "foreign commit in the crash window must not swallow the epoch")
   }
 
   test("graft-table sink in cdc mode merges change batches per epoch") {
     val dstRoot = java.nio.file.Files.createTempDirectory("graft_sink3").toString
     val sink = new graft.sources.GraftTableSink(Map(
       "path" -> dstRoot, "sink.mode" -> "cdc", "sink.keys" -> "k",
-      "sink.buckets" -> "4"))
+      "sink.buckets" -> "4", "sink.id" -> "q3"))
     sink.addBatch(0,
       (1L to 10L).map(i => (i, s"v$i", 1L, "INSERT")).toDF("k", "v", "seq", "op"))
     sink.addBatch(1, Seq((3L, "V3", 2L, "MODIFY"),
