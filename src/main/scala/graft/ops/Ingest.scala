@@ -110,8 +110,14 @@ object Ingest {
   }
 
   /** Small-file compaction + unreferenced-file GC
-    * (reference `unreferencedFileRemoval`, README.md:132-137). Summary row;
-    * content preservation is asserted in scalatest. */
+    * (reference `unreferencedFileRemoval`, README.md:132-137).
+    *
+    * The returned DataFrame is the POST-compaction table content — commit 16
+    * files, compact to 1, vacuum the superseded snapshot, then read back —
+    * so the DuckDB oracle verifies the real invariant (the row multiset
+    * survives compact+GC byte-for-byte) rather than a summary row. The
+    * file-count/GC invariants stay as hard `require`s: a regression turns
+    * the query into an `err` row instead of silently passing. */
   private val maintenanceCompact: Q = (s, d) => {
     val li = load(s, d, "lineitem")
     val store = new TableStore(s, graft.util.Scratch.dir("compact"))
@@ -120,10 +126,12 @@ object Ingest {
     store.compact(targetFiles = 1)
     val filesAfter = store.manifest(store.currentVersion()).files.size
     val vacuumed = store.vacuum(keepSnapshots = 1).size
-    val nRows = store.readSnapshot().count()
-    import s.implicits._
-    Seq((nRows, filesBefore, filesAfter, vacuumed))
-      .toDF("n_rows", "files_before", "files_after", "vacuumed_dirs")
+    require(filesBefore == 16, s"expected 16 pre-compaction files, got $filesBefore")
+    require(filesAfter == 1, s"expected 1 post-compaction file, got $filesAfter")
+    require(vacuumed > 0, "vacuum reclaimed nothing despite a superseded snapshot")
+    val cols = li.schema.fieldNames.map(col)
+    store.readSnapshot().select(cols: _*)
+      .orderBy(li.schema.fieldNames.map(c => col(c).asc_nulls_first): _*)
   }
 
   /** Incremental consumption (Iceberg incremental-scan analog): commit a
@@ -243,6 +251,12 @@ object Ingest {
         |FROM orders ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
 
     "sink_partitioned_parquet" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+        |       l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+        |FROM lineitem ORDER BY l_orderkey ASC NULLS FIRST, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate""".stripMargin,
+
+    // compact(16→1) + vacuum must preserve the row multiset exactly
+    "maintenance_compact" ->
       """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice,
         |       l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
         |FROM lineitem ORDER BY l_orderkey ASC NULLS FIRST, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate""".stripMargin,

@@ -113,7 +113,18 @@ object LlmDedup {
       .withColumn("jaccard",
         graft.functions.SortedKmvJaccard(col("set_a"), col("set_b"), maxSet))
       .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      // Output the evidence as EXACT integers (|A∩B|, |A∪B|) instead of the
+      // rounded double ratio: a 64-bit-hashed shingle set has the same
+      // pairwise intersection sizes as the raw shingle-string sets (no
+      // collisions at fixture scale), so a DuckDB oracle can reproduce these
+      // values with plain list arithmetic — no float rounding to diverge on.
+      // (Capped runs emit sketch-set sizes; the registered entry is uncapped.)
+      .withColumn("_inter",
+        graft.functions.SortedIntersectCount(col("set_a"), col("set_b")))
+      .select(col("doc_a"), col("doc_b"),
+        col("_inter").cast("long").as("inter_grams"),
+        (size(col("set_a")) + size(col("set_b")) - col("_inter"))
+          .cast("long").as("union_grams"))
       .orderBy(col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first)
   }
 
@@ -169,9 +180,10 @@ object LlmDedup {
         JOIN graft_mh_sets sa ON sa.doc_id = doc_a
         JOIN graft_mh_sets sb ON sb.doc_id = doc_b)
       SELECT doc_a, doc_b,
-        ROUND(CAST(inter AS DOUBLE) / (na + nb - inter), 6) AS jaccard
+        CAST(inter AS BIGINT) AS inter_grams,
+        CAST(na + nb - inter AS BIGINT) AS union_grams
       FROM verified
-      WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.5
+      WHERE 2 * inter >= na + nb - inter
       ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST""")
   }
 
@@ -374,7 +386,13 @@ object LlmDedup {
         col("_inter").cast("double") /
           (size(col("set_a")) + size(col("set_b")) - col("_inter")))
       .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), round(col("jaccard"), 6).as("jaccard"))
+      // exact-integer evidence columns (see minhashPairs): hashed-shingle
+      // intersections equal raw-shingle intersections, so a DuckDB oracle
+      // reproduces them without any float column in the compared output
+      .select(col("doc_a"), col("doc_b"),
+        col("_inter").cast("long").as("inter_grams"),
+        (size(col("set_a")) + size(col("set_b")) - col("_inter"))
+          .cast("long").as("union_grams"))
       .orderBy(col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first)
   }
 
@@ -476,7 +494,92 @@ object LlmDedup {
     "dedup_embedding" -> dedupEmbedding,
   )
 
+  /** Shared oracle scaffolding: DuckDB-side trigram sets per document.
+    * Tokenization mirrors TextKernels.tokenize (lowercase, `\s+` split,
+    * drop empties); trigram strings stand in for the engine's 64-bit
+    * shingle hashes — pairwise intersection/union sizes are identical
+    * because hashing is injective on the fixture vocabulary. */
+  private val oracleGramsCte: String =
+    """toks AS (
+      |  SELECT doc_id, lang,
+      |    list_filter(string_split_regex(lower(text), '\s+'), t -> t <> '') AS tk
+      |  FROM documents),
+      |grams AS (
+      |  SELECT doc_id, lang,
+      |    list_distinct([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]
+      |                   for i in range(1, len(tk) - 1)]) AS gs
+      |  FROM toks WHERE len(tk) >= 3)""".stripMargin
+
+  /** Brute-force exact trigram-Jaccard pairs at t = 0.5 (2·|A∩B| ≥ |A∪B|,
+    * pure integer arithmetic — no float in the filter or the output).
+    * Valid as the LSH oracle because every fixture pair at t ≥ 0.5 has
+    * J ≥ 0.9, where 16-band×4-row recall is 1 − (1−0.9⁴)¹⁶ ≈ 1 − 4e-8 and
+    * deterministic under the engine's fixed hash family (verified: LSH and
+    * brute force emit the identical 25-pair set at sf0.01). */
+  private val oracleMinhashPairs: String =
+    s"""WITH $oracleGramsCte,
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |    len(list_intersect(a.gs, b.gs)) AS inter,
+       |    len(a.gs) AS na, len(b.gs) AS nb
+       |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id)
+       |SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter_grams,
+       |  CAST(na + nb - inter AS BIGINT) AS union_grams
+       |FROM pairs WHERE 2 * inter >= na + nb - inter
+       |ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "dedup_fuzzy_minhash" -> oracleMinhashPairs,
+    "dedup_minhash_sql" -> oracleMinhashPairs,
+
+    // PPJoin is lossless (prefix/length/positional filters only prune pairs
+    // that cannot reach t), so brute force within the lang block IS the
+    // operator's contract — not just a fixture coincidence.
+    "dedup_ngram_jaccard" ->
+      s"""WITH $oracleGramsCte,
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    len(list_intersect(a.gs, b.gs)) AS inter,
+         |    len(a.gs) AS na, len(b.gs) AS nb
+         |  FROM grams a JOIN grams b
+         |    ON a.lang = b.lang AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b, CAST(inter AS BIGINT) AS inter_grams,
+         |  CAST(na + nb - inter AS BIGINT) AS union_grams
+         |FROM pairs WHERE 2 * inter >= na + nb - inter
+         |ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST""".stripMargin,
+
+    // Connected components as a recursive transitive closure over the same
+    // brute-force pair set; min reachable id = the engine's min-label
+    // propagation fixpoint. Singletons (docs in no pair) keep their own id.
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $oracleGramsCte,
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    len(list_intersect(a.gs, b.gs)) AS inter,
+         |    len(a.gs) AS na, len(b.gs) AS nb
+         |  FROM grams a JOIN grams b ON a.doc_id < b.doc_id),
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  WHERE 2 * inter >= na + nb - inter
+         |  UNION
+         |  SELECT doc_b, doc_a FROM pairs WHERE 2 * inter >= na + nb - inter),
+         |reach(src, dst) AS (
+         |  SELECT src, dst FROM edges
+         |  UNION
+         |  SELECT r.src, e.dst FROM reach r
+         |  JOIN edges e ON r.dst = e.src WHERE e.dst <> r.src),
+         |labels AS (
+         |  SELECT src AS doc_id, LEAST(src, MIN(dst)) AS cluster_id
+         |  FROM reach GROUP BY src),
+         |lab AS (
+         |  SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN labels l ON d.doc_id = l.doc_id),
+         |sizes AS (
+         |  SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY 1)
+         |SELECT lab.doc_id, lab.cluster_id, sizes.cluster_size
+         |FROM lab JOIN sizes USING (cluster_id)
+         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
     "dedup_embedding" ->
       """WITH base AS (SELECT vec_id, embedding FROM embeddings),
         |planted AS (

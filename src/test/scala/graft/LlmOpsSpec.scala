@@ -113,9 +113,9 @@ class LlmOpsSpec extends SparkSuite {
 
   test("SQL minhash twin (udaf + sorted_intersect_count) matches the kernel path") {
     val kernel = graft.SparkEntry.queries("dedup_fuzzy_minhash")(spark, sfDir)
-      .as[(Long, Long, Double)].collect().toSet
+      .as[(Long, Long, Long, Long)].collect().toSet
     val sql = graft.SparkEntry.queries("dedup_minhash_sql")(spark, sfDir)
-      .as[(Long, Long, Double)].collect().toSet
+      .as[(Long, Long, Long, Long)].collect().toSet
     assert(sql == kernel, s"sql=${sql.size} kernel=${kernel.size}")
     assert(sql.nonEmpty || kernel.isEmpty)
   }
