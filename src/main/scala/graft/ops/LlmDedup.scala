@@ -304,7 +304,8 @@ object LlmDedup {
         col("x.chunk") === col("y.chunk") && col("x.cval") === col("y.cval") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).as("hamming"))
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash")))
+          .cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy(col("doc_a").asc_nulls_first, col("doc_b").asc_nulls_first)
@@ -528,9 +529,68 @@ object LlmDedup {
        |FROM pairs WHERE 2 * inter >= na + nb - inter
        |ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST""".stripMargin
 
+  /** `(a*b) mod 2^64` in DuckDB HUGEINT without 128-bit overflow: split `a`
+    * into 32-bit halves so every partial product stays below 2^96. */
+  private def sqlMulMod64(a: String, b: String): String =
+    s"((((($a) >> 32) * $b) % 4294967296::HUGEINT) * 4294967296::HUGEINT" +
+      s" + (($a) % 4294967296::HUGEINT) * $b) % 18446744073709551616::HUGEINT"
+
+  private def sqlXorShift(z: String, s: Int): String = s"xor($z, ($z) >> $s)"
+
+  /** TextKernels.hash64 (FNV-1a 64 + splitmix64 finalizer) transliterated to
+    * DuckDB HUGEINT arithmetic — byte-exact on the ASCII fixture (validated
+    * token-by-token against the JVM kernel). The FNV fold rides list_reduce
+    * with the offset basis prepended as the accumulator seed; the three
+    * splitmix xorshift-multiply rounds are chained CTE stages. */
+  private val oracleSimhash: String = {
+    val fnv = "list_reduce(list_prepend(14695981039346656037::HUGEINT, " +
+      "[unicode(c)::HUGEINT for c in string_split(tok, '')]), " +
+      "(h, b) -> " + sqlMulMod64("xor(h, b)", "1099511628211::HUGEINT") + ")"
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS tk
+       |  FROM documents),
+       |tok AS (SELECT doc_id, unnest(tk) AS tok FROM toks WHERE len(tk) >= 1),
+       |h1 AS (SELECT doc_id, $fnv AS h FROM tok),
+       |h2 AS (SELECT doc_id,
+       |  (h + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS z
+       |  FROM h1),
+       |h3 AS (SELECT doc_id,
+       |  ${sqlMulMod64(sqlXorShift("z", 30), "13787848793156543929::HUGEINT")} AS z
+       |  FROM h2),
+       |h4 AS (SELECT doc_id,
+       |  ${sqlMulMod64(sqlXorShift("z", 27), "10723151780598845931::HUGEINT")} AS z
+       |  FROM h3),
+       |th AS (SELECT doc_id, xor(z, z >> 31) AS h FROM h4),
+       |votes AS (
+       |  SELECT doc_id, b.b AS b,
+       |    SUM(CASE WHEN (h >> b.b) % 2 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM th, (SELECT unnest(range(64)) AS b) b
+       |  GROUP BY doc_id, b.b),
+       |fp AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN v > 0 AND b < 32 THEN (1::BIGINT << b) ELSE 0 END)
+       |      AS BIGINT) AS lo,
+       |    CAST(SUM(CASE WHEN v > 0 AND b >= 32 THEN (1::BIGINT << (b - 32)) ELSE 0 END)
+       |      AS BIGINT) AS hi
+       |  FROM votes GROUP BY doc_id)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |  CAST(bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) AS BIGINT)
+       |    AS hamming
+       |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.lo, b.lo)) + bit_count(xor(a.hi, b.hi)) <= 3
+       |ORDER BY doc_a ASC NULLS FIRST, doc_b ASC NULLS FIRST""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "dedup_fuzzy_minhash" -> oracleMinhashPairs,
     "dedup_minhash_sql" -> oracleMinhashPairs,
+
+    // Brute-force 64-bit SimHash Hamming pairs. Valid as the oracle for the
+    // pigeonhole-blocked engine path because the blocking is LOSSLESS at
+    // maxHamming = 3: distance ≤ 3 over 4 disjoint 16-bit chunks forces at
+    // least one identical chunk, so every qualifying pair survives blocking.
+    "dedup_simhash" -> oracleSimhash,
 
     // PPJoin is lossless (prefix/length/positional filters only prune pairs
     // that cannot reach t), so brute force within the lang block IS the
