@@ -74,11 +74,16 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // scanPaths resolves append/incremental manifests whose files span
     // several snap dirs (file reuse); a single-dir manifest scans its root;
     // bucketed tables always scan leaf files so the derived `_gbucket`
-    // layout never surfaces as a discovered partition column
-    val paths = store.scanPaths(v)
-    new SnapshotTable(ParquetTableBridge.create(
-      s"$catalogName.${ident.namespace.mkString(".")}.${ident.name}@v$v",
-      spark, paths, m.schema), store, m)
+    // layout never surfaces as a discovered partition column. The delegate
+    // is LAZY: sharded tables route every read through the stats-pruning
+    // scan builder, so the O(#files) scanPaths export only runs if the
+    // stock fallback is actually taken.
+    val tblName =
+      s"$catalogName.${ident.namespace.mkString(".")}.${ident.name}@v$v"
+    new SnapshotTable(tblName,
+      () => ParquetTableBridge.create(tblName, spark, store.scanPaths(v),
+        m.schema),
+      store, m)
   }
 
   override def loadTable(ident: Identifier): Table =
@@ -106,17 +111,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val rows = store.existingVersions().map { v =>
       val m = store.manifest(v)
       org.apache.spark.sql.catalyst.InternalRow(
-        m.version, m.parent, m.committedAtMs, m.files.size,
-        m.stats.values.map(_.bytes).sum, m.stats.values.map(_.rows).sum,
-        m.schema.size)
-    }.toArray
+        m.version, m.parent, m.committedAtMs, m.nFiles.toInt,
+        m.totalBytes, m.totalRows, m.schema.size)
+    }.toArray[org.apache.spark.sql.catalyst.InternalRow]
     new MetaTable(s"${ident.name}$$snapshots", schema, rows)
   }
 
   /** `SELECT * FROM cat.ns.`tbl$files`` — a snapshot's data files (path,
     * bucket, bytes, rows, stats coverage), Iceberg's `files` metadata table;
-    * `VERSION AS OF n` serves snapshot n's file list. Driver-computed from
-    * the manifest: O(#files) rows, no data read. */
+    * `VERSION AS OF n` serves snapshot n's file list. Inline manifests are
+    * driver-computed (O(#files) rows, small by construction); SHARDED
+    * manifests serve straight off the shard parquet as a real distributed
+    * scan — `SELECT count(*) FROM t$files` on a 10⁷-file table never
+    * materializes a metadata row on the driver. */
   private def filesMetaTable(ident: Identifier,
       version: Option[Long] = None): Table = {
     import org.apache.spark.sql.types._
@@ -125,19 +132,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val cur = store.currentVersion()
     if (cur < 0) throw new NoSuchTableException(ident)
     val m = store.manifest(version.getOrElse(cur))
+    if (m.isSharded)
+      return ParquetTableBridge.create(s"${ident.name}$$files", spark,
+        m.shards.map(_.path), graft.store.ManifestShards.schema)
     val schema = StructType(Seq(
       StructField("path", StringType), StructField("bucket", LongType),
-      StructField("bytes", LongType), StructField("rows", LongType),
-      StructField("n_stat_cols", IntegerType)))
-    val rows = m.files.map { f =>
-      val st = m.stats.get(f)
+      StructField("bytes", LongType), StructField("mod_ms", LongType),
+      StructField("rows", LongType), StructField("n_stat_cols", IntegerType),
+      StructField("stats", StringType)))
+    val rows = m.inlineFiles.map { f =>
+      val st = m.inlineStats.get(f)
       org.apache.spark.sql.catalyst.InternalRow(
         UTF8String.fromString(f),
         TableStore.bucketOfFile(f).map(Long.box).orNull,
         st.map(s => Long.box(s.bytes)).orNull,
+        st.map(s => Long.box(s.modTime)).orNull,
         st.map(s => Long.box(s.rows)).orNull,
-        st.map(s => Int.box(s.cols.size)).orNull)
-    }.toArray
+        st.map(s => Int.box(s.cols.size)).orNull,
+        st.map(s => UTF8String.fromString(
+          graft.store.FileStats.colsToJson(s.cols))).orNull)
+    }.toArray[org.apache.spark.sql.catalyst.InternalRow]
     new MetaTable(s"${ident.name}$$files", schema, rows)
   }
 
@@ -343,16 +357,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   * copy-on-write of ONLY the touched buckets / candidate files. Everything
   * else (UPDATE, MERGE INTO, subquery deletes) goes through Spark's
   * group-based row-level protocol ([[GraftRowLevelOperation]]). */
-private[catalog] class SnapshotTable(delegate: Table, store: TableStore,
-    m: TableStore.Manifest) extends Table
+private[catalog] class SnapshotTable(tblName: String, mkDelegate: () => Table,
+    store: TableStore, m: TableStore.Manifest) extends Table
     with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
     with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
   import org.apache.spark.sql.connector.expressions.filter.{Predicate => VPredicate}
 
-  override def name(): String = delegate.name()
-  override def schema(): StructType = delegate.schema()
-  override def partitioning(): Array[Transform] = delegate.partitioning()
+  private lazy val delegate: Table = mkDelegate()
+
+  override def name(): String = tblName
+  override def schema(): StructType = m.schema
+  override def partitioning(): Array[Transform] = Array.empty
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
@@ -360,11 +376,14 @@ private[catalog] class SnapshotTable(delegate: Table, store: TableStore,
     * reads): when every file of a non-hive layout carries footer stats, the
     * scan builder prunes the file list against pushed predicates BEFORE the
     * parquet scan is built — `SELECT ... WHERE k = x` on a range-sorted
-    * table opens the overlapping files only. Hive layouts keep the stock
-    * dir scan (Spark's own partition pruning). */
+    * table opens the overlapping files only (distributed over the manifest
+    * shards when the table is sharded). Hive layouts keep the stock dir
+    * scan (Spark's own partition pruning). */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder = {
     val schemaParts = m.partitionBy.filter(m.schema.fieldNames.contains)
-    if (schemaParts.isEmpty && m.files.nonEmpty && m.files.forall(m.stats.contains))
+    val statsComplete = m.isSharded ||
+      (m.inlineFiles.nonEmpty && m.inlineFiles.forall(m.inlineStats.contains))
+    if (schemaParts.isEmpty && statsComplete)
       new StatsPruningScanBuilder(name(), store, m, options)
     else delegate.asInstanceOf[SupportsRead].newScanBuilder(options)
   }
@@ -376,11 +395,12 @@ private[catalog] class SnapshotTable(delegate: Table, store: TableStore,
   /** Manifest facts surfaced through `DESCRIBE TABLE EXTENDED` /
     * `SHOW TBLPROPERTIES`. */
   override def properties(): util.Map[String, String] = {
-    val p = new util.HashMap[String, String](delegate.properties())
+    val p = new util.HashMap[String, String]()
     p.put("graft.version", m.version.toString)
     p.put("graft.committed-at-ms", m.committedAtMs.toString)
-    p.put("graft.num-files", m.files.size.toString)
-    p.put("graft.size-bytes", m.stats.values.map(_.bytes).sum.toString)
+    p.put("graft.num-files", m.nFiles.toString)
+    p.put("graft.size-bytes", m.totalBytes.toString)
+    if (m.isSharded) p.put("graft.manifest-shards", m.shards.size.toString)
     if (m.bucketKeys.nonEmpty) {
       p.put("graft.bucket-keys", m.bucketKeys.mkString(","))
       p.put("graft.num-buckets", m.numBuckets.toString)
@@ -412,8 +432,7 @@ private[catalog] class SnapshotTable(delegate: Table, store: TableStore,
       V2PredicateTranslator.toCatalyst(p, m.schema).getOrElse(
         throw new UnsupportedOperationException(
           s"untranslatable delete predicate: $p")))
-    val candidates = m.files.filter(f =>
-      m.stats.get(f).forall(st => graft.store.FileStats.mightMatch(st, m.schema, exprs)))
+    val candidates = store.pruneCandidatePaths(m, exprs)
     if (candidates.isEmpty) return
     val cond = org.apache.spark.sql.graftbridge.ColumnBridge.column(
       exprs.reduceLeft(org.apache.spark.sql.catalyst.expressions.And)
@@ -511,11 +530,9 @@ private[catalog] final class StatsPruningScanBuilder(name: String,
       f -> V2PredicateTranslator.v1FilterToCatalyst(f, m.schema))
     val exprs = pairs.flatMap(_._2).toSeq
     converted = pairs.collect { case (f, Some(_)) => f }
-    val candidates =
-      if (exprs.isEmpty) m.files
-      else m.files.filter(f => m.stats.get(f).forall(st =>
-        graft.store.FileStats.mightMatch(st, m.schema, exprs)))
-    ensureInner(candidates, exprs)
+    // sharded manifests evaluate the bounds as a distributed scan over the
+    // manifest shards — only surviving files reach the driver's scan plan
+    ensureInner(store.pruneCandidatePaths(m, exprs), exprs)
     filters // all post-scan: the Filter node stays, pruning is best-effort
   }
 
@@ -529,7 +546,7 @@ private[catalog] final class StatsPruningScanBuilder(name: String,
   }
 
   override def build(): org.apache.spark.sql.connector.read.Scan = {
-    ensureInner(m.files, Nil)
+    ensureInner(store.pruneCandidatePaths(m, Nil), Nil)
     inner.build()
   }
 }

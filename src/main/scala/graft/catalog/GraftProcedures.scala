@@ -75,9 +75,9 @@ object GraftProcedures {
         if (input.numFields < 3 || input.isNullAt(2)) Nil
         else input.getUTF8String(2).toString.split(',').map(_.trim)
           .filter(_.nonEmpty).toSeq
-      val before = store.manifest(store.currentVersion()).files.size
+      val before = store.manifest(store.currentVersion()).nFiles.toInt
       val v = store.compact(input.getInt(1), sortBy)
-      val after = store.manifest(v).files.size
+      val after = store.manifest(v).nFiles.toInt
       result(
         StructType(Seq(StructField("version", LongType),
           StructField("files_before", IntegerType),

@@ -114,10 +114,7 @@ private[catalog] final class CowScanBuilder(store: TableStore, version: Long,
     val m = store.manifest(version)
     val spark = store.spark
     val schemaParts = m.partitionBy.filter(m.schema.fieldNames.contains)
-    val candidates =
-      if (cond.isEmpty) m.files
-      else m.files.filter(f => m.stats.get(f).forall(st =>
-        graft.store.FileStats.mightMatch(st, m.schema, cond)))
+    val candidates = store.pruneCandidatePaths(m, cond)
     val (groups, paths) =
       if (m.bucketKeys.nonEmpty) {
         val statsBuckets = candidates.flatMap(TableStore.bucketOfFile).toSet
@@ -126,10 +123,9 @@ private[catalog] final class CowScanBuilder(store: TableStore, version: Long,
             case Some(keyBuckets) => keyBuckets intersect statsBuckets
             case None => statsBuckets
           }
-        (CowBuckets(touched),
-          m.files.filter(f => TableStore.bucketOfFile(f).exists(touched)))
+        (CowBuckets(touched), store.bucketFilePaths(m, touched))
       } else if (schemaParts.nonEmpty || cond.isEmpty ||
-        candidates.size == m.files.size)
+        candidates.size.toLong == m.nFiles)
         (CowWhole, store.scanPaths(version))
       else (CowFiles(candidates), candidates)
     op.groups = groups

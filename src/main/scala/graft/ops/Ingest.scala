@@ -122,9 +122,9 @@ object Ingest {
     val li = load(s, d, "lineitem")
     val store = new TableStore(s, graft.util.Scratch.dir("compact"))
     store.commitSnapshot(li.repartition(16))
-    val filesBefore = store.manifest(store.currentVersion()).files.size
+    val filesBefore = store.manifest(store.currentVersion()).nFiles.toInt
     store.compact(targetFiles = 1)
-    val filesAfter = store.manifest(store.currentVersion()).files.size
+    val filesAfter = store.manifest(store.currentVersion()).nFiles.toInt
     val vacuumed = store.vacuum(keepSnapshots = 1).size
     require(filesBefore == 16, s"expected 16 pre-compaction files, got $filesBefore")
     require(filesAfter == 1, s"expected 1 post-compaction file, got $filesAfter")

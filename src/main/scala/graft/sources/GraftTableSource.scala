@@ -347,27 +347,41 @@ private[graft] class GraftMicroBatchStream(root: String, schema: StructType,
     if (e <= s) return Array.empty
     val st = store
     val versions = st.existingVersions().filter(v => v > s && v <= e)
-    var prev: Set[String] =
-      if (s < 0) Set.empty[String]
-      else {
-        require(st.existingVersions().contains(s),
-          s"stream start snapshot $s of $root was vacuumed; " +
-            "restart the stream from a retained snapshot")
-        st.manifest(s).files.toSet
-      }
+    if (s >= 0)
+      require(st.existingVersions().contains(s),
+        s"stream start snapshot $s of $root was vacuumed; " +
+          "restart the stream from a retained snapshot")
     val fs = new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val added = Seq.newBuilder[(String, Long, Long)] // path, bytes, modTime
+    var prevV = s
     versions.foreach { v =>
       val m = st.manifest(v)
-      val cur = m.files.toSet
-      val removed = prev.exists(f => !cur.contains(f))
-      if (!removed) {
-        m.files.filterNot(prev).foreach { f =>
-          val stat = m.stats.get(f)
-          val bytes = stat.map(_.bytes).getOrElse(
-            fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen)
-          added += ((f, bytes, stat.map(_.modTime).getOrElse(0L)))
+      // the scan reads leaf files with the FULL table schema and no
+      // partition recovery: a hive layout (in-schema partitionBy) would
+      // silently stream NULL partition columns — refuse loudly (ADVICE r5).
+      // Bucketed tables are unaffected (`_gbucket` is derived, not stored).
+      val schemaParts = m.partitionBy.filter(m.schema.fieldNames.contains)
+      require(schemaParts.isEmpty,
+        s"graft-table stream: snapshot $v of $root is hive-partitioned on " +
+          s"${schemaParts.mkString(",")}; the streaming read cannot recover " +
+          "path-encoded partition values. Stream a bucketed or plain layout, " +
+          "or consume row-level changes via readChangelog.")
+      // manifest-level diff: O(changed files) in either tier (sharded
+      // manifests diff only their differing shards, distributed)
+      val (add, removed) =
+        if (prevV < 0) (null: Seq[String], Nil: Seq[String])
+        else st.changedFilesBetween(prevV, v)
+      if (removed.isEmpty) {
+        // genesis replay (prevV < 0) legitimately enumerates the whole first
+        // snapshot; incremental steps hand the driver O(added files) only
+        val metas =
+          if (prevV < 0) st.fileMetaDS(m).collect().toSeq
+          else st.metaFor(m, add)
+        metas.foreach { fm =>
+          val bytes = if (fm.bytes > 0) fm.bytes
+            else fs.getFileStatus(new org.apache.hadoop.fs.Path(fm.path)).getLen
+          added += ((fm.path, bytes, fm.mod_ms))
         }
       } else if (!skipRewrites)
         throw new IllegalStateException(
@@ -375,7 +389,7 @@ private[graft] class GraftMicroBatchStream(root: String, schema: StructType,
             "rewrite); the streaming read is append-only. Set option " +
             "streaming.skip-rewrites=true to skip rewrite commits (their rows " +
             "are NOT emitted), or consume row-level changes via readChangelog.")
-      prev = cur
+      prevV = v
     }
     // Spark's own scan-task sizing (dynamic max split, range splitting,
     // open-cost packing) — identical layout to a batch file scan

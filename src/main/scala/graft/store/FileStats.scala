@@ -69,7 +69,7 @@ object FileStats {
     }
   }
 
-  private def statOfFile(path: String, conf: Configuration,
+  private[store] def statOfFile(path: String, conf: Configuration,
       schema: StructType): FileStat = {
     val p = new Path(path)
     val status = p.getFileSystem(conf).getFileStatus(p)
@@ -322,20 +322,39 @@ object FileStats {
 
   // ------------------------------------------------------------------- JSON
 
-  def statsToJson(stats: Map[String, FileStat]): String = {
-    def js(s: String) = "\"" + s.flatMap {
-      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
-    } + "\""
-    stats.map { case (path, fsn) =>
-      val cols = fsn.cols.map { case (c, cs) =>
-        val mn = cs.min.map(v => s""""min":${js(v)},""").getOrElse("")
-        val mx = cs.max.map(v => s""""max":${js(v)},""").getOrElse("")
-        s"""${js(c)}:{$mn$mx"nulls":${cs.nulls}}"""
-      }.mkString("{", ",", "}")
-      s"""${js(path)}:{"bytes":${fsn.bytes},"mod":${fsn.modTime},"rows":${fsn.rows},"cols":$cols}"""
+  private def js(s: String) = "\"" + s.flatMap {
+    case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+  } + "\""
+
+  /** One file's column-stats map as a standalone JSON object — the `stats`
+    * cell of a manifest SHARD row ([[ManifestShards]]). */
+  def colsToJson(cols: Map[String, ColStat]): String =
+    cols.map { case (c, cs) =>
+      val mn = cs.min.map(v => s""""min":${js(v)},""").getOrElse("")
+      val mx = cs.max.map(v => s""""max":${js(v)},""").getOrElse("")
+      s"""${js(c)}:{$mn$mx"nulls":${cs.nulls}}"""
     }.mkString("{", ",", "}")
+
+  def colsFromJson(s: String): Map[String, ColStat] = {
+    import org.json4s._
+    implicit val fmt: Formats = DefaultFormats
+    if (s.isEmpty) Map.empty
+    else org.json4s.jackson.JsonMethods.parse(s) match {
+      case JObject(cs) => cs.map { case (c, cv) =>
+        c -> ColStat(
+          (cv \ "min").extractOpt[String],
+          (cv \ "max").extractOpt[String],
+          (cv \ "nulls").extract[Long])
+      }.toMap
+      case _ => Map.empty
+    }
   }
+
+  def statsToJson(stats: Map[String, FileStat]): String =
+    stats.map { case (path, fsn) =>
+      s"""${js(path)}:{"bytes":${fsn.bytes},"mod":${fsn.modTime},"rows":${fsn.rows},"cols":${colsToJson(fsn.cols)}}"""
+    }.mkString("{", ",", "}")
 
   def statsFromJson(j: org.json4s.JValue): Map[String, FileStat] = {
     import org.json4s._

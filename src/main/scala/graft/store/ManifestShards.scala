@@ -1,0 +1,199 @@
+package graft.store
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Sharded manifest tier — the 100 TB metadata layout (VERDICT r5 #2).
+  *
+  * A snapshot of a large table does NOT inline its file list in the
+  * `v<id>.json` pointer. Instead the pointer carries O(#shards) [[ShardRef]]
+  * summaries and the per-file metadata (path, bucket, size, row count,
+  * column bounds) lives in PARQUET shard files under
+  * `<root>/manifest/shards/v<id>-<sfx>/` — Iceberg's manifest-list +
+  * manifest-file split (the metadata surface the reference provisions via
+  * `GetTableMetadataLocation`, reference src/dynamodb-zero-etl-s3tables
+  * .ts:99-100), re-expressed in the engine's own columnar format so that
+  * metadata scans ARE Spark scans:
+  *
+  *  - file skipping evaluates stats bounds as a DISTRIBUTED filter over the
+  *    shard rows; the driver receives only the matching files (O(selected),
+  *    not O(table));
+  *  - `$files` metadata reads serve straight from the shard parquet —
+  *    `SELECT count(*) FROM t$files` never materializes a row on the driver;
+  *  - incremental commits INHERIT untouched shards by reference: a CDC
+  *    micro-batch rewrites O(touched buckets) of metadata, not O(#files);
+  *  - commit collects footer stats and writes shards as one distributed job
+  *    whose driver-side residue is the shard summary list.
+  *
+  * Shards are range-partitioned on (bucket, path), so a bucket's entries
+  * cluster into few shards and each [[ShardRef]] records exactly which
+  * buckets it covers — bucket-targeted reads open only covering shards.
+  */
+object ManifestShards {
+
+  /** One data file's manifest entry — the row type of a manifest shard.
+    * `bucket` is -1 for non-bucketed layouts; `stats` is the column-bounds
+    * JSON ([[FileStats.colsToJson]]), empty when the footer had no usable
+    * stats (the file then never prunes — conservative). */
+  final case class FileMeta(path: String, bucket: Long, bytes: Long,
+      mod_ms: Long, rows: Long, n_stat_cols: Int, stats: String)
+
+  val schema: StructType = StructType(Seq(
+    StructField("path", StringType, nullable = false),
+    StructField("bucket", LongType, nullable = false),
+    StructField("bytes", LongType, nullable = false),
+    StructField("mod_ms", LongType, nullable = false),
+    StructField("rows", LongType, nullable = false),
+    StructField("n_stat_cols", IntegerType, nullable = false),
+    StructField("stats", StringType, nullable = false)))
+
+  /** Manifest-list entry: one shard parquet file plus the aggregates a
+    * planner needs WITHOUT opening it (file/byte/row totals, covered
+    * buckets). The snapshot JSON holds O(#shards) of these. */
+  final case class ShardRef(path: String, files: Long, bytes: Long,
+      rows: Long, buckets: Seq[Long])
+
+  /** Footer-stat entry for one data file (runs on executors). */
+  def metaOfFile(path: String, conf: Configuration,
+      schema: StructType): FileMeta = {
+    val norm = new Path(path).toString
+    val st = FileStats.statOfFile(norm, conf, schema)
+    FileMeta(norm, TableStore.bucketOfFile(norm).getOrElse(-1L), st.bytes,
+      st.modTime, st.rows, st.cols.size, FileStats.colsToJson(st.cols))
+  }
+
+  def toFileStat(fm: FileMeta): FileStats.FileStat =
+    FileStats.FileStat(fm.bytes, fm.mod_ms, fm.rows,
+      FileStats.colsFromJson(fm.stats))
+
+  /** Distributed listing + footer-stat collection over DIRECTORIES: the
+    * driver holds only dir names (O(#buckets)); executors list their dirs
+    * and read footers. The commit path for bucketed layouts above the
+    * driver-listing cutoff. */
+  def metaFromDirs(spark: SparkSession, dirs: Seq[String],
+      schema: StructType): Dataset[FileMeta] = {
+    val sp = spark
+    import sp.implicits._
+    val bc = confBroadcast(spark)
+    val schemaJson = schema.json
+    spark.sparkContext
+      .parallelize(dirs, math.min(math.max(dirs.size, 1),
+        spark.sparkContext.defaultParallelism))
+      .flatMap { d =>
+        val conf = bc.value.value
+        val sch = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+        val p = new Path(d)
+        val fs = p.getFileSystem(conf)
+        val it = fs.listFiles(p, true)
+        val out = scala.collection.mutable.ArrayBuffer[FileMeta]()
+        while (it.hasNext) {
+          val s = it.next()
+          if (s.isFile && s.getPath.getName.endsWith(".parquet"))
+            out += metaOfFile(s.getPath.toString, conf, sch)
+        }
+        out
+      }.toDS()
+  }
+
+  /** Distributed footer-stat collection over an explicit file list (plain
+    * layouts, where the writer's dir listing already named the files). */
+  def metaFromFiles(spark: SparkSession, files: Seq[String],
+      schema: StructType): Dataset[FileMeta] = {
+    val sp = spark
+    import sp.implicits._
+    val bc = confBroadcast(spark)
+    val schemaJson = schema.json
+    spark.sparkContext
+      .parallelize(files, math.min(math.max(files.size, 1),
+        spark.sparkContext.defaultParallelism))
+      .map { f =>
+        val sch = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+        metaOfFile(f, bc.value.value, sch)
+      }.toDS()
+  }
+
+  /** Inline-tier metadata lifted to the shard row type (tier transitions,
+    * mixed-tier diffs). */
+  def metaFromInline(spark: SparkSession, files: Seq[String],
+      stats: Map[String, FileStats.FileStat]): Dataset[FileMeta] = {
+    val sp = spark
+    import sp.implicits._
+    files.map { f =>
+      stats.get(f) match {
+        case Some(st) => FileMeta(f, TableStore.bucketOfFile(f).getOrElse(-1L),
+          st.bytes, st.modTime, st.rows, st.cols.size,
+          FileStats.colsToJson(st.cols))
+        case None => FileMeta(f, TableStore.bucketOfFile(f).getOrElse(-1L),
+          0L, 0L, 0L, 0, "")
+      }
+    }.toDS()
+  }
+
+  /** Read shard files back as the metadata relation — a plain distributed
+    * parquet scan. */
+  def read(spark: SparkSession, shardPaths: Seq[String]): Dataset[FileMeta] = {
+    val sp = spark
+    import sp.implicits._
+    if (shardPaths.isEmpty)
+      spark.emptyDataset[FileMeta]
+    else spark.read.schema(schema).parquet(shardPaths: _*).as[FileMeta]
+  }
+
+  /** Write `meta` as `nShards` parquet shard files under `dest` and return
+    * their manifest-list summaries. Range-partitioned on (bucket, path) so
+    * bucket entries cluster; the summary aggregation is the only driver
+    * residue (O(#shards) rows). */
+  def write(spark: SparkSession, meta: Dataset[FileMeta], dest: String,
+      nShards: Int): Seq[ShardRef] = {
+    import org.apache.spark.sql.functions._
+    meta.repartitionByRange(math.max(nShards, 1), col("bucket"), col("path"))
+      .write.parquet(dest)
+    val sp = spark
+    import sp.implicits._
+    spark.read.schema(schema).parquet(dest)
+      .groupBy(input_file_name().as("shard"))
+      .agg(count(lit(1)).as("files"), sum("bytes").as("bytes"),
+        sum("rows").as("rows"),
+        sort_array(collect_set("bucket")).as("buckets"))
+      .as[(String, Long, Long, Long, Seq[Long])]
+      .collect().toSeq
+      .map { case (shard, files, bytes, rows, buckets) =>
+        ShardRef(new Path(shard).toString, files, bytes, rows,
+          buckets.filter(_ >= 0))
+      }.sortBy(_.path)
+  }
+
+  private def confBroadcast(spark: SparkSession) = {
+    val serConf = new org.apache.spark.SerializableWritable(
+      new Configuration(spark.sparkContext.hadoopConfiguration))
+    spark.sparkContext.broadcast(serConf)
+  }
+
+  // ------------------------------------------------------------------- JSON
+
+  def refsToJson(shards: Seq[ShardRef]): String = {
+    def js(s: String) = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    shards.map { r =>
+      s"""{"path":${js(r.path)},"files":${r.files},"bytes":${r.bytes},""" +
+        s""""rows":${r.rows},"buckets":[${r.buckets.mkString(",")}]}"""
+    }.mkString("[", ",", "]")
+  }
+
+  def refsFromJson(j: org.json4s.JValue): Seq[ShardRef] = {
+    import org.json4s._
+    implicit val fmt: Formats = DefaultFormats
+    j match {
+      case JArray(items) => items.map { it =>
+        ShardRef((it \ "path").extract[String], (it \ "files").extract[Long],
+          (it \ "bytes").extract[Long], (it \ "rows").extract[Long],
+          (it \ "buckets").extract[Seq[Long]])
+      }
+      case _ => Nil
+    }
+  }
+}

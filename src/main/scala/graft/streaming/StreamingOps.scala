@@ -221,9 +221,8 @@ object StreamingOps {
     if (cur < 0) return
     val m = store.manifest(cur)
     if (m.bucketKeys.nonEmpty) {
-      val byBucket = m.files.groupBy(f => TableStore.bucketOfFile(f).getOrElse(-1L))
-      val fat = byBucket.collect {
-        case (b, fs) if b >= 0 && fs.size > policy.maxFilesPerBucket => b
+      val fat = store.bucketFileCounts(m).collect {
+        case (b, n) if b >= 0 && n > policy.maxFilesPerBucket => b
       }.toSeq
       if (fat.nonEmpty) {
         // one output partition per fat bucket → one file per bucket after

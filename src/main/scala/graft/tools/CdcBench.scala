@@ -35,7 +35,7 @@ object CdcBench {
       val m = store.manifest(version)
       val fs = new Path(store.root)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      m.files.filter(_.contains(s"snap-$version-"))
+      store.filesOf(m).filter(_.contains(s"snap-$version-"))
         .map(f => fs.getFileStatus(new Path(f)).getLen).sum
     }
     def time[A](f: => A): (A, Double) = {
@@ -58,14 +58,14 @@ object CdcBench {
     }
     val incBytes = dirBytes(inc, 1)
     val m1 = inc.manifest(1)
-    val inherited = m1.files.count(!_.contains("snap-1-"))
+    val inherited = inc.filesOf(m1).count(!_.contains("snap-1-"))
 
     val nChanges = changes.count()
     val nRows = orders.count()
     println(f"rows=$nRows changes=$nChanges buckets=$numBuckets")
     println(f"full_rewrite:  ${tFull}%.2f s, ${fullBytes / 1e6}%.1f MB written")
     println(f"incremental:   ${tInc}%.2f s, ${incBytes / 1e6}%.1f MB written, " +
-      f"$inherited files inherited / ${m1.files.size} total")
+      f"$inherited files inherited / ${m1.nFiles} total")
     println(f"write_amplification_cut=${fullBytes.toDouble / incBytes}%.1fx " +
       f"speedup=${tFull / tInc}%.2fx")
     spark.stop()

@@ -19,21 +19,25 @@ object StatsScanBridge {
   /** One file the scan may read: (path, size bytes, modification time). */
   final case class FileRef(path: String, bytes: Long, modTime: Long)
 
-  def dataFrame(spark: SparkSession, root: String, files: Seq[FileRef],
+  /** `list` resolves pushed data filters to the surviving files — called
+    * LAZILY when Spark plans the scan, so a sharded manifest can run it as
+    * a distributed metadata scan and the driver only ever holds the files
+    * that survive pruning (`list(Nil)` = the full set, for unfiltered scans
+    * and `inputFiles`). `sizeBytes` feeds the optimizer's size estimate
+    * without enumerating anything. */
+  def dataFrame(spark: SparkSession, root: String, sizeBytes: Long,
       schema: StructType,
-      prune: Seq[Expression] => Seq[FileRef]): DataFrame = {
+      list: Seq[Expression] => Seq[FileRef]): DataFrame = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val index = new FileIndex {
       override def rootPaths: Seq[Path] = Seq(new Path(root))
       override def listFiles(partitionFilters: Seq[Expression],
-          dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
-        val kept = if (dataFilters.isEmpty) files else prune(dataFilters)
-        Seq(PartitionDirectory(InternalRow.empty, kept.map(f =>
+          dataFilters: Seq[Expression]): Seq[PartitionDirectory] =
+        Seq(PartitionDirectory(InternalRow.empty, list(dataFilters).map(f =>
           new FileStatus(f.bytes, false, 1, 0, f.modTime, new Path(f.path))).toArray))
-      }
-      override def inputFiles: Array[String] = files.map(_.path).toArray
+      override def inputFiles: Array[String] = list(Nil).map(_.path).toArray
       override def refresh(): Unit = ()
-      override def sizeInBytes: Long = files.map(_.bytes).sum
+      override def sizeInBytes: Long = sizeBytes
       override def partitionSchema: StructType = StructType(Nil)
     }
     val relation = HadoopFsRelation(

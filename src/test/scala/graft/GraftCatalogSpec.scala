@@ -102,12 +102,12 @@ class GraftCatalogSpec extends SparkSuite {
   test("INSERT INTO appends through the commit protocol, reusing existing files") {
     val store = new TableStore(spark, s"$warehouse/analytics/appendable")
     store.commitSnapshot(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
-    val before = store.manifest(store.currentVersion()).files.toSet
+    val before = store.manifest(store.currentVersion()).inlineFiles.toSet
     spark.sql("INSERT INTO spec_cat.analytics.appendable VALUES (3, 'c'), (4, 'd')")
     val m = store.manifest(store.currentVersion())
     // append-only: every pre-existing data file inherited at its path
-    assert(before.subsetOf(m.files.toSet), "append rewrote existing files")
-    assert(m.files.size > before.size, "append added no files")
+    assert(before.subsetOf(m.inlineFiles.toSet), "append rewrote existing files")
+    assert(m.inlineFiles.size > before.size, "append added no files")
     val rows = spark.sql(
       "SELECT k, v FROM spec_cat.analytics.appendable ORDER BY k")
       .as[(Long, String)].collect().toSeq
@@ -154,7 +154,7 @@ class GraftCatalogSpec extends SparkSuite {
     val m1 = store.manifest(store.currentVersion())
     // the Glue semantics: a schema update NEVER rewrites data (VERDICT r4 #1)
     assert(m1.version == m0.version + 1)
-    assert(m1.files == m0.files,
+    assert(m1.inlineFiles == m0.inlineFiles,
       "ALTER TABLE ADD COLUMN rewrote data files; must be metadata-only")
     val out = spark.sql(
       "SELECT l_orderkey, tag FROM spec_cat.analytics.meta_only WHERE l_orderkey = 1")
@@ -193,16 +193,16 @@ class GraftCatalogSpec extends SparkSuite {
       Seq((1L, "A"), (3L, "B")).toDF("k", "status"), partitionBy = Seq("status"))
     store.commitAppend(Seq((2L, "A"), (4L, "B")).toDF("k", "status"))
     val m1 = store.manifest(1)
-    assert(m1.files.size >= 4)
+    assert(m1.inlineFiles.size >= 4)
     // craft a MULTI-DIR manifest that references only a SUBSET of one snap
     // dir's files — unreachable via today's commit paths (ADVICE r4 latent
     // landmine). Spark's stock parquet scan cannot recover path-encoded
     // partition values for this shape (multiple hive roots conflict), so the
     // catalog must fail actionably rather than serve NULL partition columns;
     // the store's own reader handles it correctly.
-    val dropped = m1.files.head
+    val dropped = m1.inlineFiles.head
     val droppedKeys = spark.read.parquet(dropped).select("k").as[Long].collect().toSet
-    val m2 = m1.copy(version = 2, parent = 1, files = m1.files.tail,
+    val m2 = m1.copy(version = 2, parent = 1, inlineFiles = m1.inlineFiles.tail,
       committedAtMs = System.currentTimeMillis())
     java.nio.file.Files.write(
       java.nio.file.Paths.get(root, "manifest", "v2.json"),
@@ -229,10 +229,10 @@ class GraftCatalogSpec extends SparkSuite {
     val m1 = store.manifest(1)
     val touched = Seq(5L).toDF("k")
       .select(TableStore.bucketExpr(Seq("k"), 8).as("b")).as[Long].collect().toSet
-    val untouched = m0.files.filter(f =>
+    val untouched = m0.inlineFiles.filter(f =>
       !touched.contains(TableStore.bucketOfFile(f).get))
     assert(untouched.nonEmpty)
-    untouched.foreach(f => assert(m1.files.contains(f),
+    untouched.foreach(f => assert(m1.inlineFiles.contains(f),
       s"DELETE k=5 rewrote an untouched bucket's file: $f"))
     spark.catalog.refreshTable("spec_cat.analytics.del_bucketed")
     val rows = spark.sql("SELECT k FROM spec_cat.analytics.del_bucketed")
@@ -245,11 +245,11 @@ class GraftCatalogSpec extends SparkSuite {
     store.commitSnapshot((1L to 800L).map(i => (i, i % 5)).toDF("k", "grp")
       .repartitionByRange(8, col("k")))
     val m0 = store.manifest(0)
-    assert(m0.files.size == 8)
+    assert(m0.inlineFiles.size == 8)
     spark.sql("DELETE FROM spec_cat.analytics.del_plain WHERE k BETWEEN 101 AND 150")
     val m1 = store.manifest(1)
     // range-sorted files: only the file(s) covering 101-150 are replaced
-    val inherited = m1.files.toSet intersect m0.files.toSet
+    val inherited = m1.inlineFiles.toSet intersect m0.inlineFiles.toSet
     assert(inherited.size >= 6,
       s"expected most files inherited, kept only ${inherited.size}")
     spark.catalog.refreshTable("spec_cat.analytics.del_plain")
@@ -273,10 +273,10 @@ class GraftCatalogSpec extends SparkSuite {
     val touched = Seq((3L, 13L)).toDF("pk", "sk")
       .select(TableStore.bucketExpr(Seq("pk", "sk"), 8).as("b"))
       .as[Long].collect().toSet
-    val untouched = m0.files.filter(f =>
+    val untouched = m0.inlineFiles.filter(f =>
       !touched.contains(TableStore.bucketOfFile(f).get))
     assert(untouched.nonEmpty)
-    untouched.foreach(f => assert(m1.files.contains(f),
+    untouched.foreach(f => assert(m1.inlineFiles.contains(f),
       s"composite-key DELETE rewrote untouched file $f"))
     spark.catalog.refreshTable("spec_cat.analytics.del_multikey")
     assert(spark.sql("SELECT COUNT(*) FROM spec_cat.analytics.del_multikey")
@@ -321,10 +321,10 @@ class GraftCatalogSpec extends SparkSuite {
     val m1 = store.manifest(1)
     val touched = Seq(7L).toDF("k")
       .select(TableStore.bucketExpr(Seq("k"), 8).as("b")).as[Long].collect().toSet
-    val untouched = m0.files.filter(f =>
+    val untouched = m0.inlineFiles.filter(f =>
       !touched.contains(TableStore.bucketOfFile(f).get))
     assert(untouched.nonEmpty)
-    untouched.foreach(f => assert(m1.files.contains(f),
+    untouched.foreach(f => assert(m1.inlineFiles.contains(f),
       s"UPDATE k=7 rewrote an untouched bucket's file: $f"))
     spark.catalog.refreshTable("spec_cat.analytics.upd_targeted")
     val got = spark.sql(
@@ -357,7 +357,7 @@ class GraftCatalogSpec extends SparkSuite {
     val store = new TableStore(spark, s"$warehouse/analytics/skippy")
     store.commitSnapshot((1L to 800L).map(i => (i, s"name$i")).toDF("k", "v")
       .repartitionByRange(8, col("k")))
-    assert(store.manifest(0).files.size == 8)
+    assert(store.manifest(0).inlineFiles.size == 8)
     val q = spark.sql("SELECT v FROM spec_cat.analytics.skippy WHERE k = 400")
     assert(q.collect().map(_.getString(0)).toSeq == Seq("name400"))
     val plan = q.queryExecution.executedPlan.toString
@@ -377,7 +377,7 @@ class GraftCatalogSpec extends SparkSuite {
       .repartition(8))
     Thread.sleep(30)
     store.commitAppend(Seq((201L, "x")).toDF("k", "v"))
-    val filesBefore = store.manifest(store.currentVersion()).files.size
+    val filesBefore = store.manifest(store.currentVersion()).inlineFiles.size
     assert(filesBefore >= 8)
     val compacted = spark.sql(
       "CALL spec_cat.system.compact('analytics.proc_tbl', 2)").collect()
@@ -396,7 +396,7 @@ class GraftCatalogSpec extends SparkSuite {
     // sorted compaction through SQL: files get tight, disjoint k-bounds
     spark.sql("CALL spec_cat.system.compact('analytics.proc_tbl', 4, 'k')").collect()
     val m = store.manifest(store.currentVersion())
-    val bounds = m.files.flatMap(f => m.stats(f).cols.get("k"))
+    val bounds = m.inlineFiles.flatMap(f => m.inlineStats(f).cols.get("k"))
       .map(c => (BigDecimal(c.min.get), BigDecimal(c.max.get))).sortBy(_._1)
     assert(bounds.size == 4)
     bounds.sliding(2).foreach {
@@ -418,7 +418,7 @@ class GraftCatalogSpec extends SparkSuite {
       .as[(String, String)].collect().toMap
     assert(props("graft.version") == "1")
     assert(props("graft.bucket-keys") == "k" && props("graft.num-buckets") == "4")
-    assert(props("graft.num-files").toInt == store.manifest(1).files.size)
+    assert(props("graft.num-files").toInt == store.manifest(1).inlineFiles.size)
     assert(props("graft.size-bytes").toLong > 0)
     val snaps = spark.sql(
       "SELECT version, parent, n_files FROM spec_cat.analytics.`introspect$snapshots` ORDER BY version")
@@ -431,7 +431,7 @@ class GraftCatalogSpec extends SparkSuite {
       "SELECT path, bucket, bytes, rows FROM spec_cat.analytics.`introspect$files`")
       .as[(String, Option[Long], Option[Long], Option[Long])].collect().toSeq
     val m = store.manifest(store.currentVersion())
-    assert(files.map(_._1).sorted == m.files.sorted)
+    assert(files.map(_._1).sorted == m.inlineFiles.sorted)
     assert(files.forall(f => f._2.exists(b => b >= 0 && b < 4)))
     assert(files.flatMap(_._4).sum == 50L)
   }
@@ -474,8 +474,8 @@ class GraftCatalogSpec extends SparkSuite {
     val curFiles = spark.sql(
       "SELECT path FROM spec_cat.analytics.`files_tt$files`")
       .as[String].collect().toSet
-    assert(v0Files == store.manifest(0).files.toSet)
-    assert(curFiles == store.manifest(1).files.toSet)
+    assert(v0Files == store.manifest(0).inlineFiles.toSet)
+    assert(curFiles == store.manifest(1).inlineFiles.toSet)
     assert(v0Files.subsetOf(curFiles) && v0Files != curFiles)
   }
 

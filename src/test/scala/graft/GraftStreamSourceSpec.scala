@@ -101,17 +101,17 @@ class GraftStreamSourceSpec extends SparkSuite {
     store.commitSnapshot((1L to 2000L).map(i => (i, s"v$i")).toDF("k", "v")
       .repartition(12))
     val m = store.manifest(0)
-    assert(m.files.size >= 8, "fixture should produce many small files")
+    assert(m.inlineFiles.size >= 8, "fixture should produce many small files")
     val stream = new graft.sources.GraftMicroBatchStream(store.root, m.schema,
       new org.apache.spark.sql.util.CaseInsensitiveStringMap(
         java.util.Map.of("path", store.root)))
     val parts = stream.planInputPartitions(
       graft.sources.GraftOffset(-1), graft.sources.GraftOffset(0))
-    assert(parts.length < m.files.size,
-      s"${parts.length} partitions for ${m.files.size} tiny files — not packed")
+    assert(parts.length < m.inlineFiles.size,
+      s"${parts.length} partitions for ${m.inlineFiles.size} tiny files — not packed")
     val ranges = parts.map(
       _.asInstanceOf[graft.sources.GraftFilePartition].files.size).sum
-    assert(ranges == m.files.size, "every file must appear in exactly one range")
+    assert(ranges == m.inlineFiles.size, "every file must appear in exactly one range")
   }
 
   test("checkpointed restart resumes from committed offsets") {

@@ -198,10 +198,10 @@ class StreamingSpec extends SparkSuite {
     val touched = Seq(2L).toDF("k")
       .select(graft.store.TableStore.bucketExpr(Seq("k"), 4).as("b"))
       .as[Long].collect().toSet
-    val untouched = mBefore.files.filter(f =>
+    val untouched = mBefore.inlineFiles.filter(f =>
       !touched.contains(graft.store.TableStore.bucketOfFile(f).get))
     assert(untouched.nonEmpty)
-    untouched.foreach(f => assert(m.files.contains(f),
+    untouched.foreach(f => assert(m.inlineFiles.contains(f),
       s"mid-stream widening rewrote untouched file $f"))
     val rows = store.readSnapshot()
       .select(col("k"), col("s"), col("amount").cast("string"), col("chan"))
@@ -233,7 +233,7 @@ class StreamingSpec extends SparkSuite {
       expected = graft.etl.CdcApply(expected, batch, keys)
     }
     val m = store.manifest(store.currentVersion())
-    val perBucket = m.files.groupBy(f =>
+    val perBucket = m.inlineFiles.groupBy(f =>
       graft.store.TableStore.bucketOfFile(f).get).values.map(_.size)
     // between maintenance points at most everyNCommits batches add one file
     // per touched bucket on top of the compacted floor
@@ -252,7 +252,7 @@ class StreamingSpec extends SparkSuite {
       n
     }
     val referenced = store.existingVersions()
-      .flatMap(v => store.manifest(v).files).toSet
+      .flatMap(v => store.manifest(v).inlineFiles).toSet
     assert(onDisk <= referenced.size,
       s"dead files on disk: $onDisk vs ${referenced.size} referenced")
     // and the data is still exactly the LWW-merged expectation
@@ -309,7 +309,7 @@ class StreamingSpec extends SparkSuite {
     val batch2 = Seq((3L, "c2", 31.0, 4L, "MODIFY")).toDF("k", "s", "v", "seq", "op")
     writeLines(changeDir, "cdc-001.json", batch2)
     val vBefore = store.currentVersion()
-    val filesBefore = store.manifest(vBefore).files.toSet
+    val filesBefore = store.manifest(vBefore).inlineFiles.toSet
     val q2 = StreamingOps.cdcApplyStream(
       DdbExportReader.readStream(spark, changeDir.toString, changeSchema, Seq("k")),
       store, Seq("k"), ckpt, numBuckets = 4)
@@ -319,7 +319,7 @@ class StreamingSpec extends SparkSuite {
     assert(store.readSnapshot().count() == expected2.count())
     assert(store.readSnapshot().exceptAll(expected2).count() == 0)
     // the incremental commit reused untouched buckets' files from the prior manifest
-    assert(store.manifest(store.currentVersion()).files.exists(filesBefore.contains),
+    assert(store.manifest(store.currentVersion()).inlineFiles.exists(filesBefore.contains),
       "no file reuse across the CDC commit")
   }
 }

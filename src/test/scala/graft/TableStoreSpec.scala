@@ -48,9 +48,9 @@ class TableStoreSpec extends SparkSuite {
     val store = freshStore()
     val li = Tables.load(spark, sfDir, "lineitem").repartition(16)
     store.commitSnapshot(li)
-    val before = store.manifest(store.currentVersion()).files.size
+    val before = store.manifest(store.currentVersion()).inlineFiles.size
     store.compact(targetFiles = 1)
-    val after = store.manifest(store.currentVersion()).files.size
+    val after = store.manifest(store.currentVersion()).inlineFiles.size
     assert(before > after && after == 1)
     assert(store.readSnapshot().exceptAll(li).count() == 0)
     assert(store.readSnapshot().count() == li.count())
@@ -114,7 +114,7 @@ class TableStoreSpec extends SparkSuite {
     val base = (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
     store.commitBucketed(base, Seq("k"), numBuckets = 8)
     val m0 = store.manifest(0)
-    assert(m0.files.nonEmpty && m0.files.forall(f => TableStore.bucketOfFile(f).nonEmpty))
+    assert(m0.inlineFiles.nonEmpty && m0.inlineFiles.forall(f => TableStore.bucketOfFile(f).nonEmpty))
     val changes = Seq(
       (1L, "V1", 1L, "MODIFY"),
       (2L, null.asInstanceOf[String], 1L, "REMOVE"),
@@ -126,7 +126,7 @@ class TableStoreSpec extends SparkSuite {
       val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(f))
       (st.getLen, st.getModificationTime)
     }
-    val untouched = m0.files.filter(f =>
+    val untouched = m0.inlineFiles.filter(f =>
       !touched.contains(TableStore.bucketOfFile(f).get))
     assert(untouched.nonEmpty, "fixture degenerate: every bucket touched")
     val before = untouched.map(f => f -> meta(f)).toMap
@@ -136,12 +136,12 @@ class TableStoreSpec extends SparkSuite {
     val m1 = store.manifest(1)
     // untouched buckets: same paths in the new manifest, files never rewritten
     untouched.foreach { f =>
-      assert(m1.files.contains(f), s"untouched file dropped from manifest: $f")
+      assert(m1.inlineFiles.contains(f), s"untouched file dropped from manifest: $f")
       assert(meta(f) == before(f), s"untouched file was rewritten: $f")
     }
     // touched buckets: no stale parent file survives
-    assert(m1.files.filter(f => touched.contains(TableStore.bucketOfFile(f).get))
-      .forall(!m0.files.contains(_)))
+    assert(m1.inlineFiles.filter(f => touched.contains(TableStore.bucketOfFile(f).get))
+      .forall(!m0.inlineFiles.contains(_)))
     // content equals the batch-form LWW merge on the full table
     val expected = graft.etl.CdcApply(base, changes, Seq("k"))
     assert(store.readSnapshot().count() == expected.count())
@@ -177,7 +177,7 @@ class TableStoreSpec extends SparkSuite {
     assert((added ++ removed).forall(f =>
       touched.contains(TableStore.bucketOfFile(f).get)))
     val m0 = store.manifest(0)
-    assert(removed.size < m0.files.size, "diff listed untouched files")
+    assert(removed.size < m0.inlineFiles.size, "diff listed untouched files")
     // content: exactly the three changes; rewritten-but-unchanged carry-over
     // rows of the touched buckets are dropped by the payload comparison
     val cl = store.readChangelog(0, 1).as[(String, Long, String)].collect()
@@ -192,9 +192,9 @@ class TableStoreSpec extends SparkSuite {
     store.commitSnapshot((1L to 80L).map(i => (i, s"v$i")).toDF("k", "v")
       .repartitionByRange(4, col("k")).sortWithinPartitions("k"))
     val m0 = store.manifest(0)
-    val target = m0.files.filter(f =>
-      m0.stats(f).cols("k").min.exists(_.toLong <= 15) &&
-        m0.stats(f).cols("k").max.exists(_.toLong >= 15))
+    val target = m0.inlineFiles.filter(f =>
+      m0.inlineStats(f).cols("k").min.exists(_.toLong <= 15) &&
+        m0.inlineStats(f).cols("k").max.exists(_.toLong >= 15))
     assert(target.size == 1)
     val kept = store.readFiles(m0, target)
       .filter(col("k") =!= 15L && col("k") =!= 16L)
@@ -206,7 +206,7 @@ class TableStoreSpec extends SparkSuite {
       ("UPDATE", 17L, "V17")))
     // only the replaced file and its replacement were diffed
     val (added, removed) = store.changedFilesBetween(0, 1)
-    assert(removed == target && added.nonEmpty && added.size < m0.files.size)
+    assert(removed == target && added.nonEmpty && added.size < m0.inlineFiles.size)
   }
 
   test("changelog across mid-stream schema evolution NULL-pads the pre-image") {
@@ -329,10 +329,10 @@ class TableStoreSpec extends SparkSuite {
     val store = freshStore()
     store.commitSnapshot(Seq((1L, "A"), (2L, "B")).toDF("k", "status"),
       partitionBy = Seq("status"))
-    val before = store.manifest(0).files.toSet
+    val before = store.manifest(0).inlineFiles.toSet
     store.commitAppend(Seq((3L, "A"), (4L, null.asInstanceOf[String])).toDF("k", "status"))
     val m = store.manifest(1)
-    assert(before.subsetOf(m.files.toSet), "append rewrote existing files")
+    assert(before.subsetOf(m.inlineFiles.toSet), "append rewrote existing files")
     // multi-dir hive read: partition values recovered from the file paths,
     // including the NULL partition
     val rows = store.readSnapshot().as[(Long, Option[String])].collect().toSet
@@ -382,7 +382,7 @@ class TableStoreSpec extends SparkSuite {
         org.apache.spark.sql.types.StringType)))
     store.commitSchemaOnly(widened)
     val m1 = store.manifest(1)
-    assert(m1.files == m0.files, "schema-only commit must not touch data files")
+    assert(m1.inlineFiles == m0.inlineFiles, "schema-only commit must not touch data files")
     assert(m1.schema == widened && m1.bucketKeys == Seq("k") && m1.numBuckets == 4)
     val back = store.readSnapshot()
     assert(back.columns.toSeq == Seq("k", "amount", "note"))
@@ -417,9 +417,9 @@ class TableStoreSpec extends SparkSuite {
     val m1 = store.manifest(1)
     val touched = Seq(1L).toDF("k")
       .select(TableStore.bucketExpr(Seq("k"), 8).as("b")).as[Long].collect().toSet
-    val untouched = m0.files.filter(f => !touched.contains(TableStore.bucketOfFile(f).get))
+    val untouched = m0.inlineFiles.filter(f => !touched.contains(TableStore.bucketOfFile(f).get))
     assert(untouched.nonEmpty)
-    untouched.foreach(f => assert(m1.files.contains(f),
+    untouched.foreach(f => assert(m1.inlineFiles.contains(f),
       s"type widening forced a rewrite of untouched file $f"))
     assert(m1.schema("amount").dataType ==
       org.apache.spark.sql.types.DecimalType(38, 0))
@@ -438,7 +438,7 @@ class TableStoreSpec extends SparkSuite {
     graft.streaming.StreamingOps.applyCdcBatch(changes, store, Seq("k"), numBuckets = 4)
     val m1 = store.manifest(1)
     // full rewrite: no parent file survives, schema is wide, data correct
-    assert(m1.files.forall(f => !m0.files.contains(f)))
+    assert(m1.inlineFiles.forall(f => !m0.inlineFiles.contains(f)))
     assert(m1.schema("amount").dataType == org.apache.spark.sql.types.DoubleType)
     val rows = store.readSnapshot().as[(Long, Double)].collect().toMap
     assert(rows(1L) == 10.5 && rows(2L) == 20.0 && rows.size == 30)
@@ -453,8 +453,8 @@ class TableStoreSpec extends SparkSuite {
     graft.streaming.StreamingOps.applyCdcBatch(changes, store, Seq("k"), numBuckets = 4)
     val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
     val touched = TableStore.bucketOfFile(
-      store.manifest(1).files.filterNot(m0.files.contains).head).get
-    val superseded = m0.files.filter(f =>
+      store.manifest(1).inlineFiles.filterNot(m0.inlineFiles.contains).head).get
+    val superseded = m0.inlineFiles.filter(f =>
       TableStore.bucketOfFile(f).contains(touched))
     assert(superseded.nonEmpty)
     // v0's manifest expires; its dir stays pinned via inherited files, but the
@@ -463,7 +463,7 @@ class TableStoreSpec extends SparkSuite {
     superseded.foreach(f => assert(
       !fs.exists(new org.apache.hadoop.fs.Path(f)),
       s"superseded file not reclaimed: $f"))
-    val kept = store.manifest(1).files
+    val kept = store.manifest(1).inlineFiles
     kept.foreach(f => assert(fs.exists(new org.apache.hadoop.fs.Path(f))))
     assert(store.readSnapshot().count() == 50)
   }
@@ -474,9 +474,9 @@ class TableStoreSpec extends SparkSuite {
       .repartitionByRange(8, col("k"))
     store.commitSnapshot(df)
     val m = store.manifest(0)
-    assert(m.files.size == 8)
-    assert(m.files.forall(m.stats.contains), "every file must carry footer stats")
-    assert(m.files.forall(f => m.stats(f).cols.get("k")
+    assert(m.inlineFiles.size == 8)
+    assert(m.inlineFiles.forall(m.inlineStats.contains), "every file must carry footer stats")
+    assert(m.inlineFiles.forall(f => m.inlineStats(f).cols.get("k")
       .exists(c => c.min.nonEmpty && c.max.nonEmpty)))
 
     def filesScanned(q: org.apache.spark.sql.DataFrame): Long =
@@ -512,7 +512,7 @@ class TableStoreSpec extends SparkSuite {
     assert(before == 8, s"unsorted layout should scan all files, got $before")
     // range-clustered rewrite: each file now covers a narrow k interval
     store.compact(targetFiles = 8, sortBy = Seq("k"))
-    assert(store.manifest(store.currentVersion()).files.size == 8)
+    assert(store.manifest(store.currentVersion()).inlineFiles.size == 8)
     val after = filesScanned(store.readSnapshot().filter(col("k") === 400L))
     assert(after == 1, s"sorted layout should scan 1 file, got $after")
     assert(store.readSnapshot().count() == 800)
@@ -525,7 +525,7 @@ class TableStoreSpec extends SparkSuite {
     val changes = Seq((1L, 999L, 1L, "MODIFY")).toDF("k", "amount", "seq", "op")
     graft.streaming.StreamingOps.applyCdcBatch(changes, store, Seq("k"), numBuckets = 4)
     val m1 = store.manifest(1)
-    assert(m1.files.forall(m1.stats.contains),
+    assert(m1.inlineFiles.forall(m1.inlineStats.contains),
       "inherited + fresh files must all carry stats after an incremental commit")
     // a predicate outside every file's bounds scans nothing
     val q = store.readSnapshot().filter(col("amount") > 100000L)
