@@ -243,25 +243,77 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           StructType(Seq(StructField(name, upd.newDataType()))))
         schema = StructType(schema.fields.map(f =>
           if (f.name == name) widened.head else f))
+      case ren: TableChange.RenameColumn =>
+        require(ren.fieldNames().length == 1,
+          s"nested column renames are not supported: ${ren.fieldNames().mkString(".")}")
+        val name = ren.fieldNames()(0)
+        require(schema.fieldNames.contains(name), s"no such column: $name")
+        require(!schema.fieldNames.contains(ren.newName()),
+          s"column ${ren.newName()} already exists")
+        // bucket keys / partition columns are name-addressed by the layout
+        // (hash spec, path encoding) — renaming them needs a rewrite the
+        // user should ask for explicitly
+        require(!m.bucketKeys.contains(name) && !m.partitionBy.contains(name),
+          s"cannot rename bucket-key/partition column $name; " +
+            "rewrite the table under the new layout instead")
+        // field id travels with the column (f.copy keeps metadata): old data
+        // files keep resolving through the id — RENAME is metadata-only
+        schema = StructType(schema.fields.map(f =>
+          if (f.name == name) f.copy(name = ren.newName()) else f))
+      case del: TableChange.DeleteColumn =>
+        require(del.fieldNames().length == 1,
+          s"nested column drops are not supported: ${del.fieldNames().mkString(".")}")
+        val name = del.fieldNames()(0)
+        if (!schema.fieldNames.contains(name)) {
+          if (!del.ifExists())
+            throw new IllegalArgumentException(s"no such column: $name")
+        } else {
+          require(schema.size > 1, "cannot drop the last column")
+          require(!m.bucketKeys.contains(name) && !m.partitionBy.contains(name),
+            s"cannot drop bucket-key/partition column $name; " +
+              "rewrite the table under the new layout instead")
+          schema = StructType(schema.fields.filterNot(_.name == name))
+        }
       case other => throw new UnsupportedOperationException(
-        s"unsupported table change: $other (ADD COLUMN / widening ALTER TYPE only)")
+        s"unsupported table change: $other (ADD / RENAME / DROP COLUMN and " +
+          "widening ALTER TYPE)")
     }
+    // column identity is the parquet field id (survives renames); a parent
+    // column with no id-or-name match in the new schema is a DROP, which is
+    // metadata-only for non-layout columns
     val metadataOnly = m.schema.fields.forall { f =>
-      val nf = schema.fields.find(_.name == f.name)
-      // bucket keys must keep their exact type in a metadata-only commit:
-      // row placement hashes the TYPED key value (see commitIncremental);
-      // a key widening falls through to the rewrite branch, which rebuckets
-      nf.exists(g =>
-        if (m.bucketKeys.contains(f.name)) g.dataType == f.dataType
-        else TableStore.mergeOnReadWiden(f.dataType, g.dataType))
+      val pid = TableStore.fieldId(f)
+      val nf = (if (pid >= 0)
+        schema.fields.find(g => TableStore.fieldId(g) == pid) else None)
+        .orElse(schema.fields.find(_.name == f.name))
+      nf match {
+        case None => !m.bucketKeys.contains(f.name) &&
+          !m.partitionBy.contains(f.name)
+        // bucket keys must keep their exact type in a metadata-only commit:
+        // row placement hashes the TYPED key value (see commitIncremental);
+        // a key widening falls through to the rewrite branch, which rebuckets
+        case Some(g) =>
+          if (m.bucketKeys.contains(f.name)) g.dataType == f.dataType
+          else TableStore.mergeOnReadWiden(f.dataType, g.dataType)
+      }
     }
     if (metadataOnly) store.commitSchemaOnly(schema, expectedParent = Some(current))
     else {
       val df = store.readSnapshot()
       val evolved = df.select(schema.fields.map { f =>
-        if (df.columns.contains(f.name))
-          org.apache.spark.sql.functions.col(f.name).cast(f.dataType).as(f.name)
-        else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+        // source column by field id first (a rename in the same ALTER must
+        // pull from the OLD name), then by name, else NULL (added column)
+        val pid = TableStore.fieldId(f)
+        val src = (if (pid >= 0)
+          m.schema.fields.find(g => TableStore.fieldId(g) == pid) else None)
+          .map(_.name)
+          .orElse(Some(f.name).filter(df.columns.contains))
+        src match {
+          case Some(s) => org.apache.spark.sql.functions.col(s)
+            .cast(f.dataType).as(f.name)
+          case None => org.apache.spark.sql.functions.lit(null)
+            .cast(f.dataType).as(f.name)
+        }
       }: _*)
       if (m.bucketKeys.nonEmpty)
         store.commitBucketed(evolved, m.bucketKeys, m.numBuckets,

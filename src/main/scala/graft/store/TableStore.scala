@@ -34,6 +34,18 @@ import org.apache.spark.sql.types.{DataType, StructType}
 class TableStore(val spark: SparkSession, val root: String) {
   import TableStore._
 
+  // Column identity is by parquet FIELD ID, not name (Iceberg semantics via
+  // Spark's native field-id matching, SPARK-38094): every commit stamps
+  // stable `parquet.field.id` metadata on the schema and the written files,
+  // and reads resolve requested columns by id. RENAME COLUMN is therefore a
+  // metadata-only commit (old files still resolve through their id), DROP
+  // is metadata-only (readers simply stop requesting the column), and a
+  // re-added same-name column gets a FRESH id so it never resurrects
+  // dropped data. Schemas without ids (external parquet) fall back to the
+  // stock name matching — the flags only change behavior where ids exist.
+  spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+  spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+
   private val rootPath = new Path(root)
   private def fs: FileSystem =
     rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -211,13 +223,15 @@ class TableStore(val spark: SparkSession, val root: String) {
       props: Map[String, String] = Map.empty): Long = {
     val parent = checkParent(expectedParent)
     val next = parent + 1
+    val idSchema = withFieldIds(df.schema,
+      if (parent >= 0) Some(manifest(parent).schema) else None)
     // Unique staging dir per attempt (not the shared snap-<next>): two racing
     // writers that both compute `next` each stage into their own directory, so
     // the CAS loser's Overwrite can never clobber the winner's committed data
     // files — the same isolation Iceberg gets from uniquely-named data files
     // under its metadata swap (reference src/dynamodb-zero-etl-s3tables.ts:99).
     val snapDir = new Path(dataDir, s"snap-$next-${stagingSuffix()}")
-    val writer = df.write.mode(SaveMode.Overwrite)
+    val writer = applyFieldIds(df, idSchema).write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(snapDir.toString)
     // hive layouts (in-schema partitionBy) always inline: their reads go
@@ -226,9 +240,9 @@ class TableStore(val spark: SparkSession, val root: String) {
     val tier =
       if (partitionBy.nonEmpty) {
         val files = listDataFiles(snapDir)
-        MetaTier(files, FileStats.collect(spark, files, df.schema), Nil, None)
-      } else freshManifestMeta(snapDir, df.schema, next, bucketedDirs = false)
-    val m = Manifest(next, parent, df.schema, snapDir.toString,
+        MetaTier(files, FileStats.collect(spark, files, idSchema), Nil, None)
+      } else freshManifestMeta(snapDir, idSchema, next, bucketedDirs = false)
+    val m = Manifest(next, parent, idSchema, snapDir.toString,
       tier.inlineFiles, partitionBy, System.currentTimeMillis(),
       inlineStats = tier.inlineStats, props = props, shards = tier.shards)
     commitOrCleanup(m, snapDir, tier.newShardDir)
@@ -517,9 +531,17 @@ class TableStore(val spark: SparkSession, val root: String) {
       s"changelog keys $keys not in table schema")
     val (added, removed) = changedFilesBetween(fv, tv)
     // pre-image rows are read under their OWN manifest (schema + stats),
-    // then aligned to the newer schema: evolved columns NULL-pad, widened
-    // types up-cast — the same merge-on-read rules the table itself uses.
-    val pre0 = readFiles(fm, removed)
+    // then aligned to the newer schema: renamed columns re-map by FIELD ID
+    // (identity survives ALTER TABLE RENAME), evolved columns NULL-pad,
+    // widened types up-cast — the same merge-on-read rules the table uses.
+    val pre0raw = readFiles(fm, removed)
+    val pre0 = pre0raw.select(fm.schema.fields.map { f =>
+      val fid = fieldId(f)
+      val target = (if (fid >= 0)
+        tm.schema.fields.find(g => fieldId(g) == fid) else None)
+        .map(_.name).getOrElse(f.name)
+      col(f.name).as(target)
+    }: _*)
     val pre = tm.schema.fields.foldLeft(pre0) { (df, f) =>
       if (pre0.columns.contains(f.name))
         df.withColumn(f.name, col(f.name).cast(f.dataType))
@@ -604,12 +626,15 @@ class TableStore(val spark: SparkSession, val root: String) {
     require(keys.nonEmpty && numBuckets > 0, "bucketed commit needs keys and buckets")
     val parent = checkParent(expectedParent)
     val next = parent + 1
+    val idSchema = withFieldIds(df.schema,
+      if (parent >= 0) Some(manifest(parent).schema) else None)
     val snapDir = new Path(dataDir, s"snap-$next-${stagingSuffix()}")
-    df.withColumn(BucketCol, bucketExpr(keys, numBuckets))
+    applyFieldIds(df, idSchema)
+      .withColumn(BucketCol, bucketExpr(keys, numBuckets))
       .write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
       .parquet(snapDir.toString)
-    val tier = freshManifestMeta(snapDir, df.schema, next, bucketedDirs = true)
-    val m = Manifest(next, parent, df.schema, snapDir.toString,
+    val tier = freshManifestMeta(snapDir, idSchema, next, bucketedDirs = true)
+    val m = Manifest(next, parent, idSchema, snapDir.toString,
       tier.inlineFiles, Seq(BucketCol), System.currentTimeMillis(),
       keys, numBuckets, inlineStats = tier.inlineStats,
       props = props, shards = tier.shards)
@@ -654,8 +679,10 @@ class TableStore(val spark: SparkSession, val root: String) {
             s"${nf.get.dataType} is not a merge-on-read widening")
     }
     val next = parent + 1
+    val idSchema = withFieldIds(changed.schema, Some(pm.schema))
     val snapDir = new Path(dataDir, s"snap-$next-${stagingSuffix()}")
-    changed.withColumn(BucketCol, bucketExpr(pm.bucketKeys, pm.numBuckets))
+    applyFieldIds(changed, idSchema)
+      .withColumn(BucketCol, bucketExpr(pm.bucketKeys, pm.numBuckets))
       .write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
       .parquet(snapDir.toString)
     val touchedSet = touched.toSet
@@ -673,7 +700,7 @@ class TableStore(val spark: SparkSession, val root: String) {
         val keep = ManifestShards.read(spark, mixed.map(_.path))
           .filter((fm: ManifestShards.FileMeta) => !touchedSet.contains(fm.bucket))
         val combined = keep.union(
-          freshMetaDS(snapDir, changed.schema, bucketedDirs = true)).persist()
+          freshMetaDS(snapDir, idSchema, bucketedDirs = true)).persist()
         try {
           val t = shardTier(combined, combined.count(), next)
           t.copy(shards = inheritedRefs ++ t.shards)
@@ -686,16 +713,16 @@ class TableStore(val spark: SparkSession, val root: String) {
           val inheritedSet = inherited.toSet
           MetaTier(inherited ++ fresh,
             pm.inlineStats.filter(kv => inheritedSet(kv._1)) ++
-              FileStats.collect(spark, fresh, changed.schema), Nil, None)
+              FileStats.collect(spark, fresh, idSchema), Nil, None)
         } else {
           // one-time tier transition: the table outgrew the inline manifest
           val combined = ManifestShards
             .metaFromInline(spark, inherited, pm.inlineStats)
-            .union(ManifestShards.metaFromFiles(spark, fresh, changed.schema))
+            .union(ManifestShards.metaFromFiles(spark, fresh, idSchema))
           shardTier(combined, (inherited.size + fresh.size).toLong, next)
         }
       }
-    val m = Manifest(next, parent, changed.schema, snapDir.toString,
+    val m = Manifest(next, parent, idSchema, snapDir.toString,
       tier.inlineFiles, Seq(BucketCol),
       System.currentTimeMillis(), pm.bucketKeys, pm.numBuckets,
       inlineStats = tier.inlineStats, props = props, shards = tier.shards)
@@ -733,8 +760,8 @@ class TableStore(val spark: SparkSession, val root: String) {
       require(df.schema(f.name).dataType == f.dataType,
         s"append type mismatch on ${f.name}: ${df.schema(f.name).dataType} vs ${f.dataType}")
     }
-    val aligned = df.select(pm.schema.fieldNames.map(
-      org.apache.spark.sql.functions.col): _*)
+    val aligned = applyFieldIds(df.select(pm.schema.fieldNames.map(
+      org.apache.spark.sql.functions.col): _*), pm.schema)
     val next = parent + 1
     val snapDir = new Path(dataDir, s"snap-$next-${stagingSuffix()}")
     if (pm.bucketKeys.nonEmpty)
@@ -804,8 +831,8 @@ class TableStore(val spark: SparkSession, val root: String) {
         "replaced files must belong to the parent snapshot")
     val next = parent + 1
     val snapDir = new Path(dataDir, s"snap-$next-${stagingSuffix()}")
-    replacement.select(pm.schema.fieldNames.map(
-        org.apache.spark.sql.functions.col): _*)
+    applyFieldIds(replacement.select(pm.schema.fieldNames.map(
+        org.apache.spark.sql.functions.col): _*), pm.schema)
       .write.mode(SaveMode.Overwrite).parquet(snapDir.toString)
     val tier: MetaTier =
       if (pm.isSharded) {
@@ -869,24 +896,45 @@ class TableStore(val spark: SparkSession, val root: String) {
     val parent = checkParent(expectedParent)
     require(parent >= 0, "schema-only commit requires an existing snapshot")
     val pm = manifest(parent)
+    val idSchema = withFieldIds(newSchema, Some(pm.schema))
+    require(idSchema.nonEmpty, "schema-only commit cannot drop every column")
     pm.schema.fields.foreach { f =>
-      val nf = newSchema.fields.find(_.name == f.name)
-      require(nf.nonEmpty, s"schema-only commit dropped column ${f.name}")
-      // bucket keys: exact type only — see commitIncremental; a widened key
-      // hashes differently, so existing rows' bucket placement goes stale
-      if (pm.bucketKeys.contains(f.name))
-        require(nf.get.dataType == f.dataType,
-          s"schema-only commit: BUCKET KEY ${f.name} cannot change type " +
-            s"(${f.dataType} -> ${nf.get.dataType}); rebucket with a full " +
-            "rewriting commit")
-      else
-        require(nf.get.dataType == f.dataType ||
-          mergeOnReadWiden(f.dataType, nf.get.dataType),
-          s"schema-only commit: ${f.name}: ${f.dataType} -> ${nf.get.dataType} " +
-            "is not a merge-on-read widening; use a rewriting commit")
+      val pid = fieldId(f)
+      // column identity: field id first (survives renames), name fallback
+      // for schemas built without metadata (e.g. export-side merges)
+      val nf = (if (pid >= 0) idSchema.fields.find(g => fieldId(g) == pid)
+        else None).orElse(idSchema.fields.find(_.name == f.name))
+      nf match {
+        case None =>
+          // DROP COLUMN: metadata-only — data files keep the column, readers
+          // simply stop requesting it; a later re-add draws a FRESH field id
+          // so the dropped data never resurrects (Iceberg semantics)
+          require(!pm.bucketKeys.contains(f.name),
+            s"cannot drop BUCKET KEY ${f.name}; rebucket with a full commit")
+          require(!pm.partitionBy.contains(f.name),
+            s"cannot drop partition column ${f.name}; rewrite the table")
+        case Some(g) =>
+          // bucket keys / partition columns: name and type are load-bearing
+          // (hash placement, path encoding) — no rename, no widening
+          if (pm.bucketKeys.contains(f.name)) {
+            require(g.name == f.name,
+              s"cannot rename BUCKET KEY ${f.name}; rebucket with a full commit")
+            require(g.dataType == f.dataType,
+              s"schema-only commit: BUCKET KEY ${f.name} cannot change type " +
+                s"(${f.dataType} -> ${g.dataType}); rebucket with a full " +
+                "rewriting commit")
+          } else if (pm.partitionBy.contains(f.name))
+            require(g.name == f.name,
+              s"cannot rename partition column ${f.name}; rewrite the table")
+          else
+            require(g.dataType == f.dataType ||
+              mergeOnReadWiden(f.dataType, g.dataType),
+              s"schema-only commit: ${f.name}: ${f.dataType} -> ${g.dataType} " +
+                "is not a merge-on-read widening; use a rewriting commit")
+      }
     }
     val m = pm.copy(version = parent + 1, parent = parent,
-      schema = newSchema, committedAtMs = System.currentTimeMillis(),
+      schema = idSchema, committedAtMs = System.currentTimeMillis(),
       props = Map.empty)
     writeManifestAtomic(m)
     m.version
@@ -1192,6 +1240,43 @@ object TableStore {
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def commitLatch(qualifiedRoot: String): Object =
     commitLatches.computeIfAbsent(qualifiedRoot, _ => new Object)
+
+  // ------------------------------------------------------------- field ids
+
+  /** Metadata key Spark's parquet reader/writer use for field-id matching. */
+  val FieldIdKey = "parquet.field.id"
+
+  def fieldId(f: org.apache.spark.sql.types.StructField): Long =
+    if (f.metadata.contains(FieldIdKey)) f.metadata.getLong(FieldIdKey) else -1L
+
+  /** Stamp stable field ids on `schema`: fields present in `parent` (by
+    * name) inherit their id; new fields draw fresh ids above the table's
+    * historical max — a re-added column never reuses a dropped column's id. */
+  def withFieldIds(schema: StructType,
+      parent: Option[StructType]): StructType = {
+    import org.apache.spark.sql.types._
+    val byName = parent.map(_.fields.map(f => f.name -> fieldId(f)).toMap)
+      .getOrElse(Map.empty)
+    var nextId = (parent.toSeq.flatMap(_.fields) ++ schema.fields)
+      .map(fieldId).foldLeft(0L)(math.max) + 1L
+    StructType(schema.fields.map { f =>
+      val id = byName.get(f.name).filter(_ >= 0)
+        .orElse(Some(fieldId(f)).filter(_ >= 0))
+        .getOrElse { val id = nextId; nextId += 1; id }
+      f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+        .putLong(FieldIdKey, id).build())
+    })
+  }
+
+  /** Re-attach `schema`'s per-field metadata (the field ids) to `df`'s
+    * columns so the parquet writer records them in the files. */
+  def applyFieldIds(df: org.apache.spark.sql.DataFrame,
+      schema: StructType): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.select(schema.fields.map(f =>
+      col(df.columns.find(_ == f.name).getOrElse(f.name))
+        .as(f.name, f.metadata)): _*)
+  }
 
   /** Derived hash-bucket partition column for incremental CDC tables. Never
     * stored in data files — reconstructible from the key columns. */

@@ -479,6 +479,88 @@ class GraftCatalogSpec extends SparkSuite {
     assert(v0Files.subsetOf(curFiles) && v0Files != curFiles)
   }
 
+  test("ALTER TABLE RENAME COLUMN is metadata-only; old data resolves by field id") {
+    val store = new TableStore(spark, s"$warehouse/analytics/renamer")
+    store.commitSnapshot(Seq((1L, "a"), (2L, "b")).toDF("k", "label"))
+    val filesBefore = store.manifest(0).inlineFiles
+    spark.sql("ALTER TABLE spec_cat.analytics.renamer RENAME COLUMN label TO tag")
+    // metadata-only: identical data files, new snapshot version
+    assert(store.currentVersion() == 1)
+    assert(store.manifest(1).inlineFiles == filesBefore,
+      "RENAME COLUMN rewrote data files; must be metadata-only")
+    // old files written under the OLD name still serve their values (field
+    // ids, not names, carry column identity)
+    val out = spark.sql(
+      "SELECT k, tag FROM spec_cat.analytics.renamer ORDER BY k")
+      .as[(Long, String)].collect().toSeq
+    assert(out == Seq((1L, "a"), (2L, "b")))
+    // time travel shows the pre-rename name with the same data
+    val v0 = spark.sql(
+      "SELECT * FROM spec_cat.analytics.renamer VERSION AS OF 0")
+    assert(v0.schema.fieldNames.toSeq == Seq("k", "label"))
+    assert(v0.orderBy("k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    // writes after the rename interleave with pre-rename files
+    spark.sql("INSERT INTO spec_cat.analytics.renamer VALUES (3, 'c')")
+    assert(spark.sql(
+      "SELECT tag FROM spec_cat.analytics.renamer ORDER BY k")
+      .as[String].collect().toSeq == Seq("a", "b", "c"))
+  }
+
+  test("changelog reads map renamed columns across versions by field id") {
+    val root = s"$warehouse/analytics/renamed_cdc"
+    val store = new TableStore(spark, root)
+    store.commitBucketed(Seq((1L, 10L), (2L, 20L)).toDF("k", "v"), Seq("k"), 4)
+    spark.sql(s"ALTER TABLE spec_cat.analytics.renamed_cdc RENAME COLUMN v TO amount")
+    // rewrite key 1's bucket under the new schema
+    val touched = Seq(
+      Seq(1L).toDF("k").select(TableStore.bucketExpr(Seq("k"), 4).as("b"))
+        .as[Long].head())
+    val newContent = store.readBuckets(touched)
+      .withColumn("amount", when($"k" === 1L, lit(11L)).otherwise($"amount"))
+    store.commitIncremental(newContent, touched)
+    // pre-images from the pre-rename snapshot (written as `v`) align to
+    // `amount` by field id: the change shows as one UPDATE, never a
+    // DELETE+INSERT pair of the renamed column
+    val cl = store.readChangelog(0, 2, Seq("k"))
+    val rows = cl.select("_change_type", "k", "amount")
+      .as[(String, Long, Long)].collect().toSeq
+    assert(rows == Seq(("UPDATE", 1L, 11L)), s"changelog: $rows")
+  }
+
+  test("ALTER TABLE DROP COLUMN is metadata-only; a re-added name never resurrects dropped data") {
+    val store = new TableStore(spark, s"$warehouse/analytics/dropper")
+    store.commitSnapshot(Seq((1L, "x", 5L), (2L, "y", 6L)).toDF("k", "s", "n"))
+    val filesBefore = store.manifest(0).inlineFiles
+    spark.sql("ALTER TABLE spec_cat.analytics.dropper DROP COLUMN s")
+    assert(store.manifest(1).inlineFiles == filesBefore,
+      "DROP COLUMN rewrote data files; must be metadata-only")
+    assert(spark.sql("SELECT * FROM spec_cat.analytics.dropper")
+      .schema.fieldNames.toSeq == Seq("k", "n"))
+    // time travel still shows the dropped column with its data
+    assert(spark.sql(
+      "SELECT s FROM spec_cat.analytics.dropper VERSION AS OF 0 ORDER BY s")
+      .as[String].collect().toSeq == Seq("x", "y"))
+    // re-adding the name draws a FRESH field id: the old column's bytes are
+    // still in the files but must NOT resurrect (Iceberg drop semantics)
+    spark.sql("ALTER TABLE spec_cat.analytics.dropper ADD COLUMN s STRING")
+    val out = spark.sql(
+      "SELECT k, s FROM spec_cat.analytics.dropper ORDER BY k").collect()
+    assert(out.forall(_.isNullAt(1)),
+      s"re-added column resurrected dropped data: ${out.mkString(",")}")
+  }
+
+  test("RENAME/DROP of bucket-key or partition columns is refused loudly") {
+    val store = new TableStore(spark, s"$warehouse/analytics/layoutcols")
+    store.commitBucketed(Seq((1L, 2L)).toDF("k", "v"), Seq("k"), 4)
+    val e1 = intercept[Exception](spark.sql(
+      "ALTER TABLE spec_cat.analytics.layoutcols RENAME COLUMN k TO kk"))
+    assert(e1.getMessage.contains("bucket-key"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      "ALTER TABLE spec_cat.analytics.layoutcols DROP COLUMN k"))
+    assert(e2.getMessage.contains("bucket-key"), e2.getMessage)
+  }
+
   test("SHOW TABLES lists committed tables; DDL create/drop works") {
     commitOrders()
     val tables = spark.sql("SHOW TABLES IN spec_cat.analytics")

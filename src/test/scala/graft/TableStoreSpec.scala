@@ -383,7 +383,10 @@ class TableStoreSpec extends SparkSuite {
     store.commitSchemaOnly(widened)
     val m1 = store.manifest(1)
     assert(m1.inlineFiles == m0.inlineFiles, "schema-only commit must not touch data files")
-    assert(m1.schema == widened && m1.bucketKeys == Seq("k") && m1.numBuckets == 4)
+    // names/types match; the store additionally stamps parquet field ids
+    assert(m1.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      widened.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(m1.bucketKeys == Seq("k") && m1.numBuckets == 4)
     val back = store.readSnapshot()
     assert(back.columns.toSeq == Seq("k", "amount", "note"))
     assert(back.schema("amount").dataType ==
