@@ -86,19 +86,36 @@ object GraftProcedures {
     }
   }
 
-  /** Age-based snapshot expiry — `noncurrentDays` analog in milliseconds. */
+  /** Two-threshold age-based snapshot expiry mirroring the reference's
+    * `unreferencedFileRemoval { unreferencedDays, noncurrentDays }` knobs
+    * (reference README.md:132-137, test/dynamodb-zero-etl-s3tables
+    * .test.ts:252-265), in milliseconds:
+    *  - `older_than_ms` (unreferencedDays): expire snapshots by their OWN
+    *    commit age;
+    *  - `noncurrent_ms` (noncurrentDays): expire snapshots by how long they
+    *    have been SUPERSEDED — an old snapshot of a quiet table survives
+    *    until a newer commit has displaced it for this long.
+    * Pass 0 to disable a threshold; both may run in one call. */
   private final class ExpireProc(catalog: GraftCatalog)
       extends GraftProc("expire_snapshots",
-        "drop non-current snapshots older than older_than_ms") {
+        "drop snapshots by commit age (older_than_ms) and/or superseded age (noncurrent_ms)") {
     override def parameters(): Array[ProcedureParameter] = Array(
       ProcedureParameter.in("table", StringType).build(),
-      ProcedureParameter.in("older_than_ms", LongType).build())
+      ProcedureParameter.in("older_than_ms", LongType).defaultValue("0").build(),
+      ProcedureParameter.in("noncurrent_ms", LongType).defaultValue("0").build())
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val store = storeFor(catalog, input.getUTF8String(0).toString)
-      val deleted = store.vacuumOlderThan(input.getLong(1))
+      def longAt(i: Int): Long =
+        if (input.numFields <= i || input.isNullAt(i)) 0L else input.getLong(i)
+      val unref =
+        if (longAt(1) > 0) store.vacuumOlderThan(longAt(1)) else Nil
+      val noncur =
+        if (longAt(2) > 0) store.vacuumNoncurrent(longAt(2)) else Nil
       result(
-        StructType(Seq(StructField("deleted_snapshot_dirs", IntegerType))),
-        Array(deleted.size))
+        StructType(Seq(
+          StructField("deleted_unreferenced", IntegerType),
+          StructField("deleted_noncurrent", IntegerType))),
+        Array(unref.size, noncur.size))
     }
   }
 

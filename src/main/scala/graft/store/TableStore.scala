@@ -1012,6 +1012,29 @@ class TableStore(val spark: SparkSession, val root: String) {
     else deleteDataDirs(keepFrom = stale.max + 1)
   }
 
+  /** Expire snapshots that have been NON-CURRENT (superseded) longer than
+    * `noncurrentMs` — the reference's `noncurrentDays` knob
+    * (README.md:132-137), distinct from [[vacuumOlderThan]]'s
+    * `unreferencedDays` own-commit age: a snapshot of a quiet table stays
+    * recoverable indefinitely while current, and its recovery window only
+    * starts ticking when a newer commit supersedes it. The superseded-at
+    * instant is the SUCCESSOR's commit time, so the two thresholds expire
+    * different sets whenever commits are spaced apart. */
+  def vacuumNoncurrent(noncurrentMs: Long,
+      nowMs: Long = System.currentTimeMillis()): Seq[String] = {
+    val versions = existingVersions()
+    val cur = currentVersion()
+    if (cur < 0) return Nil
+    // monotone in v: a version's successor is never newer than a later
+    // version's, so the stale set is always a prefix
+    val stale = versions.filter(_ < cur).filter { v =>
+      versions.find(_ > v).exists(next =>
+        nowMs - manifest(next).committedAtMs > noncurrentMs)
+    }
+    if (stale.isEmpty) Nil
+    else deleteDataDirs(keepFrom = stale.max + 1)
+  }
+
   /** Delete data files not referenced by any manifest newer than
     * `keepSnapshots` back — the reference's `unreferencedFileRemoval`
     * (README.md:132-137). Returns deleted snapshot data dirs. */

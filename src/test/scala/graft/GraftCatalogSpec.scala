@@ -385,9 +385,10 @@ class GraftCatalogSpec extends SparkSuite {
     assert(compacted.head.getInt(1) == filesBefore) // files_before
     assert(compacted.head.getInt(2) <= 2, compacted.head.toString) // files_after
     assert(store.readSnapshot().count() == 201)
-    // expire everything older than now → only pre-compact snapshots drop
+    // expire everything older than 1 ms → only pre-compact snapshots drop
+    // (0 disables a threshold — the two-knob unreferenced/noncurrent API)
     val expired = spark.sql(
-      "CALL spec_cat.system.expire_snapshots('analytics.proc_tbl', 0)").collect()
+      "CALL spec_cat.system.expire_snapshots('analytics.proc_tbl', 1)").collect()
     assert(expired.head.getInt(0) >= 1, expired.head.toString)
     // vacuum keeps the current snapshot; table still reads
     spark.sql("CALL spec_cat.system.vacuum('analytics.proc_tbl', 1)").collect()

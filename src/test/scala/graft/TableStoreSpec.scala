@@ -535,6 +535,82 @@ class TableStoreSpec extends SparkSuite {
     assert(q.count() == 0)
   }
 
+  private def setCommittedAt(root: String, version: Long, tsMs: Long): Unit = {
+    val store = new TableStore(spark, root)
+    val m = store.manifest(version).copy(committedAtMs = tsMs)
+    // rewrite through the hadoop fs so the .crc sidecar stays consistent
+    val p = new org.apache.hadoop.fs.Path(root, s"manifest/v$version.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(m.toJson.getBytes("UTF-8")) finally out.close()
+  }
+
+  test("two-threshold GC: unreferenced age and noncurrent age expire different sets") {
+    import java.nio.file.Files
+    // history: v0 @ t=1_000, v1 @ t=500_000, v2 @ t=900_000; now = 1_000_000
+    def build(): (TableStore, String) = {
+      val root = Files.createTempDirectory("graft_gc2").toString
+      val store = new TableStore(spark, root)
+      store.commitSnapshot(Seq((1L, "a")).toDF("k", "v"))
+      store.commitAppend(Seq((2L, "b")).toDF("k", "v"))
+      store.commitAppend(Seq((3L, "c")).toDF("k", "v"))
+      setCommittedAt(root, 0, 1000L)
+      setCommittedAt(root, 1, 500000L)
+      setCommittedAt(root, 2, 900000L)
+      (new TableStore(spark, root), root)
+    }
+    val now = 1000000L
+
+    // unreferencedDays analog: v0's OWN commit is 999s old → expired;
+    // v1 is only 500s old → survives
+    val (a, _) = build()
+    a.vacuumOlderThan(600000L, nowMs = now)
+    assert(a.existingVersions() == Seq(1L, 2L))
+
+    // noncurrentDays analog at the same 600s threshold: v0 was SUPERSEDED
+    // at t=500_000 (v1's commit), i.e. noncurrent for only 500s → survives.
+    // The same table state, the same threshold, a DIFFERENT surviving set —
+    // the distinction the reference's two knobs encode.
+    val (b, _) = build()
+    b.vacuumNoncurrent(600000L, nowMs = now)
+    assert(b.existingVersions() == Seq(0L, 1L, 2L))
+
+    // tighter noncurrent window: v0 (noncurrent 500s) falls, v1 (noncurrent
+    // 100s) survives
+    val (c, _) = build()
+    c.vacuumNoncurrent(400000L, nowMs = now)
+    assert(c.existingVersions() == Seq(1L, 2L))
+    // the current snapshot is never expired by either threshold
+    val (d, _) = build()
+    d.vacuumOlderThan(1L, nowMs = now)
+    d.vacuumNoncurrent(1L, nowMs = now)
+    assert(d.existingVersions() == Seq(2L))
+    assert(d.readSnapshot().count() == 3)
+  }
+
+  test("expire_snapshots procedure exposes both thresholds") {
+    val warehouse = java.nio.file.Files.createTempDirectory("graft_gc2p").toString
+    spark.conf.set("spark.sql.catalog.gc_cat",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gc_cat.warehouse", warehouse)
+    val tbl = "ns.gc_tbl"
+    val store = new TableStore(spark, s"$warehouse/ns/gc_tbl")
+    store.commitSnapshot(Seq((1L, "a")).toDF("k", "v"))
+    Thread.sleep(30)
+    store.commitAppend(Seq((2L, "b")).toDF("k", "v"))
+    // noncurrent_ms only: v0 superseded ~0 ms ago at a large threshold → kept
+    val r1 = spark.sql(
+      s"CALL gc_cat.system.expire_snapshots('$tbl', 0, ${86400L * 1000})")
+      .collect().head
+    assert(r1.getInt(0) == 0 && r1.getInt(1) == 0, r1.toString)
+    assert(store.existingVersions() == Seq(0L, 1L))
+    // older_than_ms: v0's own commit is > 1 ms old → expired (its snap dir
+    // survives — the append child inherits its files, so the dir count is 0)
+    spark.sql(s"CALL gc_cat.system.expire_snapshots('$tbl', 1, 0)").collect()
+    assert(store.existingVersions() == Seq(1L))
+    assert(store.readSnapshot().count() == 2)
+  }
+
   test("racing writers: losers retry, all committed data stays intact") {
     val store = freshStore()
     val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
