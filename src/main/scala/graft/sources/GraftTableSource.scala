@@ -183,7 +183,10 @@ private[graft] class GraftTableSink(parameters: Map[String, String],
   private def ledgerDir: Path = new Path(path, s"_stream_sink/$queryId")
 
   private val DoneName = "done-(\\d+)".r
-  private val IntentName = "intent-(\\d+)-(\\d+)".r
+  // pre-version may be -1: the bootstrap epoch of an EMPTY table records
+  // `intent-0--1`, and failing to parse it would blind the replay check for
+  // exactly that epoch's crash window (double-apply on restart)
+  private val IntentName = "intent-(\\d+)-(-?\\d+)".r
 
   /** (max done epoch, intent pre-versions by epoch). Entries are
     * create-only zero-byte files, so a listing is never torn; malformed
@@ -204,6 +207,25 @@ private[graft] class GraftTableSink(parameters: Map[String, String],
     catch { case _: java.io.IOException => () } // already recorded: fine
   }
 
+  /** Drop ledger entries below the finalized epoch (ADVICE r5): the replay
+    * logic only needs the HIGHEST done marker (the `<= maxDone` check) and
+    * any unfinalized intents, so older markers are dead weight that would
+    * otherwise grow the per-batch directory listing O(total epochs) on a
+    * long-running stream. Crash mid-prune just leaves extra entries — the
+    * next epoch's prune retries; correctness never depends on an entry
+    * being absent. */
+  private def pruneLedger(doneEpoch: Long): Unit = {
+    val f = fs
+    if (!f.exists(ledgerDir)) return
+    f.listStatus(ledgerDir).map(_.getPath).foreach { p =>
+      p.getName match {
+        case DoneName(e) if e.toLong < doneEpoch => f.delete(p, false); ()
+        case IntentName(e, _) if e.toLong < doneEpoch => f.delete(p, false); ()
+        case _ => ()
+      }
+    }
+  }
+
   private def fingerprint(batchId: Long): String = s"$queryId:$batchId"
 
   /** Did epoch `batchId`'s OWN commit land? Foreign commits (maintenance,
@@ -220,6 +242,7 @@ private[graft] class GraftTableSink(parameters: Map[String, String],
     intents.get(batchId) match {
       case Some(preV) if epochLanded(st, batchId, preV) =>
         record(s"done-$batchId") // crash was between commit and `done`
+        pruneLedger(batchId)
         return
       case _ => () // fresh epoch, or an intent whose commit never landed
     }
@@ -248,6 +271,7 @@ private[graft] class GraftTableSink(parameters: Map[String, String],
         finally batch.unpersist()
     }
     record(s"done-$batchId")
+    pruneLedger(batchId)
   }
 }
 

@@ -1065,7 +1065,18 @@ class TableStore(val spark: SparkSession, val root: String) {
     * Returns deleted snapshot data dirs (file-level sweeps are not listed). */
   private def deleteDataDirs(keepFrom: Long): Seq[String] = {
     val f = fs
-    existingVersions().filter(_ < keepFrom).foreach { v =>
+    // Streaming-sink crash window (ADVICE r5): an UNFINALIZED intent (epoch
+    // whose table commit may have landed but whose done marker did not) is
+    // replayed by checking manifests NEWER than its pre-version for the
+    // epoch's commit fingerprint. Expiring those manifests would erase the
+    // evidence and turn crash recovery into a double-apply — clamp the
+    // expiry horizon so every manifest a pending replay could need survives
+    // this vacuum and falls to a later one (after the stream finalizes).
+    val clamped = minUnfinalizedIntentPre() match {
+      case Some(pre) => math.min(keepFrom, pre + 1)
+      case None => keepFrom
+    }
+    existingVersions().filter(_ < clamped).foreach { v =>
       f.delete(new Path(manifestDir, s"v$v.json"), false)
     }
     val survivors = existingVersions().map(manifest)
@@ -1075,6 +1086,27 @@ class TableStore(val spark: SparkSession, val root: String) {
       else sweepDataDistributed(survivors)
     sweepShardDirs(survivors)
     out
+  }
+
+  /** Smallest pre-version among the table's UNFINALIZED streaming-sink
+    * intents (an intent marker with no done marker at or above its epoch) —
+    * the vacuum clamp's pin. Ledger entries are create-only zero-byte
+    * files under `<root>/_stream_sink/<queryId>/`. */
+  private def minUnfinalizedIntentPre(): Option[Long] = {
+    val f = fs
+    val ledgerRoot = new Path(rootPath, "_stream_sink")
+    if (!f.exists(ledgerRoot)) return None
+    val Done = "done-(\\d+)".r
+    val Intent = "intent-(\\d+)-(-?\\d+)".r
+    val pres = f.listStatus(ledgerRoot).filter(_.isDirectory).flatMap { q =>
+      val names = f.listStatus(q.getPath).map(_.getPath.getName)
+      val maxDone = names.collect { case Done(e) => e.toLong }
+        .foldLeft(-1L)(math.max)
+      names.collect {
+        case Intent(e, pre) if e.toLong > maxDone => pre.toLong
+      }
+    }
+    if (pres.isEmpty) None else Some(pres.min)
   }
 
   /** Driver-side sweep — every survivor is inline, so the referenced sets

@@ -207,6 +207,113 @@ class GraftStreamSourceSpec extends SparkSuite {
       "foreign commit in the crash window must not swallow the epoch")
   }
 
+  test("sink crash torture: both crash orders in BOTH modes — no duplicate, no loss") {
+    for (mode <- Seq("append", "cdc")) {
+      val dstRoot = java.nio.file.Files
+        .createTempDirectory(s"graft_sink_t_$mode").toString
+      val qid = s"tq_$mode"
+      val params = Map("path" -> dstRoot, "sink.id" -> qid) ++
+        (if (mode == "cdc")
+          Map("sink.mode" -> "cdc", "sink.keys" -> "k", "sink.buckets" -> "4")
+        else Map.empty)
+      def batch(ks: Seq[Long]): org.apache.spark.sql.DataFrame =
+        if (mode == "cdc")
+          ks.map(k => (k, s"v$k", 1L, "INSERT")).toDF("k", "v", "seq", "op")
+        else ks.map(k => (k, s"v$k")).toDF("k", "v")
+      val sink = new graft.sources.GraftTableSink(params)
+      sink.addBatch(0, batch(1L to 10L))
+      val dst = new TableStore(spark, dstRoot)
+      val ledger = new org.apache.hadoop.fs.Path(dstRoot, s"_stream_sink/$qid")
+      val fs = ledger.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def plant(name: String): Unit = fs.create(
+        new org.apache.hadoop.fs.Path(ledger, name), false).close()
+
+      // crash order A: intent durable, the epoch's COMMIT never landed —
+      // the replay must APPLY the batch (losing it would drop data)
+      plant(s"intent-1-${dst.currentVersion()}")
+      sink.addBatch(1, batch(Seq(11L)))
+      assert(dst.readSnapshot().count() == 11, s"[$mode] lost the batch")
+      assert(dst.readSnapshot().filter($"k" === 11L).count() == 1)
+
+      // crash order B: the epoch's commit LANDED (fingerprinted), the done
+      // marker did not — the replay must SKIP (re-applying would duplicate)
+      val pre = dst.currentVersion()
+      val props = Map(graft.sources.GraftTableSink.EpochProp -> s"$qid:2")
+      if (mode == "cdc")
+        graft.streaming.StreamingOps.applyCdcBatch(
+          batch(Seq(12L)), dst, Seq("k"), 4, props = props)
+      else dst.commitAppend(batch(Seq(12L)), props = props)
+      plant(s"intent-2-$pre")
+      val vAfterCommit = dst.currentVersion()
+      sink.addBatch(2, batch(Seq(12L)))
+      assert(dst.currentVersion() == vAfterCommit,
+        s"[$mode] landed epoch re-applied")
+      assert(dst.readSnapshot().filter($"k" === 12L).count() == 1,
+        s"[$mode] duplicate or lost row for the landed epoch")
+      assert(dst.readSnapshot().count() == 12)
+    }
+  }
+
+  test("bootstrap-epoch crash window: intent with pre-version -1 is recognized on replay") {
+    // the FIRST epoch of an empty table records `intent-0--1`; a crash
+    // between its commit and the done marker must not double-apply
+    val dstRoot = java.nio.file.Files.createTempDirectory("graft_sinkb").toString
+    val dst = new TableStore(spark, dstRoot)
+    dst.commitSnapshot(Seq((1L, "a")).toDF("k", "v"),
+      props = Map(graft.sources.GraftTableSink.EpochProp -> "qb:0"))
+    val ledger = new org.apache.hadoop.fs.Path(dstRoot, "_stream_sink/qb")
+    val fs = ledger.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(ledger)
+    fs.create(new org.apache.hadoop.fs.Path(ledger, "intent-0--1"), false).close()
+    val sink = new graft.sources.GraftTableSink(
+      Map("path" -> dstRoot, "sink.id" -> "qb"))
+    sink.addBatch(0, Seq((1L, "a")).toDF("k", "v"))
+    assert(dst.currentVersion() == 0, "bootstrap epoch double-applied")
+    assert(dst.readSnapshot().count() == 1)
+  }
+
+  test("ledger prunes to a high-water marker instead of growing per epoch") {
+    val dstRoot = java.nio.file.Files.createTempDirectory("graft_sinkp").toString
+    val sink = new graft.sources.GraftTableSink(
+      Map("path" -> dstRoot, "sink.id" -> "qp"))
+    (0L to 3L).foreach(e => sink.addBatch(e, Seq((e, s"v$e")).toDF("k", "v")))
+    val ledger = new org.apache.hadoop.fs.Path(dstRoot, "_stream_sink/qp")
+    val fs = ledger.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(ledger).map(_.getPath.getName).toSet
+    assert(names.contains("done-3"), names.toString)
+    assert(!names.exists(n => n.startsWith("done-") && n != "done-3"),
+      s"stale done markers survive: $names")
+    assert(!names.exists(n => n.startsWith("intent-") && !n.startsWith("intent-3-")),
+      s"stale intents survive: $names")
+    // replay of a pruned (old) epoch is still a no-op via the high-water mark
+    val dst = new TableStore(spark, dstRoot)
+    val v = dst.currentVersion()
+    sink.addBatch(1, Seq((1L, "v1")).toDF("k", "v"))
+    assert(dst.currentVersion() == v, "pruned epoch replayed")
+  }
+
+  test("vacuum keeps manifests pinned by an unfinalized sink intent") {
+    val root = java.nio.file.Files.createTempDirectory("graft_sinkv").toString
+    val store = new TableStore(spark, root)
+    store.commitSnapshot(Seq((1L, "a")).toDF("k", "v"))
+    (2L to 4L).foreach(i => store.commitAppend(Seq((i, s"v$i")).toDF("k", "v")))
+    // unfinalized intent pinned at pre-version 1: its replay scans manifests
+    // > 1 for the commit fingerprint, so vacuum must not expire v2/v3 even
+    // though keep_snapshots=1 would
+    val ledger = new org.apache.hadoop.fs.Path(root, "_stream_sink/qv")
+    val fs = ledger.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(ledger)
+    fs.create(new org.apache.hadoop.fs.Path(ledger, "intent-7-1"), false).close()
+    store.vacuum(keepSnapshots = 1)
+    assert(store.existingVersions() == Seq(2L, 3L),
+      "vacuum expired manifests a pending sink replay needs")
+    // once the stream finalizes the epoch, the pin lifts
+    fs.create(new org.apache.hadoop.fs.Path(ledger, "done-7"), false).close()
+    store.vacuum(keepSnapshots = 1)
+    assert(store.existingVersions() == Seq(3L))
+    assert(store.readSnapshot().count() == 4)
+  }
+
   test("graft-table sink in cdc mode merges change batches per epoch") {
     val dstRoot = java.nio.file.Files.createTempDirectory("graft_sink3").toString
     val sink = new graft.sources.GraftTableSink(Map(
