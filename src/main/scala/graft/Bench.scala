@@ -56,12 +56,25 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     (0 until 3).foreach(_ => sentinelSec()) // steady-state the probe itself
+    // Idle-baseline probe threshold: a fresh attempt is accepted when every
+    // probe around it stays under max(50 ms, 5x the warm median) — the same
+    // rule the final artifact uses, evaluated inline so a dirty attempt can
+    // be retried instead of recorded (VERDICT r5 wrong #1: the driver's run
+    // flagged fn_date/fn_json/fn_map that a retry would have cleaned).
+    val warmProbes = (0 until 5).map(_ => sentinelSec()).sorted
+    val probeThresh = math.max(0.05, 5 * warmProbes(warmProbes.size / 2))
 
     val timings = scala.collection.mutable.LinkedHashMap[String, Double]()
     val cpuSec = scala.collection.mutable.LinkedHashMap[String, Double]()
     val sentinels = scala.collection.mutable.LinkedHashMap[String, Double]()
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val flaky = scala.collection.mutable.LinkedHashMap[String, String]()
+    val retried = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // NOTE: no unconditional System.gc() here — a full GC clears Spark's
+    // weak-ref codegen cache, forcing every next query (and the probe) to
+    // re-JIT, which inflated probe medians 10x when tried. The heap is
+    // settled only as REMEDIATION before a retry of a dirty attempt.
+    def settle(): Unit = spark.catalog.clearCache()
     def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
         : Either[String, (Double, Double)] = {
       val c0 = cpuNs()
@@ -81,26 +94,57 @@ object Bench {
     // Sentinel coverage (ADVICE r4): probe before run 1, between runs, and
     // after run 2 — external load starting mid-measurement can no longer
     // pollute the kept timing while the artifact's sentinel looks clean.
-    // The recorded value is the MAX probe around the measured executions.
+    // The recorded value is the MAX probe around the KEPT attempt; an
+    // attempt whose probes exceeded the idle threshold is re-run up to
+    // twice and the cleanest attempt wins (`retried` lists the discarded
+    // sentinel so the artifact still shows the contention happened).
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val s0 = sentinelSec()
-      once(fn) match {
-        case Left(msg) =>
-          sentinels(name) = s0
-          System.err.println(s"[bench] $name FAILED: $msg")
-          errors(name) = msg
-        case Right((t1, c1)) =>
-          val s1 = sentinelSec()
-          once(fn) match {
-            case Right((t2, c2)) =>
-              sentinels(name) = math.max(s0, math.max(s1, sentinelSec()))
-              if (t2 < t1) { timings(name) = t2; cpuSec(name) = c2 }
-              else { timings(name) = t1; cpuSec(name) = c1 }
-            case Left(msg) => // keep the valid first measurement, flag flaky
-              sentinels(name) = math.max(s0, s1)
-              System.err.println(s"[bench] $name FLAKY on rerun: $msg")
-              timings(name) = t1; cpuSec(name) = c1; flaky(name) = msg
+      var best: Option[(Double, Double, Double)] = None // timing, cpu, probe max
+      var firstErr: Option[String] = None
+      var flakyMsg: Option[String] = None
+      var tries = 0
+      var stop = false
+      while (!stop && tries < 3) {
+        tries += 1
+        settle()
+        if (tries > 1) { // dirty attempt: drain GC debt, then re-measure
+          System.gc()
+          sentinelSec() // absorb the post-GC re-JIT outside the kept probes
+        }
+        val s0 = sentinelSec()
+        once(fn) match {
+          case Left(msg) =>
+            if (best.isEmpty && firstErr.isEmpty) {
+              firstErr = Some(msg); sentinels(name) = s0
+            }
+            stop = true
+          case Right((t1, c1)) =>
+            val s1 = sentinelSec()
+            val (t, c, sMaxA, fmsg) = once(fn) match {
+              case Right((t2, c2)) =>
+                val s2 = sentinelSec()
+                val sm = math.max(s0, math.max(s1, s2))
+                if (t2 < t1) (t2, c2, sm, None) else (t1, c1, sm, None)
+              case Left(msg) => (t1, c1, math.max(s0, s1), Some(msg))
+            }
+            if (best.forall(_._3 > sMaxA)) {
+              best.foreach(b => retried(name) = b._3)
+              best = Some((t, c, sMaxA)); flakyMsg = fmsg
+            } else retried(name) = sMaxA
+            stop = sMaxA <= probeThresh || fmsg.nonEmpty
+        }
+      }
+      best match {
+        case Some((t, c, s)) =>
+          timings(name) = t; cpuSec(name) = c; sentinels(name) = s
+          flakyMsg.foreach { m =>
+            System.err.println(s"[bench] $name FLAKY on rerun: $m")
+            flaky(name) = m
           }
+        case None => firstErr.foreach { m =>
+          System.err.println(s"[bench] $name FAILED: $m")
+          errors(name) = m
+        }
       }
     }
     def jq(s: String): String =
@@ -120,7 +164,7 @@ object Bench {
       case (k, v) if v > math.max(0.05, 5 * sMed) => jq(k)
     }.mkString("[", ",", "]")
     val total = timings.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(timings)},"cpu":${jmap(cpuSec)},"sentinel":${jmap(sentinels)},"sentinel_med":$sMed,"sentinel_max":$sMax,"contaminated":$contaminated,"flaky":$fl,"errors":$es,"failed":${errors.size},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(timings)},"cpu":${jmap(cpuSec)},"sentinel":${jmap(sentinels)},"sentinel_med":$sMed,"sentinel_max":$sMax,"contaminated":$contaminated,"retried":${jmap(retried)},"flaky":$fl,"errors":$es,"failed":${errors.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }
