@@ -278,10 +278,26 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         s"unsupported table change: $other (ADD / RENAME / DROP COLUMN and " +
           "widening ALTER TYPE)")
     }
+    // names retired by THIS alter (dropped or renamed away) plus earlier
+    // ones: re-using any of them shadows stale physical columns in old data
+    // files (parquet row-group filters bind by name), so those alters take
+    // the rewrite branch — see TableStore.commitSchemaOnly
+    val retiredNow = m.schema.fields.filter { f =>
+      val pid = TableStore.fieldId(f)
+      val nf = (if (pid >= 0)
+        schema.fields.find(g => TableStore.fieldId(g) == pid) else None)
+        .orElse(schema.fields.find(_.name == f.name))
+      nf.forall(_.name != f.name)
+    }.map(_.name)
+    val retiredNames = (m.droppedCols ++ retiredNow).toSet
+    val reusesRetired = schema.fields.exists { g =>
+      retiredNames.contains(g.name) && !m.schema.fields.exists(f =>
+        f.name == g.name && TableStore.fieldId(f) == TableStore.fieldId(g))
+    }
     // column identity is the parquet field id (survives renames); a parent
     // column with no id-or-name match in the new schema is a DROP, which is
     // metadata-only for non-layout columns
-    val metadataOnly = m.schema.fields.forall { f =>
+    val metadataOnly = !reusesRetired && m.schema.fields.forall { f =>
       val pid = TableStore.fieldId(f)
       val nf = (if (pid >= 0)
         schema.fields.find(g => TableStore.fieldId(g) == pid) else None)
@@ -307,7 +323,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         val src = (if (pid >= 0)
           m.schema.fields.find(g => TableStore.fieldId(g) == pid) else None)
           .map(_.name)
-          .orElse(Some(f.name).filter(df.columns.contains))
+          // name fallback only for non-retired names: a retired name in the
+          // pre-alter snapshot is the SHADOWING old column, not this field
+          .orElse(Some(f.name).filter(n =>
+            df.columns.contains(n) && !retiredNames.contains(n)))
         src match {
           case Some(s) => org.apache.spark.sql.functions.col(s)
             .cast(f.dataType).as(f.name)

@@ -155,7 +155,7 @@ class TableStore(val spark: SparkSession, val root: String) {
       val kept =
         if (filters.isEmpty) m.inlineFiles
         else m.inlineFiles.filter(f => m.inlineStats.get(f).forall(st =>
-          FileStats.mightMatch(st, dataSchema, filters)))
+          FileStats.mightMatch(m.usableStat(st), dataSchema, filters)))
       kept.map { f =>
         val s = m.inlineStats.get(f)
         FileRef(f, s.map(_.bytes).getOrElse(0L), s.map(_.modTime).getOrElse(0L))
@@ -169,10 +169,17 @@ class TableStore(val spark: SparkSession, val root: String) {
         else {
           val schemaJson = dataSchema.json
           val fl = filters
+          val dropped = m.droppedCols
           ds.mapPartitions { it =>
             val sch = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-            it.filter(fm => fm.stats.isEmpty ||
-              FileStats.mightMatch(ManifestShards.toFileStat(fm), sch, fl))
+            it.filter { fm =>
+              fm.stats.isEmpty || {
+                val st = ManifestShards.toFileStat(fm)
+                FileStats.mightMatch(
+                  if (dropped.isEmpty) st else st.copy(cols = st.cols -- dropped),
+                  sch, fl)
+              }
+            }
           }
         }
       matched.collect().toSeq.map(fm => FileRef(fm.path, fm.bytes, fm.mod_ms))
@@ -223,8 +230,9 @@ class TableStore(val spark: SparkSession, val root: String) {
       props: Map[String, String] = Map.empty): Long = {
     val parent = checkParent(expectedParent)
     val next = parent + 1
-    val idSchema = withFieldIds(df.schema,
-      if (parent >= 0) Some(manifest(parent).schema) else None)
+    val pmOpt = if (parent >= 0) Some(manifest(parent)) else None
+    val idFloor = pmOpt.map(_.highestFieldId).getOrElse(0L)
+    val idSchema = withFieldIds(df.schema, pmOpt.map(_.schema), idFloor)
     // Unique staging dir per attempt (not the shared snap-<next>): two racing
     // writers that both compute `next` each stage into their own directory, so
     // the CAS loser's Overwrite can never clobber the winner's committed data
@@ -244,7 +252,8 @@ class TableStore(val spark: SparkSession, val root: String) {
       } else freshManifestMeta(snapDir, idSchema, next, bucketedDirs = false)
     val m = Manifest(next, parent, idSchema, snapDir.toString,
       tier.inlineFiles, partitionBy, System.currentTimeMillis(),
-      inlineStats = tier.inlineStats, props = props, shards = tier.shards)
+      inlineStats = tier.inlineStats, props = props, shards = tier.shards,
+      maxFieldId = idMax(idSchema, idFloor))
     commitOrCleanup(m, snapDir, tier.newShardDir)
   }
 
@@ -342,7 +351,7 @@ class TableStore(val spark: SparkSession, val root: String) {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
     val statByPath = metas.map(fm =>
-      fm.path -> ManifestShards.toFileStat(fm)).toMap
+      fm.path -> m.usableStat(ManifestShards.toFileStat(fm))).toMap
     val refs = metas.map(fm =>
       StatsScanBridge.FileRef(fm.path, fm.bytes, fm.mod_ms))
     StatsScanBridge.dataFrame(spark, root, refs.map(_.bytes).sum, m.schema,
@@ -404,8 +413,8 @@ class TableStore(val spark: SparkSession, val root: String) {
         dataSchema,
         filters =>
           if (filters.isEmpty) refs
-          else refs.filter(r =>
-            FileStats.mightMatch(m.inlineStats(r.path), dataSchema, filters)))
+          else refs.filter(r => FileStats.mightMatch(
+            m.usableStat(m.inlineStats(r.path)), dataSchema, filters)))
         .select(m.schema.fieldNames.map(col): _*)
     }
     val base = spark.read.schema(dataSchema).parquet(files: _*)
@@ -626,8 +635,9 @@ class TableStore(val spark: SparkSession, val root: String) {
     require(keys.nonEmpty && numBuckets > 0, "bucketed commit needs keys and buckets")
     val parent = checkParent(expectedParent)
     val next = parent + 1
-    val idSchema = withFieldIds(df.schema,
-      if (parent >= 0) Some(manifest(parent).schema) else None)
+    val pmOpt = if (parent >= 0) Some(manifest(parent)) else None
+    val idFloor = pmOpt.map(_.highestFieldId).getOrElse(0L)
+    val idSchema = withFieldIds(df.schema, pmOpt.map(_.schema), idFloor)
     val snapDir = new Path(dataDir, s"snap-$next-${stagingSuffix()}")
     applyFieldIds(df, idSchema)
       .withColumn(BucketCol, bucketExpr(keys, numBuckets))
@@ -637,7 +647,8 @@ class TableStore(val spark: SparkSession, val root: String) {
     val m = Manifest(next, parent, idSchema, snapDir.toString,
       tier.inlineFiles, Seq(BucketCol), System.currentTimeMillis(),
       keys, numBuckets, inlineStats = tier.inlineStats,
-      props = props, shards = tier.shards)
+      props = props, shards = tier.shards,
+      maxFieldId = idMax(idSchema, idFloor))
     commitOrCleanup(m, snapDir, tier.newShardDir)
   }
 
@@ -679,7 +690,8 @@ class TableStore(val spark: SparkSession, val root: String) {
             s"${nf.get.dataType} is not a merge-on-read widening")
     }
     val next = parent + 1
-    val idSchema = withFieldIds(changed.schema, Some(pm.schema))
+    val idSchema = withFieldIds(changed.schema, Some(pm.schema),
+      pm.highestFieldId)
     val snapDir = new Path(dataDir, s"snap-$next-${stagingSuffix()}")
     applyFieldIds(changed, idSchema)
       .withColumn(BucketCol, bucketExpr(pm.bucketKeys, pm.numBuckets))
@@ -725,9 +737,15 @@ class TableStore(val spark: SparkSession, val root: String) {
     val m = Manifest(next, parent, idSchema, snapDir.toString,
       tier.inlineFiles, Seq(BucketCol),
       System.currentTimeMillis(), pm.bucketKeys, pm.numBuckets,
-      inlineStats = tier.inlineStats, props = props, shards = tier.shards)
+      inlineStats = tier.inlineStats, props = props, shards = tier.shards,
+      droppedCols = pm.droppedCols,
+      maxFieldId = idMax(idSchema, pm.highestFieldId))
     commitOrCleanup(m, snapDir, tier.newShardDir)
   }
+
+  /** Highest id across schema and floor — the next manifest's high-water. */
+  private def idMax(schema: StructType, floor: Long): Long =
+    math.max(floor, schema.fields.map(TableStore.fieldId).foldLeft(0L)(math.max))
 
   /** Fresh snap-dir metadata as a Dataset (sharded commit paths). */
   private def freshMetaDS(snapDir: Path, schema: StructType,
@@ -805,7 +823,8 @@ class TableStore(val spark: SparkSession, val root: String) {
     val m = Manifest(next, parent, pm.schema, snapDir.toString,
       tier.inlineFiles, pm.partitionBy,
       System.currentTimeMillis(), pm.bucketKeys, pm.numBuckets,
-      inlineStats = tier.inlineStats, props = props, shards = tier.shards)
+      inlineStats = tier.inlineStats, props = props, shards = tier.shards,
+      droppedCols = pm.droppedCols, maxFieldId = pm.highestFieldId)
     commitOrCleanup(m, snapDir, tier.newShardDir)
   }
 
@@ -877,7 +896,8 @@ class TableStore(val spark: SparkSession, val root: String) {
       }
     val m = Manifest(next, parent, pm.schema, snapDir.toString,
       tier.inlineFiles, pm.partitionBy, System.currentTimeMillis(),
-      inlineStats = tier.inlineStats, shards = tier.shards)
+      inlineStats = tier.inlineStats, shards = tier.shards,
+      droppedCols = pm.droppedCols, maxFieldId = pm.highestFieldId)
     commitOrCleanup(m, snapDir, tier.newShardDir)
   }
 
@@ -896,8 +916,11 @@ class TableStore(val spark: SparkSession, val root: String) {
     val parent = checkParent(expectedParent)
     require(parent >= 0, "schema-only commit requires an existing snapshot")
     val pm = manifest(parent)
-    val idSchema = withFieldIds(newSchema, Some(pm.schema))
+    val idSchema = withFieldIds(newSchema, Some(pm.schema), pm.highestFieldId)
     require(idSchema.nonEmpty, "schema-only commit cannot drop every column")
+    // names whose historical stats become unusable: dropped columns and the
+    // OLD names of renames — see Manifest.usableStat
+    val retired = scala.collection.mutable.ArrayBuffer[String]()
     pm.schema.fields.foreach { f =>
       val pid = fieldId(f)
       // column identity: field id first (survives renames), name fallback
@@ -913,7 +936,9 @@ class TableStore(val spark: SparkSession, val root: String) {
             s"cannot drop BUCKET KEY ${f.name}; rebucket with a full commit")
           require(!pm.partitionBy.contains(f.name),
             s"cannot drop partition column ${f.name}; rewrite the table")
+          retired += f.name
         case Some(g) =>
+          if (g.name != f.name) retired += f.name // renamed away
           // bucket keys / partition columns: name and type are load-bearing
           // (hash placement, path encoding) — no rename, no widening
           if (pm.bucketKeys.contains(f.name)) {
@@ -933,9 +958,28 @@ class TableStore(val spark: SparkSession, val root: String) {
                 "is not a merge-on-read widening; use a rewriting commit")
       }
     }
+    // NAME REUSE is not metadata-only-safe: old data files still carry a
+    // physical column under the retired name, and Spark's parquet reader
+    // binds pushed row-group filters to file columns BY NAME — a predicate
+    // on the re-added/renamed-in column would be evaluated against the
+    // retired column's pages and can wrongly skip row groups (observed:
+    // `s IS NULL` after drop+re-add losing every row). Re-using a retired
+    // name therefore requires a REWRITING commit, which replaces the files
+    // and clears the retired set.
+    val retiredAll = (pm.droppedCols ++ retired).distinct
+    idSchema.fields.foreach { g =>
+      val cont = pm.schema.fields.exists(f =>
+        f.name == g.name && fieldId(f) == fieldId(g))
+      require(cont || !retiredAll.contains(g.name),
+        s"column name ${g.name} was previously dropped or renamed away; " +
+          "re-using it is not metadata-only-safe (stale physical columns " +
+          "shadow it in old files) — rewrite the table instead")
+    }
     val m = pm.copy(version = parent + 1, parent = parent,
       schema = idSchema, committedAtMs = System.currentTimeMillis(),
-      props = Map.empty)
+      props = Map.empty,
+      droppedCols = retiredAll,
+      maxFieldId = idMax(idSchema, pm.highestFieldId))
     writeManifestAtomic(m)
     m.version
   }
@@ -1305,15 +1349,16 @@ object TableStore {
     if (f.metadata.contains(FieldIdKey)) f.metadata.getLong(FieldIdKey) else -1L
 
   /** Stamp stable field ids on `schema`: fields present in `parent` (by
-    * name) inherit their id; new fields draw fresh ids above the table's
-    * historical max — a re-added column never reuses a dropped column's id. */
+    * name) inherit their id; new fields draw fresh ids above `floor` — the
+    * table's HISTORICAL max ([[Manifest.highestFieldId]]), not the current
+    * schema's, so a re-added column never reuses a dropped column's id. */
   def withFieldIds(schema: StructType,
-      parent: Option[StructType]): StructType = {
+      parent: Option[StructType], floor: Long = 0L): StructType = {
     import org.apache.spark.sql.types._
     val byName = parent.map(_.fields.map(f => f.name -> fieldId(f)).toMap)
       .getOrElse(Map.empty)
-    var nextId = (parent.toSeq.flatMap(_.fields) ++ schema.fields)
-      .map(fieldId).foldLeft(0L)(math.max) + 1L
+    var nextId = ((parent.toSeq.flatMap(_.fields) ++ schema.fields)
+      .map(fieldId) :+ floor).foldLeft(0L)(math.max) + 1L
     StructType(schema.fields.map { f =>
       val id = byName.get(f.name).filter(_ >= 0)
         .orElse(Some(fieldId(f)).filter(_ >= 0))
@@ -1391,9 +1436,29 @@ object TableStore {
       committedAtMs: Long, bucketKeys: Seq[String] = Nil, numBuckets: Int = 0,
       inlineStats: Map[String, FileStats.FileStat] = Map.empty,
       props: Map[String, String] = Map.empty,
-      shards: Seq[ManifestShards.ShardRef] = Nil) {
+      shards: Seq[ManifestShards.ShardRef] = Nil,
+      droppedCols: Seq[String] = Nil,
+      maxFieldId: Long = -1L) {
 
     def isSharded: Boolean = shards.nonEmpty
+
+    /** Highest field id EVER assigned in this table's history — the floor
+      * for fresh ids. The CURRENT schema's max is not enough: after a DROP
+      * the dropped id vanishes from the schema, and handing it out again
+      * would resurrect the dropped column's data by id. */
+    def highestFieldId: Long = math.max(maxFieldId,
+      schema.fields.map(TableStore.fieldId).foldLeft(0L)(math.max))
+
+    /** Per-file column stats with the names on [[droppedCols]] removed.
+      * A DROPPED or RENAMED-AWAY column's historical stats still sit in the
+      * manifest under its name; if that name is later RE-USED (re-added
+      * column, rename swap), pruning by name against the stale bounds can
+      * wrongly exclude files — e.g. `s IS NULL` after drop+re-add, where
+      * old files recorded nulls=0 but the re-added s reads as NULL. Every
+      * pruning site consults stats through this filter. */
+    def usableStat(st: FileStats.FileStat): FileStats.FileStat =
+      if (droppedCols.isEmpty) st
+      else st.copy(cols = st.cols -- droppedCols)
 
     /** File/byte/row totals from either tier — O(#shards) or O(#files
       * already driver-held); never loads shard contents. */
@@ -1420,6 +1485,8 @@ object TableStore {
          |"location":${js(location)},"partitionBy":$partArr,
          |"bucketKeys":$keyArr,"numBuckets":$numBuckets,"props":$propObj,
          |"schema":${js(schema.json)},"files":$fileArr,
+         |"maxFieldId":$maxFieldId,
+         |"droppedCols":${droppedCols.map(js).mkString("[", ",", "]")},
          |"shards":${ManifestShards.refsToJson(shards)},
          |"stats":${FileStats.statsToJson(inlineStats)}}""".stripMargin
     }
@@ -1444,7 +1511,9 @@ object TableStore {
         (j \ "numBuckets").extractOrElse[Int](0),
         FileStats.statsFromJson(j \ "stats"),
         (j \ "props").extractOrElse[Map[String, String]](Map.empty),
-        ManifestShards.refsFromJson(j \ "shards"))
+        ManifestShards.refsFromJson(j \ "shards"),
+        (j \ "droppedCols").extractOrElse[Seq[String]](Nil),
+        (j \ "maxFieldId").extractOrElse[Long](-1L))
     }
   }
 }

@@ -551,6 +551,44 @@ class GraftCatalogSpec extends SparkSuite {
       s"re-added column resurrected dropped data: ${out.mkString(",")}")
   }
 
+  test("stats of dropped/renamed-away names never prune re-added columns (soundness)") {
+    // drop s, re-add s: old files' manifest stats still describe the OLD s
+    // (nulls=0, tight bounds) while the re-added s reads as NULL there — a
+    // stats prune keyed by name would drop those files and LOSE rows
+    val store = new TableStore(spark, s"$warehouse/analytics/statdrop")
+    store.commitSnapshot(Seq((1L, "x"), (2L, "y")).toDF("k", "s"))
+    spark.sql("ALTER TABLE spec_cat.analytics.statdrop DROP COLUMN s")
+    spark.sql("ALTER TABLE spec_cat.analytics.statdrop ADD COLUMN s STRING")
+    // all rows have s NULL now; IS NULL must return both, IS NOT NULL none
+    val sqlNull = spark.sql(
+      "SELECT count(*) FROM spec_cat.analytics.statdrop WHERE s IS NULL")
+      .head().getLong(0)
+    val storeNull = store.readSnapshot().filter($"s".isNull).count()
+    val storeNoPush = store.readSnapshot().collect().count(_.isNullAt(
+      store.readSnapshot().columns.indexOf("s")))
+    assert(sqlNull == 2 && storeNull == 2,
+      s"stale stats pruned files whose re-added column is NULL " +
+        s"(sql=$sqlNull store=$storeNull nopush=$storeNoPush)")
+    assert(spark.sql(
+      "SELECT count(*) FROM spec_cat.analytics.statdrop WHERE s = 'x'")
+      .head().getLong(0) == 0)
+    // store-API path takes the same pruning code
+    assert(store.readSnapshot().filter($"s".isNull).count() == 2)
+
+    // rename swap: a->b then c->a; stats recorded under the ORIGINAL a must
+    // not serve predicates on the NEW a (which is old c)
+    val store2 = new TableStore(spark, s"$warehouse/analytics/statswap")
+    store2.commitSnapshot(Seq((1L, 100L, 1L), (2L, 200L, 2L)).toDF("k", "a", "c"))
+    spark.sql("ALTER TABLE spec_cat.analytics.statswap RENAME COLUMN a TO b")
+    spark.sql("ALTER TABLE spec_cat.analytics.statswap RENAME COLUMN c TO a")
+    // new a's values are 1,2; old a's stats said [100,200] — a prune keyed
+    // by name would claim a=1 cannot match and lose the row
+    assert(spark.sql(
+      "SELECT count(*) FROM spec_cat.analytics.statswap WHERE a = 1")
+      .head().getLong(0) == 1,
+      "stale stats under a reused name pruned a matching file")
+  }
+
   test("RENAME/DROP of bucket-key or partition columns is refused loudly") {
     val store = new TableStore(spark, s"$warehouse/analytics/layoutcols")
     store.commitBucketed(Seq((1L, 2L)).toDF("k", "v"), Seq("k"), 4)

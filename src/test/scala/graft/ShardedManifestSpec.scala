@@ -225,6 +225,44 @@ class ShardedManifestSpec extends SparkSuite {
       "a hot path materialized the full file list on the driver")
   }
 
+  test("SQL catalog over a sharded table: filtered reads, distributed files table, DELETE") {
+    withThreshold(4, filesPerShard = 4) {
+      val warehouse = java.nio.file.Files
+        .createTempDirectory("graft_shard_cat").toString
+      spark.conf.set("spark.sql.catalog.shard_cat",
+        classOf[graft.catalog.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.shard_cat.warehouse", warehouse)
+      val store = new TableStore(spark, s"$warehouse/ns/big")
+      val df = spark.range(0, 1000).select($"id".as("k"), ($"id" % 5).as("v"))
+      store.commitSnapshot(
+        df.repartitionByRange(10, $"k").sortWithinPartitions("k"))
+      val m = store.manifest(0)
+      assert(m.isSharded)
+      // filtered SQL read routes through the stats-pruning scan builder
+      // (distributed metadata prune), and the answer is exact
+      assert(spark.sql(
+        "SELECT v FROM shard_cat.ns.big WHERE k = 500").as[Long].head() == 0L)
+      assert(spark.sql(
+        "SELECT count(*) FROM shard_cat.ns.big").as[Long].head() == 1000L)
+      // $files is served straight off the manifest shards as a real
+      // distributed parquet scan — aggregate without driver materialization
+      val before = TableStore.driverMaterializations.get()
+      val nf = spark.sql(
+        "SELECT count(*) FROM shard_cat.ns.`big$files`").as[Long].head()
+      assert(nf == m.nFiles)
+      val rows = spark.sql(
+        "SELECT sum(rows) FROM shard_cat.ns.`big$files`").as[Long].head()
+      assert(rows == 1000L)
+      assert(TableStore.driverMaterializations.get() == before,
+        "files metadata read materialized the file list on the driver")
+      // row-level SQL DELETE takes the sharded file-replace path
+      spark.sql("DELETE FROM shard_cat.ns.big WHERE k = 500")
+      assert(spark.sql(
+        "SELECT count(*) FROM shard_cat.ns.big").as[Long].head() == 999L)
+      assert(store.manifest(1).isSharded)
+    }
+  }
+
   test("50k-file metadata layer: shard round-trip and distributed pruning return only matching files") {
     // pure metadata-scale check: 50 000 synthetic file entries with
     // non-overlapping k-ranges; the shard layer must round-trip them and a
