@@ -254,6 +254,34 @@ class GraftStreamSourceSpec extends SparkSuite {
     }
   }
 
+  test("streaming source over a SHARDED table plans batches off the shard diff") {
+    spark.conf.set("spark.graft.manifest.inlineThreshold", "4")
+    spark.conf.set("spark.graft.manifest.filesPerShard", "4")
+    try {
+      val store = freshStore()
+      store.commitSnapshot(
+        (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v").repartition(10))
+      assert(store.manifest(0).isSharded)
+      val q = readTable(store).writeStream.format("memory")
+        .queryName("shard_feed").start()
+      try {
+        q.processAllAvailable()
+        assert(spark.table("shard_feed").count() == 100)
+        // append onto the sharded table: only the new files stream
+        store.commitAppend(
+          (101L to 110L).map(i => (i, s"v$i")).toDF("k", "v").repartition(2))
+        assert(store.manifest(1).isSharded)
+        q.processAllAvailable()
+        assert(spark.table("shard_feed").count() == 110)
+        assert(spark.table("shard_feed").select("k").as[Long]
+          .collect().toSet == (1L to 110L).toSet)
+      } finally q.stop()
+    } finally {
+      spark.conf.unset("spark.graft.manifest.inlineThreshold")
+      spark.conf.unset("spark.graft.manifest.filesPerShard")
+    }
+  }
+
   test("bootstrap-epoch crash window: intent with pre-version -1 is recognized on replay") {
     // the FIRST epoch of an empty table records `intent-0--1`; a crash
     // between its commit and the done marker must not double-apply
