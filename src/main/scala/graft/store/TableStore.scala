@@ -138,7 +138,8 @@ class TableStore(val spark: SparkSession, val root: String) {
       val sp = spark
       import sp.implicits._
       import org.apache.spark.sql.functions.broadcast
-      val pd = paths.toDS().toDF("path")
+      // distinct: a duplicated input path must not duplicate join rows
+      val pd = paths.distinct.toDS().toDF("path")
       fileMetaDS(m).join(broadcast(pd), "path")
         .as[ManifestShards.FileMeta].collect().toSeq
     }
