@@ -263,6 +263,78 @@ class ShardedManifestSpec extends SparkSuite {
     }
   }
 
+  test("sharded CDC soak: 14 micro-batches with maintenance keep shards, files, and content bounded and exact") {
+    // the continuous 100 TB workload shape on the sharded tier: a CDC feed
+    // of touched-bucket commits, periodic incremental compaction, and
+    // snapshot expiry — shard inheritance, shard rewrites, shard-dir GC and
+    // the distributed data sweep all interacting across many commits
+    withThreshold(8, filesPerShard = 8) {
+      val store = new TableStore(spark, graft.util.Scratch.dir("shard_soak"))
+      val keys = Seq("k")
+      val policy = graft.streaming.StreamingOps.CdcMaintenance(
+        everyNCommits = 4, maxFilesPerBucket = 2, keepSnapshots = 2)
+      store.commitBucketed((1L to 200L).map(i => (i, s"v$i")).toDF("k", "v"),
+        keys, numBuckets = 16)
+      assert(store.manifest(0).isSharded)
+      var expected = (1L to 200L).map(i => (i, s"v$i")).toDF("k", "v")
+      for (i <- 1 to 14) {
+        val batch = Seq(
+          (i.toLong % 200 + 1, s"u$i", i.toLong, "MODIFY"),
+          ((i.toLong * 7) % 200 + 1, s"w$i", i.toLong, "MODIFY"))
+          .toDF("k", "v", "seq", "op")
+        graft.streaming.StreamingOps.applyCdcBatch(batch, store, keys,
+          numBuckets = 16, maintenance = Some(policy))
+        expected = graft.etl.CdcApply(expected, batch, keys)
+      }
+      val m = store.manifest(store.currentVersion())
+      assert(m.isSharded, "soak must stay on the sharded tier")
+      // bucket file counts bounded (distributed metadata aggregation)
+      val perBucket = store.bucketFileCounts(m).filter(_._1 >= 0).values
+      val bound = policy.maxFilesPerBucket + policy.everyNCommits
+      assert(perBucket.forall(_ <= bound),
+        s"unbounded bucket growth: ${perBucket.toSeq.sorted.reverse}")
+      assert(store.existingVersions().size <=
+        policy.keepSnapshots + policy.everyNCommits)
+      // shard-dir GC: on-disk shard files == exactly the survivors' refs
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      val liveShards = store.existingVersions()
+        .flatMap(v => store.manifest(v).shards.map(r =>
+          fs.makeQualified(new org.apache.hadoop.fs.Path(r.path)).toString))
+        .toSet
+      val shardsOnDisk = {
+        val it = fs.listFiles(
+          new org.apache.hadoop.fs.Path(store.root, "manifest/shards"), true)
+        val acc = scala.collection.mutable.Set[String]()
+        while (it.hasNext) {
+          val s = it.next()
+          if (s.getPath.getName.endsWith(".parquet"))
+            acc += fs.makeQualified(s.getPath).toString
+        }
+        acc.toSet
+      }
+      assert(shardsOnDisk == liveShards,
+        s"shard GC drift: ${shardsOnDisk.size} on disk vs ${liveShards.size} live")
+      // data files on disk <= referenced (distributed sweep reclaimed the rest)
+      val referenced = store.fileMetaDS(m).count() +
+        store.existingVersions().dropRight(1)
+          .map(v => store.fileMetaDS(store.manifest(v)).count()).sum
+      val dataOnDisk = {
+        val it = fs.listFiles(
+          new org.apache.hadoop.fs.Path(store.root, "data"), true)
+        var n = 0
+        while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+        n
+      }
+      assert(dataOnDisk <= referenced,
+        s"dead data files on disk: $dataOnDisk vs $referenced referenced")
+      // content is exactly the LWW-merged expectation
+      assert(store.readSnapshot().count() == expected.count())
+      assert(store.readSnapshot().exceptAll(expected).count() == 0)
+      assert(expected.exceptAll(store.readSnapshot()).count() == 0)
+    }
+  }
+
   test("50k-file metadata layer: shard round-trip and distributed pruning return only matching files") {
     // pure metadata-scale check: 50 000 synthetic file entries with
     // non-overlapping k-ranges; the shard layer must round-trip them and a
