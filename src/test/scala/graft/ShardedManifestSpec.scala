@@ -127,6 +127,54 @@ class ShardedManifestSpec extends SparkSuite {
       m1.shards.foreach(r => assert(m2.shards.exists(_.path == r.path),
         "append rewrote a parent shard"))
       assert(store.readSnapshot().count() == 300)
+      // MIXED-TIER vacuum: survivors v0 (inline) + v1/v2 (sharded) build the
+      // referenced set from a union of both tiers — nothing referenced dies
+      store.vacuum(keepSnapshots = 3)
+      assert(store.existingVersions() == Seq(0L, 1L, 2L))
+      assert(store.readSnapshot(0).count() == 100)
+      assert(store.readSnapshot().count() == 300)
+      // then expire down to the sharded head: inline v0's unshared files go
+      store.vacuum(keepSnapshots = 1)
+      assert(store.existingVersions() == Seq(2L))
+      assert(store.readSnapshot().count() == 300)
+    }
+  }
+
+  test("racing sharded commits: CAS losers clean their shard dirs, no orphans") {
+    withThreshold(0, filesPerShard = 1) { // every commit writes a sharded manifest
+      val root = graft.util.Scratch.dir("shard_race")
+      val store = new TableStore(spark, root)
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val threads = (0 until 2).map { t =>
+        new Thread(() => {
+          try {
+            for (i <- 0 until 4) {
+              var done = false
+              while (!done) {
+                try {
+                  store.commitSnapshot(Seq((t.toLong, i.toLong)).toDF("w", "i"))
+                  done = true
+                } catch { case _: IllegalStateException => () } // lost CAS; retry
+              }
+            }
+          } catch { case e: Throwable => errors.add(e) }
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(errors.isEmpty, s"unexpected: ${errors.peek()}")
+      assert(store.currentVersion() == 7L)
+      store.existingVersions().foreach { v =>
+        assert(store.manifest(v).isSharded)
+        assert(store.readSnapshot(v).count() == 1)
+      }
+      // losers removed their staged shard dirs: exactly one per committed
+      // version remains under manifest/shards
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      val shardDirs = fs.listStatus(
+        new org.apache.hadoop.fs.Path(root, "manifest/shards"))
+        .count(_.isDirectory)
+      assert(shardDirs == 8, s"orphaned shard dirs: $shardDirs != 8 commits")
     }
   }
 
