@@ -311,6 +311,48 @@ class ShardedManifestSpec extends SparkSuite {
     }
   }
 
+  test("CDC feed outgrowing the threshold transitions the tier mid-stream; diffs span the boundary") {
+    withThreshold(6, filesPerShard = 4) {
+      val store = new TableStore(spark, graft.util.Scratch.dir("shard_grow"))
+      val keys = Seq("k")
+      store.commitBucketed(
+        (1L to 40L).map(i => (i, i * 10L)).toDF("k", "v")
+          .repartition(4, TableStore.bucketExpr(keys, 4)),
+        keys, numBuckets = 4)
+      assert(!store.manifest(0).isSharded,
+        s"expected inline start, got ${store.manifest(0).nFiles} files")
+      // an incremental commit whose bucket rewrite fans out to many files
+      // pushes the table over the threshold: the commit itself performs the
+      // inline -> sharded transition
+      def updateKey(k: Long, nFiles: Int): Unit = {
+        val touched = Seq(Seq(k).toDF("k")
+          .select(TableStore.bucketExpr(keys, 4).as("b")).as[Long].head())
+        val newContent = store.readBuckets(touched)
+          .filter($"k" =!= k).union(Seq((k, -k)).toDF("k", "v"))
+          .repartition(nFiles)
+        store.commitIncremental(newContent, touched)
+      }
+      updateKey(1L, nFiles = 7) // 3 inherited + up to 7 fresh > threshold 6
+      val m1 = store.manifest(1)
+      assert(m1.isSharded,
+        s"commit should have transitioned tiers (${m1.nFiles} files)")
+      // a further sharded incremental commit on top
+      updateKey(2L, nFiles = 2)
+      assert(store.manifest(2).isSharded)
+      // content exact across the transition
+      val expected = (1L to 40L).map(i =>
+        (i, if (i <= 2) -i else i * 10L)).toDF("k", "v")
+      assert(store.readSnapshot().count() == 40)
+      assert(store.readSnapshot().exceptAll(expected).count() == 0)
+      assert(expected.exceptAll(store.readSnapshot()).count() == 0)
+      // diff + changelog spanning the inline->sharded boundary
+      val (added, removed) = store.changedFilesBetween(0, 1)
+      assert(added.nonEmpty && removed.nonEmpty)
+      val cl = store.readChangelog(0, 2, keys)
+      assert(cl.filter($"_change_type" === "UPDATE").count() == 2)
+    }
+  }
+
   test("sharded CDC soak: 14 micro-batches with maintenance keep shards, files, and content bounded and exact") {
     // the continuous 100 TB workload shape on the sharded tier: a CDC feed
     // of touched-bucket commits, periodic incremental compaction, and
