@@ -12,10 +12,16 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * `Get/PutTableData`; schema versioning per
   * src/dynamodb-zero-etl-s3tables.ts:112-115 `glue:UpdateTable` +
   * `GetTableVersions`). No Iceberg jars ship with the image (SURVEY §1.3), so
-  * the manifest layer is self-managed:
+  * the manifest layer is self-managed and TIERED:
   *
   *   <root>/data/snap-<id>/...parquet      immutable columnar data files
-  *   <root>/manifest/v<id>.json            snapshot: files, schema, parent
+  *   <root>/manifest/v<id>.json            snapshot pointer: schema, parent,
+  *                                         and EITHER the inline file list
+  *                                         (small tables) OR an O(#shards)
+  *                                         manifest list
+  *   <root>/manifest/shards/v<id>-nnn/     parquet manifest shards holding
+  *                                         per-file metadata for big tables
+  *                                         ([[ManifestShards]])
   *
   * Commit protocol (mirrors Iceberg's optimistic metadata swap and the
   * reference Lambda's `PolicyHashCondition` CAS,
@@ -25,10 +31,14 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * `v<id>.json`; the loser retries against the new parent. Data before
   * pointer, exactly the reference's dependency ordering (src:218-221).
   *
-  * Scale: all data moves through `DataFrame.write.parquet` (distributed);
-  * only the O(#files) manifest touches the driver. Snapshot data is laid out
-  * per-commit, so readers of snapshot N never see in-flight files and vacuum
-  * can GC unreferenced snapshots (reference `unreferencedFileRemoval`,
+  * Scale: all data moves through `DataFrame.write.parquet` (distributed).
+  * Below the inline threshold the whole manifest rides in the pointer JSON
+  * (zero extra I/O); above it the driver holds only shard SUMMARIES — file
+  * listing, footer stats, shard writes, file skipping, diffs, and the
+  * vacuum sweep all run as Spark jobs, and the driver's residue is
+  * O(#shards) + O(selected files). Snapshot data is laid out per-commit, so
+  * readers of snapshot N never see in-flight files and vacuum can GC
+  * unreferenced snapshots (reference `unreferencedFileRemoval`,
   * README.md:132-137).
   */
 class TableStore(val spark: SparkSession, val root: String) {

@@ -1,0 +1,75 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.store.TableStore
+
+/** One-off scale probe for the sharded manifest tier (dev tool, not part of
+  * the engine): commit a bucketed table with ~50k real data files, then
+  * exercise the hot paths and report wall times + the driver-materialization
+  * counter. Run:
+  *   sbt "runMain graft.tools.ShardScale"
+  */
+object ShardScale {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val root = graft.util.Scratch.dir("shard_scale_50k")
+    val store = new TableStore(spark, root)
+    val numBuckets = 512
+    val writers = 100 // writers x buckets ≈ file count ceiling
+
+    def timed[A](label: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val a = f
+      println(f"[scale] $label: ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      a
+    }
+
+    val before = TableStore.driverMaterializations.get()
+    val df = spark.range(0, 200000)
+      .select($"id".as("k"), ($"id" % 1000).as("v"))
+      .repartition(writers)
+    timed(s"commitBucketed($numBuckets buckets, $writers writers)") {
+      store.commitBucketed(df, Seq("k"), numBuckets)
+    }
+    val m = store.manifest(0)
+    println(s"[scale] files=${m.nFiles} shards=${m.shards.size} " +
+      s"rows=${m.totalRows} sharded=${m.isSharded}")
+    val jsonLen = new java.io.File(s"$root/manifest/v0.json").length()
+    println(s"[scale] manifest list bytes=$jsonLen")
+
+    timed("filtered read (k = 123456)") {
+      val v = store.readSnapshot().filter($"k" === 123456L)
+        .select("v").as[Long].head()
+      require(v == 123456L % 1000)
+    }
+    timed("full count") {
+      require(store.readSnapshot().count() == 200000L)
+    }
+    timed("incremental commit (1 bucket)") {
+      val touched = Seq(Seq(7L).toDF("k")
+        .select(TableStore.bucketExpr(Seq("k"), numBuckets).as("b"))
+        .as[Long].head())
+      val content = store.readBuckets(touched)
+        .filter($"k" =!= 7L).union(Seq((7L, -1L)).toDF("k", "v"))
+      store.commitIncremental(content, touched)
+    }
+    timed("manifest diff v0 -> v1") {
+      val (a, r) = store.changedFilesBetween(0, 1)
+      println(s"[scale] diff: +${a.size} -${r.size}")
+    }
+    timed("vacuum(keep=1)") { store.vacuum(1) }
+    require(store.readSnapshot().count() == 200000L)
+    println(s"[scale] driver materializations: " +
+      s"${TableStore.driverMaterializations.get() - before} (must be 0)")
+    spark.stop()
+  }
+}
