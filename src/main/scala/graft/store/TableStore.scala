@@ -1221,16 +1221,35 @@ class TableStore(val spark: SparkSession, val root: String) {
           new org.apache.spark.SerializableWritable(
             new org.apache.hadoop.conf.Configuration(
               spark.sparkContext.hadoopConfiguration)))
+        // expand one level on the driver (O(#buckets) names): a snap dir has
+        // hundreds of bucket subdirs, and fanning the listing out over THEM
+        // instead of the (few) snap dirs is the difference between 2 tasks
+        // crawling 25k files each and the whole cluster listing in parallel.
+        // A (path, recursive=false) unit covers a snap dir's own top-level
+        // files without re-listing its subdirs.
+        val units: Seq[(String, Boolean)] = pinned.toSeq.flatMap { d =>
+          val children = f.listStatus(new Path(d))
+          val subdirs = children.filter(_.isDirectory)
+            .map(s => (s.getPath.toString, true)).toSeq
+          if (subdirs.isEmpty) Seq((d, true))
+          else subdirs ++
+            (if (children.exists(_.isFile)) Seq((d, false)) else Nil)
+        }
         val cands = spark.sparkContext
-          .parallelize(pinned.toSeq, math.min(pinned.size,
-            spark.sparkContext.defaultParallelism))
-          .flatMap { d =>
+          .parallelize(units, math.min(math.max(units.size, 1),
+            spark.sparkContext.defaultParallelism * 4))
+          .flatMap { case (d, recursive) =>
             val p = new Path(d)
             val dfs = p.getFileSystem(bc.value.value)
-            val it = dfs.listFiles(p, true)
             val acc = scala.collection.mutable.ArrayBuffer[String]()
-            while (it.hasNext) {
-              val s = it.next()
+            if (recursive) {
+              val it = dfs.listFiles(p, true)
+              while (it.hasNext) {
+                val s = it.next()
+                if (s.isFile && s.getPath.getName.endsWith(".parquet"))
+                  acc += s.getPath.toString
+              }
+            } else dfs.listStatus(p).foreach { s =>
               if (s.isFile && s.getPath.getName.endsWith(".parquet"))
                 acc += s.getPath.toString
             }
