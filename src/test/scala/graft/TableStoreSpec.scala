@@ -15,6 +15,18 @@ class TableStoreSpec extends SparkSuite {
   private def freshStore() =
     new TableStore(spark, Files.createTempDirectory("graft_ts_spec").toString)
 
+  /** Overwrite a manifest JSON through the Hadoop fs (keeps the local-fs
+    * checksum sidecar valid) — upgrade/corruption simulations. */
+  private def rewriteManifest(store: TableStore, version: Long,
+      m: TableStore.Manifest): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(
+      s"${store.root}/manifest/v$version.json")
+    val out = fs.create(p, true)
+    try out.write(m.toJson.getBytes("UTF-8")) finally out.close()
+  }
+
   test("commit + read returns identical content and schema") {
     val store = freshStore()
     val li = Tables.load(spark, sfDir, "lineitem")
@@ -651,5 +663,108 @@ class TableStoreSpec extends SparkSuite {
     val store = freshStore()
     val e = intercept[IllegalArgumentException](store.readSnapshot())
     assert(e.getMessage.contains("no committed snapshot"))
+  }
+
+  test("foreign field ids from another graft table never leak into a commit (ADVICE r6)") {
+    val a = freshStore()
+    a.commitSnapshot(Seq((1L, "x")).toDF("k", "s"))
+    val b = freshStore()
+    b.commitSnapshot(Seq((10L, 1.0)).toDF("p", "q"))
+    // a column carried over from table A keeps A's field id in its metadata;
+    // that id collides with B's own ids — the commit must draw a fresh one
+    // instead of committing duplicate ids / false cross-version identity
+    val fromA = a.readSnapshot().select($"k".as("extra"))
+    assert(TableStore.fieldId(fromA.schema("extra")) >= 0,
+      "fixture must carry A's id on the renamed column")
+    b.commitSnapshot(b.readSnapshot().crossJoin(fromA))
+    val m1 = b.manifest(1)
+    val ids = m1.schema.fields.map(TableStore.fieldId)
+    assert(ids.forall(_ >= 0) && ids.distinct.length == ids.length,
+      s"duplicate/missing field ids: ${ids.toSeq}")
+    assert(TableStore.fieldId(m1.schema("extra")) > b.manifest(0).highestFieldId,
+      "foreign id was trusted instead of drawing fresh")
+    assert(TableStore.fieldId(m1.schema("p")) ==
+      TableStore.fieldId(b.manifest(0).schema("p")),
+      "same-name column must keep its id across commits")
+    assert(b.readSnapshot().select("extra").as[Long].head() == 1L)
+  }
+
+  test("pre-field-id tables: inheriting commits stay id-less, full rewrite upgrades (ADVICE r6)") {
+    val store = freshStore()
+    // simulate a table from before id stamping: neither the data files nor
+    // the manifest schema carry parquet field ids
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "false")
+    try store.commitBucketed(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s"), Seq("k"), 4)
+    finally spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val m0 = store.manifest(0)
+    rewriteManifest(store, 0, m0.copy(
+      schema = TableStore.stripFieldIds(m0.schema), maxFieldId = -1L))
+    assert(store.readSnapshot().count() == 2)
+    // an incremental commit INHERITS id-less files — stamping ids into its
+    // manifest would make every inherited file unreadable (probed: Spark's
+    // id matching treats them as missing columns); it must stay id-less
+    val touched = Seq(Seq(2L).toDF("k")
+      .select(TableStore.bucketExpr(Seq("k"), 4).as("b")).as[Long].head())
+    store.commitIncremental(
+      store.readBuckets(touched).filter($"k" =!= 2L)
+        .union(Seq((2L, "z")).toDF("k", "s")), touched)
+    assert(store.manifest(1).schema.fields
+      .forall(f => TableStore.fieldId(f) < 0), "inheriting commit stamped ids")
+    assert(store.readSnapshot().orderBy("k").select("s")
+      .as[String].collect().toSeq == Seq("a", "z"))
+    // metadata-only evolution on an id-less table stays id-less too
+    store.commitSchemaOnly(org.apache.spark.sql.types.StructType(
+      store.manifest(1).schema.fields :+ org.apache.spark.sql.types
+        .StructField("n", org.apache.spark.sql.types.LongType)))
+    assert(store.manifest(2).schema.fields
+      .forall(f => TableStore.fieldId(f) < 0))
+    assert(store.readSnapshot().filter($"k" === 1L).select("n").head().isNullAt(0))
+    // the first FULL rewrite writes all-fresh files and performs the upgrade
+    store.commitBucketed(store.readSnapshot(), Seq("k"), 4)
+    assert(store.manifest(3).schema.fields
+      .forall(f => TableStore.fieldId(f) >= 0), "full rewrite must stamp ids")
+    assert(store.readSnapshot().orderBy("k").select("s")
+      .as[String].collect().toSeq == Seq("a", "z"))
+  }
+
+  test("distributed vacuum sweep never deletes files referenced by scheme-less manifest paths (ADVICE r6)") {
+    spark.conf.set("spark.graft.manifest.inlineThreshold", "0")
+    try {
+      val store = freshStore()
+      store.commitSnapshot(Seq((1L, "a")).toDF("k", "s"))
+      store.commitAppend(Seq((2L, "b")).toDF("k", "s"))
+      val m1 = store.manifest(1)
+      assert(m1.isSharded)
+      // rewrite v1's shards with scheme-less data-file paths — the exact
+      // qualification mismatch sweepDataInline already normalizes away
+      val meta = graft.store.ManifestShards.read(spark, m1.shards.map(_.path))
+        .map(fm => fm.copy(path = fm.path.stripPrefix("file:")))
+      val dest = store.root + "/manifest/shards/v1-schemeless"
+      val refs = graft.store.ManifestShards.write(spark, meta, dest, 1)
+      rewriteManifest(store, 1, m1.copy(shards = refs))
+      assert(store.readSnapshot(1).count() == 2)
+      // sweep runs over both survivors; an unqualified string compare would
+      // drop v1's files out of the anti-join and delete them
+      store.vacuum(keepSnapshots = 2)
+      assert(store.readSnapshot(0).count() == 1)
+      assert(store.readSnapshot(1).count() == 2)
+    } finally spark.conf.unset("spark.graft.manifest.inlineThreshold")
+  }
+
+  test("metaFromInline backfills a missing stat from the live file status, never zeros (ADVICE r6)") {
+    val store = freshStore()
+    store.commitSnapshot(Seq((1L, "a")).toDF("k", "s"))
+    val m = store.manifest(0)
+    // an entry with no stats must still carry real bytes/modTime: scans
+    // build a FileStatus from these fields and a 0-length file generates no
+    // splits — its rows would silently vanish if zeros were baked in
+    val meta = graft.store.ManifestShards
+      .metaFromInline(spark, m.inlineFiles, Map.empty).collect()
+    assert(meta.nonEmpty)
+    meta.foreach { fm =>
+      assert(fm.bytes > 0L, s"fabricated zero bytes for ${fm.path}")
+      assert(fm.mod_ms > 0L, s"fabricated zero modTime for ${fm.path}")
+    }
   }
 }
