@@ -280,9 +280,30 @@ private[graft] object GraftTableSink {
   val EpochProp = "graft.stream.epoch"
 }
 
-/** Offset = highest snapshot version consumed (-1 = nothing yet). */
-private[graft] case class GraftOffset(version: Long) extends Offset {
-  override def json(): String = version.toString
+/** Offset = highest snapshot version consumed (-1 = nothing yet), plus an
+  * optional INTRA-version position for byte-paced batches: `filesConsumed`
+  * >= 0 means version `version` is only consumed through its first
+  * `filesConsumed` files (in the deterministic path-sorted order) — the
+  * genesis snapshot of a 100 TB table streams across many triggers instead
+  * of one all-files micro-batch (VERDICT r6 #6). -1 = version fully
+  * consumed; its JSON form stays the bare version number, so pre-existing
+  * checkpoints parse unchanged. */
+private[graft] case class GraftOffset(version: Long,
+    filesConsumed: Long = -1L) extends Offset {
+  override def json(): String =
+    if (filesConsumed < 0) version.toString else s"$version:$filesConsumed"
+  /** Strictly before `o` in consumption order. */
+  def before(o: GraftOffset): Boolean =
+    version < o.version || (version == o.version &&
+      filesConsumed >= 0 && (o.filesConsumed < 0 || filesConsumed < o.filesConsumed))
+}
+
+private[graft] object GraftOffset {
+  def parse(json: String): GraftOffset = json.trim.split(':') match {
+    case Array(v) => GraftOffset(v.toLong)
+    case Array(v, k) => GraftOffset(v.toLong, k.toLong)
+    case _ => throw new IllegalArgumentException(s"bad graft offset: $json")
+  }
 }
 
 /** One scan task: a bin-packed bag of file ranges (Spark's FilePartition
@@ -296,13 +317,27 @@ private[graft] case class GraftFilePartition(files: Seq[PartitionedFile])
 
 /** Executes the shipped V1 reader closure per file range — the same closure
   * `FileScanRDD` runs, so vectorization and type handling match the batch
-  * read path. */
+  * read path. The V1 reader emits `dataSchema ++ partitionSchema` column
+  * order; `reorder` (output ordinal, type, nullable) — present only when a
+  * hive layout interleaves partition columns — projects each row back to
+  * the declared table schema via a codegen'd UnsafeProjection. */
 private[sources] class GraftFileReaderFactory(
-    readFn: PartitionedFile => Iterator[InternalRow])
+    readFn: PartitionedFile => Iterator[InternalRow],
+    reorder: Option[Seq[(Int, org.apache.spark.sql.types.DataType, Boolean)]] = None)
     extends PartitionReaderFactory {
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
-    val rows = p.asInstanceOf[GraftFilePartition].files.iterator
+    val raw = p.asInstanceOf[GraftFilePartition].files.iterator
       .flatMap(f => FileReadBridge.rows(readFn, f))
+    val rows = reorder match {
+      case None => raw
+      case Some(order) =>
+        val proj = org.apache.spark.sql.catalyst.expressions.UnsafeProjection
+          .create(order.map { case (idx, dt, nullable) =>
+            org.apache.spark.sql.catalyst.expressions
+              .BoundReference(idx, dt, nullable)
+          })
+        raw.map(proj)
+    }
     new PartitionReader[InternalRow] {
       private var cur: InternalRow = _
       override def next(): Boolean =
@@ -324,6 +359,25 @@ private[graft] class GraftMicroBatchStream(root: String, schema: StructType,
   private val skipRewrites = options.getBoolean("streaming.skip-rewrites", false)
   private val maxVersionsPerTrigger: Option[Int] =
     Option(options.get("streaming.max-versions-per-trigger")).map(_.toInt)
+  /** Byte-based admission (VERDICT r6 #6): a trigger consumes versions —
+    * and, within a version, path-sorted file prefixes — until the cap is
+    * reached, so a stream starting at genesis on a 100 TB table plans many
+    * bounded micro-batches instead of one all-files batch. At least one
+    * file always admits (progress guarantee). */
+  private val maxBytesPerTrigger: Option[Long] =
+    Option(options.get("streaming.max-bytes-per-trigger")).map(_.toLong)
+
+  /** Hive-layout partition columns (in-schema `partitionBy`), fixed at
+    * stream creation; every streamed snapshot must agree ([[addedFor]]).
+    * Their values are recovered from each file's `<col>=<val>` path segment
+    * into `PartitionedFile.partitionValues` — the same recovery the batch
+    * read performs — instead of refusing to stream (VERDICT r6 #3). */
+  private val partCols: Seq[String] = {
+    val st = store
+    val v = st.currentVersion()
+    if (v < 0) Nil
+    else st.manifest(v).partitionBy.filter(schema.fieldNames.contains)
+  }
 
   /** Version history already consumed when the stream starts: everything up
     * to and including this version is NOT emitted. Default genesis (-1 —
@@ -339,8 +393,7 @@ private[graft] class GraftMicroBatchStream(root: String, schema: StructType,
 
   override def initialOffset(): Offset = GraftOffset(startVersion)
 
-  override def deserializeOffset(json: String): Offset =
-    GraftOffset(json.trim.toLong)
+  override def deserializeOffset(json: String): Offset = GraftOffset.parse(json)
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
@@ -355,65 +408,141 @@ private[graft] class GraftMicroBatchStream(root: String, schema: StructType,
     availableNowTarget = Some(store.currentVersion())
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val s = start.asInstanceOf[GraftOffset].version
-    val stepped = maxVersionsPerTrigger match {
-      case Some(n) =>
-        val vs = store.existingVersions().filter(_ > s).take(n)
-        if (vs.isEmpty) s else vs.last
-      case None => math.max(store.currentVersion(), s)
+    val s = start.asInstanceOf[GraftOffset]
+    val st = store
+    val target = availableNowTarget.getOrElse(st.currentVersion())
+    if (maxBytesPerTrigger.isEmpty && s.filesConsumed < 0) {
+      // version-count stepping only — no metadata walk at offset time
+      val stepped = maxVersionsPerTrigger match {
+        case Some(n) =>
+          val vs = st.existingVersions().filter(_ > s.version).take(n)
+          if (vs.isEmpty) s.version else vs.last
+        case None => math.max(st.currentVersion(), s.version)
+      }
+      return GraftOffset(math.min(stepped, math.max(target, s.version)))
     }
-    GraftOffset(availableNowTarget.fold(stepped)(t => math.min(stepped, math.max(t, s))))
+    // byte-paced walk (also finishes a partial version left by a removed
+    // byte cap): versions and file prefixes admit until the caps are hit
+    var budget = maxBytesPerTrigger.getOrElse(Long.MaxValue)
+    var fullVersions = 0
+    var out = s
+    val queue = (if (s.filesConsumed >= 0) Seq(s.version) else Nil) ++
+      st.existingVersions().filter(v => v > s.version && v <= target)
+    val it = queue.iterator
+    var stop = false
+    while (!stop && it.hasNext && maxVersionsPerTrigger.forall(fullVersions < _)) {
+      val v = it.next()
+      val files = addedFor(st, v)
+      var idx = if (v == s.version && s.filesConsumed >= 0) s.filesConsumed.toInt
+        else 0
+      while (idx < files.size && budget > 0) {
+        budget -= files(idx)._2
+        idx += 1
+      }
+      if (idx >= files.size) { out = GraftOffset(v); fullVersions += 1 }
+      else { out = GraftOffset(v, idx.toLong); stop = true }
+      if (budget <= 0) stop = true
+    }
+    out
   }
 
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[GraftOffset].version
-    val e = end.asInstanceOf[GraftOffset].version
-    if (e <= s) return Array.empty
-    val st = store
-    val versions = st.existingVersions().filter(v => v > s && v <= e)
-    if (s >= 0)
-      require(st.existingVersions().contains(s),
-        s"stream start snapshot $s of $root was vacuumed; " +
-          "restart the stream from a retained snapshot")
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val added = Seq.newBuilder[(String, Long, Long)] // path, bytes, modTime
-    var prevV = s
-    versions.foreach { v =>
-      val m = st.manifest(v)
-      // the scan reads leaf files with the FULL table schema and no
-      // partition recovery: a hive layout (in-schema partitionBy) would
-      // silently stream NULL partition columns — refuse loudly (ADVICE r5).
-      // Bucketed tables are unaffected (`_gbucket` is derived, not stored).
-      val schemaParts = m.partitionBy.filter(m.schema.fieldNames.contains)
-      require(schemaParts.isEmpty,
-        s"graft-table stream: snapshot $v of $root is hive-partitioned on " +
-          s"${schemaParts.mkString(",")}; the streaming read cannot recover " +
-          "path-encoded partition values. Stream a bucketed or plain layout, " +
-          "or consume row-level changes via readChangelog.")
-      // manifest-level diff: O(changed files) in either tier (sharded
-      // manifests diff only their differing shards, distributed)
-      val (add, removed) =
-        if (prevV < 0) (null: Seq[String], Nil: Seq[String])
-        else st.changedFilesBetween(prevV, v)
-      if (removed.isEmpty) {
+  /** The path-sorted added-file list of snapshot `v` relative to the
+    * previous existing version — (path, bytes, modTime). Genesis (no
+    * predecessor) is the whole first snapshot; rewrite commits follow the
+    * skip-rewrites contract. Cached: the byte-paced walk and the planner
+    * both consult it, and a 100 TB genesis list should be enumerated once
+    * per stream, not once per trigger. */
+  private val addedCache =
+    new java.util.LinkedHashMap[(Long, Long), Seq[(String, Long, Long)]](8, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(Long, Long), Seq[(String, Long, Long)]]): Boolean =
+        size() > 4
+    }
+
+  private def addedFor(st: TableStore, v: Long): Seq[(String, Long, Long)] = {
+    val prevV = st.existingVersions().filter(_ < v).lastOption.getOrElse(-1L)
+    val key = (prevV, v)
+    val cached = addedCache.get(key)
+    if (cached != null) return cached
+    val m = st.manifest(v)
+    val schemaParts = m.partitionBy.filter(m.schema.fieldNames.contains)
+    require(schemaParts == partCols,
+      s"graft-table stream: snapshot $v of $root changed the partition " +
+        s"layout (${schemaParts.mkString(",")} vs ${partCols.mkString(",")}); " +
+        "restart the stream against the new layout")
+    val (add, removed) =
+      if (prevV < 0) (null: Seq[String], Nil: Seq[String])
+      else st.changedFilesBetween(prevV, v)
+    val out: Seq[(String, Long, Long)] =
+      if (removed.nonEmpty) {
+        if (skipRewrites) Nil
+        else throw new IllegalStateException(
+          s"snapshot $v of $root rewrites data files (compaction / CDC bucket " +
+            "rewrite); the streaming read is append-only. Set option " +
+            "streaming.skip-rewrites=true to skip rewrite commits (their rows " +
+            "are NOT emitted), or consume row-level changes via readChangelog.")
+      } else {
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
         // genesis replay (prevV < 0) legitimately enumerates the whole first
         // snapshot; incremental steps hand the driver O(added files) only
         val metas =
           if (prevV < 0) st.fileMetaDS(m).collect().toSeq
           else st.metaFor(m, add)
-        metas.foreach { fm =>
+        metas.map { fm =>
           val bytes = if (fm.bytes > 0) fm.bytes
             else fs.getFileStatus(new org.apache.hadoop.fs.Path(fm.path)).getLen
-          added += ((fm.path, bytes, fm.mod_ms))
-        }
-      } else if (!skipRewrites)
-        throw new IllegalStateException(
-          s"snapshot $v of $root rewrites data files (compaction / CDC bucket " +
-            "rewrite); the streaming read is append-only. Set option " +
-            "streaming.skip-rewrites=true to skip rewrite commits (their rows " +
-            "are NOT emitted), or consume row-level changes via readChangelog.")
-      prevV = v
+          (fm.path, bytes, fm.mod_ms)
+        }.sortBy(_._1) // deterministic intra-version order for byte pacing
+      }
+    addedCache.put(key, out)
+    out
+  }
+
+  /** Partition values recovered from the path for `partCols`, cast to the
+    * declared types. Hive-encodes only `__HIVE_DEFAULT_PARTITION__` (NULL);
+    * an unparseable layout fails loudly — never silent NULLs (ADVICE r5). */
+  private def partValuesOf(path: String): InternalRow = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
+    val tz = spark.sessionState.conf.sessionLocalTimeZone
+    InternalRow.fromSeq(partCols.map { c =>
+      val re = ("/" + java.util.regex.Pattern.quote(c) + "=([^/]+)/").r
+      re.findFirstMatchIn(path) match {
+        case None => throw new IllegalStateException(
+          s"graft-table stream: cannot recover partition value of '$c' " +
+            s"from path $path; the layout is ambiguous — consume row-level " +
+            "changes via readChangelog instead")
+        case Some(mt) =>
+          val raw = java.net.URLDecoder.decode(mt.group(1), "UTF-8")
+          if (raw == "__HIVE_DEFAULT_PARTITION__") null
+          else Cast(Literal(raw), schema(c).dataType, Some(tz))
+            .eval(InternalRow.empty)
+      }
+    })
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftOffset]
+    val e = end.asInstanceOf[GraftOffset]
+    if (!s.before(e)) return Array.empty
+    val st = store
+    if (s.version >= 0)
+      require(st.existingVersions().contains(s.version),
+        s"stream start snapshot ${s.version} of $root was vacuumed; " +
+          "restart the stream from a retained snapshot")
+    val versions = (if (s.filesConsumed >= 0) Seq(s.version) else Nil) ++
+      st.existingVersions().filter(v => v > s.version && v <= e.version)
+    val added = Seq.newBuilder[(String, Long, Long, InternalRow)]
+    versions.foreach { v =>
+      val files = addedFor(st, v)
+      val from = if (v == s.version && s.filesConsumed >= 0)
+        s.filesConsumed.toInt else 0
+      val until = if (v == e.version && e.filesConsumed >= 0)
+        e.filesConsumed.toInt else files.size
+      files.slice(from, until).foreach { case (p, bytes, mod) =>
+        added += ((p, bytes, mod,
+          if (partCols.isEmpty) InternalRow.empty else partValuesOf(p)))
+      }
     }
     // Spark's own scan-task sizing (dynamic max split, range splitting,
     // open-cost packing) — identical layout to a batch file scan
@@ -421,8 +550,25 @@ private[graft] class GraftMicroBatchStream(root: String, schema: StructType,
       .map(fs => GraftFilePartition(fs): InputPartition).toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new GraftFileReaderFactory(FileReadBridge.parquetReadFn(spark, schema))
+  override def createReaderFactory(): PartitionReaderFactory = {
+    if (partCols.isEmpty)
+      return new GraftFileReaderFactory(
+        FileReadBridge.parquetReadFn(spark, schema))
+    // hive layout: data files lack the partition columns — read them with
+    // the data schema and let the V1 reader append the recovered partition
+    // values, then project back to the declared column order
+    val dataSchema = StructType(schema.filterNot(f => partCols.contains(f.name)))
+    val partSchema = StructType(partCols.map(c => schema(c)))
+    val outOrder = dataSchema.fields ++ partSchema.fields
+    val reorder =
+      if (outOrder.map(_.name).toSeq == schema.fieldNames.toSeq) None
+      else Some(schema.fields.toSeq.map { f =>
+        val idx = outOrder.indexWhere(_.name == f.name)
+        (idx, f.dataType, f.nullable)
+      })
+    new GraftFileReaderFactory(
+      FileReadBridge.parquetReadFn(spark, dataSchema, partSchema), reorder)
+  }
 
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()

@@ -15,12 +15,16 @@ import org.apache.spark.sql.types.StructType
   * access symmetry with the other bridges; no logic. */
 object FileReadBridge {
 
-  def parquetReadFn(spark: SparkSession, schema: StructType)
+  /** Output row layout is `dataSchema ++ partitionSchema` — the V1 reader
+    * appends each file's `PartitionedFile.partitionValues` after the data
+    * columns (hive-layout recovery for the streaming source). */
+  def parquetReadFn(spark: SparkSession, dataSchema: StructType,
+      partitionSchema: StructType = StructType(Nil))
       : PartitionedFile => Iterator[InternalRow] = {
     val classic = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val conf = classic.sessionState.newHadoopConfWithOptions(Map.empty)
     new ParquetFileFormat().buildReaderWithPartitionValues(
-      classic, schema, StructType(Nil), schema, Nil,
+      classic, dataSchema, partitionSchema, dataSchema, Nil,
       // rows, not ColumnarBatch: the streaming reader hands rows straight to
       // the micro-batch scan (no whole-stage batch consumer above it)
       Map(org.apache.spark.sql.execution.datasources.FileFormat
@@ -33,7 +37,7 @@ object FileReadBridge {
     * first-fit packing — `FileSourceScanExec`'s exact partition layout,
     * reused instead of re-derived. */
   def packFilePartitions(spark: SparkSession,
-      files: Seq[(String, Long, Long)]): Seq[Seq[PartitionedFile]] = {
+      files: Seq[(String, Long, Long, InternalRow)]): Seq[Seq[PartitionedFile]] = {
     import org.apache.hadoop.fs.{FileStatus, Path}
     import org.apache.spark.sql.execution.PartitionedFileUtil
     import org.apache.spark.sql.execution.datasources.{FilePartition, FileStatusWithMetadata}
@@ -41,10 +45,10 @@ object FileReadBridge {
     val openCost = classic.sessionState.conf.filesOpenCostInBytes
     val maxSplit: Long = FilePartition.maxSplitBytes(classic,
       files.map(_._2 + openCost).sum: Long)
-    val splits = files.flatMap { case (p, bytes, mod) =>
+    val splits = files.flatMap { case (p, bytes, mod, partValues) =>
       val st = new FileStatus(bytes, false, 1, 0, mod, new Path(p))
       PartitionedFileUtil.splitFiles(FileStatusWithMetadata(st), st.getPath,
-        isSplitable = true, maxSplit, InternalRow.empty)
+        isSplitable = true, maxSplit, partValues)
     }
     FilePartition.getFilePartitions(classic, splits, maxSplit)
       .map(_.files.toSeq)

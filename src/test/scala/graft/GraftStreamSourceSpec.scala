@@ -356,6 +356,95 @@ class GraftStreamSourceSpec extends SparkSuite {
     assert(out.size == 9 && out(3L) == "V3" && !out.contains(4L))
   }
 
+  test("hive-partitioned tables stream with recovered partition values (VERDICT r6 #3)") {
+    val store = freshStore()
+    // partition column in the MIDDLE of the schema: the reader appends
+    // recovered values last, so declared order must be projected back
+    val df = Seq((1L, "O", "a"), (2L, "F", "b"), (3L, "O", "c"))
+      .toDF("k", "status", "v")
+    store.commitSnapshot(df, Seq("status"))
+    val q = readTable(store).writeStream.format("memory")
+      .queryName("feed_hive").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("feed_hive").as[(Long, String, String)]
+        .collect().sortBy(_._1)
+      assert(got.toSeq == Seq((1L, "O", "a"), (2L, "F", "b"), (3L, "O", "c")))
+      // appends keep flowing, including a NULL partition value
+      store.commitAppend(Seq((4L, "P", "d"),
+        (5L, null.asInstanceOf[String], "e")).toDF("k", "status", "v"))
+      q.processAllAvailable()
+      assert(spark.table("feed_hive").count() == 5)
+      assert(spark.table("feed_hive").filter($"status" === "P")
+        .select("k").as[Long].head() == 4L)
+      assert(spark.table("feed_hive").filter($"status".isNull)
+        .select("k").as[Long].head() == 5L)
+    } finally q.stop()
+  }
+
+  test("stream refuses a partition-layout change across streamed versions") {
+    val store = freshStore()
+    store.commitSnapshot(Seq((1L, "a", "x")).toDF("k", "p", "v")) // plain
+    store.commitSnapshot(Seq((2L, "b", "y")).toDF("k", "p", "v"), Seq("p"))
+    val q = readTable(store).writeStream.format("memory")
+      .queryName("feed_mixlayout").start()
+    try {
+      val e = intercept[StreamingQueryException] { q.processAllAvailable() }
+      def msg(t: Throwable): String =
+        Option(t.getMessage).getOrElse("") +
+          Option(t.getCause).map(msg).getOrElse("")
+      assert(msg(e).contains("changed the partition layout"), msg(e))
+    } finally q.stop()
+  }
+
+  test("byte cap paces the genesis snapshot across triggers, exactly-once over a restart (VERDICT r6 #6)") {
+    val store = freshStore()
+    store.commitSnapshot(
+      (1L to 400L).map(i => (i, s"v$i")).toDF("k", "v").repartition(8))
+    val nFiles = store.manifest(0).nFiles
+    assert(nFiles >= 8)
+    // end-to-end: a tiny cap admits one file per micro-batch, full content
+    val q = readTable(store, Map("streaming.max-bytes-per-trigger" -> "1"))
+      .writeStream.format("memory").queryName("feed_bytes").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("feed_bytes").count() == 400)
+      val batches = q.recentProgress.count(_.numInputRows > 0)
+      assert(batches >= 2,
+        s"genesis consumed in $batches batch(es) despite the byte cap")
+    } finally q.stop()
+
+    // planner-level exactly-once across a RESTART mid-genesis: a FRESH
+    // stream instance continues from a partial offset — no gap, no overlap
+    import graft.sources.{GraftFilePartition, GraftMicroBatchStream, GraftOffset}
+    def mkStream() = new GraftMicroBatchStream(store.root,
+      store.manifest(0).schema,
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(java.util.Map.of(
+        "path", store.root, "streaming.max-bytes-per-trigger", "1")))
+    def splits(st: GraftMicroBatchStream, a: GraftOffset, b: GraftOffset) =
+      st.planInputPartitions(a, b).flatMap(
+        _.asInstanceOf[GraftFilePartition].files.map(f =>
+          (f.urlEncodedPath, f.start, f.length))).toSeq
+    val s1 = mkStream()
+    val o1 = s1.latestOffset(GraftOffset(-1), null).asInstanceOf[GraftOffset]
+    assert(o1.filesConsumed > 0 && o1.filesConsumed < nFiles,
+      s"first trigger should stop mid-genesis, got $o1")
+    val first = splits(s1, GraftOffset(-1), o1)
+    val s2 = mkStream() // the restart
+    var cur = o1
+    val rest = scala.collection.mutable.ArrayBuffer[(String, Long, Long)]()
+    var guard = 0
+    while (cur.filesConsumed >= 0 && guard < nFiles + 5) {
+      val nxt = s2.latestOffset(cur, null).asInstanceOf[GraftOffset]
+      rest ++= splits(s2, cur, nxt)
+      cur = nxt; guard += 1
+    }
+    val whole = splits(mkStream(), GraftOffset(-1), GraftOffset(0))
+    val stitched = first ++ rest
+    assert(stitched.sorted == whole.sorted,
+      s"restart stitched ${stitched.size} splits vs ${whole.size} in one batch")
+  }
+
   test("stream schema NULL-pads files written before a schema evolution") {
     val store = freshStore()
     store.commitSnapshot((1L to 5L).map(i => (i, s"v$i")).toDF("k", "v"))
