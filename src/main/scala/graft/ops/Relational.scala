@@ -154,16 +154,26 @@ object Relational {
         count(lit(1)).as("n_rows"))
       .orderBy(col("l_returnflag").asc_nulls_first)
 
-  /** HLL sketch for 100 TB-scale cardinality. THE one permanently
-    * non-oracled query: Spark's HLL++ and DuckDB's approx_count_distinct use
-    * different sketches, so estimates legitimately differ — equality
-    * checking would test sketch internals, not the operator. Ground truth is
-    * the scalatest bounds check vs exact distinct (LlmOpsSpec); the driver
-    * records a rows-only check. */
+  /** HLL sketch for 100 TB-scale cardinality. Spark's HLL++ and DuckDB's
+    * approx_count_distinct use different sketches, so comparing raw
+    * estimates would test sketch internals, not the operator. Instead the
+    * query emits a DETERMINISTIC encoding (VERDICT r6 #2): the exact
+    * distinct count per group plus a `within_bounds` flag checking the HLL
+    * estimate against its 3·rsd error envelope — HLL++ merge is
+    * order-independent, so the estimate (and hence the flag) is stable
+    * across runs and partitionings. The DuckDB oracle computes the exact
+    * count and literal TRUE: hash parity holds exactly when every group's
+    * estimate lands inside the envelope, making the sketch's accuracy —
+    * not its internals — the oracled contract. */
   private val aggApproxDistinct: Q = (s, d) =>
     load(s, d, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+      .agg(
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx"),
+        countDistinct(col("l_orderkey")).as("exact_orders"))
+      .select(col("l_returnflag"), col("exact_orders"),
+        (abs(col("approx") - col("exact_orders")) <=
+          lit(3 * 0.02) * col("exact_orders")).as("within_bounds"))
       .orderBy(col("l_returnflag").asc_nulls_first)
 
   private val aggGroupingSets: Q = (s, d) => {
@@ -490,6 +500,13 @@ object Relational {
         |  COUNT(DISTINCT l_partkey) AS n_parts,
         |  COUNT(DISTINCT l_suppkey) AS n_supps,
         |  COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
+
+    "agg_approx_distinct" ->
+      """SELECT l_returnflag,
+        |  COUNT(DISTINCT l_orderkey) AS exact_orders,
+        |  TRUE AS within_bounds
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
 
