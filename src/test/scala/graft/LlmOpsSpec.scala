@@ -248,4 +248,25 @@ class LlmOpsSpec extends SparkSuite {
       .filter(col("a.payload") =!= col("b.payload"))
     assert(joined.count() == 0)
   }
+
+  test("multimodal_decode decodes REAL PNG bytes, matching the closed-form pixels") {
+    // independent re-derivation of what the oracle checks: decode output
+    // equals the rendered closed form, which only holds if ImageIO parsed
+    // genuine PNG bytes (header + lossless pixel data) correctly
+    val got = graft.ops.LlmSim.queries("multimodal_decode")(spark, sfDir)
+      .as[(Long, Int, Int, Long, Long)].collect()
+    assert(got.length == 500)
+    got.take(50).foreach { case (id, w, h, sum, bright) =>
+      assert(w == 8 + (id % 9).toInt && h == 8 + ((id * 7) % 9).toInt)
+      var expSum = 0L
+      var expBright = 0L
+      for (x <- 0 until w; y <- 0 until h) {
+        val r = (id + 31L * x + 17L * y) % 256
+        expSum += r + ((1L * x * y + id) % 256) + ((x + y + 2L * id) % 256)
+        if (r > 127) expBright += 1
+      }
+      assert(sum == expSum && bright == expBright,
+        s"doc $id: decoded ($sum,$bright) vs closed form ($expSum,$expBright)")
+    }
+  }
 }
