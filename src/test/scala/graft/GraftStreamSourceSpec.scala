@@ -342,6 +342,39 @@ class GraftStreamSourceSpec extends SparkSuite {
     assert(store.readSnapshot().count() == 4)
   }
 
+  test("vacuumNoncurrent racing a sink intent replay: evidence pinned, replay skips, no double-apply (VERDICT r6 #8)") {
+    val root = java.nio.file.Files.createTempDirectory("graft_sinkvn").toString
+    val store = new TableStore(spark, root)
+    store.commitSnapshot(Seq((1L, "a")).toDF("k", "v"))
+    // epoch 1's commit LANDED (fingerprinted) but the done marker did not —
+    // the crash window an aggressive noncurrent expiry could erase
+    store.commitAppend(Seq((2L, "b")).toDF("k", "v"),
+      props = Map(graft.sources.GraftTableSink.EpochProp -> "qvn:1"))
+    store.commitAppend(Seq((3L, "c")).toDF("k", "v"))
+    val ledger = new org.apache.hadoop.fs.Path(root, "_stream_sink/qvn")
+    val fs = ledger.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(ledger)
+    fs.create(new org.apache.hadoop.fs.Path(ledger, "intent-1-0"), false).close()
+    // noncurrentMs = 0: every superseded snapshot is expirable RIGHT NOW —
+    // but the clamp must keep the manifests the pending replay scans
+    // (everything newer than the intent's pre-version 0)
+    store.vacuumNoncurrent(0L, nowMs = System.currentTimeMillis() + 60000)
+    assert(store.existingVersions() == Seq(1L, 2L),
+      s"expiry erased replay evidence: ${store.existingVersions()}")
+    // the replay now runs against the post-vacuum store: it must find its
+    // fingerprint and SKIP, not double-apply
+    val sink = new graft.sources.GraftTableSink(
+      Map("path" -> root, "sink.id" -> "qvn"))
+    val vBefore = store.currentVersion()
+    sink.addBatch(1, Seq((2L, "b")).toDF("k", "v"))
+    assert(store.currentVersion() == vBefore, "landed epoch double-applied")
+    assert(store.readSnapshot().filter($"k" === 2L).count() == 1)
+    // finalized: the pin lifts and noncurrent expiry proceeds
+    store.vacuumNoncurrent(0L, nowMs = System.currentTimeMillis() + 60000)
+    assert(store.existingVersions() == Seq(2L))
+    assert(store.readSnapshot().count() == 3)
+  }
+
   test("graft-table sink in cdc mode merges change batches per epoch") {
     val dstRoot = java.nio.file.Files.createTempDirectory("graft_sink3").toString
     val sink = new graft.sources.GraftTableSink(Map(

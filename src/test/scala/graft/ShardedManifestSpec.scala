@@ -508,6 +508,73 @@ class ShardedManifestSpec extends SparkSuite {
     }
   }
 
+  test("vacuum never reclaims an in-flight commit's staging dirs (VERDICT r6 #8)") {
+    withThreshold(0, filesPerShard = 2) {
+      val root = graft.util.Scratch.dir("vac_inflight")
+      val store = new TableStore(spark, root)
+      store.commitSnapshot(Seq((1L, "a")).toDF("k", "v"))
+      store.commitAppend(Seq((2L, "b")).toDF("k", "v"))
+      val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+        spark.sparkContext.hadoopConfiguration)
+      def path(s: String) = new org.apache.hadoop.fs.Path(s)
+      // simulate a writer caught MID-WRITE: staged data + shard bytes exist,
+      // the manifest does not, and the sibling staging markers are fresh
+      val stagedData = path(s"$root/data/snap-2-777-0")
+      val stagedShards = path(s"$root/manifest/shards/v2-777-0")
+      fs.mkdirs(stagedData); fs.mkdirs(stagedShards)
+      fs.create(path(s"$root/data/snap-2-777-0/part-0.parquet"), true).close()
+      fs.create(path(s"$root/manifest/shards/v2-777-0/shard-0.parquet"), true).close()
+      fs.create(path(s"$root/data/.staging-snap-2-777-0"), true).close()
+      fs.create(path(s"$root/manifest/shards/.staging-v2-777-0"), true).close()
+      // a CRASHED writer's residue: same shape, marker aged past the grace
+      val orphan = path(s"$root/data/snap-9-999-0")
+      fs.mkdirs(orphan)
+      fs.create(path(s"$root/data/snap-9-999-0/part-0.parquet"), true).close()
+      fs.create(path(s"$root/data/.staging-snap-9-999-0"), true).close()
+      fs.setTimes(path(s"$root/data/.staging-snap-9-999-0"), 1000L, -1)
+
+      store.vacuum(keepSnapshots = 2) // sweep runs over both tiers
+      assert(fs.exists(path(s"$root/data/snap-2-777-0/part-0.parquet")),
+        "sweep deleted an in-flight writer's staged data")
+      assert(fs.exists(path(s"$root/manifest/shards/v2-777-0/shard-0.parquet")),
+        "sweep deleted an in-flight writer's staged shards")
+      assert(!fs.exists(orphan), "crash residue past the grace must be reclaimed")
+      assert(store.readSnapshot(0).count() == 1 && store.readSnapshot(1).count() == 2)
+
+      // the grace expiring turns the in-flight dirs into reclaimable orphans
+      fs.setTimes(path(s"$root/data/.staging-snap-2-777-0"), 1000L, -1)
+      fs.setTimes(path(s"$root/manifest/shards/.staging-v2-777-0"), 1000L, -1)
+      store.vacuum(keepSnapshots = 2)
+      assert(!fs.exists(stagedData) && !fs.exists(stagedShards))
+      assert(!fs.exists(path(s"$root/data/.staging-snap-2-777-0")),
+        "stale marker must be cleaned with its dir")
+    }
+  }
+
+  test("concurrent vacuum loop under a committing writer: no lost files, all snapshots readable") {
+    withThreshold(0, filesPerShard = 4) {
+      val store = new TableStore(spark, graft.util.Scratch.dir("vac_race"))
+      store.commitSnapshot(Seq((0L, "base")).toDF("k", "v"))
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+      val vacuumer = new Thread(() => {
+        try while (!stop.get()) { store.vacuum(keepSnapshots = 1); Thread.sleep(3) }
+        catch { case e: Throwable => errors.add(e) }
+      })
+      vacuumer.start()
+      try {
+        for (i <- 1 to 5)
+          store.commitAppend(
+            (1L to 20L).map(j => (i * 100L + j, s"v$i-$j")).toDF("k", "v")
+              .repartition(4))
+      } finally { stop.set(true); vacuumer.join() }
+      assert(errors.isEmpty, s"vacuum thread failed: ${errors.peek()}")
+      // the head snapshot must be fully readable: every referenced file alive
+      assert(store.readSnapshot().count() == 1 + 5 * 20,
+        "a concurrent sweep reclaimed files a commit references")
+    }
+  }
+
   test("50k-file metadata layer: shard round-trip and distributed pruning return only matching files") {
     // pure metadata-scale check: 50 000 synthetic file entries with
     // non-overlapping k-ranges; the shard layer must round-trip them and a
