@@ -313,51 +313,88 @@ object LlmSim {
   private val multimodalDecode: Q = (s, d) => {
     import s.implicits._
     val docs = load(s, d, "documents").select(col("doc_id")).as[Long]
-    val encoded = docs.mapPartitions { it =>
-      it.map { id =>
-        val w = 8 + (id % 9).toInt
-        val h = 8 + ((id * 7) % 9).toInt
-        val img = new java.awt.image.BufferedImage(
-          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-        var x = 0
-        while (x < w) {
-          var y = 0
-          while (y < h) {
-            val r = ((id + 31L * x + 17L * y) % 256).toInt
-            val g = ((1L * x * y + id) % 256).toInt
-            val b = ((x + y + 2L * id) % 256).toInt
-            img.setRGB(x, y, (r << 16) | (g << 8) | b)
-            y += 1
-          }
-          x += 1
+    docs.mapPartitions(_.map(id => (id, PxKernel.renderPng(id))))
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (w, h, sum, bright) = PxKernel.decodeAgg(bytes)
+          (id, w, h, sum, bright)
         }
+      }.toDF("doc_id", "width", "height", "pixel_sum", "bright_px")
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+
+  /** Real image RESIZE (brief §multimodal: decode / resize / frame-sample):
+    * decode the PNG, nearest-neighbor downsample to a fixed 16x12 thumbnail
+    * with explicit integer source mapping (sx = x*w/16 — exactly
+    * reproducible, unlike interpolating scalers), aggregate the thumbnail.
+    * The oracle evaluates the same mapping in SQL over the closed-form
+    * pixels. Map-only mapPartitions, no shuffle. */
+  private val multimodalResize: Q = (s, d) => {
+    import s.implicits._
+    load(s, d, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map(id => (id, PxKernel.renderPng(id))))
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          val (ow, oh) = (16, 12)
+          var sum = 0L
+          var bright = 0L
+          var x = 0
+          while (x < ow) {
+            var y = 0
+            while (y < oh) {
+              val p = img.getRGB(x * img.getWidth / ow, y * img.getHeight / oh)
+              sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+              if (((p >> 16) & 0xff) > 127) bright += 1
+              y += 1
+            }
+            x += 1
+          }
+          (id, ow, oh, sum, bright)
+        }
+      }.toDF("doc_id", "out_w", "out_h", "pixel_sum", "bright_px")
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+
+  /** Real FRAME-SAMPLE (brief §multimodal): each document carries a
+    * synthetic multi-frame container — `[n][len,png]...` with every frame a
+    * real PNG — and the kernel parses the container, samples k=min(3,n)
+    * evenly-spaced frames, decodes ONLY those, and aggregates their pixels.
+    * This is the video-keyframe shape: the decode cost tracks sampled
+    * frames, not container size. Map-only; the oracle re-derives the
+    * sampled indices and pixel sums from the closed form. */
+  private val multimodalFrames: Q = (s, d) => {
+    import s.implicits._
+    load(s, d, "documents").select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val n = 1 + (id % 5).toInt
+        val frames = (0 until n).map(f => PxKernel.renderPng(id * 31 + f))
         val bos = new java.io.ByteArrayOutputStream()
-        javax.imageio.ImageIO.write(img, "png", bos)
+        val dos = new java.io.DataOutputStream(bos)
+        dos.writeInt(n)
+        frames.foreach { b => dos.writeInt(b.length); dos.write(b) }
         (id, bos.toByteArray)
-      }
-    }
-    encoded.mapPartitions { it =>
-      it.map { case (id, bytes) =>
-        val img = javax.imageio.ImageIO.read(
-          new java.io.ByteArrayInputStream(bytes))
-        val w = img.getWidth
-        val h = img.getHeight
-        var sum = 0L
-        var bright = 0L
-        var x = 0
-        while (x < w) {
-          var y = 0
-          while (y < h) {
-            val p = img.getRGB(x, y)
-            sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
-            if (((p >> 16) & 0xff) > 127) bright += 1
-            y += 1
+      })
+      .mapPartitions { it =>
+        it.map { case (id, blob) =>
+          val dis = new java.io.DataInputStream(
+            new java.io.ByteArrayInputStream(blob))
+          val n = dis.readInt()
+          val k = math.min(3, n)
+          val sampled = (0 until k).map(i => i * (n / k)).toSet
+          var sum = 0L
+          var f = 0
+          while (f < n) {
+            val len = dis.readInt()
+            val bytes = new Array[Byte](len)
+            dis.readFully(bytes)
+            if (sampled.contains(f)) sum += PxKernel.decodeAgg(bytes)._3
+            f += 1
           }
-          x += 1
+          (id, n, k, sum, sampled.toSeq.sorted.mkString(","))
         }
-        (id, w, h, sum, bright)
-      }
-    }.toDF("doc_id", "width", "height", "pixel_sum", "bright_px")
+      }.toDF("doc_id", "n_frames", "n_sampled", "frame_pixel_sum", "frames_csv")
       .orderBy(col("doc_id").asc_nulls_first)
   }
 
@@ -368,6 +405,8 @@ object LlmSim {
     "sim_search_batch" -> simSearchBatch,
     "multimodal_schema" -> multimodalSchema,
     "multimodal_decode" -> multimodalDecode,
+    "multimodal_resize" -> multimodalResize,
+    "multimodal_frames" -> multimodalFrames,
   )
 
   /** One brute-force oracle for both IVF entries: the planted set is the
@@ -435,6 +474,47 @@ object LlmSim {
     // The closed-form pixel function the Spark side RENDERS into real PNG
     // bytes; the Spark values come back through an actual ImageIO decode,
     // so parity here proves the decode (PNG is lossless RGB).
+    "multimodal_resize" ->
+      """WITH px AS (
+        |  SELECT doc_id,
+        |    CAST(8 + (doc_id % 9) AS INT) AS w,
+        |    CAST(8 + ((doc_id * 7) % 9) AS INT) AS h
+        |  FROM documents),
+        |m AS (
+        |  SELECT p.doc_id, (x.x * p.w) // 16 AS sx, (y.y * p.h) // 12 AS sy
+        |  FROM px p, generate_series(0, 15) x(x), generate_series(0, 11) y(y))
+        |SELECT doc_id, CAST(16 AS INT) AS out_w, CAST(12 AS INT) AS out_h,
+        |  CAST(SUM(((doc_id + 31*sx + 17*sy) % 256) + ((sx*sy + doc_id) % 256) +
+        |           ((sx + sy + 2*doc_id) % 256)) AS BIGINT) AS pixel_sum,
+        |  CAST(SUM(CASE WHEN ((doc_id + 31*sx + 17*sy) % 256) > 127
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS bright_px
+        |FROM m GROUP BY doc_id
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "multimodal_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id, CAST(1 + (doc_id % 5) AS INT) AS n,
+        |         CAST(LEAST(3, 1 + (doc_id % 5)) AS INT) AS k
+        |  FROM documents),
+        |frames AS (
+        |  SELECT doc_id, doc_id*31 + i.i * (n // k) AS fid
+        |  FROM f, generate_series(0, 2) i(i) WHERE i.i < k),
+        |cells AS (
+        |  SELECT d.doc_id, d.fid, x.x, y.y,
+        |         8 + (d.fid % 9) AS w, 8 + ((d.fid * 7) % 9) AS h
+        |  FROM frames d, generate_series(0, 16) x(x), generate_series(0, 16) y(y)),
+        |px AS (
+        |  SELECT doc_id,
+        |    SUM(((fid + 31*x + 17*y) % 256) + ((x*y + fid) % 256) +
+        |        ((x + y + 2*fid) % 256)) AS s
+        |  FROM cells WHERE x < w AND y < h GROUP BY doc_id)
+        |SELECT f.doc_id, f.n AS n_frames, f.k AS n_sampled,
+        |  CAST(px.s AS BIGINT) AS frame_pixel_sum,
+        |  ARRAY_TO_STRING(LIST_TRANSFORM(RANGE(0, f.k),
+        |    i -> i * (f.n // f.k)), ',') AS frames_csv
+        |FROM f JOIN px ON f.doc_id = px.doc_id
+        |ORDER BY f.doc_id ASC NULLS FIRST""".stripMargin,
+
     "multimodal_decode" ->
       """WITH px AS (
         |  SELECT doc_id,
@@ -453,4 +533,59 @@ object LlmSim {
         |FROM cells GROUP BY doc_id, w, h
         |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
   )
+}
+
+/** Executor-side pixel kernel shared by the multimodal queries: renders the
+  * closed-form test image to REAL PNG bytes and decodes real PNG bytes back
+  * to pixel aggregates via the JDK's `javax.imageio` (no external media
+  * libs). Serializable so mapPartitions closures can reference it. */
+private[ops] object PxKernel extends Serializable {
+
+  /** Deterministic w×h RGB image for `id` (w,h ≤ 16), encoded as PNG.
+    * Pixel (x,y) = closed form of (id,x,y) — the DuckDB oracles recompute
+    * aggregates from the same form, so parity proves the decode. */
+  def renderPng(id: Long): Array[Byte] = {
+    val w = 8 + (id % 9).toInt
+    val h = 8 + ((id * 7) % 9).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var x = 0
+    while (x < w) {
+      var y = 0
+      while (y < h) {
+        val r = ((id + 31L * x + 17L * y) % 256).toInt
+        val g = ((1L * x * y + id) % 256).toInt
+        val b = ((x + y + 2L * id) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        y += 1
+      }
+      x += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decode PNG bytes → (width, height, sum of all channels, count of
+    * pixels with red > 127). */
+  def decodeAgg(bytes: Array[Byte]): (Int, Int, Long, Long) = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    val w = img.getWidth
+    val h = img.getHeight
+    var sum = 0L
+    var bright = 0L
+    var x = 0
+    while (x < w) {
+      var y = 0
+      while (y < h) {
+        val p = img.getRGB(x, y)
+        sum += ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+        if (((p >> 16) & 0xff) > 127) bright += 1
+        y += 1
+      }
+      x += 1
+    }
+    (w, h, sum, bright)
+  }
 }
