@@ -665,6 +665,54 @@ class TableStoreSpec extends SparkSuite {
     assert(e.getMessage.contains("no committed snapshot"))
   }
 
+  test("driver-derived key buckets equal the executor hash for every supported key type") {
+    // soundness root of read-path bucket pruning: keyEqualityBuckets
+    // evaluates XxHash64 over pushed literals ON THE DRIVER and must land
+    // on exactly the bucket bucketExpr computes over column values ON
+    // EXECUTORS — a divergence (type widening, seed drift, encoding) would
+    // silently drop matching files from point lookups
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo, Literal, In => CatIn}
+    import org.apache.spark.sql.types._
+    val n = 64
+    def mkManifest(fields: Seq[(String, DataType)]) = TableStore.Manifest(
+      0L, -1L, StructType(fields.map { case (nm, dt) => StructField(nm, dt) }),
+      "", Nil, Nil, 0L, bucketKeys = fields.map(_._1), numBuckets = n)
+    def executorBucket(df: org.apache.spark.sql.DataFrame, keys: Seq[String]): Long =
+      df.select(TableStore.bucketExpr(keys, n).as("b")).as[Long].head()
+
+    val cases: Seq[(DataType, Any, org.apache.spark.sql.DataFrame)] = Seq(
+      (LongType, 123456L, Seq(123456L).toDF("k")),
+      (IntegerType, -42, Seq(-42).toDF("k")),
+      (StringType, "partition key", Seq("partition key").toDF("k")),
+      (DoubleType, 3.25, Seq(3.25).toDF("k")),
+      (DateType, java.sql.Date.valueOf("2026-08-13"),
+        Seq(java.sql.Date.valueOf("2026-08-13")).toDF("k")),
+      (TimestampType, java.sql.Timestamp.valueOf("2026-08-13 01:02:03"),
+        Seq(java.sql.Timestamp.valueOf("2026-08-13 01:02:03")).toDF("k")),
+      (DecimalType(10, 2), new java.math.BigDecimal("12345.67"),
+        Seq(new java.math.BigDecimal("12345.67")).toDF("k")
+          .select(col("k").cast(DecimalType(10, 2)).as("k"))))
+    cases.foreach { case (dt, v, df) =>
+      val m = mkManifest(Seq("k" -> dt))
+      val attr = AttributeReference("k", dt)()
+      val derived = TableStore.keyEqualityBuckets(
+        Seq(EqualTo(attr, Literal.create(v, dt))), m)
+      assert(derived.contains(Set(executorBucket(df, Seq("k")))),
+        s"$dt: derived $derived vs executor ${executorBucket(df, Seq("k"))}")
+    }
+    // composite key (long, string) and IN-list derivation
+    val m2 = mkManifest(Seq("a" -> LongType, "b" -> StringType))
+    val aAttr = AttributeReference("a", LongType)()
+    val bAttr = AttributeReference("b", StringType)()
+    val derived2 = TableStore.keyEqualityBuckets(Seq(
+      CatIn(aAttr, Seq(Literal(7L), Literal(9L))),
+      EqualTo(bAttr, Literal.create("x", StringType))), m2)
+    val exec2 = Set((7L, "x"), (9L, "x")).map { case (a, b) =>
+      executorBucket(Seq((a, b)).toDF("a", "b"), Seq("a", "b"))
+    }
+    assert(derived2.contains(exec2), s"composite: $derived2 vs $exec2")
+  }
+
   test("foreign field ids from another graft table never leak into a commit (ADVICE r6)") {
     val a = freshStore()
     a.commitSnapshot(Seq((1L, "x")).toDF("k", "s"))
