@@ -184,6 +184,42 @@ object Ingest {
         col("_change_type").asc_nulls_first)
   }
 
+  /** Multi-column Z-order clustering rewrite (Iceberg/Delta `OPTIMIZE ZORDER
+    * BY` analog; the reference's managed maintenance, README.md:132-137).
+    *
+    * `compact(sortBy)` tightens file bounds on ONE column; a predicate on
+    * any other column still scans every file. The Morton-code rewrite
+    * ([[graft.store.TableStore.compact]] `zorderBy`) gives each file a small
+    * axis-aligned rectangle in (l_orderkey, l_partkey) space, so min/max
+    * stats prune on EITHER column alone. The pruning power is asserted as a
+    * hard `require` per axis — a regression turns this row into `err` — and
+    * the returned frame is the full post-rewrite row multiset, so the DuckDB
+    * oracle verifies content preservation exactly like `maintenance_compact`. */
+  private val maintenanceZorder: Q = (s, d) => {
+    import graft.util.PlanScans.filesScanned
+    val li = load(s, d, "lineitem")
+    val store = new TableStore(s, graft.util.Scratch.dir("zorder"))
+    store.commitSnapshot(li.repartition(16))
+    store.compact(targetFiles = 16, zorderBy = Seq("l_orderkey", "l_partkey"))
+    val nFiles = store.manifest(store.currentVersion()).nFiles
+    require(nFiles == 16, s"expected 16 z-ordered files, got $nFiles")
+    val Array(bounds) = store.readSnapshot()
+      .agg(min("l_orderkey"), max("l_orderkey"), min("l_partkey"), max("l_partkey"))
+      .collect()
+    def band(lo: Long, hi: Long): (Long, Long) = (lo, lo + math.max(1L, (hi - lo) / 20))
+    val (oLo, oHi) = band(bounds.getLong(0), bounds.getLong(1))
+    val (pLo, pHi) = band(bounds.getLong(2), bounds.getLong(3))
+    val byOrder = filesScanned(store.readSnapshot().filter(col("l_orderkey").between(oLo, oHi)))
+    val byPart = filesScanned(store.readSnapshot().filter(col("l_partkey").between(pLo, pHi)))
+    require(byOrder * 2 <= nFiles,
+      s"z-order failed to prune on l_orderkey: scanned $byOrder/$nFiles files")
+    require(byPart * 2 <= nFiles,
+      s"z-order failed to prune on l_partkey: scanned $byPart/$nFiles files")
+    val cols = li.schema.fieldNames.map(col)
+    store.readSnapshot().select(cols: _*)
+      .orderBy(li.schema.fieldNames.map(c => col(c).asc_nulls_first): _*)
+  }
+
   val queries: Map[String, Q] = Map(
     "scan_ddb_export" -> scanDdbExport,
     "scan_incremental" -> scanIncremental,
@@ -194,6 +230,7 @@ object Ingest {
     "snapshot_load" -> snapshotLoad,
     "sink_partitioned_parquet" -> sinkPartitionedParquet,
     "maintenance_compact" -> maintenanceCompact,
+    "maintenance_zorder" -> maintenanceZorder,
   )
 
   val oracles: Map[String, String] = Map(
@@ -257,6 +294,13 @@ object Ingest {
 
     // compact(16→1) + vacuum must preserve the row multiset exactly
     "maintenance_compact" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice,
+        |       l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
+        |FROM lineitem ORDER BY l_orderkey ASC NULLS FIRST, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate""".stripMargin,
+
+    // z-order rewrite must preserve the row multiset exactly; the per-axis
+    // pruning invariants are hard requires inside the query
+    "maintenance_zorder" ->
       """SELECT l_orderkey, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice,
         |       l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate
         |FROM lineitem ORDER BY l_orderkey ASC NULLS FIRST, l_partkey, l_suppkey, l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_returnflag, l_linestatus, l_shipdate""".stripMargin,

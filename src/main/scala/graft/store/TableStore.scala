@@ -1167,24 +1167,75 @@ class TableStore(val spark: SparkSession, val root: String) {
     * bound can exclude them. Bucketed tables sort WITHIN each bucket (the
     * bucket stays the partition key; `sortBy` tightens file bounds inside
     * it). */
-  def compact(targetFiles: Int = 1, sortBy: Seq[String] = Nil): Long = {
+  def compact(targetFiles: Int = 1, sortBy: Seq[String] = Nil,
+      zorderBy: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.col
+    require(sortBy.isEmpty || zorderBy.isEmpty,
+      "compact takes sortBy OR zorderBy, not both")
     val m = manifest(currentVersion())
     val df = readSnapshot()
+    val arrangeBy: Seq[org.apache.spark.sql.Column] =
+      if (zorderBy.nonEmpty) Seq(zorderColumn(df, zorderBy))
+      else sortBy.map(col)
     if (m.bucketKeys.nonEmpty) {
       val arranged =
-        if (sortBy.isEmpty) df.repartition(targetFiles)
+        if (arrangeBy.isEmpty) df.repartition(targetFiles)
         else df.repartition(math.max(targetFiles, m.numBuckets),
             bucketExpr(m.bucketKeys, m.numBuckets))
-          .sortWithinPartitions(sortBy.map(col): _*)
+          .sortWithinPartitions(arrangeBy: _*)
       commitBucketed(arranged, m.bucketKeys, m.numBuckets)
     } else {
       val arranged =
-        if (sortBy.isEmpty) df.repartition(targetFiles)
-        else df.repartitionByRange(targetFiles, sortBy.map(col): _*)
-          .sortWithinPartitions(sortBy.map(col): _*)
+        if (arrangeBy.isEmpty) df.repartition(targetFiles)
+        else df.repartitionByRange(targetFiles, arrangeBy: _*)
+          .sortWithinPartitions(arrangeBy: _*)
       commitSnapshot(arranged, m.partitionBy)
     }
+  }
+
+  /** Morton (Z-order) sort key over `cols` — multi-column file clustering.
+    *
+    * `sortBy` range clustering tightens file bounds on ONE leading column;
+    * predicates on the second column still scan every file. The z-curve
+    * interleaves the bits of all `cols`, so range-partitioning the rewrite
+    * on the code gives every file a small axis-aligned rectangle in the
+    * k-dim key space — min/max stats prune on EACH column independently
+    * (the same trade Iceberg/Delta `OPTIMIZE ZORDER BY` makes).
+    *
+    * Normalization: one tiny stats pass (min/max per column, 2 doubles each
+    * on the driver) then a LINEAR rescale to `[0, 2^bits)` — linear, not
+    * rank-based, so no extra shuffle; skewed columns degrade toward the
+    * `sortBy` behavior on their dense region rather than failing. NULL
+    * scales to 0 (nulls cluster in the low corner). The interleave itself is
+    * [[graft.functions.ZOrderCode]], codegen'd into the rewrite stage. */
+  private def zorderColumn(df: DataFrame, cols: Seq[String])
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val bits = math.min(16, 63 / cols.size)
+    val numeric: Seq[org.apache.spark.sql.Column] = cols.map { c =>
+      df.schema(c).dataType match {
+        case _: NumericType => col(c).cast("double")
+        case DateType => unix_date(col(c)).cast("double")
+        case TimestampType | TimestampNTZType => col(c).cast("double")
+        case other => throw new IllegalArgumentException(
+          s"zorderBy column $c has non-orderable-numeric type " +
+            s"${other.simpleString}; z-ordering a string column would hash " +
+            "away the locality the curve exists to preserve")
+      }
+    }
+    val aggs = numeric.flatMap(n => Seq(min(n), max(n)))
+    val row = df.agg(aggs.head, aggs.tail: _*).head()
+    val maxCode = (1L << bits) - 1
+    val scaled = numeric.zipWithIndex.map { case (n, i) =>
+      val lo = if (row.isNullAt(2 * i)) 0d else row.getDouble(2 * i)
+      val hi = if (row.isNullAt(2 * i + 1)) 0d else row.getDouble(2 * i + 1)
+      val span = math.max(hi - lo, java.lang.Double.MIN_NORMAL)
+      coalesce(least(greatest(
+        ((n - lit(lo)) / lit(span) * lit(maxCode.toDouble)).cast("long"),
+        lit(0L)), lit(maxCode)), lit(0L))
+    }
+    graft.functions.ZOrderCode(scaled, bits)
   }
 
   /** Time-based GC matching the reference's `unreferencedDays` semantics
