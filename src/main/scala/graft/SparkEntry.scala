@@ -20,12 +20,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ops.Relational.queries ++ ops.Scalars.queries ++ ops.Ingest.queries ++
       ops.CdcStreamOps.queries ++ ops.LlmDedup.queries ++ ops.LlmSim.queries ++
-      ops.LlmText.queries ++ ops.SqlSurface.queries
+      ops.LlmText.queries ++ ops.LlmPipeline.queries ++ ops.SqlSurface.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     ops.Relational.oracles ++ ops.Scalars.oracles ++ ops.Ingest.oracles ++
       ops.CdcStreamOps.oracles ++ ops.LlmDedup.oracles ++ ops.LlmSim.oracles ++
-      ops.LlmText.oracles ++ ops.SqlSurface.oracles
+      ops.LlmText.oracles ++ ops.LlmPipeline.oracles ++ ops.SqlSurface.oracles
 }

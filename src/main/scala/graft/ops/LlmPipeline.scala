@@ -1,0 +1,233 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables.load
+import graft.ops.LlmCommon._
+import graft.ops.Relational.Q
+
+/** Training-data pipeline hygiene operators (north-star extensions beyond
+  * the reference's provisioned surface — BASELINE.json `north_star`; the
+  * reference itself provisions only the managed pipeline,
+  * src/dynamodb-zero-etl-s3tables.ts:211-215): benchmark decontamination,
+  * stratified sampling, text normalization, and PII scrubbing — the four
+  * steps every pretraining corpus pass runs between ingestion and packing.
+  *
+  * All four are engine-portable by construction (exact integers, md5
+  * digests, byte-ordered strings) so the DuckDB oracle hash-matches.
+  */
+object LlmPipeline {
+
+  /** Decontamination n-gram width. 13 is the published standard for
+    * benchmark-overlap filtering (GPT-3 appendix C / Gopher section A.2):
+    * long enough that organic 13-token collisions are ~impossible, short
+    * enough to catch quoted benchmark items embedded in web text. */
+  private val DecontamN = 13
+
+  /** Benchmark membership: deterministic 1-in-41 slice of the corpus stands
+    * in for the held-out eval suite (a real run would load the suite as its
+    * own table; the overlap machinery is identical). */
+  private def isBench(id: Column): Column = id % 41 === 0
+
+  /** Benchmark decontamination (`pipeline_decontaminate`): flag every corpus
+    * document sharing at least one distinct 13-gram with the benchmark set.
+    *
+    * Scale shape: the benchmark gram set is tiny relative to a 100 TB corpus
+    * (eval suites are MBs), so it broadcasts — the corpus side is a map-side
+    * explode probed against a broadcast hash table, no corpus shuffle. The
+    * only exchange is the final per-doc count aggregation, whose payload is
+    * (doc_id, hit) pairs — partial-aggregated map-side before the shuffle.
+    * For benchmark suites too large to broadcast exactly, the drop-in scale
+    * knob is hashing grams (LlmCommon.hash32) into a Bloom filter; the exact
+    * broadcast variant registered here is the oracle-comparable baseline.
+    */
+  /** Core overlap kernel, factored out so tests can plant contamination:
+    * both frames carry (doc_id, text); returns one row per corpus doc. */
+  def decontaminate(corpus: org.apache.spark.sql.DataFrame,
+      bench: org.apache.spark.sql.DataFrame, n: Int): org.apache.spark.sql.DataFrame = {
+    val g = shingles(tokens(col("text")), n)
+    val benchGrams = bench.select(explode(g).as("bg")).distinct()
+    corpus
+      .select(col("doc_id"), size(g).cast("long").as("n_grams"), g.as("grams"))
+      .withColumn("g", explode_outer(col("grams")))
+      .join(broadcast(benchGrams), col("g") === col("bg"), "left")
+      .groupBy(col("doc_id"), col("n_grams"))
+      .agg(count(col("bg")).as("n_hit_grams"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit_grams"),
+        (col("n_hit_grams") > 0).as("contaminated"))
+  }
+
+  private val pipelineDecontaminate: Q = (s, d) => {
+    val docs = load(s, d, "documents")
+    decontaminate(
+      docs.filter(!isBench(col("doc_id"))),
+      docs.filter(isBench(col("doc_id"))), DecontamN)
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+
+  /** Deterministic stratified sampling (`sample_stratified`): k = 25 docs
+    * per language stratum, selected by md5(doc_id) order — a uniform random
+    * sample without replacement that is a pure function of the row key, so
+    * membership never migrates between runs, partitionings, or engines (the
+    * same property split_train_test pins for the train/val/test split).
+    *
+    * Scale shape: rank-within-stratum is `row_number <= k`, which Spark 4
+    * rewrites to partial+final WindowGroupLimit straddling the exchange —
+    * each map task forwards at most k rows per stratum, so the shuffle
+    * carries O(tasks × strata × k), not the corpus. A skewed mega-stratum
+    * (half the corpus is English) is bounded by the same partial limit; the
+    * salted two-phase pattern of sim_search_batch applies unchanged if k
+    * itself is large. */
+  private val sampleStratified: Q = (s, d) => {
+    val k = 25
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+    load(s, d, "documents")
+      .withColumn("sample_rank", row_number().over(w))
+      .filter(col("sample_rank") <= k)
+      .select(col("doc_id"), col("lang"), col("sample_rank"))
+      .orderBy(col("lang").asc_nulls_first, col("sample_rank").asc_nulls_first)
+  }
+
+  /** Text normalization (`text_normalize`): lowercase, strip non-alphanumeric
+    * glyphs to spaces, collapse whitespace runs, trim — the canonical form
+    * fed to exact dedup and fingerprinting so that punctuation/spacing
+    * variants of the same content collide. (Unicode NFC folding would slot
+    * in here; Spark has no built-in normalizer expression and the fixtures
+    * are ASCII, so the registered op pins the ASCII canonicalization.)
+    * Emits the md5 of the normalized text plus its char/token counts.
+    * Map-only projection, zero shuffle, no skew. */
+  /** The normalization column itself, shared with tests. */
+  def normalized(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+  private val textNormalize: Q = (s, d) => {
+    val norm = normalized(col("text"))
+    load(s, d, "documents")
+      .select(col("doc_id"),
+        md5(norm).as("norm_md5"),
+        length(norm).cast("long").as("n_chars_norm"),
+        size(tokens(norm)).as("n_tokens_norm"))
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+
+  // PII patterns kept to the Java∩RE2 common dialect (\b, \d, {m,n}, plain
+  // character classes) so Spark and the DuckDB oracle match byte-for-byte.
+  private val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  private val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII scrubbing (`pii_scrub`): redact emails, NANP-style phone numbers
+    * and IPv4 addresses to typed placeholders, emitting per-doc redaction
+    * counts plus the digest of the scrubbed text. The fixture corpus
+    * carries no organic PII, so each row is extended with deterministic
+    * synthetic PII derived from doc_id (same closed form in the oracle) —
+    * the redaction machinery, not the fixture, is what's under test.
+    * Counts are measured per pattern on the pre-scrub text; replacements
+    * apply email → phone → IP (placeholders contain no digits, so the
+    * passes can't cascade). Map-only, zero shuffle. */
+  /** Scrub column + per-type match counts, shared with tests. */
+  def scrubbed(text: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(
+      text, EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), Ipv4Re, "<IP>")
+
+  def piiCounts(text: Column): Seq[Column] = Seq(
+    size(regexp_extract_all(text, lit(EmailRe), lit(0))).as("n_emails"),
+    size(regexp_extract_all(text, lit(PhoneRe), lit(0))).as("n_phones"),
+    size(regexp_extract_all(text, lit(Ipv4Re), lit(0))).as("n_ips"))
+
+  private val piiScrub: Q = (s, d) => {
+    val id = col("doc_id")
+    val synth = concat(
+      col("text"),
+      lit(" contact user"), id.cast("string"), lit("@example.com"),
+      lit(" call 555-012-"), lpad((id % 10000).cast("string"), 4, "0"),
+      lit(" from 10.0."), (id % 256).cast("string"), lit("."),
+      expr("(doc_id div 256) % 256").cast("string"))
+    load(s, d, "documents")
+      .select((col("doc_id") +: piiCounts(synth) :+
+        md5(scrubbed(synth)).as("scrubbed_md5")): _*)
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "pipeline_decontaminate" -> pipelineDecontaminate,
+    "sample_stratified" -> sampleStratified,
+    "text_normalize" -> textNormalize,
+    "pii_scrub" -> piiScrub,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "pipeline_decontaminate" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, REGEXP_EXTRACT_ALL(LOWER(text), '\\S+') AS toks
+         |  FROM documents
+         |), g AS (
+         |  SELECT doc_id,
+         |    CASE WHEN LEN(toks) >= $DecontamN THEN
+         |      LIST_DISTINCT(LIST_TRANSFORM(RANGE(1, LEN(toks) - ${DecontamN - 2}),
+         |        i -> ARRAY_TO_STRING(toks[i : i + ${DecontamN - 1}], ' ')))
+         |    ELSE CAST([] AS VARCHAR[]) END AS grams
+         |  FROM t
+         |), bench AS (
+         |  SELECT DISTINCT UNNEST(grams) AS bg FROM g WHERE doc_id % 41 = 0
+         |), corpus AS (
+         |  SELECT doc_id, grams FROM g WHERE doc_id % 41 <> 0
+         |), e AS (
+         |  SELECT doc_id, UNNEST(grams) AS gr FROM corpus
+         |), h AS (
+         |  SELECT e.doc_id, COUNT(*) AS n_hit
+         |  FROM e JOIN bench ON e.gr = bench.bg GROUP BY e.doc_id
+         |)
+         |SELECT c.doc_id, CAST(LEN(c.grams) AS BIGINT) AS n_grams,
+         |  CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit_grams,
+         |  COALESCE(h.n_hit, 0) > 0 AS contaminated
+         |FROM corpus c LEFT JOIN h ON c.doc_id = h.doc_id
+         |ORDER BY c.doc_id ASC NULLS FIRST""".stripMargin,
+
+    "sample_stratified" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |    ROW_NUMBER() OVER (PARTITION BY lang
+        |      ORDER BY MD5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS sample_rank
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang, CAST(sample_rank AS INT) AS sample_rank
+        |FROM r WHERE sample_rank <= 25
+        |ORDER BY lang ASC NULLS FIRST, sample_rank ASC NULLS FIRST""".stripMargin,
+
+    "text_normalize" ->
+      """WITH n AS (
+        |  SELECT doc_id,
+        |    TRIM(REGEXP_REPLACE(REGEXP_REPLACE(LOWER(text),
+        |      '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS norm
+        |  FROM documents
+        |)
+        |SELECT doc_id, MD5(norm) AS norm_md5,
+        |  CAST(LENGTH(norm) AS BIGINT) AS n_chars_norm,
+        |  CAST(LEN(REGEXP_EXTRACT_ALL(norm, '\S+')) AS INT) AS n_tokens_norm
+        |FROM n ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "pii_scrub" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |      || ' call 555-012-' || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+        |      || CAST((doc_id // 256) % 256 AS VARCHAR) AS synth
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(LEN(REGEXP_EXTRACT_ALL(synth, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INT) AS n_emails,
+        |  CAST(LEN(REGEXP_EXTRACT_ALL(synth, '\b\d{3}-\d{3}-\d{4}\b')) AS INT) AS n_phones,
+        |  CAST(LEN(REGEXP_EXTRACT_ALL(synth, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INT) AS n_ips,
+        |  MD5(REGEXP_REPLACE(REGEXP_REPLACE(REGEXP_REPLACE(synth,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS scrubbed_md5
+        |FROM p ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+  )
+}
