@@ -49,6 +49,23 @@ object TextKernels {
     distinct
   }
 
+  /** Distinct word n-gram shingle STRINGS (insertion order) — the
+    * decontamination kernel, where grams must stay oracle-comparable text
+    * rather than hashes. Same JIT'd per-doc loop as [[shingleHashes]]. */
+  def shingleStrings(toks: Array[String], n: Int): Array[String] = {
+    if (toks.length < n) return Array.empty[String]
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i <= toks.length - n) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      seen.add(sb.toString)
+      i += 1
+    }
+    seen.toArray(new Array[String](seen.size))
+  }
+
   /** MinHash signature over shingle hashes with the shared (a_i, b_i)
     * universal-hash family. */
   def minhashSig(shs: Array[Long], as: Array[Long], bs: Array[Long]): Array[Long] = {

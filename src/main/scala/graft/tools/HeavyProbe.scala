@@ -21,7 +21,8 @@ object HeavyProbe {
   private val Heavy = Seq(
     "cdc_apply", "dedup_fuzzy_minhash", "dedup_minhash_sql",
     "dedup_ngram_jaccard", "dedup_embedding", "dedup_clusters",
-    "join_multi_q3", "join_multi_q5", "join_multi_q10", "text_chunk")
+    "join_multi_q3", "join_multi_q5", "join_multi_q10", "text_chunk",
+    "pipeline_decontaminate", "sample_stratified")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[32]")
