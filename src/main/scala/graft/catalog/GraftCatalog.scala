@@ -41,7 +41,8 @@ import graft.store.TableStore
   * invariants.
   */
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -375,6 +376,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       GraftProcedures.Names.map(n => Identifier.of(namespace, n)).toArray
     else Array.empty
 
+  // ------------------------------------------------------------ functions
+  /** Resolves the `bucket` partition transform reported by bucketed-table
+    * scans ([[graftbridge.KeyGroupedScanBridge]]) so Spark can plan
+    * storage-partitioned joins. Spark looks the transform up under the
+    * empty namespace (V2ExpressionUtils.loadV2FunctionOpt). */
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    if (ident.namespace.isEmpty && ident.name == "bucket") GraftBucketFunction
+    else throw new org.apache.spark.sql.catalyst.analysis
+      .NoSuchFunctionException(ident)
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty) Array(Identifier.of(namespace, "bucket"))
+    else Array.empty
+
   // ----------------------------------------------------------- namespaces
   override def listNamespaces(): Array[Array[String]] = {
     val p = new Path(warehouse)
@@ -633,7 +649,17 @@ private[catalog] final class StatsPruningScanBuilder(name: String,
 
   override def build(): org.apache.spark.sql.connector.read.Scan = {
     ensureInner(store.pruneCandidatePaths(m, Nil), Nil)
-    inner.build()
+    val scan = inner.build()
+    // Bucketed layouts ARE key-grouped on disk: report it so co-bucketed
+    // joins drop both exchanges (storage-partitioned join). Gated on the
+    // stock v2-bucketing conf, so default-session plans are untouched.
+    val spjOn = store.spark.conf
+      .getOption("spark.sql.sources.v2.bucketing.enabled").contains("true")
+    if (spjOn && m.bucketKeys.nonEmpty && m.numBuckets > 0)
+      new org.apache.spark.sql.graftbridge.KeyGroupedScanBridge
+        .BucketKeyGroupedScan(scan, m.numBuckets, m.bucketKeys,
+          TableStore.bucketOfFile)
+    else scan
   }
 }
 

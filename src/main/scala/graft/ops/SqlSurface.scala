@@ -107,10 +107,45 @@ object SqlSurface {
          |ORDER BY bucket ASC NULLS FIRST""".stripMargin)
   }
 
+  /** Storage-partitioned join (the 100 TB fact-fact join path): orders and
+    * lineitem committed CO-BUCKETED on the join key, then joined through the
+    * catalog — the scans report their on-disk `bucket(n, key)` grouping
+    * ([[graft.catalog.GraftBucketFunction]] +
+    * KeyGroupedScanBridge) and Spark plans the join with NO exchange on
+    * either side (`spark.sql.sources.v2.bucketing.enabled`, default on in
+    * Spark 4; SpjSpec pins the zero-exchange plan). At 100 TB the two
+    * full-table shuffles this removes ARE the cost of the join. */
+  private val sqlJoinColocated: Q = (s, d) => {
+    val cat = catalogFor(s, d)
+    val wh = warehouseFor(d)
+    s.sql(s"DROP TABLE IF EXISTS $cat.analytics.orders_bk")
+    s.sql(s"DROP TABLE IF EXISTS $cat.analytics.lineitem_bk")
+    new TableStore(s, s"$wh/analytics/orders_bk").commitBucketed(
+      load(s, d, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_custkey")),
+      keys = Seq("o_orderkey"), numBuckets = 16)
+    new TableStore(s, s"$wh/analytics/lineitem_bk").commitBucketed(
+      load(s, d, "lineitem").select(col("l_orderkey"), col("l_returnflag"),
+        col("l_quantity")),
+      keys = Seq("l_orderkey"), numBuckets = 16)
+    s.catalog.refreshTable(s"$cat.analytics.orders_bk")
+    s.catalog.refreshTable(s"$cat.analytics.lineitem_bk")
+    s.sql(
+      s"""SELECT l.l_returnflag, COUNT(*) AS n,
+         |  COUNT(DISTINCT o.o_custkey) AS n_cust,
+         |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+         |FROM $cat.analytics.orders_bk o
+         |JOIN $cat.analytics.lineitem_bk l ON o.o_orderkey = l.l_orderkey
+         |WHERE o.o_orderstatus = 'O'
+         |GROUP BY l.l_returnflag
+         |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "sql_catalog" -> sqlCatalog,
     "sql_catalog_write" -> sqlCatalogWrite,
-    "sql_catalog_merge" -> sqlCatalogMerge)
+    "sql_catalog_merge" -> sqlCatalogMerge,
+    "sql_join_colocated" -> sqlJoinColocated)
 
   val oracles: Map[String, String] = Map(
     "sql_catalog" ->
@@ -146,5 +181,14 @@ object SqlSurface {
         |  CAST(SUM(c_acctbal) AS DOUBLE) AS total_bal
         |FROM kept GROUP BY c_custkey % 10
         |ORDER BY bucket ASC NULLS FIRST""".stripMargin,
+
+    "sql_join_colocated" ->
+      """SELECT l.l_returnflag, COUNT(*) AS n,
+        |  COUNT(DISTINCT o.o_custkey) AS n_cust,
+        |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE o.o_orderstatus = 'O'
+        |GROUP BY l.l_returnflag
+        |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
   )
 }
