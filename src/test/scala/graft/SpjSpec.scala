@@ -85,6 +85,41 @@ class SpjSpec extends SparkSuite {
     }
   }
 
+  test("one-side shuffle: plain side hashes INTO graft's bucketing") {
+    // spark.sql.sources.v2.bucketing.shuffle.enabled shuffles the
+    // non-bucketed side with GraftBucketFunction.produceResult — rows only
+    // meet their join partners if the function replays the write path's
+    // pmod(xxhash64(k), n) exactly, so result parity here IS the
+    // driver/executor hash-parity proof for the V2 function.
+    setup
+    Tables.load(spark, sfDir, "lineitem").select("l_orderkey", "l_quantity")
+      .createOrReplaceTempView("spj_plain_li")
+    // ground truth straight from the parquet fixtures, no catalog involved
+    val expected = Tables.load(spark, sfDir, "orders").select("o_orderkey")
+      .join(Tables.load(spark, sfDir, "lineitem")
+        .select("l_orderkey", "l_quantity"),
+        org.apache.spark.sql.functions.col("o_orderkey") ===
+          org.apache.spark.sql.functions.col("l_orderkey"))
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).sorted
+    withConfs(noBroadcast ++ Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.shuffle.enabled" -> "true"): _*) {
+      val df = spark.sql(
+        s"""SELECT o.o_orderkey, l.l_quantity
+           |FROM $cat.a.ob o JOIN spj_plain_li l
+           |ON o.o_orderkey = l.l_orderkey""".stripMargin)
+      val got = df.collect().map(r => (r.getLong(0), r.getDouble(1))).sorted
+      assert(got.length == expected.length && got.sameElements(expected),
+        "one-side-shuffle join result diverges from ground truth")
+      val finalPlan = df.queryExecution.executedPlan.toString
+      if (finalPlan.contains("Exchange")) {
+        // when Spark chose the one-side shuffle, the bucketed side must
+        // still scan key-grouped with no exchange of its own
+        assert(finalPlan.contains("KeyGrouped"), finalPlan)
+      }
+    }
+  }
+
   test("single-table scan under v2 bucketing still reads all rows") {
     setup
     withConfs("spark.sql.sources.v2.bucketing.enabled" -> "true") {
