@@ -120,6 +120,24 @@ class SpjSpec extends SparkSuite {
     }
   }
 
+  test("group-by on the bucket key aggregates with zero exchanges") {
+    // KeyGroupedPartitioning over bucket(n, k) satisfies the aggregation's
+    // ClusteredDistribution(k): every group lives in one bucket, so the
+    // final HashAggregate sits directly on the partial one with no
+    // shuffle — at 100 TB a full-table GROUP BY on the table key becomes
+    // a map-only pass.
+    setup
+    withConfs("spark.sql.sources.v2.bucketing.enabled" -> "true") {
+      val df = spark.sql(
+        s"SELECT o_orderkey, COUNT(*) AS n FROM $cat.a.ob GROUP BY o_orderkey")
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange"), s"expected shuffle-free agg:\n$p")
+      assert(p.contains("HashAggregate"), p)
+      assert(df.count() ==
+        Tables.load(spark, sfDir, "orders").select("o_orderkey").distinct().count())
+    }
+  }
+
   test("single-table scan under v2 bucketing still reads all rows") {
     setup
     withConfs("spark.sql.sources.v2.bucketing.enabled" -> "true") {
