@@ -176,6 +176,48 @@ object Relational {
           lit(3 * 0.02) * col("exact_orders")).as("within_bounds"))
       .orderBy(col("l_returnflag").asc_nulls_first)
 
+  /** Approximate quantiles under the same deterministic-envelope contract
+    * as `agg_approx_distinct`: emit EXACT interpolated percentiles (Spark
+    * `percentile` ≡ DuckDB `QUANTILE_CONT`, both (n-1)·p linear
+    * interpolation — binary-exact on these values) plus a `within_bounds`
+    * check that the GK sketch's median lands inside its rank-error
+    * envelope. Exact percentile holds O(group) state — fine for the oracle
+    * contract at test scale; at 100 TB the sketch (`percentile_approx`,
+    * mergeable, bounded state) is the production path and this query is
+    * what verifies it. */
+  private val aggApproxQuantile: Q = (s, d) =>
+    load(s, d, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.25)").as("p25_exact"),
+        expr("percentile(l_quantity, 0.5)").as("med_exact"),
+        expr("percentile(l_quantity, 0.75)").as("p75_exact"),
+        percentile_approx(col("l_quantity"), lit(0.5), lit(10000)).as("_am"))
+      .select(col("l_returnflag"), col("p25_exact"), col("med_exact"),
+        col("p75_exact"),
+        // rank error N/accuracy ≈ 2 rows; value blocks are hundreds deep,
+        // so the approx median sits within one value step of exact
+        (abs(col("_am") - col("med_exact")) <= lit(2.0)).as("within_bounds"))
+      .orderBy(col("l_returnflag").asc_nulls_first)
+
+  /** Pivot with an EXPLICIT value list — the 100 TB contract: without it,
+    * Spark first collects the distinct pivot values to the driver (an extra
+    * job + unbounded width); with it, the pivot lowers to conditional
+    * aggregates inside one partial+final hash aggregation, a single
+    * shuffle. Lowercased output aliases keep DuckDB schema parity. */
+  private val aggPivot: Q = (s, d) =>
+    load(s, d, "lineitem")
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(col("l_linestatus"),
+        col("A_sum_qty").as("a_sum_qty"), col("A_n").as("a_n"),
+        col("N_sum_qty").as("n_sum_qty"), col("N_n").as("n_n"),
+        col("R_sum_qty").as("r_sum_qty"), col("R_n").as("r_n"))
+      .orderBy(col("l_linestatus").asc_nulls_first)
+
   private val aggGroupingSets: Q = (s, d) => {
     load(s, d, "lineitem").createOrReplaceTempView("graft_li_gs")
     s.sql(
@@ -368,6 +410,8 @@ object Relational {
     "agg_hash_sum" -> aggHashSum,
     "agg_distinct_count" -> aggDistinctCount,
     "agg_approx_distinct" -> aggApproxDistinct,
+    "agg_approx_quantile" -> aggApproxQuantile,
+    "agg_pivot" -> aggPivot,
     "agg_grouping_sets" -> aggGroupingSets,
     "agg_rollup" -> aggRollup,
     "agg_cube" -> aggCube,
@@ -509,6 +553,26 @@ object Relational {
         |  TRUE AS within_bounds
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
+
+    "agg_approx_quantile" ->
+      """SELECT l_returnflag,
+        |  QUANTILE_CONT(l_quantity, 0.25) AS p25_exact,
+        |  QUANTILE_CONT(l_quantity, 0.5) AS med_exact,
+        |  QUANTILE_CONT(l_quantity, 0.75) AS p75_exact,
+        |  TRUE AS within_bounds
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
+
+    "agg_pivot" ->
+      """SELECT l_linestatus,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'A' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS a_sum_qty,
+        |  COUNT(CASE WHEN l_returnflag = 'A' THEN 1 END) AS a_n,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'N' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS n_sum_qty,
+        |  COUNT(CASE WHEN l_returnflag = 'N' THEN 1 END) AS n_n,
+        |  CAST(SUM(CASE WHEN l_returnflag = 'R' THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS r_sum_qty,
+        |  COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS r_n
+        |FROM lineitem GROUP BY l_linestatus
+        |ORDER BY l_linestatus ASC NULLS FIRST""".stripMargin,
 
     "agg_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus,
