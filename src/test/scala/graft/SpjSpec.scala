@@ -111,12 +111,15 @@ class SpjSpec extends SparkSuite {
       val got = df.collect().map(r => (r.getLong(0), r.getDouble(1))).sorted
       assert(got.length == expected.length && got.sameElements(expected),
         "one-side-shuffle join result diverges from ground truth")
+      // AQE prints Final + Initial sections; assert on the final one only
       val finalPlan = df.queryExecution.executedPlan.toString
-      if (finalPlan.contains("Exchange")) {
-        // when Spark chose the one-side shuffle, the bucketed side must
-        // still scan key-grouped with no exchange of its own
-        assert(finalPlan.contains("KeyGrouped"), finalPlan)
-      }
+        .split("== Initial Plan ==").head
+      // exactly ONE exchange: the plain side, hashed by the V2 function
+      // into graft's bucketing; the bucketed side reads in place
+      assert("- Exchange ".r.findAllIn(finalPlan).length == 1, finalPlan)
+      assert(finalPlan.contains("Exchange keygroupedpartitioning"), finalPlan)
+      assert(finalPlan.contains("GraftBucketFunction"), finalPlan)
+      assert(finalPlan.contains("KeyGrouped(bucket(8"), finalPlan)
     }
   }
 
