@@ -289,19 +289,28 @@ private[graft] object GraftTableSink {
   * consumed; its JSON form stays the bare version number, so pre-existing
   * checkpoints parse unchanged. */
 private[graft] case class GraftOffset(version: Long,
-    filesConsumed: Long = -1L) extends Offset {
+    filesConsumed: Long = -1L, baseVersion: Long = GraftOffset.UnknownBase)
+    extends Offset {
   override def json(): String =
-    if (filesConsumed < 0) version.toString else s"$version:$filesConsumed"
-  /** Strictly before `o` in consumption order. */
+    if (filesConsumed < 0) version.toString
+    else if (baseVersion == GraftOffset.UnknownBase) s"$version:$filesConsumed"
+    else s"$version:$filesConsumed:$baseVersion"
+  /** Strictly before `o` in consumption order (base is identity, not order). */
   def before(o: GraftOffset): Boolean =
     version < o.version || (version == o.version &&
       filesConsumed >= 0 && (o.filesConsumed < 0 || filesConsumed < o.filesConsumed))
 }
 
 private[graft] object GraftOffset {
+  /** Legacy partial offsets (v:k) carry no diff base; resolved best-effort
+    * against the currently surviving predecessor. Offsets written by this
+    * version always pin the base (v:k:b) so a vacuum between triggers can't
+    * silently shift the file list a partial index points into. */
+  val UnknownBase: Long = Long.MinValue
   def parse(json: String): GraftOffset = json.trim.split(':') match {
     case Array(v) => GraftOffset(v.toLong)
     case Array(v, k) => GraftOffset(v.toLong, k.toLong)
+    case Array(v, k, b) => GraftOffset(v.toLong, k.toLong, b.toLong)
     case _ => throw new IllegalArgumentException(s"bad graft offset: $json")
   }
 }
@@ -358,14 +367,23 @@ private[graft] class GraftMicroBatchStream(root: String, schema: StructType,
 
   private val skipRewrites = options.getBoolean("streaming.skip-rewrites", false)
   private val maxVersionsPerTrigger: Option[Int] =
-    Option(options.get("streaming.max-versions-per-trigger")).map(_.toInt)
+    Option(options.get("streaming.max-versions-per-trigger")).map { raw =>
+      val n = raw.toInt
+      require(n > 0, s"streaming.max-versions-per-trigger must be > 0, got $raw")
+      n
+    }
   /** Byte-based admission (VERDICT r6 #6): a trigger consumes versions —
     * and, within a version, path-sorted file prefixes — until the cap is
     * reached, so a stream starting at genesis on a 100 TB table plans many
     * bounded micro-batches instead of one all-files batch. At least one
     * file always admits (progress guarantee). */
   private val maxBytesPerTrigger: Option[Long] =
-    Option(options.get("streaming.max-bytes-per-trigger")).map(_.toLong)
+    Option(options.get("streaming.max-bytes-per-trigger")).map { raw =>
+      val b = raw.toLong
+      require(b > 0, s"streaming.max-bytes-per-trigger must be > 0, got $raw" +
+        " (a non-positive cap would admit nothing and stall the stream)")
+      b
+    }
 
   /** Hive-layout partition columns (in-schema `partitionBy`), fixed at
     * stream creation; every streamed snapshot must agree ([[addedFor]]).
@@ -426,13 +444,18 @@ private[graft] class GraftMicroBatchStream(root: String, schema: StructType,
     var budget = maxBytesPerTrigger.getOrElse(Long.MaxValue)
     var fullVersions = 0
     var out = s
+    val existing = st.existingVersions()
     val queue = (if (s.filesConsumed >= 0) Seq(s.version) else Nil) ++
-      st.existingVersions().filter(v => v > s.version && v <= target)
+      existing.filter(v => v > s.version && v <= target)
     val it = queue.iterator
     var stop = false
     while (!stop && it.hasNext && maxVersionsPerTrigger.forall(fullVersions < _)) {
       val v = it.next()
-      val files = addedFor(st, v)
+      // a partial offset pins the diff base it was computed against, so a
+      // vacuum between triggers can't silently shift the file list under
+      // the consumed-prefix index; fresh versions derive and record theirs
+      val base = baseFor(st, existing, v, s)
+      val files = addedFor(st, v, base)
       var idx = if (v == s.version && s.filesConsumed >= 0) s.filesConsumed.toInt
         else 0
       while (idx < files.size && budget > 0) {
@@ -440,10 +463,20 @@ private[graft] class GraftMicroBatchStream(root: String, schema: StructType,
         idx += 1
       }
       if (idx >= files.size) { out = GraftOffset(v); fullVersions += 1 }
-      else { out = GraftOffset(v, idx.toLong); stop = true }
+      else { out = GraftOffset(v, idx.toLong, base); stop = true }
       if (budget <= 0) stop = true
     }
     out
+  }
+
+  /** The diff base for version `v`: the one pinned by a partial offset when
+    * it covers `v`, else the nearest surviving predecessor. */
+  private def baseFor(st: TableStore, existing: Seq[Long], v: Long,
+      pinned: GraftOffset*): Long = {
+    val p = pinned.find(o => o.version == v && o.filesConsumed >= 0 &&
+      o.baseVersion != GraftOffset.UnknownBase)
+    p.map(_.baseVersion).getOrElse(
+      existing.filter(_ < v).lastOption.getOrElse(-1L))
   }
 
   /** The path-sorted added-file list of snapshot `v` relative to the
@@ -459,11 +492,16 @@ private[graft] class GraftMicroBatchStream(root: String, schema: StructType,
         size() > 4
     }
 
-  private def addedFor(st: TableStore, v: Long): Seq[(String, Long, Long)] = {
-    val prevV = st.existingVersions().filter(_ < v).lastOption.getOrElse(-1L)
+  private def addedFor(st: TableStore, v: Long,
+      base: Long): Seq[(String, Long, Long)] = {
+    val prevV = base
     val key = (prevV, v)
     val cached = addedCache.get(key)
     if (cached != null) return cached
+    require(prevV < 0 || st.existingVersions().contains(prevV),
+      s"graft-table stream: diff base snapshot $prevV for version $v of " +
+        s"$root was vacuumed while a partial offset pointed into the " +
+        "base-relative file list; restart the stream from a retained snapshot")
     val m = st.manifest(v)
     val schemaParts = m.partitionBy.filter(m.schema.fieldNames.contains)
     require(schemaParts == partCols,
@@ -502,18 +540,24 @@ private[graft] class GraftMicroBatchStream(root: String, schema: StructType,
   /** Partition values recovered from the path for `partCols`, cast to the
     * declared types. Hive-encodes only `__HIVE_DEFAULT_PARTITION__` (NULL);
     * an unparseable layout fails loudly — never silent NULLs (ADVICE r5). */
+  // loop-invariant per column: compiled once, not per (file × column)
+  private lazy val partColPatterns: Seq[(String, scala.util.matching.Regex)] =
+    partCols.map(c => c -> ("/" + java.util.regex.Pattern.quote(c) + "=([^/]+)/").r)
+
   private def partValuesOf(path: String): InternalRow = {
     import org.apache.spark.sql.catalyst.expressions.{Cast, Literal}
     val tz = spark.sessionState.conf.sessionLocalTimeZone
-    InternalRow.fromSeq(partCols.map { c =>
-      val re = ("/" + java.util.regex.Pattern.quote(c) + "=([^/]+)/").r
+    InternalRow.fromSeq(partColPatterns.map { case (c, re) =>
       re.findFirstMatchIn(path) match {
         case None => throw new IllegalStateException(
           s"graft-table stream: cannot recover partition value of '$c' " +
             s"from path $path; the layout is ambiguous — consume row-level " +
             "changes via readChangelog instead")
         case Some(mt) =>
-          val raw = java.net.URLDecoder.decode(mt.group(1), "UTF-8")
+          // Spark's own hive-path unescaping — URLDecoder would also turn
+          // '+' into a space, silently diverging from the batch read
+          val raw = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .unescapePathName(mt.group(1))
           if (raw == "__HIVE_DEFAULT_PARTITION__") null
           else Cast(Literal(raw), schema(c).dataType, Some(tz))
             .eval(InternalRow.empty)
@@ -530,11 +574,13 @@ private[graft] class GraftMicroBatchStream(root: String, schema: StructType,
       require(st.existingVersions().contains(s.version),
         s"stream start snapshot ${s.version} of $root was vacuumed; " +
           "restart the stream from a retained snapshot")
+    val existing = st.existingVersions()
     val versions = (if (s.filesConsumed >= 0) Seq(s.version) else Nil) ++
-      st.existingVersions().filter(v => v > s.version && v <= e.version)
+      existing.filter(v => v > s.version && v <= e.version)
     val added = Seq.newBuilder[(String, Long, Long, InternalRow)]
     versions.foreach { v =>
-      val files = addedFor(st, v)
+      // honor the base pinned by whichever checkpointed offset covers v
+      val files = addedFor(st, v, baseFor(st, existing, v, s, e))
       val from = if (v == s.version && s.filesConsumed >= 0)
         s.filesConsumed.toInt else 0
       val until = if (v == e.version && e.filesConsumed >= 0)

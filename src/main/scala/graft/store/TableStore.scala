@@ -1096,10 +1096,13 @@ class TableStore(val spark: SparkSession, val root: String) {
     ()
   }
 
-  private def activeStaging(f: FileSystem, dir: Path, nowMs: Long): Boolean = {
-    val m = stagingMarker(dir)
-    f.exists(m) && nowMs - f.getFileStatus(m).getModificationTime <= stagingGraceMs
-  }
+  private def activeStaging(f: FileSystem, dir: Path, nowMs: Long): Boolean =
+    // single getFileStatus, miss-tolerant: a concurrent endStaging between
+    // an exists() and a getFileStatus() would abort the whole sweep with
+    // FileNotFoundException — the exact race this marker exists to survive
+    try nowMs - f.getFileStatus(stagingMarker(dir)).getModificationTime <=
+      stagingGraceMs
+    catch { case _: java.io.FileNotFoundException => false }
 
   private val SnapDirName = "snap-(\\d+)-.*".r
   private val ShardDirName = "v(\\d+)-.*".r
@@ -1138,7 +1141,13 @@ class TableStore(val spark: SparkSession, val root: String) {
     val p = st.getPath
     if (p.getName.startsWith(".staging-")) {
       val dir = new Path(p.getParent, p.getName.stripPrefix(".staging-"))
-      if (!f.exists(dir) && nowMs - st.getModificationTime > stagingGraceMs)
+      val dirGone = !f.exists(dir)
+      // reclaim when the staged dir is long gone, AND when the dir's commit
+      // landed but the writer crashed before endStaging — once the manifest
+      // references the dir, staging is over by definition and the marker is
+      // permanent litter the grace window can never age out (the dir stays)
+      if ((dirGone && nowMs - st.getModificationTime > stagingGraceMs) ||
+          (!dirGone && committedMeanwhile(f, dir)))
         f.delete(p, false)
       false
     } else if (st.isDirectory &&

@@ -415,6 +415,57 @@ class GraftStreamSourceSpec extends SparkSuite {
     } finally q.stop()
   }
 
+  test("partition values with hive-escaped and '+' glyphs match the batch read") {
+    // URLDecoder would turn '+' into a space; Spark's own unescapePathName
+    // must be used so stream and batch agree byte-for-byte
+    val store = freshStore()
+    val df = Seq((1L, "pt+br", "a"), (2L, "es 41%", "b")).toDF("k", "lang", "v")
+    store.commitSnapshot(df, Seq("lang"))
+    val batch = store.readSnapshot().as[(Long, String, String)]
+      .collect().sortBy(_._1).toSeq
+    val q = readTable(store).writeStream.format("memory")
+      .queryName("feed_plus").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("feed_plus").as[(Long, String, String)]
+        .collect().sortBy(_._1).toSeq
+      assert(got == batch, s"stream $got vs batch $batch")
+      assert(got.map(_._2).toSet == Set("pt+br", "es 41%"))
+    } finally q.stop()
+  }
+
+  test("partial offsets pin their diff base; offset json round-trips it") {
+    import graft.sources.GraftOffset
+    // three formats parse; base survives a json round-trip; legacy 2-part
+    // offsets resolve to UnknownBase
+    assert(GraftOffset.parse("7") == GraftOffset(7))
+    assert(GraftOffset.parse("7:3") == GraftOffset(7, 3))
+    assert(GraftOffset.parse("7:3").baseVersion == GraftOffset.UnknownBase)
+    assert(GraftOffset.parse("7:3:5") == GraftOffset(7, 3, 5))
+    assert(GraftOffset.parse(GraftOffset(7, 3, 5).json()) == GraftOffset(7, 3, 5))
+    assert(GraftOffset(7, 3, 5).json() == "7:3:5")
+    // ordering ignores the base (it is identity, not position)
+    assert(GraftOffset(7, 3, 5).before(GraftOffset(7, 4, 6)))
+    assert(!GraftOffset(7, 3, 5).before(GraftOffset(7, 3, 9)))
+  }
+
+  test("non-positive admission caps fail at stream construction, not by stalling") {
+    val store = freshStore()
+    store.commitSnapshot(Seq((1L, "a")).toDF("k", "v"))
+    Seq("streaming.max-bytes-per-trigger" -> "0",
+        "streaming.max-versions-per-trigger" -> "-1").foreach { case (k, v) =>
+      val q = readTable(store, Map(k -> v)).writeStream.format("memory")
+        .queryName(s"feed_badcap_${k.hashCode.abs}").start()
+      try {
+        val e = intercept[StreamingQueryException] { q.processAllAvailable() }
+        def msg(t: Throwable): String =
+          Option(t.getMessage).getOrElse("") +
+            Option(t.getCause).map(msg).getOrElse("")
+        assert(msg(e).contains("must be > 0"), msg(e))
+      } finally q.stop()
+    }
+  }
+
   test("stream refuses a partition-layout change across streamed versions") {
     val store = freshStore()
     store.commitSnapshot(Seq((1L, "a", "x")).toDF("k", "p", "v")) // plain

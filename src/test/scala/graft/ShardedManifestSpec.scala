@@ -551,6 +551,30 @@ class ShardedManifestSpec extends SparkSuite {
     }
   }
 
+  test("a marker orphaned by a crash AFTER commit is reclaimed within the grace") {
+    // writer crashes between the manifest landing and endStaging: the dir is
+    // committed and stays forever, so the dir-gone-plus-grace reclaim path
+    // can never fire — the sweep must drop the marker because the dir's
+    // manifest exists NOW
+    val root = graft.util.Scratch.dir("vac_stalemark")
+    val store = new TableStore(spark, root)
+    store.commitSnapshot(Seq((1L, "a")).toDF("k", "v"))
+    store.commitAppend(Seq((2L, "b")).toDF("k", "v"))
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val dataDir = new org.apache.hadoop.fs.Path(s"$root/data")
+    val dir = fs.listStatus(dataDir).map(_.getPath)
+      .filter(_.getName.startsWith("snap-1-")).head
+    val marker = new org.apache.hadoop.fs.Path(
+      dir.getParent, s".staging-${dir.getName}")
+    fs.create(marker, true).close() // fresh — inside the grace window
+    store.vacuum(keepSnapshots = 5)
+    assert(!fs.exists(marker),
+      "marker of a committed dir must be reclaimed, not kept as litter")
+    assert(fs.exists(dir), "the committed dir itself must survive")
+    assert(store.readSnapshot(1).count() == 2)
+  }
+
   test("concurrent vacuum loop under a committing writer: no lost files, all snapshots readable") {
     withThreshold(0, filesPerShard = 4) {
       val store = new TableStore(spark, graft.util.Scratch.dir("vac_race"))
