@@ -613,10 +613,12 @@ private[catalog] final class StatsPruningScanBuilder(name: String,
   private var inner: ScanBuilder = _
   private var converted: Array[V1Filter] = Array.empty
   private var pendingPrune: Option[StructType] = None
+  private var pushedExprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Nil
 
   private def ensureInner(files: Seq[String],
       exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Unit =
     if (inner == null) {
+      RuntimePruning.lastPlannedFiles.put(name, files.size)
       inner = org.apache.spark.sql.graftbridge.ParquetTableBridge
         .create(name, store.spark, files, m.schema)
         .asInstanceOf[SupportsRead].newScanBuilder(options)
@@ -632,6 +634,7 @@ private[catalog] final class StatsPruningScanBuilder(name: String,
       f -> V2PredicateTranslator.v1FilterToCatalyst(f, m.schema))
     val exprs = pairs.flatMap(_._2).toSeq
     converted = pairs.collect { case (f, Some(_)) => f }
+    pushedExprs = exprs
     // sharded manifests evaluate the bounds as a distributed scan over the
     // manifest shards — only surviving files reach the driver's scan plan
     ensureInner(store.pruneCandidatePaths(m, exprs), exprs)
@@ -647,19 +650,56 @@ private[catalog] final class StatsPruningScanBuilder(name: String,
       .pruneColumns(requiredSchema)
   }
 
-  override def build(): org.apache.spark.sql.connector.read.Scan = {
-    ensureInner(store.pruneCandidatePaths(m, Nil), Nil)
-    val scan = inner.build()
-    // Bucketed layouts ARE key-grouped on disk: report it so co-bucketed
-    // joins drop both exchanges (storage-partitioned join). Gated on the
-    // stock v2-bucketing conf, so default-session plans are untouched.
-    val spjOn = store.spark.conf
-      .getOption("spark.sql.sources.v2.bucketing.enabled").contains("true")
+  private def spjOn: Boolean = store.spark.conf
+    .getOption("spark.sql.sources.v2.bucketing.enabled").contains("true")
+
+  // Bucketed layouts ARE key-grouped on disk: report it so co-bucketed
+  // joins drop both exchanges (storage-partitioned join). Gated on the
+  // stock v2-bucketing conf, so default-session plans are untouched.
+  private def wrapKeyGrouped(scan: org.apache.spark.sql.connector.read.Scan)
+      : org.apache.spark.sql.connector.read.Scan =
     if (spjOn && m.bucketKeys.nonEmpty && m.numBuckets > 0)
       new org.apache.spark.sql.graftbridge.KeyGroupedScanBridge
         .BucketKeyGroupedScan(scan, m.numBuckets, m.bucketKeys,
           TableStore.bucketOfFile)
     else scan
+
+  /** Full re-plan under `pushed ∧ extra` — the runtime-filter path: prune
+    * the file list again (bucket derivation + stats, distributed over
+    * manifest shards when sharded), rebuild the parquet scan over the
+    * survivors with the same pushdown and column pruning, and re-apply the
+    * key-grouped wrap so SPJ properties survive the swap. */
+  private def replanWith(
+      extra: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : org.apache.spark.sql.connector.read.Scan = {
+    val exprs = pushedExprs ++ extra
+    val files = store.pruneCandidatePaths(m, exprs)
+    RuntimePruning.lastPlannedFiles.put(name, files.size)
+    val sb = org.apache.spark.sql.graftbridge.ParquetTableBridge
+      .create(name, store.spark, files, m.schema)
+      .asInstanceOf[SupportsRead].newScanBuilder(options)
+    if (exprs.nonEmpty)
+      org.apache.spark.sql.graftbridge.CatalystPushBridge.push(sb, exprs)
+    pendingPrune.foreach(s => sb
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
+      .pruneColumns(s))
+    wrapKeyGrouped(sb.build())
+  }
+
+  override def build(): org.apache.spark.sql.connector.read.Scan = {
+    ensureInner(store.pruneCandidatePaths(m, Nil), Nil)
+    val scan = wrapKeyGrouped(inner.build())
+    // Bucketed tables advertise their keys for join-driven runtime pruning
+    // (the DSv2 dynamic-pruning contract): a selective dim-side filter
+    // narrows the fact scan to the buckets its join keys hash into.
+    if (m.bucketKeys.nonEmpty && m.numBuckets > 0) {
+      if (spjOn)
+        new KeyedRuntimePrunableScan(m.bucketKeys, m.schema, replanWith, scan,
+          new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+            Array(org.apache.spark.sql.connector.expressions.Expressions
+              .bucket(m.numBuckets, m.bucketKeys: _*)), m.numBuckets))
+      else new RuntimePrunableScan(m.bucketKeys, m.schema, replanWith, scan)
+    } else scan
   }
 }
 

@@ -1,0 +1,96 @@
+package graft.catalog
+
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.{Batch, Scan, SupportsReportPartitioning, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.partitioning.Partitioning
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types.StructType
+
+/** Join-driven runtime file pruning for bucketed snapshots (the DSv2 analog
+  * of dynamic partition pruning, SPARK-35779 — what Iceberg does for its
+  * partition columns).
+  *
+  * A star-schema probe — `fact JOIN dim ON fact.k = dim.k WHERE dim.attr =
+  * x` — carries no literal predicate on `k`, so static planning cannot
+  * bucket-prune the fact scan and at 100 TB it reads the whole table even
+  * though the dim side selects a handful of keys. Advertising the bucket
+  * keys through [[SupportsRuntimeFiltering]] makes Spark's dynamic-pruning
+  * planner build an IN-subquery over the dim side's join keys (reusing the
+  * join's own broadcast) and hand the key set to [[filter]] before the scan
+  * executes; the key set re-derives the touched buckets exactly as a
+  * literal `k IN (...)` would ([[graft.store.TableStore.keyEqualityBuckets]]
+  * ∩ file stats), and the scan replans over the surviving files only. The
+  * reference pins this access shape as the table's primary one
+  * (README.md:81-84 — DynamoDB `Query` on the partition key); runtime
+  * pruning extends it from literal point lookups to joins.
+  *
+  * The wrapper delegates everything to the currently-planned scan and
+  * swaps the delegate when a runtime filter arrives; Spark calls `toBatch`
+  * again after `filter` (BatchScanExec.filteredPartitions) so the rebuilt
+  * plan is the one that executes. Translation is best-effort: a filter
+  * shape the store cannot use (or an oversized IN set, [[MaxRuntimeInValues]])
+  * leaves the delegate unchanged — runtime pruning is an optimization, and
+  * every pushed filter is also re-checked post-scan by the Filter node the
+  * scan builder keeps. */
+class RuntimePrunableScan(attrs: Seq[String], schema: StructType,
+    rebuild: Seq[Expression] => Scan,
+    @volatile private var delegate: Scan) extends Scan
+    with SupportsRuntimeFiltering {
+
+  override def readSchema(): StructType = delegate.readSchema()
+  override def description(): String =
+    s"runtimePrunable[${attrs.mkString(",")}] ${delegate.description()}"
+  override def toBatch: Batch = delegate.toBatch
+  override def supportedCustomMetrics() = delegate.supportedCustomMetrics()
+  override def reportDriverMetrics() = delegate.reportDriverMetrics()
+  override def columnarSupportMode() = delegate.columnarSupportMode()
+
+  override def filterAttributes(): Array[NamedReference] =
+    attrs.map(Expressions.column).toArray
+
+  override def filter(filters: Array[Filter]): Unit = {
+    val exprs = filters.toSeq
+      .flatMap(V2PredicateTranslator.v1FilterToCatalyst(_, schema))
+    if (exprs.nonEmpty &&
+        exprs.map(RuntimePruning.inValueCount).sum <= RuntimePruning.MaxRuntimeInValues)
+      delegate = rebuild(exprs)
+  }
+}
+
+/** [[RuntimePrunableScan]] for scans that also report their key-grouped
+  * (storage-partitioned-join) layout. The partitioning is a property of the
+  * table layout, not of the surviving file set, so it is constant across
+  * runtime re-plans; BatchScanExec tolerates filtered-out partition values
+  * (it backfills empty partitions) but would reject a scan that stopped
+  * reporting partitioning mid-plan. */
+final class KeyedRuntimePrunableScan(attrs: Seq[String], schema: StructType,
+    rebuild: Seq[Expression] => Scan, initial: Scan,
+    partitioning: Partitioning)
+    extends RuntimePrunableScan(attrs, schema, rebuild, initial)
+    with SupportsReportPartitioning {
+  override def outputPartitioning(): Partitioning = partitioning
+}
+
+object RuntimePruning {
+  /** An IN set past this size stops paying for itself: bucket derivation
+    * hashes every value and stats pruning bounds-checks every (file, value)
+    * pair on the driver, while selectivity (and so pruning yield)
+    * collapses. Mirrors the spirit of Spark's own DPP benefit heuristics. */
+  val MaxRuntimeInValues = 100000
+
+  private[graft] def inValueCount(e: Expression): Int = {
+    import org.apache.spark.sql.catalyst.expressions.{And, In, Or}
+    e match {
+      case In(_, vs) => vs.size
+      case And(l, r) => inValueCount(l) + inValueCount(r)
+      case Or(l, r) => inValueCount(l) + inValueCount(r)
+      case _ => 1
+    }
+  }
+
+  /** Last planned data-file count per table name — a test probe (specs
+    * assert the post-runtime-filter re-plan touched fewer files), updated by
+    * the scan builder on every (re-)plan. */
+  val lastPlannedFiles = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+}

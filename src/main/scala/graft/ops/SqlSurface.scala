@@ -141,11 +141,54 @@ object SqlSurface {
          |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin)
   }
 
+  /** Join-driven runtime file pruning (SPARK-35779, Iceberg's DPP analog;
+    * RuntimeFilterSpec pins the planned-file count): the bucketed fact scan
+    * advertises its bucket keys via `SupportsRuntimeFiltering`, the
+    * selective dim filter's join keys arrive as a runtime IN set, and the
+    * scan re-plans over `keyEqualityBuckets(IN) ∩ stats` survivors — the
+    * DynamoDB key-condition access path (reference README.md:81-84)
+    * extended from literal lookups to star joins. At 100 TB: reads the few
+    * buckets the surviving dim keys hash into, not the fact table. */
+  private val sqlJoinRuntimePrune: Q = (s, d) => {
+    val cat = catalogFor(s, d)
+    val wh = warehouseFor(d)
+    s.sql(s"DROP TABLE IF EXISTS $cat.analytics.lineitem_rt")
+    new TableStore(s, s"$wh/analytics/lineitem_rt").commitBucketed(
+      load(s, d, "lineitem").select(col("l_orderkey"), col("l_returnflag"),
+        col("l_quantity")),
+      keys = Seq("l_orderkey"), numBuckets = 16)
+    s.catalog.refreshTable(s"$cat.analytics.lineitem_rt")
+    load(s, d, "orders").createOrReplaceTempView("orders_rt_dim")
+    val saved = Seq(
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats",
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio")
+      .map(k => k -> s.conf.getOption(k))
+    s.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    s.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "10.0")
+    try {
+      val out = s.sql(
+        s"""SELECT l.l_returnflag, COUNT(*) AS n,
+           |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+           |FROM $cat.analytics.lineitem_rt l
+           |JOIN orders_rt_dim o ON l.l_orderkey = o.o_orderkey
+           |WHERE o.o_orderstatus = 'F' AND o.o_totalprice > 500000.0
+           |GROUP BY l.l_returnflag
+           |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin)
+      out.count() // materialize under the forced-DPP confs, not lazily after
+      out
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
   val queries: Map[String, Q] = Map(
     "sql_catalog" -> sqlCatalog,
     "sql_catalog_write" -> sqlCatalogWrite,
     "sql_catalog_merge" -> sqlCatalogMerge,
-    "sql_join_colocated" -> sqlJoinColocated)
+    "sql_join_colocated" -> sqlJoinColocated,
+    "sql_join_runtime_prune" -> sqlJoinRuntimePrune)
 
   val oracles: Map[String, String] = Map(
     "sql_catalog" ->
@@ -188,6 +231,14 @@ object SqlSurface {
         |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         |WHERE o.o_orderstatus = 'O'
+        |GROUP BY l.l_returnflag
+        |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
+
+    "sql_join_runtime_prune" ->
+      """SELECT l.l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE o.o_orderstatus = 'F' AND o.o_totalprice > 500000.0
         |GROUP BY l.l_returnflag
         |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
   )
