@@ -1,7 +1,7 @@
 package graft.catalog
 
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
-import org.apache.spark.sql.connector.read.{Batch, Scan, SupportsReportPartitioning, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.{Batch, Scan, Statistics, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.partitioning.Partitioning
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.sources.Filter
@@ -36,8 +36,10 @@ import org.apache.spark.sql.types.StructType
 class RuntimePrunableScan(attrs: Seq[String], schema: StructType,
     rebuild: Seq[Expression] => Scan,
     @volatile private var delegate: Scan) extends Scan
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering with SupportsReportStatistics {
 
+  override def estimateStatistics(): Statistics =
+    org.apache.spark.sql.graftbridge.KeyGroupedScanBridge.forwardStats(delegate)
   override def readSchema(): StructType = delegate.readSchema()
   override def description(): String =
     s"runtimePrunable[${attrs.mkString(",")}] ${delegate.description()}"

@@ -2,7 +2,7 @@ package org.apache.spark.sql.graftbridge
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.expressions.Expressions
-import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReaderFactory, Scan, SupportsReportPartitioning}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReaderFactory, Scan, Statistics, SupportsReportPartitioning, SupportsReportStatistics}
 import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning}
 import org.apache.spark.sql.execution.datasources.{FilePartition, PartitionedFile}
 import org.apache.spark.sql.types.StructType
@@ -34,9 +34,22 @@ object KeyGroupedScanBridge {
     override def partitionKey(): InternalRow = key
   }
 
+  /** Forwarded size/row estimates (the join planner's broadcast decision
+    * reads them): a wrapper that hides the parquet scan's
+    * SupportsReportStatistics silently re-prices the table at
+    * `defaultSizeInBytes` — a small bucketed dim then never broadcasts. */
+  def forwardStats(inner: Scan): Statistics = inner match {
+    case s: SupportsReportStatistics => s.estimateStatistics()
+    case _ => new Statistics {
+      override def sizeInBytes() = java.util.OptionalLong.empty()
+      override def numRows() = java.util.OptionalLong.empty()
+    }
+  }
+
   final class BucketKeyGroupedScan(inner: Scan, numBuckets: Int,
       bucketKeys: Seq[String], bucketOf: String => Option[Long]) extends Scan
-      with SupportsReportPartitioning {
+      with SupportsReportPartitioning with SupportsReportStatistics {
+    override def estimateStatistics(): Statistics = forwardStats(inner)
     override def readSchema(): StructType = inner.readSchema()
     override def description(): String =
       s"KeyGrouped(bucket($numBuckets, ${bucketKeys.mkString(",")})) ${inner.description()}"

@@ -104,6 +104,29 @@ class RuntimeFilterSpec extends SparkSuite {
     }
   }
 
+  test("wrapped bucketed scans still report size stats: small dim auto-broadcasts") {
+    setup
+    // both wraps engaged (SPJ conf on + runtime-prunable): the scan must
+    // still forward the parquet scan's size estimate — losing it re-prices
+    // the dim at defaultSizeInBytes and the join falls back to shuffle
+    withConfs("spark.sql.sources.v2.bucketing.enabled" -> "true") {
+      val dimB = new TableStore(spark, s"$wh/a/dimb")
+      if (dimB.currentVersion() < 0) {
+        import spark.implicits._
+        dimB.commitBucketed(
+          (1L to 100L).map(k => (k, s"t$k")).toDF("k", "tag"), Seq("k"), 4)
+      }
+      spark.catalog.refreshTable(s"$cat.a.dimb")
+      val df = spark.sql(
+        s"""SELECT f.l_orderkey, d.tag FROM $cat.a.fact f
+           |JOIN $cat.a.dimb d ON f.l_orderkey = d.k""".stripMargin)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"),
+        s"small bucketed dim should broadcast:\n$plan")
+      assert(df.count() > 0)
+    }
+  }
+
   test("an oversized runtime IN set leaves the scan unpruned (guard, not a failure)") {
     setup
     import org.apache.spark.sql.catalyst.expressions.{AttributeReference, In, Literal}
