@@ -110,32 +110,62 @@ private[catalog] final class CowScanBuilder(store: TableStore, version: Long,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = Some(requiredSchema)
 
-  override def build(): org.apache.spark.sql.connector.read.Scan = {
-    val m = store.manifest(version)
-    val spark = store.spark
+  /** Group selection under `exprs` — shared by the static build and the
+    * runtime-filter re-plan. */
+  private def select(m: TableStore.Manifest,
+      exprs: Seq[Expression]): (CowGroups, Seq[String]) = {
     val schemaParts = m.partitionBy.filter(m.schema.fieldNames.contains)
-    val candidates = store.pruneCandidatePaths(m, cond)
-    val (groups, paths) =
-      if (m.bucketKeys.nonEmpty) {
-        val statsBuckets = candidates.flatMap(TableStore.bucketOfFile).toSet
-        val touched =
-          (if (cond.isEmpty) None else SnapshotTable.keyEqualityBuckets(cond, m)) match {
-            case Some(keyBuckets) => keyBuckets intersect statsBuckets
-            case None => statsBuckets
-          }
-        (CowBuckets(touched), store.bucketFilePaths(m, touched))
-      } else if (schemaParts.nonEmpty || cond.isEmpty ||
-        candidates.size.toLong == m.nFiles)
-        (CowWhole, store.scanPaths(version))
-      else (CowFiles(candidates), candidates)
-    op.groups = groups
+    val candidates = store.pruneCandidatePaths(m, exprs)
+    if (m.bucketKeys.nonEmpty) {
+      val statsBuckets = candidates.flatMap(TableStore.bucketOfFile).toSet
+      val touched =
+        (if (exprs.isEmpty) None else SnapshotTable.keyEqualityBuckets(exprs, m)) match {
+          case Some(keyBuckets) => keyBuckets intersect statsBuckets
+          case None => statsBuckets
+        }
+      (CowBuckets(touched), store.bucketFilePaths(m, touched))
+    } else if (schemaParts.nonEmpty || exprs.isEmpty ||
+      candidates.size.toLong == m.nFiles)
+      (CowWhole, store.scanPaths(version))
+    else (CowFiles(candidates), candidates)
+  }
+
+  private def mkInner(m: TableStore.Manifest, paths: Seq[String])
+      : org.apache.spark.sql.connector.read.Scan = {
     val inner = org.apache.spark.sql.graftbridge.ParquetTableBridge
-      .create(s"${op.description()}-scan", spark, paths, m.schema)
+      .create(s"${op.description()}-scan", store.spark, paths, m.schema)
       .asInstanceOf[SupportsRead].newScanBuilder(options)
     required.foreach(r =>
       inner.asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
         .pruneColumns(r))
     inner.build()
+  }
+
+  override def build(): org.apache.spark.sql.connector.read.Scan = {
+    val m = store.manifest(version)
+    val (groups, paths) = select(m, cond)
+    op.groups = groups
+    RuntimePruning.lastPlannedFiles.put(s"${op.description()}-scan", paths.size)
+    val scan = mkInner(m, paths)
+    // Runtime group filtering (SPARK-38005's COW half): a MERGE whose ON
+    // condition carries no literals selects every bucket statically, but
+    // Spark's RowLevelOperationRuntimeGroupFiltering computes the MATCHED
+    // rows' bucket-key values at runtime and hands them here as an IN set —
+    // the rewrite then replaces only the buckets containing matches, and
+    // the write's group selection ([[GraftRowLevelOperation.groups]]) is
+    // re-narrowed in the same call, so scan and commit stay consistent.
+    // Inserted rows outside the narrowed set are safe by construction:
+    // commitIncremental APPENDS staged rows of untouched buckets while
+    // replacing touched ones. Spark disables the rule itself when a MERGE
+    // has NOT MATCHED BY SOURCE clauses (every group is affected).
+    if (m.bucketKeys.nonEmpty && m.numBuckets > 0)
+      new RuntimePrunableScan(m.bucketKeys, m.schema, extra => {
+        val (g2, p2) = select(m, cond ++ extra)
+        op.groups = g2
+        RuntimePruning.lastPlannedFiles.put(s"${op.description()}-scan", p2.size)
+        mkInner(m, p2)
+      }, scan)
+    else scan
   }
 }
 

@@ -353,6 +353,69 @@ class GraftCatalogSpec extends SparkSuite {
     assert(rows == Seq((1L, "a", 10L), (2L, "B2", 200L), (9L, "new", 90L)))
   }
 
+  test("MERGE runtime group filtering rewrites only buckets containing matches") {
+    // ON t.k = s.k carries no literals, so static selection is ALL buckets;
+    // RowLevelOperationRuntimeGroupFiltering hands the matched keys to the
+    // COW scan at runtime and the commit must replace only their buckets,
+    // inheriting every other file byte-identical (SPARK-38005 COW analog).
+    val store = new TableStore(spark, s"$warehouse/analytics/mrg_rt")
+    store.commitBucketed(
+      (1L to 64L).map(k => (k, s"v$k", k * 10L)).toDF("k", "s", "n"),
+      Seq("k"), numBuckets = 8)
+    val m0 = store.manifest(0)
+    // source hits 2 keys -> at most 2 buckets; plus one brand-new key whose
+    // bucket may be un-matched (insert must append, not replace)
+    Seq((5L, "up5", 500L), (6L, "up6", 600L), (999L, "new", 1L))
+      .toDF("k", "s", "n").createOrReplaceTempView("mrg_rt_src")
+    spark.sql(
+      """MERGE INTO spec_cat.analytics.mrg_rt t USING mrg_rt_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET t.s = s.s, t.n = s.n
+        |WHEN NOT MATCHED THEN INSERT (k, s, n) VALUES (s.k, s.s, s.n)""".stripMargin)
+    val m1 = store.manifest(1)
+    val matchedBuckets = Seq(5L, 6L).toDF("k")
+      .select(TableStore.bucketExpr(Seq("k"), 8).as("b")).as[Long].collect().toSet
+    val insertBucket = Seq(999L).toDF("k")
+      .select(TableStore.bucketExpr(Seq("k"), 8).as("b")).as[Long].head()
+    val replaceable = matchedBuckets + insertBucket
+    m0.inlineFiles.filter(f =>
+      !replaceable.contains(TableStore.bucketOfFile(f).get)).foreach(f =>
+      assert(m1.inlineFiles.contains(f),
+        s"MERGE with runtime group filter rewrote an unmatched bucket: $f"))
+    // matched buckets WERE narrowed: their parent files are gone
+    m0.inlineFiles.filter(f =>
+      matchedBuckets.contains(TableStore.bucketOfFile(f).get)).foreach(f =>
+      assert(!m1.inlineFiles.contains(f),
+        s"matched bucket file should have been replaced: $f"))
+    spark.catalog.refreshTable("spec_cat.analytics.mrg_rt")
+    val got = spark.sql(
+      "SELECT k, s, n FROM spec_cat.analytics.mrg_rt WHERE k IN (4,5,6,999) ORDER BY k")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(got == Seq((4L, "v4", 40L), (5L, "up5", 500L), (6L, "up6", 600L),
+      (999L, "new", 1L)))
+    assert(spark.sql("SELECT COUNT(*) FROM spec_cat.analytics.mrg_rt")
+      .head().getLong(0) == 65)
+  }
+
+  test("MERGE with NOT MATCHED BY SOURCE touches every bucket (group filter must stand down)") {
+    val store = new TableStore(spark, s"$warehouse/analytics/mrg_nmbs")
+    store.commitBucketed(
+      (1L to 32L).map(k => (k, k * 10L)).toDF("k", "n"), Seq("k"), numBuckets = 8)
+    Seq((5L, 500L)).toDF("k", "n").createOrReplaceTempView("mrg_nmbs_src")
+    // not-matched-by-source rows live in EVERY bucket; pruning any bucket
+    // would silently keep its rows alive
+    spark.sql(
+      """MERGE INTO spec_cat.analytics.mrg_nmbs t USING mrg_nmbs_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET t.n = s.n
+        |WHEN NOT MATCHED BY SOURCE AND t.k > 30 THEN DELETE""".stripMargin)
+    spark.catalog.refreshTable("spec_cat.analytics.mrg_nmbs")
+    val got = spark.sql(
+      "SELECT k, n FROM spec_cat.analytics.mrg_nmbs ORDER BY k")
+      .as[(Long, Long)].collect().toSeq
+    assert(got.size == 30)
+    assert(got.find(_._1 == 5L).map(_._2).contains(500L))
+    assert(!got.exists(_._1 > 30))
+  }
+
   test("SQL reads skip files via manifest stats on non-partition predicates") {
     val store = new TableStore(spark, s"$warehouse/analytics/skippy")
     store.commitSnapshot((1L to 800L).map(i => (i, s"name$i")).toDF("k", "v")
