@@ -220,7 +220,41 @@ object Ingest {
       .orderBy(li.schema.fieldNames.map(c => col(c).asc_nulls_first): _*)
   }
 
+  /** Point lookup on a high-cardinality NON-key column via parquet-native
+    * bloom filters (`spark.graft.bloom.columns`): file stats cannot help
+    * here (every file's doc_id range spans the domain on an unclustered
+    * commit), but the per-row-group bloom written at commit time lets the
+    * parquet reader prove non-matching row groups empty from footer+bloom
+    * I/O alone. The commit asserts the bloom is present AND discriminating
+    * (a absent probe misses) — not just that the option was accepted. */
+  private val scanBloomLookup: Q = (s, d) => {
+    import org.apache.spark.sql.functions.min
+    val docs = load(s, d, "documents")
+      .select("doc_id", "lang", "source", "n_chars")
+    val saved = s.conf.getOption("spark.graft.bloom.columns")
+    s.conf.set("spark.graft.bloom.columns", "doc_id")
+    val store = new TableStore(s, graft.util.Scratch.dir("bloom_lkp"))
+    try store.commitSnapshot(docs.repartition(4))
+    finally saved match {
+      case Some(v) => s.conf.set("spark.graft.bloom.columns", v)
+      case None => s.conf.unset("spark.graft.bloom.columns")
+    }
+    val m = store.manifest(0)
+    val conf = s.sparkContext.hadoopConfiguration
+    val target = docs.agg(min("doc_id")).head.getLong(0)
+    val blooms = m.inlineFiles.map(f =>
+      graft.store.FileStats.bloomOfColumn(f, conf, "doc_id"))
+    require(blooms.forall(_.nonEmpty), "bloom filter missing from a footer")
+    require(blooms.flatten.exists(_.apply(target)),
+      "no file's bloom claims the present doc_id")
+    require(blooms.flatten.count(_.apply(-target - 1L)) <
+      blooms.size, "bloom accepts an absent value in every file — not discriminating")
+    store.readSnapshot().filter(col("doc_id") === target)
+      .orderBy(col("doc_id").asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
+    "scan_bloom_lookup" -> scanBloomLookup,
     "scan_ddb_export" -> scanDdbExport,
     "scan_incremental" -> scanIncremental,
     "scan_changelog" -> scanChangelog,
@@ -234,6 +268,11 @@ object Ingest {
   )
 
   val oracles: Map[String, String] = Map(
+    "scan_bloom_lookup" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id = (SELECT MIN(doc_id) FROM documents)
+        |ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
     "scan_incremental" ->
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
         |FROM orders WHERE o_orderkey % 3 = 0

@@ -322,6 +322,36 @@ object FileStats {
 
   // ------------------------------------------------------------------- JSON
 
+  /** The parquet-native bloom filter of `column` in `path`'s first row
+    * group, if the writer recorded one (`spark.graft.bloom.columns`).
+    * Returns a membership probe using the filter's own hasher (dispatching
+    * on the probe value's type, mirroring parquet's typed hash overloads),
+    * so specs can prove the filter is real and discriminating, not just
+    * present. */
+  def bloomOfColumn(path: String, conf: Configuration, column: String)
+      : Option[Any => Boolean] = {
+    val reader = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new Path(path), conf))
+    try {
+      val block = reader.getFooter.getBlocks.asScala.headOption.getOrElse(
+        return None)
+      val col = block.getColumns.asScala
+        .find(_.getPath.toDotString == column).getOrElse(return None)
+      val bloom = reader.getBloomFilterDataReader(block).readBloomFilter(col)
+      if (bloom == null) None
+      // the bitset is fully in memory once read — safe past reader.close()
+      else Some((v: Any) => bloom.findHash(v match {
+        case l: Long => bloom.hash(l)
+        case i: Int => bloom.hash(i)
+        case d: Double => bloom.hash(d)
+        case f: Float => bloom.hash(f)
+        case s: String => bloom.hash(Binary.fromString(s))
+        case b: Binary => bloom.hash(b)
+        case other => bloom.hash(Binary.fromString(other.toString))
+      }))
+    } finally reader.close()
+  }
+
   private def js(s: String) = "\"" + s.flatMap {
     case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
     case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString

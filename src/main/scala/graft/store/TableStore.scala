@@ -126,6 +126,30 @@ class TableStore(val spark: SparkSession, val root: String) {
     spark.conf.getOption("spark.graft.manifest.driverListCutoff")
       .map(_.toInt).getOrElse(64)
 
+  /** Parquet bloom filters for point-lookup columns
+    * (`spark.graft.bloom.columns` = csv of column names;
+    * `spark.graft.bloom.ndv` = expected distinct values per file, default
+    * 100k). High-cardinality IDs are the case file stats cannot help: every
+    * file's min/max spans the whole domain, so `WHERE id = x` on an
+    * unclustered column scans the table. A per-row-group bloom (written by
+    * parquet-mr, consulted automatically by its row-group filter on the
+    * pushed predicate) turns each non-matching file's read into
+    * footer+bloom I/O — the scan task opens the file, proves no row group
+    * can match, and emits nothing. Orthogonal to bucket pruning (which
+    * handles the BUCKET KEYS at file granularity without any I/O): blooms
+    * serve the non-key columns. Applied by every data-writing commit path
+    * so inherited-file semantics stay uniform — files written while the
+    * conf was unset simply carry no bloom and never skip. */
+  private def bloomWriteOptions: Map[String, String] =
+    spark.conf.getOption("spark.graft.bloom.columns") match {
+      case None => Map.empty
+      case Some(csv) =>
+        val ndv = spark.conf.getOption("spark.graft.bloom.ndv").getOrElse("100000")
+        csv.split(',').map(_.trim).filter(_.nonEmpty).flatMap(c => Seq(
+          s"parquet.bloom.filter.enabled#$c" -> "true",
+          s"parquet.bloom.filter.expected.ndv#$c" -> ndv)).toMap
+    }
+
   /** The per-file metadata relation of a snapshot — the unified surface the
     * scale paths consume. Sharded: a distributed parquet scan over the
     * manifest shards. Inline: the driver-held lists lifted to the same row
@@ -289,6 +313,7 @@ class TableStore(val spark: SparkSession, val root: String) {
     val snapDir = new Path(dataDir, s"snap-$next-${stagingSuffix()}")
     beginStaging(snapDir) // pin against a concurrent vacuum sweep
     val writer = applyFieldIds(df, idSchema).write.mode(SaveMode.Overwrite)
+      .options(bloomWriteOptions)
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
       .parquet(snapDir.toString)
     // hive layouts (in-schema partitionBy) always inline: their reads go
@@ -693,7 +718,8 @@ class TableStore(val spark: SparkSession, val root: String) {
     beginStaging(snapDir) // pin against a concurrent vacuum sweep
     applyFieldIds(df, idSchema)
       .withColumn(BucketCol, bucketExpr(keys, numBuckets))
-      .write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
+      .write.mode(SaveMode.Overwrite).options(bloomWriteOptions)
+      .partitionBy(BucketCol)
       .parquet(snapDir.toString)
     val tier = freshManifestMeta(snapDir, idSchema, next, bucketedDirs = true)
     val m = Manifest(next, parent, idSchema, snapDir.toString,
@@ -748,7 +774,8 @@ class TableStore(val spark: SparkSession, val root: String) {
     beginStaging(snapDir) // pin against a concurrent vacuum sweep
     applyFieldIds(changed, idSchema)
       .withColumn(BucketCol, bucketExpr(pm.bucketKeys, pm.numBuckets))
-      .write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
+      .write.mode(SaveMode.Overwrite).options(bloomWriteOptions)
+      .partitionBy(BucketCol)
       .parquet(snapDir.toString)
     val touchedSet = touched.toSet
     val tier: MetaTier =
@@ -838,10 +865,11 @@ class TableStore(val spark: SparkSession, val root: String) {
     beginStaging(snapDir) // pin against a concurrent vacuum sweep
     if (pm.bucketKeys.nonEmpty)
       aligned.withColumn(BucketCol, bucketExpr(pm.bucketKeys, pm.numBuckets))
-        .write.mode(SaveMode.Overwrite).partitionBy(BucketCol)
+        .write.mode(SaveMode.Overwrite).options(bloomWriteOptions)
+        .partitionBy(BucketCol)
         .parquet(snapDir.toString)
     else {
-      val w = aligned.write.mode(SaveMode.Overwrite)
+      val w = aligned.write.mode(SaveMode.Overwrite).options(bloomWriteOptions)
       (if (pm.partitionBy.nonEmpty) w.partitionBy(pm.partitionBy: _*) else w)
         .parquet(snapDir.toString)
     }
@@ -907,7 +935,8 @@ class TableStore(val spark: SparkSession, val root: String) {
     beginStaging(snapDir) // pin against a concurrent vacuum sweep
     applyFieldIds(replacement.select(pm.schema.fieldNames.map(
         org.apache.spark.sql.functions.col): _*), pm.schema)
-      .write.mode(SaveMode.Overwrite).parquet(snapDir.toString)
+      .write.mode(SaveMode.Overwrite).options(bloomWriteOptions)
+      .parquet(snapDir.toString)
     val tier: MetaTier =
       if (pm.isSharded) {
         // locate the shards holding replaced entries via their scan

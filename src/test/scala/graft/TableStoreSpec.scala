@@ -815,4 +815,35 @@ class TableStoreSpec extends SparkSuite {
       assert(fm.mod_ms > 0L, s"fabricated zero modTime for ${fm.path}")
     }
   }
+
+  test("bloom write options stamp real, discriminating blooms on every commit path") {
+    spark.conf.set("spark.graft.bloom.columns", "s")
+    spark.conf.set("spark.graft.bloom.ndv", "1000")
+    try {
+      val store = freshStore()
+      // bucketed commit + append: both write paths must carry the option
+      store.commitBucketed((1L to 50L).map(k => (k, s"id-$k")).toDF("k", "s"),
+        Seq("k"), 4)
+      store.commitAppend(Seq((51L, "id-51")).toDF("k", "s"))
+      val conf = spark.sparkContext.hadoopConfiguration
+      val files = store.manifest(1).inlineFiles
+      assert(files.nonEmpty)
+      val blooms = files.map(f =>
+        graft.store.FileStats.bloomOfColumn(f, conf, "s"))
+      assert(blooms.forall(_.nonEmpty), "a data file footer lacks the bloom")
+      assert(blooms.flatten.exists(_.apply("id-7")), "present value missed")
+      // a value never written should miss in at least one file (FPR << 1)
+      assert(blooms.flatten.count(_.apply("definitely-absent-xyz")) < files.size,
+        "bloom accepts an absent value everywhere — not discriminating")
+      // files written WITHOUT the conf carry no bloom (and never skip)
+      spark.conf.unset("spark.graft.bloom.columns")
+      val plain = freshStore()
+      plain.commitSnapshot(Seq((1L, "x")).toDF("k", "s"))
+      assert(graft.store.FileStats.bloomOfColumn(
+        plain.manifest(0).inlineFiles.head, conf, "s").isEmpty)
+    } finally {
+      spark.conf.unset("spark.graft.bloom.columns")
+      spark.conf.unset("spark.graft.bloom.ndv")
+    }
+  }
 }
