@@ -94,6 +94,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     else if (ident.name.endsWith("$files"))
       filesMetaTable(Identifier.of(ident.namespace,
         ident.name.stripSuffix("$files")))
+    else if (ident.name.endsWith("$partitions"))
+      partitionsMetaTable(Identifier.of(ident.namespace,
+        ident.name.stripSuffix("$partitions")))
     else snapshotTable(ident, None)
 
   /** `SELECT * FROM cat.ns.`tbl$snapshots`` — snapshot history as a queryable
@@ -154,6 +157,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           graft.store.FileStats.colsToJson(s.cols))).orNull)
     }.toArray[org.apache.spark.sql.catalyst.InternalRow]
     new MetaTable(s"${ident.name}$$files", schema, rows)
+  }
+
+  /** `SELECT * FROM cat.ns.`tbl$partitions`` — per-bucket file/byte/row
+    * totals (Iceberg's `$partitions` analog), the operational skew view: a
+    * hot bucket shows up as an outlier row here long before it shows up as
+    * a straggler task. Aggregated from the manifest metadata only — inline
+    * tiers on the driver, sharded tiers as a distributed scan over the
+    * shard files whose result is O(#buckets). */
+  private def partitionsMetaTable(ident: Identifier): Table = {
+    import org.apache.spark.sql.types._
+    val store = storeFor(ident)
+    val cur = store.currentVersion()
+    if (cur < 0) throw new NoSuchTableException(ident)
+    val m = store.manifest(cur)
+    val schema = StructType(Seq(
+      StructField("bucket", LongType), StructField("files", LongType),
+      StructField("bytes", LongType), StructField("rows", LongType)))
+    val agg = store.fileMetaDS(m)
+      .groupBy("bucket")
+      .agg(org.apache.spark.sql.functions.count("*").as("files"),
+        org.apache.spark.sql.functions.sum("bytes").as("bytes"),
+        org.apache.spark.sql.functions.sum("rows").as("rows"))
+      .orderBy("bucket")
+    val rows = agg.collect().map(r =>
+      org.apache.spark.sql.catalyst.InternalRow(
+        if (r.isNullAt(0)) null else Long.box(r.getLong(0)),
+        Long.box(r.getLong(1)), Long.box(r.getLong(2)), Long.box(r.getLong(3))))
+    new MetaTable(s"${ident.name}$$partitions", schema, rows)
   }
 
   /** `VERSION AS OF <n>` time travel → snapshot n. The `$files` metadata

@@ -167,11 +167,59 @@ object LlmPipeline {
       .orderBy(col("doc_id").asc_nulls_first)
   }
 
+  /** Deterministic global shuffle (`pipeline_shuffle`): the "shuffle the
+    * corpus before training" step. Each doc gets a pseudorandom-but-
+    * reproducible key (md5 of doc_id + seed) and a shard assignment from
+    * the key's hex prefix; the output ordering (shard, key) IS the training
+    * read order, and a `partitionBy(shard)` write of this frame yields
+    * ready-to-stream shards. Scale shape: map-only key derivation + ONE
+    * distributed range sort — no window, no single-reducer stage, no skew
+    * (md5 keys are uniform by construction). */
+  private val pipelineShuffle: Q = (s, d) => {
+    val key = md5(concat(col("doc_id").cast("string"), lit(":seed42")))
+    load(s, d, "documents")
+      .select(col("doc_id"), key.as("shuffle_key"))
+      .withColumn("shard",
+        expr("CAST(conv(substring(shuffle_key, 1, 6), 16, 10) AS BIGINT) % 8"))
+      .select(col("doc_id"), col("shard"), col("shuffle_key"))
+      .orderBy(col("shard").asc_nulls_first, col("shuffle_key").asc_nulls_first,
+        col("doc_id").asc_nulls_first)
+  }
+
+  /** Weighted source interleave (`pipeline_interleave`): compose the
+    * training mix by stride scheduling — source i with stride s_i
+    * contributes every s_i-th slot, so any prefix of the output holds the
+    * sources in ratio 1/s_i (the deterministic form of temperature-weighted
+    * sampling). Positions are INTEGER products (rank × stride): no float
+    * division, so the oracle hash-matches bit-exactly. Strides here derive
+    * from the source name (1 + n % 3); a real run would broadcast-join a
+    * weights table — the plumbing is identical. Scale note: the per-source
+    * rank window distributes by source; at 100 TB a dominant source should
+    * instead get its rank from the two-pass exclusive-scan-over-partition-
+    * counts pattern (compute per-partition counts, prefix-sum on the
+    * driver, add the offset map-side) — same output, no per-source
+    * reducer. */
+  private val pipelineInterleave: Q = (s, d) => {
+    val w = Window.partitionBy("source")
+      .orderBy(md5(col("doc_id").cast("string")).asc, col("doc_id").asc)
+    load(s, d, "documents")
+      .withColumn("stride",
+        (lit(1) + expr("CAST(SUBSTRING(source, 4) AS INT) % 3")).cast("long"))
+      .withColumn("src_rank", row_number().over(w).cast("long"))
+      .withColumn("mix_pos", col("src_rank") * col("stride"))
+      .select(col("doc_id"), col("source"), col("stride"), col("src_rank"),
+        col("mix_pos"))
+      .orderBy(col("mix_pos").asc_nulls_first, col("source").asc_nulls_first,
+        col("doc_id").asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
     "pipeline_decontaminate" -> pipelineDecontaminate,
     "sample_stratified" -> sampleStratified,
     "text_normalize" -> textNormalize,
     "pii_scrub" -> piiScrub,
+    "pipeline_shuffle" -> pipelineShuffle,
+    "pipeline_interleave" -> pipelineInterleave,
   )
 
   val oracles: Map[String, String] = Map(
@@ -243,5 +291,33 @@ object LlmPipeline {
         |    '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS scrubbed_md5
         |FROM p ORDER BY doc_id ASC NULLS FIRST""".stripMargin,
+
+    "pipeline_shuffle" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    MD5(CAST(doc_id AS VARCHAR) || ':seed42') AS shuffle_key
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(('0x' || SUBSTR(shuffle_key, 1, 6)) AS BIGINT) % 8 AS shard,
+        |  shuffle_key
+        |FROM k
+        |ORDER BY shard ASC NULLS FIRST, shuffle_key ASC NULLS FIRST,
+        |  doc_id ASC NULLS FIRST""".stripMargin,
+
+    "pipeline_interleave" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    CAST(1 + CAST(SUBSTR(source, 4) AS INT) % 3 AS BIGINT) AS stride,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+        |      ORDER BY MD5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS BIGINT)
+        |      AS src_rank
+        |  FROM documents
+        |)
+        |SELECT doc_id, source, stride, src_rank,
+        |  src_rank * stride AS mix_pos
+        |FROM r
+        |ORDER BY mix_pos ASC NULLS FIRST, source ASC NULLS FIRST,
+        |  doc_id ASC NULLS FIRST""".stripMargin,
   )
 }

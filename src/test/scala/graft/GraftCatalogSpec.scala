@@ -663,6 +663,29 @@ class GraftCatalogSpec extends SparkSuite {
     assert(e2.getMessage.contains("bucket-key"), e2.getMessage)
   }
 
+  test("$partitions metadata table surfaces per-bucket totals (skew view)") {
+    val store = new TableStore(spark, s"$warehouse/analytics/pmeta")
+    store.commitBucketed(
+      (1L to 200L).map(k => (k, s"v$k")).toDF("k", "s"), Seq("k"), 4)
+    val rows = spark.sql(
+      "SELECT bucket, files, bytes, rows FROM spec_cat.analytics.`pmeta$partitions` ORDER BY bucket")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(rows.map(_._1) == (0L to 3L))
+    assert(rows.map(_._4).sum == 200L, s"row totals wrong: $rows")
+    assert(rows.forall(r => r._2 >= 1 && r._3 > 0))
+    // sharded tier: same answer through the distributed metadata scan
+    spark.conf.set("spark.graft.manifest.inlineThreshold", "0")
+    try {
+      val st2 = new TableStore(spark, s"$warehouse/analytics/pmeta_sh")
+      st2.commitBucketed(
+        (1L to 200L).map(k => (k, s"v$k")).toDF("k", "s"), Seq("k"), 4)
+      val sh = spark.sql(
+        "SELECT bucket, rows FROM spec_cat.analytics.`pmeta_sh$partitions` ORDER BY bucket")
+        .as[(Long, Long)].collect().toSeq
+      assert(sh.map(_._1) == (0L to 3L) && sh.map(_._2).sum == 200L)
+    } finally spark.conf.unset("spark.graft.manifest.inlineThreshold")
+  }
+
   test("SHOW TABLES lists committed tables; DDL create/drop works") {
     commitOrders()
     val tables = spark.sql("SHOW TABLES IN spec_cat.analytics")

@@ -105,4 +105,34 @@ class LlmPipelineSpec extends SparkSuite {
     assert(out.length == (nDocs - nBench).toInt)
     assert(out.forall(r => r._3 <= r._2)) // hits never exceed gram count
   }
+
+  test("pipeline_interleave: any prefix holds each source at ~1/stride density") {
+    val rows = SparkEntry.queries("pipeline_interleave")(spark, sfDir)
+      .as[(Long, String, Long, Long, Long)].collect()
+    // stride scheduling invariant: source i's docs with mix_pos <= P number
+    // exactly min(count_i, floor(P / stride_i)) — the mix ratio is a
+    // certainty, not a statistical tendency
+    val perSource = rows.groupBy(_._2)
+    val p = 30L
+    perSource.foreach { case (src, docs) =>
+      val stride = docs.head._3
+      val inPrefix = docs.count(_._5 <= p)
+      val expect = math.min(docs.length.toLong, p / stride)
+      assert(inPrefix == expect,
+        s"$src stride=$stride prefix<=$p: got $inPrefix, want $expect")
+    }
+  }
+
+  test("pipeline_shuffle: reproducible keys, uniform-ish shards, no global window") {
+    val df = SparkEntry.queries("pipeline_shuffle")(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"shuffle must not plan a window:\n$plan")
+    val collected = df.collect()
+    val again = SparkEntry.queries("pipeline_shuffle")(spark, sfDir).collect()
+    assert(collected.sameElements(again), "shuffle order must be reproducible")
+    val shards = collected.map(_.getLong(1)).groupBy(identity).view.mapValues(_.length)
+    assert(shards.keys.toSet.subsetOf((0L to 7L).toSet))
+    assert(shards.values.min * 3 >= shards.values.max,
+      s"md5 shards badly skewed: ${shards.toMap}")
+  }
 }
