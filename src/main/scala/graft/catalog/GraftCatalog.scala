@@ -638,7 +638,8 @@ private[catalog] final class StatsPruningScanBuilder(name: String,
     store: TableStore, m: TableStore.Manifest,
     options: CaseInsensitiveStringMap) extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
-    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   import org.apache.spark.sql.sources.{Filter => V1Filter}
 
   private var inner: ScanBuilder = _
@@ -675,10 +676,129 @@ private[catalog] final class StatsPruningScanBuilder(name: String,
   override def pushedFilters(): Array[V1Filter] = converted
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
+    // with an aggregate pushed, the required schema is the AGG output — it
+    // never reaches the (unused) inner parquet builder
+    if (aggResult.isDefined) return
     pendingPrune = Some(requiredSchema)
     if (inner != null) inner
       .asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
       .pruneColumns(requiredSchema)
+  }
+
+  private var aggResult: Option[(StructType,
+    org.apache.spark.sql.catalyst.InternalRow)] = None
+
+  /** Metadata-served aggregates (Iceberg's `SELECT COUNT(*)` optimization,
+    * the DSv2 analog of parquet's footer aggregate pushdown — but from the
+    * MANIFEST, so a 100 TB table answers COUNT/MIN/MAX with ZERO file I/O,
+    * not even footer reads). Partial-pushdown contract: this scan emits one
+    * pre-aggregated row and Spark's final aggregate folds it, so a declined
+    * case (return false) is never wrong, just unoptimized. Soundness gates:
+    *  - no pushed filters (Spark itself blocks aggregate pushdown when a
+    *    residual Filter remains, and every graft filter is residual);
+    *  - no GROUP BY, no DISTINCT;
+    *  - COUNT(*): exact footer row counts for every file (both tiers; a
+    *    sharded summary with files>0 but rows==0 declines — that shape can
+    *    only come from the metaFromInline unknown-rows fallback);
+    *  - COUNT(col): per-file null counts for the column in EVERY file
+    *    (post-[[TableStore.Manifest.usableStat]], so re-added names with
+    *    stale stats decline rather than lie);
+    *  - MIN/MAX(col): integral/date/timestamp/decimal only — exact,
+    *    totally-ordered stats encodings. Strings decline (parquet writers
+    *    truncate binary bounds: a truncated max is an upper bound, not the
+    *    max); float/double decline (NaN-poisoned footer ordering). */
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    import org.apache.spark.sql.connector.expressions.aggregate._
+    import org.apache.spark.sql.types._
+    if (pushedExprs.nonEmpty || agg.groupByExpressions().nonEmpty) return false
+    def refName(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference
+          if nr.fieldNames().length == 1 => Some(nr.fieldNames()(0))
+      case _ => None
+    }
+    // per-file stats, dropped-name-filtered; None = a file without stats
+    val perFile: Option[Seq[(Long, Map[String, graft.store.FileStats.ColStat])]] =
+      if (m.isSharded) None
+      else {
+        val sts = m.inlineFiles.map(f => m.inlineStats.get(f).map(m.usableStat))
+        if (sts.exists(_.isEmpty)) None
+        else Some(sts.flatten.map(s => (s.rows, s.cols)))
+      }
+    lazy val totalRowsSharded: Option[Long] =
+      if (!m.isSharded) None
+      else if (m.shards.exists(r => r.files > 0 && r.rows == 0)) None
+      else Some(m.shards.map(_.rows).sum)
+    def minMaxOk(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType | DateType |
+           TimestampType | TimestampNTZType | _: DecimalType => true
+      case _ => false
+    }
+    def parse(s: String, dt: DataType): Any = dt match {
+      case ByteType => s.toByte
+      case ShortType => s.toShort
+      case IntegerType | DateType => s.toInt
+      case LongType | TimestampType | TimestampNTZType => s.toLong
+      case d: DecimalType =>
+        org.apache.spark.sql.types.Decimal(BigDecimal(s), d.precision, d.scale)
+      case other => throw new IllegalStateException(s"unexpected $other")
+    }
+    val resolved: Option[Seq[(DataType, Any)]] =
+      agg.aggregateExpressions().toSeq.foldLeft(
+        Option(Seq.empty[(DataType, Any)])) { (accOpt, fn) =>
+        accOpt.flatMap { acc =>
+          fn match {
+            case _: CountStar =>
+              perFile.map(fs => acc :+ (LongType -> fs.map(_._1).sum))
+                .orElse(totalRowsSharded.map(t => acc :+ (LongType -> t)))
+            case c: Count if !c.isDistinct =>
+              for {
+                fs <- perFile
+                n <- refName(c.column())
+                if fs.forall(_._2.contains(n))
+              } yield acc :+ (LongType ->
+                (fs.map(_._1).sum - fs.map(_._2(n).nulls).sum))
+            case mn: Min =>
+              for {
+                fs <- perFile
+                n <- refName(mn.column())
+                dt = m.schema.fields.find(_.name == n).map(_.dataType).orNull
+                if dt != null && minMaxOk(dt)
+                // every file: a defined lower bound, or provably all-NULL
+                if fs.forall { case (rows, cs) => cs.get(n).exists(c =>
+                  c.min.isDefined || c.nulls == rows) }
+                vals = fs.flatMap(_._2(n).min).map(parse(_, dt))
+              } yield acc :+ (dt ->
+                (if (vals.isEmpty) null
+                 else vals.minBy(v => BigDecimal(v.toString))))
+            case mx: Max =>
+              for {
+                fs <- perFile
+                n <- refName(mx.column())
+                dt = m.schema.fields.find(_.name == n).map(_.dataType).orNull
+                if dt != null && minMaxOk(dt)
+                if fs.forall { case (rows, cs) => cs.get(n).exists(c =>
+                  c.max.isDefined || c.nulls == rows) }
+                vals = fs.flatMap(_._2(n).max).map(parse(_, dt))
+              } yield acc :+ (dt ->
+                (if (vals.isEmpty) null
+                 else vals.maxBy(v => BigDecimal(v.toString))))
+            case _ => None
+          }
+        }
+      }
+    resolved match {
+      case Some(vals) if vals.nonEmpty =>
+        val schema = StructType(vals.zipWithIndex.map { case ((dt, _), i) =>
+          StructField(s"agg_$i", dt)
+        })
+        aggResult = Some((schema,
+          org.apache.spark.sql.catalyst.InternalRow.fromSeq(vals.map(_._2))))
+        true
+      case _ => false
+    }
   }
 
   private def spjOn: Boolean = store.spark.conf
@@ -718,6 +838,14 @@ private[catalog] final class StatsPruningScanBuilder(name: String,
   }
 
   override def build(): org.apache.spark.sql.connector.read.Scan = {
+    aggResult.foreach { case (schema, row) =>
+      return new org.apache.spark.sql.connector.read.LocalScan {
+        override def rows() = Array(row)
+        override def readSchema(): StructType = schema
+        override def description(): String =
+          s"graft-manifest-agg($name, ${schema.fieldNames.mkString(",")})"
+      }
+    }
     ensureInner(store.pruneCandidatePaths(m, Nil), Nil)
     val scan = wrapKeyGrouped(inner.build())
     // Bucketed tables advertise their keys for join-driven runtime pruning

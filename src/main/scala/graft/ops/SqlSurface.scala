@@ -183,12 +183,39 @@ object SqlSurface {
     }
   }
 
+  /** Manifest-served aggregates (`sql_agg_metadata`): COUNT(*) / COUNT(col)
+    * / MIN / MAX on a catalog table answer from per-file footer stats
+    * already in the manifest — a LocalScan row, ZERO file I/O (the plan
+    * must not contain a parquet scan; GraftCatalogSpec pins it). At 100 TB
+    * this is the difference between a metadata lookup and a full sweep for
+    * the row-count / freshness checks every orchestrator runs. */
+  private val sqlAggMetadata: Q = (s, d) => {
+    val cat = catalogFor(s, d)
+    val wh = warehouseFor(d)
+    val store = new TableStore(s, s"$wh/analytics/orders_agg")
+    if (store.currentVersion() < 0)
+      store.commitSnapshot(load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate")))
+    s.catalog.refreshTable(s"$cat.analytics.orders_agg")
+    val out = s.sql(
+      s"""SELECT COUNT(*) AS n_rows, COUNT(o_custkey) AS n_cust,
+         |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+         |  MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date
+         |FROM $cat.analytics.orders_agg""".stripMargin)
+    val plan = out.queryExecution.executedPlan.toString
+    require(plan.contains("graft-manifest-agg") || plan.contains("LocalTableScan"),
+      s"aggregate not served from the manifest:\n$plan")
+    require(!plan.contains("Parquet"), "manifest aggregate must not scan files")
+    out
+  }
+
   val queries: Map[String, Q] = Map(
     "sql_catalog" -> sqlCatalog,
     "sql_catalog_write" -> sqlCatalogWrite,
     "sql_catalog_merge" -> sqlCatalogMerge,
     "sql_join_colocated" -> sqlJoinColocated,
-    "sql_join_runtime_prune" -> sqlJoinRuntimePrune)
+    "sql_join_runtime_prune" -> sqlJoinRuntimePrune,
+    "sql_agg_metadata" -> sqlAggMetadata)
 
   val oracles: Map[String, String] = Map(
     "sql_catalog" ->
@@ -233,6 +260,12 @@ object SqlSurface {
         |WHERE o.o_orderstatus = 'O'
         |GROUP BY l.l_returnflag
         |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
+
+    "sql_agg_metadata" ->
+      """SELECT COUNT(*) AS n_rows, COUNT(o_custkey) AS n_cust,
+        |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+        |  MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date
+        |FROM orders""".stripMargin,
 
     "sql_join_runtime_prune" ->
       """SELECT l.l_returnflag, COUNT(*) AS n,

@@ -663,6 +663,44 @@ class GraftCatalogSpec extends SparkSuite {
     assert(e2.getMessage.contains("bucket-key"), e2.getMessage)
   }
 
+  test("COUNT/MIN/MAX answer from the manifest with zero file I/O; unsafe shapes decline") {
+    val store = new TableStore(spark, s"$warehouse/analytics/aggpd")
+    store.commitSnapshot(
+      (1L to 100L).map(k => (k, if (k % 10 == 0) null else s"s$k",
+        java.sql.Date.valueOf(s"2026-01-${(k % 28 + 1).toString.reverse.padTo(2, '0').reverse}")))
+        .toDF("k", "s", "d").repartition(4))
+    spark.catalog.refreshTable("spec_cat.analytics.aggpd")
+    val q = spark.sql(
+      "SELECT COUNT(*) AS n, COUNT(s) AS ns, MIN(k) AS mn, MAX(k) AS mx, MAX(d) AS md " +
+        "FROM spec_cat.analytics.aggpd")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-manifest-agg") || plan.contains("LocalTableScan"),
+      s"expected manifest-served aggregate, plan scans files:\n$plan")
+    assert(!plan.contains("Parquet"), s"no file scan expected:\n$plan")
+    val r = q.head()
+    assert(r.getLong(0) == 100L && r.getLong(1) == 90L)
+    assert(r.getLong(2) == 1L && r.getLong(3) == 100L)
+    assert(r.getDate(4).toString == "2026-01-28")
+    // declines: WHERE (residual filter), GROUP BY, string MIN (truncatable),
+    // DISTINCT — all must still scan and stay correct
+    Seq(
+      "SELECT COUNT(*) FROM spec_cat.analytics.aggpd WHERE k > 50" -> 50L,
+      "SELECT COUNT(DISTINCT s) FROM spec_cat.analytics.aggpd" -> 90L).foreach {
+      case (sql, want) =>
+        val d = spark.sql(sql)
+        assert(!d.queryExecution.executedPlan.toString.contains("graft-manifest-agg"),
+          s"unsafe shape must not push: $sql")
+        assert(d.head().getLong(0) == want, sql)
+    }
+    val smin = spark.sql("SELECT MIN(s) FROM spec_cat.analytics.aggpd")
+    assert(!smin.queryExecution.executedPlan.toString.contains("graft-manifest-agg"))
+    assert(smin.head().getString(0) == "s1")
+    val grp = spark.sql(
+      "SELECT k % 2, COUNT(*) FROM spec_cat.analytics.aggpd GROUP BY 1 ORDER BY 1")
+    assert(!grp.queryExecution.executedPlan.toString.contains("graft-manifest-agg"))
+    assert(grp.collect().map(_.getLong(1)).toSeq == Seq(50L, 50L))
+  }
+
   test("$partitions metadata table surfaces per-bucket totals (skew view)") {
     val store = new TableStore(spark, s"$warehouse/analytics/pmeta")
     store.commitBucketed(
