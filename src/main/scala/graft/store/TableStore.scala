@@ -396,6 +396,8 @@ class TableStore(val spark: SparkSession, val root: String) {
     if (m.bucketKeys.nonEmpty || multiDir || m.partitionBy.isEmpty)
       readFiles(m, m.inlineFiles)
     else {
+      require(!m.hasDvs,
+        "delete vectors are not supported on hive-partitioned layouts")
       val df = spark.read.schema(dataReadSchema(m)).parquet(m.location)
       // restore declared column order (partition columns come back last)
       df.select(m.schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
@@ -411,6 +413,9 @@ class TableStore(val spark: SparkSession, val root: String) {
   private def readShardedScan(m: Manifest): DataFrame = {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.graftbridge.StatsScanBridge
+    require(!m.hasDvs,
+      "delete vectors are an inline-tier feature; sharded tables mutate " +
+        "through the bucket-targeted COW paths")
     StatsScanBridge.dataFrame(spark, root, m.totalBytes, m.schema,
       filters => pruneRefs(m, m.schema, filters))
       .select(m.schema.fieldNames.map(col): _*)
@@ -422,6 +427,7 @@ class TableStore(val spark: SparkSession, val root: String) {
       metas: Seq[ManifestShards.FileMeta]): DataFrame = {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.graftbridge.StatsScanBridge
+    require(!m.hasDvs, "delete vectors are an inline-tier feature")
     if (metas.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
@@ -457,14 +463,59 @@ class TableStore(val spark: SparkSession, val root: String) {
     * hive-encoded by the writer; only `__HIVE_DEFAULT_PARTITION__` (NULL) is
     * decoded here, so partition on simple scalar values (ids, flags, dates) —
     * which is also the only kind that prunes well at 100 TB. */
-  private[graft] def readFiles(m: Manifest, files: Seq[String]): DataFrame = {
+  private[graft] def readFiles(m: Manifest, files: Seq[String]): DataFrame =
+    readFilesSel(m, files, withPos = false)
+
+  /** [[readFiles]] plus two trailing columns `_g_file`/`_g_pos` — the
+    * scan-qualified file path and file-absolute row position of each LIVE
+    * row (delete vectors already applied). The merge-on-read DML writers
+    * use it to address rows for positional deletes. */
+  private[graft] def readFilesWithPos(m: Manifest,
+      files: Seq[String]): DataFrame = readFilesSel(m, files, withPos = true)
+
+  /** All delete entries of the snapshot as `(file_path, pos)` rows. */
+  private[graft] def dvEntries(m: Manifest): DataFrame =
+    spark.read.schema(TableStore.DvSchema).parquet(m.dvRefs.map(_.path): _*)
+
+  /** Effective-rows filter for delete-vector snapshots: drop every
+    * `(file, pos)` the DV set names, via a broadcast anti-join on the
+    * parquet metadata columns. Positions are file-absolute (parquet row
+    * index), so the match is exact under splits, row-group skipping, and
+    * any task layout. The DV side stays small by the MOR contract —
+    * accumulating deletes get folded into data by [[purgeDeletes]] /
+    * [[compact]] long before broadcast scale is a concern; the anti-join is
+    * map-side, the corpus never shuffles. `df` must carry `_g_file`/`_g_pos`
+    * (see [[tagPos]]). */
+  private def dvFilter(tagged: DataFrame, m: Manifest): DataFrame =
+    if (!m.hasDvs) tagged
+    else {
+      import org.apache.spark.sql.functions.broadcast
+      val dv = dvEntries(m)
+      tagged.join(broadcast(dv),
+        tagged("_g_file") === dv("file_path") && tagged("_g_pos") === dv("pos"),
+        "left_anti")
+    }
+
+  private def tagPos(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.withColumn("_g_file", col("_metadata.file_path"))
+      .withColumn("_g_pos", col("_metadata.row_index"))
+  }
+
+  private def readFilesSel(m: Manifest, files: Seq[String],
+      withPos: Boolean): DataFrame = {
     import org.apache.spark.sql.functions._
-    if (files.isEmpty)
+    if (files.isEmpty) {
+      require(!withPos, "positional read of an empty file set")
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+    }
     // sharded manifests: look the subset up in the shard relation (O(subset)
     // driver residue) and serve the same stats-pruning scan
     if (m.isSharded) {
+      require(!withPos && !m.hasDvs,
+        "delete vectors are an inline-tier feature; sharded tables mutate " +
+          "through the bucket-targeted COW paths")
       val metas = metaFor(m, files)
       require(metas.size == files.distinct.size,
         s"${files.distinct.size - metas.size} files not in snapshot " +
@@ -473,6 +524,15 @@ class TableStore(val spark: SparkSession, val root: String) {
     }
     val partCols = m.partitionBy.filter(m.schema.fieldNames.contains)
     val dataSchema = StructType(m.schema.filterNot(f => partCols.contains(f.name)))
+    // DV-free reads skip the metadata tagging entirely — their plans stay
+    // byte-stock (referencing _metadata can inhibit scan optimizations).
+    val needTag = m.hasDvs || withPos
+    def finish(raw: DataFrame): DataFrame = {
+      val eff = if (needTag) dvFilter(tagPos(raw), m) else raw
+      val out = m.schema.fieldNames.map(col) ++
+        (if (withPos) Seq(col("_g_file"), col("_g_pos")) else Nil)
+      eff.select(out.toSeq: _*)
+    }
     // Stats-aware scan (VERDICT r4 missing #1): when every file carries
     // footer stats in the manifest, serve the scan through a pruning
     // FileIndex — pushed data filters skip files whose min/max bounds prove
@@ -484,16 +544,19 @@ class TableStore(val spark: SparkSession, val root: String) {
         val s = m.inlineStats(f)
         StatsScanBridge.FileRef(f, s.bytes, s.modTime)
       }
-      return StatsScanBridge.dataFrame(spark, root, refs.map(_.bytes).sum,
-        dataSchema,
+      return finish(StatsScanBridge.dataFrame(spark, root,
+        refs.map(_.bytes).sum, dataSchema,
         filters =>
           if (filters.isEmpty) refs
           else TableStore.bucketPrune(refs, filters, m)
             .filter(r => FileStats.mightMatch(
-              m.usableStat(m.inlineStats(r.path)), dataSchema, filters)))
-        .select(m.schema.fieldNames.map(col): _*)
+              m.usableStat(m.inlineStats(r.path)), dataSchema, filters))))
     }
     val base = spark.read.schema(dataSchema).parquet(files: _*)
+    if (partCols.isEmpty) return finish(base)
+    require(!m.hasDvs && !withPos,
+      "delete vectors / positional reads are not supported on " +
+        "hive-partitioned layouts")
     val withParts = partCols.foldLeft(base) { (d, c) =>
       val raw = regexp_extract(input_file_name(),
         "/" + java.util.regex.Pattern.quote(c) + "=([^/]+)/", 1)
@@ -678,6 +741,10 @@ class TableStore(val spark: SparkSession, val root: String) {
     * paths + schema. */
   def scanPaths(version: Long = -1L): Seq[String] = {
     val m = manifest(resolveVersion(version))
+    require(!m.hasDvs,
+      s"snapshot ${m.version} carries delete vectors; a raw path list would " +
+        "resurrect deleted rows — purgeDeletes()/compact() first, or read " +
+        "through TableStore")
     val qloc = fs.makeQualified(new Path(m.location)).toString
     // sharded manifests hand the external engine the full leaf list — an
     // O(#files) EXPORT by definition (counts as a driver materialization)
@@ -739,7 +806,8 @@ class TableStore(val spark: SparkSession, val root: String) {
     * new columns and read back as NULL. */
   def commitIncremental(changed: DataFrame, touched: Seq[Long],
       expectedParent: Option[Long] = None,
-      props: Map[String, String] = Map.empty): Long = {
+      props: Map[String, String] = Map.empty,
+      dropDvs: Boolean = false): Long = {
     val parent = checkParent(expectedParent)
     require(parent >= 0, "incremental commit requires an existing snapshot")
     val pm = manifest(parent)
@@ -801,7 +869,8 @@ class TableStore(val spark: SparkSession, val root: String) {
         val inherited = pm.inlineFiles.filter(f =>
           bucketOfFile(f).exists(b => !touchedSet.contains(b)))
         val fresh = listDataFiles(snapDir)
-        if (inherited.size + fresh.size <= inlineThreshold) {
+        if (inherited.size + fresh.size <= inlineThreshold ||
+            (pm.hasDvs && !dropDvs)) {
           val inheritedSet = inherited.toSet
           MetaTier(inherited ++ fresh,
             pm.inlineStats.filter(kv => inheritedSet(kv._1)) ++
@@ -819,7 +888,8 @@ class TableStore(val spark: SparkSession, val root: String) {
       System.currentTimeMillis(), pm.bucketKeys, pm.numBuckets,
       inlineStats = tier.inlineStats, props = props, shards = tier.shards,
       droppedCols = pm.droppedCols,
-      maxFieldId = idMax(idSchema, pm.highestFieldId))
+      maxFieldId = idMax(idSchema, pm.highestFieldId),
+      dvRefs = if (dropDvs) Nil else pm.dvRefs)
     commitOrCleanup(m, snapDir, tier.newShardDir)
   }
 
@@ -886,7 +956,10 @@ class TableStore(val spark: SparkSession, val root: String) {
         t.copy(shards = pm.shards ++ t.shards)
       } else {
         val fresh = listDataFiles(snapDir)
-        if (pm.inlineFiles.size + fresh.size <= inlineThreshold)
+        // a DV-carrying manifest stays inline past the threshold: the
+        // sharded tier has no DV column; purge/compact clears the DVs and
+        // the next commit shards normally
+        if (pm.inlineFiles.size + fresh.size <= inlineThreshold || pm.hasDvs)
           MetaTier(pm.inlineFiles ++ fresh,
             pm.inlineStats ++ FileStats.collect(spark, fresh, pm.schema),
             Nil, None)
@@ -906,7 +979,8 @@ class TableStore(val spark: SparkSession, val root: String) {
       tier.inlineFiles, pm.partitionBy,
       System.currentTimeMillis(), pm.bucketKeys, pm.numBuckets,
       inlineStats = tier.inlineStats, props = props, shards = tier.shards,
-      droppedCols = pm.droppedCols, maxFieldId = pm.highestFieldId)
+      droppedCols = pm.droppedCols, maxFieldId = pm.highestFieldId,
+      dvRefs = pm.dvRefs)
     commitOrCleanup(m, snapDir, tier.newShardDir)
   }
 
@@ -918,7 +992,7 @@ class TableStore(val spark: SparkSession, val root: String) {
     * layouts: replacing part of a snap dir would create the partial-inherit
     * shape external scanners cannot serve (see [[scanPaths]]). */
   def commitReplaceFiles(replaced: Seq[String], replacement: DataFrame,
-      expectedParent: Option[Long] = None): Long = {
+      expectedParent: Option[Long] = None, dropDvs: Boolean = false): Long = {
     val parent = checkParent(expectedParent)
     require(parent >= 0, "file-replace commit requires an existing snapshot")
     val pm = manifest(parent)
@@ -967,7 +1041,8 @@ class TableStore(val spark: SparkSession, val root: String) {
         val kept = pm.inlineFiles.filterNot(replacedSet)
         val fresh = listDataFiles(snapDir)
         val keptSet = kept.toSet
-        if (kept.size + fresh.size <= inlineThreshold)
+        if (kept.size + fresh.size <= inlineThreshold ||
+            (pm.hasDvs && !dropDvs))
           MetaTier(kept ++ fresh,
             pm.inlineStats.filter(kv => keptSet(kv._1)) ++
               FileStats.collect(spark, fresh, pm.schema), Nil, None)
@@ -981,8 +1056,177 @@ class TableStore(val spark: SparkSession, val root: String) {
     val m = Manifest(next, parent, pm.schema, snapDir.toString,
       tier.inlineFiles, pm.partitionBy, System.currentTimeMillis(),
       inlineStats = tier.inlineStats, shards = tier.shards,
-      droppedCols = pm.droppedCols, maxFieldId = pm.highestFieldId)
+      droppedCols = pm.droppedCols, maxFieldId = pm.highestFieldId,
+      dvRefs = if (dropDvs) Nil else pm.dvRefs)
     commitOrCleanup(m, snapDir, tier.newShardDir)
+  }
+
+  // ------------------------------------------- merge-on-read row-level DML
+
+  /** Resolve a user predicate against the snapshot schema into conjuncts of
+    * `AttributeReference`/`Literal` form — the shape the stats pruner and
+    * bucket derivation consume (a raw `Column` carries unresolved
+    * attributes, which would conservatively prune nothing). */
+  private def resolveCond(m: Manifest,
+      cond: org.apache.spark.sql.Column)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    val probe = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+      .filter(cond)
+    probe.queryExecution.analyzed.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f.condition
+    }.toSeq.flatMap(TableStore.splitConjuncts)
+  }
+
+  /** MERGE-ON-READ DELETE: commit a positional delete vector instead of
+    * rewriting data. Write volume is O(matched rows) DV entries — KBs where
+    * copy-on-write rewrites whole buckets — at the price of a read-side
+    * anti-join until [[purgeDeletes]] or [[compact]] folds the deletes in
+    * (Iceberg v2 positional deletes / Delta deletion vectors, the
+    * delete-heavy end of the reference's managed-table maintenance
+    * spectrum). The matched positions are computed on the DV-APPLIED view,
+    * so entries never repeat across commits and deleted-row counts stay
+    * exact. Inline-tier, non-hive layouts only; a no-match delete commits
+    * nothing. Returns the new version (or the current one if nothing
+    * matched). */
+  def deleteMor(cond: org.apache.spark.sql.Column,
+      expectedParent: Option[Long] = None,
+      props: Map[String, String] = Map.empty): Long = {
+    val parent = checkParent(expectedParent)
+    require(parent >= 0, "merge-on-read delete requires an existing snapshot")
+    val pm = manifest(parent)
+    require(!pm.isSharded,
+      "delete vectors are an inline-tier feature; sharded tables mutate " +
+        "through the bucket-targeted COW paths")
+    require(pm.partitionBy.filter(pm.schema.fieldNames.contains).isEmpty,
+      "delete vectors are not supported on hive-partitioned layouts")
+    val exprs = resolveCond(pm, cond)
+    val candidates = pruneCandidatePaths(pm, exprs)
+    if (candidates.isEmpty) return parent
+    val next = parent + 1
+    val snapDir = new Path(dataDir, s"snap-$next-${stagingSuffix()}")
+    beginStaging(snapDir)
+    val newRefs = writeDv(pm, cond, candidates, snapDir)
+    if (newRefs.isEmpty) { // predicate matched no live row: no-op
+      fs.delete(snapDir, true); endStaging(snapDir); return parent
+    }
+    val m = pm.copy(version = next, parent = parent,
+      location = snapDir.toString, committedAtMs = System.currentTimeMillis(),
+      props = props, dvRefs = pm.dvRefs ++ newRefs)
+    commitOrCleanup(m, snapDir)
+  }
+
+  /** MERGE-ON-READ UPDATE: one commit carrying (a) a delete vector masking
+    * the matched rows and (b) fresh data files with their updated images —
+    * write volume O(matched rows), never a bucket rewrite. Assignments may
+    * not touch bucket keys (row placement is a hash of the key value; a
+    * moved key needs the COW paths). Same tier/layout limits as
+    * [[deleteMor]]. */
+  def updateMor(cond: org.apache.spark.sql.Column,
+      set: Map[String, org.apache.spark.sql.Column],
+      expectedParent: Option[Long] = None): Long = {
+    import org.apache.spark.sql.functions.col
+    val parent = checkParent(expectedParent)
+    require(parent >= 0, "merge-on-read update requires an existing snapshot")
+    val pm = manifest(parent)
+    require(!pm.isSharded,
+      "delete vectors are an inline-tier feature; sharded tables mutate " +
+        "through the bucket-targeted COW paths")
+    require(pm.partitionBy.filter(pm.schema.fieldNames.contains).isEmpty,
+      "delete vectors are not supported on hive-partitioned layouts")
+    require(set.nonEmpty, "updateMor needs at least one assignment")
+    set.keys.foreach { k =>
+      require(pm.schema.fieldNames.contains(k), s"unknown update column $k")
+      require(!pm.bucketKeys.contains(k),
+        s"updateMor cannot reassign BUCKET KEY $k: row placement hashes the " +
+          "key value — route key changes through the COW paths")
+    }
+    val exprs = resolveCond(pm, cond)
+    val candidates = pruneCandidatePaths(pm, exprs)
+    if (candidates.isEmpty) return parent
+    val next = parent + 1
+    val snapDir = new Path(dataDir, s"snap-$next-${stagingSuffix()}")
+    beginStaging(snapDir)
+    val newRefs = writeDv(pm, cond, candidates, snapDir)
+    if (newRefs.isEmpty) {
+      fs.delete(snapDir, true); endStaging(snapDir); return parent
+    }
+    // replacement images of exactly the masked rows, appended as new files
+    val updated = readFilesWithPos(pm, candidates).filter(cond)
+      .select(pm.schema.fields.map(f =>
+        set.get(f.name).map(_.cast(f.dataType).as(f.name))
+          .getOrElse(col(f.name))).toSeq: _*)
+    val aligned = applyFieldIds(updated, pm.schema)
+    if (pm.bucketKeys.nonEmpty)
+      aligned.withColumn(BucketCol, bucketExpr(pm.bucketKeys, pm.numBuckets))
+        .write.mode(SaveMode.Append).options(bloomWriteOptions)
+        .partitionBy(BucketCol).parquet(snapDir.toString)
+    else
+      aligned.write.mode(SaveMode.Append).options(bloomWriteOptions)
+        .parquet(snapDir.toString)
+    val fresh = listDataFiles(snapDir).filterNot(dvPath(snapDir))
+    val m = pm.copy(version = next, parent = parent,
+      location = snapDir.toString, committedAtMs = System.currentTimeMillis(),
+      props = Map.empty,
+      inlineFiles = pm.inlineFiles ++ fresh,
+      inlineStats = pm.inlineStats ++ FileStats.collect(spark, fresh, pm.schema),
+      dvRefs = pm.dvRefs ++ newRefs)
+    commitOrCleanup(m, snapDir)
+  }
+
+  /** `<snapDir>/dv/` membership test — DV files share the snap dir with the
+    * commit's data files but never count as data. */
+  private def dvPath(snapDir: Path)(file: String): Boolean =
+    file.contains(s"${snapDir.getName}/dv/")
+
+  /** Compute and stage the positional delete entries for `cond` over the
+    * stats/bucket candidate files, as parquet under `<snapDir>/dv/`.
+    * Returns the staged [[TableStore.DvRef]]s (empty = no live row
+    * matched). Positions come from the DV-applied read, so already-deleted
+    * rows are never re-recorded. */
+  private def writeDv(pm: Manifest, cond: org.apache.spark.sql.Column,
+      candidates: Seq[String], snapDir: Path): Seq[DvRef] = {
+    import org.apache.spark.sql.functions.col
+    val hits = readFilesWithPos(pm, candidates).filter(cond)
+      .select(col("_g_file").as("file_path"), col("_g_pos").as("pos"))
+    val dvDir = new Path(snapDir, "dv")
+    hits.repartition(math.min(32, math.max(1, candidates.size / 8)))
+      .write.mode(SaveMode.Overwrite).parquet(dvDir.toString)
+    val dvFiles = listDataFiles(dvDir)
+    val stats = FileStats.collect(spark, dvFiles, TableStore.DvSchema)
+    dvFiles.map(f => DvRef(f, stats(f).bytes, stats(f).rows))
+      .filter(_.rows > 0)
+  }
+
+  /** Fold the table's delete vectors into data: rewrite ONLY the data files
+    * that carry DV entries (their live rows re-written clean), drop every
+    * DV, inherit everything else — O(DV'd files) write volume, the targeted
+    * version of what [[compact]] does table-wide. Restores byte-stock scan
+    * plans (no anti-join) and re-arms manifest-served aggregates. */
+  def purgeDeletes(expectedParent: Option[Long] = None): Long = {
+    val parent = checkParent(expectedParent)
+    require(parent >= 0, "purgeDeletes requires an existing snapshot")
+    val pm = manifest(parent)
+    if (!pm.hasDvs) return parent
+    val sp = spark
+    import sp.implicits._
+    val current = pm.inlineFiles.toSet
+    val affected = dvEntries(pm).select("file_path").distinct()
+      .as[String].collect().toSeq.filter(current)
+    if (affected.isEmpty) { // every DV'd file already left the manifest
+      val m = pm.copy(version = parent + 1, parent = parent,
+        committedAtMs = System.currentTimeMillis(), props = Map.empty,
+        dvRefs = Nil)
+      writeManifestAtomic(m)
+      return m.version
+    }
+    if (pm.bucketKeys.nonEmpty) {
+      val buckets = affected.flatMap(TableStore.bucketOfFile).toSet.toSeq
+      commitIncremental(readBuckets(buckets, pm.version), buckets,
+        expectedParent = Some(parent), dropDvs = true)
+    } else
+      commitReplaceFiles(affected, readFiles(pm, affected),
+        expectedParent = Some(parent), dropDvs = true)
   }
 
   /** Metadata-only schema evolution (VERDICT r4 #1): commit a new snapshot
@@ -1395,9 +1639,14 @@ class TableStore(val spark: SparkSession, val root: String) {
     // Qualify both sides: manifests may record scheme-less paths while
     // listStatus returns fully-qualified URIs.
     val referencedDirs = survivors.flatMap { m =>
-      m.location +: m.inlineFiles.map(TableStore.snapDirOfFile)
+      m.location +: (m.inlineFiles ++ m.dvRefs.map(_.path))
+        .map(TableStore.snapDirOfFile)
     }.map(p => f.makeQualified(new Path(p)).toString).toSet
-    val referencedFiles = survivors.flatMap(_.inlineFiles)
+    // delete-vector files are data the manifests reference (they end in
+    // .parquet and live under snap dirs, so the lister sees them) — a sweep
+    // that missed them would delete live deletion metadata
+    val referencedFiles = survivors.flatMap(m =>
+      m.inlineFiles ++ m.dvRefs.map(_.path))
       .map(p => f.makeQualified(new Path(p)).toString).toSet
     val out = scala.collection.mutable.ArrayBuffer[String]()
     val now = System.currentTimeMillis()
@@ -1424,7 +1673,9 @@ class TableStore(val spark: SparkSession, val root: String) {
     val sp = spark
     import sp.implicits._
     val f = fs
-    val refPaths = survivors.map(m => fileMetaDS(m).map(_.path).toDF("path"))
+    val dvSide = survivors.flatMap(_.dvRefs.map(_.path)).distinct
+    val refPaths = (survivors.map(m => fileMetaDS(m).map(_.path).toDF("path")) ++
+      (if (dvSide.isEmpty) Nil else Seq(dvSide.toDS().toDF("path"))))
       .reduce(_ union _).distinct().persist()
     try {
       val referencedDirs = (refPaths.as[String]
@@ -1580,6 +1831,15 @@ class TableStore(val spark: SparkSession, val root: String) {
 
 object TableStore {
   private val ManifestName = "v(\\d+)\\.json".r
+
+  /** AND-conjunct splitter (Catalyst's PredicateHelper, exposed). */
+  private[graft] def splitConjuncts(
+      e: org.apache.spark.sql.catalyst.expressions.Expression)
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = e match {
+    case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+      splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
 
   /** Counts FULL file-list materializations of SHARDED manifests on the
     * driver ([[TableStore#filesOf]]). Scale tests assert the hot paths
@@ -1795,6 +2055,25 @@ object TableStore {
     *    regardless of file count. Consumers go through the TableStore
     *    accessors ([[TableStore.fileMetaDS]], [[TableStore.pruneRefs]],
     *    [[TableStore.filesOf]]), never the inline fields directly. */
+  /** One positional-delete file (merge-on-read DELETE): a parquet file of
+    * `(file_path, pos)` pairs marking rows of still-referenced data files as
+    * deleted. `rows` = number of delete entries (each entry kills exactly one
+    * live row — the writers compute positions on the DV-APPLIED view, so a
+    * position never repeats across a table's DV set and deleted-row
+    * arithmetic stays exact). Iceberg-v2 positional delete files / Delta
+    * deletion vectors play the same role. */
+  final case class DvRef(path: String, bytes: Long, rows: Long)
+
+  /** Schema of a positional-delete file. `file_path` is the scan-qualified
+    * URI exactly as `_metadata.file_path` reports it — both sides of the
+    * read-time anti-join come from the same metadata column, so the match
+    * is self-consistent by construction. */
+  val DvSchema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("file_path",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("pos",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+
   final case class Manifest(version: Long, parent: Long, schema: StructType,
       location: String, inlineFiles: Seq[String], partitionBy: Seq[String],
       committedAtMs: Long, bucketKeys: Seq[String] = Nil, numBuckets: Int = 0,
@@ -1802,9 +2081,18 @@ object TableStore {
       props: Map[String, String] = Map.empty,
       shards: Seq[ManifestShards.ShardRef] = Nil,
       droppedCols: Seq[String] = Nil,
-      maxFieldId: Long = -1L) {
+      maxFieldId: Long = -1L,
+      dvRefs: Seq[DvRef] = Nil) {
 
     def isSharded: Boolean = shards.nonEmpty
+
+    /** Snapshot carries positional delete vectors: reads must filter
+      * `(file, pos)` pairs out, metadata-only row counts are upper bounds,
+      * and manifest-served aggregates must decline. */
+    def hasDvs: Boolean = dvRefs.nonEmpty
+
+    /** Rows masked by delete vectors — exact (see [[DvRef]]). */
+    def deletedRows: Long = dvRefs.map(_.rows).sum
 
     /** Highest field id EVER assigned in this table's history — the floor
       * for fresh ids. The CURRENT schema's max is not enough: after a DROP
@@ -1845,12 +2133,16 @@ object TableStore {
       val keyArr = bucketKeys.map(js).mkString("[", ",", "]")
       val propObj = props.map { case (k, v) => s"${js(k)}:${js(v)}" }
         .mkString("{", ",", "}")
+      val dvArr = dvRefs.map(d =>
+        s"""{"path":${js(d.path)},"bytes":${d.bytes},"rows":${d.rows}}""")
+        .mkString("[", ",", "]")
       s"""{"version":$version,"parent":$parent,"committedAtMs":$committedAtMs,
          |"location":${js(location)},"partitionBy":$partArr,
          |"bucketKeys":$keyArr,"numBuckets":$numBuckets,"props":$propObj,
          |"schema":${js(schema.json)},"files":$fileArr,
          |"maxFieldId":$maxFieldId,
          |"droppedCols":${droppedCols.map(js).mkString("[", ",", "]")},
+         |"dvs":$dvArr,
          |"shards":${ManifestShards.refsToJson(shards)},
          |"stats":${FileStats.statsToJson(inlineStats)}}""".stripMargin
     }
@@ -1877,7 +2169,8 @@ object TableStore {
         (j \ "props").extractOrElse[Map[String, String]](Map.empty),
         ManifestShards.refsFromJson(j \ "shards"),
         (j \ "droppedCols").extractOrElse[Seq[String]](Nil),
-        (j \ "maxFieldId").extractOrElse[Long](-1L))
+        (j \ "maxFieldId").extractOrElse[Long](-1L),
+        (j \ "dvs").extractOrElse[Seq[DvRef]](Nil))
     }
   }
 }

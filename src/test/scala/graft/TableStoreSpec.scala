@@ -15,6 +15,11 @@ class TableStoreSpec extends SparkSuite {
   private def freshStore() =
     new TableStore(spark, Files.createTempDirectory("graft_ts_spec").toString)
 
+  /** Bucket a long key lands in, computed the executor way. */
+  private def bucketOf(k: Long, n: Int): Long =
+    Seq(k).toDF("k")
+      .select(TableStore.bucketExpr(Seq("k"), n).as("b")).as[Long].head()
+
   /** Overwrite a manifest JSON through the Hadoop fs (keeps the local-fs
     * checksum sidecar valid) — upgrade/corruption simulations. */
   private def rewriteManifest(store: TableStore, version: Long,
@@ -845,5 +850,149 @@ class TableStoreSpec extends SparkSuite {
       spark.conf.unset("spark.graft.bloom.columns")
       spark.conf.unset("spark.graft.bloom.ndv")
     }
+  }
+
+  test("merge-on-read DELETE: a delete vector masks rows with zero data rewrite") {
+    val store = freshStore()
+    store.commitBucketed(
+      (1L to 1000L).map(k => (k, s"v$k")).toDF("k", "v"), Seq("k"), 8)
+    val m0 = store.manifest(0)
+    val v1 = store.deleteMor(col("k") % 100 === 0)
+    assert(v1 == 1L)
+    val m1 = store.manifest(v1)
+    // zero write amplification: every data file inherited at its path
+    assert(m1.inlineFiles.sorted == m0.inlineFiles.sorted,
+      "MOR delete must not touch data files")
+    assert(m1.hasDvs && m1.deletedRows == 10L)
+    assert(store.readSnapshot().count() == 990L)
+    assert(store.readSnapshot().filter(col("k") === 100L).count() == 0L)
+    // time travel: the pre-delete snapshot still sees every row
+    assert(store.readSnapshot(0).count() == 1000L)
+    // stacked second delete: entries are exact, never re-recorded
+    val v2 = store.deleteMor(col("k") <= 20)
+    val m2 = store.manifest(v2)
+    assert(m2.deletedRows == 30L, "stacked DVs must not double-count")
+    assert(store.readSnapshot().count() == 970L)
+    // idempotent re-delete of already-deleted rows: no-op, no commit
+    assert(store.deleteMor(col("k") === 100L) == v2)
+    // no-match delete: no-op
+    assert(store.deleteMor(col("k") === -5L) == v2)
+    // deleted rows stay filtered through bucket-targeted reads
+    val bucket100 = bucketOf(100L, 8)
+    assert(store.readBuckets(Seq(bucket100)).filter(col("k") === 100L).count() == 0)
+  }
+
+  test("merge-on-read UPDATE: DV + appended images, bucket keys protected") {
+    val store = freshStore()
+    store.commitBucketed(
+      (1L to 100L).map(k => (k, k * 10L)).toDF("k", "amt"), Seq("k"), 4)
+    val files0 = store.manifest(0).inlineFiles.toSet
+    val v1 = store.updateMor(col("k") <= 5, Map("amt" -> (col("amt") + 1L)))
+    val m1 = store.manifest(v1)
+    assert(files0.subsetOf(m1.inlineFiles.toSet), "old files must be inherited")
+    assert(m1.inlineFiles.size > files0.size, "updated images are new files")
+    assert(m1.deletedRows == 5L)
+    val back = store.readSnapshot()
+    assert(back.count() == 100L, "update must preserve row count")
+    assert(back.filter(col("k") <= 5 && col("amt") =!= col("k") * 10L + 1L)
+      .count() == 0)
+    assert(back.filter(col("k") > 5 && col("amt") =!= col("k") * 10L)
+      .count() == 0)
+    val e = intercept[IllegalArgumentException] {
+      store.updateMor(col("k") === 1L, Map("k" -> lit(999L)))
+    }
+    assert(e.getMessage.contains("BUCKET KEY"))
+  }
+
+  test("purgeDeletes folds DVs into data rewriting only affected buckets") {
+    val store = freshStore()
+    store.commitBucketed(
+      (1L to 1000L).map(k => (k, s"v$k")).toDF("k", "v"), Seq("k"), 8)
+    store.deleteMor(col("k") === 77L) // one key → one bucket
+    val m1 = store.manifest(1)
+    val expected = store.readSnapshot().collect().toSet
+    val v2 = store.purgeDeletes()
+    val m2 = store.manifest(v2)
+    assert(!m2.hasDvs, "purge must clear every DV")
+    assert(store.readSnapshot().collect().toSet == expected)
+    // only the DV'd bucket was rewritten; the other 7 inherit byte-identical
+    val touched = bucketOf(77L, 8)
+    val inherited = m1.inlineFiles.filter(f =>
+      graft.store.TableStore.bucketOfFile(f).exists(_ != touched))
+    assert(inherited.forall(m2.inlineFiles.contains),
+      "untouched buckets must inherit their files")
+    assert(!m1.inlineFiles.filter(f =>
+      graft.store.TableStore.bucketOfFile(f).contains(touched))
+      .exists(m2.inlineFiles.contains), "the DV'd bucket must be rewritten")
+    // manifest-served reads are byte-stock again (no DV, no anti-join)
+    assert(store.readSnapshot().queryExecution.executedPlan.toString
+      .indexOf("BroadcastHashJoin") < 0)
+  }
+
+  test("compact applies and clears delete vectors") {
+    val store = freshStore()
+    store.commitSnapshot((1L to 100L).map(k => (k, s"v$k")).toDF("k", "v"))
+    store.deleteMor(col("k") > 90L)
+    val v = store.compact(2)
+    val m = store.manifest(v)
+    assert(!m.hasDvs)
+    assert(store.readSnapshot().count() == 90L)
+  }
+
+  test("vacuum never reclaims live DV files; dead DV dirs die with their snap dir") {
+    val store = freshStore()
+    store.commitBucketed(
+      (1L to 200L).map(k => (k, s"v$k")).toDF("k", "v"), Seq("k"), 4)
+    store.deleteMor(col("k") <= 10L)
+    store.commitAppend(Seq((201L, "v201")).toDF("k", "v"))
+    // keep only the newest snapshot: v0/v1 manifests go; the DV (referenced
+    // by the surviving v2) and every inherited data file must survive
+    store.vacuum(keepSnapshots = 1)
+    val m = store.manifest(store.currentVersion())
+    assert(m.hasDvs)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    m.dvRefs.foreach(d => assert(
+      fs.exists(new org.apache.hadoop.fs.Path(d.path)),
+      s"vacuum deleted a live DV file: ${d.path}"))
+    assert(store.readSnapshot().count() == 191L)
+    // purge, commit again, vacuum: the now-unreferenced DV files are gone
+    store.purgeDeletes()
+    store.commitAppend(Seq((202L, "v202")).toDF("k", "v"))
+    val deadDv = m.dvRefs.map(_.path)
+    store.vacuum(keepSnapshots = 1)
+    deadDv.foreach(d => assert(
+      !fs.exists(new org.apache.hadoop.fs.Path(d)),
+      s"vacuum leaked a dead DV file: $d"))
+    assert(store.readSnapshot().count() == 192L)
+  }
+
+  test("DV snapshots refuse the paths-export and sharded escape hatches") {
+    val store = freshStore()
+    store.commitSnapshot((1L to 10L).map(k => (k, s"v$k")).toDF("k", "v"))
+    store.deleteMor(col("k") === 1L)
+    val e = intercept[IllegalArgumentException] { store.scanPaths() }
+    assert(e.getMessage.contains("delete vectors"))
+    // incremental consumers see DV-only commits as adding no files
+    val (added, removed) = store.changedFilesBetween(0, 1)
+    assert(added.isEmpty && removed.isEmpty)
+  }
+
+  test("incremental commits inherit DVs; CDC loop over a DV'd table stays exact") {
+    val store = freshStore()
+    store.commitBucketed(
+      (1L to 100L).map(k => (k, k * 1L)).toDF("k", "n"), Seq("k"), 4)
+    store.deleteMor(col("k") === 50L)
+    // upsert into a bucket that does NOT hold k=50: DV must survive
+    val touched = bucketOf(1L, 4)
+    val changed = store.readBuckets(Seq(touched))
+      .withColumn("n", when(col("k") === 1L, lit(999L)).otherwise(col("n")))
+    val v = store.commitIncremental(changed, Seq(touched))
+    val m = store.manifest(v)
+    assert(m.hasDvs)
+    val back = store.readSnapshot()
+    assert(back.filter(col("k") === 50L).count() == 0, "DV lost in inheritance")
+    assert(back.filter(col("k") === 1L).head().getLong(1) == 999L)
+    assert(back.count() == 99L)
   }
 }
