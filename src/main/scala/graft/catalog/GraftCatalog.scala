@@ -111,12 +111,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       StructField("version", LongType), StructField("parent", LongType),
       StructField("committed_at_ms", LongType),
       StructField("n_files", IntegerType), StructField("bytes", LongType),
-      StructField("n_rows", LongType), StructField("n_columns", IntegerType)))
+      StructField("n_rows", LongType), StructField("n_columns", IntegerType),
+      StructField("n_dv_files", IntegerType),
+      StructField("deleted_rows", LongType)))
     val rows = store.existingVersions().map { v =>
       val m = store.manifest(v)
       org.apache.spark.sql.catalyst.InternalRow(
         m.version, m.parent, m.committedAtMs, m.nFiles.toInt,
-        m.totalBytes, m.totalRows, m.schema.size)
+        m.totalBytes, m.totalRows, m.schema.size,
+        m.dvRefs.size, m.deletedRows)
     }.toArray[org.apache.spark.sql.catalyst.InternalRow]
     new MetaTable(s"${ident.name}$$snapshots", schema, rows)
   }
@@ -512,7 +515,10 @@ private[catalog] class SnapshotTable(tblName: String, mkDelegate: () => Table,
     val schemaParts = m.partitionBy.filter(m.schema.fieldNames.contains)
     val statsComplete = m.isSharded ||
       (m.inlineFiles.nonEmpty && m.inlineFiles.forall(m.inlineStats.contains))
-    if (schemaParts.isEmpty && statsComplete)
+    // DV'd snapshots MUST go through the graft builder (it falls back to the
+    // effective-rows V1 scan); the stock delegate would resurrect deleted
+    // rows. DV'd manifests are non-hive by construction.
+    if (schemaParts.isEmpty && (statsComplete || m.hasDvs))
       new StatsPruningScanBuilder(name(), store, m, options)
     else delegate.asInstanceOf[SupportsRead].newScanBuilder(options)
   }
@@ -545,8 +551,18 @@ private[catalog] class SnapshotTable(tblName: String, mkDelegate: () => Table,
 
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
-      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
-    new GraftRowLevelOperationBuilder(store, m.version, delegate, info)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    // COW DML over a DV'd snapshot would plan the group scan as a stock
+    // parquet BatchScan — which cannot apply delete vectors and would
+    // resurrect deleted rows into the rewrite. Fold the DVs first (targeted
+    // purge: rewrites only DV'd files, CAS-protected, content-identical)
+    // and build the operation against the clean snapshot — one mechanism,
+    // no bespoke row-level scan.
+    val opVersion =
+      if (m.hasDvs) store.purgeDeletes(expectedParent = Some(m.version))
+      else m.version
+    new GraftRowLevelOperationBuilder(store, opVersion, info)
+  }
 
   override def canDeleteWhere(predicates: Array[VPredicate]): Boolean =
     predicates.forall(p =>
@@ -576,6 +592,15 @@ private[catalog] class SnapshotTable(tblName: String, mkDelegate: () => Table,
     def keep(df: org.apache.spark.sql.DataFrame) =
       df.filter(not(coalesce(cond, lit(false))))
     val schemaParts = m.partitionBy.filter(m.schema.fieldNames.contains)
+    // `spark.graft.delete.mode=mor`: commit a positional delete vector
+    // (O(matched rows) write volume) instead of rewriting buckets/files —
+    // the delete-heavy 100 TB path. COW remains the default; hive/sharded
+    // layouts always take it.
+    if (store.spark.conf.getOption("spark.graft.delete.mode").contains("mor")
+        && !m.isSharded && schemaParts.isEmpty) {
+      store.deleteMor(cond, expectedParent = Some(m.version))
+      return
+    }
     if (m.bucketKeys.nonEmpty) {
       // two independent narrowings compose: file stats (above) and, when the
       // conjunction pins every bucket key to literal values, the key-derived
@@ -668,8 +693,9 @@ private[catalog] final class StatsPruningScanBuilder(name: String,
     converted = pairs.collect { case (f, Some(_)) => f }
     pushedExprs = exprs
     // sharded manifests evaluate the bounds as a distributed scan over the
-    // manifest shards — only surviving files reach the driver's scan plan
-    ensureInner(store.pruneCandidatePaths(m, exprs), exprs)
+    // manifest shards — only surviving files reach the driver's scan plan.
+    // DV'd snapshots defer: their V1 fallback prunes lazily in buildScan.
+    if (!m.hasDvs) ensureInner(store.pruneCandidatePaths(m, exprs), exprs)
     filters // all post-scan: the Filter node stays, pruning is best-effort
   }
 
@@ -712,6 +738,9 @@ private[catalog] final class StatsPruningScanBuilder(name: String,
       : Boolean = {
     import org.apache.spark.sql.connector.expressions.aggregate._
     import org.apache.spark.sql.types._
+    // delete vectors mask rows the footer stats still count — every
+    // metadata-served aggregate would overcount; decline until purged
+    if (m.hasDvs) return false
     if (pushedExprs.nonEmpty || agg.groupByExpressions().nonEmpty) return false
     def refName(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
@@ -845,6 +874,16 @@ private[catalog] final class StatsPruningScanBuilder(name: String,
         override def description(): String =
           s"graft-manifest-agg($name, ${schema.fieldNames.mkString(",")})"
       }
+    }
+    if (m.hasDvs) {
+      val exprs = pushedExprs
+      return new DvV1Scan(store, m, name,
+        pendingPrune.getOrElse(m.schema),
+        () => {
+          val files = store.pruneCandidatePaths(m, exprs)
+          RuntimePruning.lastPlannedFiles.put(name, files.size)
+          files
+        }, exprs)
     }
     ensureInner(store.pruneCandidatePaths(m, Nil), Nil)
     val scan = wrapKeyGrouped(inner.build())

@@ -40,9 +40,9 @@ import graft.store.TableStore
   * remains the high-throughput upsert surface at 100 TB.
   */
 final class GraftRowLevelOperationBuilder(store: TableStore, version: Long,
-    delegate: Table, info: RowLevelOperationInfo) extends RowLevelOperationBuilder {
+    info: RowLevelOperationInfo) extends RowLevelOperationBuilder {
   override def build(): RowLevelOperation =
-    new GraftRowLevelOperation(store, version, delegate, info.command())
+    new GraftRowLevelOperation(store, version, info.command())
 }
 
 /** The groups a row-level command touches. The SCAN selects them (from the
@@ -55,7 +55,7 @@ private[catalog] final case class CowFiles(files: Seq[String]) extends CowGroups
 private[catalog] case object CowWhole extends CowGroups
 
 final class GraftRowLevelOperation(store: TableStore, version: Long,
-    delegate: Table, cmd: RowLevelOperation.Command) extends RowLevelOperation {
+    cmd: RowLevelOperation.Command) extends RowLevelOperation {
 
   /** Set by the scan at build time, read by the write at commit time. */
   @volatile private[catalog] var groups: CowGroups = CowWhole
@@ -126,7 +126,10 @@ private[catalog] final class CowScanBuilder(store: TableStore, version: Long,
       (CowBuckets(touched), store.bucketFilePaths(m, touched))
     } else if (schemaParts.nonEmpty || exprs.isEmpty ||
       candidates.size.toLong == m.nFiles)
-      (CowWhole, store.scanPaths(version))
+      // DV'd manifests are inline non-hive: their whole-table file list is
+      // driver-held (scanPaths refuses DV'd exports; the DV scan reads
+      // effective rows from these paths)
+      (CowWhole, if (m.hasDvs) m.inlineFiles else store.scanPaths(version))
     else (CowFiles(candidates), candidates)
   }
 
@@ -146,6 +149,10 @@ private[catalog] final class CowScanBuilder(store: TableStore, version: Long,
     val (groups, paths) = select(m, cond)
     op.groups = groups
     RuntimePruning.lastPlannedFiles.put(s"${op.description()}-scan", paths.size)
+    // Invariant: the operation builder purges delete vectors before the COW
+    // op is built (SnapshotTable.newRowLevelOperationBuilder) — a DV'd
+    // manifest here would mean the stock scan below resurrects deleted rows.
+    require(!m.hasDvs, "COW row-level scan over a DV'd snapshot")
     val scan = mkInner(m, paths)
     // Runtime group filtering (SPARK-38005's COW half): a MERGE whose ON
     // condition carries no literals selects every bucket statically, but

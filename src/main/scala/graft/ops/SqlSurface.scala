@@ -209,13 +209,48 @@ object SqlSurface {
     out
   }
 
+  /** Merge-on-read SQL DELETE (`sql_delete_mor`): a delete vector commit —
+    * O(matched rows) of (file, pos) entries — instead of rewriting buckets.
+    * The require()s pin the MOR contract: the DV is present and NO data
+    * file moved. The result set is then read back THROUGH the DV (broadcast
+    * anti-join on the parquet row index) and oracle-checked against DuckDB
+    * computing the same delete relationally. At 100 TB this is the
+    * difference between a KB-scale metadata write and rewriting every
+    * bucket a delete touches. */
+  private val sqlDeleteMor: Q = (s, d) => {
+    val cat = catalogFor(s, d)
+    s.sql(s"DROP TABLE IF EXISTS $cat.analytics.li_mor")
+    val store = new TableStore(s, s"${warehouseFor(d)}/analytics/li_mor")
+    store.commitBucketed(
+      load(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("long").as("l_quantity"), col("l_returnflag")),
+      keys = Seq("l_orderkey"), numBuckets = 16)
+    val files0 = store.manifest(store.currentVersion()).inlineFiles.toSet
+    s.catalog.refreshTable(s"$cat.analytics.li_mor")
+    s.conf.set("spark.graft.delete.mode", "mor")
+    try s.sql(s"DELETE FROM $cat.analytics.li_mor WHERE l_returnflag = 'R'")
+    finally s.conf.unset("spark.graft.delete.mode")
+    val m = store.manifest(store.currentVersion())
+    require(m.hasDvs, "DELETE did not take the merge-on-read path")
+    require(m.inlineFiles.toSet == files0,
+      "merge-on-read DELETE must not rewrite data files")
+    s.catalog.refreshTable(s"$cat.analytics.li_mor")
+    s.sql(
+      s"""SELECT l_returnflag, COUNT(*) AS n,
+         |  CAST(SUM(l_quantity) AS BIGINT) AS qty
+         |FROM $cat.analytics.li_mor
+         |GROUP BY l_returnflag
+         |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "sql_catalog" -> sqlCatalog,
     "sql_catalog_write" -> sqlCatalogWrite,
     "sql_catalog_merge" -> sqlCatalogMerge,
     "sql_join_colocated" -> sqlJoinColocated,
     "sql_join_runtime_prune" -> sqlJoinRuntimePrune,
-    "sql_agg_metadata" -> sqlAggMetadata)
+    "sql_agg_metadata" -> sqlAggMetadata,
+    "sql_delete_mor" -> sqlDeleteMor)
 
   val oracles: Map[String, String] = Map(
     "sql_catalog" ->
@@ -266,6 +301,13 @@ object SqlSurface {
         |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
         |  MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date
         |FROM orders""".stripMargin,
+
+    "sql_delete_mor" ->
+      """SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |FROM lineitem WHERE l_returnflag <> 'R'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
 
     "sql_join_runtime_prune" ->
       """SELECT l.l_returnflag, COUNT(*) AS n,

@@ -366,6 +366,7 @@ private[graft] class GraftMicroBatchStream(root: String, schema: StructType,
   private def store = new TableStore(spark, root)
 
   private val skipRewrites = options.getBoolean("streaming.skip-rewrites", false)
+  private val skipDeletes = options.getBoolean("streaming.skip-deletes", false)
   private val maxVersionsPerTrigger: Option[Int] =
     Option(options.get("streaming.max-versions-per-trigger")).map { raw =>
       val n = raw.toInt
@@ -508,6 +509,24 @@ private[graft] class GraftMicroBatchStream(root: String, schema: StructType,
       s"graft-table stream: snapshot $v of $root changed the partition " +
         s"layout (${schemaParts.mkString(",")} vs ${partCols.mkString(",")}); " +
         "restart the stream against the new layout")
+    // Delete vectors and the append-only stream contract: a DV commit
+    // changes effective content without touching file paths, so the file
+    // diff cannot represent it. Genesis over a DV'd snapshot REFUSES (the
+    // raw file scan would resurrect deleted rows); a DV delta mid-stream
+    // refuses unless `streaming.skip-deletes=true` (already-emitted rows
+    // stay emitted; deletes are not propagated — consume readChangelog for
+    // row-level deletes).
+    if (prevV < 0) require(!m.hasDvs,
+      s"graft-table stream: snapshot $v of $root carries delete vectors; " +
+        "the streaming scan reads raw files and would resurrect deleted " +
+        "rows — purgeDeletes()/compact() first, or start past the purge")
+    else if (m.dvRefs.map(_.path).toSet !=
+        st.manifest(prevV).dvRefs.map(_.path).toSet && !skipDeletes)
+      throw new IllegalStateException(
+        s"snapshot $v of $root changes delete vectors; the streaming read " +
+          "is append-only and cannot emit deletes. Set option " +
+          "streaming.skip-deletes=true to ignore delete commits, or consume " +
+          "row-level changes via readChangelog.")
     val (add, removed) =
       if (prevV < 0) (null: Seq[String], Nil: Seq[String])
       else st.changedFilesBetween(prevV, v)

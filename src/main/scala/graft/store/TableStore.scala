@@ -677,7 +677,31 @@ class TableStore(val spark: SparkSession, val root: String) {
       "changelog needs key columns: a bucketed table or explicit keyCols")
     require(keys.forall(tm.schema.fieldNames.contains),
       s"changelog keys $keys not in table schema")
-    val (added, removed) = changedFilesBetween(fv, tv)
+    val (added0, removed0) = changedFilesBetween(fv, tv)
+    // Delete vectors change a file's EFFECTIVE content without touching its
+    // path: rows masked by DV files added between the two snapshots would
+    // otherwise be invisible to the file diff. Treat every data file a new
+    // DV masks — still present on both sides — as changed: the pre-image
+    // reads it under fm's DV view, the post-image under tm's, and the keyed
+    // join emits the DELETEs. O(new DV entries) driver residue.
+    val fmDvPaths = fm.dvRefs.map(_.path).toSet
+    val newDvPaths = tm.dvRefs.map(_.path).filterNot(fmDvPaths)
+    val dvChanged: Seq[String] =
+      if (newDvPaths.isEmpty) Nil
+      else {
+        val sp = spark
+        import sp.implicits._
+        val masked = spark.read.schema(TableStore.DvSchema)
+          .parquet(newDvPaths: _*)
+          .select("file_path").distinct().as[String].collect().toSeq
+        // only files present in BOTH snapshots: a masked file that was also
+        // added/removed is already in the diff
+        val inTm = masked.filter(tm.inlineFiles.toSet) // DV'd manifests are inline
+        if (!fm.isSharded) inTm.filter(fm.inlineFiles.toSet)
+        else metaFor(fm, inTm).map(_.path)
+      }
+    val added = added0 ++ dvChanged
+    val removed = removed0 ++ dvChanged
     // pre-image rows are read under their OWN manifest (schema + stats),
     // then aligned to the newer schema: renamed columns re-map by FIELD ID
     // (identity survives ALTER TABLE RENAME), evolved columns NULL-pad,

@@ -701,6 +701,66 @@ class GraftCatalogSpec extends SparkSuite {
     assert(grp.collect().map(_.getLong(1)).toSeq == Seq(50L, 50L))
   }
 
+  test("SQL over a DV'd snapshot: effective rows via the V1 fallback, stock plan after purge") {
+    val store = new TableStore(spark, s"$warehouse/analytics/dvsql")
+    store.commitBucketed(
+      (1L to 500L).map(k => (k, s"v$k")).toDF("k", "v"), Seq("k"), 4)
+    store.deleteMor(col("k") <= 50L)
+    spark.catalog.refreshTable("spec_cat.analytics.dvsql")
+    val q = spark.sql("SELECT COUNT(*) AS n FROM spec_cat.analytics.dvsql")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("graft-manifest-agg"),
+      s"manifest aggregate must decline under DVs:\n$plan")
+    assert(plan.contains("graft-dv-scan"), s"expected the DV fallback:\n$plan")
+    assert(q.head().getLong(0) == 450L)
+    // point lookups: deleted key gone, live key present, filters still work
+    assert(spark.sql(
+      "SELECT * FROM spec_cat.analytics.dvsql WHERE k = 7").count() == 0)
+    assert(spark.sql(
+      "SELECT v FROM spec_cat.analytics.dvsql WHERE k = 77").head()
+      .getString(0) == "v77")
+    // SQL UPDATE (COW) over the DV'd table: the operation builder folds the
+    // DVs first (targeted purge) so the stock COW scan cannot resurrect
+    // deleted rows — then updates on the clean snapshot
+    spark.sql("UPDATE spec_cat.analytics.dvsql SET v = 'updated' WHERE k = 60")
+    spark.catalog.refreshTable("spec_cat.analytics.dvsql")
+    assert(!store.manifest(store.currentVersion()).hasDvs,
+      "COW DML must purge delete vectors before rewriting")
+    assert(spark.sql("SELECT COUNT(*) AS n FROM spec_cat.analytics.dvsql")
+      .head().getLong(0) == 450L)
+    assert(spark.sql(
+      "SELECT v FROM spec_cat.analytics.dvsql WHERE k = 60").head()
+      .getString(0) == "updated")
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM spec_cat.analytics.dvsql WHERE k <= 50").head()
+      .getLong(0) == 0L, "COW update resurrected DV-deleted rows")
+    // post-purge plans are back on the stock DSv2 path
+    val q2 = spark.sql("SELECT COUNT(*) AS n FROM spec_cat.analytics.dvsql")
+    assert(q2.head().getLong(0) == 450L)
+    assert(!q2.queryExecution.executedPlan.toString.contains("graft-dv-scan"))
+  }
+
+  test("spark.graft.delete.mode=mor routes SQL DELETE to a delete vector") {
+    val store = new TableStore(spark, s"$warehouse/analytics/dvdel")
+    store.commitBucketed(
+      (1L to 300L).map(k => (k, k * 2L)).toDF("k", "n"), Seq("k"), 4)
+    val files0 = store.manifest(0).inlineFiles.sorted
+    spark.conf.set("spark.graft.delete.mode", "mor")
+    try {
+      spark.sql("DELETE FROM spec_cat.analytics.dvdel WHERE k IN (10, 20, 30)")
+      val m = store.manifest(store.currentVersion())
+      assert(m.hasDvs && m.deletedRows == 3L, "DELETE did not take the MOR path")
+      assert(m.inlineFiles.sorted == files0, "MOR delete rewrote data files")
+      spark.catalog.refreshTable("spec_cat.analytics.dvdel")
+      assert(spark.sql(
+        "SELECT COUNT(*) AS n FROM spec_cat.analytics.dvdel").head()
+        .getLong(0) == 297L)
+      assert(spark.sql(
+        "SELECT COUNT(*) FROM spec_cat.analytics.dvdel WHERE k = 20").head()
+        .getLong(0) == 0L)
+    } finally spark.conf.unset("spark.graft.delete.mode")
+  }
+
   test("$partitions metadata table surfaces per-bucket totals (skew view)") {
     val store = new TableStore(spark, s"$warehouse/analytics/pmeta")
     store.commitBucketed(

@@ -81,6 +81,56 @@ class GraftStreamSourceSpec extends SparkSuite {
     } finally q2.stop()
   }
 
+  test("delete-vector commits fail the stream unless skip-deletes; DV'd genesis refuses") {
+    import org.apache.spark.sql.functions.col
+    val store = freshStore()
+    store.commitSnapshot((1L to 20L).map(i => (i, s"v$i")).toDF("k", "v"))
+    val q = readTable(store).writeStream.format("memory")
+      .queryName("feed_dv").start()
+    try {
+      q.processAllAvailable()
+      store.deleteMor(col("k") === 3L)
+      val e = intercept[StreamingQueryException] { q.processAllAvailable() }
+      assert(e.getMessage.contains("delete vectors") ||
+        Option(e.getCause).exists(_.getMessage.contains("delete vectors")))
+    } finally q.stop()
+    // skip-deletes: DV commits are ignored, later appends flow
+    val q2 = readTable(store, Map("streaming.skip-deletes" -> "true",
+        "streaming.start-version" -> "latest"))
+      .writeStream.format("memory").queryName("feed_dv2").start()
+    try {
+      q2.processAllAvailable()
+      store.deleteMor(col("k") === 4L)
+      store.commitAppend(Seq((100L, "new")).toDF("k", "v"))
+      q2.processAllAvailable()
+      assert(spark.table("feed_dv2").as[(Long, String)].collect().toSeq ==
+        Seq((100L, "new")))
+    } finally q2.stop()
+    // genesis over a DV'd snapshot refuses: the raw file scan cannot apply
+    // DVs (history vacuumed down to the DV-carrying snapshot)
+    val store2 = freshStore()
+    store2.commitSnapshot((1L to 10L).map(i => (i, s"v$i")).toDF("k", "v"))
+    store2.deleteMor(col("k") === 1L)
+    store2.vacuum(keepSnapshots = 1)
+    val e2 = intercept[Exception] {
+      val q3 = readTable(store2).writeStream.format("memory")
+        .queryName("feed_dv3").start()
+      try q3.processAllAvailable() finally q3.stop()
+    }
+    def chain(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+    assert(chain(e2).exists(_.contains("delete vectors")), chain(e2).mkString("|"))
+    // after purge (+ expiry of the DV'd snapshot) genesis streams clean
+    store2.purgeDeletes()
+    store2.vacuum(keepSnapshots = 1)
+    val q4 = readTable(store2).writeStream.format("memory")
+      .queryName("feed_dv4").start()
+    try {
+      q4.processAllAvailable()
+      assert(spark.table("feed_dv4").count() == 9)
+    } finally q4.stop()
+  }
+
   test("max-versions-per-trigger paces a backlog into per-commit batches") {
     val store = freshStore()
     store.commitSnapshot(Seq((1L, "a")).toDF("k", "v"))

@@ -978,6 +978,25 @@ class TableStoreSpec extends SparkSuite {
     assert(added.isEmpty && removed.isEmpty)
   }
 
+  test("changelog emits DELETEs across a delete-vector commit") {
+    val store = freshStore()
+    store.commitBucketed(
+      (1L to 100L).map(k => (k, s"v$k")).toDF("k", "v"), Seq("k"), 4)
+    val v1 = store.deleteMor(col("k") === 42L || col("k") === 7L)
+    val log = store.readChangelog(0, v1).collect()
+    assert(log.length == 2, s"expected 2 DELETE rows, got ${log.toSeq}")
+    assert(log.forall(_.getString(0) == "DELETE"))
+    assert(log.map(_.getLong(1)).toSet == Set(7L, 42L))
+    // pre-images carry the deleted payload
+    assert(log.map(_.getString(2)).toSet == Set("v7", "v42"))
+    // a later plain append over the DV'd table: changelog shows ONLY it
+    val v2 = store.commitAppend(Seq((101L, "v101")).toDF("k", "v"))
+    val log2 = store.readChangelog(v1, v2).collect()
+    assert(log2.length == 1 && log2.head.getString(0) == "INSERT")
+    // and across both: two DELETEs + one INSERT
+    assert(store.readChangelog(0, v2).count() == 3)
+  }
+
   test("incremental commits inherit DVs; CDC loop over a DV'd table stays exact") {
     val store = freshStore()
     store.commitBucketed(
