@@ -664,7 +664,8 @@ private[catalog] final class StatsPruningScanBuilder(name: String,
     options: CaseInsensitiveStringMap) extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
   import org.apache.spark.sql.sources.{Filter => V1Filter}
 
   private var inner: ScanBuilder = _
@@ -694,12 +695,38 @@ private[catalog] final class StatsPruningScanBuilder(name: String,
     pushedExprs = exprs
     // sharded manifests evaluate the bounds as a distributed scan over the
     // manifest shards — only surviving files reach the driver's scan plan.
-    // DV'd snapshots defer: their V1 fallback prunes lazily in buildScan.
-    if (!m.hasDvs) ensureInner(store.pruneCandidatePaths(m, exprs), exprs)
+    // DV'd snapshots defer (their V1 fallback prunes lazily in buildScan);
+    // filterless scans defer too, so a later pushLimit can shrink the list.
+    if (!m.hasDvs && exprs.nonEmpty)
+      ensureInner(store.pruneCandidatePaths(m, exprs), exprs)
     filters // all post-scan: the Filter node stays, pruning is best-effort
   }
 
   override def pushedFilters(): Array[V1Filter] = converted
+
+  private var limitFiles: Option[Seq[String]] = None
+
+  /** LIMIT pushdown at FILE granularity: `SELECT * FROM t LIMIT n` on a
+    * 100 TB table should plan O(files covering n rows), not O(all files) —
+    * the interactive-preview path. Sound only when nothing filters rows
+    * between scan and limit: no pushed filters, no aggregate, no delete
+    * vectors; inline tier with full row stats (exact footer row counts).
+    * LIMIT without ORDER BY is an arbitrary-subset contract, so any file
+    * prefix covering ≥ n rows serves it. Partial pushdown: Spark keeps its
+    * global Limit above the scan. */
+  override def pushLimit(limit: Int): Boolean = {
+    if (pushedExprs.nonEmpty || aggResult.isDefined || m.isSharded ||
+      m.hasDvs || limit <= 0) return false
+    if (!m.inlineFiles.forall(m.inlineStats.contains)) return false
+    var acc = 0L
+    val taken = m.inlineFiles.takeWhile { f =>
+      val keep = acc < limit
+      acc += m.inlineStats(f).rows
+      keep
+    }
+    limitFiles = Some(taken)
+    true // partially pushed (isPartiallyPushed default): the Limit stays
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // with an aggregate pushed, the required schema is the AGG output — it
@@ -885,7 +912,8 @@ private[catalog] final class StatsPruningScanBuilder(name: String,
           files
         }, exprs)
     }
-    ensureInner(store.pruneCandidatePaths(m, Nil), Nil)
+    ensureInner(limitFiles.getOrElse(
+      store.pruneCandidatePaths(m, pushedExprs)), pushedExprs)
     val scan = wrapKeyGrouped(inner.build())
     // Bucketed tables advertise their keys for join-driven runtime pruning
     // (the DSv2 dynamic-pruning contract): a selective dim-side filter

@@ -1245,7 +1245,12 @@ class TableStore(val spark: SparkSession, val root: String) {
       return m.version
     }
     if (pm.bucketKeys.nonEmpty) {
-      val buckets = affected.flatMap(TableStore.bucketOfFile).toSet.toSeq
+      // every affected file MUST map to a bucket: a silently-dropped file
+      // would keep its rows while dropDvs clears its mask — resurrection
+      val buckets = affected.map(f =>
+        TableStore.bucketOfFile(f).getOrElse(throw new IllegalStateException(
+          s"DV'd file $f has no bucket segment; cannot purge by bucket")))
+        .toSet.toSeq
       commitIncremental(readBuckets(buckets, pm.version), buckets,
         expectedParent = Some(parent), dropDvs = true)
     } else

@@ -740,6 +740,33 @@ class GraftCatalogSpec extends SparkSuite {
     assert(!q2.queryExecution.executedPlan.toString.contains("graft-dv-scan"))
   }
 
+  test("LIMIT pushdown plans only the files covering the limit") {
+    val store = new TableStore(spark, s"$warehouse/analytics/limtab")
+    store.commitSnapshot(
+      (1L to 800L).map(k => (k, s"v$k")).toDF("k", "v").repartition(8))
+    spark.catalog.refreshTable("spec_cat.analytics.limtab")
+    def planned(sql: String): (Long, Long) = {
+      val df = spark.sql(sql)
+      val n = df.collect().length.toLong
+      val plan = df.queryExecution.executedPlan.toString
+      val files = "InMemoryFileIndex\\((\\d+) paths\\)".r
+        .findFirstMatchIn(plan).map(_.group(1).toLong)
+        .getOrElse(sys.error(s"no file index in plan:\n${plan.take(600)}"))
+      (files, n)
+    }
+    val (f1, n1) = planned("SELECT * FROM spec_cat.analytics.limtab LIMIT 5")
+    assert(n1 == 5L)
+    assert(f1 == 1L, s"LIMIT 5 should plan 1 file, planned $f1")
+    // a filter disables the file-level limit (rows may be filtered away)
+    val (f2, n2) = planned(
+      "SELECT * FROM spec_cat.analytics.limtab WHERE k > 700 LIMIT 5")
+    assert(n2 == 5L)
+    assert(f2 > 1L, "filtered LIMIT must not shrink the file list")
+    // LIMIT larger than the table: every file planned, all rows back
+    val (f3, n3) = planned("SELECT * FROM spec_cat.analytics.limtab LIMIT 10000")
+    assert(n3 == 800L && f3 == 8L)
+  }
+
   test("spark.graft.delete.mode=mor routes SQL DELETE to a delete vector") {
     val store = new TableStore(spark, s"$warehouse/analytics/dvdel")
     store.commitBucketed(

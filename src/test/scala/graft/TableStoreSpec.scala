@@ -978,6 +978,31 @@ class TableStoreSpec extends SparkSuite {
     assert(added.isEmpty && removed.isEmpty)
   }
 
+  test("delete vectors survive metadata-only schema evolution") {
+    import org.apache.spark.sql.types._
+    val store = freshStore()
+    store.commitBucketed(
+      (1L to 50L).map(k => (k, s"v$k")).toDF("k", "v"), Seq("k"), 4)
+    store.deleteMor(col("k") === 10L)
+    // RENAME v -> label (field-id identity) + ADD nullable note
+    val m1 = store.manifest(store.currentVersion())
+    val renamed = StructType(m1.schema.fields.map(f =>
+      if (f.name == "v") f.copy(name = "label") else f) :+
+      StructField("note", StringType))
+    val v2 = store.commitSchemaOnly(renamed)
+    val m2 = store.manifest(v2)
+    assert(m2.hasDvs, "schema-only commit must inherit delete vectors")
+    val back = store.readSnapshot()
+    assert(back.columns.toSeq == Seq("k", "label", "note"))
+    assert(back.count() == 49L)
+    assert(back.filter(col("k") === 10L).count() == 0L)
+    assert(back.filter(col("k") === 11L).head().getString(1) == "v11")
+    // a further MOR delete on the evolved schema composes
+    store.deleteMor(col("label") === "v20")
+    assert(store.readSnapshot().count() == 48L)
+    assert(store.manifest(store.currentVersion()).deletedRows == 2L)
+  }
+
   test("changelog emits DELETEs across a delete-vector commit") {
     val store = freshStore()
     store.commitBucketed(
