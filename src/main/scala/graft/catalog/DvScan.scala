@@ -37,6 +37,10 @@ private[catalog] final class DvV1Scan(store: TableStore,
       override def sqlContext: SQLContext = context
       override def schema: StructType = prunedSchema
       override def toString: String = s"graft-dv-scan($name)"
+      // report the manifest's real byte size: the default (session
+      // defaultSizeInBytes = huge) would stop a small DV'd dim table from
+      // ever broadcasting
+      override def sizeInBytes: Long = m.totalBytes
       // the produced RDD already carries InternalRows (a planned subquery)
       override def needConversion: Boolean = false
       override def buildScan()

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 import graft.Tables.load
 import graft.catalog.GraftCatalog
@@ -243,6 +243,36 @@ object SqlSurface {
          |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin)
   }
 
+  /** Merge-on-read UPDATE (`sql_update_mor`): one commit carrying the
+    * delete vector masking the matched rows plus fresh files with their
+    * updated images — O(matched rows) write volume, every pre-existing data
+    * file inherited. Read back THROUGH the catalog (exercising the DV
+    * fallback scan) and oracle-checked against DuckDB computing the update
+    * relationally. */
+  private val sqlUpdateMor: Q = (s, d) => {
+    val cat = catalogFor(s, d)
+    s.sql(s"DROP TABLE IF EXISTS $cat.analytics.part_mor")
+    val store = new TableStore(s, s"${warehouseFor(d)}/analytics/part_mor")
+    store.commitBucketed(
+      load(s, d, "part").select(col("p_partkey"), col("p_brand"),
+        col("p_retailprice").cast("decimal(18,2)").as("p_retailprice")),
+      keys = Seq("p_partkey"), numBuckets = 8)
+    val files0 = store.manifest(store.currentVersion()).inlineFiles.toSet
+    store.updateMor(col("p_brand") === "Brand#23",
+      Map("p_retailprice" -> (col("p_retailprice") + lit(100))))
+    val m = store.manifest(store.currentVersion())
+    require(m.hasDvs, "UPDATE did not take the merge-on-read path")
+    require(files0.subsetOf(m.inlineFiles.toSet),
+      "merge-on-read UPDATE must inherit every pre-existing data file")
+    s.catalog.refreshTable(s"$cat.analytics.part_mor")
+    s.sql(
+      s"""SELECT p_brand, COUNT(*) AS n,
+         |  CAST(SUM(p_retailprice) AS DOUBLE) AS total
+         |FROM $cat.analytics.part_mor
+         |GROUP BY p_brand
+         |ORDER BY p_brand ASC NULLS FIRST""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "sql_catalog" -> sqlCatalog,
     "sql_catalog_write" -> sqlCatalogWrite,
@@ -250,7 +280,8 @@ object SqlSurface {
     "sql_join_colocated" -> sqlJoinColocated,
     "sql_join_runtime_prune" -> sqlJoinRuntimePrune,
     "sql_agg_metadata" -> sqlAggMetadata,
-    "sql_delete_mor" -> sqlDeleteMor)
+    "sql_delete_mor" -> sqlDeleteMor,
+    "sql_update_mor" -> sqlUpdateMor)
 
   val oracles: Map[String, String] = Map(
     "sql_catalog" ->
@@ -308,6 +339,16 @@ object SqlSurface {
         |FROM lineitem WHERE l_returnflag <> 'R'
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
+
+    "sql_update_mor" ->
+      """SELECT p_brand, COUNT(*) AS n,
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2)) +
+        |    CASE WHEN p_brand = 'Brand#23'
+        |      THEN CAST(100 AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2))
+        |    END) AS DOUBLE) AS total
+        |FROM part
+        |GROUP BY p_brand
+        |ORDER BY p_brand ASC NULLS FIRST""".stripMargin,
 
     "sql_join_runtime_prune" ->
       """SELECT l.l_returnflag, COUNT(*) AS n,

@@ -978,6 +978,40 @@ class TableStoreSpec extends SparkSuite {
     assert(added.isEmpty && removed.isEmpty)
   }
 
+  test("racing MOR deletes: exactly one wins the CAS, no DV file leaks") {
+    val store = freshStore()
+    store.commitBucketed(
+      (1L to 200L).map(k => (k, s"v$k")).toDF("k", "v"), Seq("k"), 4)
+    val v0 = store.currentVersion()
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val pool = Executors.newFixedThreadPool(2)
+    val gate = new CountDownLatch(1)
+    def race(key: Long) = pool.submit(
+      new java.util.concurrent.Callable[Either[Throwable, Long]] {
+        def call(): Either[Throwable, Long] = {
+          gate.await(10, TimeUnit.SECONDS)
+          try Right(store.deleteMor(col("k") === key, Some(v0)))
+          catch { case t: Throwable => Left(t) }
+        }
+      })
+    val (fa, fb) = (race(11L), race(22L))
+    gate.countDown()
+    val results = Seq(fa.get(120, TimeUnit.SECONDS), fb.get(120, TimeUnit.SECONDS))
+    pool.shutdown()
+    assert(results.count(_.isRight) == 1, s"exactly one CAS winner: $results")
+    val m = store.manifest(store.currentVersion())
+    assert(m.version == v0 + 1 && m.deletedRows == 1L)
+    assert(store.readSnapshot().count() == 199L)
+    // the loser's staged DV files are cleaned up (no orphan parquet under a
+    // snap dir no manifest references)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    val dataDir = new org.apache.hadoop.fs.Path(s"${store.root}/data")
+    val snapDirs = fs.listStatus(dataDir).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith(s"snap-${v0 + 1}"))
+    assert(snapDirs.length == 1, s"loser's staging dir not cleaned: ${snapDirs.toSeq}")
+  }
+
   test("delete vectors survive metadata-only schema evolution") {
     import org.apache.spark.sql.types._
     val store = freshStore()
