@@ -904,8 +904,13 @@ private[catalog] final class StatsPruningScanBuilder(name: String,
     }
     if (m.hasDvs) {
       val exprs = pushedExprs
-      return new DvV1Scan(store, m, name,
-        pendingPrune.getOrElse(m.schema),
+      // top-level pruning only: a nested-pruned struct type in the required
+      // schema would mismatch the full structs the fallback emits — widen
+      // every selected column back to its declared type (correctness over
+      // nested-column I/O savings on the temporary DV path)
+      val fallbackSchema = StructType(pendingPrune.getOrElse(m.schema)
+        .fieldNames.map(n => m.schema(n)))
+      return new DvV1Scan(store, m, name, fallbackSchema,
         () => {
           val files = store.pruneCandidatePaths(m, exprs)
           RuntimePruning.lastPlannedFiles.put(name, files.size)

@@ -767,6 +767,23 @@ class GraftCatalogSpec extends SparkSuite {
     assert(n3 == 800L && f3 == 8L)
   }
 
+  test("DV fallback serves nested-field selection on struct columns") {
+    val store = new TableStore(spark, s"$warehouse/analytics/dvnest")
+    store.commitSnapshot(
+      (1L to 40L).map(k => (k, (s"t$k", k * 3L))).toDF("k", "meta")
+        .select(col("k"), col("meta").cast("struct<tag:string,w:bigint>")))
+    store.deleteMor(col("k") > 30L)
+    spark.catalog.refreshTable("spec_cat.analytics.dvnest")
+    // nested-schema pruning would narrow meta to {w}; the fallback widens
+    // back to the declared struct — values must stay correct
+    val rows = spark.sql(
+      "SELECT meta.w FROM spec_cat.analytics.dvnest WHERE k <= 3 ORDER BY k")
+      .collect().map(_.getLong(0)).toSeq
+    assert(rows == Seq(3L, 6L, 9L))
+    assert(spark.sql("SELECT COUNT(*) FROM spec_cat.analytics.dvnest")
+      .head().getLong(0) == 30L)
+  }
+
   test("spark.graft.delete.mode=mor routes SQL DELETE to a delete vector") {
     val store = new TableStore(spark, s"$warehouse/analytics/dvdel")
     store.commitBucketed(
