@@ -97,6 +97,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     else if (ident.name.endsWith("$partitions"))
       partitionsMetaTable(Identifier.of(ident.namespace,
         ident.name.stripSuffix("$partitions")))
+    else if (ident.name.endsWith("$refs"))
+      refsMetaTable(Identifier.of(ident.namespace,
+        ident.name.stripSuffix("$refs")))
     else snapshotTable(ident, None)
 
   /** `SELECT * FROM cat.ns.`tbl$snapshots`` — snapshot history as a queryable
@@ -122,6 +125,25 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         m.dvRefs.size, m.deletedRows)
     }.toArray[org.apache.spark.sql.catalyst.InternalRow]
     new MetaTable(s"${ident.name}$$snapshots", schema, rows)
+  }
+
+  /** `SELECT * FROM cat.ns.`tbl$refs`` — the table's snapshot refs (tags),
+    * Iceberg's `refs` metadata table: name, pinned snapshot, creation time,
+    * and the pinned snapshot's commit time. Driver-computed, O(#refs). */
+  private def refsMetaTable(ident: Identifier): Table = {
+    import org.apache.spark.sql.types._
+    val store = storeFor(ident)
+    if (store.currentVersion() < 0) throw new NoSuchTableException(ident)
+    val schema = StructType(Seq(
+      StructField("name", StringType), StructField("version", LongType),
+      StructField("created_at_ms", LongType),
+      StructField("snapshot_committed_at_ms", LongType)))
+    val rows = store.listRefs().map { r =>
+      org.apache.spark.sql.catalyst.InternalRow(
+        org.apache.spark.unsafe.types.UTF8String.fromString(r.name),
+        r.version, r.createdAtMs, store.manifest(r.version).committedAtMs)
+    }.toArray[org.apache.spark.sql.catalyst.InternalRow]
+    new MetaTable(s"${ident.name}$$refs", schema, rows)
   }
 
   /** `SELECT * FROM cat.ns.`tbl$files`` — a snapshot's data files (path,
@@ -190,17 +212,27 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new MetaTable(s"${ident.name}$$partitions", schema, rows)
   }
 
-  /** `VERSION AS OF <n>` time travel → snapshot n. The `$files` metadata
-    * table time-travels too (snapshot n's file list); `$snapshots` is the
-    * whole history by construction, so versioning it is refused clearly. */
+  /** `VERSION AS OF <n>` time travel → snapshot n; `VERSION AS OF 'name'`
+    * resolves a snapshot REF (tag) to its pinned snapshot. The `$files`
+    * metadata table time-travels too (snapshot n's file list); `$snapshots`
+    * is the whole history by construction, so versioning it is refused
+    * clearly. */
   override def loadTable(ident: Identifier, version: String): Table =
-    if (ident.name.endsWith("$files"))
-      filesMetaTable(Identifier.of(ident.namespace,
-        ident.name.stripSuffix("$files")), Some(version.toLong))
-    else if (ident.name.endsWith("$snapshots"))
+    if (ident.name.endsWith("$files")) {
+      val base = Identifier.of(ident.namespace, ident.name.stripSuffix("$files"))
+      filesMetaTable(base, Some(resolveVersion(base, version)))
+    } else if (ident.name.endsWith("$snapshots"))
       throw new UnsupportedOperationException(
         "$snapshots is the full history; query it without VERSION AS OF")
-    else snapshotTable(ident, Some(version.toLong))
+    else snapshotTable(ident, Some(resolveVersion(ident, version)))
+
+  /** Numeric strings are snapshot ids; anything else is a ref name. */
+  private def resolveVersion(ident: Identifier, version: String): Long =
+    if (version.nonEmpty && version.forall(_.isDigit)) version.toLong
+    else storeFor(ident).refVersion(version).getOrElse(
+      throw new IllegalArgumentException(
+        s"no snapshot ref '$version' on table $ident " +
+          "(VERSION AS OF takes a snapshot id or a tag name)"))
 
   /** `TIMESTAMP AS OF <ts>` time travel → latest snapshot committed at or
     * before the timestamp (micros since epoch, per the V2 contract). */

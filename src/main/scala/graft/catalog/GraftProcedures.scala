@@ -24,13 +24,17 @@ object GraftProcedures {
 
   val Namespace: Array[String] = Array("system")
   val Names: Seq[String] =
-    Seq("compact", "expire_snapshots", "vacuum", "create_changelog_view")
+    Seq("compact", "expire_snapshots", "vacuum", "create_changelog_view",
+      "create_tag", "drop_tag", "rollback_to_snapshot")
 
   def load(catalog: GraftCatalog, name: String): UnboundProcedure = name match {
     case "compact" => new CompactProc(catalog)
     case "expire_snapshots" => new ExpireProc(catalog)
     case "vacuum" => new VacuumProc(catalog)
     case "create_changelog_view" => new ChangelogViewProc(catalog)
+    case "create_tag" => new CreateTagProc(catalog)
+    case "drop_tag" => new DropTagProc(catalog)
+    case "rollback_to_snapshot" => new RollbackProc(catalog)
     case other => throw new IllegalArgumentException(
       s"unknown procedure: $other (have: ${Names.mkString(", ")})")
   }
@@ -164,6 +168,65 @@ object GraftProcedures {
           StructField("from_version", LongType),
           StructField("to_version", LongType))),
         Array(UTF8String.fromString(viewName), from, to))
+    }
+  }
+
+  /** Pin a snapshot with an immutable named tag: `CALL cat.system
+    * .create_tag('ns.tbl', 'audited-2026q3')` (current snapshot) or with an
+    * explicit snapshot id. Tagged snapshots survive every expiry path until
+    * the tag is dropped — the audit-freeze handle. */
+  private final class CreateTagProc(catalog: GraftCatalog)
+      extends GraftProc("create_tag",
+        "pin a snapshot with an immutable named tag (default: current)") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build(),
+      ProcedureParameter.in("version", LongType).defaultValue("-1").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val store = storeFor(catalog, input.getUTF8String(0).toString)
+      val v =
+        if (input.numFields < 3 || input.isNullAt(2)) -1L else input.getLong(2)
+      val ref = store.createTag(input.getUTF8String(1).toString, v)
+      result(
+        StructType(Seq(StructField("name", StringType),
+          StructField("version", LongType))),
+        Array(UTF8String.fromString(ref.name), ref.version))
+    }
+  }
+
+  /** Drop a tag; its snapshot becomes expirable again. */
+  private final class DropTagProc(catalog: GraftCatalog)
+      extends GraftProc("drop_tag", "drop a snapshot tag") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val store = storeFor(catalog, input.getUTF8String(0).toString)
+      val existed = store.dropTag(input.getUTF8String(1).toString)
+      result(
+        StructType(Seq(StructField("existed",
+          org.apache.spark.sql.types.BooleanType))),
+        Array(existed))
+    }
+  }
+
+  /** Roll the table back to a snapshot's content by committing a metadata
+    * COPY as the next version — history stays linear, nothing is erased,
+    * and no data file moves (KB-scale write at any table size). */
+  private final class RollbackProc(catalog: GraftCatalog)
+      extends GraftProc("rollback_to_snapshot",
+        "commit a copy of the target snapshot as the new current version") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("version", LongType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val store = storeFor(catalog, input.getUTF8String(0).toString)
+      val target = input.getLong(1)
+      val next = store.rollbackTo(target)
+      result(
+        StructType(Seq(StructField("rolled_back_to", LongType),
+          StructField("new_version", LongType))),
+        Array(target, next))
     }
   }
 

@@ -273,8 +273,49 @@ object SqlSurface {
          |ORDER BY p_brand ASC NULLS FIRST""".stripMargin)
   }
 
+  /** Snapshot refs + rollback end-to-end (`sql_time_travel`): commit, pin
+    * the audited snapshot with a TAG, append bad rows, roll the table back
+    * via the `rollback_to_snapshot` procedure (a KB-scale metadata copy —
+    * no data moves at any table size), and read the result back through
+    * `VERSION AS OF '<tag>'` — tag resolution, the rollback commit, and
+    * the pinned snapshot's content all oracle-checked at once. The
+    * require()s pin that the bad rows were visible before the rollback and
+    * that `$refs` lists the tag. */
+  private val sqlTimeTravel: Q = (s, d) => {
+    val cat = catalogFor(s, d)
+    s.sql(s"DROP TABLE IF EXISTS $cat.analytics.nation_tt")
+    val store = new TableStore(s, s"${warehouseFor(d)}/analytics/nation_tt")
+    store.commitSnapshot(load(s, d, "nation")
+      .select(col("n_nationkey"), col("n_regionkey"), col("n_name")))
+    val v0 = store.currentVersion()
+    val n0 = store.readSnapshot(v0).count()
+    s.catalog.refreshTable(s"$cat.analytics.nation_tt")
+    s.sql(s"CALL $cat.system.create_tag('analytics.nation_tt', 'audited')")
+    s.sql(
+      s"""INSERT INTO $cat.analytics.nation_tt
+         |SELECT n_nationkey + 1000, n_regionkey, concat('dup_', n_name)
+         |FROM $cat.analytics.nation_tt""".stripMargin)
+    s.catalog.refreshTable(s"$cat.analytics.nation_tt")
+    require(s.sql(s"SELECT COUNT(*) FROM $cat.analytics.nation_tt")
+      .head().getLong(0) == 2 * n0, "append before rollback must be visible")
+    require(s.sql(s"SELECT name FROM $cat.analytics.`nation_tt$$refs`")
+      .collect().map(_.getString(0)).contains("audited"),
+      "$refs must list the tag")
+    s.sql(s"CALL $cat.system.rollback_to_snapshot('analytics.nation_tt', $v0)")
+    s.catalog.refreshTable(s"$cat.analytics.nation_tt")
+    require(s.sql(s"SELECT COUNT(*) FROM $cat.analytics.nation_tt")
+      .head().getLong(0) == n0, "rollback must restore the tagged content")
+    s.sql(
+      s"""SELECT n_regionkey, COUNT(*) AS n_nations,
+         |  MIN(n_name) AS first_name
+         |FROM $cat.analytics.nation_tt VERSION AS OF 'audited'
+         |GROUP BY n_regionkey
+         |ORDER BY n_regionkey ASC NULLS FIRST""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "sql_catalog" -> sqlCatalog,
+    "sql_time_travel" -> sqlTimeTravel,
     "sql_catalog_write" -> sqlCatalogWrite,
     "sql_catalog_merge" -> sqlCatalogMerge,
     "sql_join_colocated" -> sqlJoinColocated,
@@ -284,6 +325,13 @@ object SqlSurface {
     "sql_update_mor" -> sqlUpdateMor)
 
   val oracles: Map[String, String] = Map(
+    "sql_time_travel" ->
+      """SELECT n_regionkey, COUNT(*) AS n_nations,
+        |  MIN(n_name) AS first_name
+        |FROM nation
+        |GROUP BY n_regionkey
+        |ORDER BY n_regionkey ASC NULLS FIRST""".stripMargin,
+
     "sql_catalog" ->
       """SELECT o_orderstatus, COUNT(*) AS n_orders,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,

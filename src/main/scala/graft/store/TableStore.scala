@@ -666,7 +666,7 @@ class TableStore(val spark: SparkSession, val root: String) {
     * a key that already exists elsewhere reports that key as INSERT (append
     * is a bag operation; keyed tables are maintained through the CDC paths). */
   def readChangelog(fromVersion: Long, toVersion: Long = -1L,
-      keyCols: Seq[String] = Nil): DataFrame = {
+      keyCols: Seq[String] = Nil, updatePreImages: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions._
     val fv = resolveVersion(fromVersion)
     val tv = resolveVersion(toVersion)
@@ -734,11 +734,27 @@ class TableStore(val spark: SparkSession, val root: String) {
       .when(col("_post_exists").isNull, lit("DELETE"))
       .when(postImg <=> preImg, lit(null)) // carry-over: rewritten, unchanged
       .otherwise(lit("UPDATE"))
-    j.withColumn("_change_type", changeType)
+    val typed = j.withColumn("_change_type", changeType)
       .filter(col("_change_type").isNotNull)
-      .select((col("_change_type") +: keys.map(col)) ++ payload.map(c =>
+    if (!updatePreImages)
+      typed.select((col("_change_type") +: keys.map(col)) ++ payload.map(c =>
         when(col("_change_type") === "DELETE", col(s"_pre_$c"))
           .otherwise(col(s"_post_$c")).as(c)): _*)
+    else {
+      // Iceberg-changelog shape: an UPDATE emits update_preimage +
+      // update_postimage rows — the pre-image is what an index/aggregate
+      // maintainer needs to RETRACT the old state (a GSI must delete the
+      // entry under the OLD index-key value). Three projections over one
+      // join; the exchange is reused across the union branches.
+      def proj(types: Seq[String], tag: String, prefix: String) =
+        typed.filter(col("_change_type").isin(types: _*))
+          .select((lit(tag).as("_change_type") +: keys.map(col)) ++
+            payload.map(c => col(s"$prefix$c").as(c)): _*)
+      proj(Seq("INSERT"), "INSERT", "_post_")
+        .unionByName(proj(Seq("DELETE"), "DELETE", "_pre_"))
+        .unionByName(proj(Seq("UPDATE"), "UPDATE_PRE", "_pre_"))
+        .unionByName(proj(Seq("UPDATE"), "UPDATE_POST", "_post_"))
+    }
   }
 
   /** Paths an EXTERNAL scanner (the V2 catalog's stock parquet table)
@@ -1599,6 +1615,97 @@ class TableStore(val spark: SparkSession, val root: String) {
   def versionAsOfTimestamp(tsMs: Long): Option[Long] =
     existingVersions().filter(v => manifest(v).committedAtMs <= tsMs).lastOption
 
+  // ------------------------------------------------------------------ refs
+
+  private def refsDir = new Path(rootPath, "refs")
+
+  /** Create an immutable named pointer (a TAG, Iceberg's `refs` analog —
+    * S3 Tables is Iceberg underneath, reference README.md:12) at `version`
+    * (default: current). A tagged snapshot is PINNED: every expiry path
+    * ([[vacuum]]/[[vacuumOlderThan]]/[[vacuumNoncurrent]]) keeps its
+    * manifest, and the file sweeps therefore keep every data/DV/shard file
+    * it references — the audit-freeze / reproducible-training-run handle a
+    * 100 TB pipeline needs (a tag costs one KB-scale JSON file; the data it
+    * pins is shared with neighboring snapshots via file inheritance, not
+    * copied). Creation is atomic and first-writer-wins, same discipline as
+    * the manifest swap. */
+  def createTag(name: String, version: Long = -1L,
+      nowMs: Long = System.currentTimeMillis()): SnapshotRef = {
+    require(TableStore.RefNameOk.pattern.matcher(name).matches(),
+      s"ref name must match [A-Za-z0-9._-]{1,128}, got '$name'")
+    require(!name.forall(_.isDigit),
+      s"ref name cannot be all digits (ambiguous with a snapshot id): '$name'")
+    val v = if (version < 0) currentVersion() else version
+    require(existingVersions().contains(v), s"snapshot $v does not exist")
+    val f = fs
+    f.mkdirs(refsDir)
+    val ref = SnapshotRef(name, v, nowMs)
+    val tmp = new Path(refsDir, s".tmp-$name-${stagingSuffix()}")
+    val out = f.create(tmp, false)
+    try out.write(ref.toJson.getBytes("UTF-8")) finally out.close()
+    val dest = new Path(refsDir, s"$name.json")
+    val latch = TableStore.commitLatch(f.makeQualified(rootPath).toString)
+    val won = latch.synchronized { !f.exists(dest) && f.rename(tmp, dest) }
+    if (!won) {
+      f.delete(tmp, false)
+      throw new IllegalStateException(s"ref '$name' already exists at $root")
+    }
+    ref
+  }
+
+  /** Drop a tag; its snapshot becomes expirable again. Returns whether the
+    * ref existed. */
+  def dropTag(name: String): Boolean =
+    fs.delete(new Path(refsDir, s"$name.json"), false)
+
+  /** All refs, name-ascending. O(#refs) driver work — refs are few by
+    * construction (human-created pins, not per-commit artifacts). */
+  def listRefs(): Seq[SnapshotRef] = {
+    val f = fs
+    if (!f.exists(refsDir)) Nil
+    else f.listStatus(refsDir).map(_.getPath)
+      .filter(p => p.getName.endsWith(".json") && !p.getName.startsWith("."))
+      .map { p =>
+        val in = f.open(p)
+        val bytes = try {
+          val o = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](4096)
+          var n = in.read(buf)
+          while (n >= 0) { o.write(buf, 0, n); n = in.read(buf) }
+          o.toByteArray
+        } finally in.close()
+        SnapshotRef.fromJson(new String(bytes, "UTF-8"))
+      }.sortBy(_.name).toSeq
+  }
+
+  /** The snapshot a ref points at, if the ref exists. */
+  def refVersion(name: String): Option[Long] = {
+    val p = new Path(refsDir, s"$name.json")
+    if (!fs.exists(p)) None else listRefs().find(_.name == name).map(_.version)
+  }
+
+  /** Roll the table back to `target`'s content by committing a COPY of its
+    * manifest as the next version (Iceberg `rollback_to_snapshot`): history
+    * stays linear and append-only — the bad snapshots remain queryable (and
+    * expirable) rather than being erased, the changelog across the rollback
+    * correctly emits the un-done rows, and concurrent writers are handled
+    * by the same CAS the data commits use. No data moves: the copy
+    * references the target's files/shards/DVs byte-identically, so rollback
+    * on a 100 TB table is one KB-scale metadata write. */
+  def rollbackTo(target: Long, expectedParent: Option[Long] = None,
+      nowMs: Long = System.currentTimeMillis()): Long = {
+    val cur = checkParent(expectedParent)
+    require(cur >= 0, "cannot roll back an empty table")
+    if (target == cur) return cur
+    require(existingVersions().contains(target),
+      s"snapshot $target does not exist (expired or never committed)")
+    val tm = manifest(target)
+    val next = cur + 1
+    writeManifestAtomic(tm.copy(version = next, parent = cur,
+      committedAtMs = nowMs))
+    next
+  }
+
   /** GC of snapshots below `keepFrom`: the manifest is deleted FIRST, then
     * unreferenced data — so no surviving manifest ever points at deleted
     * files (the reference's Iceberg snapshot expiry removes metadata along
@@ -1626,7 +1733,12 @@ class TableStore(val spark: SparkSession, val root: String) {
       case Some(pre) => math.min(keepFrom, pre + 1)
       case None => keepFrom
     }
-    existingVersions().filter(_ < clamped).foreach { v =>
+    // Ref-pinned snapshots survive every expiry path: their manifests stay,
+    // so the sweeps below (which work off surviving manifests' file
+    // references) keep their data/DV/shard files too. Dropping the tag
+    // re-exposes them to the NEXT vacuum.
+    val pinned = listRefs().map(_.version).toSet
+    existingVersions().filter(v => v < clamped && !pinned(v)).foreach { v =>
       f.delete(new Path(manifestDir, s"v$v.json"), false)
     }
     val survivors = existingVersions().map(manifest)
@@ -2102,6 +2214,31 @@ object TableStore {
       org.apache.spark.sql.types.StringType, nullable = false),
     org.apache.spark.sql.types.StructField("pos",
       org.apache.spark.sql.types.LongType, nullable = false)))
+
+  private[graft] val RefNameOk = "[A-Za-z0-9._-]{1,128}".r
+
+  /** A named snapshot pointer (tag): `refs/<name>.json` under the table
+    * root. Immutable once created; existence pins the target snapshot
+    * against every expiry path. */
+  final case class SnapshotRef(name: String, version: Long, createdAtMs: Long) {
+    def toJson: String = {
+      val esc = name.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString
+      }
+      s"""{"name":"$esc","version":$version,"createdAtMs":$createdAtMs}"""
+    }
+  }
+
+  object SnapshotRef {
+    def fromJson(s: String): SnapshotRef = {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      implicit val fmt: Formats = DefaultFormats
+      val j = JsonMethods.parse(s)
+      SnapshotRef((j \ "name").extract[String], (j \ "version").extract[Long],
+        (j \ "createdAtMs").extract[Long])
+    }
+  }
 
   final case class Manifest(version: Long, parent: Long, schema: StructType,
       location: String, inlineFiles: Seq[String], partitionBy: Seq[String],

@@ -767,6 +767,45 @@ class GraftCatalogSpec extends SparkSuite {
     assert(n3 == 800L && f3 == 8L)
   }
 
+  test("snapshot refs: tag-based time travel, $refs, and rollback through SQL") {
+    val store = new TableStore(spark, s"$warehouse/analytics/reftbl")
+    store.commitSnapshot((1L to 25L).map(k => (k, s"r$k")).toDF("k", "v"))
+    spark.sql("CALL spec_cat.system.create_tag('analytics.reftbl', 'audited')")
+    spark.sql(
+      """INSERT INTO spec_cat.analytics.reftbl
+        |SELECT k + 100, concat('bad_', v) FROM spec_cat.analytics.reftbl""".stripMargin)
+    spark.catalog.refreshTable("spec_cat.analytics.reftbl")
+    assert(spark.sql("SELECT COUNT(*) FROM spec_cat.analytics.reftbl")
+      .head().getLong(0) == 50L)
+    // tag resolves through VERSION AS OF, numeric ids keep working
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM spec_cat.analytics.reftbl VERSION AS OF 'audited'")
+      .head().getLong(0) == 25L)
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM spec_cat.analytics.reftbl VERSION AS OF 0")
+      .head().getLong(0) == 25L)
+    // $refs lists the tag with its pinned snapshot
+    val refs = spark.sql(
+      "SELECT name, version FROM spec_cat.analytics.`reftbl$refs`").collect()
+    assert(refs.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("audited", 0L)))
+    // rollback through the procedure restores the tagged content as v2
+    val rb = spark.sql(
+      "CALL spec_cat.system.rollback_to_snapshot('analytics.reftbl', 0)")
+      .collect().head
+    assert(rb.getLong(0) == 0L && rb.getLong(1) == 2L)
+    spark.catalog.refreshTable("spec_cat.analytics.reftbl")
+    assert(spark.sql("SELECT COUNT(*) FROM spec_cat.analytics.reftbl")
+      .head().getLong(0) == 25L)
+    // drop the tag; resolution now fails loudly
+    assert(spark.sql("CALL spec_cat.system.drop_tag('analytics.reftbl', 'audited')")
+      .collect().head.getBoolean(0))
+    val e = intercept[Exception](spark.sql(
+      "SELECT COUNT(*) FROM spec_cat.analytics.reftbl VERSION AS OF 'audited'")
+      .collect())
+    assert(e.getMessage.contains("audited"))
+  }
+
   test("DV fallback serves nested-field selection on struct columns") {
     val store = new TableStore(spark, s"$warehouse/analytics/dvnest")
     store.commitSnapshot(

@@ -1056,6 +1056,65 @@ class TableStoreSpec extends SparkSuite {
     assert(store.readChangelog(0, v2).count() == 3)
   }
 
+  test("tags pin snapshots against every expiry path until dropped") {
+    val store = freshStore()
+    // three FULL rewrites: each version's files are referenced by nothing
+    // else, so only the ref pin can keep v0 alive through a vacuum
+    store.commitSnapshot((1L to 10L).map(k => (k, "v0")).toDF("k", "tag"))
+    store.commitSnapshot((1L to 20L).map(k => (k, "v1")).toDF("k", "tag"))
+    store.commitSnapshot((1L to 30L).map(k => (k, "v2")).toDF("k", "tag"))
+    store.createTag("audited", 0L)
+    assert(store.refVersion("audited").contains(0L))
+    // duplicate + invalid names refused
+    intercept[IllegalStateException](store.createTag("audited", 1L))
+    intercept[IllegalArgumentException](store.createTag("123"))
+    intercept[IllegalArgumentException](store.createTag("bad name"))
+
+    store.vacuum(keepSnapshots = 1)
+    assert(store.existingVersions() == Seq(0L, 2L),
+      "pinned v0 must survive; unpinned v1 must expire")
+    assert(store.readSnapshot(0L).count() == 10L, "pinned data must be intact")
+    store.vacuumOlderThan(0L) // every non-current snapshot is "old enough"
+    store.vacuumNoncurrent(0L)
+    assert(store.existingVersions() == Seq(0L, 2L),
+      "age-based expiry must honor the pin too")
+
+    assert(store.dropTag("audited"))
+    assert(!store.dropTag("audited"), "second drop reports absence")
+    store.vacuum(keepSnapshots = 1)
+    assert(store.existingVersions() == Seq(2L),
+      "dropping the tag releases the snapshot to the next vacuum")
+    assert(store.readSnapshot().count() == 30L)
+  }
+
+  test("rollbackTo restores content as a linear metadata-only commit") {
+    val store = freshStore()
+    store.commitBucketed((1L to 50L).map(k => (k, k * 2L)).toDF("k", "n"),
+      Seq("k"), 4)
+    store.commitAppend((51L to 80L).map(k => (k, -1L)).toDF("k", "n"))
+    assert(store.readSnapshot().count() == 80L)
+
+    val v = store.rollbackTo(0L)
+    assert(v == 2L && store.currentVersion() == 2L)
+    val m2 = store.manifest(2L)
+    assert(m2.parent == 1L, "history stays linear")
+    assert(m2.inlineFiles == store.manifest(0L).inlineFiles,
+      "rollback must reference the target's files byte-identically")
+    assert(store.readSnapshot().count() == 50L)
+    // the changelog ACROSS the rollback emits the undone rows as DELETEs
+    val undo = store.readChangelog(1L, 2L)
+    assert(undo.filter(col("_change_type") === "DELETE").count() == 30L)
+    assert(undo.filter(col("_change_type") =!= "DELETE").count() == 0L)
+    // the table keeps working: appends land on top of the rollback
+    store.commitAppend(Seq((999L, 7L)).toDF("k", "n"))
+    assert(store.readSnapshot().count() == 51L)
+    // rolling back to an expired / never-committed snapshot fails loudly
+    intercept[IllegalArgumentException](store.rollbackTo(17L))
+    // no-op rollback to current is accepted and commits nothing
+    val cur = store.currentVersion()
+    assert(store.rollbackTo(cur) == cur && store.currentVersion() == cur)
+  }
+
   test("incremental commits inherit DVs; CDC loop over a DV'd table stays exact") {
     val store = freshStore()
     store.commitBucketed(
