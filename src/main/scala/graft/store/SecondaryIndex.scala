@@ -1,0 +1,169 @@
+package graft.store
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions.{col, lit}
+
+/** Global secondary indexes over bucketed tables — the engine's analog of
+  * DynamoDB's GSIs (the access-pattern layer the reference's source table
+  * serves natively and loses in the lake copy: reference README.md:81-84
+  * pins key-condition queries as the primary access shape, but a DynamoDB
+  * table's GSIs don't survive the export). An index is itself a graft
+  * table, bucketed on the INDEX keys, holding (index keys, base primary
+  * keys, projected columns) — so a point lookup on a non-primary attribute
+  * bucket-prunes to one index bucket instead of scanning the base table.
+  *
+  * Scale contract (100 TB base):
+  *  - CREATE is one distributed projection of the base snapshot — the only
+  *    O(base) pass the index ever costs.
+  *  - REFRESH is incremental: it reads the base CHANGELOG (O(changed
+  *    partitions), never a base rescan), computes retractions from UPDATE
+  *    PRE-images (the old index-key value tells us which index entry to
+  *    delete — the reason [[TableStore.readChangelog]] grew
+  *    `updatePreImages`), and rewrites ONLY the index buckets the old+new
+  *    index-key values hash into. Write volume is O(changed rows +
+  *    affected-bucket sizes), matching DynamoDB's own incremental GSI
+  *    maintenance.
+  *  - LOOKUP bucket-prunes the index by the equality/IN predicate; a
+  *    COVERED query (wanted ⊆ index columns) never touches the base at
+  *    all, and a fetch-back reads only the base buckets the matched
+  *    primary keys hash into (two point reads end-to-end).
+  *
+  * Indexes live under `<base-root>/index/<name>` — outside the base's
+  * `data/` + `manifest/` dirs, so base vacuum/compaction never sweeps them
+  * and index maintenance is an independent commit stream. Refresh is
+  * eventually consistent by design (DynamoDB GSI semantics): the manifest
+  * prop `graft.index.base-version` records exactly which base snapshot the
+  * index reflects. */
+object SecondaryIndex {
+
+  private val BaseVersionProp = "graft.index.base-version"
+  private val IndexKeysProp = "graft.index.keys"
+
+  def indexStore(base: TableStore, name: String): TableStore = {
+    require(TableStore.RefNameOk.pattern.matcher(name).matches(),
+      s"index name must match [A-Za-z0-9._-]{1,128}, got '$name'")
+    new TableStore(base.spark, s"${base.root}/index/$name")
+  }
+
+  /** Build the index from the base's current snapshot: one distributed
+    * projection, bucketed on `indexKeys`. The base's primary (bucket) keys
+    * are always carried (DynamoDB projects the table keys into every GSI);
+    * `projection` adds covered non-key columns. */
+  def create(base: TableStore, name: String, indexKeys: Seq[String],
+      projection: Seq[String] = Nil, numBuckets: Int = 16): Long = {
+    val bv = base.currentVersion()
+    require(bv >= 0, "cannot index an empty table")
+    val bm = base.manifest(bv)
+    require(bm.bucketKeys.nonEmpty,
+      "secondary index requires a bucketed (keyed) base table")
+    require(indexKeys.nonEmpty && indexKeys != bm.bucketKeys,
+      s"index keys must be non-empty and differ from the primary keys ${bm.bucketKeys}")
+    val unknown = (indexKeys ++ projection).filterNot(bm.schema.fieldNames.contains)
+    require(unknown.isEmpty, s"index references unknown columns: $unknown")
+    val cols = indexCols(indexKeys, bm.bucketKeys, projection)
+    val idx = indexStore(base, name)
+    require(idx.currentVersion() < 0, s"index '$name' already exists")
+    idx.commitBucketed(base.readSnapshot(bv).select(cols.map(col): _*),
+      indexKeys, numBuckets,
+      props = Map(BaseVersionProp -> bv.toString,
+        IndexKeysProp -> indexKeys.mkString(",")))
+    bv
+  }
+
+  private def indexCols(indexKeys: Seq[String], baseKeys: Seq[String],
+      projection: Seq[String]): Seq[String] =
+    (indexKeys ++ baseKeys ++ projection).distinct
+
+  /** Advance the index to the base's current snapshot by replaying the
+    * changelog between the indexed version and now. Affected index buckets
+    * are derived from the OLD index-key values (retractions) and the NEW
+    * ones (assertions); only those buckets rewrite. Returns the base
+    * version the index now reflects. Idempotent: a refresh with no base
+    * movement is a no-op. */
+  def refresh(base: TableStore, name: String): Long = {
+    val idx = indexStore(base, name)
+    val iv = idx.currentVersion()
+    require(iv >= 0, s"index '$name' does not exist; create it first")
+    val im = idx.manifest(iv)
+    val fromV = im.props(BaseVersionProp).toLong
+    val toV = base.currentVersion()
+    if (toV == fromV) return fromV
+    require(base.existingVersions().contains(fromV),
+      s"indexed base snapshot $fromV expired; rebuild the index " +
+        "(pin the indexed snapshot with a tag to prevent this)")
+    val bm = base.manifest(toV)
+    val indexKeys = im.bucketKeys
+    val cols = im.schema.fieldNames.filterNot(_ == "_gbucket").toSeq
+    val changes = base.readChangelog(fromV, toV, updatePreImages = true)
+
+    // retractions carry the OLD index-key value; assertions the NEW one —
+    // together they name every index bucket whose content changes
+    val pre = changes.filter(col("_change_type").isin("DELETE", "UPDATE_PRE"))
+      .select(cols.map(col): _*)
+    val post = changes.filter(col("_change_type").isin("INSERT", "UPDATE_POST"))
+      .select(cols.map(col): _*)
+    val bucketCol = TableStore.bucketExpr(indexKeys, im.numBuckets)
+    val touched = pre.select(bucketCol.as("b"))
+      .union(post.select(bucketCol.as("b")))
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted // ≤ numBuckets rows
+    if (touched.isEmpty) {
+      // base moved but no keyed rows changed (e.g. a metadata-only commit):
+      // just advance the watermark
+      idx.commitIncremental(idx.readSnapshot(iv).limit(0), Nil,
+        expectedParent = Some(iv),
+        props = im.props + (BaseVersionProp -> toV.toString))
+      return toV
+    }
+    // new content of the touched buckets: existing entries minus every
+    // changed primary key's old entry, plus the post-images. The anti-join
+    // keys on the PRIMARY key — a changed key's old entry is in `touched`
+    // by construction (its old index-key value contributed the bucket).
+    val baseKeys = bm.bucketKeys
+    val changedKeys = changes.select(baseKeys.map(col): _*).distinct()
+    val kept = idx.readBuckets(touched, iv)
+      .join(changedKeys, baseKeys, "left_anti")
+    val updated = kept.unionByName(post)
+    idx.commitIncremental(updated, touched, expectedParent = Some(iv),
+      props = im.props + (BaseVersionProp -> toV.toString))
+    toV
+  }
+
+  /** Query through the index: `pred` filters on the INDEX keys (equality /
+    * IN predicates bucket-prune the index read). Covered queries (`wanted`
+    * ⊆ index columns) are served from the index alone; otherwise the
+    * matched primary keys fetch back into the base — an IN-set lookup that
+    * bucket-prunes the base read too. `wanted` defaults to the full base
+    * schema (always a fetch-back unless the index projects everything). */
+  def lookup(base: TableStore, name: String, pred: Column,
+      wanted: Seq[String] = Nil): DataFrame = {
+    val idx = indexStore(base, name)
+    val iv = idx.currentVersion()
+    require(iv >= 0, s"index '$name' does not exist")
+    val im = idx.manifest(iv)
+    val bm = base.manifest(im.props(BaseVersionProp).toLong)
+    val want = if (wanted.nonEmpty) wanted else bm.schema.fieldNames.toSeq
+    val idxCols = im.schema.fieldNames.toSet
+    val entries = idx.readSnapshot(iv).filter(pred)
+    if (want.forall(idxCols)) entries.select(want.map(col): _*)
+    else {
+      // fetch-back: collect the matched primary keys (point-lookup sized —
+      // this is the GSI access pattern, not a scan) and read only the base
+      // buckets they hash into via the IN predicate's bucket pruning
+      val baseKeys = bm.bucketKeys
+      val keys = entries.select(baseKeys.map(col): _*).distinct().collect()
+      if (keys.isEmpty)
+        return base.readSnapshot(bm.version).limit(0).select(want.map(col): _*)
+      val inPred = baseKeys.zipWithIndex.map { case (k, i) =>
+        col(k).isin(keys.map(_.get(i)).toIndexedSeq: _*)
+      }.reduce(_ && _)
+      // conjunctive IN-per-column over-selects on composite keys; re-filter
+      // exactly with a joined semi on the collected tuples
+      val matched = base.readSnapshot(bm.version).filter(inPred)
+      val keyDf = base.spark.createDataFrame(
+        java.util.Arrays.asList(keys: _*),
+        org.apache.spark.sql.types.StructType(
+          baseKeys.map(k => bm.schema(k)).toArray))
+      matched.join(keyDf, baseKeys, "left_semi").select(want.map(col): _*)
+    }
+  }
+}
