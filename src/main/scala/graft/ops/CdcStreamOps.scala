@@ -225,10 +225,60 @@ object CdcStreamOps {
       .orderBy(k.asc_nulls_first)
   }
 
+  /** The same CDC fixture as `cdc_apply`, driven through the MERGE-ON-READ
+    * store loop ([[graft.streaming.StreamingOps.applyCdcBatchMor]]): the
+    * batch lands as ONE delete-vector + append commit — O(changed rows)
+    * write volume instead of rewriting every touched bucket, the trade a
+    * 100 TB continuous feed needs (see `sql_delete_mor` for the measured
+    * 438× write-volume gap). The require()s pin the MOR contract: every
+    * seed file inherited, delete vectors present. Read back THROUGH the
+    * DV view and oracle-checked against the same relational LWW result. */
+  private val cdcApplyMor: Q = (s, d) => {
+    val o = load(s, d, "orders")
+    val k = col("o_orderkey")
+    val one1 = lit("1.10").cast("decimal(18,2)")
+    val one2 = lit("1.20").cast("decimal(18,2)")
+    val store = new graft.store.TableStore(s,
+      graft.util.Scratch.dir("cdc_apply_mor"))
+    store.commitBucketed(o, keys = Seq("o_orderkey"), numBuckets = 16)
+    val files0 = store.manifest(store.currentVersion()).inlineFiles.toSet
+    val removes = o.filter(k % 10 === 0).select(
+      CdcApply.changeCols(lit(CdcApply.OpRemove), lit(1L),
+        Seq(k, lit(null).cast("long").as("o_custkey"),
+          lit(null).cast("string").as("o_orderstatus"),
+          lit(null).cast("double").as("o_totalprice"),
+          lit(null).cast("timestamp_ntz").as("o_orderdate"),
+          lit(null).cast("string").as("o_orderpriority"))): _*)
+    val mod1 = o.filter(k % 2 === 0 && k % 10 =!= 0).select(
+      CdcApply.changeCols(lit(CdcApply.OpModify), lit(1L),
+        Seq(k, col("o_custkey"), lit("U").as("o_orderstatus"),
+          (dec2(col("o_totalprice")) * one1).cast("double").as("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority"))): _*)
+    val mod2 = o.filter(k % 4 === 0 && k % 10 =!= 0).select(
+      CdcApply.changeCols(lit(CdcApply.OpModify), lit(2L),
+        Seq(k, col("o_custkey"), lit("V").as("o_orderstatus"),
+          (dec2(col("o_totalprice")) * one2).cast("double").as("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority"))): _*)
+    val inserts = o.filter(k % 7 === 0).select(
+      CdcApply.changeCols(lit(CdcApply.OpInsert), lit(1L),
+        Seq((k + 1000000000L).as("o_orderkey"), col("o_custkey"),
+          lit("N").as("o_orderstatus"), col("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority"))): _*)
+    graft.streaming.StreamingOps.applyCdcBatchMor(
+      removes.unionByName(mod1).unionByName(mod2).unionByName(inserts),
+      store, keys = Seq("o_orderkey"), numBuckets = 16)
+    val m = store.manifest(store.currentVersion())
+    require(m.hasDvs, "MOR CDC apply must commit delete vectors")
+    require(files0.subsetOf(m.inlineFiles.toSet),
+      "MOR CDC apply must inherit every seed data file")
+    store.readSnapshot().orderBy(col("o_orderkey").asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
     "stream_table_feed" -> streamTableFeed,
     "stream_table_roundtrip" -> streamTableRoundtrip,
     "cdc_apply" -> cdcApply,
+    "cdc_apply_mor" -> cdcApplyMor,
     "cdc_apply_evolve" -> cdcApplyEvolve,
     "stream_tumbling_window" -> tumbling,
     "stream_sliding_window" -> sliding,
@@ -250,6 +300,30 @@ object CdcStreamOps {
         |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
 
     "cdc_apply" ->
+      """WITH survivors AS (
+        |  SELECT o_orderkey,
+        |         o_custkey,
+        |         CASE WHEN o_orderkey % 4 = 0 THEN 'V'
+        |              WHEN o_orderkey % 2 = 0 THEN 'U'
+        |              ELSE o_orderstatus END AS o_orderstatus,
+        |         CASE WHEN o_orderkey % 4 = 0
+        |                THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.20 AS DECIMAL(18,2)) AS DOUBLE)
+        |              WHEN o_orderkey % 2 = 0
+        |                THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.10 AS DECIMAL(18,2)) AS DOUBLE)
+        |              ELSE o_totalprice END AS o_totalprice,
+        |         o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 10 <> 0
+        |), inserted AS (
+        |  SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey,
+        |         'N' AS o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |)
+        |SELECT * FROM survivors UNION ALL SELECT * FROM inserted
+        |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+
+    // identical relational LWW result as cdc_apply: the MOR loop is a
+    // different physical strategy for the same logical merge
+    "cdc_apply_mor" ->
       """WITH survivors AS (
         |  SELECT o_orderkey,
         |         o_custkey,

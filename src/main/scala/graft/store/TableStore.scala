@@ -1229,13 +1229,98 @@ class TableStore(val spark: SparkSession, val root: String) {
     import org.apache.spark.sql.functions.col
     val hits = readFilesWithPos(pm, candidates).filter(cond)
       .select(col("_g_file").as("file_path"), col("_g_pos").as("pos"))
+    writeDvRows(hits, candidates.size, snapDir)
+  }
+
+  /** Stage precomputed (file, pos) delete entries under `<snapDir>/dv/`. */
+  private def writeDvRows(hits: DataFrame, nCandidates: Int,
+      snapDir: Path): Seq[DvRef] = {
     val dvDir = new Path(snapDir, "dv")
-    hits.repartition(math.min(32, math.max(1, candidates.size / 8)))
+    hits.repartition(math.min(32, math.max(1, nCandidates / 8)))
       .write.mode(SaveMode.Overwrite).parquet(dvDir.toString)
     val dvFiles = listDataFiles(dvDir)
     val stats = FileStats.collect(spark, dvFiles, TableStore.DvSchema)
     dvFiles.map(f => DvRef(f, stats(f).bytes, stats(f).rows))
       .filter(_.rows > 0)
+  }
+
+  /** MERGE-ON-READ keyed upsert — the CDC-loop analog of [[updateMor]]:
+    * ONE commit carrying (a) a delete vector masking every live base row
+    * whose key appears in `winners` and (b) fresh bucketed files with the
+    * non-`removeOp` post-images. `winners` must hold exactly one row per
+    * key (the caller's LWW collapse) with the table's payload columns plus
+    * `opCol`.
+    *
+    * Write volume is O(matched base rows + batch) — the COW CDC loop
+    * ([[graft.streaming.StreamingOps.applyCdcBatch]]) rewrites every
+    * TOUCHED BUCKET instead, so at 100 TB with multi-GB buckets this is
+    * the difference between a KB-scale mask+append and re-writing the
+    * buckets a trickle of changed keys hashes into, every micro-batch.
+    * The trade is the standard MOR read tax (stacked DVs apply as a
+    * broadcast anti-join); [[purgeDeletes]] on a maintenance cadence
+    * restores byte-stock plans. Candidate files are bucket-pruned by the
+    * batch's key set; the DV semi-join keys on the table's bucket keys.
+    *
+    * Schema must match the table exactly: evolution (new/widened columns)
+    * routes through the COW loop, which owns the rewrite anyway. */
+  def upsertMor(winners: DataFrame, opCol: String = "op",
+      removeOp: String = "REMOVE",
+      expectedParent: Option[Long] = None,
+      props: Map[String, String] = Map.empty): Long = {
+    import org.apache.spark.sql.functions.col
+    val parent = checkParent(expectedParent)
+    require(parent >= 0, "merge-on-read upsert requires an existing snapshot")
+    val pm = manifest(parent)
+    require(pm.bucketKeys.nonEmpty, "upsertMor requires a bucketed table")
+    require(!pm.isSharded,
+      "delete vectors are an inline-tier feature; sharded tables mutate " +
+        "through the bucket-targeted COW paths")
+    val payloadCols = winners.columns.filterNot(_ == opCol).toSeq
+    require(payloadCols.sorted == pm.schema.fieldNames.sorted.toSeq,
+      s"upsertMor schema mismatch: $payloadCols vs " +
+        s"${pm.schema.fieldNames.toSeq}; evolution goes through the COW loop")
+    pm.schema.fields.foreach { f =>
+      require(winners.schema(f.name).dataType == f.dataType,
+        s"upsertMor type mismatch on ${f.name}: " +
+          s"${winners.schema(f.name).dataType} vs ${f.dataType}")
+    }
+    val keys = pm.bucketKeys
+    // bucket-prune the DV computation to the buckets the batch keys hash
+    // into — the same narrowing the COW loop uses for its rewrite set
+    val touched = winners
+      .select(TableStore.bucketExpr(keys, pm.numBuckets).as("b"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    val candidates = pm.inlineFiles.filter(f =>
+      TableStore.bucketOfFile(f).exists(touched.contains))
+    val next = parent + 1
+    val snapDir = new Path(dataDir, s"snap-$next-${stagingSuffix()}")
+    beginStaging(snapDir)
+    val keysDf = winners.select(keys.map(col): _*).distinct()
+    val hits =
+      if (candidates.isEmpty) spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        TableStore.DvSchema)
+      else readFilesWithPos(pm, candidates)
+        .join(keysDf, keys, "left_semi")
+        .select(col("_g_file").as("file_path"), col("_g_pos").as("pos"))
+    val newRefs = writeDvRows(hits, math.max(1, candidates.size), snapDir)
+    val post = winners.filter(col(opCol) =!= removeOp)
+      .select(pm.schema.fieldNames.map(col): _*)
+    val aligned = applyFieldIds(post, pm.schema)
+    aligned.withColumn(BucketCol, bucketExpr(keys, pm.numBuckets))
+      .write.mode(SaveMode.Append).options(bloomWriteOptions)
+      .partitionBy(BucketCol).parquet(snapDir.toString)
+    val fresh = listDataFiles(snapDir).filterNot(dvPath(snapDir))
+    if (newRefs.isEmpty && fresh.isEmpty) { // empty batch: no-op
+      fs.delete(snapDir, true); endStaging(snapDir); return parent
+    }
+    val m = pm.copy(version = next, parent = parent,
+      location = snapDir.toString, committedAtMs = System.currentTimeMillis(),
+      props = props,
+      inlineFiles = pm.inlineFiles ++ fresh,
+      inlineStats = pm.inlineStats ++ FileStats.collect(spark, fresh, pm.schema),
+      dvRefs = pm.dvRefs ++ newRefs)
+    commitOrCleanup(m, snapDir)
   }
 
   /** Fold the table's delete vectors into data: rewrite ONLY the data files

@@ -213,12 +213,20 @@ object StreamingOps {
       everyNCommits: Int = 8,
       maxFilesPerBucket: Int = 4,
       keepSnapshots: Int = 2,
-      retentionMs: Long = 0L)
+      retentionMs: Long = 0L,
+      maxDvFiles: Int = 8)
 
   /** One maintenance pass (shared by the stream loop and direct callers). */
   def maintain(store: TableStore, policy: CdcMaintenance): Unit = {
+    val cur0 = store.currentVersion()
+    if (cur0 < 0) return
+    // MOR loop hygiene first: stacked delete vectors past the threshold are
+    // folded into clean data files (targeted rewrite of DV'd files only) —
+    // restores byte-stock read plans and bounds the read tax under a
+    // continuous merge-on-read feed
+    if (store.manifest(cur0).dvRefs.size > policy.maxDvFiles)
+      store.purgeDeletes(expectedParent = Some(cur0))
     val cur = store.currentVersion()
-    if (cur < 0) return
     val m = store.manifest(cur)
     if (m.bucketKeys.nonEmpty) {
       val fat = store.bucketFileCounts(m).collect {
@@ -295,6 +303,52 @@ object StreamingOps {
           expectedParent = Some(cur), props = props)
       }
     }
+    maintenance.foreach { p =>
+      if (store.currentVersion() % p.everyNCommits == 0) maintain(store, p)
+    }
+    ()
+  }
+
+  /** One micro-batch of the MERGE-ON-READ CDC loop: LWW-collapse the batch
+    * (highest sequence per key wins — the same total order [[CdcApply]]
+    * uses), then ONE [[TableStore.upsertMor]] commit: a delete vector masks
+    * every live base row whose key appears in the batch, fresh bucketed
+    * files carry the non-REMOVE post-images. Write volume per micro-batch
+    * is O(changed rows) — the COW loop ([[applyCdcBatch]]) rewrites every
+    * touched BUCKET, so with multi-GB buckets and a trickle feed this is
+    * the write-amplification difference that dominates a 100 TB continuous
+    * pipeline. The read tax of stacked DVs is bounded by the maintenance
+    * cadence ([[CdcMaintenance.maxDvFiles]] → [[TableStore.purgeDeletes]]).
+    *
+    * Bootstrap, layout migration, schema evolution, and sharded tables
+    * fall back to the COW loop — those cases own a rewrite anyway. Same
+    * idempotence as the COW loop: re-applying a batch masks the batch's own
+    * images and re-appends identical ones (content-equal snapshot). */
+  def applyCdcBatchMor(batch: DataFrame, store: TableStore, keys: Seq[String],
+      numBuckets: Int = 64, seqCol: String = "seq", opCol: String = "op",
+      maintenance: Option[CdcMaintenance] = None,
+      props: Map[String, String] = Map.empty): Unit = {
+    val cur = store.currentVersion()
+    val payload = batch.columns.filterNot(c => c == seqCol || c == opCol).toSeq
+    val fits = cur >= 0 && {
+      val m = store.manifest(cur)
+      m.bucketKeys == keys && m.numBuckets == numBuckets && !m.isSharded &&
+        payload.sorted == m.schema.fieldNames.sorted.toSeq &&
+        m.schema.fields.forall(f =>
+          batch.schema.fields.find(_.name == f.name)
+            .exists(_.dataType == f.dataType))
+    }
+    if (!fits)
+      return applyCdcBatch(batch, store, keys, numBuckets, seqCol, opCol,
+        maintenance, props)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(seqCol).desc)
+    val winners = batch
+      .withColumn("_g_rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("_g_rn") === 1).drop("_g_rn", seqCol)
+    store.upsertMor(winners, opCol, CdcApply.OpRemove,
+      expectedParent = Some(cur), props = props)
     maintenance.foreach { p =>
       if (store.currentVersion() % p.everyNCommits == 0) maintain(store, p)
     }

@@ -260,6 +260,91 @@ class StreamingSpec extends SparkSuite {
     assert(store.readSnapshot().exceptAll(expected).count() == 0)
   }
 
+  test("merge-on-read CDC loop matches the COW loop with O(changed) writes") {
+    def mkStore() = new graft.store.TableStore(spark,
+      Files.createTempDirectory("graft_cdc_mor").toString)
+    val keys = Seq("k")
+    val seed = (1L to 200L).map(i => (i, s"v$i", i * 10L)).toDF("k", "v", "n")
+    val cow = mkStore(); cow.commitBucketed(seed, keys, numBuckets = 8)
+    val mor = mkStore(); mor.commitBucketed(seed, keys, numBuckets = 8)
+    val files0 = mor.manifest(mor.currentVersion()).inlineFiles.toSet
+    var morBytes = 0L
+    for (i <- 1 to 5) {
+      // same-key multi-update in one batch (seq order must win), deletes,
+      // inserts of fresh keys
+      val batch = Seq(
+        (i.toLong * 3 % 200 + 1, s"a$i", 1L, 1L, "MODIFY"),
+        (i.toLong * 3 % 200 + 1, s"b$i", 2L, 2L, "MODIFY"), // higher seq wins
+        (i.toLong * 7 % 200 + 1, null.asInstanceOf[String], 0L, 3L, "REMOVE"),
+        (1000L + i, s"new$i", -1L, 4L, "INSERT"))
+        .toDF("k", "v", "n", "seq", "op")
+        .select(col("k"), col("v"), (col("n") * 100).as("n"), col("seq"), col("op"))
+      StreamingOps.applyCdcBatch(batch, cow, keys, numBuckets = 8)
+      StreamingOps.applyCdcBatchMor(batch, mor, keys, numBuckets = 8)
+      val mm = mor.manifest(mor.currentVersion())
+      morBytes += (mm.totalBytes - mor.manifest(mm.parent).totalBytes).max(0L) +
+        mm.dvRefs.map(_.bytes).sum
+    }
+    // content parity, both loops, after 5 batches
+    val a = cow.readSnapshot().orderBy("k").collect().map(_.toSeq).toSeq
+    val b = mor.readSnapshot().orderBy("k").collect().map(_.toSeq).toSeq
+    assert(a == b, "MOR loop diverged from the COW loop")
+    // the MOR base never rewrote a pre-existing file
+    val mFinal = mor.manifest(mor.currentVersion())
+    assert(files0.subsetOf(mFinal.inlineFiles.toSet),
+      "MOR loop must inherit every seed file")
+    assert(mFinal.hasDvs, "MOR loop should carry delete vectors")
+    // idempotence: re-applying the last batch leaves content unchanged
+    val last = Seq((1005L, "new5", -100L, 4L, "INSERT"),
+      (5L * 3 % 200 + 1, s"a5", 100L, 1L, "MODIFY"),
+      (5L * 3 % 200 + 1, s"b5", 200L, 2L, "MODIFY"),
+      (5L * 7 % 200 + 1, null.asInstanceOf[String], 0L, 3L, "REMOVE"))
+      .toDF("k", "v", "n", "seq", "op")
+    StreamingOps.applyCdcBatchMor(last, mor, keys, numBuckets = 8)
+    val b2 = mor.readSnapshot().orderBy("k").collect().map(_.toSeq).toSeq
+    assert(b2 == b, "re-applied batch must be content-neutral")
+  }
+
+  test("MOR CDC maintenance purges stacked delete vectors on cadence") {
+    val store = new graft.store.TableStore(spark,
+      Files.createTempDirectory("graft_cdc_morm").toString)
+    val keys = Seq("k")
+    val policy = StreamingOps.CdcMaintenance(everyNCommits = 4,
+      maxFilesPerBucket = 4, keepSnapshots = 2, maxDvFiles = 2)
+    store.commitBucketed((1L to 100L).map(i => (i, s"v$i")).toDF("k", "v"),
+      keys, numBuckets = 4)
+    var expected = (1L to 100L).map(i => (i, s"v$i")).toDF("k", "v")
+    for (i <- 1 to 12) {
+      val batch = Seq((i.toLong % 100 + 1, s"u$i", i.toLong, "MODIFY"))
+        .toDF("k", "v", "seq", "op")
+      StreamingOps.applyCdcBatchMor(batch, store, keys, numBuckets = 4,
+        maintenance = Some(policy))
+      expected = graft.etl.CdcApply(expected, batch, keys)
+    }
+    val m = store.manifest(store.currentVersion())
+    assert(m.dvRefs.size <= policy.maxDvFiles + policy.everyNCommits,
+      s"DVs not purging: ${m.dvRefs.size} files")
+    assert(store.readSnapshot().exceptAll(expected).count() == 0)
+    assert(store.readSnapshot().count() == expected.count())
+  }
+
+  test("MOR CDC loop falls back to COW for schema evolution") {
+    val store = new graft.store.TableStore(spark,
+      Files.createTempDirectory("graft_cdc_morf").toString)
+    store.commitBucketed((1L to 20L).map(i => (i, s"v$i")).toDF("k", "v"),
+      Seq("k"), numBuckets = 2)
+    // batch carries a NEW column: must route through the COW loop and widen
+    val batch = Seq((1L, "u1", "web", 1L, "MODIFY"))
+      .toDF("k", "v", "channel", "seq", "op")
+    StreamingOps.applyCdcBatchMor(batch, store, Seq("k"), numBuckets = 2)
+    val m = store.manifest(store.currentVersion())
+    assert(m.schema.fieldNames.contains("channel"), "schema must widen")
+    assert(!m.hasDvs, "evolution batch must take the COW path")
+    val row = store.readSnapshot().filter(col("k") === 1L).head()
+    assert(row.getAs[String]("channel") == "web")
+    assert(store.readSnapshot().filter(col("channel").isNull).count() == 19L)
+  }
+
   test("end-to-end continuous pipeline: export files land -> decode -> incremental CDC apply") {
     // the integration's actual loop (reference src:211-215; README.md:159-166):
     // initial export batch-loads the table, then CDC files stream in and are
