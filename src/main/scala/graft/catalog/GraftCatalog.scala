@@ -100,7 +100,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     else if (ident.name.endsWith("$refs"))
       refsMetaTable(Identifier.of(ident.namespace,
         ident.name.stripSuffix("$refs")))
-    else snapshotTable(ident, None)
+    else if (ident.name.contains("$idx_")) {
+      // `tbl$idx_<name>` — a secondary index as a queryable table: the
+      // index IS a graft table under `<base-root>/index/<name>`, so covered
+      // queries run over it directly through SQL (bucket-pruned on the
+      // index keys like any bucketed graft scan)
+      val i = ident.name.indexOf("$idx_")
+      val base = ident.name.substring(0, i)
+      val idxName = ident.name.substring(i + "$idx_".length)
+      snapshotTable(Identifier.of(ident.namespace,
+        s"$base/index/$idxName"), None)
+    } else snapshotTable(ident, None)
 
   /** `SELECT * FROM cat.ns.`tbl$snapshots`` — snapshot history as a queryable
     * metadata table (version, parent, committed_at, file/byte counts), the

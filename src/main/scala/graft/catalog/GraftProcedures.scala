@@ -25,7 +25,8 @@ object GraftProcedures {
   val Namespace: Array[String] = Array("system")
   val Names: Seq[String] =
     Seq("compact", "expire_snapshots", "vacuum", "create_changelog_view",
-      "create_tag", "drop_tag", "rollback_to_snapshot")
+      "create_tag", "drop_tag", "rollback_to_snapshot",
+      "create_index", "refresh_index", "drop_index")
 
   def load(catalog: GraftCatalog, name: String): UnboundProcedure = name match {
     case "compact" => new CompactProc(catalog)
@@ -35,6 +36,9 @@ object GraftProcedures {
     case "create_tag" => new CreateTagProc(catalog)
     case "drop_tag" => new DropTagProc(catalog)
     case "rollback_to_snapshot" => new RollbackProc(catalog)
+    case "create_index" => new CreateIndexProc(catalog)
+    case "refresh_index" => new RefreshIndexProc(catalog)
+    case "drop_index" => new DropIndexProc(catalog)
     case other => throw new IllegalArgumentException(
       s"unknown procedure: $other (have: ${Names.mkString(", ")})")
   }
@@ -227,6 +231,67 @@ object GraftProcedures {
         StructType(Seq(StructField("rolled_back_to", LongType),
           StructField("new_version", LongType))),
         Array(target, next))
+    }
+  }
+
+  /** Build a global secondary index (DynamoDB GSI analog): `CALL
+    * cat.system.create_index('ns.tbl', 'by_cust', 'cust', 'qty', 16)`.
+    * The index is queryable as `` `tbl$idx_<name>` `` and refreshed
+    * incrementally with `refresh_index`. */
+  private final class CreateIndexProc(catalog: GraftCatalog)
+      extends GraftProc("create_index",
+        "build a secondary index bucketed on index_keys, projecting extra columns") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build(),
+      ProcedureParameter.in("index_keys", StringType).build(),
+      ProcedureParameter.in("projection", StringType).defaultValue("''").build(),
+      ProcedureParameter.in("num_buckets", IntegerType).defaultValue("16").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val store = storeFor(catalog, input.getUTF8String(0).toString)
+      def csv(i: Int): Seq[String] =
+        if (input.numFields <= i || input.isNullAt(i)) Nil
+        else input.getUTF8String(i).toString.split(',').map(_.trim)
+          .filter(_.nonEmpty).toSeq
+      val buckets =
+        if (input.numFields < 5 || input.isNullAt(4)) 16 else input.getInt(4)
+      val bv = graft.store.SecondaryIndex.create(store,
+        input.getUTF8String(1).toString, csv(2), csv(3), buckets)
+      result(
+        StructType(Seq(StructField("base_version", LongType))), Array(bv))
+    }
+  }
+
+  /** Advance a secondary index to the base's current snapshot by replaying
+    * the changelog — O(changed rows), only affected index buckets rewrite. */
+  private final class RefreshIndexProc(catalog: GraftCatalog)
+      extends GraftProc("refresh_index",
+        "incrementally advance a secondary index to the base's current snapshot") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val store = storeFor(catalog, input.getUTF8String(0).toString)
+      val bv = graft.store.SecondaryIndex.refresh(store,
+        input.getUTF8String(1).toString)
+      result(
+        StructType(Seq(StructField("base_version", LongType))), Array(bv))
+    }
+  }
+
+  /** Delete a secondary index (its files and manifests). */
+  private final class DropIndexProc(catalog: GraftCatalog)
+      extends GraftProc("drop_index", "delete a secondary index") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val store = storeFor(catalog, input.getUTF8String(0).toString)
+      val existed = graft.store.SecondaryIndex.drop(store,
+        input.getUTF8String(1).toString)
+      result(
+        StructType(Seq(StructField("existed",
+          org.apache.spark.sql.types.BooleanType))), Array(existed))
     }
   }
 

@@ -74,6 +74,16 @@ object SecondaryIndex {
       projection: Seq[String]): Seq[String] =
     (indexKeys ++ baseKeys ++ projection).distinct
 
+  /** Delete the index outright (files + manifests). Returns whether it
+    * existed. The base table is untouched. */
+  def drop(base: TableStore, name: String): Boolean = {
+    require(TableStore.RefNameOk.pattern.matcher(name).matches(),
+      s"index name must match [A-Za-z0-9._-]{1,128}, got '$name'")
+    val p = new org.apache.hadoop.fs.Path(s"${base.root}/index/$name")
+    val fs = p.getFileSystem(base.spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+  }
+
   /** Advance the index to the base's current snapshot by replaying the
     * changelog between the indexed version and now. Affected index buckets
     * are derived from the OLD index-key values (retractions) and the NEW

@@ -806,6 +806,35 @@ class GraftCatalogSpec extends SparkSuite {
     assert(e.getMessage.contains("audited"))
   }
 
+  test("secondary indexes through SQL: create, covered query, refresh, drop") {
+    val store = new TableStore(spark, s"$warehouse/analytics/gsitbl")
+    store.commitBucketed(
+      (1L to 120L).map(i => (i, s"c${i % 9}", i * 2L)).toDF("id", "cust", "qty"),
+      Seq("id"), 4)
+    spark.sql(
+      "CALL spec_cat.system.create_index('analytics.gsitbl', 'by_cust', 'cust', 'qty', 4)")
+    // covered query straight over the index table (no base access)
+    val covered = spark.sql(
+      """SELECT id, qty FROM spec_cat.analytics.`gsitbl$idx_by_cust`
+        |WHERE cust = 'c3' ORDER BY id""".stripMargin)
+    assert(covered.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      (1L to 120L).filter(_ % 9 == 3).map(i => (i, i * 2L)))
+    // mutate the base, refresh, re-query
+    store.deleteMor(col("id") === 3L)
+    spark.sql("CALL spec_cat.system.refresh_index('analytics.gsitbl', 'by_cust')")
+    val after = spark.sql(
+      """SELECT id FROM spec_cat.analytics.`gsitbl$idx_by_cust`
+        |WHERE cust = 'c3' ORDER BY id""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    assert(after == (1L to 120L).filter(i => i % 9 == 3 && i != 3L))
+    // drop removes it; the table name stops resolving
+    assert(spark.sql(
+      "CALL spec_cat.system.drop_index('analytics.gsitbl', 'by_cust')")
+      .collect().head.getBoolean(0))
+    intercept[Exception](spark.sql(
+      "SELECT * FROM spec_cat.analytics.`gsitbl$idx_by_cust`").collect())
+  }
+
   test("DV fallback serves nested-field selection on struct columns") {
     val store = new TableStore(spark, s"$warehouse/analytics/dvnest")
     store.commitSnapshot(
