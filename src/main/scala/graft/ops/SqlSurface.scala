@@ -172,7 +172,7 @@ object SqlSurface {
            |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
            |FROM $cat.analytics.lineitem_rt l
            |JOIN orders_rt_dim o ON l.l_orderkey = o.o_orderkey
-           |WHERE o.o_orderstatus = 'F' AND o.o_totalprice > 500000.0
+           |WHERE o.o_orderstatus = 'F' AND o.o_totalprice > 400000.0
            |GROUP BY l.l_returnflag
            |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin)
       out.count() // materialize under the forced-DPP confs, not lazily after
@@ -402,7 +402,7 @@ object SqlSurface {
       """SELECT l.l_returnflag, COUNT(*) AS n,
         |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
-        |WHERE o.o_orderstatus = 'F' AND o.o_totalprice > 500000.0
+        |WHERE o.o_orderstatus = 'F' AND o.o_totalprice > 400000.0
         |GROUP BY l.l_returnflag
         |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
   )

@@ -138,12 +138,32 @@ object SecondaryIndex {
     toV
   }
 
+  /** Above this many matched primary keys the fetch-back stops collecting
+    * them to the driver: selectivity is predicate-dependent, and a broad
+    * index predicate (a common status value) can match millions of keys —
+    * driver OOM plus a million-literal `isin` expression tree (ADVICE r7
+    * medium). Mirrors `RuntimePruning.MaxRuntimeInValues`' role on the
+    * runtime-filter path. */
+  private def fetchKeyCap(base: TableStore): Int =
+    base.spark.conf.getOption("spark.graft.index.fetchKeyCap")
+      .map(_.toInt).getOrElse(10000)
+
+  /** Counts driver-side key collections taken by [[lookup]]'s fetch-back —
+    * scale tests assert broad lookups leave it untouched. */
+  val fetchBackKeyCollects = new java.util.concurrent.atomic.AtomicLong()
+
   /** Query through the index: `pred` filters on the INDEX keys (equality /
     * IN predicates bucket-prune the index read). Covered queries (`wanted`
     * ⊆ index columns) are served from the index alone; otherwise the
-    * matched primary keys fetch back into the base — an IN-set lookup that
-    * bucket-prunes the base read too. `wanted` defaults to the full base
-    * schema (always a fetch-back unless the index projects everything). */
+    * matched primary keys fetch back into the base. Point-lookup-sized
+    * matches (≤ [[fetchKeyCap]]) collect the keys and bucket-prune the base
+    * read via the IN predicate — two point reads end-to-end. Broader
+    * matches never materialize keys on the driver: the touched base-bucket
+    * set is computed distributedly (≤ numBuckets longs collected), the base
+    * read is pruned to those buckets, and the entries semi-join against it
+    * (Spark broadcasts or shuffles by its own sizing). `wanted` defaults to
+    * the full base schema (always a fetch-back unless the index projects
+    * everything). */
   def lookup(base: TableStore, name: String, pred: Column,
       wanted: Seq[String] = Nil): DataFrame = {
     val idx = indexStore(base, name)
@@ -156,24 +176,37 @@ object SecondaryIndex {
     val entries = idx.readSnapshot(iv).filter(pred)
     if (want.forall(idxCols)) entries.select(want.map(col): _*)
     else {
-      // fetch-back: collect the matched primary keys (point-lookup sized —
-      // this is the GSI access pattern, not a scan) and read only the base
-      // buckets they hash into via the IN predicate's bucket pruning
       val baseKeys = bm.bucketKeys
-      val keys = entries.select(baseKeys.map(col): _*).distinct().collect()
+      val keyEntries = entries.select(baseKeys.map(col): _*).distinct()
+      val cap = fetchKeyCap(base)
+      // limit(cap+1): ≤ cap rows back means this IS the complete key set
+      val keys = keyEntries.limit(cap + 1).collect()
       if (keys.isEmpty)
         return base.readSnapshot(bm.version).limit(0).select(want.map(col): _*)
-      val inPred = baseKeys.zipWithIndex.map { case (k, i) =>
-        col(k).isin(keys.map(_.get(i)).toIndexedSeq: _*)
-      }.reduce(_ && _)
-      // conjunctive IN-per-column over-selects on composite keys; re-filter
-      // exactly with a joined semi on the collected tuples
-      val matched = base.readSnapshot(bm.version).filter(inPred)
-      val keyDf = base.spark.createDataFrame(
-        java.util.Arrays.asList(keys: _*),
-        org.apache.spark.sql.types.StructType(
-          baseKeys.map(k => bm.schema(k)).toArray))
-      matched.join(keyDf, baseKeys, "left_semi").select(want.map(col): _*)
+      if (keys.length <= cap) {
+        fetchBackKeyCollects.incrementAndGet()
+        val inPred = baseKeys.zipWithIndex.map { case (k, i) =>
+          col(k).isin(keys.map(_.get(i)).toIndexedSeq: _*)
+        }.reduce(_ && _)
+        // conjunctive IN-per-column over-selects on composite keys;
+        // re-filter exactly with a joined semi on the collected tuples
+        val matched = base.readSnapshot(bm.version).filter(inPred)
+        val keyDf = base.spark.createDataFrame(
+          java.util.Arrays.asList(keys: _*),
+          org.apache.spark.sql.types.StructType(
+            baseKeys.map(k => bm.schema(k)).toArray))
+        matched.join(keyDf, baseKeys, "left_semi").select(want.map(col): _*)
+      } else {
+        // broad match: derive the touched base buckets distributedly (the
+        // same pattern refresh uses), bucket-prune the base read, and
+        // semi-join the entries against it — no driver key materialization
+        val touched = keyEntries
+          .select(TableStore.bucketExpr(baseKeys, bm.numBuckets).as("b"))
+          .distinct().collect().map(_.getLong(0)).toSeq.sorted
+        base.readBuckets(touched, bm.version)
+          .join(keyEntries, baseKeys, "left_semi")
+          .select(want.map(col): _*)
+      }
     }
   }
 }

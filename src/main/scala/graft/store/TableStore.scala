@@ -477,22 +477,38 @@ class TableStore(val spark: SparkSession, val root: String) {
   private[graft] def dvEntries(m: Manifest): DataFrame =
     spark.read.schema(TableStore.DvSchema).parquet(m.dvRefs.map(_.path): _*)
 
+  /** Above this many DV bytes (manifest `dvRefs` totals — the decision is
+    * metadata-only) the read-side anti-join is NOT broadcast-hinted: a
+    * single broad `deleteMor` (`WHERE date < X` over 10% of a 100 TB table)
+    * writes billions of `(file, pos)` entries in one commit, and a forced
+    * broadcast would pull them onto the driver and every executor
+    * regardless of `autoBroadcastJoinThreshold` (ADVICE r7 medium). Below
+    * it — the CDC-trickle steady state bounded by
+    * `CdcMaintenance.maxDvFiles` — the hint keeps the corpus un-shuffled. */
+  private def dvBroadcastThreshold: Long =
+    spark.conf.getOption("spark.graft.dv.broadcastThreshold")
+      .map(_.toLong).getOrElse(64L << 20)
+
   /** Effective-rows filter for delete-vector snapshots: drop every
-    * `(file, pos)` the DV set names, via a broadcast anti-join on the
-    * parquet metadata columns. Positions are file-absolute (parquet row
-    * index), so the match is exact under splits, row-group skipping, and
-    * any task layout. The DV side stays small by the MOR contract —
-    * accumulating deletes get folded into data by [[purgeDeletes]] /
-    * [[compact]] long before broadcast scale is a concern; the anti-join is
-    * map-side, the corpus never shuffles. `df` must carry `_g_file`/`_g_pos`
-    * (see [[tagPos]]). */
+    * `(file, pos)` the DV set names, via an anti-join on the parquet
+    * metadata columns. Positions are file-absolute (parquet row index), so
+    * the match is exact under splits, row-group skipping, and any task
+    * layout. Small DV sets (the MOR contract steady state — accumulating
+    * deletes get folded into data by [[purgeDeletes]] / [[compact]]) are
+    * broadcast-hinted so the anti-join is map-side and the corpus never
+    * shuffles; past [[dvBroadcastThreshold]] the hint is dropped and Spark
+    * plans a shuffled anti-join instead of OOMing the driver. `df` must
+    * carry `_g_file`/`_g_pos` (see [[tagPos]]). */
   private def dvFilter(tagged: DataFrame, m: Manifest): DataFrame =
     if (!m.hasDvs) tagged
     else {
       import org.apache.spark.sql.functions.broadcast
       val dv = dvEntries(m)
-      tagged.join(broadcast(dv),
-        tagged("_g_file") === dv("file_path") && tagged("_g_pos") === dv("pos"),
+      val probe =
+        if (m.dvRefs.map(_.bytes).sum <= dvBroadcastThreshold) broadcast(dv)
+        else dv
+      tagged.join(probe,
+        tagged("_g_file") === probe("file_path") && tagged("_g_pos") === probe("pos"),
         "left_anti")
     }
 
@@ -679,24 +695,33 @@ class TableStore(val spark: SparkSession, val root: String) {
       s"changelog keys $keys not in table schema")
     val (added0, removed0) = changedFilesBetween(fv, tv)
     // Delete vectors change a file's EFFECTIVE content without touching its
-    // path: rows masked by DV files added between the two snapshots would
-    // otherwise be invisible to the file diff. Treat every data file a new
-    // DV masks — still present on both sides — as changed: the pre-image
-    // reads it under fm's DV view, the post-image under tm's, and the keyed
-    // join emits the DELETEs. O(new DV entries) driver residue.
+    // path: rows masked by DV files that differ between the two snapshots
+    // would otherwise be invisible to the file diff. The diff is SYMMETRIC
+    // (ADVICE r7 high): DVs ADDED are new deletes, DVs REMOVED while their
+    // data files stay in place — exactly what [[rollbackTo]] past a
+    // deleteMor/updateMor/upsertMor commit produces — are un-done deletes,
+    // and missing either side loses DELETE or INSERT rows. Treat every data
+    // file such a DV masks — still present on both sides — as changed: the
+    // pre-image reads it under fm's DV view, the post-image under tm's, and
+    // the keyed join emits the DELETEs/INSERTs. O(differing DV entries)
+    // driver residue.
     val fmDvPaths = fm.dvRefs.map(_.path).toSet
-    val newDvPaths = tm.dvRefs.map(_.path).filterNot(fmDvPaths)
+    val tmDvPaths = tm.dvRefs.map(_.path).toSet
+    val diffDvPaths = tm.dvRefs.map(_.path).filterNot(fmDvPaths) ++
+      fm.dvRefs.map(_.path).filterNot(tmDvPaths)
     val dvChanged: Seq[String] =
-      if (newDvPaths.isEmpty) Nil
+      if (diffDvPaths.isEmpty) Nil
       else {
         val sp = spark
         import sp.implicits._
         val masked = spark.read.schema(TableStore.DvSchema)
-          .parquet(newDvPaths: _*)
+          .parquet(diffDvPaths: _*)
           .select("file_path").distinct().as[String].collect().toSeq
         // only files present in BOTH snapshots: a masked file that was also
         // added/removed is already in the diff
-        val inTm = masked.filter(tm.inlineFiles.toSet) // DV'd manifests are inline
+        val inTm =
+          if (!tm.isSharded) masked.filter(tm.inlineFiles.toSet)
+          else metaFor(tm, masked).map(_.path)
         if (!fm.isSharded) inTm.filter(fm.inlineFiles.toSet)
         else metaFor(fm, inTm).map(_.path)
       }
@@ -1725,16 +1750,22 @@ class TableStore(val spark: SparkSession, val root: String) {
     val f = fs
     f.mkdirs(refsDir)
     val ref = SnapshotRef(name, v, nowMs)
-    val tmp = new Path(refsDir, s".tmp-$name-${stagingSuffix()}")
-    val out = f.create(tmp, false)
-    try out.write(ref.toJson.getBytes("UTF-8")) finally out.close()
     val dest = new Path(refsDir, s"$name.json")
+    // Atomic create-exclusive on the destination itself (ADVICE r7):
+    // tmp+exists()+rename() was a cross-process TOCTOU — two JVMs could
+    // both pass the exists check, and rename-over-existing is
+    // filesystem-dependent, silently replacing an "immutable" tag.
+    // `create(dest, overwrite=false)` makes the existence check and the
+    // claim one filesystem operation; the in-process latch additionally
+    // serializes racing threads on filesystems whose create is two-step.
     val latch = TableStore.commitLatch(f.makeQualified(rootPath).toString)
-    val won = latch.synchronized { !f.exists(dest) && f.rename(tmp, dest) }
-    if (!won) {
-      f.delete(tmp, false)
-      throw new IllegalStateException(s"ref '$name' already exists at $root")
+    val out = latch.synchronized {
+      try f.create(dest, false)
+      catch { case _: java.io.IOException =>
+        throw new IllegalStateException(s"ref '$name' already exists at $root")
+      }
     }
+    try out.write(ref.toJson.getBytes("UTF-8")) finally out.close()
     ref
   }
 

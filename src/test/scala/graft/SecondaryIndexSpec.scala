@@ -79,6 +79,47 @@ class SecondaryIndexSpec extends SparkSuite {
       .filter(col("cust").isin("cust_3", "cust_11"))))
   }
 
+  test("broad fetch-back stays distributed above the key cap") {
+    val base = freshStore()
+    base.commitBucketed(baseRows(500), Seq("id"), 8)
+    SecondaryIndex.create(base, "by_cust", Seq("cust"), numBuckets = 4)
+    val pred = col("cust").isin("cust_3", "cust_11")
+    // collect-path answer first (default cap ≫ matches)
+    val expect = canon(SecondaryIndex.lookup(base, "by_cust", pred))
+    assert(expect == canon(base.readSnapshot().filter(pred)))
+    // now force the cap below the ~59 matched keys: the fetch-back must
+    // switch to the distributed semi-join — zero driver key collections,
+    // identical result
+    SecondaryIndex.fetchBackKeyCollects.set(0L)
+    spark.conf.set("spark.graft.index.fetchKeyCap", "10")
+    try {
+      val out = SecondaryIndex.lookup(base, "by_cust", pred)
+      assert(canon(out) == expect,
+        "distributed fetch-back must match the collect path")
+      assert(SecondaryIndex.fetchBackKeyCollects.get() == 0L,
+        "broad lookup collected primary keys to the driver")
+    } finally spark.conf.unset("spark.graft.index.fetchKeyCap")
+  }
+
+  test("refresh converges across a rollback past a MOR delete") {
+    val base = freshStore()
+    base.commitBucketed(baseRows(300), Seq("id"), 8)
+    SecondaryIndex.create(base, "by_cust", Seq("cust"), Seq("qty"),
+      numBuckets = 8)
+    // MOR-delete one customer, refresh (index drops its entries), then roll
+    // the base back: the un-done rows MUST reappear in the index — the
+    // changelog's removed-DV symmetry is what carries them (ADVICE r7 high)
+    base.deleteMor(col("cust") === "cust_5")
+    SecondaryIndex.refresh(base, "by_cust")
+    val idx = SecondaryIndex.indexStore(base, "by_cust")
+    assert(idx.readSnapshot().filter(col("cust") === "cust_5").count() == 0)
+    base.rollbackTo(0L)
+    SecondaryIndex.refresh(base, "by_cust")
+    assert(canon(idx.readSnapshot().select("cust", "id", "qty")) ==
+      expected(base, Seq("cust", "id", "qty")),
+      "index diverged from the rolled-back base")
+  }
+
   test("refresh replays inserts, updates (index-key moves), and deletes") {
     val base = freshStore()
     base.commitBucketed(baseRows(300), Seq("id"), 8)

@@ -1056,6 +1056,53 @@ class TableStoreSpec extends SparkSuite {
     assert(store.readChangelog(0, v2).count() == 3)
   }
 
+  test("changelog emits INSERTs for rows resurrected by rollback past a MOR delete") {
+    val store = freshStore()
+    store.commitBucketed(
+      (1L to 100L).map(k => (k, s"v$k")).toDF("k", "v"), Seq("k"), 4)
+    val v1 = store.deleteMor(col("k") <= 10L)
+    assert(store.readSnapshot().count() == 90L)
+    // rollback UN-DOES the delete: the DV leaves the manifest while every
+    // data file stays in place — the exact shape ADVICE r7 flagged as
+    // invisible to an added-DVs-only diff
+    val v2 = store.rollbackTo(0L)
+    assert(store.readSnapshot().count() == 100L)
+    val log = store.readChangelog(v1, v2).collect()
+    assert(log.length == 10, s"expected 10 INSERT rows, got ${log.toSeq}")
+    assert(log.forall(_.getString(0) == "INSERT"))
+    assert(log.map(_.getLong(1)).toSet == (1L to 10L).toSet)
+    assert(log.map(_.getString(2)).toSet == (1L to 10L).map(k => s"v$k").toSet,
+      "resurrected post-images must carry the payload")
+    // and the symmetric direction still works across the same history
+    val down = store.readChangelog(0L, v1).collect()
+    assert(down.length == 10 && down.forall(_.getString(0) == "DELETE"))
+  }
+
+  test("oversized DV sets drop the broadcast hint; gated path stays exact") {
+    val store = freshStore()
+    store.commitBucketed(
+      (1L to 1000L).map(k => (k, s"v$k")).toDF("k", "v"), Seq("k"), 8)
+    store.deleteMor(col("k") % 3 === 0)
+    // default threshold: hinted broadcast path — the steady-state plan
+    val expected = store.readSnapshot().collect().toSet
+    // gate every DV set out of broadcast; kill Spark's own auto-broadcast so
+    // the plan shape proves the HINT is gone (not just below auto threshold)
+    spark.conf.set("spark.graft.dv.broadcastThreshold", "0")
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = store.readSnapshot()
+      assert(df.collect().toSet == expected,
+        "gated anti-join must be content-identical to the broadcast path")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastExchange"),
+        s"DV anti-join still force-broadcast above the size gate:\n$plan")
+    } finally {
+      spark.conf.unset("spark.graft.dv.broadcastThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    }
+  }
+
   test("tags pin snapshots against every expiry path until dropped") {
     val store = freshStore()
     // three FULL rewrites: each version's files are referenced by nothing
