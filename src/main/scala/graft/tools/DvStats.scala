@@ -88,6 +88,32 @@ object DvStats {
       f"| purge $tPurge%.2f s | post-purge $tCleanRead%.2f s")
     require(cow.readSnapshot().count() == mor.readSnapshot().count(),
       "COW and MOR deletes diverged")
+
+    // --- MOR on the SHARDED manifest tier (round 8): the same point delete
+    // with the metadata layer forced onto parquet shards — write volume and
+    // read tax must survive the tier transition
+    spark.conf.set("spark.graft.manifest.inlineThreshold", "8")
+    try {
+      val sh = freshTable()
+      val sm0 = sh.manifest(sh.currentVersion())
+      require(sm0.isSharded, "expected the forced tier transition")
+      val (sv1, tShMor) = timed(sh.deleteMor(col("l_orderkey") === victim))
+      val sm1 = sh.manifest(sv1)
+      val shMorBytes =
+        sm1.dvRefs.filterNot(sm0.dvRefs.toSet).map(_.bytes).sum
+      require(sm1.shards.map(_.path) == sm0.shards.map(_.path),
+        "sharded MOR delete must inherit every shard by reference")
+      val (_, tShDvRead) = timed(sh.readSnapshot().count())
+      val (_, tShPurge) = timed(sh.purgeDeletes())
+      val (_, tShClean) = timed(sh.readSnapshot().count())
+      println(f"[dvstats] SHARDED MOR delete: $tShMor%.2f s, " +
+        f"$shMorBytes%,d bytes written " +
+        f"(${cowBytes.toDouble / math.max(shMorBytes, 1)}%.0fx less than COW)")
+      println(f"[dvstats] SHARDED read: under DV $tShDvRead%.2f s | " +
+        f"purge $tShPurge%.2f s | post-purge $tShClean%.2f s")
+      require(sh.readSnapshot().count() == mor.readSnapshot().count(),
+        "sharded MOR delete diverged")
+    } finally spark.conf.unset("spark.graft.manifest.inlineThreshold")
     spark.stop()
   }
 }

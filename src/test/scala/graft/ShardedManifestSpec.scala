@@ -599,6 +599,117 @@ class ShardedManifestSpec extends SparkSuite {
     }
   }
 
+  test("merge-on-read DML composes with the sharded tier: DV commits, exact reads, zero driver file lists") {
+    import org.apache.spark.sql.functions.col
+    withThreshold(8, filesPerShard = 16) {
+      val store = new TableStore(spark, graft.util.Scratch.dir("shard_mor"))
+      store.commitBucketed(
+        (1L to 2000L).map(k => (k, k * 10L)).toDF("k", "amt"), Seq("k"), 32)
+      val m0 = store.manifest(0)
+      assert(m0.isSharded, "32 bucket files over threshold 8 must shard")
+      TableStore.driverMaterializations.set(0L)
+      // deleteMor: DV-only commit — every shard inherited by reference
+      val v1 = store.deleteMor(col("k") % 100L === 0L)
+      val m1 = store.manifest(v1)
+      assert(m1.isSharded && m1.hasDvs && m1.deletedRows == 20L)
+      assert(m1.shards.map(_.path) == m0.shards.map(_.path),
+        "MOR delete must inherit every manifest shard by reference")
+      assert(store.readSnapshot().count() == 1980L)
+      assert(store.readSnapshot().filter(col("k") === 100L).count() == 0L)
+      assert(store.readSnapshot(0).count() == 2000L, "time travel pre-DV")
+      // bucket-targeted read still applies the mask
+      val b = Seq(100L).toDF("k")
+        .select(TableStore.bucketExpr(Seq("k"), 32).as("b")).as[Long].head()
+      assert(store.readBuckets(Seq(b)).filter(col("k") === 100L).count() == 0)
+      // updateMor: DV + fresh images appended as a NEW shard, parents inherited
+      val v2 = store.updateMor(col("k") <= 5L, Map("amt" -> (col("amt") + 1L)))
+      val m2 = store.manifest(v2)
+      assert(m2.isSharded &&
+        m1.shards.map(_.path).forall(m2.shards.map(_.path).contains),
+        "MOR update must inherit parent shards by reference")
+      assert(m2.shards.size > m1.shards.size, "updated images join as a fresh shard")
+      val back = store.readSnapshot()
+      assert(back.count() == 1980L)
+      assert(back.filter(col("k") <= 5L && col("amt") =!= col("k") * 10L + 1L)
+        .count() == 0)
+      // upsertMor: keyed CDC-shaped batch — mask + append, one commit
+      val batch = Seq((3L, 999L, "PUT"), (2001L, 7L, "PUT"), (10L, 0L, "REMOVE"))
+        .toDF("k", "amt", "op")
+      val v3 = store.upsertMor(batch)
+      val m3 = store.manifest(v3)
+      assert(m3.isSharded)
+      val now = store.readSnapshot()
+      assert(now.filter(col("k") === 3L).select("amt").as[Long].head() == 999L)
+      assert(now.filter(col("k") === 2001L).count() == 1L)
+      assert(now.filter(col("k") === 10L).count() == 0L)
+      assert(now.count() == 1980L) // +1 insert, -1 remove
+      assert(TableStore.driverMaterializations.get() == 0L,
+        "sharded MOR paths must never materialize a full file list on the driver")
+      // purgeDeletes folds every DV on the sharded tier; content identical
+      val expected = now.collect().toSet
+      val v4 = store.purgeDeletes()
+      val m4 = store.manifest(v4)
+      assert(!m4.hasDvs, "purge must clear every DV")
+      assert(store.readSnapshot().collect().toSet == expected)
+      assert(TableStore.driverMaterializations.get() == 0L,
+        "sharded purge must stay off the driver file-list path")
+    }
+  }
+
+  test("changelog across sharded MOR commits emits DELETEs; rollback resurrects via symmetric DV diff") {
+    import org.apache.spark.sql.functions.col
+    withThreshold(4, filesPerShard = 16) {
+      val store = new TableStore(spark, graft.util.Scratch.dir("shard_mor_cl"))
+      store.commitBucketed(
+        (1L to 500L).map(k => (k, s"v$k")).toDF("k", "v"), Seq("k"), 16)
+      assert(store.manifest(0).isSharded)
+      val v1 = store.deleteMor(col("k") <= 10L)
+      val down = store.readChangelog(0L, v1).collect()
+      assert(down.length == 10 && down.forall(_.getString(0) == "DELETE"))
+      val v2 = store.rollbackTo(0L)
+      val up = store.readChangelog(v1, v2).collect()
+      assert(up.length == 10 && up.forall(_.getString(0) == "INSERT"),
+        "rollback past a sharded MOR delete must emit the resurrected rows")
+      assert(up.map(_.getLong(1)).toSet == (1L to 10L).toSet)
+    }
+  }
+
+  test("tier transition proceeds with live DVs: a DV'd inline table shards on append and reads stay exact") {
+    import org.apache.spark.sql.functions.col
+    withThreshold(12, filesPerShard = 16) {
+      val store = new TableStore(spark, graft.util.Scratch.dir("shard_dv_transition"))
+      // one file per bucket: 8 files, under the inline threshold of 12
+      store.commitBucketed(
+        (1L to 400L).map(k => (k, k * 2L)).toDF("k", "n")
+          .repartition(8, TableStore.bucketExpr(Seq("k"), 8)), Seq("k"), 8)
+      assert(!store.manifest(0).isSharded)
+      store.deleteMor(col("k") <= 40L)
+      val expected = store.readSnapshot().collect().toSet
+      // append pushes the file count past the threshold WHILE DVs are live:
+      // previously held inline (sharded tier refused DVs) — now it shards
+      val extra = (401L to 800L).map(k => (k, k * 2L)).toDF("k", "n")
+      val v = store.commitAppend(extra)
+      val m = store.manifest(v)
+      assert(m.isSharded, "DV-carrying table must shard past the threshold")
+      assert(m.hasDvs, "the transition must carry the DV refs forward")
+      val back = store.readSnapshot()
+      assert(back.count() == 360L + 400L)
+      assert(back.filter(col("k") <= 40L).count() == 0L,
+        "masked rows resurrected across the tier transition")
+      assert(back.collect().toSet == expected ++ extra.collect().toSet)
+      // and the MOR CDC loop keeps running on the now-sharded table
+      val batch = Seq((1000L, 1L, 5L, "PUT"), (5L, 2L, 5L, "REMOVE"))
+        .toDF("k", "n", "seq", "op")
+      graft.streaming.StreamingOps.applyCdcBatchMor(
+        batch, store, Seq("k"), 8)
+      val m2 = store.manifest(store.currentVersion())
+      assert(m2.isSharded && m2.version == v + 1,
+        "sharded table must take the one-commit MOR CDC path")
+      assert(store.readSnapshot().filter(col("k") === 1000L).count() == 1L)
+      assert(store.readSnapshot().filter(col("k") === 5L).count() == 0L)
+    }
+  }
+
   test("50k-file metadata layer: shard round-trip and distributed pruning return only matching files") {
     // pure metadata-scale check: 50 000 synthetic file entries with
     // non-overlapping k-ranges; the shard layer must round-trip them and a

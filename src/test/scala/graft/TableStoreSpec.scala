@@ -1103,6 +1103,56 @@ class TableStoreSpec extends SparkSuite {
     }
   }
 
+  test("COW commits over a DV'd snapshot re-count inherited DV refs — no dangling entries") {
+    val store = freshStore()
+    store.commitBucketed(
+      (1L to 100L).map(k => (k, k * 2L)).toDF("k", "v"), Seq("k"), 4)
+    store.deleteMor(col("k") <= 10L)
+    val m1 = store.manifest(1)
+    assert(m1.deletedRows == 10L)
+    // rewrite ONE bucket copy-on-write while keeping the DVs: entries
+    // masking that bucket's (now dropped) files are dead and must leave the
+    // arithmetic (ADVICE r7 low) — the others keep masking their buckets
+    val deadBucket = bucketOf(1L, 4)
+    val deadKeys = (1L to 10L).count(k => bucketOf(k, 4) == deadBucket)
+    assert(deadKeys > 0, "fixture: bucket of k=1 must hold deleted keys")
+    val v2 = store.commitIncremental(
+      store.readBuckets(Seq(deadBucket)), Seq(deadBucket))
+    val m2 = store.manifest(v2)
+    assert(m2.deletedRows == 10L - deadKeys,
+      s"inherited DV refs must re-count: ${m2.deletedRows} vs ${10L - deadKeys}")
+    assert(store.readSnapshot().count() == 90L)
+    assert(store.readSnapshot().filter(col("k") <= 10L).count() == 0L,
+      "masked rows resurrected by the COW rewrite")
+    // a rewrite covering EVERY remaining DV'd bucket drops the refs outright
+    val rest = (0L until 4L).filterNot(_ == deadBucket)
+    val v3 = store.commitIncremental(store.readBuckets(rest), rest)
+    assert(!store.manifest(v3).hasDvs,
+      "refs with zero live entries must be dropped")
+    assert(store.readSnapshot().count() == 90L)
+  }
+
+  test("file-replace commits over a DV'd snapshot re-count inherited DV refs") {
+    val store = freshStore()
+    store.commitSnapshot(
+      (1L to 100L).map(k => (k, s"v$k")).toDF("k", "v").repartition(4))
+    store.deleteMor(col("k") % 10L === 0L)
+    val m1 = store.manifest(1)
+    assert(m1.deletedRows == 10L)
+    val sp = spark
+    import sp.implicits._
+    val perFile = store.dvEntries(m1).groupBy("file_path").count()
+      .as[(String, Long)].collect().toMap
+    val (f, dead) = perFile.maxBy(_._2)
+    // replace one DV'd file with its live rows: its entries are dead
+    val v2 = store.commitReplaceFiles(Seq(f), store.readFiles(m1, Seq(f)))
+    val m2 = store.manifest(v2)
+    assert(m2.deletedRows == 10L - dead,
+      s"replace must shed the replaced file's DV entries: ${m2.deletedRows}")
+    assert(store.readSnapshot().count() == 90L)
+    assert(store.readSnapshot().filter(col("k") % 10L === 0L).count() == 0L)
+  }
+
   test("tags pin snapshots against every expiry path until dropped") {
     val store = freshStore()
     // three FULL rewrites: each version's files are referenced by nothing
