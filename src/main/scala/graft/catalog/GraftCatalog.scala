@@ -100,6 +100,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     else if (ident.name.endsWith("$refs"))
       refsMetaTable(Identifier.of(ident.namespace,
         ident.name.stripSuffix("$refs")))
+    else if (ident.name.endsWith("$indexes"))
+      indexesMetaTable(Identifier.of(ident.namespace,
+        ident.name.stripSuffix("$indexes")))
     else if (ident.name.contains("$idx_")) {
       // `tbl$idx_<name>` — a secondary index as a queryable table: the
       // index IS a graft table under `<base-root>/index/<name>`, so covered
@@ -154,6 +157,30 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         r.version, r.createdAtMs, store.manifest(r.version).committedAtMs)
     }.toArray[org.apache.spark.sql.catalyst.InternalRow]
     new MetaTable(s"${ident.name}$$refs", schema, rows)
+  }
+
+  /** `SELECT * FROM cat.ns.`tbl$indexes`` — the table's secondary indexes
+    * and their staleness: which base snapshot each index reflects vs the
+    * current one (`stale` = the maintenance loop or a manual
+    * `CALL refresh_index` has catching-up to do). Driver-computed,
+    * O(#indexes). */
+  private def indexesMetaTable(ident: Identifier): Table = {
+    import org.apache.spark.sql.types._
+    val store = storeFor(ident)
+    if (store.currentVersion() < 0) throw new NoSuchTableException(ident)
+    val schema = StructType(Seq(
+      StructField("name", StringType), StructField("index_keys", StringType),
+      StructField("indexed_base_version", LongType),
+      StructField("current_base_version", LongType),
+      StructField("stale", BooleanType)))
+    val rows = graft.store.SecondaryIndex.status(store).map {
+      case (n, keys, indexed, cur) =>
+        org.apache.spark.sql.catalyst.InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(n),
+          org.apache.spark.unsafe.types.UTF8String.fromString(keys),
+          indexed, cur, indexed != cur)
+    }.toArray[org.apache.spark.sql.catalyst.InternalRow]
+    new MetaTable(s"${ident.name}$$indexes", schema, rows)
   }
 
   /** `SELECT * FROM cat.ns.`tbl$files`` — a snapshot's data files (path,

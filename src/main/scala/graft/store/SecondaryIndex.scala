@@ -39,6 +39,37 @@ object SecondaryIndex {
   private val BaseVersionProp = "graft.index.base-version"
   private val IndexKeysProp = "graft.index.keys"
 
+  /** The base-table tag pinning the snapshot an index reflects: refresh
+    * replays the changelog FROM that snapshot, so expiry must not collect
+    * it mid-loop — the pin rides the existing refs layer (tags block every
+    * expiry path) and moves forward with each refresh. */
+  private[graft] def pinName(name: String): String = s"idx-pin-$name"
+
+  private def movePin(base: TableStore, name: String, toV: Long): Unit = {
+    base.dropTag(pinName(name))
+    base.createTag(pinName(name), toV)
+  }
+
+  /** Names of every index registered under `<base-root>/index/`. */
+  def list(base: TableStore): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"${base.root}/index")
+    val fs = p.getFileSystem(base.spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => indexStore(base, n).currentVersion() >= 0).sorted.toSeq
+  }
+
+  /** Introspection row per index: (name, index keys, indexed base version,
+    * current base version) — `stale` = the versions differ. */
+  def status(base: TableStore): Seq[(String, String, Long, Long)] = {
+    val cur = base.currentVersion()
+    list(base).map { n =>
+      val im = indexStore(base, n).manifest(indexStore(base, n).currentVersion())
+      (n, im.props.getOrElse(IndexKeysProp, im.bucketKeys.mkString(",")),
+        im.props(BaseVersionProp).toLong, cur)
+    }
+  }
+
   def indexStore(base: TableStore, name: String): TableStore = {
     require(TableStore.RefNameOk.pattern.matcher(name).matches(),
       s"index name must match [A-Za-z0-9._-]{1,128}, got '$name'")
@@ -67,6 +98,7 @@ object SecondaryIndex {
       indexKeys, numBuckets,
       props = Map(BaseVersionProp -> bv.toString,
         IndexKeysProp -> indexKeys.mkString(",")))
+    movePin(base, name, bv)
     bv
   }
 
@@ -79,6 +111,7 @@ object SecondaryIndex {
   def drop(base: TableStore, name: String): Boolean = {
     require(TableStore.RefNameOk.pattern.matcher(name).matches(),
       s"index name must match [A-Za-z0-9._-]{1,128}, got '$name'")
+    base.dropTag(pinName(name)) // release the indexed-snapshot pin
     val p = new org.apache.hadoop.fs.Path(s"${base.root}/index/$name")
     val fs = p.getFileSystem(base.spark.sparkContext.hadoopConfiguration)
     fs.delete(p, true)
@@ -107,21 +140,30 @@ object SecondaryIndex {
     val changes = base.readChangelog(fromV, toV, updatePreImages = true)
 
     // retractions carry the OLD index-key value; assertions the NEW one —
-    // together they name every index bucket whose content changes
-    val pre = changes.filter(col("_change_type").isin("DELETE", "UPDATE_PRE"))
+    // together they name every index bucket whose content changes. The
+    // changelog is a FILE diff, so content-preserving maintenance commits
+    // (compact, z-order, DV purge) emit every rewritten row as a
+    // DELETE+INSERT pair with identical content — except() both ways keeps
+    // only the NET changes, making index refresh across a maintenance
+    // cadence O(real changes), not O(compacted rows). Set semantics are
+    // sound here: the base is keyed (one live row per primary key).
+    val rawPre = changes.filter(col("_change_type").isin("DELETE", "UPDATE_PRE"))
       .select(cols.map(col): _*)
-    val post = changes.filter(col("_change_type").isin("INSERT", "UPDATE_POST"))
+    val rawPost = changes.filter(col("_change_type").isin("INSERT", "UPDATE_POST"))
       .select(cols.map(col): _*)
+    val pre = rawPre.except(rawPost)
+    val post = rawPost.except(rawPre)
     val bucketCol = TableStore.bucketExpr(indexKeys, im.numBuckets)
     val touched = pre.select(bucketCol.as("b"))
       .union(post.select(bucketCol.as("b")))
       .distinct().collect().map(_.getLong(0)).toSeq.sorted // ≤ numBuckets rows
     if (touched.isEmpty) {
-      // base moved but no keyed rows changed (e.g. a metadata-only commit):
-      // just advance the watermark
+      // base moved but no keyed rows changed (metadata-only, compaction,
+      // purge): just advance the watermark
       idx.commitIncremental(idx.readSnapshot(iv).limit(0), Nil,
         expectedParent = Some(iv),
         props = im.props + (BaseVersionProp -> toV.toString))
+      movePin(base, name, toV)
       return toV
     }
     // new content of the touched buckets: existing entries minus every
@@ -129,12 +171,14 @@ object SecondaryIndex {
     // keys on the PRIMARY key — a changed key's old entry is in `touched`
     // by construction (its old index-key value contributed the bucket).
     val baseKeys = bm.bucketKeys
-    val changedKeys = changes.select(baseKeys.map(col): _*).distinct()
+    val changedKeys = pre.select(baseKeys.map(col): _*)
+      .union(post.select(baseKeys.map(col): _*)).distinct()
     val kept = idx.readBuckets(touched, iv)
       .join(changedKeys, baseKeys, "left_anti")
     val updated = kept.unionByName(post)
     idx.commitIncremental(updated, touched, expectedParent = Some(iv),
       props = im.props + (BaseVersionProp -> toV.toString))
+    movePin(base, name, toV)
     toV
   }
 

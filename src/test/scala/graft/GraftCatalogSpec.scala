@@ -819,9 +819,15 @@ class GraftCatalogSpec extends SparkSuite {
         |WHERE cust = 'c3' ORDER BY id""".stripMargin)
     assert(covered.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
       (1L to 120L).filter(_ % 9 == 3).map(i => (i, i * 2L)))
-    // mutate the base, refresh, re-query
+    // mutate the base: $indexes reports the staleness until a refresh runs
     store.deleteMor(col("id") === 3L)
+    val staleRow = spark.sql(
+      "SELECT * FROM spec_cat.analytics.`gsitbl$indexes`").collect()
+    assert(staleRow.length == 1 && staleRow.head.getString(0) == "by_cust" &&
+      staleRow.head.getBoolean(4), s"expected a stale row: ${staleRow.toSeq}")
     spark.sql("CALL spec_cat.system.refresh_index('analytics.gsitbl', 'by_cust')")
+    assert(!spark.sql("SELECT stale FROM spec_cat.analytics.`gsitbl$indexes`")
+      .head().getBoolean(0), "refresh must clear the staleness flag")
     val after = spark.sql(
       """SELECT id FROM spec_cat.analytics.`gsitbl$idx_by_cust`
         |WHERE cust = 'c3' ORDER BY id""".stripMargin)

@@ -195,7 +195,7 @@ class SecondaryIndexSpec extends SparkSuite {
     }
   }
 
-  test("refresh refuses when the indexed base snapshot expired") {
+  test("pin tag keeps the indexed base snapshot alive; without it refresh refuses on expiry") {
     val base = freshStore()
     base.commitBucketed(baseRows(50), Seq("id"), 2)
     SecondaryIndex.create(base, "by_cust", Seq("cust"), numBuckets = 2)
@@ -203,7 +203,22 @@ class SecondaryIndexSpec extends SparkSuite {
       base.readSnapshot().withColumn("qty", col("qty") + 1), Seq(0L, 1L))
     base.commitIncremental(
       base.readSnapshot().withColumn("qty", col("qty") + 1), Seq(0L, 1L))
-    base.vacuum(keepSnapshots = 1) // indexed snapshot 0 expires
+    // the idx-pin tag (created by create, moved by refresh) blocks expiry
+    // of the indexed snapshot — vacuum keeps it and refresh succeeds
+    base.vacuum(keepSnapshots = 1)
+    assert(base.existingVersions().contains(0L),
+      "pinned base snapshot must survive expiry")
+    assert(SecondaryIndex.refresh(base, "by_cust") == base.currentVersion())
+    assert(canon(SecondaryIndex.lookup(base, "by_cust",
+      col("cust") === "cust_3", Seq("id", "cust", "qty"))) ==
+      canon(base.readSnapshot().filter(col("cust") === "cust_3")
+        .select("id", "cust", "qty")))
+    // dropping the pin restores the old failure mode: the base expires and
+    // refresh refuses loudly instead of silently diverging
+    base.commitIncremental(
+      base.readSnapshot().withColumn("qty", col("qty") + 1), Seq(0L, 1L))
+    base.dropTag(SecondaryIndex.pinName("by_cust"))
+    base.vacuum(keepSnapshots = 1)
     val e = intercept[IllegalArgumentException](
       SecondaryIndex.refresh(base, "by_cust"))
     assert(e.getMessage.contains("expired"))

@@ -260,6 +260,48 @@ class StreamingSpec extends SparkSuite {
     assert(store.readSnapshot().exceptAll(expected).count() == 0)
   }
 
+  test("secondary indexes ride the maintenance cadence: a streaming table's GSI converges without a manual refresh") {
+    val store = new graft.store.TableStore(spark,
+      Files.createTempDirectory("graft_cdc_gsi").toString)
+    val keys = Seq("k")
+    // aggressive expiry: keepSnapshots=1 would expire the indexed base
+    // snapshot mid-loop without the pin tag refresh moves forward
+    val policy = StreamingOps.CdcMaintenance(
+      everyNCommits = 3, maxFilesPerBucket = 2, keepSnapshots = 1)
+    store.commitBucketed(
+      (1L to 60L).map(i => (i, s"c${i % 7}", i * 2L)).toDF("k", "cust", "n"),
+      keys, numBuckets = 4)
+    graft.store.SecondaryIndex.create(store, "by_cust", Seq("cust"),
+      numBuckets = 2)
+    assert(store.listRefs().exists(_.name == "idx-pin-by_cust"),
+      "create must pin the indexed base snapshot")
+    for (i <- 1 to 10) {
+      val batch = Seq(
+        (i.toLong % 60 + 1, s"c${(i + 3) % 7}", i.toLong, i.toLong, "MODIFY"),
+        (200L + i, s"c${i % 7}", 0L, i.toLong, "INSERT"))
+        .toDF("k", "cust", "n", "seq", "op")
+      StreamingOps.applyCdcBatch(batch, store, keys, numBuckets = 4,
+        maintenance = Some(policy))
+    }
+    // final pass so the assertion isn't cadence-phase-dependent
+    StreamingOps.maintain(store, policy)
+    // the index reflects the CURRENT base snapshot — no manual CALL ever ran
+    val st = graft.store.SecondaryIndex.status(store)
+    assert(st.size == 1 && st.head._3 == st.head._4,
+      s"index stale after the maintenance loop: $st")
+    // content parity with a from-scratch projection of the base
+    val got = graft.store.SecondaryIndex
+      .lookup(store, "by_cust", col("cust") === "c3", Seq("k", "cust"))
+      .collect().map(_.mkString("|")).sorted.toSeq
+    val want = store.readSnapshot().filter(col("cust") === "c3")
+      .select("k", "cust").collect().map(_.mkString("|")).sorted.toSeq
+    assert(got == want, "index content diverged from the base")
+    // expiry DID run (keepSnapshots=1) yet the pinned base survived — the
+    // pin is what kept the changelog replayable across the whole loop
+    assert(store.existingVersions().size < 10,
+      s"expiry never ran: ${store.existingVersions()}")
+  }
+
   test("merge-on-read CDC loop matches the COW loop with O(changed) writes") {
     def mkStore() = new graft.store.TableStore(spark,
       Files.createTempDirectory("graft_cdc_mor").toString)
