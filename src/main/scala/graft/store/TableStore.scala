@@ -1532,7 +1532,7 @@ class TableStore(val spark: SparkSession, val root: String) {
     require(parent >= 0, "schema-only commit requires an existing snapshot")
     val pm = manifest(parent)
     val idSchema = withFieldIds(newSchema, Some(pm.schema), pm.highestFieldId,
-      inheritsParentFiles = true)
+      inheritsParentFiles = true, honorRenames = true)
     require(idSchema.nonEmpty, "schema-only commit cannot drop every column")
     // names whose historical stats become unusable: dropped columns and the
     // OLD names of renames — see Manifest.usableStat
@@ -2274,14 +2274,18 @@ object TableStore {
     * table's HISTORICAL max ([[Manifest.highestFieldId]]), not the current
     * schema's, so a re-added column never reuses a dropped column's id.
     *
-    * An id already sitting on an incoming field is honored ONLY when it
-    * references one of the parent's own ids and no other field claimed it —
-    * that is the rename case, where the caller built the new schema from the
-    * parent's fields. Any other pre-existing id is FOREIGN (e.g. the
-    * DataFrame was read from a different graft table, whose ids can collide
-    * with this table's) and is replaced with a fresh id: trusting it could
-    * commit duplicate ids within one schema or silently mis-map columns in
-    * the id-keyed paths (commitSchemaOnly identity, readChangelog).
+    * An id already sitting on an incoming field is honored ONLY on the
+    * explicit rename surface (`honorRenames = true`, i.e.
+    * [[commitSchemaOnly]], where the caller built the new schema from the
+    * parent's own fields) and only when it references one of the parent's
+    * ids unclaimed by another field. Everywhere else — every DATA commit —
+    * a pre-existing id is kept only when the parent binds that id to the
+    * SAME name; any other id is FOREIGN (e.g. the DataFrame was read from a
+    * different graft table, whose ids can collide with this table's under
+    * different names) and is replaced with a fresh id (VERDICT r7 #9).
+    * Trusting it would silently alias the foreign column to an unrelated
+    * parent column in every id-keyed path (commitSchemaOnly identity,
+    * readChangelog rename mapping, stats retirement).
     *
     * `inheritsParentFiles` (ADVICE r6): callers whose commit INHERITS the
     * parent's data files must pass true — if the parent schema carries no
@@ -2292,7 +2296,8 @@ object TableStore {
     * upgrade. */
   def withFieldIds(schema: StructType,
       parent: Option[StructType], floor: Long = 0L,
-      inheritsParentFiles: Boolean = false): StructType = {
+      inheritsParentFiles: Boolean = false,
+      honorRenames: Boolean = false): StructType = {
     import org.apache.spark.sql.types._
     if (inheritsParentFiles && parent.exists(p =>
         p.fields.nonEmpty && p.fields.forall(fieldId(_) < 0)))
@@ -2308,7 +2313,7 @@ object TableStore {
     StructType(schema.fields.zip(nameIds).map { case (f, nameId) =>
       val id = nameId
         .orElse(Some(fieldId(f)).filter(i =>
-          i >= 0 && parentIds.contains(i) &&
+          honorRenames && i >= 0 && parentIds.contains(i) &&
             (nameId.contains(i) || !claimed.contains(i))))
         .getOrElse { val id = nextId; nextId += 1; id }
       claimed += id

@@ -742,6 +742,35 @@ class TableStoreSpec extends SparkSuite {
     assert(b.readSnapshot().select("extra").as[Long].head() == 1L)
   }
 
+  test("foreign id colliding with a parent id under an ABSENT name is not a rename (VERDICT r7 #9)") {
+    val a = freshStore()
+    a.commitSnapshot(Seq((1L, "x")).toDF("k", "s"))
+    val b = freshStore()
+    b.commitSnapshot(Seq((10L, 1.0)).toDF("p", "q"))
+    val pId = TableStore.fieldId(b.manifest(0).schema("p"))
+    // A's first column drew the same id as B's first column
+    val fromA = a.readSnapshot().select($"k".as("extra"))
+    assert(TableStore.fieldId(fromA.schema("extra")) == pId,
+      "fixture needs the cross-table id collision")
+    // full rewrite DROPPING `p`: the foreign id is now unclaimed by name, so
+    // the old honor-as-rename branch would alias `extra` to `p`'s identity —
+    // a data commit must draw fresh instead (renames go via commitSchemaOnly)
+    b.commitSnapshot(b.readSnapshot().select($"q").crossJoin(fromA))
+    val m1 = b.manifest(1)
+    assert(TableStore.fieldId(m1.schema("extra")) > b.manifest(0).highestFieldId,
+      "foreign id under an absent parent name was treated as a rename")
+    assert(TableStore.fieldId(m1.schema("q")) ==
+      TableStore.fieldId(b.manifest(0).schema("q")))
+    // the explicit rename surface still preserves identity: schema-only
+    // commit built from the parent's own fields keeps the id under a new name
+    val renamed = org.apache.spark.sql.types.StructType(m1.schema.fields.map(
+      f => if (f.name == "extra") f.copy(name = "extra2") else f))
+    val v2 = b.commitSchemaOnly(renamed)
+    assert(TableStore.fieldId(b.manifest(v2).schema("extra2")) ==
+      TableStore.fieldId(m1.schema("extra")),
+      "commitSchemaOnly rename must keep the field id")
+  }
+
   test("pre-field-id tables: inheriting commits stay id-less, full rewrite upgrades (ADVICE r6)") {
     val store = freshStore()
     // simulate a table from before id stamping: neither the data files nor
