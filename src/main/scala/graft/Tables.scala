@@ -16,17 +16,28 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized reader
-      // rejects; with spark.sql.legacy.parquet.nanosAsLong=true (set at
-      // session construction in Verify/Bench/SparkSuite — not mutated here,
-      // so this loader has no session-wide side effects) the raw int64 nanos
-      // come back as long and are truncated to micros (identical to DuckDB's
-      // ns→µs truncation, keeping oracle parity).
-      require(spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-        "events requires spark.sql.legacy.parquet.nanosAsLong=true at session construction")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000")))
+      // events.ts has shipped as both parquet TIMESTAMP(NANOS) and
+      // TIMESTAMP(MICROS) across fixture generations, so the loader adapts
+      // to what it reads:
+      //  - NANOS: Spark's vectorized reader rejects it; with
+      //    spark.sql.legacy.parquet.nanosAsLong=true (set at session
+      //    construction in Verify/Bench/SparkSuite) the raw int64 nanos
+      //    come back as long and are truncated to micros (identical to
+      //    DuckDB's ns→µs truncation, keeping oracle parity);
+      //  - MICROS: reads natively as TIMESTAMP_NTZ — cast to the session
+      //    TIMESTAMP type so every downstream query and oracle sees the
+      //    same type the nanos path produced (timestamp_micros returns
+      //    TIMESTAMP; sessions run in UTC, so the values agree too).
+      val raw = spark.read.parquet(s"$sfDir/$name.parquet")
+      raw.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+        case org.apache.spark.sql.types.TimestampNTZType =>
+          raw.withColumn("ts",
+            org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+        case _ => raw
+      }
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }

@@ -63,11 +63,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def tableRoot(ident: Identifier): String =
     (warehouse +: ident.namespace.toSeq :+ ident.name).mkString("/")
 
-  private def storeFor(ident: Identifier): TableStore =
-    new TableStore(spark, tableRoot(ident))
+  /** Write-audit-publish session routing (Iceberg's `spark.wap.branch`):
+    * when `spark.graft.wap.branch` names a branch that EXISTS on the
+    * table, every catalog read and write in this session operates on the
+    * branch view — stage and audit a risky load in isolation, then
+    * `CALL system.fast_forward(...)` publishes it as pure metadata copies.
+    * Tables without that branch (and procedures, which resolve through
+    * [[storeForPath]]) stay on main, so maintenance never runs against a
+    * branch by accident. */
+  private def storeFor(ident: Identifier): TableStore = {
+    val main = new TableStore(spark, tableRoot(ident))
+    spark.conf.getOption("spark.graft.wap.branch")
+      .filter(_.nonEmpty).filter(main.branchExists)
+      .fold(main)(main.forBranch)
+  }
 
-  private def snapshotTable(ident: Identifier, version: Option[Long]): Table = {
-    val store = storeFor(ident)
+  private def snapshotTable(ident: Identifier, version: Option[Long],
+      storeOverride: Option[TableStore] = None): Table = {
+    val store = storeOverride.getOrElse(storeFor(ident))
     val current = store.currentVersion()
     if (current < 0) throw new NoSuchTableException(ident)
     val v = version.getOrElse(current)
@@ -140,23 +153,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new MetaTable(s"${ident.name}$$snapshots", schema, rows)
   }
 
-  /** `SELECT * FROM cat.ns.`tbl$refs`` — the table's snapshot refs (tags),
-    * Iceberg's `refs` metadata table: name, pinned snapshot, creation time,
-    * and the pinned snapshot's commit time. Driver-computed, O(#refs). */
+  /** `SELECT * FROM cat.ns.`tbl$refs`` — the table's snapshot refs,
+    * Iceberg's `refs` metadata table: TAG rows (immutable pins) and BRANCH
+    * rows (writable heads; `version` is the branch's current head).
+    * Driver-computed, O(#refs + #branches). */
   private def refsMetaTable(ident: Identifier): Table = {
     import org.apache.spark.sql.types._
-    val store = storeFor(ident)
+    val store = new TableStore(spark, tableRoot(ident))
     if (store.currentVersion() < 0) throw new NoSuchTableException(ident)
     val schema = StructType(Seq(
-      StructField("name", StringType), StructField("version", LongType),
+      StructField("name", StringType), StructField("kind", StringType),
+      StructField("version", LongType),
       StructField("created_at_ms", LongType),
       StructField("snapshot_committed_at_ms", LongType)))
-    val rows = store.listRefs().map { r =>
+    def utf8(s: String) = org.apache.spark.unsafe.types.UTF8String.fromString(s)
+    val tagRows = store.listRefs().map { r =>
       org.apache.spark.sql.catalyst.InternalRow(
-        org.apache.spark.unsafe.types.UTF8String.fromString(r.name),
+        utf8(r.name), utf8("TAG"),
         r.version, r.createdAtMs, store.manifest(r.version).committedAtMs)
-    }.toArray[org.apache.spark.sql.catalyst.InternalRow]
-    new MetaTable(s"${ident.name}$$refs", schema, rows)
+    }
+    val branchRows = store.listBranches().map { b =>
+      val bs = store.forBranch(b.name)
+      val head = bs.currentVersion()
+      org.apache.spark.sql.catalyst.InternalRow(
+        utf8(b.name), utf8("BRANCH"),
+        head, b.createdAtMs, bs.manifest(head).committedAtMs)
+    }
+    new MetaTable(s"${ident.name}$$refs", schema,
+      (tagRows ++ branchRows).toArray)
   }
 
   /** `SELECT * FROM cat.ns.`tbl$indexes`` — the table's secondary indexes
@@ -261,15 +285,36 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     } else if (ident.name.endsWith("$snapshots"))
       throw new UnsupportedOperationException(
         "$snapshots is the full history; query it without VERSION AS OF")
-    else snapshotTable(ident, Some(resolveVersion(ident, version)))
+    else {
+      // `VERSION AS OF '<branch>'` reads the branch HEAD through the
+      // branch's own manifest sequence — pre-publish branch manifests do
+      // not exist in main's numbering, so a bare version resolve would
+      // miss them
+      val main = new TableStore(spark, tableRoot(ident))
+      if (!(version.nonEmpty && version.forall(_.isDigit)) &&
+          main.branchExists(version)) {
+        val br = main.forBranch(version)
+        snapshotTable(ident, Some(br.currentVersion()), Some(br))
+      } else snapshotTable(ident, Some(resolveVersion(ident, version)))
+    }
 
-  /** Numeric strings are snapshot ids; anything else is a ref name. */
+  /** Numeric strings are snapshot ids; anything else is a ref name — a TAG
+    * resolves to its pinned snapshot, a BRANCH to its current head (so
+    * `VERSION AS OF 'audit'` reads the branch's staged state from any
+    * session, no WAP conf needed). */
   private def resolveVersion(ident: Identifier, version: String): Long =
     if (version.nonEmpty && version.forall(_.isDigit)) version.toLong
-    else storeFor(ident).refVersion(version).getOrElse(
-      throw new IllegalArgumentException(
-        s"no snapshot ref '$version' on table $ident " +
-          "(VERSION AS OF takes a snapshot id or a tag name)"))
+    else {
+      // resolve against main regardless of any WAP redirect: refs are
+      // shared, and branch resolution needs the un-redirected store
+      val store = new TableStore(spark, tableRoot(ident))
+      store.refVersion(version)
+        .orElse(if (store.branchExists(version))
+          Some(store.forBranch(version).currentVersion()) else None)
+        .getOrElse(throw new IllegalArgumentException(
+          s"no snapshot ref '$version' on table $ident " +
+            "(VERSION AS OF takes a snapshot id, tag, or branch name)"))
+    }
 
   /** `TIMESTAMP AS OF <ts>` time travel → latest snapshot committed at or
     * before the timestamp (micros since epoch, per the V2 contract). */

@@ -26,7 +26,8 @@ object GraftProcedures {
   val Names: Seq[String] =
     Seq("compact", "expire_snapshots", "vacuum", "create_changelog_view",
       "create_tag", "drop_tag", "rollback_to_snapshot",
-      "create_index", "refresh_index", "drop_index")
+      "create_index", "refresh_index", "drop_index",
+      "create_branch", "drop_branch", "fast_forward")
 
   def load(catalog: GraftCatalog, name: String): UnboundProcedure = name match {
     case "compact" => new CompactProc(catalog)
@@ -39,6 +40,9 @@ object GraftProcedures {
     case "create_index" => new CreateIndexProc(catalog)
     case "refresh_index" => new RefreshIndexProc(catalog)
     case "drop_index" => new DropIndexProc(catalog)
+    case "create_branch" => new CreateBranchProc(catalog)
+    case "drop_branch" => new DropBranchProc(catalog)
+    case "fast_forward" => new FastForwardProc(catalog)
     case other => throw new IllegalArgumentException(
       s"unknown procedure: $other (have: ${Names.mkString(", ")})")
   }
@@ -292,6 +296,64 @@ object GraftProcedures {
       result(
         StructType(Seq(StructField("existed",
           org.apache.spark.sql.types.BooleanType))), Array(existed))
+    }
+  }
+
+  /** Fork a writable branch from a snapshot (default: current) — the
+    * write-audit-publish entry point: `CALL cat.system.create_branch(
+    * 'ns.tbl', 'audit')`, stage commits with `SET spark.graft.wap.branch =
+    * audit`, verify via `VERSION AS OF 'audit'`, publish with
+    * `fast_forward`. A KB-scale metadata copy at any table size. */
+  private final class CreateBranchProc(catalog: GraftCatalog)
+      extends GraftProc("create_branch",
+        "fork a writable branch from a snapshot (default: current)") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build(),
+      ProcedureParameter.in("version", LongType).defaultValue("-1").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val store = storeFor(catalog, input.getUTF8String(0).toString)
+      val v =
+        if (input.numFields < 3 || input.isNullAt(2)) -1L else input.getLong(2)
+      val ref = store.createBranch(input.getUTF8String(1).toString, v)
+      result(
+        StructType(Seq(StructField("name", StringType),
+          StructField("fork_version", LongType))),
+        Array(UTF8String.fromString(ref.name), ref.forkVersion))
+    }
+  }
+
+  /** Delete a branch; data it referenced exclusively falls to the next
+    * vacuum. */
+  private final class DropBranchProc(catalog: GraftCatalog)
+      extends GraftProc("drop_branch", "delete a branch") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val store = storeFor(catalog, input.getUTF8String(0).toString)
+      val existed = store.dropBranch(input.getUTF8String(1).toString)
+      result(
+        StructType(Seq(StructField("existed",
+          org.apache.spark.sql.types.BooleanType))), Array(existed))
+    }
+  }
+
+  /** Publish a branch onto main: copies branch manifests into the main
+    * sequence (pure metadata — zero data bytes move). Refused if main
+    * advanced since the fork (diverged histories). */
+  private final class FastForwardProc(catalog: GraftCatalog)
+      extends GraftProc("fast_forward",
+        "publish a branch's commits onto main (metadata-only)") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val store = storeFor(catalog, input.getUTF8String(0).toString)
+      val head = store.fastForward(input.getUTF8String(1).toString)
+      result(
+        StructType(Seq(StructField("published_version", LongType))),
+        Array(head))
     }
   }
 

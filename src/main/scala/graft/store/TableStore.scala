@@ -41,7 +41,8 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * unreferenced snapshots (reference `unreferencedFileRemoval`,
   * README.md:132-137).
   */
-class TableStore(val spark: SparkSession, val root: String) {
+class TableStore(val spark: SparkSession, val root: String,
+    val branch: Option[String] = None) {
   import TableStore._
 
   // Column identity is by parquet FIELD ID, not name (Iceberg semantics via
@@ -73,7 +74,22 @@ class TableStore(val spark: SparkSession, val root: String) {
   private val rootPath = new Path(root)
   private def fs: FileSystem =
     rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-  private def manifestDir = new Path(rootPath, "manifest")
+  /** Snapshot-pointer directory. A BRANCH store resolves and commits its
+    * manifests under `manifest/branches/<name>/` — everything else (data
+    * dirs, shard dirs, refs, the commit latch) is shared with main, so
+    * every commit/read path below works unchanged on a branch view and a
+    * branch commit is exactly as cheap as a main commit. */
+  private def manifestDir = branch match {
+    case None => new Path(rootPath, "manifest")
+    case Some(b) => new Path(branchesDir, b)
+  }
+  private def branchesDir = new Path(rootPath, "manifest/branches")
+  /** Shard files always live under MAIN's metadata tree, even for branch
+    * commits: fast-forward copies branch manifests verbatim (shard refs are
+    * absolute paths), so shards must not live in a directory that
+    * `dropBranch` deletes — orphaned branch shards are reclaimed by the
+    * main vacuum's shard sweep instead. */
+  private def shardsRoot = new Path(rootPath, "manifest/shards")
   private def dataDir = new Path(rootPath, "data")
 
   /** Snapshot ids that still have a manifest, ascending. Vacuumed versions
@@ -373,8 +389,7 @@ class TableStore(val spark: SparkSession, val root: String) {
 
   private def shardTier(meta: org.apache.spark.sql.Dataset[ManifestShards.FileMeta],
       n: Long, next: Long): MetaTier = {
-    val dest = new Path(new Path(manifestDir, "shards"),
-      s"v$next-${stagingSuffix()}")
+    val dest = new Path(shardsRoot, s"v$next-${stagingSuffix()}")
     beginStaging(dest) // pin against a concurrent shard-dir sweep
     val nShards = math.max(1L, (n + filesPerShard - 1) / filesPerShard).toInt
     val refs = ManifestShards.write(spark, meta, dest.toString, nShards)
@@ -1877,6 +1892,8 @@ class TableStore(val spark: SparkSession, val root: String) {
       s"ref name must match [A-Za-z0-9._-]{1,128}, got '$name'")
     require(!name.forall(_.isDigit),
       s"ref name cannot be all digits (ambiguous with a snapshot id): '$name'")
+    require(!branchExists(name),
+      s"a branch named '$name' already exists at $root")
     val v = if (version < 0) currentVersion() else version
     require(existingVersions().contains(v), s"snapshot $v does not exist")
     val f = fs
@@ -1954,6 +1971,137 @@ class TableStore(val spark: SparkSession, val root: String) {
     next
   }
 
+  // -------------------------------------------------------------- branches
+
+  /** A writable BRANCH (Iceberg branch semantics — S3 Tables is Iceberg
+    * underneath, reference README.md:12): its own manifest sequence under
+    * `manifest/branches/<name>/`, sharing main's data/shard/ref trees.
+    * Created by COPYING the fork-point manifest at its own version number
+    * (a KB-scale metadata write, zero data movement — the same trick
+    * [[rollbackTo]] uses), so branch snapshot ids live in the same
+    * numbering as main's and changelog/time-travel over the branch work
+    * unchanged. This is the write-audit-publish handle: commits to the
+    * branch are invisible on main until [[fastForward]] republishes them,
+    * which is how a 100 TB continuously-fed table takes a risky backfill —
+    * audit on the branch, publish as pure metadata copies. */
+  def createBranch(name: String, fromVersion: Long = -1L,
+      nowMs: Long = System.currentTimeMillis()): BranchRef = {
+    require(branch.isEmpty, "branches are managed from the main table store")
+    require(TableStore.RefNameOk.pattern.matcher(name).matches(),
+      s"branch name must match [A-Za-z0-9._-]{1,128}, got '$name'")
+    require(!name.forall(_.isDigit),
+      s"branch name cannot be all digits (ambiguous with a snapshot id): '$name'")
+    require(refVersion(name).isEmpty,
+      s"a tag named '$name' already exists at $root")
+    val from = if (fromVersion < 0) currentVersion() else fromVersion
+    require(existingVersions().contains(from), s"snapshot $from does not exist")
+    val f = fs
+    val dir = new Path(branchesDir, name)
+    f.mkdirs(dir)
+    val ref = BranchRef(name, from, nowMs)
+    // marker first = the claim (create-exclusive, same discipline as tags);
+    // the fork-manifest copy follows under the branch's own CAS
+    val marker = new Path(dir, "branch.json")
+    val latch = TableStore.commitLatch(f.makeQualified(rootPath).toString)
+    val out = latch.synchronized {
+      try f.create(marker, false)
+      catch { case _: java.io.IOException =>
+        throw new IllegalStateException(s"branch '$name' already exists at $root")
+      }
+    }
+    try out.write(ref.toJson.getBytes("UTF-8")) finally out.close()
+    forBranch(name).writeManifestAtomic(manifest(from))
+    ref
+  }
+
+  /** A store view of branch `name`: every read/commit/changelog path
+    * operates on the branch's manifest sequence. Maintenance that deletes
+    * shared state ([[vacuum]] and friends) is refused on a branch view. */
+  def forBranch(name: String): TableStore = {
+    require(branch.isEmpty, s"already a branch view of '${branch.get}'")
+    new TableStore(spark, root, Some(name))
+  }
+
+  def branchExists(name: String): Boolean =
+    fs.exists(new Path(new Path(branchesDir, name), "branch.json"))
+
+  /** Branch metadata: fork point + creation time. `forkVersion` advances to
+    * the published head on every fast-forward, so it is always the newest
+    * version shared with main. */
+  def branchMeta(name: String): BranchRef = {
+    val p = new Path(new Path(branchesDir, name), "branch.json")
+    val in = fs.open(p)
+    val bytes = try {
+      val o = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n >= 0) { o.write(buf, 0, n); n = in.read(buf) }
+      o.toByteArray
+    } finally in.close()
+    BranchRef.fromJson(new String(bytes, "UTF-8"))
+  }
+
+  /** All branches, name-ascending. O(#branches) driver work — branches are
+    * human-created workflow handles, not per-commit artifacts. A crashed
+    * [[createBranch]] (marker without a fork manifest) is invisible here. */
+  def listBranches(): Seq[BranchRef] = {
+    val f = fs
+    if (!f.exists(branchesDir)) Nil
+    else f.listStatus(branchesDir).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(branchExists)
+      .filter(n => new TableStore(spark, root, Some(n)).currentVersion() >= 0)
+      .map(branchMeta).sortBy(_.name).toSeq
+  }
+
+  /** Delete a branch: its manifest sequence and marker. Data and shard
+    * files it referenced exclusively become unreferenced and fall to the
+    * next main vacuum — nothing a surviving manifest references is touched
+    * here, so dropping an already-fast-forwarded branch is always safe. */
+  def dropBranch(name: String): Boolean = {
+    require(branch.isEmpty, "branches are managed from the main table store")
+    fs.delete(new Path(branchesDir, name), true)
+  }
+
+  /** Publish a branch onto main (Iceberg `fast_forward`): copy every
+    * branch manifest newer than main's head into the main sequence,
+    * verbatim. Requires main's head to still be the branch's fork point —
+    * a main commit since the fork means diverged histories, refused (merge
+    * by rebasing the branch instead). Each copy goes through the same CAS
+    * as a data commit; the per-root latch makes the whole publish atomic
+    * against in-process writers, and a cross-process race aborts at the
+    * first conflicting version leaving main a consistent prefix. Pure
+    * metadata: publishing any number of 100 TB-scale branch commits moves
+    * zero data bytes. */
+  def fastForward(name: String): Long = {
+    require(branch.isEmpty, "fast-forward publishes onto the main store")
+    val br = forBranch(name)
+    val head = br.currentVersion()
+    require(head >= 0, s"branch '$name' does not exist at $root")
+    val meta = branchMeta(name)
+    val latch = TableStore.commitLatch(fs.makeQualified(rootPath).toString)
+    latch.synchronized {
+      val cur = currentVersion()
+      require(cur == meta.forkVersion,
+        s"not a fast-forward: main is at $cur but branch '$name' forked " +
+          s"at ${meta.forkVersion} (histories diverged)")
+      br.existingVersions().filter(_ > cur).foreach { v =>
+        writeManifestAtomic(br.manifest(v))
+      }
+    }
+    // advance the recorded fork point: everything up to `head` is now
+    // shared with main, so a continued branch stays fast-forwardable
+    val marker = new Path(new Path(branchesDir, name), "branch.json")
+    val tmp = new Path(new Path(branchesDir, name),
+      s".branch-${stagingSuffix()}")
+    val out = fs.create(tmp, false)
+    try out.write(meta.copy(forkVersion = head).toJson.getBytes("UTF-8"))
+    finally out.close()
+    fs.delete(marker, false)
+    if (!fs.rename(tmp, marker))
+      throw new IllegalStateException(s"failed to advance branch marker '$name'")
+    head
+  }
+
   /** GC of snapshots below `keepFrom`: the manifest is deleted FIRST, then
     * unreferenced data — so no surviving manifest ever points at deleted
     * files (the reference's Iceberg snapshot expiry removes metadata along
@@ -1969,6 +2117,11 @@ class TableStore(val spark: SparkSession, val root: String) {
     * storage grows with total rewritten data until a full compact.
     * Returns deleted snapshot data dirs (file-level sweeps are not listed). */
   private def deleteDataDirs(keepFrom: Long): Seq[String] = {
+    // A branch view's manifest sequence is a SUBSET of the table's live
+    // metadata — sweeping shared data/shard trees against it alone would
+    // delete files main still references. Expiry is a main-line operation.
+    require(branch.isEmpty,
+      "vacuum/expiry runs on the main table store, not a branch view")
     val f = fs
     // Streaming-sink crash window (ADVICE r5): an UNFINALIZED intent (epoch
     // whose table commit may have landed but whose done marker did not) is
@@ -1989,7 +2142,16 @@ class TableStore(val spark: SparkSession, val root: String) {
     existingVersions().filter(v => v < clamped && !pinned(v)).foreach { v =>
       f.delete(new Path(manifestDir, s"v$v.json"), false)
     }
-    val survivors = existingVersions().map(manifest)
+    // Every BRANCH manifest pins its files too: branch snapshots share
+    // main's data/shard trees (a branch commit's files live under data/
+    // like any other), so the sweeps below must treat the union of main's
+    // and all branches' manifests as live. Branch manifests themselves are
+    // never expired here — dropBranch removes them wholesale.
+    val branchSurvivors = listBranches().flatMap { b =>
+      val bs = forBranch(b.name)
+      bs.existingVersions().map(bs.manifest)
+    }
+    val survivors = existingVersions().map(manifest) ++ branchSurvivors
     val out =
       if (!f.exists(dataDir)) Nil
       else if (survivors.forall(!_.isSharded)) sweepDataInline(survivors)
@@ -2150,7 +2312,6 @@ class TableStore(val spark: SparkSession, val root: String) {
     * the manifest-list layer is small by construction. */
   private def sweepShardDirs(survivors: Seq[Manifest]): Unit = {
     val f = fs
-    val shardsRoot = new Path(manifestDir, "shards")
     if (!f.exists(shardsRoot)) return
     val referenced = survivors.flatMap(_.shards.map(r =>
       f.makeQualified(new Path(r.path)).toString)).toSet
@@ -2490,6 +2651,30 @@ object TableStore {
       val j = JsonMethods.parse(s)
       SnapshotRef((j \ "name").extract[String], (j \ "version").extract[Long],
         (j \ "createdAtMs").extract[Long])
+    }
+  }
+
+  /** A writable branch: `manifest/branches/<name>/` holds its manifest
+    * sequence; `forkVersion` is the newest snapshot shared with main
+    * (advanced by every fast-forward). */
+  final case class BranchRef(name: String, forkVersion: Long,
+      createdAtMs: Long) {
+    def toJson: String = {
+      val esc = name.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString
+      }
+      s"""{"name":"$esc","forkVersion":$forkVersion,"createdAtMs":$createdAtMs}"""
+    }
+  }
+
+  object BranchRef {
+    def fromJson(s: String): BranchRef = {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      implicit val fmt: Formats = DefaultFormats
+      val j = JsonMethods.parse(s)
+      BranchRef((j \ "name").extract[String],
+        (j \ "forkVersion").extract[Long], (j \ "createdAtMs").extract[Long])
     }
   }
 
