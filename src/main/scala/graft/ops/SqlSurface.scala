@@ -371,9 +371,52 @@ object SqlSurface {
          |ORDER BY n_regionkey ASC NULLS FIRST""".stripMargin)
   }
 
+  /** Write-audit-publish end-to-end (`sql_branch_wap`): fork a branch via
+    * the `create_branch` procedure, stage an INSERT through the
+    * `spark.graft.wap.branch` session redirect, assert isolation both ways
+    * (main unchanged, branch visible via `VERSION AS OF '<branch>'`), then
+    * publish with `fast_forward` — at any table size the fork and the
+    * publish are KB-scale manifest copies, zero data bytes moved. The
+    * oracle reproduces base ∪ staged relationally. */
+  private val sqlBranchWap: Q = (s, d) => {
+    val cat = catalogFor(s, d)
+    s.sql(s"DROP TABLE IF EXISTS $cat.analytics.cust_wap")
+    val store = new TableStore(s, s"${warehouseFor(d)}/analytics/cust_wap")
+    store.commitSnapshot(load(s, d, "customer").select(col("c_custkey"),
+      col("c_mktsegment"),
+      col("c_acctbal").cast("decimal(18,2)").as("c_acctbal")))
+    val n0 = store.readSnapshot().count()
+    s.catalog.refreshTable(s"$cat.analytics.cust_wap")
+    s.sql(s"CALL $cat.system.create_branch('analytics.cust_wap', 'stage')")
+    s.conf.set("spark.graft.wap.branch", "stage")
+    try {
+      s.catalog.refreshTable(s"$cat.analytics.cust_wap")
+      s.sql(
+        s"""INSERT INTO $cat.analytics.cust_wap
+           |SELECT c_custkey + 1000000, c_mktsegment,
+           |  CAST(c_acctbal + 10 AS DECIMAL(18,2))
+           |FROM $cat.analytics.cust_wap WHERE c_custkey % 10 = 0""".stripMargin)
+    } finally s.conf.unset("spark.graft.wap.branch")
+    s.catalog.refreshTable(s"$cat.analytics.cust_wap")
+    require(store.readSnapshot().count() == n0,
+      "staged branch commit must be invisible on main before publish")
+    require(s.sql(s"SELECT COUNT(*) FROM $cat.analytics.cust_wap " +
+      "VERSION AS OF 'stage'").head().getLong(0) > n0,
+      "branch head must serve the staged rows")
+    s.sql(s"CALL $cat.system.fast_forward('analytics.cust_wap', 'stage')")
+    s.catalog.refreshTable(s"$cat.analytics.cust_wap")
+    s.sql(
+      s"""SELECT c_mktsegment, COUNT(*) AS n_cust,
+         |  CAST(SUM(c_acctbal) AS DOUBLE) AS total_bal
+         |FROM $cat.analytics.cust_wap
+         |GROUP BY c_mktsegment
+         |ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "sql_catalog" -> sqlCatalog,
     "sql_time_travel" -> sqlTimeTravel,
+    "sql_branch_wap" -> sqlBranchWap,
     "sql_catalog_write" -> sqlCatalogWrite,
     "sql_catalog_merge" -> sqlCatalogMerge,
     "sql_join_colocated" -> sqlJoinColocated,
@@ -384,6 +427,22 @@ object SqlSurface {
     "sql_merge_mor" -> sqlMergeMor)
 
   val oracles: Map[String, String] = Map(
+    "sql_branch_wap" ->
+      """WITH base AS (
+        |  SELECT c_custkey, c_mktsegment,
+        |         CAST(c_acctbal AS DECIMAL(18,2)) AS c_acctbal
+        |  FROM customer),
+        |staged AS (
+        |  SELECT c_custkey + 1000000, c_mktsegment,
+        |         CAST(c_acctbal + 10 AS DECIMAL(18,2))
+        |  FROM base WHERE c_custkey % 10 = 0),
+        |all_rows AS (SELECT * FROM base UNION ALL SELECT * FROM staged)
+        |SELECT c_mktsegment, COUNT(*) AS n_cust,
+        |  CAST(SUM(c_acctbal) AS DOUBLE) AS total_bal
+        |FROM all_rows
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin,
+
     "sql_time_travel" ->
       """SELECT n_regionkey, COUNT(*) AS n_nations,
         |  MIN(n_name) AS first_name
