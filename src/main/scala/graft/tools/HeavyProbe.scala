@@ -73,6 +73,55 @@ object HeavyProbe {
       println(f"[probe] $name%-22s ${times.map(_._1).min}%7.2f s " +
         f"(${times.head._2} rows)")
     }
+    storageProbes(spark, out)
     spark.stop()
+  }
+
+  /** Round-8 storage-layer probes (VERDICT r7 #8): the MOR read tax, purge,
+    * GSI refresh, and the SPJ fact-fact join, all at the 10x corpus — the
+    * r7 machinery gets the same round-over-round trendline the dedup family
+    * has. One-shot timings (each mutates table state, so min-of-2 would
+    * time a different operation on the second pass). */
+  private def storageProbes(spark: SparkSession, out: String): Unit = {
+    def t[A](label: String)(body: => A): A = {
+      val s0 = System.nanoTime()
+      val a = body
+      println(f"[probe] $label%-34s ${(System.nanoTime() - s0) / 1e9}%7.2f s")
+      a
+    }
+    val store = new graft.store.TableStore(spark, s"$out/orders_probe_store")
+    val orders = spark.read.parquet(s"$out/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"),
+        col("o_orderstatus"))
+    t("commitBucketed 64-bucket orders") {
+      store.commitBucketed(orders, keys = Seq("o_orderkey"), numBuckets = 64)
+    }
+    t("full count, byte-stock plan") { store.readSnapshot().count() }
+    t("deleteMor 1% of keys (DV write)") {
+      store.deleteMor(col("o_orderkey") % 100 === 0)
+    }
+    t("full count under DV mask (read tax)") { store.readSnapshot().count() }
+    val upd = orders.filter(col("o_orderkey") % 200 === 1)
+      .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+      .withColumn("op", lit("U"))
+    t("upsertMor 0.5% update batch") { store.upsertMor(upd) }
+    t("full count, 2 stacked DVs") { store.readSnapshot().count() }
+    t("purgeDeletes") { store.purgeDeletes() }
+    t("full count after purge") { store.readSnapshot().count() }
+    t("GSI create on o_custkey") {
+      graft.store.SecondaryIndex.create(store, "by_cust",
+        Seq("o_custkey"), Seq("o_totalprice"), numBuckets = 16)
+    }
+    t("upsertMor 0.5% more updates") {
+      store.upsertMor(upd.withColumn("o_totalprice",
+        col("o_totalprice") + 2.0))
+    }
+    t("GSI incremental refresh") {
+      graft.store.SecondaryIndex.refresh(store, "by_cust")
+    }
+    t("SPJ fact-fact join (build+join)") {
+      graft.SparkEntry.queries("sql_join_colocated")(spark, out).count()
+    }
   }
 }
