@@ -633,7 +633,7 @@ private[catalog] class SnapshotTable(tblName: String, mkDelegate: () => Table,
     // DV'd snapshots MUST go through the graft builder (it falls back to the
     // effective-rows V1 scan); the stock delegate would resurrect deleted
     // rows. DV'd manifests are non-hive by construction.
-    if (schemaParts.isEmpty && (statsComplete || m.hasDvs))
+    if (schemaParts.isEmpty && (statsComplete || m.hasDeletes))
       new StatsPruningScanBuilder(name(), store, m, options)
     else delegate.asInstanceOf[SupportsRead].newScanBuilder(options)
   }
@@ -690,7 +690,7 @@ private[catalog] class SnapshotTable(tblName: String, mkDelegate: () => Table,
     // and build the operation against the clean snapshot — one mechanism,
     // no bespoke row-level scan.
     val opVersion =
-      if (m.hasDvs) store.purgeDeletes(expectedParent = Some(m.version))
+      if (m.hasDeletes) store.purgeDeletes(expectedParent = Some(m.version))
       else m.version
     new GraftRowLevelOperationBuilder(store, opVersion, info)
   }
@@ -829,7 +829,7 @@ private[catalog] final class StatsPruningScanBuilder(name: String,
     // manifest shards — only surviving files reach the driver's scan plan.
     // DV'd snapshots defer (their V1 fallback prunes lazily in buildScan);
     // filterless scans defer too, so a later pushLimit can shrink the list.
-    if (!m.hasDvs && exprs.nonEmpty)
+    if (!m.hasDeletes && exprs.nonEmpty)
       ensureInner(store.pruneCandidatePaths(m, exprs), exprs)
     filters // all post-scan: the Filter node stays, pruning is best-effort
   }
@@ -848,7 +848,7 @@ private[catalog] final class StatsPruningScanBuilder(name: String,
     * global Limit above the scan. */
   override def pushLimit(limit: Int): Boolean = {
     if (pushedExprs.nonEmpty || aggResult.isDefined || m.isSharded ||
-      m.hasDvs || limit <= 0) return false
+      m.hasDeletes || limit <= 0) return false
     if (!m.inlineFiles.forall(m.inlineStats.contains)) return false
     var acc = 0L
     val taken = m.inlineFiles.takeWhile { f =>
@@ -912,7 +912,7 @@ private[catalog] final class StatsPruningScanBuilder(name: String,
     import org.apache.spark.sql.types._
     // delete vectors mask rows the footer stats still count — every
     // metadata-served aggregate would overcount; decline until purged
-    if (m.hasDvs) return false
+    if (m.hasDeletes) return false
     if (pushedExprs.nonEmpty || agg.groupByExpressions().nonEmpty) return false
     def refName(e: org.apache.spark.sql.connector.expressions.Expression)
         : Option[String] = e match {
@@ -1047,7 +1047,7 @@ private[catalog] final class StatsPruningScanBuilder(name: String,
           s"graft-manifest-agg($name, ${schema.fieldNames.mkString(",")})"
       }
     }
-    if (m.hasDvs || posPrune.isDefined) {
+    if (m.hasDeletes || posPrune.isDefined) {
       val exprs = pushedExprs
       // top-level pruning only: a nested-pruned struct type in the required
       // schema would mismatch the full structs the fallback emits — widen

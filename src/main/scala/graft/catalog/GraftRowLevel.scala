@@ -129,7 +129,7 @@ private[catalog] final class CowScanBuilder(store: TableStore, version: Long,
       // DV'd manifests are inline non-hive: their whole-table file list is
       // driver-held (scanPaths refuses DV'd exports; the DV scan reads
       // effective rows from these paths)
-      (CowWhole, if (m.hasDvs) m.inlineFiles else store.scanPaths(version))
+      (CowWhole, if (m.hasDeletes) m.inlineFiles else store.scanPaths(version))
     else (CowFiles(candidates), candidates)
   }
 
@@ -152,7 +152,7 @@ private[catalog] final class CowScanBuilder(store: TableStore, version: Long,
     // Invariant: the operation builder purges delete vectors before the COW
     // op is built (SnapshotTable.newRowLevelOperationBuilder) — a DV'd
     // manifest here would mean the stock scan below resurrects deleted rows.
-    require(!m.hasDvs, "COW row-level scan over a DV'd snapshot")
+    require(!m.hasDeletes, "COW row-level scan over a DV'd snapshot")
     val scan = mkInner(m, paths)
     // Runtime group filtering (SPARK-38005's COW half): a MERGE whose ON
     // condition carries no literals selects every bucket statically, but

@@ -274,11 +274,62 @@ object CdcStreamOps {
     store.readSnapshot().orderBy(col("o_orderkey").asc_nulls_first)
   }
 
+  /** The same CDC fixture again, driven through the EQUALITY-DELETE loop
+    * (`applyCdcBatchEq` → `TableStore.upsertEq`, Iceberg v2 equality
+    * deletes — the Flink streaming-sink shape): the batch commits an
+    * equality-delete file of its keys plus the post-image append, with
+    * ZERO base-file reads — where the positional loop must scan the
+    * batch's candidate buckets to resolve `(file, pos)`, this commit's
+    * cost is O(batch) at any table size and key scatter. Same relational
+    * LWW result as `cdc_apply`/`cdc_apply_mor` by construction. */
+  private val cdcApplyEq: Q = (s, d) => {
+    val o = load(s, d, "orders")
+    val k = col("o_orderkey")
+    val one1 = lit("1.10").cast("decimal(18,2)")
+    val one2 = lit("1.20").cast("decimal(18,2)")
+    val store = new graft.store.TableStore(s,
+      graft.util.Scratch.dir("cdc_apply_eq"))
+    store.commitBucketed(o, keys = Seq("o_orderkey"), numBuckets = 16)
+    val files0 = store.manifest(store.currentVersion()).inlineFiles.toSet
+    val removes = o.filter(k % 10 === 0).select(
+      CdcApply.changeCols(lit(CdcApply.OpRemove), lit(1L),
+        Seq(k, lit(null).cast("long").as("o_custkey"),
+          lit(null).cast("string").as("o_orderstatus"),
+          lit(null).cast("double").as("o_totalprice"),
+          lit(null).cast("timestamp_ntz").as("o_orderdate"),
+          lit(null).cast("string").as("o_orderpriority"))): _*)
+    val mod1 = o.filter(k % 2 === 0 && k % 10 =!= 0).select(
+      CdcApply.changeCols(lit(CdcApply.OpModify), lit(1L),
+        Seq(k, col("o_custkey"), lit("U").as("o_orderstatus"),
+          (dec2(col("o_totalprice")) * one1).cast("double").as("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority"))): _*)
+    val mod2 = o.filter(k % 4 === 0 && k % 10 =!= 0).select(
+      CdcApply.changeCols(lit(CdcApply.OpModify), lit(2L),
+        Seq(k, col("o_custkey"), lit("V").as("o_orderstatus"),
+          (dec2(col("o_totalprice")) * one2).cast("double").as("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority"))): _*)
+    val inserts = o.filter(k % 7 === 0).select(
+      CdcApply.changeCols(lit(CdcApply.OpInsert), lit(1L),
+        Seq((k + 1000000000L).as("o_orderkey"), col("o_custkey"),
+          lit("N").as("o_orderstatus"), col("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority"))): _*)
+    graft.streaming.StreamingOps.applyCdcBatchEq(
+      removes.unionByName(mod1).unionByName(mod2).unionByName(inserts),
+      store, keys = Seq("o_orderkey"), numBuckets = 16)
+    val m = store.manifest(store.currentVersion())
+    require(m.hasEqDeletes, "equality CDC apply must commit equality deletes")
+    require(!m.hasDvs, "equality CDC apply must not scan for positions")
+    require(files0.subsetOf(m.inlineFiles.toSet),
+      "equality CDC apply must inherit every seed data file")
+    store.readSnapshot().orderBy(col("o_orderkey").asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
     "stream_table_feed" -> streamTableFeed,
     "stream_table_roundtrip" -> streamTableRoundtrip,
     "cdc_apply" -> cdcApply,
     "cdc_apply_mor" -> cdcApplyMor,
+    "cdc_apply_eq" -> cdcApplyEq,
     "cdc_apply_evolve" -> cdcApplyEvolve,
     "stream_tumbling_window" -> tumbling,
     "stream_sliding_window" -> sliding,
@@ -324,6 +375,30 @@ object CdcStreamOps {
     // identical relational LWW result as cdc_apply: the MOR loop is a
     // different physical strategy for the same logical merge
     "cdc_apply_mor" ->
+      """WITH survivors AS (
+        |  SELECT o_orderkey,
+        |         o_custkey,
+        |         CASE WHEN o_orderkey % 4 = 0 THEN 'V'
+        |              WHEN o_orderkey % 2 = 0 THEN 'U'
+        |              ELSE o_orderstatus END AS o_orderstatus,
+        |         CASE WHEN o_orderkey % 4 = 0
+        |                THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.20 AS DECIMAL(18,2)) AS DOUBLE)
+        |              WHEN o_orderkey % 2 = 0
+        |                THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.10 AS DECIMAL(18,2)) AS DOUBLE)
+        |              ELSE o_totalprice END AS o_totalprice,
+        |         o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 10 <> 0
+        |), inserted AS (
+        |  SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey,
+        |         'N' AS o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |)
+        |SELECT * FROM survivors UNION ALL SELECT * FROM inserted
+        |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+
+    // same logical merge a third time: the equality-delete loop commits
+    // without reading the base at all, but the LWW result is identical
+    "cdc_apply_eq" ->
       """WITH survivors AS (
         |  SELECT o_orderkey,
         |         o_custkey,

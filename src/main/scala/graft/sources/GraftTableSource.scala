@@ -516,12 +516,15 @@ private[graft] class GraftMicroBatchStream(root: String, schema: StructType,
     // refuses unless `streaming.skip-deletes=true` (already-emitted rows
     // stay emitted; deletes are not propagated — consume readChangelog for
     // row-level deletes).
-    if (prevV < 0) require(!m.hasDvs,
-      s"graft-table stream: snapshot $v of $root carries delete vectors; " +
-        "the streaming scan reads raw files and would resurrect deleted " +
-        "rows — purgeDeletes()/compact() first, or start past the purge")
-    else if (m.dvRefs.map(_.path).toSet !=
-        st.manifest(prevV).dvRefs.map(_.path).toSet && !skipDeletes)
+    if (prevV < 0) require(!m.hasDeletes,
+      s"graft-table stream: snapshot $v of $root carries delete vectors " +
+        "or equality deletes; the streaming scan reads raw files and would " +
+        "resurrect deleted rows — purgeDeletes()/compact() first, or start " +
+        "past the purge")
+    else if ((m.dvRefs.map(_.path).toSet !=
+        st.manifest(prevV).dvRefs.map(_.path).toSet ||
+      m.eqRefs.map(_.path).toSet !=
+        st.manifest(prevV).eqRefs.map(_.path).toSet) && !skipDeletes)
       throw new IllegalStateException(
         s"snapshot $v of $root changes delete vectors; the streaming read " +
           "is append-only and cannot emit deletes. Set option " +

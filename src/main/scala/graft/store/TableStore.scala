@@ -411,7 +411,7 @@ class TableStore(val spark: SparkSession, val root: String,
     if (m.bucketKeys.nonEmpty || multiDir || m.partitionBy.isEmpty)
       readFiles(m, m.inlineFiles)
     else {
-      require(!m.hasDvs,
+      require(!m.hasDeletes,
         "delete vectors are not supported on hive-partitioned layouts")
       val df = spark.read.schema(dataReadSchema(m)).parquet(m.location)
       // restore declared column order (partition columns come back last)
@@ -470,11 +470,54 @@ class TableStore(val spark: SparkSession, val root: String,
   private def finishDv(m: Manifest, raw: DataFrame,
       withPos: Boolean): DataFrame = {
     import org.apache.spark.sql.functions.col
-    val eff = if (m.hasDvs || withPos) dvFilter(tagPos(raw), m) else raw
+    val eff =
+      if (m.hasDeletes || withPos) eqFilter(dvFilter(tagPos(raw), m), m)
+      else raw
     val out = m.schema.fieldNames.map(col) ++
       (if (withPos) Seq(col("_g_file"), col("_g_pos")) else Nil)
     eff.select(out.toSeq: _*)
   }
+
+  /** Key-columns read schema for equality-delete files: ID-STRIPPED. The
+    * delete files are written from the caller's raw batch (no field-id
+    * stamping), and an id-bearing requested schema over id-less files is
+    * unreadable under fieldId.read.enabled — name matching is correct here
+    * because bucket-key names can never be renamed (schema-only commits
+    * refuse it). */
+  private def eqKeySchema(m: Manifest): StructType =
+    StructType(m.schema.fields.filter(f => m.bucketKeys.contains(f.name))
+      .map(f => org.apache.spark.sql.types.StructField(f.name, f.dataType,
+        f.nullable)).toSeq)
+
+  /** Effective-rows filter for EQUALITY deletes: drop every row whose
+    * bucket-key values appear in an [[TableStore.EqRef]] file with `since`
+    * NEWER than the row's data file's commit version (derived from the
+    * `snap-<v>-` path segment — pure column arithmetic, no extra I/O).
+    * Stacked deletes of the same key collapse to `max(since)` before the
+    * join, so the probe is one row per deleted key. Small delete sets are
+    * broadcast (keyed map-side anti-join, corpus never shuffles); past
+    * [[dvBroadcastThreshold]] the hint drops, same discipline as
+    * [[dvFilter]]. `tagged` must carry `_g_file`. */
+  private def eqFilter(tagged: DataFrame, m: Manifest): DataFrame =
+    if (!m.hasEqDeletes) tagged
+    else {
+      import org.apache.spark.sql.functions._
+      val keys = m.bucketKeys
+      val dels = m.eqRefs.map { r =>
+        spark.read.schema(eqKeySchema(m)).parquet(r.path)
+          .withColumn("_eq_since", lit(r.since))
+      }.reduce(_ unionByName _)
+        .groupBy(keys.map(col): _*)
+        .agg(max("_eq_since").as("_eq_since"))
+      val probe =
+        if (m.eqRefs.map(_.bytes).sum <= dvBroadcastThreshold) broadcast(dels)
+        else dels
+      val withV = tagged.withColumn("_g_snapv",
+        regexp_extract(col("_g_file"), "/snap-(\\d+)-", 1).cast("long"))
+      val cond = keys.map(k => withV(k) === probe(k)).reduce(_ && _) &&
+        withV("_g_snapv") < probe("_eq_since")
+      withV.join(probe, cond, "left_anti").drop("_g_snapv")
+    }
 
   private def resolveVersion(version: Long): Long = {
     val v = if (version >= 0) version else currentVersion()
@@ -633,7 +676,7 @@ class TableStore(val spark: SparkSession, val root: String,
     }
     val base = spark.read.schema(dataSchema).parquet(files: _*)
     if (partCols.isEmpty) return finish(base)
-    require(!m.hasDvs && !withPos,
+    require(!m.hasDeletes && !withPos,
       "delete vectors / positional reads are not supported on " +
         "hive-partitioned layouts")
     val withParts = partCols.foldLeft(base) { (d, c) =>
@@ -788,8 +831,37 @@ class TableStore(val spark: SparkSession, val root: String,
         if (!fm.isSharded) inTm.filter(fm.inlineFiles.toSet)
         else metaFor(fm, inTm).map(_.path)
       }
-    val added = added0 ++ dvChanged
-    val removed = removed0 ++ dvChanged
+    // Equality deletes are the same class of invisible change: keys in eq
+    // files that differ between the snapshots mask rows in every
+    // pre-`since` file of the buckets those keys hash into, without
+    // touching any path. Candidate files (present on both sides, in an
+    // affected bucket, older than the newest differing delete) are read
+    // under each side's own delete view, and the keyed join emits the
+    // DELETEs/INSERTs — an over-approximation only adds rows that diff to
+    // nothing. O(differing eq keys) bucket derivation, bucket-pruned file
+    // residue.
+    val eqChanged: Seq[String] = {
+      val fmEq = fm.eqRefs.toSet
+      val tmEq = tm.eqRefs.toSet
+      val diffEq = tm.eqRefs.filterNot(fmEq) ++ fm.eqRefs.filterNot(tmEq)
+      if (diffEq.isEmpty) Nil
+      else {
+        val sp = spark
+        import sp.implicits._
+        val bKeys = tm.bucketKeys
+        val buckets = spark.read.schema(eqKeySchema(tm))
+          .parquet(diffEq.map(_.path).distinct: _*)
+          .select(bucketExpr(bKeys, tm.numBuckets).as("b"))
+          .distinct().as[Long].collect().toSet
+        val maxSince = diffEq.map(_.since).max
+        val cand = bucketFilePaths(fm, buckets).filter(f =>
+          snapVersionOfFile(f).exists(_ < maxSince))
+        if (!tm.isSharded) cand.filter(tm.inlineFiles.toSet)
+        else metaFor(tm, cand).map(_.path)
+      }
+    }
+    val added = added0 ++ dvChanged ++ eqChanged
+    val removed = removed0 ++ dvChanged ++ eqChanged
     // pre-image rows are read under their OWN manifest (schema + stats),
     // then aligned to the newer schema: renamed columns re-map by FIELD ID
     // (identity survives ALTER TABLE RENAME), evolved columns NULL-pad,
@@ -869,10 +941,10 @@ class TableStore(val spark: SparkSession, val root: String,
     * paths + schema. */
   def scanPaths(version: Long = -1L): Seq[String] = {
     val m = manifest(resolveVersion(version))
-    require(!m.hasDvs,
-      s"snapshot ${m.version} carries delete vectors; a raw path list would " +
-        "resurrect deleted rows — purgeDeletes()/compact() first, or read " +
-        "through TableStore")
+    require(!m.hasDeletes,
+      s"snapshot ${m.version} carries delete vectors / equality deletes; a " +
+        "raw path list would resurrect deleted rows — purgeDeletes()/" +
+        "compact() first, or read through TableStore")
     val qloc = fs.makeQualified(new Path(m.location)).toString
     // sharded manifests hand the external engine the full leaf list — an
     // O(#files) EXPORT by definition (counts as a driver materialization)
@@ -1028,7 +1100,11 @@ class TableStore(val spark: SparkSession, val root: String,
       inlineStats = tier.inlineStats, props = props, shards = tier.shards,
       droppedCols = pm.droppedCols,
       maxFieldId = idMax(idSchema, pm.highestFieldId),
-      dvRefs = keptDvs)
+      dvRefs = keptDvs,
+      // equality deletes survive partial rewrites untouched: they mask only
+      // files OLDER than their commit, and this commit's fresh files are
+      // newer — while inherited untouched-bucket files still need the mask
+      eqRefs = if (dropDvs) Nil else pm.eqRefs)
     commitOrCleanup(m, snapDir, tier.newShardDir)
   }
 
@@ -1116,7 +1192,7 @@ class TableStore(val spark: SparkSession, val root: String,
       System.currentTimeMillis(), pm.bucketKeys, pm.numBuckets,
       inlineStats = tier.inlineStats, props = props, shards = tier.shards,
       droppedCols = pm.droppedCols, maxFieldId = pm.highestFieldId,
-      dvRefs = pm.dvRefs)
+      dvRefs = pm.dvRefs, eqRefs = pm.eqRefs)
     commitOrCleanup(m, snapDir, tier.newShardDir)
   }
 
@@ -1198,7 +1274,7 @@ class TableStore(val spark: SparkSession, val root: String,
       tier.inlineFiles, pm.partitionBy, System.currentTimeMillis(),
       inlineStats = tier.inlineStats, shards = tier.shards,
       droppedCols = pm.droppedCols, maxFieldId = pm.highestFieldId,
-      dvRefs = keptDvs)
+      dvRefs = keptDvs, eqRefs = if (dropDvs) Nil else pm.eqRefs)
     commitOrCleanup(m, snapDir, tier.newShardDir)
   }
 
@@ -1491,6 +1567,109 @@ class TableStore(val spark: SparkSession, val root: String,
     commitOrCleanup(m, snapDir, tier.newShardDir)
   }
 
+  /** `<snapDir>/eq/` membership test — equality-delete files share the snap
+    * dir with the commit's data files but never count as data. */
+  private def eqPath(snapDir: Path)(file: String): Boolean =
+    file.contains(s"${snapDir.getName}/eq/")
+
+  private def writeEqRows(keys: DataFrame, snapDir: Path,
+      since: Long): Seq[EqRef] = {
+    val eqDir = new Path(snapDir, "eq")
+    // one file per commit: the shape is the CDC trickle (small keyed
+    // batches); a broad predicate delete belongs on deleteMor/COW, which
+    // the callers document
+    keys.repartition(1).write.mode(SaveMode.Overwrite).parquet(eqDir.toString)
+    val files = listDataFiles(eqDir)
+    val stats = FileStats.collect(spark, files, keys.schema)
+    files.map(f => EqRef(f, stats(f).bytes, stats(f).rows, since))
+      .filter(_.rows > 0)
+  }
+
+  /** EQUALITY-delete keyed upsert — the ZERO-BASE-READ CDC write path
+    * (Iceberg v2 equality deletes, the format Flink's streaming Iceberg
+    * sink commits): ONE commit carrying (a) an equality-delete file of the
+    * batch's key values — masking every OLDER row with those keys at read
+    * time — and (b) fresh bucketed files with the non-`removeOp`
+    * post-images. Unlike [[upsertMor]], which must SCAN the batch's
+    * candidate bucket files to resolve `(file, pos)` addresses, nothing
+    * here reads the base table at all: write volume AND read volume are
+    * O(batch), so a scattered 100 TB CDC batch (keys hashing into every
+    * bucket — where upsertMor's candidate scan degrades to a full-table
+    * pass) commits in constant time. The trade is a heavier read tax (a
+    * keyed anti-join against the delete set instead of a positional one)
+    * and an unknowable masked-row count until [[purgeDeletes]] folds the
+    * masks into data on the maintenance cadence.
+    *
+    * `winners` must hold exactly one row per key (the caller's LWW
+    * collapse) with the table's payload columns plus `opCol`. Works on
+    * both metadata tiers (the commit never enumerates existing files).
+    * Schema evolution routes through the COW loop, as with every MOR
+    * path. */
+  def upsertEq(winners: DataFrame, opCol: String = "op",
+      removeOp: String = "REMOVE",
+      expectedParent: Option[Long] = None,
+      props: Map[String, String] = Map.empty): Long = {
+    import org.apache.spark.sql.functions.col
+    val parent = checkParent(expectedParent)
+    require(parent >= 0, "equality-delete upsert requires an existing snapshot")
+    val pm = manifest(parent)
+    require(pm.bucketKeys.nonEmpty, "upsertEq requires a bucketed table")
+    val payloadCols = winners.columns.filterNot(_ == opCol).toSeq
+    require(payloadCols.sorted == pm.schema.fieldNames.sorted.toSeq,
+      s"upsertEq schema mismatch: $payloadCols vs " +
+        s"${pm.schema.fieldNames.toSeq}; evolution goes through the COW loop")
+    pm.schema.fields.foreach { f =>
+      require(winners.schema(f.name).dataType == f.dataType,
+        s"upsertEq type mismatch on ${f.name}: " +
+          s"${winners.schema(f.name).dataType} vs ${f.dataType}")
+    }
+    val keys = pm.bucketKeys
+    val next = parent + 1
+    val snapDir = new Path(dataDir, s"snap-$next-${stagingSuffix()}")
+    beginStaging(snapDir)
+    val newEq = writeEqRows(winners.select(keys.map(col): _*).distinct(),
+      snapDir, next)
+    val post = winners.filter(col(opCol) =!= removeOp)
+      .select(pm.schema.fieldNames.map(col): _*)
+    val aligned = applyFieldIds(post, pm.schema)
+    aligned.withColumn(BucketCol, bucketExpr(keys, pm.numBuckets))
+      .write.mode(SaveMode.Append).options(bloomWriteOptions)
+      .partitionBy(BucketCol).parquet(snapDir.toString)
+    val fresh = listDataFiles(snapDir)
+      .filterNot(dvPath(snapDir)).filterNot(eqPath(snapDir))
+    if (newEq.isEmpty && fresh.isEmpty) { // empty batch: no-op
+      fs.delete(snapDir, true); endStaging(snapDir); return parent
+    }
+    val tier = appendFreshTier(pm, fresh, next)
+    val m = pm.copy(version = next, parent = parent,
+      location = snapDir.toString, committedAtMs = System.currentTimeMillis(),
+      props = props,
+      inlineFiles = tier.inlineFiles, inlineStats = tier.inlineStats,
+      shards = tier.shards,
+      eqRefs = pm.eqRefs ++ newEq)
+    commitOrCleanup(m, snapDir, tier.newShardDir)
+  }
+
+  /** Equality DELETE by key set: mask every row whose key appears in
+    * `keys` — zero base reads, O(keys) write volume (see [[upsertEq]]). */
+  def deleteEq(keys: DataFrame, expectedParent: Option[Long] = None,
+      props: Map[String, String] = Map.empty): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val parent = checkParent(expectedParent)
+    require(parent >= 0, "equality delete requires an existing snapshot")
+    val pm = manifest(parent)
+    require(pm.bucketKeys.nonEmpty, "deleteEq requires a bucketed table")
+    require(keys.columns.sorted.toSeq == pm.bucketKeys.sorted,
+      s"deleteEq takes exactly the bucket keys ${pm.bucketKeys}, " +
+        s"got ${keys.columns.toSeq}")
+    // widen the key set to a full-schema all-REMOVE batch
+    val winners = pm.schema.fieldNames.foldLeft(keys.toDF()) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(pm.schema(c).dataType))
+    }.select(pm.schema.fieldNames.map(col): _*).withColumn("op", lit("REMOVE"))
+    upsertEq(winners, expectedParent = expectedParent, props = props)
+  }
+
   /** Fold the table's delete vectors into data: rewrite ONLY the data files
     * that carry DV entries (their live rows re-written clean), drop every
     * DV, inherit everything else — O(DV'd files) write volume, the targeted
@@ -1500,30 +1679,43 @@ class TableStore(val spark: SparkSession, val root: String,
     val parent = checkParent(expectedParent)
     require(parent >= 0, "purgeDeletes requires an existing snapshot")
     val pm = manifest(parent)
-    if (!pm.hasDvs) return parent
+    if (!pm.hasDeletes) return parent
     val sp = spark
     import sp.implicits._
-    val dvd = dvEntries(pm).select("file_path").distinct()
-      .as[String].collect().toSeq
+    val dvd =
+      if (!pm.hasDvs) Nil
+      else dvEntries(pm).select("file_path").distinct().as[String].collect().toSeq
     // membership against the live manifest: driver set for inline, an
     // O(subset) broadcast semi-join against the shard scan for sharded
     val affected =
       if (!pm.isSharded) dvd.filter(pm.inlineFiles.toSet)
+      else if (dvd.isEmpty) Nil
       else metaFor(pm, dvd).map(_.path)
-    if (affected.isEmpty) { // every DV'd file already left the manifest
+    // equality deletes affect whole BUCKETS (every file older than the
+    // delete's commit in a bucket its keys hash into); fold them in the
+    // same targeted rewrite. O(eq keys) driver-free bucket derivation.
+    val eqBuckets: Seq[Long] =
+      if (!pm.hasEqDeletes) Nil
+      else {
+        spark.read.schema(eqKeySchema(pm)).parquet(pm.eqRefs.map(_.path): _*)
+          .select(bucketExpr(pm.bucketKeys, pm.numBuckets).as("b"))
+          .distinct().as[Long].collect().toSeq
+      }
+    if (affected.isEmpty && eqBuckets.isEmpty) {
+      // every masked file already left the manifest
       val m = pm.copy(version = parent + 1, parent = parent,
         committedAtMs = System.currentTimeMillis(), props = Map.empty,
-        dvRefs = Nil)
+        dvRefs = Nil, eqRefs = Nil)
       writeManifestAtomic(m)
       return m.version
     }
     if (pm.bucketKeys.nonEmpty) {
       // every affected file MUST map to a bucket: a silently-dropped file
       // would keep its rows while dropDvs clears its mask — resurrection
-      val buckets = affected.map(f =>
+      val buckets = (affected.map(f =>
         TableStore.bucketOfFile(f).getOrElse(throw new IllegalStateException(
           s"DV'd file $f has no bucket segment; cannot purge by bucket")))
-        .toSet.toSeq
+        ++ eqBuckets).toSet.toSeq
       commitIncremental(readBuckets(buckets, pm.version), buckets,
         expectedParent = Some(parent), dropDvs = true)
     } else
@@ -1681,6 +1873,14 @@ class TableStore(val spark: SparkSession, val root: String,
 
   private val SnapDirName = "snap-(\\d+)-.*".r
   private val ShardDirName = "v(\\d+)-.*".r
+
+  /** Commit version a data file was written at, parsed from its snap-dir
+    * name — the equality-delete applicability test's file side. */
+  private def snapVersionOfFile(file: String): Option[Long] =
+    new Path(TableStore.snapDirOfFile(file)).getName match {
+      case SnapDirName(v) => Some(v.toLong)
+      case _ => None
+    }
 
   /** TOCTOU recheck: the sweep's survivor set is computed BEFORE the
     * listing, so a commit landing in between (its staging marker already
@@ -2190,14 +2390,15 @@ class TableStore(val spark: SparkSession, val root: String,
     // Qualify both sides: manifests may record scheme-less paths while
     // listStatus returns fully-qualified URIs.
     val referencedDirs = survivors.flatMap { m =>
-      m.location +: (m.inlineFiles ++ m.dvRefs.map(_.path))
-        .map(TableStore.snapDirOfFile)
+      m.location +: (m.inlineFiles ++ m.dvRefs.map(_.path) ++
+        m.eqRefs.map(_.path)).map(TableStore.snapDirOfFile)
     }.map(p => f.makeQualified(new Path(p)).toString).toSet
-    // delete-vector files are data the manifests reference (they end in
-    // .parquet and live under snap dirs, so the lister sees them) — a sweep
-    // that missed them would delete live deletion metadata
+    // delete-vector / equality-delete files are data the manifests
+    // reference (they end in .parquet and live under snap dirs, so the
+    // lister sees them) — a sweep that missed them would delete live
+    // deletion metadata
     val referencedFiles = survivors.flatMap(m =>
-      m.inlineFiles ++ m.dvRefs.map(_.path))
+      m.inlineFiles ++ m.dvRefs.map(_.path) ++ m.eqRefs.map(_.path))
       .map(p => f.makeQualified(new Path(p)).toString).toSet
     val out = scala.collection.mutable.ArrayBuffer[String]()
     val now = System.currentTimeMillis()
@@ -2224,7 +2425,8 @@ class TableStore(val spark: SparkSession, val root: String,
     val sp = spark
     import sp.implicits._
     val f = fs
-    val dvSide = survivors.flatMap(_.dvRefs.map(_.path)).distinct
+    val dvSide = survivors.flatMap(m =>
+      m.dvRefs.map(_.path) ++ m.eqRefs.map(_.path)).distinct
     val refPaths = (survivors.map(m => fileMetaDS(m).map(_.path).toDF("path")) ++
       (if (dvSide.isEmpty) Nil else Seq(dvSide.toDS().toDF("path"))))
       .reduce(_ union _).distinct().persist()
@@ -2619,6 +2821,17 @@ object TableStore {
     * deletion vectors play the same role. */
   final case class DvRef(path: String, bytes: Long, rows: Long)
 
+  /** An EQUALITY-delete file (Iceberg v2 equality deletes — the streaming
+    * CDC write shape): parquet rows of the table's bucket-key values, each
+    * masking EVERY row with those key values in data files committed
+    * STRICTLY BEFORE snapshot `since` (the commit that carried the delete).
+    * Written with ZERO base-file reads — the point: a positional delete
+    * must first scan candidate files to find row positions, an equality
+    * delete just records the batch's keys, so a CDC batch commits in
+    * O(batch) regardless of table size or key scatter. The read tax is a
+    * keyed anti-join until [[TableStore#purgeDeletes]] folds it away. */
+  final case class EqRef(path: String, bytes: Long, rows: Long, since: Long)
+
   /** Schema of a positional-delete file. `file_path` is the scan-qualified
     * URI exactly as `_metadata.file_path` reports it — both sides of the
     * read-time anti-join come from the same metadata column, so the match
@@ -2686,7 +2899,8 @@ object TableStore {
       shards: Seq[ManifestShards.ShardRef] = Nil,
       droppedCols: Seq[String] = Nil,
       maxFieldId: Long = -1L,
-      dvRefs: Seq[DvRef] = Nil) {
+      dvRefs: Seq[DvRef] = Nil,
+      eqRefs: Seq[EqRef] = Nil) {
 
     def isSharded: Boolean = shards.nonEmpty
 
@@ -2695,8 +2909,24 @@ object TableStore {
       * and manifest-served aggregates must decline. */
     def hasDvs: Boolean = dvRefs.nonEmpty
 
-    /** Rows masked by delete vectors — exact (see [[DvRef]]). */
+    /** Snapshot carries equality deletes (keyed masks over older files). */
+    def hasEqDeletes: Boolean = eqRefs.nonEmpty
+
+    /** Any merge-on-read delete metadata present: every reader must go
+      * through the filtered read path, and every metadata-only shortcut
+      * (manifest aggregates, LIMIT pushdown, raw path export, streaming
+      * genesis) must decline. */
+    def hasDeletes: Boolean = hasDvs || hasEqDeletes
+
+    /** Rows masked by delete vectors — exact (see [[DvRef]]). Equality
+      * deletes are NOT included: their masked-row count is unknowable
+      * without a scan (a key may match any number of rows), see
+      * [[eqDeleteRows]]. */
     def deletedRows: Long = dvRefs.map(_.rows).sum
+
+    /** Equality-delete KEY rows — an upper bound on distinct masked keys,
+      * not a masked-row count. */
+    def eqDeleteRows: Long = eqRefs.map(_.rows).sum
 
     /** Highest field id EVER assigned in this table's history — the floor
       * for fresh ids. The CURRENT schema's max is not enough: after a DROP
@@ -2740,13 +2970,17 @@ object TableStore {
       val dvArr = dvRefs.map(d =>
         s"""{"path":${js(d.path)},"bytes":${d.bytes},"rows":${d.rows}}""")
         .mkString("[", ",", "]")
+      val eqArr = eqRefs.map(e =>
+        s"""{"path":${js(e.path)},"bytes":${e.bytes},"rows":${e.rows},""" +
+          s""""since":${e.since}}""")
+        .mkString("[", ",", "]")
       s"""{"version":$version,"parent":$parent,"committedAtMs":$committedAtMs,
          |"location":${js(location)},"partitionBy":$partArr,
          |"bucketKeys":$keyArr,"numBuckets":$numBuckets,"props":$propObj,
          |"schema":${js(schema.json)},"files":$fileArr,
          |"maxFieldId":$maxFieldId,
          |"droppedCols":${droppedCols.map(js).mkString("[", ",", "]")},
-         |"dvs":$dvArr,
+         |"dvs":$dvArr,"eqs":$eqArr,
          |"shards":${ManifestShards.refsToJson(shards)},
          |"stats":${FileStats.statsToJson(inlineStats)}}""".stripMargin
     }
@@ -2774,7 +3008,8 @@ object TableStore {
         ManifestShards.refsFromJson(j \ "shards"),
         (j \ "droppedCols").extractOrElse[Seq[String]](Nil),
         (j \ "maxFieldId").extractOrElse[Long](-1L),
-        (j \ "dvs").extractOrElse[Seq[DvRef]](Nil))
+        (j \ "dvs").extractOrElse[Seq[DvRef]](Nil),
+        (j \ "eqs").extractOrElse[Seq[EqRef]](Nil))
     }
   }
 }

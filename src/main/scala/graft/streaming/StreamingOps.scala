@@ -235,7 +235,8 @@ object StreamingOps {
     // folded into clean data files (targeted rewrite of DV'd files only) —
     // restores byte-stock read plans and bounds the read tax under a
     // continuous merge-on-read feed
-    if (store.manifest(cur0).dvRefs.size > policy.maxDvFiles)
+    if (store.manifest(cur0).dvRefs.size +
+        store.manifest(cur0).eqRefs.size > policy.maxDvFiles)
       store.purgeDeletes(expectedParent = Some(cur0))
     val cur = store.currentVersion()
     val m = store.manifest(cur)
@@ -362,6 +363,48 @@ object StreamingOps {
       .withColumn("_g_rn", org.apache.spark.sql.functions.row_number().over(w))
       .filter(col("_g_rn") === 1).drop("_g_rn", seqCol)
     store.upsertMor(winners, opCol, CdcApply.OpRemove,
+      expectedParent = Some(cur), props = props)
+    maintenance.foreach { p =>
+      if (store.currentVersion() % p.everyNCommits == 0) maintain(store, p)
+    }
+    ()
+  }
+
+  /** EQUALITY-delete CDC apply — [[applyCdcBatchMor]] with the base-read
+    * removed (Iceberg v2 equality deletes, the Flink streaming-sink shape):
+    * the batch LWW-collapses, then commits ONE [[TableStore.upsertEq]] —
+    * an equality-delete file of the batch's keys plus a bucketed append of
+    * the post-images. Where `upsertMor` must SCAN the batch's candidate
+    * bucket files to resolve positions (a scattered key set degrades that
+    * to a full-table pass), this path reads NOTHING: commit cost is
+    * O(batch) at any table size and any key scatter. The heavier keyed
+    * read tax is bounded by the same maintenance cadence
+    * (`CdcMaintenance.maxDvFiles` counts both delete kinds → targeted
+    * purge). Bootstrap/migration/evolution fall back to the COW loop. */
+  def applyCdcBatchEq(batch: DataFrame, store: TableStore, keys: Seq[String],
+      numBuckets: Int = 64, seqCol: String = "seq", opCol: String = "op",
+      maintenance: Option[CdcMaintenance] = None,
+      props: Map[String, String] = Map.empty): Unit = {
+    val cur = store.currentVersion()
+    val payload = batch.columns.filterNot(c => c == seqCol || c == opCol).toSeq
+    val fits = cur >= 0 && {
+      val m = store.manifest(cur)
+      m.bucketKeys == keys && m.numBuckets == numBuckets &&
+        payload.sorted == m.schema.fieldNames.sorted.toSeq &&
+        m.schema.fields.forall(f =>
+          batch.schema.fields.find(_.name == f.name)
+            .exists(_.dataType == f.dataType))
+    }
+    if (!fits)
+      return applyCdcBatch(batch, store, keys, numBuckets, seqCol, opCol,
+        maintenance, props)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col(seqCol).desc)
+    val winners = batch
+      .withColumn("_g_rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("_g_rn") === 1).drop("_g_rn", seqCol)
+    store.upsertEq(winners, opCol, CdcApply.OpRemove,
       expectedParent = Some(cur), props = props)
     maintenance.foreach { p =>
       if (store.currentVersion() % p.everyNCommits == 0) maintain(store, p)

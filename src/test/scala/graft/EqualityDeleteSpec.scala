@@ -1,0 +1,187 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.store.TableStore
+import graft.streaming.StreamingOps
+
+/** Equality deletes (Iceberg v2 equality-delete semantics — the streaming
+  * CDC write shape): an `upsertEq`/`deleteEq` commit records the batch's
+  * KEY VALUES with zero base-file reads; reads mask every older row with
+  * those keys via a keyed anti-join gated on the data file's commit
+  * version. Purge folds the masks into data; changelog and vacuum treat
+  * them as the row-level metadata they are. */
+class EqualityDeleteSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshStore() =
+    new TableStore(spark, Files.createTempDirectory("graft_eq").toString)
+
+  private def baseDf(n: Int): DataFrame =
+    spark.range(n).select(col("id").as("k"),
+      concat(lit("v"), col("id")).as("v"))
+
+  test("upsertEq masks old rows, keeps same-commit post-images, O(batch) file") {
+    val store = freshStore()
+    store.commitBucketed(baseDf(1000), keys = Seq("k"), numBuckets = 8)
+    val batch = Seq(
+      (5L, "updated-5", "U"), (6L, "updated-6", "U"),
+      (7L, "x", "REMOVE"), (2000L, "fresh-insert", "I"))
+      .toDF("k", "v", "op")
+    store.upsertEq(batch)
+    val m = store.manifest(store.currentVersion())
+    assert(m.hasEqDeletes && !m.hasDvs)
+    // the delete file holds exactly the batch's keys — write volume O(batch)
+    assert(m.eqDeleteRows == 4)
+    val out = store.readSnapshot().as[(Long, String)].collect().toMap
+    assert(out.size == 1000 - 1 + 1) // one delete, one insert
+    assert(out(5L) == "updated-5" && out(6L) == "updated-6")
+    assert(!out.contains(7L))
+    assert(out(2000L) == "fresh-insert")
+    assert(out(8L) == "v8") // untouched rows intact
+  }
+
+  test("since-version semantics: delete, re-insert, delete again") {
+    val store = freshStore()
+    store.commitBucketed(baseDf(100), keys = Seq("k"), numBuckets = 4)
+    store.deleteEq(Seq(42L).toDF("k"))
+    assert(!store.readSnapshot().as[(Long, String)].collect().toMap.contains(42L))
+    // re-insert AFTER the delete: newer file version -> not masked
+    store.upsertEq(Seq((42L, "reborn", "I")).toDF("k", "v", "op"))
+    assert(store.readSnapshot().as[(Long, String)].collect().toMap
+      .get(42L).contains("reborn"))
+    // delete again: the newest mask wins
+    store.deleteEq(Seq(42L).toDF("k"))
+    val finalMap = store.readSnapshot().as[(Long, String)].collect().toMap
+    assert(!finalMap.contains(42L))
+    assert(finalMap.size == 99)
+  }
+
+  test("the commit reads no base data (zero-base-read write path)") {
+    val store = freshStore()
+    store.commitBucketed(baseDf(50000), keys = Seq("k"), numBuckets = 16)
+    val read = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          read.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    // scattered keys (hit many buckets) — the shape where upsertMor's
+    // candidate scan degrades toward a full-table pass
+    val batch = spark.range(100)
+      .select((col("id") * 499L % 50000L).as("k"),
+        lit("upd").as("v"), lit("U").as("op"))
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      store.upsertEq(batch)
+      // listener events drain asynchronously; a short settle is enough for
+      // the task-end records of the commit's own (tiny) jobs
+      Thread.sleep(2000)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // far below the 50k base rows: nothing scanned the table (the small
+    // residue is the batch itself + fresh-file footer stats)
+    assert(read.get() < 5000, s"upsertEq read ${read.get()} records")
+    assert(store.readSnapshot().count() == 50000)
+  }
+
+  test("purgeDeletes folds equality deletes; reads return to byte-stock") {
+    val store = freshStore()
+    store.commitBucketed(baseDf(1000), keys = Seq("k"), numBuckets = 8)
+    store.upsertEq(Seq((1L, "u1", "U"), (2L, "x", "REMOVE")).toDF("k", "v", "op"))
+    store.deleteEq(Seq(3L).toDF("k"))
+    val before = store.readSnapshot().as[(Long, String)].collect().toSet
+    val v = store.purgeDeletes()
+    val m = store.manifest(v)
+    assert(!m.hasEqDeletes && !m.hasDvs)
+    assert(store.readSnapshot().as[(Long, String)].collect().toSet == before)
+    assert(store.readSnapshot().count() == 998)
+  }
+
+  test("mixed positional + equality masks compose on one snapshot") {
+    val store = freshStore()
+    store.commitBucketed(baseDf(1000), keys = Seq("k"), numBuckets = 8)
+    store.deleteMor(col("k") < 10L) // positional
+    store.deleteEq((990L until 1000L).toDF("k")) // equality
+    val m = store.manifest(store.currentVersion())
+    assert(m.hasDvs && m.hasEqDeletes)
+    val out = store.readSnapshot().as[(Long, String)].collect().toMap
+    assert(out.size == 980)
+    assert(!out.contains(5L) && !out.contains(995L) && out.contains(500L))
+    // purge clears both kinds at once
+    val v = store.purgeDeletes()
+    assert(!store.manifest(v).hasDeletes)
+    assert(store.readSnapshot().count() == 980)
+  }
+
+  test("changelog across an equality-delete commit emits the masked rows") {
+    val store = freshStore()
+    store.commitBucketed(baseDf(200), keys = Seq("k"), numBuckets = 4)
+    val v0 = store.currentVersion()
+    store.upsertEq(Seq((10L, "updated", "U"), (11L, "x", "REMOVE"))
+      .toDF("k", "v", "op"))
+    val changes = store.readChangelog(v0)
+      .select("k", "_change_type").as[(Long, String)].collect().toSet
+    assert(changes == Set((10L, "UPDATE"), (11L, "DELETE")), changes.toString)
+  }
+
+  test("equality-delete files survive vacuum; masked reads stay correct") {
+    val store = freshStore()
+    store.commitBucketed(baseDf(500), keys = Seq("k"), numBuckets = 4)
+    store.deleteEq(Seq(77L).toDF("k"))
+    store.commitAppend(Seq((5000L, "late")).toDF("k", "v"))
+    store.vacuum(keepSnapshots = 1)
+    val out = store.readSnapshot().as[(Long, String)].collect().toMap
+    assert(!out.contains(77L) && out.contains(5000L) && out.size == 500)
+  }
+
+  test("SQL catalog reads apply equality masks (V1 fallback route)") {
+    val warehouse = Files.createTempDirectory("graft_eq_wh").toString
+    spark.conf.set("spark.sql.catalog.eq_cat",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.eq_cat.warehouse", warehouse)
+    val store = new TableStore(spark, s"$warehouse/analytics/eqt")
+    store.commitBucketed(baseDf(300), keys = Seq("k"), numBuckets = 4)
+    store.deleteEq((0L until 50L).toDF("k"))
+    spark.catalog.refreshTable("eq_cat.analytics.eqt")
+    assert(spark.sql("SELECT COUNT(*) FROM eq_cat.analytics.eqt")
+      .head().getLong(0) == 250)
+    assert(spark.sql(
+      "SELECT COUNT(*) FROM eq_cat.analytics.eqt WHERE k < 100").head()
+      .getLong(0) == 50)
+  }
+
+  test("equality CDC loop matches the COW loop over stacked batches") {
+    val cow = freshStore()
+    val eq = freshStore()
+    def batch(rows: Seq[(Long, String, Long, String)]): DataFrame =
+      rows.toDF("k", "v", "seq", "op")
+    val batches = Seq(
+      (0L until 100L).map(i => (i, s"b0-$i", 0L, "I")),
+      Seq((5L, "b1-5", 1L, "U"), (6L, "", 1L, "REMOVE"),
+        (200L, "b1-200", 1L, "I")),
+      Seq((5L, "b2-5", 2L, "U"), (200L, "", 2L, "REMOVE"),
+        (6L, "b2-6-reborn", 2L, "I")))
+    batches.foreach { b =>
+      StreamingOps.applyCdcBatch(batch(b), cow, Seq("k"), numBuckets = 4)
+      StreamingOps.applyCdcBatchEq(batch(b), eq, Seq("k"), numBuckets = 4)
+    }
+    val cowOut = cow.readSnapshot().as[(Long, String)].collect().toSet
+    val eqOut = eq.readSnapshot().as[(Long, String)].collect().toSet
+    assert(eqOut == cowOut)
+    // and the eq table really took the zero-read path after bootstrap
+    assert(eq.manifest(eq.currentVersion()).hasEqDeletes)
+  }
+
+  test("raw path export refuses an equality-masked snapshot") {
+    val store = freshStore()
+    store.commitBucketed(baseDf(100), keys = Seq("k"), numBuckets = 4)
+    assert(store.scanPaths().nonEmpty) // clean snapshot exports fine
+    store.deleteEq(Seq(1L).toDF("k"))
+    val e = intercept[IllegalArgumentException](store.scanPaths())
+    assert(e.getMessage.contains("equality deletes"))
+  }
+}
