@@ -142,13 +142,15 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       StructField("n_files", IntegerType), StructField("bytes", LongType),
       StructField("n_rows", LongType), StructField("n_columns", IntegerType),
       StructField("n_dv_files", IntegerType),
-      StructField("deleted_rows", LongType)))
+      StructField("deleted_rows", LongType),
+      StructField("n_eq_files", IntegerType),
+      StructField("eq_delete_keys", LongType)))
     val rows = store.existingVersions().map { v =>
       val m = store.manifest(v)
       org.apache.spark.sql.catalyst.InternalRow(
         m.version, m.parent, m.committedAtMs, m.nFiles.toInt,
         m.totalBytes, m.totalRows, m.schema.size,
-        m.dvRefs.size, m.deletedRows)
+        m.dvRefs.size, m.deletedRows, m.eqRefs.size, m.eqDeleteRows)
     }.toArray[org.apache.spark.sql.catalyst.InternalRow]
     new MetaTable(s"${ident.name}$$snapshots", schema, rows)
   }

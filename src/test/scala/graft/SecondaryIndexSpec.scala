@@ -101,6 +101,36 @@ class SecondaryIndexSpec extends SparkSuite {
     } finally spark.conf.unset("spark.graft.index.fetchKeyCap")
   }
 
+  test("index_lookup_view: SQL surface for the non-covered fetch-back") {
+    val warehouse =
+      java.nio.file.Files.createTempDirectory("graft_gsi_wh").toString
+    spark.conf.set("spark.sql.catalog.gsi_cat",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gsi_cat.warehouse", warehouse)
+    val store = new TableStore(spark, s"$warehouse/analytics/gsit")
+    store.commitBucketed(baseRows(500), Seq("id"), 8)
+    SecondaryIndex.create(store, "by_cust", Seq("cust"), Nil, 4)
+    spark.sql(
+      """CALL gsi_cat.system.index_lookup_view('analytics.gsit',
+        |  'by_cust', "cust = 'cust_3'", 'gsit_hits')""".stripMargin)
+    val out = spark.sql(
+      "SELECT id, cust, qty, payload FROM gsit_hits ORDER BY id")
+      .collect().map(_.mkString("|")).toSeq
+    val expect = store.readSnapshot().filter(col("cust") === "cust_3")
+      .orderBy("id").collect().map(_.mkString("|")).toSeq
+    assert(out == expect && out.nonEmpty)
+    // projection + explicit view name
+    spark.sql(
+      """CALL gsi_cat.system.index_lookup_view('analytics.gsit',
+        |  'by_cust', "cust IN ('cust_1','cust_2')", 'gsit_narrow',
+        |  'id,qty')""".stripMargin)
+    val narrow = spark.sql("SELECT * FROM gsit_narrow")
+    assert(narrow.columns.toSeq == Seq("id", "qty"))
+    assert(narrow.count() ==
+      store.readSnapshot()
+        .filter(col("cust").isin("cust_1", "cust_2")).count())
+  }
+
   test("refresh converges across a rollback past a MOR delete") {
     val base = freshStore()
     base.commitBucketed(baseRows(300), Seq("id"), 8)
