@@ -151,33 +151,41 @@ object SecondaryIndex {
       .select(cols.map(col): _*)
     val rawPost = changes.filter(col("_change_type").isin("INSERT", "UPDATE_POST"))
       .select(cols.map(col): _*)
-    val pre = rawPre.except(rawPost)
-    val post = rawPost.except(rawPre)
-    val bucketCol = TableStore.bucketExpr(indexKeys, im.numBuckets)
-    val touched = pre.select(bucketCol.as("b"))
-      .union(post.select(bucketCol.as("b")))
-      .distinct().collect().map(_.getLong(0)).toSeq.sorted // ≤ numBuckets rows
-    if (touched.isEmpty) {
-      // base moved but no keyed rows changed (metadata-only, compaction,
-      // purge): just advance the watermark
-      idx.commitIncremental(idx.readSnapshot(iv).limit(0), Nil,
-        expectedParent = Some(iv),
+    // The changelog's file diff + keyed full-outer join + the two excepts
+    // are the expensive half of a refresh, and BOTH net-change frames are
+    // consumed by two separate actions (the touched-bucket collect and the
+    // commit's write job) — persist them so the replay runs once, not
+    // twice. Net changes are O(changed rows), so the cache is small by the
+    // same argument that makes the refresh incremental.
+    val pre = rawPre.except(rawPost).persist()
+    val post = rawPost.except(rawPre).persist()
+    try {
+      val bucketCol = TableStore.bucketExpr(indexKeys, im.numBuckets)
+      val touched = pre.select(bucketCol.as("b"))
+        .union(post.select(bucketCol.as("b")))
+        .distinct().collect().map(_.getLong(0)).toSeq.sorted // ≤ numBuckets rows
+      if (touched.isEmpty) {
+        // base moved but no keyed rows changed (metadata-only, compaction,
+        // purge): just advance the watermark
+        idx.commitIncremental(idx.readSnapshot(iv).limit(0), Nil,
+          expectedParent = Some(iv),
+          props = im.props + (BaseVersionProp -> toV.toString))
+        movePin(base, name, toV)
+        return toV
+      }
+      // new content of the touched buckets: existing entries minus every
+      // changed primary key's old entry, plus the post-images. The anti-join
+      // keys on the PRIMARY key — a changed key's old entry is in `touched`
+      // by construction (its old index-key value contributed the bucket).
+      val baseKeys = bm.bucketKeys
+      val changedKeys = pre.select(baseKeys.map(col): _*)
+        .union(post.select(baseKeys.map(col): _*)).distinct()
+      val kept = idx.readBuckets(touched, iv)
+        .join(changedKeys, baseKeys, "left_anti")
+      val updated = kept.unionByName(post)
+      idx.commitIncremental(updated, touched, expectedParent = Some(iv),
         props = im.props + (BaseVersionProp -> toV.toString))
-      movePin(base, name, toV)
-      return toV
-    }
-    // new content of the touched buckets: existing entries minus every
-    // changed primary key's old entry, plus the post-images. The anti-join
-    // keys on the PRIMARY key — a changed key's old entry is in `touched`
-    // by construction (its old index-key value contributed the bucket).
-    val baseKeys = bm.bucketKeys
-    val changedKeys = pre.select(baseKeys.map(col): _*)
-      .union(post.select(baseKeys.map(col): _*)).distinct()
-    val kept = idx.readBuckets(touched, iv)
-      .join(changedKeys, baseKeys, "left_anti")
-    val updated = kept.unionByName(post)
-    idx.commitIncremental(updated, touched, expectedParent = Some(iv),
-      props = im.props + (BaseVersionProp -> toV.toString))
+    } finally { pre.unpersist(); post.unpersist() }
     movePin(base, name, toV)
     toV
   }
