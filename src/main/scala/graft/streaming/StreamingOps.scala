@@ -261,10 +261,34 @@ object StreamingOps {
     * [[CdcMaintenance]] policy, compaction + snapshot expiry run every
     * `everyNCommits` commits, keeping per-bucket file counts and manifest
     * counts bounded under a continuous feed. */
+  /** Re-run a CDC apply whose commit lost the manifest CAS to a concurrent
+    * writer (another stream, a maintenance pass, a manual DML): every
+    * apply body derives its state from `currentVersion()` at entry, so a
+    * clean re-run against the new parent is the correct conflict
+    * resolution — exactly Iceberg's commit-retry loop. Note the asymmetry
+    * the retry exposes: an equality-delete attempt re-runs in O(batch)
+    * (nothing it wrote depended on the old parent), while a positional
+    * attempt must re-resolve its `(file, pos)` addresses against the new
+    * snapshot. Non-CAS failures propagate unchanged. */
+  private def withCasRetry[T](maxRetries: Int = 3)(body: => T): T = {
+    var attempt = 0
+    var out: Option[T] = None
+    while (out.isEmpty) {
+      try out = Some(body)
+      catch {
+        case e: IllegalStateException
+            if e.getMessage != null && e.getMessage.contains("CAS conflict") &&
+              attempt < maxRetries =>
+          attempt += 1
+      }
+    }
+    out.get
+  }
+
   def applyCdcBatch(batch: DataFrame, store: TableStore, keys: Seq[String],
       numBuckets: Int = 64, seqCol: String = "seq", opCol: String = "op",
       maintenance: Option[CdcMaintenance] = None,
-      props: Map[String, String] = Map.empty): Unit = {
+      props: Map[String, String] = Map.empty): Unit = withCasRetry() {
     val cur = store.currentVersion()
     val bucketed = cur >= 0 && {
       val m = store.manifest(cur)
@@ -342,7 +366,7 @@ object StreamingOps {
   def applyCdcBatchMor(batch: DataFrame, store: TableStore, keys: Seq[String],
       numBuckets: Int = 64, seqCol: String = "seq", opCol: String = "op",
       maintenance: Option[CdcMaintenance] = None,
-      props: Map[String, String] = Map.empty): Unit = {
+      props: Map[String, String] = Map.empty): Unit = withCasRetry() {
     val cur = store.currentVersion()
     val payload = batch.columns.filterNot(c => c == seqCol || c == opCol).toSeq
     val fits = cur >= 0 && {
@@ -354,20 +378,22 @@ object StreamingOps {
             .exists(_.dataType == f.dataType))
     }
     if (!fits)
-      return applyCdcBatch(batch, store, keys, numBuckets, seqCol, opCol,
+      applyCdcBatch(batch, store, keys, numBuckets, seqCol, opCol,
         maintenance, props)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys.map(col): _*)
-      .orderBy(col(seqCol).desc)
-    val winners = batch
-      .withColumn("_g_rn", org.apache.spark.sql.functions.row_number().over(w))
-      .filter(col("_g_rn") === 1).drop("_g_rn", seqCol)
-    store.upsertMor(winners, opCol, CdcApply.OpRemove,
-      expectedParent = Some(cur), props = props)
-    maintenance.foreach { p =>
-      if (store.currentVersion() % p.everyNCommits == 0) maintain(store, p)
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*)
+        .orderBy(col(seqCol).desc)
+      val winners = batch
+        .withColumn("_g_rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("_g_rn") === 1).drop("_g_rn", seqCol)
+      store.upsertMor(winners, opCol, CdcApply.OpRemove,
+        expectedParent = Some(cur), props = props)
+      maintenance.foreach { p =>
+        if (store.currentVersion() % p.everyNCommits == 0) maintain(store, p)
+      }
+      ()
     }
-    ()
   }
 
   /** EQUALITY-delete CDC apply — [[applyCdcBatchMor]] with the base-read
@@ -384,7 +410,7 @@ object StreamingOps {
   def applyCdcBatchEq(batch: DataFrame, store: TableStore, keys: Seq[String],
       numBuckets: Int = 64, seqCol: String = "seq", opCol: String = "op",
       maintenance: Option[CdcMaintenance] = None,
-      props: Map[String, String] = Map.empty): Unit = {
+      props: Map[String, String] = Map.empty): Unit = withCasRetry() {
     val cur = store.currentVersion()
     val payload = batch.columns.filterNot(c => c == seqCol || c == opCol).toSeq
     val fits = cur >= 0 && {
@@ -396,19 +422,21 @@ object StreamingOps {
             .exists(_.dataType == f.dataType))
     }
     if (!fits)
-      return applyCdcBatch(batch, store, keys, numBuckets, seqCol, opCol,
+      applyCdcBatch(batch, store, keys, numBuckets, seqCol, opCol,
         maintenance, props)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(keys.map(col): _*)
-      .orderBy(col(seqCol).desc)
-    val winners = batch
-      .withColumn("_g_rn", org.apache.spark.sql.functions.row_number().over(w))
-      .filter(col("_g_rn") === 1).drop("_g_rn", seqCol)
-    store.upsertEq(winners, opCol, CdcApply.OpRemove,
-      expectedParent = Some(cur), props = props)
-    maintenance.foreach { p =>
-      if (store.currentVersion() % p.everyNCommits == 0) maintain(store, p)
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keys.map(col): _*)
+        .orderBy(col(seqCol).desc)
+      val winners = batch
+        .withColumn("_g_rn", org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("_g_rn") === 1).drop("_g_rn", seqCol)
+      store.upsertEq(winners, opCol, CdcApply.OpRemove,
+        expectedParent = Some(cur), props = props)
+      maintenance.foreach { p =>
+        if (store.currentVersion() % p.everyNCommits == 0) maintain(store, p)
+      }
+      ()
     }
-    ()
   }
 }

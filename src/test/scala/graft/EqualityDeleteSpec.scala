@@ -176,6 +176,79 @@ class EqualityDeleteSpec extends SparkSuite {
     assert(eq.manifest(eq.currentVersion()).hasEqDeletes)
   }
 
+  test("trickle commits write at most one file per touched bucket") {
+    val store = freshStore()
+    store.commitBucketed(baseDf(50000), keys = Seq("k"), numBuckets = 16)
+    val f0 = store.manifest(store.currentVersion()).inlineFiles.size
+    // a scattered batch (hits every bucket) from a 32-partition source —
+    // the shape that sprayed task x bucket files before writeMorAppend
+    val batch = spark.range(320)
+      .select((col("id") * 157L % 50000L).as("k"), lit(0L).cast("long").as("x"),
+        lit("U").as("op"))
+      .withColumnRenamed("x", "v")
+      .withColumn("v", concat(lit("u"), col("k")))
+      .select(col("k"), col("v"), col("op"))
+    store.upsertEq(batch)
+    val f1 = store.manifest(store.currentVersion()).inlineFiles.size
+    assert(f1 - f0 <= 16, s"eq commit wrote ${f1 - f0} files (> one per bucket)")
+    store.upsertMor(batch.withColumn("v", concat(col("v"), lit("2"))))
+    val f2 = store.manifest(store.currentVersion()).inlineFiles.size
+    assert(f2 - f1 <= 16, s"mor commit wrote ${f2 - f1} files (> one per bucket)")
+  }
+
+  test("equality deletes on the sharded manifest tier, zero driver file lists") {
+    spark.conf.set("spark.graft.manifest.inlineThreshold", "8")
+    try {
+      val store = freshStore()
+      store.commitBucketed(baseDf(5000), keys = Seq("k"), numBuckets = 16)
+      val m0 = store.manifest(store.currentVersion())
+      assert(m0.isSharded, "fixture must be on the sharded tier")
+      val before = TableStore.driverMaterializations.get()
+      store.upsertEq(Seq((7L, "u7", "U"), (8L, "x", "REMOVE")).toDF("k", "v", "op"))
+      val m1 = store.manifest(store.currentVersion())
+      assert(m1.hasEqDeletes && m1.isSharded)
+      assert(m1.shards.map(_.path).startsWith(m0.shards.map(_.path)),
+        "parent shards must be inherited by reference")
+      assert(TableStore.driverMaterializations.get() == before,
+        "eq commit materialized a sharded file list on the driver")
+      val out = store.readSnapshot().as[(Long, String)].collect().toMap
+      assert(out(7L) == "u7" && !out.contains(8L) && out.size == 4999)
+    } finally spark.conf.unset("spark.graft.manifest.inlineThreshold")
+  }
+
+  test("equality deletes compose with branches (WAP over a CDC trickle)") {
+    val store = freshStore()
+    store.commitBucketed(baseDf(200), keys = Seq("k"), numBuckets = 4)
+    store.createBranch("stage")
+    val br = store.forBranch("stage")
+    br.upsertEq(Seq((5L, "staged", "U"), (6L, "x", "REMOVE")).toDF("k", "v", "op"))
+    // staged masks invisible on main
+    assert(store.readSnapshot().count() == 200)
+    val brOut = br.readSnapshot().as[(Long, String)].collect().toMap
+    assert(brOut(5L) == "staged" && !brOut.contains(6L))
+    store.fastForward("stage")
+    val out = store.readSnapshot().as[(Long, String)].collect().toMap
+    assert(out(5L) == "staged" && !out.contains(6L) && out.size == 199)
+  }
+
+  test("CDC applies retry through a lost commit CAS") {
+    val store = freshStore()
+    StreamingOps.applyCdcBatch(
+      (0L until 50L).map(i => (i, s"v$i", 0L, "I")).toDF("k", "v", "seq", "op"),
+      store, Seq("k"), numBuckets = 4)
+    // two racing appliers on the SAME store: without the retry one of them
+    // surfaces the CAS conflict; with it both batches land
+    val t1 = new Thread(() => StreamingOps.applyCdcBatchEq(
+      Seq((1L, "eq-upd", 1L, "U")).toDF("k", "v", "seq", "op"),
+      store, Seq("k"), numBuckets = 4))
+    val t2 = new Thread(() => StreamingOps.applyCdcBatchMor(
+      Seq((2L, "mor-upd", 1L, "U")).toDF("k", "v", "seq", "op"),
+      store, Seq("k"), numBuckets = 4))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    val out = store.readSnapshot().as[(Long, String)].collect().toMap
+    assert(out(1L) == "eq-upd" && out(2L) == "mor-upd" && out.size == 50)
+  }
+
   test("raw path export refuses an equality-masked snapshot") {
     val store = freshStore()
     store.commitBucketed(baseDf(100), keys = Seq("k"), numBuckets = 4)
