@@ -735,6 +735,28 @@ private[catalog] class SnapshotTable(tblName: String, mkDelegate: () => Table,
       store.deleteMor(cond, expectedParent = Some(m.version))
       return
     }
+    // `spark.graft.delete.mode=eq`: a DELETE whose predicate is nothing but
+    // bucket-key equalities (the DynamoDB DeleteItem shape) commits an
+    // EQUALITY delete — zero base-file reads, O(keys) write volume at any
+    // table size or key scatter. Any residual condition falls back to the
+    // positional path (an equality delete masks by key and would
+    // over-delete otherwise).
+    if (store.spark.conf.getOption("spark.graft.delete.mode").contains("eq")
+        && schemaParts.isEmpty && m.bucketKeys.nonEmpty) {
+      TableStore.keyEqualityTuples(exprs, m) match {
+        case Some(tuples) =>
+          val keySchema = StructType(m.bucketKeys.map(k =>
+            StructField(k, m.schema(k).dataType, nullable = false)))
+          val rows: java.util.List[org.apache.spark.sql.Row] =
+            java.util.Arrays.asList(tuples.map(t =>
+              org.apache.spark.sql.Row.fromSeq(t)): _*)
+          store.deleteEq(store.spark.createDataFrame(rows, keySchema),
+            expectedParent = Some(m.version))
+        case None =>
+          store.deleteMor(cond, expectedParent = Some(m.version))
+      }
+      return
+    }
     if (m.bucketKeys.nonEmpty) {
       // two independent narrowings compose: file stats (above) and, when the
       // conjunction pins every bucket key to literal values, the key-derived

@@ -243,6 +243,41 @@ object SqlSurface {
          |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin)
   }
 
+  /** SQL DELETE through an EQUALITY delete (`sql_delete_eq`): under
+    * `spark.graft.delete.mode=eq` a DELETE whose predicate is nothing but
+    * bucket-key equalities (the DynamoDB DeleteItem shape) commits the key
+    * values as an equality-delete file — ZERO base-file reads and O(keys)
+    * write volume at any table size, where the positional path must scan
+    * the keys' candidate buckets for row positions. The require()s pin
+    * that no data file was read OR rewritten and no DV was committed. */
+  private val sqlDeleteEq: Q = (s, d) => {
+    val cat = catalogFor(s, d)
+    s.sql(s"DROP TABLE IF EXISTS $cat.analytics.ord_eq")
+    val store = new TableStore(s, s"${warehouseFor(d)}/analytics/ord_eq")
+    store.commitBucketed(
+      load(s, d, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").as("o_totalprice")),
+      keys = Seq("o_orderkey"), numBuckets = 16)
+    val files0 = store.manifest(store.currentVersion()).inlineFiles.toSet
+    s.catalog.refreshTable(s"$cat.analytics.ord_eq")
+    s.conf.set("spark.graft.delete.mode", "eq")
+    try s.sql(s"DELETE FROM $cat.analytics.ord_eq " +
+      "WHERE o_orderkey IN (1, 7, 32, 69, 134, 517, 1093, 4000004)")
+    finally s.conf.unset("spark.graft.delete.mode")
+    val m = store.manifest(store.currentVersion())
+    require(m.hasEqDeletes, "DELETE did not take the equality-delete path")
+    require(!m.hasDvs, "equality DELETE must not resolve positions")
+    require(m.inlineFiles.toSet == files0,
+      "equality DELETE must not rewrite data files")
+    s.catalog.refreshTable(s"$cat.analytics.ord_eq")
+    s.sql(
+      s"""SELECT o_orderstatus, COUNT(*) AS n,
+         |  CAST(SUM(o_totalprice) AS DOUBLE) AS total
+         |FROM $cat.analytics.ord_eq
+         |GROUP BY o_orderstatus
+         |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin)
+  }
+
   /** Merge-on-read UPDATE (`sql_update_mor`): one commit carrying the
     * delete vector masking the matched rows plus fresh files with their
     * updated images — O(matched rows) write volume, every pre-existing data
@@ -423,6 +458,7 @@ object SqlSurface {
     "sql_join_runtime_prune" -> sqlJoinRuntimePrune,
     "sql_agg_metadata" -> sqlAggMetadata,
     "sql_delete_mor" -> sqlDeleteMor,
+    "sql_delete_eq" -> sqlDeleteEq,
     "sql_update_mor" -> sqlUpdateMor,
     "sql_merge_mor" -> sqlMergeMor)
 
@@ -505,6 +541,14 @@ object SqlSurface {
         |FROM lineitem WHERE l_returnflag <> 'R'
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
+
+    "sql_delete_eq" ->
+      """SELECT o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders
+        |WHERE o_orderkey NOT IN (1, 7, 32, 69, 134, 517, 1093, 4000004)
+        |GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin,
 
     "sql_update_mor" ->
       """SELECT p_brand, COUNT(*) AS n,

@@ -2785,6 +2785,44 @@ object TableStore {
     }
   }
 
+  /** The exact key tuples a DELETE predicate pins, when the predicate is
+    * NOTHING BUT bucket-key equalities: every conjunct `key = lit` or
+    * `key IN (lits)`, each bucket key bound exactly once, no residual
+    * conditions. This is the DynamoDB DeleteItem shape — translatable to
+    * an equality delete with ZERO base reads. Any other predicate
+    * disqualifies (`None`): an equality delete masks by KEY, so a residual
+    * condition would over-delete rows the condition doesn't match. Tuples
+    * come back in `bucketKeys` order as external (non-Catalyst) values. */
+  def keyEqualityTuples(
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      m: Manifest): Option[Seq[Seq[Any]]] = {
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, EqualTo => CatEqualTo, In => CatIn, Literal}
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    if (exprs.isEmpty || m.bucketKeys.isEmpty) return None
+    val conjuncts = exprs.flatMap(splitConjuncts)
+    val bound = scala.collection.mutable.Map[String, Seq[Literal]]()
+    var ok = true
+    conjuncts.foreach {
+      case CatEqualTo(a: AttributeReference, l: Literal)
+          if m.bucketKeys.contains(a.name) && !bound.contains(a.name) =>
+        bound(a.name) = Seq(l)
+      case CatEqualTo(l: Literal, a: AttributeReference)
+          if m.bucketKeys.contains(a.name) && !bound.contains(a.name) =>
+        bound(a.name) = Seq(l)
+      case CatIn(a: AttributeReference, vs)
+          if m.bucketKeys.contains(a.name) && !bound.contains(a.name) &&
+            vs.nonEmpty && vs.forall(_.isInstanceOf[Literal]) =>
+        bound(a.name) = vs.map(_.asInstanceOf[Literal])
+      case _ => ok = false
+    }
+    if (!ok || bound.keySet != m.bucketKeys.toSet) None
+    else Some(m.bucketKeys.map(bound)
+      .foldLeft(Seq(Seq.empty[Any]))((acc, vs) => acc.flatMap(c =>
+        vs.map(l => c :+ CatalystTypeConverters.convertToScala(
+          l.eval(org.apache.spark.sql.catalyst.InternalRow.empty),
+          l.dataType)))))
+  }
+
   /** Type widenings the parquet READER applies when a file's column is
     * narrower than the requested schema (probed on Spark 4.1: integral
     * up-widening, int→double, float→double, integral→decimal with enough
