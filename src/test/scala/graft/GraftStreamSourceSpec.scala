@@ -81,6 +81,37 @@ class GraftStreamSourceSpec extends SparkSuite {
     } finally q2.stop()
   }
 
+  test("equality-delete commits fail the stream unless skip-deletes") {
+    import org.apache.spark.sql.functions.col
+    val store = freshStore()
+    store.commitBucketed((1L to 20L).map(i => (i, s"v$i")).toDF("k", "v"),
+      keys = Seq("k"), numBuckets = 4)
+    val q = readTable(store).writeStream.format("memory")
+      .queryName("feed_eq").start()
+    try {
+      q.processAllAvailable()
+      store.deleteEq(Seq(3L).toDF("k"))
+      val e = intercept[StreamingQueryException] { q.processAllAvailable() }
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ chain(t.getCause)
+      assert(chain(e).exists(m => m.contains("delete vectors")),
+        chain(e).mkString("|"))
+    } finally q.stop()
+    // skip-deletes: the eq commit's post-image-free delete is ignored,
+    // later appends flow
+    val q2 = readTable(store, Map("streaming.skip-deletes" -> "true",
+        "streaming.start-version" -> "latest"))
+      .writeStream.format("memory").queryName("feed_eq2").start()
+    try {
+      q2.processAllAvailable()
+      store.deleteEq(Seq(4L).toDF("k"))
+      store.commitAppend(Seq((100L, "new")).toDF("k", "v"))
+      q2.processAllAvailable()
+      assert(spark.table("feed_eq2").as[(Long, String)].collect().toSeq
+        .contains((100L, "new")))
+    } finally q2.stop()
+  }
+
   test("delete-vector commits fail the stream unless skip-deletes; DV'd genesis refuses") {
     import org.apache.spark.sql.functions.col
     val store = freshStore()
