@@ -860,8 +860,12 @@ class TableStore(val spark: SparkSession, val root: String,
         else metaFor(tm, cand).map(_.path)
       }
     }
-    val added = added0 ++ dvChanged ++ eqChanged
-    val removed = removed0 ++ dvChanged ++ eqChanged
+    // distinct: a file masked by BOTH a DV diff and an eq-affected bucket
+    // would otherwise be listed twice, duplicating its rows in the keyed
+    // diff (removed0/added0 are disjoint from the mask sets by the
+    // present-in-both-snapshots filters above)
+    val added = (added0 ++ dvChanged ++ eqChanged).distinct
+    val removed = (removed0 ++ dvChanged ++ eqChanged).distinct
     // pre-image rows are read under their OWN manifest (schema + stats),
     // then aligned to the newer schema: renamed columns re-map by FIELD ID
     // (identity survives ALTER TABLE RENAME), evolved columns NULL-pad,

@@ -128,6 +128,20 @@ class EqualityDeleteSpec extends SparkSuite {
     assert(changes == Set((10L, "UPDATE"), (11L, "DELETE")), changes.toString)
   }
 
+  test("changelog across mixed DV + eq masks of the SAME file has no dup rows") {
+    val store = freshStore()
+    store.commitBucketed(baseDf(100), keys = Seq("k"), numBuckets = 2)
+    val v0 = store.currentVersion()
+    // both delete kinds land on the same bucket's (same file's) rows
+    store.deleteMor(col("k") === 2L)
+    store.deleteEq(Seq(4L).toDF("k"))
+    val changes = store.readChangelog(v0)
+      .select("k", "_change_type").as[(Long, String)].collect().toSeq
+    assert(changes.size == changes.distinct.size,
+      s"duplicate changelog rows: $changes")
+    assert(changes.toSet == Set((2L, "DELETE"), (4L, "DELETE")))
+  }
+
   test("equality-delete files survive vacuum; masked reads stay correct") {
     val store = freshStore()
     store.commitBucketed(baseDf(500), keys = Seq("k"), numBuckets = 4)
