@@ -744,6 +744,9 @@ private[catalog] class SnapshotTable(tblName: String, mkDelegate: () => Table,
     if (store.spark.conf.getOption("spark.graft.delete.mode").contains("eq")
         && schemaParts.isEmpty && m.bucketKeys.nonEmpty) {
       TableStore.keyEqualityTuples(exprs, m) match {
+        case Some(tuples) if tuples.isEmpty =>
+          // every pinned key value was NULL — the predicate matches nothing
+          return
         case Some(tuples) =>
           val keySchema = StructType(m.bucketKeys.map(k =>
             StructField(k, m.schema(k).dataType, nullable = false)))

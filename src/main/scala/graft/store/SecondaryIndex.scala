@@ -42,12 +42,29 @@ object SecondaryIndex {
   /** The base-table tag pinning the snapshot an index reflects: refresh
     * replays the changelog FROM that snapshot, so expiry must not collect
     * it mid-loop — the pin rides the existing refs layer (tags block every
-    * expiry path) and moves forward with each refresh. */
+    * expiry path) and moves forward with each refresh. Pins are VERSIONED
+    * (`idx-pin-<name>-v<snapshot>`) and moved make-before-break: the new
+    * pin exists before any old one drops, so no concurrent expiry ever
+    * observes the indexed snapshot unpinned (a drop-then-create window
+    * would let a racing vacuum collect it, forcing a full index rebuild —
+    * the failure the pin exists to prevent). */
   private[graft] def pinName(name: String): String = s"idx-pin-$name"
+  private def pinTagName(name: String, v: Long): String = s"idx-pin-$name-v$v"
+
+  /** Drop every pin of `name` except the one at `keep` (None = all). */
+  private[graft] def dropPins(base: TableStore, name: String,
+      keep: Option[Long] = None): Unit = {
+    val prefix = pinName(name)
+    base.listRefs().map(_.name)
+      .filter(n => n == prefix || n.startsWith(prefix + "-v"))
+      .filterNot(n => keep.exists(v => n == pinTagName(name, v)))
+      .foreach(base.dropTag)
+  }
 
   private def movePin(base: TableStore, name: String, toV: Long): Unit = {
-    base.dropTag(pinName(name))
-    base.createTag(pinName(name), toV)
+    if (base.refVersion(pinTagName(name, toV)).isEmpty)
+      base.createTag(pinTagName(name, toV), toV)
+    dropPins(base, name, keep = Some(toV))
   }
 
   /** Names of every index registered under `<base-root>/index/`. */
@@ -111,7 +128,7 @@ object SecondaryIndex {
   def drop(base: TableStore, name: String): Boolean = {
     require(TableStore.RefNameOk.pattern.matcher(name).matches(),
       s"index name must match [A-Za-z0-9._-]{1,128}, got '$name'")
-    base.dropTag(pinName(name)) // release the indexed-snapshot pin
+    dropPins(base, name) // release the indexed-snapshot pins
     val p = new org.apache.hadoop.fs.Path(s"${base.root}/index/$name")
     val fs = p.getFileSystem(base.spark.sparkContext.hadoopConfiguration)
     fs.delete(p, true)

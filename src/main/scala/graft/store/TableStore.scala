@@ -443,11 +443,7 @@ class TableStore(val spark: SparkSession, val root: String,
       metas: Seq[ManifestShards.FileMeta],
       withPos: Boolean = false): DataFrame = {
     import org.apache.spark.sql.graftbridge.StatsScanBridge
-    if (metas.isEmpty) {
-      require(!withPos, "positional read of an empty file set")
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
-    }
+    if (metas.isEmpty) return emptyRead(m, withPos)
     val statByPath = metas.map(fm =>
       fm.path -> m.usableStat(ManifestShards.toFileStat(fm))).toMap
     val refs = metas.map(fm =>
@@ -628,6 +624,22 @@ class TableStore(val spark: SparkSession, val root: String,
     }
   }
 
+  /** Zero-file read: empty frame in the declared schema, with the
+    * `_g_file`/`_g_pos` address columns when a positional read asked for
+    * them — a MOR delta DML over an empty or fully-pruned candidate set
+    * must plan as a 0-row scan, not crash (a fresh CREATE TABLE committed
+    * zero files, and MERGE INTO it is the CDC bootstrap pattern). */
+  private def emptyRead(m: Manifest, withPos: Boolean): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, StringType, StructField}
+    val schema =
+      if (!withPos) m.schema
+      else StructType(m.schema.fields.toSeq :+
+        StructField("_g_file", StringType, nullable = false) :+
+        StructField("_g_pos", LongType, nullable = false))
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
   private def tagPos(df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.col
     df.withColumn("_g_file", col("_metadata.file_path"))
@@ -637,11 +649,7 @@ class TableStore(val spark: SparkSession, val root: String,
   private def readFilesSel(m: Manifest, files: Seq[String],
       withPos: Boolean): DataFrame = {
     import org.apache.spark.sql.functions._
-    if (files.isEmpty) {
-      require(!withPos, "positional read of an empty file set")
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
-    }
+    if (files.isEmpty) return emptyRead(m, withPos)
     // sharded manifests: look the subset up in the shard relation (O(subset)
     // driver residue) and serve the same stats-pruning scan — DV'd and
     // positional reads included ([[readMetas]] shares [[finishDv]])
@@ -2086,6 +2094,34 @@ class TableStore(val spark: SparkSession, val root: String,
   def versionAsOfTimestamp(tsMs: Long): Option[Long] =
     existingVersions().filter(v => manifest(v).committedAtMs <= tsMs).lastOption
 
+  /** Read a small metadata file fully (refs, branch markers). */
+  private def readSmallFile(p: Path): String = {
+    val in = fs.open(p)
+    val bytes = try {
+      val o = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      var n = in.read(buf)
+      while (n >= 0) { o.write(buf, 0, n); n = in.read(buf) }
+      o.toByteArray
+    } finally in.close()
+    new String(bytes, "UTF-8")
+  }
+
+  /** Parse a ref file, tolerating the (microsecond) window between a
+    * writer's create-exclusive claim and its content write: retry once,
+    * then fail naming the recovery (a crash inside the window leaves a
+    * permanently empty claim — dropTag/deleting the file recovers). */
+  private def parseRefRetrying(p: Path): SnapshotRef =
+    try SnapshotRef.fromJson(readSmallFile(p))
+    catch { case _: Exception =>
+      Thread.sleep(50)
+      try SnapshotRef.fromJson(readSmallFile(p))
+      catch { case e: Exception => throw new IllegalStateException(
+        s"unreadable ref file $p — in-flight or crashed writer; " +
+          s"delete the file to recover", e)
+      }
+    }
+
   // ------------------------------------------------------------------ refs
 
   private def refsDir = new Path(rootPath, "refs")
@@ -2106,8 +2142,6 @@ class TableStore(val spark: SparkSession, val root: String,
       s"ref name must match [A-Za-z0-9._-]{1,128}, got '$name'")
     require(!name.forall(_.isDigit),
       s"ref name cannot be all digits (ambiguous with a snapshot id): '$name'")
-    require(!branchExists(name),
-      s"a branch named '$name' already exists at $root")
     val v = if (version < 0) currentVersion() else version
     require(existingVersions().contains(v), s"snapshot $v does not exist")
     val f = fs
@@ -2123,6 +2157,11 @@ class TableStore(val spark: SparkSession, val root: String,
     // serializes racing threads on filesystems whose create is two-step.
     val latch = TableStore.commitLatch(f.makeQualified(rootPath).toString)
     val out = latch.synchronized {
+      // collision check INSIDE the latch: tags and branches share a name
+      // namespace (VERSION AS OF resolves both), and checking outside
+      // would let a racing createBranch('x') and createTag('x') both pass
+      require(!branchExists(name),
+        s"a branch named '$name' already exists at $root")
       try f.create(dest, false)
       catch { case _: java.io.IOException =>
         throw new IllegalStateException(s"ref '$name' already exists at $root")
@@ -2144,17 +2183,7 @@ class TableStore(val spark: SparkSession, val root: String,
     if (!f.exists(refsDir)) Nil
     else f.listStatus(refsDir).map(_.getPath)
       .filter(p => p.getName.endsWith(".json") && !p.getName.startsWith("."))
-      .map { p =>
-        val in = f.open(p)
-        val bytes = try {
-          val o = new java.io.ByteArrayOutputStream()
-          val buf = new Array[Byte](4096)
-          var n = in.read(buf)
-          while (n >= 0) { o.write(buf, 0, n); n = in.read(buf) }
-          o.toByteArray
-        } finally in.close()
-        SnapshotRef.fromJson(new String(bytes, "UTF-8"))
-      }.sortBy(_.name).toSeq
+      .map(parseRefRetrying).sortBy(_.name).toSeq
   }
 
   /** The snapshot a ref points at, if the ref exists. */
@@ -2205,8 +2234,6 @@ class TableStore(val spark: SparkSession, val root: String,
       s"branch name must match [A-Za-z0-9._-]{1,128}, got '$name'")
     require(!name.forall(_.isDigit),
       s"branch name cannot be all digits (ambiguous with a snapshot id): '$name'")
-    require(refVersion(name).isEmpty,
-      s"a tag named '$name' already exists at $root")
     val from = if (fromVersion < 0) currentVersion() else fromVersion
     require(existingVersions().contains(from), s"snapshot $from does not exist")
     val f = fs
@@ -2218,6 +2245,9 @@ class TableStore(val spark: SparkSession, val root: String,
     val marker = new Path(dir, "branch.json")
     val latch = TableStore.commitLatch(f.makeQualified(rootPath).toString)
     val out = latch.synchronized {
+      // same-latch collision check as createTag — see the note there
+      require(refVersion(name).isEmpty,
+        s"a tag named '$name' already exists at $root")
       try f.create(marker, false)
       catch { case _: java.io.IOException =>
         throw new IllegalStateException(s"branch '$name' already exists at $root")
@@ -2239,20 +2269,24 @@ class TableStore(val spark: SparkSession, val root: String,
   def branchExists(name: String): Boolean =
     fs.exists(new Path(new Path(branchesDir, name), "branch.json"))
 
-  /** Branch metadata: fork point + creation time. `forkVersion` advances to
-    * the published head on every fast-forward, so it is always the newest
-    * version shared with main. */
+  /** Branch metadata: fork point + creation time. `forkVersion` advances
+    * to the published head on every fast-forward via NEW timestamped
+    * `branch-upd-*.json` markers — the creation claim `branch.json` is
+    * immutable, so [[branchExists]] (and WAP session routing, which falls
+    * back to MAIN when the branch is invisible) never observes the branch
+    * missing mid-update, and a crashed update falls back to the newest
+    * readable marker. forkVersion is monotone, so newest = max. */
   def branchMeta(name: String): BranchRef = {
-    val p = new Path(new Path(branchesDir, name), "branch.json")
-    val in = fs.open(p)
-    val bytes = try {
-      val o = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](4096)
-      var n = in.read(buf)
-      while (n >= 0) { o.write(buf, 0, n); n = in.read(buf) }
-      o.toByteArray
-    } finally in.close()
-    BranchRef.fromJson(new String(bytes, "UTF-8"))
+    val dir = new Path(branchesDir, name)
+    val ps = new Path(dir, "branch.json") +: fs.listStatus(dir)
+      .map(_.getPath).filter(_.getName.startsWith("branch-upd-")).toSeq
+    val readable = ps.flatMap { p =>
+      try Some(BranchRef.fromJson(readSmallFile(p)))
+      catch { case _: Exception => None }
+    }
+    require(readable.nonEmpty,
+      s"branch '$name' at $root has no readable marker (crashed createBranch?)")
+    readable.maxBy(_.forkVersion)
   }
 
   /** All branches, name-ascending. O(#branches) driver work — branches are
@@ -2292,6 +2326,16 @@ class TableStore(val spark: SparkSession, val root: String,
     val head = br.currentVersion()
     require(head >= 0, s"branch '$name' does not exist at $root")
     val meta = branchMeta(name)
+    // Idempotent-success / crash recovery: if main's head manifest IS the
+    // branch's head manifest (same version AND same content — equal
+    // numbers alone mean nothing across sequences), the publish already
+    // happened; repair a stale fork marker (crash between the manifest
+    // copies and the marker update) and report success.
+    if (currentVersion() == head &&
+        existingVersions().contains(head) && manifest(head) == br.manifest(head)) {
+      if (meta.forkVersion != head) writeBranchUpdMarker(name, meta, head)
+      return head
+    }
     val latch = TableStore.commitLatch(fs.makeQualified(rootPath).toString)
     latch.synchronized {
       val cur = currentVersion()
@@ -2304,16 +2348,27 @@ class TableStore(val spark: SparkSession, val root: String,
     }
     // advance the recorded fork point: everything up to `head` is now
     // shared with main, so a continued branch stays fast-forwardable
-    val marker = new Path(new Path(branchesDir, name), "branch.json")
-    val tmp = new Path(new Path(branchesDir, name),
-      s".branch-${stagingSuffix()}")
-    val out = fs.create(tmp, false)
-    try out.write(meta.copy(forkVersion = head).toJson.getBytes("UTF-8"))
-    finally out.close()
-    fs.delete(marker, false)
-    if (!fs.rename(tmp, marker))
-      throw new IllegalStateException(s"failed to advance branch marker '$name'")
+    writeBranchUpdMarker(name, meta, head)
     head
+  }
+
+  /** Make-before-break fork-point advance: a NEW create-exclusive
+    * `branch-upd-*.json` becomes authoritative the moment it is fully
+    * written (readers take the max forkVersion among readable markers);
+    * superseded update markers are pruned best-effort afterwards. The
+    * immutable creation claim is never touched. */
+  private def writeBranchUpdMarker(name: String, meta: BranchRef,
+      toFork: Long): Unit = {
+    val dir = new Path(branchesDir, name)
+    val p = new Path(dir, s"branch-upd-${stagingSuffix()}.json")
+    val out = fs.create(p, false)
+    try out.write(meta.copy(forkVersion = toFork).toJson.getBytes("UTF-8"))
+    finally out.close()
+    // compare by NAME: listStatus returns qualified paths, `p` is not —
+    // object inequality would delete the marker just written
+    fs.listStatus(dir).map(_.getPath)
+      .filter(q => q.getName.startsWith("branch-upd-") && q.getName != p.getName)
+      .foreach(q => try { fs.delete(q, false); () } catch { case _: Exception => () })
   }
 
   /** GC of snapshots below `keepFrom`: the manifest is deleted FIRST, then
@@ -2819,8 +2874,20 @@ object TableStore {
         bound(a.name) = vs.map(_.asInstanceOf[Literal])
       case _ => ok = false
     }
+    // NULL literals never match under SQL equality (the row is kept), so
+    // they simply drop out of the value lists; a key whose list becomes
+    // empty means the predicate matches nothing — an empty tuple set, which
+    // the caller treats as a no-op delete.
+    val nonNull = bound.view.mapValues(_.filter(_.value != null)).toMap
     if (!ok || bound.keySet != m.bucketKeys.toSet) None
-    else Some(m.bucketKeys.map(bound)
+    else if (nonNull.values.exists(_.isEmpty)) Some(Nil)
+    // Cap the cartesian product like every other driver-side IN surface
+    // (RuntimePruning.MaxRuntimeInValues, the GSI fetchKeyCap): two 10k-
+    // value IN lists would otherwise build 100M driver tuples. Above the
+    // cap, decline — the positional path handles the same predicate in
+    // bounded memory.
+    else if (nonNull.values.map(_.size.toLong).product > 10000L) None
+    else Some(m.bucketKeys.map(nonNull)
       .foldLeft(Seq(Seq.empty[Any]))((acc, vs) => acc.flatMap(c =>
         vs.map(l => c :+ CatalystTypeConverters.convertToScala(
           l.eval(org.apache.spark.sql.catalyst.InternalRow.empty),

@@ -288,7 +288,8 @@ object StreamingOps {
   def applyCdcBatch(batch: DataFrame, store: TableStore, keys: Seq[String],
       numBuckets: Int = 64, seqCol: String = "seq", opCol: String = "op",
       maintenance: Option[CdcMaintenance] = None,
-      props: Map[String, String] = Map.empty): Unit = withCasRetry() {
+      props: Map[String, String] = Map.empty): Unit = {
+    withCasRetry() {
     val cur = store.currentVersion()
     val bucketed = cur >= 0 && {
       val m = store.manifest(cur)
@@ -339,8 +340,14 @@ object StreamingOps {
           expectedParent = Some(cur), props = props)
       }
     }
+    }
+    // Maintenance runs OUTSIDE the apply's retry scope: a maintenance
+    // commit losing its own CAS after the batch already landed must not
+    // re-run (and re-commit) the batch. Re-running maintenance itself is
+    // safe — every pass re-derives its work from the current snapshot.
     maintenance.foreach { p =>
-      if (store.currentVersion() % p.everyNCommits == 0) maintain(store, p)
+      if (store.currentVersion() % p.everyNCommits == 0)
+        withCasRetry()(maintain(store, p))
     }
     ()
   }
@@ -366,7 +373,8 @@ object StreamingOps {
   def applyCdcBatchMor(batch: DataFrame, store: TableStore, keys: Seq[String],
       numBuckets: Int = 64, seqCol: String = "seq", opCol: String = "op",
       maintenance: Option[CdcMaintenance] = None,
-      props: Map[String, String] = Map.empty): Unit = withCasRetry() {
+      props: Map[String, String] = Map.empty): Unit = {
+    withCasRetry() {
     val cur = store.currentVersion()
     val payload = batch.columns.filterNot(c => c == seqCol || c == opCol).toSeq
     val fits = cur >= 0 && {
@@ -378,8 +386,10 @@ object StreamingOps {
             .exists(_.dataType == f.dataType))
     }
     if (!fits)
+      // maintenance = None: the shared foreach below owns the cadence —
+      // passing it down too would run maintenance twice on this path
       applyCdcBatch(batch, store, keys, numBuckets, seqCol, opCol,
-        maintenance, props)
+        None, props)
     else {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(keys.map(col): _*)
@@ -389,10 +399,12 @@ object StreamingOps {
         .filter(col("_g_rn") === 1).drop("_g_rn", seqCol)
       store.upsertMor(winners, opCol, CdcApply.OpRemove,
         expectedParent = Some(cur), props = props)
-      maintenance.foreach { p =>
-        if (store.currentVersion() % p.everyNCommits == 0) maintain(store, p)
-      }
       ()
+    }
+    }
+    maintenance.foreach { p =>
+      if (store.currentVersion() % p.everyNCommits == 0)
+        withCasRetry()(maintain(store, p))
     }
   }
 
@@ -410,7 +422,8 @@ object StreamingOps {
   def applyCdcBatchEq(batch: DataFrame, store: TableStore, keys: Seq[String],
       numBuckets: Int = 64, seqCol: String = "seq", opCol: String = "op",
       maintenance: Option[CdcMaintenance] = None,
-      props: Map[String, String] = Map.empty): Unit = withCasRetry() {
+      props: Map[String, String] = Map.empty): Unit = {
+    withCasRetry() {
     val cur = store.currentVersion()
     val payload = batch.columns.filterNot(c => c == seqCol || c == opCol).toSeq
     val fits = cur >= 0 && {
@@ -422,8 +435,10 @@ object StreamingOps {
             .exists(_.dataType == f.dataType))
     }
     if (!fits)
+      // maintenance = None: the shared foreach below owns the cadence —
+      // passing it down too would run maintenance twice on this path
       applyCdcBatch(batch, store, keys, numBuckets, seqCol, opCol,
-        maintenance, props)
+        None, props)
     else {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(keys.map(col): _*)
@@ -433,10 +448,12 @@ object StreamingOps {
         .filter(col("_g_rn") === 1).drop("_g_rn", seqCol)
       store.upsertEq(winners, opCol, CdcApply.OpRemove,
         expectedParent = Some(cur), props = props)
-      maintenance.foreach { p =>
-        if (store.currentVersion() % p.everyNCommits == 0) maintain(store, p)
-      }
       ()
+    }
+    }
+    maintenance.foreach { p =>
+      if (store.currentVersion() % p.everyNCommits == 0)
+        withCasRetry()(maintain(store, p))
     }
   }
 }

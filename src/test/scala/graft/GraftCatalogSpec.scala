@@ -879,6 +879,29 @@ class GraftCatalogSpec extends SparkSuite {
     } finally spark.conf.unset("spark.graft.delete.mode")
   }
 
+  test("MOR MERGE INTO an EMPTY table (zero-file candidate set) bootstraps via inserts") {
+    // CREATE TABLE commits a zero-file snapshot; MERGE INTO it is the CDC
+    // bootstrap pattern — the delta path's positional scan must plan as a
+    // 0-row read over an empty candidate set, not crash
+    spark.sql("DROP TABLE IF EXISTS spec_cat.analytics.mor_boot")
+    spark.sql(
+      "CREATE TABLE spec_cat.analytics.mor_boot (k BIGINT, v STRING)")
+    Seq((1L, "a", "I"), (2L, "b", "I")).toDF("k", "v", "op")
+      .createOrReplaceTempView("mor_boot_src")
+    spark.conf.set("spark.graft.delete.mode", "mor")
+    try spark.sql(
+      """MERGE INTO spec_cat.analytics.mor_boot t
+        |USING mor_boot_src s ON t.k = s.k
+        |WHEN MATCHED THEN UPDATE SET t.v = s.v
+        |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+        |""".stripMargin)
+    finally spark.conf.unset("spark.graft.delete.mode")
+    spark.catalog.refreshTable("spec_cat.analytics.mor_boot")
+    assert(spark.sql("SELECT k, v FROM spec_cat.analytics.mor_boot")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (2L, "b")))
+  }
+
   test("spark.graft.delete.mode=mor routes MERGE INTO to one DV+append commit; every pre-existing file inherited byte-identical") {
     val store = new TableStore(spark, s"$warehouse/analytics/dvmerge")
     store.commitBucketed(

@@ -247,7 +247,7 @@ class SecondaryIndexSpec extends SparkSuite {
     // refresh refuses loudly instead of silently diverging
     base.commitIncremental(
       base.readSnapshot().withColumn("qty", col("qty") + 1), Seq(0L, 1L))
-    base.dropTag(SecondaryIndex.pinName("by_cust"))
+    SecondaryIndex.dropPins(base, "by_cust")
     base.vacuum(keepSnapshots = 1)
     val e = intercept[IllegalArgumentException](
       SecondaryIndex.refresh(base, "by_cust"))

@@ -273,7 +273,7 @@ class StreamingSpec extends SparkSuite {
       keys, numBuckets = 4)
     graft.store.SecondaryIndex.create(store, "by_cust", Seq("cust"),
       numBuckets = 2)
-    assert(store.listRefs().exists(_.name == "idx-pin-by_cust"),
+    assert(store.listRefs().exists(_.name.startsWith("idx-pin-by_cust")),
       "create must pin the indexed base snapshot")
     for (i <- 1 to 10) {
       val batch = Seq(
