@@ -107,18 +107,8 @@ class TableStore(val spark: SparkSession, val root: String,
   /** Latest committed snapshot id, or -1 for an empty table. */
   def currentVersion(): Long = existingVersions().foldLeft(-1L)(math.max)
 
-  def manifest(version: Long): Manifest = {
-    val p = new Path(manifestDir, s"v$version.json")
-    val in = fs.open(p)
-    val bytes = try {
-      val out = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
-      out.toByteArray
-    } finally in.close()
-    Manifest.fromJson(new String(bytes, "UTF-8"))
-  }
+  def manifest(version: Long): Manifest =
+    Manifest.fromJson(readSmallFile(new Path(manifestDir, s"v$version.json")))
 
   // ------------------------------------------------- manifest tier plumbing
 
