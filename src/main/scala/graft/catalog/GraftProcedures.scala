@@ -27,7 +27,7 @@ object GraftProcedures {
     Seq("compact", "expire_snapshots", "vacuum", "create_changelog_view",
       "create_tag", "drop_tag", "rollback_to_snapshot",
       "create_index", "refresh_index", "drop_index", "index_lookup_view",
-      "create_branch", "drop_branch", "fast_forward")
+      "create_branch", "drop_branch", "fast_forward", "rebucket")
 
   def load(catalog: GraftCatalog, name: String): UnboundProcedure = name match {
     case "compact" => new CompactProc(catalog)
@@ -44,6 +44,7 @@ object GraftProcedures {
     case "create_branch" => new CreateBranchProc(catalog)
     case "drop_branch" => new DropBranchProc(catalog)
     case "fast_forward" => new FastForwardProc(catalog)
+    case "rebucket" => new RebucketProc(catalog)
     case other => throw new IllegalArgumentException(
       s"unknown procedure: $other (have: ${Names.mkString(", ")})")
   }
@@ -400,6 +401,31 @@ object GraftProcedures {
       result(
         StructType(Seq(StructField("published_version", LongType))),
         Array(head))
+    }
+  }
+
+  /** Bucket-layout evolution: `CALL cat.system.rebucket('ns.tbl', 64)`
+    * rewrites the table on a new bucket count (the growth knob — bucket
+    * count is sized at creation and every bucket-targeted path degrades as
+    * per-bucket size grows); a non-empty `keys` re-keys the table outright
+    * (DynamoDB new-partition-key migration). One full rewrite, pending
+    * delete masks folded in. */
+  private final class RebucketProc(catalog: GraftCatalog)
+      extends GraftProc("rebucket",
+        "rewrite the table bucketed on num_buckets (and optionally new keys)") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("num_buckets", IntegerType).build(),
+      ProcedureParameter.in("keys", StringType).defaultValue("''").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val store = storeFor(catalog, input.getUTF8String(0).toString)
+      val keys =
+        if (input.numFields < 3 || input.isNullAt(2)) Nil
+        else input.getUTF8String(2).toString.split(',').map(_.trim)
+          .filter(_.nonEmpty).toSeq
+      val v = store.rebucket(input.getInt(1), keys)
+      result(
+        StructType(Seq(StructField("version", LongType))), Array(v))
     }
   }
 

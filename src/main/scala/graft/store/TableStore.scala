@@ -1735,6 +1735,33 @@ class TableStore(val spark: SparkSession, val root: String,
         expectedParent = Some(parent), dropDvs = true)
   }
 
+  /** Bucket-layout evolution: rewrite the current snapshot hash-bucketed on
+    * `keys` × `numBuckets` — the growth knob a 100 TB table needs (bucket
+    * count is sized at creation; as the table grows, per-bucket size grows
+    * with it, and every bucket-targeted path — CDC commits, point lookups,
+    * SPJ task parallelism, DML rewrites — degrades until a rebucket).
+    * Changing `keys` re-keys the table outright (DynamoDB's new-partition-
+    * key migration). Content-preserving: the rewrite reads through the
+    * filtered path, so pending DV/equality masks fold in and the fresh
+    * manifest carries no delete metadata. One full rewrite — the same
+    * cost class as [[compact]]; secondary indexes survive (their next
+    * refresh replays the rewrite as a content no-op diff). */
+  def rebucket(numBuckets: Int, keys: Seq[String] = Nil): Long = {
+    val cur = currentVersion()
+    require(cur >= 0, "cannot rebucket an empty table")
+    val m = manifest(cur)
+    val newKeys = if (keys.nonEmpty) keys else m.bucketKeys
+    require(newKeys.nonEmpty,
+      "rebucket needs bucket keys: the table is not bucketed and none were given")
+    require(newKeys.forall(m.schema.fieldNames.contains),
+      s"rebucket keys $newKeys not in table schema")
+    require(numBuckets > 0, "rebucket needs a positive bucket count")
+    require(newKeys != m.bucketKeys || numBuckets != m.numBuckets,
+      s"table is already bucketed on $newKeys x $numBuckets")
+    commitBucketed(readSnapshot(cur), newKeys, numBuckets,
+      expectedParent = Some(cur))
+  }
+
   /** Metadata-only schema evolution (VERDICT r4 #1): commit a new snapshot
     * that inherits EVERY parent data file at its existing path under a
     * widened schema — no data is read or written, the commit is O(manifest)

@@ -32,6 +32,29 @@ class TableStoreSpec extends SparkSuite {
     try out.write(m.toJson.getBytes("UTF-8")) finally out.close()
   }
 
+  test("rebucket grows the bucket count; content preserved, masks folded") {
+    import spark.implicits._
+    val store = freshStore()
+    store.commitBucketed((1L to 1000L).map(i => (i, s"v$i")).toDF("k", "v"),
+      Seq("k"), 4)
+    store.deleteMor(col("k") === 7L)
+    store.deleteEq(Seq(8L).toDF("k"))
+    val before = store.readSnapshot().as[(Long, String)].collect().toSet
+    val v = store.rebucket(16)
+    val m = store.manifest(v)
+    assert(m.numBuckets == 16 && m.bucketKeys == Seq("k"))
+    assert(!m.hasDeletes, "rebucket must fold pending delete masks")
+    assert(store.readSnapshot().as[(Long, String)].collect().toSet == before)
+    // re-keying migrates the layout outright
+    val v2 = store.rebucket(8, keys = Seq("v"))
+    val m2 = store.manifest(v2)
+    assert(m2.bucketKeys == Seq("v") && m2.numBuckets == 8)
+    assert(store.readSnapshot().as[(Long, String)].collect().toSet == before)
+    // no-op shape refused loudly
+    assert(intercept[IllegalArgumentException](store.rebucket(8, Seq("v")))
+      .getMessage.contains("already bucketed"))
+  }
+
   test("commit + read returns identical content and schema") {
     val store = freshStore()
     val li = Tables.load(spark, sfDir, "lineitem")
