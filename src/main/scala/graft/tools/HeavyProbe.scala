@@ -120,6 +120,11 @@ object HeavyProbe {
     t("GSI incremental refresh") {
       graft.store.SecondaryIndex.refresh(store, "by_cust")
     }
+    t("upsertEq 0.5% batch (zero base reads)") {
+      store.upsertEq(upd.withColumn("o_totalprice",
+        col("o_totalprice") + 3.0))
+    }
+    t("full count under eq mask") { store.readSnapshot().count() }
     t("SPJ fact-fact join (build+join)") {
       graft.SparkEntry.queries("sql_join_colocated")(spark, out).count()
     }

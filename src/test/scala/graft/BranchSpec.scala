@@ -86,6 +86,35 @@ class BranchSpec extends SparkSuite {
     assert(store.readSnapshot().count() == 3)
   }
 
+  test("branches on the sharded manifest tier: fork, commit, publish, vacuum") {
+    spark.conf.set("spark.graft.manifest.inlineThreshold", "8")
+    try {
+      val store = freshStore()
+      store.commitBucketed(
+        (1L to 5000L).map(i => (i, s"v$i")).toDF("k", "v"),
+        keys = Seq("k"), numBuckets = 16)
+      assert(store.manifest(store.currentVersion()).isSharded)
+      store.createBranch("shb")
+      val br = store.forBranch("shb")
+      val before = TableStore.driverMaterializations.get()
+      br.commitAppend(Seq((9001L, "staged")).toDF("k", "v"))
+      br.upsertEq(Seq((5L, "eq-upd", "U")).toDF("k", "v", "op"))
+      assert(TableStore.driverMaterializations.get() == before,
+        "branch commits on the sharded tier materialized a driver file list")
+      // isolation both ways, then a pure-metadata publish of SHARDED
+      // manifests (shard refs are absolute paths into main's shard tree)
+      assert(store.readSnapshot().count() == 5000)
+      store.fastForward("shb")
+      val out = store.readSnapshot().as[(Long, String)].collect().toMap
+      assert(out(9001L) == "staged" && out(5L) == "eq-upd" && out.size == 5001)
+      // vacuum with branch survivors on the sharded sweep path
+      store.commitAppend(Seq((9002L, "post")).toDF("k", "v"))
+      store.vacuum(keepSnapshots = 1)
+      assert(store.forBranch("shb").readSnapshot().count() == 5001)
+      assert(store.readSnapshot().count() == 5002)
+    } finally spark.conf.unset("spark.graft.manifest.inlineThreshold")
+  }
+
   test("tag and branch names share a namespace; collisions are refused") {
     val store = freshStore()
     store.commitSnapshot(Seq((1L, "a")).toDF("k", "v"))
