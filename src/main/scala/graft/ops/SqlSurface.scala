@@ -278,6 +278,34 @@ object SqlSurface {
          |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin)
   }
 
+  /** Bucket-layout evolution end-to-end (`sql_rebucket`): commit bucketed,
+    * take a merge-on-read delete (pending mask), `CALL system.rebucket` to
+    * 4x the bucket count — masks fold in, content preserved — then
+    * aggregate through the catalog. The require()s pin the layout change
+    * and the mask fold. */
+  private val sqlRebucket: Q = (s, d) => {
+    val cat = catalogFor(s, d)
+    s.sql(s"DROP TABLE IF EXISTS $cat.analytics.supp_rb")
+    val store = new TableStore(s, s"${warehouseFor(d)}/analytics/supp_rb")
+    store.commitBucketed(
+      load(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey"),
+        col("s_acctbal").cast("decimal(18,2)").as("s_acctbal")),
+      keys = Seq("s_suppkey"), numBuckets = 4)
+    store.deleteMor(col("s_suppkey") % 10 === 0)
+    s.catalog.refreshTable(s"$cat.analytics.supp_rb")
+    s.sql(s"CALL $cat.system.rebucket('analytics.supp_rb', 16)")
+    val m = store.manifest(store.currentVersion())
+    require(m.numBuckets == 16, "rebucket did not change the layout")
+    require(!m.hasDeletes, "rebucket must fold pending delete masks")
+    s.catalog.refreshTable(s"$cat.analytics.supp_rb")
+    s.sql(
+      s"""SELECT s_nationkey, COUNT(*) AS n_supp,
+         |  CAST(SUM(s_acctbal) AS DOUBLE) AS total_bal
+         |FROM $cat.analytics.supp_rb
+         |GROUP BY s_nationkey
+         |ORDER BY s_nationkey ASC NULLS FIRST""".stripMargin)
+  }
+
   /** Merge-on-read UPDATE (`sql_update_mor`): one commit carrying the
     * delete vector masking the matched rows plus fresh files with their
     * updated images — O(matched rows) write volume, every pre-existing data
@@ -459,6 +487,7 @@ object SqlSurface {
     "sql_agg_metadata" -> sqlAggMetadata,
     "sql_delete_mor" -> sqlDeleteMor,
     "sql_delete_eq" -> sqlDeleteEq,
+    "sql_rebucket" -> sqlRebucket,
     "sql_update_mor" -> sqlUpdateMor,
     "sql_merge_mor" -> sqlMergeMor)
 
@@ -541,6 +570,14 @@ object SqlSurface {
         |FROM lineitem WHERE l_returnflag <> 'R'
         |GROUP BY l_returnflag
         |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
+
+    "sql_rebucket" ->
+      """SELECT s_nationkey, COUNT(*) AS n_supp,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM supplier
+        |WHERE s_suppkey % 10 <> 0
+        |GROUP BY s_nationkey
+        |ORDER BY s_nationkey ASC NULLS FIRST""".stripMargin,
 
     "sql_delete_eq" ->
       """SELECT o_orderstatus, COUNT(*) AS n,
