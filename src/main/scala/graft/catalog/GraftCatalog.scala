@@ -297,7 +297,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           main.branchExists(version)) {
         val br = main.forBranch(version)
         snapshotTable(ident, Some(br.currentVersion()), Some(br))
-      } else snapshotTable(ident, Some(resolveVersion(ident, version)))
+      } else {
+        // Explicit snapshot ids and tags resolve against MAIN, but a WAP
+        // session redirects reads to the branch store, whose manifest
+        // sequence only holds the fork copy and later branch commits — a
+        // pre-fork snapshot would fail with a missing-manifest error.
+        // Serve the version from whichever store actually has its manifest
+        // (the branch wins when both do: its copy of a shared version is
+        // content-identical, and post-fork branch versions only exist there).
+        val v = resolveVersion(ident, version)
+        val wap = storeFor(ident)
+        val store = if (wap.existingVersions().contains(v)) wap else main
+        snapshotTable(ident, Some(v), Some(store))
+      }
     }
 
   /** Numeric strings are snapshot ids; anything else is a ref name — a TAG

@@ -51,12 +51,19 @@ object SecondaryIndex {
   private[graft] def pinName(name: String): String = s"idx-pin-$name"
   private def pinTagName(name: String, v: Long): String = s"idx-pin-$name-v$v"
 
-  /** Drop every pin of `name` except the one at `keep` (None = all). */
+  /** Drop every pin of `name` except the one at `keep` (None = all).
+    * Matching is EXACT (`^idx-pin-<name>-v\d+$` plus the legacy unversioned
+    * name): a prefix match would also capture a sibling index whose name
+    * literally extends this one ("foo" vs "foo-v2" — "idx-pin-foo-v2" is a
+    * prefix hit for "foo"), releasing the other index's snapshot pin and
+    * exposing its indexed snapshot to expiry (ADVICE r8). */
   private[graft] def dropPins(base: TableStore, name: String,
       keep: Option[Long] = None): Unit = {
-    val prefix = pinName(name)
+    val exact = pinName(name)
+    val versioned =
+      ("^" + java.util.regex.Pattern.quote(exact) + "-v\\d+$").r.pattern
     base.listRefs().map(_.name)
-      .filter(n => n == prefix || n.startsWith(prefix + "-v"))
+      .filter(n => n == exact || versioned.matcher(n).matches())
       .filterNot(n => keep.exists(v => n == pinTagName(name, v)))
       .foreach(base.dropTag)
   }
