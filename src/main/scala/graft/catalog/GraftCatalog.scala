@@ -748,19 +748,20 @@ private[catalog] class SnapshotTable(tblName: String, mkDelegate: () => Table,
       return
     }
     // `spark.graft.delete.mode=eq`: a DELETE whose predicate is nothing but
-    // bucket-key equalities (the DynamoDB DeleteItem shape) commits an
-    // EQUALITY delete — zero base-file reads, O(keys) write volume at any
-    // table size or key scatter. Any residual condition falls back to the
-    // positional path (an equality delete masks by key and would
-    // over-delete otherwise).
+    // bucket-key equalities — on the FULL key set (the DynamoDB DeleteItem
+    // shape) or any SUBSET of it (Query-by-PK bulk deletes: `WHERE pk = x`
+    // on a (pk, sk) table) — commits an EQUALITY delete: zero base-file
+    // reads, O(keys) write volume at any table size or key scatter. Any
+    // residual condition falls back to the positional path (an equality
+    // delete masks by key and would over-delete otherwise).
     if (store.spark.conf.getOption("spark.graft.delete.mode").contains("eq")
         && schemaParts.isEmpty && m.bucketKeys.nonEmpty) {
-      TableStore.keyEqualityTuples(exprs, m) match {
-        case Some(tuples) if tuples.isEmpty =>
+      TableStore.keySubsetEqualityTuples(exprs, m) match {
+        case Some((_, tuples)) if tuples.isEmpty =>
           // every pinned key value was NULL — the predicate matches nothing
           return
-        case Some(tuples) =>
-          val keySchema = StructType(m.bucketKeys.map(k =>
+        case Some((cols, tuples)) =>
+          val keySchema = StructType(cols.map(k =>
             StructField(k, m.schema(k).dataType, nullable = false)))
           val rows: java.util.List[org.apache.spark.sql.Row] =
             java.util.Arrays.asList(tuples.map(t =>

@@ -27,7 +27,8 @@ object GraftProcedures {
     Seq("compact", "expire_snapshots", "vacuum", "create_changelog_view",
       "create_tag", "drop_tag", "rollback_to_snapshot",
       "create_index", "refresh_index", "drop_index", "index_lookup_view",
-      "create_branch", "drop_branch", "fast_forward", "rebucket")
+      "create_branch", "drop_branch", "fast_forward", "rebase_branch",
+      "rebucket")
 
   def load(catalog: GraftCatalog, name: String): UnboundProcedure = name match {
     case "compact" => new CompactProc(catalog)
@@ -44,6 +45,7 @@ object GraftProcedures {
     case "create_branch" => new CreateBranchProc(catalog)
     case "drop_branch" => new DropBranchProc(catalog)
     case "fast_forward" => new FastForwardProc(catalog)
+    case "rebase_branch" => new RebaseBranchProc(catalog)
     case "rebucket" => new RebucketProc(catalog)
     case other => throw new IllegalArgumentException(
       s"unknown procedure: $other (have: ${Names.mkString(", ")})")
@@ -400,6 +402,27 @@ object GraftProcedures {
       val head = store.fastForward(input.getUTF8String(1).toString)
       result(
         StructType(Seq(StructField("published_version", LongType))),
+        Array(head))
+    }
+  }
+
+  /** Rebase a branch onto main's current head so write-audit-publish can
+    * publish after main advanced (the continuous-CDC reality — reference
+    * README.md:12): replays the branch's manifest deltas as fresh branch
+    * commits on the new base, metadata-only at any scale, refusing only
+    * true conflicts (overlapping rewrites, two-sided schema evolution).
+    * Then `fast_forward` publishes as usual. */
+  private final class RebaseBranchProc(catalog: GraftCatalog)
+      extends GraftProc("rebase_branch",
+        "replay a branch's commits onto main's current head (metadata-only)") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val store = storeFor(catalog, input.getUTF8String(0).toString)
+      val head = store.rebaseBranch(input.getUTF8String(1).toString)
+      result(
+        StructType(Seq(StructField("branch_head", LongType))),
         Array(head))
     }
   }

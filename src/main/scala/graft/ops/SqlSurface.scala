@@ -131,14 +131,15 @@ object SqlSurface {
     s.catalog.refreshTable(s"$cat.analytics.orders_bk")
     s.catalog.refreshTable(s"$cat.analytics.lineitem_bk")
     s.sql(
-      s"""SELECT l.l_returnflag, COUNT(*) AS n,
-         |  COUNT(DISTINCT o.o_custkey) AS n_cust,
+      s"""SELECT o.o_custkey % 100 AS cust_bucket, l.l_returnflag,
+         |  COUNT(*) AS n, COUNT(DISTINCT o.o_custkey) AS n_cust,
          |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
          |FROM $cat.analytics.orders_bk o
          |JOIN $cat.analytics.lineitem_bk l ON o.o_orderkey = l.l_orderkey
          |WHERE o.o_orderstatus = 'O'
-         |GROUP BY l.l_returnflag
-         |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin)
+         |GROUP BY o.o_custkey % 100, l.l_returnflag
+         |ORDER BY cust_bucket ASC NULLS FIRST,
+         |  l_returnflag ASC NULLS FIRST""".stripMargin)
   }
 
   /** Join-driven runtime file pruning (SPARK-35779, Iceberg's DPP analog;
@@ -270,12 +271,54 @@ object SqlSurface {
     require(m.inlineFiles.toSet == files0,
       "equality DELETE must not rewrite data files")
     s.catalog.refreshTable(s"$cat.analytics.ord_eq")
+    // fine-grained grouping so the oracle hash covers hundreds of rows
+    // (VERDICT r8 wrong #2: 3-row results are a thin correctness signal)
     s.sql(
-      s"""SELECT o_orderstatus, COUNT(*) AS n,
-         |  CAST(SUM(o_totalprice) AS DOUBLE) AS total
+      s"""SELECT o_orderkey % 100 AS okey_bucket, o_orderstatus,
+         |  COUNT(*) AS n, CAST(SUM(o_totalprice) AS DOUBLE) AS total
          |FROM $cat.analytics.ord_eq
-         |GROUP BY o_orderstatus
-         |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin)
+         |GROUP BY o_orderkey % 100, o_orderstatus
+         |ORDER BY okey_bucket ASC NULLS FIRST,
+         |  o_orderstatus ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** PARTIAL-KEY equality delete end-to-end (`sql_delete_eq_prefix`): a
+    * (pk, sk)-bucketed lineitem (orderkey, linenumber — the DynamoDB PK+SK
+    * shape, reference README.md:81-82) takes a `DELETE WHERE l_orderkey IN
+    * (...)` under `delete.mode=eq`: the PK values alone commit as a
+    * prefix equality-delete file masking EVERY line item under those
+    * orders — zero base reads, no positions resolved, no files rewritten
+    * (the require()s pin all three). The read mask anti-joins on the
+    * recorded column subset. */
+  private val sqlDeleteEqPrefix: Q = (s, d) => {
+    val cat = catalogFor(s, d)
+    s.sql(s"DROP TABLE IF EXISTS $cat.analytics.li_eqp")
+    val store = new TableStore(s, s"${warehouseFor(d)}/analytics/li_eqp")
+    store.commitBucketed(
+      load(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag"),
+        col("l_quantity").cast("decimal(18,2)").as("l_quantity")),
+      keys = Seq("l_orderkey", "l_linenumber"), numBuckets = 16)
+    val files0 = store.manifest(store.currentVersion()).inlineFiles.toSet
+    s.catalog.refreshTable(s"$cat.analytics.li_eqp")
+    s.conf.set("spark.graft.delete.mode", "eq")
+    try s.sql(s"DELETE FROM $cat.analytics.li_eqp " +
+      "WHERE l_orderkey IN (1, 32, 69, 134, 517, 1093, 2500003)")
+    finally s.conf.unset("spark.graft.delete.mode")
+    val m = store.manifest(store.currentVersion())
+    require(m.eqRefs.exists(_.cols == Seq("l_orderkey")),
+      "PK-only DELETE did not commit a partial-key equality delete")
+    require(!m.hasDvs, "partial-key DELETE must not resolve positions")
+    require(m.inlineFiles.toSet == files0,
+      "partial-key DELETE must not rewrite data files")
+    s.catalog.refreshTable(s"$cat.analytics.li_eqp")
+    s.sql(
+      s"""SELECT l_orderkey % 100 AS okey_bucket, l_returnflag,
+         |  COUNT(*) AS n, CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+         |FROM $cat.analytics.li_eqp
+         |GROUP BY l_orderkey % 100, l_returnflag
+         |ORDER BY okey_bucket ASC NULLS FIRST,
+         |  l_returnflag ASC NULLS FIRST""".stripMargin)
   }
 
   /** Bucket-layout evolution end-to-end (`sql_rebucket`): commit bucketed,
@@ -386,12 +429,14 @@ object SqlSurface {
     require(files0.subsetOf(m.inlineFiles.toSet),
       "merge-on-read MERGE must inherit every pre-existing data file")
     s.catalog.refreshTable(s"$cat.analytics.orders_mm")
+    // fine-grained grouping so the oracle hash covers hundreds of rows
     s.sql(
-      s"""SELECT o_orderstatus, COUNT(*) AS n,
-         |  CAST(SUM(o_totalprice) AS DOUBLE) AS total
+      s"""SELECT o_orderkey % 100 AS okey_bucket, o_orderstatus,
+         |  COUNT(*) AS n, CAST(SUM(o_totalprice) AS DOUBLE) AS total
          |FROM $cat.analytics.orders_mm
-         |GROUP BY o_orderstatus
-         |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin)
+         |GROUP BY o_orderkey % 100, o_orderstatus
+         |ORDER BY okey_bucket ASC NULLS FIRST,
+         |  o_orderstatus ASC NULLS FIRST""".stripMargin)
   }
 
   /** Snapshot refs + rollback end-to-end (`sql_time_travel`): commit, pin
@@ -463,17 +508,35 @@ object SqlSurface {
     s.catalog.refreshTable(s"$cat.analytics.cust_wap")
     require(store.readSnapshot().count() == n0,
       "staged branch commit must be invisible on main before publish")
+    // MAIN ADVANCES MID-AUDIT — the continuous-feed reality (reference
+    // README.md:12): a concurrent load lands on main while the branch is
+    // still being audited
+    s.sql(
+      s"""INSERT INTO $cat.analytics.cust_wap
+         |SELECT c_custkey + 2000000, c_mktsegment,
+         |  CAST(c_acctbal + 20 AS DECIMAL(18,2))
+         |FROM $cat.analytics.cust_wap WHERE c_custkey % 10 = 1""".stripMargin)
+    // the publish now rightly refuses (diverged histories)...
+    val refused =
+      try { s.sql(s"CALL $cat.system.fast_forward('analytics.cust_wap', 'stage')"); false }
+      catch { case e: Exception =>
+        e.getMessage != null && e.getMessage.contains("not a fast-forward") }
+    require(refused, "fast_forward must refuse after main advanced mid-audit")
+    // ...and rebase replays the staged deltas onto the new head, after
+    // which the branch serves BOTH sides and the publish goes through
+    s.sql(s"CALL $cat.system.rebase_branch('analytics.cust_wap', 'stage')")
     require(s.sql(s"SELECT COUNT(*) FROM $cat.analytics.cust_wap " +
-      "VERSION AS OF 'stage'").head().getLong(0) > n0,
-      "branch head must serve the staged rows")
+      "VERSION AS OF 'stage'").head().getLong(0) > store.readSnapshot().count(),
+      "rebased branch head must serve staged + main rows")
     s.sql(s"CALL $cat.system.fast_forward('analytics.cust_wap', 'stage')")
     s.catalog.refreshTable(s"$cat.analytics.cust_wap")
     s.sql(
-      s"""SELECT c_mktsegment, COUNT(*) AS n_cust,
+      s"""SELECT c_custkey % 50 AS bucket, c_mktsegment, COUNT(*) AS n_cust,
          |  CAST(SUM(c_acctbal) AS DOUBLE) AS total_bal
          |FROM $cat.analytics.cust_wap
-         |GROUP BY c_mktsegment
-         |ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin)
+         |GROUP BY c_custkey % 50, c_mktsegment
+         |ORDER BY bucket ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST"""
+        .stripMargin)
   }
 
   val queries: Map[String, Q] = Map(
@@ -487,6 +550,7 @@ object SqlSurface {
     "sql_agg_metadata" -> sqlAggMetadata,
     "sql_delete_mor" -> sqlDeleteMor,
     "sql_delete_eq" -> sqlDeleteEq,
+    "sql_delete_eq_prefix" -> sqlDeleteEqPrefix,
     "sql_rebucket" -> sqlRebucket,
     "sql_update_mor" -> sqlUpdateMor,
     "sql_merge_mor" -> sqlMergeMor)
@@ -498,15 +562,20 @@ object SqlSurface {
         |         CAST(c_acctbal AS DECIMAL(18,2)) AS c_acctbal
         |  FROM customer),
         |staged AS (
-        |  SELECT c_custkey + 1000000, c_mktsegment,
-        |         CAST(c_acctbal + 10 AS DECIMAL(18,2))
+        |  SELECT c_custkey + 1000000 AS c_custkey, c_mktsegment,
+        |         CAST(c_acctbal + 10 AS DECIMAL(18,2)) AS c_acctbal
         |  FROM base WHERE c_custkey % 10 = 0),
-        |all_rows AS (SELECT * FROM base UNION ALL SELECT * FROM staged)
-        |SELECT c_mktsegment, COUNT(*) AS n_cust,
+        |mainrows AS (
+        |  SELECT c_custkey + 2000000 AS c_custkey, c_mktsegment,
+        |         CAST(c_acctbal + 20 AS DECIMAL(18,2)) AS c_acctbal
+        |  FROM base WHERE c_custkey % 10 = 1),
+        |all_rows AS (SELECT * FROM base UNION ALL SELECT * FROM staged
+        |             UNION ALL SELECT * FROM mainrows)
+        |SELECT c_custkey % 50 AS bucket, c_mktsegment, COUNT(*) AS n_cust,
         |  CAST(SUM(c_acctbal) AS DOUBLE) AS total_bal
         |FROM all_rows
-        |GROUP BY c_mktsegment
-        |ORDER BY c_mktsegment ASC NULLS FIRST""".stripMargin,
+        |GROUP BY c_custkey % 50, c_mktsegment
+        |ORDER BY bucket ASC NULLS FIRST, c_mktsegment ASC NULLS FIRST""".stripMargin,
 
     "sql_time_travel" ->
       """SELECT n_regionkey, COUNT(*) AS n_nations,
@@ -550,13 +619,14 @@ object SqlSurface {
         |ORDER BY bucket ASC NULLS FIRST""".stripMargin,
 
     "sql_join_colocated" ->
-      """SELECT l.l_returnflag, COUNT(*) AS n,
-        |  COUNT(DISTINCT o.o_custkey) AS n_cust,
+      """SELECT o.o_custkey % 100 AS cust_bucket, l.l_returnflag,
+        |  COUNT(*) AS n, COUNT(DISTINCT o.o_custkey) AS n_cust,
         |  CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         |WHERE o.o_orderstatus = 'O'
-        |GROUP BY l.l_returnflag
-        |ORDER BY l_returnflag ASC NULLS FIRST""".stripMargin,
+        |GROUP BY o.o_custkey % 100, l.l_returnflag
+        |ORDER BY cust_bucket ASC NULLS FIRST,
+        |  l_returnflag ASC NULLS FIRST""".stripMargin,
 
     "sql_agg_metadata" ->
       """SELECT COUNT(*) AS n_rows, COUNT(o_custkey) AS n_cust,
@@ -580,12 +650,22 @@ object SqlSurface {
         |ORDER BY s_nationkey ASC NULLS FIRST""".stripMargin,
 
     "sql_delete_eq" ->
-      """SELECT o_orderstatus, COUNT(*) AS n,
+      """SELECT o_orderkey % 100 AS okey_bucket, o_orderstatus, COUNT(*) AS n,
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders
         |WHERE o_orderkey NOT IN (1, 7, 32, 69, 134, 517, 1093, 4000004)
-        |GROUP BY o_orderstatus
-        |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin,
+        |GROUP BY o_orderkey % 100, o_orderstatus
+        |ORDER BY okey_bucket ASC NULLS FIRST,
+        |  o_orderstatus ASC NULLS FIRST""".stripMargin,
+
+    "sql_delete_eq_prefix" ->
+      """SELECT l_orderkey % 100 AS okey_bucket, l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey NOT IN (1, 32, 69, 134, 517, 1093, 2500003)
+        |GROUP BY l_orderkey % 100, l_returnflag
+        |ORDER BY okey_bucket ASC NULLS FIRST,
+        |  l_returnflag ASC NULLS FIRST""".stripMargin,
 
     "sql_update_mor" ->
       """SELECT p_brand, COUNT(*) AS n,
@@ -623,10 +703,11 @@ object SqlSurface {
         |  SELECT s.o_orderkey, s.st, s.sp
         |  FROM src s LEFT JOIN base b ON s.o_orderkey = b.o_orderkey
         |  WHERE b.o_orderkey IS NULL)
-        |SELECT o_orderstatus, COUNT(*) AS n,
+        |SELECT o_orderkey % 100 AS okey_bucket, o_orderstatus, COUNT(*) AS n,
         |  CAST(SUM(price) AS DOUBLE) AS total
-        |FROM merged GROUP BY o_orderstatus
-        |ORDER BY o_orderstatus ASC NULLS FIRST""".stripMargin,
+        |FROM merged GROUP BY o_orderkey % 100, o_orderstatus
+        |ORDER BY okey_bucket ASC NULLS FIRST,
+        |  o_orderstatus ASC NULLS FIRST""".stripMargin,
 
     "sql_join_runtime_prune" ->
       """SELECT l.l_returnflag, COUNT(*) AS n,

@@ -164,4 +164,158 @@ class BranchSpec extends SparkSuite {
     assert(spark.sql("SELECT COUNT(*) FROM wap_cat.analytics.events")
       .head().getLong(0) == 4)
   }
+
+  // ------------------------------------------------------------- rebase
+
+  private def bucketedBase(store: TableStore, n: Int): Unit =
+    store.commitBucketed(
+      spark.range(n).select(col("id").as("k"),
+        concat(lit("v"), col("id")).as("v")),
+      keys = Seq("k"), numBuckets = 4)
+
+  test("rebase then publish after main advances (continuous-feed WAP loop)") {
+    val store = freshStore()
+    bucketedBase(store, 100)
+    store.createBranch("audit")
+    val br = store.forBranch("audit")
+    // staged on the branch: one update, one delete
+    br.upsertEq(Seq((5L, "staged-5", "U")).toDF("k", "v", "op"))
+    br.deleteEq(Seq(6L).toDF("k"))
+    // main advances under the audit — the continuous-CDC reality: a
+    // concurrent feed re-inserts k=6 and adds k=200
+    store.upsertEq(Seq((6L, "main-6", "U"), (200L, "main-200", "I"))
+      .toDF("k", "v", "op"))
+    // the publish rightly refuses diverged histories...
+    assert(intercept[IllegalArgumentException](store.fastForward("audit"))
+      .getMessage.contains("not a fast-forward"))
+    // ...and rebase unblocks it: replay the branch deltas on the new head
+    val newHead = store.rebaseBranch("audit")
+    assert(store.branchMeta("audit").forkVersion == store.currentVersion())
+    // branch readable (and auditable) on the new base BEFORE publishing
+    val staged = br.readSnapshot().as[(Long, String)].collect().toMap
+    assert(staged(5L) == "staged-5")
+    // rebase semantics: the branch's delete happens-AFTER main's
+    // concurrent re-insert, so k=6 stays deleted (the LWW outcome)
+    assert(!staged.contains(6L))
+    assert(staged(200L) == "main-200") // main's concurrent insert visible
+    val pub = store.fastForward("audit")
+    assert(pub == newHead)
+    val out = store.readSnapshot().as[(Long, String)].collect().toMap
+    assert(out == staged)
+    assert(out.size == 100) // 100 base - 1 delete + 1 main insert
+    assert(out(0L) == "v0" && out(99L) == "v99")
+  }
+
+  test("rebase with no branch commits re-forks at main's head") {
+    val store = freshStore()
+    bucketedBase(store, 10)
+    store.createBranch("idle")
+    store.upsertEq(Seq((500L, "late", "I")).toDF("k", "v", "op"))
+    val head = store.rebaseBranch("idle")
+    assert(head == store.currentVersion())
+    assert(store.branchMeta("idle").forkVersion == head)
+    assert(store.forBranch("idle").readSnapshot().count() == 11)
+    assert(store.fastForward("idle") == head) // idempotent no-op publish
+  }
+
+  test("rebase refuses true conflicts; branch intact after refusal") {
+    // positional deletes against a file main has since rewritten
+    val store = freshStore()
+    bucketedBase(store, 100)
+    store.createBranch("wip")
+    val br = store.forBranch("wip")
+    br.deleteMor(col("k") === 5L)
+    store.compact() // main rewrites every file the branch's DV addresses
+    val e = intercept[IllegalArgumentException](store.rebaseBranch("wip"))
+    assert(e.getMessage.contains("row conflict"), e.getMessage)
+    // the refused rebase left the branch exactly as it was
+    assert(br.readSnapshot().count() == 99)
+    // bucket-layout divergence
+    val store2 = freshStore()
+    bucketedBase(store2, 100)
+    store2.createBranch("wip2")
+    store2.forBranch("wip2").commitAppend(Seq((500L, "x")).toDF("k", "v"))
+    store2.rebucket(8)
+    val e2 = intercept[IllegalArgumentException](store2.rebaseBranch("wip2"))
+    assert(e2.getMessage.contains("bucket layout"), e2.getMessage)
+  }
+
+  test("branch compaction replays when main only appended") {
+    val store = freshStore()
+    bucketedBase(store, 200)
+    store.createBranch("opt")
+    val br = store.forBranch("opt")
+    br.upsertEq(Seq((3L, "upd", "U")).toDF("k", "v", "op"))
+    br.compact() // rewrite on the branch — fine while main keeps the files
+    store.upsertEq(Seq((900L, "main", "I")).toDF("k", "v", "op"))
+    store.rebaseBranch("opt")
+    store.fastForward("opt")
+    val out = store.readSnapshot().as[(Long, String)].collect().toMap
+    assert(out(3L) == "upd" && out(900L) == "main" && out.size == 201)
+  }
+
+  test("changelog stays consistent across a rebased publish carrying eq commits") {
+    val store = freshStore()
+    bucketedBase(store, 50)
+    val fork = store.currentVersion()
+    store.createBranch("cdc")
+    val br = store.forBranch("cdc")
+    br.upsertEq(Seq((7L, "b7", "U"), (300L, "b300", "I")).toDF("k", "v", "op"))
+    store.upsertEq(Seq((8L, "m8", "U")).toDF("k", "v", "op"))
+    store.rebaseBranch("cdc")
+    val head = store.fastForward("cdc")
+    // net diff fork -> published head: both sides' changes, exactly once
+    val log = store.readChangelog(fork, head)
+      .select("_change_type", "k", "v").as[(String, Long, String)]
+      .collect().toSet
+    assert(log == Set(("UPDATE", 7L, "b7"), ("INSERT", 300L, "b300"),
+      ("UPDATE", 8L, "m8")), s"changelog diverged: $log")
+  }
+
+  test("crash-interrupted rebase repairs on the next fast-forward") {
+    val store = freshStore()
+    bucketedBase(store, 20)
+    store.createBranch("crash")
+    val br = store.forBranch("crash")
+    br.upsertEq(Seq((1L, "b1", "U")).toDF("k", "v", "op"))
+    store.upsertEq(Seq((2L, "m2", "U")).toDF("k", "v", "op"))
+    // simulate a crash BEFORE any replayed manifest landed: a pending
+    // marker naming versions that don't exist must roll back harmlessly
+    val pendingPath = new org.apache.hadoop.fs.Path(
+      s"${store.root}/manifest/branches/crash/rebase-pending.json")
+    val fs = pendingPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(pendingPath, false)
+    out.write("""{"new":[90,91],"drop":[],"toFork":99}""".getBytes("UTF-8"))
+    out.close()
+    // next rebase+publish repairs and completes the real flow
+    store.rebaseBranch("crash")
+    store.fastForward("crash")
+    assert(!fs.exists(pendingPath))
+    val outMap = store.readSnapshot().as[(Long, String)].collect().toMap
+    assert(outMap(1L) == "b1" && outMap(2L) == "m2" && outMap.size == 20)
+  }
+
+  test("rebase on the sharded tier: zero driver file materializations") {
+    spark.conf.set("spark.graft.manifest.inlineThreshold", "8")
+    try {
+      val store = freshStore()
+      store.commitBucketed(
+        (1L to 5000L).map(i => (i, s"v$i")).toDF("k", "v"),
+        keys = Seq("k"), numBuckets = 16)
+      assert(store.manifest(store.currentVersion()).isSharded)
+      store.createBranch("shr")
+      val br = store.forBranch("shr")
+      br.upsertEq(Seq((5L, "b5", "U"), (9001L, "b9001", "I")).toDF("k", "v", "op"))
+      store.upsertEq(Seq((6L, "m6", "U")).toDF("k", "v", "op"))
+      val before = TableStore.driverMaterializations.get()
+      store.rebaseBranch("shr")
+      store.fastForward("shr")
+      assert(TableStore.driverMaterializations.get() == before,
+        "rebase materialized a driver file list on the sharded tier")
+      val out = store.readSnapshot().as[(Long, String)].collect().toMap
+      assert(out(5L) == "b5" && out(9001L) == "b9001" && out(6L) == "m6")
+      assert(out.size == 5001)
+    } finally spark.conf.unset("spark.graft.manifest.inlineThreshold")
+  }
 }

@@ -263,6 +263,123 @@ class EqualityDeleteSpec extends SparkSuite {
     assert(out(1L) == "eq-upd" && out(2L) == "mor-upd" && out.size == 50)
   }
 
+  // --------------------------------------------- partial-key (prefix) deletes
+
+  private def pkSkDf(n: Int): DataFrame =
+    spark.range(n).select((col("id") % 100L).as("pk"),
+      floor(col("id") / 100L).as("sk"),
+      concat(lit("v"), col("id")).as("v"))
+
+  test("partial-key delete: PK-only frame masks every SK item, zero base reads") {
+    val store = freshStore()
+    store.commitBucketed(pkSkDf(2000), keys = Seq("pk", "sk"), numBuckets = 8)
+    val read = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          read.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      // the DynamoDB bulk shape: delete every item under two PKs
+      store.deleteEq(Seq(7L, 13L).toDF("pk"))
+      Thread.sleep(2000)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(read.get() < 500, s"prefix deleteEq read ${read.get()} records")
+    val m = store.manifest(store.currentVersion())
+    assert(m.hasEqDeletes && m.eqRefs.exists(_.cols == Seq("pk")))
+    val out = store.readSnapshot()
+      .select("pk", "sk", "v").as[(Long, Long, String)].collect()
+    assert(out.length == 2000 - 40) // 20 SK items under each deleted PK
+    assert(!out.exists(r => r._1 == 7L || r._1 == 13L))
+  }
+
+  test("partial-key since semantics: post-delete re-insert under the PK survives") {
+    val store = freshStore()
+    store.commitBucketed(pkSkDf(1000), keys = Seq("pk", "sk"), numBuckets = 4)
+    store.deleteEq(Seq(7L).toDF("pk"))
+    store.upsertEq(Seq((7L, 3L, "reborn", "I")).toDF("pk", "sk", "v", "op"))
+    val out = store.readSnapshot()
+      .select("pk", "sk", "v").as[(Long, Long, String)].collect()
+    val under7 = out.filter(_._1 == 7L).toSeq
+    assert(under7 == Seq((7L, 3L, "reborn")), under7.toString)
+  }
+
+  test("partial-key and full-key masks compose; purge folds both, targeted") {
+    val store = freshStore()
+    store.commitBucketed(pkSkDf(1000), keys = Seq("pk", "sk"), numBuckets = 8)
+    store.deleteEq(Seq(5L).toDF("pk")) // prefix: all sk under pk=5
+    store.deleteEq(Seq((6L, 2L)).toDF("pk", "sk")) // full key: one item
+    val before = store.readSnapshot()
+      .select("pk", "sk", "v").as[(Long, Long, String)].collect().toSet
+    assert(!before.exists(_._1 == 5L))
+    assert(!before.contains((6L, 2L, "v206")))
+    assert(before.exists(_._1 == 6L)) // other sk under pk=6 intact
+    assert(before.size == 1000 - 10 - 1)
+    // purge: content-identical, masks gone, untouched-bucket files inherited
+    val pm = store.manifest(store.currentVersion())
+    val v = store.purgeDeletes()
+    val m = store.manifest(v)
+    assert(!m.hasDeletes)
+    assert(store.readSnapshot()
+      .select("pk", "sk", "v").as[(Long, Long, String)].collect().toSet == before)
+    // the prefix-bucket derivation kept the rewrite TARGETED: every file of
+    // an unaffected bucket is inherited byte-identical, not rewritten
+    val inherited = m.inlineFiles.toSet intersect pm.inlineFiles.toSet
+    assert(inherited.nonEmpty, "purge rewrote every file (untargeted)")
+  }
+
+  test("partial-key deletes through SQL DELETE under delete.mode=eq") {
+    val warehouse = Files.createTempDirectory("graft_eqp_wh").toString
+    spark.conf.set("spark.sql.catalog.eqp_cat",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.eqp_cat.warehouse", warehouse)
+    val store = new TableStore(spark, s"$warehouse/analytics/pkt")
+    store.commitBucketed(pkSkDf(1000), keys = Seq("pk", "sk"), numBuckets = 4)
+    spark.conf.set("spark.graft.delete.mode", "eq")
+    try {
+      spark.sql("DELETE FROM eqp_cat.analytics.pkt WHERE pk = 9")
+      spark.catalog.refreshTable("eqp_cat.analytics.pkt")
+      val m = store.manifest(store.currentVersion())
+      assert(m.eqRefs.exists(_.cols == Seq("pk")),
+        "SQL PK-only DELETE did not take the partial-key equality path")
+      assert(spark.sql("SELECT COUNT(*) FROM eqp_cat.analytics.pkt")
+        .head().getLong(0) == 990)
+    } finally spark.conf.unset("spark.graft.delete.mode")
+  }
+
+  test("partial-key deletes on the sharded tier with changelog parity") {
+    spark.conf.set("spark.graft.manifest.inlineThreshold", "8")
+    try {
+      val store = freshStore()
+      store.commitBucketed(pkSkDf(5000), keys = Seq("pk", "sk"), numBuckets = 16)
+      assert(store.manifest(store.currentVersion()).isSharded)
+      val v0 = store.currentVersion()
+      store.deleteEq(Seq(21L).toDF("pk"))
+      val out = store.readSnapshot().select("pk").as[Long].collect()
+      assert(!out.contains(21L) && out.length == 4950)
+      val changes = store.readChangelog(v0)
+        .select("pk", "_change_type").as[(Long, String)].collect()
+      assert(changes.length == 50 && changes.forall(_ == (21L, "DELETE")),
+        s"changelog across a prefix delete diverged (${changes.length} rows)")
+    } finally spark.conf.unset("spark.graft.manifest.inlineThreshold")
+  }
+
+  test("large key-set deletes shard the eq file write") {
+    spark.conf.set("spark.graft.eq.rowsPerFile", "1000")
+    try {
+      val store = freshStore()
+      store.commitBucketed(baseDf(10000), keys = Seq("k"), numBuckets = 8)
+      store.deleteEq(spark.range(5000).select(col("id").as("k")))
+      val m = store.manifest(store.currentVersion())
+      assert(m.eqRefs.size > 1,
+        s"5000-key delete wrote ${m.eqRefs.size} eq file(s) under a 1000-row cap")
+      assert(m.eqDeleteRows == 5000)
+      assert(store.readSnapshot().count() == 5000)
+    } finally spark.conf.unset("spark.graft.eq.rowsPerFile")
+  }
+
   test("raw path export refuses an equality-masked snapshot") {
     val store = freshStore()
     store.commitBucketed(baseDf(100), keys = Seq("k"), numBuckets = 4)
