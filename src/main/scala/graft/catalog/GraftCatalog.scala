@@ -690,11 +690,13 @@ private[catalog] class SnapshotTable(tblName: String, mkDelegate: () => Table,
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
-    // `spark.graft.delete.mode=mor` routes row-level DML (MERGE above all)
-    // to the delta-based operation: one DV+append commit, O(changed rows),
-    // DV'd parents stack naturally — no purge needed, both metadata tiers.
+    // `spark.graft.delete.mode=mor` (and `auto`) routes row-level DML
+    // (MERGE above all) to the delta-based operation: one DV+append commit,
+    // O(changed rows), DV'd parents stack naturally — no purge needed,
+    // both metadata tiers.
     val schemaParts = m.partitionBy.filter(m.schema.fieldNames.contains)
-    if (store.spark.conf.getOption("spark.graft.delete.mode").contains("mor")
+    if (store.spark.conf.getOption("spark.graft.delete.mode")
+          .exists(v => v == "mor" || v == "auto")
         && schemaParts.isEmpty)
       return new GraftDeltaOperationBuilder(store, m.version, info)
     // COW DML over a DV'd snapshot would plan the group scan as a stock
@@ -737,24 +739,17 @@ private[catalog] class SnapshotTable(tblName: String, mkDelegate: () => Table,
     def keep(df: org.apache.spark.sql.DataFrame) =
       df.filter(not(coalesce(cond, lit(false))))
     val schemaParts = m.partitionBy.filter(m.schema.fieldNames.contains)
-    // `spark.graft.delete.mode=mor`: commit a positional delete vector
-    // (O(matched rows) write volume) instead of rewriting buckets/files —
-    // the delete-heavy 100 TB path, on BOTH metadata tiers (round 8: DV
-    // refs ride the snapshot pointer, so sharded manifests carry them).
-    // COW remains the default; hive layouts always take it.
-    if (store.spark.conf.getOption("spark.graft.delete.mode").contains("mor")
-        && schemaParts.isEmpty) {
-      store.deleteMor(cond, expectedParent = Some(m.version))
-      return
-    }
-    // `spark.graft.delete.mode=eq`: a DELETE whose predicate is nothing but
-    // bucket-key equalities — on the FULL key set (the DynamoDB DeleteItem
-    // shape) or any SUBSET of it (Query-by-PK bulk deletes: `WHERE pk = x`
-    // on a (pk, sk) table) — commits an EQUALITY delete: zero base-file
-    // reads, O(keys) write volume at any table size or key scatter. Any
-    // residual condition falls back to the positional path (an equality
-    // delete masks by key and would over-delete otherwise).
-    if (store.spark.conf.getOption("spark.graft.delete.mode").contains("eq")
+    val deleteMode = store.spark.conf
+      .getOption("spark.graft.delete.mode").getOrElse("cow")
+    // `spark.graft.delete.mode=eq` (and `auto`): a DELETE whose predicate
+    // is nothing but bucket-key equalities — on the FULL key set (the
+    // DynamoDB DeleteItem shape) or any SUBSET of it (Query-by-PK bulk
+    // deletes: `WHERE pk = x` on a (pk, sk) table) — commits an EQUALITY
+    // delete: zero base-file reads, O(keys) write volume at any table size
+    // or key scatter. Any residual condition falls back to the positional
+    // path (an equality delete masks by key and would over-delete
+    // otherwise); under `auto` the planner makes that call per statement.
+    if ((deleteMode == "eq" || deleteMode == "auto")
         && schemaParts.isEmpty && m.bucketKeys.nonEmpty) {
       TableStore.keySubsetEqualityTuples(exprs, m) match {
         case Some((_, tuples)) if tuples.isEmpty =>
@@ -768,9 +763,24 @@ private[catalog] class SnapshotTable(tblName: String, mkDelegate: () => Table,
               org.apache.spark.sql.Row.fromSeq(t)): _*)
           store.deleteEq(store.spark.createDataFrame(rows, keySchema),
             expectedParent = Some(m.version))
+          return
         case None =>
-          store.deleteMor(cond, expectedParent = Some(m.version))
+          if (deleteMode == "eq") {
+            store.deleteMor(cond, expectedParent = Some(m.version))
+            return
+          }
+        // auto + non-key-shaped predicate: fall through to the positional
+        // route below
       }
+    }
+    // `spark.graft.delete.mode=mor` (and `auto`'s non-key route): commit a
+    // positional delete vector (O(matched rows) write volume) instead of
+    // rewriting buckets/files — the delete-heavy 100 TB path, on BOTH
+    // metadata tiers (round 8: DV refs ride the snapshot pointer, so
+    // sharded manifests carry them). COW remains the default; hive layouts
+    // always take it.
+    if ((deleteMode == "mor" || deleteMode == "auto") && schemaParts.isEmpty) {
+      store.deleteMor(cond, expectedParent = Some(m.version))
       return
     }
     if (m.bucketKeys.nonEmpty) {

@@ -28,7 +28,7 @@ object GraftProcedures {
       "create_tag", "drop_tag", "rollback_to_snapshot",
       "create_index", "refresh_index", "drop_index", "index_lookup_view",
       "create_branch", "drop_branch", "fast_forward", "rebase_branch",
-      "rebucket")
+      "expire_branches", "rebucket")
 
   def load(catalog: GraftCatalog, name: String): UnboundProcedure = name match {
     case "compact" => new CompactProc(catalog)
@@ -46,6 +46,7 @@ object GraftProcedures {
     case "drop_branch" => new DropBranchProc(catalog)
     case "fast_forward" => new FastForwardProc(catalog)
     case "rebase_branch" => new RebaseBranchProc(catalog)
+    case "expire_branches" => new ExpireBranchesProc(catalog)
     case "rebucket" => new RebucketProc(catalog)
     case other => throw new IllegalArgumentException(
       s"unknown procedure: $other (have: ${Names.mkString(", ")})")
@@ -424,6 +425,30 @@ object GraftProcedures {
       result(
         StructType(Seq(StructField("branch_head", LongType))),
         Array(head))
+    }
+  }
+
+  /** Age-based branch retention: drop branches idle longer than
+    * `max_age_ms`; unpublished staged work is refused unless `force` —
+    * the abandoned-branch GC hole (a branch pins its fork's files against
+    * every vacuum forever otherwise). */
+  private final class ExpireBranchesProc(catalog: GraftCatalog)
+      extends GraftProc("expire_branches",
+        "drop branches idle longer than max_age_ms (force for unpublished)") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("max_age_ms", LongType).build(),
+      ProcedureParameter.in("force", org.apache.spark.sql.types.BooleanType)
+        .defaultValue("false").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val store = storeFor(catalog, input.getUTF8String(0).toString)
+      val force =
+        if (input.numFields < 3 || input.isNullAt(2)) false
+        else input.getBoolean(2)
+      val dropped = store.expireBranches(input.getLong(1), force)
+      result(
+        StructType(Seq(StructField("dropped", StringType))),
+        Array(UTF8String.fromString(dropped.mkString(","))))
     }
   }
 

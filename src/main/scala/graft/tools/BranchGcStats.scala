@@ -1,0 +1,71 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev measurement (VERDICT r8 missing #4): the abandoned-branch GC hole.
+  * An abandoned audit branch pins (a) its own staged files and (b) every
+  * fork-snapshot file it inherited — vacuum counts branch manifests as
+  * survivors, forever. Measures on-disk bytes across: seed → branch +
+  * staged load → main rewrites (compact) + vacuum (hole visible) →
+  * `expireBranches(force)` + vacuum (hole closed). */
+object BranchGcStats {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val root = graft.util.Scratch.dir("branchgc")
+    def du(): Long = {
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) 0L else fs.getContentSummary(p).getLength
+    }
+    val store = new graft.store.TableStore(spark, root)
+    val orders = graft.Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+    store.commitBucketed(orders, Seq("o_orderkey"), 64)
+    val seed = du()
+    println(f"[branchgc] seed table ${seed / 1048576.0}%8.1f MiB")
+
+    val past = System.currentTimeMillis() - 30L * 24 * 3600 * 1000
+    store.createBranch("abandoned", nowMs = past)
+    val br = store.forBranch("abandoned")
+    br.commitAppend(
+      orders.limit(100000).withColumn("o_orderkey",
+        col("o_orderkey") + lit(900000000L)))
+    // age the staged commit (activity = newest branch commit; a real
+    // abandonment ages by itself — here we simulate the 30 idle days)
+    val bh = br.currentVersion()
+    val bm = br.manifest(bh)
+    val mp = new org.apache.hadoop.fs.Path(
+      s"$root/manifest/branches/abandoned/v$bh.json")
+    val hfs = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    hfs.delete(mp, false)
+    val os = hfs.create(mp, false)
+    os.write(bm.copy(committedAtMs = past).toJson.getBytes("UTF-8"))
+    os.close()
+    println(f"[branchgc] + staged load ${du() / 1048576.0}%8.1f MiB")
+
+    // main moves on: full rewrite supersedes every fork file, then vacuum
+    store.compact(targetFiles = 64)
+    store.vacuum(keepSnapshots = 1)
+    val pinned = du()
+    println(f"[branchgc] after main compact+vacuum (branch pins fork+staged) " +
+      f"${pinned / 1048576.0}%8.1f MiB")
+
+    store.expireBranches(maxAgeMs = 7L * 24 * 3600 * 1000, force = true)
+    store.vacuum(keepSnapshots = 1)
+    val reclaimed = du()
+    println(f"[branchgc] after expire_branches+vacuum " +
+      f"${reclaimed / 1048576.0}%8.1f MiB " +
+      f"(${(pinned - reclaimed) / 1048576.0}%.1f MiB reclaimed)")
+    require(reclaimed < pinned, "branch expiry reclaimed nothing")
+    spark.stop()
+  }
+}

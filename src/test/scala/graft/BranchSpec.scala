@@ -296,6 +296,50 @@ class BranchSpec extends SparkSuite {
     assert(outMap(1L) == "b1" && outMap(2L) == "m2" && outMap.size == 20)
   }
 
+  test("branch retention: aged branches expire, their exclusive files fall to vacuum") {
+    val store = freshStore()
+    bucketedBase(store, 100)
+    val now = System.currentTimeMillis()
+    // an old abandoned branch with unpublished staged data
+    store.createBranch("abandoned", nowMs = now - 10_000_000L)
+    val ab = store.forBranch("abandoned")
+    ab.commitAppend(Seq((9001L, "staged-never-published")).toDF("k", "v"))
+    // age the staged commit too (manifest committedAtMs is fresh — rewrite
+    // the branch head manifest with an old timestamp to simulate idleness)
+    val abHead = ab.currentVersion()
+    val abM = ab.manifest(abHead)
+    val mp = new org.apache.hadoop.fs.Path(
+      s"${store.root}/manifest/branches/abandoned/v$abHead.json")
+    val f = mp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    f.delete(mp, false)
+    val out = f.create(mp, false)
+    out.write(abM.copy(committedAtMs = now - 9_000_000L).toJson.getBytes("UTF-8"))
+    out.close()
+    // a fresh branch and an aged-but-published one
+    store.createBranch("active")
+    store.createBranch("published", nowMs = now - 10_000_000L)
+    // without force, the aged unpublished branch is refused...
+    val e = intercept[IllegalStateException](
+      store.expireBranches(maxAgeMs = 1_000_000L, nowMs = now))
+    assert(e.getMessage.contains("unpublished"))
+    // ...with force it expires; young and published-idle branches: the
+    // young one survives, the aged commit-less one goes too
+    val dropped = store.expireBranches(maxAgeMs = 1_000_000L, force = true,
+      nowMs = now)
+    assert(dropped.toSet == Set("abandoned", "published"), dropped.toString)
+    assert(store.listBranches().map(_.name) == Seq("active"))
+    // the abandoned branch's exclusive file is reclaimed by the next vacuum
+    store.commitAppend(Seq((1000L, "post")).toDF("k", "v"))
+    store.vacuum(keepSnapshots = 1)
+    assert(store.readSnapshot().count() == 101)
+    // the staged-only snap dir is gone from disk
+    val dataDir = new org.apache.hadoop.fs.Path(s"${store.root}/data")
+    val staged = f.listStatus(dataDir).map(_.getPath.getName)
+    assert(abM.inlineFiles.exists(p => !f.exists(
+      new org.apache.hadoop.fs.Path(p))),
+      s"abandoned branch's staged file still on disk: $staged")
+  }
+
   test("rebase on the sharded tier: zero driver file materializations") {
     spark.conf.set("spark.graft.manifest.inlineThreshold", "8")
     try {

@@ -449,4 +449,44 @@ class StreamingSpec extends SparkSuite {
     assert(store.manifest(store.currentVersion()).inlineFiles.exists(filesBefore.contains),
       "no file reuse across the CDC commit")
   }
+
+  test("auto CDC routing: scattered batch -> eq, local batch -> mor, drift -> cow") {
+    def mkStore() = new graft.store.TableStore(spark,
+      Files.createTempDirectory("graft_cdc_auto").toString)
+    val keys = Seq("k")
+    val seed = (1L to 2000L).map(i => (i, s"v$i")).toDF("k", "v")
+    val auto = mkStore(); auto.commitBucketed(seed, keys, numBuckets = 16)
+    val cow = mkStore(); cow.commitBucketed(seed, keys, numBuckets = 16)
+    def route(s: graft.store.TableStore) =
+      s.manifest(s.currentVersion()).props.get("graft.cdc.route")
+    // SCATTERED batch: keys hash into most buckets -> the router must pick
+    // the zero-base-read equality path
+    val scattered = (0L until 64L).map(i => (i * 31L % 2000L + 1, s"s$i", 1L, "MODIFY"))
+      .toDF("k", "v", "seq", "op")
+    StreamingOps.applyCdcBatchAuto(scattered, auto, keys, numBuckets = 16)
+    StreamingOps.applyCdcBatch(scattered, cow, keys, numBuckets = 16)
+    assert(route(auto).contains("eq"), s"scattered batch routed ${route(auto)}")
+    // BUCKET-LOCAL batch: every key hashes into few buckets -> positional
+    // MOR (cheap candidate scan, cheaper read tax)
+    val oneBucket = (1L to 2000L).toDF("k")
+      .filter(graft.store.TableStore.bucketExpr(keys, 16) === 0L)
+      .as[Long].take(5).toSeq
+    val local = oneBucket.map(k => (k, s"l$k", 2L, "MODIFY"))
+      .toDF("k", "v", "seq", "op")
+    StreamingOps.applyCdcBatchAuto(local, auto, keys, numBuckets = 16)
+    StreamingOps.applyCdcBatch(local, cow, keys, numBuckets = 16)
+    assert(route(auto).contains("mor"), s"local batch routed ${route(auto)}")
+    // SCHEMA DRIFT: a new column must fall back to the COW evolution loop
+    val evolved = Seq((1L, "e1", 99L, 3L, "MODIFY"))
+      .toDF("k", "v", "extra", "seq", "op")
+    StreamingOps.applyCdcBatchAuto(evolved, auto, keys, numBuckets = 16)
+    StreamingOps.applyCdcBatch(evolved, cow, keys, numBuckets = 16)
+    assert(route(auto).contains("cow"), s"evolving batch routed ${route(auto)}")
+    // content parity with the pure-COW loop over the mixed routed sequence
+    val a = auto.readSnapshot().select("k", "v", "extra")
+      .as[(Long, String, Option[Long])].collect().toSet
+    val c = cow.readSnapshot().select("k", "v", "extra")
+      .as[(Long, String, Option[Long])].collect().toSet
+    assert(a == c, "routed loop diverged from the COW loop")
+  }
 }
