@@ -324,12 +324,74 @@ object CdcStreamOps {
     store.readSnapshot().orderBy(col("o_orderkey").asc_nulls_first)
   }
 
+  /** AUTO-routed CDC loop (`cdc_apply_auto`): the same logical merge a
+    * fourth time, but the ROUTER picks the write path per batch
+    * ([[graft.streaming.StreamingOps.applyCdcBatchAuto]]) — a SCATTERED
+    * first batch (keys across every bucket, where positional candidate
+    * scans degrade to full-table passes) must route to the zero-read
+    * equality path, and a bucket-SPARSE second batch must route to
+    * positional merge-on-read; the require()s pin both recorded routes.
+    * The LWW result over the two batches is what the oracle reproduces. */
+  private val cdcApplyAuto: Q = (s, d) => {
+    val o = load(s, d, "orders")
+    val k = col("o_orderkey")
+    val one1 = lit("1.10").cast("decimal(18,2)")
+    val one2 = lit("1.20").cast("decimal(18,2)")
+    val one3 = lit("1.30").cast("decimal(18,2)")
+    val store = new graft.store.TableStore(s,
+      graft.util.Scratch.dir("cdc_apply_auto"))
+    store.commitBucketed(o, keys = Seq("o_orderkey"), numBuckets = 64)
+    def route = store.manifest(store.currentVersion())
+      .props.get("graft.cdc.route")
+    val removes = o.filter(k % 10 === 0).select(
+      CdcApply.changeCols(lit(CdcApply.OpRemove), lit(1L),
+        Seq(k, lit(null).cast("long").as("o_custkey"),
+          lit(null).cast("string").as("o_orderstatus"),
+          lit(null).cast("double").as("o_totalprice"),
+          lit(null).cast("timestamp_ntz").as("o_orderdate"),
+          lit(null).cast("string").as("o_orderpriority"))): _*)
+    val mod1 = o.filter(k % 2 === 0 && k % 10 =!= 0).select(
+      CdcApply.changeCols(lit(CdcApply.OpModify), lit(1L),
+        Seq(k, col("o_custkey"), lit("U").as("o_orderstatus"),
+          (dec2(col("o_totalprice")) * one1).cast("double").as("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority"))): _*)
+    val mod2 = o.filter(k % 4 === 0 && k % 10 =!= 0).select(
+      CdcApply.changeCols(lit(CdcApply.OpModify), lit(2L),
+        Seq(k, col("o_custkey"), lit("V").as("o_orderstatus"),
+          (dec2(col("o_totalprice")) * one2).cast("double").as("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority"))): _*)
+    val inserts = o.filter(k % 7 === 0).select(
+      CdcApply.changeCols(lit(CdcApply.OpInsert), lit(1L),
+        Seq((k + 1000000000L).as("o_orderkey"), col("o_custkey"),
+          lit("N").as("o_orderstatus"), col("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority"))): _*)
+    graft.streaming.StreamingOps.applyCdcBatchAuto(
+      removes.unionByName(mod1).unionByName(mod2).unionByName(inserts),
+      store, keys = Seq("o_orderkey"), numBuckets = 64)
+    require(route.contains("eq"),
+      s"scattered CDC batch must route to the equality path, got $route")
+    // bucket-sparse follow-up (k ≡ 1 mod 8000, capped below 60000 -> at
+    // most 8 keys -> at most 8 of 64 buckets at ANY scale factor): odd
+    // keys, so disjoint from mod1/mod2 and never removed
+    val sparse = o.filter(k % 8000 === 1 && k < 60000L).select(
+      CdcApply.changeCols(lit(CdcApply.OpModify), lit(3L),
+        Seq(k, col("o_custkey"), lit("W").as("o_orderstatus"),
+          (dec2(col("o_totalprice")) * one3).cast("double").as("o_totalprice"),
+          col("o_orderdate"), col("o_orderpriority"))): _*)
+    graft.streaming.StreamingOps.applyCdcBatchAuto(
+      sparse, store, keys = Seq("o_orderkey"), numBuckets = 64)
+    require(route.contains("mor"),
+      s"bucket-sparse CDC batch must route to the positional path, got $route")
+    store.readSnapshot().orderBy(col("o_orderkey").asc_nulls_first)
+  }
+
   val queries: Map[String, Q] = Map(
     "stream_table_feed" -> streamTableFeed,
     "stream_table_roundtrip" -> streamTableRoundtrip,
     "cdc_apply" -> cdcApply,
     "cdc_apply_mor" -> cdcApplyMor,
     "cdc_apply_eq" -> cdcApplyEq,
+    "cdc_apply_auto" -> cdcApplyAuto,
     "cdc_apply_evolve" -> cdcApplyEvolve,
     "stream_tumbling_window" -> tumbling,
     "stream_sliding_window" -> sliding,
@@ -406,6 +468,34 @@ object CdcStreamOps {
         |              WHEN o_orderkey % 2 = 0 THEN 'U'
         |              ELSE o_orderstatus END AS o_orderstatus,
         |         CASE WHEN o_orderkey % 4 = 0
+        |                THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.20 AS DECIMAL(18,2)) AS DOUBLE)
+        |              WHEN o_orderkey % 2 = 0
+        |                THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.10 AS DECIMAL(18,2)) AS DOUBLE)
+        |              ELSE o_totalprice END AS o_totalprice,
+        |         o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 10 <> 0
+        |), inserted AS (
+        |  SELECT o_orderkey + 1000000000 AS o_orderkey, o_custkey,
+        |         'N' AS o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |)
+        |SELECT * FROM survivors UNION ALL SELECT * FROM inserted
+        |ORDER BY o_orderkey ASC NULLS FIRST""".stripMargin,
+
+    // the router's two-batch sequence: batch 1 = the eq merge above,
+    // batch 2 = sparse 'W' updates on keys ≡ 1 (mod 8000) below 60000 —
+    // odd keys, so disjoint from every batch-1 modification, never removed
+    "cdc_apply_auto" ->
+      """WITH survivors AS (
+        |  SELECT o_orderkey,
+        |         o_custkey,
+        |         CASE WHEN o_orderkey % 8000 = 1 AND o_orderkey < 60000 THEN 'W'
+        |              WHEN o_orderkey % 4 = 0 THEN 'V'
+        |              WHEN o_orderkey % 2 = 0 THEN 'U'
+        |              ELSE o_orderstatus END AS o_orderstatus,
+        |         CASE WHEN o_orderkey % 8000 = 1 AND o_orderkey < 60000
+        |                THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.30 AS DECIMAL(18,2)) AS DOUBLE)
+        |              WHEN o_orderkey % 4 = 0
         |                THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.20 AS DECIMAL(18,2)) AS DOUBLE)
         |              WHEN o_orderkey % 2 = 0
         |                THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) * CAST(1.10 AS DECIMAL(18,2)) AS DOUBLE)

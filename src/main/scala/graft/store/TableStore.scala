@@ -2794,7 +2794,21 @@ class TableStore(val spark: SparkSession, val root: String,
     // EXISTING equality masks (every FUTURE eq commit's `since` exceeds the
     // current head, hence every override — see the carry note in
     // commitIncremental). Manifests without eq refs skip the map entirely,
-    // so eq-free tables rebase with zero manifest growth.
+    // so eq-free tables rebase with zero manifest growth. The map is
+    // manifest-JSON-resident and broadcast on reads — cap it so a
+    // million-file branch delta onto an eq-masked table cannot bloat the
+    // snapshot JSON; the escape is to fold the masks first (purge), after
+    // which the map is unnecessary.
+    if (replayed.exists(_.eqRefs.nonEmpty)) {
+      val maxOv = spark.conf
+        .getOption("spark.graft.rebase.maxFileOverrides")
+        .map(_.toInt).getOrElse(100000)
+      require(overrides.size <= maxOv,
+        s"rebase of '$name' would attach ${overrides.size} per-file " +
+          s"version overrides to eq-masked manifests (cap $maxOv, " +
+          "spark.graft.rebase.maxFileOverrides); purge deletes to fold " +
+          "the equality masks, then rebase again")
+    }
     val finalMs = replayed.toSeq.map(m =>
       if (m.eqRefs.isEmpty) m else m.copy(fileVersions = overrides))
     // ---- crash-bracketed swap into the branch sequence

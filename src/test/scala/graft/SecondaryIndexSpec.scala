@@ -254,6 +254,26 @@ class SecondaryIndexSpec extends SparkSuite {
     assert(e.getMessage.contains("expired"))
   }
 
+  test("pin cleanup of one index never releases a name-extending sibling's pin") {
+    val base = freshStore()
+    base.commitBucketed(baseRows(50), Seq("id"), 2)
+    // "foo" vs "foo-v2": "idx-pin-foo-v2-v0" is a PREFIX hit for
+    // "idx-pin-foo-v" — the ADVICE r8 bug released the sibling's snapshot
+    // pin on any refresh/drop of "foo"
+    SecondaryIndex.create(base, "foo", Seq("cust"), numBuckets = 2)
+    SecondaryIndex.create(base, "foo-v2", Seq("qty"), numBuckets = 2)
+    val siblingPins = base.listRefs().map(_.name)
+      .filter(_.startsWith("idx-pin-foo-v2"))
+    assert(siblingPins.nonEmpty, "fixture must pin the sibling index")
+    SecondaryIndex.dropPins(base, "foo")
+    assert(base.listRefs().map(_.name)
+      .filter(_.startsWith("idx-pin-foo-v2")) == siblingPins,
+      "dropping index 'foo' pins released sibling 'foo-v2' pins")
+    // and foo's own pins really are gone
+    assert(!base.listRefs().map(_.name).exists(n =>
+      n == "idx-pin-foo" || n.matches("^idx-pin-foo-v\\d+$")))
+  }
+
   /** Files actually opened by the scan, from Spark's metrics. */
   private def numFilesRead(df: DataFrame): Long = {
     df.collect()
