@@ -116,7 +116,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     else if (ident.name.endsWith("$indexes"))
       indexesMetaTable(Identifier.of(ident.namespace,
         ident.name.stripSuffix("$indexes")))
-    else if (ident.name.contains("$idx_")) {
+    else if (ident.name.endsWith("$aggs"))
+      aggsMetaTable(Identifier.of(ident.namespace,
+        ident.name.stripSuffix("$aggs")))
+    else if (ident.name.contains("$agg_")) {
+      // `tbl$agg_<name>` — a materialized aggregate view as a queryable
+      // table: the view IS a graft table under `<base-root>/agg/<name>`
+      // bucketed on the GROUP keys, so group-key predicates bucket-prune
+      // like any graft scan. Serves the RAW partials (sum_c, nn_c, _cnt);
+      // `CALL agg_view(...)` registers the SQL-semantic projection.
+      val i = ident.name.indexOf("$agg_")
+      val base = ident.name.substring(0, i)
+      val aggName = ident.name.substring(i + "$agg_".length)
+      snapshotTable(Identifier.of(ident.namespace,
+        s"$base/agg/$aggName"), None)
+    } else if (ident.name.contains("$idx_")) {
       // `tbl$idx_<name>` — a secondary index as a queryable table: the
       // index IS a graft table under `<base-root>/index/<name>`, so covered
       // queries run over it directly through SQL (bucket-pruned on the
@@ -207,6 +221,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           indexed, cur, indexed != cur)
     }.toArray[org.apache.spark.sql.catalyst.InternalRow]
     new MetaTable(s"${ident.name}$$indexes", schema, rows)
+  }
+
+  /** `SELECT * FROM cat.ns.`tbl$aggs`` — the table's materialized
+    * aggregate views and their staleness: which base snapshot each view
+    * reflects vs the current one (`stale` = the maintenance cadence or a
+    * manual `CALL refresh_agg_view` has catching-up to do). Driver-computed,
+    * O(#views). */
+  private def aggsMetaTable(ident: Identifier): Table = {
+    import org.apache.spark.sql.types._
+    val store = storeFor(ident)
+    if (store.currentVersion() < 0) throw new NoSuchTableException(ident)
+    val schema = StructType(Seq(
+      StructField("name", StringType), StructField("group_keys", StringType),
+      StructField("sum_cols", StringType),
+      StructField("materialized_base_version", LongType),
+      StructField("current_base_version", LongType),
+      StructField("stale", BooleanType)))
+    val rows = graft.store.MaterializedAgg.status(store).map {
+      case (n, keys, sums, mat, cur) =>
+        org.apache.spark.sql.catalyst.InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(n),
+          org.apache.spark.unsafe.types.UTF8String.fromString(keys),
+          org.apache.spark.unsafe.types.UTF8String.fromString(sums),
+          mat, cur, mat != cur)
+    }.toArray[org.apache.spark.sql.catalyst.InternalRow]
+    new MetaTable(s"${ident.name}$$aggs", schema, rows)
   }
 
   /** `SELECT * FROM cat.ns.`tbl$files`` — a snapshot's data files (path,

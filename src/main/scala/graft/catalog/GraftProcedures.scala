@@ -28,7 +28,8 @@ object GraftProcedures {
       "create_tag", "drop_tag", "rollback_to_snapshot",
       "create_index", "refresh_index", "drop_index", "index_lookup_view",
       "create_branch", "drop_branch", "fast_forward", "rebase_branch",
-      "expire_branches", "rebucket")
+      "expire_branches", "rebucket",
+      "create_agg_view", "refresh_agg_view", "drop_agg_view", "agg_view")
 
   def load(catalog: GraftCatalog, name: String): UnboundProcedure = name match {
     case "compact" => new CompactProc(catalog)
@@ -48,6 +49,10 @@ object GraftProcedures {
     case "rebase_branch" => new RebaseBranchProc(catalog)
     case "expire_branches" => new ExpireBranchesProc(catalog)
     case "rebucket" => new RebucketProc(catalog)
+    case "create_agg_view" => new CreateAggViewProc(catalog)
+    case "refresh_agg_view" => new RefreshAggViewProc(catalog)
+    case "drop_agg_view" => new DropAggViewProc(catalog)
+    case "agg_view" => new AggViewProc(catalog)
     case other => throw new IllegalArgumentException(
       s"unknown procedure: $other (have: ${Names.mkString(", ")})")
   }
@@ -325,6 +330,107 @@ object GraftProcedures {
         val n = strAt(3)
         if (n.nonEmpty) n
         else table.replace('.', '_') + s"_${idxName}_lookup"
+      }
+      df.createOrReplaceTempView(viewName)
+      result(
+        StructType(Seq(StructField("view_name", StringType))),
+        Array(UTF8String.fromString(viewName)))
+    }
+  }
+
+  /** Materialize an incrementally-maintained aggregate view: `CALL
+    * cat.system.create_agg_view('ns.tbl', 'daily', 'grp_col',
+    * 'sum_col1,sum_col2', 16)`. The view is queryable raw as
+    * `` `tbl$agg_<name>` `` (bucketed on the GROUP keys), with SQL
+    * semantics via `CALL agg_view`, and advanced incrementally with
+    * `refresh_agg_view` — the dashboard stays fresh over the zero-ETL
+    * copy without re-scanning the table (reference README.md:170-173's
+    * analytics queries, kept warm at O(changed groups) per refresh). */
+  private final class CreateAggViewProc(catalog: GraftCatalog)
+      extends GraftProc("create_agg_view",
+        "materialize a SUM/COUNT GROUP BY view maintained from the changelog") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build(),
+      ProcedureParameter.in("group_keys", StringType).build(),
+      ProcedureParameter.in("sum_cols", StringType).defaultValue("''").build(),
+      ProcedureParameter.in("num_buckets", IntegerType).defaultValue("16").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val store = storeFor(catalog, input.getUTF8String(0).toString)
+      def csv(i: Int): Seq[String] =
+        if (input.numFields <= i || input.isNullAt(i)) Nil
+        else input.getUTF8String(i).toString.split(',').map(_.trim)
+          .filter(_.nonEmpty).toSeq
+      val buckets =
+        if (input.numFields < 5 || input.isNullAt(4)) 16 else input.getInt(4)
+      val bv = graft.store.MaterializedAgg.create(store,
+        input.getUTF8String(1).toString, csv(2), csv(3), buckets)
+      result(
+        StructType(Seq(StructField("base_version", LongType))), Array(bv))
+    }
+  }
+
+  /** Advance an aggregate view to the base's current snapshot by replaying
+    * the changelog — O(changed groups), only affected view buckets rewrite. */
+  private final class RefreshAggViewProc(catalog: GraftCatalog)
+      extends GraftProc("refresh_agg_view",
+        "incrementally advance an aggregate view to the base's current snapshot") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val store = storeFor(catalog, input.getUTF8String(0).toString)
+      val bv = graft.store.MaterializedAgg.refresh(store,
+        input.getUTF8String(1).toString)
+      result(
+        StructType(Seq(StructField("base_version", LongType))), Array(bv))
+    }
+  }
+
+  /** Delete an aggregate view (files + manifests); the base is untouched. */
+  private final class DropAggViewProc(catalog: GraftCatalog)
+      extends GraftProc("drop_agg_view", "delete a materialized aggregate view") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val store = storeFor(catalog, input.getUTF8String(0).toString)
+      val existed = graft.store.MaterializedAgg.drop(store,
+        input.getUTF8String(1).toString)
+      result(
+        StructType(Seq(StructField("existed",
+          org.apache.spark.sql.types.BooleanType))), Array(existed))
+    }
+  }
+
+  /** SQL surface for the view with AGGREGATE semantics restored (the
+    * `` `tbl$agg_<n>` `` table serves the raw partials — sum_c, nn_c,
+    * _cnt): registers a temp view over
+    * [[graft.store.MaterializedAgg.read]], where `SUM(c)` is NULL for
+    * groups with no non-null value and the bookkeeping columns drop out:
+    *
+    *   CALL cat.system.agg_view('ns.tbl', 'daily', 'daily_view')
+    *   SELECT * FROM daily_view
+    */
+  private final class AggViewProc(catalog: GraftCatalog)
+      extends GraftProc("agg_view",
+        "register a temp view of an aggregate view with SQL SUM/COUNT semantics") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build(),
+      ProcedureParameter.in("view_name", StringType).defaultValue("''").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      def strAt(i: Int): String =
+        if (input.numFields <= i || input.isNullAt(i)) ""
+        else input.getUTF8String(i).toString
+      val table = input.getUTF8String(0).toString
+      val store = storeFor(catalog, table)
+      val aggName = input.getUTF8String(1).toString
+      val df = graft.store.MaterializedAgg.read(store, aggName)
+      val viewName = {
+        val n = strAt(2)
+        if (n.nonEmpty) n
+        else table.replace('.', '_') + s"_${aggName}_agg"
       }
       df.createOrReplaceTempView(viewName)
       result(

@@ -539,8 +539,63 @@ object SqlSurface {
         .stripMargin)
   }
 
+  /** Incrementally-maintained materialized aggregate view end-to-end
+    * (`sql_agg_view`): materialize a SUM/COUNT GROUP BY over a bucketed
+    * orders table (`CALL create_agg_view`), run SQL DML through the
+    * auto-routed delete modes (positional DELETE, delta UPDATE, appended
+    * INSERT), advance the view with `CALL refresh_agg_view` — a signed
+    * changelog replay touching only the view buckets holding affected
+    * groups, never a base rescan — and read it back with SQL aggregate
+    * semantics via `CALL agg_view`. The `$aggs` metadata table pins the
+    * staleness bookkeeping both ways. At 100 TB this is the dashboard
+    * query the reference's provisioned analytics copy exists to serve
+    * (README.md:170-173), kept warm at O(changed groups) per refresh. */
+  private val sqlAggView: Q = (s, d) => {
+    val cat = catalogFor(s, d)
+    s.sql(s"DROP TABLE IF EXISTS $cat.analytics.ord_mv")
+    val store = new TableStore(s, s"${warehouseFor(d)}/analytics/ord_mv")
+    store.commitBucketed(
+      load(s, d, "orders").select(col("o_orderkey"),
+        (col("o_custkey") % 40).as("cgrp"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").as("o_totalprice")),
+      keys = Seq("o_orderkey"), numBuckets = 16)
+    s.catalog.refreshTable(s"$cat.analytics.ord_mv")
+    s.sql(s"CALL $cat.system.create_agg_view('analytics.ord_mv', " +
+      "'by_grp', 'cgrp,o_orderstatus', 'o_totalprice', 8)")
+    s.conf.set("spark.graft.delete.mode", "auto")
+    try {
+      s.sql(s"DELETE FROM $cat.analytics.ord_mv WHERE o_orderkey % 10 = 7")
+      s.catalog.refreshTable(s"$cat.analytics.ord_mv")
+      s.sql(s"UPDATE $cat.analytics.ord_mv " +
+        "SET o_totalprice = CAST(o_totalprice + 10 AS DECIMAL(18,2)) " +
+        "WHERE o_orderkey % 10 = 3")
+      s.catalog.refreshTable(s"$cat.analytics.ord_mv")
+      s.sql(
+        s"""INSERT INTO $cat.analytics.ord_mv
+           |SELECT o_orderkey + 50000000, CAST(40 + cgrp % 3 AS BIGINT),
+           |  'Z', CAST(42.42 AS DECIMAL(18,2))
+           |FROM $cat.analytics.ord_mv WHERE o_orderkey % 10 = 2""".stripMargin)
+    } finally s.conf.unset("spark.graft.delete.mode")
+    // the view is registered and STALE until refreshed…
+    require(s.sql(s"SELECT stale FROM $cat.analytics.`ord_mv$$aggs` " +
+      "WHERE name = 'by_grp'").head().getBoolean(0),
+      "$aggs must show the view stale after base DML")
+    s.sql(s"CALL $cat.system.refresh_agg_view('analytics.ord_mv', 'by_grp')")
+    require(!s.sql(s"SELECT stale FROM $cat.analytics.`ord_mv$$aggs` " +
+      "WHERE name = 'by_grp'").head().getBoolean(0),
+      "$aggs must show the view fresh after refresh")
+    s.sql(s"CALL $cat.system.agg_view('analytics.ord_mv', 'by_grp', 'ord_mv_agg')")
+    s.sql(
+      """SELECT cgrp, o_orderstatus, _cnt AS n,
+        |  CAST(sum_o_totalprice AS DOUBLE) AS total
+        |FROM ord_mv_agg
+        |ORDER BY cgrp ASC NULLS FIRST,
+        |  o_orderstatus ASC NULLS FIRST""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "sql_catalog" -> sqlCatalog,
+    "sql_agg_view" -> sqlAggView,
     "sql_time_travel" -> sqlTimeTravel,
     "sql_branch_wap" -> sqlBranchWap,
     "sql_catalog_write" -> sqlCatalogWrite,
@@ -556,6 +611,28 @@ object SqlSurface {
     "sql_merge_mor" -> sqlMergeMor)
 
   val oracles: Map[String, String] = Map(
+    "sql_agg_view" ->
+      """WITH base AS (
+        |  SELECT o_orderkey, o_custkey % 40 AS cgrp, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p
+        |  FROM orders),
+        |after_del AS (SELECT * FROM base WHERE o_orderkey % 10 <> 7),
+        |after_upd AS (
+        |  SELECT o_orderkey, cgrp, o_orderstatus,
+        |    CASE WHEN o_orderkey % 10 = 3
+        |         THEN CAST(p + 10 AS DECIMAL(18,2)) ELSE p END AS p
+        |  FROM after_del),
+        |ins AS (
+        |  SELECT o_orderkey + 50000000 AS o_orderkey,
+        |    40 + cgrp % 3 AS cgrp, 'Z' AS o_orderstatus,
+        |    CAST(42.42 AS DECIMAL(18,2)) AS p
+        |  FROM after_upd WHERE o_orderkey % 10 = 2),
+        |final AS (SELECT * FROM after_upd UNION ALL SELECT * FROM ins)
+        |SELECT cgrp, o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(p) AS DOUBLE) AS total
+        |FROM final GROUP BY cgrp, o_orderstatus
+        |ORDER BY cgrp ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST"""
+        .stripMargin,
     "sql_branch_wap" ->
       """WITH base AS (
         |  SELECT c_custkey, c_mktsegment,

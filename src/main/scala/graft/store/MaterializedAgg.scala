@@ -32,10 +32,60 @@ object MaterializedAgg {
   private val BaseVersionProp = "graft.agg.base-version"
   private val SumColsProp = "graft.agg.sum-cols"
 
+  /** The base-table tag pinning the snapshot the view reflects: refresh
+    * replays the changelog FROM that snapshot, so expiry must not collect
+    * it mid-cadence. Same discipline as [[SecondaryIndex]]: pins are
+    * VERSIONED (`agg-pin-<name>-v<snapshot>`) and move make-before-break,
+    * and pin matching is EXACT so view "foo" can never release "foo-v2"'s
+    * pin (the ADVICE r8 prefix-match hazard). */
+  private def pinName(name: String): String = s"agg-pin-$name"
+  private def pinTagName(name: String, v: Long): String =
+    s"agg-pin-$name-v$v"
+
+  private[graft] def dropPins(base: TableStore, name: String,
+      keep: Option[Long] = None): Unit = {
+    val exact = pinName(name)
+    val versioned =
+      ("^" + java.util.regex.Pattern.quote(exact) + "-v\\d+$").r.pattern
+    base.listRefs().map(_.name)
+      .filter(n => n == exact || versioned.matcher(n).matches())
+      .filterNot(n => keep.exists(v => n == pinTagName(name, v)))
+      .foreach(base.dropTag)
+  }
+
+  private def movePin(base: TableStore, name: String, toV: Long): Unit = {
+    if (base.refVersion(pinTagName(name, toV)).isEmpty)
+      base.createTag(pinTagName(name, toV), toV)
+    dropPins(base, name, keep = Some(toV))
+  }
+
   def aggStore(base: TableStore, name: String): TableStore = {
     require(TableStore.RefNameOk.pattern.matcher(name).matches(),
       s"aggregate view name must match [A-Za-z0-9._-]{1,128}, got '$name'")
     new TableStore(base.spark, s"${base.root}/agg/$name")
+  }
+
+  /** Names of every aggregate view registered under `<base-root>/agg/`. */
+  def list(base: TableStore): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"${base.root}/agg")
+    val fs = p.getFileSystem(base.spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+      .filter(n => aggStore(base, n).currentVersion() >= 0).sorted.toSeq
+  }
+
+  /** Introspection row per view: (name, group keys, sum columns,
+    * materialized base version, current base version) — `stale` = the
+    * versions differ. */
+  def status(base: TableStore): Seq[(String, String, String, Long, Long)] = {
+    val cur = base.currentVersion()
+    list(base).map { n =>
+      val st = aggStore(base, n)
+      val am = st.manifest(st.currentVersion())
+      (n, am.bucketKeys.mkString(","),
+        am.props.getOrElse(SumColsProp, ""),
+        am.props(BaseVersionProp).toLong, cur)
+    }
   }
 
   private def sumCol(c: String) = s"sum_$c"
@@ -50,6 +100,7 @@ object MaterializedAgg {
   /** Materialize the view from the base's current snapshot. */
   def create(base: TableStore, name: String, groupBy: Seq[String],
       sumCols: Seq[String], numBuckets: Int = 16): Long = {
+    requireMain(base)
     val bv = base.currentVersion()
     require(bv >= 0, "cannot materialize over an empty table")
     val bm = base.manifest(bv)
@@ -78,13 +129,26 @@ object MaterializedAgg {
       groupBy, numBuckets,
       props = Map(BaseVersionProp -> bv.toString,
         SumColsProp -> sumCols.mkString(",")))
+    movePin(base, name, bv)
     bv
   }
 
   /** Advance the view to the base's current snapshot: signed-delta
     * aggregation over the changelog, merged into only the buckets holding
     * affected groups. Idempotent when the base hasn't moved. */
+  /** Aggregate views (like secondary indexes) are derivatives of MAIN:
+    * they live under the shared `<root>/agg/` tree and record watermarks
+    * in main's snapshot numbering, while a branch view's versions overlap
+    * main's numbering past the fork — a refresh against a branch head
+    * would corrupt the shared view for every main reader. Branch commits
+    * reach the view after publish, through the next main refresh. */
+  private def requireMain(base: TableStore): Unit =
+    require(base.branch.isEmpty,
+      s"materialized aggregates are maintained against MAIN, not branch " +
+        s"'${base.branch.getOrElse("")}'; publish the branch first")
+
   def refresh(base: TableStore, name: String): Long = {
+    requireMain(base)
     val st = aggStore(base, name)
     val av = st.currentVersion()
     require(av >= 0, s"aggregate view '$name' does not exist; create it first")
@@ -107,38 +171,58 @@ object MaterializedAgg {
         .otherwise(lit(null))).as(sumCol(c)),
       sum(when(col(c).isNotNull, col("_g_sign")).otherwise(lit(0L)))
         .as(nnCol(c)))) :+ sum(col("_g_sign")).as("_cnt")
+    // Drop all-zero delta rows: a content-preserving base rewrite
+    // (compaction, z-order, DV/eq purge) shows up in the file-diff
+    // changelog as DELETE+INSERT pairs of identical rows, whose signed
+    // contributions cancel exactly — without this filter a full base
+    // compaction would rewrite every view bucket with identical content.
+    // A group row is a no-op iff every tracked partial nets to zero (a
+    // NULL sum delta means no non-null contribution at all).
+    val noop = sumCols.map(c =>
+      (col(sumCol(c)).isNull || col(sumCol(c)) === lit(0)) &&
+        col(nnCol(c)) === lit(0L))
+      .foldLeft(col("_cnt") === lit(0L))(_ && _)
+    // The changelog replay (file diff + keyed join) feeds two separate
+    // actions — the touched-bucket collect and the commit's write job —
+    // persist the O(changed groups) delta so the replay runs once.
     val delta = signed.groupBy(keys.map(col): _*)
       .agg(deltaExprs.head, deltaExprs.tail: _*)
-
-    val touched = delta
-      .select(TableStore.bucketExpr(keys, am.numBuckets).as("b"))
-      .distinct().collect().map(_.getLong(0)).toSeq.sorted
-    if (touched.isEmpty) {
-      st.commitIncremental(st.readSnapshot(av).limit(0), Nil,
-        expectedParent = Some(av),
+      .filter(!noop).persist()
+    try {
+      val touched = delta
+        .select(TableStore.bucketExpr(keys, am.numBuckets).as("b"))
+        .distinct().collect().map(_.getLong(0)).toSeq.sorted
+      if (touched.isEmpty) {
+        // base moved but no group changed semantically (metadata-only,
+        // compaction, purge): just advance the watermark
+        st.commitIncremental(st.readSnapshot(av).limit(0), Nil,
+          expectedParent = Some(av),
+          props = am.props + (BaseVersionProp -> toV.toString))
+        movePin(base, name, toV)
+        return toV
+      }
+      // merge = union of (existing partials, delta partials) re-aggregated
+      // per group — NOT a join: GROUP BY treats a NULL group key as one
+      // group, while a key-equality join would split it into two rows. SUM
+      // over partials also preserves SQL NULL semantics for free (a stored
+      // all-NULL sum stays NULL until a non-null delta arrives).
+      val valueCols = sumCols.flatMap(c => Seq(sumCol(c), nnCol(c))) :+ "_cnt"
+      val shape = keys.map(col) ++ valueCols.map(c =>
+        col(c).cast(am.schema(c).dataType).as(c))
+      val combined = st.readBuckets(touched, av).select(shape: _*)
+        .unionByName(delta.select(shape: _*))
+      val mergeExprs = valueCols.map(c =>
+        // cast keeps the CREATE-time column type: sum() widens decimals per
+        // merge, and commitIncremental rejects schema drift
+        sum(col(c)).cast(am.schema(c).dataType).as(c))
+      val merged = combined.groupBy(keys.map(col): _*)
+        .agg(mergeExprs.head, mergeExprs.tail: _*)
+        .filter(col("_cnt") > 0L)
+      st.commitIncremental(merged, touched, expectedParent = Some(av),
         props = am.props + (BaseVersionProp -> toV.toString))
-      return toV
-    }
-    // merge = union of (existing partials, delta partials) re-aggregated
-    // per group — NOT a join: GROUP BY treats a NULL group key as one
-    // group, while a key-equality join would split it into two rows. SUM
-    // over partials also preserves SQL NULL semantics for free (a stored
-    // all-NULL sum stays NULL until a non-null delta arrives).
-    val valueCols = sumCols.flatMap(c => Seq(sumCol(c), nnCol(c))) :+ "_cnt"
-    val shape = keys.map(col) ++ valueCols.map(c =>
-      col(c).cast(am.schema(c).dataType).as(c))
-    val combined = st.readBuckets(touched, av).select(shape: _*)
-      .unionByName(delta.select(shape: _*))
-    val mergeExprs = valueCols.map(c =>
-      // cast keeps the CREATE-time column type: sum() widens decimals per
-      // merge, and commitIncremental rejects schema drift
-      sum(col(c)).cast(am.schema(c).dataType).as(c))
-    val merged = combined.groupBy(keys.map(col): _*)
-      .agg(mergeExprs.head, mergeExprs.tail: _*)
-      .filter(col("_cnt") > 0L)
-    st.commitIncremental(merged, touched, expectedParent = Some(av),
-      props = am.props + (BaseVersionProp -> toV.toString))
-    toV
+      movePin(base, name, toV)
+      toV
+    } finally { delta.unpersist(); () }
   }
 
   /** The view with SQL aggregate semantics restored: `SUM(c)` is NULL for
@@ -155,8 +239,10 @@ object MaterializedAgg {
 
   /** Delete the view (files + manifests); the base is untouched. */
   def drop(base: TableStore, name: String): Boolean = {
+    requireMain(base)
     require(TableStore.RefNameOk.pattern.matcher(name).matches(),
       s"aggregate view name must match [A-Za-z0-9._-]{1,128}, got '$name'")
+    dropPins(base, name) // release the materialized-snapshot pins
     val p = new org.apache.hadoop.fs.Path(s"${base.root}/agg/$name")
     val fs = p.getFileSystem(base.spark.sparkContext.hadoopConfiguration)
     fs.delete(p, true)

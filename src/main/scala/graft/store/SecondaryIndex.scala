@@ -104,8 +104,21 @@ object SecondaryIndex {
     * projection, bucketed on `indexKeys`. The base's primary (bucket) keys
     * are always carried (DynamoDB projects the table keys into every GSI);
     * `projection` adds covered non-key columns. */
+  /** Indexes are derivatives of MAIN: they live under the shared
+    * `<root>/index/` tree and record watermarks in main's snapshot
+    * numbering, while a branch view's versions overlap main's numbering
+    * past the fork — a refresh against a branch head would corrupt the
+    * shared index for every main reader (and its pins would tag the wrong
+    * snapshots). Branch commits reach the index after publish, through
+    * the next main refresh. */
+  private def requireMain(base: TableStore): Unit =
+    require(base.branch.isEmpty,
+      s"secondary indexes are maintained against MAIN, not branch " +
+        s"'${base.branch.getOrElse("")}'; publish the branch first")
+
   def create(base: TableStore, name: String, indexKeys: Seq[String],
       projection: Seq[String] = Nil, numBuckets: Int = 16): Long = {
+    requireMain(base)
     val bv = base.currentVersion()
     require(bv >= 0, "cannot index an empty table")
     val bm = base.manifest(bv)
@@ -133,6 +146,7 @@ object SecondaryIndex {
   /** Delete the index outright (files + manifests). Returns whether it
     * existed. The base table is untouched. */
   def drop(base: TableStore, name: String): Boolean = {
+    requireMain(base)
     require(TableStore.RefNameOk.pattern.matcher(name).matches(),
       s"index name must match [A-Za-z0-9._-]{1,128}, got '$name'")
     dropPins(base, name) // release the indexed-snapshot pins
@@ -148,6 +162,7 @@ object SecondaryIndex {
     * version the index now reflects. Idempotent: a refresh with no base
     * movement is a no-op. */
   def refresh(base: TableStore, name: String): Long = {
+    requireMain(base)
     val idx = indexStore(base, name)
     val iv = idx.currentVersion()
     require(iv >= 0, s"index '$name' does not exist; create it first")

@@ -220,6 +220,7 @@ object StreamingOps {
       retentionMs: Long = 0L,
       maxDvFiles: Int = 8,
       refreshIndexes: Boolean = true,
+      refreshAggs: Boolean = true,
       branchMaxAgeMs: Long = 0L)
 
   /** One maintenance pass (shared by the stream loop and direct callers). */
@@ -233,9 +234,21 @@ object StreamingOps {
     // BEFORE expiry runs below, so the changelog base never expires
     // mid-loop. Maintenance rewrites (compact/purge) diff to zero net
     // changes in refresh, so ordering ahead of them costs nothing.
-    if (policy.refreshIndexes)
+    // …but NEVER against a branch view: indexes/aggs are derivatives of
+    // MAIN (shared `<root>/index|agg/` trees, main-numbered watermarks); a
+    // branch-head refresh would corrupt them for every main reader. A
+    // branch CDC loop's staged commits reach them after publish, through
+    // the next main-side maintenance pass.
+    if (policy.refreshIndexes && store.branch.isEmpty)
       graft.store.SecondaryIndex.list(store)
         .foreach(n => graft.store.SecondaryIndex.refresh(store, n))
+    // materialized aggregate views ride the same cadence and the same pin
+    // discipline; signed-delta replay makes a maintenance rewrite a
+    // watermark-only advance (all-zero deltas are filtered), so ordering
+    // ahead of compaction/purge costs nothing here either
+    if (policy.refreshAggs && store.branch.isEmpty)
+      graft.store.MaterializedAgg.list(store)
+        .foreach(n => graft.store.MaterializedAgg.refresh(store, n))
     // MOR loop hygiene first: stacked delete vectors past the threshold are
     // folded into clean data files (targeted rewrite of DV'd files only) —
     // restores byte-stock read plans and bounds the read tax under a
@@ -257,12 +270,19 @@ object StreamingOps {
         store.commitIncremental(content, fat, expectedParent = Some(cur))
       }
     }
-    // branch retention BEFORE the vacuum: a dropped branch's exclusive
-    // files become unreferenced exactly in time for this pass's sweep
-    if (policy.branchMaxAgeMs > 0)
-      store.expireBranches(policy.branchMaxAgeMs, force = true)
-    if (policy.retentionMs > 0) store.vacuumOlderThan(policy.retentionMs)
-    store.vacuum(policy.keepSnapshots)
+    // GC is MAIN-scoped: a branch view refuses vacuum/expiry by design
+    // (deleting shared state from a fork view would pull files out from
+    // under main), so a branch CDC loop's cadence runs the hygiene commits
+    // above (purge, fat-bucket compaction — branch-local, content
+    // preserving) and leaves retention to the main-side cadence
+    if (store.branch.isEmpty) {
+      // branch retention BEFORE the vacuum: a dropped branch's exclusive
+      // files become unreferenced exactly in time for this pass's sweep
+      if (policy.branchMaxAgeMs > 0)
+        store.expireBranches(policy.branchMaxAgeMs, force = true)
+      if (policy.retentionMs > 0) store.vacuumOlderThan(policy.retentionMs)
+      store.vacuum(policy.keepSnapshots)
+    }
     ()
   }
 

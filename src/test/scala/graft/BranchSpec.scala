@@ -391,4 +391,46 @@ class BranchSpec extends SparkSuite {
       assert(out.size == 5001)
     } finally spark.conf.unset("spark.graft.manifest.inlineThreshold")
   }
+
+  test("index/agg maintenance is refused on a branch view, skipped by " +
+      "the cadence, and catches up after publish") {
+    import graft.store.{MaterializedAgg, SecondaryIndex}
+    import graft.streaming.StreamingOps
+    val store = freshStore()
+    store.commitBucketed(
+      (1L to 200L).map(k => (k, s"g${k % 5}", k * 2)).toDF("k", "g", "n"),
+      keys = Seq("k"), numBuckets = 8)
+    SecondaryIndex.create(store, "by_g", Seq("g"), Seq("n"), 4)
+    MaterializedAgg.create(store, "v", Seq("g"), Seq("n"), 4)
+    store.createBranch("feed")
+    val br = store.forBranch("feed")
+    br.upsertEq(Seq((7L, "g_new", 700L, "PUT"), (201L, "g_new", 4L, "PUT"))
+      .toDF("k", "g", "n", "op"))
+    // direct refresh against a branch head must refuse loudly: the shared
+    // index/agg trees record watermarks in MAIN's numbering, which the
+    // branch's post-fork versions overlap
+    assert(intercept[IllegalArgumentException](
+      SecondaryIndex.refresh(br, "by_g")).getMessage.contains("MAIN"))
+    assert(intercept[IllegalArgumentException](
+      MaterializedAgg.refresh(br, "v")).getMessage.contains("MAIN"))
+    // a branch CDC loop's maintenance pass SKIPS the derivative refresh
+    // instead of dying (or corrupting): watermarks stay at the fork state
+    StreamingOps.maintain(br, StreamingOps.CdcMaintenance(keepSnapshots = 5))
+    val aggSt = MaterializedAgg.aggStore(store, "v")
+    val am = aggSt.manifest(aggSt.currentVersion())
+    assert(am.props("graft.agg.base-version").toLong == 0L,
+      "branch maintenance must not advance the shared view watermark")
+    // after publish the branch commits reach the derivatives through a
+    // normal main-side refresh
+    store.fastForward("feed")
+    SecondaryIndex.refresh(store, "by_g")
+    MaterializedAgg.refresh(store, "v")
+    val expect = store.readSnapshot().groupBy("g")
+      .agg(sum("n").as("sum_n"), count(lit(1)).as("_cnt"))
+      .collect().map(_.mkString("|")).sorted.toSeq
+    assert(MaterializedAgg.read(store, "v").select("g", "sum_n", "_cnt")
+      .collect().map(_.mkString("|")).sorted.toSeq == expect)
+    assert(SecondaryIndex.lookup(store, "by_g", col("g") === "g_new")
+      .count() == 2L)
+  }
 }

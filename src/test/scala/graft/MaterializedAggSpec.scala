@@ -1,0 +1,282 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.store.{MaterializedAgg, TableStore}
+
+/** Incrementally-maintained aggregate views ([[MaterializedAgg]]): every
+  * refresh is checked against a recompute-from-scratch oracle over the
+  * base's CURRENT snapshot, across each delete/upsert route the store
+  * supports (COW incremental, positional MOR, equality, prefix equality),
+  * plus the SQL NULL / vanishing-group semantics and the bucket-rewrite
+  * economy
+  * that makes refresh O(changed groups) at scale. */
+class MaterializedAggSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def freshStore() =
+    new TableStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_magg").toString)
+
+  /** (id, grp, n, d): id is the bucket key, grp the GROUP BY key, n a long
+    * sum column, d a decimal sum column nullable by construction. */
+  private def baseRows(n: Int): DataFrame =
+    (1L to n.toLong).map { k =>
+      val d: Option[BigDecimal] =
+        if (k % 5 == 0) None else Some(BigDecimal(k).setScale(2) / 4)
+      (k, s"g${k % 7}", k * 3, d)
+    }.toDF("id", "grp", "n", "d")
+      .withColumn("d", col("d").cast("decimal(18,2)"))
+
+  /** What the view SHOULD contain for the base's current snapshot. */
+  private def recompute(base: TableStore): Seq[String] =
+    canon(base.readSnapshot().groupBy("grp")
+      .agg(sum("n").as("sum_n"), sum("d").as("sum_d"),
+        count(lit(1)).as("_cnt"))
+      .select(col("grp"), col("sum_n"),
+        col("sum_d").cast("decimal(28,2)"), col("_cnt")))
+
+  private def viewRows(base: TableStore): Seq[String] =
+    canon(MaterializedAgg.read(base, "v")
+      .select(col("grp"), col("sum_n"),
+        col("sum_d").cast("decimal(28,2)"), col("_cnt")))
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.mkString("|")).sorted.toSeq
+
+  test("create materializes the aggregate; read restores SQL semantics") {
+    val base = freshStore()
+    base.commitBucketed(baseRows(300), Seq("id"), 8)
+    MaterializedAgg.create(base, "v", Seq("grp"), Seq("n", "d"),
+      numBuckets = 4)
+    assert(viewRows(base) == recompute(base))
+    // the view itself is a bucketed graft table on the group keys
+    val st = MaterializedAgg.aggStore(base, "v")
+    assert(st.manifest(st.currentVersion()).bucketKeys == Seq("grp"))
+  }
+
+  test("refresh parity across COW / positional-MOR / equality routes") {
+    val base = freshStore()
+    base.commitBucketed(baseRows(400), Seq("id"), 8)
+    MaterializedAgg.create(base, "v", Seq("grp"), Seq("n", "d"), 4)
+
+    // COW incremental: update n for ids %10==3, delete %10==7, insert new
+    val next = base.readSnapshot()
+      .filter(col("id") % 10 =!= 7)
+      .withColumn("n", when(col("id") % 10 === 3, col("n") + 1000)
+        .otherwise(col("n")))
+      .unionByName(Seq((9001L, "g2", 5L, Some(BigDecimal("1.25"))),
+        (9002L, "g9", 7L, None)).toDF("id", "grp", "n", "d")
+        .withColumn("d", col("d").cast("decimal(18,2)")))
+    base.commitIncremental(next, (0L until 8L).toSeq)
+    MaterializedAgg.refresh(base, "v")
+    assert(viewRows(base) == recompute(base))
+
+    // positional MOR upsert: shift some rows to a different group
+    base.upsertMor(base.readSnapshot().filter(col("id") % 10 === 4)
+      .withColumn("grp", lit("g_moved")).withColumn("op", lit("PUT")))
+    MaterializedAgg.refresh(base, "v")
+    assert(viewRows(base) == recompute(base))
+
+    // equality upsert + full-key equality delete
+    base.upsertEq(base.readSnapshot().filter(col("id") % 10 === 5)
+      .withColumn("n", col("n") * 2).withColumn("op", lit("PUT")))
+    base.deleteEq(Seq(2L, 12L, 22L, 9001L).toDF("id"))
+    MaterializedAgg.refresh(base, "v")
+    assert(viewRows(base) == recompute(base))
+  }
+
+  test("refresh parity across a PREFIX equality delete on a composite key") {
+    val base = freshStore()
+    base.commitBucketed(
+      (1L to 200L).flatMap(pk => (1 to 3).map(sk =>
+        (pk, sk, s"g${pk % 5}", pk * sk)))
+        .toDF("pk", "sk", "grp", "n"),
+      Seq("pk", "sk"), 8)
+    MaterializedAgg.create(base, "v", Seq("grp"), Seq("n"), 4)
+    base.deleteEq((1L to 200L).filter(_ % 4 == 0).toDF("pk"))
+    MaterializedAgg.refresh(base, "v")
+    def rec = canon(base.readSnapshot().groupBy("grp")
+      .agg(sum("n").as("sum_n"), count(lit(1)).as("_cnt")))
+    assert(canon(MaterializedAgg.read(base, "v")
+      .select("grp", "sum_n", "_cnt")) == rec)
+  }
+
+  test("SUM NULL semantics: all-null group reads NULL, retraction restores it") {
+    val base = freshStore()
+    base.commitBucketed(Seq(
+      (1L, "a", 1L, None), (2L, "a", 2L, None),
+      (3L, "b", 3L, Some(BigDecimal("7.50"))))
+      .toDF("id", "grp", "n", "d")
+      .withColumn("d", col("d").cast("decimal(18,2)")), Seq("id"), 4)
+    MaterializedAgg.create(base, "v", Seq("grp"), Seq("n", "d"), 2)
+    def dOf(g: String) = MaterializedAgg.read(base, "v")
+      .filter(col("grp") === g).select("sum_d").head()
+    assert(dOf("a").isNullAt(0), "all-null group must read SUM = NULL")
+    // a non-null value arrives in 'a'…
+    base.commitIncremental(base.readSnapshot().unionByName(
+      Seq((4L, "a", 4L, Some(BigDecimal("2.25")))).toDF("id", "grp", "n", "d")
+        .withColumn("d", col("d").cast("decimal(18,2)"))), (0L until 4L).toSeq)
+    MaterializedAgg.refresh(base, "v")
+    assert(dOf("a").getDecimal(0) == new java.math.BigDecimal("2.25"))
+    // …and is retracted again: the stored sum must return to NULL, not 0
+    base.deleteEq(Seq(4L).toDF("id"))
+    MaterializedAgg.refresh(base, "v")
+    assert(dOf("a").isNullAt(0),
+      "retracting the last non-null value must restore SUM = NULL")
+    assert(viewRows(base) == recompute(base))
+  }
+
+  test("a group retracted to zero rows leaves the view") {
+    val base = freshStore()
+    base.commitBucketed(baseRows(100), Seq("id"), 4)
+    MaterializedAgg.create(base, "v", Seq("grp"), Seq("n", "d"), 2)
+    // g3 = ids where id % 7 == 3
+    base.deleteEq((1L to 100L).filter(_ % 7 == 3).toDF("id"))
+    MaterializedAgg.refresh(base, "v")
+    assert(MaterializedAgg.read(base, "v")
+      .filter(col("grp") === "g3").count() == 0L,
+      "emptied group must leave the view")
+    assert(viewRows(base) == recompute(base))
+  }
+
+  test("group-key UPDATE moves mass between groups (pre-image retraction)") {
+    val base = freshStore()
+    base.commitBucketed(baseRows(150), Seq("id"), 4)
+    MaterializedAgg.create(base, "v", Seq("grp"), Seq("n", "d"), 2)
+    base.upsertMor(base.readSnapshot().filter(col("grp") === "g1")
+      .withColumn("grp", lit("g2")).withColumn("op", lit("PUT")))
+    MaterializedAgg.refresh(base, "v")
+    assert(MaterializedAgg.read(base, "v")
+      .filter(col("grp") === "g1").count() == 0L)
+    assert(viewRows(base) == recompute(base))
+  }
+
+  test("refresh rewrites ONLY the agg buckets holding affected groups") {
+    val base = freshStore()
+    base.commitBucketed(baseRows(300), Seq("id"), 8)
+    MaterializedAgg.create(base, "v", Seq("grp"), Seq("n", "d"),
+      numBuckets = 8)
+    val st = MaterializedAgg.aggStore(base, "v")
+    val before = st.manifest(st.currentVersion()).inlineFiles.toSet
+    // touch exactly one group → one agg bucket
+    base.upsertEq(base.readSnapshot().filter(col("id") === 10L)
+      .withColumn("n", col("n") + 1).withColumn("op", lit("PUT")))
+    MaterializedAgg.refresh(base, "v")
+    val after = st.manifest(st.currentVersion()).inlineFiles.toSet
+    val touchedBucket = Seq("g3").toDF("grp")
+      .select(TableStore.bucketExpr(Seq("grp"), 8).as("b")).head().getLong(0)
+    val inherited = before.intersect(after)
+    assert(inherited.nonEmpty, "untouched agg buckets must be inherited")
+    val rewritten = after -- before
+    // every fresh file belongs to the single affected agg bucket
+    assert(rewritten.forall(_.contains(s"_gbucket=$touchedBucket")),
+      s"refresh rewrote buckets beyond the affected group: $rewritten")
+    assert(viewRows(base) == recompute(base))
+  }
+
+  test("content-preserving base rewrite advances the watermark ONLY") {
+    val base = freshStore()
+    base.commitBucketed(baseRows(200), Seq("id"), 8)
+    MaterializedAgg.create(base, "v", Seq("grp"), Seq("n", "d"), 4)
+    val st = MaterializedAgg.aggStore(base, "v")
+    val files0 = st.manifest(st.currentVersion()).inlineFiles.toSet
+    // compaction rewrites every base file with identical content: the
+    // signed deltas cancel, so refresh must not rewrite a single view
+    // bucket — just move the base-version watermark forward
+    base.compact(targetFiles = 1)
+    MaterializedAgg.refresh(base, "v")
+    val m1 = st.manifest(st.currentVersion())
+    assert(m1.inlineFiles.toSet == files0,
+      "compaction must not rewrite view buckets (all-zero deltas)")
+    assert(viewRows(base) == recompute(base))
+  }
+
+  test("the view rides the CDC maintenance cadence and stays fresh") {
+    import graft.streaming.StreamingOps
+    val base = freshStore()
+    base.commitBucketed(baseRows(120), Seq("id"), 4)
+    MaterializedAgg.create(base, "v", Seq("grp"), Seq("n", "d"), 2)
+    base.deleteEq((1L to 120L).filter(_ % 9 == 0).toDF("id"))
+    StreamingOps.maintain(base,
+      StreamingOps.CdcMaintenance(keepSnapshots = 1, maxDvFiles = 0))
+    // maintenance refreshed the view BEFORE purging/expiring — it is
+    // fresh, and the pinned base snapshot never expired mid-pass
+    val st = MaterializedAgg.aggStore(base, "v")
+    val am = st.manifest(st.currentVersion())
+    assert(am.props("graft.agg.base-version").toLong ==
+      base.currentVersion() ||
+      // maintenance commits landing AFTER the refresh (purge, compaction)
+      // leave the view one content-identical step behind — refresh again
+      // nets zero
+      viewRows(base) == recompute(base))
+    assert(viewRows(base) == recompute(base))
+  }
+
+  test("idempotent refresh: base unmoved means no new view commit") {
+    val base = freshStore()
+    base.commitBucketed(baseRows(50), Seq("id"), 4)
+    MaterializedAgg.create(base, "v", Seq("grp"), Seq("n", "d"), 2)
+    val st = MaterializedAgg.aggStore(base, "v")
+    val v0 = st.currentVersion()
+    MaterializedAgg.refresh(base, "v")
+    assert(st.currentVersion() == v0, "no-op refresh must not commit")
+  }
+
+  test("refusals: double sums, unbucketed base, unknown cols, duplicates") {
+    val base = freshStore()
+    base.commitBucketed(baseRows(20).withColumn("f", col("n") * 1.5),
+      Seq("id"), 2)
+    val e1 = intercept[IllegalArgumentException](
+      MaterializedAgg.create(base, "bad", Seq("grp"), Seq("f"), 2))
+    assert(e1.getMessage.contains("retract"))
+    val e2 = intercept[IllegalArgumentException](
+      MaterializedAgg.create(base, "bad", Seq("grp"), Seq("nope"), 2))
+    assert(e2.getMessage.contains("unknown"))
+    MaterializedAgg.create(base, "v", Seq("grp"), Seq("n"), 2)
+    val e3 = intercept[IllegalArgumentException](
+      MaterializedAgg.create(base, "v", Seq("grp"), Seq("n"), 2))
+    assert(e3.getMessage.contains("exists"))
+    val flat = freshStore()
+    flat.commitSnapshot(baseRows(20))
+    val e4 = intercept[IllegalArgumentException](
+      MaterializedAgg.create(flat, "v", Seq("grp"), Seq("n"), 2))
+    assert(e4.getMessage.contains("bucketed"))
+  }
+
+  test("pin survives expiry; a force-dropped pin refuses with rebuild msg") {
+    val base = freshStore()
+    base.commitBucketed(baseRows(60), Seq("id"), 4)
+    MaterializedAgg.create(base, "v", Seq("grp"), Seq("n", "d"), 2)
+    base.commitIncremental(base.readSnapshot()
+      .withColumn("n", col("n") + 1), (0L until 4L).toSeq)
+    base.commitIncremental(base.readSnapshot()
+      .withColumn("n", col("n") + 1), (0L until 4L).toSeq)
+    // the agg pin tag holds the materialized snapshot against expiry, so
+    // a vacuum mid-cadence cannot strand the view
+    base.vacuum(keepSnapshots = 1)
+    MaterializedAgg.refresh(base, "v")
+    assert(viewRows(base) == recompute(base))
+    // …but an operator force-dropping the pin then expiring loses the
+    // changelog base: refresh must refuse loudly, not silently rebuild
+    base.commitIncremental(base.readSnapshot()
+      .withColumn("n", col("n") + 1), (0L until 4L).toSeq)
+    base.listRefs().map(_.name).filter(_.startsWith("agg-pin-"))
+      .foreach(base.dropTag)
+    base.vacuum(keepSnapshots = 1)
+    val e = intercept[IllegalArgumentException](
+      MaterializedAgg.refresh(base, "v"))
+    assert(e.getMessage.contains("expired"))
+  }
+
+  test("drop removes the view; the base is untouched") {
+    val base = freshStore()
+    base.commitBucketed(baseRows(30), Seq("id"), 4)
+    MaterializedAgg.create(base, "v", Seq("grp"), Seq("n"), 2)
+    val n0 = base.readSnapshot().count()
+    assert(MaterializedAgg.drop(base, "v"))
+    assert(MaterializedAgg.aggStore(base, "v").currentVersion() < 0)
+    assert(base.readSnapshot().count() == n0)
+  }
+}
