@@ -110,6 +110,13 @@ object MaterializedAgg {
     require(groupBy.nonEmpty, "materialized aggregate needs GROUP BY keys")
     val unknown = (groupBy ++ sumCols).filterNot(bm.schema.fieldNames.contains)
     require(unknown.isEmpty, s"aggregate references unknown columns: $unknown")
+    // the view's internal bookkeeping names must not collide with group
+    // keys (groupBy("sum_n").agg(sum("n").as("sum_n")) would be ambiguous)
+    val internal = sumCols.flatMap(c => Seq(sumCol(c), nnCol(c))) :+ "_cnt"
+    val clash = internal.filter(groupBy.contains)
+    require(clash.isEmpty,
+      s"group keys collide with the view's internal columns: $clash " +
+        "(rename the base column or exclude it)")
     sumCols.foreach { c =>
       bm.schema(c).dataType match {
         case LongType | org.apache.spark.sql.types.IntegerType |
@@ -161,13 +168,23 @@ object MaterializedAgg {
         "(pin the snapshot with a tag to prevent this)")
     val keys = am.bucketKeys
     val sumCols = am.props(SumColsProp).split(',').filter(_.nonEmpty).toSeq
-    val changes = base.readChangelog(fromV, toV, updatePreImages = true)
-
-    val signed = changes.withColumn("_g_sign",
-      when(col("_change_type").isin("INSERT", "UPDATE_POST"), lit(1L))
-        .otherwise(lit(-1L)))
+    // UN-JOINED changelog halves: the signed-delta aggregation needs no
+    // INSERT/UPDATE/DELETE classification — a pre-image row contributes
+    // −row, a post-image row +row, and carry-over rows from
+    // content-preserving rewrites cancel inside the partial aggregation.
+    // Skipping readChangelog's keyed full-outer join (its heaviest
+    // operation — a shuffle join over every row of every changed file)
+    // turns refresh into two file-pruned reads + ONE map-side-combined
+    // aggregation of O(changed-file rows) → O(changed groups) partials.
+    val (preF, postF) = base.changelogFrames(fromV, toV)
+    val signed = preF.withColumn("_g_sign", lit(-1L))
+      .unionByName(postF.withColumn("_g_sign", lit(1L)))
+    // sign by NEGATION, not multiplication: -decimal(p,s) keeps (p,s)
+    // while decimal × bigint inflates to (38,s), whose later cast back to
+    // the stored type could overflow-to-null silently
     val deltaExprs = sumCols.flatMap(c => Seq(
-      sum(when(col(c).isNotNull, col(c) * col("_g_sign"))
+      sum(when(col(c).isNotNull,
+        when(col("_g_sign") > 0, col(c)).otherwise(-col(c)))
         .otherwise(lit(null))).as(sumCol(c)),
       sum(when(col(c).isNotNull, col("_g_sign")).otherwise(lit(0L)))
         .as(nnCol(c)))) :+ sum(col("_g_sign")).as("_cnt")

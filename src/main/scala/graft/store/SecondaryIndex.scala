@@ -176,26 +176,28 @@ object SecondaryIndex {
     val bm = base.manifest(toV)
     val indexKeys = im.bucketKeys
     val cols = im.schema.fieldNames.filterNot(_ == "_gbucket").toSeq
-    val changes = base.readChangelog(fromV, toV, updatePreImages = true)
-
     // retractions carry the OLD index-key value; assertions the NEW one —
     // together they name every index bucket whose content changes. The
-    // changelog is a FILE diff, so content-preserving maintenance commits
-    // (compact, z-order, DV purge) emit every rewritten row as a
-    // DELETE+INSERT pair with identical content — except() both ways keeps
-    // only the NET changes, making index refresh across a maintenance
-    // cadence O(real changes), not O(compacted rows). Set semantics are
-    // sound here: the base is keyed (one live row per primary key).
-    val rawPre = changes.filter(col("_change_type").isin("DELETE", "UPDATE_PRE"))
-      .select(cols.map(col): _*)
-    val rawPost = changes.filter(col("_change_type").isin("INSERT", "UPDATE_POST"))
-      .select(cols.map(col): _*)
-    // The changelog's file diff + keyed full-outer join + the two excepts
-    // are the expensive half of a refresh, and BOTH net-change frames are
-    // consumed by two separate actions (the touched-bucket collect and the
-    // commit's write job) — persist them so the replay runs once, not
-    // twice. Net changes are O(changed rows), so the cache is small by the
-    // same argument that makes the refresh incremental.
+    // changelog halves are a FILE diff, so content-preserving maintenance
+    // commits (compact, z-order, DV purge) emit every rewritten row on
+    // both sides with identical content — except() both ways keeps only
+    // the NET changes, making index refresh across a maintenance cadence
+    // O(real changes), not O(compacted rows). The UN-JOINED frames suffice
+    // (readChangelog's keyed full-outer join only CLASSIFIES changes —
+    // its heaviest operation, and the excepts re-derive the same netting
+    // on the index projection): an update touching only non-index columns
+    // nets out at the projection, exactly as the classified shape did.
+    // Set semantics are sound here: the base is keyed (one live row per
+    // primary key).
+    val (preFrame, postFrame) = base.changelogFrames(fromV, toV)
+    val rawPre = preFrame.select(cols.map(col): _*)
+    val rawPost = postFrame.select(cols.map(col): _*)
+    // The changelog's file diff + the two excepts are the expensive half
+    // of a refresh, and BOTH net-change frames are consumed by two
+    // separate actions (the touched-bucket collect and the commit's write
+    // job) — persist them so the replay runs once, not twice. Net changes
+    // are O(changed rows), so the cache is small by the same argument
+    // that makes the refresh incremental.
     val pre = rawPre.except(rawPost).persist()
     val post = rawPost.except(rawPre).persist()
     try {

@@ -826,18 +826,24 @@ class TableStore(val spark: SparkSession, val root: String,
     * here (bucketed CDC, row-level DML, compact). A bare [[commitAppend]] of
     * a key that already exists elsewhere reports that key as INSERT (append
     * is a bag operation; keyed tables are maintained through the CDC paths). */
-  def readChangelog(fromVersion: Long, toVersion: Long = -1L,
-      keyCols: Seq[String] = Nil, updatePreImages: Boolean = false): DataFrame = {
+  /** The changelog's UN-JOINED halves: rows whose containing file (or
+    * delete-mask view of it) differs between the two snapshots — the
+    * pre-image side read under `fromVersion`'s delete view and aligned to
+    * the newer schema, the post-image side read under `toVersion`'s.
+    *
+    * This is the SIGNED-DELTA surface: a consumer that only needs
+    * `-pre + post` contributions (an incremental aggregate) unions the
+    * halves with signs and lets partial aggregation collapse them —
+    * carry-over rows from content-preserving rewrites cancel in the sum,
+    * so the keyed full-outer join [[readChangelog]] builds to CLASSIFY
+    * changes (its single heaviest operation) is skipped entirely. */
+  def changelogFrames(fromVersion: Long,
+      toVersion: Long = -1L): (DataFrame, DataFrame) = {
     import org.apache.spark.sql.functions._
     val fv = resolveVersion(fromVersion)
     val tv = resolveVersion(toVersion)
     val fm = manifest(fv)
     val tm = manifest(tv)
-    val keys = if (keyCols.nonEmpty) keyCols else tm.bucketKeys
-    require(keys.nonEmpty,
-      "changelog needs key columns: a bucketed table or explicit keyCols")
-    require(keys.forall(tm.schema.fieldNames.contains),
-      s"changelog keys $keys not in table schema")
     val (added0, removed0) = changedFilesBetween(fv, tv)
     // Delete vectors change a file's EFFECTIVE content without touching its
     // path: rows masked by DV files that differ between the two snapshots
@@ -936,6 +942,19 @@ class TableStore(val spark: SparkSession, val root: String,
       else df.withColumn(f.name, lit(null).cast(f.dataType))
     }.select(tm.schema.fieldNames.map(col): _*)
     val post = readFiles(tm, added)
+    (pre, post)
+  }
+
+  def readChangelog(fromVersion: Long, toVersion: Long = -1L,
+      keyCols: Seq[String] = Nil, updatePreImages: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val tm = manifest(resolveVersion(toVersion))
+    val keys = if (keyCols.nonEmpty) keyCols else tm.bucketKeys
+    require(keys.nonEmpty,
+      "changelog needs key columns: a bucketed table or explicit keyCols")
+    require(keys.forall(tm.schema.fieldNames.contains),
+      s"changelog keys $keys not in table schema")
+    val (pre, post) = changelogFrames(fromVersion, toVersion)
     val payload = tm.schema.fieldNames.filterNot(keys.contains).toSeq
     val preR = pre.select(keys.map(col) ++
       payload.map(c => col(c).as(s"_pre_$c")) :+

@@ -129,6 +129,19 @@ object BenchHeavy {
         col("o_totalprice") + 3.0))
     }
     t("count_eq") { store.readSnapshot().count() }
+    // r9: incrementally-maintained aggregate view — create is the one
+    // O(base) pass; refresh replays the signed changelog frames of a
+    // SCATTERED eq upsert (worst case: every bucket affected), never a
+    // keyed join
+    t("agg_create") {
+      graft.store.MaterializedAgg.create(store, "by_cust_agg",
+        Seq("o_custkey"), Nil, numBuckets = 16)
+    }
+    t("upsert_eq2") {
+      store.upsertEq(upd.withColumn("o_totalprice",
+        col("o_totalprice") + 6.0))
+    }
+    t("agg_refresh") { graft.store.MaterializedAgg.refresh(store, "by_cust_agg") }
     // r9 additions: partial-key delete (zero base reads at any scale) and
     // the WAP rebase loop (fork -> stage -> main advances -> rebase ->
     // publish) on the 1.5M-row table
