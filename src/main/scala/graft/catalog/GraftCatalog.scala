@@ -235,15 +235,17 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     val schema = StructType(Seq(
       StructField("name", StringType), StructField("group_keys", StringType),
       StructField("sum_cols", StringType),
+      StructField("min_max_cols", StringType),
       StructField("materialized_base_version", LongType),
       StructField("current_base_version", LongType),
       StructField("stale", BooleanType)))
     val rows = graft.store.MaterializedAgg.status(store).map {
-      case (n, keys, sums, mat, cur) =>
+      case (n, keys, sums, mms, mat, cur) =>
         org.apache.spark.sql.catalyst.InternalRow(
           org.apache.spark.unsafe.types.UTF8String.fromString(n),
           org.apache.spark.unsafe.types.UTF8String.fromString(keys),
           org.apache.spark.unsafe.types.UTF8String.fromString(sums),
+          org.apache.spark.unsafe.types.UTF8String.fromString(mms),
           mat, cur, mat != cur)
     }.toArray[org.apache.spark.sql.catalyst.InternalRow]
     new MetaTable(s"${ident.name}$$aggs", schema, rows)

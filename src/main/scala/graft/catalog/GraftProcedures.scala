@@ -354,7 +354,8 @@ object GraftProcedures {
       ProcedureParameter.in("name", StringType).build(),
       ProcedureParameter.in("group_keys", StringType).build(),
       ProcedureParameter.in("sum_cols", StringType).defaultValue("''").build(),
-      ProcedureParameter.in("num_buckets", IntegerType).defaultValue("16").build())
+      ProcedureParameter.in("num_buckets", IntegerType).defaultValue("16").build(),
+      ProcedureParameter.in("min_max_cols", StringType).defaultValue("''").build())
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val store = storeFor(catalog, input.getUTF8String(0).toString)
       def csv(i: Int): Seq[String] =
@@ -364,7 +365,8 @@ object GraftProcedures {
       val buckets =
         if (input.numFields < 5 || input.isNullAt(4)) 16 else input.getInt(4)
       val bv = graft.store.MaterializedAgg.create(store,
-        input.getUTF8String(1).toString, csv(2), csv(3), buckets)
+        input.getUTF8String(1).toString, csv(2), csv(3), buckets,
+        minMaxCols = csv(5))
       result(
         StructType(Seq(StructField("base_version", LongType))), Array(bv))
     }

@@ -561,7 +561,7 @@ object SqlSurface {
       keys = Seq("o_orderkey"), numBuckets = 16)
     s.catalog.refreshTable(s"$cat.analytics.ord_mv")
     s.sql(s"CALL $cat.system.create_agg_view('analytics.ord_mv', " +
-      "'by_grp', 'cgrp,o_orderstatus', 'o_totalprice', 8)")
+      "'by_grp', 'cgrp,o_orderstatus', 'o_totalprice', 8, 'o_totalprice')")
     s.conf.set("spark.graft.delete.mode", "auto")
     try {
       s.sql(s"DELETE FROM $cat.analytics.ord_mv WHERE o_orderkey % 10 = 7")
@@ -585,9 +585,13 @@ object SqlSurface {
       "WHERE name = 'by_grp'").head().getBoolean(0),
       "$aggs must show the view fresh after refresh")
     s.sql(s"CALL $cat.system.agg_view('analytics.ord_mv', 'by_grp', 'ord_mv_agg')")
+    // the scattered DELETE retracted many groups' extrema — MIN/MAX here
+    // exercise the dirty-group rescan through the covering index
     s.sql(
       """SELECT cgrp, o_orderstatus, _cnt AS n,
-        |  CAST(sum_o_totalprice AS DOUBLE) AS total
+        |  CAST(sum_o_totalprice AS DOUBLE) AS total,
+        |  CAST(min_o_totalprice AS DOUBLE) AS min_price,
+        |  CAST(max_o_totalprice AS DOUBLE) AS max_price
         |FROM ord_mv_agg
         |ORDER BY cgrp ASC NULLS FIRST,
         |  o_orderstatus ASC NULLS FIRST""".stripMargin)
@@ -629,7 +633,9 @@ object SqlSurface {
         |  FROM after_upd WHERE o_orderkey % 10 = 2),
         |final AS (SELECT * FROM after_upd UNION ALL SELECT * FROM ins)
         |SELECT cgrp, o_orderstatus, COUNT(*) AS n,
-        |  CAST(SUM(p) AS DOUBLE) AS total
+        |  CAST(SUM(p) AS DOUBLE) AS total,
+        |  CAST(MIN(p) AS DOUBLE) AS min_price,
+        |  CAST(MAX(p) AS DOUBLE) AS max_price
         |FROM final GROUP BY cgrp, o_orderstatus
         |ORDER BY cgrp ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST"""
         .stripMargin,

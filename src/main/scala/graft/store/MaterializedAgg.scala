@@ -26,11 +26,30 @@ import org.apache.spark.sql.types.{DecimalType, LongType}
   * recompute — refused loudly). SQL NULL semantics are preserved: per sum
   * column the view tracks the non-null count and reads the sum back as
   * NULL when no non-null value remains; groups whose row count reaches 0
-  * leave the table. */
+  * leave the table.
+  *
+  * MIN/MAX (`minMaxCols`) maintain through a HYBRID protocol — the
+  * monotonic direction is a pure merge, the retractable direction a
+  * targeted rescan:
+  *  - inserts merge monotonically (`least`/`greatest` of stored and the
+  *    delta's net-positive extremes);
+  *  - a refresh marks a group DIRTY only when a net-NEGATIVE value ties
+  *    the stored extremum — netting is per (group, value) MULTISET
+  *    counts, so a carry-over of the minimum row during compaction nets
+  *    to zero (no dirt, the watermark-only property survives) while
+  *    retracting ONE of two duplicate minima nets to −1 (dirty, even
+  *    though the other copy keeps the min — only the rescan can know);
+  *  - dirty groups recompute from a COVERING secondary index on the GROUP
+  *    keys (auto-created at view creation, incrementally maintained by
+  *    the same cadence): the rescan reads only the index buckets the
+  *    dirty groups hash into — never the base — so a retracted extremum
+  *    costs O(dirty groups' index buckets) at any base size. */
 object MaterializedAgg {
 
   private val BaseVersionProp = "graft.agg.base-version"
   private val SumColsProp = "graft.agg.sum-cols"
+  private val MinMaxColsProp = "graft.agg.minmax-cols"
+  private val MmIndexProp = "graft.agg.minmax-index"
 
   /** The base-table tag pinning the snapshot the view reflects: refresh
     * replays the changelog FROM that snapshot, so expiry must not collect
@@ -74,32 +93,66 @@ object MaterializedAgg {
       .filter(n => aggStore(base, n).currentVersion() >= 0).sorted.toSeq
   }
 
-  /** Introspection row per view: (name, group keys, sum columns,
-    * materialized base version, current base version) — `stale` = the
-    * versions differ. */
-  def status(base: TableStore): Seq[(String, String, String, Long, Long)] = {
+  /** Introspection row per view: (name, group keys, sum columns, min/max
+    * columns, materialized base version, current base version) — `stale`
+    * = the versions differ. */
+  def status(base: TableStore)
+      : Seq[(String, String, String, String, Long, Long)] = {
     val cur = base.currentVersion()
     list(base).map { n =>
       val st = aggStore(base, n)
       val am = st.manifest(st.currentVersion())
       (n, am.bucketKeys.mkString(","),
         am.props.getOrElse(SumColsProp, ""),
+        am.props.getOrElse(MinMaxColsProp, ""),
         am.props(BaseVersionProp).toLong, cur)
     }
   }
 
   private def sumCol(c: String) = s"sum_$c"
   private def nnCol(c: String) = s"nn_$c"
+  private def minCol(c: String) = s"min_$c"
+  private def maxCol(c: String) = s"max_$c"
+  private[graft] def mmIndexName(name: String) = s"agg-mm-$name"
 
-  /** Internal materialized row shape: groupKeys ++ (sum_c, nn_c)* ++ _cnt. */
-  private def aggExprs(sumCols: Seq[String]): Seq[Column] =
-    sumCols.flatMap(c => Seq(
+  /** Internal materialized row shape:
+    * groupKeys ++ (sum_c, nn_c)* ++ (min_c, max_c)* ++ _cnt. */
+  private def aggExprs(sumCols: Seq[String],
+      minMaxCols: Seq[String]): Seq[Column] =
+    (sumCols.flatMap(c => Seq(
       sum(c).as(sumCol(c)),
-      count(col(c)).as(nnCol(c)))) :+ count(lit(1)).as("_cnt")
+      count(col(c)).as(nnCol(c)))) ++
+      minMaxCols.flatMap(c => Seq(
+        min(c).as(minCol(c)),
+        max(c).as(maxCol(c))))) :+ count(lit(1)).as("_cnt")
 
-  /** Materialize the view from the base's current snapshot. */
+  /** Null-safe key join: GROUP keys can be NULL, and a plain key-equality
+    * join would split the NULL group into unmatched halves. The right
+    * side's keys are renamed before joining (both frames often derive from
+    * the same lineage, where `l(k) === r(k)` is ambiguous), matched with
+    * `<=>`, and coalesced back for outer joins. */
+  private def nsJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+      how: String): DataFrame = {
+    val rr = keys.foldLeft(right)((df, k) => df.withColumnRenamed(k, s"_r_$k"))
+    val cond = keys.map(k => col(k) <=> col(s"_r_$k")).reduce(_ && _)
+    val joined = left.join(rr, cond, how)
+    if (how == "left_semi" || how == "left_anti") return joined
+    val keyCols = keys.map(k =>
+      (if (how == "full_outer" || how == "right_outer")
+        coalesce(col(k), col(s"_r_$k")) else col(k)).as(k))
+    val valueCols = (left.columns.filterNot(keys.contains) ++
+      right.columns.filterNot(keys.contains)).map(col(_))
+    joined.select(keyCols ++ valueCols: _*)
+  }
+
+  /** Materialize the view from the base's current snapshot. `minMaxCols`
+    * adds MIN/MAX aggregates maintained by the hybrid
+    * merge-or-rescan protocol — it auto-creates a covering secondary
+    * index on the GROUP keys (one extra O(base) pass at create time) for
+    * the dirty-group rescans. */
   def create(base: TableStore, name: String, groupBy: Seq[String],
-      sumCols: Seq[String], numBuckets: Int = 16): Long = {
+      sumCols: Seq[String], numBuckets: Int = 16,
+      minMaxCols: Seq[String] = Nil): Long = {
     requireMain(base)
     val bv = base.currentVersion()
     require(bv >= 0, "cannot materialize over an empty table")
@@ -108,11 +161,13 @@ object MaterializedAgg {
       "materialized aggregates require a bucketed (keyed) base table " +
         "(the changelog needs key identity)")
     require(groupBy.nonEmpty, "materialized aggregate needs GROUP BY keys")
-    val unknown = (groupBy ++ sumCols).filterNot(bm.schema.fieldNames.contains)
+    val unknown = (groupBy ++ sumCols ++ minMaxCols)
+      .filterNot(bm.schema.fieldNames.contains)
     require(unknown.isEmpty, s"aggregate references unknown columns: $unknown")
     // the view's internal bookkeeping names must not collide with group
     // keys (groupBy("sum_n").agg(sum("n").as("sum_n")) would be ambiguous)
-    val internal = sumCols.flatMap(c => Seq(sumCol(c), nnCol(c))) :+ "_cnt"
+    val internal = sumCols.flatMap(c => Seq(sumCol(c), nnCol(c))) ++
+      minMaxCols.flatMap(c => Seq(minCol(c), maxCol(c))) :+ "_cnt"
     val clash = internal.filter(groupBy.contains)
     require(clash.isEmpty,
       s"group keys collide with the view's internal columns: $clash " +
@@ -127,15 +182,39 @@ object MaterializedAgg {
             "addition); cast to DECIMAL in the base or exclude the column")
       }
     }
+    if (minMaxCols.nonEmpty) {
+      require(groupBy != bm.bucketKeys,
+        "MIN/MAX views need a covering index on the GROUP keys, which " +
+          "cannot equal the primary keys (and per-primary-key MIN = the " +
+          "value itself); drop minMaxCols or group differently")
+      val inGroup = minMaxCols.filter(groupBy.contains)
+      require(inGroup.isEmpty,
+        s"MIN/MAX over GROUP BY keys is the key itself: $inGroup")
+    }
     val st = aggStore(base, name)
     require(st.currentVersion() < 0, s"aggregate view '$name' already exists")
-    val exprs = aggExprs(sumCols)
-    st.commitBucketed(
-      base.readSnapshot(bv).groupBy(groupBy.map(col): _*)
-        .agg(exprs.head, exprs.tail: _*),
-      groupBy, numBuckets,
-      props = Map(BaseVersionProp -> bv.toString,
-        SumColsProp -> sumCols.mkString(",")))
+    // covering index FIRST (its own store under <root>/index/): the
+    // dirty-group rescan reads index buckets, never the base
+    if (minMaxCols.nonEmpty)
+      SecondaryIndex.create(base, mmIndexName(name), groupBy, minMaxCols,
+        numBuckets)
+    val exprs = aggExprs(sumCols, minMaxCols)
+    try {
+      st.commitBucketed(
+        base.readSnapshot(bv).groupBy(groupBy.map(col): _*)
+          .agg(exprs.head, exprs.tail: _*),
+        groupBy, numBuckets,
+        props = Map(BaseVersionProp -> bv.toString,
+          SumColsProp -> sumCols.mkString(","),
+          MinMaxColsProp -> minMaxCols.mkString(",")) ++
+          (if (minMaxCols.nonEmpty)
+            Map(MmIndexProp -> mmIndexName(name)) else Map.empty))
+    } catch { case e: Throwable =>
+      if (minMaxCols.nonEmpty)
+        try { SecondaryIndex.drop(base, mmIndexName(name)); () }
+        catch { case _: Exception => () }
+      throw e
+    }
     movePin(base, name, bv)
     bv
   }
@@ -168,6 +247,14 @@ object MaterializedAgg {
         "(pin the snapshot with a tag to prevent this)")
     val keys = am.bucketKeys
     val sumCols = am.props(SumColsProp).split(',').filter(_.nonEmpty).toSeq
+    val minMaxCols = am.props.getOrElse(MinMaxColsProp, "")
+      .split(',').filter(_.nonEmpty).toSeq
+    // keep the covering index in lockstep first — it is the dirty-group
+    // rescan's source (if the base advances between these two steps the
+    // rescan may see slightly newer rows; the next refresh converges —
+    // the same eventual-consistency contract the index itself carries)
+    if (minMaxCols.nonEmpty)
+      SecondaryIndex.refresh(base, am.props(MmIndexProp))
     // UN-JOINED changelog halves: the signed-delta aggregation needs no
     // INSERT/UPDATE/DELETE classification — a pre-image row contributes
     // −row, a post-image row +row, and carry-over rows from
@@ -177,8 +264,17 @@ object MaterializedAgg {
     // turns refresh into two file-pruned reads + ONE map-side-combined
     // aggregation of O(changed-file rows) → O(changed groups) partials.
     val (preF, postF) = base.changelogFrames(fromV, toV)
-    val signed = preF.withColumn("_g_sign", lit(-1L))
-      .unionByName(postF.withColumn("_g_sign", lit(1L)))
+    // project to the view's columns BEFORE the union, and PERSIST when
+    // several aggregations will consume the frames (the SUM delta plus
+    // one per-value netting pass per MIN/MAX column — without the cache
+    // each one re-reads every changed file)
+    val needed = (keys ++ sumCols ++ minMaxCols).distinct
+    val signed0 = preF.select(needed.map(col): _*)
+      .withColumn("_g_sign", lit(-1L))
+      .unionByName(postF.select(needed.map(col): _*)
+        .withColumn("_g_sign", lit(1L)))
+    val signed =
+      if (minMaxCols.isEmpty) signed0 else signed0.persist()
     // sign by NEGATION, not multiplication: -decimal(p,s) keeps (p,s)
     // while decimal × bigint inflates to (38,s), whose later cast back to
     // the stored type could overflow-to-null silently
@@ -199,12 +295,33 @@ object MaterializedAgg {
       (col(sumCol(c)).isNull || col(sumCol(c)) === lit(0)) &&
         col(nnCol(c)) === lit(0L))
       .foldLeft(col("_cnt") === lit(0L))(_ && _)
-    // The changelog replay (file diff + keyed join) feeds two separate
-    // actions — the touched-bucket collect and the commit's write job —
-    // persist the O(changed groups) delta so the replay runs once.
-    val delta = signed.groupBy(keys.map(col): _*)
+    val sumsDelta = signed.groupBy(keys.map(col): _*)
       .agg(deltaExprs.head, deltaExprs.tail: _*)
-      .filter(!noop).persist()
+      .filter(!noop)
+    // MIN/MAX netting is per (group, VALUE) MULTISET count: net > 0 values
+    // are merge candidates, net < 0 values are genuine retractions. A
+    // carry-over of the minimum row (compaction) nets to 0 and vanishes —
+    // the watermark-only property survives — while retracting one of two
+    // duplicate minima nets to −1 and correctly dirties the group even
+    // though the surviving duplicate keeps the min.
+    def mmNet(c: String): DataFrame =
+      signed.filter(col(c).isNotNull)
+        .groupBy((keys :+ c).map(col): _*)
+        .agg(sum(col("_g_sign")).as("_net"))
+        .filter(col("_net") =!= 0L)
+        .groupBy(keys.map(col): _*).agg(
+          min(when(col("_net") > 0, col(c))).as(minCol(c)),
+          max(when(col("_net") > 0, col(c))).as(maxCol(c)),
+          min(when(col("_net") < 0, col(c))).as(s"_negmin_$c"),
+          max(when(col("_net") < 0, col(c))).as(s"_negmax_$c"))
+    // The changelog replay feeds several actions (touched-bucket collect,
+    // dirty-bucket collect, the commit's write job) — persist the
+    // O(changed groups) delta so the replay runs once.
+    val delta = (if (minMaxCols.isEmpty) sumsDelta
+      else (sumsDelta +: minMaxCols.map(mmNet))
+        .reduce((a, b) => nsJoin(a, b, keys, "full_outer"))).persist()
+    val storedTouchedRef =
+      new java.util.concurrent.atomic.AtomicReference[DataFrame]()
     try {
       val touched = delta
         .select(TableStore.bucketExpr(keys, am.numBuckets).as("b"))
@@ -218,40 +335,116 @@ object MaterializedAgg {
         movePin(base, name, toV)
         return toV
       }
+      val storedTouched = st.readBuckets(touched, av).persist()
+      storedTouchedRef.set(storedTouched)
       // merge = union of (existing partials, delta partials) re-aggregated
       // per group — NOT a join: GROUP BY treats a NULL group key as one
       // group, while a key-equality join would split it into two rows. SUM
-      // over partials also preserves SQL NULL semantics for free (a stored
-      // all-NULL sum stays NULL until a non-null delta arrives).
-      val valueCols = sumCols.flatMap(c => Seq(sumCol(c), nnCol(c))) :+ "_cnt"
-      val shape = keys.map(col) ++ valueCols.map(c =>
-        col(c).cast(am.schema(c).dataType).as(c))
-      val combined = st.readBuckets(touched, av).select(shape: _*)
-        .unionByName(delta.select(shape: _*))
-      val mergeExprs = valueCols.map(c =>
+      // over partials preserves SQL NULL semantics for free (a stored
+      // all-NULL sum stays NULL until a non-null delta arrives), and
+      // MIN/MAX merge MONOTONICALLY the same way (min over stored min and
+      // the delta's net-positive min) — the retract direction is patched
+      // below by the dirty rescan.
+      val sumValueCols = sumCols.flatMap(c => Seq(sumCol(c), nnCol(c))) :+
+        "_cnt"
+      val mmValueCols = minMaxCols.flatMap(c => Seq(minCol(c), maxCol(c)))
+      val allValueCols = sumValueCols ++ mmValueCols
+      def shaped(df: DataFrame) =
+        df.select(keys.map(col) ++ allValueCols.map(c =>
+          col(c).cast(am.schema(c).dataType).as(c)): _*)
+      val combined = shaped(storedTouched).unionByName(shaped(delta))
+      val mergeExprs = sumValueCols.map(c =>
         // cast keeps the CREATE-time column type: sum() widens decimals per
         // merge, and commitIncremental rejects schema drift
-        sum(col(c)).cast(am.schema(c).dataType).as(c))
-      val merged = combined.groupBy(keys.map(col): _*)
+        sum(col(c)).cast(am.schema(c).dataType).as(c)) ++
+        minMaxCols.flatMap(c => Seq(
+          min(col(minCol(c))).cast(am.schema(minCol(c)).dataType)
+            .as(minCol(c)),
+          max(col(maxCol(c))).cast(am.schema(maxCol(c)).dataType)
+            .as(maxCol(c))))
+      val merged0 = combined.groupBy(keys.map(col): _*)
         .agg(mergeExprs.head, mergeExprs.tail: _*)
         .filter(col("_cnt") > 0L)
-      st.commitIncremental(merged, touched, expectedParent = Some(av),
+      // ---- dirty-group rescan: a net-negative value tying the stored
+      // extremum means the merge above may be stale — recompute exactly
+      // those groups from the covering index, reading only the index
+      // buckets they hash into (never the base)
+      val merged = if (minMaxCols.isEmpty) merged0 else {
+        val negCols = minMaxCols.flatMap(c =>
+          Seq(s"_negmin_$c", s"_negmax_$c"))
+        val storedMm = storedTouched.select(keys.map(col) ++
+          minMaxCols.flatMap(c => Seq(
+            col(minCol(c)).as(s"_st_min_$c"),
+            col(maxCol(c)).as(s"_st_max_$c"))): _*)
+        val withNeg = nsJoin(storedMm,
+          delta.select(keys.map(col) ++ negCols.map(col): _*), keys, "inner")
+        val dirtyCond = minMaxCols.map(c =>
+          (col(s"_negmin_$c").isNotNull &&
+            (col(s"_st_min_$c").isNull ||
+              col(s"_negmin_$c") <= col(s"_st_min_$c"))) ||
+          (col(s"_negmax_$c").isNotNull &&
+            (col(s"_st_max_$c").isNull ||
+              col(s"_negmax_$c") >= col(s"_st_max_$c"))))
+          .reduce(_ || _)
+        val dirtyKeys = withNeg.filter(dirtyCond)
+          .select(keys.map(col): _*).persist()
+        try {
+          val idx = SecondaryIndex.indexStore(base, am.props(MmIndexProp))
+          val im = idx.manifest(idx.currentVersion())
+          val dirtyBuckets = dirtyKeys
+            .select(TableStore.bucketExpr(keys, im.numBuckets).as("b"))
+            .distinct().collect().map(_.getLong(0)).toSeq.sorted
+          if (dirtyBuckets.isEmpty) merged0
+          else {
+            val rsExprs = minMaxCols.flatMap(c => Seq(
+              min(col(c)).as(s"_rs_min_$c"),
+              max(col(c)).as(s"_rs_max_$c"))) :+
+              count(lit(1)).as("_rs_hit")
+            val rescan = nsJoin(idx.readBuckets(dirtyBuckets), dirtyKeys,
+              keys, "left_semi")
+              .groupBy(keys.map(col): _*)
+              .agg(rsExprs.head, rsExprs.tail: _*)
+            nsJoin(merged0, rescan, keys, "left_outer").select(
+              keys.map(col) ++ sumValueCols.map(col(_)) ++
+                minMaxCols.flatMap(c => Seq(
+                  when(col("_rs_hit").isNotNull, col(s"_rs_min_$c"))
+                    .otherwise(col(minCol(c)))
+                    .cast(am.schema(minCol(c)).dataType).as(minCol(c)),
+                  when(col("_rs_hit").isNotNull, col(s"_rs_max_$c"))
+                    .otherwise(col(maxCol(c)))
+                    .cast(am.schema(maxCol(c)).dataType).as(maxCol(c)))): _*)
+          }
+        } finally { dirtyKeys.unpersist(); () }
+      }
+      st.commitIncremental(
+        merged.select(am.schema.fieldNames.map(col): _*), touched,
+        expectedParent = Some(av),
         props = am.props + (BaseVersionProp -> toV.toString))
       movePin(base, name, toV)
       toV
-    } finally { delta.unpersist(); () }
+    } finally {
+      delta.unpersist()
+      if (minMaxCols.nonEmpty) signed.unpersist()
+      Option(storedTouchedRef.get()).foreach(_.unpersist())
+      ()
+    }
   }
 
   /** The view with SQL aggregate semantics restored: `SUM(c)` is NULL for
-    * groups with no non-null value; the bookkeeping columns drop out. */
+    * groups with no non-null value, MIN/MAX carry their stored values
+    * (already NULL-exact); the bookkeeping columns drop out. */
   def read(base: TableStore, name: String): DataFrame = {
     val st = aggStore(base, name)
     val am = st.manifest(st.currentVersion())
     val sumCols = am.props(SumColsProp).split(',').filter(_.nonEmpty).toSeq
+    val minMaxCols = am.props.getOrElse(MinMaxColsProp, "")
+      .split(',').filter(_.nonEmpty).toSeq
     val keys = am.bucketKeys
     st.readSnapshot().select(keys.map(col) ++ sumCols.map(c =>
       when(col(nnCol(c)) > 0L, col(sumCol(c)))
-        .otherwise(lit(null)).as(sumCol(c))) :+ col("_cnt"): _*)
+        .otherwise(lit(null)).as(sumCol(c))) ++
+      minMaxCols.flatMap(c => Seq(col(minCol(c)), col(maxCol(c)))) :+
+      col("_cnt"): _*)
   }
 
   /** Delete the view (files + manifests); the base is untouched. */
@@ -260,6 +453,14 @@ object MaterializedAgg {
     require(TableStore.RefNameOk.pattern.matcher(name).matches(),
       s"aggregate view name must match [A-Za-z0-9._-]{1,128}, got '$name'")
     dropPins(base, name) // release the materialized-snapshot pins
+    // the auto-created covering index goes with the view
+    val st = aggStore(base, name)
+    if (st.currentVersion() >= 0)
+      st.manifest(st.currentVersion()).props.get(MmIndexProp)
+        .foreach { idx =>
+          try { SecondaryIndex.drop(base, idx); () }
+          catch { case _: Exception => () }
+        }
     val p = new org.apache.hadoop.fs.Path(s"${base.root}/agg/$name")
     val fs = p.getFileSystem(base.spark.sparkContext.hadoopConfiguration)
     fs.delete(p, true)

@@ -103,6 +103,32 @@ object AggStats {
     val b = graft.store.MaterializedAgg.read(st, "v2")
       .collect().map(_.mkString("|")).sorted.toSeq
     println(s"parity: ${a == b} (${a.size} groups)")
+
+    // ---- MIN/MAX hybrid: a scattered delete retracts many groups'
+    // extrema → dirty-group rescan through the covering index (index
+    // buckets only, never the base)
+    val (_, tMmCreate) = timed(
+      graft.store.MaterializedAgg.create(st, "mm",
+        Seq("cgrp", "o_orderstatus"), Nil, 16,
+        minMaxCols = Seq("o_totalprice")))
+    println(f"minmax create (view + covering index): $tMmCreate%.2f s")
+    val (_, tDel) = timed(st.deleteEq(
+      st.readSnapshot().filter(col("o_orderkey") % 500 === 11)
+        .select("o_orderkey")))
+    val (_, tMmRefresh, rMmRefresh) = metered(
+      graft.store.MaterializedAgg.refresh(st, "mm"))
+    println(f"minmax refresh after scattered delete (deleteEq $tDel%.2f s): " +
+      f"$tMmRefresh%.2f s, $rMmRefresh records read")
+    val mmGot = graft.store.MaterializedAgg.read(st, "mm")
+      .collect().map(_.mkString("|")).sorted.toSeq
+    val mmWant = st.readSnapshot().groupBy("cgrp", "o_orderstatus")
+      .agg(min("o_totalprice").as("min_o_totalprice"),
+        max("o_totalprice").as("max_o_totalprice"),
+        count(lit(1)).as("_cnt"))
+      .select("cgrp", "o_orderstatus", "min_o_totalprice",
+        "max_o_totalprice", "_cnt")
+      .collect().map(_.mkString("|")).sorted.toSeq
+    println(s"minmax parity: ${mmGot == mmWant} (${mmGot.size} groups)")
     spark.stop()
   }
 }

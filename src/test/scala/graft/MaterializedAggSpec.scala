@@ -270,6 +270,151 @@ class MaterializedAggSpec extends SparkSuite {
     assert(e.getMessage.contains("expired"))
   }
 
+  // ---------------------------------------------------------------- MIN/MAX
+
+  /** Full recompute oracle incl. MIN/MAX. */
+  private def recomputeMm(base: TableStore): Seq[String] =
+    canon(base.readSnapshot().groupBy("grp")
+      .agg(sum("n").as("sum_n"), min("d").as("min_d"), max("d").as("max_d"),
+        count(lit(1)).as("_cnt"))
+      .select(col("grp"), col("sum_n"), col("min_d"), col("max_d"),
+        col("_cnt")))
+
+  private def viewMm(base: TableStore): Seq[String] =
+    canon(MaterializedAgg.read(base, "mm")
+      .select("grp", "sum_n", "min_d", "max_d", "_cnt"))
+
+  test("min/max: create + monotonic inserts merge without any rescan") {
+    val base = freshStore()
+    base.commitBucketed(baseRows(200), Seq("id"), 8)
+    MaterializedAgg.create(base, "mm", Seq("grp"), Seq("n"), 4,
+      minMaxCols = Seq("d"))
+    assert(viewMm(base) == recomputeMm(base))
+    // inserts only — extremes extend monotonically (a smaller min arrives)
+    base.commitIncremental(base.readSnapshot().unionByName(
+      Seq((9001L, "g1", 1L, Some(BigDecimal("-5.00"))),
+        (9002L, "g1", 2L, Some(BigDecimal("999.00"))))
+        .toDF("id", "grp", "n", "d")
+        .withColumn("d", col("d").cast("decimal(18,2)"))),
+      (0L until 8L).toSeq)
+    MaterializedAgg.refresh(base, "mm")
+    assert(viewMm(base) == recomputeMm(base))
+  }
+
+  test("min/max: retracting the extremum dirties the group and rescans") {
+    val base = freshStore()
+    base.commitBucketed(baseRows(200), Seq("id"), 8)
+    MaterializedAgg.create(base, "mm", Seq("grp"), Seq("n"), 4,
+      minMaxCols = Seq("d"))
+    // g2's max d = the largest id ≡ 2 (mod 7), not divisible by 5 — find
+    // and delete exactly that row
+    val maxRow = base.readSnapshot().filter(col("grp") === "g2")
+      .orderBy(col("d").desc_nulls_last).select("id").head().getLong(0)
+    base.deleteEq(Seq(maxRow).toDF("id"))
+    MaterializedAgg.refresh(base, "mm")
+    assert(viewMm(base) == recomputeMm(base))
+    // and the min side: delete g4's minimum
+    val minRow = base.readSnapshot().filter(col("grp") === "g4")
+      .orderBy(col("d").asc_nulls_last).select("id").head().getLong(0)
+    base.deleteEq(Seq(minRow).toDF("id"))
+    MaterializedAgg.refresh(base, "mm")
+    assert(viewMm(base) == recomputeMm(base))
+  }
+
+  test("min/max: retracting ONE of two duplicate minima keeps the min " +
+      "(multiset netting, not set except)") {
+    val base = freshStore()
+    base.commitBucketed(Seq(
+      (1L, "a", 1L, Some(BigDecimal("2.00"))),
+      (2L, "a", 2L, Some(BigDecimal("2.00"))), // duplicate min
+      (3L, "a", 3L, Some(BigDecimal("9.00"))))
+      .toDF("id", "grp", "n", "d")
+      .withColumn("d", col("d").cast("decimal(18,2)")), Seq("id"), 4)
+    MaterializedAgg.create(base, "mm", Seq("grp"), Seq("n"), 2,
+      minMaxCols = Seq("d"))
+    base.deleteEq(Seq(1L).toDF("id"))
+    MaterializedAgg.refresh(base, "mm")
+    val r = MaterializedAgg.read(base, "mm").select("min_d", "max_d").head()
+    assert(r.getDecimal(0) == new java.math.BigDecimal("2.00"),
+      "the surviving duplicate must keep the min")
+    assert(r.getDecimal(1) == new java.math.BigDecimal("9.00"))
+    assert(viewMm(base) == recomputeMm(base))
+  }
+
+  test("min/max: compaction carry-over of the extremum row is NOT dirty " +
+      "and the watermark-only property survives") {
+    val base = freshStore()
+    base.commitBucketed(baseRows(200), Seq("id"), 8)
+    MaterializedAgg.create(base, "mm", Seq("grp"), Seq("n"), 4,
+      minMaxCols = Seq("d"))
+    val st = MaterializedAgg.aggStore(base, "mm")
+    val files0 = st.manifest(st.currentVersion()).inlineFiles.toSet
+    base.compact(targetFiles = 1)
+    MaterializedAgg.refresh(base, "mm")
+    assert(st.manifest(st.currentVersion()).inlineFiles.toSet == files0,
+      "carry-over extremum rows must net to zero, not dirty the group")
+    assert(viewMm(base) == recomputeMm(base))
+  }
+
+  test("min/max: all-null group reads NULL; value arrives and retracts") {
+    val base = freshStore()
+    base.commitBucketed(Seq(
+      (1L, "z", 1L, Option.empty[BigDecimal]),
+      (2L, "z", 2L, None))
+      .toDF("id", "grp", "n", "d")
+      .withColumn("d", col("d").cast("decimal(18,2)")), Seq("id"), 2)
+    MaterializedAgg.create(base, "mm", Seq("grp"), Seq("n"), 2,
+      minMaxCols = Seq("d"))
+    def mm() = MaterializedAgg.read(base, "mm")
+      .filter(col("grp") === "z").select("min_d", "max_d").head()
+    assert(mm().isNullAt(0) && mm().isNullAt(1))
+    base.commitIncremental(base.readSnapshot().unionByName(
+      Seq((3L, "z", 3L, Some(BigDecimal("7.00")))).toDF("id", "grp", "n", "d")
+        .withColumn("d", col("d").cast("decimal(18,2)"))), (0L until 2L).toSeq)
+    MaterializedAgg.refresh(base, "mm")
+    assert(mm().getDecimal(0) == new java.math.BigDecimal("7.00"))
+    base.deleteEq(Seq(3L).toDF("id"))
+    MaterializedAgg.refresh(base, "mm")
+    assert(mm().isNullAt(0) && mm().isNullAt(1),
+      "retracting the only non-null value must restore MIN/MAX = NULL")
+    assert(viewMm(base) == recomputeMm(base))
+  }
+
+  test("min/max: update that MOVES a value dirties via net, not raw pre") {
+    val base = freshStore()
+    base.commitBucketed(baseRows(150), Seq("id"), 4)
+    MaterializedAgg.create(base, "mm", Seq("grp"), Seq("n"), 2,
+      minMaxCols = Seq("d"))
+    // raise every g5 minimum: the old min is net-retracted, the group
+    // rescans, and the new min comes from the surviving values
+    val minRow = base.readSnapshot().filter(col("grp") === "g5")
+      .orderBy(col("d").asc_nulls_last).select("id").head().getLong(0)
+    base.upsertMor(base.readSnapshot().filter(col("id") === minRow)
+      .withColumn("d", lit(BigDecimal("100000.00")).cast("decimal(18,2)"))
+      .withColumn("op", lit("PUT")))
+    MaterializedAgg.refresh(base, "mm")
+    assert(viewMm(base) == recomputeMm(base))
+  }
+
+  test("min/max: the covering index is auto-created, listed, and dropped " +
+      "with the view; refusals are loud") {
+    val base = freshStore()
+    base.commitBucketed(baseRows(60), Seq("id"), 4)
+    MaterializedAgg.create(base, "mm", Seq("grp"), Seq("n"), 2,
+      minMaxCols = Seq("d"))
+    assert(graft.store.SecondaryIndex.list(base).contains("agg-mm-mm"))
+    assert(MaterializedAgg.status(base).exists(s => s._1 == "mm" &&
+      s._4 == "d"))
+    MaterializedAgg.drop(base, "mm")
+    assert(!graft.store.SecondaryIndex.list(base).contains("agg-mm-mm"),
+      "the covering index must go with the view")
+    // refusal: grouping by the primary key cannot carry min/max
+    val e = intercept[IllegalArgumentException](
+      MaterializedAgg.create(base, "bad", Seq("id"), Nil, 2,
+        minMaxCols = Seq("d")))
+    assert(e.getMessage.contains("covering index"))
+  }
+
   test("drop removes the view; the base is untouched") {
     val base = freshStore()
     base.commitBucketed(baseRows(30), Seq("id"), 4)
