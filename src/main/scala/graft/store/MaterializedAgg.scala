@@ -249,12 +249,6 @@ object MaterializedAgg {
     val sumCols = am.props(SumColsProp).split(',').filter(_.nonEmpty).toSeq
     val minMaxCols = am.props.getOrElse(MinMaxColsProp, "")
       .split(',').filter(_.nonEmpty).toSeq
-    // keep the covering index in lockstep first — it is the dirty-group
-    // rescan's source (if the base advances between these two steps the
-    // rescan may see slightly newer rows; the next refresh converges —
-    // the same eventual-consistency contract the index itself carries)
-    if (minMaxCols.nonEmpty)
-      SecondaryIndex.refresh(base, am.props(MmIndexProp))
     // UN-JOINED changelog halves: the signed-delta aggregation needs no
     // INSERT/UPDATE/DELETE classification — a pre-image row contributes
     // −row, a post-image row +row, and carry-over rows from
@@ -263,18 +257,32 @@ object MaterializedAgg {
     // operation — a shuffle join over every row of every changed file)
     // turns refresh into two file-pruned reads + ONE map-side-combined
     // aggregation of O(changed-file rows) → O(changed groups) partials.
-    val (preF, postF) = base.changelogFrames(fromV, toV)
-    // project to the view's columns BEFORE the union, and PERSIST when
-    // several aggregations will consume the frames (the SUM delta plus
-    // one per-value netting pass per MIN/MAX column — without the cache
-    // each one re-reads every changed file)
-    val needed = (keys ++ sumCols ++ minMaxCols).distinct
-    val signed0 = preF.select(needed.map(col): _*)
-      .withColumn("_g_sign", lit(-1L))
-      .unionByName(postF.select(needed.map(col): _*)
-        .withColumn("_g_sign", lit(1L)))
-    val signed =
-      if (minMaxCols.isEmpty) signed0 else signed0.persist()
+    val (preF0, postF0) = base.changelogFrames(fromV, toV)
+    // project to the columns EVERY consumer needs before persisting: the
+    // SUM delta, one per-value netting pass per MIN/MAX column, AND the
+    // covering index's lockstep refresh below — all replay the same
+    // changed files, so with MIN/MAX on, the frames are read once into
+    // cache instead of once per consumer
+    val idxCols: Seq[String] =
+      if (minMaxCols.isEmpty) Nil
+      else {
+        val idx = SecondaryIndex.indexStore(base, am.props(MmIndexProp))
+        idx.manifest(idx.currentVersion()).schema.fieldNames
+          .filterNot(_ == "_gbucket").toSeq
+      }
+    val needed = (keys ++ sumCols ++ minMaxCols ++ idxCols).distinct
+    val preF = preF0.select(needed.map(col): _*)
+    val postF = postF0.select(needed.map(col): _*)
+    if (minMaxCols.nonEmpty) { preF.persist(); postF.persist(); () }
+    // covering index in lockstep — it is the dirty-group rescan's source,
+    // fed the SHARED frames so the changed-file reads are paid once (if
+    // the base advanced concurrently the index falls back to its own
+    // span; the next refresh converges — the index's own contract)
+    if (minMaxCols.nonEmpty)
+      SecondaryIndex.refresh(base, am.props(MmIndexProp),
+        sharedFrames = Some((fromV, toV, preF, postF)))
+    val signed = preF.withColumn("_g_sign", lit(-1L))
+      .unionByName(postF.withColumn("_g_sign", lit(1L)))
     // sign by NEGATION, not multiplication: -decimal(p,s) keeps (p,s)
     // while decimal × bigint inflates to (38,s), whose later cast back to
     // the stored type could overflow-to-null silently
@@ -424,7 +432,7 @@ object MaterializedAgg {
       toV
     } finally {
       delta.unpersist()
-      if (minMaxCols.nonEmpty) signed.unpersist()
+      if (minMaxCols.nonEmpty) { preF.unpersist(); postF.unpersist(); () }
       Option(storedTouchedRef.get()).foreach(_.unpersist())
       ()
     }

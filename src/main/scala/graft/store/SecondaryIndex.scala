@@ -161,7 +161,16 @@ object SecondaryIndex {
     * ones (assertions); only those buckets rewrite. Returns the base
     * version the index now reflects. Idempotent: a refresh with no base
     * movement is a no-op. */
-  def refresh(base: TableStore, name: String): Long = {
+  /** `sharedFrames`: a co-maintained consumer (a MIN/MAX aggregate view
+    * refreshing its covering index in lockstep) can hand over the
+    * changelog frames it is about to replay itself — `(fromV, toV, pre,
+    * post)`, typically persisted by the caller — so the two derivatives
+    * pay the changed-file reads ONCE. Used only when the index's own
+    * watermark matches `fromV` exactly; otherwise the index replays its
+    * own span. */
+  def refresh(base: TableStore, name: String,
+      sharedFrames: Option[(Long, Long, DataFrame, DataFrame)] = None)
+      : Long = {
     requireMain(base)
     val idx = indexStore(base, name)
     val iv = idx.currentVersion()
@@ -189,7 +198,10 @@ object SecondaryIndex {
     // nets out at the projection, exactly as the classified shape did.
     // Set semantics are sound here: the base is keyed (one live row per
     // primary key).
-    val (preFrame, postFrame) = base.changelogFrames(fromV, toV)
+    val (preFrame, postFrame) = sharedFrames match {
+      case Some((f, t, p, q)) if f == fromV && t == toV => (p, q)
+      case _ => base.changelogFrames(fromV, toV)
+    }
     val rawPre = preFrame.select(cols.map(col): _*)
     val rawPost = postFrame.select(cols.map(col): _*)
     // The changelog's file diff + the two excepts are the expensive half

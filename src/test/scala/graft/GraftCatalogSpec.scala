@@ -1078,4 +1078,44 @@ class GraftCatalogSpec extends SparkSuite {
     pstore.commitSnapshot(Seq((1L, "a")).toDF("k", "v"))
     assert(table("analytics", "plain_meta").partitioning().isEmpty)
   }
+
+  test("tbl$agg_<name> reads bucket-prune on group-key predicates; " +
+      "$aggs tracks staleness") {
+    val store = new TableStore(spark, s"$warehouse/analytics/mv_base")
+    store.commitBucketed(
+      (1L to 2000L).map(k => (k, s"g${k % 40}", k * 3)).toDF("k", "g", "n"),
+      Seq("k"), 8)
+    spark.sql("CALL spec_cat.system.create_agg_view(" +
+      "'analytics.mv_base', 'by_g', 'g', 'n', 8)")
+    // the raw partials table serves through the catalog, and a group-key
+    // equality prunes to ONE of the view's 8 buckets — the dashboard
+    // point-read never scans the whole view
+    val q = spark.sql("SELECT sum_n, _cnt FROM " +
+      "spec_cat.analytics.`mv_base$agg_by_g` WHERE g = 'g7'")
+    val row = q.collect()
+    assert(row.length == 1 && row.head.getLong(1) == 50L)
+    import scala.jdk.CollectionConverters._
+    val planned = graft.catalog.RuntimePruning.lastPlannedFiles.entrySet()
+      .asScala.filter(_.getKey.contains("agg/by_g"))
+      .map(_.getValue.intValue()).headOption.getOrElse(-1)
+    assert(planned == 1,
+      s"group-key predicate must bucket-prune the view read, planned $planned")
+    // staleness bookkeeping through $aggs
+    def stale() = spark.sql("SELECT stale FROM " +
+      "spec_cat.analytics.`mv_base$aggs` WHERE name = 'by_g'")
+      .head().getBoolean(0)
+    assert(!stale())
+    store.deleteEq(Seq(77L).toDF("k"))
+    assert(stale(), "$aggs must show the view stale after a base commit")
+    spark.sql("CALL spec_cat.system.refresh_agg_view('analytics.mv_base', 'by_g')")
+    assert(!stale())
+    // semantic read through the agg_view procedure matches a recompute
+    spark.sql("CALL spec_cat.system.agg_view('analytics.mv_base', 'by_g', 'mv_sem')")
+    val got = spark.sql("SELECT g, sum_n, _cnt FROM mv_sem")
+      .collect().map(_.mkString("|")).sorted.toSeq
+    val want = store.readSnapshot().groupBy("g")
+      .agg(sum("n").as("sum_n"), count(lit(1)).as("_cnt"))
+      .collect().map(_.mkString("|")).sorted.toSeq
+    assert(got == want)
+  }
 }

@@ -415,6 +415,22 @@ class MaterializedAggSpec extends SparkSuite {
     assert(e.getMessage.contains("covering index"))
   }
 
+  test("sharded-tier base: view refresh stays incremental across eq deletes") {
+    spark.conf.set("spark.graft.manifest.inlineThreshold", "16")
+    try {
+      val base = freshStore()
+      base.commitBucketed(baseRows(4000), Seq("id"), 32)
+      assert(base.manifest(base.currentVersion()).isSharded,
+        "fixture must be on the sharded metadata tier")
+      MaterializedAgg.create(base, "v", Seq("grp"), Seq("n", "d"), 4)
+      base.deleteEq((1L to 4000L).filter(_ % 11 == 0).toDF("id"))
+      base.upsertEq(base.readSnapshot().filter(col("id") % 13 === 0)
+        .withColumn("n", col("n") + 5).withColumn("op", lit("PUT")))
+      MaterializedAgg.refresh(base, "v")
+      assert(viewRows(base) == recompute(base))
+    } finally spark.conf.unset("spark.graft.manifest.inlineThreshold")
+  }
+
   test("drop removes the view; the base is untouched") {
     val base = freshStore()
     base.commitBucketed(baseRows(30), Seq("id"), 4)
