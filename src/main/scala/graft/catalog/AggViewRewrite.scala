@@ -1,0 +1,403 @@
+package graft.catalog
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Cast, Expression, Literal, NamedExpression, PlanExpression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
+import org.apache.spark.sql.functions.{coalesce, col, count_distinct, lit, max => fmax, min => fmin, sum => fsum, when}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, LongType, ShortType}
+
+import graft.store.{MaterializedAgg, TableStore}
+
+/** Transparent MATERIALIZED-VIEW REWRITE: an optimizer rule that answers a
+  * user's `GROUP BY` over a graft base table from an incrementally-
+  * maintained aggregate view ([[graft.store.MaterializedAgg]]) when one
+  * matches — the classic warehouse capability (Oracle/Calcite
+  * "aggregate rewrite") the reference's provisioned analytics layer
+  * (README.md:170-173) leaves to the user. The query text does not change:
+  * `SELECT k, SUM(x) FROM cat.ns.t GROUP BY k` plans against the view's
+  * O(groups) rows instead of the base's O(table) — at 100 TB the difference
+  * between a dashboard refresh and a full scan.
+  *
+  * Soundness gates (all must hold, else the plan is left untouched):
+  *  - the scan serves exactly the base snapshot the view materializes
+  *    (`ViewMeta.baseVersion == manifest.version` — stale views never
+  *    answer, and time travel to the materialized snapshot legally can);
+  *  - main store only (a WAP-redirected branch head diverges from the
+  *    view's main-numbered watermark);
+  *  - the scan pushed no aggregate (`readSchema ⊆ table schema`; graft
+  *    pushes filters only as best-effort file pruning and RE-APPLIES them
+  *    post-scan, so a residual Filter node above the scan always carries
+  *    the full predicate — which the rewrite re-applies to the view);
+  *  - filters and grouping expressions reference ONLY the view's GROUP
+  *    keys (they commute with the group-by: the view carries those columns
+  *    verbatim), are deterministic, and contain no subqueries;
+  *  - every aggregate is one of COUNT(*)/COUNT(col)/SUM/MIN/MAX/AVG,
+  *    non-DISTINCT, no FILTER clause, over a tracked column or a group
+  *    key.
+  *
+  * Matching is structural over the OPTIMIZED plan (the rule runs in
+  * `spark.experimental.extraOptimizations`, injectable into a session graft
+  * does not construct): grouping by any SUBSET of the view keys — or any
+  * deterministic expression over them, e.g. `GROUP BY k % 100` — rewrites
+  * to a RE-AGGREGATION over the view (SUM of partial sums, MIN of partial
+  * mins, COUNT(*) as SUM(_cnt)): the view's groups refine the query's, so
+  * the merge is exact, including SQL NULL semantics (a group's SUM is NULL
+  * iff no non-null value survives — the per-column non-null counts decide).
+  * Grouping by exactly the view keys skips the re-aggregation and projects
+  * the stored partials directly. AVG rewrites to the exact
+  * sum/count division over the stored partials (integral inputs only,
+  * where both sides compute in double).
+  *
+  * The rewritten subtree is spliced in with the original Aggregate's
+  * output `exprId`s restored, so everything above the aggregate is
+  * untouched. Any analysis surprise inside the rewrite aborts it — the
+  * rule can decline, never break. Kill switch:
+  * `spark.graft.agg.rewrite=false`. */
+class AggViewRewriteRule extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (!conf.getConfString("spark.graft.agg.rewrite", "true").toBoolean)
+      return plan
+    plan.transformUp {
+      case agg: Aggregate =>
+        try rewrite(agg).getOrElse(agg)
+        catch { case e: Exception =>
+          logWarning(s"agg-view rewrite declined on error: $e"); agg
+        }
+    }
+  }
+
+  /** Peel Projects / deterministic subquery-free Filters between the
+    * Aggregate and the scan, collecting filter conditions and project
+    * lists. Projects may carry computed aliases (PullOutGroupingExpressions
+    * hoists compound group exprs into `_groupingexpression` aliases) as
+    * long as they are deterministic and aggregate/subquery-free — the
+    * caller inlines them back. */
+  private def peel(p: LogicalPlan, conds: Seq[Expression],
+      projects: Seq[Seq[NamedExpression]])
+      : Option[(DataSourceV2ScanRelation, Seq[Expression],
+        Seq[Seq[NamedExpression]])] = p match {
+    case Filter(c, ch) if c.deterministic &&
+        c.find(_.isInstanceOf[PlanExpression[_]]).isEmpty =>
+      peel(ch, conds :+ c, projects)
+    case Project(pl, ch) if pl.forall {
+        case _: AttributeReference => true
+        case a: Alias => a.deterministic &&
+          a.find(e => e.isInstanceOf[AggregateExpression] ||
+            e.isInstanceOf[PlanExpression[_]]).isEmpty
+        case _ => false
+      } => peel(ch, conds, projects :+ pl)
+    case r: DataSourceV2ScanRelation => Some((r, conds, projects))
+    case _ => None
+  }
+
+  private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
+    val (rel, conds0, projects) = peel(agg.child, Nil, Nil) match {
+      case Some(x) => x
+      case None => return None
+    }
+    // inline the project chain: compose bottom-up so every collected alias
+    // expands to an expression over the SCAN's attributes; exprIds keep
+    // deep (pre-project) filter conditions untouched
+    val subst = projects.reverse.foldLeft(
+      Map.empty[org.apache.spark.sql.catalyst.expressions.ExprId, Expression]) {
+      (acc, pl) =>
+        acc ++ pl.collect { case a: Alias =>
+          a.exprId -> a.child.transformUp {
+            case ar: AttributeReference => acc.getOrElse(ar.exprId, ar)
+          }
+        }
+    }
+    def expand(e: Expression): Expression = e.transformUp {
+      case ar: AttributeReference => subst.getOrElse(ar.exprId, ar)
+    }
+    val conds = conds0.map(expand)
+    val table = rel.relation.table match {
+      case t: SnapshotTable => t
+      case _ => return None
+    }
+    val store = table.graftStore
+    if (store.branch.nonEmpty) return None
+    val m = table.graftManifest
+    // a pushed aggregate (or metadata columns) changes the scan's output
+    // domain; graft's filter/limit pushdown never does (filters re-applied
+    // by the Filter node peeled above)
+    val baseCols = m.schema.fieldNames.toSet
+    if (!rel.scan.readSchema().fieldNames.forall(baseCols)) return None
+
+    // grouping and output expressions with the project chain inlined —
+    // everything below references scan attributes only
+    val groupingX = agg.groupingExpressions.map(expand)
+    val outputsX: Seq[(Expression, String)] = agg.aggregateExpressions.map {
+      case Alias(c, n) => (expand(c), n)
+      case o => (expand(o), o.name)
+    }
+
+    // every base attribute the group exprs / filters touch, by name
+    val groupRefs = groupingX.flatMap(_.references.toSeq)
+    val condRefs = conds.flatMap(_.references.toSeq)
+    if (groupingX.isEmpty) return None
+    if (!groupingX.forall(g => g.deterministic &&
+        g.find(e => e.isInstanceOf[AggregateExpression] ||
+          e.isInstanceOf[PlanExpression[_]]).isEmpty)) return None
+
+    // distinct aggregate expressions across the outputs
+    val aggExprs = scala.collection.mutable.ArrayBuffer.empty[AggregateExpression]
+    outputsX.foreach(_._1.foreach {
+      case ae: AggregateExpression
+          if !aggExprs.exists(_.semanticEquals(ae)) => aggExprs += ae
+      case _ => ()
+    })
+    // DISTINCT is coverable only as COUNT(DISTINCT attr) over a tracked
+    // distinct column (served by its companion view); FILTER clauses never
+    if (aggExprs.exists(_.filter.nonEmpty)) return None
+    if (aggExprs.exists(ae => ae.isDistinct && !(ae.aggregateFunction match {
+        case c: Count => c.children match {
+          case Seq(_: AttributeReference) => true
+          case _ => false
+        }
+        case _ => false
+      }))) return None
+
+    val candidates = MaterializedAgg.viewMetas(store)
+      .filter(_.baseVersion == m.version)
+      .sortBy(vm => (vm.groupBy.size, vm.name))
+    candidates.view.flatMap(vm =>
+      rewriteWith(agg, groupingX, outputsX, conds, store, vm, groupRefs,
+        condRefs, aggExprs.toSeq)).headOption
+  }
+
+  /** Attempt the rewrite against one view; None = this view can't serve. */
+  private def rewriteWith(agg: Aggregate, groupingX: Seq[Expression],
+      outputsX: Seq[(Expression, String)], conds: Seq[Expression],
+      store: TableStore, vm: MaterializedAgg.ViewMeta,
+      groupRefs: Seq[Attribute], condRefs: Seq[Attribute],
+      aggExprs: Seq[AggregateExpression]): Option[LogicalPlan] = {
+    val res = conf.resolver
+    def asKey(n: String): Option[String] = vm.groupBy.find(res(_, n))
+    def asSum(n: String): Option[String] = vm.sumCols.find(res(_, n))
+    def asMm(n: String): Option[String] = vm.minMaxCols.find(res(_, n))
+    if (!(groupRefs ++ condRefs).forall(a => asKey(a.name).isDefined))
+      return None
+
+    val exact = groupingX.forall(_.isInstanceOf[AttributeReference]) &&
+      vm.groupBy.forall(k => groupingX.exists {
+        case a: AttributeReference => res(a.name, k)
+        case _ => false
+      })
+
+    // ---- per-aggregate view-level expressions -------------------------
+    // exact: one view row per query group — stored partials project out.
+    // subset: the view's groups refine the query's — merge the partials.
+    def integral(dt: org.apache.spark.sql.types.DataType) = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    val sCol = MaterializedAgg.sumCol _
+    val nCol = MaterializedAgg.nnCol _
+    def viewAgg(ae: AggregateExpression): Option[Column] = {
+      val dt = ae.dataType
+      ae.aggregateFunction match {
+        case c: Count if c.children.forall(e =>
+            e.foldable && e.eval() != null) || c.children.isEmpty =>
+          Some(if (exact) coalesce(col("_cnt"), lit(0L))
+            else coalesce(fsum(coalesce(col("_cnt"), lit(0L))), lit(0L)))
+        case c: Count => c.children match {
+          case Seq(a: AttributeReference) =>
+            asSum(a.name).map { cn =>
+              if (exact) coalesce(col(nCol(cn)), lit(0L))
+              else coalesce(fsum(coalesce(col(nCol(cn)), lit(0L))), lit(0L))
+            }.orElse(asKey(a.name).map { k =>
+              val per = when(col(k).isNull, lit(0L))
+                .otherwise(coalesce(col("_cnt"), lit(0L)))
+              if (exact) per else coalesce(fsum(per), lit(0L))
+            })
+          case _ => None
+        }
+        case s: Sum => s.child match {
+          case a: AttributeReference => asSum(a.name).map { cn =>
+            // stored partial can be a non-null 0 with nn == 0 (all
+            // contributions retracted) — the nn guard restores SQL NULL
+            val live = when(col(nCol(cn)) > 0L, col(sCol(cn)))
+            (if (exact) live else fsum(live)).cast(dt)
+          }
+          case _ => None
+        }
+        case mn: Min => mn.child match {
+          case a: AttributeReference => asMm(a.name).map { cn =>
+            val c0 = col(MaterializedAgg.minCol(cn))
+            (if (exact) c0 else fmin(c0)).cast(dt)
+          }.orElse(asKey(a.name).map(k =>
+            (if (exact) col(k) else fmin(col(k))).cast(dt)))
+          case _ => None
+        }
+        case mx: Max => mx.child match {
+          case a: AttributeReference => asMm(a.name).map { cn =>
+            val c0 = col(MaterializedAgg.maxCol(cn))
+            (if (exact) c0 else fmax(c0)).cast(dt)
+          }.orElse(asKey(a.name).map(k =>
+            (if (exact) col(k) else fmax(col(k))).cast(dt)))
+          case _ => None
+        }
+        case av: Average if av.dataType == DoubleType => av.child match {
+          // integral only: both the base plan and the rewrite divide the
+          // exact sum by the non-null count in double
+          case a: AttributeReference
+              if integral(a.dataType) && asSum(a.name).isDefined =>
+            val cn = asSum(a.name).get
+            val (s0, n0) =
+              if (exact) (when(col(nCol(cn)) > 0L, col(sCol(cn))),
+                coalesce(col(nCol(cn)), lit(0L)))
+              else (fsum(when(col(nCol(cn)) > 0L, col(sCol(cn)))),
+                coalesce(fsum(coalesce(col(nCol(cn)), lit(0L))), lit(0L)))
+            Some(when(n0 > 0L, s0.cast(DoubleType) / n0.cast(DoubleType)))
+          case _ => None
+        }
+        case _ => None
+      }
+    }
+    val (distinctAggs, plainAggs) = aggExprs.partition(_.isDistinct)
+    val aggCols: Seq[(AggregateExpression, String, Column)] =
+      plainAggs.zipWithIndex.flatMap { case (ae, i) =>
+        viewAgg(ae).map(c => (ae, s"_mv_agg_$i", c))
+      }
+    if (aggCols.size != plainAggs.size) return None
+    // COUNT(DISTINCT d): served by d's companion view — its live
+    // (group, value) pairs count-distinct exactly, including across merged
+    // groups (the same value in two fine groups counts once). The
+    // companion must be exactly as fresh as the main view.
+    val dcAggs: Seq[(AggregateExpression, String, String,
+        MaterializedAgg.ViewMeta)] =
+      distinctAggs.zipWithIndex.flatMap { case (ae, i) =>
+        val a = ae.aggregateFunction.asInstanceOf[Count]
+          .children.head.asInstanceOf[AttributeReference]
+        for {
+          dn <- vm.distinctCols.find(res(_, a.name))
+          cm <- MaterializedAgg.viewMeta(store,
+            MaterializedAgg.dcName(vm.name, dn))
+          if cm.baseVersion == vm.baseVersion
+        } yield (ae, dn, s"_mv_dc_$i", cm)
+      }
+    if (dcAggs.size != distinctAggs.size) return None
+
+    // ---- distinct grouping expressions, as view-side columns ----------
+    def toViewExpr(e: Expression): Option[Expression] = {
+      var ok = true
+      val t = e.transform { case a: AttributeReference =>
+        asKey(a.name) match {
+          case Some(k) => UnresolvedAttribute.quoted(k)
+          case None => ok = false; a
+        }
+      }
+      if (ok) Some(t) else None
+    }
+    val groupDistinct = scala.collection.mutable.ArrayBuffer.empty[Expression]
+    groupingX.foreach(g =>
+      if (!groupDistinct.exists(_.semanticEquals(g))) groupDistinct += g)
+    val groupCols: Seq[(Expression, String, Column)] =
+      groupDistinct.toSeq.zipWithIndex.flatMap { case (g, i) =>
+        toViewExpr(g).map(t =>
+          (g, s"_mv_g_$i", ColumnBridge.column(t)))
+      }
+    if (groupCols.size != groupDistinct.size) return None
+
+    // ---- output expressions over the placeholders ---------------------
+    def toOutput(inner: Expression, name: String): Option[Column] = {
+      var ok = true
+      val t = inner.transformDown {
+        case e if groupCols.exists(_._1.semanticEquals(e)) =>
+          UnresolvedAttribute.quoted(
+            groupCols.find(_._1.semanticEquals(e)).get._2)
+        case ae: AggregateExpression =>
+          aggCols.find(_._1.semanticEquals(ae)).map(_._2)
+            .orElse(dcAggs.find(_._1.semanticEquals(ae)).map(_._3)) match {
+            case Some(n) => UnresolvedAttribute.quoted(n)
+            case None => ok = false; ae
+          }
+      }
+      // everything must now hang off placeholders: a surviving base attr
+      // or aggregate means a shape this rule does not understand
+      if (!ok || t.find(e => e.isInstanceOf[AttributeReference] ||
+          e.isInstanceOf[AggregateExpression]).isDefined) None
+      else Some(ColumnBridge.column(t).as(name))
+    }
+    val outCols = outputsX.flatMap { case (e, n) => toOutput(e, n).toList }
+    if (outCols.size != outputsX.size) return None
+
+    // ---- assemble over the view store ---------------------------------
+    val viewConds = conds.map(toViewExpr)
+    if (viewConds.exists(_.isEmpty)) return None
+    val raw0 = MaterializedAgg.aggStore(store, vm.name)
+      .readSnapshot(vm.viewVersion)
+    val raw = viewConds.flatten.foldLeft(raw0)((df, c) =>
+      df.filter(ColumnBridge.column(c)))
+    val flat: DataFrame =
+      if (exact)
+        raw.select(groupCols.map { case (_, n, c) => c.as(n) } ++
+          aggCols.map { case (_, n, c) => c.as(n) }: _*)
+      else {
+        val pre = raw.select(groupCols.map { case (_, n, c) => c.as(n) } ++
+          raw0.columns.toSeq.map(col): _*)
+        // a distinct-only query still needs the group universe from the
+        // main view (every live group has a row there), hence the dummy
+        val aggNonEmpty =
+          if (aggCols.nonEmpty) aggCols.map { case (_, n, c) => c.as(n) }
+          else Seq(fsum(lit(0L)).as("_mv_dummy"))
+        pre.groupBy(groupCols.map(g => col(g._2)): _*)
+          .agg(aggNonEmpty.head, aggNonEmpty.tail: _*)
+      }
+    // distinct counts join in from the companions' live (group, value)
+    // pairs, filtered by the same key predicates, grouped by the same
+    // placeholders; groups absent from a companion read 0 via the
+    // null-safe outer join (COUNT(DISTINCT) of an all-NULL group)
+    val phNames = groupCols.map(_._2)
+    val withDc = dcAggs.foldLeft(flat) { case (df, (_, dn, ph, cm)) =>
+      val compRaw = MaterializedAgg
+        .aggStore(store, MaterializedAgg.dcName(vm.name, dn))
+        .readSnapshot(cm.viewVersion)
+      val compF = viewConds.flatten.foldLeft(compRaw)((f, c) =>
+        f.filter(ColumnBridge.column(c)))
+      val dcF = compF
+        .select(groupCols.map { case (_, n, c) => c.as(n) } :+
+          col(dn).as("_mv_dval"): _*)
+        .groupBy(phNames.map(col): _*)
+        .agg(count_distinct(col("_mv_dval")).as(ph))
+      MaterializedAgg.nsJoin(df, dcF, phNames, "left_outer")
+        .withColumn(ph, coalesce(col(ph), lit(0L)))
+    }
+    val rep = withDc.select(outCols: _*)
+    val repPlan = rep.queryExecution.optimizedPlan
+    if (repPlan.output.size != agg.output.size ||
+        repPlan.output.zip(agg.output).exists {
+          case (n, o) => n.dataType != o.dataType
+        }) {
+      logWarning(s"agg-view rewrite declined: output shape drifted " +
+        s"(view '${vm.name}')")
+      return None
+    }
+    logInfo(s"rewrote aggregate over ${store.root} to view '${vm.name}'" +
+      (if (exact) " (exact keys)" else " (re-aggregated)"))
+    Some(Project(agg.output.zip(repPlan.output).map { case (o, n) =>
+      Alias(n, o.name)(exprId = o.exprId, qualifier = o.qualifier,
+        explicitMetadata = Some(o.metadata))
+    }, repPlan))
+  }
+}
+
+object AggViewRewrite {
+  /** Idempotently add the rule to the session's experimental optimizations
+    * — the injection point available on a session graft did not build
+    * (`spark.sql.extensions` is fixed at session construction; the
+    * catalog, like the rest of graft, attaches at runtime). */
+  def install(spark: SparkSession): Unit = spark.experimental.synchronized {
+    if (!spark.experimental.extraOptimizations
+        .exists(_.isInstanceOf[AggViewRewriteRule]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ new AggViewRewriteRule
+  }
+}

@@ -72,6 +72,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * [[storeForPath]]) stay on main, so maintenance never runs against a
     * branch by accident. */
   private def storeFor(ident: Identifier): TableStore = {
+    AggViewRewrite.install(spark) // idempotent; reads may answer from views
     val main = new TableStore(spark, tableRoot(ident))
     spark.conf.getOption("spark.graft.wap.branch")
       .filter(_.nonEmpty).filter(main.branchExists)
@@ -657,6 +658,11 @@ private[catalog] class SnapshotTable(tblName: String, mkDelegate: () => Table,
   import org.apache.spark.sql.connector.expressions.filter.{Predicate => VPredicate}
 
   private lazy val delegate: Table = mkDelegate()
+
+  /** The backing store + pinned manifest, for plan-level rules that need to
+    * identify which snapshot a relation serves ([[AggViewRewriteRule]]). */
+  private[catalog] def graftStore: TableStore = store
+  private[catalog] def graftManifest: TableStore.Manifest = m
 
   override def name(): String = tblName
   override def schema(): StructType = m.schema

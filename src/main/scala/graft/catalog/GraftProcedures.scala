@@ -355,7 +355,8 @@ object GraftProcedures {
       ProcedureParameter.in("group_keys", StringType).build(),
       ProcedureParameter.in("sum_cols", StringType).defaultValue("''").build(),
       ProcedureParameter.in("num_buckets", IntegerType).defaultValue("16").build(),
-      ProcedureParameter.in("min_max_cols", StringType).defaultValue("''").build())
+      ProcedureParameter.in("min_max_cols", StringType).defaultValue("''").build(),
+      ProcedureParameter.in("distinct_cols", StringType).defaultValue("''").build())
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val store = storeFor(catalog, input.getUTF8String(0).toString)
       def csv(i: Int): Seq[String] =
@@ -366,7 +367,7 @@ object GraftProcedures {
         if (input.numFields < 5 || input.isNullAt(4)) 16 else input.getInt(4)
       val bv = graft.store.MaterializedAgg.create(store,
         input.getUTF8String(1).toString, csv(2), csv(3), buckets,
-        minMaxCols = csv(5))
+        minMaxCols = csv(5), distinctCols = csv(6))
       result(
         StructType(Seq(StructField("base_version", LongType))), Array(bv))
     }

@@ -597,9 +597,58 @@ object SqlSurface {
         |  o_orderstatus ASC NULLS FIRST""".stripMargin)
   }
 
+  /** TRANSPARENT materialized-view rewrite (`sql_agg_rewrite`,
+    * [[graft.catalog.AggViewRewriteRule]]): create a view over a bucketed
+    * lineitem projection, route a scattered SQL DELETE through the auto
+    * mode, refresh — and then answer a PLAIN `GROUP BY` over the BASE
+    * table. The optimizer must serve it from the view (require()d via the
+    * executed plan): the query groups by a SUBSET of the view keys with a
+    * filter on another key, so the rewrite re-aggregates stored partials —
+    * COUNT(*) as SUM(_cnt), SUM as a NULL-guarded partial merge, MIN/MAX
+    * over the hybrid-maintained extrema (the DELETE dirtied extrema, so
+    * the covering-index rescan feeds what this query reads). The DuckDB
+    * oracle recomputes the same aggregate from the raw rows — proving the
+    * rewritten plan is indistinguishable from the base scan, at O(groups)
+    * instead of O(table). */
+  private val sqlAggRewrite: Q = (s, d) => {
+    val cat = catalogFor(s, d)
+    s.sql(s"DROP TABLE IF EXISTS $cat.analytics.li_rw")
+    val store = new TableStore(s, s"${warehouseFor(d)}/analytics/li_rw")
+    store.commitBucketed(
+      load(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_orderkey") % 97).as("okb"),
+        col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast("decimal(18,2)").as("qty"),
+        col("l_discount").cast("decimal(18,2)").as("disc")),
+      keys = Seq("l_orderkey", "l_linenumber"), numBuckets = 16)
+    s.catalog.refreshTable(s"$cat.analytics.li_rw")
+    s.sql(s"CALL $cat.system.create_agg_view('analytics.li_rw', 'by_flag', " +
+      "'okb,l_returnflag,l_linestatus', 'qty', 8, 'disc')")
+    s.conf.set("spark.graft.delete.mode", "auto")
+    try s.sql(s"DELETE FROM $cat.analytics.li_rw WHERE l_orderkey % 10 = 4")
+    finally s.conf.unset("spark.graft.delete.mode")
+    s.catalog.refreshTable(s"$cat.analytics.li_rw")
+    s.sql(s"CALL $cat.system.refresh_agg_view('analytics.li_rw', 'by_flag')")
+    val out = s.sql(
+      s"""SELECT okb, l_returnflag, COUNT(*) AS n,
+         |  CAST(SUM(qty) AS DOUBLE) AS sum_qty,
+         |  CAST(MIN(disc) AS DOUBLE) AS min_disc,
+         |  CAST(MAX(disc) AS DOUBLE) AS max_disc
+         |FROM $cat.analytics.li_rw
+         |WHERE l_linestatus = 'F'
+         |GROUP BY okb, l_returnflag
+         |ORDER BY okb ASC NULLS FIRST,
+         |  l_returnflag ASC NULLS FIRST""".stripMargin)
+    require(out.queryExecution.executedPlan.toString.contains("/agg/by_flag"),
+      "the GROUP BY over the base table must answer from the " +
+        "materialized view")
+    out
+  }
+
   val queries: Map[String, Q] = Map(
     "sql_catalog" -> sqlCatalog,
     "sql_agg_view" -> sqlAggView,
+    "sql_agg_rewrite" -> sqlAggRewrite,
     "sql_time_travel" -> sqlTimeTravel,
     "sql_branch_wap" -> sqlBranchWap,
     "sql_catalog_write" -> sqlCatalogWrite,
@@ -615,6 +664,20 @@ object SqlSurface {
     "sql_merge_mor" -> sqlMergeMor)
 
   val oracles: Map[String, String] = Map(
+    "sql_agg_rewrite" ->
+      """SELECT okb, l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(qty) AS DOUBLE) AS sum_qty,
+        |  CAST(MIN(disc) AS DOUBLE) AS min_disc,
+        |  CAST(MAX(disc) AS DOUBLE) AS max_disc
+        |FROM (
+        |  SELECT l_orderkey % 97 AS okb, l_returnflag, l_linestatus,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+        |    CAST(l_discount AS DECIMAL(18,2)) AS disc
+        |  FROM lineitem WHERE l_orderkey % 10 <> 4)
+        |WHERE l_linestatus = 'F'
+        |GROUP BY okb, l_returnflag
+        |ORDER BY okb ASC NULLS FIRST,
+        |  l_returnflag ASC NULLS FIRST""".stripMargin,
     "sql_agg_view" ->
       """WITH base AS (
         |  SELECT o_orderkey, o_custkey % 40 AS cgrp, o_orderstatus,

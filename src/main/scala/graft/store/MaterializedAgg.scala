@@ -50,6 +50,18 @@ object MaterializedAgg {
   private val SumColsProp = "graft.agg.sum-cols"
   private val MinMaxColsProp = "graft.agg.minmax-cols"
   private val MmIndexProp = "graft.agg.minmax-index"
+  private val DistinctColsProp = "graft.agg.distinct-cols"
+
+  /** COUNT(DISTINCT d) is maintained through a COMPANION view grouped one
+    * level finer — (groupKeys, d) with just `_cnt` — the classic two-level
+    * multiset IVM: the companion's groups are the live (group, value)
+    * pairs, so the distinct count is a count over companion rows, finished
+    * at READ time (O(live pairs), map-side combined — tiny next to the
+    * base). The companion is itself a [[MaterializedAgg]] view, so every
+    * refresh path (signed replay, zero-delta filtering, bucket-targeted
+    * merge, pins, cadence) is reused verbatim. */
+  private[graft] def dcName(name: String, d: String) = s"${name}__dc_$d"
+  private[graft] def dcCol(d: String) = s"dc_$d"
 
   /** The base-table tag pinning the snapshot the view reflects: refresh
     * replays the changelog FROM that snapshot, so expiry must not collect
@@ -109,11 +121,39 @@ object MaterializedAgg {
     }
   }
 
-  private def sumCol(c: String) = s"sum_$c"
-  private def nnCol(c: String) = s"nn_$c"
-  private def minCol(c: String) = s"min_$c"
-  private def maxCol(c: String) = s"max_$c"
+  private[graft] def sumCol(c: String) = s"sum_$c"
+  private[graft] def nnCol(c: String) = s"nn_$c"
+  private[graft] def minCol(c: String) = s"min_$c"
+  private[graft] def maxCol(c: String) = s"max_$c"
   private[graft] def mmIndexName(name: String) = s"agg-mm-$name"
+
+  /** One view's matching-relevant facts, for the transparent query rewrite
+    * ([[graft.catalog.AggViewRewriteRule]]): group keys, tracked columns,
+    * and the base snapshot the materialization reflects. */
+  final case class ViewMeta(name: String, groupBy: Seq[String],
+      sumCols: Seq[String], minMaxCols: Seq[String], baseVersion: Long,
+      viewVersion: Long, distinctCols: Seq[String] = Nil)
+
+  private[graft] def viewMeta(base: TableStore, name: String)
+      : Option[ViewMeta] = {
+    val st = aggStore(base, name)
+    val v = st.currentVersion()
+    if (v < 0) None
+    else {
+      val am = st.manifest(v)
+      Some(ViewMeta(name, am.bucketKeys,
+        am.props.getOrElse(SumColsProp, "").split(',')
+          .filter(_.nonEmpty).toSeq,
+        am.props.getOrElse(MinMaxColsProp, "").split(',')
+          .filter(_.nonEmpty).toSeq,
+        am.props(BaseVersionProp).toLong, v,
+        am.props.getOrElse(DistinctColsProp, "").split(',')
+          .filter(_.nonEmpty).toSeq))
+    }
+  }
+
+  private[graft] def viewMetas(base: TableStore): Seq[ViewMeta] =
+    list(base).flatMap(viewMeta(base, _))
 
   /** Internal materialized row shape:
     * groupKeys ++ (sum_c, nn_c)* ++ (min_c, max_c)* ++ _cnt. */
@@ -131,8 +171,8 @@ object MaterializedAgg {
     * side's keys are renamed before joining (both frames often derive from
     * the same lineage, where `l(k) === r(k)` is ambiguous), matched with
     * `<=>`, and coalesced back for outer joins. */
-  private def nsJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
-      how: String): DataFrame = {
+  private[graft] def nsJoin(left: DataFrame, right: DataFrame,
+      keys: Seq[String], how: String): DataFrame = {
     val rr = keys.foldLeft(right)((df, k) => df.withColumnRenamed(k, s"_r_$k"))
     val cond = keys.map(k => col(k) <=> col(s"_r_$k")).reduce(_ && _)
     val joined = left.join(rr, cond, how)
@@ -152,8 +192,11 @@ object MaterializedAgg {
     * the dirty-group rescans. */
   def create(base: TableStore, name: String, groupBy: Seq[String],
       sumCols: Seq[String], numBuckets: Int = 16,
-      minMaxCols: Seq[String] = Nil): Long = {
+      minMaxCols: Seq[String] = Nil,
+      distinctCols: Seq[String] = Nil): Long = {
     requireMain(base)
+    require(distinctCols.isEmpty || !name.contains("__dc_"),
+      "companion views cannot track distinct columns")
     val bv = base.currentVersion()
     require(bv >= 0, "cannot materialize over an empty table")
     val bm = base.manifest(bv)
@@ -161,9 +204,21 @@ object MaterializedAgg {
       "materialized aggregates require a bucketed (keyed) base table " +
         "(the changelog needs key identity)")
     require(groupBy.nonEmpty, "materialized aggregate needs GROUP BY keys")
-    val unknown = (groupBy ++ sumCols ++ minMaxCols)
+    val unknown = (groupBy ++ sumCols ++ minMaxCols ++ distinctCols)
       .filterNot(bm.schema.fieldNames.contains)
     require(unknown.isEmpty, s"aggregate references unknown columns: $unknown")
+    if (distinctCols.nonEmpty) {
+      val inGroup = distinctCols.filter(groupBy.contains)
+      require(inGroup.isEmpty,
+        s"COUNT(DISTINCT) over GROUP BY keys is 0/1 by definition: $inGroup")
+      distinctCols.foreach { d =>
+        require(TableStore.RefNameOk.pattern.matcher(dcName(name, d)).matches(),
+          s"distinct column '$d' does not form a valid companion name")
+        require(!bm.schema(d).dataType
+            .isInstanceOf[org.apache.spark.sql.types.MapType],
+          s"COUNT(DISTINCT $d): map values are not groupable")
+      }
+    }
     // the view's internal bookkeeping names must not collide with group
     // keys (groupBy("sum_n").agg(sum("n").as("sum_n")) would be ambiguous)
     val internal = sumCols.flatMap(c => Seq(sumCol(c), nnCol(c))) ++
@@ -193,28 +248,42 @@ object MaterializedAgg {
     }
     val st = aggStore(base, name)
     require(st.currentVersion() < 0, s"aggregate view '$name' already exists")
-    // covering index FIRST (its own store under <root>/index/): the
-    // dirty-group rescan reads index buckets, never the base
-    if (minMaxCols.nonEmpty)
-      SecondaryIndex.create(base, mmIndexName(name), groupBy, minMaxCols,
-        numBuckets)
-    val exprs = aggExprs(sumCols, minMaxCols)
+    // store-API sessions get the transparent rewrite too, not just catalog
+    graft.catalog.AggViewRewrite.install(base.spark)
+    // companions + covering index FIRST (their own stores): the main view
+    // is the last artifact to land, so a failed create leaves nothing a
+    // reader would resolve
+    val createdCompanions =
+      scala.collection.mutable.ArrayBuffer.empty[String]
+    def cleanup(): Unit = {
+      createdCompanions.foreach(cn =>
+        try { drop(base, cn, internal = true); () }
+        catch { case _: Exception => () })
+      if (minMaxCols.nonEmpty)
+        try { SecondaryIndex.drop(base, mmIndexName(name)); () }
+        catch { case _: Exception => () }
+    }
     try {
+      distinctCols.foreach { d =>
+        create(base, dcName(name, d), groupBy :+ d, sumCols = Nil,
+          numBuckets = numBuckets)
+        createdCompanions += dcName(name, d)
+      }
+      if (minMaxCols.nonEmpty)
+        SecondaryIndex.create(base, mmIndexName(name), groupBy, minMaxCols,
+          numBuckets)
+      val exprs = aggExprs(sumCols, minMaxCols)
       st.commitBucketed(
         base.readSnapshot(bv).groupBy(groupBy.map(col): _*)
           .agg(exprs.head, exprs.tail: _*),
         groupBy, numBuckets,
         props = Map(BaseVersionProp -> bv.toString,
           SumColsProp -> sumCols.mkString(","),
-          MinMaxColsProp -> minMaxCols.mkString(",")) ++
+          MinMaxColsProp -> minMaxCols.mkString(","),
+          DistinctColsProp -> distinctCols.mkString(",")) ++
           (if (minMaxCols.nonEmpty)
             Map(MmIndexProp -> mmIndexName(name)) else Map.empty))
-    } catch { case e: Throwable =>
-      if (minMaxCols.nonEmpty)
-        try { SecondaryIndex.drop(base, mmIndexName(name)); () }
-        catch { case _: Exception => () }
-      throw e
-    }
+    } catch { case e: Throwable => cleanup(); throw e }
     movePin(base, name, bv)
     bv
   }
@@ -233,14 +302,23 @@ object MaterializedAgg {
       s"materialized aggregates are maintained against MAIN, not branch " +
         s"'${base.branch.getOrElse("")}'; publish the branch first")
 
-  def refresh(base: TableStore, name: String): Long = {
+  def refresh(base: TableStore, name: String): Long =
+    refreshInternal(base, name, None, None)
+
+  /** `pinnedTo` fixes the target snapshot (companions refresh to the SAME
+    * span as their parent even if the base advances mid-refresh);
+    * `sharedFrames` hands a parent's already-read changelog halves down so
+    * the changed-file reads are paid once across the view family. */
+  private def refreshInternal(base: TableStore, name: String,
+      pinnedTo: Option[Long],
+      sharedFrames: Option[(Long, Long, DataFrame, DataFrame)]): Long = {
     requireMain(base)
     val st = aggStore(base, name)
     val av = st.currentVersion()
     require(av >= 0, s"aggregate view '$name' does not exist; create it first")
     val am = st.manifest(av)
     val fromV = am.props(BaseVersionProp).toLong
-    val toV = base.currentVersion()
+    val toV = pinnedTo.getOrElse(base.currentVersion())
     if (toV == fromV) return fromV
     require(base.existingVersions().contains(fromV),
       s"materialized base snapshot $fromV expired; rebuild the view " +
@@ -249,6 +327,65 @@ object MaterializedAgg {
     val sumCols = am.props(SumColsProp).split(',').filter(_.nonEmpty).toSeq
     val minMaxCols = am.props.getOrElse(MinMaxColsProp, "")
       .split(',').filter(_.nonEmpty).toSeq
+    val distinctCols = am.props.getOrElse(DistinctColsProp, "")
+      .split(',').filter(_.nonEmpty).toSeq
+    // ---- refresh-vs-recompute routing (the agg analog of the CDC
+    // auto-router): the replay reads every file the span CHANGED, twice
+    // (pre + post side); a scattered eq mask changes every bucket, making
+    // the replay O(2×table) while a recompute is O(table) + one view
+    // write. The file diff is driver-resident metadata, so the route is
+    // priced before any data is read. Shared frames skip the check — the
+    // parent already chose (and paid for) the replay.
+    val rescanFrac = base.spark.conf
+      .getOption("spark.graft.agg.refresh.rescanFraction")
+      .map(_.toDouble).getOrElse(0.5)
+    val framesMatch = sharedFrames.exists(f => f._1 == fromV && f._2 == toV)
+    // a span of ONLY content-preserving commits (compaction, z-order,
+    // purge, rebucket) diffs to all-files-changed but nets to ZERO — the
+    // replay is a watermark-only advance with no derivative rewrites,
+    // strictly better than a recompute; keep it off the recompute route
+    val contentPreservingSpan = {
+      val have = base.existingVersions().toSet
+      (fromV + 1 to toV).forall(v => have(v) &&
+        base.manifest(v).props
+          .get(TableStore.ContentPreservingProp).contains("true"))
+    }
+    if (!framesMatch && contentPreservingSpan) {
+      // pure metadata advance: no diff, no reads, no derivative rewrites.
+      // The covering index is left as-is — the next data refresh replays
+      // the index's own (netting-to-zero) span before any dirty rescan.
+      distinctCols.foreach(d =>
+        refreshInternal(base, dcName(name, d), Some(toV), None))
+      st.commitIncremental(st.readSnapshot(av).limit(0), Nil,
+        expectedParent = Some(av),
+        props = am.props + (BaseVersionProp -> toV.toString))
+      movePin(base, name, toV)
+      return toV
+    }
+    val diff: Option[(Seq[String], Seq[String])] =
+      if (framesMatch) None else Some(base.changelogFileDiff(fromV, toV))
+    val changedFrac = diff.fold(0.0) { case (a, r) =>
+      math.max(a.size, r.size).toDouble /
+        math.max(1L, base.manifest(toV).nFiles).toDouble
+    }
+    if (!framesMatch && changedFrac >= rescanFrac) {
+      // FULL RECOMPUTE: one O(base) aggregation pass, replacing the whole
+      // view snapshot. Companions route themselves on the same span (same
+      // fraction → same choice). The covering index is NOT advanced — its
+      // next lockstep refresh replays from its own watermark (the shared
+      // frames are declined on span mismatch), so it self-heals before the
+      // next dirty-group rescan needs it.
+      distinctCols.foreach(d =>
+        refreshInternal(base, dcName(name, d), Some(toV), None))
+      val exprs = aggExprs(sumCols, minMaxCols)
+      st.commitBucketed(
+        base.readSnapshot(toV).groupBy(keys.map(col): _*)
+          .agg(exprs.head, exprs.tail: _*),
+        keys, am.numBuckets, expectedParent = Some(av),
+        props = am.props + (BaseVersionProp -> toV.toString))
+      movePin(base, name, toV)
+      return toV
+    }
     // UN-JOINED changelog halves: the signed-delta aggregation needs no
     // INSERT/UPDATE/DELETE classification — a pre-image row contributes
     // −row, a post-image row +row, and carry-over rows from
@@ -257,12 +394,18 @@ object MaterializedAgg {
     // operation — a shuffle join over every row of every changed file)
     // turns refresh into two file-pruned reads + ONE map-side-combined
     // aggregation of O(changed-file rows) → O(changed groups) partials.
-    val (preF0, postF0) = base.changelogFrames(fromV, toV)
+    val (preF0, postF0) = sharedFrames match {
+      case Some((_, _, p, q)) if framesMatch => (p, q)
+      case _ =>
+        val (a, r) = diff.get
+        base.changelogFramesFor(fromV, toV, a, r)
+    }
     // project to the columns EVERY consumer needs before persisting: the
-    // SUM delta, one per-value netting pass per MIN/MAX column, AND the
-    // covering index's lockstep refresh below — all replay the same
-    // changed files, so with MIN/MAX on, the frames are read once into
-    // cache instead of once per consumer
+    // SUM delta, one per-value netting pass per MIN/MAX column, the
+    // companion distinct views, AND the covering index's lockstep refresh
+    // below — all replay the same changed files, so with multiple
+    // consumers the frames are read once into cache instead of once per
+    // consumer
     val idxCols: Seq[String] =
       if (minMaxCols.isEmpty) Nil
       else {
@@ -270,14 +413,18 @@ object MaterializedAgg {
         idx.manifest(idx.currentVersion()).schema.fieldNames
           .filterNot(_ == "_gbucket").toSeq
       }
-    val needed = (keys ++ sumCols ++ minMaxCols ++ idxCols).distinct
+    val needed =
+      (keys ++ sumCols ++ minMaxCols ++ distinctCols ++ idxCols).distinct
     val preF = preF0.select(needed.map(col): _*)
     val postF = postF0.select(needed.map(col): _*)
-    if (minMaxCols.nonEmpty) { preF.persist(); postF.persist(); () }
-    // covering index in lockstep — it is the dirty-group rescan's source,
-    // fed the SHARED frames so the changed-file reads are paid once (if
-    // the base advanced concurrently the index falls back to its own
-    // span; the next refresh converges — the index's own contract)
+    val multiConsumer = minMaxCols.nonEmpty || distinctCols.nonEmpty
+    if (multiConsumer) { preF.persist(); postF.persist(); () }
+    // companions + covering index in lockstep, fed the SHARED frames so
+    // the changed-file reads are paid once (on any watermark/span mismatch
+    // each falls back to its own span; the next refresh converges)
+    distinctCols.foreach(d =>
+      refreshInternal(base, dcName(name, d), Some(toV),
+        Some((fromV, toV, preF, postF))))
     if (minMaxCols.nonEmpty)
       SecondaryIndex.refresh(base, am.props(MmIndexProp),
         sharedFrames = Some((fromV, toV, preF, postF)))
@@ -432,7 +579,7 @@ object MaterializedAgg {
       toV
     } finally {
       delta.unpersist()
-      if (minMaxCols.nonEmpty) { preF.unpersist(); postF.unpersist(); () }
+      if (multiConsumer) { preF.unpersist(); postF.unpersist(); () }
       Option(storedTouchedRef.get()).foreach(_.unpersist())
       ()
     }
@@ -447,28 +594,59 @@ object MaterializedAgg {
     val sumCols = am.props(SumColsProp).split(',').filter(_.nonEmpty).toSeq
     val minMaxCols = am.props.getOrElse(MinMaxColsProp, "")
       .split(',').filter(_.nonEmpty).toSeq
+    val distinctCols = am.props.getOrElse(DistinctColsProp, "")
+      .split(',').filter(_.nonEmpty).toSeq
     val keys = am.bucketKeys
-    st.readSnapshot().select(keys.map(col) ++ sumCols.map(c =>
+    val core = st.readSnapshot().select(keys.map(col) ++ sumCols.map(c =>
       when(col(nnCol(c)) > 0L, col(sumCol(c)))
         .otherwise(lit(null)).as(sumCol(c))) ++
       minMaxCols.flatMap(c => Seq(col(minCol(c)), col(maxCol(c)))) :+
       col("_cnt"): _*)
+    // distinct counts FINISH AT READ TIME over the companion's live
+    // (group, value) pairs — one count per group over O(live pairs) rows,
+    // map-side combined; COUNT(DISTINCT) ignores NULL values, hence the
+    // not-null filter. A group whose only values are NULL (or that has no
+    // companion row yet) reads 0 through the outer-join coalesce.
+    distinctCols.foldLeft(core) { (df, d) =>
+      val comp = aggStore(base, dcName(name, d)).readSnapshot()
+        .filter(col(d).isNotNull)
+        .groupBy(keys.map(col): _*).agg(count(lit(1)).as(dcCol(d)))
+      nsJoin(df, comp, keys, "left_outer")
+        .withColumn(dcCol(d), coalesce(col(dcCol(d)), lit(0L)))
+    }
   }
 
-  /** Delete the view (files + manifests); the base is untouched. */
-  def drop(base: TableStore, name: String): Boolean = {
+  /** Delete the view (files + manifests); the base is untouched. Distinct
+    * companions drop with their parent and cannot be dropped directly. */
+  def drop(base: TableStore, name: String): Boolean =
+    drop(base, name, internal = false)
+
+  private[graft] def drop(base: TableStore, name: String,
+      internal: Boolean): Boolean = {
     requireMain(base)
     require(TableStore.RefNameOk.pattern.matcher(name).matches(),
       s"aggregate view name must match [A-Za-z0-9._-]{1,128}, got '$name'")
+    val parentOfDc = Option(name.split("__dc_")(0))
+      .filter(p => p.nonEmpty && p != name)
+    require(internal || !parentOfDc.exists(viewMeta(base, _).isDefined),
+      s"'$name' is a distinct-count companion of " +
+        s"'${parentOfDc.getOrElse("")}'; drop the parent view instead")
     dropPins(base, name) // release the materialized-snapshot pins
-    // the auto-created covering index goes with the view
     val st = aggStore(base, name)
-    if (st.currentVersion() >= 0)
-      st.manifest(st.currentVersion()).props.get(MmIndexProp)
-        .foreach { idx =>
-          try { SecondaryIndex.drop(base, idx); () }
+    if (st.currentVersion() >= 0) {
+      val props = st.manifest(st.currentVersion()).props
+      // the auto-created covering index goes with the view
+      props.get(MmIndexProp).foreach { idx =>
+        try { SecondaryIndex.drop(base, idx); () }
+        catch { case _: Exception => () }
+      }
+      // ...and so do the distinct companions
+      props.getOrElse(DistinctColsProp, "").split(',').filter(_.nonEmpty)
+        .foreach { d =>
+          try { drop(base, dcName(name, d), internal = true); () }
           catch { case _: Exception => () }
         }
+    }
     val p = new org.apache.hadoop.fs.Path(s"${base.root}/agg/$name")
     val fs = p.getFileSystem(base.spark.sparkContext.hadoopConfiguration)
     fs.delete(p, true)

@@ -1,0 +1,205 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.catalog.GraftCatalog
+import graft.store.{MaterializedAgg, TableStore}
+
+/** Transparent materialized-view rewrite ([[graft.catalog.AggViewRewriteRule]]):
+  * a GROUP BY over the catalog table must answer from the aggregate view
+  * when (and only when) the view is fresh and the shape is coverable, with
+  * results identical to the un-rewritten plan — including NULL group keys,
+  * NULL-only sums, compound grouping expressions, and filters on keys. */
+class AggViewRewriteSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val warehouse = {
+    val w = Files.createTempDirectory("graft_mvrw").toString
+    spark.conf.set("spark.sql.catalog.mv_cat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.mv_cat.warehouse", w)
+    w
+  }
+
+  /** (id, grp, reg, n, d, v): id bucket key; grp/reg group keys (grp has a
+    * NULL slice); n integral sum col; d nullable decimal sum col; v minmax
+    * col with a NULL slice. */
+  private def rows(from: Long, to: Long): DataFrame =
+    (from to to).map { k =>
+      val grp: Option[String] = if (k % 11 == 0) None else Some(s"g${k % 5}")
+      val d: Option[BigDecimal] =
+        if (k % 4 == 0) None else Some(BigDecimal(k).setScale(2) / 8)
+      val v: Option[Long] = if (k % 7 == 0) None else Some(1000 - k)
+      (k, grp, s"r${k % 3}", k * 2, d, v)
+    }.toDF("id", "grp", "reg", "n", "d", "v")
+      .withColumn("d", col("d").cast("decimal(18,2)"))
+
+  private def setup(): TableStore = {
+    val store = new TableStore(spark, s"$warehouse/analytics/sales")
+    if (store.currentVersion() < 0) {
+      store.commitBucketed(rows(1, 500), Seq("id"), 8)
+      MaterializedAgg.create(store, "by_grp_reg", Seq("grp", "reg"),
+        sumCols = Seq("n", "d"), numBuckets = 4, minMaxCols = Seq("v"))
+    }
+    store
+  }
+
+  private def fired(df: DataFrame): Boolean =
+    df.queryExecution.executedPlan.toString.contains("/agg/by_grp_reg")
+
+  /** Collect twice — rewrite on vs off — and insist on identical rows AND
+    * that the on-plan actually reads the view. */
+  private def checkRewrites(sql: String, expectFire: Boolean): Unit = {
+    val on = spark.sql(sql)
+    val onRows = on.collect().map(_.toString).sorted.toSeq
+    assert(fired(on) == expectFire,
+      s"expected fired=$expectFire for:\n$sql\n${on.queryExecution.executedPlan}")
+    spark.conf.set("spark.graft.agg.rewrite", "false")
+    try {
+      val off = spark.sql(sql)
+      assert(!fired(off))
+      assert(onRows == off.collect().map(_.toString).sorted.toSeq,
+        s"rewrite changed results for:\n$sql")
+    } finally spark.conf.set("spark.graft.agg.rewrite", "true")
+  }
+
+  test("exact-key GROUP BY answers from the view, result-identical") {
+    setup()
+    checkRewrites(
+      """SELECT grp, reg, COUNT(*) AS cnt, SUM(n) AS sn, SUM(d) AS sd,
+        |  MIN(v) AS mnv, MAX(v) AS mxv, AVG(n) AS an, COUNT(d) AS cd
+        |FROM mv_cat.analytics.sales GROUP BY grp, reg""".stripMargin,
+      expectFire = true)
+  }
+
+  test("subset + compound grouping re-aggregates the view partials") {
+    setup()
+    // subset of the view keys
+    checkRewrites(
+      """SELECT grp, SUM(n) AS sn, COUNT(*) AS cnt, MIN(v) AS mnv,
+        |  MAX(reg) AS mxr
+        |FROM mv_cat.analytics.sales GROUP BY grp""".stripMargin,
+      expectFire = true)
+    // compound expression over a view key + filter on the other key
+    checkRewrites(
+      """SELECT substring(reg, 2) AS rnum, SUM(d) AS sd, COUNT(*) AS cnt
+        |FROM mv_cat.analytics.sales WHERE grp IS NOT NULL
+        |GROUP BY substring(reg, 2)""".stripMargin,
+      expectFire = true)
+    // compound OUTPUT over aggregates (CollapseProject folds the cast in)
+    checkRewrites(
+      """SELECT grp, CAST(SUM(n) AS DOUBLE) / 7 AS sn7
+        |FROM mv_cat.analytics.sales WHERE reg <> 'r1'
+        |GROUP BY grp""".stripMargin,
+      expectFire = true)
+  }
+
+  test("unsupported shapes decline but stay correct") {
+    setup()
+    // DISTINCT aggregate
+    checkRewrites(
+      """SELECT grp, COUNT(DISTINCT reg) AS dr
+        |FROM mv_cat.analytics.sales GROUP BY grp""".stripMargin,
+      expectFire = false)
+    // filter on a non-key column
+    checkRewrites(
+      """SELECT grp, SUM(n) AS sn FROM mv_cat.analytics.sales
+        |WHERE n > 100 GROUP BY grp""".stripMargin,
+      expectFire = false)
+    // untracked aggregate column
+    checkRewrites(
+      """SELECT grp, SUM(id) AS si FROM mv_cat.analytics.sales
+        |GROUP BY grp""".stripMargin,
+      expectFire = false)
+    // MIN over a sum-tracked (not minmax-tracked) column
+    checkRewrites(
+      """SELECT grp, MIN(n) AS mn FROM mv_cat.analytics.sales
+        |GROUP BY grp""".stripMargin,
+      expectFire = false)
+    // grouping by a non-key column
+    checkRewrites(
+      """SELECT id % 2 AS par, SUM(n) AS sn FROM mv_cat.analytics.sales
+        |GROUP BY id % 2""".stripMargin,
+      expectFire = false)
+  }
+
+  test("staleness gates the rewrite; refresh re-arms it") {
+    val store = setup()
+    val q =
+      """SELECT grp, reg, SUM(n) AS sn, MIN(v) AS mnv
+        |FROM mv_cat.analytics.sales GROUP BY grp, reg""".stripMargin
+    checkRewrites(q, expectFire = true)
+    // base advances: the view is stale — MUST NOT answer
+    store.commitAppend(rows(501, 560))
+    spark.catalog.refreshTable("mv_cat.analytics.sales")
+    checkRewrites(q, expectFire = false)
+    MaterializedAgg.refresh(store, "by_grp_reg")
+    checkRewrites(q, expectFire = true)
+    // time travel to the materialized snapshot: rewrite legally serves it
+    val v = store.currentVersion()
+    checkRewrites(
+      s"""SELECT grp, SUM(n) AS sn
+         |FROM mv_cat.analytics.sales VERSION AS OF $v
+         |GROUP BY grp""".stripMargin, expectFire = true)
+    checkRewrites(
+      s"""SELECT grp, SUM(n) AS sn
+         |FROM mv_cat.analytics.sales VERSION AS OF ${v - 1}
+         |GROUP BY grp""".stripMargin, expectFire = false)
+  }
+
+  test("COUNT(DISTINCT) answers from the companion view, exact across " +
+      "merged groups and NULLs") {
+    val store = new TableStore(spark, s"$warehouse/analytics/dsales")
+    if (store.currentVersion() < 0) {
+      // v repeats ACROSS groups (id % 9, NULL slice) — a subset grouping
+      // must still count each shared value once per merged group
+      store.commitBucketed(rows(1, 400)
+        .withColumn("v", when(col("id") % 7 === 0, lit(null))
+          .otherwise(col("id") % 9)), Seq("id"), 8)
+      MaterializedAgg.create(store, "dgr", Seq("grp", "reg"),
+        sumCols = Seq("n"), numBuckets = 4, distinctCols = Seq("v"))
+    }
+    def firedD(df: org.apache.spark.sql.DataFrame): Boolean =
+      df.queryExecution.executedPlan.toString.contains("/agg/dgr")
+    def check(sql: String, expectFire: Boolean): Unit = {
+      val on = spark.sql(sql)
+      val onRows = on.collect().map(_.toString).sorted.toSeq
+      assert(firedD(on) == expectFire,
+        s"expected fired=$expectFire:\n$sql\n${on.queryExecution.executedPlan}")
+      spark.conf.set("spark.graft.agg.rewrite", "false")
+      try assert(onRows ==
+        spark.sql(sql).collect().map(_.toString).sorted.toSeq, sql)
+      finally spark.conf.set("spark.graft.agg.rewrite", "true")
+    }
+    // exact keys: distinct + plain aggregates together
+    check(
+      """SELECT grp, reg, COUNT(DISTINCT v) AS dv, SUM(n) AS sn,
+        |  COUNT(*) AS cnt
+        |FROM mv_cat.analytics.dsales GROUP BY grp, reg""".stripMargin,
+      expectFire = true)
+    // merged groups: the same v value in several (grp, reg) fine groups
+    // must count once per grp — and a distinct-only query works too
+    check(
+      """SELECT grp, COUNT(DISTINCT v) AS dv
+        |FROM mv_cat.analytics.dsales WHERE reg <> 'r2'
+        |GROUP BY grp""".stripMargin, expectFire = true)
+    // untracked distinct column declines
+    check(
+      """SELECT grp, COUNT(DISTINCT reg) AS dr
+        |FROM mv_cat.analytics.dsales GROUP BY grp""".stripMargin,
+      expectFire = false)
+  }
+
+  test("kill switch disables the rule outright") {
+    setup()
+    spark.conf.set("spark.graft.agg.rewrite", "false")
+    try {
+      val df = spark.sql(
+        "SELECT grp, reg, SUM(n) AS sn FROM mv_cat.analytics.sales " +
+          "GROUP BY grp, reg")
+      assert(!fired(df))
+    } finally spark.conf.set("spark.graft.agg.rewrite", "true")
+  }
+}

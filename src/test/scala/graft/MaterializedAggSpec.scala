@@ -440,4 +440,93 @@ class MaterializedAggSpec extends SparkSuite {
     assert(MaterializedAgg.aggStore(base, "v").currentVersion() < 0)
     assert(base.readSnapshot().count() == n0)
   }
+
+  // ---- COUNT(DISTINCT) via companion views --------------------------------
+
+  private def dcRecompute(base: TableStore): Seq[String] =
+    canon(base.readSnapshot().groupBy("grp")
+      .agg(sum("n").as("sum_n"), countDistinct(col("d")).as("dc_d"),
+        count(lit(1)).as("_cnt"))
+      .select(col("grp"), col("sum_n"), col("dc_d"), col("_cnt")))
+
+  private def dcViewRows(base: TableStore): Seq[String] =
+    canon(MaterializedAgg.read(base, "dv")
+      .select(col("grp"), col("sum_n"), col("dc_d"), col("_cnt")))
+
+  test("count-distinct companion: parity across routes, retraction to zero") {
+    val base = freshStore()
+    base.commitBucketed(baseRows(400), Seq("id"), 8)
+    MaterializedAgg.create(base, "dv", Seq("grp"), Seq("n"), 4,
+      distinctCols = Seq("d"))
+    assert(MaterializedAgg.list(base).contains("dv__dc_d"),
+      "the companion view must exist")
+    assert(dcViewRows(base) == dcRecompute(base))
+
+    // retract SOME carriers of shared values (d repeats every 4·5·7 ids —
+    // duplicates exist), plus whole-group moves
+    base.deleteEq((1L to 400L).filter(k => k % 10 == 3).toDF("id"))
+    MaterializedAgg.refresh(base, "dv")
+    assert(dcViewRows(base) == dcRecompute(base))
+
+    // flip every remaining d of one group to NULL: its distinct count
+    // must retract to ZERO while the group row survives (_cnt > 0)
+    base.upsertMor(base.readSnapshot().filter(col("grp") === "g1")
+      .withColumn("d", lit(null).cast("decimal(18,2)"))
+      .withColumn("op", lit("PUT")))
+    MaterializedAgg.refresh(base, "dv")
+    assert(dcViewRows(base) == dcRecompute(base))
+    val g1 = MaterializedAgg.read(base, "dv").filter(col("grp") === "g1")
+      .select("dc_d", "_cnt").head()
+    assert(g1.getLong(0) == 0L && g1.getLong(1) > 0L,
+      s"all-NULL group must read dc=0 with live _cnt, got $g1")
+
+    // companion cannot be dropped out from under the parent
+    val e = intercept[IllegalArgumentException](
+      MaterializedAgg.drop(base, "dv__dc_d"))
+    assert(e.getMessage.contains("companion"))
+    // ...but drops with it
+    MaterializedAgg.drop(base, "dv")
+    assert(!MaterializedAgg.list(base).exists(_.startsWith("dv")),
+      "companions must drop with the parent view")
+  }
+
+  test("refresh-vs-recompute routing: a scattered span recomputes, a " +
+      "bucket-local span replays — parity either way") {
+    val base = freshStore()
+    base.commitBucketed(baseRows(600), Seq("id"), 8)
+    MaterializedAgg.create(base, "v", Seq("grp"), Seq("n", "d"), 4)
+    def viewFiles(): Set[String] = {
+      val st = MaterializedAgg.aggStore(base, "v")
+      st.manifest(st.currentVersion()).inlineFiles.toSet
+    }
+    // scattered eq delete touches every bucket → changed fraction 1.0 →
+    // the router recomputes: NO view file of the previous snapshot
+    // survives (full rewrite), and content matches the oracle
+    base.deleteEq((1L to 600L).filter(_ % 7 == 0).toDF("id"))
+    val before = viewFiles()
+    MaterializedAgg.refresh(base, "v")
+    assert(viewRows(base) == recompute(base))
+    assert(viewFiles().intersect(before).isEmpty,
+      "scattered span must route to full recompute (no inherited files)")
+    // bucket-local change → replay: untouched view buckets inherit
+    base.upsertMor(base.readSnapshot().filter(col("id") === 8)
+      .withColumn("n", col("n") + 1).withColumn("op", lit("PUT")))
+    val before2 = viewFiles()
+    MaterializedAgg.refresh(base, "v")
+    assert(viewRows(base) == recompute(base))
+    assert(viewFiles().intersect(before2).nonEmpty,
+      "bucket-local span must replay incrementally (files inherited)")
+    // the routing threshold is a conf: forcing rescanFraction to 0 turns
+    // even the local span into a recompute, still content-exact
+    base.upsertMor(base.readSnapshot().filter(col("id") === 16)
+      .withColumn("n", col("n") + 1).withColumn("op", lit("PUT")))
+    spark.conf.set("spark.graft.agg.refresh.rescanFraction", "0.0")
+    try {
+      val before3 = viewFiles()
+      MaterializedAgg.refresh(base, "v")
+      assert(viewRows(base) == recompute(base))
+      assert(viewFiles().intersect(before3).isEmpty,
+        "rescanFraction=0 must force the recompute route")
+    } finally spark.conf.unset("spark.graft.agg.refresh.rescanFraction")
+  }
 }
