@@ -63,11 +63,20 @@ class AggViewRewriteRule extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString("spark.graft.agg.rewrite", "true").toBoolean)
       return plan
+    val debug =
+      conf.getConfString("spark.graft.agg.rewrite.debug", "false").toBoolean
     plan.transformUp {
       case agg: Aggregate =>
         try rewrite(agg).getOrElse(agg)
         catch { case e: Exception =>
-          logWarning(s"agg-view rewrite declined on error: $e"); agg
+          logWarning(s"agg-view rewrite declined on error: $e")
+          if (debug) {
+            // scalastyle:off println
+            System.err.println(s"[agg-rewrite] declined on error: $e")
+            e.printStackTrace()
+            // scalastyle:on println
+          }
+          agg
         }
     }
   }
@@ -390,6 +399,21 @@ class AggViewRewriteRule extends Rule[LogicalPlan] {
 }
 
 object AggViewRewrite {
+  /** Did this DataFrame's plan get served from a materialized aggregate
+    * view? Checked against the optimized plan's RELATION PATHS (plan-string
+    * greps are unreliable: InMemoryFileIndex truncates long locations and
+    * the exact-key rewrite's placeholder aliases collapse away). */
+  def served(df: DataFrame): Boolean =
+    df.queryExecution.optimizedPlan.exists {
+      case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        l.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.rootPaths.exists(_.toString.contains("/agg/"))
+          case _ => false
+        }
+      case _ => false
+    }
+
   /** Idempotently add the rule to the session's experimental optimizations
     * — the injection point available on a session graft did not build
     * (`spark.sql.extensions` is fixed at session construction; the

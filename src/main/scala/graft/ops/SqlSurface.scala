@@ -623,7 +623,7 @@ object SqlSurface {
       keys = Seq("l_orderkey", "l_linenumber"), numBuckets = 16)
     s.catalog.refreshTable(s"$cat.analytics.li_rw")
     s.sql(s"CALL $cat.system.create_agg_view('analytics.li_rw', 'by_flag', " +
-      "'okb,l_returnflag,l_linestatus', 'qty', 8, 'disc')")
+      "'okb,l_returnflag,l_linestatus', 'qty', 8, 'disc', 'disc')")
     s.conf.set("spark.graft.delete.mode", "auto")
     try s.sql(s"DELETE FROM $cat.analytics.li_rw WHERE l_orderkey % 10 = 4")
     finally s.conf.unset("spark.graft.delete.mode")
@@ -633,13 +633,14 @@ object SqlSurface {
       s"""SELECT okb, l_returnflag, COUNT(*) AS n,
          |  CAST(SUM(qty) AS DOUBLE) AS sum_qty,
          |  CAST(MIN(disc) AS DOUBLE) AS min_disc,
-         |  CAST(MAX(disc) AS DOUBLE) AS max_disc
+         |  CAST(MAX(disc) AS DOUBLE) AS max_disc,
+         |  COUNT(DISTINCT disc) AS n_disc
          |FROM $cat.analytics.li_rw
          |WHERE l_linestatus = 'F'
          |GROUP BY okb, l_returnflag
          |ORDER BY okb ASC NULLS FIRST,
          |  l_returnflag ASC NULLS FIRST""".stripMargin)
-    require(out.queryExecution.executedPlan.toString.contains("/agg/by_flag"),
+    require(graft.catalog.AggViewRewrite.served(out),
       "the GROUP BY over the base table must answer from the " +
         "materialized view")
     out
@@ -668,7 +669,8 @@ object SqlSurface {
       """SELECT okb, l_returnflag, COUNT(*) AS n,
         |  CAST(SUM(qty) AS DOUBLE) AS sum_qty,
         |  CAST(MIN(disc) AS DOUBLE) AS min_disc,
-        |  CAST(MAX(disc) AS DOUBLE) AS max_disc
+        |  CAST(MAX(disc) AS DOUBLE) AS max_disc,
+        |  COUNT(DISTINCT disc) AS n_disc
         |FROM (
         |  SELECT l_orderkey % 97 AS okb, l_returnflag, l_linestatus,
         |    CAST(l_quantity AS DECIMAL(18,2)) AS qty,

@@ -130,9 +130,11 @@ object BenchHeavy {
     }
     t("count_eq") { store.readSnapshot().count() }
     // r9: incrementally-maintained aggregate view — create is the one
-    // O(base) pass; refresh replays the signed changelog frames of a
-    // SCATTERED eq upsert (worst case: every bucket affected), never a
-    // keyed join
+    // O(base) pass; the refresh after a SCATTERED eq upsert (worst case:
+    // every bucket affected) is AUTO-ROUTED to a full recompute (the
+    // changed-file fraction prices the 2× replay out), so agg_refresh
+    // measures the router's choice; agg_refresh_replay pins the replay
+    // path for cross-round comparability with the r8 semantics
     t("agg_create") {
       graft.store.MaterializedAgg.create(store, "by_cust_agg",
         Seq("o_custkey"), Nil, numBuckets = 16)
@@ -142,6 +144,15 @@ object BenchHeavy {
         col("o_totalprice") + 6.0))
     }
     t("agg_refresh") { graft.store.MaterializedAgg.refresh(store, "by_cust_agg") }
+    t("upsert_eq3") {
+      store.upsertEq(upd.withColumn("o_totalprice",
+        col("o_totalprice") + 7.0))
+    }
+    spark.conf.set("spark.graft.agg.refresh.rescanFraction", "2.0")
+    t("agg_refresh_replay") {
+      graft.store.MaterializedAgg.refresh(store, "by_cust_agg")
+    }
+    spark.conf.unset("spark.graft.agg.refresh.rescanFraction")
     // r9 additions: partial-key delete (zero base reads at any scale) and
     // the WAP rebase loop (fork -> stage -> main advances -> rebase ->
     // publish) on the 1.5M-row table

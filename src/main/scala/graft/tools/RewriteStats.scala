@@ -1,0 +1,111 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev measurement: what the transparent materialized-view rewrite
+  * ([[graft.catalog.AggViewRewriteRule]]) buys on a dashboard-shaped
+  * GROUP BY over the catalog table — same SQL text, rewrite on vs off —
+  * plus the auto-routed refresh after a scattered change (recompute route)
+  * vs the forced replay. Fixture mirrors AggStats: replicated orders
+  * (1.5M rows at sf0.1 × 10) bucketed on the order key, a
+  * (cgrp, status) view with SUM + MIN/MAX + COUNT(DISTINCT clerk-ish). */
+object RewriteStats {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val replicate = sys.env.getOrElse("GRAFT_AGG_REPLICATE", "10").toInt
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.conf.set("spark.graft.agg.rewrite.debug", "true")
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+
+    val warehouse = graft.util.Scratch.dir("rwstats")
+    spark.conf.set("spark.sql.catalog.rw_cat",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.rw_cat.warehouse", warehouse)
+
+    val o0 = graft.Tables.load(spark, sfDir, "orders")
+      .select(col("o_orderkey"), (col("o_custkey") % 500).as("cgrp"),
+        col("o_orderstatus"),
+        (col("o_custkey") % 97).as("clerk"),
+        col("o_totalprice").cast("decimal(18,2)").as("o_totalprice"))
+    val maxKey = o0.agg(max("o_orderkey")).head().getLong(0) + 1
+    val orders = (0 until replicate).map(i =>
+      o0.withColumn("o_orderkey", col("o_orderkey") + lit(i * maxKey)))
+      .reduce(_ union _)
+    val st = new graft.store.TableStore(spark, s"$warehouse/analytics/orders")
+    val (_, tSeed) = timed(st.commitBucketed(orders, Seq("o_orderkey"), 64))
+    println(f"seed: ${st.readSnapshot().count()} rows, $tSeed%.2f s")
+
+    val (_, tCreate) = timed(graft.store.MaterializedAgg.create(st, "dash",
+      Seq("cgrp", "o_orderstatus"), Seq("o_totalprice"), 16,
+      minMaxCols = Seq("o_totalprice"), distinctCols = Seq("clerk")))
+    println(f"create view (+covering index +distinct companion): $tCreate%.2f s")
+
+    val exactQ =
+      """SELECT cgrp, o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(o_totalprice) AS DOUBLE) AS total,
+        |  MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx,
+        |  COUNT(DISTINCT clerk) AS nclerk
+        |FROM rw_cat.analytics.orders
+        |GROUP BY cgrp, o_orderstatus""".stripMargin
+    val subsetQ =
+      """SELECT cgrp, COUNT(*) AS n,
+        |  CAST(SUM(o_totalprice) AS DOUBLE) AS total
+        |FROM rw_cat.analytics.orders
+        |WHERE o_orderstatus <> 'X' GROUP BY cgrp""".stripMargin
+    def run(q: String, on: Boolean): (Long, Double, Boolean) = {
+      spark.conf.set("spark.graft.agg.rewrite", on.toString)
+      try {
+        val df = spark.sql(q)
+        val fired = graft.catalog.AggViewRewrite.served(df)
+        val (n, t) = timed(df.collect().length.toLong)
+        (n, t, fired)
+      } finally spark.conf.set("spark.graft.agg.rewrite", "true")
+    }
+    Seq(("exact+distinct", exactQ), ("subset+filter", subsetQ)).foreach {
+      case (label, q) =>
+        val (n1, tOff, f1) = run(q, on = false)
+        val (n2, tOn, f2) = run(q, on = true)
+        require(!f1 && f2, s"rewrite gating broken: off=$f1 on=$f2")
+        val (r1, _, _) = run(q, on = false)
+        require(n1 == n2 && n1 == r1, s"row drift: $n1 vs $n2")
+        println(f"$label%-16s base-scan $tOff%.2f s -> view $tOn%.2f s " +
+          f"(${tOff / tOn}%.1fx, $n1 groups)")
+    }
+
+    // scattered change: the router recomputes; forced replay for contrast
+    def scatter(shift: Int): Unit = {
+      st.upsertEq(st.readSnapshot().filter(col("o_orderkey") % 1000 === 7)
+        .withColumn("o_totalprice",
+          (col("o_totalprice") + lit(shift)).cast("decimal(18,2)"))
+        .withColumn("op", lit("PUT")))
+      ()
+    }
+    scatter(10)
+    val (_, tRouted) = timed(graft.store.MaterializedAgg.refresh(st, "dash"))
+    println(f"scattered refresh, auto-routed (recompute): $tRouted%.2f s")
+    scatter(20)
+    spark.conf.set("spark.graft.agg.refresh.rescanFraction", "2.0")
+    val (_, tReplay) = timed(graft.store.MaterializedAgg.refresh(st, "dash"))
+    spark.conf.unset("spark.graft.agg.refresh.rescanFraction")
+    println(f"scattered refresh, forced replay: $tReplay%.2f s")
+    // parity after both routes
+    val got = graft.store.MaterializedAgg.read(st, "dash")
+      .select("cgrp", "o_orderstatus", "sum_o_totalprice", "_cnt", "dc_clerk")
+      .collect().map(_.mkString("|")).sorted.toSeq
+    val want = st.readSnapshot().groupBy("cgrp", "o_orderstatus")
+      .agg(sum("o_totalprice").as("s"), count(lit(1)).as("c"),
+        countDistinct(col("clerk")).as("d"))
+      .collect().map(_.mkString("|")).sorted.toSeq
+    println(s"parity: ${got == want} (${got.size} groups)")
+    spark.stop()
+  }
+}

@@ -47,7 +47,7 @@ class AggViewRewriteSpec extends SparkSuite {
   }
 
   private def fired(df: DataFrame): Boolean =
-    df.queryExecution.executedPlan.toString.contains("/agg/by_grp_reg")
+    graft.catalog.AggViewRewrite.served(df)
 
   /** Collect twice — rewrite on vs off — and insist on identical rows AND
     * that the on-plan actually reads the view. */
@@ -162,7 +162,7 @@ class AggViewRewriteSpec extends SparkSuite {
         sumCols = Seq("n"), numBuckets = 4, distinctCols = Seq("v"))
     }
     def firedD(df: org.apache.spark.sql.DataFrame): Boolean =
-      df.queryExecution.executedPlan.toString.contains("/agg/dgr")
+      graft.catalog.AggViewRewrite.served(df)
     def check(sql: String, expectFire: Boolean): Unit = {
       val on = spark.sql(sql)
       val onRows = on.collect().map(_.toString).sorted.toSeq
