@@ -120,7 +120,20 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     else if (ident.name.endsWith("$aggs"))
       aggsMetaTable(Identifier.of(ident.namespace,
         ident.name.stripSuffix("$aggs")))
-    else if (ident.name.contains("$agg_")) {
+    else if (ident.name.endsWith("$joins"))
+      joinsMetaTable(Identifier.of(ident.namespace,
+        ident.name.stripSuffix("$joins")))
+    else if (ident.name.contains("$join_")) {
+      // `tbl$join_<name>` — a materialized join view as a queryable table:
+      // the view IS a graft table under `<fact-root>/join/<name>` bucketed
+      // on the fact's primary keys, so PK predicates bucket-prune like any
+      // graft scan and the denormalized row needs no join at read time.
+      val i = ident.name.indexOf("$join_")
+      val base = ident.name.substring(0, i)
+      val joinName = ident.name.substring(i + "$join_".length)
+      snapshotTable(Identifier.of(ident.namespace,
+        s"$base/join/$joinName"), None)
+    } else if (ident.name.contains("$agg_")) {
       // `tbl$agg_<name>` — a materialized aggregate view as a queryable
       // table: the view IS a graft table under `<base-root>/agg/<name>`
       // bucketed on the GROUP keys, so group-key predicates bucket-prune
@@ -250,6 +263,32 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           mat, cur, mat != cur)
     }.toArray[org.apache.spark.sql.catalyst.InternalRow]
     new MetaTable(s"${ident.name}$$aggs", schema, rows)
+  }
+
+  /** `SELECT * FROM cat.ns.`tbl$joins`` — the fact table's materialized
+    * join views and their two-sided staleness (which fact AND dim snapshot
+    * each reflects vs the currents). Driver-computed, O(#views). */
+  private def joinsMetaTable(ident: Identifier): Table = {
+    import org.apache.spark.sql.types._
+    val store = storeFor(ident)
+    if (store.currentVersion() < 0) throw new NoSuchTableException(ident)
+    val schema = StructType(Seq(
+      StructField("name", StringType), StructField("dim_root", StringType),
+      StructField("join_type", StringType),
+      StructField("materialized_fact_version", LongType),
+      StructField("current_fact_version", LongType),
+      StructField("materialized_dim_version", LongType),
+      StructField("current_dim_version", LongType),
+      StructField("stale", BooleanType)))
+    val rows = graft.store.MaterializedJoin.status(store).map {
+      case (n, rr, jt, matL, curL, matR, curR) =>
+        org.apache.spark.sql.catalyst.InternalRow(
+          org.apache.spark.unsafe.types.UTF8String.fromString(n),
+          org.apache.spark.unsafe.types.UTF8String.fromString(rr),
+          org.apache.spark.unsafe.types.UTF8String.fromString(jt),
+          matL, curL, matR, curR, matL != curL || matR != curR)
+    }.toArray[org.apache.spark.sql.catalyst.InternalRow]
+    new MetaTable(s"${ident.name}$$joins", schema, rows)
   }
 
   /** `SELECT * FROM cat.ns.`tbl$files`` — a snapshot's data files (path,

@@ -29,7 +29,8 @@ object GraftProcedures {
       "create_index", "refresh_index", "drop_index", "index_lookup_view",
       "create_branch", "drop_branch", "fast_forward", "rebase_branch",
       "expire_branches", "rebucket",
-      "create_agg_view", "refresh_agg_view", "drop_agg_view", "agg_view")
+      "create_agg_view", "refresh_agg_view", "drop_agg_view", "agg_view",
+      "create_join_view", "refresh_join_view", "drop_join_view")
 
   def load(catalog: GraftCatalog, name: String): UnboundProcedure = name match {
     case "compact" => new CompactProc(catalog)
@@ -53,6 +54,9 @@ object GraftProcedures {
     case "refresh_agg_view" => new RefreshAggViewProc(catalog)
     case "drop_agg_view" => new DropAggViewProc(catalog)
     case "agg_view" => new AggViewProc(catalog)
+    case "create_join_view" => new CreateJoinViewProc(catalog)
+    case "refresh_join_view" => new RefreshJoinViewProc(catalog)
+    case "drop_join_view" => new DropJoinViewProc(catalog)
     case other => throw new IllegalArgumentException(
       s"unknown procedure: $other (have: ${Names.mkString(", ")})")
   }
@@ -370,6 +374,72 @@ object GraftProcedures {
         minMaxCols = csv(5), distinctCols = csv(6))
       result(
         StructType(Seq(StructField("base_version", LongType))), Array(bv))
+    }
+  }
+
+  /** Materialize an incrementally-maintained JOIN view: `CALL
+    * cat.system.create_join_view('ns.fact', 'denorm', 'ns.dim',
+    * 'fk', 'k', 'attr1,attr2'[, 'inner'|'left'])`. The view is queryable
+    * as `` `fact$join_<name>` `` (bucketed on the fact keys), advanced with
+    * `refresh_join_view` — a delta-keyed equality upsert over the fact and
+    * dim changelogs, never a re-join of either table. */
+  private final class CreateJoinViewProc(catalog: GraftCatalog)
+      extends GraftProc("create_join_view",
+        "materialize a fact-dim join maintained from both changelogs") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("fact", StringType).build(),
+      ProcedureParameter.in("name", StringType).build(),
+      ProcedureParameter.in("dim", StringType).build(),
+      ProcedureParameter.in("fact_keys", StringType).build(),
+      ProcedureParameter.in("dim_keys", StringType).build(),
+      ProcedureParameter.in("dim_cols", StringType).build(),
+      ProcedureParameter.in("join_type", StringType)
+        .defaultValue("'inner'").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val fact = storeFor(catalog, input.getUTF8String(0).toString)
+      val dim = storeFor(catalog, input.getUTF8String(2).toString)
+      def csv(i: Int): Seq[String] =
+        input.getUTF8String(i).toString.split(',').map(_.trim)
+          .filter(_.nonEmpty).toSeq
+      val jt = if (input.numFields < 7 || input.isNullAt(6)) "inner"
+        else input.getUTF8String(6).toString
+      val lv = graft.store.MaterializedJoin.create(fact,
+        input.getUTF8String(1).toString, dim, csv(3), csv(4), csv(5), jt)
+      result(
+        StructType(Seq(StructField("fact_version", LongType))), Array(lv))
+    }
+  }
+
+  /** Advance a join view to both bases' current snapshots: affected fact
+    * keys from the two changelogs, one equality upsert into the view. */
+  private final class RefreshJoinViewProc(catalog: GraftCatalog)
+      extends GraftProc("refresh_join_view",
+        "advance a join view to the current fact+dim snapshots") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("fact", StringType).build(),
+      ProcedureParameter.in("name", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val fact = storeFor(catalog, input.getUTF8String(0).toString)
+      val lv = graft.store.MaterializedJoin.refresh(fact,
+        input.getUTF8String(1).toString)
+      result(
+        StructType(Seq(StructField("fact_version", LongType))), Array(lv))
+    }
+  }
+
+  /** Delete a join view (files, covering index, snapshot pins). */
+  private final class DropJoinViewProc(catalog: GraftCatalog)
+      extends GraftProc("drop_join_view", "delete a materialized join view") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("fact", StringType).build(),
+      ProcedureParameter.in("name", StringType).build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val fact = storeFor(catalog, input.getUTF8String(0).toString)
+      val existed = graft.store.MaterializedJoin.drop(fact,
+        input.getUTF8String(1).toString)
+      result(
+        StructType(Seq(StructField("existed",
+          org.apache.spark.sql.types.BooleanType))), Array(existed))
     }
   }
 

@@ -646,10 +646,69 @@ object SqlSurface {
     out
   }
 
+  /** Incrementally-maintained JOIN view end-to-end (`sql_join_view`,
+    * [[graft.store.MaterializedJoin]]): a lineitem fact joined to an
+    * orders dim, materialized via `CALL create_join_view`, run through DML
+    * on BOTH sides — a dim UPDATE (joined rows change in place), a dim
+    * DELETE (inner-join rows leave the view), a fact DELETE — then
+    * advanced with `CALL refresh_join_view`: affected fact keys from the
+    * two changelogs (dim side through the auto-created covering index on
+    * the join column), applied as ONE equality upsert. The `$joins`
+    * metadata pins two-sided staleness both ways; the result reads the
+    * denormalized `` `fact$join_<name>` `` table with NO join in the
+    * query. The DuckDB oracle reproduces the DML + join relationally. */
+  private val sqlJoinView: Q = (s, d) => {
+    val cat = catalogFor(s, d)
+    val wh = warehouseFor(d)
+    s.sql(s"DROP TABLE IF EXISTS $cat.analytics.li_fact")
+    s.sql(s"DROP TABLE IF EXISTS $cat.analytics.ord_dim")
+    val fact = new TableStore(s, s"$wh/analytics/li_fact")
+    fact.commitBucketed(
+      load(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag"),
+        col("l_quantity").cast("decimal(18,2)").as("qty")),
+      keys = Seq("l_orderkey", "l_linenumber"), numBuckets = 16)
+    val dim = new TableStore(s, s"$wh/analytics/ord_dim")
+    dim.commitBucketed(
+      load(s, d, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").as("o_totalprice")),
+      keys = Seq("o_orderkey"), numBuckets = 16)
+    s.catalog.refreshTable(s"$cat.analytics.li_fact")
+    s.catalog.refreshTable(s"$cat.analytics.ord_dim")
+    s.sql(s"CALL $cat.system.create_join_view('analytics.li_fact', " +
+      "'enriched', 'analytics.ord_dim', 'l_orderkey', 'o_orderkey', " +
+      "'o_orderstatus,o_totalprice', 'inner')")
+    s.conf.set("spark.graft.delete.mode", "auto")
+    try {
+      s.sql(s"UPDATE $cat.analytics.ord_dim SET o_totalprice = " +
+        "CAST(o_totalprice + 7 AS DECIMAL(18,2)) WHERE o_orderkey % 10 = 1")
+      s.catalog.refreshTable(s"$cat.analytics.ord_dim")
+      s.sql(s"DELETE FROM $cat.analytics.ord_dim WHERE o_orderkey % 20 = 3")
+      s.sql(s"DELETE FROM $cat.analytics.li_fact WHERE l_orderkey % 30 = 11")
+    } finally s.conf.unset("spark.graft.delete.mode")
+    require(s.sql(s"SELECT stale FROM $cat.analytics.`li_fact$$joins` " +
+      "WHERE name = 'enriched'").head().getBoolean(0),
+      "$joins must show the view stale after two-sided DML")
+    s.sql(s"CALL $cat.system.refresh_join_view('analytics.li_fact', " +
+      "'enriched')")
+    require(!s.sql(s"SELECT stale FROM $cat.analytics.`li_fact$$joins` " +
+      "WHERE name = 'enriched'").head().getBoolean(0),
+      "$joins must show the view fresh after refresh")
+    s.sql(
+      s"""SELECT l_orderkey % 100 AS okb, o_orderstatus, COUNT(*) AS n,
+         |  CAST(SUM(qty) AS DOUBLE) AS sum_qty,
+         |  CAST(SUM(o_totalprice) AS DOUBLE) AS sum_price
+         |FROM $cat.analytics.`li_fact$$join_enriched`
+         |GROUP BY l_orderkey % 100, o_orderstatus
+         |ORDER BY okb ASC NULLS FIRST,
+         |  o_orderstatus ASC NULLS FIRST""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "sql_catalog" -> sqlCatalog,
     "sql_agg_view" -> sqlAggView,
     "sql_agg_rewrite" -> sqlAggRewrite,
+    "sql_join_view" -> sqlJoinView,
     "sql_time_travel" -> sqlTimeTravel,
     "sql_branch_wap" -> sqlBranchWap,
     "sql_catalog_write" -> sqlCatalogWrite,
@@ -665,6 +724,24 @@ object SqlSurface {
     "sql_merge_mor" -> sqlMergeMor)
 
   val oracles: Map[String, String] = Map(
+    "sql_join_view" ->
+      """WITH dim AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 10 = 1
+        |      THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 7
+        |        AS DECIMAL(18,2))
+        |      ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 20 <> 3),
+        |fact AS (
+        |  SELECT l_orderkey, CAST(l_quantity AS DECIMAL(18,2)) AS qty
+        |  FROM lineitem WHERE l_orderkey % 30 <> 11)
+        |SELECT l_orderkey % 100 AS okb, o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(qty) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(o_totalprice) AS DOUBLE) AS sum_price
+        |FROM fact JOIN dim ON fact.l_orderkey = dim.o_orderkey
+        |GROUP BY l_orderkey % 100, o_orderstatus
+        |ORDER BY okb ASC NULLS FIRST,
+        |  o_orderstatus ASC NULLS FIRST""".stripMargin,
     "sql_agg_rewrite" ->
       """SELECT okb, l_returnflag, COUNT(*) AS n,
         |  CAST(SUM(qty) AS DOUBLE) AS sum_qty,

@@ -239,16 +239,6 @@ object StreamingOps {
     // branch-head refresh would corrupt them for every main reader. A
     // branch CDC loop's staged commits reach them after publish, through
     // the next main-side maintenance pass.
-    if (policy.refreshIndexes && store.branch.isEmpty)
-      graft.store.SecondaryIndex.list(store)
-        .foreach(n => graft.store.SecondaryIndex.refresh(store, n))
-    // materialized aggregate views ride the same cadence and the same pin
-    // discipline; signed-delta replay makes a maintenance rewrite a
-    // watermark-only advance (all-zero deltas are filtered), so ordering
-    // ahead of compaction/purge costs nothing here either
-    if (policy.refreshAggs && store.branch.isEmpty)
-      graft.store.MaterializedAgg.list(store)
-        .foreach(n => graft.store.MaterializedAgg.refresh(store, n))
     // MOR loop hygiene first: stacked delete vectors past the threshold are
     // folded into clean data files (targeted rewrite of DV'd files only) —
     // restores byte-stock read plans and bounds the read tax under a
@@ -270,6 +260,26 @@ object StreamingOps {
         store.commitIncremental(content, fat, expectedParent = Some(cur))
       }
     }
+    // Derivative refreshes run AFTER the hygiene rewrites above (whose
+    // content-preserving commits replay as watermark-only advances, so the
+    // derivatives end the pass FRESH against the final head) and BEFORE
+    // expiry below (the pin tags move forward first, so the changelog base
+    // never expires mid-loop). Never against a branch view: indexes/aggs/
+    // joins are derivatives of MAIN (shared trees, main-numbered
+    // watermarks); a branch CDC loop's staged commits reach them after
+    // publish, through the next main-side maintenance pass.
+    if (policy.refreshIndexes && store.branch.isEmpty)
+      graft.store.SecondaryIndex.list(store)
+        .foreach(n => graft.store.SecondaryIndex.refresh(store, n))
+    if (policy.refreshAggs && store.branch.isEmpty)
+      graft.store.MaterializedAgg.list(store)
+        .foreach(n => graft.store.MaterializedAgg.refresh(store, n))
+    // join views: the fact-side cadence picks up BOTH sides' changes
+    // (refresh reads the dim's current snapshot), so a dim-only deployment
+    // needs no cadence of its own for the view to stay fresh
+    if (policy.refreshAggs && store.branch.isEmpty)
+      graft.store.MaterializedJoin.list(store)
+        .foreach(n => graft.store.MaterializedJoin.refresh(store, n))
     // GC is MAIN-scoped: a branch view refuses vacuum/expiry by design
     // (deleting shared state from a fork view would pull files out from
     // under main), so a branch CDC loop's cadence runs the hygiene commits

@@ -1,0 +1,207 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.store.{MaterializedJoin, SecondaryIndex, TableStore}
+
+/** Incrementally-maintained join views ([[MaterializedJoin]]): every
+  * refresh is checked against a recompute-from-scratch join over the two
+  * bases' CURRENT snapshots, across fact-side and dim-side change routes,
+  * with the delta-keyed upsert economy (only affected view buckets
+  * rewrite) and the watermark-only no-op paths pinned. */
+class MaterializedJoinSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def fresh(): (TableStore, TableStore) = {
+    val root = java.nio.file.Files.createTempDirectory("graft_mjoin").toString
+    val fact = new TableStore(spark, s"$root/fact")
+    val dim = new TableStore(spark, s"$root/dim")
+    (fact, dim)
+  }
+
+  /** fact(id PK, fk → dim, amt); dim(k PK, attr [projected], extra
+    * [unprojected]). fk covers dim keys 0..39, dim has 0..49. */
+  private def seed(fact: TableStore, dim: TableStore, n: Int = 300): Unit = {
+    fact.commitBucketed((1L to n.toLong).map(i =>
+      (i, i % 40, i * 10)).toDF("id", "fk", "amt"), Seq("id"), 8)
+    dim.commitBucketed((0L to 49L).map(k =>
+      (k, s"a$k", s"x$k")).toDF("k", "attr", "extra"), Seq("k"), 4)
+  }
+
+  private def recompute(fact: TableStore, dim: TableStore,
+      joinType: String): Seq[String] =
+    canon(fact.readSnapshot().as("l")
+      .join(dim.readSnapshot().select(col("k"), col("attr")).as("r"),
+        col("l.fk") === col("r.k"), joinType)
+      .select(col("id"), col("fk"), col("amt"), col("attr")))
+
+  private def viewRows(fact: TableStore, name: String = "jv"): Seq[String] =
+    canon(MaterializedJoin.read(fact, name)
+      .select(col("id"), col("fk"), col("amt"), col("attr")))
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.mkString("|")).sorted.toSeq
+
+  private def viewFiles(fact: TableStore): Set[String] = {
+    val st = MaterializedJoin.viewStore(fact, "jv")
+    st.manifest(st.currentVersion()).inlineFiles.toSet
+  }
+
+  test("create materializes the join; covering index on the join column") {
+    val (fact, dim) = fresh(); seed(fact, dim)
+    MaterializedJoin.create(fact, "jv", dim, Seq("fk"), Seq("k"),
+      Seq("attr"))
+    assert(viewRows(fact) == recompute(fact, dim, "inner"))
+    assert(SecondaryIndex.list(fact).contains("join-jv"),
+      "dim-churn lookups need the covering index on the join column")
+    val st = MaterializedJoin.viewStore(fact, "jv")
+    assert(st.manifest(st.currentVersion()).bucketKeys == Seq("id"),
+      "the view must be keyed like the fact table")
+  }
+
+  test("fact-side deltas: upsert, delete, and re-point refresh exactly") {
+    val (fact, dim) = fresh(); seed(fact, dim)
+    MaterializedJoin.create(fact, "jv", dim, Seq("fk"), Seq("k"),
+      Seq("attr"))
+    // amount update + hard delete, confined to single fact buckets (a
+    // scattered eq mask would price the span onto the recompute route)
+    val b = graft.store.TableStore.bucketExpr(Seq("id"), 8)
+    fact.upsertEq(fact.readSnapshot().filter(b === 2 && col("id") % 3 === 0)
+      .withColumn("amt", col("amt") + 1).withColumn("op", lit("PUT")))
+    val delIds = fact.readSnapshot().filter(b === 5 && col("id") % 4 === 0)
+      .select("id")
+    fact.deleteEq(delIds)
+    val before = viewFiles(fact)
+    MaterializedJoin.refresh(fact, "jv")
+    assert(viewRows(fact) == recompute(fact, dim, "inner"))
+    assert(viewFiles(fact).intersect(before).nonEmpty,
+      "a sparse fact delta must not rewrite the whole view")
+    // re-point: a fact row moves to another dim key (new attr)
+    fact.upsertMor(fact.readSnapshot().filter(col("id") === 10)
+      .withColumn("fk", lit(45L)).withColumn("op", lit("PUT")))
+    MaterializedJoin.refresh(fact, "jv")
+    assert(viewRows(fact) == recompute(fact, dim, "inner"))
+    assert(MaterializedJoin.read(fact, "jv").filter(col("id") === 10)
+      .head().getAs[String]("attr") == "a45")
+  }
+
+  test("dim-side deltas route through the index; unprojected churn no-ops") {
+    val (fact, dim) = fresh(); seed(fact, dim)
+    MaterializedJoin.create(fact, "jv", dim, Seq("fk"), Seq("k"),
+      Seq("attr"))
+    // projected column changes → the joining facts refresh
+    dim.upsertEq(dim.readSnapshot().filter(col("k").isin(3L, 17L))
+      .withColumn("attr", concat(col("attr"), lit("_v2")))
+      .withColumn("op", lit("PUT")))
+    MaterializedJoin.refresh(fact, "jv")
+    assert(viewRows(fact) == recompute(fact, dim, "inner"))
+    assert(MaterializedJoin.read(fact, "jv").filter(col("fk") === 3)
+      .select("attr").distinct().head().getString(0) == "a3_v2")
+    // UNPROJECTED column changes → netting on the projection cancels:
+    // watermark-only advance, zero view files rewritten
+    dim.upsertEq(dim.readSnapshot().filter(col("k") === 5)
+      .withColumn("extra", lit("noise")).withColumn("op", lit("PUT")))
+    val before = viewFiles(fact)
+    MaterializedJoin.refresh(fact, "jv")
+    assert(viewFiles(fact) == before,
+      "unprojected dim churn must advance the watermark only")
+    assert(viewRows(fact) == recompute(fact, dim, "inner"))
+  }
+
+  test("inner drops unmatched facts on dim delete; left keeps them NULL") {
+    val (fact, dim) = fresh(); seed(fact, dim)
+    MaterializedJoin.create(fact, "jv", dim, Seq("fk"), Seq("k"),
+      Seq("attr"))
+    MaterializedJoin.create(fact, "jvl", dim, Seq("fk"), Seq("k"),
+      Seq("attr"), joinType = "left")
+    dim.deleteEq(Seq(11L).toDF("k"))
+    MaterializedJoin.refresh(fact, "jv")
+    MaterializedJoin.refresh(fact, "jvl")
+    assert(viewRows(fact) == recompute(fact, dim, "inner"))
+    assert(canon(MaterializedJoin.read(fact, "jvl")
+      .select(col("id"), col("fk"), col("amt"), col("attr"))) ==
+      recompute(fact, dim, "left"))
+    assert(MaterializedJoin.read(fact, "jv")
+      .filter(col("fk") === 11).count() == 0,
+      "inner join rows must leave the view with their dim key")
+    val leftNulls = MaterializedJoin.read(fact, "jvl")
+      .filter(col("fk") === 11)
+    assert(leftNulls.count() > 0 &&
+      leftNulls.filter(col("attr").isNotNull).count() == 0,
+      "left join keeps unmatched facts with NULL dim columns")
+    // a dim re-insert restores the matches
+    dim.upsertEq(Seq((11L, "a11_back", "x")).toDF("k", "attr", "extra")
+      .withColumn("op", lit("PUT")))
+    MaterializedJoin.refresh(fact, "jv")
+    assert(viewRows(fact) == recompute(fact, dim, "inner"))
+    assert(MaterializedJoin.read(fact, "jv").filter(col("fk") === 11)
+      .select("attr").distinct().head().getString(0) == "a11_back")
+  }
+
+  test("content-preserving fact maintenance advances the watermark only") {
+    val (fact, dim) = fresh(); seed(fact, dim)
+    MaterializedJoin.create(fact, "jv", dim, Seq("fk"), Seq("k"),
+      Seq("attr"))
+    fact.compact(targetFiles = 4)
+    val before = viewFiles(fact)
+    MaterializedJoin.refresh(fact, "jv")
+    assert(viewFiles(fact) == before,
+      "fact compaction must be a metadata-only view advance")
+    assert(viewRows(fact) == recompute(fact, dim, "inner"))
+  }
+
+  test("scattered fact churn routes to full recompute; parity holds") {
+    val (fact, dim) = fresh(); seed(fact, dim, n = 600)
+    MaterializedJoin.create(fact, "jv", dim, Seq("fk"), Seq("k"),
+      Seq("attr"))
+    fact.deleteEq((1L to 600L).filter(_ % 5 == 0).toDF("id"))
+    val before = viewFiles(fact)
+    MaterializedJoin.refresh(fact, "jv")
+    assert(viewRows(fact) == recompute(fact, dim, "inner"))
+    assert(viewFiles(fact).intersect(before).isEmpty,
+      "a scattered span must route to the recompute path")
+  }
+
+  test("the join view rides the CDC maintenance cadence, both sides") {
+    val (fact, dim) = fresh(); seed(fact, dim)
+    MaterializedJoin.create(fact, "jv", dim, Seq("fk"), Seq("k"),
+      Seq("attr"))
+    dim.upsertEq(dim.readSnapshot().filter(col("k") === 9)
+      .withColumn("attr", lit("a9_cadence")).withColumn("op", lit("PUT")))
+    val b = graft.store.TableStore.bucketExpr(Seq("id"), 8)
+    fact.upsertEq(fact.readSnapshot().filter(b === 1 && col("id") % 2 === 0)
+      .withColumn("amt", col("amt") + 5).withColumn("op", lit("PUT")))
+    graft.streaming.StreamingOps.maintain(fact,
+      graft.streaming.StreamingOps.CdcMaintenance())
+    assert(viewRows(fact) == recompute(fact, dim, "inner"))
+    assert(MaterializedJoin.status(fact).forall(s => s._4 == s._5 &&
+      s._6 == s._7), "the cadence must leave the view fresh on both sides")
+  }
+
+  test("drop removes view, covering index, and pins on both stores") {
+    val (fact, dim) = fresh(); seed(fact, dim)
+    MaterializedJoin.create(fact, "jv", dim, Seq("fk"), Seq("k"),
+      Seq("attr"))
+    assert(fact.listRefs().exists(_.name.startsWith("join-pin-jv")))
+    assert(dim.listRefs().exists(_.name.contains("-jv-")))
+    assert(MaterializedJoin.drop(fact, "jv"))
+    assert(MaterializedJoin.list(fact).isEmpty)
+    assert(!SecondaryIndex.list(fact).contains("join-jv"))
+    assert(!fact.listRefs().exists(_.name.startsWith("join-pin-jv")))
+    assert(!dim.listRefs().exists(_.name.contains("-jv-")))
+  }
+
+  test("refusals: unkeyed dim, column collisions, bad join type") {
+    val (fact, dim) = fresh(); seed(fact, dim)
+    val e1 = intercept[IllegalArgumentException](MaterializedJoin.create(
+      fact, "bad", dim, Seq("fk"), Seq("attr"), Seq("extra")))
+    assert(e1.getMessage.contains("KEYED ON the join columns"))
+    val e2 = intercept[IllegalArgumentException](MaterializedJoin.create(
+      fact, "bad", dim, Seq("fk"), Seq("k"), Seq("k")))
+    assert(e2.getMessage.contains("repeat the join key"))
+    val e3 = intercept[IllegalArgumentException](MaterializedJoin.create(
+      fact, "bad", dim, Seq("fk"), Seq("k"), Seq("attr"), joinType = "full"))
+    assert(e3.getMessage.contains("inner or left"))
+  }
+}
