@@ -228,7 +228,12 @@ class AggViewRewriteRule extends Rule[LogicalPlan] {
             })
           case _ => None
         }
-        case s: Sum => s.child match {
+        // try_sum / try_avg NULL out on overflow where the stored partials
+        // (computed in the session's default mode) would have thrown —
+        // different semantics, decline
+        case s: Sum if s.evalContext.evalMode !=
+            org.apache.spark.sql.catalyst.expressions.EvalMode.TRY =>
+          s.child match {
           case a: AttributeReference => asSum(a.name).map { cn =>
             // stored partial can be a non-null 0 with nn == 0 (all
             // contributions retracted) — the nn guard restores SQL NULL
@@ -253,7 +258,10 @@ class AggViewRewriteRule extends Rule[LogicalPlan] {
             (if (exact) col(k) else fmax(col(k))).cast(dt)))
           case _ => None
         }
-        case av: Average if av.dataType == DoubleType => av.child match {
+        case av: Average if av.dataType == DoubleType &&
+            av.evalMode !=
+              org.apache.spark.sql.catalyst.expressions.EvalMode.TRY =>
+          av.child match {
           // integral only: both the base plan and the rewrite divide the
           // exact sum by the non-null count in double
           case a: AttributeReference
@@ -329,10 +337,11 @@ class AggViewRewriteRule extends Rule[LogicalPlan] {
             case None => ok = false; ae
           }
       }
-      // everything must now hang off placeholders: a surviving base attr
-      // or aggregate means a shape this rule does not understand
+      // everything must now hang off placeholders: a surviving base attr,
+      // aggregate, or subquery means a shape this rule does not understand
       if (!ok || t.find(e => e.isInstanceOf[AttributeReference] ||
-          e.isInstanceOf[AggregateExpression]).isDefined) None
+          e.isInstanceOf[AggregateExpression] ||
+          e.isInstanceOf[PlanExpression[_]]).isDefined) None
       else Some(ColumnBridge.column(t).as(name))
     }
     val outCols = outputsX.flatMap { case (e, n) => toOutput(e, n).toList }

@@ -292,6 +292,28 @@ object StreamingOps {
         store.expireBranches(policy.branchMaxAgeMs, force = true)
       if (policy.retentionMs > 0) store.vacuumOlderThan(policy.retentionMs)
       store.vacuum(policy.keepSnapshots)
+      // derivative stores are graft tables too — every refresh commits a
+      // snapshot, and a join view's equality upserts stack delete masks;
+      // without their own hygiene a week-long feed accumulates one
+      // manifest (plus superseded bucket files) per refresh per
+      // derivative, unboundedly. Same knobs as the base: purge past the
+      // mask threshold, keep `keepSnapshots` snapshots.
+      val derivatives =
+        graft.store.SecondaryIndex.list(store)
+          .map(graft.store.SecondaryIndex.indexStore(store, _)) ++
+        graft.store.MaterializedAgg.list(store)
+          .map(graft.store.MaterializedAgg.aggStore(store, _)) ++
+        graft.store.MaterializedJoin.list(store)
+          .map(graft.store.MaterializedJoin.viewStore(store, _))
+      derivatives.foreach { d =>
+        val dv = d.currentVersion()
+        if (dv >= 0) {
+          val dm = d.manifest(dv)
+          if (dm.dvRefs.size + dm.eqRefs.size > policy.maxDvFiles)
+            d.purgeDeletes(expectedParent = Some(dv))
+          d.vacuum(policy.keepSnapshots)
+        }
+      }
     }
     ()
   }

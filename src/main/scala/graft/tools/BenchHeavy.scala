@@ -178,6 +178,51 @@ object BenchHeavy {
       store.rebaseBranch("bench_stage")
       store.fastForward("bench_stage")
     }
+    // r9 session 3: join-view maintenance at the heavy corpus — create is
+    // the O(base) join (+ the covering index on the join column); the dim
+    // refresh must stay O(changed dim keys × their fact buckets), never a
+    // fact re-join
+    val dimStore = new graft.store.TableStore(spark, s"$out/cust_dim_store")
+    t("jv_dim_commit") {
+      dimStore.commitBucketed(
+        store.readSnapshot().select(col("o_custkey")).distinct()
+          .withColumn("cust_tier",
+            concat(lit("t"), col("o_custkey") % 5)),
+        Seq("o_custkey"), 16)
+    }
+    t("jv_create") {
+      graft.store.MaterializedJoin.create(store, "jv_bench", dimStore,
+        Seq("o_custkey"), Seq("o_custkey"), Seq("cust_tier"))
+    }
+    // clustered dim churn (two hot keys, each joining ~1k fact rows): the
+    // delta path — changed keys' index buckets only, never a fact pass
+    t("jv_dim_update") {
+      dimStore.upsertEq(dimStore.readSnapshot()
+        .filter(col("o_custkey").isin(7L, 1007L))
+        .withColumn("cust_tier", lit("t_hot"))
+        .withColumn("op", lit("PUT")))
+    }
+    t("jv_refresh_dim") {
+      graft.store.MaterializedJoin.refresh(store, "jv_bench")
+    }
+    // scattered dim churn (1% of keys → every dim file in the eq diff):
+    // the ROUTER prices the delta out and recomputes in one join pass
+    t("jv_dim_scatter") {
+      dimStore.upsertEq(dimStore.readSnapshot()
+        .filter(col("o_custkey") % 100 === 7)
+        .withColumn("cust_tier", lit("t_scatter"))
+        .withColumn("op", lit("PUT")))
+    }
+    t("jv_refresh_dim_scatter") {
+      graft.store.MaterializedJoin.refresh(store, "jv_bench")
+    }
+    t("jv_fact_update") {
+      store.upsertEq(upd.limit(5000).withColumn("o_totalprice",
+        col("o_totalprice") + 8.0))
+    }
+    t("jv_refresh_fact") {
+      graft.store.MaterializedJoin.refresh(store, "jv_bench")
+    }
 
     def jmap(m: collection.Map[String, Double]) =
       m.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")

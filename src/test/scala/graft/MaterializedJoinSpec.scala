@@ -177,6 +177,19 @@ class MaterializedJoinSpec extends SparkSuite {
     assert(viewRows(fact) == recompute(fact, dim, "inner"))
     assert(MaterializedJoin.status(fact).forall(s => s._4 == s._5 &&
       s._6 == s._7), "the cadence must leave the view fresh on both sides")
+    // derivative hygiene: more refresh cycles must not accumulate view
+    // snapshots past the retention (each refresh is a commit)
+    (1 to 3).foreach { i =>
+      fact.upsertEq(fact.readSnapshot().filter(b === 1 && col("id") % 2 === 0)
+        .withColumn("amt", col("amt") + i).withColumn("op", lit("PUT")))
+      graft.streaming.StreamingOps.maintain(fact,
+        graft.streaming.StreamingOps.CdcMaintenance())
+    }
+    val vst = MaterializedJoin.viewStore(fact, "jv")
+    assert(vst.existingVersions().size <= 2,
+      s"view snapshots must be vacuumed by the cadence, " +
+        s"got ${vst.existingVersions()}")
+    assert(viewRows(fact) == recompute(fact, dim, "inner"))
   }
 
   test("drop removes view, covering index, and pins on both stores") {
