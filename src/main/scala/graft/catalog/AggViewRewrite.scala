@@ -87,45 +87,14 @@ class AggViewRewriteRule extends Rule[LogicalPlan] {
     * hoists compound group exprs into `_groupingexpression` aliases) as
     * long as they are deterministic and aggregate/subquery-free — the
     * caller inlines them back. */
-  private def peel(p: LogicalPlan, conds: Seq[Expression],
-      projects: Seq[Seq[NamedExpression]])
-      : Option[(DataSourceV2ScanRelation, Seq[Expression],
-        Seq[Seq[NamedExpression]])] = p match {
-    case Filter(c, ch) if c.deterministic &&
-        c.find(_.isInstanceOf[PlanExpression[_]]).isEmpty =>
-      peel(ch, conds :+ c, projects)
-    case Project(pl, ch) if pl.forall {
-        case _: AttributeReference => true
-        case a: Alias => a.deterministic &&
-          a.find(e => e.isInstanceOf[AggregateExpression] ||
-            e.isInstanceOf[PlanExpression[_]]).isEmpty
-        case _ => false
-      } => peel(ch, conds, projects :+ pl)
-    case r: DataSourceV2ScanRelation => Some((r, conds, projects))
-    case _ => None
-  }
-
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
-    val (rel, conds0, projects) = peel(agg.child, Nil, Nil) match {
+    val (rel, conds, subst) = AggViewRewrite.peelScan(agg.child) match {
       case Some(x) => x
       case None => return None
-    }
-    // inline the project chain: compose bottom-up so every collected alias
-    // expands to an expression over the SCAN's attributes; exprIds keep
-    // deep (pre-project) filter conditions untouched
-    val subst = projects.reverse.foldLeft(
-      Map.empty[org.apache.spark.sql.catalyst.expressions.ExprId, Expression]) {
-      (acc, pl) =>
-        acc ++ pl.collect { case a: Alias =>
-          a.exprId -> a.child.transformUp {
-            case ar: AttributeReference => acc.getOrElse(ar.exprId, ar)
-          }
-        }
     }
     def expand(e: Expression): Expression = e.transformUp {
       case ar: AttributeReference => subst.getOrElse(ar.exprId, ar)
     }
-    val conds = conds0.map(expand)
     val table = rel.relation.table match {
       case t: SnapshotTable => t
       case _ => return None
@@ -409,19 +378,84 @@ class AggViewRewriteRule extends Rule[LogicalPlan] {
 
 object AggViewRewrite {
   /** Did this DataFrame's plan get served from a materialized aggregate
-    * view? Checked against the optimized plan's RELATION PATHS (plan-string
-    * greps are unreliable: InMemoryFileIndex truncates long locations and
-    * the exact-key rewrite's placeholder aliases collapse away). */
-  def served(df: DataFrame): Boolean =
+    * (or join) view? Checked against the optimized plan's RELATION PATHS
+    * (plan-string greps are unreliable: InMemoryFileIndex truncates long
+    * locations and the exact-key rewrite's placeholder aliases collapse
+    * away). */
+  def served(df: DataFrame, marker: String = "/agg/"): Boolean =
     df.queryExecution.optimizedPlan.exists {
       case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
         l.relation match {
           case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
-            h.location.rootPaths.exists(_.toString.contains("/agg/"))
+            h.location.rootPaths.exists(_.toString.contains(marker))
           case _ => false
         }
       case _ => false
     }
+
+  /** Peel attribute/alias Projects and deterministic subquery-free Filters
+    * off a plan down to its DSv2 scan, returning the scan, the collected
+    * filter conditions EXPANDED to scan attributes, and the alias
+    * substitution (exprId → scan-level expression) for expanding
+    * expressions that reference the peeled projects
+    * (PullOutGroupingExpressions hoists compound group exprs into
+    * `_groupingexpression` aliases). Shared by the aggregate and join
+    * rewrites. */
+  private[catalog] def peelScan(p: LogicalPlan)
+      : Option[(DataSourceV2ScanRelation, Seq[Expression],
+        Map[org.apache.spark.sql.catalyst.expressions.ExprId, Expression])] = {
+    // DYNAMIC PRUNING conjuncts (inserted by the PartitionPruning batch,
+    // which runs before this rule) are join-derived — they only restrict a
+    // side to rows that would survive the join, so when the join/aggregate
+    // is answered from a view they are redundant and safe to drop. Any
+    // OTHER surviving subquery is a genuine predicate — decline.
+    def split(c: Expression): Option[Seq[Expression]] = {
+      def conj(e: Expression): Seq[Expression] = e match {
+        case org.apache.spark.sql.catalyst.expressions.And(a, b) =>
+          conj(a) ++ conj(b)
+        case other => Seq(other)
+      }
+      val kept = conj(c).filterNot(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruning])
+      if (kept.exists(e => !e.deterministic ||
+          e.find(_.isInstanceOf[PlanExpression[_]]).isDefined)) None
+      else Some(kept)
+    }
+    def go(p: LogicalPlan, conds: Seq[Expression],
+        projects: Seq[Seq[NamedExpression]])
+        : Option[(DataSourceV2ScanRelation, Seq[Expression],
+          Seq[Seq[NamedExpression]])] = p match {
+      case Filter(c, ch) if split(c).isDefined =>
+        go(ch, conds ++ split(c).get, projects)
+      case Project(pl, ch) if pl.forall {
+          case _: AttributeReference => true
+          case a: Alias => a.deterministic &&
+            a.find(e => e.isInstanceOf[AggregateExpression] ||
+              e.isInstanceOf[PlanExpression[_]]).isEmpty
+          case _ => false
+        } => go(ch, conds, projects :+ pl)
+      case r: DataSourceV2ScanRelation => Some((r, conds, projects))
+      case _ => None
+    }
+    go(p, Nil, Nil).map { case (rel, conds0, projects) =>
+      // inline the project chain: compose bottom-up so every collected
+      // alias expands to an expression over the SCAN's attributes; exprIds
+      // keep deep (pre-project) filter conditions untouched
+      val subst = projects.reverse.foldLeft(
+        Map.empty[org.apache.spark.sql.catalyst.expressions.ExprId,
+          Expression]) { (acc, pl) =>
+        acc ++ pl.collect { case a: Alias =>
+          a.exprId -> a.child.transformUp {
+            case ar: AttributeReference => acc.getOrElse(ar.exprId, ar)
+          }
+        }
+      }
+      val conds = conds0.map(_.transformUp {
+        case ar: AttributeReference => subst.getOrElse(ar.exprId, ar)
+      })
+      (rel, conds, subst)
+    }
+  }
 
   /** Idempotently add the rule to the session's experimental optimizations
     * — the injection point available on a session graft did not build
@@ -432,5 +466,9 @@ object AggViewRewrite {
         .exists(_.isInstanceOf[AggViewRewriteRule]))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ new AggViewRewriteRule
+    if (!spark.experimental.extraOptimizations
+        .exists(_.isInstanceOf[JoinViewRewriteRule]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ new JoinViewRewriteRule
   }
 }

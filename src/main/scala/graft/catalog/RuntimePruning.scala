@@ -48,8 +48,16 @@ class RuntimePrunableScan(attrs: Seq[String], schema: StructType,
   override def reportDriverMetrics() = delegate.reportDriverMetrics()
   override def columnarSupportMode() = delegate.columnarSupportMode()
 
-  override def filterAttributes(): Array[NamedReference] =
-    attrs.map(Expressions.column).toArray
+  /** Only attributes present in the PRUNED read schema: Spark's
+    * PartitionPruning resolves these against the scan's output and THROWS
+    * on a miss (`V2ExpressionUtils.resolveRef`), so advertising a bucket
+    * key the query projected away crashed every join that didn't select
+    * the fact's primary key (found round 9 by the join-rewrite spec). A
+    * key outside the output can't be runtime-filtered anyway. */
+  override def filterAttributes(): Array[NamedReference] = {
+    val have = readSchema().fieldNames.toSet
+    attrs.filter(have).map(Expressions.column).toArray
+  }
 
   override def filter(filters: Array[Filter]): Unit = {
     val exprs = filters.toSeq

@@ -704,11 +704,61 @@ object SqlSurface {
          |  o_orderstatus ASC NULLS FIRST""".stripMargin)
   }
 
+  /** TRANSPARENT join rewrite (`sql_join_rewrite`,
+    * [[graft.catalog.JoinViewRewriteRule]]): after a join view exists and
+    * a dim UPDATE + refresh cycle ran, the user's plain `fact JOIN dim`
+    * SQL — text unchanged — must answer from the view (require()d via the
+    * plan's relation paths): the join is gone from the plan, the
+    * dim-side filter and the aggregate run over the denormalized rows.
+    * The DuckDB oracle reproduces DML + join relationally. */
+  private val sqlJoinRewrite: Q = (s, d) => {
+    val cat = catalogFor(s, d)
+    val wh = warehouseFor(d)
+    s.sql(s"DROP TABLE IF EXISTS $cat.analytics.li_jr")
+    s.sql(s"DROP TABLE IF EXISTS $cat.analytics.ord_jr")
+    val fact = new TableStore(s, s"$wh/analytics/li_jr")
+    fact.commitBucketed(
+      load(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag"),
+        col("l_quantity").cast("decimal(18,2)").as("qty")),
+      keys = Seq("l_orderkey", "l_linenumber"), numBuckets = 16)
+    val dim = new TableStore(s, s"$wh/analytics/ord_jr")
+    dim.commitBucketed(
+      load(s, d, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").as("o_totalprice")),
+      keys = Seq("o_orderkey"), numBuckets = 16)
+    s.catalog.refreshTable(s"$cat.analytics.li_jr")
+    s.catalog.refreshTable(s"$cat.analytics.ord_jr")
+    s.sql(s"CALL $cat.system.create_join_view('analytics.li_jr', " +
+      "'enr', 'analytics.ord_jr', 'l_orderkey', 'o_orderkey', " +
+      "'o_orderstatus,o_totalprice', 'inner')")
+    s.conf.set("spark.graft.delete.mode", "auto")
+    try s.sql(s"UPDATE $cat.analytics.ord_jr SET o_totalprice = " +
+      "CAST(o_totalprice + 3 AS DECIMAL(18,2)) WHERE o_orderkey % 7 = 2")
+    finally s.conf.unset("spark.graft.delete.mode")
+    s.catalog.refreshTable(s"$cat.analytics.ord_jr")
+    s.sql(s"CALL $cat.system.refresh_join_view('analytics.li_jr', 'enr')")
+    val out = s.sql(
+      s"""SELECT f.l_orderkey % 100 AS okb, d.o_orderstatus,
+         |  COUNT(*) AS n, CAST(SUM(f.qty) AS DOUBLE) AS sum_qty,
+         |  CAST(SUM(d.o_totalprice) AS DOUBLE) AS sum_price
+         |FROM $cat.analytics.li_jr f
+         |JOIN $cat.analytics.ord_jr d ON f.l_orderkey = d.o_orderkey
+         |WHERE f.l_returnflag <> 'A'
+         |GROUP BY f.l_orderkey % 100, d.o_orderstatus
+         |ORDER BY okb ASC NULLS FIRST,
+         |  o_orderstatus ASC NULLS FIRST""".stripMargin)
+    require(graft.catalog.AggViewRewrite.served(out, "/join/"),
+      "the fact-dim join must answer from the materialized join view")
+    out
+  }
+
   val queries: Map[String, Q] = Map(
     "sql_catalog" -> sqlCatalog,
     "sql_agg_view" -> sqlAggView,
     "sql_agg_rewrite" -> sqlAggRewrite,
     "sql_join_view" -> sqlJoinView,
+    "sql_join_rewrite" -> sqlJoinRewrite,
     "sql_time_travel" -> sqlTimeTravel,
     "sql_branch_wap" -> sqlBranchWap,
     "sql_catalog_write" -> sqlCatalogWrite,
@@ -724,6 +774,26 @@ object SqlSurface {
     "sql_merge_mor" -> sqlMergeMor)
 
   val oracles: Map[String, String] = Map(
+    "sql_join_rewrite" ->
+      """WITH dim AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 7 = 2
+        |      THEN CAST(CAST(o_totalprice AS DECIMAL(18,2)) + 3
+        |        AS DECIMAL(18,2))
+        |      ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS o_totalprice
+        |  FROM orders),
+        |fact AS (
+        |  SELECT l_orderkey, l_returnflag,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS qty
+        |  FROM lineitem)
+        |SELECT l_orderkey % 100 AS okb, o_orderstatus,
+        |  COUNT(*) AS n, CAST(SUM(qty) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(o_totalprice) AS DOUBLE) AS sum_price
+        |FROM fact JOIN dim ON fact.l_orderkey = dim.o_orderkey
+        |WHERE l_returnflag <> 'A'
+        |GROUP BY l_orderkey % 100, o_orderstatus
+        |ORDER BY okb ASC NULLS FIRST,
+        |  o_orderstatus ASC NULLS FIRST""".stripMargin,
     "sql_join_view" ->
       """WITH dim AS (
         |  SELECT o_orderkey, o_orderstatus,

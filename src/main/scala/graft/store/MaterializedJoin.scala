@@ -92,6 +92,30 @@ object MaterializedJoin {
         l.currentVersion(), p(RVersionProp).toLong, r.currentVersion())
     }
 
+  /** One view's matching-relevant facts, for the transparent join rewrite
+    * ([[graft.catalog.JoinViewRewriteRule]]). */
+  final case class ViewMeta(name: String, rRoot: String,
+      lKeys: Seq[String], rKeys: Seq[String], rCols: Seq[String],
+      joinType: String, lVersion: Long, rVersion: Long, viewVersion: Long)
+
+  private[graft] def viewMeta(l: TableStore, name: String)
+      : Option[ViewMeta] = {
+    val st = viewStore(l, name)
+    val v = st.currentVersion()
+    if (v < 0) None
+    else {
+      val p = st.manifest(v).props
+      def csv(k: String) = p.getOrElse(k, "").split(',')
+        .filter(_.nonEmpty).toSeq
+      Some(ViewMeta(name, p(RRootProp), csv(LKeysProp), csv(RKeysProp),
+        csv(RColsProp), p(TypeProp), p(LVersionProp).toLong,
+        p(RVersionProp).toLong, v))
+    }
+  }
+
+  private[graft] def viewMetas(l: TableStore): Seq[ViewMeta] =
+    list(l).flatMap(viewMeta(l, _))
+
   private def requireMain(st: TableStore, what: String): Unit =
     require(st.branch.isEmpty,
       s"join views are maintained against MAIN $what, not branch " +

@@ -1,0 +1,146 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.catalog.{AggViewRewrite, GraftCatalog}
+import graft.store.{MaterializedJoin, TableStore}
+
+/** Transparent join-view rewrite ([[graft.catalog.JoinViewRewriteRule]]):
+  * `fact JOIN dim` SQL over the catalog must answer from a fresh
+  * materialized join view when (and only when) the shape is coverable,
+  * result-identical to the un-rewritten plan — inner, left outer, and the
+  * EXISTS/semi form, with filters and extra conjuncts where they commute. */
+class JoinViewRewriteSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val warehouse = {
+    val w = Files.createTempDirectory("graft_jvrw").toString
+    spark.conf.set("spark.sql.catalog.jv_cat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.jv_cat.warehouse", w)
+    w
+  }
+
+  private def setup(): (TableStore, TableStore) = {
+    val fact = new TableStore(spark, s"$warehouse/analytics/fct")
+    val dim = new TableStore(spark, s"$warehouse/analytics/dm")
+    if (fact.currentVersion() < 0) {
+      fact.commitBucketed((1L to 400L).map(i =>
+        (i, i % 45, i * 3)).toDF("id", "fk", "amt"), Seq("id"), 8)
+      dim.commitBucketed((0L to 49L).map(k =>
+        (k, s"a${k % 7}", s"x$k")).toDF("k", "attr", "extra"), Seq("k"), 4)
+      MaterializedJoin.create(fact, "denorm", dim, Seq("fk"), Seq("k"),
+        Seq("attr"))
+      MaterializedJoin.create(fact, "denorml", dim, Seq("fk"), Seq("k"),
+        Seq("attr"), joinType = "left")
+    }
+    (fact, dim)
+  }
+
+  private def fired(df: DataFrame): Boolean =
+    AggViewRewrite.served(df, "/join/")
+
+  private def check(sql: String, expectFire: Boolean): Unit = {
+    val on = spark.sql(sql)
+    val onRows = on.collect().map(_.toString).sorted.toSeq
+    assert(fired(on) == expectFire,
+      s"expected fired=$expectFire for:\n$sql\n${on.queryExecution.optimizedPlan}")
+    spark.conf.set("spark.graft.agg.rewrite", "false")
+    try {
+      val off = spark.sql(sql)
+      assert(!fired(off))
+      assert(onRows == off.collect().map(_.toString).sorted.toSeq,
+        s"rewrite changed results for:\n$sql")
+    } finally spark.conf.set("spark.graft.agg.rewrite", "true")
+  }
+
+  test("inner join answers from the view; filters on both sides commute") {
+    setup()
+    check(
+      """SELECT f.id, f.amt, d.attr
+        |FROM jv_cat.analytics.fct f JOIN jv_cat.analytics.dm d
+        |ON f.fk = d.k
+        |WHERE d.attr <> 'a3' AND f.amt > 30""".stripMargin,
+      expectFire = true)
+    // extra equality-free conjunct in the ON clause commutes too
+    check(
+      """SELECT f.id, d.attr
+        |FROM jv_cat.analytics.fct f JOIN jv_cat.analytics.dm d
+        |ON f.fk = d.k AND d.attr > 'a1'""".stripMargin,
+      expectFire = true)
+    // the dim JOIN KEY in the output maps to the fact's join column
+    check(
+      """SELECT d.k AS dk, COUNT(*) AS n
+        |FROM jv_cat.analytics.fct f JOIN jv_cat.analytics.dm d
+        |ON f.fk = d.k GROUP BY d.k""".stripMargin,
+      expectFire = true)
+  }
+
+  test("left outer joins serve from the left view; unsound shapes decline") {
+    setup()
+    check(
+      """SELECT f.id, f.amt, d.attr
+        |FROM jv_cat.analytics.fct f LEFT JOIN jv_cat.analytics.dm d
+        |ON f.fk = d.k WHERE f.amt > 60""".stripMargin,
+      expectFire = true)
+    // dim key reference under LEFT OUTER cannot map (NULL for unmatched)
+    check(
+      """SELECT f.id, d.k
+        |FROM jv_cat.analytics.fct f LEFT JOIN jv_cat.analytics.dm d
+        |ON f.fk = d.k""".stripMargin,
+      expectFire = false)
+    // dim-side filter under LEFT OUTER does not commute
+    check(
+      """SELECT f.id, d.attr
+        |FROM jv_cat.analytics.fct f LEFT JOIN
+        |  (SELECT * FROM jv_cat.analytics.dm WHERE attr <> 'a2') d
+        |ON f.fk = d.k""".stripMargin,
+      expectFire = false)
+  }
+
+  test("EXISTS (semi) serves from the inner view, extra conjunct included") {
+    setup()
+    check(
+      """SELECT f.id, f.amt FROM jv_cat.analytics.fct f
+        |WHERE EXISTS (SELECT 1 FROM jv_cat.analytics.dm d
+        |              WHERE d.k = f.fk AND d.attr <> 'a2')""".stripMargin,
+      expectFire = true)
+  }
+
+  test("unsupported shapes decline but stay correct") {
+    setup()
+    // unprojected dim column referenced
+    check(
+      """SELECT f.id, d.extra
+        |FROM jv_cat.analytics.fct f JOIN jv_cat.analytics.dm d
+        |ON f.fk = d.k""".stripMargin, expectFire = false)
+    // wrong join keys
+    check(
+      """SELECT f.id, d.attr
+        |FROM jv_cat.analytics.fct f JOIN jv_cat.analytics.dm d
+        |ON f.amt = d.k""".stripMargin, expectFire = false)
+    // non-equi only
+    check(
+      """SELECT f.id, d.attr
+        |FROM jv_cat.analytics.fct f JOIN jv_cat.analytics.dm d
+        |ON f.fk < d.k WHERE d.k < 3""".stripMargin, expectFire = false)
+  }
+
+  test("two-sided staleness gates; refresh re-arms") {
+    val (fact, dim) = setup()
+    val q =
+      """SELECT f.id, d.attr
+        |FROM jv_cat.analytics.fct f JOIN jv_cat.analytics.dm d
+        |ON f.fk = d.k""".stripMargin
+    check(q, expectFire = true)
+    dim.upsertEq(dim.readSnapshot().filter(col("k") === 5)
+      .withColumn("attr", lit("a5_new")).withColumn("op", lit("PUT")))
+    spark.catalog.refreshTable("jv_cat.analytics.dm")
+    check(q, expectFire = false) // dim moved, views stale
+    MaterializedJoin.refresh(fact, "denorm")
+    MaterializedJoin.refresh(fact, "denorml")
+    check(q, expectFire = true)
+  }
+}
