@@ -180,6 +180,8 @@ object MaterializedJoin {
         s"on them): ${mapped.toSeq}")
     val st = viewStore(l, name)
     require(st.currentVersion() < 0, s"join view '$name' already exists")
+    // store-API sessions get the transparent rewrites too
+    graft.catalog.AggViewRewrite.install(l.spark)
     val nb = if (numBuckets > 0) numBuckets else lm.numBuckets
     // dim-churn rebuilds read the fact rows joining the changed dim keys
     // FROM a COVERING index on the join columns (DynamoDB's ALL-projection
