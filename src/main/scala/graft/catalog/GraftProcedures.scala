@@ -64,7 +64,19 @@ object GraftProcedures {
   private def storeFor(catalog: GraftCatalog, table: String): TableStore = {
     val parts = table.split('.')
     require(parts.length >= 2, s"table must be 'namespace.table', got '$table'")
-    catalog.storeForPath(parts.toSeq)
+    // derivative tables address like they read: `tbl$join_<n>` /
+    // `tbl$agg_<n>` / `tbl$idx_<n>` resolve to the derivative's own store,
+    // so procedures stack (an aggregate view CREATED OVER a join view is
+    // `create_agg_view('ns.fact$join_denorm', ...)`)
+    val mapped = parts.toSeq.map { seg =>
+      Seq("$join_" -> "/join/", "$agg_" -> "/agg/", "$idx_" -> "/index/")
+        .collectFirst {
+          case (marker, dir) if seg.contains(marker) =>
+            val i = seg.indexOf(marker)
+            seg.substring(0, i) + dir + seg.substring(i + marker.length)
+        }.getOrElse(seg)
+    }
+    catalog.storeForPath(mapped)
   }
 
   private def result(schema: StructType, values: Array[Any]): java.util.Iterator[Scan] =

@@ -279,7 +279,17 @@ object StreamingOps {
     // needs no cadence of its own for the view to stay fresh
     if (policy.refreshAggs && store.branch.isEmpty)
       graft.store.MaterializedJoin.list(store)
-        .foreach(n => graft.store.MaterializedJoin.refresh(store, n))
+        .foreach { n =>
+          graft.store.MaterializedJoin.refresh(store, n)
+          // STACKED derivatives, one level: aggregate views created OVER a
+          // join view (the dashboard over the denormalized rows) refresh
+          // right after their base view advances — the join view is a
+          // regular graft table, so the whole signed-replay machinery
+          // applies unchanged
+          val vs = graft.store.MaterializedJoin.viewStore(store, n)
+          graft.store.MaterializedAgg.list(vs)
+            .foreach(a => graft.store.MaterializedAgg.refresh(vs, a))
+        }
     // GC is MAIN-scoped: a branch view refuses vacuum/expiry by design
     // (deleting shared state from a fork view would pull files out from
     // under main), so a branch CDC loop's cadence runs the hygiene commits
@@ -298,13 +308,22 @@ object StreamingOps {
       // manifest (plus superseded bucket files) per refresh per
       // derivative, unboundedly. Same knobs as the base: purge past the
       // mask threshold, keep `keepSnapshots` snapshots.
+      val joinStores = graft.store.MaterializedJoin.list(store)
+        .map(graft.store.MaterializedJoin.viewStore(store, _))
       val derivatives =
         graft.store.SecondaryIndex.list(store)
           .map(graft.store.SecondaryIndex.indexStore(store, _)) ++
         graft.store.MaterializedAgg.list(store)
           .map(graft.store.MaterializedAgg.aggStore(store, _)) ++
-        graft.store.MaterializedJoin.list(store)
-          .map(graft.store.MaterializedJoin.viewStore(store, _))
+        joinStores ++
+        // stacked aggregates over join views (and their own covering
+        // indexes) are commits-per-refresh too
+        joinStores.flatMap { vs =>
+          graft.store.MaterializedAgg.list(vs)
+            .map(graft.store.MaterializedAgg.aggStore(vs, _)) ++
+          graft.store.SecondaryIndex.list(vs)
+            .map(graft.store.SecondaryIndex.indexStore(vs, _))
+        }
       derivatives.foreach { d =>
         val dv = d.currentVersion()
         if (dv >= 0) {

@@ -128,6 +128,26 @@ class JoinViewRewriteSpec extends SparkSuite {
         |ON f.fk < d.k WHERE d.k < 3""".stripMargin, expectFire = false)
   }
 
+  test("stacked SQL: create_agg_view over `fct$join_denorm`, the GROUP BY " +
+      "over the join-view table answers from the stacked aggregate") {
+    val (fact, _) = setup()
+    spark.sql("CALL jv_cat.system.create_agg_view(" +
+      "'analytics.fct$join_denorm', 'by_attr', 'attr', 'amt', 2)")
+    val df = spark.sql(
+      """SELECT attr, SUM(amt) AS sa, COUNT(*) AS n
+        |FROM jv_cat.analytics.`fct$join_denorm`
+        |GROUP BY attr""".stripMargin)
+    assert(AggViewRewrite.served(df), // the /agg/ tree under the join view
+      s"stacked aggregate must serve the GROUP BY:\n" +
+        s"${df.queryExecution.optimizedPlan}")
+    val want = MaterializedJoin.read(fact, "denorm")
+      .groupBy("attr").agg(sum("amt").as("sa"), count(lit(1)).as("n"))
+      .collect().map(_.toString).sorted.toSeq
+    assert(df.collect().map(_.toString).sorted.toSeq == want)
+    spark.sql("CALL jv_cat.system.drop_agg_view(" +
+      "'analytics.fct$join_denorm', 'by_attr')")
+  }
+
   test("two-sided staleness gates; refresh re-arms") {
     val (fact, dim) = setup()
     val q =

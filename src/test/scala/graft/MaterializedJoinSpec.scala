@@ -192,6 +192,41 @@ class MaterializedJoinSpec extends SparkSuite {
     assert(viewRows(fact) == recompute(fact, dim, "inner"))
   }
 
+  test("an aggregate view STACKS on a join view; the cadence refreshes " +
+      "the whole pyramid") {
+    val (fact, dim) = fresh(); seed(fact, dim)
+    MaterializedJoin.create(fact, "jv", dim, Seq("fk"), Seq("k"),
+      Seq("attr"))
+    // the join view is a regular graft table — the aggregate machinery
+    // applies unchanged: SUM(amt) by dim attribute over denormalized rows
+    val vs = MaterializedJoin.viewStore(fact, "jv")
+    graft.store.MaterializedAgg.create(vs, "by_attr", Seq("attr"),
+      Seq("amt"), 2)
+    def aggRows(): Seq[String] =
+      canon(graft.store.MaterializedAgg.read(vs, "by_attr")
+        .select(col("attr"), col("sum_amt"), col("_cnt")))
+    def want(): Seq[String] =
+      canon(fact.readSnapshot().as("l")
+        .join(dim.readSnapshot().select(col("k"), col("attr")).as("r"),
+          col("l.fk") === col("r.k"), "inner")
+        .groupBy("attr").agg(sum("amt").as("sum_amt"),
+          count(lit(1)).as("_cnt"))
+        .select(col("attr"), col("sum_amt"), col("_cnt")))
+    assert(aggRows() == want())
+    // two-sided churn, then ONE maintenance pass on the fact refreshes
+    // join view -> stacked aggregate in order
+    dim.upsertEq(dim.readSnapshot().filter(col("k").isin(2L, 12L))
+      .withColumn("attr", lit("a_hot")).withColumn("op", lit("PUT")))
+    val b = graft.store.TableStore.bucketExpr(Seq("id"), 8)
+    fact.deleteEq(fact.readSnapshot()
+      .filter(b === 3 && col("id") % 2 === 0).select("id"))
+    graft.streaming.StreamingOps.maintain(fact,
+      graft.streaming.StreamingOps.CdcMaintenance())
+    assert(aggRows() == want(),
+      "the stacked aggregate must reflect both sides' changes after one " +
+        "fact-side maintenance pass")
+  }
+
   test("drop removes view, covering index, and pins on both stores") {
     val (fact, dim) = fresh(); seed(fact, dim)
     MaterializedJoin.create(fact, "jv", dim, Seq("fk"), Seq("k"),
