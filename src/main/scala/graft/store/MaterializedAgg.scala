@@ -197,6 +197,13 @@ object MaterializedAgg {
     requireMain(base)
     require(distinctCols.isEmpty || !name.contains("__dc_"),
       "companion views cannot track distinct columns")
+    // stacking is one level and only on tables/join views: an aggregate or
+    // index STORE as a base would refresh under no cadence and go silently
+    // stale (join views refresh their stacked aggregates in maintain())
+    require(!base.root.matches(".*/(agg|index)/[^/]+/?$"),
+      s"aggregate views stack on tables and join views, not on " +
+        s"aggregate/index stores (${base.root} would never ride a " +
+        "maintenance cadence)")
     val bv = base.currentVersion()
     require(bv >= 0, "cannot materialize over an empty table")
     val bm = base.manifest(bv)

@@ -287,6 +287,8 @@ object StreamingOps {
           // regular graft table, so the whole signed-replay machinery
           // applies unchanged
           val vs = graft.store.MaterializedJoin.viewStore(store, n)
+          graft.store.SecondaryIndex.list(vs)
+            .foreach(ix => graft.store.SecondaryIndex.refresh(vs, ix))
           graft.store.MaterializedAgg.list(vs)
             .foreach(a => graft.store.MaterializedAgg.refresh(vs, a))
         }
