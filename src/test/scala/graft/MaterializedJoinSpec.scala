@@ -227,6 +227,137 @@ class MaterializedJoinSpec extends SparkSuite {
         "fact-side maintenance pass")
   }
 
+  test("MULTI-DIM: churn on every side refreshes exactly; per-dim " +
+      "covering indexes; the cadence keeps the star fresh") {
+    val (fact, dim) = fresh()
+    fact.commitBucketed((1L to 300L).map(i =>
+      (i, i % 40, i * 10, i % 10)).toDF("id", "fk", "amt", "amt_b"),
+      Seq("id"), 8)
+    dim.commitBucketed((0L to 49L).map(k =>
+      (k, s"a$k", s"x$k")).toDF("k", "attr", "extra"), Seq("k"), 16)
+    val dim2 = new TableStore(spark,
+      fact.root.stripSuffix("/fact") + "/dim2")
+    dim2.commitBucketed((0L to 199L).map(g =>
+      (g, s"g$g", g * 100)).toDF("gk", "gname", "gval"), Seq("gk"), 8)
+    MaterializedJoin.createMulti(fact, "star", Seq(
+      MaterializedJoin.Dim(dim, Seq("fk"), Seq("k"), Seq("attr")),
+      MaterializedJoin.Dim(dim2, Seq("amt_b"), Seq("gk"), Seq("gname"))))
+    def recompute3(): Seq[String] =
+      canon(fact.readSnapshot().as("l")
+        .join(dim.readSnapshot().select(col("k"), col("attr")).as("r"),
+          col("l.fk") === col("r.k"), "inner")
+        .join(dim2.readSnapshot().select(col("gk"), col("gname")).as("g"),
+          col("l.amt_b") === col("g.gk"), "inner")
+        .select(col("id"), col("fk"), col("amt"), col("amt_b"),
+          col("attr"), col("gname")))
+    def starRows(): Seq[String] =
+      canon(MaterializedJoin.read(fact, "star")
+        .select(col("id"), col("fk"), col("amt"), col("amt_b"),
+          col("attr"), col("gname")))
+    assert(starRows() == recompute3())
+    assert(SecondaryIndex.list(fact).contains("join-star") &&
+      SecondaryIndex.list(fact).contains("join-star-d1"),
+      "each non-PK dim key needs its own covering index")
+    // churn EVERY side: projected dim1 update, dim2 update + delete,
+    // fact update — one refresh reconciles all of it
+    dim.upsertEq(dim.readSnapshot().filter(col("k").isin(7L, 21L))
+      .withColumn("attr", concat(col("attr"), lit("_s")))
+      .withColumn("op", lit("PUT")))
+    dim2.upsertEq(dim2.readSnapshot().filter(col("gk") === 3L)
+      .withColumn("gname", lit("g3_new")).withColumn("op", lit("PUT")))
+    dim2.deleteEq(Seq(8L).toDF("gk"))
+    val b = graft.store.TableStore.bucketExpr(Seq("id"), 8)
+    fact.upsertEq(fact.readSnapshot().filter(b === 2 && col("id") % 3 === 0)
+      .withColumn("amt", col("amt") + 1).withColumn("op", lit("PUT")))
+    val before = {
+      val st = MaterializedJoin.viewStore(fact, "star")
+      st.manifest(st.currentVersion()).inlineFiles.toSet
+    }
+    MaterializedJoin.refresh(fact, "star")
+    assert(starRows() == recompute3())
+    val after = {
+      val st = MaterializedJoin.viewStore(fact, "star")
+      st.manifest(st.currentVersion()).inlineFiles.toSet
+    }
+    assert(after.intersect(before).nonEmpty,
+      "sparse multi-side churn must stay on the delta path")
+    assert(MaterializedJoin.read(fact, "star")
+      .filter(col("amt_b") === 8L).count() == 0,
+      "inner rows must leave with their deleted dim2 key")
+    // $joins-style status: one row per dim, all fresh after the refresh
+    val st = MaterializedJoin.status(fact).filter(_._1 == "star")
+    assert(st.size == 2 && st.forall(s => s._4 == s._5 && s._6 == s._7))
+    // the maintenance cadence refreshes the star too
+    dim2.upsertEq(Seq((8L, "g8_back", 800L)).toDF("gk", "gname", "gval")
+      .withColumn("op", lit("PUT")))
+    graft.streaming.StreamingOps.maintain(fact,
+      graft.streaming.StreamingOps.CdcMaintenance())
+    assert(starRows() == recompute3(),
+      "the cadence must reconcile dim2 churn through the star view")
+    // drop cleans up BOTH dims' pins and BOTH indexes
+    assert(MaterializedJoin.drop(fact, "star"))
+    assert(!SecondaryIndex.list(fact).exists(_.startsWith("join-star")))
+    assert(!dim2.listRefs().exists(_.name.contains("-star")))
+  }
+
+  test("join views refuse derivative bases (fact or dim) until pyramids " +
+      "are cadence-maintained") {
+    val (fact, dim) = fresh(); seed(fact, dim)
+    MaterializedJoin.create(fact, "jv", dim, Seq("fk"), Seq("k"),
+      Seq("attr"))
+    val vs = MaterializedJoin.viewStore(fact, "jv")
+    // join view over a join view: refused through the store API
+    val e1 = intercept[IllegalArgumentException](MaterializedJoin.create(
+      vs, "jj", dim, Seq("fk"), Seq("k"), Seq("extra")))
+    assert(e1.getMessage.contains("derivative"))
+    // a join view as the DIM side: refused symmetrically
+    val e2 = intercept[IllegalArgumentException](MaterializedJoin.create(
+      fact, "jd", vs, Seq("id"), Seq("id"), Seq()))
+    assert(e2.getMessage.contains("derivative"))
+    // index/agg stores as fact: refused
+    val idxStore = SecondaryIndex.indexStore(fact, "join-jv")
+    val e3 = intercept[IllegalArgumentException](MaterializedJoin.create(
+      idxStore, "ji", dim, Seq("fk"), Seq("k"), Seq("extra")))
+    assert(e3.getMessage.contains("derivative"))
+  }
+
+  test("a duplicate-keyed dim is refused at create (the one-live-row " +
+      "contract is enforced, not documented)") {
+    val (fact, dim) = fresh()
+    fact.commitBucketed((1L to 50L).map(i =>
+      (i, i % 5, i)).toDF("id", "fk", "amt"), Seq("id"), 4)
+    // seed the dim through a RAW bucketed commit carrying a duplicate key
+    dim.commitBucketed((0L to 5L).map(k => (k, s"a$k"))
+      .toDF("k", "attr").union(Seq((3L, "a3_dup")).toDF("k", "attr")),
+      Seq("k"), 2)
+    val e = intercept[IllegalArgumentException](MaterializedJoin.create(
+      fact, "jv", dim, Seq("fk"), Seq("k"), Seq("attr")))
+    assert(e.getMessage.contains("duplicate rows"))
+  }
+
+  test("a pre-existing index under the view's name must cover the join " +
+      "or create refuses; it survives a failed create") {
+    val (fact, dim) = fresh(); seed(fact, dim)
+    // a USER index squatting the view's index name, on the WRONG keys
+    SecondaryIndex.create(fact, "join-jv", Seq("amt"), Seq("fk"), 4)
+    val e = intercept[IllegalArgumentException](MaterializedJoin.create(
+      fact, "jv", dim, Seq("fk"), Seq("k"), Seq("attr")))
+    assert(e.getMessage.contains("does not cover"))
+    assert(SecondaryIndex.list(fact).contains("join-jv"),
+      "a failed create must not drop a pre-existing user index")
+    SecondaryIndex.drop(fact, "join-jv")
+    // a pre-existing index on the RIGHT keys with full coverage is adopted
+    SecondaryIndex.create(fact, "join-jv", Seq("fk"),
+      fact.manifest(fact.currentVersion()).schema.fieldNames.toSeq
+        .filterNot(c => c == "fk" || c == "id"), 8)
+    MaterializedJoin.create(fact, "jv", dim, Seq("fk"), Seq("k"),
+      Seq("attr"))
+    dim.upsertEq(dim.readSnapshot().filter(col("k") === 2L)
+      .withColumn("attr", lit("a2_x")).withColumn("op", lit("PUT")))
+    MaterializedJoin.refresh(fact, "jv")
+    assert(viewRows(fact) == recompute(fact, dim, "inner"))
+  }
+
   test("drop removes view, covering index, and pins on both stores") {
     val (fact, dim) = fresh(); seed(fact, dim)
     MaterializedJoin.create(fact, "jv", dim, Seq("fk"), Seq("k"),
