@@ -1072,9 +1072,13 @@ class TableStore(val spark: SparkSession, val root: String,
     * (hash(keys) % numBuckets), never stored: data files carry payload
     * columns only and the manifest records the bucketing spec, so readers
     * reconstruct or prune on it from metadata alone. */
+  /** `cluster = false` skips the pre-write bucket repartition — for callers
+    * that ALREADY arranged the frame (compact's sort/z-order clustering,
+    * whose within-partition order a fresh hash shuffle would destroy). */
   def commitBucketed(df: DataFrame, keys: Seq[String], numBuckets: Int,
       expectedParent: Option[Long] = None,
-      props: Map[String, String] = Map.empty): Long = {
+      props: Map[String, String] = Map.empty,
+      cluster: Boolean = true): Long = {
     require(keys.nonEmpty && numBuckets > 0, "bucketed commit needs keys and buckets")
     val parent = checkParent(expectedParent)
     val next = parent + 1
@@ -1083,8 +1087,20 @@ class TableStore(val spark: SparkSession, val root: String,
     val idSchema = withFieldIds(df.schema, pmOpt.map(_.schema), idFloor)
     val snapDir = new Path(dataDir, s"snap-$next-${stagingSuffix()}")
     beginStaging(snapDir) // pin against a concurrent vacuum sweep
-    applyFieldIds(df, idSchema)
+    // CLUSTER BY BUCKET before the partitioned write (same hygiene the
+    // trickle-commit path got in r8): without it every task holds rows of
+    // most buckets and partitionBy writes task×bucket files — a 32-task
+    // input over 64 buckets is ~2k files per commit, and the file-count
+    // tax compounds into every later read/refresh (measured: the join
+    // view's ALL-projection index create dropped 26.4 s → ~6 s from this
+    // one repartition). One shuffle, one file per bucket; at real scale
+    // `spark.sql.files.maxRecordsPerFile` re-splits oversized buckets.
+    val withBucket = applyFieldIds(df, idSchema)
       .withColumn(BucketCol, bucketExpr(keys, numBuckets))
+    (if (cluster)
+      withBucket.repartition(numBuckets,
+        org.apache.spark.sql.functions.col(BucketCol))
+     else withBucket)
       .write.mode(SaveMode.Overwrite).options(bloomWriteOptions)
       .partitionBy(BucketCol)
       .parquet(snapDir.toString)
@@ -2179,13 +2195,16 @@ class TableStore(val spark: SparkSession, val root: String,
       if (zorderBy.nonEmpty) Seq(zorderColumn(df, zorderBy))
       else sortBy.map(col)
     if (m.bucketKeys.nonEmpty) {
+      // compact OWNS its layout (targetFiles-per-bucket / sort clustering)
+      // — commitBucketed's default bucket repartition would collapse the
+      // file-count target and destroy the within-partition sort
       val arranged =
         if (arrangeBy.isEmpty) df.repartition(targetFiles)
         else df.repartition(math.max(targetFiles, m.numBuckets),
             bucketExpr(m.bucketKeys, m.numBuckets))
           .sortWithinPartitions(arrangeBy: _*)
       commitBucketed(arranged, m.bucketKeys, m.numBuckets,
-        props = TableStore.ContentPreserving)
+        props = TableStore.ContentPreserving, cluster = false)
     } else {
       val arranged =
         if (arrangeBy.isEmpty) df.repartition(targetFiles)

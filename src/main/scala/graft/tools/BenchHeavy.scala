@@ -22,24 +22,33 @@ object BenchHeavy {
     "join_multi_q3", "join_multi_q5", "join_multi_q10", "text_chunk",
     "pipeline_decontaminate", "sample_stratified")
 
-  /** Round-8 readings (NOTES.md "Round 8: sf1 HeavyProbe"): the baseline
-    * the r9 artifact ships so the judge (and later rounds) can diff without
-    * digging through prose. Probes new in r9 have no baseline entry. */
-  private val R8Baseline: Map[String, Double] = Map(
-    "cdc_apply" -> 1.51, "dedup_fuzzy_minhash" -> 2.50,
-    "dedup_minhash_sql" -> 3.32, "dedup_ngram_jaccard" -> 7.14,
-    "dedup_embedding" -> 2.49, "dedup_clusters" -> 5.55,
-    "join_multi_q3" -> 1.02, "join_multi_q5" -> 1.47,
-    "join_multi_q10" -> 0.99, "text_chunk" -> 0.30,
-    "pipeline_decontaminate" -> 0.47, "sample_stratified" -> 0.25,
-    "commit_bucketed" -> 6.87, "count_bytestock" -> 0.54,
-    "delete_mor" -> 1.58, "count_dv" -> 0.74, "upsert_mor" -> 10.98,
-    "count_dv2" -> 1.21, "purge_deletes" -> 13.92, "count_purged" -> 0.77,
-    "gsi_create" -> 6.02, "upsert_mor2" -> 9.27, "gsi_refresh" -> 11.10,
-    "upsert_eq" -> 1.48, "spj_join" -> 7.66)
+  /** Round-9 readings (BENCH_HEAVY_r9.json, full coverage — the r9 verdict
+    * asked the r10 artifact to diff EVERY r9 probe, next #7): the baseline
+    * this round's artifact ships so regressions diff mechanically. Probes
+    * new in r10 have no baseline entry. */
+  private val R9Baseline: Map[String, Double] = Map(
+    "cdc_apply" -> 1.234, "dedup_fuzzy_minhash" -> 2.065,
+    "dedup_minhash_sql" -> 1.825, "dedup_ngram_jaccard" -> 3.076,
+    "dedup_embedding" -> 1.116, "dedup_clusters" -> 4.712,
+    "join_multi_q3" -> 0.828, "join_multi_q5" -> 1.493,
+    "join_multi_q10" -> 0.901, "text_chunk" -> 0.232,
+    "pipeline_decontaminate" -> 0.432, "sample_stratified" -> 0.186,
+    "commit_bucketed" -> 5.19, "count_bytestock" -> 0.445,
+    "delete_mor" -> 1.253, "count_dv" -> 0.504, "upsert_mor" -> 3.215,
+    "count_dv2" -> 0.575, "purge_deletes" -> 5.814, "count_purged" -> 0.288,
+    "gsi_create" -> 4.26, "upsert_mor2" -> 2.883, "gsi_refresh" -> 8.073,
+    "upsert_eq" -> 1.511, "count_eq" -> 0.802, "agg_create" -> 2.454,
+    "upsert_eq2" -> 1.589, "agg_refresh" -> 2.729, "upsert_eq3" -> 1.597,
+    "agg_refresh_replay" -> 2.419, "rebucket_composite" -> 15.987,
+    "delete_eq_prefix" -> 0.262, "count_eq_prefix" -> 1.082,
+    "wap_rebase_publish" -> 3.795, "jv_dim_commit" -> 2.828,
+    "jv_create" -> 40.077, "jv_dim_update" -> 0.469,
+    "jv_refresh_dim" -> 2.884, "jv_dim_scatter" -> 1.005,
+    "jv_refresh_dim_scatter" -> 12.393, "jv_fact_update" -> 1.695,
+    "jv_refresh_fact" -> 13.027)
 
   def main(args: Array[String]): Unit = {
-    val outFile = args.headOption.getOrElse("BENCH_HEAVY_r9.json")
+    val outFile = args.headOption.getOrElse("BENCH_HEAVY_r10.json")
     val copies = args.drop(1).headOption.map(_.toInt).getOrElse(10)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -223,11 +232,67 @@ object BenchHeavy {
     t("jv_refresh_fact") {
       graft.store.MaterializedJoin.refresh(store, "jv_bench")
     }
+    // r10: MULTI-DIM star view — ONE single-pass create reads the fact
+    // once (persisted) and builds BOTH covering indexes plus the 2-dim
+    // join from that read (r9's single-dim create was three O(fact)
+    // passes at 40 s — the r10 jv_create above measures the same shape
+    // post-fix, jv2_create the 2-dim shape)
+    val statusDim = new graft.store.TableStore(spark,
+      s"$out/status_dim_store")
+    t("jv2_status_commit") {
+      statusDim.commitBucketed(
+        store.readSnapshot().select(col("o_orderstatus")).distinct()
+          .withColumn("status_name",
+            concat(lit("s_"), col("o_orderstatus"))),
+        Seq("o_orderstatus"), 4)
+    }
+    t("jv2_create") {
+      graft.store.MaterializedJoin.createMulti(store, "jv2_bench", Seq(
+        graft.store.MaterializedJoin.Dim(dimStore,
+          Seq("o_custkey"), Seq("o_custkey"), Seq("cust_tier")),
+        graft.store.MaterializedJoin.Dim(statusDim,
+          Seq("o_orderstatus"), Seq("o_orderstatus"), Seq("status_name"))))
+    }
+    // clustered churn on ONE dim of the star: the delta path must stay
+    // O(changed keys' index buckets) with the other dim untouched
+    t("jv2_dim_update") {
+      dimStore.upsertEq(dimStore.readSnapshot()
+        .filter(col("o_custkey").isin(23L, 2023L))
+        .withColumn("cust_tier", lit("t_hot2"))
+        .withColumn("op", lit("PUT")))
+    }
+    t("jv2_refresh_dim") {
+      graft.store.MaterializedJoin.refresh(store, "jv2_bench")
+    }
+    // r10: FRESHNESS-TOLERANT serving at the heavy corpus — after a
+    // bucket-local eq upsert the agg view is stale; the tail union reads
+    // O(groups + changed files) where the fallback scan re-aggregates the
+    // table (agg_scan_group). First re-point the view past the earlier
+    // rebucket (that span is a full-diff — the router recomputes).
+    t("agg_refresh_post_rebucket") {
+      graft.store.MaterializedAgg.refresh(store, "by_cust_agg")
+    }
+    val bexpr = graft.store.TableStore.bucketExpr(
+      Seq("o_orderkey", "o_orderstatus"), 64)
+    t("upsert_eq4") {
+      store.upsertEq(store.readSnapshot().filter(bexpr === 3)
+        .withColumn("o_totalprice", col("o_totalprice") + 9.0)
+        .withColumn("op", lit("PUT")))
+    }
+    t("agg_tail_read") {
+      graft.store.MaterializedAgg.storedPlusTail(store,
+        graft.store.MaterializedAgg.viewMeta(store, "by_cust_agg").get,
+        store.currentVersion()).count()
+    }
+    t("agg_scan_group") {
+      store.readSnapshot().groupBy(col("o_custkey"))
+        .agg(count(lit(1))).count()
+    }
 
     def jmap(m: collection.Map[String, Double]) =
       m.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"heavy_total","value":${math.rint(timings.values.sum * 100) / 100},"unit":"sec","copies":$copies,"src":"$src","timings":${jmap(timings)},"r8_baseline":${jmap(R8Baseline)}}"""
+      s"""{"metric":"heavy_total","value":${math.rint(timings.values.sum * 100) / 100},"unit":"sec","copies":$copies,"src":"$src","timings":${jmap(timings)},"r9_baseline":${jmap(R9Baseline)}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       json.getBytes("UTF-8"))
     println(json)

@@ -106,6 +106,58 @@ object RewriteStats {
         countDistinct(col("clerk")).as("d"))
       .collect().map(_.mkString("|")).sorted.toSeq
     println(s"parity: ${got == want} (${got.size} groups)")
+
+    // ---- LIVE CDC LOOP: rewrite hit rate between cadence passes --------
+    // (VERDICT r9 missing #4 measurement.) A continuous feed applies
+    // bucket-local auto-routed batches with maintenance every 4 commits;
+    // after EVERY batch the dashboard query runs. Exact-version serving
+    // hits only right after a cadence pass; the tail union keeps the
+    // O(groups) path hot on every batch in between.
+    val loopSt = new graft.store.TableStore(spark,
+      s"$warehouse/analytics/loop_orders")
+    loopSt.commitBucketed(orders, Seq("o_orderkey"), 64)
+    graft.store.MaterializedAgg.create(loopSt, "live",
+      Seq("cgrp", "o_orderstatus"), Seq("o_totalprice"), 16)
+    val liveQ =
+      """SELECT cgrp, o_orderstatus, COUNT(*) AS n,
+        |  CAST(SUM(o_totalprice) AS DOUBLE) AS total
+        |FROM rw_cat.analytics.loop_orders
+        |GROUP BY cgrp, o_orderstatus""".stripMargin
+    val policy = graft.streaming.StreamingOps.CdcMaintenance(
+      everyNCommits = 4, keepSnapshots = 4)
+    val b64 = graft.store.TableStore.bucketExpr(Seq("o_orderkey"), 64)
+    def mkBatch(i: Int) = loopSt.readSnapshot()
+      .filter(b64 === (i * 7) % 64).limit(2000)
+      .withColumn("o_totalprice",
+        (col("o_totalprice") + lit(i)).cast("decimal(18,2)"))
+      .withColumn("seq", lit(i.toLong)).withColumn("op", lit("PUT"))
+    var hitsPlain = 0; var hitsTail = 0; var tPlainScan = 0.0
+    var tTail = 0.0
+    val nBatches = 12
+    (1 to nBatches).foreach { i =>
+      graft.streaming.StreamingOps.applyCdcBatchAuto(mkBatch(i), loopSt,
+        Seq("o_orderkey"), 64, maintenance = Some(policy))
+      spark.catalog.refreshTable("rw_cat.analytics.loop_orders")
+      val (plainFired, tp) = {
+        val df = spark.sql(liveQ)
+        val f = graft.catalog.AggViewRewrite.served(df)
+        val (_, t) = timed(df.collect())
+        (f, t)
+      }
+      if (plainFired) hitsPlain += 1 else tPlainScan += tp
+      spark.conf.set("spark.graft.agg.rewrite.tailUnion", "true")
+      try {
+        val df = spark.sql(liveQ)
+        if (graft.catalog.AggViewRewrite.served(df)) {
+          hitsTail += 1; val (_, t) = timed(df.collect()); tTail += t
+        }
+      } finally spark.conf.unset("spark.graft.agg.rewrite.tailUnion")
+    }
+    println(f"live loop ($nBatches batches, cadence every 4): exact-only " +
+      f"hit rate $hitsPlain/$nBatches, with tail union $hitsTail/$nBatches")
+    println(f"mean stale-query cost: full scan ${tPlainScan /
+      math.max(1, nBatches - hitsPlain)}%.2f s vs tail union ${tTail /
+      math.max(1, hitsTail)}%.2f s")
     spark.stop()
   }
 }

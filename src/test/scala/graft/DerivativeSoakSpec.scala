@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.store.{MaterializedAgg, MaterializedJoin, SecondaryIndex, TableStore}
+import graft.streaming.StreamingOps
+
+/** DERIVATIVE-LAYER SOAK (VERDICT r9 next #8): one long mixed sequence —
+  * auto-routed CDC batches, compaction, a rebucket (layout migration),
+  * a branch write-audit-publish cycle — over a fact table carrying the
+  * FULL derivative stack at once:
+  *
+  *   fact ── GSI (`by_amt`)
+  *        ── aggregate view (`base_agg`, by fk)
+  *        └─ join view (`jv`, dim keyed on the join column)
+  *              ── covering index (auto)
+  *              └─ stacked aggregate (`by_attr`, with a COUNT(DISTINCT)
+  *                 companion)
+  *
+  * Every epoch ends with ONE maintenance pass on the fact; the spec then
+  * asserts end-of-cadence freshness of every layer and ORACLE PARITY of
+  * every derived result against a recompute from the current base
+  * snapshots — the reference's continuous-feed semantics (README.md:12)
+  * pinned across the layers' interactions, not just pairwise. */
+class DerivativeSoakSpec extends SparkSuite {
+  import spark.implicits._
+
+  private def canon(df: DataFrame): Seq[String] =
+    df.collect().map(_.mkString("|")).sorted.toSeq
+
+  test("soak: CDC + compaction + rebucket + WAP over the full stack, " +
+      "fresh and oracle-exact at the end of every epoch") {
+    val root = java.nio.file.Files.createTempDirectory("graft_soak").toString
+    val fact = new TableStore(spark, s"$root/fact")
+    val dim = new TableStore(spark, s"$root/dim")
+    fact.commitBucketed((1L to 400L).map(i =>
+      (i, i % 40, i * 10)).toDF("id", "fk", "amt"), Seq("id"), 8)
+    dim.commitBucketed((0L to 49L).map(k =>
+      (k, s"a${k % 7}", s"x$k")).toDF("k", "attr", "extra"), Seq("k"), 16)
+    // the full stack
+    SecondaryIndex.create(fact, "by_amt", Seq("amt"), Seq("fk"), 8)
+    MaterializedAgg.create(fact, "base_agg", Seq("fk"), Seq("amt"), 4)
+    MaterializedJoin.create(fact, "jv", dim, Seq("fk"), Seq("k"),
+      Seq("attr"))
+    val vs = MaterializedJoin.viewStore(fact, "jv")
+    MaterializedAgg.create(vs, "by_attr", Seq("attr"), Seq("amt"), 2,
+      distinctCols = Seq("fk"))
+    val policy = StreamingOps.CdcMaintenance(everyNCommits = 1,
+      maxFilesPerBucket = 3, keepSnapshots = 3, branchMaxAgeMs = 0L)
+
+    def factNow() = fact.readSnapshot()
+    def dimNow() = dim.readSnapshot().select(col("k"), col("attr"))
+    def joinedNow() = factNow().as("l")
+      .join(dimNow().as("r"), col("l.fk") === col("r.k"), "inner")
+      .select(col("id"), col("fk"), col("amt"), col("attr"))
+
+    def assertAllFreshAndExact(epoch: Int): Unit = {
+      // freshness flags across the layers
+      assert(SecondaryIndex.status(fact).forall(s => s._3 == s._4),
+        s"epoch $epoch: a base GSI is stale after the cadence")
+      assert(MaterializedAgg.status(fact).forall(s => s._5 == s._6),
+        s"epoch $epoch: the base aggregate is stale after the cadence")
+      assert(MaterializedJoin.status(fact).forall(s =>
+        s._4 == s._5 && s._6 == s._7),
+        s"epoch $epoch: the join view is stale after the cadence")
+      assert(MaterializedAgg.status(vs).forall(s => s._5 == s._6),
+        s"epoch $epoch: the stacked aggregate is stale after the cadence")
+      // oracle parity, layer by layer
+      assert(canon(MaterializedJoin.read(fact, "jv")
+        .select(col("id"), col("fk"), col("amt"), col("attr"))) ==
+        canon(joinedNow()), s"epoch $epoch: join view diverged")
+      assert(canon(MaterializedAgg.read(fact, "base_agg")
+        .select(col("fk"), col("sum_amt"), col("_cnt"))) ==
+        canon(factNow().groupBy("fk").agg(sum("amt").as("s"),
+          count(lit(1)).as("c"))),
+        s"epoch $epoch: base aggregate diverged")
+      assert(canon(MaterializedAgg.read(vs, "by_attr")
+        .select(col("attr"), col("sum_amt"), col("_cnt"), col("dc_fk"))) ==
+        canon(joinedNow().groupBy("attr").agg(sum("amt").as("s"),
+          count(lit(1)).as("c"), countDistinct(col("fk")).as("d"))),
+        s"epoch $epoch: stacked aggregate (or companion) diverged")
+      // GSI content parity
+      assert(canon(SecondaryIndex.lookup(fact, "by_amt",
+        col("amt") % 100 === 0, Seq("id", "fk", "amt"))) ==
+        canon(factNow().filter(col("amt") % 100 === 0)
+          .select(col("id"), col("fk"), col("amt"))),
+        s"epoch $epoch: GSI lookup diverged")
+    }
+
+    val b8 = TableStore.bucketExpr(Seq("id"), 8)
+    (1 to 4).foreach { e =>
+      // 1. bucket-local CDC batch (auto-routes positional/eq)
+      StreamingOps.applyCdcBatchAuto(
+        factNow().filter(b8 === (e % 8)).limit(40)
+          .withColumn("amt", col("amt") + e)
+          .withColumn("seq", lit(e.toLong)).withColumn("op", lit("PUT")),
+        fact, Seq("id"), 8)
+      // 2. scattered CDC batch with deletes (eq route) on even epochs
+      if (e % 2 == 0)
+        StreamingOps.applyCdcBatchAuto(
+          factNow().filter(col("id") % 57 === e)
+            .withColumn("amt", col("amt") + 100L)
+            .withColumn("seq", lit(100L + e))
+            .withColumn("op", when(col("id") % 2 === 0, "REMOVE")
+              .otherwise("PUT")),
+          fact, Seq("id"), 8)
+      // 3. dim churn (projected column — flows through the join view)
+      dim.upsertEq(dim.readSnapshot()
+        .filter(col("k").isin(e.toLong, e + 10L))
+        .withColumn("attr", concat(lit(s"e$e"), col("attr")))
+        .withColumn("op", lit("PUT")))
+      // 4. epoch-specific structural event
+      if (e == 2) fact.compact(targetFiles = 2)
+      if (e == 3) {
+        // layout evolution mid-feed: rebucket is content-preserving, the
+        // next refresh of each derivative routes appropriately
+        fact.rebucket(16)
+        ()
+      }
+      if (e == 4) {
+        // write-audit-publish under the live stack: main advances
+        // mid-audit, the branch rebases, publishes, and the next cadence
+        // reconciles every derivative with the published rows
+        fact.createBranch("audit")
+        val br = fact.forBranch("audit")
+        br.upsertEq(br.readSnapshot().filter(b8 === 1).limit(20)
+          .withColumn("amt", col("amt") + 1000L)
+          .withColumn("op", lit("PUT")))
+        fact.upsertEq(factNow().filter(b8 === 2).limit(20)
+          .withColumn("amt", col("amt") + 2000L)
+          .withColumn("op", lit("PUT")))
+        fact.rebaseBranch("audit")
+        fact.fastForward("audit")
+        fact.dropBranch("audit")
+        ()
+      }
+      // 5. ONE maintenance pass ends the epoch
+      StreamingOps.maintain(fact, policy)
+      assertAllFreshAndExact(e)
+    }
+    // hygiene: a 4-epoch feed must not accumulate unbounded snapshots in
+    // any derivative store (each refresh is a commit)
+    val stores = Seq(vs, SecondaryIndex.indexStore(fact, "by_amt"),
+      MaterializedAgg.aggStore(fact, "base_agg"),
+      MaterializedAgg.aggStore(vs, "by_attr"))
+    stores.foreach { st =>
+      assert(st.existingVersions().size <= policy.keepSnapshots + 1,
+        s"derivative ${st.root} accumulated ${st.existingVersions().size} " +
+          "snapshots under the cadence")
+    }
+  }
+}

@@ -253,7 +253,10 @@ class ShardedManifestSpec extends SparkSuite {
       .select($"id".as("k"), ($"id" % 97).as("v"))
       .repartition(32)
     val before = TableStore.driverMaterializations.get()
-    store.commitBucketed(df, Seq("k"), 128)
+    // cluster = false keeps the 32-task × 128-bucket fan-out — the cheap
+    // way to fabricate a >1000-file table (the r10 default clusters to one
+    // file per bucket, which is exactly what this fixture must NOT do)
+    store.commitBucketed(df, Seq("k"), 128, cluster = false)
     val m0 = store.manifest(0)
     assert(m0.isSharded, s"${m0.nFiles} files should exceed the threshold")
     assert(m0.nFiles > 1000, s"fixture too small: ${m0.nFiles}")
