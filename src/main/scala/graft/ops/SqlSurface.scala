@@ -757,6 +757,85 @@ object SqlSurface {
     out
   }
 
+  /** FRESHNESS-TOLERANT join serving end-to-end (`sql_join_tail`,
+    * [[graft.store.MaterializedJoin.storedPlusTail]]): a join view goes
+    * STALE under fact-only DML (the live-feed case) and is NOT refreshed;
+    * with `spark.graft.agg.rewrite.tailUnion` the user's plain `fact JOIN
+    * dim` SQL still answers from the view — stored rows minus the
+    * net-changed PKs, union those PKs' live rows re-joined at query time,
+    * O(changed files) and NOTHING committed — and the result is EXACT:
+    * the DuckDB oracle reproduces the post-DML join relationally. The
+    * span pricing is relaxed for the toy file counts (the guard's decline
+    * is spec-pinned); `$joins` staleness and the untouched view version
+    * are require()d. */
+  private val sqlJoinTail: Q = (s, d) => {
+    val cat = catalogFor(s, d)
+    val wh = warehouseFor(d)
+    s.sql(s"DROP TABLE IF EXISTS $cat.analytics.li_tl")
+    s.sql(s"DROP TABLE IF EXISTS $cat.analytics.ord_tl")
+    val fact = new TableStore(s, s"$wh/analytics/li_tl")
+    fact.commitBucketed(
+      load(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity").cast("decimal(18,2)").as("qty")),
+      keys = Seq("l_orderkey", "l_linenumber"), numBuckets = 16)
+    val dim = new TableStore(s, s"$wh/analytics/ord_tl")
+    dim.commitBucketed(
+      load(s, d, "orders").select(col("o_orderkey"), col("o_orderstatus"),
+        col("o_totalprice").cast("decimal(18,2)").as("o_totalprice")),
+      keys = Seq("o_orderkey"), numBuckets = 16)
+    s.catalog.refreshTable(s"$cat.analytics.li_tl")
+    s.catalog.refreshTable(s"$cat.analytics.ord_tl")
+    s.sql(s"CALL $cat.system.create_join_view('analytics.li_tl', " +
+      "'live', 'analytics.ord_tl', 'l_orderkey', 'o_orderkey', " +
+      "'o_orderstatus,o_totalprice', 'inner')")
+    // fact-only churn (the live-feed case), NO refresh — EQUALITY-route
+    // CDC writes: new key versions + logical masks, the shape the
+    // zero-ETL feed's auto-router picks for scattered small batches.
+    // (COW SQL UPDATE would rewrite every bucket, and a DV'd file counts
+    // as changed in the span diff — both price as heavy churn, which the
+    // guard CORRECTLY routes back to the scan at toy 1-file-per-bucket
+    // tables.)
+    fact.upsertEq(fact.readSnapshot().filter(col("l_orderkey") % 997 === 2)
+      .withColumn("qty", (col("qty") + lit(5)).cast("decimal(18,2)"))
+      .withColumn("op", lit("PUT")))
+    fact.upsertEq(fact.readSnapshot().filter(col("l_orderkey") % 1009 === 5)
+      .withColumn("op", lit("REMOVE")))
+    s.catalog.refreshTable(s"$cat.analytics.li_tl")
+    require(s.sql(s"SELECT stale FROM $cat.analytics.`li_tl$$joins` " +
+      "WHERE name = 'live'").head().getBoolean(0),
+      "$joins must show the view stale after the fact DML")
+    val vvBefore = graft.store.MaterializedJoin
+      .viewStore(fact, "live").currentVersion()
+    s.conf.set("spark.graft.agg.rewrite.tailUnion", "true")
+    // the span ROUTER (a performance heuristic, not a soundness gate) is
+    // disarmed here: the eq-mask file diff is bucket-granular, so this
+    // scattered-key toy span prices as all-files-changed no matter the
+    // file count — the router's decline behavior is spec-pinned in
+    // AggViewRewriteSpec/JoinViewRewriteSpec; this oracle pins EXACTNESS
+    s.conf.set("spark.graft.agg.refresh.rescanFraction", "2.0")
+    try {
+      val out = s.sql(
+        s"""SELECT f.l_orderkey % 100 AS okb, d.o_orderstatus,
+           |  COUNT(*) AS n, CAST(SUM(f.qty) AS DOUBLE) AS sum_qty,
+           |  CAST(SUM(d.o_totalprice) AS DOUBLE) AS sum_price
+           |FROM $cat.analytics.li_tl f
+           |JOIN $cat.analytics.ord_tl d ON f.l_orderkey = d.o_orderkey
+           |GROUP BY f.l_orderkey % 100, d.o_orderstatus
+           |ORDER BY okb ASC NULLS FIRST,
+           |  o_orderstatus ASC NULLS FIRST""".stripMargin)
+      require(graft.catalog.AggViewRewrite.served(out, "/join/"),
+        "the stale view must tail-serve the join under the opt-in")
+      require(graft.store.MaterializedJoin
+          .viewStore(fact, "live").currentVersion() == vvBefore,
+        "tail serving is a READ path: nothing may commit to the view")
+      out.cache().count() // materialize under the confs before unsetting
+      out
+    } finally {
+      s.conf.unset("spark.graft.agg.rewrite.tailUnion")
+      s.conf.unset("spark.graft.agg.refresh.rescanFraction")
+    }
+  }
+
   /** STAR REWRITE COMPOSITION end-to-end (`sql_star_rewrite`, VERDICT r9
     * missing #1 — the reference's own one-query dashboard shape,
     * README.md:170-173): a join view over fact+dim, a STACKED aggregate
@@ -882,6 +961,7 @@ object SqlSurface {
     "sql_agg_rewrite" -> sqlAggRewrite,
     "sql_join_view" -> sqlJoinView,
     "sql_join_rewrite" -> sqlJoinRewrite,
+    "sql_join_tail" -> sqlJoinTail,
     "sql_time_travel" -> sqlTimeTravel,
     "sql_branch_wap" -> sqlBranchWap,
     "sql_catalog_write" -> sqlCatalogWrite,
@@ -932,6 +1012,25 @@ object SqlSurface {
         |GROUP BY l_orderkey % 50, o_orderstatus, s_nationkey
         |ORDER BY okb ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST,
         |  s_nationkey ASC NULLS FIRST""".stripMargin,
+    "sql_join_tail" ->
+      """WITH fact AS (
+        |  SELECT l_orderkey,
+        |    CASE WHEN l_orderkey % 997 = 2
+        |      THEN CAST(CAST(l_quantity AS DECIMAL(18,2)) + 5
+        |        AS DECIMAL(18,2))
+        |      ELSE CAST(l_quantity AS DECIMAL(18,2)) END AS qty
+        |  FROM lineitem WHERE l_orderkey % 1009 <> 5),
+        |dim AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS o_totalprice
+        |  FROM orders)
+        |SELECT l_orderkey % 100 AS okb, o_orderstatus,
+        |  COUNT(*) AS n, CAST(SUM(qty) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(o_totalprice) AS DOUBLE) AS sum_price
+        |FROM fact JOIN dim ON fact.l_orderkey = dim.o_orderkey
+        |GROUP BY l_orderkey % 100, o_orderstatus
+        |ORDER BY okb ASC NULLS FIRST,
+        |  o_orderstatus ASC NULLS FIRST""".stripMargin,
     "sql_join_rewrite" ->
       """WITH dim AS (
         |  SELECT o_orderkey, o_orderstatus,

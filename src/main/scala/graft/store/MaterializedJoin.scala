@@ -568,6 +568,62 @@ object MaterializedJoin {
     }
   }
 
+  /** FRESHNESS-TOLERANT join serving (the join-side twin of
+    * [[MaterializedAgg.storedPlusTail]]): the view content AS OF fact
+    * snapshot `toL`, computed lazily at query time with NOTHING committed
+    * — `stored rows whose PK did not net-change in (watermark, toL]` ∪
+    * `the net-changed PKs' live rows re-joined against every dim at its
+    * MATERIALIZED version`. Exact at any fact staleness because the live
+    * version of every net-changed PK is, by construction, in the span's
+    * POST changelog frame (added files read under toL's delete view) —
+    * so the tail costs O(changed files), never a fact pass, and needs no
+    * index refresh (the refresh path's dim-side machinery COMMITS, which
+    * a read path must not).
+    *
+    * Scope: the live-feed case — the FACT advanced, every dim sits at its
+    * materialized version (the caller gates on that; dim churn rides the
+    * maintenance cadence, [[graft.catalog.JoinViewRewriteRule]] declines
+    * it). None = not serveable: span expired/unpinned, fact schema or
+    * bucket-layout drift (the row delta cannot express a reshaped view),
+    * or a map-typed column (netting groups on the full row). */
+  private[graft] def storedPlusTail(l: TableStore, vm: ViewMeta,
+      toL: Long): Option[DataFrame] = {
+    val st = viewStore(l, vm.name)
+    val vm0 = st.manifest(vm.viewVersion)
+    val fromL = vm.lVersion
+    if (!l.existingVersions().contains(fromL)) return None
+    val lm = l.manifest(toL)
+    if (vm0.schema.fieldNames.toSeq !=
+        lm.schema.fieldNames.toSeq ++ vm.dims.flatMap(_.rCols) ||
+      vm0.bucketKeys != lm.bucketKeys) return None
+    if (lm.schema.fields
+        .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType]))
+      return None
+    val rs = vm.dims.map(d => new TableStore(l.spark, d.rRoot))
+    if (rs.zip(vm.dims).exists { case (r, d) =>
+        !r.existingVersions().contains(d.rVersion) }) return None
+    val stored = st.readSnapshot(vm.viewVersion)
+    // a span of only content-preserving commits (compaction, rebucket of
+    // OTHER tables' spans never lands here) has identical content — the
+    // stored rows ARE the current rows
+    val have = l.existingVersions().toSet
+    if ((fromL + 1 to toL).forall(v => have(v) && l.manifest(v).props
+        .get(TableStore.ContentPreservingProp).contains("true")))
+      return Some(stored)
+    val pk = vm0.bucketKeys
+    val lAll = lm.schema.fieldNames.toSeq
+    val kL = nettedKeys(l, fromL, toL, lAll, pk)
+    val (_, postF) = l.changelogFrames(fromL, toL)
+    val lAff = MaterializedAgg.nsJoin(postF.select(lAll.map(col): _*), kL,
+      pk, "left_semi")
+    val newRows = joined(lAff,
+      vm.dims.zip(rs).map { case (d, r) =>
+        (r.readSnapshot(d.rVersion), d.lKeys, d.rKeys, d.rCols) },
+      vm.joinType, lAll)
+    Some(MaterializedAgg.nsJoin(stored, kL, pk, "left_anti")
+      .unionByName(newRows.select(vm0.schema.fieldNames.map(col): _*)))
+  }
+
   /** The materialized join, current as of the last refresh. */
   def read(l: TableStore, name: String): DataFrame =
     viewStore(l, name).readSnapshot()

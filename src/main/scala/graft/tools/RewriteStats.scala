@@ -158,6 +158,61 @@ object RewriteStats {
     println(f"mean stale-query cost: full scan ${tPlainScan /
       math.max(1, nBatches - hitsPlain)}%.2f s vs tail union ${tTail /
       math.max(1, hitsTail)}%.2f s")
+
+    // ---- JOIN-VIEW tail serving under the same live loop ---------------
+    // (r10: MaterializedJoin.storedPlusTail through JoinViewRewriteRule.)
+    // The fact rides the CDC feed, the dim is static — the exact case the
+    // fact-side tail covers. Same cadence, same bucket-local batches; the
+    // dashboard query is the plain fact JOIN dim with a GROUP BY on top.
+    // The dim is a ROW-PER-FACT enrichment (1.5M keys): recomputing the
+    // join shuffles both sides, which is exactly when a deployment keeps
+    // a denormalized view — a broadcastable toy dim would hide the cost.
+    val jDim = new graft.store.TableStore(spark,
+      s"$warehouse/analytics/loop_dim")
+    jDim.commitBucketed(
+      orders.select(col("o_orderkey").as("ck")).distinct()
+        .withColumn("tier", concat(lit("t"), (col("ck") % 7))),
+      Seq("ck"), 64)
+    val jSt = new graft.store.TableStore(spark,
+      s"$warehouse/analytics/loop_fact")
+    jSt.commitBucketed(orders, Seq("o_orderkey"), 64)
+    graft.store.MaterializedJoin.create(jSt, "live", jDim,
+      Seq("o_orderkey"), Seq("ck"), Seq("tier"))
+    val jq =
+      """SELECT d.tier, COUNT(*) AS n,
+        |  CAST(SUM(f.o_totalprice) AS DOUBLE) AS total
+        |FROM rw_cat.analytics.loop_fact f
+        |JOIN rw_cat.analytics.loop_dim d ON f.o_orderkey = d.ck
+        |GROUP BY d.tier""".stripMargin
+    def jBatch(i: Int) = jSt.readSnapshot()
+      .filter(b64 === (i * 11) % 64).limit(2000)
+      .withColumn("o_totalprice",
+        (col("o_totalprice") + lit(i)).cast("decimal(18,2)"))
+      .withColumn("seq", lit(i.toLong)).withColumn("op", lit("PUT"))
+    var jHitsPlain = 0; var jHitsTail = 0
+    var jScan = 0.0; var jTail = 0.0
+    (1 to nBatches).foreach { i =>
+      graft.streaming.StreamingOps.applyCdcBatchAuto(jBatch(i), jSt,
+        Seq("o_orderkey"), 64, maintenance = Some(policy))
+      spark.catalog.refreshTable("rw_cat.analytics.loop_fact")
+      val dfP = spark.sql(jq)
+      val pFired = graft.catalog.AggViewRewrite.served(dfP, "/join/")
+      val (_, tp) = timed(dfP.collect())
+      if (pFired) jHitsPlain += 1 else jScan += tp
+      spark.conf.set("spark.graft.agg.rewrite.tailUnion", "true")
+      try {
+        val df = spark.sql(jq)
+        if (graft.catalog.AggViewRewrite.served(df, "/join/")) {
+          jHitsTail += 1; val (_, t) = timed(df.collect()); jTail += t
+        }
+      } finally spark.conf.unset("spark.graft.agg.rewrite.tailUnion")
+    }
+    println(f"join live loop ($nBatches batches, cadence every 4): " +
+      f"exact-only hit rate $jHitsPlain/$nBatches, with tail union " +
+      f"$jHitsTail/$nBatches")
+    println(f"mean stale join cost: base re-join ${jScan /
+      math.max(1, nBatches - jHitsPlain)}%.2f s vs view+tail ${jTail /
+      math.max(1, jHitsTail)}%.2f s")
     spark.stop()
   }
 }

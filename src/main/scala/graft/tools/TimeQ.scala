@@ -10,7 +10,8 @@ object TimeQ {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.setLogLevel(
+      sys.env.getOrElse("SPARK_GRAFT_LOGLEVEL", "ERROR"))
     spark.range(1000).selectExpr("sum(id)").collect()
     args.foreach { name =>
       (1 to 2).foreach { i =>

@@ -224,6 +224,136 @@ class JoinViewRewriteSpec extends SparkSuite {
       expectFire = false)
   }
 
+  test("TAIL UNION: a fact-stale view serves exactly (stored ∪ re-joined " +
+      "tail) with nothing committed; dim churn declines") {
+    val factT = new TableStore(spark, s"$warehouse/analytics/fct_t")
+    val dimT = new TableStore(spark, s"$warehouse/analytics/dm_t")
+    factT.commitBucketed((1L to 300L).map(i =>
+      (i, i % 30, i * 2)).toDF("id", "fk", "amt"), Seq("id"), 8)
+    dimT.commitBucketed((0L to 39L).map(k =>
+      (k, s"a${k % 5}")).toDF("k", "attr"), Seq("k"), 4)
+    MaterializedJoin.create(factT, "tv", dimT, Seq("fk"), Seq("k"),
+      Seq("attr"))
+    // fact-only churn: in-place update + hard delete, NO refresh (narrow
+    // enough that the span prices under rescanFraction — the tail path is
+    // for small live-feed deltas; a span churning most files correctly
+    // declines to the scan)
+    factT.upsertEq(factT.readSnapshot().filter($"id".isin(3L, 103L, 203L))
+      .withColumn("amt", $"amt" + 1000L).withColumn("op", lit("PUT")))
+    factT.upsertEq(factT.readSnapshot().filter($"id".isin(7L, 157L))
+      .withColumn("op", lit("REMOVE")))
+    spark.catalog.refreshTable("jv_cat.analytics.fct_t")
+    val q =
+      """SELECT f.id, f.amt, d.attr
+        |FROM jv_cat.analytics.fct_t f JOIN jv_cat.analytics.dm_t d
+        |ON f.fk = d.k WHERE d.attr <> 'a4'""".stripMargin
+    check(q, expectFire = false) // stale, no opt-in: full fallback
+    val vvBefore = MaterializedJoin.viewStore(factT, "tv").currentVersion()
+    spark.conf.set("spark.graft.agg.rewrite.tailUnion", "true")
+    // toy commits write file counts the span pricing reads as heavy
+    // churn — relax it here (the guard's decline is its own test in
+    // AggViewRewriteSpec; the formula is shared)
+    spark.conf.set("spark.graft.agg.refresh.rescanFraction", "0.99")
+    try {
+      check(q, expectFire = true) // exact vs the un-rewritten plan
+      // the semi form rides the same tail
+      check(
+        """SELECT f.id FROM jv_cat.analytics.fct_t f
+          |WHERE EXISTS (SELECT 1 FROM jv_cat.analytics.dm_t d
+          |              WHERE d.k = f.fk)""".stripMargin,
+        expectFire = true)
+      // a READ path must not commit: view store untouched
+      assert(MaterializedJoin.viewStore(factT, "tv").currentVersion()
+        == vvBefore, "tail serving must not commit to the view store")
+      // dim churn is NOT tail-serveable (the cadence owns it) — decline
+      dimT.upsertEq(dimT.readSnapshot().filter($"k" === 3)
+        .withColumn("attr", lit("zz")).withColumn("op", lit("PUT")))
+      spark.catalog.refreshTable("jv_cat.analytics.dm_t")
+      check(q, expectFire = false)
+    } finally {
+      spark.conf.unset("spark.graft.agg.rewrite.tailUnion")
+      spark.conf.unset("spark.graft.agg.refresh.rescanFraction")
+    }
+  }
+
+  test("TAIL UNION: a content-preserving fact span (compaction) serves " +
+      "the stored rows directly") {
+    val factT = new TableStore(spark, s"$warehouse/analytics/fct_t2")
+    val dimT = new TableStore(spark, s"$warehouse/analytics/dm_t2")
+    factT.commitBucketed((1L to 200L).map(i =>
+      (i, i % 20, i)).toDF("id", "fk", "amt"), Seq("id"), 4)
+    dimT.commitBucketed((0L to 19L).map(k =>
+      (k, s"a$k")).toDF("k", "attr"), Seq("k"), 2)
+    MaterializedJoin.create(factT, "tv2", dimT, Seq("fk"), Seq("k"),
+      Seq("attr"))
+    factT.compact(targetFiles = 2)
+    spark.catalog.refreshTable("jv_cat.analytics.fct_t2")
+    spark.conf.set("spark.graft.agg.rewrite.tailUnion", "true")
+    try check(
+      """SELECT f.id, d.attr
+        |FROM jv_cat.analytics.fct_t2 f JOIN jv_cat.analytics.dm_t2 d
+        |ON f.fk = d.k""".stripMargin, expectFire = true)
+    finally spark.conf.unset("spark.graft.agg.rewrite.tailUnion")
+  }
+
+  test("STALENESS BUDGET: within maxStalenessMs the star serves at its " +
+      "watermark pair; outside it declines; stacked agg still composes") {
+    val factB = new TableStore(spark, s"$warehouse/analytics/fct_b")
+    val dimB = new TableStore(spark, s"$warehouse/analytics/dm_b")
+    factB.commitBucketed((1L to 300L).map(i =>
+      (i, i % 25, i % 7, i * 2)).toDF("id", "fk", "grp", "amt"),
+      Seq("id"), 8)
+    dimB.commitBucketed((0L to 29L).map(k =>
+      (k, s"a${k % 4}")).toDF("k", "attr"), Seq("k"), 4)
+    MaterializedJoin.create(factB, "bv", dimB, Seq("fk"), Seq("k"),
+      Seq("attr"))
+    spark.sql("CALL jv_cat.system.create_agg_view(" +
+      "'analytics.fct_b$join_bv', 'by_attr', 'attr,grp', 'amt', 2)")
+    // churn BOTH sides — the budget path (unlike the tail) admits it
+    factB.upsertEq(factB.readSnapshot().filter($"id" % 40 === 1)
+      .withColumn("amt", $"amt" + 500L).withColumn("op", lit("PUT")))
+    dimB.upsertEq(dimB.readSnapshot().filter($"k" === 2)
+      .withColumn("attr", lit("a9")).withColumn("op", lit("PUT")))
+    spark.catalog.refreshTable("jv_cat.analytics.fct_b")
+    spark.catalog.refreshTable("jv_cat.analytics.dm_b")
+    val q =
+      """SELECT f.id, f.amt, d.attr
+        |FROM jv_cat.analytics.fct_b f JOIN jv_cat.analytics.dm_b d
+        |ON f.fk = d.k""".stripMargin
+    check(q, expectFire = false) // no opt-in
+    spark.conf.set("spark.graft.agg.rewrite.maxStalenessMs", "3600000")
+    try {
+      val df = spark.sql(q)
+      assert(fired(df), s"within budget the view must serve:\n" +
+        s"${df.queryExecution.optimizedPlan}")
+      // served content is the WATERMARK pair — the view's own rows
+      val want = MaterializedJoin.read(factB, "bv")
+        .select($"id", $"amt", $"attr")
+        .collect().map(_.toString).sorted.toSeq
+      assert(df.collect().map(_.toString).sorted.toSeq == want,
+        "budget serving must return the watermark snapshot of the star")
+      // the budget splice is a pure DSv2 scan → the STACKED aggregate
+      // composes above it: the dashboard star query stays O(groups)
+      // between cadence passes
+      val star = spark.sql(
+        """SELECT d.attr, f.grp, SUM(f.amt) AS sa, COUNT(*) AS n
+          |FROM jv_cat.analytics.fct_b f JOIN jv_cat.analytics.dm_b d
+          |ON f.fk = d.k
+          |GROUP BY d.attr, f.grp""".stripMargin)
+      assert(AggViewRewrite.served(star) && fired(star),
+        s"stale-within-budget star query must still answer from the " +
+          s"stacked aggregate:\n${star.queryExecution.optimizedPlan}")
+    } finally spark.conf.unset("spark.graft.agg.rewrite.maxStalenessMs")
+    // a budget smaller than the commit age declines
+    spark.conf.set("spark.graft.agg.rewrite.maxStalenessMs", "1")
+    try {
+      Thread.sleep(5)
+      assert(!fired(spark.sql(q)), "expired budget must decline")
+    } finally spark.conf.unset("spark.graft.agg.rewrite.maxStalenessMs")
+    spark.sql("CALL jv_cat.system.drop_agg_view(" +
+      "'analytics.fct_b$join_bv', 'by_attr')")
+  }
+
   test("two-sided staleness gates; refresh re-arms") {
     val (fact, dim) = setup()
     val q =
