@@ -88,25 +88,36 @@ class AggViewRewriteRule extends Rule[LogicalPlan] {
     * long as they are deterministic and aggregate/subquery-free — the
     * caller inlines them back. */
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
-    val (rel, conds, subst) = AggViewRewrite.peelScan(agg.child) match {
-      case Some(x) => x
-      case None => return None
-    }
+    val (src, conds, subst) =
+      AggViewRewrite.peelScanOrTail(agg.child) match {
+        case Some(x) => x
+        case None => return None
+      }
     def expand(e: Expression): Expression = e.transformUp {
       case ar: AttributeReference => subst.getOrElse(ar.exprId, ar)
     }
-    val table = rel.relation.table match {
-      case t: SnapshotTable => t
-      case _ => return None
+    // the serving store: a DSv2 snapshot scan of a base table, or a
+    // TAIL-TAGGED join splice (the join rule's stale-star union, which
+    // pins the view store + the signed row delta so a stacked aggregate
+    // composes lazily above it)
+    val (store, m) = src match {
+      case Right(rel) =>
+        val table = rel.relation.table match {
+          case t: SnapshotTable => t
+          case _ => return None
+        }
+        val store = table.graftStore
+        if (store.branch.nonEmpty) return None
+        val m = table.graftManifest
+        // a pushed aggregate (or metadata columns) changes the scan's
+        // output domain; graft's filter/limit pushdown never does
+        // (filters re-applied by the Filter node peeled above)
+        val baseCols = m.schema.fieldNames.toSet
+        if (!rel.scan.readSchema().fieldNames.forall(baseCols)) return None
+        (store, m)
+      case Left(info) =>
+        (info.viewStore, info.viewStore.manifest(info.viewVersion))
     }
-    val store = table.graftStore
-    if (store.branch.nonEmpty) return None
-    val m = table.graftManifest
-    // a pushed aggregate (or metadata columns) changes the scan's output
-    // domain; graft's filter/limit pushdown never does (filters re-applied
-    // by the Filter node peeled above)
-    val baseCols = m.schema.fieldNames.toSet
-    if (!rel.scan.readSchema().fieldNames.forall(baseCols)) return None
 
     // grouping and output expressions with the project chain inlined —
     // everything below references scan attributes only
@@ -144,12 +155,26 @@ class AggViewRewriteRule extends Rule[LogicalPlan] {
 
     val all = MaterializedAgg.viewMetas(store)
       .sortBy(vm => (vm.groupBy.size, vm.name))
-    val exactCands = all.filter(_.baseVersion == m.version)
-    exactCands.view.flatMap(vm =>
-      rewriteWith(agg, groupingX, outputsX, conds, store, vm, groupRefs,
-        condRefs, aggExprs.toSeq, tailTo = None)).headOption
-      .orElse(staleServe(agg, groupingX, outputsX, conds, store, m, all,
-        groupRefs, condRefs, aggExprs.toSeq))
+    src match {
+      case Right(_) =>
+        val exactCands = all.filter(_.baseVersion == m.version)
+        exactCands.view.flatMap(vm =>
+          rewriteWith(agg, groupingX, outputsX, conds, store, vm, groupRefs,
+            condRefs, aggExprs.toSeq, AggViewRewrite.ServeStored)).headOption
+          .orElse(staleServe(agg, groupingX, outputsX, conds, store, m, all,
+            groupRefs, condRefs, aggExprs.toSeq))
+      case Left(info) =>
+        // STALE-STAR COMPOSITION: the query aggregates a tail-served join.
+        // A stacked aggregate exactly as fresh as the splice's stored
+        // snapshot can merge the same signed row delta onto its stored
+        // partials — O(groups + changed keys); anything else leaves the
+        // row-level union in place (already exact).
+        all.filter(_.baseVersion == info.viewVersion).view
+          .flatMap(vm => rewriteWith(agg, groupingX, outputsX, conds, store,
+            vm, groupRefs, condRefs, aggExprs.toSeq,
+            AggViewRewrite.ServeJoinDelta(info.pre, info.post, info.conds)))
+          .headOption
+    }
   }
 
   /** FRESHNESS-TOLERANT serving (VERDICT r9 missing #4): between cadence
@@ -196,7 +221,8 @@ class AggViewRewriteRule extends Rule[LogicalPlan] {
       if (!tailOn) None
       else stale.filter(vm => vm.minMaxCols.isEmpty && spanCheap(vm)).view
         .flatMap(vm => rewriteWith(agg, groupingX, outputsX, conds, store,
-          vm, groupRefs, condRefs, aggExprs, tailTo = Some(m.version)))
+          vm, groupRefs, condRefs, aggExprs,
+          AggViewRewrite.ServeTail(m.version)))
         .headOption
     viaTail.orElse {
       if (budgetMs <= 0) None
@@ -207,27 +233,44 @@ class AggViewRewriteRule extends Rule[LogicalPlan] {
             .minOption.forall(v =>
               now - store.manifest(v).committedAtMs <= budgetMs)
         }.view.flatMap(vm => rewriteWith(agg, groupingX, outputsX, conds,
-          store, vm, groupRefs, condRefs, aggExprs, tailTo = None))
+          store, vm, groupRefs, condRefs, aggExprs,
+          AggViewRewrite.ServeStored))
           .headOption
       }
     }
   }
 
-  /** Attempt the rewrite against one view; None = this view can't serve. */
-  /** `tailTo`: Some(v) serves `stored ∪ signed-tail-delta` up to base
-    * snapshot v (exact under staleness) instead of the stored snapshot. */
+  /** Attempt the rewrite against one view; None = this view can't serve.
+    * `serve` picks the row source ([[AggViewRewrite.Serve]]): the stored
+    * snapshot, stored ∪ the base's signed changelog tail, or stored
+    * merged with the join splice's row delta (where MIN/MAX can never
+    * serve — a delta cannot retract extrema). */
   private def rewriteWith(agg: Aggregate, groupingX: Seq[Expression],
       outputsX: Seq[(Expression, String)], conds: Seq[Expression],
       store: TableStore, vm: MaterializedAgg.ViewMeta,
       groupRefs: Seq[Attribute], condRefs: Seq[Attribute],
       aggExprs: Seq[AggregateExpression],
-      tailTo: Option[Long]): Option[LogicalPlan] = {
+      serve: AggViewRewrite.Serve): Option[LogicalPlan] = {
     val res = conf.resolver
+    val isDelta = serve.isInstanceOf[AggViewRewrite.ServeJoinDelta]
     def asKey(n: String): Option[String] = vm.groupBy.find(res(_, n))
     def asSum(n: String): Option[String] = vm.sumCols.find(res(_, n))
-    def asMm(n: String): Option[String] = vm.minMaxCols.find(res(_, n))
+    def asMm(n: String): Option[String] =
+      if (isDelta) None else vm.minMaxCols.find(res(_, n))
     if (!(groupRefs ++ condRefs).forall(a => asKey(a.name).isDefined))
       return None
+    // the splice's own predicates (already applied below the consuming
+    // Aggregate) must land on THIS view's group keys to filter merged
+    // partials; re-application is idempotent
+    val deltaConds = serve match {
+      case AggViewRewrite.ServeJoinDelta(_, _, cs) => cs
+      case _ => Nil
+    }
+    if (!deltaConds.forall(_.collect {
+        case u: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          u.name
+        case a: AttributeReference => a.name
+      }.forall(n => asKey(n).isDefined))) return None
 
     val exact = groupingX.forall(_.isInstanceOf[AttributeReference]) &&
       vm.groupBy.forall(k => groupingX.exists {
@@ -385,12 +428,16 @@ class AggViewRewriteRule extends Rule[LogicalPlan] {
     // ---- assemble over the view store ---------------------------------
     val viewConds = conds.map(toViewExpr)
     if (viewConds.exists(_.isEmpty)) return None
-    val raw0 = tailTo match {
-      case Some(toV) => MaterializedAgg.storedPlusTail(store, vm, toV)
-      case None => MaterializedAgg.aggStore(store, vm.name)
-        .readSnapshot(vm.viewVersion)
+    val raw0 = serve match {
+      case AggViewRewrite.ServeTail(toV) =>
+        MaterializedAgg.storedPlusTail(store, vm, toV)
+      case AggViewRewrite.ServeJoinDelta(pre, post, _) =>
+        MaterializedAgg.storedPlusDelta(store, vm, pre, post)
+      case AggViewRewrite.ServeStored =>
+        MaterializedAgg.aggStore(store, vm.name)
+          .readSnapshot(vm.viewVersion)
     }
-    val raw = viewConds.flatten.foldLeft(raw0)((df, c) =>
+    val raw = (viewConds.flatten ++ deltaConds).foldLeft(raw0)((df, c) =>
       df.filter(ColumnBridge.column(c)))
     val flat: DataFrame =
       if (exact)
@@ -413,13 +460,16 @@ class AggViewRewriteRule extends Rule[LogicalPlan] {
     // null-safe outer join (COUNT(DISTINCT) of an all-NULL group)
     val phNames = groupCols.map(_._2)
     val withDc = dcAggs.foldLeft(flat) { case (df, (_, dn, ph, cm)) =>
-      val compRaw = tailTo match {
-        case Some(toV) => MaterializedAgg.storedPlusTail(store, cm, toV)
-        case None => MaterializedAgg
+      val compRaw = serve match {
+        case AggViewRewrite.ServeTail(toV) =>
+          MaterializedAgg.storedPlusTail(store, cm, toV)
+        case AggViewRewrite.ServeJoinDelta(pre, post, _) =>
+          MaterializedAgg.storedPlusDelta(store, cm, pre, post)
+        case AggViewRewrite.ServeStored => MaterializedAgg
           .aggStore(store, MaterializedAgg.dcName(vm.name, dn))
           .readSnapshot(cm.viewVersion)
       }
-      val compF = viewConds.flatten.foldLeft(compRaw)((f, c) =>
+      val compF = (viewConds.flatten ++ deltaConds).foldLeft(compRaw)((f, c) =>
         f.filter(ColumnBridge.column(c)))
       val dcF = compF
         .select(groupCols.map { case (_, n, c) => c.as(n) } :+
@@ -440,7 +490,8 @@ class AggViewRewriteRule extends Rule[LogicalPlan] {
       return None
     }
     logInfo(s"rewrote aggregate over ${store.root} to view '${vm.name}'" +
-      (if (exact) " (exact keys)" else " (re-aggregated)"))
+      (if (exact) " (exact keys)" else " (re-aggregated)") +
+      (if (isDelta) " (stacked over join tail)" else ""))
     Some(Project(agg.output.zip(repPlan.output).map { case (o, n) =>
       Alias(n, o.name)(exprId = o.exprId, qualifier = o.qualifier,
         explicitMetadata = Some(o.metadata))
@@ -472,6 +523,20 @@ object AggViewRewrite {
       case _ => false
     }
 
+  /** How [[AggViewRewriteRule.rewriteWith]] sources a candidate view's
+    * rows: its stored snapshot, the stored partials ∪ the base store's
+    * signed changelog tail up to version `toV`, or the stored partials
+    * merged with an externally-computed signed row delta (the join tail
+    * composition — `pre`/`post` are net-changed fact PKs' stored and live
+    * view rows; `conds` are view-column predicates the splice applies
+    * below the consuming Aggregate, re-validated against the target
+    * view's group keys). */
+  private[catalog] sealed trait Serve
+  private[catalog] case object ServeStored extends Serve
+  private[catalog] final case class ServeTail(toV: Long) extends Serve
+  private[catalog] final case class ServeJoinDelta(pre: DataFrame,
+      post: DataFrame, conds: Seq[Expression]) extends Serve
+
   /** Peel attribute/alias Projects and deterministic subquery-free Filters
     * off a plan down to its DSv2 scan, returning the scan, the collected
     * filter conditions EXPANDED to scan attributes, and the alias
@@ -482,6 +547,18 @@ object AggViewRewrite {
     * rewrites. */
   private[catalog] def peelScan(p: LogicalPlan)
       : Option[(DataSourceV2ScanRelation, Seq[Expression],
+        Map[org.apache.spark.sql.catalyst.expressions.ExprId, Expression])] =
+    peelScanOrTail(p).collect {
+      case (Right(rel), conds, subst) => (rel, conds, subst)
+    }
+
+  /** [[peelScan]], generalized: the walk also stops at any node carrying
+    * a [[JoinViewRewrite.TailInfoTag]] — the join rewrite's stale-star
+    * splice — returning Left(info) so the aggregate rule can compose a
+    * stacked aggregate above a tail-served join. */
+  private[catalog] def peelScanOrTail(p: LogicalPlan)
+      : Option[(Either[JoinViewRewrite.TailInfo, DataSourceV2ScanRelation],
+        Seq[Expression],
         Map[org.apache.spark.sql.catalyst.expressions.ExprId, Expression])] = {
     // DYNAMIC PRUNING conjuncts (inserted by the PartitionPruning batch,
     // which runs before this rule) are join-derived — they only restrict a
@@ -502,20 +579,25 @@ object AggViewRewrite {
     }
     def go(p: LogicalPlan, conds: Seq[Expression],
         projects: Seq[Seq[NamedExpression]])
-        : Option[(DataSourceV2ScanRelation, Seq[Expression],
-          Seq[Seq[NamedExpression]])] = p match {
-      case Filter(c, ch) if split(c).isDefined =>
-        go(ch, conds ++ split(c).get, projects)
-      case Project(pl, ch) if pl.forall {
-          case _: AttributeReference => true
-          case a: Alias => a.deterministic &&
-            a.find(e => e.isInstanceOf[AggregateExpression] ||
-              e.isInstanceOf[PlanExpression[_]]).isEmpty
-          case _ => false
-        } => go(ch, conds, projects :+ pl)
-      case r: DataSourceV2ScanRelation => Some((r, conds, projects))
-      case _ => None
-    }
+        : Option[(Either[JoinViewRewrite.TailInfo, DataSourceV2ScanRelation],
+          Seq[Expression], Seq[Seq[NamedExpression]])] =
+      p.getTagValue(JoinViewRewrite.TailInfoTag) match {
+        // the tag pins the node's semantics wholesale — never descend
+        case Some(info) => Some((Left(info), conds, projects))
+        case None => p match {
+          case Filter(c, ch) if split(c).isDefined =>
+            go(ch, conds ++ split(c).get, projects)
+          case Project(pl, ch) if pl.forall {
+              case _: AttributeReference => true
+              case a: Alias => a.deterministic &&
+                a.find(e => e.isInstanceOf[AggregateExpression] ||
+                  e.isInstanceOf[PlanExpression[_]]).isEmpty
+              case _ => false
+            } => go(ch, conds, projects :+ pl)
+          case r: DataSourceV2ScanRelation => Some((Right(r), conds, projects))
+          case _ => None
+        }
+      }
     go(p, Nil, Nil).map { case (rel, conds0, projects) =>
       // inline the project chain: compose bottom-up so every collected
       // alias expands to an expression over the SCAN's attributes; exprIds

@@ -258,9 +258,11 @@ class JoinViewRewriteRule extends Rule[LogicalPlan] {
     }
     def attempt(vm: MaterializedJoin.ViewMeta,
         legDims: Map[Int, MaterializedJoin.DimMeta], raw0: DataFrame,
-        how: String): Option[LogicalPlan] =
+        how: String,
+        tail: Option[MaterializedJoin.Tail] = None): Option[LogicalPlan] =
       rewriteWith(targetsX, origOutput, vm, legDims, lStore, fact, legs,
-        extras.toSeq, lm.schema.fieldNames.toSeq, outer, semi, raw0, how)
+        extras.toSeq, lm.schema.fieldNames.toSeq, outer, semi, raw0, how,
+        tail)
 
     // ---- exact: every scanned snapshot equals its watermark ------------
     val exactHit = cands(_ == lm.version, _ == _).view.flatMap {
@@ -316,7 +318,8 @@ class JoinViewRewriteRule extends Rule[LogicalPlan] {
           val t = MaterializedJoin.storedPlusTail(lStore, vm, lm.version)
           if (t.isEmpty) dbg(s"tail: '${vm.name}' not tail-serveable " +
             "(drift/expired span/map column)")
-          t.flatMap(attempt(vm, legDims, _, " (tail union)"))
+          t.flatMap(tl =>
+            attempt(vm, legDims, tl.frame, " (tail union)", Some(tl)))
         }.headOption
     viaTail.orElse {
       if (budgetMs <= 0) None
@@ -346,13 +349,19 @@ class JoinViewRewriteRule extends Rule[LogicalPlan] {
 
   /** `raw0` is the serving source the caller picked: the view's DSv2
     * snapshot scan (exact / budget-stale serving) or the lazily-evaluated
-    * stored∪tail frame; `how` tags the log line. */
+    * stored∪tail frame; `how` tags the log line. `tail` (set with the
+    * stored∪tail source) pins a [[JoinViewRewrite.TailInfo]] tag on the
+    * frame's root so [[AggViewRewriteRule]] can compose a STACKED
+    * aggregate above the stale star: its peel stops at the tag and merges
+    * the same signed row delta onto the stacked view's stored partials —
+    * O(groups + changed keys) instead of O(view + tail). */
   private def rewriteWith(targets: Seq[(Expression, String)],
       origOutput: Seq[Attribute], vm: MaterializedJoin.ViewMeta,
       legDims: Map[Int, MaterializedJoin.DimMeta], lStore: TableStore,
       fact: Side, legs: Seq[Side], extras: Seq[Expression],
       lCols: Seq[String], outer: Boolean, semi: Boolean,
-      raw0: DataFrame, how: String): Option[LogicalPlan] = {
+      raw0: DataFrame, how: String,
+      tail: Option[MaterializedJoin.Tail]): Option[LogicalPlan] = {
     val res = conf.resolver
     // map any referenced attribute to a VIEW column name: fact columns
     // keep their names; projected dim columns too; a dim JOIN KEY maps to
@@ -409,10 +418,29 @@ class JoinViewRewriteRule extends Rule[LogicalPlan] {
       dbg(s"target does not map: $targets"); return None
     }
 
-    val raw = viewConds.flatten.foldLeft(raw0)((df, c) =>
+    // TAIL path: pin the serving contract on the frame's root. The splice
+    // below stays the ANALYZED plan (not nested-optimized): pushdown would
+    // relocate the filters and projections into the union's branches,
+    // burying the tag behind alias shapes the aggregate rule's peel cannot
+    // inline. The analyzed chain — Project(outCols, Filter*(tagged root))
+    // — is exactly what peelScan walks, so a stacked aggregate composes;
+    // when none matches, the row-level union executes as built (its
+    // internal frames carry their own pushed-down scans).
+    val raw0t = tail match {
+      case Some(t) =>
+        val lp = raw0.queryExecution.analyzed
+        lp.setTagValue(JoinViewRewrite.TailInfoTag, JoinViewRewrite.TailInfo(
+          MaterializedJoin.viewStore(lStore, vm.name), vm.viewVersion,
+          t.pre, t.post, viewConds.flatten))
+        DatasetBridge.ofRows(raw0.sparkSession, lp)
+      case None => raw0
+    }
+    val raw = viewConds.flatten.foldLeft(raw0t)((df, c) =>
       df.filter(ColumnBridge.column(c)))
     val rep: DataFrame = raw.select(outCols.flatten: _*)
-    val repPlan = rep.queryExecution.optimizedPlan
+    val repPlan =
+      if (tail.isDefined) rep.queryExecution.analyzed
+      else rep.queryExecution.optimizedPlan
     if (repPlan.output.size != origOutput.size ||
         repPlan.output.zip(origOutput).exists {
           case (n, o) => n.dataType != o.dataType
@@ -432,6 +460,24 @@ class JoinViewRewriteRule extends Rule[LogicalPlan] {
 }
 
 object JoinViewRewrite {
+  /** The serving contract a tail-union splice pins (as a TreeNodeTag) on
+    * its frame's root: the child subtree evaluates to the join view's
+    * content as of the CURRENT fact snapshot, equal to `stored snapshot
+    * `viewVersion` of `viewStore`, minus the rows of `pre`, plus the rows
+    * of `post`` — with `conds` (view-column predicates the splice applies
+    * as Filters ABOVE the tag) still to be honored. [[AggViewRewriteRule]]
+    * consumes the tag to serve a GROUP BY above a stale star from a
+    * stacked aggregate's stored partials merged with the same signed
+    * delta; `conds` rides along defensively (the splice's own Filters are
+    * peel-visible, and re-applying a predicate is idempotent). */
+  private[catalog] final case class TailInfo(viewStore: TableStore,
+      viewVersion: Long, pre: DataFrame, post: DataFrame,
+      conds: Seq[Expression])
+
+  private[catalog] val TailInfoTag =
+    new org.apache.spark.sql.catalyst.trees.TreeNodeTag[TailInfo](
+      "graftJoinTailInfo")
+
   /** A DataFrame over the join-view store as a DSv2 snapshot relation —
     * the SAME relation a catalog read of `` `fct$join_<name>` `` plans, so
     * every plan-level rule (the aggregate rewrite above all) treats the

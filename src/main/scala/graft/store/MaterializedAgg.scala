@@ -609,6 +609,19 @@ object MaterializedAgg {
       toV: Long): DataFrame = {
     require(vm.minMaxCols.isEmpty,
       "tail union cannot retract MIN/MAX extrema; refresh the view instead")
+    val (preF, postF) = base.changelogFrames(vm.baseVersion, toV)
+    storedPlusDelta(base, vm, preF, postF)
+  }
+
+  /** The stored partials merged lazily with the signed delta `postF ∖
+    * preF` of BASE-relation rows — the core of [[storedPlusTail]], also
+    * reached with an externally-computed row delta (the join rewrite's
+    * tail composition: pre/post are the net-changed fact PKs' stored and
+    * live view rows). MIN/MAX columns, if the view tracks any, are
+    * DROPPED from the result (extrema cannot retract) — the caller must
+    * not reference them. */
+  private[graft] def storedPlusDelta(base: TableStore, vm: ViewMeta,
+      preF: DataFrame, postF: DataFrame): DataFrame = {
     val st = aggStore(base, vm.name)
     val am = st.manifest(vm.viewVersion)
     val keys = vm.groupBy
@@ -616,7 +629,6 @@ object MaterializedAgg {
     val valueCols = sumCols.flatMap(c => Seq(sumCol(c), nnCol(c))) :+ "_cnt"
     val stored = st.readSnapshot(vm.viewVersion)
       .select((keys ++ valueCols).map(col): _*)
-    val (preF, postF) = base.changelogFrames(vm.baseVersion, toV)
     val needed = (keys ++ sumCols).distinct
     val signed = preF.select(needed.map(col): _*)
       .withColumn("_g_sign", lit(-1L))

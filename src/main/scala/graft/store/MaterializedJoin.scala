@@ -585,9 +585,19 @@ object MaterializedJoin {
     * maintenance cadence, [[graft.catalog.JoinViewRewriteRule]] declines
     * it). None = not serveable: span expired/unpinned, fact schema or
     * bucket-layout drift (the row delta cannot express a reshaped view),
-    * or a map-typed column (netting groups on the full row). */
+    * or a map-typed column (netting groups on the full row).
+    *
+    * The result carries the serveable `frame` plus the signed ROW DELTA
+    * behind it — `pre` = the net-changed PKs' stored view rows, `post` =
+    * their live re-joined versions — so a stacked aggregate above the
+    * splice can merge the same delta onto its stored partials
+    * ([[MaterializedAgg.storedPlusDelta]] via the rewrite composition)
+    * instead of re-aggregating the whole frame. */
+  private[graft] final case class Tail(frame: DataFrame, pre: DataFrame,
+      post: DataFrame)
+
   private[graft] def storedPlusTail(l: TableStore, vm: ViewMeta,
-      toL: Long): Option[DataFrame] = {
+      toL: Long): Option[Tail] = {
     val st = viewStore(l, vm.name)
     val vm0 = st.manifest(vm.viewVersion)
     val fromL = vm.lVersion
@@ -609,7 +619,7 @@ object MaterializedJoin {
     val have = l.existingVersions().toSet
     if ((fromL + 1 to toL).forall(v => have(v) && l.manifest(v).props
         .get(TableStore.ContentPreservingProp).contains("true")))
-      return Some(stored)
+      return Some(Tail(stored, stored.limit(0), stored.limit(0)))
     val pk = vm0.bucketKeys
     val lAll = lm.schema.fieldNames.toSeq
     val kL = nettedKeys(l, fromL, toL, lAll, pk)
@@ -620,8 +630,10 @@ object MaterializedJoin {
       vm.dims.zip(rs).map { case (d, r) =>
         (r.readSnapshot(d.rVersion), d.lKeys, d.rKeys, d.rCols) },
       vm.joinType, lAll)
-    Some(MaterializedAgg.nsJoin(stored, kL, pk, "left_anti")
-      .unionByName(newRows.select(vm0.schema.fieldNames.map(col): _*)))
+    val post = newRows.select(vm0.schema.fieldNames.map(col): _*)
+    Some(Tail(
+      MaterializedAgg.nsJoin(stored, kL, pk, "left_anti").unionByName(post),
+      MaterializedAgg.nsJoin(stored, kL, pk, "left_semi"), post))
   }
 
   /** The materialized join, current as of the last refresh. */
