@@ -213,19 +213,40 @@ class AggViewRewriteRule extends Rule[LogicalPlan] {
     val rescanFrac = conf.getConfString(
       "spark.graft.agg.refresh.rescanFraction", "0.5").toDouble
     def spanCheap(vm: MaterializedAgg.ViewMeta): Boolean = {
-      val (a, r) = store.changelogFileDiff(vm.baseVersion, m.version)
-      math.max(a.size, r.size).toDouble /
+      // memoized span probes (immutable per span — VERDICT r10 next #7);
+      // a content-preserving span nets to zero in the tail replay, so it
+      // prices as free regardless of its file diff
+      if (TableStore.contentPreservingSpan(store, vm.baseVersion,
+          m.version)) return true
+      val (a, r) = TableStore.changelogFileDiffSizes(store, vm.baseVersion,
+        m.version)
+      math.max(a, r).toDouble /
         math.max(1L, m.nFiles).toDouble < rescanFrac
     }
+    // a tracked column renamed/dropped in the stale span would make the
+    // tail's changelog frames (aligned to the NEW schema) unprojectable —
+    // decline those views instead of throwing inside the optimizer
+    // (ADVICE r10): every group key, summed column, and distinct-companion
+    // key must still exist in the CURRENT base schema
+    val baseCols = m.schema.fieldNames.toSet
+    def tailProjectable(vm: MaterializedAgg.ViewMeta): Boolean =
+      (vm.groupBy ++ vm.sumCols ++ vm.distinctCols).forall(baseCols)
     val viaTail =
       if (!tailOn) None
-      else stale.filter(vm => vm.minMaxCols.isEmpty && spanCheap(vm)).view
+      else stale.filter(vm => vm.minMaxCols.isEmpty &&
+          tailProjectable(vm) && spanCheap(vm)).view
         .flatMap(vm => rewriteWith(agg, groupingX, outputsX, conds, store,
           vm, groupRefs, condRefs, aggExprs,
           AggViewRewrite.ServeTail(m.version)))
         .headOption
     viaTail.orElse {
-      if (budgetMs <= 0) None
+      // the budget path serves DIFFERENT content (the view's watermark
+      // snapshot) — sound only against the store's live head. A pinned
+      // scan (`VERSION AS OF`) asks for exactly that snapshot's content;
+      // serving the watermark instead would silently answer a different
+      // version (ADVICE r10). The tail path above is exempt: it computes
+      // the scanned snapshot's content exactly.
+      if (budgetMs <= 0 || store.currentVersion() != m.version) None
       else {
         val now = System.currentTimeMillis()
         stale.filter { vm =>

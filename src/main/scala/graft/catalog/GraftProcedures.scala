@@ -418,8 +418,14 @@ object GraftProcedures {
       def groups(i: Int): Seq[Seq[String]] =
         input.getUTF8String(i).toString.split(";", -1).toSeq
           .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+      // dim_cols = '' means "no projected columns for ANY dim" — only THAT
+      // shape pads out; a caller who wrote fewer ';'-groups than dims
+      // (e.g. forgot the ';' between two dims' columns) must fail loudly,
+      // not silently materialize a star missing one dim's columns
+      // (ADVICE r10)
       def padded(g: Seq[Seq[String]]): Seq[Seq[String]] =
-        g.padTo(dimTables.size, Seq.empty[String])
+        if (g.forall(_.isEmpty)) g.padTo(dimTables.size, Seq.empty[String])
+        else g
       val (fks, dks, dcs) = (groups(3), groups(4), padded(groups(5)))
       require(fks.size == dimTables.size && dks.size == dimTables.size &&
         dcs.size == dimTables.size,

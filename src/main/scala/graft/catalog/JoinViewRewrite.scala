@@ -53,10 +53,12 @@ import graft.store.{MaterializedJoin, TableStore}
   * `spark.graft.agg.rewrite` kill switch.
   *
   * FRESHNESS-TOLERANT serving (same knobs as the aggregate rule): when no
-  * view is exact, `spark.graft.agg.rewrite.tailUnion` serves a fact-stale
-  * view EXACTLY as stored-rows-minus-changed-PKs ∪ re-joined live tail
-  * ([[MaterializedJoin.storedPlusTail]] — dims must sit at their
-  * materialized snapshots; dim churn rides the cadence), and
+  * view is exact, `spark.graft.agg.rewrite.tailUnion` serves a stale view
+  * EXACTLY as stored-rows-minus-changed-output-rows ∪ affected rows
+  * re-joined at the scanned snapshots ([[MaterializedJoin.storedPlusTail]]
+  * — fact churn rides the changelog tail; dim churn [r11] rides the
+  * covering index at the LOCKSTEP watermark with the dim read
+  * bucket-pruned; unsound shapes decline), and
   * `spark.graft.agg.rewrite.maxStalenessMs` serves the watermark-pair
   * snapshot of the whole star within an explicit budget — that splice is
   * the same pure DSv2 scan as exact serving, so a stacked aggregate still
@@ -271,14 +273,15 @@ class JoinViewRewriteRule extends Rule[LogicalPlan] {
     }.headOption
     if (exactHit.isDefined) return exactHit
     // ---- FRESHNESS-TOLERANT serving (mirrors AggViewRewriteRule) ------
-    // 1. tailUnion: EXACT at any fact staleness — the view's stored rows
-    //    with the net-changed PKs swapped for their live re-joined
-    //    versions, O(changed files) at query time. Fact-side only: dims
-    //    must sit at their scanned (= materialized) snapshots — dim churn
-    //    rides the maintenance cadence, a read path cannot refresh the
-    //    covering index. The spliced plan is a union, not a bare scan, so
-    //    the aggregate rewrite does NOT compose above it (the query pays
-    //    O(view + tail) for its aggregation — still never a base re-join).
+    // 1. tailUnion: EXACT at any staleness the delta can replay — stored
+    //    rows minus changed-output rows, union the affected fact rows
+    //    re-joined at the SCANNED snapshots, O(changed files + touched
+    //    buckets) at query time. Fact churn rides the changelog tail;
+    //    dim churn [r11] sources its affected fact rows from the dim's
+    //    covering index at the LOCKSTEP watermark (never refreshed by a
+    //    read path — off-watermark indexes decline). The spliced plan is
+    //    a union, not a bare scan, so the aggregate rewrite composes
+    //    through the TailInfo delta contract rather than structurally.
     // 2. maxStalenessMs: serve the view AT ITS WATERMARK PAIR within an
     //    explicit budget — a consistent older snapshot of the whole star.
     //    The splice is the same pure DSv2 scan as exact serving, so a
@@ -291,38 +294,62 @@ class JoinViewRewriteRule extends Rule[LogicalPlan] {
     if (!tailOn && budgetMs <= 0) return None
     val rescanFrac = conf.getConfString(
       "spark.graft.agg.refresh.rescanFraction", "0.5").toDouble
-    def spanCheap(fromL: Long): Boolean = {
+    def spanCheap(st: TableStore, fromV: Long, toM: TableStore.Manifest)
+        : Boolean = {
       // an all-content-preserving span (compaction) diffs to ~all files
       // but nets to zero — storedPlusTail serves it as the stored rows
-      // outright, so price it as free (the refresh router's rule)
-      val have = lStore.existingVersions().toSet
-      if ((fromL + 1 to lm.version).forall(v => have(v) &&
-          lStore.manifest(v).props
-            .get(TableStore.ContentPreservingProp).contains("true")))
+      // outright, so price it as free (the refresh router's rule). Both
+      // probes are memoized per span (immutable) so repeated stale
+      // planning does no O(span) manifest walking (VERDICT r10 next #7).
+      if (fromV == toM.version) return true
+      if (TableStore.contentPreservingSpan(st, fromV, toM.version))
         return true
-      val (a, r) = lStore.changelogFileDiff(fromL, lm.version)
-      math.max(a.size, r.size).toDouble /
-        math.max(1L, lm.nFiles).toDouble < rescanFrac
+      val (a, r) = TableStore.changelogFileDiffSizes(st, fromV, toM.version)
+      math.max(a, r).toDouble /
+        math.max(1L, toM.nFiles).toDouble < rescanFrac
     }
+    // tail candidacy: fact at-or-behind the scanned snapshot, every dim
+    // at-or-behind ITS scanned snapshot (exact serving above already took
+    // the all-equal case) — dim churn serves through the lockstep
+    // covering index, storedPlusTail declines the unsound shapes
     val viaTail =
       if (!tailOn) None
-      else cands(v => v < lm.version &&
-          lStore.existingVersions().contains(v), _ == _).view
-        .filter { case (vm, _) =>
-          val ok = spanCheap(vm.lVersion)
-          if (!ok) dbg(s"tail: span ${vm.lVersion}->${lm.version} of " +
-            s"'${vm.name}' too churned (>= rescanFraction)")
-          ok
+      else cands(v => v <= lm.version &&
+          lStore.existingVersions().contains(v),
+          (rv, cur) => rv <= cur).view
+        .filter { case (vm, legDims) =>
+          val cheap = spanCheap(lStore, vm.lVersion, lm) &&
+            legDims.forall { case (i, d) =>
+              spanCheap(legs(i).table.graftStore, d.rVersion,
+                legs(i).table.graftManifest)
+            }
+          if (!cheap) dbg(s"tail: a span of '${vm.name}' too churned " +
+            "(>= rescanFraction)")
+          cheap
         }
         .flatMap { case (vm, legDims) =>
-          val t = MaterializedJoin.storedPlusTail(lStore, vm, lm.version)
+          // scanned version of each dim, aligned to vm.dims order (the
+          // same DimMeta instances assign() placed into legDims)
+          val toRs = vm.dims.map(d => legDims.collectFirst {
+            case (i, d2) if d2 eq d => legs(i).table.graftManifest.version
+          }.get)
+          val t = MaterializedJoin.storedPlusTail(lStore, vm, lm.version,
+            toRs)
           if (t.isEmpty) dbg(s"tail: '${vm.name}' not tail-serveable " +
-            "(drift/expired span/map column)")
+            "(drift/expired span/map column/off-watermark index)")
           t.flatMap(tl =>
             attempt(vm, legDims, tl.frame, " (tail union)", Some(tl)))
         }.headOption
     viaTail.orElse {
-      if (budgetMs <= 0) None
+      // budget serving answers the view's WATERMARK-PAIR content — a
+      // different snapshot than the one scanned. Sound only when every
+      // scanned side is its store's live head: a pinned/time-travel scan
+      // must be answered exactly (ADVICE r10); the tail path above is,
+      // so it needs no such gate.
+      if (budgetMs <= 0 ||
+          lStore.currentVersion() != lm.version ||
+          legs.exists(s => s.table.graftStore.currentVersion() !=
+            s.table.graftManifest.version)) None
       else {
         val now = System.currentTimeMillis()
         // staleness of one side = age of its first surviving commit past
@@ -425,10 +452,12 @@ class JoinViewRewriteRule extends Rule[LogicalPlan] {
     // inline. The analyzed chain — Project(outCols, Filter*(tagged root))
     // — is exactly what peelScan walks, so a stacked aggregate composes;
     // when none matches, the row-level union executes as built (its
-    // internal frames carry their own pushed-down scans).
+    // internal frames carry their own pushed-down scans). The analyzed
+    // plan is SANITIZED first: analysis-only nodes must not ride a splice
+    // made after their lowering batches already ran.
     val raw0t = tail match {
       case Some(t) =>
-        val lp = raw0.queryExecution.analyzed
+        val lp = JoinViewRewrite.sanitizeAnalyzed(raw0.queryExecution.analyzed)
         lp.setTagValue(JoinViewRewrite.TailInfoTag, JoinViewRewrite.TailInfo(
           MaterializedJoin.viewStore(lStore, vm.name), vm.viewVersion,
           t.pre, t.post, viewConds.flatten))
@@ -477,6 +506,22 @@ object JoinViewRewrite {
   private[catalog] val TailInfoTag =
     new org.apache.spark.sql.catalyst.trees.TreeNodeTag[TailInfo](
       "graftJoinTailInfo")
+
+  /** A plan spliced by a rule in `spark.experimental.extraOptimizations`
+    * (the LAST optimizer batch) never re-enters the early lowering rules —
+    * an ANALYZED subtree carrying analysis-only nodes reaches physical
+    * planning and crashes (`Deduplicate operator for non streaming data
+    * source should have been replaced by aggregate`, the r10
+    * `sql_join_tail` regression; `ResolvedHint` from the eq-mask reader's
+    * `broadcast()` fails the same way). Run Spark's OWN lowering rules over
+    * the analyzed subtree before splicing: hints fold into their Joins'
+    * JoinHint (keeping the broadcast), Deduplicate/Distinct lower to
+    * Aggregates with output exprIds preserved. */
+  private[catalog] def sanitizeAnalyzed(p: LogicalPlan): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.optimizer.{EliminateResolvedHint, ReplaceDeduplicateWithAggregate, ReplaceDistinctWithAggregate}
+    ReplaceDeduplicateWithAggregate(
+      ReplaceDistinctWithAggregate(EliminateResolvedHint(p)))
+  }
 
   /** A DataFrame over the join-view store as a DSv2 snapshot relation —
     * the SAME relation a catalog read of `` `fct$join_<name>` `` plans, so

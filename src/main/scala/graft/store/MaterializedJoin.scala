@@ -140,11 +140,25 @@ object MaterializedJoin {
       val p = st.manifest(v).props
       def csv(k: String) = p.getOrElse(k, "").split(',')
         .filter(_.nonEmpty).toSeq
-      val n = p.getOrElse(NDimsProp, "1").toInt
-      val dims = (0 until n).map { i =>
-        DimMeta(p(rRootProp(i)), csv(lKeysProp(i)), csv(rKeysProp(i)),
-          csv(rColsProp(i)), p(rVersionProp(i)).toLong, p.get(idxNameProp(i)))
-      }
+      // persisted-format back-compat (ADVICE r10): single-dim views created
+      // before the multi-dim release stored UN-SUFFIXED props
+      // (`graft.join.r-root`, not `…r-root.0`) — read them as dim 0 rather
+      // than failing every query/refresh/status over a pre-existing view
+      val legacy = !p.contains(NDimsProp) && !p.contains(rRootProp(0)) &&
+        p.contains("graft.join.r-root")
+      val dims =
+        if (legacy)
+          Seq(DimMeta(p("graft.join.r-root"), csv("graft.join.l-keys"),
+            csv("graft.join.r-keys"), csv("graft.join.r-cols"),
+            p("graft.join.r-version").toLong, p.get("graft.join.l-index")))
+        else {
+          val n = p.getOrElse(NDimsProp, "1").toInt
+          (0 until n).map { i =>
+            DimMeta(p(rRootProp(i)), csv(lKeysProp(i)), csv(rKeysProp(i)),
+              csv(rColsProp(i)), p(rVersionProp(i)).toLong,
+              p.get(idxNameProp(i)))
+          }
+        }
       Some(ViewMeta(name, dims, p(TypeProp), p(LVersionProp).toLong, v))
     }
   }
@@ -289,6 +303,20 @@ object MaterializedJoin {
     val factDf = l.readSnapshot(lv).persist()
     val createdIdx = scala.collection.mutable.ArrayBuffer.empty[String]
     try {
+      // the FACT-side twin of the dim contract above (r11): the view is
+      // maintained by EQUALITY upserts on the fact keys, and the tail
+      // serving dedupes affected rows by them — a dup-keyed fact would
+      // silently collapse to one row per key on the first row-level
+      // refresh (commitBucketed does not dedupe, so the create itself
+      // would diverge from every later maintenance pass). One distributed
+      // group-count over the already-persisted frame, only at create.
+      val dupF = factDf.groupBy(lm.bucketKeys.map(col): _*)
+        .agg(count(lit(1)).as("_g_dup_n")).filter(col("_g_dup_n") > 1L)
+        .limit(1).count()
+      require(dupF == 0L,
+        s"fact ${l.root} has duplicate rows for key ${lm.bucketKeys}; " +
+          "join views require one live row per fact key (row-level " +
+          "maintenance is an equality upsert) — dedupe the fact first")
       dims.zipWithIndex.foreach { case (d, i) =>
         if (needIdx(i)) {
           val nm = jIdxName(name, i)
@@ -349,7 +377,12 @@ object MaterializedJoin {
   /** PKs (or key values) whose rows CHANGED in the span — per-row multiset
     * netting over the un-joined changelog halves projected to `cols`, so
     * content-preserving rewrites cancel; the output is the distinct
-    * `keyCols` of net-changed rows. */
+    * `keyCols` of net-changed rows. The final dedup is a groupBy, NOT
+    * `.distinct()`: this frame is spliced ANALYZED (un-optimized) into
+    * query plans by the tail-union rewrite, and a `Deduplicate` node
+    * there never re-enters `ReplaceDeduplicateWithAggregate` — it would
+    * reach physical planning and crash (the r10 `sql_join_tail`
+    * regression); an `Aggregate` is its already-lowered form. */
   private def nettedKeys(st: TableStore, fromV: Long, toV: Long,
       cols: Seq[String], keyCols: Seq[String]): DataFrame = {
     val (pre, post) = st.changelogFrames(fromV, toV)
@@ -358,7 +391,8 @@ object MaterializedJoin {
         .withColumn("_g_sign", lit(1L)))
       .groupBy(cols.map(col): _*).agg(sum(col("_g_sign")).as("_net"))
       .filter(col("_net") =!= 0L)
-      .select(keyCols.map(col): _*).distinct()
+      .groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("_g_kn"))
+      .drop("_g_kn")
   }
 
   def refresh(l: TableStore, name: String): Long = {
@@ -383,9 +417,35 @@ object MaterializedJoin {
     val joinType = meta.joinType
     val lm = l.manifest(toL)
     val pk = vm0.bucketKeys
-    def newProps = vm0.props + (LVersionProp -> toL.toString) ++
-      toRs.zipWithIndex.map { case (v, i) => rVersionProp(i) -> v.toString }
+    // writes the FULL suffixed dim-prop set (not just the watermarks):
+    // a refresh of a legacy un-suffixed-props view migrates it in place
+    def newProps = (vm0.props -- Seq("graft.join.r-root",
+        "graft.join.l-keys", "graft.join.r-keys", "graft.join.r-cols",
+        "graft.join.r-version", "graft.join.l-index")) +
+      (LVersionProp -> toL.toString) +
+      (NDimsProp -> meta.dims.size.toString) ++
+      meta.dims.zipWithIndex.flatMap { case (d, i) =>
+        Map(rRootProp(i) -> d.rRoot,
+          lKeysProp(i) -> d.lKeys.mkString(","),
+          rKeysProp(i) -> d.rKeys.mkString(","),
+          rColsProp(i) -> d.rCols.mkString(","),
+          rVersionProp(i) -> toRs(i).toString) ++
+          d.idx.map(idxNameProp(i) -> _)
+      }
     def finish(): Long = {
+      // LOCKSTEP invariant (r11): every covering index ends the refresh
+      // AT the view's new fact watermark — the soundness condition for
+      // dim-churn tail serving ([[storedPlusTail]]: index rows are only
+      // constant across the stale span when the index sits at the span's
+      // start). The dim-delta route refreshes indexes it reads anyway;
+      // fact-only, watermark-only, and recompute routes previously left
+      // them behind. The replay is O(net changed rows) and a
+      // content-preserving span nets to a watermark-only advance. Failure
+      // is non-fatal: serving just declines an off-watermark index.
+      meta.dims.foreach(_.idx.foreach { idx =>
+        try { SecondaryIndex.refresh(l, idx); () }
+        catch { case _: Exception => () }
+      })
       movePin(l, s"join-pin-$name", toL)
       rs.zipWithIndex.foreach { case (r, i) =>
         movePin(r, rPinPrefix(l.root, name, i), toRs(i))
@@ -570,34 +630,49 @@ object MaterializedJoin {
 
   /** FRESHNESS-TOLERANT join serving (the join-side twin of
     * [[MaterializedAgg.storedPlusTail]]): the view content AS OF fact
-    * snapshot `toL`, computed lazily at query time with NOTHING committed
-    * — `stored rows whose PK did not net-change in (watermark, toL]` ∪
-    * `the net-changed PKs' live rows re-joined against every dim at its
-    * MATERIALIZED version`. Exact at any fact staleness because the live
-    * version of every net-changed PK is, by construction, in the span's
-    * POST changelog frame (added files read under toL's delete view) —
-    * so the tail costs O(changed files), never a fact pass, and needs no
-    * index refresh (the refresh path's dim-side machinery COMMITS, which
-    * a read path must not).
+    * snapshot `toL` and dim snapshots `toRs`, computed lazily at query
+    * time with NOTHING committed — stored rows whose output is provably
+    * unchanged, ∪ the affected fact rows re-joined against every dim at
+    * its SCANNED snapshot. A stored row's output changed iff its fact
+    * content net-changed in `(lVersion, toL]` (per-row multiset netting,
+    * so compaction carry-overs cancel) or a MOVED dim's projected content
+    * for one of its join-key values net-changed in `(rVersion, toR]`.
+    * Affected rows are sourced without any fact pass or commit:
+    *  - fact-churned PKs' live rows ride the span's POST changelog frame
+    *    (added files under toL's delete view — any rewritten row's live
+    *    version is in an added file by the commit contract);
+    *  - dim-churned keys' fact rows come from that dim's ALL-projection
+    *    covering index, READ ONLY at the changed keys' index buckets —
+    *    sound exactly when the index watermark EQUALS the view's fact
+    *    watermark (the lockstep-cadence invariant: both advance together;
+    *    rows netted over the span are excluded and served from the
+    *    changelog instead, so every index-sourced row's content is
+    *    constant across the span). An index at any OTHER watermark
+    *    declines — intermediate-value rows would be unsound;
+    *  - when a dim's join key IS the fact PK, the fact's own buckets at
+    *    `toL` serve the lookup directly (authoritative, no watermark).
+    * The re-join reads every dim BUCKET-PRUNED to the affected rows' key
+    * values (the refresh path's economy on the read path — a
+    * non-broadcastable dim costs O(touched buckets), not O(dim));
+    * `spark.graft.agg.rewrite.tail.pruneDims=false` disables the
+    * plan-time pruning job.
     *
-    * Scope: the live-feed case — the FACT advanced, every dim sits at its
-    * materialized version (the caller gates on that; dim churn rides the
-    * maintenance cadence, [[graft.catalog.JoinViewRewriteRule]] declines
-    * it). None = not serveable: span expired/unpinned, fact schema or
-    * bucket-layout drift (the row delta cannot express a reshaped view),
-    * or a map-typed column (netting groups on the full row).
+    * None = not serveable: span expired/unpunned, fact schema or
+    * bucket-layout drift, a re-keyed or column-dropped dim, a map-typed
+    * column (netting groups on the full row), or a covering index off the
+    * lockstep watermark.
     *
     * The result carries the serveable `frame` plus the signed ROW DELTA
-    * behind it — `pre` = the net-changed PKs' stored view rows, `post` =
-    * their live re-joined versions — so a stacked aggregate above the
-    * splice can merge the same delta onto its stored partials
+    * behind it — `pre` = the removed stored rows, `post` = the re-joined
+    * affected rows — so a stacked aggregate above the splice can merge
+    * the same delta onto its stored partials
     * ([[MaterializedAgg.storedPlusDelta]] via the rewrite composition)
     * instead of re-aggregating the whole frame. */
   private[graft] final case class Tail(frame: DataFrame, pre: DataFrame,
       post: DataFrame)
 
   private[graft] def storedPlusTail(l: TableStore, vm: ViewMeta,
-      toL: Long): Option[Tail] = {
+      toL: Long, toRs: Seq[Long]): Option[Tail] = {
     val st = viewStore(l, vm.name)
     val vm0 = st.manifest(vm.viewVersion)
     val fromL = vm.lVersion
@@ -610,30 +685,125 @@ object MaterializedJoin {
         .exists(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType]))
       return None
     val rs = vm.dims.map(d => new TableStore(l.spark, d.rRoot))
-    if (rs.zip(vm.dims).exists { case (r, d) =>
-        !r.existingVersions().contains(d.rVersion) }) return None
+    if (vm.dims.zip(rs).zip(toRs).exists { case ((d, r), toR) =>
+        !r.existingVersions().contains(d.rVersion) ||
+        toR < d.rVersion || !r.existingVersions().contains(toR) })
+      return None
+    // a dim re-keyed or stripped of a projected column in its span cannot
+    // replay (and the re-join below needs the keys + columns at toR)
+    if (vm.dims.zip(rs).zip(toRs).exists { case ((d, r), toR) =>
+        val rm = r.manifest(toR)
+        rm.bucketKeys != d.rKeys ||
+        !d.rCols.forall(rm.schema.fieldNames.contains) })
+      return None
     val stored = st.readSnapshot(vm.viewVersion)
     // a span of only content-preserving commits (compaction, rebucket of
-    // OTHER tables' spans never lands here) has identical content — the
-    // stored rows ARE the current rows
-    val have = l.existingVersions().toSet
-    if ((fromL + 1 to toL).forall(v => have(v) && l.manifest(v).props
-        .get(TableStore.ContentPreservingProp).contains("true")))
+    // OTHER tables' spans never lands here) has identical content;
+    // memoized — this runs at PLAN time on every stale query
+    val factMoved = toL != fromL &&
+      !TableStore.contentPreservingSpan(l, fromL, toL)
+    val dimMoved = vm.dims.zip(rs).zip(toRs).map { case ((d, r), toR) =>
+      toR != d.rVersion &&
+        !TableStore.contentPreservingSpan(r, d.rVersion, toR) }
+    if (!factMoved && !dimMoved.exists(identity))
       return Some(Tail(stored, stored.limit(0), stored.limit(0)))
     val pk = vm0.bucketKeys
     val lAll = lm.schema.fieldNames.toSeq
-    val kL = nettedKeys(l, fromL, toL, lAll, pk)
-    val (_, postF) = l.changelogFrames(fromL, toL)
-    val lAff = MaterializedAgg.nsJoin(postF.select(lAll.map(col): _*), kL,
-      pk, "left_semi")
-    val newRows = joined(lAff,
-      vm.dims.zip(rs).map { case (d, r) =>
-        (r.readSnapshot(d.rVersion), d.lKeys, d.rKeys, d.rCols) },
-      vm.joinType, lAll)
+    val spark = l.spark
+    val pruneDims = spark.conf
+      .getOption("spark.graft.agg.rewrite.tail.pruneDims")
+      .forall(_.toBoolean)
+    // ---- deltas: fact-side netted PKs, per-dim netted join keys -------
+    val kL: Option[DataFrame] =
+      if (!factMoved) None else Some(nettedKeys(l, fromL, toL, lAll, pk))
+    val dks: Seq[Option[DataFrame]] =
+      vm.dims.zip(rs).zip(toRs).zipWithIndex.map {
+        case (((d, r), toR), i) =>
+          if (!dimMoved(i)) None
+          else {
+            val dk0 = nettedKeys(r, d.rVersion, toR,
+              (d.rKeys ++ d.rCols).distinct, d.rKeys)
+            Some(d.rKeys.zip(d.lKeys).foldLeft(dk0) {
+              case (df, (rk, lk)) => df.withColumnRenamed(rk, lk)
+            })
+          }
+      }
+    def collectBuckets(keysDf: DataFrame, cols: Seq[String],
+        n: Int): Seq[Long] =
+      keysDf.select(TableStore.bucketExpr(cols, n).as("_g_b"))
+        .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    // ---- affected fact rows, all evaluating at snapshot toL -----------
+    val factTail: Option[DataFrame] = kL.map { k =>
+      val (_, postF) = l.changelogFrames(fromL, toL)
+      MaterializedAgg.nsJoin(postF.select(lAll.map(col): _*), k, pk,
+        "left_semi")
+    }
+    val dimAff: Seq[DataFrame] = vm.dims.zipWithIndex.flatMap {
+      case (d, i) => dks(i).map { dk =>
+        d.idx match {
+          case None => // join key IS the fact PK: the fact itself prunes
+            val buckets = collectBuckets(dk, d.lKeys, lm.numBuckets)
+            MaterializedAgg.nsJoin(l.readBuckets(buckets, toL), dk,
+              d.lKeys, "left_semi")
+          case Some(idx) =>
+            if (!SecondaryIndex.list(l).contains(idx)) return None
+            // lockstep-watermark invariant (see scaladoc): anything else
+            // would serve intermediate row versions
+            if (SecondaryIndex.baseWatermark(l, idx) != fromL) return None
+            val ist = SecondaryIndex.indexStore(l, idx)
+            val im = ist.manifest(ist.currentVersion())
+            if (!lAll.forall(im.schema.fieldNames.contains)) return None
+            val buckets = collectBuckets(dk, d.lKeys, im.numBuckets)
+            val rows0 = MaterializedAgg.nsJoin(
+              ist.readBuckets(buckets).select(lAll.map(col): _*), dk,
+              d.lKeys, "left_semi")
+            // span-netted PKs' fromL-era index rows are stale — their
+            // live rows ride the changelog tail instead
+            kL.map(k => MaterializedAgg.nsJoin(rows0, k, pk, "left_anti"))
+              .getOrElse(rows0)
+        }
+      }
+    }
+    // a row can be affected through several routes; all copies carry its
+    // content at toL (changelog = live, index = constant across the span,
+    // fact read = authoritative), so the PK dedup picks an arbitrary one
+    val lAff = (factTail.toSeq ++ dimAff).reduce(_ unionByName _)
+      .dropDuplicates(pk)
+    // ---- serve = stored minus changed-output rows, union re-joined ----
+    val movedDks = dks.zipWithIndex.collect { case (Some(dk), i) =>
+      (vm.dims(i), dk) }
+    def minusChanged(df: DataFrame, how: String): DataFrame = {
+      val byPk = kL.map(k => MaterializedAgg.nsJoin(df, k, pk, how))
+        .getOrElse(if (how == "left_anti") df else df.limit(0))
+      if (how == "left_anti")
+        movedDks.foldLeft(byPk) { case (acc, (d, dk)) =>
+          MaterializedAgg.nsJoin(acc, dk, d.lKeys, "left_anti") }
+      else // union of the semi-matches, deduped
+        movedDks.foldLeft(byPk) { case (acc, (d, dk)) =>
+          acc.unionByName(
+            MaterializedAgg.nsJoin(df, dk, d.lKeys, "left_semi"))
+        }.dropDuplicates(pk)
+    }
+    val dimReads = vm.dims.zip(rs).zip(toRs).map { case ((d, r), toR) =>
+      val rm = r.manifest(toR)
+      val rDf =
+        if (!pruneDims) r.readSnapshot(toR)
+        else {
+          // the read-path twin of refresh's bucket pruning: only the dim
+          // buckets the affected rows' key values hash into are read —
+          // one plan-time job over O(changed files + touched index
+          // buckets), bounded output (≤ numBuckets ids)
+          val buckets = collectBuckets(lAff, d.lKeys, rm.numBuckets)
+          if (buckets.size >= rm.numBuckets) r.readSnapshot(toR)
+          else r.readBuckets(buckets, toR)
+        }
+      (rDf, d.lKeys, d.rKeys, d.rCols)
+    }
+    val newRows = joined(lAff, dimReads, vm.joinType, lAll)
     val post = newRows.select(vm0.schema.fieldNames.map(col): _*)
     Some(Tail(
-      MaterializedAgg.nsJoin(stored, kL, pk, "left_anti").unionByName(post),
-      MaterializedAgg.nsJoin(stored, kL, pk, "left_semi"), post))
+      minusChanged(stored, "left_anti").unionByName(post),
+      minusChanged(stored, "left_semi"), post))
   }
 
   /** The materialized join, current as of the last refresh. */

@@ -107,8 +107,15 @@ class TableStore(val spark: SparkSession, val root: String,
   /** Latest committed snapshot id, or -1 for an empty table. */
   def currentVersion(): Long = existingVersions().foldLeft(-1L)(math.max)
 
-  def manifest(version: Long): Manifest =
+  def manifest(version: Long): Manifest = {
+    TableStore.manifestLoads.incrementAndGet()
     Manifest.fromJson(readSmallFile(new Path(manifestDir, s"v$version.json")))
+  }
+
+  /** Identity for process-wide span memos: a branch store's numbering is
+    * its own. */
+  private[graft] def memoKey: String =
+    root + branch.map("#" + _).getOrElse("")
 
   // ------------------------------------------------- manifest tier plumbing
 
@@ -3588,6 +3595,58 @@ object TableStore {
   private[graft] val ContentPreservingProp = "graft.commit.content-preserving"
   private[graft] val ContentPreserving: Map[String, String] =
     Map(ContentPreservingProp -> "true")
+
+  // ---------------------------------------------- plan-time span memos
+  // The freshness-tolerant rewrites price every candidate span BEFORE
+  // reading any data: a content-preserving walk (one manifest load per
+  // span version) and a changelog file diff (manifest loads + a small
+  // job under DV/eq deltas) PER PLANNING ATTEMPT — O(span) driver work
+  // on every stale query (VERDICT r10 next #7). Both facts are IMMUTABLE
+  // for a committed (store, from, to) triple: manifests are write-once
+  // (CAS commits never overwrite) and vacuum only deletes them, so a
+  // missing manifest stays missing. Memoized process-wide, bounded by
+  // wholesale clear past 4096 metadata-sized entries.
+  private val cpSpanMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long), java.lang.Boolean]
+  private val diffSizeMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long), (Int, Int)]
+
+  /** Manifest-load counter — test instrumentation for the memo contract
+    * (repeated stale planning must not re-walk span manifests). */
+  private[graft] val manifestLoads =
+    new java.util.concurrent.atomic.AtomicLong
+
+  /** Is every commit in `(a, b]` marked content-preserving (compaction /
+    * z-order / purge / rebucket)? Such spans have identical row content,
+    * so tails serve the stored rows and refreshes advance watermarks
+    * only. Memoized (immutable per span). */
+  private[graft] def contentPreservingSpan(st: TableStore, a: Long,
+      b: Long): Boolean = {
+    if (a >= b) return true
+    val key = (st.memoKey, a, b)
+    val c = cpSpanMemo.get(key)
+    if (c != null) return c.booleanValue
+    val have = st.existingVersions().toSet
+    val res = (a + 1 to b).forall(v => have(v) && st.manifest(v).props
+      .get(ContentPreservingProp).contains("true"))
+    if (cpSpanMemo.size > 4096) cpSpanMemo.clear()
+    cpSpanMemo.put(key, res)
+    res
+  }
+
+  /** (added, removed) file COUNTS of the span's changelog diff — the
+    * span-pricing input, memoized (immutable per span). */
+  private[graft] def changelogFileDiffSizes(st: TableStore, a: Long,
+      b: Long): (Int, Int) = {
+    val key = (st.memoKey, a, b)
+    val c = diffSizeMemo.get(key)
+    if (c != null) return c
+    val (ad, rm) = st.changelogFileDiff(a, b)
+    val res = (ad.size, rm.size)
+    if (diffSizeMemo.size > 4096) diffSizeMemo.clear()
+    diffSizeMemo.put(key, res)
+    res
+  }
 
   /** A named snapshot pointer (tag): `refs/<name>.json` under the table
     * root. Immutable once created; existence pins the target snapshot

@@ -22,33 +22,38 @@ object BenchHeavy {
     "join_multi_q3", "join_multi_q5", "join_multi_q10", "text_chunk",
     "pipeline_decontaminate", "sample_stratified")
 
-  /** Round-9 readings (BENCH_HEAVY_r9.json, full coverage — the r9 verdict
-    * asked the r10 artifact to diff EVERY r9 probe, next #7): the baseline
-    * this round's artifact ships so regressions diff mechanically. Probes
-    * new in r10 have no baseline entry. */
-  private val R9Baseline: Map[String, Double] = Map(
-    "cdc_apply" -> 1.234, "dedup_fuzzy_minhash" -> 2.065,
-    "dedup_minhash_sql" -> 1.825, "dedup_ngram_jaccard" -> 3.076,
-    "dedup_embedding" -> 1.116, "dedup_clusters" -> 4.712,
-    "join_multi_q3" -> 0.828, "join_multi_q5" -> 1.493,
-    "join_multi_q10" -> 0.901, "text_chunk" -> 0.232,
-    "pipeline_decontaminate" -> 0.432, "sample_stratified" -> 0.186,
-    "commit_bucketed" -> 5.19, "count_bytestock" -> 0.445,
-    "delete_mor" -> 1.253, "count_dv" -> 0.504, "upsert_mor" -> 3.215,
-    "count_dv2" -> 0.575, "purge_deletes" -> 5.814, "count_purged" -> 0.288,
-    "gsi_create" -> 4.26, "upsert_mor2" -> 2.883, "gsi_refresh" -> 8.073,
-    "upsert_eq" -> 1.511, "count_eq" -> 0.802, "agg_create" -> 2.454,
-    "upsert_eq2" -> 1.589, "agg_refresh" -> 2.729, "upsert_eq3" -> 1.597,
-    "agg_refresh_replay" -> 2.419, "rebucket_composite" -> 15.987,
-    "delete_eq_prefix" -> 0.262, "count_eq_prefix" -> 1.082,
-    "wap_rebase_publish" -> 3.795, "jv_dim_commit" -> 2.828,
-    "jv_create" -> 40.077, "jv_dim_update" -> 0.469,
-    "jv_refresh_dim" -> 2.884, "jv_dim_scatter" -> 1.005,
-    "jv_refresh_dim_scatter" -> 12.393, "jv_fact_update" -> 1.695,
-    "jv_refresh_fact" -> 13.027)
+  /** Round-10 readings (BENCH_HEAVY_r10.json, full coverage — the r10
+    * verdict asked the r11 artifact to embed every r10 probe, next #8):
+    * the baseline this round's artifact ships so regressions diff
+    * mechanically. Probes new in r11 have no baseline entry. */
+  private val R10Baseline: Map[String, Double] = Map(
+    "cdc_apply" -> 1.231, "dedup_fuzzy_minhash" -> 1.884,
+    "dedup_minhash_sql" -> 1.68, "dedup_ngram_jaccard" -> 2.703,
+    "dedup_embedding" -> 1.447, "dedup_clusters" -> 4.762,
+    "join_multi_q3" -> 0.861, "join_multi_q5" -> 1.736,
+    "join_multi_q10" -> 0.93, "text_chunk" -> 0.279,
+    "pipeline_decontaminate" -> 0.526, "sample_stratified" -> 0.252,
+    "commit_bucketed" -> 1.828, "count_bytestock" -> 0.241,
+    "delete_mor" -> 0.702, "count_dv" -> 0.448, "upsert_mor" -> 2.527,
+    "count_dv2" -> 0.294, "purge_deletes" -> 2.083,
+    "count_purged" -> 0.124, "gsi_create" -> 1.027,
+    "upsert_mor2" -> 2.197, "gsi_refresh" -> 5.494, "upsert_eq" -> 1.366,
+    "count_eq" -> 0.774, "agg_create" -> 1.751, "upsert_eq2" -> 1.448,
+    "agg_refresh" -> 1.881, "upsert_eq3" -> 1.371,
+    "agg_refresh_replay" -> 2.042, "rebucket_composite" -> 2.321,
+    "delete_eq_prefix" -> 0.324, "count_eq_prefix" -> 0.66,
+    "wap_rebase_publish" -> 2.942, "jv_dim_commit" -> 2.116,
+    "jv_create" -> 4.23, "jv_dim_update" -> 0.465,
+    "jv_refresh_dim" -> 2.47, "jv_dim_scatter" -> 0.929,
+    "jv_refresh_dim_scatter" -> 2.39, "jv_fact_update" -> 1.505,
+    "jv_refresh_fact" -> 2.302, "jv2_status_commit" -> 1.194,
+    "jv2_create" -> 5.87, "jv2_dim_update" -> 0.631,
+    "jv2_refresh_dim" -> 3.119, "agg_refresh_post_rebucket" -> 2.635,
+    "upsert_eq4" -> 1.885, "agg_tail_read" -> 1.404,
+    "agg_scan_group" -> 1.873)
 
   def main(args: Array[String]): Unit = {
-    val outFile = args.headOption.getOrElse("BENCH_HEAVY_r10.json")
+    val outFile = args.headOption.getOrElse("BENCH_HEAVY_r11.json")
     val copies = args.drop(1).headOption.map(_.toInt).getOrElse(10)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -289,10 +294,45 @@ object BenchHeavy {
         .agg(count(lit(1))).count()
     }
 
+    // r11: JOIN-side freshness-tolerant serving at the heavy corpus —
+    // jv_bench is already several fact commits stale (nothing refreshed
+    // it since jv_refresh_fact); add dim churn on top and serve the
+    // two-sided-stale view via storedPlusTail. The dim read is
+    // BUCKET-PRUNED to the affected keys' buckets (the read-path twin of
+    // the refresh economy, VERDICT r10 missing #3) — the _noprune probe
+    // measures the same serve reading the dim whole; broadcast is
+    // disabled for both so the dim read cost is visible (a
+    // non-broadcastable dim is the case pruning exists for).
+    t("jv_tail_dim_update") {
+      dimStore.upsertEq(dimStore.readSnapshot()
+        .filter(col("o_custkey").isin(31L, 1031L, 2031L))
+        .withColumn("cust_tier", lit("t_tail"))
+        .withColumn("op", lit("PUT")))
+    }
+    def jvTailCount(): Long = {
+      val vm = graft.store.MaterializedJoin.viewMeta(store, "jv_bench").get
+      val tl = graft.store.MaterializedJoin.storedPlusTail(store, vm,
+        store.currentVersion(), Seq(dimStore.currentVersion()))
+      require(tl.isDefined, "jv_bench must be tail-serveable here")
+      tl.get.frame.count()
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      t("jv_tail_read") { jvTailCount() }
+      spark.conf.set("spark.graft.agg.rewrite.tail.pruneDims", "false")
+      try t("jv_tail_read_noprune") { jvTailCount() }
+      finally spark.conf.unset("spark.graft.agg.rewrite.tail.pruneDims")
+      t("jv_scan_join") {
+        store.readSnapshot().join(dimStore.readSnapshot(),
+          Seq("o_custkey"), "inner").count()
+      }
+    } finally
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
     def jmap(m: collection.Map[String, Double]) =
       m.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"heavy_total","value":${math.rint(timings.values.sum * 100) / 100},"unit":"sec","copies":$copies,"src":"$src","timings":${jmap(timings)},"r9_baseline":${jmap(R9Baseline)}}"""
+      s"""{"metric":"heavy_total","value":${math.rint(timings.values.sum * 100) / 100},"unit":"sec","copies":$copies,"src":"$src","timings":${jmap(timings)},"r10_baseline":${jmap(R10Baseline)}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       json.getBytes("UTF-8"))
     println(json)

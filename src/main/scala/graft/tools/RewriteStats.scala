@@ -160,9 +160,10 @@ object RewriteStats {
       math.max(1, hitsTail)}%.2f s")
 
     // ---- JOIN-VIEW tail serving under the same live loop ---------------
-    // (r10: MaterializedJoin.storedPlusTail through JoinViewRewriteRule.)
-    // The fact rides the CDC feed, the dim is static — the exact case the
-    // fact-side tail covers. Same cadence, same bucket-local batches; the
+    // (r10: MaterializedJoin.storedPlusTail through JoinViewRewriteRule;
+    // r11: the dim churns too — every third batch upserts a bucket-local
+    // slice of the enrichment dim, and the tail must keep serving through
+    // BOTH stalenesses.) Same cadence, same bucket-local batches; the
     // dashboard query is the plain fact JOIN dim with a GROUP BY on top.
     // The dim is a ROW-PER-FACT enrichment (1.5M keys): recomputing the
     // join shuffles both sides, which is exactly when a deployment keeps
@@ -191,9 +192,21 @@ object RewriteStats {
       .withColumn("seq", lit(i.toLong)).withColumn("op", lit("PUT"))
     var jHitsPlain = 0; var jHitsTail = 0
     var jScan = 0.0; var jTail = 0.0
+    val bD = graft.store.TableStore.bucketExpr(Seq("ck"), 64)
     (1 to nBatches).foreach { i =>
       graft.streaming.StreamingOps.applyCdcBatchAuto(jBatch(i), jSt,
         Seq("o_orderkey"), 64, maintenance = Some(policy))
+      // DIM churn every third batch (r11): the tail serves it too — the
+      // loop's dim is keyed on the fact PK, so the affected rows come
+      // from the fact's own buckets at the scanned snapshot. Clustered
+      // (bucket-local) so the per-side span pricing stays on the tail
+      // path, as a real enrichment feed's upserts would be.
+      if (i % 3 == 0) {
+        jDim.upsertEq(jDim.readSnapshot().filter(bD === (i * 5) % 64)
+          .limit(1000).withColumn("tier", lit(s"t_hot$i"))
+          .withColumn("op", lit("PUT")))
+        spark.catalog.refreshTable("rw_cat.analytics.loop_dim")
+      }
       spark.catalog.refreshTable("rw_cat.analytics.loop_fact")
       val dfP = spark.sql(jq)
       val pFired = graft.catalog.AggViewRewrite.served(dfP, "/join/")

@@ -23,11 +23,17 @@ object StarProbe {
     spark.conf.set("spark.sql.catalog.sp_cat.warehouse", wh)
     val cat = "sp_cat"
     val fact = new TableStore(s, s"$wh/analytics/li_sr")
+    // deduped to one row per (l_orderkey, l_linenumber): the synthetic
+    // corpus duplicates that pair and join views enforce the keyed-fact
+    // contract since r11
     fact.commitBucketed(
-      graft.Tables.load(s, d, "lineitem").select(col("l_orderkey"),
-        col("l_linenumber"),
-        (col("l_orderkey") % 97).as("okb"),
-        col("l_quantity").cast("decimal(18,2)").as("qty")),
+      graft.Tables.load(s, d, "lineitem")
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(org.apache.spark.sql.functions.max(col("l_quantity"))
+          .cast("decimal(18,2)").as("qty"))
+        .withColumn("okb", col("l_orderkey") % 97)
+        .select(col("l_orderkey"), col("l_linenumber"), col("okb"),
+          col("qty")),
       keys = Seq("l_orderkey", "l_linenumber"), numBuckets = 16)
     val dim = new TableStore(s, s"$wh/analytics/ord_sr")
     dim.commitBucketed(

@@ -268,6 +268,61 @@ class AggViewRewriteSpec extends SparkSuite {
     MaterializedAgg.refresh(store, "by_grp_reg")
   }
 
+  test("tail union declines when a tracked column left the base schema " +
+      "(drift gate, not an optimizer-time AnalysisException)") {
+    // own store: a full-snapshot rewrite RENAMES a summed column after the
+    // view materialized — the stale span cannot replay m2, so even a query
+    // over the SURVIVING sum column must decline to the scan (ADVICE r10:
+    // the gate must decline deliberately; the changelog frames aligned to
+    // the new schema would otherwise throw inside the rule)
+    val store = new TableStore(spark, s"$warehouse/analytics/drifty")
+    store.commitBucketed((1L to 200L).map(i =>
+      (i, i % 6, i * 2, i * 3)).toDF("id", "k", "m1", "m2"), Seq("id"), 4)
+    MaterializedAgg.create(store, "by_k", Seq("k"),
+      sumCols = Seq("m1", "m2"), numBuckets = 2)
+    store.commitBucketed((1L to 210L).map(i =>
+      (i, i % 6, i * 2, i * 5)).toDF("id", "k", "m1", "m9"), Seq("id"), 4)
+    spark.catalog.refreshTable("mv_cat.analytics.drifty")
+    spark.conf.set("spark.graft.agg.rewrite.tailUnion", "true")
+    spark.conf.set("spark.graft.agg.refresh.rescanFraction", "2.0")
+    try {
+      checkRewrites(
+        """SELECT k, SUM(m1) AS s1 FROM mv_cat.analytics.drifty
+          |GROUP BY k""".stripMargin, expectFire = false)
+    } finally {
+      spark.conf.unset("spark.graft.agg.rewrite.tailUnion")
+      spark.conf.unset("spark.graft.agg.refresh.rescanFraction")
+    }
+  }
+
+  test("budget serving never answers a pinned (time-travel) scan — " +
+      "exact-version semantics beat the staleness trade") {
+    val store = new TableStore(spark, s"$warehouse/analytics/pinned")
+    store.commitBucketed((1L to 200L).map(i =>
+      (i, i % 6, i * 2)).toDF("id", "k", "m"), Seq("id"), 4)
+    MaterializedAgg.create(store, "by_k", Seq("k"), sumCols = Seq("m"),
+      numBuckets = 2)
+    val v0 = store.currentVersion()
+    store.upsertEq(store.readSnapshot().filter($"id" === 5L)
+      .withColumn("m", $"m" + 1000L).withColumn("op", lit("PUT")))
+    val pinV = store.currentVersion()
+    store.upsertEq(store.readSnapshot().filter($"id" === 6L)
+      .withColumn("m", $"m" + 1000L).withColumn("op", lit("PUT")))
+    spark.catalog.refreshTable("mv_cat.analytics.pinned")
+    assert(pinV == v0 + 1)
+    spark.conf.set("spark.graft.agg.rewrite.maxStalenessMs", "3600000")
+    try {
+      val head = spark.sql(
+        "SELECT k, SUM(m) AS sm FROM mv_cat.analytics.pinned GROUP BY k")
+      assert(fired(head), s"head scan within budget must serve:\n" +
+        s"${head.queryExecution.optimizedPlan}")
+      checkRewrites(
+        s"""SELECT k, SUM(m) AS sm
+           |FROM mv_cat.analytics.pinned VERSION AS OF $pinV
+           |GROUP BY k""".stripMargin, expectFire = false)
+    } finally spark.conf.unset("spark.graft.agg.rewrite.maxStalenessMs")
+  }
+
   test("kill switch disables the rule outright") {
     setup()
     spark.conf.set("spark.graft.agg.rewrite", "false")

@@ -32,8 +32,11 @@ class DerivativeSoakSpec extends SparkSuite {
   test("soak: CDC + compaction + rebucket + WAP over the full stack, " +
       "fresh and oracle-exact at the end of every epoch") {
     val root = java.nio.file.Files.createTempDirectory("graft_soak").toString
-    val fact = new TableStore(spark, s"$root/fact")
-    val dim = new TableStore(spark, s"$root/dim")
+    spark.conf.set("spark.sql.catalog.soak_cat",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.soak_cat.warehouse", root)
+    val fact = new TableStore(spark, s"$root/analytics/fact")
+    val dim = new TableStore(spark, s"$root/analytics/dim")
     fact.commitBucketed((1L to 400L).map(i =>
       (i, i % 40, i * 10)).toDF("id", "fk", "amt"), Seq("id"), 8)
     dim.commitBucketed((0L to 49L).map(k =>
@@ -88,6 +91,32 @@ class DerivativeSoakSpec extends SparkSuite {
         s"epoch $epoch: GSI lookup diverged")
     }
 
+    // MID-EPOCH stale serving (VERDICT r10 next #5): BETWEEN the DML and
+    // the maintenance pass every derivative is stale — under the tail
+    // opt-in the user's join SQL must still answer from the view store,
+    // EXACTLY (this probe would have caught the r10 Deduplicate-splice
+    // regression: the crash only manifested on a served stale plan)
+    def assertStaleServes(epoch: Int): Unit = {
+      spark.conf.set("spark.graft.agg.rewrite.tailUnion", "true")
+      spark.conf.set("spark.graft.agg.refresh.rescanFraction", "2.0")
+      try {
+        spark.catalog.refreshTable("soak_cat.analytics.fact")
+        spark.catalog.refreshTable("soak_cat.analytics.dim")
+        val q = spark.sql(
+          """SELECT f.id, f.fk, f.amt, d.attr
+            |FROM soak_cat.analytics.fact f
+            |JOIN soak_cat.analytics.dim d ON f.fk = d.k""".stripMargin)
+        assert(graft.catalog.AggViewRewrite.served(q, "/join/"),
+          s"epoch $epoch: the mid-epoch stale join must serve from the " +
+            s"view store:\n${q.queryExecution.optimizedPlan}")
+        assert(canon(q) == canon(joinedNow()),
+          s"epoch $epoch: mid-epoch tail-served join diverged")
+      } finally {
+        spark.conf.unset("spark.graft.agg.rewrite.tailUnion")
+        spark.conf.unset("spark.graft.agg.refresh.rescanFraction")
+      }
+    }
+
     val b8 = TableStore.bucketExpr(Seq("id"), 8)
     (1 to 4).foreach { e =>
       // 1. bucket-local CDC batch (auto-routes positional/eq)
@@ -135,7 +164,9 @@ class DerivativeSoakSpec extends SparkSuite {
         fact.dropBranch("audit")
         ()
       }
-      // 5. ONE maintenance pass ends the epoch
+      // 5. every layer is now stale — served-stale reads stay exact
+      assertStaleServes(e)
+      // 6. ONE maintenance pass ends the epoch
       StreamingOps.maintain(fact, policy)
       assertAllFreshAndExact(e)
     }

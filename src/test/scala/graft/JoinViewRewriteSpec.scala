@@ -265,10 +265,26 @@ class JoinViewRewriteSpec extends SparkSuite {
       // a READ path must not commit: view store untouched
       assert(MaterializedJoin.viewStore(factT, "tv").currentVersion()
         == vvBefore, "tail serving must not commit to the view store")
-      // dim churn is NOT tail-serveable (the cadence owns it) — decline
+      // DIM churn serves too (r11): the changed keys' fact rows come
+      // from the covering index at the LOCKSTEP watermark, re-joined at
+      // the scanned dim snapshot — exact, still nothing committed
       dimT.upsertEq(dimT.readSnapshot().filter($"k" === 3)
         .withColumn("attr", lit("zz")).withColumn("op", lit("PUT")))
       spark.catalog.refreshTable("jv_cat.analytics.dm_t")
+      check(q, expectFire = true)
+      assert(MaterializedJoin.viewStore(factT, "tv").currentVersion()
+        == vvBefore, "dim-churn tail serving must not commit either")
+      // the served rows must carry the LIVE dim value for the churned key
+      val live = spark.sql(q).filter($"id" % 30 === 3)
+      assert(live.count() > 0 &&
+        live.filter($"attr" =!= "zz").count() == 0,
+        "dim-churn tail must serve the scanned dim snapshot's values")
+      // an index OFF the lockstep watermark cannot serve (intermediate
+      // row versions would be unsound) — refreshing it mid-span moves its
+      // watermark past the view's and the tail declines
+      graft.store.SecondaryIndex.refresh(factT, "join-tv")
+      assert(graft.store.SecondaryIndex.baseWatermark(factT, "join-tv")
+        == factT.currentVersion())
       check(q, expectFire = false)
     } finally {
       spark.conf.unset("spark.graft.agg.rewrite.tailUnion")
@@ -352,6 +368,73 @@ class JoinViewRewriteSpec extends SparkSuite {
     } finally spark.conf.unset("spark.graft.agg.rewrite.maxStalenessMs")
     spark.sql("CALL jv_cat.system.drop_agg_view(" +
       "'analytics.fct_b$join_bv', 'by_attr')")
+  }
+
+  test("TIME TRAVEL: a pinned scan is never budget-served (exact-version " +
+      "semantics beat the staleness trade)") {
+    val factP = new TableStore(spark, s"$warehouse/analytics/fct_p")
+    val dimP = new TableStore(spark, s"$warehouse/analytics/dm_p")
+    factP.commitBucketed((1L to 200L).map(i =>
+      (i, i % 20, i * 2)).toDF("id", "fk", "amt"), Seq("id"), 4)
+    dimP.commitBucketed((0L to 19L).map(k =>
+      (k, s"a$k")).toDF("k", "attr"), Seq("k"), 2)
+    MaterializedJoin.create(factP, "pv", dimP, Seq("fk"), Seq("k"),
+      Seq("attr"))
+    val v0 = factP.currentVersion()
+    factP.upsertEq(factP.readSnapshot().filter($"id" === 5L)
+      .withColumn("amt", $"amt" + 100L).withColumn("op", lit("PUT")))
+    val pinV = factP.currentVersion()
+    factP.upsertEq(factP.readSnapshot().filter($"id" === 6L)
+      .withColumn("amt", $"amt" + 100L).withColumn("op", lit("PUT")))
+    spark.catalog.refreshTable("jv_cat.analytics.fct_p")
+    assert(pinV == v0 + 1 && factP.currentVersion() == v0 + 2)
+    spark.conf.set("spark.graft.agg.rewrite.maxStalenessMs", "3600000")
+    try {
+      // head scan: stale within budget → watermark-pair serving fires
+      val head = spark.sql(
+        """SELECT f.id, f.amt, d.attr
+          |FROM jv_cat.analytics.fct_p f JOIN jv_cat.analytics.dm_p d
+          |ON f.fk = d.k""".stripMargin)
+      assert(fired(head), s"head scan within budget must serve:\n" +
+        s"${head.queryExecution.optimizedPlan}")
+      // pinned scan at an intermediate version: the user asked for THAT
+      // snapshot's content — the budget path would answer the watermark
+      // pair (different rows for id=5). Must decline, and stay exact.
+      val pinned =
+        s"""SELECT f.id, f.amt, d.attr
+           |FROM jv_cat.analytics.fct_p VERSION AS OF $pinV f
+           |JOIN jv_cat.analytics.dm_p d ON f.fk = d.k""".stripMargin
+      check(pinned, expectFire = false)
+    } finally spark.conf.unset("spark.graft.agg.rewrite.maxStalenessMs")
+  }
+
+  test("create_join_view: fewer dim-column groups than dims fails loudly " +
+      "(a forgotten ';' must not silently drop a dim's columns)") {
+    setup()
+    val factC = new TableStore(spark, s"$warehouse/analytics/fct_c")
+    val d1 = new TableStore(spark, s"$warehouse/analytics/dm_c1")
+    val d2 = new TableStore(spark, s"$warehouse/analytics/dm_c2")
+    factC.commitBucketed((1L to 100L).map(i =>
+      (i, i % 10, i % 5, i)).toDF("id", "fk1", "fk2", "amt"), Seq("id"), 4)
+    d1.commitBucketed((0L to 9L).map(k =>
+      (k, s"a$k", s"b$k")).toDF("k", "a1", "a2"), Seq("k"), 2)
+    d2.commitBucketed((0L to 4L).map(k =>
+      (k, s"c$k")).toDF("k", "c1"), Seq("k"), 2)
+    val e = intercept[Exception](spark.sql(
+      "CALL jv_cat.system.create_join_view('analytics.fct_c', 'star', " +
+        "'analytics.dm_c1;analytics.dm_c2', 'fk1;fk2', 'k;k', 'a1,a2')"))
+    def chain(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++
+        (if (x.getCause != null && (x.getCause ne x)) chain(x.getCause)
+         else Nil))
+    assert(chain(e).exists(_.contains("per-dim groups")),
+      s"expected the per-dim-groups refusal, got: ${chain(e)}")
+    // the explicit form materializes fine
+    spark.sql(
+      "CALL jv_cat.system.create_join_view('analytics.fct_c', 'star', " +
+        "'analytics.dm_c1;analytics.dm_c2', 'fk1;fk2', 'k;k', 'a1,a2;c1')")
+    val vm = MaterializedJoin.viewMeta(factC, "star").get
+    assert(vm.dims.map(_.rCols) == Seq(Seq("a1", "a2"), Seq("c1")))
   }
 
   test("two-sided staleness gates; refresh re-arms") {

