@@ -395,6 +395,58 @@ object MaterializedJoin {
       .drop("_g_kn")
   }
 
+  /** Saturating add for plan-time byte bounds. */
+  private def addSat(a: Long, b: Long): Long =
+    if (a > Long.MaxValue - b) Long.MaxValue else a + b
+
+  /** Opt-in phase timing (`spark.graft.debug.phases`) — stderr wall time
+    * per maintenance phase, for attributing refresh cost during tuning. */
+  private def phase[A](spark: org.apache.spark.sql.SparkSession,
+      label: String)(body: => A): A =
+    if (!spark.conf.getOption("spark.graft.debug.phases")
+        .exists(_.toBoolean)) body
+    else {
+      val s0 = System.nanoTime()
+      val a = body
+      System.err.println(
+        f"[phase] $label%-32s ${(System.nanoTime() - s0) / 1e9}%7.2f s")
+      a
+    }
+
+  /** One job, ≤ Σ numBuckets output rows: `keysDf`'s distinct bucket ids
+    * in an `n`-bucket layout over `cols`' values. */
+  private def collectBuckets(keysDf: DataFrame, cols: Seq[String],
+      n: Int): Seq[Long] =
+    keysDf.select(TableStore.bucketExpr(cols, n).as("_g_b"))
+      .distinct().collect().map(_.getLong(0)).toSeq.sorted
+
+  /** One job: every listed dim's touched bucket ids over `src`'s key
+    * values — `collect_set(bucketExpr)` per dim, output bounded by
+    * Σ numBuckets. */
+  private def bucketSets(src: DataFrame,
+      wanted: Seq[(Int, Seq[String], Int)]): Map[Int, Set[Long]] =
+    if (wanted.isEmpty) Map.empty
+    else {
+      val row = src.select(wanted.map { case (i, cols, n) =>
+        collect_set(TableStore.bucketExpr(cols, n)).as(s"_g_b$i")
+      }: _*).head()
+      wanted.zipWithIndex.map { case ((i, _, _), c) =>
+        i -> row.getSeq[Long](c).toSet }.toMap
+    }
+
+  /** The re-join's build-side broadcast cap
+    * (`spark.graft.view.rejoinBroadcastBytes`, default 64 MiB): when the
+    * affected-row union's metadata byte bound sits under it and the view
+    * is an INNER join, the union is broadcast — the dims then stream
+    * (bucket-pruned) with NO shuffle, the plan a 100 TB re-join wants.
+    * LEFT joins keep the shuffle (Spark cannot broadcast the preserved
+    * side of an outer join). */
+  private def rejoinBroadcastable(spark: org.apache.spark.sql.SparkSession,
+      joinType: String, srcBytes: Long): Boolean =
+    joinType == "inner" && srcBytes <= spark.conf
+      .getOption("spark.graft.view.rejoinBroadcastBytes")
+      .map(_.toLong).getOrElse(64L << 20)
+
   def refresh(l: TableStore, name: String): Long = {
     requireMain(l, "fact")
     val st = viewStore(l, name)
@@ -443,8 +495,10 @@ object MaterializedJoin {
       // content-preserving span nets to a watermark-only advance. Failure
       // is non-fatal: serving just declines an off-watermark index.
       meta.dims.foreach(_.idx.foreach { idx =>
-        try { SecondaryIndex.refresh(l, idx); () }
-        catch { case _: Exception => () }
+        try {
+          phase(l.spark, s"refresh:lockstep-sync($idx)") {
+            SecondaryIndex.refresh(l, idx, allowRebuild = true) }; ()
+        } catch { case _: Exception => () }
       })
       movePin(l, s"join-pin-$name", toL)
       rs.zipWithIndex.foreach { case (r, i) =>
@@ -527,13 +581,20 @@ object MaterializedJoin {
           }.persist())
         }
     }
+    // plan-time byte bound on the affected-row union (each source frame
+    // is a subset of the bucket reads it comes from — pure metadata);
+    // small ⇒ the re-join broadcasts its build side below
+    var srcBytes = 0L
     try {
       val rowsL: Option[DataFrame] = kL.map { k =>
-        val buckets = k
-          .select(TableStore.bucketExpr(pk, lm.numBuckets).as("b"))
-          .distinct().collect().map(_.getLong(0)).toSeq
-        MaterializedAgg.nsJoin(l.readBuckets(buckets, toL), k, pk,
-          "left_semi")
+        phase(l.spark, "refresh:fact-keys+buckets") {
+          val buckets = k
+            .select(TableStore.bucketExpr(pk, lm.numBuckets).as("b"))
+            .distinct().collect().map(_.getLong(0)).toSeq
+          srcBytes = addSat(srcBytes, l.bucketBytes(buckets, toL))
+          MaterializedAgg.nsJoin(l.readBuckets(buckets, toL), k, pk,
+            "left_semi")
+        }
       }
       // per-dim affected fact rows; None = an index raced past toL (a
       // concurrent fact writer advanced it during the lockstep refresh —
@@ -546,8 +607,13 @@ object MaterializedJoin {
             d.idx match {
               case Some(idx) =>
                 // lockstep refresh (O(Δfact)), then read ONLY the index
-                // buckets the changed dim keys hash into
-                SecondaryIndex.refresh(l, idx)
+                // buckets the changed dim keys hash into. allowRebuild:
+                // a span whose file diff prices past rescanFraction (a
+                // whole-bucket rewrite scatters into EVERY index bucket)
+                // rebuilds in one projection instead of replaying a
+                // full-index read+rewrite through the changelog excepts
+                phase(l.spark, s"refresh:index-sync($idx)") {
+                  SecondaryIndex.refresh(l, idx, allowRebuild = true); () }
                 if (SecondaryIndex.baseWatermark(l, idx) != toL) {
                   idxRaced = true; None
                 } else {
@@ -557,6 +623,7 @@ object MaterializedJoin {
                     .select(TableStore.bucketExpr(d.lKeys, im.numBuckets)
                       .as("b"))
                     .distinct().collect().map(_.getLong(0)).toSeq
+                  srcBytes = addSat(srcBytes, ist.bucketBytes(buckets))
                   Some(MaterializedAgg.nsJoin(
                     ist.readBuckets(buckets).select(lAll.map(col): _*),
                     dk, d.lKeys, "left_semi"))
@@ -565,6 +632,7 @@ object MaterializedJoin {
                 val buckets = dk
                   .select(TableStore.bucketExpr(pk, lm.numBuckets).as("b"))
                   .distinct().collect().map(_.getLong(0)).toSeq
+                srcBytes = addSat(srcBytes, l.bucketBytes(buckets, toL))
                 Some(MaterializedAgg.nsJoin(l.readBuckets(buckets, toL),
                   dk, d.lKeys, "left_semi"))
             }
@@ -594,14 +662,39 @@ object MaterializedJoin {
           .getOrElse(lAff.limit(0).select(pk.map(col): _*)))
         .distinct().persist()
       try {
-        if (affected.count() == 0) {
+        if (phase(l.spark, "refresh:affected-count")(affected.count()) == 0) {
           st.commitIncremental(st.readSnapshot(vv).limit(0), Nil,
             expectedParent = Some(vv), props = newProps)
           return finish()
         }
-        val newRows = joined(lAff,
-          meta.dims.zip(rs).zip(toRs).map { case ((d, r), toR) =>
-            (r.readSnapshot(toR), d.lKeys, d.rKeys, d.rCols) },
+        // the re-join's dims are BUCKET-PRUNED to the affected rows' key
+        // values (one job over the persisted union, bounded output) and
+        // the affected side broadcasts when its metadata byte bound is
+        // small — a refresh costs O(churn × touched dim buckets), never
+        // O(dim), and inner-view re-joins shuffle nothing
+        val wanted = meta.dims.zipWithIndex.map { case (d, j) =>
+          (j, d.lKeys, rs(j).manifest(toRs(j)).numBuckets) }
+        val bset: Map[Int, Set[Long]] =
+          if (l.spark.conf
+              .getOption("spark.graft.view.refresh.pruneDims")
+              .forall(_.toBoolean))
+            phase(l.spark, "refresh:dim-bucket-collect")(
+              bucketSets(lAff, wanted))
+          else Map.empty
+        val lAffB =
+          if (rejoinBroadcastable(l.spark, joinType, srcBytes))
+            broadcast(lAff)
+          else lAff
+        val newRows = joined(lAffB,
+          meta.dims.zip(rs).zip(toRs).zipWithIndex.map {
+            case (((d, r), toR), j) =>
+              val rDf = bset.get(j) match {
+                case Some(bs) if bs.size < wanted(j)._3 =>
+                  r.readBuckets(bs.toSeq.sorted, toR)
+                case _ => r.readSnapshot(toR)
+              }
+              (rDf, d.lKeys, d.rKeys, d.rCols)
+          },
           joinType, lAll)
         // one equality upsert: PUT keys that still join, REMOVE the rest
         // (facts deleted — in kL but not in any read — and inner-join
@@ -617,8 +710,10 @@ object MaterializedJoin {
         val winners = newRows.select(vSchema.fieldNames.map(col): _*)
           .withColumn(OpCol, lit("PUT"))
           .unionByName(removedPadded)
-        st.upsertEq(winners, opCol = OpCol, removeOp = "REMOVE",
-          expectedParent = Some(vv), props = newProps)
+        phase(l.spark, "refresh:rejoin+upsert") {
+          st.upsertEq(winners, opCol = OpCol, removeOp = "REMOVE",
+            expectedParent = Some(vv), props = newProps)
+        }
         finish()
       } finally { affected.unpersist(); lAff.unpersist(); () }
     } finally {
@@ -713,38 +808,73 @@ object MaterializedJoin {
     val pruneDims = spark.conf
       .getOption("spark.graft.agg.rewrite.tail.pruneDims")
       .forall(_.toBoolean)
+    // The netted-key frames are the RIGHT side of every semi/anti join
+    // below, with the (huge) stored view on the left — un-hinted, a
+    // disabled/conservative auto-broadcast shuffles the whole view per
+    // join. Their size is bounded by the span's changed-file bytes
+    // (driver-resident metadata, memoized), so hint BROADCAST exactly
+    // when that bound is small — an absolute gate the fractional span
+    // pricing can't give (tail serving at 100 TB must never shuffle the
+    // stored view to subtract a handful of churned keys).
+    val bcastKeys = {
+      val cap = spark.conf.getOption("spark.graft.view.keyBroadcastBytes")
+        .map(_.toLong).getOrElse(64L << 20)
+      val b = (if (factMoved) TableStore.spanChangedBytes(l, fromL, toL)
+        else 0L) +
+        vm.dims.zip(rs).zip(toRs).zipWithIndex.map {
+          case (((d, r), toR), i) =>
+            if (dimMoved(i)) TableStore.spanChangedBytes(r, d.rVersion, toR)
+            else 0L
+        }.sum
+      b <= cap
+    }
+    def keyHint(df: DataFrame): DataFrame =
+      if (bcastKeys) broadcast(df) else df
     // ---- deltas: fact-side netted PKs, per-dim netted join keys -------
+    // The netted-key frames are PERSISTED: each feeds several plan-time
+    // bucket-collect jobs plus the query's semi/anti joins, and they are
+    // small by construction (bounded by the span's changed-file bytes).
+    // Spark's ContextCleaner reclaims the cache once the plan is dropped.
     val kL: Option[DataFrame] =
-      if (!factMoved) None else Some(nettedKeys(l, fromL, toL, lAll, pk))
+      if (!factMoved) None
+      else Some(keyHint(nettedKeys(l, fromL, toL, lAll, pk).persist()))
     val dks: Seq[Option[DataFrame]] =
       vm.dims.zip(rs).zip(toRs).zipWithIndex.map {
         case (((d, r), toR), i) =>
           if (!dimMoved(i)) None
           else {
             val dk0 = nettedKeys(r, d.rVersion, toR,
-              (d.rKeys ++ d.rCols).distinct, d.rKeys)
-            Some(d.rKeys.zip(d.lKeys).foldLeft(dk0) {
+              (d.rKeys ++ d.rCols).distinct, d.rKeys).persist()
+            Some(keyHint(d.rKeys.zip(d.lKeys).foldLeft(dk0) {
               case (df, (rk, lk)) => df.withColumnRenamed(rk, lk)
-            })
+            }))
           }
       }
-    def collectBuckets(keysDf: DataFrame, cols: Seq[String],
-        n: Int): Seq[Long] =
-      keysDf.select(TableStore.bucketExpr(cols, n).as("_g_b"))
-        .distinct().collect().map(_.getLong(0)).toSeq.sorted
     // ---- affected fact rows, all evaluating at snapshot toL -----------
+    // `srcBytes` accumulates a PLAN-TIME upper bound on the affected-row
+    // union: the changelog tail is bounded by the span's changed-file
+    // bytes, each index- or fact-sourced frame by its touched buckets'
+    // bytes (pure metadata). A small bound licenses BROADCASTING the
+    // re-join's build side below.
+    var srcBytes: Long =
+      if (factMoved) TableStore.spanChangedBytes(l, fromL, toL) else 0L
+    // Under dim pruning the changed-file tail is persisted: it feeds the
+    // plan-time bucket job below AND the query's re-join.
     val factTail: Option[DataFrame] = kL.map { k =>
       val (_, postF) = l.changelogFrames(fromL, toL)
-      MaterializedAgg.nsJoin(postF.select(lAll.map(col): _*), k, pk,
-        "left_semi")
+      val f = MaterializedAgg.nsJoin(postF.select(lAll.map(col): _*), k,
+        pk, "left_semi")
+      if (pruneDims) f.persist() else f
     }
-    val dimAff: Seq[DataFrame] = vm.dims.zipWithIndex.flatMap {
+    val dimAffOpt: Seq[Option[DataFrame]] = vm.dims.zipWithIndex.map {
       case (d, i) => dks(i).map { dk =>
         d.idx match {
           case None => // join key IS the fact PK: the fact itself prunes
             val buckets = collectBuckets(dk, d.lKeys, lm.numBuckets)
-            MaterializedAgg.nsJoin(l.readBuckets(buckets, toL), dk,
-              d.lKeys, "left_semi")
+            srcBytes = addSat(srcBytes, l.bucketBytes(buckets, toL))
+            val rows = MaterializedAgg.nsJoin(l.readBuckets(buckets, toL),
+              dk, d.lKeys, "left_semi")
+            if (pruneDims && vm.dims.size > 1) rows.persist() else rows
           case Some(idx) =>
             if (!SecondaryIndex.list(l).contains(idx)) return None
             // lockstep-watermark invariant (see scaladoc): anything else
@@ -754,16 +884,24 @@ object MaterializedJoin {
             val im = ist.manifest(ist.currentVersion())
             if (!lAll.forall(im.schema.fieldNames.contains)) return None
             val buckets = collectBuckets(dk, d.lKeys, im.numBuckets)
+            srcBytes = addSat(srcBytes, ist.bucketBytes(buckets))
             val rows0 = MaterializedAgg.nsJoin(
               ist.readBuckets(buckets).select(lAll.map(col): _*), dk,
               d.lKeys, "left_semi")
             // span-netted PKs' fromL-era index rows are stale — their
             // live rows ride the changelog tail instead
-            kL.map(k => MaterializedAgg.nsJoin(rows0, k, pk, "left_anti"))
+            val rows = kL.map(k =>
+              MaterializedAgg.nsJoin(rows0, k, pk, "left_anti"))
               .getOrElse(rows0)
+            // multi-dim cross term: these rows' OTHER-dim keys drive
+            // those dims' bucket pruning (a plan-time job below), so the
+            // sourced frame is persisted to serve both that job and the
+            // query's re-join
+            if (pruneDims && vm.dims.size > 1) rows.persist() else rows
         }
       }
     }
+    val dimAff: Seq[DataFrame] = dimAffOpt.flatten
     // a row can be affected through several routes; all copies carry its
     // content at toL (changelog = live, index = constant across the span,
     // fact read = authoritative), so the PK dedup picks an arbitrary one
@@ -784,22 +922,54 @@ object MaterializedJoin {
             MaterializedAgg.nsJoin(df, dk, d.lKeys, "left_semi"))
         }.dropDuplicates(pk)
     }
-    val dimReads = vm.dims.zip(rs).zip(toRs).map { case ((d, r), toR) =>
-      val rm = r.manifest(toR)
-      val rDf =
-        if (!pruneDims) r.readSnapshot(toR)
-        else {
-          // the read-path twin of refresh's bucket pruning: only the dim
-          // buckets the affected rows' key values hash into are read —
-          // one plan-time job over O(changed files + touched index
-          // buckets), bounded output (≤ numBuckets ids)
-          val buckets = collectBuckets(lAff, d.lKeys, rm.numBuckets)
-          if (buckets.size >= rm.numBuckets) r.readSnapshot(toR)
-          else r.readBuckets(buckets, toR)
-        }
-      (rDf, d.lKeys, d.rKeys, d.rCols)
+    // ---- dim-read pruning: each dim is re-joined only at the buckets
+    // the affected rows' key values hash into, derived WITHOUT executing
+    // the full affected-row union at plan time (that would re-run the
+    // index reads just to learn bucket ids). Per affected-row source:
+    //  - fact-churned rows: ONE job over the persisted changelog tail
+    //    collects every dim's touched buckets (collect_set per dim);
+    //  - dim i's own churned rows: their i-keys ⊆ dk_i by construction —
+    //    a job over the tiny netted-key frame, no row source executed;
+    //  - cross terms (dim i's sourced rows → dim j≠i's buckets, multi-dim
+    //    views only): one job per moved dim over its persisted source.
+    val rms = vm.dims.zip(rs).zip(toRs).map { case ((_, r), toR) =>
+      r.manifest(toR) }
+    val pruneBuckets: Map[Int, Set[Long]] = if (!pruneDims) Map.empty
+    else {
+      val wantedAll = vm.dims.zipWithIndex.map { case (d, j) =>
+        (j, d.lKeys, rms(j).numBuckets) }
+      val m = scala.collection.mutable.Map.empty[Int, Set[Long]]
+        .withDefaultValue(Set.empty[Long])
+      factTail.foreach(f => bucketSets(f, wantedAll).foreach {
+        case (j, s) => m(j) = m(j) ++ s })
+      dks.zipWithIndex.foreach {
+        case (Some(dk), i) =>
+          m(i) = m(i) ++
+            collectBuckets(dk, vm.dims(i).lKeys, rms(i).numBuckets)
+          dimAffOpt(i).foreach { rows =>
+            bucketSets(rows, wantedAll.filter(_._1 != i)).foreach {
+              case (j, s) => m(j) = m(j) ++ s }
+          }
+        case _ => ()
+      }
+      m.toMap.withDefaultValue(Set.empty[Long])
     }
-    val newRows = joined(lAff, dimReads, vm.joinType, lAll)
+    val dimReads = vm.dims.zip(rs).zip(toRs).zipWithIndex.map {
+      case (((d, r), toR), j) =>
+        val rm = rms(j)
+        val rDf =
+          if (!pruneDims) r.readSnapshot(toR)
+          else {
+            val buckets = pruneBuckets(j).toSeq.sorted
+            if (buckets.size >= rm.numBuckets) r.readSnapshot(toR)
+            else r.readBuckets(buckets, toR)
+          }
+        (rDf, d.lKeys, d.rKeys, d.rCols)
+    }
+    val lAffB =
+      if (rejoinBroadcastable(spark, vm.joinType, srcBytes)) broadcast(lAff)
+      else lAff
+    val newRows = joined(lAffB, dimReads, vm.joinType, lAll)
     val post = newRows.select(vm0.schema.fieldNames.map(col): _*)
     Some(Tail(
       minusChanged(stored, "left_anti").unionByName(post),

@@ -188,9 +188,21 @@ object SecondaryIndex {
     * pay the changed-file reads ONCE. Used only when the index's own
     * watermark matches `fromV` exactly; otherwise the index replays its
     * own span. */
+  private def phase[A](spark: org.apache.spark.sql.SparkSession,
+      label: String)(body: => A): A =
+    if (!spark.conf.getOption("spark.graft.debug.phases")
+        .exists(_.toBoolean)) body
+    else {
+      val s0 = System.nanoTime()
+      val a = body
+      System.err.println(
+        f"[phase] $label%-32s ${(System.nanoTime() - s0) / 1e9}%7.2f s")
+      a
+    }
+
   def refresh(base: TableStore, name: String,
-      sharedFrames: Option[(Long, Long, DataFrame, DataFrame)] = None)
-      : Long = {
+      sharedFrames: Option[(Long, Long, DataFrame, DataFrame)] = None,
+      allowRebuild: Boolean = false): Long = {
     requireMain(base)
     val idx = indexStore(base, name)
     val iv = idx.currentVersion()
@@ -218,9 +230,45 @@ object SecondaryIndex {
     // nets out at the projection, exactly as the classified shape did.
     // Set semantics are sound here: the base is keyed (one live row per
     // primary key).
-    val (preFrame, postFrame) = sharedFrames match {
-      case Some((f, t, p, q)) if f == fromV && t == toV => (p, q)
-      case _ => base.changelogFrames(fromV, toV)
+    val shared = sharedFrames.collect {
+      case (f, t, p, q) if f == fromV && t == toV => (p, q)
+    }
+    if (shared.isEmpty) {
+      // ---- route BEFORE reading (r11, the agg/join refresh router's
+      // rule applied here): a span of only content-preserving commits
+      // nets to zero — advance the watermark with ZERO reads instead of
+      // excepting every compacted row to find nothing. Both probes are
+      // driver-resident metadata, memoized per immutable span.
+      if (TableStore.contentPreservingSpan(base, fromV, toV)) {
+        idx.commitIncremental(idx.readSnapshot(iv).limit(0), Nil,
+          expectedParent = Some(iv),
+          props = im.props + (BaseVersionProp -> toV.toString))
+        movePin(base, name, toV)
+        return toV
+      }
+      // A span that churned most files prices the 2× replay out — REBUILD
+      // in one O(base) projection (the create pass) instead. OPT-IN per
+      // call site (the join view's lockstep sync, which may be catching an
+      // index up across a span its own router recomputed over): the file
+      // diff over-prices point deletes masking many files, and the default
+      // replay keeps the pinned bucket-targeted write contract for them.
+      val rescanFrac = base.spark.conf
+        .getOption("spark.graft.agg.refresh.rescanFraction")
+        .map(_.toDouble).getOrElse(0.5)
+      val (ad, rm) = TableStore.changelogFileDiffSizes(base, fromV, toV)
+      if (allowRebuild && math.max(ad, rm).toDouble /
+          math.max(1L, bm.nFiles).toDouble >= rescanFrac) {
+        idx.commitBucketed(
+          base.readSnapshot(toV).select(cols.map(col): _*),
+          indexKeys, im.numBuckets, expectedParent = Some(iv),
+          props = im.props + (BaseVersionProp -> toV.toString))
+        movePin(base, name, toV)
+        return toV
+      }
+    }
+    val (preFrame, postFrame) = shared match {
+      case Some((p, q)) => (p, q)
+      case None => base.changelogFrames(fromV, toV)
     }
     val rawPre = preFrame.select(cols.map(col): _*)
     val rawPost = postFrame.select(cols.map(col): _*)
@@ -234,15 +282,39 @@ object SecondaryIndex {
     val post = rawPost.except(rawPre).persist()
     try {
       val bucketCol = TableStore.bucketExpr(indexKeys, im.numBuckets)
-      val touched = pre.select(bucketCol.as("b"))
+      val touched = phase(base.spark, "idx:excepts+touched") {
+        pre.select(bucketCol.as("b"))
         .union(post.select(bucketCol.as("b")))
-        .distinct().collect().map(_.getLong(0)).toSeq.sorted // ≤ numBuckets rows
+        .distinct().collect().map(_.getLong(0)).toSeq.sorted } // ≤ numBuckets rows
       if (touched.isEmpty) {
         // base moved but no keyed rows changed (metadata-only, compaction,
         // purge): just advance the watermark
         idx.commitIncremental(idx.readSnapshot(iv).limit(0), Nil,
           expectedParent = Some(iv),
           props = im.props + (BaseVersionProp -> toV.toString))
+        movePin(base, name, toV)
+        return toV
+      }
+      // ROUTE ON THE REAL COST DRIVER (r11): the replay's price is the
+      // TOUCHED index buckets — it reads them whole, anti-joins, and
+      // rewrites them through an unclustered partition-targeted write. A
+      // base span whose netted keys scatter into most buckets (a
+      // whole-bucket fact rewrite, a broad eq upsert) makes that a full
+      // index rewrite done the expensive way, while the base-side file
+      // diff can still price as "small" (the pre-read rebuild gate above
+      // never fires). `touched` is exact and already paid for — when it
+      // covers ≥ rescanFraction of the buckets, rebuild in ONE clustered
+      // O(base) projection instead. Point churn (few buckets) keeps the
+      // bucket-targeted replay and its inherited-file contract.
+      val rescanFrac2 = base.spark.conf
+        .getOption("spark.graft.agg.refresh.rescanFraction")
+        .map(_.toDouble).getOrElse(0.5)
+      if (touched.size >= im.numBuckets.toDouble * rescanFrac2) {
+        phase(base.spark, "idx:rebuild") {
+          idx.commitBucketed(
+            base.readSnapshot(toV).select(cols.map(col): _*),
+            indexKeys, im.numBuckets, expectedParent = Some(iv),
+            props = im.props + (BaseVersionProp -> toV.toString)) }
         movePin(base, name, toV)
         return toV
       }
@@ -256,8 +328,9 @@ object SecondaryIndex {
       val kept = idx.readBuckets(touched, iv)
         .join(changedKeys, baseKeys, "left_anti")
       val updated = kept.unionByName(post)
-      idx.commitIncremental(updated, touched, expectedParent = Some(iv),
-        props = im.props + (BaseVersionProp -> toV.toString))
+      phase(base.spark, "idx:commit-incremental") {
+        idx.commitIncremental(updated, touched, expectedParent = Some(iv),
+          props = im.props + (BaseVersionProp -> toV.toString)) }
     } finally { pre.unpersist(); post.unpersist() }
     movePin(base, name, toV)
     toV

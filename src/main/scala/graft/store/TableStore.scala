@@ -756,6 +756,26 @@ class TableStore(val spark: SparkSession, val root: String,
     }
   }
 
+  /** Total data bytes of the given buckets' files at `version` — pure
+    * metadata, the planning-time upper bound on rows sourced from those
+    * buckets (broadcast gates size the re-join's build side from this
+    * before reading anything). */
+  def bucketBytes(buckets: Seq[Long], version: Long = -1L): Long = {
+    val m = manifest(resolveVersion(version))
+    if (m.bucketKeys.isEmpty) return Long.MaxValue
+    val bs = buckets.toSet
+    if (!m.isSharded)
+      metaFor(m, m.inlineFiles.filter(f =>
+        bucketOfFile(f).exists(bs.contains))).map(_.bytes).sum
+    else {
+      val covering = m.shards.filter(_.buckets.exists(bs.contains)).map(_.path)
+      if (covering.isEmpty) 0L
+      else ManifestShards.read(spark, covering)
+        .filter((fm: ManifestShards.FileMeta) => bs.contains(fm.bucket))
+        .collect().map(_.bytes).sum
+    }
+  }
+
   /** Manifest-level file diff between two committed snapshots: (added,
     * removed) data-file lists. Pure metadata — no data is listed or read.
     * Inherited files (same path in both manifests) are byte-identical by the
@@ -3645,6 +3665,33 @@ object TableStore {
     val res = (ad.size, rm.size)
     if (diffSizeMemo.size > 4096) diffSizeMemo.clear()
     diffSizeMemo.put(key, res)
+    res
+  }
+
+  private val diffByteMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, Long), java.lang.Long]
+
+  /** BYTES of the span's changed files — max of the added side (priced
+    * under `b`'s manifest) and the removed side (under `a`'s). An upper
+    * bound on the span's netted-key frames (keys project a subset of the
+    * changed files' rows), so a small result licenses BROADCASTING those
+    * frames into semi/anti joins against a huge stored view — the
+    * absolute-size gate the fractional rescan pricing cannot give
+    * (0.4 × a 100 TB fact is "cheap" fractionally and catastrophic to
+    * broadcast). Memoized (immutable per span); sharded manifests price
+    * via [[TableStore.metaFor]]'s O(subset) lookup. */
+  private[graft] def spanChangedBytes(st: TableStore, a: Long,
+      b: Long): Long = {
+    if (a >= b || contentPreservingSpan(st, a, b)) return 0L
+    val key = (st.memoKey, a, b)
+    val c = diffByteMemo.get(key)
+    if (c != null) return c.longValue
+    val (ad, rm) = st.changelogFileDiff(a, b)
+    val addB = st.metaFor(st.manifest(b), ad).map(_.bytes).sum
+    val rmB = st.metaFor(st.manifest(a), rm).map(_.bytes).sum
+    val res = math.max(addB, rmB)
+    if (diffByteMemo.size > 4096) diffByteMemo.clear()
+    diffByteMemo.put(key, java.lang.Long.valueOf(res))
     res
   }
 

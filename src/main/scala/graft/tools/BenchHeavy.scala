@@ -328,6 +328,41 @@ object BenchHeavy {
       }
     } finally
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    // r11: the case pruning exists FOR — POINT churn between cadence
+    // passes (the live-feed steady state). The probe above churns a
+    // whole fact bucket, so its rows' scattered keys saturate every
+    // dim bucket and the pruned read correctly falls back to the full
+    // dim (the pair measures that fallback's overhead). Here the view
+    // is refreshed past the big spans first, then a handful of fact
+    // PKs and two dim keys churn: the pruned re-join reads only those
+    // keys' buckets, and the pair measures the economy. (The refresh
+    // and DML run under DEFAULT broadcast config — only the serve
+    // probes disable auto-broadcast to model a non-broadcastable dim;
+    // the engine's own byte-gated hints still apply, as they would at
+    // scale.)
+    t("jv_tail_refresh") {
+      graft.store.MaterializedJoin.refresh(store, "jv_bench")
+    }
+    t("jv_tail_point_fact") {
+      store.upsertEq(store.readSnapshot()
+        .filter(col("o_orderkey").isin(11L, 501011L, 1000011L))
+        .withColumn("o_totalprice", col("o_totalprice") + 2.0)
+        .withColumn("op", lit("PUT")))
+    }
+    t("jv_tail_point_dim") {
+      dimStore.upsertEq(dimStore.readSnapshot()
+        .filter(col("o_custkey").isin(97L, 1097L))
+        .withColumn("cust_tier", lit("t_point"))
+        .withColumn("op", lit("PUT")))
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      t("jv_tail_point_read") { jvTailCount() }
+      spark.conf.set("spark.graft.agg.rewrite.tail.pruneDims", "false")
+      try t("jv_tail_point_read_noprune") { jvTailCount() }
+      finally spark.conf.unset("spark.graft.agg.rewrite.tail.pruneDims")
+    } finally
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
     def jmap(m: collection.Map[String, Double]) =
       m.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
