@@ -60,8 +60,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private def hadoopConf = spark.sparkContext.hadoopConfiguration
   private def fs(p: Path) = p.getFileSystem(hadoopConf)
 
+  /** `$join_` / `$agg_` / `$idx_` derivative markers → path segments,
+    * applied repeatedly left to right so denormalization-pyramid names
+    * chain (`tbl$join_v1$join_v2` → `tbl/join/v1/join/v2`) and meta
+    * tables address any level (`tbl$join_v1$joins`). */
+  private def mapMarkers(name: String): String = {
+    val markers =
+      Seq("$join_" -> "/join/", "$agg_" -> "/agg/", "$idx_" -> "/index/")
+    var out = name
+    var hit = true
+    while (hit) {
+      markers.map(m => (out.indexOf(m._1), m))
+        .filter(_._1 >= 0).sortBy(_._1).headOption match {
+        case Some((i, (m, dir))) =>
+          out = out.substring(0, i) + dir + out.substring(i + m.length)
+        case None => hit = false
+      }
+    }
+    out
+  }
+
   private def tableRoot(ident: Identifier): String =
-    (warehouse +: ident.namespace.toSeq :+ ident.name).mkString("/")
+    (warehouse +: ident.namespace.toSeq :+ mapMarkers(ident.name))
+      .mkString("/")
 
   /** Write-audit-publish session routing (Iceberg's `spark.wap.branch`):
     * when `spark.graft.wap.branch` names a branch that EXISTS on the
@@ -123,37 +144,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     else if (ident.name.endsWith("$joins"))
       joinsMetaTable(Identifier.of(ident.namespace,
         ident.name.stripSuffix("$joins")))
-    else if (ident.name.contains("$join_")) {
-      // `tbl$join_<name>` — a materialized join view as a queryable table:
-      // the view IS a graft table under `<fact-root>/join/<name>` bucketed
-      // on the fact's primary keys, so PK predicates bucket-prune like any
-      // graft scan and the denormalized row needs no join at read time.
-      val i = ident.name.indexOf("$join_")
-      val base = ident.name.substring(0, i)
-      val joinName = ident.name.substring(i + "$join_".length)
+    else if (Seq("$join_", "$agg_", "$idx_").exists(ident.name.contains)) {
+      // Derivative stores as queryable tables — each IS a graft table
+      // under the base's root:
+      //  - `tbl$join_<n>` → `<root>/join/<n>`: a materialized join view,
+      //    bucketed on the fact's primary keys, so PK predicates
+      //    bucket-prune and the denormalized row needs no join at read;
+      //  - `tbl$agg_<n>` → `<root>/agg/<n>`: a materialized aggregate
+      //    view's RAW partials (sum_c, nn_c, _cnt), bucketed on the GROUP
+      //    keys (`CALL agg_view(...)` registers the SQL-semantic
+      //    projection);
+      //  - `tbl$idx_<n>` → `<root>/index/<n>`: a secondary index, covered
+      //    queries run over it directly (bucket-pruned on the index keys).
+      // Markers map REPEATEDLY, left to right, so a denormalization
+      // pyramid chains: `tbl$join_v1$join_v2` → `tbl/join/v1/join/v2`
+      // (and a stacked aggregate reads as `tbl$join_v1$agg_daily`).
       snapshotTable(Identifier.of(ident.namespace,
-        s"$base/join/$joinName"), None)
-    } else if (ident.name.contains("$agg_")) {
-      // `tbl$agg_<name>` — a materialized aggregate view as a queryable
-      // table: the view IS a graft table under `<base-root>/agg/<name>`
-      // bucketed on the GROUP keys, so group-key predicates bucket-prune
-      // like any graft scan. Serves the RAW partials (sum_c, nn_c, _cnt);
-      // `CALL agg_view(...)` registers the SQL-semantic projection.
-      val i = ident.name.indexOf("$agg_")
-      val base = ident.name.substring(0, i)
-      val aggName = ident.name.substring(i + "$agg_".length)
-      snapshotTable(Identifier.of(ident.namespace,
-        s"$base/agg/$aggName"), None)
-    } else if (ident.name.contains("$idx_")) {
-      // `tbl$idx_<name>` — a secondary index as a queryable table: the
-      // index IS a graft table under `<base-root>/index/<name>`, so covered
-      // queries run over it directly through SQL (bucket-pruned on the
-      // index keys like any bucketed graft scan)
-      val i = ident.name.indexOf("$idx_")
-      val base = ident.name.substring(0, i)
-      val idxName = ident.name.substring(i + "$idx_".length)
-      snapshotTable(Identifier.of(ident.namespace,
-        s"$base/index/$idxName"), None)
+        mapMarkers(ident.name)), None)
     } else snapshotTable(ident, None)
 
   /** `SELECT * FROM cat.ns.`tbl$snapshots`` — snapshot history as a queryable

@@ -67,14 +67,23 @@ object GraftProcedures {
     // derivative tables address like they read: `tbl$join_<n>` /
     // `tbl$agg_<n>` / `tbl$idx_<n>` resolve to the derivative's own store,
     // so procedures stack (an aggregate view CREATED OVER a join view is
-    // `create_agg_view('ns.fact$join_denorm', ...)`)
-    val mapped = parts.toSeq.map { seg =>
+    // `create_agg_view('ns.fact$join_denorm', ...)`). Markers map
+    // repeatedly, left to right, so a denormalization PYRAMID chains:
+    // `tbl$join_v1$join_v2` → `tbl/join/v1/join/v2` (r11).
+    val markers =
       Seq("$join_" -> "/join/", "$agg_" -> "/agg/", "$idx_" -> "/index/")
-        .collectFirst {
-          case (marker, dir) if seg.contains(marker) =>
-            val i = seg.indexOf(marker)
-            seg.substring(0, i) + dir + seg.substring(i + marker.length)
-        }.getOrElse(seg)
+    val mapped = parts.toSeq.map { seg =>
+      var out = seg
+      var hit = true
+      while (hit) {
+        markers.map(m => (out.indexOf(m._1), m))
+          .filter(_._1 >= 0).sortBy(_._1).headOption match {
+          case Some((i, (m, dir))) =>
+            out = out.substring(0, i) + dir + out.substring(i + m.length)
+          case None => hit = false
+        }
+      }
+      out
     }
     catalog.storeForPath(mapped)
   }

@@ -277,21 +277,24 @@ object StreamingOps {
     // join views: the fact-side cadence picks up BOTH sides' changes
     // (refresh reads the dim's current snapshot), so a dim-only deployment
     // needs no cadence of its own for the view to stay fresh
+    // STACKED derivatives, parent before child: a join view is a regular
+    // graft table, so aggregate views, covering indexes, AND further join
+    // views (the denormalization pyramid, r11) stack over it with the
+    // whole signed-replay machinery unchanged — the recursion refreshes
+    // each level only after its base level advanced, so no level ever
+    // serves rows newer than its watermark claims.
+    def refreshJoinPyramid(base: graft.store.TableStore): Unit =
+      graft.store.MaterializedJoin.list(base).foreach { n =>
+        graft.store.MaterializedJoin.refresh(base, n)
+        val vs = graft.store.MaterializedJoin.viewStore(base, n)
+        graft.store.SecondaryIndex.list(vs)
+          .foreach(ix => graft.store.SecondaryIndex.refresh(vs, ix))
+        graft.store.MaterializedAgg.list(vs)
+          .foreach(a => graft.store.MaterializedAgg.refresh(vs, a))
+        refreshJoinPyramid(vs)
+      }
     if (policy.refreshAggs && store.branch.isEmpty)
-      graft.store.MaterializedJoin.list(store)
-        .foreach { n =>
-          graft.store.MaterializedJoin.refresh(store, n)
-          // STACKED derivatives, one level: aggregate views created OVER a
-          // join view (the dashboard over the denormalized rows) refresh
-          // right after their base view advances — the join view is a
-          // regular graft table, so the whole signed-replay machinery
-          // applies unchanged
-          val vs = graft.store.MaterializedJoin.viewStore(store, n)
-          graft.store.SecondaryIndex.list(vs)
-            .foreach(ix => graft.store.SecondaryIndex.refresh(vs, ix))
-          graft.store.MaterializedAgg.list(vs)
-            .foreach(a => graft.store.MaterializedAgg.refresh(vs, a))
-        }
+      refreshJoinPyramid(store)
     // GC is MAIN-scoped: a branch view refuses vacuum/expiry by design
     // (deleting shared state from a fork view would pull files out from
     // under main), so a branch CDC loop's cadence runs the hygiene commits
@@ -310,8 +313,15 @@ object StreamingOps {
       // manifest (plus superseded bucket files) per refresh per
       // derivative, unboundedly. Same knobs as the base: purge past the
       // mask threshold, keep `keepSnapshots` snapshots.
-      val joinStores = graft.store.MaterializedJoin.list(store)
-        .map(graft.store.MaterializedJoin.viewStore(store, _))
+      // join stores recurse through the pyramid: every level's view store
+      // (and its stacked aggregates + covering indexes) commits one
+      // snapshot per refresh and needs the same hygiene
+      def joinStoresOf(base: graft.store.TableStore)
+          : Seq[graft.store.TableStore] =
+        graft.store.MaterializedJoin.list(base)
+          .map(graft.store.MaterializedJoin.viewStore(base, _))
+          .flatMap(vs => vs +: joinStoresOf(vs))
+      val joinStores = joinStoresOf(store)
       val derivatives =
         graft.store.SecondaryIndex.list(store)
           .map(graft.store.SecondaryIndex.indexStore(store, _)) ++

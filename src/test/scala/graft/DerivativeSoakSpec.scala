@@ -15,8 +15,11 @@ import graft.streaming.StreamingOps
   *        ── aggregate view (`base_agg`, by fk)
   *        └─ join view (`jv`, dim keyed on the join column)
   *              ── covering index (auto)
-  *              └─ stacked aggregate (`by_attr`, with a COUNT(DISTINCT)
-  *                 companion)
+  *              ── stacked aggregate (`by_attr`, with a COUNT(DISTINCT)
+  *              │  companion)
+  *              └─ STACKED JOIN VIEW (`jv2`, r11 — the denormalization
+  *                 pyramid: a second dim keyed on jv's PROJECTED `extra`
+  *                 column, the snowflake shape)
   *
   * Every epoch ends with ONE maintenance pass on the fact; the spec then
   * asserts end-of-cadence freshness of every layer and ORACLE PARITY of
@@ -45,10 +48,16 @@ class DerivativeSoakSpec extends SparkSuite {
     SecondaryIndex.create(fact, "by_amt", Seq("amt"), Seq("fk"), 8)
     MaterializedAgg.create(fact, "base_agg", Seq("fk"), Seq("amt"), 4)
     MaterializedJoin.create(fact, "jv", dim, Seq("fk"), Seq("k"),
-      Seq("attr"))
+      Seq("attr", "extra"))
     val vs = MaterializedJoin.viewStore(fact, "jv")
     MaterializedAgg.create(vs, "by_attr", Seq("attr"), Seq("amt"), 2,
       distinctCols = Seq("fk"))
+    // the pyramid level: dim2 keyed on jv's PROJECTED (level-1) column
+    val dim2 = new TableStore(spark, s"$root/analytics/dim2")
+    dim2.commitBucketed((0L to 49L).map(k =>
+      (s"x$k", s"t${k % 5}")).toDF("xk", "tier"), Seq("xk"), 4)
+    MaterializedJoin.create(vs, "jv2", dim2, Seq("extra"), Seq("xk"),
+      Seq("tier"))
     val policy = StreamingOps.CdcMaintenance(everyNCommits = 1,
       maxFilesPerBucket = 3, keepSnapshots = 3, branchMaxAgeMs = 0L)
 
@@ -57,6 +66,11 @@ class DerivativeSoakSpec extends SparkSuite {
     def joinedNow() = factNow().as("l")
       .join(dimNow().as("r"), col("l.fk") === col("r.k"), "inner")
       .select(col("id"), col("fk"), col("amt"), col("attr"))
+    def pyramidNow() = factNow().as("l")
+      .join(dim.readSnapshot().select(col("k"), col("attr"), col("extra"))
+        .as("r"), col("l.fk") === col("r.k"), "inner")
+      .join(dim2.readSnapshot(), col("extra") === col("xk"), "inner")
+      .select(col("id"), col("fk"), col("amt"), col("attr"), col("tier"))
 
     def assertAllFreshAndExact(epoch: Int): Unit = {
       // freshness flags across the layers
@@ -69,6 +83,9 @@ class DerivativeSoakSpec extends SparkSuite {
         s"epoch $epoch: the join view is stale after the cadence")
       assert(MaterializedAgg.status(vs).forall(s => s._5 == s._6),
         s"epoch $epoch: the stacked aggregate is stale after the cadence")
+      assert(MaterializedJoin.status(vs).forall(s =>
+        s._4 == s._5 && s._6 == s._7),
+        s"epoch $epoch: the PYRAMID level is stale after the cadence")
       // oracle parity, layer by layer
       assert(canon(MaterializedJoin.read(fact, "jv")
         .select(col("id"), col("fk"), col("amt"), col("attr"))) ==
@@ -83,6 +100,10 @@ class DerivativeSoakSpec extends SparkSuite {
         canon(joinedNow().groupBy("attr").agg(sum("amt").as("s"),
           count(lit(1)).as("c"), countDistinct(col("fk")).as("d"))),
         s"epoch $epoch: stacked aggregate (or companion) diverged")
+      assert(canon(MaterializedJoin.read(vs, "jv2")
+        .select(col("id"), col("fk"), col("amt"), col("attr"),
+          col("tier"))) == canon(pyramidNow()),
+        s"epoch $epoch: the pyramid level diverged")
       // GSI content parity
       assert(canon(SecondaryIndex.lookup(fact, "by_amt",
         col("amt") % 100 === 0, Seq("id", "fk", "amt"))) ==
@@ -139,6 +160,11 @@ class DerivativeSoakSpec extends SparkSuite {
         .filter(col("k").isin(e.toLong, e + 10L))
         .withColumn("attr", concat(lit(s"e$e"), col("attr")))
         .withColumn("op", lit("PUT")))
+      // 3b. pyramid-dim churn (flows through the stacked level only)
+      dim2.upsertEq(dim2.readSnapshot()
+        .filter(col("xk").isin(s"x$e", s"x${e + 20}"))
+        .withColumn("tier", concat(lit(s"e$e"), col("tier")))
+        .withColumn("op", lit("PUT")))
       // 4. epoch-specific structural event
       if (e == 2) fact.compact(targetFiles = 2)
       if (e == 3) {
@@ -172,7 +198,8 @@ class DerivativeSoakSpec extends SparkSuite {
     }
     // hygiene: a 4-epoch feed must not accumulate unbounded snapshots in
     // any derivative store (each refresh is a commit)
-    val stores = Seq(vs, SecondaryIndex.indexStore(fact, "by_amt"),
+    val stores = Seq(vs, MaterializedJoin.viewStore(vs, "jv2"),
+      SecondaryIndex.indexStore(fact, "by_amt"),
       MaterializedAgg.aggStore(fact, "base_agg"),
       MaterializedAgg.aggStore(vs, "by_attr"))
     stores.foreach { st =>

@@ -452,4 +452,49 @@ class JoinViewRewriteSpec extends SparkSuite {
     MaterializedJoin.refresh(fact, "denorml")
     check(q, expectFire = true)
   }
+
+  test("PYRAMID: the rewrite self-composes at the fixpoint — a snowflake " +
+      "chain answers from the stacked view's store") {
+    val f2 = new TableStore(spark, s"$warehouse/analytics/fct2")
+    val dA = new TableStore(spark, s"$warehouse/analytics/dma")
+    val dB = new TableStore(spark, s"$warehouse/analytics/dmb")
+    if (f2.currentVersion() < 0) {
+      f2.commitBucketed((1L to 300L).map(i => (i, i % 40, i * 3))
+        .toDF("id", "fk", "amt"), Seq("id"), 8)
+      dA.commitBucketed((0L to 49L).map(k => (k, k % 7, s"a$k"))
+        .toDF("k", "grp", "attr1"), Seq("k"), 4)
+      dB.commitBucketed((0L to 6L).map(g => (g, s"g$g"))
+        .toDF("g", "attr2"), Seq("g"), 2)
+      MaterializedJoin.create(f2, "v1", dA, Seq("fk"), Seq("k"),
+        Seq("grp", "attr1"))
+      MaterializedJoin.create(MaterializedJoin.viewStore(f2, "v1"), "v2",
+        dB, Seq("grp"), Seq("g"), Seq("attr2"))
+    }
+    // dB joins on dA's PROJECTED column — no single flat view covers
+    // this chain; the inner join matches v1, its splice is a DSv2 scan
+    // of v1's store, and the NEXT fixpoint iteration matches that scan
+    // joined to dB against v2 (registered ON v1's store)
+    val q =
+      """SELECT f.id, f.amt, a.attr1, b.attr2
+        |FROM jv_cat.analytics.fct2 f
+        |JOIN jv_cat.analytics.dma a ON f.fk = a.k
+        |JOIN jv_cat.analytics.dmb b ON a.grp = b.g
+        |WHERE f.amt > 30""".stripMargin
+    val on = spark.sql(q)
+    assert(AggViewRewrite.served(on, "/join/v1/join/v2"),
+      s"snowflake chain must serve from the stacked view:\n" +
+        s"${on.queryExecution.optimizedPlan}")
+    val onRows = on.collect().map(_.toString).sorted.toSeq
+    spark.conf.set("spark.graft.agg.rewrite", "false")
+    try {
+      val off = spark.sql(q)
+      assert(!fired(off))
+      assert(onRows == off.collect().map(_.toString).sorted.toSeq,
+        "pyramid rewrite changed results")
+    } finally spark.conf.set("spark.graft.agg.rewrite", "true")
+    // the nested store reads as a chained-marker catalog table too
+    assert(spark.sql(
+      "SELECT * FROM jv_cat.analytics.`fct2$join_v1$join_v2`").count() ==
+      spark.sql(q.replace("WHERE f.amt > 30", "")).count())
+  }
 }

@@ -300,25 +300,30 @@ class MaterializedJoinSpec extends SparkSuite {
     assert(!dim2.listRefs().exists(_.name.contains("-star")))
   }
 
-  test("join views refuse derivative bases (fact or dim) until pyramids " +
-      "are cadence-maintained") {
+  test("derivative-base contract: view-as-FACT stacks (the pyramid, " +
+      "cadence-maintained since r11); view-as-DIM and index/agg facts " +
+      "still refuse") {
     val (fact, dim) = fresh(); seed(fact, dim)
     MaterializedJoin.create(fact, "jv", dim, Seq("fk"), Seq("k"),
       Seq("attr"))
     val vs = MaterializedJoin.viewStore(fact, "jv")
-    // join view over a join view: refused through the store API
-    val e1 = intercept[IllegalArgumentException](MaterializedJoin.create(
-      vs, "jj", dim, Seq("fk"), Seq("k"), Seq("extra")))
-    assert(e1.getMessage.contains("derivative"))
-    // a join view as the DIM side: refused symmetrically
+    // join view over a join view: ALLOWED (StreamingOps.maintain walks
+    // the pyramid parent-before-child; exactness pinned in the PYRAMID
+    // test above) — here just the registration contract
+    MaterializedJoin.create(vs, "jj", dim, Seq("fk"), Seq("k"),
+      Seq("extra"))
+    assert(MaterializedJoin.list(vs) == Seq("jj"))
+    assert(MaterializedJoin.drop(vs, "jj"))
+    // a join view as the DIM side: refused (no cadence refreshes a dim)
     val e2 = intercept[IllegalArgumentException](MaterializedJoin.create(
       fact, "jd", vs, Seq("id"), Seq("id"), Seq()))
     assert(e2.getMessage.contains("derivative"))
-    // index/agg stores as fact: refused
+    // index/agg stores as fact: refused (their rows are not the fact
+    // relation)
     val idxStore = SecondaryIndex.indexStore(fact, "join-jv")
     val e3 = intercept[IllegalArgumentException](MaterializedJoin.create(
       idxStore, "ji", dim, Seq("fk"), Seq("k"), Seq("extra")))
-    assert(e3.getMessage.contains("derivative"))
+    assert(e3.getMessage.contains("aggregate/index"))
   }
 
   test("a duplicate-keyed dim is refused at create (the one-live-row " +
@@ -487,5 +492,84 @@ class MaterializedJoinSpec extends SparkSuite {
       .withColumn("attr", lit("post_migrate")).withColumn("op", lit("PUT")))
     MaterializedJoin.refresh(fact, "jv")
     assert(viewRows(fact) == recompute(fact, dim, "inner"))
+  }
+
+  test("PYRAMID: a join view stacks over a join view (snowflake dim on a " +
+      "level-1 projected column); refresh parent-then-child stays exact " +
+      "and one maintenance pass walks every level") {
+    val root = java.nio.file.Files.createTempDirectory("graft_pyr").toString
+    val fact = new TableStore(spark, s"$root/fact")
+    val d1 = new TableStore(spark, s"$root/d1")
+    val d2 = new TableStore(spark, s"$root/d2")
+    // fact(id, fk→d1, amt); d1(k, grp [projected], attr1); d2(g, attr2) —
+    // d2 keys on d1's PROJECTED column `grp`: the snowflake shape a
+    // single multi-dim view cannot express (its dims key on fact columns)
+    fact.commitBucketed((1L to 400L).map(i => (i, i % 40, i * 10))
+      .toDF("id", "fk", "amt"), Seq("id"), 8)
+    d1.commitBucketed((0L to 49L).map(k => (k, k % 7, s"a$k"))
+      .toDF("k", "grp", "attr1"), Seq("k"), 4)
+    d2.commitBucketed((0L to 6L).map(g => (g, s"g$g"))
+      .toDF("g", "attr2"), Seq("g"), 2)
+    MaterializedJoin.create(fact, "v1", d1, Seq("fk"), Seq("k"),
+      Seq("grp", "attr1"))
+    val v1 = MaterializedJoin.viewStore(fact, "v1")
+    MaterializedJoin.create(v1, "v2", d2, Seq("grp"), Seq("g"),
+      Seq("attr2"))
+    def expect(): Seq[String] = canon(
+      fact.readSnapshot().join(d1.readSnapshot()
+          .select(col("k"), col("grp"), col("attr1")),
+        col("fk") === col("k"), "inner").drop("k")
+        .join(d2.readSnapshot(), col("grp") === col("g"), "inner")
+        .select(col("id"), col("fk"), col("amt"), col("grp"),
+          col("attr1"), col("attr2")))
+    def got(): Seq[String] = canon(MaterializedJoin.read(v1, "v2")
+      .select(col("id"), col("fk"), col("amt"), col("grp"), col("attr1"),
+        col("attr2")))
+    assert(got() == expect(), "pyramid create must equal the 3-way join")
+    // churn ALL THREE levels: fact amounts, a d1 row RE-GROUPED (its fact
+    // rows must swing to another d2 row's attr — the snowflake cascade),
+    // a d2 attr update; refresh parent then child (the cadence order)
+    fact.upsertEq(fact.readSnapshot().filter(col("id") % 17 === 3)
+      .withColumn("amt", col("amt") + 5).withColumn("op", lit("PUT")))
+    d1.upsertEq(Seq((3L, 5L, "a3_v2")).toDF("k", "grp", "attr1")
+      .withColumn("op", lit("PUT")))
+    d2.upsertEq(Seq((5L, "g5_v2")).toDF("g", "attr2")
+      .withColumn("op", lit("PUT")))
+    MaterializedJoin.refresh(fact, "v1")
+    MaterializedJoin.refresh(v1, "v2")
+    assert(got() == expect(), "pyramid refresh must stay exact")
+    // ONE maintenance pass on the BASE covers the whole pyramid in
+    // dependency order (level 2 must never refresh before level 1)
+    fact.upsertEq(fact.readSnapshot().filter(col("id") % 23 === 1)
+      .withColumn("amt", col("amt") + 7).withColumn("op", lit("PUT")))
+    d1.upsertEq(Seq((8L, 1L, "a8_v2")).toDF("k", "grp", "attr1")
+      .withColumn("op", lit("PUT")))
+    graft.streaming.StreamingOps.maintain(fact,
+      graft.streaming.StreamingOps.CdcMaintenance(keepSnapshots = 3))
+    assert(got() == expect(), "one maintain pass must walk the pyramid")
+    assert(MaterializedJoin.status(v1).forall(r => r._4 == r._5 &&
+      r._6 == r._7), "level 2 must end the pass fresh")
+    // drop cascades: the nested view (and its pins on d2) go with v1
+    assert(MaterializedJoin.drop(fact, "v1"))
+    assert(MaterializedJoin.list(fact).isEmpty)
+    assert(!d2.listRefs().exists(_.name.contains("-v2-")),
+      "dropping v1 must drop the nested v2's pins on d2")
+  }
+
+  test("PYRAMID guards: agg/index stores refuse as the fact; any " +
+      "derivative still refuses as a dim") {
+    val (fact, dim) = fresh(); seed(fact, dim)
+    MaterializedJoin.create(fact, "jv", dim, Seq("fk"), Seq("k"),
+      Seq("attr"))
+    val vs = MaterializedJoin.viewStore(fact, "jv")
+    val e1 = intercept[IllegalArgumentException](MaterializedJoin.create(
+      fact, "bad", vs, Seq("fk"), Seq("id"), Seq("attr")))
+    assert(e1.getMessage.contains("real tables as dims"))
+    graft.store.MaterializedAgg.create(fact, "a1", Seq("fk"), Nil,
+      numBuckets = 2)
+    val aggSt = graft.store.MaterializedAgg.aggStore(fact, "a1")
+    val e2 = intercept[IllegalArgumentException](MaterializedJoin.create(
+      aggSt, "bad", dim, Seq("fk"), Seq("k"), Seq("attr")))
+    assert(e2.getMessage.contains("aggregate/index stores"))
   }
 }
