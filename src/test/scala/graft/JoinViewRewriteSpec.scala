@@ -453,8 +453,7 @@ class JoinViewRewriteSpec extends SparkSuite {
     check(q, expectFire = true)
   }
 
-  test("PYRAMID: the rewrite self-composes at the fixpoint — a snowflake " +
-      "chain answers from the stacked view's store") {
+  private def pyramidSetup(): (TableStore, TableStore, TableStore) = {
     val f2 = new TableStore(spark, s"$warehouse/analytics/fct2")
     val dA = new TableStore(spark, s"$warehouse/analytics/dma")
     val dB = new TableStore(spark, s"$warehouse/analytics/dmb")
@@ -470,6 +469,12 @@ class JoinViewRewriteSpec extends SparkSuite {
       MaterializedJoin.create(MaterializedJoin.viewStore(f2, "v1"), "v2",
         dB, Seq("grp"), Seq("g"), Seq("attr2"))
     }
+    (f2, dA, dB)
+  }
+
+  test("PYRAMID: the rewrite self-composes at the fixpoint — a snowflake " +
+      "chain answers from the stacked view's store") {
+    val (f2, dA, dB) = pyramidSetup()
     // dB joins on dA's PROJECTED column — no single flat view covers
     // this chain; the inner join matches v1, its splice is a DSv2 scan
     // of v1's store, and the NEXT fixpoint iteration matches that scan
@@ -496,5 +501,77 @@ class JoinViewRewriteSpec extends SparkSuite {
     assert(spark.sql(
       "SELECT * FROM jv_cat.analytics.`fct2$join_v1$join_v2`").count() ==
       spark.sql(q.replace("WHERE f.amt > 30", "")).count())
+  }
+
+  test("PYRAMID TAIL: a stale level-2 view tail-serves EXACTLY while " +
+      "level 1 is fresh (the mid-cadence pyramid state)") {
+    val (f2, dA, dB) = pyramidSetup()
+    val v1 = MaterializedJoin.viewStore(f2, "v1")
+    // bring both levels current, then churn the fact and refresh ONLY v1:
+    // the stacked view is now stale exactly one level deep
+    MaterializedJoin.refresh(f2, "v1")
+    MaterializedJoin.refresh(v1, "v2")
+    f2.upsertEq(f2.readSnapshot().filter(col("id") % 29 === 5)
+      .withColumn("amt", col("amt") + 9).withColumn("op", lit("PUT")))
+    MaterializedJoin.refresh(f2, "v1")
+    val v2st = MaterializedJoin.viewStore(v1, "v2")
+    val (v1v, v2v) = (v1.currentVersion(), v2st.currentVersion())
+    spark.catalog.refreshTable("jv_cat.analytics.fct2")
+    val q =
+      """SELECT f.id, f.amt, a.attr1, b.attr2
+        |FROM jv_cat.analytics.fct2 f
+        |JOIN jv_cat.analytics.dma a ON f.fk = a.k
+        |JOIN jv_cat.analytics.dmb b ON a.grp = b.g""".stripMargin
+    spark.conf.set("spark.graft.agg.rewrite.tailUnion", "true")
+    spark.conf.set("spark.graft.agg.refresh.rescanFraction", "2.0")
+    try {
+      val on = spark.sql(q)
+      assert(AggViewRewrite.served(on, "/join/v1/join/v2"),
+        s"the stale pyramid must tail-serve from the nested store:\n" +
+          s"${on.queryExecution.optimizedPlan}")
+      val onRows = on.collect().map(_.toString).sorted.toSeq
+      spark.conf.set("spark.graft.agg.rewrite", "false")
+      try assert(onRows ==
+        spark.sql(q).collect().map(_.toString).sorted.toSeq,
+        "pyramid tail serving diverged")
+      finally spark.conf.set("spark.graft.agg.rewrite", "true")
+      // a READ path: neither view store may commit
+      assert(v1.currentVersion() == v1v && v2st.currentVersion() == v2v)
+    } finally {
+      spark.conf.unset("spark.graft.agg.rewrite.tailUnion")
+      spark.conf.unset("spark.graft.agg.refresh.rescanFraction")
+    }
+  }
+
+  test("PYRAMID + STACKED AGG: three rewrites compose at the fixpoint — " +
+      "the snowflake GROUP BY answers from the aggregate over the " +
+      "stacked view") {
+    val (f2, dA, dB) = pyramidSetup()
+    val v1 = MaterializedJoin.viewStore(f2, "v1")
+    val v2st = MaterializedJoin.viewStore(v1, "v2")
+    // ensure the pyramid is current (earlier cases may have churned it),
+    // then stack an aggregate on the level-2 store
+    MaterializedJoin.refresh(f2, "v1")
+    MaterializedJoin.refresh(v1, "v2")
+    if (!graft.store.MaterializedAgg.list(v2st).contains("by_attr2"))
+      graft.store.MaterializedAgg.create(v2st, "by_attr2", Seq("attr2"),
+        Seq("amt"), 2)
+    spark.catalog.refreshTable("jv_cat.analytics.fct2")
+    val q =
+      """SELECT b.attr2, SUM(f.amt) AS s, COUNT(*) AS n
+        |FROM jv_cat.analytics.fct2 f
+        |JOIN jv_cat.analytics.dma a ON f.fk = a.k
+        |JOIN jv_cat.analytics.dmb b ON a.grp = b.g
+        |GROUP BY b.attr2""".stripMargin
+    val on = spark.sql(q)
+    assert(AggViewRewrite.served(on, "/join/v1/join/v2/agg/by_attr2"),
+      s"the snowflake GROUP BY must answer from the stacked aggregate:\n" +
+        s"${on.queryExecution.optimizedPlan}")
+    val onRows = on.collect().map(_.toString).sorted.toSeq
+    spark.conf.set("spark.graft.agg.rewrite", "false")
+    try assert(onRows ==
+      spark.sql(q).collect().map(_.toString).sorted.toSeq,
+      "three-level composition changed results")
+    finally spark.conf.set("spark.graft.agg.rewrite", "true")
   }
 }
