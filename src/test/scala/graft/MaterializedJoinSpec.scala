@@ -549,11 +549,38 @@ class MaterializedJoinSpec extends SparkSuite {
     assert(got() == expect(), "one maintain pass must walk the pyramid")
     assert(MaterializedJoin.status(v1).forall(r => r._4 == r._5 &&
       r._6 == r._7), "level 2 must end the pass fresh")
-    // drop cascades: the nested view (and its pins on d2) go with v1
+    // DEPTH 3: one more level (d3 keyed on v2's projected attr2) — the
+    // recursion has no depth-special cases, pin that it actually holds
+    val v2 = MaterializedJoin.viewStore(v1, "v2")
+    val d3 = new TableStore(spark, s"$root/d3")
+    d3.commitBucketed((0L to 6L).map(g => (s"g$g", s"z$g"))
+      .toDF("a2", "attr3"), Seq("a2"), 2)
+    MaterializedJoin.create(v2, "v3", d3, Seq("attr2"), Seq("a2"),
+      Seq("attr3"))
+    fact.upsertEq(fact.readSnapshot().filter(col("id") % 19 === 2)
+      .withColumn("amt", col("amt") + 11).withColumn("op", lit("PUT")))
+    d3.upsertEq(Seq(("g2", "z2_v2")).toDF("a2", "attr3")
+      .withColumn("op", lit("PUT")))
+    graft.streaming.StreamingOps.maintain(fact,
+      graft.streaming.StreamingOps.CdcMaintenance(keepSnapshots = 3))
+    val expect3 = canon(fact.readSnapshot()
+      .join(d1.readSnapshot().select(col("k"), col("grp"), col("attr1")),
+        col("fk") === col("k"), "inner").drop("k")
+      .join(d2.readSnapshot(), col("grp") === col("g"), "inner").drop("g")
+      .join(d3.readSnapshot(), col("attr2") === col("a2"), "inner")
+      .select(col("id"), col("amt"), col("attr1"), col("attr2"),
+        col("attr3")))
+    assert(canon(MaterializedJoin.read(v2, "v3")
+      .select(col("id"), col("amt"), col("attr1"), col("attr2"),
+        col("attr3"))) == expect3,
+      "a depth-3 pyramid must stay exact under one maintain pass")
+    // drop cascades: the nested views (and their pins) go with v1
     assert(MaterializedJoin.drop(fact, "v1"))
     assert(MaterializedJoin.list(fact).isEmpty)
     assert(!d2.listRefs().exists(_.name.contains("-v2-")),
       "dropping v1 must drop the nested v2's pins on d2")
+    assert(!d3.listRefs().exists(_.name.contains("-v3-")),
+      "dropping v1 must cascade to depth 3's pins on d3")
   }
 
   test("PYRAMID guards: agg/index stores refuse as the fact; any " +
