@@ -814,7 +814,7 @@ object MaterializedJoin {
     val pk = vm0.bucketKeys
     val lAll = lm.schema.fieldNames.toSeq
     val spark = l.spark
-    val pruneDims = spark.conf
+    val pruneDims0 = spark.conf
       .getOption("spark.graft.agg.rewrite.tail.pruneDims")
       .forall(_.toBoolean)
     // The netted-key frames are the RIGHT side of every semi/anti join
@@ -844,9 +844,12 @@ object MaterializedJoin {
     // bucket-collect jobs plus the query's semi/anti joins, and they are
     // small by construction (bounded by the span's changed-file bytes).
     // Spark's ContextCleaner reclaims the cache once the plan is dropped.
+    // UNHINTED here — the broadcast hint is applied at each JOIN use
+    // site (a hint wrapping the shared frame would also ride the
+    // plan-time collect jobs, where Spark logs it as dangling)
     val kL: Option[DataFrame] =
       if (!factMoved) None
-      else Some(keyHint(nettedKeys(l, fromL, toL, lAll, pk).persist()))
+      else Some(nettedKeys(l, fromL, toL, lAll, pk).persist())
     val dks: Seq[Option[DataFrame]] =
       vm.dims.zip(rs).zip(toRs).zipWithIndex.map {
         case (((d, r), toR), i) =>
@@ -854,11 +857,23 @@ object MaterializedJoin {
           else {
             val dk0 = nettedKeys(r, d.rVersion, toR,
               (d.rKeys ++ d.rCols).distinct, d.rKeys).persist()
-            Some(keyHint(d.rKeys.zip(d.lKeys).foldLeft(dk0) {
+            Some(d.rKeys.zip(d.lKeys).foldLeft(dk0) {
               case (df, (rk, lk)) => df.withColumnRenamed(rk, lk)
-            }))
+            })
           }
       }
+    val rms = vm.dims.zip(rs).zip(toRs).map { case ((_, r), toR) =>
+      r.manifest(toR) }
+    // file-count gate: below it, the dim is cheaper to read whole than
+    // the plan-time bucket-derivation jobs are to run — pruning engages
+    // per dim only when the saved read can actually pay (at real scale a
+    // dim has thousands of files; a toy dim skips the machinery cleanly)
+    val pruneMinFiles = spark.conf
+      .getOption("spark.graft.agg.rewrite.tail.pruneDimMinFiles")
+      .map(_.toLong).getOrElse(64L)
+    val pruneDimAt: Seq[Boolean] =
+      rms.map(m => pruneDims0 && m.nFiles >= pruneMinFiles)
+    val pruneDims = pruneDimAt.exists(identity)
     // ---- affected fact rows, all evaluating at snapshot toL -----------
     // `srcBytes` accumulates a PLAN-TIME upper bound on the affected-row
     // union: the changelog tail is bounded by the span's changed-file
@@ -871,15 +886,13 @@ object MaterializedJoin {
     // plan-time bucket job below AND the query's re-join.
     val factTail: Option[DataFrame] = kL.map { k =>
       val (_, postF) = l.changelogFrames(fromL, toL)
-      val f = MaterializedAgg.nsJoin(postF.select(lAll.map(col): _*), k,
-        pk, "left_semi")
+      val f = MaterializedAgg.nsJoin(postF.select(lAll.map(col): _*),
+        keyHint(k), pk, "left_semi")
       if (pruneDims) f.persist() else f
     }
     // one collect per moved dim covers BOTH bucket spaces — the source
     // read's (index or fact) and that dim's own re-join read's —
     // (srcBucket, dimBucket) pairs, ≤ srcN × dimN rows, one job
-    val rms = vm.dims.zip(rs).zip(toRs).map { case ((_, r), toR) =>
-      r.manifest(toR) }
     val dkDimBuckets = Array.fill(vm.dims.size)(Set.empty[Long])
     def collectBoth(dk: DataFrame, cols: Seq[String], srcN: Int,
         i: Int): Seq[Long] = {
@@ -897,7 +910,7 @@ object MaterializedJoin {
             val buckets = collectBoth(dk, d.lKeys, lm.numBuckets, i)
             srcBytes = addSat(srcBytes, l.bucketBytes(buckets, toL))
             val rows = MaterializedAgg.nsJoin(l.readBuckets(buckets, toL),
-              dk, d.lKeys, "left_semi")
+              keyHint(dk), d.lKeys, "left_semi")
             if (pruneDims && vm.dims.size > 1) rows.persist() else rows
           case Some(idx) =>
             if (!SecondaryIndex.list(l).contains(idx)) return None
@@ -910,12 +923,12 @@ object MaterializedJoin {
             val buckets = collectBoth(dk, d.lKeys, im.numBuckets, i)
             srcBytes = addSat(srcBytes, ist.bucketBytes(buckets))
             val rows0 = MaterializedAgg.nsJoin(
-              ist.readBuckets(buckets).select(lAll.map(col): _*), dk,
-              d.lKeys, "left_semi")
+              ist.readBuckets(buckets).select(lAll.map(col): _*),
+              keyHint(dk), d.lKeys, "left_semi")
             // span-netted PKs' fromL-era index rows are stale — their
             // live rows ride the changelog tail instead
             val rows = kL.map(k =>
-              MaterializedAgg.nsJoin(rows0, k, pk, "left_anti"))
+              MaterializedAgg.nsJoin(rows0, keyHint(k), pk, "left_anti"))
               .getOrElse(rows0)
             // multi-dim cross term: these rows' OTHER-dim keys drive
             // those dims' bucket pruning (a plan-time job below), so the
@@ -935,15 +948,15 @@ object MaterializedJoin {
     val movedDks = dks.zipWithIndex.collect { case (Some(dk), i) =>
       (vm.dims(i), dk) }
     def minusChanged(df: DataFrame, how: String): DataFrame = {
-      val byPk = kL.map(k => MaterializedAgg.nsJoin(df, k, pk, how))
-        .getOrElse(if (how == "left_anti") df else df.limit(0))
+      val byPk = kL.map(k => MaterializedAgg.nsJoin(df, keyHint(k), pk,
+        how)).getOrElse(if (how == "left_anti") df else df.limit(0))
       if (how == "left_anti")
         movedDks.foldLeft(byPk) { case (acc, (d, dk)) =>
-          MaterializedAgg.nsJoin(acc, dk, d.lKeys, "left_anti") }
+          MaterializedAgg.nsJoin(acc, keyHint(dk), d.lKeys, "left_anti") }
       else // union of the semi-matches, deduped
         movedDks.foldLeft(byPk) { case (acc, (d, dk)) =>
           acc.unionByName(
-            MaterializedAgg.nsJoin(df, dk, d.lKeys, "left_semi"))
+            MaterializedAgg.nsJoin(df, keyHint(dk), d.lKeys, "left_semi"))
         }.dropDuplicates(pk)
     }
     // ---- dim-read pruning: each dim is re-joined only at the buckets
@@ -958,8 +971,8 @@ object MaterializedJoin {
     //    views only): one job per moved dim over its persisted source.
     val pruneBuckets: Map[Int, Set[Long]] = if (!pruneDims) Map.empty
     else {
-      val wantedAll = vm.dims.zipWithIndex.map { case (d, j) =>
-        (j, d.lKeys, rms(j).numBuckets) }
+      val wantedAll = vm.dims.zipWithIndex.collect {
+        case (d, j) if pruneDimAt(j) => (j, d.lKeys, rms(j).numBuckets) }
       val m = scala.collection.mutable.Map.empty[Int, Set[Long]]
         .withDefaultValue(Set.empty[Long])
       factTail.foreach(f => bucketSets(f, wantedAll).foreach {
@@ -979,7 +992,7 @@ object MaterializedJoin {
       case (((d, r), toR), j) =>
         val rm = rms(j)
         val rDf =
-          if (!pruneDims) r.readSnapshot(toR)
+          if (!pruneDimAt(j)) r.readSnapshot(toR)
           else {
             val buckets = pruneBuckets(j).toSeq.sorted
             if (buckets.size >= rm.numBuckets) r.readSnapshot(toR)

@@ -317,6 +317,10 @@ object BenchHeavy {
       tl.get.frame.count()
     }
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // force the dim-prune machinery past its file-count gate (the toy
+    // dim is below it; at real scale the gate passes on its own) so the
+    // probe pair measures the machinery's cost, not the gate
+    spark.conf.set("spark.graft.agg.rewrite.tail.pruneDimMinFiles", "1")
     try {
       t("jv_tail_read") { jvTailCount() }
       spark.conf.set("spark.graft.agg.rewrite.tail.pruneDims", "false")
@@ -361,8 +365,10 @@ object BenchHeavy {
       spark.conf.set("spark.graft.agg.rewrite.tail.pruneDims", "false")
       try t("jv_tail_point_read_noprune") { jvTailCount() }
       finally spark.conf.unset("spark.graft.agg.rewrite.tail.pruneDims")
-    } finally
+    } finally {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.graft.agg.rewrite.tail.pruneDimMinFiles")
+    }
 
     def jmap(m: collection.Map[String, Double]) =
       m.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")

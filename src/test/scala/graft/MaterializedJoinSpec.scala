@@ -405,6 +405,9 @@ class MaterializedJoinSpec extends SparkSuite {
 
   test("TAIL: dim churn serves exactly through the lockstep index (new " +
       "dim keys included) and the re-join bucket-prunes the dim read") {
+    // the file-count gate skips pruning for toy dims; force it on so the
+    // pruned plan SHAPE is pinned here
+    spark.conf.set("spark.graft.agg.rewrite.tail.pruneDimMinFiles", "1")
     val (fact, dim) = fresh()
     fact.commitBucketed((1L to 300L).map(i =>
       (i, i % 40, i * 10)).toDF("id", "fk", "amt"), Seq("id"), 8)
@@ -447,8 +450,10 @@ class MaterializedJoinSpec extends SparkSuite {
         fact.currentVersion(), Seq(dim.currentVersion())).get
       assert(canon(t2.frame.select(col("id"), col("fk"), col("amt"),
         col("attr"))) == recompute(fact, dim, "inner"))
-    } finally
+    } finally {
       spark.conf.unset("spark.graft.agg.rewrite.tail.pruneDims")
+      spark.conf.unset("spark.graft.agg.rewrite.tail.pruneDimMinFiles")
+    }
   }
 
   test("LEGACY PROPS: a pre-multi-dim view (un-suffixed props) still " +
