@@ -147,23 +147,42 @@ class JoinViewRewriteRule extends Rule[LogicalPlan] {
     if (!(j.joinType == Inner || semi || outer)) return None
     val (factPlan, legPlans, chainSub) = unroll(j, j.joinType)
     if (legPlans.isEmpty) return None
-    val fact = peelSide(factPlan) match {
-      case Some(x) => x
-      case None => dbg(s"fact side does not peel: ${factPlan.nodeName}")
-        return None
-    }
+    // the fact side peels to a DSv2 scan — or to a TAIL-SERVED view
+    // splice (a TailInfoTag'd subtree): the PYRAMID's live-feed state,
+    // where the inner join already tail-serves level 1 and this level
+    // composes over its signed delta (tail-over-tail, r11)
+    val factE: Either[(JoinViewRewrite.TailInfo, Seq[Expression],
+        Map[ExprId, Expression]), Side] =
+      peelSide(factPlan) match {
+        case Some(x) => Right(x)
+        case None => AggViewRewrite.peelScanOrTail(factPlan) match {
+          case Some((Left(info), conds, subst)) =>
+            Left((info, conds, subst))
+          case _ =>
+            dbg(s"fact side does not peel: ${factPlan.nodeName}")
+            return None
+        }
+      }
     val legs: Seq[Side] = legPlans.map(lp => peelSide(lp._1)) match {
       case ss if ss.forall(_.isDefined) => ss.map(_.get)
       case _ => dbg("a dim side does not peel"); return None
     }
-    val lStore = fact.table.graftStore
+    val lStore = factE.fold(_._1.viewStore, _.table.graftStore)
     if (lStore.branch.nonEmpty ||
         legs.exists(_.table.graftStore.branch.nonEmpty)) {
       dbg("branch store"); return None
     }
-    val lm = fact.table.graftManifest
-    if (!fact.rel.scan.readSchema().fieldNames
-        .forall(lm.schema.fieldNames.toSet)) {
+    val lm = factE.fold(t => t._1.viewStore.manifest(t._1.viewVersion),
+      _.table.graftManifest)
+    val factIds: Set[ExprId] = factE.fold(
+      { case (_, conds, subst) =>
+        (factPlan.output.map(_.exprId) ++
+          subst.values.flatMap(_.references.toSeq.map(_.exprId)) ++
+          conds.flatMap(_.references.toSeq.map(_.exprId))).toSet },
+      _.ids)
+    val factConds: Seq[Expression] = factE.fold(_._2, _.conds)
+    if (factE.exists(f => !f.rel.scan.readSchema().fieldNames
+        .forall(lm.schema.fieldNames.toSet))) {
       dbg(s"fact readSchema outside base"); return None
     }
     if (legs.exists(s => !s.rel.scan.readSchema().fieldNames
@@ -177,7 +196,8 @@ class JoinViewRewriteRule extends Rule[LogicalPlan] {
     // RECURSIVE — a chain alias can reference a per-side alias
     val substAll: Map[ExprId, Expression] = chainSub ++
       (factPlan +: legPlans.map(_._1)).flatMap(p =>
-        AggViewRewrite.peelScan(p).map(_._3).getOrElse(Map.empty)).toMap
+        AggViewRewrite.peelScanOrTail(p).map(_._3)
+          .getOrElse(Map.empty)).toMap
     def expand(e: Expression): Expression = e.transformUp {
       case ar: AttributeReference =>
         substAll.get(ar.exprId).map(expand).getOrElse(ar)
@@ -199,7 +219,7 @@ class JoinViewRewriteRule extends Rule[LogicalPlan] {
     val extras = scala.collection.mutable.ArrayBuffer.empty[Expression]
     cs.foreach {
       case eq @ EqualTo(a: AttributeReference, b: AttributeReference) =>
-        (fact.ids(a.exprId), fact.ids(b.exprId), legOf(a), legOf(b)) match {
+        (factIds(a.exprId), factIds(b.exprId), legOf(a), legOf(b)) match {
           case (true, _, _, Some(i)) => keyPairs(i) += ((a.name, b.name))
           case (_, true, Some(i), _) => keyPairs(i) += ((b.name, a.name))
           case _ => extras += eq
@@ -262,9 +282,30 @@ class JoinViewRewriteRule extends Rule[LogicalPlan] {
         legDims: Map[Int, MaterializedJoin.DimMeta], raw0: DataFrame,
         how: String,
         tail: Option[MaterializedJoin.Tail] = None): Option[LogicalPlan] =
-      rewriteWith(targetsX, origOutput, vm, legDims, lStore, fact, legs,
-        extras.toSeq, lm.schema.fieldNames.toSeq, outer, semi, raw0, how,
-        tail)
+      rewriteWith(targetsX, origOutput, vm, legDims, lStore, factIds,
+        factConds, legs, extras.toSeq, lm.schema.fieldNames.toSeq, outer,
+        semi, raw0, how, tail)
+
+    // ---- TAIL-OVER-TAIL: the fact side is a tail-served view splice ----
+    // (only reachable under the tailUnion opt-in — the tag only exists
+    // then). The stacked view's content at the scanned base snapshot is
+    // stored-minus-delta'd-PKs ∪ delta-post re-joined at this level's
+    // dims; exact, nothing committed, and the result carries a fresh
+    // Tail contract so a further level or a stacked aggregate composes.
+    factE.left.toOption.foreach { case (info, _, _) =>
+      return cands(_ == info.viewVersion, _ == _).view.flatMap {
+        case (vm, legDims) =>
+          val toRs = vm.dims.map(d => legDims.collectFirst {
+            case (i, d2) if d2 eq d => legs(i).table.graftManifest.version
+          }.get)
+          val t = MaterializedJoin.storedPlusDeltaJoin(lStore, vm,
+            info.pre, info.post, toRs)
+          if (t.isEmpty) dbg(s"tail-over-tail: '${vm.name}' declined " +
+            "(drift/expired dim snapshot)")
+          t.flatMap(tl =>
+            attempt(vm, legDims, tl.frame, " (tail-over-tail)", Some(tl)))
+      }.headOption
+    }
 
     // ---- exact: every scanned snapshot equals its watermark ------------
     val exactHit = cands(_ == lm.version, _ == _).view.flatMap {
@@ -385,7 +426,8 @@ class JoinViewRewriteRule extends Rule[LogicalPlan] {
   private def rewriteWith(targets: Seq[(Expression, String)],
       origOutput: Seq[Attribute], vm: MaterializedJoin.ViewMeta,
       legDims: Map[Int, MaterializedJoin.DimMeta], lStore: TableStore,
-      fact: Side, legs: Seq[Side], extras: Seq[Expression],
+      factIds: Set[ExprId], factConds: Seq[Expression], legs: Seq[Side],
+      extras: Seq[Expression],
       lCols: Seq[String], outer: Boolean, semi: Boolean,
       raw0: DataFrame, how: String,
       tail: Option[MaterializedJoin.Tail]): Option[LogicalPlan] = {
@@ -395,7 +437,7 @@ class JoinViewRewriteRule extends Rule[LogicalPlan] {
     // the fact's join column under INNER/SEMI (value-equal) and declines
     // under LEFT OUTER (NULL for unmatched rows on the dim side only)
     def viewName(a: AttributeReference): Option[String] =
-      if (fact.ids(a.exprId)) lCols.find(res(_, a.name))
+      if (factIds(a.exprId)) lCols.find(res(_, a.name))
       else legs.indexWhere(_.ids(a.exprId)) match {
         case -1 => None
         case i =>
@@ -424,7 +466,7 @@ class JoinViewRewriteRule extends Rule[LogicalPlan] {
     // keys, not join keys). Dropped for inner/semi; LEFT OUTER keeps
     // NULL-keyed fact rows, so there they are real predicates.
     val joinKeyCols: Set[String] = legDims.values.flatMap(_.lKeys).toSet
-    val allConds = (fact.conds ++ legs.flatMap(_.conds) ++ extras)
+    val allConds = (factConds ++ legs.flatMap(_.conds) ++ extras)
       .filterNot {
         case org.apache.spark.sql.catalyst.expressions
             .IsNotNull(a: AttributeReference) =>

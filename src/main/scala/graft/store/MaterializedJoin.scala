@@ -772,6 +772,56 @@ object MaterializedJoin {
     * the same delta onto its stored partials
     * ([[MaterializedAgg.storedPlusDelta]] via the rewrite composition)
     * instead of re-aggregating the whole frame. */
+  /** TAIL-OVER-TAIL (r11, the pyramid's live-feed state): serve a stacked
+    * view whose FACT is itself a tail-served view. `pre`/`post` are the
+    * level-1 [[Tail]]'s signed row delta — the level-1 view's content
+    * change between its stored snapshot (which equals THIS view's
+    * `lVersion` by the candidate gate) and the scanned base snapshot.
+    * Both frames are keyed by the shared fact PK, so this view's content
+    * at the scanned snapshot is exactly: stored rows minus the delta'd
+    * PKs, union the `post` rows re-joined against this level's dims at
+    * their scanned snapshots. Nothing reads the level-1 store's changelog
+    * (it never moved — the staleness lives BELOW it) and nothing commits.
+    * Returns the same [[Tail]] contract, so a further level (or a stacked
+    * aggregate) composes again. None = schema/layout drift or an expired
+    * dim snapshot — decline, never fail. */
+  private[graft] def storedPlusDeltaJoin(l: TableStore, vm: ViewMeta,
+      pre: DataFrame, post: DataFrame, toRs: Seq[Long]): Option[Tail] = {
+    val st = viewStore(l, vm.name)
+    val vm0 = st.manifest(vm.viewVersion)
+    if (!l.existingVersions().contains(vm.lVersion)) return None
+    val lm = l.manifest(vm.lVersion)
+    val lAll = lm.schema.fieldNames.toSeq
+    if (vm0.schema.fieldNames.toSeq !=
+        lAll ++ vm.dims.flatMap(_.rCols) ||
+      vm0.bucketKeys != lm.bucketKeys) return None
+    if (pre.columns.toSeq != lAll || post.columns.toSeq != lAll)
+      return None
+    val rs = vm.dims.map(d => new TableStore(l.spark, d.rRoot))
+    if (vm.dims.zip(rs).zip(toRs).exists { case ((d, r), toR) =>
+        !r.existingVersions().contains(toR) || {
+          val rm = r.manifest(toR)
+          rm.bucketKeys != d.rKeys ||
+            !d.rCols.forall(rm.schema.fieldNames.contains)
+        }
+      }) return None
+    val pk = vm0.bucketKeys
+    val stored = st.readSnapshot(vm.viewVersion)
+    // changed level-1 PKs — an Aggregate, never .distinct() (this frame
+    // is spliced analyzed; see nettedKeys)
+    val deltaK = pre.select(pk.map(col): _*)
+      .unionByName(post.select(pk.map(col): _*))
+      .groupBy(pk.map(col): _*).agg(count(lit(1)).as("_g_kn"))
+      .drop("_g_kn")
+    val kept = MaterializedAgg.nsJoin(stored, deltaK, pk, "left_anti")
+    val dimReads = vm.dims.zip(rs).zip(toRs).map { case ((d, r), toR) =>
+      (r.readSnapshot(toR), d.lKeys, d.rKeys, d.rCols) }
+    val newRows = joined(post, dimReads, vm.joinType, lAll)
+      .select(vm0.schema.fieldNames.map(col): _*)
+    Some(Tail(kept.unionByName(newRows),
+      MaterializedAgg.nsJoin(stored, deltaK, pk, "left_semi"), newRows))
+  }
+
   private[graft] final case class Tail(frame: DataFrame, pre: DataFrame,
       post: DataFrame)
 

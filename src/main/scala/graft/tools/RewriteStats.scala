@@ -226,6 +226,53 @@ object RewriteStats {
     println(f"mean stale join cost: base re-join ${jScan /
       math.max(1, nBatches - jHitsPlain)}%.2f s vs view+tail ${jTail /
       math.max(1, jHitsTail)}%.2f s")
+
+    // ---- PYRAMID serving under the live loop (r11) ----------------------
+    // A second level stacks a tier-attribute dim on the join view's
+    // projected `tier` column (the snowflake shape); the dashboard query
+    // is the plain 3-table chain. Exact serving requires the whole
+    // pyramid at watermark (only right after a cadence pass); the tail
+    // opt-in keeps the nested store serving between passes.
+    val tDim = new graft.store.TableStore(spark,
+      s"$warehouse/analytics/loop_tierdim")
+    tDim.commitBucketed(
+      spark.createDataFrame((0 until 7).map(t => (s"t$t", s"seg$t")))
+        .toDF("tk", "segment"),
+      Seq("tk"), 2)
+    val jvs = graft.store.MaterializedJoin.viewStore(jSt, "live")
+    graft.store.MaterializedJoin.create(jvs, "live2", tDim,
+      Seq("tier"), Seq("tk"), Seq("segment"))
+    val pq =
+      """SELECT t.segment, COUNT(*) AS n,
+        |  CAST(SUM(f.o_totalprice) AS DOUBLE) AS total
+        |FROM rw_cat.analytics.loop_fact f
+        |JOIN rw_cat.analytics.loop_dim d ON f.o_orderkey = d.ck
+        |JOIN rw_cat.analytics.loop_tierdim t ON d.tier = t.tk
+        |GROUP BY t.segment""".stripMargin
+    var pHitsPlain = 0; var pHitsTail = 0
+    var pScan = 0.0; var pTail = 0.0
+    (13 to 12 + nBatches).foreach { i =>
+      graft.streaming.StreamingOps.applyCdcBatchAuto(jBatch(i), jSt,
+        Seq("o_orderkey"), 64, maintenance = Some(policy))
+      spark.catalog.refreshTable("rw_cat.analytics.loop_fact")
+      val dfP = spark.sql(pq)
+      val pFired = graft.catalog.AggViewRewrite.served(dfP, "/join/live2")
+      val (_, tp) = timed(dfP.collect())
+      if (pFired) pHitsPlain += 1 else pScan += tp
+      spark.conf.set("spark.graft.agg.rewrite.tailUnion", "true")
+      try {
+        val df = spark.sql(pq)
+        if (graft.catalog.AggViewRewrite.served(df, "/join/live2")) {
+          pHitsTail += 1; val (_, t) = timed(df.collect()); pTail += t
+        }
+      } finally spark.conf.unset("spark.graft.agg.rewrite.tailUnion")
+    }
+    println(f"pyramid live loop ($nBatches batches, cadence every 4): " +
+      f"exact-only hit rate $pHitsPlain/$nBatches, with tail union " +
+      f"$pHitsTail/$nBatches")
+    println(f"mean stale snowflake cost: base 3-way join ${pScan /
+      math.max(1, nBatches - pHitsPlain)}%.2f s vs nested view+tail " +
+      f"${pTail / math.max(1, pHitsTail)}%.2f s")
     spark.stop()
   }
 }

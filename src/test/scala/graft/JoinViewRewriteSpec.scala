@@ -543,6 +543,48 @@ class JoinViewRewriteSpec extends SparkSuite {
     }
   }
 
+  test("PYRAMID TAIL-OVER-TAIL: BOTH levels stale (the live-feed state) " +
+      "— level 1 tail-serves and level 2 composes over its signed delta, " +
+      "exactly, nothing committed") {
+    val (f2, dA, dB) = pyramidSetup()
+    val v1 = MaterializedJoin.viewStore(f2, "v1")
+    val v2st = MaterializedJoin.viewStore(v1, "v2")
+    MaterializedJoin.refresh(f2, "v1")
+    MaterializedJoin.refresh(v1, "v2")
+    // fact churn, NO refresh anywhere: v1 is stale against the fact and
+    // v2 is (transitively) stale against the world, though its own fact
+    // store (v1) never moved
+    f2.upsertEq(f2.readSnapshot().filter(col("id") % 37 === 4)
+      .withColumn("amt", col("amt") + 13).withColumn("op", lit("PUT")))
+    val (v1v, v2v) = (v1.currentVersion(), v2st.currentVersion())
+    spark.catalog.refreshTable("jv_cat.analytics.fct2")
+    val q =
+      """SELECT f.id, f.amt, a.attr1, b.attr2
+        |FROM jv_cat.analytics.fct2 f
+        |JOIN jv_cat.analytics.dma a ON f.fk = a.k
+        |JOIN jv_cat.analytics.dmb b ON a.grp = b.g
+        |WHERE f.amt > 30""".stripMargin
+    spark.conf.set("spark.graft.agg.rewrite.tailUnion", "true")
+    spark.conf.set("spark.graft.agg.refresh.rescanFraction", "2.0")
+    try {
+      val on = spark.sql(q)
+      assert(AggViewRewrite.served(on, "/join/v1/join/v2"),
+        s"both-levels-stale pyramid must serve tail-over-tail:\n" +
+          s"${on.queryExecution.optimizedPlan}")
+      val onRows = on.collect().map(_.toString).sorted.toSeq
+      spark.conf.set("spark.graft.agg.rewrite", "false")
+      try assert(onRows ==
+        spark.sql(q).collect().map(_.toString).sorted.toSeq,
+        "tail-over-tail serving diverged")
+      finally spark.conf.set("spark.graft.agg.rewrite", "true")
+      assert(v1.currentVersion() == v1v && v2st.currentVersion() == v2v,
+        "tail-over-tail is a READ path: nothing may commit")
+    } finally {
+      spark.conf.unset("spark.graft.agg.rewrite.tailUnion")
+      spark.conf.unset("spark.graft.agg.refresh.rescanFraction")
+    }
+  }
+
   test("PYRAMID + STACKED AGG: three rewrites compose at the fixpoint — " +
       "the snowflake GROUP BY answers from the aggregate over the " +
       "stacked view") {
