@@ -1112,7 +1112,80 @@ object SqlSurface {
     out
   }
 
+  /** STALE-PYRAMID serving end-to-end (`sql_join_pyramid_tail`, [r11] —
+    * tail-over-tail): the pyramid's live-feed state — base-fact churn
+    * with NOTHING refreshed at any level. Under the tailUnion opt-in the
+    * user's plain 3-table snowflake SQL still answers from the NESTED
+    * store: level 1 tail-serves (its splice carries the signed TailInfo
+    * row delta) and level 2 composes over that delta via
+    * `storedPlusDeltaJoin` — stored level-2 rows minus the delta'd fact
+    * PKs ∪ the delta's post-rows re-joined at the scanned dims. EXACT
+    * (the DuckDB oracle reproduces the churned snowflake relationally),
+    * and a READ path: both view stores' versions are require()d
+    * unchanged. */
+  private val sqlJoinPyramidTail: Q = (s, d) => {
+    val cat = catalogFor(s, d)
+    val wh = warehouseFor(d)
+    s.sql(s"DROP TABLE IF EXISTS $cat.analytics.li_pt")
+    s.sql(s"DROP TABLE IF EXISTS $cat.analytics.ord_pt")
+    s.sql(s"DROP TABLE IF EXISTS $cat.analytics.cust_pt")
+    val fact = new TableStore(s, s"$wh/analytics/li_pt")
+    fact.commitBucketed(liKeyedFact(s, d),
+      keys = Seq("l_orderkey", "l_linenumber"), numBuckets = 16)
+    val ord = new TableStore(s, s"$wh/analytics/ord_pt")
+    ord.commitBucketed(load(s, d, "orders").select(col("o_orderkey"),
+      col("o_custkey"), col("o_orderstatus")), Seq("o_orderkey"), 16)
+    val cust = new TableStore(s, s"$wh/analytics/cust_pt")
+    cust.commitBucketed(load(s, d, "customer").select(col("c_custkey"),
+      col("c_mktsegment")), Seq("c_custkey"), 8)
+    Seq("li_pt", "ord_pt", "cust_pt")
+      .foreach(t => s.catalog.refreshTable(s"$cat.analytics.$t"))
+    s.sql(s"CALL $cat.system.create_join_view('analytics.li_pt', 'v1', " +
+      "'analytics.ord_pt', 'l_orderkey', 'o_orderkey', " +
+      "'o_custkey,o_orderstatus', 'inner')")
+    s.sql(s"CALL $cat.system.create_join_view('analytics.li_pt$$join_v1'," +
+      " 'v2', 'analytics.cust_pt', 'o_custkey', 'c_custkey', " +
+      "'c_mktsegment', 'inner')")
+    // FACT churn only, NO refresh at any level — the live-feed state
+    fact.upsertEq(fact.readSnapshot().filter(col("l_orderkey") % 43 === 7)
+      .withColumn("qty", (col("qty") + lit(4)).cast("decimal(18,2)"))
+      .withColumn("op", lit("PUT")))
+    fact.upsertEq(fact.readSnapshot().filter(col("l_orderkey") % 991 === 3)
+      .withColumn("op", lit("REMOVE")))
+    s.catalog.refreshTable(s"$cat.analytics.li_pt")
+    val v1st = graft.store.MaterializedJoin.viewStore(fact, "v1")
+    val v2st = graft.store.MaterializedJoin.viewStore(v1st, "v2")
+    val (v1v, v2v) = (v1st.currentVersion(), v2st.currentVersion())
+    s.conf.set("spark.graft.agg.rewrite.tailUnion", "true")
+    // span router disarmed as in sql_join_tail: eq-mask diffs are
+    // bucket-granular at toy file counts; the router's decline behavior
+    // is spec-pinned elsewhere, THIS oracle pins exactness
+    s.conf.set("spark.graft.agg.refresh.rescanFraction", "2.0")
+    try {
+      val out = s.sql(
+        s"""SELECT f.l_orderkey % 50 AS okb, c.c_mktsegment,
+           |  COUNT(*) AS n, CAST(SUM(f.qty) AS DOUBLE) AS sum_qty
+           |FROM $cat.analytics.li_pt f
+           |JOIN $cat.analytics.ord_pt o ON f.l_orderkey = o.o_orderkey
+           |JOIN $cat.analytics.cust_pt c ON o.o_custkey = c.c_custkey
+           |GROUP BY f.l_orderkey % 50, c.c_mktsegment
+           |ORDER BY okb ASC NULLS FIRST,
+           |  c_mktsegment ASC NULLS FIRST""".stripMargin)
+      require(graft.catalog.AggViewRewrite.served(out, "/join/v1/join/v2"),
+        "the stale pyramid must tail-over-tail-serve from the nested store")
+      require(v1st.currentVersion() == v1v &&
+          v2st.currentVersion() == v2v,
+        "tail-over-tail is a READ path: nothing may commit to any level")
+      out.cache().count()
+      out
+    } finally {
+      s.conf.unset("spark.graft.agg.rewrite.tailUnion")
+      s.conf.unset("spark.graft.agg.refresh.rescanFraction")
+    }
+  }
+
   val queries: Map[String, Q] = Map(
+    "sql_join_pyramid_tail" -> sqlJoinPyramidTail,
     "sql_join_pyramid" -> sqlJoinPyramid,
     "sql_star_rewrite" -> sqlStarRewrite,
     "sql_join_view_multi" -> sqlJoinViewMulti,
@@ -1138,6 +1211,22 @@ object SqlSurface {
     "sql_merge_mor" -> sqlMergeMor)
 
   val oracles: Map[String, String] = Map(
+    "sql_join_pyramid_tail" ->
+      s"""WITH fact0 AS (
+        |  ${liKeyedFactSql()}),
+        |f AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |    CASE WHEN l_orderkey % 43 = 7
+        |         THEN CAST(qty + 4 AS DECIMAL(18,2)) ELSE qty END AS qty
+        |  FROM fact0 WHERE l_orderkey % 991 <> 3)
+        |SELECT f.l_orderkey % 50 AS okb, c.c_mktsegment,
+        |  COUNT(*) AS n, CAST(SUM(f.qty) AS DOUBLE) AS sum_qty
+        |FROM f
+        |JOIN orders o ON f.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY f.l_orderkey % 50, c.c_mktsegment
+        |ORDER BY okb ASC NULLS FIRST,
+        |  c_mktsegment ASC NULLS FIRST""".stripMargin,
     "sql_join_pyramid" ->
       s"""WITH fact0 AS (
         |  ${liKeyedFactSql()}),
