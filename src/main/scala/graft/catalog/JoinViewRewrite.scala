@@ -299,7 +299,7 @@ class JoinViewRewriteRule extends Rule[LogicalPlan] {
             case (i, d2) if d2 eq d => legs(i).table.graftManifest.version
           }.get)
           val t = MaterializedJoin.storedPlusDeltaJoin(lStore, vm,
-            info.pre, info.post, toRs)
+            info.pre, info.post, info.keys, toRs)
           if (t.isEmpty) dbg(s"tail-over-tail: '${vm.name}' declined " +
             "(drift/expired dim snapshot)")
           t.flatMap(tl =>
@@ -502,7 +502,7 @@ class JoinViewRewriteRule extends Rule[LogicalPlan] {
         val lp = JoinViewRewrite.sanitizeAnalyzed(raw0.queryExecution.analyzed)
         lp.setTagValue(JoinViewRewrite.TailInfoTag, JoinViewRewrite.TailInfo(
           MaterializedJoin.viewStore(lStore, vm.name), vm.viewVersion,
-          t.pre, t.post, viewConds.flatten))
+          t.pre, t.post, t.keys, viewConds.flatten))
         DatasetBridge.ofRows(raw0.sparkSession, lp)
       case None => raw0
     }
@@ -543,7 +543,7 @@ object JoinViewRewrite {
     * peel-visible, and re-applying a predicate is idempotent). */
   private[catalog] final case class TailInfo(viewStore: TableStore,
       viewVersion: Long, pre: DataFrame, post: DataFrame,
-      conds: Seq[Expression])
+      keys: DataFrame, conds: Seq[Expression])
 
   private[catalog] val TailInfoTag =
     new org.apache.spark.sql.catalyst.trees.TreeNodeTag[TailInfo](

@@ -46,10 +46,11 @@ import org.apache.spark.sql.functions._
   * commits prices as zero churn, and a span of only content-preserving
   * commits on ALL sides advances the watermarks as pure metadata. All base
   * snapshots are pinned by versioned make-before-break tags on their own
-  * stores. Join views stack DOWNWARD only: aggregate views may stack ON a
-  * join view (the cadence maintains that pyramid), but a join view's fact
-  * and dims must be real tables — a view-over-view would refresh under no
-  * cadence and go silently stale (VERDICT r9 "what's wrong" #1). */
+  * stores. Aggregate views stack ON a join view, and a join view's FACT
+  * may itself be another join view's store (the denormalization pyramid,
+  * r11 — [[graft.streaming.StreamingOps.maintain]] walks the levels
+  * parent-before-child); DIMS must be real tables, and aggregate/index
+  * stores refuse as facts (their rows are not the fact relation). */
 object MaterializedJoin {
 
   private val LVersionProp = "graft.join.l-version"
@@ -786,7 +787,8 @@ object MaterializedJoin {
     * aggregate) composes again. None = schema/layout drift or an expired
     * dim snapshot — decline, never fail. */
   private[graft] def storedPlusDeltaJoin(l: TableStore, vm: ViewMeta,
-      pre: DataFrame, post: DataFrame, toRs: Seq[Long]): Option[Tail] = {
+      pre: DataFrame, post: DataFrame, keys: DataFrame,
+      toRs: Seq[Long]): Option[Tail] = {
     val st = viewStore(l, vm.name)
     val vm0 = st.manifest(vm.viewVersion)
     if (!l.existingVersions().contains(vm.lVersion)) return None
@@ -805,25 +807,28 @@ object MaterializedJoin {
             !d.rCols.forall(rm.schema.fieldNames.contains)
         }
       }) return None
+    if (keys.columns.toSeq != lm.bucketKeys) return None
     val pk = vm0.bucketKeys
     val stored = st.readSnapshot(vm.viewVersion)
-    // changed level-1 PKs — an Aggregate, never .distinct() (this frame
-    // is spliced analyzed; see nettedKeys)
-    val deltaK = pre.select(pk.map(col): _*)
-      .unionByName(post.select(pk.map(col): _*))
-      .groupBy(pk.map(col): _*).agg(count(lit(1)).as("_g_kn"))
-      .drop("_g_kn")
+    // the delta frames appear several times in the composed plan (the
+    // anti/semi joins, the re-join) and each embeds the level-1 tail
+    // machinery — PERSIST so it runs once (bounded by changed rows;
+    // ContextCleaner reclaims with the plan). `keys` is the level-1
+    // changed-PK frame, derived there WITHOUT scanning its stored view.
+    val deltaK = keys.persist()
+    val postP = post.persist()
     val kept = MaterializedAgg.nsJoin(stored, deltaK, pk, "left_anti")
     val dimReads = vm.dims.zip(rs).zip(toRs).map { case ((d, r), toR) =>
       (r.readSnapshot(toR), d.lKeys, d.rKeys, d.rCols) }
-    val newRows = joined(post, dimReads, vm.joinType, lAll)
+    val newRows = joined(postP, dimReads, vm.joinType, lAll)
       .select(vm0.schema.fieldNames.map(col): _*)
     Some(Tail(kept.unionByName(newRows),
-      MaterializedAgg.nsJoin(stored, deltaK, pk, "left_semi"), newRows))
+      MaterializedAgg.nsJoin(stored, deltaK, pk, "left_semi"), newRows,
+      deltaK))
   }
 
   private[graft] final case class Tail(frame: DataFrame, pre: DataFrame,
-      post: DataFrame)
+      post: DataFrame, keys: DataFrame)
 
   private[graft] def storedPlusTail(l: TableStore, vm: ViewMeta,
       toL: Long, toRs: Seq[Long]): Option[Tail] = {
@@ -860,7 +865,8 @@ object MaterializedJoin {
       toR != d.rVersion &&
         !TableStore.contentPreservingSpan(r, d.rVersion, toR) }
     if (!factMoved && !dimMoved.exists(identity))
-      return Some(Tail(stored, stored.limit(0), stored.limit(0)))
+      return Some(Tail(stored, stored.limit(0), stored.limit(0),
+        stored.limit(0).select(vm0.bucketKeys.map(col): _*)))
     val pk = vm0.bucketKeys
     val lAll = lm.schema.fieldNames.toSeq
     val spark = l.spark
@@ -1055,9 +1061,17 @@ object MaterializedJoin {
       else lAff
     val newRows = joined(lAffB, dimReads, vm.joinType, lAll)
     val post = newRows.select(vm0.schema.fieldNames.map(col): _*)
+    // every changed PK, WITHOUT scanning the stored view: affected rows'
+    // PKs (dim-churned + fact-churned survivors) ∪ the netted fact PKs
+    // (covers REMOVEd facts, absent from lAff) — an Aggregate, never
+    // .distinct() (spliced analyzed; see nettedKeys)
+    val changedKeys = kL.map(_.unionByName(lAff.select(pk.map(col): _*)))
+      .getOrElse(lAff.select(pk.map(col): _*))
+      .groupBy(pk.map(col): _*).agg(count(lit(1)).as("_g_kn"))
+      .drop("_g_kn")
     Some(Tail(
       minusChanged(stored, "left_anti").unionByName(post),
-      minusChanged(stored, "left_semi"), post))
+      minusChanged(stored, "left_semi"), post, changedKeys))
   }
 
   /** The materialized join, current as of the last refresh. */

@@ -370,6 +370,50 @@ object BenchHeavy {
       spark.conf.unset("spark.graft.agg.rewrite.tail.pruneDimMinFiles")
     }
 
+    // r11: PYRAMID tail-over-tail at the heavy corpus — a tier dim
+    // stacks on the join view (level 2); the fact's point churn above is
+    // STILL unrefreshed, so level 1 serves its tail delta and level 2
+    // composes over it via storedPlusDeltaJoin. pyr_scan_join3 is the
+    // plan the serve replaces (the full 3-way re-join).
+    val jvStore = graft.store.MaterializedJoin.viewStore(store, "jv_bench")
+    val tierDim = new graft.store.TableStore(spark, s"$out/tier_dim_store")
+    t("pyr_dim_commit") {
+      tierDim.commitBucketed(
+        jvStore.readSnapshot().select(col("cust_tier")).distinct()
+          .withColumn("tier_seg", concat(lit("s_"), col("cust_tier"))),
+        Seq("cust_tier"), 4)
+    }
+    t("pyr_create") {
+      graft.store.MaterializedJoin.create(jvStore, "jv2p", tierDim,
+        Seq("cust_tier"), Seq("cust_tier"), Seq("tier_seg"))
+    }
+    t("pyr_fact_update") {
+      store.upsertEq(store.readSnapshot()
+        .filter(col("o_orderkey").isin(77L, 500077L, 1000077L))
+        .withColumn("o_totalprice", col("o_totalprice") + 3.0)
+        .withColumn("op", lit("PUT")))
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      t("pyr_tail_read") {
+        val vm1 = graft.store.MaterializedJoin
+          .viewMeta(store, "jv_bench").get
+        val t1 = graft.store.MaterializedJoin.storedPlusTail(store, vm1,
+          store.currentVersion(), Seq(dimStore.currentVersion())).get
+        val vm2 = graft.store.MaterializedJoin
+          .viewMeta(jvStore, "jv2p").get
+        graft.store.MaterializedJoin.storedPlusDeltaJoin(jvStore, vm2,
+          t1.pre, t1.post, t1.keys, Seq(tierDim.currentVersion())).get
+          .frame.count()
+      }
+      t("pyr_scan_join3") {
+        store.readSnapshot()
+          .join(dimStore.readSnapshot(), Seq("o_custkey"), "inner")
+          .join(tierDim.readSnapshot(), Seq("cust_tier"), "inner").count()
+      }
+    } finally
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
     def jmap(m: collection.Map[String, Double]) =
       m.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val json =
