@@ -597,12 +597,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   override def dropTable(ident: Identifier): Boolean = {
     val p = new Path(tableRoot(ident))
+    // drop-and-recreate at one root restarts snapshot numbering — every
+    // cached manifest/span/registry entry under it (incl. branches and
+    // derivative stores) would alias the old table
+    TableStore.invalidateMeta(tableRoot(ident))
     fs(p).delete(p, true)
   }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     val from = new Path(tableRoot(oldIdent))
     val to = new Path(tableRoot(newIdent))
+    TableStore.invalidateMeta(tableRoot(oldIdent))
+    TableStore.invalidateMeta(tableRoot(newIdent))
     if (!fs(from).rename(from, to))
       throw new IllegalStateException(s"cannot rename $oldIdent to $newIdent")
   }

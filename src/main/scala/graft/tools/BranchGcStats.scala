@@ -50,6 +50,8 @@ object BranchGcStats {
     val os = hfs.create(mp, false)
     os.write(bm.copy(committedAtMs = past).toJson.getBytes("UTF-8"))
     os.close()
+    // out-of-band manifest rewrite (simulating idle age) — drop the memo
+    graft.store.TableStore.invalidateMeta(s"$root#abandoned")
     println(f"[branchgc] + staged load ${du() / 1048576.0}%8.1f MiB")
 
     // main moves on: full rewrite supersedes every fork file, then vacuum

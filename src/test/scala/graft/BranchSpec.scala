@@ -344,6 +344,9 @@ class BranchSpec extends SparkSuite {
     val out = f.create(mp, false)
     out.write(abM.copy(committedAtMs = now - 9_000_000L).toJson.getBytes("UTF-8"))
     out.close()
+    // the rewrite above is out-of-band mutation no production path does —
+    // drop the process-wide manifest memo entry so the aged timestamp is read
+    TableStore.invalidateMeta(store.root + "#abandoned")
     // a fresh branch and an aged-but-published one
     store.createBranch("active")
     store.createBranch("published", nowMs = now - 10_000_000L)

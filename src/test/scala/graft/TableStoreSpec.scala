@@ -30,6 +30,8 @@ class TableStoreSpec extends SparkSuite {
       s"${store.root}/manifest/v$version.json")
     val out = fs.create(p, true)
     try out.write(m.toJson.getBytes("UTF-8")) finally out.close()
+    // out-of-band overwrite no production path does — drop the memo
+    TableStore.invalidateMeta(store.root)
   }
 
   test("rebucket grows the bucket count; content preserved, masks folded") {
@@ -583,6 +585,8 @@ class TableStoreSpec extends SparkSuite {
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
     try out.write(m.toJson.getBytes("UTF-8")) finally out.close()
+    // out-of-band overwrite no production path does — drop the memo
+    TableStore.invalidateMeta(root)
   }
 
   test("two-threshold GC: unreferenced age and noncurrent age expire different sets") {
