@@ -95,77 +95,26 @@ object LlmSim {
     * cosine EXACTLY 1.0. The true top-20 is therefore the planted set in id
     * order, and the DuckDB brute-force oracle agrees bit-for-bit (the
     * 0.60-vs-1.0 margin absorbs any float-vs-double evaluation order). */
-  private def plantClones(base: DataFrame): DataFrame =
-    base.unionByName(base.filter(col("vec_id") === 0)
-      .select(explode(sequence(lit(1), lit(20))).as("j"), col("embedding"))
+  private def clones(base: DataFrame, from: Int, to: Int): DataFrame =
+    base.filter(col("vec_id") === 0)
+      .select(explode(sequence(lit(from), lit(to))).as("j"), col("embedding"))
       .select((lit(10000000L) + col("j")).as("vec_id"),
         transform(col("embedding"),
-          x => x * pow(lit(2.0), col("j")).cast("float")).as("embedding")))
+          x => x * pow(lit(2.0), col("j")).cast("float")).as("embedding"))
+
+  private def plantClones(base: DataFrame): DataFrame =
+    base.unionByName(clones(base, 1, 20))
 
   private val simSearchIvf: Q = (s, d) =>
     lshTopK(plantClones(load(s, d, "embeddings")
       .select(col("vec_id"), col("embedding"))), queryId = 0L, k = 20, dim = 64)
 
-  /** Spherical k-means cluster assignment: Lloyd iterations expressed as
-    * map-side partial sums. Vectors are L2-normalized so cosine = dot
-    * product; centroids seed deterministically from the `clusters` lowest
-    * vec_ids; each iteration is ONE distributed pass producing per-partition
-    * (cluster, count, sum-vector) partials — the treeAggregate pattern, so
-    * driver traffic is O(partitions × clusters × dim) per iteration,
-    * independent of corpus size (the corpus itself is never collected).
-    * Empty clusters keep their previous centroid. Returns the final
-    * centroids; [[kmeansIvfTopK]] maps assignment back over the corpus.
-    *
-    * At 100 TB the centroid set (k×dim doubles) is still broadcast-sized —
-    * k-means-IVF is exactly the index structure FAISS/Spark-ANN use at that
-    * scale, and the per-iteration cost is one full scan with map-side
-    * combine, no shuffle of the corpus. */
+  /** Spherical k-means trainer — the implementation moved to
+    * [[graft.store.AnnIndex.kmeansCentroids]] (the persisted IVF index
+    * trains with the same code); this in-query surface delegates. */
   def kmeansCentroids(unit: org.apache.spark.sql.Dataset[(Long, Array[Double])],
-      clusters: Int, iters: Int): Array[Array[Double]] = {
-    import unit.sparkSession.implicits._
-    val sc = unit.sparkSession.sparkContext
-    // deterministic seeding: the `clusters` lowest vec_ids, whatever the id
-    // space — one TakeOrdered of k rows, no assumption that ids start at 0
-    var cents: Array[Array[Double]] = unit
-      .orderBy(col("_1").asc).limit(clusters)
-      .collect().sortBy(_._1).map(_._2)
-    require(cents.nonEmpty, "kmeans needs at least one seed vector")
-    for (_ <- 1 to iters) {
-      val bc = sc.broadcast(cents)
-      val partials = unit.mapPartitions { it =>
-        val cs = bc.value
-        val dim = cs(0).length
-        val sums = Array.fill(cs.length)(new Array[Double](dim))
-        val cnts = new Array[Long](cs.length)
-        it.foreach { case (_, v) =>
-          val c = VecKernels.nearestCentroid(v, cs)
-          cnts(c) += 1
-          var i = 0
-          while (i < dim) { sums(c)(i) += v(i); i += 1 }
-        }
-        cnts.indices.iterator.filter(cnts(_) > 0)
-          .map(c => (c, cnts(c), sums(c)))
-      }.collect() // ≤ partitions × clusters rows of dim doubles — metadata-sized
-      val dim = cents(0).length
-      val sums = Array.fill(cents.length)(new Array[Double](dim))
-      val cnts = new Array[Long](cents.length)
-      partials.foreach { case (c, n, s) =>
-        cnts(c) += n
-        var i = 0
-        while (i < dim) { sums(c)(i) += s(i); i += 1 }
-      }
-      cents = cents.indices.map { c =>
-        if (cnts(c) == 0) cents(c)
-        else {
-          val mean = sums(c).map(_ / cnts(c))
-          val norm = math.sqrt(VecKernels.dotD(mean, mean))
-          if (norm > 0) mean.map(_ / norm) else cents(c)
-        }
-      }.toArray
-      bc.destroy()
-    }
-    cents
-  }
+      clusters: Int, iters: Int): Array[Array[Double]] =
+    graft.store.AnnIndex.kmeansCentroids(unit, clusters, iters)
 
   /** k-means-IVF ANN (north-star extension `sim_search_ivf_kmeans`): the
     * classic IVF index — spherical k-means partitions the corpus into
@@ -215,6 +164,31 @@ object LlmSim {
   private val simSearchIvfKmeans: Q = (s, d) =>
     kmeansIvfTopK(plantClones(load(s, d, "embeddings")
       .select(col("vec_id"), col("embedding"))), queryId = 0L, k = 20)
+
+  /** PERSISTED IVF index end-to-end (`sim_search_ann_index`,
+    * [[graft.store.AnnIndex]], VERDICT r11 next #2): the corpus plus half
+    * the planted clones become a keyed graft table; `AnnIndex.create`
+    * trains the cells once and materializes the cell-bucketed index; a
+    * live-feed upsert lands the OTHER half of the planted set; the cadence
+    * `refresh` assigns the new vectors into the frozen cells incrementally
+    * (O(changed rows + touched cell buckets), never a corpus re-cluster);
+    * and the point query reads ONLY the probed cells' buckets. Same
+    * structural-recall construction as the in-query IVF entries, so the
+    * DuckDB brute-force oracle is exact: every power-of-two clone
+    * normalizes bit-identically to the query, lands in its cell at create
+    * AND at refresh, and scores cosine exactly 1.0. */
+  private val simSearchAnnIndex: Q = (s, d) => {
+    val base = load(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    val store = new graft.store.TableStore(s, graft.util.Scratch.dir("ann_idx"))
+    store.commitBucketed(base.unionByName(clones(base, 1, 10)),
+      Seq("vec_id"), 16)
+    graft.store.AnnIndex.create(store, "ann", "embedding",
+      clusters = 16, iters = 4)
+    store.upsertEq(clones(base, 11, 20).withColumn("op", lit("PUT")))
+    graft.store.AnnIndex.refresh(store, "ann")
+    graft.store.AnnIndex.topkById(store, "ann", queryId = 0L, k = 20,
+      nProbe = 2)
+  }
 
   /** Batch top-k (SURVEY §2.J extension `sim_search_batch`): k nearest
     * corpus vectors for EACH of a set of query vectors — the realistic ANN
@@ -402,6 +376,7 @@ object LlmSim {
     "sim_search_topk" -> simSearchTopk,
     "sim_search_ivf" -> simSearchIvf,
     "sim_search_ivf_kmeans" -> simSearchIvfKmeans,
+    "sim_search_ann_index" -> simSearchAnnIndex,
     "sim_search_batch" -> simSearchBatch,
     "multimodal_schema" -> multimodalSchema,
     "multimodal_decode" -> multimodalDecode,
@@ -434,6 +409,7 @@ object LlmSim {
   val oracles: Map[String, String] = Map(
     "sim_search_ivf" -> plantedTopKOracle,
     "sim_search_ivf_kmeans" -> plantedTopKOracle,
+    "sim_search_ann_index" -> plantedTopKOracle,
 
     "sim_search_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)

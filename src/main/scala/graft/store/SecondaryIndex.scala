@@ -36,8 +36,8 @@ import org.apache.spark.sql.functions.{col, lit}
   * index reflects. */
 object SecondaryIndex {
 
-  private val BaseVersionProp = "graft.index.base-version"
-  private val IndexKeysProp = "graft.index.keys"
+  private[store] val BaseVersionProp = "graft.index.base-version"
+  private[store] val IndexKeysProp = "graft.index.keys"
 
   /** The base-table tag pinning the snapshot an index reflects: refresh
     * replays the changelog FROM that snapshot, so expiry must not collect
@@ -68,7 +68,7 @@ object SecondaryIndex {
       .foreach(base.dropTag)
   }
 
-  private def movePin(base: TableStore, name: String, toV: Long): Unit = {
+  private[store] def movePin(base: TableStore, name: String, toV: Long): Unit = {
     if (base.refVersion(pinTagName(name, toV)).isEmpty)
       base.createTag(pinTagName(name, toV), toV)
     dropPins(base, name, keep = Some(toV))
@@ -171,6 +171,9 @@ object SecondaryIndex {
       s"index name must match [A-Za-z0-9._-]{1,128}, got '$name'")
     dropPins(base, name) // release the indexed-snapshot pins
     val p = new org.apache.hadoop.fs.Path(s"${base.root}/index/$name")
+    // clears the dropped index store's cached manifests AND the base
+    // root's registry snapshot (which lists this index)
+    TableStore.invalidateMeta(base.root)
     val fs = p.getFileSystem(base.spark.sparkContext.hadoopConfiguration)
     fs.delete(p, true)
   }
@@ -200,14 +203,24 @@ object SecondaryIndex {
       a
     }
 
+  /** `project` generalizes how index rows derive from base rows: the
+    * default projects the index columns verbatim (a classic GSI); a
+    * DERIVED-key index (the ANN cell index, [[AnnIndex]]) supplies the
+    * transform that computes its key — the netting, bucket routing, and
+    * replay below are key-derivation-agnostic. An ANN index reached
+    * WITHOUT a transform (the blanket maintenance-cadence call sites)
+    * self-routes through [[AnnIndex.refresh]]. */
   def refresh(base: TableStore, name: String,
       sharedFrames: Option[(Long, Long, DataFrame, DataFrame)] = None,
-      allowRebuild: Boolean = false): Long = {
+      allowRebuild: Boolean = false,
+      project: Option[DataFrame => DataFrame] = None): Long = {
     requireMain(base)
     val idx = indexStore(base, name)
     val iv = idx.currentVersion()
     require(iv >= 0, s"index '$name' does not exist; create it first")
     val im = idx.manifest(iv)
+    if (project.isEmpty && im.props.get(AnnIndex.KindProp).nonEmpty)
+      return AnnIndex.refresh(base, name)
     val fromV = im.props(BaseVersionProp).toLong
     val toV = base.currentVersion()
     if (toV == fromV) return fromV
@@ -217,6 +230,8 @@ object SecondaryIndex {
     val bm = base.manifest(toV)
     val indexKeys = im.bucketKeys
     val cols = im.schema.fieldNames.filterNot(_ == "_gbucket").toSeq
+    val proj: DataFrame => DataFrame =
+      project.getOrElse(df => df.select(cols.map(col): _*))
     // retractions carry the OLD index-key value; assertions the NEW one —
     // together they name every index bucket whose content changes. The
     // changelog halves are a FILE diff, so content-preserving maintenance
@@ -259,7 +274,7 @@ object SecondaryIndex {
       if (allowRebuild && math.max(ad, rm).toDouble /
           math.max(1L, bm.nFiles).toDouble >= rescanFrac) {
         idx.commitBucketed(
-          base.readSnapshot(toV).select(cols.map(col): _*),
+          proj(base.readSnapshot(toV)),
           indexKeys, im.numBuckets, expectedParent = Some(iv),
           props = im.props + (BaseVersionProp -> toV.toString))
         movePin(base, name, toV)
@@ -270,8 +285,8 @@ object SecondaryIndex {
       case Some((p, q)) => (p, q)
       case None => base.changelogFrames(fromV, toV)
     }
-    val rawPre = preFrame.select(cols.map(col): _*)
-    val rawPost = postFrame.select(cols.map(col): _*)
+    val rawPre = proj(preFrame)
+    val rawPost = proj(postFrame)
     // The changelog's file diff + the two excepts are the expensive half
     // of a refresh, and BOTH net-change frames are consumed by two
     // separate actions (the touched-bucket collect and the commit's write
@@ -312,7 +327,7 @@ object SecondaryIndex {
       if (touched.size >= im.numBuckets.toDouble * rescanFrac2) {
         phase(base.spark, "idx:rebuild") {
           idx.commitBucketed(
-            base.readSnapshot(toV).select(cols.map(col): _*),
+            proj(base.readSnapshot(toV)),
             indexKeys, im.numBuckets, expectedParent = Some(iv),
             props = im.props + (BaseVersionProp -> toV.toString)) }
         movePin(base, name, toV)
