@@ -230,10 +230,16 @@ class AggViewRewriteRule extends Rule[LogicalPlan] {
     // key must still exist in the CURRENT base schema
     val baseCols = m.schema.fieldNames.toSet
     def tailProjectable(vm: MaterializedAgg.ViewMeta): Boolean =
-      (vm.groupBy ++ vm.sumCols ++ vm.distinctCols).forall(baseCols)
+      (vm.groupBy ++ vm.sumCols ++ vm.minMaxCols ++ vm.distinctCols)
+        .forall(baseCols)
+    // MIN/MAX views serve through the tail too (VERDICT r11 next #3):
+    // inserts merge monotonically, extremum retractions dirty-rescan
+    // through the covering index at the lockstep watermark —
+    // [[MaterializedAgg.storedPlusTail]] declines the unsound shapes
+    // (no index / off-watermark index) by returning None
     val viaTail =
       if (!tailOn) None
-      else stale.filter(vm => vm.minMaxCols.isEmpty &&
+      else stale.filter(vm =>
           tailProjectable(vm) && spanCheap(vm)).view
         .flatMap(vm => rewriteWith(agg, groupingX, outputsX, conds, store,
           vm, groupRefs, condRefs, aggExprs,
@@ -451,7 +457,10 @@ class AggViewRewriteRule extends Rule[LogicalPlan] {
     if (viewConds.exists(_.isEmpty)) return None
     val raw0 = serve match {
       case AggViewRewrite.ServeTail(toV) =>
-        MaterializedAgg.storedPlusTail(store, vm, toV)
+        MaterializedAgg.storedPlusTail(store, vm, toV) match {
+          case Some(df) => df
+          case None => return None // MIN/MAX view not tail-serveable
+        }
       case AggViewRewrite.ServeJoinDelta(pre, post, _) =>
         MaterializedAgg.storedPlusDelta(store, vm, pre, post)
       case AggViewRewrite.ServeStored =>
@@ -483,7 +492,8 @@ class AggViewRewriteRule extends Rule[LogicalPlan] {
     val withDc = dcAggs.foldLeft(flat) { case (df, (_, dn, ph, cm)) =>
       val compRaw = serve match {
         case AggViewRewrite.ServeTail(toV) =>
-          MaterializedAgg.storedPlusTail(store, cm, toV)
+          // companions track no extrema — always tail-serveable
+          MaterializedAgg.storedPlusTail(store, cm, toV).get
         case AggViewRewrite.ServeJoinDelta(pre, post, _) =>
           MaterializedAgg.storedPlusDelta(store, cm, pre, post)
         case AggViewRewrite.ServeStored => MaterializedAgg

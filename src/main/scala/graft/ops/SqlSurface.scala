@@ -677,6 +677,76 @@ object SqlSurface {
     out
   }
 
+  /** MIN/MAX tail serving (`sql_agg_tail_mm`, VERDICT r11 next #3): a
+    * MIN/MAX-tracking view goes STALE under live DML — a scattered DELETE
+    * retracting many groups' extrema, then an INSERT planting new global
+    * minima — and the plain GROUP BY must still answer EXACTLY from the
+    * view under `tailUnion`, with NOTHING refreshed or committed: inserts
+    * merge monotonically onto the stored extrema; the retraction-dirtied
+    * groups recompute at query time from the auto-created covering index
+    * at the lockstep watermark adjusted by the signed span
+    * ([[graft.store.MaterializedAgg.storedPlusTail]]). The `$aggs` stale
+    * flag is require()d TRUE before AND after the read (the serve is
+    * query-time only), and the DuckDB oracle reproduces the DML
+    * relationally over the raw rows. */
+  private val sqlAggTailMm: Q = (s, d) => {
+    val cat = catalogFor(s, d)
+    s.sql(s"DROP TABLE IF EXISTS $cat.analytics.li_mm")
+    val store = new TableStore(s, s"${warehouseFor(d)}/analytics/li_mm")
+    store.commitBucketed(
+      load(s, d, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+        (col("l_orderkey") % 97).as("okb"),
+        col("l_returnflag"), col("l_linestatus"),
+        col("l_quantity").cast("decimal(18,2)").as("qty"),
+        col("l_discount").cast("decimal(18,2)").as("disc")),
+      keys = Seq("l_orderkey", "l_linenumber"), numBuckets = 16)
+    s.catalog.refreshTable(s"$cat.analytics.li_mm")
+    s.sql(s"CALL $cat.system.create_agg_view('analytics.li_mm', 'by_flag', " +
+      "'okb,l_returnflag', 'qty', 8, 'disc')")
+    s.conf.set("spark.graft.delete.mode", "auto")
+    try {
+      // retraction route: the modulo DELETE removes many groups' extrema
+      s.sql(s"DELETE FROM $cat.analytics.li_mm WHERE l_orderkey % 10 = 4")
+      // monotone route: new rows below every stored minimum
+      s.sql(
+        s"""INSERT INTO $cat.analytics.li_mm
+           |SELECT l_orderkey + 60000000, l_linenumber, okb, l_returnflag,
+           |  l_linestatus, qty, CAST(-1.50 AS DECIMAL(18,2))
+           |FROM $cat.analytics.li_mm WHERE l_orderkey % 10 = 2""".stripMargin)
+    } finally s.conf.unset("spark.graft.delete.mode")
+    s.catalog.refreshTable(s"$cat.analytics.li_mm")
+    def stale(): Boolean = s.sql(
+      s"SELECT stale FROM $cat.analytics.`li_mm$$aggs` " +
+        "WHERE name = 'by_flag'").head().getBoolean(0)
+    require(stale(), "$aggs must show the view stale after unrefreshed DML")
+    s.conf.set("spark.graft.agg.rewrite.tailUnion", "true")
+    // span router disarmed as in sql_join_tail: the auto-routed DELETE's
+    // masks diff at bucket granularity, so this toy span prices as
+    // all-files-changed whatever the real churn — the router's decline
+    // behavior is spec-pinned in AggViewRewriteSpec; THIS oracle pins
+    // the serve's exactness
+    s.conf.set("spark.graft.agg.refresh.rescanFraction", "2.0")
+    try {
+      val out = s.sql(
+        s"""SELECT okb, l_returnflag, COUNT(*) AS n,
+           |  CAST(SUM(qty) AS DOUBLE) AS sum_qty,
+           |  CAST(MIN(disc) AS DOUBLE) AS min_disc,
+           |  CAST(MAX(disc) AS DOUBLE) AS max_disc
+           |FROM $cat.analytics.li_mm
+           |GROUP BY okb, l_returnflag
+           |ORDER BY okb ASC NULLS FIRST,
+           |  l_returnflag ASC NULLS FIRST""".stripMargin)
+      require(graft.catalog.AggViewRewrite.served(out),
+        "the stale MIN/MAX view must tail-serve the GROUP BY")
+      out.cache().count() // materialize under the confs before unsetting
+      require(stale(), "tail serving must commit nothing (still stale)")
+      out
+    } finally {
+      s.conf.unset("spark.graft.agg.rewrite.tailUnion")
+      s.conf.unset("spark.graft.agg.refresh.rescanFraction")
+    }
+  }
+
   /** Incrementally-maintained JOIN view end-to-end (`sql_join_view`,
     * [[graft.store.MaterializedJoin]]): a lineitem fact joined to an
     * orders dim, materialized via `CALL create_join_view`, run through DML
@@ -1192,6 +1262,7 @@ object SqlSurface {
     "sql_catalog" -> sqlCatalog,
     "sql_agg_view" -> sqlAggView,
     "sql_agg_rewrite" -> sqlAggRewrite,
+    "sql_agg_tail_mm" -> sqlAggTailMm,
     "sql_join_view" -> sqlJoinView,
     "sql_join_rewrite" -> sqlJoinRewrite,
     "sql_join_tail" -> sqlJoinTail,
@@ -1386,6 +1457,27 @@ object SqlSurface {
         |  FROM lineitem WHERE l_orderkey % 10 <> 4)
         |WHERE l_linestatus = 'F'
         |GROUP BY okb, l_returnflag
+        |ORDER BY okb ASC NULLS FIRST,
+        |  l_returnflag ASC NULLS FIRST""".stripMargin,
+    "sql_agg_tail_mm" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber, l_orderkey % 97 AS okb,
+        |    l_returnflag, l_linestatus,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS qty,
+        |    CAST(l_discount AS DECIMAL(18,2)) AS disc
+        |  FROM lineitem),
+        |after_del AS (SELECT * FROM li WHERE l_orderkey % 10 <> 4),
+        |ins AS (
+        |  SELECT l_orderkey + 60000000 AS l_orderkey, l_linenumber, okb,
+        |    l_returnflag, l_linestatus, qty,
+        |    CAST(-1.50 AS DECIMAL(18,2)) AS disc
+        |  FROM after_del WHERE l_orderkey % 10 = 2),
+        |final AS (SELECT * FROM after_del UNION ALL SELECT * FROM ins)
+        |SELECT okb, l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(qty) AS DOUBLE) AS sum_qty,
+        |  CAST(MIN(disc) AS DOUBLE) AS min_disc,
+        |  CAST(MAX(disc) AS DOUBLE) AS max_disc
+        |FROM final GROUP BY okb, l_returnflag
         |ORDER BY okb ASC NULLS FIRST,
         |  l_returnflag ASC NULLS FIRST""".stripMargin,
     "sql_agg_view" ->

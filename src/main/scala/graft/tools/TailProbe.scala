@@ -50,7 +50,8 @@ object TailProbe {
     println("== metas: " + MaterializedAgg.viewMetas(store))
     println("== tail frame:")
     try MaterializedAgg.storedPlusTail(store,
-      MaterializedAgg.viewMeta(store, "tg").get, m.version).show(5)
+      MaterializedAgg.viewMeta(store, "tg").get, m.version)
+      .foreach(_.show(5))
     catch { case e: Throwable => println(s"tail threw: $e") }
     spark.conf.set("spark.graft.agg.rewrite.tailUnion", "true")
     spark.conf.set("spark.graft.agg.rewrite.debug", "true")

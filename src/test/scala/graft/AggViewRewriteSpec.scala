@@ -6,7 +6,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.catalog.GraftCatalog
-import graft.store.{MaterializedAgg, TableStore}
+import graft.store.{MaterializedAgg, SecondaryIndex, TableStore}
 
 /** Transparent materialized-view rewrite ([[graft.catalog.AggViewRewriteRule]]):
   * a GROUP BY over the catalog table must answer from the aggregate view
@@ -254,18 +254,66 @@ class AggViewRewriteSpec extends SparkSuite {
     checkRewrites(q, expectFire = true)
   }
 
-  test("tail union declines MIN/MAX views and spans that churned most " +
-      "files (the full scan is comparable there)") {
-    val store = setup() // by_grp_reg HAS minMaxCols — tail must decline
+  test("tail union declines spans that churned most files (the full scan " +
+      "is comparable there)") {
+    val store = setup()
     store.commitAppend(rows(561, 580))
     spark.catalog.refreshTable("mv_cat.analytics.sales")
     spark.conf.set("spark.graft.agg.rewrite.tailUnion", "true")
+    // default rescanFraction: the toy append's file diff prices as heavy
+    // churn relative to the table's few files — the span guard declines
     try {
       checkRewrites(
         """SELECT grp, SUM(n) AS sn FROM mv_cat.analytics.sales
           |GROUP BY grp""".stripMargin, expectFire = false)
     } finally spark.conf.unset("spark.graft.agg.rewrite.tailUnion")
     MaterializedAgg.refresh(store, "by_grp_reg")
+  }
+
+  test("MIN/MAX tail serving (VERDICT r11 #3): inserts merge " +
+      "monotonically; an extremum retraction dirty-rescans through the " +
+      "covering index at the lockstep watermark; off-watermark declines") {
+    val store = new TableStore(spark, s"$warehouse/analytics/mmtail")
+    store.commitBucketed(rows(1, 400), Seq("id"), 8)
+    MaterializedAgg.create(store, "mmg", Seq("grp"), sumCols = Seq("n"),
+      numBuckets = 4, minMaxCols = Seq("v"))
+    val q =
+      """SELECT grp, SUM(n) AS sn, MIN(v) AS mn, MAX(v) AS mx,
+        |  COUNT(*) AS cnt
+        |FROM mv_cat.analytics.mmtail GROUP BY grp""".stripMargin
+    checkRewrites(q, expectFire = true)
+    spark.conf.set("spark.graft.agg.rewrite.tailUnion", "true")
+    spark.conf.set("spark.graft.agg.refresh.rescanFraction", "0.99")
+    try {
+      // 1) MONOTONE: appended rows (v = 1000-k, k in 401..450 → new
+      // per-group minima) extend extrema without touching the index —
+      // checkRewrites proves exactness against the live scan
+      store.commitAppend(rows(401, 450))
+      spark.catalog.refreshTable("mv_cat.analytics.mmtail")
+      checkRewrites(q, expectFire = true)
+      // 2) RETRACTION: ids 1..10 hold the top v values (999, 998, …) —
+      // deleting them retracts several groups' stored MAX; the serve must
+      // dirty-rescan those groups through the covering index (still at
+      // the CREATE watermark — lockstep) adjusted by the signed span
+      store.deleteEq((1L to 10L).toDF("id"))
+      spark.catalog.refreshTable("mv_cat.analytics.mmtail")
+      checkRewrites(q, expectFire = true)
+      // 3) the index ADVANCED TO THE SCANNED HEAD also serves (rescan
+      // reads the index alone, no span adjustment)
+      SecondaryIndex.refresh(store, MaterializedAgg.mmIndexName("mmg"))
+      checkRewrites(q, expectFire = true)
+      // 4) an index at an INTERMEDIATE version (neither the view's
+      // watermark nor the head) cannot be adjusted soundly — declines
+      store.deleteEq(Seq(11L, 12L).toDF("id"))
+      spark.catalog.refreshTable("mv_cat.analytics.mmtail")
+      checkRewrites(q, expectFire = false)
+      // the cadence refresh restores exact serving
+      MaterializedAgg.refresh(store, "mmg")
+      checkRewrites(q, expectFire = true)
+    } finally {
+      spark.conf.unset("spark.graft.agg.rewrite.tailUnion")
+      spark.conf.unset("spark.graft.agg.refresh.rescanFraction")
+    }
   }
 
   test("tail union declines when a tracked column left the base schema " +
