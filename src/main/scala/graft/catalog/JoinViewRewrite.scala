@@ -293,7 +293,13 @@ class JoinViewRewriteRule extends Rule[LogicalPlan] {
     // dims; exact, nothing committed, and the result carries a fresh
     // Tail contract so a further level or a stacked aggregate composes.
     factE.left.toOption.foreach { case (info, _, _) =>
-      return cands(_ == info.viewVersion, _ == _).view.flatMap {
+      // dim gate admits AT-OR-AHEAD scanned dims (r11 #5: a dim UPDATE in
+      // the live-feed state previously dropped the snowflake query to the
+      // full re-join) — storedPlusDeltaJoin serves the churned keys
+      // through the covering index at the lockstep watermark and declines
+      // the unsound shapes itself
+      return cands(_ == info.viewVersion, (rv, cur) => rv <= cur).view
+        .flatMap {
         case (vm, legDims) =>
           val toRs = vm.dims.map(d => legDims.collectFirst {
             case (i, d2) if d2 eq d => legs(i).table.graftManifest.version
@@ -301,7 +307,7 @@ class JoinViewRewriteRule extends Rule[LogicalPlan] {
           val t = MaterializedJoin.storedPlusDeltaJoin(lStore, vm,
             info.pre, info.post, info.keys, toRs)
           if (t.isEmpty) dbg(s"tail-over-tail: '${vm.name}' declined " +
-            "(drift/expired dim snapshot)")
+            "(drift/expired dim snapshot/off-watermark index)")
           t.flatMap(tl =>
             attempt(vm, legDims, tl.frame, " (tail-over-tail)", Some(tl)))
       }.headOption

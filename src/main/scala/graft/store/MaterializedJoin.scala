@@ -164,8 +164,26 @@ object MaterializedJoin {
     }
   }
 
-  private[graft] def viewMetas(l: TableStore): Seq[ViewMeta] =
-    list(l).flatMap(viewMeta(l, _))
+  /** Every view's metas under `l` — the rewrite rule's per-planning-attempt
+    * registry read. Snapshot-cached process-wide (VERDICT r11 next #1):
+    * uncached, each call pays one registry `listStatus` plus TWO
+    * per-view listings and a manifest read inside the optimizer's
+    * fixpoint — 50-100 ms × O(#views) per query at object-store latency.
+    * The snapshot is invalidated by every in-process commit under `l.root`
+    * ([[TableStore.registryCommitted]]) and by drops/DROP TABLE
+    * ([[TableStore.invalidateMeta]]); `spark.graft.meta.registryCache=false`
+    * opts out for multi-driver deployments where another process runs the
+    * maintenance cadence. */
+  private[graft] def viewMetas(l: TableStore): Seq[ViewMeta] = {
+    val cacheOn = l.spark.conf.getOption("spark.graft.meta.registryCache")
+      .forall(_.toBoolean)
+    if (!cacheOn) return list(l).flatMap(viewMeta(l, _))
+    val c = TableStore.registryGet("join", l.memoKey)
+    if (c != null) return c.asInstanceOf[Seq[ViewMeta]]
+    val metas = list(l).flatMap(viewMeta(l, _))
+    TableStore.registryPut("join", l.memoKey, metas)
+    metas
+  }
 
   private def requireMain(st: TableStore, what: String): Unit =
     require(st.branch.isEmpty,
@@ -504,7 +522,17 @@ object MaterializedJoin {
       // them behind. The replay is O(net changed rows) and a
       // content-preserving span nets to a watermark-only advance. Failure
       // is non-fatal: serving just declines an off-watermark index.
-      meta.dims.foreach(_.idx.foreach { idx =>
+      //
+      // PRICED per VERDICT r11 next #4: deployments that never enable
+      // `tailUnion` pay this sync for an invariant they never read —
+      // `spark.graft.view.refresh.syncIndexes=false` opts out (lazy mode:
+      // dim-churn tail serving declines until the maintenance cadence —
+      // which blanket-refreshes every index anyway — next syncs; every
+      // committed result is identical either way).
+      val eagerSync = l.spark.conf
+        .getOption("spark.graft.view.refresh.syncIndexes")
+        .forall(_.toBoolean)
+      if (eagerSync) meta.dims.foreach(_.idx.foreach { idx =>
         try {
           phase(l.spark, s"refresh:lockstep-sync($idx)") {
             SecondaryIndex.refresh(l, idx, allowRebuild = true) }; ()
@@ -801,7 +829,7 @@ object MaterializedJoin {
       return None
     val rs = vm.dims.map(d => new TableStore(l.spark, d.rRoot))
     if (vm.dims.zip(rs).zip(toRs).exists { case ((d, r), toR) =>
-        !r.existingVersions().contains(toR) || {
+        toR < d.rVersion || !r.existingVersions().contains(toR) || {
           val rm = r.manifest(toR)
           rm.bucketKeys != d.rKeys ||
             !d.rCols.forall(rm.schema.fieldNames.contains)
@@ -810,6 +838,22 @@ object MaterializedJoin {
     if (keys.columns.toSeq != lm.bucketKeys) return None
     val pk = vm0.bucketKeys
     val stored = st.readSnapshot(vm.viewVersion)
+    // DIM CHURN at the stacked level (VERDICT r11 next #5 — previously
+    // any dim UPDATE in the live-feed state dropped the snowflake query
+    // to the full re-join): a moved dim contributes its netted join keys
+    // over `(rVersion, toR]`; kept rows exclude them, and their affected
+    // fact rows come from that dim's covering index on the LEVEL-1 STORE
+    // at the lockstep watermark (== this view's lVersion — the store
+    // itself never moved; the fact staleness lives BELOW it and rides the
+    // delta contract). Delta'd PKs are excluded from index-sourced rows
+    // (their live rows are already in `post`), exactly the
+    // [[storedPlusTail]] template.
+    val dimMoved = vm.dims.zip(rs).zip(toRs).map { case ((d, r), toR) =>
+      toR != d.rVersion &&
+        !TableStore.contentPreservingSpan(r, d.rVersion, toR) }
+    if (dimMoved.exists(identity) &&
+        vm.dims.zip(rs).exists { case (d, r) =>
+          !r.existingVersions().contains(d.rVersion) }) return None
     // the delta frames appear several times in the composed plan (the
     // anti/semi joins, the re-join) and each embeds the level-1 tail
     // machinery — PERSIST so it runs once (bounded by changed rows;
@@ -817,14 +861,87 @@ object MaterializedJoin {
     // changed-PK frame, derived there WITHOUT scanning its stored view.
     val deltaK = keys.persist()
     val postP = post.persist()
-    val kept = MaterializedAgg.nsJoin(stored, deltaK, pk, "left_anti")
+    val spark = l.spark
+    // per-dim netted keys, renamed to the fact-side join columns;
+    // broadcast-hinted at join sites when the span's changed bytes bound
+    // them small (the storedPlusTail policy)
+    val bcastCap = spark.conf
+      .getOption("spark.graft.view.keyBroadcastBytes")
+      .map(_.toLong).getOrElse(64L << 20)
+    val dks: Seq[Option[(DimMeta, DataFrame, Boolean)]] =
+      vm.dims.zip(rs).zip(toRs).zipWithIndex.map {
+        case (((d, r), toR), i) =>
+          if (!dimMoved(i)) None
+          else {
+            val dk0 = nettedKeys(r, d.rVersion, toR,
+              (d.rKeys ++ d.rCols).distinct, d.rKeys).persist()
+            val dk = d.rKeys.zip(d.lKeys).foldLeft(dk0) {
+              case (df, (rk, lk)) => df.withColumnRenamed(rk, lk)
+            }
+            val small =
+              TableStore.spanChangedBytes(r, d.rVersion, toR) <= bcastCap
+            Some((d, dk, small))
+          }
+      }
+    def hinted(dk: DataFrame, small: Boolean): DataFrame =
+      if (small) broadcast(dk) else dk
+    // affected fact rows per moved dim — index (or the level-1 store's
+    // own buckets when the join key IS its PK) at the lockstep watermark,
+    // minus the delta'd PKs
+    val dimAff: Seq[DataFrame] = dks.flatten.map { case (d, dk, small) =>
+      d.idx match {
+        case Some(idx) =>
+          if (!SecondaryIndex.list(l).contains(idx)) return None
+          if (SecondaryIndex.baseWatermark(l, idx) != vm.lVersion)
+            return None
+          val ist = SecondaryIndex.indexStore(l, idx)
+          val im = ist.manifest(ist.currentVersion())
+          if (!lAll.forall(im.schema.fieldNames.contains)) return None
+          val buckets = dk
+            .select(TableStore.bucketExpr(d.lKeys, im.numBuckets).as("b"))
+            .distinct().collect().map(_.getLong(0)).toSeq.sorted
+          val rows0 = MaterializedAgg.nsJoin(
+            ist.readBuckets(buckets).select(lAll.map(col): _*),
+            hinted(dk, small), d.lKeys, "left_semi")
+          MaterializedAgg.nsJoin(rows0, deltaK, pk, "left_anti")
+        case None => // join key IS the level-1 PK: its buckets serve
+          val buckets = dk
+            .select(TableStore.bucketExpr(d.lKeys, lm.numBuckets).as("b"))
+            .distinct().collect().map(_.getLong(0)).toSeq.sorted
+          val rows0 = MaterializedAgg.nsJoin(
+            l.readBuckets(buckets, vm.lVersion),
+            hinted(dk, small), d.lKeys, "left_semi")
+          MaterializedAgg.nsJoin(rows0, deltaK, pk, "left_anti")
+      }
+    }
+    val movedDks = dks.flatten
+    val kept = movedDks.foldLeft(
+      MaterializedAgg.nsJoin(stored, deltaK, pk, "left_anti")) {
+      case (acc, (d, dk, small)) =>
+        MaterializedAgg.nsJoin(acc, hinted(dk, small), d.lKeys, "left_anti")
+    }
+    val lAff = (postP +: dimAff).reduce(_ unionByName _)
+    val lAffD =
+      if (dimAff.isEmpty) lAff else lAff.dropDuplicates(pk)
     val dimReads = vm.dims.zip(rs).zip(toRs).map { case ((d, r), toR) =>
       (r.readSnapshot(toR), d.lKeys, d.rKeys, d.rCols) }
-    val newRows = joined(postP, dimReads, vm.joinType, lAll)
+    val newRows = joined(lAffD, dimReads, vm.joinType, lAll)
       .select(vm0.schema.fieldNames.map(col): _*)
-    Some(Tail(kept.unionByName(newRows),
-      MaterializedAgg.nsJoin(stored, deltaK, pk, "left_semi"), newRows,
-      deltaK))
+    val preOut = movedDks.foldLeft(
+      MaterializedAgg.nsJoin(stored, deltaK, pk, "left_semi")) {
+      case (acc, (d, dk, small)) => acc.unionByName(
+        MaterializedAgg.nsJoin(stored, hinted(dk, small), d.lKeys,
+          "left_semi"))
+    }
+    val preOutD = if (movedDks.isEmpty) preOut else preOut.dropDuplicates(pk)
+    // every changed PK without scanning the stored view (an Aggregate,
+    // never .distinct() — spliced analyzed, see nettedKeys)
+    val changedKeys =
+      if (dimAff.isEmpty) deltaK
+      else deltaK.unionByName(lAffD.select(pk.map(col): _*))
+        .groupBy(pk.map(col): _*)
+        .agg(count(lit(1)).as("_g_kn")).drop("_g_kn")
+    Some(Tail(kept.unionByName(newRows), preOutD, newRows, changedKeys))
   }
 
   private[graft] final case class Tail(frame: DataFrame, pre: DataFrame,
@@ -1102,6 +1219,9 @@ object MaterializedJoin {
     }
     dropPins(l, s"join-pin-$name")
     val pth = new org.apache.hadoop.fs.Path(s"${l.root}/join/$name")
+    // clears the dropped view store's cached manifests AND the base
+    // root's registry snapshot (which lists this view)
+    TableStore.invalidateMeta(l.root)
     val fs = pth.getFileSystem(l.spark.sparkContext.hadoopConfiguration)
     fs.delete(pth, true)
   }

@@ -254,18 +254,36 @@ object RewriteStats {
     (13 to 12 + nBatches).foreach { i =>
       graft.streaming.StreamingOps.applyCdcBatchAuto(jBatch(i), jSt,
         Seq("o_orderkey"), 64, maintenance = Some(policy))
+      // every third batch ALSO churns the level-2 dim (r11 #5: the
+      // live-feed snowflake must keep serving through the covering index
+      // at the lockstep watermark instead of falling to the full re-join)
+      if (i % 3 == 0) {
+        tDim.upsertEq(spark.createDataFrame(
+          Seq((s"t${i % 7}", s"seg${i % 7}-r$i", "PUT")))
+          .toDF("tk", "segment", "op"))
+        spark.catalog.refreshTable("rw_cat.analytics.loop_tierdim")
+      }
       spark.catalog.refreshTable("rw_cat.analytics.loop_fact")
       val dfP = spark.sql(pq)
       val pFired = graft.catalog.AggViewRewrite.served(dfP, "/join/live2")
       val (_, tp) = timed(dfP.collect())
       if (pFired) pHitsPlain += 1 else pScan += tp
       spark.conf.set("spark.graft.agg.rewrite.tailUnion", "true")
+      // span router disarmed for the measurement: the 7-row tier dim has
+      // ~2 files, so ANY churn prices past rescanFraction (at real scale
+      // a dim churn is a tiny file fraction) — the router's decline
+      // behavior is spec-pinned in JoinViewRewriteSpec; this loop
+      // measures the serving capability
+      spark.conf.set("spark.graft.agg.refresh.rescanFraction", "2.0")
       try {
         val df = spark.sql(pq)
         if (graft.catalog.AggViewRewrite.served(df, "/join/live2")) {
           pHitsTail += 1; val (_, t) = timed(df.collect()); pTail += t
         }
-      } finally spark.conf.unset("spark.graft.agg.rewrite.tailUnion")
+      } finally {
+        spark.conf.unset("spark.graft.agg.rewrite.tailUnion")
+        spark.conf.unset("spark.graft.agg.refresh.rescanFraction")
+      }
     }
     println(f"pyramid live loop ($nBatches batches, cadence every 4): " +
       f"exact-only hit rate $pHitsPlain/$nBatches, with tail union " +

@@ -132,10 +132,54 @@ class DerivativeSoakSpec extends SparkSuite {
             s"view store:\n${q.queryExecution.optimizedPlan}")
         assert(canon(q) == canon(joinedNow()),
           s"epoch $epoch: mid-epoch tail-served join diverged")
+        // the PYRAMID under the same live-feed state (r11 #5): fact AND
+        // level-2 dim churned, nothing refreshed — the snowflake chain
+        // serves tail-over-tail with the dim-churned keys sourced from
+        // the covering index at the lockstep watermark
+        spark.catalog.refreshTable("soak_cat.analytics.dim2")
+        val pq = spark.sql(
+          """SELECT f.id, f.fk, f.amt, d.attr, t.tier
+            |FROM soak_cat.analytics.fact f
+            |JOIN soak_cat.analytics.dim d ON f.fk = d.k
+            |JOIN soak_cat.analytics.dim2 t ON d.extra = t.xk""".stripMargin)
+        assert(graft.catalog.AggViewRewrite.served(pq, "/join/jv/join/jv2"),
+          s"epoch $epoch: the mid-epoch stale pyramid must serve " +
+            s"tail-over-tail:\n${pq.queryExecution.optimizedPlan}")
+        assert(canon(pq) == canon(pyramidNow()),
+          s"epoch $epoch: mid-epoch pyramid serving diverged")
       } finally {
         spark.conf.unset("spark.graft.agg.rewrite.tailUnion")
         spark.conf.unset("spark.graft.agg.refresh.rescanFraction")
       }
+    }
+
+    // The BUDGET rung of the serving ladder (VERDICT r11 next #8): with
+    // the tail opt-in OFF and an explicit staleness budget, the same join
+    // SQL serves the view's WATERMARK-PAIR content — a consistent older
+    // snapshot of the whole star, asserted against a recompute at exactly
+    // those pinned versions.
+    def assertBudgetServes(epoch: Int): Unit = {
+      spark.conf.set("spark.graft.agg.rewrite.maxStalenessMs", "600000")
+      try {
+        spark.catalog.refreshTable("soak_cat.analytics.fact")
+        spark.catalog.refreshTable("soak_cat.analytics.dim")
+        val vm = MaterializedJoin.viewMeta(fact, "jv").get
+        val q = spark.sql(
+          """SELECT f.id, f.fk, f.amt, d.attr
+            |FROM soak_cat.analytics.fact f
+            |JOIN soak_cat.analytics.dim d ON f.fk = d.k""".stripMargin)
+        assert(graft.catalog.AggViewRewrite.served(q, "/join/"),
+          s"epoch $epoch: the budget-stale join must serve from the " +
+            s"view store:\n${q.queryExecution.optimizedPlan}")
+        val want = fact.readSnapshot(vm.lVersion).as("l")
+          .join(dim.readSnapshot(vm.dims.head.rVersion)
+            .select(col("k"), col("attr")).as("r"),
+            col("l.fk") === col("r.k"), "inner")
+          .select(col("id"), col("fk"), col("amt"), col("attr"))
+        assert(canon(q) == canon(want),
+          s"epoch $epoch: budget serving must answer the watermark pair")
+      } finally
+        spark.conf.unset("spark.graft.agg.rewrite.maxStalenessMs")
     }
 
     val b8 = TableStore.bucketExpr(Seq("id"), 8)
@@ -190,8 +234,11 @@ class DerivativeSoakSpec extends SparkSuite {
         fact.dropBranch("audit")
         ()
       }
-      // 5. every layer is now stale — served-stale reads stay exact
+      // 5. every layer is now stale — all three serving rungs hold:
+      // tail union (exact), budget (watermark pair); exact post-cadence
+      // is step 6's assert
       assertStaleServes(e)
+      assertBudgetServes(e)
       // 6. ONE maintenance pass ends the epoch
       StreamingOps.maintain(fact, policy)
       assertAllFreshAndExact(e)

@@ -585,6 +585,56 @@ class JoinViewRewriteSpec extends SparkSuite {
     }
   }
 
+  test("PYRAMID TAIL-OVER-TAIL + DIM CHURN (r11 #5): a level-2 dim " +
+      "UPDATE/DELETE in the live-feed state still serves — churned keys " +
+      "through the covering index at the lockstep watermark, exactly, " +
+      "nothing committed") {
+    val (f2, dA, dB) = pyramidSetup()
+    val v1 = MaterializedJoin.viewStore(f2, "v1")
+    val v2st = MaterializedJoin.viewStore(v1, "v2")
+    MaterializedJoin.refresh(f2, "v1")
+    MaterializedJoin.refresh(v1, "v2")
+    // live feed, NOTHING refreshed: fact churn (level 1 tail-serves) AND
+    // level-2 dim churn — an attr update and a deleted dim key (inner
+    // join: its rows must leave the served result)
+    f2.upsertEq(f2.readSnapshot().filter(col("id") % 41 === 3)
+      .withColumn("amt", col("amt") + 7).withColumn("op", lit("PUT")))
+    dB.upsertEq(Seq((2L, "g2x", "PUT"), (5L, "g5x", "PUT"))
+      .toDF("g", "attr2", "op"))
+    dB.deleteEq(Seq(Tuple1(3L)).toDF("g"))
+    val (v1v, v2v) = (v1.currentVersion(), v2st.currentVersion())
+    spark.catalog.refreshTable("jv_cat.analytics.fct2")
+    spark.catalog.refreshTable("jv_cat.analytics.dmb")
+    val q =
+      """SELECT f.id, f.amt, a.attr1, b.attr2
+        |FROM jv_cat.analytics.fct2 f
+        |JOIN jv_cat.analytics.dma a ON f.fk = a.k
+        |JOIN jv_cat.analytics.dmb b ON a.grp = b.g
+        |WHERE f.amt > 30""".stripMargin
+    spark.conf.set("spark.graft.agg.rewrite.tailUnion", "true")
+    spark.conf.set("spark.graft.agg.refresh.rescanFraction", "2.0")
+    try {
+      val on = spark.sql(q)
+      assert(AggViewRewrite.served(on, "/join/v1/join/v2"),
+        s"dim-churned live-feed pyramid must serve tail-over-tail:\n" +
+          s"${on.queryExecution.optimizedPlan}")
+      val onRows = on.collect().map(_.toString).sorted.toSeq
+      spark.conf.set("spark.graft.agg.rewrite", "false")
+      try assert(onRows ==
+        spark.sql(q).collect().map(_.toString).sorted.toSeq,
+        "dim-churned tail-over-tail serving diverged")
+      finally spark.conf.set("spark.graft.agg.rewrite", "true")
+      assert(v1.currentVersion() == v1v && v2st.currentVersion() == v2v,
+        "tail-over-tail is a READ path: nothing may commit")
+    } finally {
+      spark.conf.unset("spark.graft.agg.rewrite.tailUnion")
+      spark.conf.unset("spark.graft.agg.refresh.rescanFraction")
+    }
+    // restore freshness for later cases
+    MaterializedJoin.refresh(f2, "v1")
+    MaterializedJoin.refresh(v1, "v2")
+  }
+
   test("PYRAMID + STACKED AGG: three rewrites compose at the fixpoint — " +
       "the snowflake GROUP BY answers from the aggregate over the " +
       "stacked view") {
