@@ -123,14 +123,30 @@ object Bench {
             if (best.isEmpty && firstErr.isEmpty) firstErr = Some(msg)
             stop = true
           case Right((t1, c1)) =>
-            val s1 = sentinelSec()
-            val (t, c, sMaxA, fmsg) = once(fn) match {
-              case Right((t2, c2)) =>
-                val s2 = sentinelSec()
-                val sm = math.max(s0, math.max(s1, s2))
-                if (t2 < t1) (t2, c2, sm, None) else (t1, c1, sm, None)
-              case Left(msg) => (t1, c1, math.max(s0, s1), Some(msg))
+            // ADAPTIVE min-of-N (VERDICT r11 next #6: per-run noise had
+            // grown past the effects being measured): at least 2 runs,
+            // and while the two best still disagree by >15% keep running
+            // (cap 4) — cold-state one-offs (first-touch span memos, JIT)
+            // can no longer masquerade as regressions. The kept value is
+            // the min; probes bracket EVERY run so contention anywhere in
+            // the window still dirties the attempt.
+            var runs = List((t1, c1))
+            var probes = List(s0, sentinelSec())
+            var fmsg: Option[String] = None
+            var go = true
+            while (go && (runs.size < 2 ||
+                (runs.size < 4 && {
+                  val ts = runs.map(_._1).sorted
+                  ts.size >= 2 && ts(1) > ts(0) * 1.15
+                }))) {
+              once(fn) match {
+                case Right((t, c)) =>
+                  runs ::= ((t, c)); probes ::= sentinelSec()
+                case Left(msg) => fmsg = Some(msg); go = false
+              }
             }
+            val (t, c) = runs.minBy(_._1)
+            val sMaxA = probes.max
             if (best.forall(_._3 > sMaxA)) {
               best.foreach(b => retried(name) = b._3)
               best = Some((t, c, sMaxA)); flakyMsg = fmsg

@@ -22,35 +22,45 @@ object BenchHeavy {
     "join_multi_q3", "join_multi_q5", "join_multi_q10", "text_chunk",
     "pipeline_decontaminate", "sample_stratified")
 
-  /** Round-10 readings (BENCH_HEAVY_r10.json, full coverage — the r10
-    * verdict asked the r11 artifact to embed every r10 probe, next #8):
-    * the baseline this round's artifact ships so regressions diff
-    * mechanically. Probes new in r11 have no baseline entry. */
-  private val R10Baseline: Map[String, Double] = Map(
-    "cdc_apply" -> 1.231, "dedup_fuzzy_minhash" -> 1.884,
-    "dedup_minhash_sql" -> 1.68, "dedup_ngram_jaccard" -> 2.703,
-    "dedup_embedding" -> 1.447, "dedup_clusters" -> 4.762,
-    "join_multi_q3" -> 0.861, "join_multi_q5" -> 1.736,
-    "join_multi_q10" -> 0.93, "text_chunk" -> 0.279,
-    "pipeline_decontaminate" -> 0.526, "sample_stratified" -> 0.252,
-    "commit_bucketed" -> 1.828, "count_bytestock" -> 0.241,
-    "delete_mor" -> 0.702, "count_dv" -> 0.448, "upsert_mor" -> 2.527,
-    "count_dv2" -> 0.294, "purge_deletes" -> 2.083,
-    "count_purged" -> 0.124, "gsi_create" -> 1.027,
-    "upsert_mor2" -> 2.197, "gsi_refresh" -> 5.494, "upsert_eq" -> 1.366,
-    "count_eq" -> 0.774, "agg_create" -> 1.751, "upsert_eq2" -> 1.448,
-    "agg_refresh" -> 1.881, "upsert_eq3" -> 1.371,
-    "agg_refresh_replay" -> 2.042, "rebucket_composite" -> 2.321,
-    "delete_eq_prefix" -> 0.324, "count_eq_prefix" -> 0.66,
-    "wap_rebase_publish" -> 2.942, "jv_dim_commit" -> 2.116,
-    "jv_create" -> 4.23, "jv_dim_update" -> 0.465,
-    "jv_refresh_dim" -> 2.47, "jv_dim_scatter" -> 0.929,
-    "jv_refresh_dim_scatter" -> 2.39, "jv_fact_update" -> 1.505,
-    "jv_refresh_fact" -> 2.302, "jv2_status_commit" -> 1.194,
-    "jv2_create" -> 5.87, "jv2_dim_update" -> 0.631,
-    "jv2_refresh_dim" -> 3.119, "agg_refresh_post_rebucket" -> 2.635,
-    "upsert_eq4" -> 1.885, "agg_tail_read" -> 1.404,
-    "agg_scan_group" -> 1.873)
+  /** Round-11 readings (BENCH_HEAVY_r11.json, full coverage): the
+    * baseline this round's artifact ships so regressions diff
+    * mechanically. Probes new in r12 have no baseline entry. NOTE:
+    * `jv_refresh_fact` here (5.189) measured refresh WITH the eager
+    * lockstep index sync — r12 splits that into `jv_refresh_fact`
+    * (sync off, comparable to r10's 2.302) and `jv_refresh_fact_sync`
+    * (the invariant's price, VERDICT r11 next #4). */
+  private val R11Baseline: Map[String, Double] = Map(
+    "cdc_apply" -> 1.011, "dedup_fuzzy_minhash" -> 1.634,
+    "dedup_minhash_sql" -> 1.397, "dedup_ngram_jaccard" -> 2.675,
+    "dedup_embedding" -> 0.97, "dedup_clusters" -> 4.39,
+    "join_multi_q3" -> 0.783, "join_multi_q5" -> 1.375,
+    "join_multi_q10" -> 0.935, "text_chunk" -> 0.283,
+    "pipeline_decontaminate" -> 0.382, "sample_stratified" -> 0.181,
+    "commit_bucketed" -> 2.117, "count_bytestock" -> 0.223,
+    "delete_mor" -> 0.837, "count_dv" -> 0.464, "upsert_mor" -> 2.604,
+    "count_dv2" -> 0.268, "purge_deletes" -> 2.118,
+    "count_purged" -> 0.088, "gsi_create" -> 0.855,
+    "upsert_mor2" -> 2.295, "gsi_refresh" -> 2.73, "upsert_eq" -> 1.554,
+    "count_eq" -> 0.729, "agg_create" -> 1.548, "upsert_eq2" -> 1.541,
+    "agg_refresh" -> 1.743, "upsert_eq3" -> 1.416,
+    "agg_refresh_replay" -> 1.862, "rebucket_composite" -> 1.93,
+    "delete_eq_prefix" -> 0.26, "count_eq_prefix" -> 0.575,
+    "wap_rebase_publish" -> 3.001, "jv_dim_commit" -> 2.151,
+    "jv_create" -> 4.956, "jv_dim_update" -> 0.448,
+    "jv_refresh_dim" -> 2.593, "jv_dim_scatter" -> 0.996,
+    "jv_refresh_dim_scatter" -> 2.747, "jv_fact_update" -> 1.663,
+    "jv_refresh_fact" -> 5.189, "jv2_status_commit" -> 1.498,
+    "jv2_create" -> 6.501, "jv2_dim_update" -> 0.567,
+    "jv2_refresh_dim" -> 2.732, "agg_refresh_post_rebucket" -> 2.433,
+    "upsert_eq4" -> 1.128, "agg_tail_read" -> 1.08,
+    "agg_scan_group" -> 1.772, "jv_tail_dim_update" -> 0.699,
+    "jv_tail_read" -> 3.844, "jv_tail_read_noprune" -> 3.714,
+    "jv_scan_join" -> 1.655, "jv_tail_refresh" -> 10.533,
+    "jv_tail_point_fact" -> 0.977, "jv_tail_point_dim" -> 0.695,
+    "jv_tail_point_read" -> 4.131, "jv_tail_point_read_noprune" -> 3.765,
+    "pyr_dim_commit" -> 1.051, "pyr_create" -> 4.274,
+    "pyr_fact_update" -> 1.094, "pyr_tail_read" -> 4.794,
+    "pyr_scan_join3" -> 2.209)
 
   def main(args: Array[String]): Unit = {
     val outFile = args.headOption.getOrElse("BENCH_HEAVY_r11.json")
@@ -234,7 +244,20 @@ object BenchHeavy {
       store.upsertEq(upd.limit(5000).withColumn("o_totalprice",
         col("o_totalprice") + 8.0))
     }
-    t("jv_refresh_fact") {
+    // VERDICT r11 next #4 — the invariant's price, split: `jv_refresh_fact`
+    // with the eager lockstep index sync OFF (comparable to r10's 2.302 —
+    // deployments without tailUnion pay exactly this), then another fact
+    // delta refreshed WITH the sync (the default) as `jv_refresh_fact_sync`
+    // (r11's 5.189 measured this shape).
+    spark.conf.set("spark.graft.view.refresh.syncIndexes", "false")
+    try t("jv_refresh_fact") {
+      graft.store.MaterializedJoin.refresh(store, "jv_bench")
+    } finally spark.conf.unset("spark.graft.view.refresh.syncIndexes")
+    t("jv_fact_update_b") {
+      store.upsertEq(upd.limit(5000).withColumn("o_totalprice",
+        col("o_totalprice") + 9.0))
+    }
+    t("jv_refresh_fact_sync") {
       graft.store.MaterializedJoin.refresh(store, "jv_bench")
     }
     // r10: MULTI-DIM star view — ONE single-pass create reads the fact
@@ -287,7 +310,7 @@ object BenchHeavy {
     t("agg_tail_read") {
       graft.store.MaterializedAgg.storedPlusTail(store,
         graft.store.MaterializedAgg.viewMeta(store, "by_cust_agg").get,
-        store.currentVersion()).count()
+        store.currentVersion()).get.count()
     }
     t("agg_scan_group") {
       store.readSnapshot().groupBy(col("o_custkey"))
@@ -414,10 +437,54 @@ object BenchHeavy {
     } finally
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
 
+    // r12: PERSISTED ANN INDEX at the heavy corpus (VERDICT r11 next #2).
+    // ann_create is the one O(corpus) pass the index ever costs (train +
+    // assign + clustered write); ann_refresh prices the incremental
+    // cadence (0.1% of vectors re-embedded); ann_point reads ONLY the
+    // nProbe=2 of 32 cells' buckets vs ann_brute's full corpus scan over
+    // the SAME stored table — the point/brute ratio is the sublinearity
+    // the index buys, and it widens linearly with corpus size (the probed
+    // fraction is nProbe/cells whatever the row count).
+    {
+      import spark.implicits._
+      val embHeavy = spark.read.parquet(s"$out/embeddings.parquet")
+        .select(col("vec_id"), col("embedding"))
+      val annStore = new graft.store.TableStore(spark, s"$out/ann_store")
+      t("ann_commit") {
+        annStore.commitBucketed(embHeavy, Seq("vec_id"), 32)
+      }
+      t("ann_create") {
+        graft.store.AnnIndex.create(annStore, "ann", "embedding",
+          clusters = 32, iters = 2)
+      }
+      t("ann_upsert") {
+        annStore.upsertEq(embHeavy.filter(col("vec_id") % 1000 === 7)
+          .withColumn("embedding",
+            transform(col("embedding"), x => (x * 1.01f).cast("float")))
+          .withColumn("op", lit("PUT")))
+      }
+      t("ann_refresh") {
+        graft.store.AnnIndex.refresh(annStore, "ann")
+      }
+      val qv = embHeavy.filter(col("vec_id") === 5L)
+        .select("embedding").head().getSeq[Float](0).toArray
+      t("ann_point") {
+        graft.store.AnnIndex.topk(annStore, "ann", qv, k = 20, nProbe = 2,
+          excludeId = Some(5L)).count()
+      }
+      t("ann_brute") {
+        annStore.readSnapshot().select(col("vec_id"), col("embedding"))
+          .as[(Long, Array[Float])]
+          .mapPartitions(_.map { case (id, v) =>
+            (id, graft.functions.VecKernels.cosine(v, qv)) })
+          .toDF("vec_id", "cos").orderBy(col("cos").desc).limit(20).count()
+      }
+    }
+
     def jmap(m: collection.Map[String, Double]) =
       m.map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"heavy_total","value":${math.rint(timings.values.sum * 100) / 100},"unit":"sec","copies":$copies,"src":"$src","timings":${jmap(timings)},"r10_baseline":${jmap(R10Baseline)}}"""
+      s"""{"metric":"heavy_total","value":${math.rint(timings.values.sum * 100) / 100},"unit":"sec","copies":$copies,"src":"$src","timings":${jmap(timings)},"r11_baseline":${jmap(R11Baseline)}}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       json.getBytes("UTF-8"))
     println(json)
