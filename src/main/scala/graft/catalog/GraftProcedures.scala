@@ -27,6 +27,7 @@ object GraftProcedures {
     Seq("compact", "expire_snapshots", "vacuum", "create_changelog_view",
       "create_tag", "drop_tag", "rollback_to_snapshot",
       "create_index", "refresh_index", "drop_index", "index_lookup_view",
+      "create_ann_index", "ann_topk_view",
       "create_branch", "drop_branch", "fast_forward", "rebase_branch",
       "expire_branches", "rebucket",
       "create_agg_view", "refresh_agg_view", "drop_agg_view", "agg_view",
@@ -42,6 +43,8 @@ object GraftProcedures {
     case "rollback_to_snapshot" => new RollbackProc(catalog)
     case "create_index" => new CreateIndexProc(catalog)
     case "refresh_index" => new RefreshIndexProc(catalog)
+    case "create_ann_index" => new CreateAnnIndexProc(catalog)
+    case "ann_topk_view" => new AnnTopkViewProc(catalog)
     case "drop_index" => new DropIndexProc(catalog)
     case "index_lookup_view" => new IndexLookupViewProc(catalog)
     case "create_branch" => new CreateBranchProc(catalog)
@@ -332,6 +335,69 @@ object GraftProcedures {
     *
     * `predicate` filters on the INDEX key columns; `columns` (CSV,
     * default all base columns) is the projection. */
+  /** Persisted IVF ANN index over a vector column ([[graft.store.AnnIndex]]):
+    * `CALL cat.system.create_ann_index('ns.tbl', 'emb_ann', 'embedding',
+    * 32)`. Cells train once at create and freeze in the index props;
+    * `refresh_index` advances it incrementally (the generic entry routes
+    * ANN stores through the cell projection), `drop_index` removes it. */
+  private final class CreateAnnIndexProc(catalog: GraftCatalog)
+      extends GraftProc("create_ann_index",
+        "train IVF cells and build a cell-bucketed ANN index over a vector column") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build(),
+      ProcedureParameter.in("vec_col", StringType).build(),
+      ProcedureParameter.in("clusters", IntegerType).defaultValue("16").build(),
+      ProcedureParameter.in("iters", IntegerType).defaultValue("4").build(),
+      ProcedureParameter.in("num_buckets", IntegerType).defaultValue("-1").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val store = storeFor(catalog, input.getUTF8String(0).toString)
+      def intAt(i: Int, dflt: Int): Int =
+        if (input.numFields <= i || input.isNullAt(i)) dflt else input.getInt(i)
+      val bv = graft.store.AnnIndex.create(store,
+        input.getUTF8String(1).toString, input.getUTF8String(2).toString,
+        clusters = intAt(3, 16), iters = intAt(4, 4),
+        numBuckets = intAt(5, -1))
+      result(
+        StructType(Seq(StructField("base_version", LongType))), Array(bv))
+    }
+  }
+
+  /** `CALL cat.system.ann_topk_view('ns.tbl', 'emb_ann', 42, 10, 2)` —
+    * registers a temp view of the index-served cosine top-k around the
+    * row with primary key 42: the point-query surface (reads only the
+    * probed cells' buckets, never the base). */
+  private final class AnnTopkViewProc(catalog: GraftCatalog)
+      extends GraftProc("ann_topk_view",
+        "register a temp view of the index-served cosine top-k for a query id") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build(),
+      ProcedureParameter.in("query_id", LongType).build(),
+      ProcedureParameter.in("k", IntegerType).defaultValue("10").build(),
+      ProcedureParameter.in("n_probe", IntegerType).defaultValue("2").build(),
+      ProcedureParameter.in("view_name", StringType).defaultValue("''").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val store = storeFor(catalog, table)
+      val idxName = input.getUTF8String(1).toString
+      def intAt(i: Int, dflt: Int): Int =
+        if (input.numFields <= i || input.isNullAt(i)) dflt else input.getInt(i)
+      val df = graft.store.AnnIndex.topkById(store, idxName,
+        input.getLong(2), k = intAt(3, 10), nProbe = intAt(4, 2))
+      val viewName = {
+        val n = if (input.numFields <= 5 || input.isNullAt(5)) ""
+          else input.getUTF8String(5).toString
+        if (n.nonEmpty) n
+        else table.replace('.', '_') + s"_${idxName}_topk"
+      }
+      df.createOrReplaceTempView(viewName)
+      result(
+        StructType(Seq(StructField("view_name", StringType))),
+        Array(UTF8String.fromString(viewName)))
+    }
+  }
+
   private final class IndexLookupViewProc(catalog: GraftCatalog)
       extends GraftProc("index_lookup_view",
         "register a temp view of an index lookup incl. the base fetch-back") {

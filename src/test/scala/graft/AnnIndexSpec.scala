@@ -112,6 +112,31 @@ class AnnIndexSpec extends SparkSuite {
       s._3 == store.currentVersion()), "status must show the index current")
   }
 
+  test("SQL procedure surface: create_ann_index trains and builds; the " +
+      "GENERIC refresh_index advances it; ann_topk_view serves the point " +
+      "query as a temp view") {
+    val w = Files.createTempDirectory("graft_annsql").toString
+    spark.conf.set("spark.sql.catalog.ann_cat",
+      classOf[graft.catalog.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.ann_cat.warehouse", w)
+    val store = new TableStore(spark, s"$w/analytics/vecs")
+    val qv = Array.fill(dim)(0f); qv(2) = 1f; qv(7) = 0.125f
+    store.commitBucketed(
+      corpus(150).unionByName(Seq((999L, qv)).toDF("vec_id", "embedding")),
+      Seq("vec_id"), 8)
+    spark.sql("CALL ann_cat.system.create_ann_index('analytics.vecs', " +
+      "'emb', 'embedding', 8, 2)")
+    store.upsertEq(clones(qv, 1L to 3L).withColumn("op", lit("PUT")))
+    spark.sql("CALL ann_cat.system.refresh_index('analytics.vecs', 'emb')")
+    val vn = spark.sql("CALL ann_cat.system.ann_topk_view(" +
+      "'analytics.vecs', 'emb', 999L, 4, 2)").head().getString(0)
+    val got = spark.sql(
+      s"SELECT vec_id FROM $vn ORDER BY cos_sim DESC, vec_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(got.take(3) == (1L to 3L).map(10000000L + _),
+      s"SQL-served top-k must lead with the planted clones: $got")
+  }
+
   test("create is refused on unkeyed or non-long-keyed bases; topk on a " +
       "missing index fails actionably") {
     val store = freshStore()
