@@ -134,10 +134,13 @@ object Bench {
             var probes = List(s0, sentinelSec())
             var fmsg: Option[String] = None
             var go = true
+            // extra runs only for SUB-3s queries: those are where run
+            // noise rivals the measured effect; rerunning a 10s+ fixture
+            // build to settle 15% would double the sweep wall for nothing
             while (go && (runs.size < 2 ||
                 (runs.size < 4 && {
                   val ts = runs.map(_._1).sorted
-                  ts.size >= 2 && ts(1) > ts(0) * 1.15
+                  ts(0) <= 3.0 && ts(1) > ts(0) * 1.15
                 }))) {
               once(fn) match {
                 case Right((t, c)) =>
@@ -214,7 +217,37 @@ object Bench {
       case (k, v) if v > math.max(0.05, 5 * sMed) => jq(k)
     }.mkString("[", ",", "]")
     val total = timings.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(timings)},"cpu":${jmap(cpuSec)},"sentinel":${jmap(sentinels)},"sentinel_med":$sMed,"sentinel_max":$sMax,"contaminated":$contaminated,"retried":${jmap(retried)},"flaky":$fl,"errors":$es,"failed":${errors.size},"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(timings)},"cpu":${jmap(cpuSec)},"sentinel":${jmap(sentinels)},"sentinel_med":$sMed,"sentinel_max":$sMax,"contaminated":$contaminated,"retried":${jmap(retried)},"flaky":$fl,"errors":$es,"failed":${errors.size},"sf":"$sfDir"}"""
+    // The full artifact is ~10 KB; the driver keeps only the LAST 2000
+    // chars of stdout (BENCH_r11.json: parsed null, tail clipped mid-map —
+    // every per-query reading upstream of round 12 was actually the
+    // SENTINEL map, the only dict that fit the window). So: persist the
+    // full JSON to the repo, then END stdout with a compact line sized to
+    // survive the window — total + health + as many of the slowest
+    // queries as fit (3 dp) — so the recorded artifact parses and carries
+    // the numbers that matter.
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
+      full.getBytes("UTF-8"))
+    catch { case _: Exception => () }
+    println(full)
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val slowest = timings.toSeq.sortBy(-_._2)
+    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n":${timings.size},"failed":${errors.size},"retried_n":${retried.size},"contaminated_n":${contaminated.count(_ == '"') / 2},"sentinel_med":${r3(sMed)},"full":"BENCH_FULL.json","queries":{"""
+    val tail2 = "}}"
+    val sb = new StringBuilder(head)
+    var first = true
+    slowest.foreach { case (k, v) =>
+      val ent = (if (first) "" else ",") + jq(k) + ":" + r3(v)
+      // ≤1800: the driver's 2000-char stdout tail must hold this WHOLE
+      // line plus sbt's "[info] " prefix and "[success] …" footer
+      if (sb.length + ent.length + tail2.length <= 1800) {
+        sb.append(ent); first = false
+      }
+    }
+    sb.append(tail2)
+    println(sb.toString)
     spark.stop()
   }
 }
