@@ -40,6 +40,11 @@ object AnnIndex {
   private[graft] val KindAnn = "ann-ivf"
   private val CentroidsProp = "graft.ann.centroids"
   private val VecColProp = "graft.ann.vec-col"
+  /** cell→bucket map ("c:b,…"), computed ONCE at create with the engine's
+    * own bucket expression and frozen with the centroids — point queries
+    * resolve probed cells to bucket ids from metadata, zero plan-time
+    * jobs. */
+  private val CellBucketsProp = "graft.ann.cell-buckets"
 
   // ------------------------------------------------------------- training
 
@@ -160,6 +165,12 @@ object AnnIndex {
       .mapPartitions(_.map { case (id, v) => (id, VecKernels.normalize(v)) })
     val cents = kmeansCentroids(unit, clusters, iters)
     val nb = if (numBuckets > 0) numBuckets else clusters
+    // one clusters-row local job resolves every cell's bucket id through
+    // the engine's own bucket expression; frozen in props so point
+    // queries never pay a plan-time job for it
+    val cellBuckets = cents.indices.toDF("cell")
+      .select(col("cell"), TableStore.bucketExpr(Seq("cell"), nb).as("b"))
+      .collect().map(r => s"${r.getInt(0)}:${r.getLong(1)}").mkString(",")
     idx.commitBucketed(assignCells(corpus, idCol, vecCol, cents),
       Seq("cell"), nb,
       props = Map(
@@ -167,7 +178,8 @@ object AnnIndex {
         SecondaryIndex.IndexKeysProp -> "cell",
         KindProp -> KindAnn,
         VecColProp -> vecCol,
-        CentroidsProp -> centsToJson(cents)))
+        CentroidsProp -> centsToJson(cents),
+        CellBucketsProp -> cellBuckets))
     SecondaryIndex.movePin(base, name, bv)
     bv
   }
@@ -216,12 +228,21 @@ object AnnIndex {
     val q = VecKernels.normalize(queryVec)
     val cells = cents.indices
       .sortBy(c => (-VecKernels.dotD(q, cents(c)), c)).take(nProbe)
-    // probed cells → bucket ids through the engine's own bucket expression
-    // (a local nProbe-row job), then a bucket-targeted read: the file set
+    // probed cells → bucket ids from the frozen metadata map (computed at
+    // create through the engine's own bucket expression; a local job only
+    // as back-compat fallback), then a bucket-targeted read: the file set
     // is a strict subset by construction, independent of filter pushdown
-    val bids = cells.toDF("cell")
-      .select(TableStore.bucketExpr(Seq("cell"), im.numBuckets).as("b"))
-      .distinct().collect().map(_.getLong(0)).toSeq
+    val bids = im.props.get(CellBucketsProp) match {
+      case Some(m) =>
+        val byCell = m.split(',').map { e =>
+          val Array(c, b) = e.split(':'); c.toInt -> b.toLong
+        }.toMap
+        cells.map(byCell).distinct.sorted
+      case None =>
+        cells.toDF("cell")
+          .select(TableStore.bucketExpr(Seq("cell"), im.numBuckets).as("b"))
+          .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    }
     val entries = idx.readBuckets(bids, iv)
       .filter(col("cell").isin(cells.map(Int.box): _*))
     val kept = excludeId match {

@@ -75,12 +75,27 @@ object SecondaryIndex {
   }
 
   /** Names of every index registered under `<base-root>/index/`. */
+  /** Names of every index registered under `<base-root>/index/` —
+    * snapshot-cached process-wide like the view registries (VERDICT r11
+    * next #1; the freshness-tolerant join serving consults it per
+    * planning attempt): invalidated by every in-process commit under the
+    * base root and by drops; `spark.graft.meta.registryCache=false` opts
+    * out for multi-driver deployments. */
   def list(base: TableStore): Seq[String] = {
+    val cacheOn = base.spark.conf.getOption("spark.graft.meta.registryCache")
+      .forall(_.toBoolean)
+    if (cacheOn) {
+      val c = TableStore.registryGet("idx", base.memoKey)
+      if (c != null) return c.asInstanceOf[Seq[String]]
+    }
     val p = new org.apache.hadoop.fs.Path(s"${base.root}/index")
     val fs = p.getFileSystem(base.spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Nil
-    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
-      .filter(n => indexStore(base, n).currentVersion() >= 0).sorted.toSeq
+    val names =
+      if (!fs.exists(p)) Nil
+      else fs.listStatus(p).filter(_.isDirectory).map(_.getPath.getName)
+        .filter(n => indexStore(base, n).currentVersion() >= 0).sorted.toSeq
+    if (cacheOn) TableStore.registryPut("idx", base.memoKey, names)
+    names
   }
 
   /** Introspection row per index: (name, index keys, indexed base version,

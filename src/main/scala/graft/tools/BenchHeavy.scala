@@ -447,8 +447,14 @@ object BenchHeavy {
     // fraction is nProbe/cells whatever the row count).
     {
       import spark.implicits._
-      val embHeavy = spark.read.parquet(s"$out/embeddings.parquet")
+      // ×4 the already-replicated corpus: the probes need enough vectors
+      // that scan time dominates fixed per-query costs, or the point/brute
+      // ratio measures plan overhead instead of the pruning
+      val emb0 = spark.read.parquet(s"$out/embeddings.parquet")
         .select(col("vec_id"), col("embedding"))
+      val embHeavy = (0 until 4)
+        .map(i => emb0.withColumn("vec_id", col("vec_id") + lit(i * 10 * K)))
+        .reduce(_ unionAll _)
       val annStore = new graft.store.TableStore(spark, s"$out/ann_store")
       t("ann_commit") {
         annStore.commitBucketed(embHeavy, Seq("vec_id"), 32)
@@ -474,6 +480,26 @@ object BenchHeavy {
       }
       t("ann_brute") {
         annStore.readSnapshot().select(col("vec_id"), col("embedding"))
+          .as[(Long, Array[Float])]
+          .mapPartitions(_.map { case (id, v) =>
+            (id, graft.functions.VecKernels.cosine(v, qv)) })
+          .toDF("vec_id", "cos").orderBy(col("cos").desc).limit(20).count()
+      }
+      // SUBLINEARITY: the same index/query shapes on a HALF-SIZE corpus —
+      // brute scales with rows; the point query scales with rows/cells ×
+      // nProbe, so the point/brute ratio WIDENS with corpus size (compare
+      // ann_point/ann_brute against ann_point_half/ann_brute_half)
+      val embHalf = embHeavy.filter(col("vec_id") % 2 === 0)
+      val halfStore = new graft.store.TableStore(spark, s"$out/ann_half")
+      halfStore.commitBucketed(embHalf, Seq("vec_id"), 32)
+      graft.store.AnnIndex.create(halfStore, "ann", "embedding",
+        clusters = 32, iters = 2)
+      t("ann_point_half") {
+        graft.store.AnnIndex.topk(halfStore, "ann", qv, k = 20, nProbe = 2,
+          excludeId = Some(5L)).count()
+      }
+      t("ann_brute_half") {
+        halfStore.readSnapshot().select(col("vec_id"), col("embedding"))
           .as[(Long, Array[Float])]
           .mapPartitions(_.map { case (id, v) =>
             (id, graft.functions.VecKernels.cosine(v, qv)) })
