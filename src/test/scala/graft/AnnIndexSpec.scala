@@ -112,6 +112,38 @@ class AnnIndexSpec extends SparkSuite {
       s._3 == store.currentVersion()), "status must show the index current")
   }
 
+  test("the maintenance CADENCE keeps the ANN index fresh: compaction " +
+      "(content-preserving) is a watermark-only advance, real churn " +
+      "replays through the cell projection") {
+    val store = freshStore()
+    val qv = Array.fill(dim)(0f); qv(3) = 1f
+    store.commitBucketed(corpus(200), Seq("vec_id"), 4)
+    AnnIndex.create(store, "ann", "embedding", clusters = 4, iters = 2)
+    val idx = SecondaryIndex.indexStore(store, "ann")
+    // live feed: new vectors + a compaction, then ONE cadence pass
+    store.upsertEq(clones(qv, 1L to 3L).withColumn("op", lit("PUT")))
+    store.compact(targetFiles = 2)
+    graft.streaming.StreamingOps.maintain(store,
+      graft.streaming.StreamingOps.CdcMaintenance(everyNCommits = 1,
+        keepSnapshots = 3))
+    assert(SecondaryIndex.status(store)
+      .exists(s => s._1 == "ann" && s._3 == store.currentVersion()),
+      "the cadence must leave the ANN index at the base head")
+    val got = AnnIndex.topk(store, "ann", qv, k = 3, nProbe = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == (1L to 3L).map(10000000L + _),
+      s"cadence-refreshed index must serve the planted set: $got")
+    // a second pass with nothing new is a no-op for the index store
+    val iv = idx.currentVersion()
+    graft.streaming.StreamingOps.maintain(store,
+      graft.streaming.StreamingOps.CdcMaintenance(everyNCommits = 1,
+        keepSnapshots = 3))
+    assert(SecondaryIndex.status(store)
+      .exists(s => s._1 == "ann" && s._3 == store.currentVersion()))
+    assert(idx.currentVersion() <= iv + 1,
+      "an idle cadence must not rebuild the ANN index")
+  }
+
   test("SQL procedure surface: create_ann_index trains and builds; the " +
       "GENERIC refresh_index advances it; ann_topk_view serves the point " +
       "query as a temp view") {
