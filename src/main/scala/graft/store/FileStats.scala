@@ -307,6 +307,89 @@ object FileStats {
     }
   }
 
+  /** Conservative ALL-ROWS verdict (VERDICT r12 next #7): true ONLY when
+    * the file's bounds PROVE every row satisfies `filters` (conjunctive) —
+    * the dual of [[mightMatch]]. Together they make a file DECIDABLE
+    * (all-match or no-match), which lets the scan claim a filter as fully
+    * pushed and a `COUNT(*) WHERE …` serve from footer stats with zero
+    * file I/O. Restricted to exactly-ordered stat encodings
+    * (integral/date/timestamp/decimal): string bounds may be
+    * writer-truncated (an upper bound, not the max) and float/double
+    * footer ordering is NaN-poisoned — those types return false and the
+    * caller falls back to the ordinary residual-filter scan. Default
+    * false on anything unmodeled: a wrong `true` here loses rows or
+    * counts phantoms, so soundness = under-claiming. */
+  def mustMatch(stat: FileStat, schema: StructType,
+      filters: Seq[Expression]): Boolean =
+    stat.rows == 0 || filters.forall(f => must(stat, schema, f))
+
+  private def exactDom(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         TimestampType | TimestampNTZType | _: DecimalType => true
+    case _ => false
+  }
+
+  private def must(stat: FileStat, schema: StructType, e: Expression): Boolean = {
+    def colStat(a: Expression): Option[(ColStat, DataType)] = a match {
+      case ar: AttributeReference =>
+        for {
+          cs <- stat.cols.get(ar.name)
+          f <- schema.fields.find(_.name == ar.name)
+          if exactDom(f.dataType)
+        } yield (cs, f.dataType)
+      case _ => None
+    }
+    // bound test over non-null rows: every v in [min, max] satisfies it.
+    // Predicates are null-rejecting, so the column must be null-free.
+    def cmp(a: Expression, lit: Literal,
+        test: (Dom, Dom, Dom) => Boolean): Boolean =
+      colStat(a) match {
+        case Some((cs, dt)) if cs.nulls == 0 =>
+          (for {
+            l <- literalDom(lit.value, dt)
+            mn <- cs.min.flatMap(decodeBound(_, dt))
+            mx <- cs.max.flatMap(decodeBound(_, dt))
+          } yield test(mn, mx, l)).getOrElse(false)
+        case _ => false
+      }
+    e match {
+      case And(l, r) => must(stat, schema, l) && must(stat, schema, r)
+      case Or(l, r) => must(stat, schema, l) || must(stat, schema, r)
+      case EqualTo(a: AttributeReference, l: Literal) =>
+        cmp(a, l, (mn, mx, v) => mn.eqv(v) && mx.eqv(v))
+      case EqualTo(l: Literal, a: AttributeReference) =>
+        cmp(a, l, (mn, mx, v) => mn.eqv(v) && mx.eqv(v))
+      case EqualNullSafe(a: AttributeReference, l: Literal) if l.value != null =>
+        cmp(a, l, (mn, mx, v) => mn.eqv(v) && mx.eqv(v))
+      case GreaterThan(a: AttributeReference, l: Literal) =>
+        cmp(a, l, (mn, _, v) => v.lt(mn)) // min > v
+      case GreaterThan(l: Literal, a: AttributeReference) => // v > every a
+        cmp(a, l, (_, mx, v) => mx.lt(v))
+      case GreaterThanOrEqual(a: AttributeReference, l: Literal) =>
+        cmp(a, l, (mn, _, v) => v.lte(mn))
+      case GreaterThanOrEqual(l: Literal, a: AttributeReference) =>
+        cmp(a, l, (_, mx, v) => mx.lte(v))
+      case LessThan(a: AttributeReference, l: Literal) =>
+        cmp(a, l, (_, mx, v) => mx.lt(v))
+      case LessThan(l: Literal, a: AttributeReference) =>
+        cmp(a, l, (mn, _, v) => v.lt(mn))
+      case LessThanOrEqual(a: AttributeReference, l: Literal) =>
+        cmp(a, l, (_, mx, v) => mx.lte(v))
+      case LessThanOrEqual(l: Literal, a: AttributeReference) =>
+        cmp(a, l, (mn, _, v) => v.lte(mn))
+      case In(a: AttributeReference, vs)
+          if vs.forall(_.isInstanceOf[Literal]) =>
+        // min==max==some member: the file holds one value and it's in the set
+        vs.exists(v => must(stat, schema, EqualTo(a, v.asInstanceOf[Literal])))
+      case IsNotNull(a: AttributeReference) =>
+        colStat(a).exists(_._1.nulls == 0)
+      case IsNull(a: AttributeReference) =>
+        colStat(a).exists(_._1.nulls >= stat.rows)
+      case Literal(v: Boolean, BooleanType) => v
+      case _ => false
+    }
+  }
+
   /** Smallest byte string strictly greater than every string with `prefix`:
     * the prefix with its last non-0xFF byte incremented. None when all 0xFF. */
   private def prefixUpperBound(prefix: Array[Byte]): Option[UTF8String] = {

@@ -859,8 +859,18 @@ object MaterializedJoin {
     // machinery — PERSIST so it runs once (bounded by changed rows;
     // ContextCleaner reclaims with the plan). `keys` is the level-1
     // changed-PK frame, derived there WITHOUT scanning its stored view.
-    val deltaK = keys.persist()
-    val postP = post.persist()
+    // Every persist below is TRACKED: the decline paths (`return None` —
+    // index missing/off-watermark/column drift) and any exception
+    // unpersist eagerly instead of waiting on ContextCleaner GC; the
+    // success path keeps them hot for the serve (ADVICE r12).
+    val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def tracked(df: DataFrame): DataFrame = {
+      val p = df.persist(); persisted += p; p
+    }
+    var served = false
+    try {
+    val deltaK = tracked(keys)
+    val postP = tracked(post)
     val spark = l.spark
     // per-dim netted keys, renamed to the fact-side join columns;
     // broadcast-hinted at join sites when the span's changed bytes bound
@@ -873,8 +883,8 @@ object MaterializedJoin {
         case (((d, r), toR), i) =>
           if (!dimMoved(i)) None
           else {
-            val dk0 = nettedKeys(r, d.rVersion, toR,
-              (d.rKeys ++ d.rCols).distinct, d.rKeys).persist()
+            val dk0 = tracked(nettedKeys(r, d.rVersion, toR,
+              (d.rKeys ++ d.rCols).distinct, d.rKeys))
             val dk = d.rKeys.zip(d.lKeys).foldLeft(dk0) {
               case (df, (rk, lk)) => df.withColumnRenamed(rk, lk)
             }
@@ -941,7 +951,11 @@ object MaterializedJoin {
       else deltaK.unionByName(lAffD.select(pk.map(col): _*))
         .groupBy(pk.map(col): _*)
         .agg(count(lit(1)).as("_g_kn")).drop("_g_kn")
+    served = true
     Some(Tail(kept.unionByName(newRows), preOutD, newRows, changedKeys))
+    } finally {
+      if (!served) persisted.foreach(_.unpersist(blocking = false))
+    }
   }
 
   private[graft] final case class Tail(frame: DataFrame, pre: DataFrame,

@@ -118,7 +118,13 @@ class TableStore(val spark: SparkSession, val root: String,
     * + span length) manifest GETs + JSON parses inside the optimizer's
     * fixpoint — into memo hits (VERDICT r11 next #1). */
   def manifest(version: Long): Manifest = {
-    val key = (memoKey, version)
+    if (!spark.conf.getOption("spark.graft.meta.manifestCache")
+        .forall(_.toBoolean)) {
+      TableStore.manifestLoads.incrementAndGet()
+      return Manifest.fromJson(
+        readSmallFile(new Path(manifestDir, s"v$version.json")))
+    }
+    val key = (memoKey, rootEpoch, version)
     val c = TableStore.manifestMemo.get(key)
     if (c != null) return c
     TableStore.manifestLoads.incrementAndGet()
@@ -127,6 +133,28 @@ class TableStore(val spark: SparkSession, val root: String,
     if (TableStore.manifestMemo.size > 4096) TableStore.manifestMemo.clear()
     TableStore.manifestMemo.put(key, m)
     m
+  }
+
+  /** ROOT EPOCH — the memo's cross-process drop+recreate guard (VERDICT
+    * r12 next #4, ADVICE r12). A uuid stamped into `<manifestDir>/epoch`
+    * by the first commit ever made to this manifest dir; an OUT-OF-PROCESS
+    * drop+recreate at the same root deletes and restamps it, so a fresh
+    * [[TableStore]] instance (the second driver's handle) keys the memo
+    * under the new epoch and can never be served a renumbered manifest
+    * cached under the old one. Read once per instance: in-process
+    * lifecycle paths are covered by [[TableStore.invalidateMeta]] (which
+    * this complements, not replaces), and a LONG-LIVED instance watching a
+    * root another process recreates must opt out of the memo entirely
+    * (`spark.graft.meta.manifestCache=false`, the multi-driver deployment
+    * documented alongside `spark.graft.meta.registryCache`). Tables
+    * created before the stamp existed read as the constant pre-epoch "-"
+    * until their next commit stamps one — a memo-key change, never a
+    * correctness change. */
+  private lazy val rootEpoch: String = {
+    val p = new Path(manifestDir, "epoch")
+    try {
+      if (fs.exists(p)) readSmallFile(p).trim else "-"
+    } catch { case _: java.io.IOException => "-" }
   }
 
   /** Identity for process-wide span memos: a branch store's numbering is
@@ -3298,6 +3326,17 @@ class TableStore(val spark: SparkSession, val root: String,
       throw new IllegalStateException(
         s"CAS conflict committing snapshot ${m.version} at $root")
     }
+    // first commit ever to this manifest dir stamps the root epoch (see
+    // [[rootEpoch]]): create-no-overwrite, so a concurrent stamp race has
+    // exactly one winner and the loser's failure is ignorable
+    val ep = new Path(manifestDir, "epoch")
+    if (!f.exists(ep)) {
+      try {
+        val o = f.create(ep, false)
+        try o.write(java.util.UUID.randomUUID().toString.getBytes("UTF-8"))
+        finally o.close()
+      } catch { case _: java.io.IOException => () }
+    }
     // a commit landed here: drop registry snapshots of this store and of
     // every path ancestor (a view/index create or refresh is a commit to a
     // store nested under its base root) so the next planning attempt
@@ -3671,7 +3710,7 @@ object TableStore {
     * the immutability argument). Bounded by wholesale clear — entries are
     * metadata-sized and repopulate in one read each. */
   private[graft] val manifestMemo = new java.util.concurrent.ConcurrentHashMap[
-    (String, Long), Manifest]
+    (String, String, Long), Manifest] // (memoKey, root epoch, version)
 
   /** Drop every process-wide metadata memo entry under `memoKeyPrefix` —
     * the manifest cache, the span memos, and the derivative-registry

@@ -767,6 +767,149 @@ class GraftCatalogSpec extends SparkSuite {
     assert(n3 == 800L && f3 == 8L)
   }
 
+  test("LIMIT pushdown on the SHARDED tier plans the shard-prefix file subset") {
+    // the 100 TB tier by construction (VERDICT r12 next #1): the preview
+    // query must plan O(files covering n rows) without ever materializing
+    // the full candidate list on the driver
+    spark.conf.set("spark.graft.manifest.inlineThreshold", "8")
+    spark.conf.set("spark.graft.manifest.filesPerShard", "16")
+    try {
+      val store = new TableStore(spark, s"$warehouse/analytics/shlim")
+      store.commitSnapshot(
+        (1L to 2000L).map(k => (k, s"v$k")).toDF("k", "v").repartition(64))
+      assert(store.manifest(store.currentVersion()).isSharded,
+        "64 files over threshold 8 must shard")
+      spark.catalog.refreshTable("spec_cat.analytics.shlim")
+      val before = TableStore.driverMaterializations.get()
+      def planned(sql: String): (Long, Long) = {
+        val df = spark.sql(sql)
+        val n = df.collect().length.toLong
+        val plan = df.queryExecution.executedPlan.toString
+        val files = "InMemoryFileIndex\\((\\d+) paths\\)".r
+          .findFirstMatchIn(plan).map(_.group(1).toLong)
+          .getOrElse(sys.error(s"no file index in plan:\n${plan.take(600)}"))
+        (files, n)
+      }
+      val (f1, n1) = planned("SELECT * FROM spec_cat.analytics.shlim LIMIT 10")
+      assert(n1 == 10L)
+      assert(f1 == 1L, s"LIMIT 10 over ~31-row files should plan 1 file, planned $f1")
+      // a filter disables the file-level limit (rows may be filtered away)
+      val (f2, n2) = planned(
+        "SELECT * FROM spec_cat.analytics.shlim WHERE k > 1500 LIMIT 5")
+      assert(n2 == 5L)
+      assert(f2 > 1L, "filtered LIMIT must not shrink the file list")
+      // LIMIT past the table: every file planned, all rows back
+      val (f3, n3) = planned("SELECT * FROM spec_cat.analytics.shlim LIMIT 10000")
+      assert(n3 == 2000L && f3 == 64L)
+      assert(TableStore.driverMaterializations.get() == before,
+        "sharded LIMIT planning must never take the full-file-list escape hatch")
+    } finally {
+      spark.conf.unset("spark.graft.manifest.inlineThreshold")
+      spark.conf.unset("spark.graft.manifest.filesPerShard")
+    }
+  }
+
+  test("file-decidable filters: COUNT/MIN/MAX WHERE served from footer stats; " +
+      "exact scans plan only all-match files; undecidable falls back") {
+    val store = new TableStore(spark, s"$warehouse/analytics/decid")
+    // 8 range-disjoint files: file i holds k ∈ (i*100, (i+1)*100]
+    def chunk(i: Int) = ((i * 100L + 1) to (i * 100L + 100))
+      .map(k => (k, k * 2, s"p${k % 3}")).toDF("k", "amt", "tag").coalesce(1)
+    store.commitSnapshot(chunk(0))
+    (1 to 7).foreach(i => store.commitAppend(chunk(i)))
+    spark.catalog.refreshTable("spec_cat.analytics.decid")
+    def q(sql: String) = spark.sql(sql)
+    // aggregate + decidable WHERE: every file all-match or no-match →
+    // LocalScan, zero parquet I/O
+    val agg = q("SELECT COUNT(*) AS n, MIN(k) AS mn, MAX(amt) AS mx " +
+      "FROM spec_cat.analytics.decid WHERE k > 200 AND k <= 500")
+    val row = agg.head()
+    assert((row.getLong(0), row.getLong(1), row.getLong(2)) ==
+      (300L, 201L, 1000L))
+    val aggPlan = agg.queryExecution.executedPlan.toString
+    assert(aggPlan.contains("graft-manifest-agg") ||
+      aggPlan.contains("LocalTableScan"),
+      s"filtered aggregate should serve from the manifest:\n${aggPlan.take(600)}")
+    assert(!aggPlan.contains("Parquet"), "zero-file contract broken")
+    // empty decidable range: COUNT 0, MIN/MAX NULL, still zero-scan
+    val empty = q("SELECT COUNT(*) AS n, MIN(k) AS mn " +
+      "FROM spec_cat.analytics.decid WHERE k > 5000")
+    assert(empty.head().getLong(0) == 0L && empty.head().isNullAt(1))
+    assert(!empty.queryExecution.executedPlan.toString.contains("Parquet"))
+    // plain decidable scan: filter fully pushed (no Filter node), only
+    // all-match files planned, rows exact
+    val scan = q("SELECT k FROM spec_cat.analytics.decid WHERE k <= 300")
+    assert(scan.collect().map(_.getLong(0)).sorted.toSeq == (1L to 300L))
+    val scanPlan = scan.queryExecution.executedPlan.toString
+    val planned = "InMemoryFileIndex\\((\\d+) paths\\)".r
+      .findFirstMatchIn(scanPlan).map(_.group(1).toLong).getOrElse(-1L)
+    assert(planned == 3L, s"decidable scan should plan 3 files, planned $planned")
+    assert(!scanPlan.contains("Filter ("),
+      s"decidable filter must be fully pushed:\n${scanPlan.take(600)}")
+    // decidable + LIMIT: the kept prefix covering n rows
+    val lim = q("SELECT * FROM spec_cat.analytics.decid WHERE k > 100 LIMIT 5")
+    assert(lim.collect().length == 5)
+    val limPlanned = "InMemoryFileIndex\\((\\d+) paths\\)".r
+      .findFirstMatchIn(lim.queryExecution.executedPlan.toString)
+      .map(_.group(1).toLong).getOrElse(-1L)
+    assert(limPlanned == 1L, s"decidable LIMIT should plan 1 file, planned $limPlanned")
+    // UNDECIDABLE (file 3 straddles k=250; strings decline by type):
+    // ordinary residual-filter path, results still exact
+    val und = q("SELECT COUNT(*) AS n FROM spec_cat.analytics.decid WHERE k <= 250")
+    assert(und.head().getLong(0) == 250L)
+    assert(!und.queryExecution.executedPlan.toString.contains("graft-manifest-agg"),
+      "a straddling file must decline the metadata serve")
+    val str = q("SELECT COUNT(*) AS n FROM spec_cat.analytics.decid WHERE tag = 'p1'")
+    assert(str.head().getLong(0) == 267L)
+  }
+
+  test("$metrics: commit cadence + rows/bytes per commit + derivative " +
+      "end-to-end lag as a queryable meta table (VERDICT r12 next #5)") {
+    val store = new TableStore(spark, s"$warehouse/analytics/mtr")
+    store.commitBucketed((1L to 400L).map(k => (k, k % 7, k * 3))
+      .toDF("id", "grp", "n"), Seq("id"), 4)
+    graft.store.MaterializedAgg.create(store, "by_grp", Seq("grp"),
+      sumCols = Seq("n"), numBuckets = 2)
+    graft.store.SecondaryIndex.create(store, "by_grp_idx", Seq("grp"),
+      numBuckets = 2)
+    // live feed: two more commits; derivatives NOT refreshed → lag grows
+    store.upsertEq(Seq((1000L, 3L, 5L, "PUT")).toDF("id", "grp", "n", "op"))
+    store.deleteMor(col("id") === 7L)
+    val m = spark.sql(
+      "SELECT * FROM spec_cat.analytics.`mtr$metrics`").collect()
+    val commits = m.filter(_.getString(0) == "commit")
+    assert(commits.map(_.getString(1)).sorted.toSeq == Seq("v0", "v1", "v2"))
+    val v1 = commits.find(_.getString(1) == "v1").get
+    assert(!v1.isNullAt(4) && v1.getLong(4) >= 0, "interval_ms vs parent")
+    assert(v1.getLong(5) == 1L, s"v1 upsert adds one row: ${v1.getLong(5)}")
+    val v2 = commits.find(_.getString(1) == "v2").get
+    assert(v2.getLong(5) == 0L && v2.getLong(10) == 1L,
+      s"MOR delete masks 1 row, moves no files: ${v2.toSeq}")
+    val v0 = commits.find(_.getString(1) == "v0").get
+    assert(v0.isNullAt(4) && v0.getLong(8) == 400L,
+      "v0 has no parent interval; running totals present")
+    // derivative lag: both reflect v0, head is v2 → lag_commits = 2,
+    // lag_ms = committed_at(v2) - committed_at(v0)
+    val agg = m.find(r => r.getString(0) == "agg" &&
+      r.getString(1) == "by_grp").get
+    assert(agg.getLong(11) == 0L && agg.getLong(12) == 2L,
+      s"agg watermark/lag: ${agg.toSeq}")
+    val expectedLag = commits.find(_.getString(1) == "v2").get.getLong(3) -
+      v0.getLong(3)
+    assert(agg.getLong(13) == expectedLag, "lag_ms = head time - watermark time")
+    val idx = m.find(r => r.getString(0) == "index" &&
+      r.getString(1) == "by_grp_idx").get
+    assert(idx.getLong(12) == 2L)
+    // refresh closes the lag to zero
+    graft.store.MaterializedAgg.refresh(store, "by_grp")
+    graft.store.SecondaryIndex.refresh(store, "by_grp_idx")
+    val m2 = spark.sql(
+      "SELECT kind, name, lag_commits, lag_ms FROM " +
+        "spec_cat.analytics.`mtr$metrics` WHERE kind <> 'commit'").collect()
+    assert(m2.forall(r => r.getLong(2) == 0L && r.getLong(3) == 0L),
+      s"post-refresh lag must be zero: ${m2.map(_.toSeq).toSeq}")
+  }
+
   test("snapshot refs: tag-based time travel, $refs, and rollback through SQL") {
     val store = new TableStore(spark, s"$warehouse/analytics/reftbl")
     store.commitSnapshot((1L to 25L).map(k => (k, s"r$k")).toDF("k", "v"))

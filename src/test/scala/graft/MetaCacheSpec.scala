@@ -97,6 +97,44 @@ class MetaCacheSpec extends SparkSuite {
     assert(out.head().getLong(0) == (1000L to 1049L).map(_ * 2).sum)
   }
 
+  test("root epoch: an OUT-OF-PROCESS drop+recreate never serves a " +
+      "renumbered manifest from the memo (VERDICT r12 next #4)") {
+    val root = s"$warehouse/analytics/mc_epoch"
+    val s1 = new TableStore(spark, root)
+    s1.commitSnapshot(Seq((1L, "old")).toDF("k", "v"))
+    assert(s1.readSnapshot().count() == 1) // memo holds (root, epoch1, 0)
+    // simulate a SECOND driver: raw-filesystem delete + a fresh handle's
+    // recreate — no in-process lifecycle path runs, invalidateMeta never
+    // fires, and v0.json is REUSED with different content
+    val dir = new org.apache.hadoop.fs.Path(root)
+    val hfs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(hfs.delete(dir, true))
+    new TableStore(spark, root).commitSnapshot(
+      Seq((10L, "new"), (11L, "new")).toDF("k", "v"))
+    // a fresh handle (the other driver's reader) keys the memo under the
+    // RE-STAMPED epoch: the stale (old-epoch, 0) entry cannot serve
+    val s3 = new TableStore(spark, root)
+    assert(s3.manifest(0).nFiles > 0)
+    assert(s3.readSnapshot().count() == 2,
+      "a renumbered manifest served from the stale memo entry")
+    assert(s3.readSnapshot().select("v").as[String].collect().toSet
+      == Set("new"))
+  }
+
+  test("spark.graft.meta.manifestCache=false bypasses the memo entirely " +
+      "(the multi-driver long-lived-handle opt-out, ADVICE r12)") {
+    val root = s"$warehouse/analytics/mc_nocache"
+    val s1 = new TableStore(spark, root)
+    s1.commitSnapshot(Seq((1L, "a"), (2L, "b")).toDF("k", "v"))
+    spark.conf.set("spark.graft.meta.manifestCache", "false")
+    try {
+      val before = TableStore.manifestLoads.get()
+      s1.manifest(0); s1.manifest(0); s1.manifest(0)
+      assert(TableStore.manifestLoads.get() - before == 3,
+        "with the cache off every manifest() call must re-read")
+    } finally spark.conf.unset("spark.graft.meta.manifestCache")
+  }
+
   test("join-view registry snapshot: repeated join planning loads zero " +
       "manifests; a dim commit + refresh punches through") {
     val fact = new TableStore(spark, s"$warehouse/analytics/mc_fact")
