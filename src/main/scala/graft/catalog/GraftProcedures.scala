@@ -44,6 +44,7 @@ object GraftProcedures {
     case "create_index" => new CreateIndexProc(catalog)
     case "refresh_index" => new RefreshIndexProc(catalog)
     case "create_ann_index" => new CreateAnnIndexProc(catalog)
+    case "retrain_ann_index" => new RetrainAnnIndexProc(catalog)
     case "ann_topk_view" => new AnnTopkViewProc(catalog)
     case "drop_index" => new DropIndexProc(catalog)
     case "index_lookup_view" => new IndexLookupViewProc(catalog)
@@ -358,6 +359,32 @@ object GraftProcedures {
         input.getUTF8String(1).toString, input.getUTF8String(2).toString,
         clusters = intAt(3, 16), iters = intAt(4, 4),
         numBuckets = intAt(5, -1))
+      result(
+        StructType(Seq(StructField("base_version", LongType))), Array(bv))
+    }
+  }
+
+  /** `CALL cat.system.retrain_ann_index('ns.tbl', 'emb_ann')` — re-train
+    * IVF cells on the CURRENT base snapshot and swap atomically (one
+    * manifest CAS: the next version of the index store), for distribution
+    * drift the frozen-centroid refresh deliberately ignores (VERDICT r12
+    * next #2c). `clusters <= 0` re-derives ≈ √N from the current corpus. */
+  private final class RetrainAnnIndexProc(catalog: GraftCatalog)
+      extends GraftProc("retrain_ann_index",
+        "re-train IVF cells on the current snapshot and atomically swap the index") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build(),
+      ProcedureParameter.in("clusters", IntegerType).defaultValue("-1").build(),
+      ProcedureParameter.in("iters", IntegerType).defaultValue("4").build(),
+      ProcedureParameter.in("num_buckets", IntegerType).defaultValue("-1").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val store = storeFor(catalog, input.getUTF8String(0).toString)
+      def intAt(i: Int, dflt: Int): Int =
+        if (input.numFields <= i || input.isNullAt(i)) dflt else input.getInt(i)
+      val bv = graft.store.AnnIndex.retrain(store,
+        input.getUTF8String(1).toString, clusters = intAt(2, -1),
+        iters = intAt(3, 4), numBuckets = intAt(4, -1))
       result(
         StructType(Seq(StructField("base_version", LongType))), Array(bv))
     }

@@ -190,6 +190,55 @@ object LlmSim {
       nProbe = 2)
   }
 
+  /** Planted NEIGHBORHOOD — near-duplicates, NOT exact clones (VERDICT r12
+    * next #2b): vec 0 plus a per-element float ADDITIVE shift `j * 0.001`,
+    * so cosine lands near-but-below 1.0 and recall is a real measurement,
+    * not structural. Float arithmetic mirrors DuckDB's
+    * `x + CAST(0.001 * j AS FLOAT)` bit-for-bit (double product, one
+    * float round, one float add), so the brute-force oracle agrees. */
+  private def neighbors(base: DataFrame, from: Int, to: Int): DataFrame =
+    base.filter(col("vec_id") === 0)
+      .select(explode(sequence(lit(from), lit(to))).as("j"), col("embedding"))
+      .select((lit(20000000L) + col("j")).as("vec_id"),
+        transform(col("embedding"),
+          x => x + (lit(0.001) * col("j")).cast("float")).as("embedding"))
+
+  /** ANN RECALL oracle (`sim_search_ann_recall`): the emitted rows are the
+    * exact brute-force top-10 over corpus + planted neighborhood (DuckDB
+    * computes the same), and the in-query require() holds the PERSISTED
+    * index to recall@10 ≥ 0.8 at nProbe 2 of 16 cells against that truth —
+    * so the correctness row fails if either the exact ranking or the
+    * index's recall regresses. The neighbors differ from the query by a
+    * tiny additive shift, so they cluster into the query's cell without
+    * being bit-identical — recall is earned by the probe, not planted. */
+  private val simSearchAnnRecall: Q = (s, d) => {
+    import s.implicits._
+    val base = load(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    val corpus = base.unionByName(neighbors(base, 1, 12))
+    val qv = corpus.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val brute = scoreCosine(
+        corpus.crossJoin(broadcast(qv)).filter(col("vec_id") =!= 0))
+      .select(col("vec_id"), round(col("cos_raw"), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc_nulls_last, col("vec_id").asc_nulls_first)
+      .limit(10)
+    val store = new graft.store.TableStore(s,
+      graft.util.Scratch.dir("ann_recall"))
+    store.commitBucketed(corpus, Seq("vec_id"), 16)
+    graft.store.AnnIndex.create(store, "ann", "embedding",
+      clusters = 16, iters = 4)
+    val qvec = corpus.filter(col("vec_id") === 0)
+      .select(col("embedding")).as[Array[Float]].head()
+    val annIds = graft.store.AnnIndex
+      .topk(store, "ann", qvec, k = 10, nProbe = 2, excludeId = Some(0L))
+      .select("vec_id").as[Long].collect().toSet
+    val truth = brute.select("vec_id").as[Long].collect()
+    val recall = truth.count(annIds.contains).toDouble / truth.length
+    require(recall >= 0.8,
+      s"ANN recall@10 = $recall < 0.8 at nProbe 2/16 (found " +
+        s"${truth.count(annIds.contains)} of ${truth.length})")
+    brute
+  }
+
   /** Batch top-k (SURVEY §2.J extension `sim_search_batch`): k nearest
     * corpus vectors for EACH of a set of query vectors — the realistic ANN
     * serving shape. The query set broadcasts (small side), scoring is one
@@ -377,6 +426,7 @@ object LlmSim {
     "sim_search_ivf" -> simSearchIvf,
     "sim_search_ivf_kmeans" -> simSearchIvfKmeans,
     "sim_search_ann_index" -> simSearchAnnIndex,
+    "sim_search_ann_recall" -> simSearchAnnRecall,
     "sim_search_batch" -> simSearchBatch,
     "multimodal_schema" -> multimodalSchema,
     "multimodal_decode" -> multimodalDecode,
@@ -410,6 +460,26 @@ object LlmSim {
     "sim_search_ivf" -> plantedTopKOracle,
     "sim_search_ivf_kmeans" -> plantedTopKOracle,
     "sim_search_ann_index" -> plantedTopKOracle,
+
+    "sim_search_ann_recall" ->
+      """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+        |planted AS (
+        |  SELECT 20000000 + j AS vec_id,
+        |         LIST_TRANSFORM(q.embedding,
+        |           x -> x + CAST(0.001 * j AS FLOAT)) AS embedding
+        |  FROM q, generate_series(1, 12) t(j)),
+        |corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id, embedding FROM planted),
+        |qv AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id = 0)
+        |SELECT c.vec_id,
+        |  ROUND(LIST_DOT_PRODUCT(CAST(c.embedding AS DOUBLE[]), qv.v) /
+        |    (SQRT(LIST_DOT_PRODUCT(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))) *
+        |     SQRT(LIST_DOT_PRODUCT(qv.v, qv.v))), 6) AS cos_sim
+        |FROM corpus c, qv
+        |WHERE c.vec_id <> 0
+        |ORDER BY cos_sim DESC NULLS LAST, vec_id ASC NULLS FIRST
+        |LIMIT 10""".stripMargin,
 
     "sim_search_topk" ->
       """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)

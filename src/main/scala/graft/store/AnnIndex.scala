@@ -21,13 +21,28 @@ import graft.functions.VecKernels
   *    standard IVF practice — FAISS's `IndexIVF` keeps its quantizer fixed
   *    and `add()`s into existing cells): refresh assigns changed vectors to
   *    the frozen cells, so maintenance is O(changed rows + touched cell
-  *    buckets) and never re-shuffles the index. An explicit drop+create
-  *    retrains when the distribution drifts enough to matter.
+  *    buckets) and never re-shuffles the index. [[retrain]] handles
+  *    distribution drift: it re-trains on the current snapshot and swaps
+  *    the index ATOMICALLY as the next version of the index store (one
+  *    manifest CAS — readers at the old version stay consistent, VERDICT
+  *    r12 next #2c).
+  *  - Cell count defaults to ≈ √N at create (the FAISS IndexIVF sizing
+  *    rule: N/√N ≈ √N vectors per cell balances probe cost against cell
+  *    fan-out); `nProbe` then trades recall against the √N-per-cell read —
+  *    nProbe/cells is the fraction of the corpus a point query touches.
+  *  - Seeding is a deterministic k-means|| style oversample (VERDICT r12
+  *    next #8): per-partition cost-weighted sampling of candidates far
+  *    from the current seed set, reduced driver-side by farthest-first
+  *    selection — so a skewed corpus (many near-identical lowest ids)
+  *    cannot collapse every seed into one direction the way lowest-id
+  *    seeding could.
   *  - The index IS a [[SecondaryIndex]] whose key (`cell`) is DERIVED from
   *    the vector column: create/refresh reuse the GSI machinery through its
   *    `project` hook (netting, touched-bucket routing, content-preserving
   *    fast path, snapshot pins all inherited), and the blanket
-  *    maintenance-cadence call sites route here via the kind prop.
+  *    maintenance-cadence call sites route here via the kind prop. The
+  *    base's bucket keys (single or COMPOSITE, any type) ride into the
+  *    index rows unchanged and are recorded in props.
   *  - The stored embedding is the ORIGINAL vector (not normalized), so
   *    index-served cosine scores are bit-identical to a brute-force scan
   *    over the base table. */
@@ -40,6 +55,9 @@ object AnnIndex {
   private[graft] val KindAnn = "ann-ivf"
   private val CentroidsProp = "graft.ann.centroids"
   private val VecColProp = "graft.ann.vec-col"
+  /** Base key columns carried into every index row (csv, in base key
+    * order) — composite keys supported (VERDICT r12 next #2d). */
+  private val IdColsProp = "graft.ann.id-cols"
   /** cell→bucket map ("c:b,…"), computed ONCE at create with the engine's
     * own bucket expression and frozen with the centroids — point queries
     * resolve probed cells to bucket ids from metadata, zero plan-time
@@ -48,20 +66,88 @@ object AnnIndex {
 
   // ------------------------------------------------------------- training
 
+  /** Deterministic k-means||-style seeding (VERDICT r12 next #8): start
+    * from the lowest-id vector, then for a few rounds OVERSAMPLE — each
+    * partition nominates its vectors farthest (squared cosine distance)
+    * from the current seed set, the driver keeps the global farthest
+    * `clusters` and adds them — and finally REDUCE the ≤ 1+rounds×clusters
+    * candidate pool to `clusters` seeds by farthest-first traversal. Every
+    * step is deterministic (distance then id tie-break), one distributed
+    * pass per round, and the driver never holds more than the candidate
+    * pool. A corpus whose lowest ids are near-identical (the failure mode
+    * of lowest-id seeding: every seed in one direction, one cell owning
+    * the whole corpus) now spreads seeds across the real directions. */
+  private[graft] def seedCentroids(unit: Dataset[(Long, Array[Double])],
+      clusters: Int, rounds: Int = 3): Array[Array[Double]] = {
+    import unit.sparkSession.implicits._
+    val sc = unit.sparkSession.sparkContext
+    val first = unit.orderBy(col("_1").asc).limit(1).collect()
+    require(first.nonEmpty, "kmeans needs at least one seed vector")
+    var pool: Array[(Long, Array[Double])] = Array(first.head)
+    for (_ <- 1 to rounds) {
+      val bc = sc.broadcast(pool.map(_._2))
+      val k = clusters
+      val cand = unit.mapPartitions { it =>
+        val seeds = bc.value
+        // per-partition top-k by distance to the nearest seed (min-heap on
+        // (dist, -id) so the SMALLEST distance is evicted first)
+        val heap = new scala.collection.mutable.PriorityQueue[
+          (Double, Long, Array[Double])]()(
+          Ordering.by[(Double, Long, Array[Double]), (Double, Long)] {
+            case (d, id, _) => (-d, id)
+          })
+        it.foreach { case (id, v) =>
+          var best = Double.MaxValue
+          var i = 0
+          while (i < seeds.length) {
+            val d = 1.0 - VecKernels.dotD(v, seeds(i)) // unit vecs: cos dist
+            if (d < best) best = d
+            i += 1
+          }
+          heap.enqueue((best, id, v))
+          if (heap.size > k) heap.dequeue()
+        }
+        heap.iterator
+      }.collect()
+      bc.destroy()
+      val seedSet = pool
+      // global farthest `clusters` of the partition nominees, re-scored
+      // against the same seed set (deterministic: (dist desc, id asc))
+      val top = cand.sortBy { case (d, id, _) => (-d, id) }.take(clusters)
+        .filter(_._1 > 1e-12) // an exact duplicate of a seed adds nothing
+        .map { case (_, id, v) => (id, v) }
+      pool = (seedSet ++ top).distinct
+    }
+    // farthest-first reduction of the pool to `clusters` seeds
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Array[Double])](
+      pool.minBy(_._1))
+    while (out.size < math.min(clusters, pool.length)) {
+      val next = pool.filterNot(p => out.exists(_._1 == p._1))
+        .map { case (id, v) =>
+          val d = out.map(s => 1.0 - VecKernels.dotD(v, s._2)).min
+          (d, id, v)
+        }.sortBy { case (d, id, _) => (-d, id) }.headOption
+      next match {
+        case Some((d, id, v)) if d > 1e-12 => out += ((id, v))
+        case _ => // pool exhausted of distinct directions
+          return out.map(_._2).toArray
+      }
+    }
+    out.map(_._2).toArray
+  }
+
   /** Spherical k-means over unit vectors, Lloyd iterations as map-side
     * partial sums (moved here from graft.ops.LlmSim, which delegates):
-    * centroids seed deterministically from the `clusters` lowest ids; each
-    * iteration is ONE distributed pass producing per-partition (cluster,
-    * count, sum-vector) partials, so driver traffic is O(partitions ×
-    * clusters × dim) per iteration — independent of corpus size. Empty
-    * clusters keep their previous centroid. */
+    * centroids seed via [[seedCentroids]]; each iteration is ONE
+    * distributed pass producing per-partition (cluster, count, sum-vector)
+    * partials, so driver traffic is O(partitions × clusters × dim) per
+    * iteration — independent of corpus size. Empty clusters keep their
+    * previous centroid. */
   def kmeansCentroids(unit: Dataset[(Long, Array[Double])],
       clusters: Int, iters: Int): Array[Array[Double]] = {
     import unit.sparkSession.implicits._
     val sc = unit.sparkSession.sparkContext
-    var cents: Array[Array[Double]] = unit
-      .orderBy(col("_1").asc).limit(clusters)
-      .collect().sortBy(_._1).map(_._2)
+    var cents: Array[Array[Double]] = seedCentroids(unit, clusters)
     require(cents.nonEmpty, "kmeans needs at least one seed vector")
     for (_ <- 1 to iters) {
       val bc = sc.broadcast(cents)
@@ -115,71 +201,121 @@ object AnnIndex {
 
   // --------------------------------------------------------- assignment
 
-  /** (cell, id, vec) rows: each vector normalized and assigned to its
-    * nearest frozen centroid — one map-side JIT'd pass, no shuffle. */
-  private def assignCells(rows: DataFrame, idCol: String, vecCol: String,
-      cents: Array[Array[Double]]): DataFrame = {
-    import rows.sparkSession.implicits._
+  /** (cell, idCols…, vec) rows: each vector normalized and assigned to its
+    * nearest frozen centroid — one map-side pass (the udf closes over the
+    * BROADCAST handle, so executors read the centroids once per JVM, not
+    * once per task closure), no shuffle. Key columns pass through
+    * untouched, whatever their arity and type. */
+  private def assignCells(rows: DataFrame, idCols: Seq[String],
+      vecCol: String, cents: Array[Array[Double]]): DataFrame = {
     val bc = rows.sparkSession.sparkContext.broadcast(cents)
-    rows.select(col(idCol), col(vecCol)).as[(Long, Array[Float])]
-      .mapPartitions { it =>
-        val cs = bc.value
-        it.map { case (id, v) =>
-          (VecKernels.nearestCentroid(VecKernels.normalize(v), cs), id, v)
-        }
-      }.toDF("cell", idCol, vecCol)
+    val cellOf = udf((v: Seq[Float]) =>
+      VecKernels.nearestCentroid(VecKernels.normalize(v.toArray), bc.value))
+    rows.select((cellOf(col(vecCol)).as("cell") +:
+      idCols.map(col)) :+ col(vecCol): _*)
   }
 
-  private def idColOf(im: TableStore.Manifest): String = {
-    val vecCol = im.props(VecColProp)
-    im.schema.fieldNames
-      .filterNot(Set("cell", vecCol, "_gbucket")).head
-  }
+  private def idColsOf(im: TableStore.Manifest): Seq[String] =
+    im.props.get(IdColsProp) match {
+      case Some(csv) => csv.split(',').toSeq
+      case None => // pre-r13 index: single key, derived by elimination
+        val vecCol = im.props(VecColProp)
+        Seq(im.schema.fieldNames
+          .filterNot(Set("cell", vecCol, "_gbucket")).head)
+    }
+
+  /** ≈ √N cells (clamped to [4, 4096] and the corpus size) — the FAISS
+    * IndexIVF guidance re-derived: probing p cells reads ~p·√N vectors. */
+  private def defaultCells(n: Long): Int =
+    math.max(4L, math.min(4096L,
+      math.min(n, math.ceil(math.sqrt(n.toDouble)).toLong))).toInt
 
   // -------------------------------------------------------------- create
 
   /** Train `clusters` centroids on the current base snapshot and
     * materialize the cell-bucketed index in ONE O(base) pass — the only
-    * full pass the index ever costs. `numBuckets` defaults to `clusters`
-    * so a probed cell maps to ~one bucket file set. */
+    * full pass the index ever costs. `clusters <= 0` sizes cells ≈ √N from
+    * the manifest's row total (zero extra jobs). `numBuckets` defaults to
+    * `clusters` so a probed cell maps to ~one bucket file set. */
   def create(base: TableStore, name: String, vecCol: String,
-      clusters: Int = 16, iters: Int = 4, numBuckets: Int = -1): Long = {
+      clusters: Int = -1, iters: Int = 4, numBuckets: Int = -1): Long = {
     import base.spark.implicits._
     require(TableStore.RefNameOk.pattern.matcher(name).matches(),
       s"index name must match [A-Za-z0-9._-]{1,128}, got '$name'")
     val bv = base.currentVersion()
     require(bv >= 0, "cannot index an empty table")
     val bm = base.manifest(bv)
-    require(bm.bucketKeys.size == 1 &&
-        bm.schema(bm.bucketKeys.head).dataType ==
-          org.apache.spark.sql.types.LongType,
-      s"the ANN index keys vectors by a single LONG primary key; " +
-        s"base has ${bm.bucketKeys}")
-    val idCol = bm.bucketKeys.head
+    require(bm.bucketKeys.nonEmpty,
+      s"the ANN index keys vectors by the base's bucket key(s); " +
+        s"base '${base.root}' is unkeyed — commitBucketed it first")
     require(bm.schema.fieldNames.contains(vecCol),
       s"vector column '$vecCol' not in base schema")
     val idx = SecondaryIndex.indexStore(base, name)
     require(idx.currentVersion() < 0, s"index '$name' already exists")
-    val corpus = base.readSnapshot(bv).select(col(idCol), col(vecCol))
-    val unit = corpus.as[(Long, Array[Float])]
+    buildInto(base, idx, name, vecCol, bm.bucketKeys, bv, clusters, iters,
+      numBuckets)
+    SecondaryIndex.movePin(base, name, bv)
+    bv
+  }
+
+  /** Shared by [[create]] and [[retrain]]: train on snapshot `bv`, assign,
+    * and commit the cell-bucketed index content (create = first version;
+    * retrain = next version of the same store, one atomic manifest CAS). */
+  private def buildInto(base: TableStore, idx: TableStore, name: String,
+      vecCol: String, idCols: Seq[String], bv: Long, clusters: Int,
+      iters: Int, numBuckets: Int): Unit = {
+    import base.spark.implicits._
+    val corpus = base.readSnapshot(bv)
+      .select((idCols.map(col) :+ col(vecCol)): _*)
+    val cells =
+      if (clusters > 0) clusters
+      else defaultCells(base.manifest(bv).totalRows)
+    // the trainer only needs (a stable LONG ordinal, unit vector); the
+    // real keys (any arity/type) never enter the kmeans passes
+    val unit = corpus.select(col(vecCol))
+      .withColumn("_ord", monotonically_increasing_id())
+      .select(col("_ord"), col(vecCol)).as[(Long, Array[Float])]
       .mapPartitions(_.map { case (id, v) => (id, VecKernels.normalize(v)) })
-    val cents = kmeansCentroids(unit, clusters, iters)
-    val nb = if (numBuckets > 0) numBuckets else clusters
+    val cents = kmeansCentroids(unit, cells, iters)
+    val nb = if (numBuckets > 0) numBuckets else cents.length
     // one clusters-row local job resolves every cell's bucket id through
     // the engine's own bucket expression; frozen in props so point
     // queries never pay a plan-time job for it
     val cellBuckets = cents.indices.toDF("cell")
       .select(col("cell"), TableStore.bucketExpr(Seq("cell"), nb).as("b"))
       .collect().map(r => s"${r.getInt(0)}:${r.getLong(1)}").mkString(",")
-    idx.commitBucketed(assignCells(corpus, idCol, vecCol, cents),
+    idx.commitBucketed(assignCells(corpus, idCols, vecCol, cents),
       Seq("cell"), nb,
       props = Map(
         SecondaryIndex.BaseVersionProp -> bv.toString,
         SecondaryIndex.IndexKeysProp -> "cell",
         KindProp -> KindAnn,
         VecColProp -> vecCol,
+        IdColsProp -> idCols.mkString(","),
         CentroidsProp -> centsToJson(cents),
         CellBucketsProp -> cellBuckets))
+  }
+
+  // ------------------------------------------------------------- retrain
+
+  /** Re-train centroids on the CURRENT base snapshot and swap the index
+    * atomically (VERDICT r12 next #2c — the distribution-drift answer
+    * `refresh` deliberately never gives). The rebuild commits as the NEXT
+    * VERSION of the existing index store: one manifest CAS flips readers
+    * to the new cells, in-flight queries against the prior version stay
+    * consistent, and nothing is ever dropped mid-air. Costs one O(base)
+    * pass, exactly like create. */
+  def retrain(base: TableStore, name: String, clusters: Int = -1,
+      iters: Int = 4, numBuckets: Int = -1): Long = {
+    val idx = SecondaryIndex.indexStore(base, name)
+    val iv = idx.currentVersion()
+    require(iv >= 0, s"ANN index '$name' does not exist; create it first")
+    val im = idx.manifest(iv)
+    require(im.props.get(KindProp).contains(KindAnn),
+      s"'$name' is not an ANN index")
+    val bv = base.currentVersion()
+    buildInto(base, idx, name, im.props(VecColProp), idColsOf(im), bv,
+      clusters, iters, numBuckets)
     SecondaryIndex.movePin(base, name, bv)
     bv
   }
@@ -189,8 +325,14 @@ object AnnIndex {
   /** Advance the index to the base head on the frozen centroids: the GSI
     * replay with cell derivation as the projection — O(changed rows +
     * touched cell buckets), broad churn routed to the one-pass clustered
-    * rebuild (same centroids — a rebuild re-ASSIGNS, never re-trains). */
-  def refresh(base: TableStore, name: String): Long = {
+    * rebuild (same centroids — a rebuild re-ASSIGNS, never re-trains;
+    * rebuild stays allowed here because it is part of the ANN refresh
+    * contract, independent of what a generic caller passed).
+    * `sharedFrames` rides through to the GSI replay (ADVICE r12): a
+    * co-maintained consumer that already persisted the changelog halves
+    * hands them over instead of forcing a recompute. */
+  def refresh(base: TableStore, name: String,
+      sharedFrames: Option[(Long, Long, DataFrame, DataFrame)] = None): Long = {
     val idx = SecondaryIndex.indexStore(base, name)
     val iv = idx.currentVersion()
     require(iv >= 0, s"ANN index '$name' does not exist; create it first")
@@ -199,9 +341,35 @@ object AnnIndex {
       s"'$name' is not an ANN index")
     val cents = centsFromJson(im.props(CentroidsProp))
     val vecCol = im.props(VecColProp)
-    val idCol = idColOf(im)
-    SecondaryIndex.refresh(base, name, allowRebuild = true,
-      project = Some(df => assignCells(df, idCol, vecCol, cents)))
+    val idCols = idColsOf(im)
+    SecondaryIndex.refresh(base, name, sharedFrames, allowRebuild = true,
+      project = Some(df => assignCells(df, idCols, vecCol, cents)))
+  }
+
+  /** The name of a FRESH ANN index over (base, vecCol) at base version
+    * `bv`, if one exists — the staleness gate of the SQL top-k rewrite
+    * (exactly the agg-view rule's `baseVersion == manifest.version`): a
+    * stale index never answers, the brute-force scan does. Deterministic
+    * pick: lexicographically first match. */
+  private[graft] def freshIndexFor(base: TableStore, vecCol: String,
+      bv: Long): Option[String] =
+    SecondaryIndex.list(base).sorted.find { n =>
+      val idx = SecondaryIndex.indexStore(base, n)
+      val iv = idx.currentVersion()
+      iv >= 0 && {
+        val im = idx.manifest(iv)
+        im.props.get(KindProp).contains(KindAnn) &&
+          im.props.get(VecColProp).contains(vecCol) &&
+          im.props.get(SecondaryIndex.BaseVersionProp)
+            .exists(_.toLong == bv)
+      }
+    }
+
+  /** Key columns of index `name` — exposed for the SQL rewrite's output
+    * alignment. */
+  private[graft] def idColsFor(base: TableStore, name: String): Seq[String] = {
+    val idx = SecondaryIndex.indexStore(base, name)
+    idColsOf(idx.manifest(idx.currentVersion()))
   }
 
   // -------------------------------------------------------------- query
@@ -210,8 +378,10 @@ object AnnIndex {
     * argsort over the frozen centroids — metadata-sized), read ONLY those
     * cells' index buckets, score map-side, TakeOrdered. Never touches the
     * base table and never reads an unprobed bucket — the plan a 100 TB
-    * point query needs. Returns (idCol, cos_sim) rounded to 6 dp with id
-    * tie-break, the same surface as the in-query ANN entries. */
+    * point query needs. `nProbe <= 0` probes every cell: an EXHAUSTIVE
+    * search over the compact (keys, vec) index — exact, still off the
+    * (wider) base table. Returns (idCols…, cos_sim) rounded to 6 dp with
+    * key tie-break, the same surface as the in-query ANN entries. */
   def topk(base: TableStore, name: String, queryVec: Array[Float], k: Int,
       nProbe: Int = 2, excludeId: Option[Long] = None): DataFrame = {
     val s = base.spark
@@ -224,10 +394,11 @@ object AnnIndex {
       s"'$name' is not an ANN index")
     val cents = centsFromJson(im.props(CentroidsProp))
     val vecCol = im.props(VecColProp)
-    val idCol = idColOf(im)
+    val idCols = idColsOf(im)
     val q = VecKernels.normalize(queryVec)
+    val probe = if (nProbe <= 0) cents.length else nProbe
     val cells = cents.indices
-      .sortBy(c => (-VecKernels.dotD(q, cents(c)), c)).take(nProbe)
+      .sortBy(c => (-VecKernels.dotD(q, cents(c)), c)).take(probe)
     // probed cells → bucket ids from the frozen metadata map (computed at
     // create through the engine's own bucket expression; a local job only
     // as back-compat fallback), then a bucket-targeted read: the file set
@@ -246,27 +417,31 @@ object AnnIndex {
     val entries = idx.readBuckets(bids, iv)
       .filter(col("cell").isin(cells.map(Int.box): _*))
     val kept = excludeId match {
-      case Some(id) => entries.filter(col(idCol) =!= id)
+      case Some(id) => entries.filter(col(idCols.head) =!= id)
       case None => entries
     }
     val qv = queryVec
-    kept.select(col(idCol), col(vecCol)).as[(Long, Array[Float])]
-      .mapPartitions(_.map { case (id, v) => (id, VecKernels.cosine(v, qv)) })
-      .toDF(idCol, "cos_raw")
-      .select(col(idCol), round(col("cos_raw"), 6).as("cos_sim"))
-      .orderBy(col("cos_sim").desc_nulls_last, col(idCol).asc_nulls_first)
+    val score = udf((v: Seq[Float]) => VecKernels.cosine(v.toArray, qv))
+    kept.select((idCols.map(col) :+
+        round(score(col(vecCol)), 6).as("cos_sim")): _*)
+      .orderBy(col("cos_sim").desc_nulls_last +:
+        idCols.map(col(_).asc_nulls_first): _*)
       .limit(k)
   }
 
   /** [[topk]] with the query vector fetched by primary key — one
-    * bucket-pruned point read of the base table, never a corpus scan. */
+    * bucket-pruned point read of the base table, never a corpus scan.
+    * Single-LONG-keyed bases only (the composite-key caller holds its own
+    * query vector and uses [[topk]] directly). */
   def topkById(base: TableStore, name: String, queryId: Long, k: Int,
       nProbe: Int = 2): DataFrame = {
     val idx = SecondaryIndex.indexStore(base, name)
     val im = idx.manifest(idx.currentVersion())
     val vecCol = im.props(VecColProp)
-    val idCol = idColOf(im)
-    val qRows = base.readSnapshot().filter(col(idCol) === queryId)
+    val idCols = idColsOf(im)
+    require(idCols.size == 1,
+      s"topkById addresses a single-key base; '${base.root}' keys on $idCols")
+    val qRows = base.readSnapshot().filter(col(idCols.head) === queryId)
       .select(col(vecCol)).limit(2).collect()
     require(qRows.length == 1, s"query id $queryId not unique in base")
     val qv = qRows.head.getSeq[Float](0).toArray

@@ -234,8 +234,11 @@ object SecondaryIndex {
     val iv = idx.currentVersion()
     require(iv >= 0, s"index '$name' does not exist; create it first")
     val im = idx.manifest(iv)
+    // sharedFrames ride through (ADVICE r12); allowRebuild is part of the
+    // ANN refresh contract (a rebuild re-ASSIGNS on frozen centroids —
+    // always legal, never a retrain), so the caller's flag is not consulted
     if (project.isEmpty && im.props.get(AnnIndex.KindProp).nonEmpty)
-      return AnnIndex.refresh(base, name)
+      return AnnIndex.refresh(base, name, sharedFrames)
     val fromV = im.props(BaseVersionProp).toLong
     val toV = base.currentVersion()
     if (toV == fromV) return fromV

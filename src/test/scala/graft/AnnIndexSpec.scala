@@ -169,17 +169,115 @@ class AnnIndexSpec extends SparkSuite {
       s"SQL-served top-k must lead with the planted clones: $got")
   }
 
-  test("create is refused on unkeyed or non-long-keyed bases; topk on a " +
-      "missing index fails actionably") {
+  test("create is refused on unkeyed bases; topk on a missing index fails " +
+      "actionably") {
     val store = freshStore()
-    store.commitBucketed(corpus(50)
-      .withColumn("vec_id", col("vec_id").cast("string")),
-      Seq("vec_id"), 4)
+    store.commitSnapshot(corpus(50))
     val e = intercept[IllegalArgumentException](
       AnnIndex.create(store, "ann", "embedding"))
-    assert(e.getMessage.contains("LONG primary key"))
+    assert(e.getMessage.contains("unkeyed"))
     val e2 = intercept[IllegalArgumentException](
       AnnIndex.topk(store, "nope", Array.fill(dim)(1f), 5))
     assert(e2.getMessage.contains("does not exist"))
+  }
+
+  test("COMPOSITE (and non-long) keys: create + refresh + point top-k carry " +
+      "the full key tuple (VERDICT r12 next #2d)") {
+    val store = freshStore()
+    // wobble 0.005 is outside the corpus family (0.01..0.07), so only the
+    // planted clones can hit cosine exactly 1.0
+    val qv = Array.fill(dim)(0f); qv(0) = 1f; qv(4) = 0.005f
+    // key = (tenant STRING, seq LONG)
+    val base = corpus(120)
+      .select(concat(lit("t"), col("vec_id") % 3).as("tenant"),
+        col("vec_id").as("seq"), col("embedding"))
+    store.commitBucketed(base, Seq("tenant", "seq"), 8)
+    AnnIndex.create(store, "ann", "embedding", clusters = 8, iters = 2)
+    // live feed: planted clones (power-of-two scalings, bit-identical
+    // normalization) under fresh composite keys, through the GSI replay
+    val planted = clones(qv, 1L to 3L)
+      .select(lit("tq").as("tenant"), col("vec_id").as("seq"), col("embedding"),
+        lit("PUT").as("op"))
+    store.upsertEq(planted)
+    AnnIndex.refresh(store, "ann")
+    val top = AnnIndex.topk(store, "ann", qv, k = 3, nProbe = 2)
+    assert(top.columns.toSeq == Seq("tenant", "seq", "cos_sim"))
+    val rows = top.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.forall { case (t, _, c) => t == "tq" && c == 1.0 },
+      s"planted composite-keyed clones must lead the top-k: ${rows.toSeq}")
+    assert(!top.inputFiles.exists(_.contains(s"${store.root}/data")),
+      "point query must never touch the base table")
+  }
+
+  test("retrain re-trains on the CURRENT snapshot and swaps atomically as " +
+      "the next index version (VERDICT r12 next #2c)") {
+    val store = freshStore()
+    store.commitBucketed(corpus(100), Seq("vec_id"), 8)
+    AnnIndex.create(store, "ann", "embedding", clusters = 4, iters = 2)
+    val idx = SecondaryIndex.indexStore(store, "ann")
+    val iv0 = idx.currentVersion()
+    val cents0 = idx.manifest(iv0).props("graft.ann.centroids")
+    // drift: a new dense direction family the frozen cells never trained on
+    val drift = (5000L until 5100L).map { id =>
+      val v = new Array[Float](dim); v(7) = 1.0f
+      v(4) = 0.001f * (id % 5); (id, v)
+    }.toDF("vec_id", "embedding").withColumn("op", lit("PUT"))
+    store.upsertEq(drift)
+    AnnIndex.refresh(store, "ann") // frozen cells absorb the drift rows
+    val bv = AnnIndex.retrain(store, "ann", clusters = 8, iters = 2)
+    assert(bv == store.currentVersion())
+    val iv1 = idx.currentVersion()
+    assert(iv1 > iv0, "retrain must commit a NEW index version (atomic swap)")
+    assert(idx.manifest(iv1).props("graft.ann.centroids") != cents0,
+      "retrain must produce fresh centroids")
+    assert(idx.manifest(iv1).props("graft.index.kind") == "ann-ivf")
+    // the swapped index is complete and serves the drifted family
+    assert(idx.readSnapshot().count() == 200L)
+    val qd = new Array[Float](dim); qd(7) = 1f
+    val got = AnnIndex.topk(store, "ann", qd, k = 5, nProbe = 2)
+      .collect().map(_.getLong(0))
+    assert(got.forall(_ >= 5000L),
+      s"retrained cells must serve the drifted direction: ${got.toSeq}")
+    // prior version still readable (readers mid-flight stay consistent)
+    assert(idx.readSnapshot(iv0).count() == 100L)
+  }
+
+  test("k-means|| seeding spreads cells on a SKEWED corpus: lowest-id " +
+      "near-duplicates cannot collapse every seed (VERDICT r12 next #8)") {
+    val store = freshStore()
+    // ids 0..15 all point the same direction (the lowest-id seeding trap);
+    // the real corpus spans 4 direction families
+    val trap = (0L until 16L).map { id =>
+      val v = new Array[Float](dim); v(0) = 1.0f
+      v(4) = 0.0001f * id; (id, v)
+    }
+    val real = (16L until 416L).map { id =>
+      val v = new Array[Float](dim); v((id % 4).toInt) = 1.0f
+      v(4 + (id % 3).toInt) = 0.01f * ((id % 7) + 1); (id, v)
+    }
+    store.commitBucketed((trap ++ real).toDF("vec_id", "embedding"),
+      Seq("vec_id"), 8)
+    AnnIndex.create(store, "ann", "embedding", clusters = 8, iters = 3)
+    val idx = SecondaryIndex.indexStore(store, "ann")
+    val sizes = idx.readSnapshot().groupBy("cell").count()
+      .collect().map(_.getLong(1))
+    val mean = sizes.sum.toDouble / 8 // over ALL cells incl. empty
+    assert(sizes.length >= 4,
+      s"seeding must populate the distinct direction families: ${sizes.length} cells")
+    assert(sizes.max / mean <= 4.0,
+      s"cell balance: max ${sizes.max} vs mean $mean over 8 cells")
+  }
+
+  test("cells default to ~sqrt(N) when unspecified") {
+    val store = freshStore()
+    store.commitBucketed(corpus(400), Seq("vec_id"), 8)
+    AnnIndex.create(store, "ann", "embedding", iters = 1)
+    val idx = SecondaryIndex.indexStore(store, "ann")
+    val cents = graft.store.AnnIndex.centsFromJson(
+      idx.manifest(idx.currentVersion()).props("graft.ann.centroids"))
+    assert(cents.length >= 10 && cents.length <= 20,
+      s"sqrt(400) = 20 cells expected (less only if directions collapse), " +
+        s"got ${cents.length}")
   }
 }
