@@ -662,5 +662,9 @@ object AggViewRewrite {
         .exists(_.isInstanceOf[JoinViewRewriteRule]))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ new JoinViewRewriteRule
+    if (!spark.experimental.extraOptimizations
+        .exists(_.isInstanceOf[VectorTopKRewriteRule]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ new VectorTopKRewriteRule
   }
 }

@@ -12,10 +12,15 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftFunctions {
   def register(spark: SparkSession): Unit = {
-    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-      .sessionState.functionRegistry.createOrReplaceTempFunction(
-        "sorted_intersect_count",
-        exprs => SortedIntersectCount(exprs(0), exprs(1)),
-        "built-in")
+    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
+      "sorted_intersect_count",
+      exprs => SortedIntersectCount(exprs(0), exprs(1)),
+      "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_cosine",
+      exprs => CosineSim(exprs(0), exprs(1)),
+      "built-in")
   }
 }

@@ -47,6 +47,13 @@ object VecKernels {
     out
   }
 
+  /** [[cosine]] over Catalyst ArrayData — the JVM entry [[CosineSim]]'s
+    * generated code calls (identical double fold, so SQL-surface scores
+    * are bit-equal to the kernel/index path). */
+  def cosineAD(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      b: org.apache.spark.sql.catalyst.util.ArrayData): Double =
+    cosine(a.toFloatArray(), b.toFloatArray())
+
   def dotD(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0
     var i = 0

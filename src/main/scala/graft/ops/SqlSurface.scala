@@ -238,6 +238,43 @@ object SqlSurface {
     out
   }
 
+  /** FILTERED manifest-served aggregates (`sql_agg_metadata_where`,
+    * VERDICT r12 next #7): the dashboard query WITH a WHERE clause still
+    * answering from footer stats — sound when the predicate is FILE-
+    * DECIDABLE: every candidate file provably all-match
+    * ([[graft.store.FileStats.mustMatch]]) or no-match (`mightMatch`
+    * false), so the filter is claimed fully pushed, the kept subset's
+    * stats ARE the filtered stats, and the scan plans zero data files.
+    * The fixture appends one file per `seg = o_orderkey % 4` value, so
+    * each file's seg bounds collapse to a point and `WHERE seg = 2`
+    * decides every file. Undecidable predicates (any straddling file)
+    * fall back to the ordinary residual-filter scan — declining is never
+    * wrong, just unoptimized. */
+  private val sqlAggMetadataWhere: Q = (s, d) => {
+    val cat = catalogFor(s, d)
+    val wh = warehouseFor(d)
+    val store = new TableStore(s, s"$wh/analytics/orders_agg_w")
+    if (store.currentVersion() < 0) {
+      val base = load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_orderkey") % 4).as("seg"))
+      store.commitSnapshot(base.filter(col("seg") === 0).coalesce(1))
+      (1 to 3).foreach(i =>
+        store.commitAppend(base.filter(col("seg") === i).coalesce(1)))
+    }
+    s.catalog.refreshTable(s"$cat.analytics.orders_agg_w")
+    val out = s.sql(
+      s"""SELECT COUNT(*) AS n_rows, COUNT(o_custkey) AS n_cust,
+         |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+         |FROM $cat.analytics.orders_agg_w WHERE seg = 2""".stripMargin)
+    val plan = out.queryExecution.executedPlan.toString
+    require(plan.contains("graft-manifest-agg") || plan.contains("LocalTableScan"),
+      s"filtered aggregate not served from the manifest:\n$plan")
+    require(!plan.contains("Parquet"),
+      "filtered manifest aggregate must not scan files")
+    out
+  }
+
   /** Merge-on-read SQL DELETE (`sql_delete_mor`): a delete vector commit —
     * O(matched rows) of (file, pos) entries — instead of rewriting buckets.
     * The require()s pin the MOR contract: the DV is present and NO data
@@ -626,6 +663,44 @@ object SqlSurface {
         |FROM ord_mv_agg
         |ORDER BY cgrp ASC NULLS FIRST,
         |  o_orderstatus ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** TRANSPARENT vector top-k rewrite (`sql_vector_topk`,
+    * [[graft.catalog.VectorTopKRewriteRule]], VERDICT r12 next #3): a
+    * plain-SQL nearest-neighbor query — `ORDER BY
+    * round(graft_cosine(embedding, <literal>), 6) DESC LIMIT 20` over the
+    * BASE table — must serve from the persisted ANN index (require()d via
+    * the optimized plan's relation paths) with NO change to the query
+    * text. At the default nProbe (all cells) the serve is EXACT — the
+    * index stores original vectors and scores through the same double
+    * fold — so the DuckDB brute-force oracle agrees bit-for-bit; lowering
+    * `spark.graft.ann.sql.nProbe` is the user's explicit recall/latency
+    * trade. Decline paths (stale index, filters, unrounded sort) are
+    * spec-pinned in VectorRewriteSpec. */
+  private val sqlVectorTopk: Q = (s, d) => {
+    import s.implicits._
+    val cat = catalogFor(s, d)
+    val store = new TableStore(s, s"${warehouseFor(d)}/analytics/vec_sql")
+    if (store.currentVersion() < 0) {
+      store.commitBucketed(load(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding")), Seq("vec_id"), 16)
+      graft.store.AnnIndex.create(store, "emb_ann", "embedding",
+        clusters = 16, iters = 4)
+    }
+    graft.functions.GraftFunctions.register(s)
+    s.catalog.refreshTable(s"$cat.analytics.vec_sql")
+    val qv = load(s, d, "embeddings").filter(col("vec_id") === 0)
+      .select(col("embedding")).as[Array[Float]].head()
+    val arr = qv.map(f => s"CAST($f AS FLOAT)").mkString("ARRAY(", ",", ")")
+    val out = s.sql(
+      s"""SELECT vec_id,
+         |  round(graft_cosine(embedding, $arr), 6) AS cos_sim
+         |FROM $cat.analytics.vec_sql
+         |ORDER BY cos_sim DESC, vec_id ASC
+         |LIMIT 20""".stripMargin)
+    require(graft.catalog.VectorTopKRewrite.served(out),
+      "the vector top-k over the base table must serve from the ANN index")
+    out
   }
 
   /** TRANSPARENT materialized-view rewrite (`sql_agg_rewrite`,
@@ -1262,6 +1337,7 @@ object SqlSurface {
     "sql_catalog" -> sqlCatalog,
     "sql_agg_view" -> sqlAggView,
     "sql_agg_rewrite" -> sqlAggRewrite,
+    "sql_vector_topk" -> sqlVectorTopk,
     "sql_agg_tail_mm" -> sqlAggTailMm,
     "sql_join_view" -> sqlJoinView,
     "sql_join_rewrite" -> sqlJoinRewrite,
@@ -1274,6 +1350,7 @@ object SqlSurface {
     "sql_join_colocated" -> sqlJoinColocated,
     "sql_join_runtime_prune" -> sqlJoinRuntimePrune,
     "sql_agg_metadata" -> sqlAggMetadata,
+    "sql_agg_metadata_where" -> sqlAggMetadataWhere,
     "sql_delete_mor" -> sqlDeleteMor,
     "sql_delete_eq" -> sqlDeleteEq,
     "sql_delete_eq_prefix" -> sqlDeleteEqPrefix,
@@ -1444,6 +1521,16 @@ object SqlSurface {
         |GROUP BY l_orderkey % 100, o_orderstatus
         |ORDER BY okb ASC NULLS FIRST,
         |  o_orderstatus ASC NULLS FIRST""".stripMargin,
+    "sql_vector_topk" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  ROUND(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), q.qv) /
+        |    (SQRT(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+        |     SQRT(LIST_DOT_PRODUCT(q.qv, q.qv))), 6) AS cos_sim
+        |FROM embeddings, q
+        |ORDER BY cos_sim DESC NULLS LAST, vec_id ASC NULLS FIRST
+        |LIMIT 20""".stripMargin,
+
     "sql_agg_rewrite" ->
       """SELECT okb, l_returnflag, COUNT(*) AS n,
         |  CAST(SUM(qty) AS DOUBLE) AS sum_qty,
@@ -1582,6 +1669,11 @@ object SqlSurface {
         |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
         |  MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date
         |FROM orders""".stripMargin,
+
+    "sql_agg_metadata_where" ->
+      """SELECT COUNT(*) AS n_rows, COUNT(o_custkey) AS n_cust,
+        |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        |FROM orders WHERE o_orderkey % 4 = 2""".stripMargin,
 
     "sql_delete_mor" ->
       """SELECT l_returnflag, COUNT(*) AS n,
