@@ -227,10 +227,15 @@ object Bench {
     // survive the window — total + health + as many of the slowest
     // queries as fit (3 dp) — so the recorded artifact parses and carries
     // the numbers that matter.
+    // cwd-relative (overridable via SPARK_GRAFT_BENCH_FULL), and a write
+    // failure WARNS instead of silently vanishing (ADVICE r12)
+    val fullPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_FULL",
+      "BENCH_FULL.json")
     try java.nio.file.Files.write(
-      java.nio.file.Paths.get("/root/repo/BENCH_FULL.json"),
-      full.getBytes("UTF-8"))
-    catch { case _: Exception => () }
+      java.nio.file.Paths.get(fullPath), full.getBytes("UTF-8"))
+    catch { case e: Exception =>
+      System.err.println(s"[bench] WARN could not write $fullPath: $e")
+    }
     println(full)
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     val slowest = timings.toSeq.sortBy(-_._2)
