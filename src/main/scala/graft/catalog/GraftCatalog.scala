@@ -1046,6 +1046,12 @@ private[catalog] final class StatsPruningScanBuilder(name: String,
     * of all-match files with no-match files pruned returns exactly the
     * matching rows. */
   private var exactFiles: Option[Seq[String]] = None
+  /** Sharded-tier companion to [[exactFiles]]: the kept files' (rows,
+    * column stats), collected by the one distributed decidability sweep so
+    * a filtered metadata aggregate never re-reads shard parquet. */
+  private var exactMeta:
+    Option[Seq[(String, Long, Map[String, graft.store.FileStats.ColStat])]] =
+    None
 
   override def pushFilters(filters: Array[V1Filter]): Array[V1Filter] = {
     val pairs = filters.map(f =>
@@ -1075,6 +1081,22 @@ private[catalog] final class StatsPruningScanBuilder(name: String,
         // inner deferred to build() so a later pushLimit can still shrink
         // the kept list; no exprs reach the parquet scan (all rows match)
         return Array.empty // FULLY pushed: Spark drops the Filter node
+      }
+    }
+    // SHARDED tier (the 100 TB tier): the same decidability question runs
+    // as ONE distributed sweep over the shard rows. Skipped when a
+    // bucket-key equality conjunct is present (hash-bucketed files carry
+    // near-full-range bounds — never all-match — so the sweep would always
+    // fall through; the ordinary bucket-pruned path serves those).
+    if (exprs.nonEmpty && !m.hasDeletes && m.isSharded &&
+        pairs.forall(_._2.isDefined) &&
+        TableStore.keyEqualityBuckets(exprs, m).isEmpty) {
+      store.exactMatchMeta(m, exprs) match {
+        case Some(metas) =>
+          exactFiles = Some(metas.map(_._1))
+          exactMeta = Some(metas)
+          return Array.empty // FULLY pushed, same contract as inline
+        case None => () // a straddling file: conservative path below
       }
     }
     // sharded manifests evaluate the bounds as a distributed scan over the
@@ -1122,6 +1144,17 @@ private[catalog] final class StatsPruningScanBuilder(name: String,
       }
       limitFiles = Some(taken)
       return true // partially pushed (isPartiallyPushed default): Limit stays
+    }
+    // under an exactly-decidable filter the kept files are ALL-match and
+    // their row counts already sit on the driver — prefix those directly
+    exactMeta.foreach { metas =>
+      var acc = 0L
+      limitFiles = Some(metas.takeWhile { case (_, rows, _) =>
+        val keep = acc < limit
+        acc += rows
+        keep
+      }.map(_._1))
+      return true
     }
     // a sharded summary with files>0 but rows==0 can only come from the
     // metaFromInline unknown-rows fallback — row totals unusable, decline
@@ -1217,7 +1250,11 @@ private[catalog] final class StatsPruningScanBuilder(name: String,
     }
     // per-file stats, dropped-name-filtered; None = a file without stats
     val perFile: Option[Seq[(Long, Map[String, graft.store.FileStats.ColStat])]] =
-      if (m.isSharded) None
+      if (m.isSharded)
+        // the decidability sweep already collected the kept files' stats
+        // (dropped-name-filtered) — the filtered aggregate reads them, no
+        // second shard scan
+        exactMeta.map(_.map { case (_, rows, cols) => (rows, cols) })
       else {
         val sts = exactFiles.getOrElse(m.inlineFiles)
           .map(f => m.inlineStats.get(f).map(m.usableStat))
@@ -1326,10 +1363,17 @@ private[catalog] final class StatsPruningScanBuilder(name: String,
     // matching file with no residual Filter left to mask it); the runtime
     // `extra` filters only shrink it further, and their rows are re-checked
     // by the join that generated them
-    val files = exactFiles match {
-      case Some(kept) => kept.filter(f => m.inlineStats.get(f).forall(st =>
-        graft.store.FileStats.mightMatch(m.usableStat(st), m.schema, extra)))
-      case None => store.pruneCandidatePaths(m, exprs)
+    val files = (exactFiles, exactMeta) match {
+      case (_, Some(metas)) => // sharded exact: stats collected driver-side
+        metas.filter { case (_, rows, cols) =>
+          graft.store.FileStats.mightMatch(
+            graft.store.FileStats.FileStat(0L, 0L, rows, cols),
+            m.schema, extra)
+        }.map(_._1)
+      case (Some(kept), None) =>
+        kept.filter(f => m.inlineStats.get(f).forall(st =>
+          graft.store.FileStats.mightMatch(m.usableStat(st), m.schema, extra)))
+      case (None, None) => store.pruneCandidatePaths(m, exprs)
     }
     RuntimePruning.lastPlannedFiles.put(name, files.size)
     val sb = org.apache.spark.sql.graftbridge.ParquetTableBridge

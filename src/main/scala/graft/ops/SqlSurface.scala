@@ -275,6 +275,44 @@ object SqlSurface {
     out
   }
 
+  /** [[sqlAggMetadataWhere]] on the SHARDED metadata tier (the 100 TB tier
+    * by construction): the decidability question runs as ONE distributed
+    * sweep over the manifest shard rows ([[graft.store.TableStore
+    * .exactMatchMeta]]) — per-file all-match/no-match verdicts plus the
+    * kept files' stats come back in a single bounded job, and the filtered
+    * COUNT/MIN/MAX serves from that driver residue with zero data-file
+    * I/O. Same fixture shape, committed under a lowered inline threshold
+    * so the table genuinely shards. */
+  private val sqlAggMetadataWhereSharded: Q = (s, d) => {
+    val cat = catalogFor(s, d)
+    val wh = warehouseFor(d)
+    val store = new TableStore(s, s"$wh/analytics/orders_agg_ws")
+    if (store.currentVersion() < 0) {
+      s.conf.set("spark.graft.manifest.inlineThreshold", "2")
+      try {
+        val base = load(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            (col("o_orderkey") % 4).as("seg"))
+        store.commitSnapshot(base.filter(col("seg") === 0).coalesce(1))
+        (1 to 3).foreach(i =>
+          store.commitAppend(base.filter(col("seg") === i).coalesce(1)))
+      } finally s.conf.unset("spark.graft.manifest.inlineThreshold")
+      require(store.manifest(store.currentVersion()).isSharded,
+        "fixture error: the table must sit on the sharded tier")
+    }
+    s.catalog.refreshTable(s"$cat.analytics.orders_agg_ws")
+    val out = s.sql(
+      s"""SELECT COUNT(*) AS n_rows, COUNT(o_custkey) AS n_cust,
+         |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+         |FROM $cat.analytics.orders_agg_ws WHERE seg = 1""".stripMargin)
+    val plan = out.queryExecution.executedPlan.toString
+    require(plan.contains("graft-manifest-agg") || plan.contains("LocalTableScan"),
+      s"sharded filtered aggregate not served from metadata:\n$plan")
+    require(!plan.contains("Parquet"),
+      "sharded filtered manifest aggregate must not scan files")
+    out
+  }
+
   /** Merge-on-read SQL DELETE (`sql_delete_mor`): a delete vector commit —
     * O(matched rows) of (file, pos) entries — instead of rewriting buckets.
     * The require()s pin the MOR contract: the DV is present and NO data
@@ -1351,6 +1389,7 @@ object SqlSurface {
     "sql_join_runtime_prune" -> sqlJoinRuntimePrune,
     "sql_agg_metadata" -> sqlAggMetadata,
     "sql_agg_metadata_where" -> sqlAggMetadataWhere,
+    "sql_agg_metadata_where_sharded" -> sqlAggMetadataWhereSharded,
     "sql_delete_mor" -> sqlDeleteMor,
     "sql_delete_eq" -> sqlDeleteEq,
     "sql_delete_eq_prefix" -> sqlDeleteEqPrefix,
@@ -1674,6 +1713,11 @@ object SqlSurface {
       """SELECT COUNT(*) AS n_rows, COUNT(o_custkey) AS n_cust,
         |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
         |FROM orders WHERE o_orderkey % 4 = 2""".stripMargin,
+
+    "sql_agg_metadata_where_sharded" ->
+      """SELECT COUNT(*) AS n_rows, COUNT(o_custkey) AS n_cust,
+        |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        |FROM orders WHERE o_orderkey % 4 = 1""".stripMargin,
 
     "sql_delete_mor" ->
       """SELECT l_returnflag, COUNT(*) AS n,

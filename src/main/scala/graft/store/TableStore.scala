@@ -324,6 +324,45 @@ class TableStore(val spark: SparkSession, val root: String,
       : Seq[String] =
     pruneRefs(m, m.schema, exprs).map(_.path)
 
+  /** SHARDED-tier decidability sweep (the 100 TB half of the
+    * file-decidable filter pushdown): ONE distributed pass over the shard
+    * rows classifies every candidate file as no-match (dropped), ALL-match
+    * (kept, with its row count and parsed column stats), or straddling.
+    * Returns None when ANY candidate straddles — the caller falls back to
+    * the ordinary conservative pruning — else the kept files' metadata,
+    * exactly the shape the filtered metadata aggregate consumes. Driver
+    * residue is O(all-match files), the same bound the conservative
+    * pruning already accepts for its candidates. */
+  private[graft] def exactMatchMeta(m: Manifest,
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Option[Seq[(String, Long, Map[String, FileStats.ColStat])]] = {
+    val sp = spark
+    import sp.implicits._
+    val schemaJson = m.schema.json
+    val fl = exprs
+    val dropped = m.droppedCols
+    // (mustMatch, path, rows, statsJson) for every might-match file
+    val rows = fileMetaDS(m).mapPartitions { it =>
+      val sch = DataType.fromJson(schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      it.flatMap { fm =>
+        if (fm.stats.isEmpty) Some((false, fm.path, fm.rows, fm.stats))
+        else {
+          val st0 = ManifestShards.toFileStat(fm)
+          val st = if (dropped.isEmpty) st0
+            else st0.copy(cols = st0.cols -- dropped)
+          if (!FileStats.mightMatch(st, sch, fl)) None
+          else Some((FileStats.mustMatch(st, sch, fl),
+            fm.path, fm.rows, fm.stats))
+        }
+      }
+    }.collect()
+    if (rows.exists(!_._1)) None
+    else Some(rows.sortBy(_._2).toSeq.map { case (_, p, r, sj) =>
+      (p, r, FileStats.colsFromJson(sj) -- dropped)
+    })
+  }
+
   /** Data-file paths of the given buckets — O(selected buckets' files)
     * driver residue (sharded: only covering shards are opened). */
   private[graft] def bucketFilePaths(m: Manifest,

@@ -863,6 +863,91 @@ class GraftCatalogSpec extends SparkSuite {
     assert(str.head().getLong(0) == 267L)
   }
 
+  test("file-decidable filters on the SHARDED tier: one distributed sweep " +
+      "classifies every file; zero-scan filtered aggregates; straddles fall back") {
+    spark.conf.set("spark.graft.manifest.inlineThreshold", "4")
+    spark.conf.set("spark.graft.manifest.filesPerShard", "8")
+    try {
+      val store = new TableStore(spark, s"$warehouse/analytics/shdecid")
+      def chunk(i: Int) = ((i * 100L + 1) to (i * 100L + 100))
+        .map(k => (k, k * 2)).toDF("k", "amt").coalesce(1)
+      store.commitSnapshot(chunk(0))
+      (1 to 15).foreach(i => store.commitAppend(chunk(i)))
+      assert(store.manifest(store.currentVersion()).isSharded,
+        "16 files over threshold 4 must shard")
+      spark.catalog.refreshTable("spec_cat.analytics.shdecid")
+      val before = TableStore.driverMaterializations.get()
+      // filtered aggregate: decidable range → LocalScan from shard stats
+      val agg = spark.sql("SELECT COUNT(*) AS n, MIN(k) AS mn, MAX(amt) AS mx " +
+        "FROM spec_cat.analytics.shdecid WHERE k > 400 AND k <= 900")
+      val r = agg.head()
+      assert((r.getLong(0), r.getLong(1), r.getLong(2)) == (500L, 401L, 1800L))
+      val aggPlan = agg.queryExecution.executedPlan.toString
+      assert(aggPlan.contains("graft-manifest-agg") ||
+        aggPlan.contains("LocalTableScan"),
+        s"sharded filtered aggregate should zero-scan:\n${aggPlan.take(500)}")
+      assert(!aggPlan.contains("Parquet"))
+      // exact scan: only all-match files planned, no Filter node
+      val scan = spark.sql(
+        "SELECT k FROM spec_cat.analytics.shdecid WHERE k <= 300")
+      assert(scan.collect().map(_.getLong(0)).sorted.toSeq == (1L to 300L))
+      val planned = "InMemoryFileIndex\\((\\d+) paths\\)".r
+        .findFirstMatchIn(scan.queryExecution.executedPlan.toString)
+        .map(_.group(1).toLong).getOrElse(-1L)
+      assert(planned == 3L, s"sharded decidable scan: 3 files, planned $planned")
+      // decidable filter + LIMIT: kept prefix
+      val lim = spark.sql(
+        "SELECT * FROM spec_cat.analytics.shdecid WHERE k > 200 LIMIT 7")
+      assert(lim.collect().length == 7)
+      assert("InMemoryFileIndex\\((\\d+) paths\\)".r
+        .findFirstMatchIn(lim.queryExecution.executedPlan.toString)
+        .map(_.group(1).toLong).contains(1L))
+      // a straddling file (k <= 450) falls back, results exact
+      val und = spark.sql(
+        "SELECT COUNT(*) AS n FROM spec_cat.analytics.shdecid WHERE k <= 450")
+      assert(und.head().getLong(0) == 450L)
+      assert(!und.queryExecution.executedPlan.toString
+        .contains("graft-manifest-agg"))
+      assert(TableStore.driverMaterializations.get() == before,
+        "the sharded decidability sweep must never take the escape hatch")
+    } finally {
+      spark.conf.unset("spark.graft.manifest.inlineThreshold")
+      spark.conf.unset("spark.graft.manifest.filesPerShard")
+    }
+  }
+
+  test("row-level DML over a file-decidable predicate stays exact (the " +
+      "fully-pushed filter must not leak rows into the positional fallback)") {
+    val store = new TableStore(spark, s"$warehouse/analytics/dmldecid")
+    def chunk(i: Int) = ((i * 100L + 1) to (i * 100L + 100))
+      .map(k => (k, k * 10)).toDF("k", "amt").coalesce(1)
+    store.commitSnapshot(chunk(0))
+    (1 to 5).foreach(i => store.commitAppend(chunk(i)))
+    spark.catalog.refreshTable("spec_cat.analytics.dmldecid")
+    // MOR DELETE with a decidable range: the delta scan reads _g_file/_g_pos
+    // (the DvV1Scan branch) under the fully-pushed filter
+    spark.conf.set("spark.graft.delete.mode", "mor")
+    try spark.sql(
+      "DELETE FROM spec_cat.analytics.dmldecid WHERE k > 100 AND k <= 300")
+    finally spark.conf.unset("spark.graft.delete.mode")
+    spark.catalog.refreshTable("spec_cat.analytics.dmldecid")
+    assert(spark.sql("SELECT COUNT(*) FROM spec_cat.analytics.dmldecid")
+      .head().getLong(0) == 400L)
+    assert(spark.sql("SELECT COUNT(*) FROM spec_cat.analytics.dmldecid " +
+      "WHERE k <= 300").head().getLong(0) == 100L)
+    // COW UPDATE with a decidable range over the DV'd table (auto-purges,
+    // then group-based rewrite) — only the intended rows move
+    spark.sql("UPDATE spec_cat.analytics.dmldecid SET amt = amt + 1 " +
+      "WHERE k > 400 AND k <= 500")
+    spark.catalog.refreshTable("spec_cat.analytics.dmldecid")
+    val out = spark.sql("SELECT SUM(amt) FROM spec_cat.analytics.dmldecid " +
+      "WHERE k > 400 AND k <= 500").head().getLong(0)
+    assert(out == (401L to 500L).map(_ * 10 + 1).sum,
+      s"COW update over decidable range drifted: $out")
+    assert(spark.sql("SELECT COUNT(*) FROM spec_cat.analytics.dmldecid")
+      .head().getLong(0) == 400L)
+  }
+
   test("$metrics: commit cadence + rows/bytes per commit + derivative " +
       "end-to-end lag as a queryable meta table (VERDICT r12 next #5)") {
     val store = new TableStore(spark, s"$warehouse/analytics/mtr")
