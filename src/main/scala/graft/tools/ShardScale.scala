@@ -23,8 +23,12 @@ object ShardScale {
 
     val root = graft.util.Scratch.dir("shard_scale_50k")
     val store = new TableStore(spark, root)
-    val numBuckets = 512
-    val writers = 100 // writers x buckets ≈ file count ceiling
+    // 2048 buckets × 1 clustered file per bucket > inlineThreshold (1000):
+    // a REAL sharded-tier table at the default threshold (bulk commits
+    // cluster to one file per bucket since r10, so writers no longer
+    // multiply the file count)
+    val numBuckets = 2048
+    val writers = 100
 
     def timed[A](label: String)(f: => A): A = {
       val t0 = System.nanoTime()
@@ -68,6 +72,23 @@ object ShardScale {
     }
     timed("vacuum(keep=1)") { store.vacuum(1) }
     require(store.readSnapshot().count() == 200000L)
+    // r13: the reference's own published query — LIMIT-10 preview — on the
+    // 50k-file sharded tier must plan the shard-prefix file subset, not
+    // materialize the candidate list (VERDICT r12 next #1)
+    timed("LIMIT 10 preview (SQL, sharded)") {
+      val w = new java.io.File(root).getParent
+      spark.conf.set("spark.sql.catalog.scale_cat",
+        classOf[graft.catalog.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.scale_cat.warehouse", w)
+      val tbl = s"scale_cat.`${new java.io.File(root).getName}`"
+      val df = spark.sql(s"SELECT * FROM $tbl LIMIT 10")
+      require(df.collect().length == 10)
+      val planned = "InMemoryFileIndex\\((\\d+) paths\\)".r
+        .findFirstMatchIn(df.queryExecution.executedPlan.toString)
+        .map(_.group(1).toLong).getOrElse(-1L)
+      println(s"[scale] LIMIT-10 planned files: $planned of ${store.manifest(
+        store.currentVersion()).nFiles} (must be O(files covering 10 rows))")
+    }
     println(s"[scale] driver materializations: " +
       s"${TableStore.driverMaterializations.get() - before} (must be 0)")
     spark.stop()
