@@ -321,18 +321,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         m.totalRows, m.totalBytes, m.deletedRows, null, null, null)
     }
     // derivative freshness: lag in commits and in wall time. A watermark
-    // at an EXPIRED snapshot reports wall lag vs the head (conservative).
+    // at an EXPIRED snapshot has no commit timestamp left — lag_ms reads
+    // NULL (unknown) rather than a fake number; lag_commits still counts.
     def derivRow(kind: String, name: String, wm: Long): org.apache.spark.sql.catalyst.InternalRow = {
       val lagMs = manifests.get(wm)
-        .map(w => headAt - w.committedAtMs).getOrElse(headAt)
+        .map(w => java.lang.Long.valueOf(headAt - w.committedAtMs)).orNull
       org.apache.spark.sql.catalyst.InternalRow(
         s(kind), s(name), null, null, null, null, null, null, null, null,
         null, wm, head - wm, lagMs)
     }
     val aggRows = graft.store.MaterializedAgg.status(store).map {
       case (n, _, _, _, mat, _) => derivRow("agg", n, mat) }
-    val joinRows = graft.store.MaterializedJoin.status(store).map {
-      case (n, _, _, matL, _, _, _) => derivRow("join", n, matL) }
+    // status() emits one row per DIM of a join view; the view's fact-side
+    // watermark is shared, so $metrics keeps one row per VIEW
+    val joinRows = graft.store.MaterializedJoin.status(store)
+      .map { case (n, _, _, matL, _, _, _) => (n, matL) }.distinct
+      .map { case (n, matL) => derivRow("join", n, matL) }
     val idxRows = graft.store.SecondaryIndex.status(store).map {
       case (n, _, mat, _) => derivRow("index", n, mat) }
     new MetaTable(s"${ident.name}$$metrics", schema,
@@ -1087,16 +1091,28 @@ private[catalog] final class StatsPruningScanBuilder(name: String,
     // as ONE distributed sweep over the shard rows. Skipped when a
     // bucket-key equality conjunct is present (hash-bucketed files carry
     // near-full-range bounds — never all-match — so the sweep would always
-    // fall through; the ordinary bucket-pruned path serves those).
+    // fall through; the ordinary bucket-pruned path serves those), and
+    // above `spark.graft.exact.maxFiles` total files (the kept metadata —
+    // paths + parsed stats — collects to the driver; past the cap the
+    // bounded-residue guarantee needs the ordinary conservative path,
+    // which carries paths only).
+    val exactCap = store.spark.conf
+      .getOption("spark.graft.exact.maxFiles").map(_.toLong)
+      .getOrElse(200000L)
     if (exprs.nonEmpty && !m.hasDeletes && m.isSharded &&
-        pairs.forall(_._2.isDefined) &&
+        m.nFiles <= exactCap && pairs.forall(_._2.isDefined) &&
         TableStore.keyEqualityBuckets(exprs, m).isEmpty) {
       store.exactMatchMeta(m, exprs) match {
-        case Some(metas) =>
+        case Right(metas) =>
           exactFiles = Some(metas.map(_._1))
           exactMeta = Some(metas)
           return Array.empty // FULLY pushed, same contract as inline
-        case None => () // a straddling file: conservative path below
+        case Left(candidates) =>
+          // a straddling file: the sweep's might-match verdicts ARE the
+          // conservative candidate set (no bucket-equality conjuncts on
+          // this path), so plan them directly — one metadata job, not two
+          ensureInner(candidates, exprs)
+          return filters
       }
     }
     // sharded manifests evaluate the bounds as a distributed scan over the

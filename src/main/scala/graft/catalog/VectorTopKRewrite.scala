@@ -99,8 +99,23 @@ class VectorTopKRewriteRule extends Rule[LogicalPlan] {
     val baseCols = m.schema.fieldNames.toSet
     if (!rel.scan.readSchema().fieldNames.forall(baseCols)) return None
 
-    def expand(e: Expression): Expression = e.transformUp {
-      case ar: AttributeReference => subst.getOrElse(ar.exprId, ar)
+    // fixpoint, not one pass: aliases are recorded top-down while peeling,
+    // so an OUTER Project's alias can reference an inner alias not yet in
+    // the map — a single transformUp would stop at the intermediate
+    // attribute and silently miss the serve for subquery-shaped plans
+    def expand(e: Expression): Expression = {
+      var cur = e
+      var rounds = 0
+      var changed = true
+      while (changed && rounds < 10) {
+        val next = cur.transformUp {
+          case ar: AttributeReference => subst.getOrElse(ar.exprId, ar)
+        }
+        changed = !next.fastEquals(cur)
+        cur = next
+        rounds += 1
+      }
+      cur
     }
     if (orders.isEmpty) return None
     // primary key: round(graft_cosine(vec, queryLit), 6) DESC
@@ -112,9 +127,13 @@ class VectorTopKRewriteRule extends Rule[LogicalPlan] {
               rel.output.exists(_.exprId == v.exprId) => (v, q)
         case _ => return None
       }
-    val name = AnnIndex.freshIndexFor(store, vecAttr.name, m.version)
-      .getOrElse(return None)
-    val idCols = AnnIndex.idColsFor(store, name)
+    // the returned index VERSION pins the validated snapshot: the serve
+    // below reads exactly it, so a cadence refresh racing between this
+    // gate and the read cannot slide the plan onto rows the scanned base
+    // snapshot does not have
+    val (name, indexV) = AnnIndex
+      .freshIndexFor(store, vecAttr.name, m.version).getOrElse(return None)
+    val idCols = AnnIndex.idColsFor(store, name, indexV)
     // secondary keys (optional): the index key columns, ASC, in order
     val tail = orders.tail.map { o =>
       expand(o.child) match {
@@ -132,7 +151,8 @@ class VectorTopKRewriteRule extends Rule[LogicalPlan] {
       case _ => return None
     }
     val nProbe = conf.getConfString("spark.graft.ann.sql.nProbe", "0").toInt
-    val rep = AnnIndex.topk(store, name, qVec, k, nProbe = nProbe)
+    val rep = AnnIndex.topk(store, name, qVec, k, nProbe = nProbe,
+      indexVersion = indexV)
     // align the serve to the query's output: index key columns pass
     // through by name; the cosine output must BE the primary sort
     // expression (semantically) — anything else declines

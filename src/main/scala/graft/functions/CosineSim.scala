@@ -33,12 +33,32 @@ case class CosineSim(left: Expression, right: Expression)
         s"got ${left.dataType.simpleString} / ${right.dataType.simpleString}")
   }
 
+  /** The usual shape is `graft_cosine(col, <query literal>)`: hoist the
+    * foldable side ONCE (per plan in codegen, per deserialized instance
+    * interpreted) so the per-row work is a single no-copy fold over the
+    * column's ArrayData instead of two dim-sized array copies per row. */
+  @transient private lazy val hoistedRight: Option[Array[Float]] =
+    if (right.foldable) Option(right.eval())
+      .map(_.asInstanceOf[ArrayData].toFloatArray())
+    else None
+
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    VecKernels.cosineAD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    hoistedRight match {
+      case Some(q) => VecKernels.cosineADQ(a.asInstanceOf[ArrayData], q)
+      case None =>
+        VecKernels.cosineAD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.functions.VecKernels.cosineAD($a, $b);")
+    hoistedRight match {
+      case Some(q) =>
+        val ref = ctx.addReferenceObj("graftCosineQuery", q, "float[]")
+        nullSafeCodeGen(ctx, ev, (a, _) =>
+          s"${ev.value} = graft.functions.VecKernels.cosineADQ($a, $ref);")
+      case None =>
+        nullSafeCodeGen(ctx, ev, (a, b) =>
+          s"${ev.value} = graft.functions.VecKernels.cosineAD($a, $b);")
+    }
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

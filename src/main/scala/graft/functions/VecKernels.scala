@@ -54,6 +54,29 @@ object VecKernels {
       b: org.apache.spark.sql.catalyst.util.ArrayData): Double =
     cosine(a.toFloatArray(), b.toFloatArray())
 
+  /** [[cosineAD]] with a PRE-HOISTED query side: the brute-force decline
+    * path evaluates `graft_cosine(col, <literal>)` per row, and converting
+    * the literal per row costs a dim-sized copy each time — [[CosineSim]]
+    * hoists the foldable side once (codegen: a reference object; eval: a
+    * transient lazy) and the row side reads straight off the ArrayData,
+    * no copy at all. Accumulation order matches [[cosine]]'s three
+    * independent folds exactly, so scores stay bit-equal. */
+  def cosineADQ(a: org.apache.spark.sql.catalyst.util.ArrayData,
+      q: Array[Float]): Double = {
+    val na = a.numElements()
+    val n = math.min(na, q.length)
+    var sab = 0.0
+    var i = 0
+    while (i < n) { sab += a.getFloat(i).toDouble * q(i).toDouble; i += 1 }
+    var saa = 0.0
+    i = 0
+    while (i < na) { val v = a.getFloat(i).toDouble; saa += v * v; i += 1 }
+    var sqq = 0.0
+    i = 0
+    while (i < q.length) { val v = q(i).toDouble; sqq += v * v; i += 1 }
+    sab / (math.sqrt(saa) * math.sqrt(sqq))
+  }
+
   def dotD(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0
     var i = 0

@@ -351,25 +351,36 @@ object AnnIndex {
     * (exactly the agg-view rule's `baseVersion == manifest.version`): a
     * stale index never answers, the brute-force scan does. Deterministic
     * pick: lexicographically first match. */
+  /** (name, index version) of a FRESH ANN index over (base, vecCol) at
+    * base version `bv`, if one exists — the staleness gate of the SQL
+    * top-k rewrite (exactly the agg-view rule's `baseVersion ==
+    * manifest.version`): a stale index never answers, the brute-force
+    * scan does. The INDEX VERSION is returned so the serve pins the
+    * validated snapshot — a concurrent cadence refresh between this gate
+    * and the read must not slide the serve onto a newer index than the
+    * scanned base snapshot (the TOCTOU the pin closes). Deterministic
+    * pick: lexicographically first match. */
   private[graft] def freshIndexFor(base: TableStore, vecCol: String,
-      bv: Long): Option[String] =
-    SecondaryIndex.list(base).sorted.find { n =>
+      bv: Long): Option[(String, Long)] =
+    SecondaryIndex.list(base).sorted.iterator.map { n =>
       val idx = SecondaryIndex.indexStore(base, n)
       val iv = idx.currentVersion()
-      iv >= 0 && {
+      val ok = iv >= 0 && {
         val im = idx.manifest(iv)
         im.props.get(KindProp).contains(KindAnn) &&
           im.props.get(VecColProp).contains(vecCol) &&
           im.props.get(SecondaryIndex.BaseVersionProp)
             .exists(_.toLong == bv)
       }
-    }
+      if (ok) Some((n, iv)) else None
+    }.collectFirst { case Some(x) => x }
 
-  /** Key columns of index `name` — exposed for the SQL rewrite's output
-    * alignment. */
-  private[graft] def idColsFor(base: TableStore, name: String): Seq[String] = {
+  /** Key columns of index `name` at a PINNED index version — exposed for
+    * the SQL rewrite's output alignment. */
+  private[graft] def idColsFor(base: TableStore, name: String,
+      indexVersion: Long): Seq[String] = {
     val idx = SecondaryIndex.indexStore(base, name)
-    idColsOf(idx.manifest(idx.currentVersion()))
+    idColsOf(idx.manifest(indexVersion))
   }
 
   // -------------------------------------------------------------- query
@@ -383,11 +394,15 @@ object AnnIndex {
     * (wider) base table. Returns (idCols…, cos_sim) rounded to 6 dp with
     * key tie-break, the same surface as the in-query ANN entries. */
   def topk(base: TableStore, name: String, queryVec: Array[Float], k: Int,
-      nProbe: Int = 2, excludeId: Option[Long] = None): DataFrame = {
+      nProbe: Int = 2, excludeId: Option[Long] = None,
+      indexVersion: Long = -1L): DataFrame = {
     val s = base.spark
     import s.implicits._
     val idx = SecondaryIndex.indexStore(base, name)
-    val iv = idx.currentVersion()
+    // indexVersion >= 0 pins a VALIDATED snapshot (the SQL rewrite's
+    // freshness gate runs before the read — serving a newer index than
+    // the gated one would leak rows the scanned base snapshot lacks)
+    val iv = if (indexVersion >= 0) indexVersion else idx.currentVersion()
     require(iv >= 0, s"ANN index '$name' does not exist")
     val im = idx.manifest(iv)
     require(im.props.get(KindProp).contains(KindAnn),
@@ -416,6 +431,14 @@ object AnnIndex {
     }
     val entries = idx.readBuckets(bids, iv)
       .filter(col("cell").isin(cells.map(Int.box): _*))
+    // excludeId addresses a SINGLE LONG-keyed base: on a composite or
+    // non-long key the equality would cast-and-null-out and silently drop
+    // every row, so refuse loudly instead (composite callers hold their
+    // own query vector and pass no exclusion)
+    require(excludeId.isEmpty || (idCols.size == 1 &&
+        im.schema(idCols.head).dataType ==
+          org.apache.spark.sql.types.LongType),
+      s"excludeId addresses a single-LONG-keyed base; '$name' keys on $idCols")
     val kept = excludeId match {
       case Some(id) => entries.filter(col(idCols.head) =!= id)
       case None => entries
@@ -439,8 +462,11 @@ object AnnIndex {
     val im = idx.manifest(idx.currentVersion())
     val vecCol = im.props(VecColProp)
     val idCols = idColsOf(im)
-    require(idCols.size == 1,
-      s"topkById addresses a single-key base; '${base.root}' keys on $idCols")
+    require(idCols.size == 1 && base.manifest(base.currentVersion())
+        .schema(idCols.head).dataType ==
+        org.apache.spark.sql.types.LongType,
+      s"topkById addresses a single-LONG-keyed base; '${base.root}' keys " +
+        s"on $idCols")
     val qRows = base.readSnapshot().filter(col(idCols.head) === queryId)
       .select(col(vecCol)).limit(2).collect()
     require(qRows.length == 1, s"query id $queryId not unique in base")

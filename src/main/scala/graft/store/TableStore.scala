@@ -150,12 +150,20 @@ class TableStore(val spark: SparkSession, val root: String,
     * created before the stamp existed read as the constant pre-epoch "-"
     * until their next commit stamps one — a memo-key change, never a
     * correctness change. */
-  private lazy val rootEpoch: String = {
+  private[graft] lazy val rootEpoch: String = {
     val p = new Path(manifestDir, "epoch")
     try {
       if (fs.exists(p)) readSmallFile(p).trim else "-"
     } catch { case _: java.io.IOException => "-" }
   }
+
+  /** [[memoKey]] with the root epoch folded in — the key string for
+    * process-wide SPAN memos (content-preserving / diff-size / diff-byte
+    * facts), which are exactly as vulnerable to an out-of-process
+    * drop+recreate as the manifest memo: a reused (root, from, to) triple
+    * under renumbered manifests would serve another table's span facts.
+    * [[TableStore.invalidateMeta]] prefix-matches across the `@`. */
+  private[graft] def epochMemoKey: String = memoKey + "@" + rootEpoch
 
   /** Identity for process-wide span memos: a branch store's numbering is
     * its own. */
@@ -328,14 +336,18 @@ class TableStore(val spark: SparkSession, val root: String,
     * file-decidable filter pushdown): ONE distributed pass over the shard
     * rows classifies every candidate file as no-match (dropped), ALL-match
     * (kept, with its row count and parsed column stats), or straddling.
-    * Returns None when ANY candidate straddles — the caller falls back to
-    * the ordinary conservative pruning — else the kept files' metadata,
-    * exactly the shape the filtered metadata aggregate consumes. Driver
-    * residue is O(all-match files), the same bound the conservative
-    * pruning already accepts for its candidates. */
+    * Returns Right(kept metadata) when every candidate decides — exactly
+    * the shape the filtered metadata aggregate consumes — or Left(the
+    * might-match candidate paths) when ANY candidate straddles, so the
+    * caller's conservative fallback reuses THIS sweep's verdicts instead
+    * of paying a second distributed metadata scan (the straddle case is
+    * the common one on arbitrary predicates). Driver residue is
+    * O(candidate files) either way, the same bound the conservative
+    * pruning already accepts. */
   private[graft] def exactMatchMeta(m: Manifest,
       exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
-      : Option[Seq[(String, Long, Map[String, FileStats.ColStat])]] = {
+      : Either[Seq[String],
+        Seq[(String, Long, Map[String, FileStats.ColStat])]] = {
     val sp = spark
     import sp.implicits._
     val schemaJson = m.schema.json
@@ -357,8 +369,8 @@ class TableStore(val spark: SparkSession, val root: String,
         }
       }
     }.collect()
-    if (rows.exists(!_._1)) None
-    else Some(rows.sortBy(_._2).toSeq.map { case (_, p, r, sj) =>
+    if (rows.exists(!_._1)) Left(rows.map(_._2).sorted.toSeq)
+    else Right(rows.sortBy(_._2).toSeq.map { case (_, p, r, sj) =>
       (p, r, FileStats.colsFromJson(sj) -- dropped)
     })
   }
@@ -3764,7 +3776,8 @@ object TableStore {
     * `…/tbl` never invalidates `…/tbl2`. */
   private[graft] def invalidateMeta(memoKeyPrefix: String): Unit = {
     def hit(k: String): Boolean = k == memoKeyPrefix ||
-      k.startsWith(memoKeyPrefix + "/") || k.startsWith(memoKeyPrefix + "#")
+      k.startsWith(memoKeyPrefix + "/") || k.startsWith(memoKeyPrefix + "#") ||
+      k.startsWith(memoKeyPrefix + "@") // epoch-suffixed span-memo keys
     manifestMemo.keySet.removeIf(k => hit(k._1))
     cpSpanMemo.keySet.removeIf(k => hit(k._1))
     diffSizeMemo.keySet.removeIf(k => hit(k._1))
@@ -3817,7 +3830,7 @@ object TableStore {
   private[graft] def contentPreservingSpan(st: TableStore, a: Long,
       b: Long): Boolean = {
     if (a >= b) return true
-    val key = (st.memoKey, a, b)
+    val key = (st.epochMemoKey, a, b)
     val c = cpSpanMemo.get(key)
     if (c != null) return c.booleanValue
     val have = st.existingVersions().toSet
@@ -3832,7 +3845,7 @@ object TableStore {
     * span-pricing input, memoized (immutable per span). */
   private[graft] def changelogFileDiffSizes(st: TableStore, a: Long,
       b: Long): (Int, Int) = {
-    val key = (st.memoKey, a, b)
+    val key = (st.epochMemoKey, a, b)
     val c = diffSizeMemo.get(key)
     if (c != null) return c
     val (ad, rm) = st.changelogFileDiff(a, b)
@@ -3857,7 +3870,7 @@ object TableStore {
   private[graft] def spanChangedBytes(st: TableStore, a: Long,
       b: Long): Long = {
     if (a >= b || contentPreservingSpan(st, a, b)) return 0L
-    val key = (st.memoKey, a, b)
+    val key = (st.epochMemoKey, a, b)
     val c = diffByteMemo.get(key)
     if (c != null) return c.longValue
     val (ad, rm) = st.changelogFileDiff(a, b)

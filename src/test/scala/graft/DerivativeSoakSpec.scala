@@ -12,6 +12,8 @@ import graft.streaming.StreamingOps
   * FULL derivative stack at once:
   *
   *   fact ── GSI (`by_amt`)
+  *        ── ANN index (`emb_ann`, r13 — IVF cells over a deterministic
+  *        │  embedding column; all-cell probes oracle-checked per epoch)
   *        ── aggregate view (`base_agg`, by fk)
   *        └─ join view (`jv`, dim keyed on the join column)
   *              ── covering index (auto)
@@ -40,12 +42,20 @@ class DerivativeSoakSpec extends SparkSuite {
     spark.conf.set("spark.sql.catalog.soak_cat.warehouse", root)
     val fact = new TableStore(spark, s"$root/analytics/fact")
     val dim = new TableStore(spark, s"$root/analytics/dim")
-    fact.commitBucketed((1L to 400L).map(i =>
-      (i, i % 40, i * 10)).toDF("id", "fk", "amt"), Seq("id"), 8)
+    // embedding: a deterministic 8-dim vector of the row id, so the ANN
+    // index rides the same mixed sequence as every other derivative and
+    // its parity oracle recomputes from the live snapshot
+    def withEmb(df: DataFrame): DataFrame = df.withColumn("embedding",
+      array((0 until 8).map(j =>
+        ((col("id") * (j + 1)) % 97 + 1).cast("float")): _*))
+    fact.commitBucketed(withEmb((1L to 400L).map(i =>
+      (i, i % 40, i * 10)).toDF("id", "fk", "amt")), Seq("id"), 8)
     dim.commitBucketed((0L to 49L).map(k =>
       (k, s"a${k % 7}", s"x$k")).toDF("k", "attr", "extra"), Seq("k"), 16)
     // the full stack
     SecondaryIndex.create(fact, "by_amt", Seq("amt"), Seq("fk"), 8)
+    graft.store.AnnIndex.create(fact, "emb_ann", "embedding",
+      clusters = 8, iters = 2)
     MaterializedAgg.create(fact, "base_agg", Seq("fk"), Seq("amt"), 4)
     MaterializedJoin.create(fact, "jv", dim, Seq("fk"), Seq("k"),
       Seq("attr", "extra"))
@@ -110,6 +120,24 @@ class DerivativeSoakSpec extends SparkSuite {
         canon(factNow().filter(col("amt") % 100 === 0)
           .select(col("id"), col("fk"), col("amt"))),
         s"epoch $epoch: GSI lookup diverged")
+      // ANN index parity: an ALL-CELL probe is an exact search over the
+      // index — the cadence-maintained cells must reproduce brute force
+      // over the live snapshot (adds/updates/removes all reflected)
+      val qv = Array.tabulate(8)(j => ((7L * (j + 1)) % 97 + 1).toFloat)
+      val annTop = graft.store.AnnIndex
+        .topk(fact, "emb_ann", qv, k = 5, nProbe = 0)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val brute = factNow().select(col("id"), col("embedding"))
+        .collect().map { r =>
+          val v = r.getSeq[Float](1).toArray
+          // mirror the serve exactly: Spark round() is HALF_UP, and the
+          // ordering runs on the ROUNDED score with id tie-break
+          (r.getLong(0), BigDecimal(
+            graft.functions.VecKernels.cosine(v, qv))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }.sortBy { case (id, c) => (-c, id) }.take(5).toSeq
+      assert(annTop == brute,
+        s"epoch $epoch: ANN index diverged from brute force: $annTop vs $brute")
     }
 
     // MID-EPOCH stale serving (VERDICT r10 next #5): BETWEEN the DML and
@@ -247,6 +275,7 @@ class DerivativeSoakSpec extends SparkSuite {
     // any derivative store (each refresh is a commit)
     val stores = Seq(vs, MaterializedJoin.viewStore(vs, "jv2"),
       SecondaryIndex.indexStore(fact, "by_amt"),
+      SecondaryIndex.indexStore(fact, "emb_ann"),
       MaterializedAgg.aggStore(fact, "base_agg"),
       MaterializedAgg.aggStore(vs, "by_attr"))
     stores.foreach { st =>

@@ -993,6 +993,22 @@ class GraftCatalogSpec extends SparkSuite {
         "spec_cat.analytics.`mtr$metrics` WHERE kind <> 'commit'").collect()
     assert(m2.forall(r => r.getLong(2) == 0L && r.getLong(3) == 0L),
       s"post-refresh lag must be zero: ${m2.map(_.toSeq).toSeq}")
+    // a MULTI-DIM join view reports ONE row, not one per dim (status()
+    // is per-dim; a dashboard COUNT over derivatives must not double-count)
+    val d1 = new TableStore(spark, s"$warehouse/analytics/mtr_d1")
+    d1.commitBucketed((0L to 6L).map(d => (d, s"a$d")).toDF("grp", "nm"),
+      Seq("grp"), 2)
+    val d2 = new TableStore(spark, s"$warehouse/analytics/mtr_d2")
+    d2.commitBucketed((0L to 6L).map(d => (d, d * 5)).toDF("grp", "w"),
+      Seq("grp"), 2)
+    graft.store.MaterializedJoin.createMulti(store, "star",
+      Seq(graft.store.MaterializedJoin.Dim(d1, Seq("grp"), Seq("grp"), Seq("nm")),
+        graft.store.MaterializedJoin.Dim(d2, Seq("grp"), Seq("grp"), Seq("w"))),
+      "inner")
+    val jrows = spark.sql("SELECT name FROM spec_cat.analytics.`mtr$metrics` " +
+      "WHERE kind = 'join'").collect().map(_.getString(0)).toSeq
+    assert(jrows == Seq("star"),
+      s"one row per VIEW expected, got $jrows")
   }
 
   test("snapshot refs: tag-based time travel, $refs, and rollback through SQL") {

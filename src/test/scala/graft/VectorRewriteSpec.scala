@@ -92,6 +92,25 @@ class VectorRewriteSpec extends SparkSuite {
     assert(again.collect().head.getLong(0) == 9000L)
   }
 
+  test("a subquery-shaped plan (stacked Projects, alias-of-alias) still " +
+      "serves — the expansion runs to fixpoint") {
+    val store = new TableStore(spark, s"$warehouse/analytics/vecs3")
+    store.commitBucketed(corpus(160), Seq("vec_id"), 8)
+    AnnIndex.create(store, "ann", "embedding", clusters = 8, iters = 2)
+    graft.functions.GraftFunctions.register(spark)
+    spark.catalog.refreshTable("vr_cat.analytics.vecs3")
+    val qv = new Array[Float](dim); qv(3) = 1f
+    val df = spark.sql(
+      s"""SELECT id_out AS vec_id, score AS cos_sim FROM (
+         |  SELECT vec_id AS id_out,
+         |    round(graft_cosine(embedding, ${arrLit(qv)}), 6) AS score
+         |  FROM vr_cat.analytics.vecs3)
+         |ORDER BY cos_sim DESC, vec_id ASC LIMIT 5""".stripMargin)
+    assert(VectorTopKRewrite.served(df),
+      s"nested-select shape must serve:\n${df.queryExecution.optimizedPlan}")
+    assert(df.collect().length == 5)
+  }
+
   test("explicit nProbe trades recall: the probed serve reads fewer index " +
       "buckets and still returns k rows") {
     val store = new TableStore(spark, s"$warehouse/analytics/vecs2")
