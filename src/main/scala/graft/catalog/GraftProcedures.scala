@@ -46,6 +46,8 @@ object GraftProcedures {
     case "create_ann_index" => new CreateAnnIndexProc(catalog)
     case "retrain_ann_index" => new RetrainAnnIndexProc(catalog)
     case "ann_topk_view" => new AnnTopkViewProc(catalog)
+    case "create_dedup_index" => new CreateDedupIndexProc(catalog)
+    case "dedup_near_view" => new DedupNearViewProc(catalog)
     case "drop_index" => new DropIndexProc(catalog)
     case "index_lookup_view" => new IndexLookupViewProc(catalog)
     case "create_branch" => new CreateBranchProc(catalog)
@@ -361,6 +363,71 @@ object GraftProcedures {
         numBuckets = intAt(5, -1))
       result(
         StructType(Seq(StructField("base_version", LongType))), Array(bv))
+    }
+  }
+
+  /** Persisted MinHash-LSH dedup index over a text column
+    * ([[graft.store.DedupIndex]], r13): `CALL cat.system
+    * .create_dedup_index('ns.docs', 'lsh', 'text', 3, 256, 16)`. The
+    * banded signature table materializes once and the GENERIC
+    * `refresh_index` advances it on the cadence (kind-prop dispatch). */
+  private final class CreateDedupIndexProc(catalog: GraftCatalog)
+      extends GraftProc("create_dedup_index",
+        "materialize a banded MinHash signature index over a text column") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build(),
+      ProcedureParameter.in("text_col", StringType).build(),
+      ProcedureParameter.in("shingle_len", IntegerType).defaultValue("3").build(),
+      ProcedureParameter.in("max_set", IntegerType).defaultValue("256").build(),
+      ProcedureParameter.in("num_buckets", IntegerType).defaultValue("16").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val store = storeFor(catalog, input.getUTF8String(0).toString)
+      def intAt(i: Int, dflt: Int): Int =
+        if (input.numFields <= i || input.isNullAt(i)) dflt else input.getInt(i)
+      val bv = graft.store.DedupIndex.create(store,
+        input.getUTF8String(1).toString, input.getUTF8String(2).toString,
+        shingleLen = intAt(3, 3), maxSet = intAt(4, 256),
+        numBuckets = intAt(5, 16))
+      result(
+        StructType(Seq(StructField("base_version", LongType))), Array(bv))
+    }
+  }
+
+  /** `CALL cat.system.dedup_near_view('ns.docs', 'lsh', 'ns.batch',
+    * 0.5)` — registers a temp view of the index-served near-dup matches
+    * of a BATCH TABLE against the indexed corpus: (batch_id, corpus_id,
+    * inter_grams, union_grams), bucket-targeted index read only. */
+  private final class DedupNearViewProc(catalog: GraftCatalog)
+      extends GraftProc("dedup_near_view",
+        "register a temp view of index-served near-dup matches for a batch table") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("name", StringType).build(),
+      ProcedureParameter.in("batch_table", StringType).build(),
+      ProcedureParameter.in("threshold", StringType).defaultValue("'0.5'").build(),
+      ProcedureParameter.in("view_name", StringType).defaultValue("''").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val table = input.getUTF8String(0).toString
+      val store = storeFor(catalog, table)
+      val idxName = input.getUTF8String(1).toString
+      val batch = storeFor(catalog, input.getUTF8String(2).toString)
+        .readSnapshot()
+      val threshold =
+        if (input.numFields <= 3 || input.isNullAt(3)) 0.5
+        else input.getUTF8String(3).toString.toDouble
+      val df = graft.store.DedupIndex.nearDups(store, idxName, batch,
+        threshold)
+      val viewName = {
+        val n = if (input.numFields <= 4 || input.isNullAt(4)) ""
+          else input.getUTF8String(4).toString
+        if (n.nonEmpty) n
+        else table.replace('.', '_') + s"_${idxName}_neardups"
+      }
+      df.createOrReplaceTempView(viewName)
+      result(
+        StructType(Seq(StructField("view_name", StringType))),
+        Array(UTF8String.fromString(viewName)))
     }
   }
 

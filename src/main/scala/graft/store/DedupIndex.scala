@@ -1,0 +1,191 @@
+package graft.store
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Persisted MinHash-LSH DEDUP index — the incremental-ingest serving path
+  * the in-query dedup family cannot be at 100 TB: `dedup_fuzzy_minhash`
+  * re-shingles, re-signs, and re-bands the WHOLE corpus per run, which is
+  * the right shape for a one-shot sweep and the wrong one for a pipeline
+  * that ingests batches against an ever-growing corpus. This index
+  * materializes the banded signature table ONCE under
+  * `<base-root>/index/<name>` — one row per (doc, band): the band key, the
+  * doc's primary key, and its (optionally KMV-capped) sorted shingle-hash
+  * set — bucketed by band key, and maintains it incrementally on the
+  * changelog cadence exactly like a GSI (the dedup twin of
+  * [[AnnIndex]], same `project`-hook reuse, VERDICT r12's serving-path
+  * blueprint applied to dedup).
+  *
+  * A NEW BATCH then dedups against the corpus at O(batch) cost:
+  * signatures + band keys are one map-side pass over the batch, the index
+  * read is BUCKET-TARGETED to the batch's band-key buckets (≤ numBuckets
+  * file groups whatever the corpus size), candidates are the band-key
+  * equi-join, and verification is the same exact/KMV Jaccard the sweep
+  * uses — never an all-pairs pass, never a corpus re-scan.
+  *
+  * Semantics notes:
+  *  - Band derivation is [[graft.ops.LlmDedup.bandedSignatures]] — the
+  *    SAME hash family, band count, and band-key expression as the
+  *    in-query sweep, so index-served candidates are the sweep's
+  *    candidates restricted to (batch × corpus).
+  *  - The projection is 1:N (one doc → `Bands` index rows). The GSI
+  *    replay is row-multiset-safe under that: retract/assert frames are
+  *    full-row set-excepts of the projected halves, a changed doc's old
+  *    rows all surface in the retract half (any text change moves every
+  *    band row's `sh_set`), and their band keys name every touched index
+  *    bucket.
+  *  - `maxSet` caps the per-row verification sketch (KMV): the scale
+  *    knob — 16 band rows × maxSet longs per doc is the index's storage
+  *    trade, the same "one extra copy, clustered by the access path" the
+  *    covering GSI makes. Uncapped (the oracle fixture) verification is
+  *    EXACT Jaccard. */
+object DedupIndex {
+
+  private[graft] val KindLsh = "dedup-lsh"
+  private val TextColProp = "graft.dedup.text-col"
+  private val ShingleProp = "graft.dedup.shingle-len"
+  private val MaxSetProp = "graft.dedup.max-set"
+  private val IdColProp = "graft.dedup.id-col"
+
+  /** (bkey, <idCol>, sh_set) rows — one per (doc, band); the SecondaryIndex
+    * `project` hook for create, refresh, and rebuild. */
+  private def project(rows: DataFrame, idCol: String, textCol: String,
+      shingleLen: Int, maxSet: Int): DataFrame = {
+    val sigs = graft.ops.LlmDedup.minhashSignatures(
+      rows.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+      shingleLen, maxSet)
+    graft.ops.LlmDedup.bandedSignatures(sigs)
+      .join(sigs.select(col("doc_id"), col("sh_set")), Seq("doc_id"))
+      .select(col("bkey"), col("doc_id").as(idCol), col("sh_set"))
+  }
+
+  private def projOf(im: TableStore.Manifest): DataFrame => DataFrame = {
+    val idCol = im.props(IdColProp)
+    val textCol = im.props(TextColProp)
+    val shingleLen = im.props(ShingleProp).toInt
+    val maxSet = im.props(MaxSetProp).toInt
+    df => project(df, idCol, textCol, shingleLen, maxSet)
+  }
+
+  // -------------------------------------------------------------- create
+
+  /** Materialize the banded signature table from the current base
+    * snapshot — ONE O(corpus) map-side pass plus the bucketed write, the
+    * only full pass the index ever costs. */
+  def create(base: TableStore, name: String, textCol: String,
+      shingleLen: Int = 3, maxSet: Int = 256, numBuckets: Int = 16): Long = {
+    require(TableStore.RefNameOk.pattern.matcher(name).matches(),
+      s"index name must match [A-Za-z0-9._-]{1,128}, got '$name'")
+    val bv = base.currentVersion()
+    require(bv >= 0, "cannot index an empty table")
+    val bm = base.manifest(bv)
+    require(bm.bucketKeys.size == 1 &&
+        bm.schema(bm.bucketKeys.head).dataType ==
+          org.apache.spark.sql.types.LongType,
+      s"the dedup index keys documents by a single LONG primary key; " +
+        s"base has ${bm.bucketKeys}")
+    val idCol = bm.bucketKeys.head
+    require(bm.schema.fieldNames.contains(textCol),
+      s"text column '$textCol' not in base schema")
+    val idx = SecondaryIndex.indexStore(base, name)
+    require(idx.currentVersion() < 0, s"index '$name' already exists")
+    idx.commitBucketed(
+      project(base.readSnapshot(bv), idCol, textCol, shingleLen, maxSet),
+      Seq("bkey"), numBuckets,
+      props = Map(
+        SecondaryIndex.BaseVersionProp -> bv.toString,
+        SecondaryIndex.IndexKeysProp -> "bkey",
+        AnnIndex.KindProp -> KindLsh,
+        IdColProp -> idCol,
+        TextColProp -> textCol,
+        ShingleProp -> shingleLen.toString,
+        MaxSetProp -> maxSet.toString))
+    SecondaryIndex.movePin(base, name, bv)
+    bv
+  }
+
+  // ------------------------------------------------------------- refresh
+
+  /** Advance the index to the base head: the GSI replay with band-key
+    * derivation as the projection — O(changed docs × bands + touched
+    * band buckets); broad churn routes to the one-pass rebuild. */
+  def refresh(base: TableStore, name: String,
+      sharedFrames: Option[(Long, Long, DataFrame, DataFrame)] = None): Long = {
+    val idx = SecondaryIndex.indexStore(base, name)
+    val iv = idx.currentVersion()
+    require(iv >= 0, s"dedup index '$name' does not exist; create it first")
+    val im = idx.manifest(iv)
+    require(im.props.get(AnnIndex.KindProp).contains(KindLsh),
+      s"'$name' is not a dedup index")
+    SecondaryIndex.refresh(base, name, sharedFrames, allowRebuild = true,
+      project = Some(projOf(im)))
+  }
+
+  // -------------------------------------------------------------- query
+
+  /** Near-dup matches of `batch` (`idCol`, `textCol` rows — NOT part of
+    * the corpus) against the indexed corpus: one map-side
+    * signature+banding pass over the batch, a BUCKET-TARGETED read of the
+    * batch's band-key buckets, the band-key equi-join for candidates, and
+    * exact/KMV Jaccard verification at `threshold`. Returns
+    * (batch_id, corpus_id, inter_grams, union_grams) with the sweep's
+    * integer-evidence output shape, totally ordered. Never reads an
+    * un-probed index bucket and never touches the corpus rows. */
+  def nearDups(base: TableStore, name: String, batch: DataFrame,
+      threshold: Double): DataFrame = {
+    val s = base.spark
+    import s.implicits._
+    val idx = SecondaryIndex.indexStore(base, name)
+    val iv = idx.currentVersion()
+    require(iv >= 0, s"dedup index '$name' does not exist")
+    val im = idx.manifest(iv)
+    require(im.props.get(AnnIndex.KindProp).contains(KindLsh),
+      s"'$name' is not a dedup index")
+    val idCol = im.props(IdColProp)
+    val maxSet = im.props(MaxSetProp).toInt
+    // persisted: feeds the bucket-id probe (eager), the candidate join,
+    // and the verification join; kept hot for the returned plan (the
+    // failure path unpersists eagerly, success leaves it to the
+    // ContextCleaner with the plan — the storedPlusDeltaJoin contract)
+    val sigs = graft.ops.LlmDedup.minhashSignatures(
+      batch.select(col(idCol).as("doc_id"), col(im.props(TextColProp))
+        .as("text")),
+      im.props(ShingleProp).toInt, maxSet)
+      .persist()
+    var served = false
+    try {
+      val banded = graft.ops.LlmDedup.bandedSignatures(sigs)
+        .select(col("doc_id").as("batch_id"), col("bkey"))
+      // batch band keys → index bucket ids: ≤ numBuckets longs collected,
+      // independent of batch or corpus size
+      val bids = banded
+        .select(TableStore.bucketExpr(Seq("bkey"), im.numBuckets).as("b"))
+        .distinct().collect().map(_.getLong(0)).toSeq.sorted
+      val entries = idx.readBuckets(bids, iv)
+      val cand = entries.join(broadcastIfSmall(banded), Seq("bkey"))
+        .select(col("batch_id"), col(idCol).as("corpus_id"),
+          col("sh_set").as("set_c"))
+        .distinct()
+      val out = cand
+        .join(sigs.select(col("doc_id").as("batch_id"),
+          col("sh_set").as("set_q")), Seq("batch_id"))
+        .withColumn("jaccard",
+          graft.functions.SortedKmvJaccard(col("set_q"), col("set_c"), maxSet))
+        .filter(col("jaccard") >= threshold)
+        .withColumn("_inter",
+          graft.functions.SortedIntersectCount(col("set_q"), col("set_c")))
+        .select(col("batch_id"), col("corpus_id"),
+          col("_inter").cast("long").as("inter_grams"),
+          (size(col("set_q")) + size(col("set_c")) - col("_inter"))
+            .cast("long").as("union_grams"))
+        .orderBy(col("batch_id").asc_nulls_first,
+          col("corpus_id").asc_nulls_first)
+      served = true
+      out
+    } finally { if (!served) sigs.unpersist(blocking = false) }
+  }
+
+  /** Ingest batches are usually small next to the corpus — hint the
+    * broadcast so the candidate join never shuffles the index side. */
+  private def broadcastIfSmall(df: DataFrame): DataFrame = broadcast(df)
+}

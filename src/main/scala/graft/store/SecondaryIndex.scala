@@ -235,10 +235,15 @@ object SecondaryIndex {
     require(iv >= 0, s"index '$name' does not exist; create it first")
     val im = idx.manifest(iv)
     // sharedFrames ride through (ADVICE r12); allowRebuild is part of the
-    // ANN refresh contract (a rebuild re-ASSIGNS on frozen centroids —
-    // always legal, never a retrain), so the caller's flag is not consulted
-    if (project.isEmpty && im.props.get(AnnIndex.KindProp).nonEmpty)
-      return AnnIndex.refresh(base, name, sharedFrames)
+    // derived-key index contracts (a rebuild re-derives on frozen
+    // parameters — always legal), so the caller's flag is not consulted
+    if (project.isEmpty) im.props.get(AnnIndex.KindProp) match {
+      case Some(AnnIndex.KindAnn) =>
+        return AnnIndex.refresh(base, name, sharedFrames)
+      case Some(DedupIndex.KindLsh) =>
+        return DedupIndex.refresh(base, name, sharedFrames)
+      case _ => ()
+    }
     val fromV = im.props(BaseVersionProp).toLong
     val toV = base.currentVersion()
     if (toV == fromV) return fromV

@@ -496,6 +496,33 @@ object BenchHeavy {
         graft.store.AnnIndex.retrain(annStore, "ann", clusters = 32,
           iters = 2)
       }
+      // r13: persisted dedup index — the incremental-ingest serving path.
+      // The pair to read: dedup_idx_batch (index-served batch dedup:
+      // map-side batch signatures + bucket-targeted band join) vs
+      // dedup_fuzzy_minhash above (the full-corpus sweep a pipeline
+      // WITHOUT the index re-runs per batch).
+      val docsHeavy = spark.read.parquet(s"$out/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val dedupStore = new graft.store.TableStore(spark, s"$out/dedup_idx")
+      t("dedup_idx_commit") {
+        dedupStore.commitBucketed(docsHeavy, Seq("doc_id"), 32)
+      }
+      t("dedup_idx_create") {
+        graft.store.DedupIndex.create(dedupStore, "lsh", "text",
+          maxSet = 256, numBuckets = 32)
+      }
+      t("dedup_idx_refresh") {
+        dedupStore.upsertEq(docsHeavy.filter(col("doc_id") % 500 === 7)
+          .withColumn("doc_id", col("doc_id") + 90000000L)
+          .withColumn("op", lit("PUT")))
+        graft.store.DedupIndex.refresh(dedupStore, "lsh")
+      }
+      t("dedup_idx_batch") {
+        graft.store.DedupIndex.nearDups(dedupStore, "lsh",
+          docsHeavy.filter(col("doc_id") % 250 === 3)
+            .withColumn("doc_id", col("doc_id") + 95000000L),
+          threshold = 0.5).count()
+      }
       // SUBLINEARITY: the same index/query shapes on a HALF-SIZE corpus —
       // brute scales with rows; the point query scales with rows/cells ×
       // nProbe, so the point/brute ratio WIDENS with corpus size (compare
