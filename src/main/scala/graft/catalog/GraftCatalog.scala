@@ -94,6 +94,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * branch by accident. */
   private def storeFor(ident: Identifier): TableStore = {
     AggViewRewrite.install(spark) // idempotent; reads may answer from views
+    // graft's SQL functions (graft_cosine, sorted_intersect_count) ride
+    // along so a catalog user writes the vector top-k without a manual
+    // registration call — but only when ABSENT: a user's own same-named
+    // temp function is never silently clobbered on table resolution
+    graft.functions.GraftFunctions.registerIfAbsent(spark)
     val main = new TableStore(spark, tableRoot(ident))
     spark.conf.getOption("spark.graft.wap.branch")
       .filter(_.nonEmpty).filter(main.branchExists)

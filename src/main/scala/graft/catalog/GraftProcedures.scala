@@ -3,7 +3,7 @@ package graft.catalog
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
 import org.apache.spark.sql.connector.read.{LocalScan, Scan}
-import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 import graft.store.TableStore
@@ -405,7 +405,7 @@ object GraftProcedures {
       ProcedureParameter.in("table", StringType).build(),
       ProcedureParameter.in("name", StringType).build(),
       ProcedureParameter.in("batch_table", StringType).build(),
-      ProcedureParameter.in("threshold", StringType).defaultValue("'0.5'").build(),
+      ProcedureParameter.in("threshold", DoubleType).defaultValue("0.5").build(),
       ProcedureParameter.in("view_name", StringType).defaultValue("''").build())
     override def call(input: InternalRow): java.util.Iterator[Scan] = {
       val table = input.getUTF8String(0).toString
@@ -415,7 +415,7 @@ object GraftProcedures {
         .readSnapshot()
       val threshold =
         if (input.numFields <= 3 || input.isNullAt(3)) 0.5
-        else input.getUTF8String(3).toString.toDouble
+        else input.getDouble(3)
       val df = graft.store.DedupIndex.nearDups(store, idxName, batch,
         threshold)
       val viewName = {

@@ -23,4 +23,25 @@ object GraftFunctions {
       exprs => CosineSim(exprs(0), exprs(1)),
       "built-in")
   }
+
+  /** [[register]] that never clobbers an existing registration — the
+    * catalog's table-resolution path calls this, so a user's own
+    * same-named temp function survives (an explicit `register` call is
+    * the override). */
+  def registerIfAbsent(spark: SparkSession): Unit = {
+    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    def absent(n: String) = !reg.functionExists(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(n))
+    if (absent("sorted_intersect_count"))
+      reg.createOrReplaceTempFunction(
+        "sorted_intersect_count",
+        exprs => SortedIntersectCount(exprs(0), exprs(1)),
+        "built-in")
+    if (absent("graft_cosine"))
+      reg.createOrReplaceTempFunction(
+        "graft_cosine",
+        exprs => CosineSim(exprs(0), exprs(1)),
+        "built-in")
+  }
 }

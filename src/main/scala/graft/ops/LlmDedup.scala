@@ -84,14 +84,16 @@ object LlmDedup {
     * collision only adds a candidate the verification re-checks). Shared
     * so the in-query pipeline and the persisted index derive IDENTICAL
     * band keys. */
-  private[graft] def bandedSignatures(sigs: DataFrame): DataFrame =
-    sigs.select(col("doc_id"), col("sig"),
+  private[graft] def bandedSignatures(sigs: DataFrame,
+      carryCols: Seq[String] = Nil): DataFrame =
+    sigs.select(col("doc_id") +: carryCols.map(col) :+ col("sig") :+
         explode(transform(sequence(lit(0), lit(Bands - 1)), b => struct(
           b.as("band"),
           xxhash64(concat_ws("_", (b.as("x") :: (0 until RowsPerBand).map(r =>
             element_at(col("sig"), b * RowsPerBand + r + 1)).toList): _*))
-            .as("bkey")))).as("bk"))
-      .select(col("doc_id"), col("bk.band").as("band"), col("bk.bkey").as("bkey"))
+            .as("bkey")))).as("bk"): _*)
+      .select(col("doc_id") +: carryCols.map(col) :+
+        col("bk.band").as("band") :+ col("bk.bkey").as("bkey"): _*)
 
   /** Near-dup pairs: shingles → minhash → LSH banding → candidate pairs →
     * Jaccard verification (SURVEY `dedup_fuzzy_minhash`).
@@ -512,7 +514,12 @@ object LlmDedup {
     * O(batch) cost (bucket-targeted index read, no corpus scan). Long
     * docs only (> 200 chars): the suffix then moves Jaccard to ≥ ~0.82
     * where 16×4 banding recall is ≥ 1 − 7e-5 and deterministic under the
-    * fixed hash family — same argument as the sweep's oracle. */
+    * fixed hash family — same argument as the sweep's oracle. Like the
+    * sweep, this leans on the fixture's BIMODAL similarity (every natural
+    * pair at J ≥ 0.5 sits at J ≥ 0.9, so no batch-vs-corpus pair lands in
+    * the mid-recall band the brute-force oracle would count and banding
+    * could miss); a future corpus with genuine mid-similarity pairs would
+    * need the oracle restricted to banding-certain pairs. */
   private val dedupIndexIncremental: Q = (s, d) => {
     val docs = load(s, d, "documents").select(col("doc_id"), col("text"))
     val store = new graft.store.TableStore(s,

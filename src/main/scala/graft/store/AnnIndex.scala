@@ -240,6 +240,9 @@ object AnnIndex {
   def create(base: TableStore, name: String, vecCol: String,
       clusters: Int = -1, iters: Int = 4, numBuckets: Int = -1): Long = {
     import base.spark.implicits._
+    // indexes are MAIN derivatives (branch versions overlap main's
+    // numbering — the SecondaryIndex.create contract, enforced here too)
+    SecondaryIndex.requireMainBase(base)
     require(TableStore.RefNameOk.pattern.matcher(name).matches(),
       s"index name must match [A-Za-z0-9._-]{1,128}, got '$name'")
     val bv = base.currentVersion()
@@ -307,6 +310,7 @@ object AnnIndex {
     * pass, exactly like create. */
   def retrain(base: TableStore, name: String, clusters: Int = -1,
       iters: Int = 4, numBuckets: Int = -1): Long = {
+    SecondaryIndex.requireMainBase(base)
     val idx = SecondaryIndex.indexStore(base, name)
     val iv = idx.currentVersion()
     require(iv >= 0, s"ANN index '$name' does not exist; create it first")

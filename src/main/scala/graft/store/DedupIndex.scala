@@ -48,14 +48,18 @@ object DedupIndex {
   private val IdColProp = "graft.dedup.id-col"
 
   /** (bkey, <idCol>, sh_set) rows — one per (doc, band); the SecondaryIndex
-    * `project` hook for create, refresh, and rebuild. */
+    * `project` hook for create, refresh, and rebuild. ONE map-side pass:
+    * the sketch rides THROUGH the banding explode (`carryCols`) instead of
+    * joining back — no second kernel run, no doc_id shuffle. NULL ids or
+    * texts are skipped like no-shingle docs (the SQL procedures run this
+    * over arbitrary user tables, where nullable text is normal). */
   private def project(rows: DataFrame, idCol: String, textCol: String,
       shingleLen: Int, maxSet: Int): DataFrame = {
     val sigs = graft.ops.LlmDedup.minhashSignatures(
-      rows.select(col(idCol).as("doc_id"), col(textCol).as("text")),
+      rows.filter(col(idCol).isNotNull && col(textCol).isNotNull)
+        .select(col(idCol).as("doc_id"), col(textCol).as("text")),
       shingleLen, maxSet)
-    graft.ops.LlmDedup.bandedSignatures(sigs)
-      .join(sigs.select(col("doc_id"), col("sh_set")), Seq("doc_id"))
+    graft.ops.LlmDedup.bandedSignatures(sigs, carryCols = Seq("sh_set"))
       .select(col("bkey"), col("doc_id").as(idCol), col("sh_set"))
   }
 
@@ -71,9 +75,19 @@ object DedupIndex {
 
   /** Materialize the banded signature table from the current base
     * snapshot — ONE O(corpus) map-side pass plus the bucketed write, the
-    * only full pass the index ever costs. */
+    * only full pass the index ever costs.
+    *
+    * `numBuckets` sizing: the incremental replay rewrites the TOUCHED
+    * band-key buckets, and a changed doc touches up to `Bands` (16) of
+    * them per side — so replay beats rebuild only while
+    * `changedDocs × 2 × Bands < rescanFraction × numBuckets`. Size
+    * buckets to the INGEST CADENCE, not the corpus: the default 64 keeps
+    * single-doc trickle on the replay route; a pipeline refreshing after
+    * k-doc batches wants ≳ 64·k buckets, and genuinely broad churn
+    * correctly routes to the one-pass rebuild either way. */
   def create(base: TableStore, name: String, textCol: String,
-      shingleLen: Int = 3, maxSet: Int = 256, numBuckets: Int = 16): Long = {
+      shingleLen: Int = 3, maxSet: Int = 256, numBuckets: Int = 64): Long = {
+    SecondaryIndex.requireMainBase(base)
     require(TableStore.RefNameOk.pattern.matcher(name).matches(),
       s"index name must match [A-Za-z0-9._-]{1,128}, got '$name'")
     val bv = base.currentVersion()
@@ -148,8 +162,10 @@ object DedupIndex {
     // failure path unpersists eagerly, success leaves it to the
     // ContextCleaner with the plan — the storedPlusDeltaJoin contract)
     val sigs = graft.ops.LlmDedup.minhashSignatures(
-      batch.select(col(idCol).as("doc_id"), col(im.props(TextColProp))
-        .as("text")),
+      batch.filter(col(idCol).isNotNull &&
+          col(im.props(TextColProp)).isNotNull)
+        .select(col(idCol).as("doc_id"), col(im.props(TextColProp))
+          .as("text")),
       im.props(ShingleProp).toInt, maxSet)
       .persist()
     var served = false
@@ -162,7 +178,18 @@ object DedupIndex {
         .select(TableStore.bucketExpr(Seq("bkey"), im.numBuckets).as("b"))
         .distinct().collect().map(_.getLong(0)).toSeq.sorted
       val entries = idx.readBuckets(bids, iv)
-      val cand = entries.join(broadcastIfSmall(banded), Seq("bkey"))
+      // ingest batches are usually tiny next to the corpus — broadcast the
+      // band side so the candidate join never shuffles the index buckets;
+      // a BULK batch (≥ broadcastRows docs, ~rows×bands×16B of band keys)
+      // degrades to Spark's own join sizing instead of OOMing the driver
+      // ~256 B of band keys per doc (16 bands × 2 longs): 50k docs ≈ a
+      // 12 MB build side — Spark's own broadcast ballpark, not a
+      // driver-sized HashedRelation
+      val bcastCap = s.conf
+        .getOption("spark.graft.dedup.broadcastRows")
+        .map(_.toLong).getOrElse(50000L)
+      val bandSide = if (sigs.count() <= bcastCap) broadcast(banded) else banded
+      val cand = entries.join(bandSide, Seq("bkey"))
         .select(col("batch_id"), col(idCol).as("corpus_id"),
           col("sh_set").as("set_c"))
         .distinct()
@@ -184,8 +211,4 @@ object DedupIndex {
       out
     } finally { if (!served) sigs.unpersist(blocking = false) }
   }
-
-  /** Ingest batches are usually small next to the corpus — hint the
-    * broadcast so the candidate join never shuffles the index side. */
-  private def broadcastIfSmall(df: DataFrame): DataFrame = broadcast(df)
 }

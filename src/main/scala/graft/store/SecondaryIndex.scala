@@ -136,6 +136,9 @@ object SecondaryIndex {
     * shared index for every main reader (and its pins would tag the wrong
     * snapshots). Branch commits reach the index after publish, through
     * the next main refresh. */
+  private[store] def requireMainBase(base: TableStore): Unit =
+    requireMain(base)
+
   private def requireMain(base: TableStore): Unit =
     require(base.branch.isEmpty,
       s"secondary indexes are maintained against MAIN, not branch " +

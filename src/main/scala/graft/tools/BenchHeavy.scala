@@ -507,14 +507,21 @@ object BenchHeavy {
       t("dedup_idx_commit") {
         dedupStore.commitBucketed(docsHeavy, Seq("doc_id"), 32)
       }
+      // buckets sized to the trickle cadence (see DedupIndex.create
+      // scaladoc): a 1-doc refresh touches ≤ 32 of 128 buckets < the 64
+      // rebuild gate, so dedup_idx_refresh prices the INCREMENTAL replay;
+      // the base write is timed separately (dedup_idx_upsert), mirroring
+      // the ann_upsert/ann_refresh split
       t("dedup_idx_create") {
         graft.store.DedupIndex.create(dedupStore, "lsh", "text",
-          maxSet = 256, numBuckets = 32)
+          maxSet = 256, numBuckets = 128)
       }
-      t("dedup_idx_refresh") {
-        dedupStore.upsertEq(docsHeavy.filter(col("doc_id") % 500 === 7)
+      t("dedup_idx_upsert") {
+        dedupStore.upsertEq(docsHeavy.filter(col("doc_id") === 7L)
           .withColumn("doc_id", col("doc_id") + 90000000L)
           .withColumn("op", lit("PUT")))
+      }
+      t("dedup_idx_refresh") {
         graft.store.DedupIndex.refresh(dedupStore, "lsh")
       }
       t("dedup_idx_batch") {

@@ -60,11 +60,14 @@ class DedupIndexSpec extends SparkSuite {
   }
 
   test("incremental refresh: upserted docs join the band table, deleted " +
-      "docs leave it; the un-refreshed index serves the OLD snapshot") {
+      "docs leave it; the un-refreshed index serves the OLD snapshot; " +
+      "point churn takes the REPLAY route (untouched buckets inherited)") {
     val store = freshStore()
     store.commitBucketed(corpus(200), Seq("doc_id"), 8)
+    // buckets sized to the churn (create scaladoc): 2 changed docs touch
+    // ≤ 64 of 256 buckets < the 128 rebuild gate → incremental replay
     DedupIndex.create(store, "lsh", "text", maxSet = Int.MaxValue,
-      numBuckets = 16)
+      numBuckets = 256)
     val batch = Seq((9011L, docText(11) + " qq qq"),
       (9150L, docText(150) + " qq qq")).toDF("doc_id", "text")
     // live feed: a NEW near-dup source lands (doc 11's zz variant) and
@@ -77,7 +80,14 @@ class DedupIndexSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(stale == Set((9011L, 11L), (9150L, 150L)),
       s"pre-refresh index serves the indexed snapshot: $stale")
+    val idx = SecondaryIndex.indexStore(store, "lsh")
+    val filesBefore = idx.manifest(idx.currentVersion()).inlineFiles.toSet
     DedupIndex.refresh(store, "lsh")
+    val filesAfter = idx.manifest(idx.currentVersion()).inlineFiles.toSet
+    assert(filesBefore.intersect(filesAfter).size * 2 > filesBefore.size,
+      s"point churn must take the bucket-targeted REPLAY (most files " +
+        s"inherited): kept ${filesBefore.intersect(filesAfter).size} of " +
+        s"${filesBefore.size}")
     val fresh = DedupIndex.nearDups(store, "lsh", batch, 0.5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(fresh == Set((9011L, 11L), (9011L, 5011L)),
@@ -124,7 +134,7 @@ class DedupIndexSpec extends SparkSuite {
     batchStore.commitBucketed(Seq((9033L, docText(33) + " qq qq"))
       .toDF("doc_id", "text"), Seq("doc_id"), 2)
     val vn = spark.sql("CALL ddx_cat.system.dedup_near_view(" +
-      "'analytics.docs', 'lsh', 'analytics.incoming', '0.5')")
+      "'analytics.docs', 'lsh', 'analytics.incoming', 0.5D)")
       .head().getString(0)
     val got = spark.sql(
       s"SELECT corpus_id FROM $vn ORDER BY corpus_id")
