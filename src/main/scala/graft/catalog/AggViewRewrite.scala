@@ -110,8 +110,10 @@ class AggViewRewriteRule extends Rule[LogicalPlan] {
         if (store.branch.nonEmpty) return None
         val m = table.graftManifest
         // a pushed aggregate (or metadata columns) changes the scan's
-        // output domain; graft's filter/limit pushdown never does
-        // (filters re-applied by the Filter node peeled above)
+        // output domain; graft's conservative filter/limit pushdown never
+        // does (filters re-applied by the Filter node peeled above) — the
+        // one exception, the exact-decidable path that consumes the Filter
+        // outright, is screened out by [[ExactPushedScans]] in peelScan
         val baseCols = m.schema.fieldNames.toSet
         if (!rel.scan.readSchema().fieldNames.forall(baseCols)) return None
         (store, m)
@@ -625,7 +627,12 @@ object AggViewRewrite {
                   e.isInstanceOf[PlanExpression[_]]).isEmpty
               case _ => false
             } => go(ch, conds, projects :+ pl)
-          case r: DataSourceV2ScanRelation => Some((Right(r), conds, projects))
+          // an exact-pushed scan already folded a WHERE into its file
+          // subset with no residual Filter — it is NOT the full table, so
+          // no view/index may serve for it (r13 advisor, wrong-results)
+          case r: DataSourceV2ScanRelation
+              if !ExactPushedScans.contains(r.scan) =>
+            Some((Right(r), conds, projects))
           case _ => None
         }
       }
@@ -666,5 +673,9 @@ object AggViewRewrite {
         .exists(_.isInstanceOf[VectorTopKRewriteRule]))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ new VectorTopKRewriteRule
+    if (!spark.experimental.extraOptimizations
+        .exists(_.isInstanceOf[HybridMetaAggRule]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ new HybridMetaAggRule
   }
 }

@@ -40,6 +40,15 @@ import graft.store.TableStore
   * semantics, src:99-100) — so SQL can never bypass the snapshot+manifest
   * invariants.
   */
+object GraftCatalog {
+  /** Sessions whose one-time graft setup (rewrite-rule install + SQL
+    * function registration) already ran — weak so dead sessions drop out.
+    * `add` returns true exactly once per live session. */
+  private[catalog] val sessionsPrepared: java.util.Set[SparkSession] =
+    java.util.Collections.newSetFromMap(java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
+}
+
 class GraftCatalog extends TableCatalog with SupportsNamespaces
     with org.apache.spark.sql.connector.catalog.ProcedureCatalog
     with org.apache.spark.sql.connector.catalog.FunctionCatalog {
@@ -93,12 +102,18 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * [[storeForPath]]) stay on main, so maintenance never runs against a
     * branch by accident. */
   private def storeFor(ident: Identifier): TableStore = {
-    AggViewRewrite.install(spark) // idempotent; reads may answer from views
-    // graft's SQL functions (graft_cosine, sorted_intersect_count) ride
-    // along so a catalog user writes the vector top-k without a manual
-    // registration call — but only when ABSENT: a user's own same-named
-    // temp function is never silently clobbered on table resolution
-    graft.functions.GraftFunctions.registerIfAbsent(spark)
+    // Session setup exactly ONCE per SparkSession (r13 advisor): the rule
+    // install and the functionExists lookups ran on EVERY table resolution
+    // — harmless but wasteful, and a plain read kept re-mutating session
+    // state. One pass registers the rewrite rules (each has its own kill
+    // switch: spark.graft.{agg,ann}.rewrite) and graft's SQL functions
+    // (graft_cosine, sorted_intersect_count) — only when ABSENT, so a
+    // user's own same-named temp function is never silently clobbered,
+    // and a session that later DROPs one stays dropped.
+    if (GraftCatalog.sessionsPrepared.add(spark)) {
+      AggViewRewrite.install(spark)
+      graft.functions.GraftFunctions.registerIfAbsent(spark)
+    }
     val main = new TableStore(spark, tableRoot(ident))
     spark.conf.getOption("spark.graft.wap.branch")
       .filter(_.nonEmpty).filter(main.branchExists)
@@ -1286,20 +1301,10 @@ private[catalog] final class StatsPruningScanBuilder(name: String,
       if (!m.isSharded) None
       else if (m.shards.exists(r => r.files > 0 && r.rows == 0)) None
       else Some(m.shards.map(_.rows).sum)
-    def minMaxOk(dt: DataType): Boolean = dt match {
-      case ByteType | ShortType | IntegerType | LongType | DateType |
-           TimestampType | TimestampNTZType | _: DecimalType => true
-      case _ => false
-    }
-    def parse(s: String, dt: DataType): Any = dt match {
-      case ByteType => s.toByte
-      case ShortType => s.toShort
-      case IntegerType | DateType => s.toInt
-      case LongType | TimestampType | TimestampNTZType => s.toLong
-      case d: DecimalType =>
-        org.apache.spark.sql.types.Decimal(BigDecimal(s), d.precision, d.scale)
-      case other => throw new IllegalStateException(s"unexpected $other")
-    }
+    def minMaxOk(dt: DataType): Boolean =
+      graft.store.FileStats.minMaxExact(dt)
+    def parse(s: String, dt: DataType): Any =
+      graft.store.FileStats.parseBound(s, dt)
     val resolved: Option[Seq[(DataType, Any)]] =
       agg.aggregateExpressions().toSeq.foldLeft(
         Option(Seq.empty[(DataType, Any)])) { (accOpt, fn) =>
@@ -1408,14 +1413,44 @@ private[catalog] final class StatsPruningScanBuilder(name: String,
     wrapKeyGrouped(sb.build())
   }
 
+  /** The rewrite rules (agg/join view, vector top-k) must see an
+    * exact-pushed scan as FILTERED even though no Filter node survives —
+    * registering the final scan object is what makes that visible.
+    *
+    * Registration ONLY when rows were actually pruned: an all-match
+    * predicate (the ubiquitous case — the optimizer infers
+    * `IsNotNull(<join key>)` on every join side, which exact pushdown
+    * consumes over any null-free column) keeps every row, so the scan
+    * still serves the FULL table and the rewrites stay sound; flagging it
+    * would silently kill every view serve over a joined bucketed table
+    * (found by the r14 Verify sweep: all four join-rewrite queries
+    * declined). */
+  private def registerIfExact(scan: org.apache.spark.sql.connector.read.Scan)
+      : org.apache.spark.sql.connector.read.Scan = {
+    if (exactFiles.isDefined && pushedExprs.nonEmpty) {
+      val keptRows = exactMeta match {
+        case Some(metas) => metas.map(_._2).sum
+        case None => exactFiles.get
+          .map(f => m.inlineStats.get(f).map(_.rows).getOrElse(0L)).sum
+      }
+      // unusable shard row totals (metaFromInline unknown-rows fallback)
+      // make the comparison meaningless — register conservatively
+      val totalsUsable = !m.isSharded ||
+        !m.shards.exists(r => r.files > 0 && r.rows == 0)
+      if (!totalsUsable || keptRows < m.totalRows)
+        ExactPushedScans.register(scan)
+    }
+    scan
+  }
+
   override def build(): org.apache.spark.sql.connector.read.Scan = {
     aggResult.foreach { case (schema, row) =>
-      return new org.apache.spark.sql.connector.read.LocalScan {
+      return registerIfExact(new org.apache.spark.sql.connector.read.LocalScan {
         override def rows() = Array(row)
         override def readSchema(): StructType = schema
         override def description(): String =
           s"graft-manifest-agg($name, ${schema.fieldNames.mkString(",")})"
-      }
+      })
     }
     if (m.hasDeletes || posPrune.isDefined) {
       val exprs = pushedExprs
@@ -1437,13 +1472,13 @@ private[catalog] final class StatsPruningScanBuilder(name: String,
       // the positional fallback must serve the PROVEN all-match subset,
       // not the conservative might-match pruning — exprs stay off since
       // every surviving row matches by construction
-      return new DvV1Scan(store, m, name, fallbackSchema,
+      return registerIfExact(new DvV1Scan(store, m, name, fallbackSchema,
         () => {
           val files = exactFiles.getOrElse(store.pruneCandidatePaths(m, exprs))
           RuntimePruning.lastPlannedFiles.put(name, files.size)
           files
         }, if (exactFiles.isDefined) Nil else exprs,
-        withPos = posPrune.isDefined)
+        withPos = posPrune.isDefined))
     }
     // exact mode pushes NO exprs into parquet (kept files are all-match;
     // the predicate is already fully served by the file subset)
@@ -1454,14 +1489,14 @@ private[catalog] final class StatsPruningScanBuilder(name: String,
     // Bucketed tables advertise their keys for join-driven runtime pruning
     // (the DSv2 dynamic-pruning contract): a selective dim-side filter
     // narrows the fact scan to the buckets its join keys hash into.
-    if (m.bucketKeys.nonEmpty && m.numBuckets > 0) {
+    registerIfExact(if (m.bucketKeys.nonEmpty && m.numBuckets > 0) {
       if (spjOn)
         new KeyedRuntimePrunableScan(m.bucketKeys, m.schema, replanWith, scan,
           new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
             Array(org.apache.spark.sql.connector.expressions.Expressions
               .bucket(m.numBuckets, m.bucketKeys: _*)), m.numBuckets))
       else new RuntimePrunableScan(m.bucketKeys, m.schema, replanWith, scan)
-    } else scan
+    } else scan)
   }
 }
 

@@ -82,6 +82,26 @@ final class KeyedRuntimePrunableScan(attrs: Seq[String], schema: StructType,
   override def outputPartitioning(): Partitioning = partitioning
 }
 
+/** Scans whose WHERE was claimed FULLY pushed by the exact-decidability
+  * path ([[GraftCatalog]] `pushFilters` returning empty): Spark drops the
+  * Filter node, so the scan's output domain is the MATCHING subset, not the
+  * table. The materialized-view / vector-index rewrite rules run after
+  * pushdown and match bare `DataSourceV2ScanRelation`s — without this
+  * registry they would read the scan as "the whole table" and serve an
+  * UNFILTERED view for a filtered query (wrong results; found by the r13
+  * advisor). `build()` registers the final scan object here and every
+  * rewrite rule declines on a hit. Weak keys: entries die with their plans.
+  * WeakHashMap keys on `equals`, which for parquet case-class scans can
+  * only collide when file list + schema + pushed parquet filters all match
+  * — and then the colliding scan reads the same rows, so a false positive
+  * merely declines an optimization (never admits a wrong serve). */
+object ExactPushedScans {
+  private val scans = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[Scan, java.lang.Boolean]())
+  def register(s: Scan): Unit = scans.put(s, java.lang.Boolean.TRUE)
+  def contains(s: Scan): Boolean = scans.containsKey(s)
+}
+
 object RuntimePruning {
   /** An IN set past this size stops paying for itself: bucket derivation
     * hashes every value and stats pruning bounds-checks every (file, value)

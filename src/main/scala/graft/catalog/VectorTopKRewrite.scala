@@ -1,7 +1,9 @@
 package graft.catalog
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, AttributeReference, Descending, Expression, ExprId, Literal, NullsFirst, NullsLast, Round, SortOrder}
-import org.apache.spark.sql.catalyst.plans.logical.{GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, AttributeReference, Descending, Expression, ExprId, Literal, NullsFirst, NullsLast, PlanExpression, Round, SortOrder}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
+import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.datasources.v2.DataSourceV2ScanRelation
 import org.apache.spark.sql.functions.col
@@ -29,9 +31,14 @@ import graft.store.{AnnIndex, TableStore}
   *
   * Soundness gates (all must hold, else the plan is untouched):
   *  - the scan is a DSv2 graft snapshot scan (main store, no pushed
-  *    aggregate), with NOTHING but column-pruning Projects between the
-  *    Sort and the scan — any Filter declines (index rows can't re-apply
-  *    an arbitrary residual predicate);
+  *    aggregate), with nothing but column-pruning Projects and Filters
+  *    over the INDEX KEY COLUMNS between the Sort and the scan — key
+  *    columns ride every index row verbatim, so such predicates apply to
+  *    the index-served rows exactly (VERDICT r13 next #1, the common
+  *    filtered vector query); any predicate touching a non-key column
+  *    declines (index rows can't re-apply it), as does a WHERE consumed
+  *    by exact file-decidable pushdown (invisible to this rule —
+  *    [[ExactPushedScans]]);
   *  - the primary sort key is exactly `round(graft_cosine(vecCol,
   *    <foldable query vector>), 6) DESC [NULLS LAST]` — the index serves
   *    6-dp-rounded scores, so an unrounded ORDER BY declines rather than
@@ -68,9 +75,13 @@ class VectorTopKRewriteRule extends Rule[LogicalPlan] {
 
   private def rewrite(k: Int, orders: Seq[SortOrder],
       child: LogicalPlan): Option[LogicalPlan] = {
-    // peel column-pruning/aliasing Projects down to the scan; anything
-    // else (Filter, Join, …) declines
+    // peel column-pruning/aliasing Projects AND deterministic subquery-
+    // free Filters down to the scan (VERDICT r13 next #1: the common
+    // `WHERE <key pred> ORDER BY cos_sim LIMIT k` shape); the collected
+    // conditions must later reference ONLY index key columns — anything
+    // else (Join, a non-key predicate, …) declines
     val subst = scala.collection.mutable.Map.empty[ExprId, Expression]
+    val rawConds = scala.collection.mutable.ArrayBuffer.empty[Expression]
     var cur = child
     var peeling = true
     while (peeling) cur match {
@@ -83,12 +94,22 @@ class VectorTopKRewriteRule extends Rule[LogicalPlan] {
           case _ => ()
         }
         cur = c
+      case Filter(c, ch) if c.deterministic &&
+          c.find(e => e.isInstanceOf[PlanExpression[_]] ||
+            e.isInstanceOf[org.apache.spark.sql.catalyst.expressions
+              .aggregate.AggregateExpression]).isEmpty =>
+        rawConds += c
+        cur = ch
       case _ => peeling = false
     }
     val rel = cur match {
       case r: DataSourceV2ScanRelation => r
       case _ => return None
     }
+    // a WHERE folded into the scan's file subset by exact pushdown (no
+    // residual Filter node) means the scan is NOT the full corpus — the
+    // index would serve unfiltered top-k (r13 advisor, wrong-results)
+    if (ExactPushedScans.contains(rel.scan)) return None
     val table = rel.relation.table match {
       case t: SnapshotTable => t
       case _ => return None
@@ -134,6 +155,23 @@ class VectorTopKRewriteRule extends Rule[LogicalPlan] {
     val (name, indexV) = AnnIndex
       .freshIndexFor(store, vecAttr.name, m.version).getOrElse(return None)
     val idCols = AnnIndex.idColsFor(store, name, indexV)
+    // peeled WHERE conditions serve from the index iff they reference
+    // ONLY the index key columns (which ride every index row verbatim —
+    // the predicate applies exactly); any other reference declines. The
+    // expression is re-anchored by NAME onto the index frame.
+    val idColSet = idCols.toSet
+    val keyFilter: Option[org.apache.spark.sql.Column] =
+      if (rawConds.isEmpty) None
+      else {
+        val expanded = rawConds.map(expand)
+        if (!expanded.forall(_.references.forall(r =>
+            rel.output.exists(_.exprId == r.exprId) &&
+              idColSet.contains(r.name)))) return None
+        Some(ColumnBridge.column(expanded.reduce(
+          org.apache.spark.sql.catalyst.expressions.And).transformUp {
+            case ar: AttributeReference => UnresolvedAttribute.quoted(ar.name)
+          }))
+      }
     // secondary keys (optional): the index key columns, ASC, in order
     val tail = orders.tail.map { o =>
       expand(o.child) match {
@@ -152,7 +190,7 @@ class VectorTopKRewriteRule extends Rule[LogicalPlan] {
     }
     val nProbe = conf.getConfString("spark.graft.ann.sql.nProbe", "0").toInt
     val rep = AnnIndex.topk(store, name, qVec, k, nProbe = nProbe,
-      indexVersion = indexV)
+      indexVersion = indexV, keyFilter = keyFilter)
     // align the serve to the query's output: index key columns pass
     // through by name; the cosine output must BE the primary sort
     // expression (semantically) — anything else declines

@@ -751,7 +751,8 @@ object LlmDedup {
         |    len(b.gs) AS nb, len(c.gs) AS nc
         |  FROM gb b CROSS JOIN gc c)
         |SELECT batch_id, corpus_id, CAST(inter AS BIGINT) AS inter_grams,
-        |  CAST(nb + nc - inter AS BIGINT) AS union_grams
+        |  CAST(nb + nc - inter AS BIGINT) AS union_grams,
+        |  (nb >= 256 OR nc >= 256) AS sketched
         |FROM pairs WHERE 2 * inter >= nb + nc - inter
         |ORDER BY batch_id ASC NULLS FIRST, corpus_id ASC NULLS FIRST""".stripMargin,
   )

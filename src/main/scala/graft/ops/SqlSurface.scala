@@ -313,6 +313,81 @@ object SqlSurface {
     out
   }
 
+  /** HYBRID straddle-tolerant metadata aggregate
+    * (`sql_agg_metadata_where_hybrid`, VERDICT r13 next #2,
+    * [[graft.catalog.HybridMetaAggRule]]): the all-or-nothing serve above
+    * declines the moment ONE file straddles the predicate — the common
+    * case for an arbitrary range on a real layout. The hybrid keeps the
+    * zero-I/O stats merge for the provably-all-match files and scans ONLY
+    * the straddler, so this COUNT/MIN/MAX over `seg8 <= 2` (chunk {0,1}
+    * all-match, chunk {2,3} straddles, the rest pruned) reads exactly one
+    * data file where the r13 engine read three. require()s pin both the
+    * hybrid plan shape and the single-straddler file I/O. */
+  private val sqlAggMetadataWhereHybrid: Q = (s, d) => {
+    val cat = catalogFor(s, d)
+    val wh = warehouseFor(d)
+    val store = new TableStore(s, s"$wh/analytics/orders_agg_h")
+    if (store.currentVersion() < 0) {
+      val base = load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_orderkey") % 8).as("seg8"))
+      store.commitSnapshot(base.filter(col("seg8") <= 1).coalesce(1))
+      Seq((2, 3), (4, 5), (6, 7)).foreach { case (a, b) =>
+        store.commitAppend(
+          base.filter(col("seg8") >= a && col("seg8") <= b).coalesce(1))
+      }
+    }
+    s.catalog.refreshTable(s"$cat.analytics.orders_agg_h")
+    val out = s.sql(
+      s"""SELECT COUNT(*) AS n_rows, COUNT(o_custkey) AS n_cust,
+         |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+         |FROM $cat.analytics.orders_agg_h WHERE seg8 <= 2""".stripMargin)
+    require(graft.catalog.HybridMetaAgg.served(out),
+      s"straddled filtered aggregate must take the hybrid serve:\n" +
+        s"${out.queryExecution.optimizedPlan}")
+    require(out.inputFiles.length == 1,
+      s"the hybrid must scan ONLY the straddler file, " +
+        s"planned ${out.inputFiles.length}")
+    out
+  }
+
+  /** [[sqlAggMetadataWhereHybrid]] on the SHARDED metadata tier: the
+    * three-way classification runs as the one distributed sweep
+    * ([[graft.store.TableStore.hybridMatchMeta]]) whose per-file verdicts
+    * the all-or-nothing path used to discard. */
+  private val sqlAggMetadataWhereHybridSharded: Q = (s, d) => {
+    val cat = catalogFor(s, d)
+    val wh = warehouseFor(d)
+    val store = new TableStore(s, s"$wh/analytics/orders_agg_hs")
+    if (store.currentVersion() < 0) {
+      s.conf.set("spark.graft.manifest.inlineThreshold", "2")
+      try {
+        val base = load(s, d, "orders")
+          .select(col("o_orderkey"), col("o_custkey"),
+            (col("o_orderkey") % 8).as("seg8"))
+        store.commitSnapshot(base.filter(col("seg8") <= 1).coalesce(1))
+        Seq((2, 3), (4, 5), (6, 7)).foreach { case (a, b) =>
+          store.commitAppend(
+            base.filter(col("seg8") >= a && col("seg8") <= b).coalesce(1))
+        }
+      } finally s.conf.unset("spark.graft.manifest.inlineThreshold")
+      require(store.manifest(store.currentVersion()).isSharded,
+        "fixture error: the table must sit on the sharded tier")
+    }
+    s.catalog.refreshTable(s"$cat.analytics.orders_agg_hs")
+    val out = s.sql(
+      s"""SELECT COUNT(*) AS n_rows, COUNT(o_custkey) AS n_cust,
+         |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+         |FROM $cat.analytics.orders_agg_hs WHERE seg8 <= 4""".stripMargin)
+    require(graft.catalog.HybridMetaAgg.served(out),
+      s"sharded straddled aggregate must take the hybrid serve:\n" +
+        s"${out.queryExecution.optimizedPlan}")
+    require(out.inputFiles.length == 1,
+      s"the sharded hybrid must scan ONLY the straddler file, " +
+        s"planned ${out.inputFiles.length}")
+    out
+  }
+
   /** Merge-on-read SQL DELETE (`sql_delete_mor`): a delete vector commit —
     * O(matched rows) of (file, pos) entries — instead of rewriting buckets.
     * The require()s pin the MOR contract: the DV is present and NO data
@@ -738,6 +813,43 @@ object SqlSurface {
          |LIMIT 20""".stripMargin)
     require(graft.catalog.VectorTopKRewrite.served(out),
       "the vector top-k over the base table must serve from the ANN index")
+    out
+  }
+
+  /** FILTERED vector top-k (`sql_vector_topk_filtered`, VERDICT r13 next
+    * #1): the most common real vector-DB query — `WHERE <predicate over
+    * the index key columns> ORDER BY cos_sim LIMIT k` — must STILL serve
+    * from the ANN index: the key columns ride every index row, so the
+    * predicate applies to the index-served rows before the top-k instead
+    * of declining to an O(corpus) brute scan (the reference pins the
+    * filtered-key access shape at README.md:81-84). At the default
+    * exhaustive probe the filtered serve is exact, so the DuckDB oracle
+    * (brute force with the same WHERE) agrees bit-for-bit. */
+  private val sqlVectorTopkFiltered: Q = (s, d) => {
+    import s.implicits._
+    val cat = catalogFor(s, d)
+    val store = new TableStore(s, s"${warehouseFor(d)}/analytics/vec_sql")
+    if (store.currentVersion() < 0) {
+      store.commitBucketed(load(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding")), Seq("vec_id"), 16)
+      graft.store.AnnIndex.create(store, "emb_ann", "embedding",
+        clusters = 16, iters = 4)
+    }
+    graft.functions.GraftFunctions.register(s)
+    s.catalog.refreshTable(s"$cat.analytics.vec_sql")
+    val qv = load(s, d, "embeddings").filter(col("vec_id") === 0)
+      .select(col("embedding")).as[Array[Float]].head()
+    val arr = qv.map(f => s"CAST($f AS FLOAT)").mkString("ARRAY(", ",", ")")
+    val out = s.sql(
+      s"""SELECT vec_id,
+         |  round(graft_cosine(embedding, $arr), 6) AS cos_sim
+         |FROM $cat.analytics.vec_sql
+         |WHERE vec_id % 3 = 0 AND vec_id > 10
+         |ORDER BY cos_sim DESC, vec_id ASC
+         |LIMIT 20""".stripMargin)
+    require(graft.catalog.VectorTopKRewrite.served(out),
+      "the FILTERED vector top-k (key-column predicate) must serve from " +
+        "the ANN index")
     out
   }
 
@@ -1376,6 +1488,7 @@ object SqlSurface {
     "sql_agg_view" -> sqlAggView,
     "sql_agg_rewrite" -> sqlAggRewrite,
     "sql_vector_topk" -> sqlVectorTopk,
+    "sql_vector_topk_filtered" -> sqlVectorTopkFiltered,
     "sql_agg_tail_mm" -> sqlAggTailMm,
     "sql_join_view" -> sqlJoinView,
     "sql_join_rewrite" -> sqlJoinRewrite,
@@ -1390,6 +1503,8 @@ object SqlSurface {
     "sql_agg_metadata" -> sqlAggMetadata,
     "sql_agg_metadata_where" -> sqlAggMetadataWhere,
     "sql_agg_metadata_where_sharded" -> sqlAggMetadataWhereSharded,
+    "sql_agg_metadata_where_hybrid" -> sqlAggMetadataWhereHybrid,
+    "sql_agg_metadata_where_hybrid_sharded" -> sqlAggMetadataWhereHybridSharded,
     "sql_delete_mor" -> sqlDeleteMor,
     "sql_delete_eq" -> sqlDeleteEq,
     "sql_delete_eq_prefix" -> sqlDeleteEqPrefix,
@@ -1569,6 +1684,16 @@ object SqlSurface {
         |FROM embeddings, q
         |ORDER BY cos_sim DESC NULLS LAST, vec_id ASC NULLS FIRST
         |LIMIT 20""".stripMargin,
+    "sql_vector_topk_filtered" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  ROUND(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), q.qv) /
+        |    (SQRT(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+        |     SQRT(LIST_DOT_PRODUCT(q.qv, q.qv))), 6) AS cos_sim
+        |FROM embeddings, q
+        |WHERE vec_id % 3 = 0 AND vec_id > 10
+        |ORDER BY cos_sim DESC NULLS LAST, vec_id ASC NULLS FIRST
+        |LIMIT 20""".stripMargin,
 
     "sql_agg_rewrite" ->
       """SELECT okb, l_returnflag, COUNT(*) AS n,
@@ -1718,6 +1843,16 @@ object SqlSurface {
       """SELECT COUNT(*) AS n_rows, COUNT(o_custkey) AS n_cust,
         |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
         |FROM orders WHERE o_orderkey % 4 = 1""".stripMargin,
+
+    "sql_agg_metadata_where_hybrid" ->
+      """SELECT COUNT(*) AS n_rows, COUNT(o_custkey) AS n_cust,
+        |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        |FROM orders WHERE o_orderkey % 8 <= 2""".stripMargin,
+
+    "sql_agg_metadata_where_hybrid_sharded" ->
+      """SELECT COUNT(*) AS n_rows, COUNT(o_custkey) AS n_cust,
+        |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        |FROM orders WHERE o_orderkey % 8 <= 4""".stripMargin,
 
     "sql_delete_mor" ->
       """SELECT l_returnflag, COUNT(*) AS n,

@@ -396,10 +396,22 @@ object AnnIndex {
     * point query needs. `nProbe <= 0` probes every cell: an EXHAUSTIVE
     * search over the compact (keys, vec) index — exact, still off the
     * (wider) base table. Returns (idCols…, cos_sim) rounded to 6 dp with
-    * key tie-break, the same surface as the in-query ANN entries. */
+    * key tie-break, the same surface as the in-query ANN entries.
+    *
+    * `keyFilter` (VERDICT r13 next #1 — the filtered vector query) is a
+    * predicate over the index KEY columns, applied to the probed cells'
+    * rows BEFORE the top-k: the common `WHERE <key pred> ORDER BY cos_sim
+    * LIMIT k` shape stays index-served instead of paying an O(corpus)
+    * brute scan. Key columns ride every index row verbatim, so the
+    * predicate is exact. Recall interaction at nProbe < cells: the filter
+    * shrinks each probed cell's candidate pool, so the effective recall
+    * for a selective predicate is lower than unfiltered at the same
+    * nProbe (matching rows may live in unprobed cells) — at the default
+    * exhaustive probe the filtered serve is EXACT. */
   def topk(base: TableStore, name: String, queryVec: Array[Float], k: Int,
       nProbe: Int = 2, excludeId: Option[Long] = None,
-      indexVersion: Long = -1L): DataFrame = {
+      indexVersion: Long = -1L,
+      keyFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val s = base.spark
     import s.implicits._
     val idx = SecondaryIndex.indexStore(base, name)
@@ -443,10 +455,11 @@ object AnnIndex {
         im.schema(idCols.head).dataType ==
           org.apache.spark.sql.types.LongType),
       s"excludeId addresses a single-LONG-keyed base; '$name' keys on $idCols")
-    val kept = excludeId match {
+    val kept0 = excludeId match {
       case Some(id) => entries.filter(col(idCols.head) =!= id)
       case None => entries
     }
+    val kept = keyFilter.fold(kept0)(kept0.filter)
     val qv = queryVec
     val score = udf((v: Seq[Float]) => VecKernels.cosine(v.toArray, qv))
     kept.select((idCols.map(col) :+

@@ -142,9 +142,14 @@ object DedupIndex {
     * signature+banding pass over the batch, a BUCKET-TARGETED read of the
     * batch's band-key buckets, the band-key equi-join for candidates, and
     * exact/KMV Jaccard verification at `threshold`. Returns
-    * (batch_id, corpus_id, inter_grams, union_grams) with the sweep's
-    * integer-evidence output shape, totally ordered. Never reads an
-    * un-probed index bucket and never touches the corpus rows. */
+    * (batch_id, corpus_id, inter_grams, union_grams, sketched) with the
+    * sweep's integer-evidence output shape, totally ordered. `sketched`
+    * tells exact from estimated evidence (r13 advisor): the verification
+    * sets are KMV sketches capped at the index's `maxSet` — a doc with
+    * fewer distinct grams keeps them ALL (counts exact), one at the cap
+    * was truncated, so its inter/union counts and the threshold test are
+    * KMV ESTIMATES. Never reads an un-probed index bucket and never
+    * touches the corpus rows. */
   def nearDups(base: TableStore, name: String, batch: DataFrame,
       threshold: Double): DataFrame = {
     val s = base.spark
@@ -204,7 +209,10 @@ object DedupIndex {
         .select(col("batch_id"), col("corpus_id"),
           col("_inter").cast("long").as("inter_grams"),
           (size(col("set_q")) + size(col("set_c")) - col("_inter"))
-            .cast("long").as("union_grams"))
+            .cast("long").as("union_grams"),
+          // a set AT the cap was KMV-truncated: counts are estimates
+          (size(col("set_q")) >= maxSet || size(col("set_c")) >= maxSet)
+            .as("sketched"))
         .orderBy(col("batch_id").asc_nulls_first,
           col("corpus_id").asc_nulls_first)
       served = true

@@ -44,6 +44,29 @@ object FileStats {
   final case class FileStat(bytes: Long, modTime: Long, rows: Long,
       cols: Map[String, ColStat])
 
+  /** Types whose recorded bounds are EXACT domain values a metadata-served
+    * MIN/MAX may return verbatim: strings are refused (writers truncate
+    * bounds) and floats are refused (NaN ordering taints footer bounds) —
+    * shared by the scan builder's aggregate pushdown and the hybrid
+    * metadata-aggregate rule. */
+  def minMaxExact(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | DateType |
+         TimestampType | TimestampNTZType | _: DecimalType => true
+    case _ => false
+  }
+
+  /** Parse a recorded bound back into the Catalyst-INTERNAL value for
+    * `dt` — only the [[minMaxExact]] types. */
+  def parseBound(s: String, dt: DataType): Any = dt match {
+    case ByteType => s.toByte
+    case ShortType => s.toShort
+    case IntegerType | DateType => s.toInt
+    case LongType | TimestampType | TimestampNTZType => s.toLong
+    case d: DecimalType =>
+      org.apache.spark.sql.types.Decimal(BigDecimal(s), d.precision, d.scale)
+    case other => throw new IllegalStateException(s"unexpected $other")
+  }
+
   // ------------------------------------------------------------- collection
 
   /** Read footer stats for `files`. Driver-side below `localCutoff` files

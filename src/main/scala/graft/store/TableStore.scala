@@ -348,6 +348,24 @@ class TableStore(val spark: SparkSession, val root: String,
       exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : Either[Seq[String],
         Seq[(String, Long, Map[String, FileStats.ColStat])]] = {
+    val (metas, straddlers) = hybridMatchMeta(m, exprs)
+    if (straddlers.nonEmpty)
+      Left((metas.map(_._1) ++ straddlers).sorted)
+    else Right(metas)
+  }
+
+  /** THREE-WAY decidability sweep for the sharded tier (VERDICT r13 next
+    * #2): one distributed pass over the manifest shards classifies every
+    * file against `exprs` as no-match (pruned outright), all-match
+    * (returned WITH its parsed row/column stats — a metadata aggregate
+    * merges these with zero data I/O), or straddling (path only — the
+    * hybrid aggregate scans exactly these). [[exactMatchMeta]] is the
+    * all-or-nothing view of the same sweep; this keeps the per-file
+    * verdicts a straddler used to throw away. Driver residue is O(kept
+    * files) — callers gate on `spark.graft.exact.maxFiles`. */
+  private[graft] def hybridMatchMeta(m: Manifest,
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : (Seq[(String, Long, Map[String, FileStats.ColStat])], Seq[String]) = {
     val sp = spark
     import sp.implicits._
     val schemaJson = m.schema.json
@@ -369,10 +387,10 @@ class TableStore(val spark: SparkSession, val root: String,
         }
       }
     }.collect()
-    if (rows.exists(!_._1)) Left(rows.map(_._2).sorted.toSeq)
-    else Right(rows.sortBy(_._2).toSeq.map { case (_, p, r, sj) =>
+    val (must, straddle) = rows.partition(_._1)
+    (must.sortBy(_._2).toSeq.map { case (_, p, r, sj) =>
       (p, r, FileStats.colsFromJson(sj) -- dropped)
-    })
+    }, straddle.map(_._2).sorted.toSeq)
   }
 
   /** Data-file paths of the given buckets — O(selected buckets' files)

@@ -371,6 +371,39 @@ class AggViewRewriteSpec extends SparkSuite {
     } finally spark.conf.unset("spark.graft.agg.rewrite.maxStalenessMs")
   }
 
+  test("a WHERE consumed by exact file-decidable pushdown (no residual " +
+      "Filter node) must decline the view serve — r13 advisor wrong-results") {
+    val store = new TableStore(spark, s"$warehouse/analytics/exactmv")
+    // 4 range-disjoint COMMITS on `day` (commit i holds day ∈ (i*100,
+    // (i+1)*100]) over a bucketed base: every file's [min,max] on day sits
+    // inside one chunk, so `day <= 200` is all-or-nothing per file
+    def chunk(i: Int) = ((i * 100L + 1) to (i * 100L + 100))
+      .map(d => (d, d, s"g${d % 3}", d * 2)).toDF("id", "day", "grp", "n")
+    store.commitBucketed(chunk(0), Seq("id"), 4)
+    (1 to 3).foreach(i => store.commitAppend(chunk(i)))
+    MaterializedAgg.create(store, "by_grp", Seq("grp"), sumCols = Seq("n"),
+      numBuckets = 4)
+    spark.catalog.refreshTable("mv_cat.analytics.exactmv")
+    // `day <= 200` is all-or-nothing per file → pushFilters claims it FULLY
+    // pushed and Spark drops the Filter node; the rule must still see the
+    // scan as filtered (ExactPushedScans) and answer from the base table
+    val q = "SELECT grp, SUM(n) AS sn FROM mv_cat.analytics.exactmv " +
+      "WHERE day <= 200 GROUP BY grp"
+    val on = spark.sql(q)
+    val onRows = on.collect().map(_.toString).sorted.toSeq
+    assert(!fired(on),
+      s"exact-pushed WHERE must decline the view serve:\n" +
+        s"${on.queryExecution.executedPlan}")
+    spark.conf.set("spark.graft.agg.rewrite", "false")
+    try {
+      val offRows = spark.sql(q).collect().map(_.toString).sorted.toSeq
+      assert(onRows == offRows, s"filtered agg drifted: $onRows vs $offRows")
+    } finally spark.conf.set("spark.graft.agg.rewrite", "true")
+    // sanity: the same fixture DOES serve unfiltered queries from the view
+    assert(fired(spark.sql(
+      "SELECT grp, SUM(n) AS sn FROM mv_cat.analytics.exactmv GROUP BY grp")))
+  }
+
   test("kill switch disables the rule outright") {
     setup()
     spark.conf.set("spark.graft.agg.rewrite", "false")

@@ -57,6 +57,15 @@ class DedupIndexSpec extends SparkSuite {
     val ev = out.collect().head
     assert(ev.getLong(2) == 28L && ev.getLong(3) == 30L,
       s"exact gram evidence expected (28, 30): ${ev.toSeq}")
+    assert(!ev.getBoolean(4),
+      "unbounded maxSet keeps every gram — evidence is exact, not sketched")
+    // the same probe against a CAPPED index: the KMV sketches truncate at
+    // max_set, so the integer evidence is an estimate and says so
+    DedupIndex.create(store, "lsh8", "text", maxSet = 8, numBuckets = 32)
+    val est = DedupIndex.nearDups(store, "lsh8", batch, threshold = 0.5)
+      .collect()
+    assert(est.nonEmpty && est.forall(_.getBoolean(4)),
+      s"capped KMV evidence must be flagged sketched: ${est.map(_.toSeq).toSeq}")
   }
 
   test("incremental refresh: upserted docs join the band table, deleted " +

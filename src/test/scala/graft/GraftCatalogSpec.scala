@@ -863,6 +863,79 @@ class GraftCatalogSpec extends SparkSuite {
     assert(str.head().getLong(0) == 267L)
   }
 
+  test("HYBRID straddle-tolerant filtered metadata aggregates: footer " +
+      "stats answer the all-match files, ONLY the straddler is scanned, " +
+      "the merge is exact; all-straddle declines cleanly") {
+    val store = new TableStore(spark, s"$warehouse/analytics/hybridagg")
+    // 8 range-disjoint files on k; `opt` has a NULL slice so COUNT(col)
+    // exercises the null-count merge
+    def chunk(i: Int) = ((i * 100L + 1) to (i * 100L + 100))
+      .map(k => (k, k * 2, if (k % 5 == 0) None else Some(k * 3)))
+      .toDF("k", "amt", "opt").coalesce(1)
+    store.commitSnapshot(chunk(0))
+    (1 to 7).foreach(i => store.commitAppend(chunk(i)))
+    spark.catalog.refreshTable("spec_cat.analytics.hybridagg")
+    // k <= 250: files 0,1 all-match (stats), file 2 straddles (scanned),
+    // 3..7 pruned outright
+    val df = spark.sql(
+      "SELECT COUNT(*) AS n, COUNT(opt) AS no, MIN(k) AS mn, " +
+        "MAX(amt) AS mx FROM spec_cat.analytics.hybridagg WHERE k <= 250")
+    assert(graft.catalog.HybridMetaAgg.served(df),
+      s"straddled filtered aggregate must take the hybrid serve:\n" +
+        s"${df.queryExecution.optimizedPlan}")
+    val r = df.head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      (250L, 200L, 1L, 500L), s"hybrid merge drifted: ${r.toSeq}")
+    assert(df.inputFiles.length == 1,
+      s"only the straddler file may be scanned: ${df.inputFiles.length}")
+    // parity with the rule off
+    spark.conf.set("spark.graft.agg.metadata.hybrid", "false")
+    try {
+      val off = spark.sql(
+        "SELECT COUNT(*) AS n, COUNT(opt) AS no, MIN(k) AS mn, " +
+          "MAX(amt) AS mx FROM spec_cat.analytics.hybridagg WHERE k <= 250")
+      assert(!graft.catalog.HybridMetaAgg.served(off))
+      assert(off.head().toSeq == r.toSeq, "kill switch changed results")
+    } finally spark.conf.unset("spark.graft.agg.metadata.hybrid")
+    // nothing provably all-match (the only candidate straddles): decline
+    val allStraddle = spark.sql("SELECT COUNT(*) AS n FROM " +
+      "spec_cat.analytics.hybridagg WHERE k >= 50 AND k <= 60")
+    assert(!graft.catalog.HybridMetaAgg.served(allStraddle),
+      "all-straddle must fall back to the ordinary scan")
+    assert(allStraddle.head().getLong(0) == 11L)
+    // a shape stats can never prove (modulo) declines before classifying
+    val mod = spark.sql("SELECT COUNT(*) AS n FROM " +
+      "spec_cat.analytics.hybridagg WHERE k % 10 = 3")
+    assert(!graft.catalog.HybridMetaAgg.served(mod))
+    assert(mod.head().getLong(0) == 80L)
+  }
+
+  test("HYBRID filtered metadata aggregates on the SHARDED tier: the " +
+      "three-way sweep feeds the stats merge; only straddlers scanned") {
+    spark.conf.set("spark.graft.manifest.inlineThreshold", "4")
+    spark.conf.set("spark.graft.manifest.filesPerShard", "8")
+    try {
+      val store = new TableStore(spark, s"$warehouse/analytics/hybridaggs")
+      def chunk(i: Int) = ((i * 100L + 1) to (i * 100L + 100))
+        .map(k => (k, k * 2)).toDF("k", "amt").coalesce(1)
+      store.commitSnapshot(chunk(0))
+      (1 to 7).foreach(i => store.commitAppend(chunk(i)))
+      require(store.manifest(store.currentVersion()).isSharded)
+      spark.catalog.refreshTable("spec_cat.analytics.hybridaggs")
+      val df = spark.sql(
+        "SELECT COUNT(*) AS n, MIN(k) AS mn, MAX(amt) AS mx " +
+          "FROM spec_cat.analytics.hybridaggs WHERE k <= 450")
+      assert(graft.catalog.HybridMetaAgg.served(df),
+        s"sharded hybrid serve expected:\n${df.queryExecution.optimizedPlan}")
+      assert(df.head().toSeq == Seq(450L, 1L, 900L))
+      assert(df.inputFiles.length == 1,
+        s"sharded hybrid must scan only the straddler: ${df.inputFiles.length}")
+    } finally {
+      spark.conf.unset("spark.graft.manifest.inlineThreshold")
+      spark.conf.unset("spark.graft.manifest.filesPerShard")
+    }
+  }
+
   test("file-decidable filters on the SHARDED tier: one distributed sweep " +
       "classifies every file; zero-scan filtered aggregates; straddles fall back") {
     spark.conf.set("spark.graft.manifest.inlineThreshold", "4")

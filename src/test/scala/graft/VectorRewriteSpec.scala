@@ -64,11 +64,32 @@ class VectorRewriteSpec extends SparkSuite {
     assert(servedRows.toSeq == brute.toSeq,
       s"default serve (nProbe=all) must be EXACT: $servedRows vs $brute")
 
-    // a WHERE clause declines (index rows cannot re-apply the predicate)
+    // a WHERE over the index KEY columns SERVES (r13 next #1): the keys
+    // ride every index row, so the predicate applies before the top-k —
+    // result-identical to the brute scan at the default exhaustive probe
     val filtered = spark.sql(
-      topkSql("vr_cat.analytics.vecs", lit, extra = "WHERE vec_id > 10"))
-    assert(!VectorTopKRewrite.served(filtered), "filter must decline")
-    assert(filtered.collect().length == 5)
+      topkSql("vr_cat.analytics.vecs", lit,
+        extra = "WHERE vec_id > 10 AND vec_id % 2 = 0"))
+    assert(VectorTopKRewrite.served(filtered),
+      s"key-column filter must serve:\n${filtered.queryExecution.optimizedPlan}")
+    val filteredRows = filtered.collect().map(r => (r.getLong(0), r.getDouble(1)))
+    spark.conf.set("spark.graft.ann.rewrite", "false")
+    val filteredBrute = try spark.sql(
+        topkSql("vr_cat.analytics.vecs", lit,
+          extra = "WHERE vec_id > 10 AND vec_id % 2 = 0"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      finally spark.conf.unset("spark.graft.ann.rewrite")
+    assert(filteredRows.toSeq == filteredBrute.toSeq,
+      s"filtered serve must be EXACT: ${filteredRows.toSeq} vs ${filteredBrute.toSeq}")
+    assert(filteredRows.forall { case (id, _) => id > 10 && id % 2 == 0 },
+      s"served rows must satisfy the predicate: ${filteredRows.toSeq}")
+
+    // a WHERE touching a NON-key column declines (index rows cannot
+    // re-apply it)
+    val nonKey = spark.sql(
+      topkSql("vr_cat.analytics.vecs", lit, extra = "WHERE size(embedding) = 8"))
+    assert(!VectorTopKRewrite.served(nonKey), "non-key filter must decline")
+    assert(nonKey.collect().length == 5)
 
     // an UNROUNDED sort key declines (the index serves 6-dp scores)
     val raw = spark.sql(
@@ -111,6 +132,45 @@ class VectorRewriteSpec extends SparkSuite {
     assert(df.collect().length == 5)
   }
 
+  test("a WHERE consumed by exact file-decidable pushdown (no residual " +
+      "Filter node) must decline the index serve — r13 advisor wrong-results") {
+    val store = new TableStore(spark, s"$warehouse/analytics/vecs4")
+    // two range-disjoint bucketed commits: `vec_id < 240` is all-match for
+    // the first commit's files and PRUNES the second's — exact pushdown
+    // consumes the Filter node AND drops rows, the case the rules must see
+    val all = (0L until 480L).map { id =>
+      val v = new Array[Float](dim)
+      v((id % 4).toInt) = 1.0f
+      v(4 + (id % 3).toInt) = 0.01f * ((id % 7) + 1)
+      (id, v)
+    }.toDF("vec_id", "embedding")
+    store.commitBucketed(all.where("vec_id < 240"), Seq("vec_id"), 8)
+    store.commitAppend(all.where("vec_id >= 240").coalesce(2))
+    AnnIndex.create(store, "ann", "embedding", clusters = 8, iters = 2)
+    graft.functions.GraftFunctions.register(spark)
+    spark.catalog.refreshTable("vr_cat.analytics.vecs4")
+    val qv = new Array[Float](dim); qv(2) = 1f; qv(5) = 0.005f
+    val df = spark.sql(
+      topkSql("vr_cat.analytics.vecs4", arrLit(qv), extra = "WHERE vec_id < 240"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Filter ("),
+      s"fixture broke: the WHERE should be exactly pushed (no Filter):\n" +
+        plan.take(600))
+    assert(!VectorTopKRewrite.served(df),
+      s"row-pruning exact-pushed WHERE must decline the index serve:\n" +
+        s"${df.queryExecution.optimizedPlan}")
+    val got = df.collect().map(_.getLong(0))
+    assert(got.length == 5 && got.forall(_ < 240),
+      s"filtered top-k leaked out-of-range ids: ${got.toSeq}")
+    // an ALL-MATCH exactly-pushed predicate keeps every row — the scan is
+    // still the whole corpus, so the serve is sound and stays on
+    val am = spark.sql(
+      topkSql("vr_cat.analytics.vecs4", arrLit(qv), extra = "WHERE vec_id >= 0"))
+    assert(VectorTopKRewrite.served(am),
+      "all-match exact pushdown must not kill the index serve")
+    assert(am.collect().length == 5)
+  }
+
   test("explicit nProbe trades recall: the probed serve reads fewer index " +
       "buckets and still returns k rows") {
     val store = new TableStore(spark, s"$warehouse/analytics/vecs2")
@@ -128,6 +188,24 @@ class VectorRewriteSpec extends SparkSuite {
         .readSnapshot().inputFiles.toSet
       assert(df.inputFiles.toSet.size < allIdx.size,
         "nProbe=2 of 8 cells must read a strict subset of index buckets")
+      // filtered + probed: still a strict-subset bucket read; a SELECTIVE
+      // predicate may drop below k under probing (matching rows can live
+      // in unprobed cells — the documented recall trade) but every row
+      // returned satisfies it
+      val fdf = spark.sql(topkSql("vr_cat.analytics.vecs2", arrLit(qv),
+        extra = "WHERE vec_id % 2 = 0"))
+      assert(VectorTopKRewrite.served(fdf), "filtered probed serve expected")
+      assert(fdf.inputFiles.toSet.size < allIdx.size,
+        "the filtered probe must keep the bucket-subset read")
+      val fRows = fdf.collect().map(_.getLong(0))
+      assert(fRows.forall(_ % 2 == 0),
+        s"probed filtered serve returned non-matching rows: ${fRows.toSeq}")
+      // an all-match predicate (kept residual: modulo never reaches the
+      // exact-pushdown path) keeps the full k under the same probe
+      val adf = spark.sql(topkSql("vr_cat.analytics.vecs2", arrLit(qv),
+        extra = "WHERE vec_id % 2 >= 0"))
+      assert(VectorTopKRewrite.served(adf) && adf.collect().length == 5,
+        "all-match filtered probe must still return k rows")
     } finally spark.conf.unset("spark.graft.ann.sql.nProbe")
   }
 }
