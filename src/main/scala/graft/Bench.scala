@@ -200,6 +200,48 @@ object Bench {
         }
       }
     }
+    // SELF-ADJUDICATION for the full sweep (VERDICT r13 next #4 — the
+    // BenchHeavy adjudicator, ported): the top-10 queries by wall time are
+    // the ones cross-round comparisons hang on, and the box drifts
+    // 15-20%/session, so a >1.3x-vs-prior-artifact flag re-runs IN-PROCESS
+    // and records whether the query can still hit ~baseline speed here
+    // ("drift") or not ("elevated"). The prior artifact is whatever
+    // BENCH_FULL.json sat at the output path BEFORE this run overwrote it
+    // — read now, before the write below.
+    val priorQueries: Map[String, Double] = {
+      val path = java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_BENCH_FULL", "BENCH_FULL.json"))
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+        val qStart = txt.indexOf("\"queries\":{")
+        if (qStart < 0) Map.empty
+        else {
+          val body = txt.substring(qStart + 11, txt.indexOf('}', qStart))
+          "\"([^\"]+)\":([0-9.Ee+-]+)".r.findAllMatchIn(body)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      } catch { case _: Exception => Map.empty }
+    }
+    val adjudicated = scala.collection.mutable.LinkedHashMap[String, String]()
+    timings.toSeq.sortBy(-_._2).take(10).foreach { case (name, first) =>
+      priorQueries.get(name).filter(b => b > 0 && first > 1.3 * b)
+        .foreach { base =>
+          val reruns = (1 to 2).map { _ =>
+            val t0 = System.nanoTime()
+            try SparkEntry.queries(name)(spark, sfDir).count()
+            catch { case _: Throwable => () }
+            spark.catalog.clearCache()
+            math.rint((System.nanoTime() - t0) / 1e9 * 1000) / 1000
+          }
+          val best = (first +: reruns).min
+          val verdict = if (best <= 1.15 * base) "drift" else "elevated"
+          adjudicated(name) =
+            s"""{"first":$first,"reruns":[${reruns.mkString(",")}],""" +
+              s""""prior":$base,"best":$best,"verdict":"$verdict"}"""
+          System.err.println(f"[bench] ADJUDICATE $name%-24s first=$first " +
+            f"reruns=${reruns.mkString("[", ",", "]")} prior=$base -> $verdict")
+        }
+    }
     def jq(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"
@@ -217,8 +259,10 @@ object Bench {
       case (k, v) if v > math.max(0.05, 5 * sMed) => jq(k)
     }.mkString("[", ",", "]")
     val total = timings.values.sum
+    val adjJson = adjudicated
+      .map { case (k, v) => jq(k) + ":" + v }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(timings)},"cpu":${jmap(cpuSec)},"sentinel":${jmap(sentinels)},"sentinel_med":$sMed,"sentinel_max":$sMax,"contaminated":$contaminated,"retried":${jmap(retried)},"flaky":$fl,"errors":$es,"failed":${errors.size},"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${jmap(timings)},"cpu":${jmap(cpuSec)},"sentinel":${jmap(sentinels)},"sentinel_med":$sMed,"sentinel_max":$sMax,"contaminated":$contaminated,"retried":${jmap(retried)},"flaky":$fl,"errors":$es,"failed":${errors.size},"adjudicated":$adjJson,"sf":"$sfDir"}"""
     // The full artifact is ~10 KB; the driver keeps only the LAST 2000
     // chars of stdout (BENCH_r11.json: parsed null, tail clipped mid-map —
     // every per-query reading upstream of round 12 was actually the
@@ -239,7 +283,7 @@ object Bench {
     println(full)
     def r3(v: Double): Double = math.rint(v * 1000) / 1000
     val slowest = timings.toSeq.sortBy(-_._2)
-    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n":${timings.size},"failed":${errors.size},"retried_n":${retried.size},"contaminated_n":${contaminated.count(_ == '"') / 2},"sentinel_med":${r3(sMed)},"full":"BENCH_FULL.json","queries":{"""
+    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","n":${timings.size},"failed":${errors.size},"retried_n":${retried.size},"contaminated_n":${contaminated.count(_ == '"') / 2},"adjudicated_n":${adjudicated.size},"sentinel_med":${r3(sMed)},"full":"BENCH_FULL.json","queries":{"""
     val tail2 = "}}"
     val sb = new StringBuilder(head)
     var first = true

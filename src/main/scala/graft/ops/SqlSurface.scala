@@ -388,6 +388,45 @@ object SqlSurface {
     out
   }
 
+  /** SORTED-preview top-k pushdown (`sql_topk_pushdown`, VERDICT r13 next
+    * #6, `SupportsPushDownTopN` in the scan builder): `ORDER BY
+    * o_orderkey LIMIT 20` over a table whose commits are range-disjoint
+    * on the key must plan ONLY the file(s) whose [min,max] can reach the
+    * global top-20 from footer stats — the sorted cousin of the LIMIT
+    * preview (the reference's one published query, README.md:173). The
+    * require() pins the planned-file subset; the DuckDB oracle recomputes
+    * the same top-20 from the raw rows. */
+  private val sqlTopkPushdown: Q = (s, d) => {
+    val cat = catalogFor(s, d)
+    val wh = warehouseFor(d)
+    val store = new TableStore(s, s"$wh/analytics/orders_topk")
+    if (store.currentVersion() < 0) {
+      val base = load(s, d, "orders").select(col("o_orderkey"), col("o_custkey"))
+      // range-disjoint quartile commits: the physical layout a key-sorted
+      // ingest produces; the LOGICAL table (and so the oracle) is
+      // chunking-independent
+      val qs = base.stat.approxQuantile("o_orderkey",
+        Array(0.25, 0.5, 0.75), 0.001).map(_.toLong)
+      store.commitSnapshot(base.filter(col("o_orderkey") <= qs(0)).coalesce(1))
+      store.commitAppend(base.filter(col("o_orderkey") > qs(0) &&
+        col("o_orderkey") <= qs(1)).coalesce(1))
+      store.commitAppend(base.filter(col("o_orderkey") > qs(1) &&
+        col("o_orderkey") <= qs(2)).coalesce(1))
+      store.commitAppend(base.filter(col("o_orderkey") > qs(2)).coalesce(1))
+    }
+    s.catalog.refreshTable(s"$cat.analytics.orders_topk")
+    val out = s.sql(
+      s"""SELECT o_orderkey, o_custkey FROM $cat.analytics.orders_topk
+         |ORDER BY o_orderkey ASC NULLS FIRST
+         |LIMIT 20""".stripMargin)
+    val planned = "InMemoryFileIndex\\((\\d+) paths\\)".r
+      .findFirstMatchIn(out.queryExecution.executedPlan.toString)
+      .map(_.group(1).toInt).getOrElse(-1)
+    require(planned == 1,
+      s"sorted top-20 must plan only the lowest-range file, planned $planned")
+    out
+  }
+
   /** Merge-on-read SQL DELETE (`sql_delete_mor`): a delete vector commit —
     * O(matched rows) of (file, pos) entries — instead of rewriting buckets.
     * The require()s pin the MOR contract: the DV is present and NO data
@@ -1505,6 +1544,7 @@ object SqlSurface {
     "sql_agg_metadata_where_sharded" -> sqlAggMetadataWhereSharded,
     "sql_agg_metadata_where_hybrid" -> sqlAggMetadataWhereHybrid,
     "sql_agg_metadata_where_hybrid_sharded" -> sqlAggMetadataWhereHybridSharded,
+    "sql_topk_pushdown" -> sqlTopkPushdown,
     "sql_delete_mor" -> sqlDeleteMor,
     "sql_delete_eq" -> sqlDeleteEq,
     "sql_delete_eq_prefix" -> sqlDeleteEqPrefix,
@@ -1853,6 +1893,11 @@ object SqlSurface {
       """SELECT COUNT(*) AS n_rows, COUNT(o_custkey) AS n_cust,
         |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
         |FROM orders WHERE o_orderkey % 8 <= 4""".stripMargin,
+
+    "sql_topk_pushdown" ->
+      """SELECT o_orderkey, o_custkey FROM orders
+        |ORDER BY o_orderkey ASC NULLS FIRST
+        |LIMIT 20""".stripMargin,
 
     "sql_delete_mor" ->
       """SELECT l_returnflag, COUNT(*) AS n,

@@ -118,20 +118,42 @@ object AnnIndex {
         .map { case (_, id, v) => (id, v) }
       pool = (seedSet ++ top).distinct
     }
-    // farthest-first reduction of the pool to `clusters` seeds
-    val out = scala.collection.mutable.ArrayBuffer[(Long, Array[Double])](
-      pool.minBy(_._1))
-    while (out.size < math.min(clusters, pool.length)) {
-      val next = pool.filterNot(p => out.exists(_._1 == p._1))
-        .map { case (id, v) =>
-          val d = out.map(s => 1.0 - VecKernels.dotD(v, s._2)).min
-          (d, id, v)
-        }.sortBy { case (d, id, _) => (-d, id) }.headOption
-      next match {
-        case Some((d, id, v)) if d > 1e-12 => out += ((id, v))
-        case _ => // pool exhausted of distinct directions
-          return out.map(_._2).toArray
+    // Farthest-first reduction of the pool to `clusters` seeds, with the
+    // nearest-selected distance per candidate maintained INCREMENTALLY
+    // (VERDICT r13 nit: the re-scan-everything form was
+    // O(clusters² × pool × dim) of single-threaded driver CPU — minutes
+    // at the 4096-cell clamp). Each selection now costs one O(pool × dim)
+    // update against just the NEW seed, fanned over the JVM's common
+    // fork-join pool (independent slots — race-free); selection stays
+    // sequential with the same (dist desc, id asc) tie-break, so the
+    // seed set is deterministic.
+    val arr = pool.sortBy(_._1) // deterministic candidate order
+    val n = arr.length
+    val target = math.min(clusters, n)
+    val dist = Array.fill(n)(Double.MaxValue)
+    val taken = Array.fill(n)(false)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Array[Double])]
+    var nextIdx = 0 // lowest id first (arr is id-sorted)
+    while (out.size < target && nextIdx >= 0) {
+      taken(nextIdx) = true
+      out += arr(nextIdx)
+      val seed = arr(nextIdx)._2
+      java.util.stream.IntStream.range(0, n).parallel().forEach { i =>
+        if (!taken(i)) {
+          val d = 1.0 - VecKernels.dotD(arr(i)._2, seed)
+          if (d < dist(i)) dist(i) = d
+        }
       }
+      // argmax over (dist desc, id asc); stop when only duplicate
+      // directions remain
+      var best = -1
+      var bestD = 1e-12
+      var i = 0
+      while (i < n) {
+        if (!taken(i) && dist(i) > bestD) { best = i; bestD = dist(i) }
+        i += 1
+      }
+      nextIdx = best
     }
     out.map(_._2).toArray
   }

@@ -45,30 +45,42 @@ object DedupIndex {
   private val TextColProp = "graft.dedup.text-col"
   private val ShingleProp = "graft.dedup.shingle-len"
   private val MaxSetProp = "graft.dedup.max-set"
-  private val IdColProp = "graft.dedup.id-col"
+  private val IdColProp = "graft.dedup.id-col" // pre-r14 single-key indexes
+  private val IdColsProp = "graft.dedup.id-cols"
 
-  /** (bkey, <idCol>, sh_set) rows — one per (doc, band); the SecondaryIndex
-    * `project` hook for create, refresh, and rebuild. ONE map-side pass:
-    * the sketch rides THROUGH the banding explode (`carryCols`) instead of
-    * joining back — no second kernel run, no doc_id shuffle. NULL ids or
-    * texts are skipped like no-shingle docs (the SQL procedures run this
-    * over arbitrary user tables, where nullable text is normal). */
-  private def project(rows: DataFrame, idCol: String, textCol: String,
+  /** Key columns of an index manifest — CSV since r14 (composite keys,
+    * VERDICT r13 next #3); pre-r14 single-key indexes carry the legacy
+    * singular prop. */
+  private def idColsOf(im: TableStore.Manifest): Seq[String] =
+    im.props.get(IdColsProp) match {
+      case Some(csv) => csv.split(',').toSeq
+      case None => Seq(im.props(IdColProp))
+    }
+
+  /** (bkey, idCols…, sh_set) rows — one per (doc, band); the
+    * SecondaryIndex `project` hook for create, refresh, and rebuild. ONE
+    * map-side pass: the signature kernel runs as a scalar over the text
+    * (key columns of any arity/type ride through untouched) and the
+    * sketch rides THROUGH the banding explode (`carryCols`) instead of
+    * joining back. NULL ids or texts are skipped like no-shingle docs
+    * (the SQL procedures run this over arbitrary user tables, where
+    * nullable text is normal). */
+  private def project(rows: DataFrame, idCols: Seq[String], textCol: String,
       shingleLen: Int, maxSet: Int): DataFrame = {
-    val sigs = graft.ops.LlmDedup.minhashSignatures(
-      rows.filter(col(idCol).isNotNull && col(textCol).isNotNull)
-        .select(col(idCol).as("doc_id"), col(textCol).as("text")),
-      shingleLen, maxSet)
-    graft.ops.LlmDedup.bandedSignatures(sigs, carryCols = Seq("sh_set"))
-      .select(col("bkey"), col("doc_id").as(idCol), col("sh_set"))
+    val sigs = graft.ops.LlmDedup.minhashSignaturesKeyed(
+      rows.filter(idCols.map(col(_).isNotNull).reduce(_ && _)),
+      idCols, textCol, shingleLen, maxSet)
+    graft.ops.LlmDedup.bandedSignatures(sigs, carryCols = Seq("sh_set"),
+      keyCols = idCols)
+      .select(col("bkey") +: idCols.map(col) :+ col("sh_set"): _*)
   }
 
   private def projOf(im: TableStore.Manifest): DataFrame => DataFrame = {
-    val idCol = im.props(IdColProp)
+    val idCols = idColsOf(im)
     val textCol = im.props(TextColProp)
     val shingleLen = im.props(ShingleProp).toInt
     val maxSet = im.props(MaxSetProp).toInt
-    df => project(df, idCol, textCol, shingleLen, maxSet)
+    df => project(df, idCols, textCol, shingleLen, maxSet)
   }
 
   // -------------------------------------------------------------- create
@@ -81,36 +93,53 @@ object DedupIndex {
     * band-key buckets, and a changed doc touches up to `Bands` (16) of
     * them per side — so replay beats rebuild only while
     * `changedDocs × 2 × Bands < rescanFraction × numBuckets`. Size
-    * buckets to the INGEST CADENCE, not the corpus: the default 64 keeps
-    * single-doc trickle on the replay route; a pipeline refreshing after
-    * k-doc batches wants ≳ 64·k buckets, and genuinely broad churn
-    * correctly routes to the one-pass rebuild either way. */
+    * buckets to the INGEST CADENCE, not the corpus: `expectedBatch`
+    * DECLARES the refresh cadence (docs changed per refresh) and the
+    * default `numBuckets` derives from it (VERDICT r13 next #8 — the
+    * dedup analog of AnnIndex.defaultCells): `4 × Bands × expectedBatch`,
+    * exactly the bucket count at which a batch of that size sits at the
+    * default 0.5 rescan-fraction gate, clamped to [64, 4096]. An explicit
+    * `numBuckets` that provably strands the declared cadence on the
+    * rebuild route warns at create time; genuinely broad churn correctly
+    * routes to the one-pass rebuild either way. */
   def create(base: TableStore, name: String, textCol: String,
-      shingleLen: Int = 3, maxSet: Int = 256, numBuckets: Int = 64): Long = {
+      shingleLen: Int = 3, maxSet: Int = 256, numBuckets: Int = -1,
+      expectedBatch: Int = 1): Long = {
     SecondaryIndex.requireMainBase(base)
     require(TableStore.RefNameOk.pattern.matcher(name).matches(),
       s"index name must match [A-Za-z0-9._-]{1,128}, got '$name'")
+    require(expectedBatch >= 1, s"expectedBatch must be >= 1")
     val bv = base.currentVersion()
     require(bv >= 0, "cannot index an empty table")
     val bm = base.manifest(bv)
-    require(bm.bucketKeys.size == 1 &&
-        bm.schema(bm.bucketKeys.head).dataType ==
-          org.apache.spark.sql.types.LongType,
-      s"the dedup index keys documents by a single LONG primary key; " +
-        s"base has ${bm.bucketKeys}")
-    val idCol = bm.bucketKeys.head
+    require(bm.bucketKeys.nonEmpty,
+      s"the dedup index keys documents by the base's bucket key(s); " +
+        s"base '${base.root}' is unkeyed — commitBucketed it first")
+    val idCols = bm.bucketKeys
     require(bm.schema.fieldNames.contains(textCol),
       s"text column '$textCol' not in base schema")
+    require(!idCols.contains(textCol),
+      s"text column '$textCol' cannot also be a key column")
+    val bands = graft.ops.LlmDedup.Bands
+    val nb =
+      if (numBuckets > 0) numBuckets
+      else math.max(64, math.min(4096, 4 * bands * expectedBatch))
+    if (expectedBatch.toLong * 2 * bands >= nb / 2 && numBuckets > 0)
+      System.err.println(s"[dedup-index] WARN numBuckets=$nb strands the " +
+        s"declared cadence (expectedBatch=$expectedBatch) on the rebuild " +
+        s"route: a batch touches up to ${expectedBatch * 2 * bands} " +
+        s"buckets >= ${nb / 2} (the 0.5 rescan gate); size numBuckets >= " +
+        s"${4 * bands * expectedBatch} for incremental replay")
     val idx = SecondaryIndex.indexStore(base, name)
     require(idx.currentVersion() < 0, s"index '$name' already exists")
     idx.commitBucketed(
-      project(base.readSnapshot(bv), idCol, textCol, shingleLen, maxSet),
-      Seq("bkey"), numBuckets,
+      project(base.readSnapshot(bv), idCols, textCol, shingleLen, maxSet),
+      Seq("bkey"), nb,
       props = Map(
         SecondaryIndex.BaseVersionProp -> bv.toString,
         SecondaryIndex.IndexKeysProp -> "bkey",
         AnnIndex.KindProp -> KindLsh,
-        IdColProp -> idCol,
+        IdColsProp -> idCols.mkString(","),
         TextColProp -> textCol,
         ShingleProp -> shingleLen.toString,
         MaxSetProp -> maxSet.toString))
@@ -142,8 +171,10 @@ object DedupIndex {
     * signature+banding pass over the batch, a BUCKET-TARGETED read of the
     * batch's band-key buckets, the band-key equi-join for candidates, and
     * exact/KMV Jaccard verification at `threshold`. Returns
-    * (batch_id, corpus_id, inter_grams, union_grams, sketched) with the
-    * sweep's integer-evidence output shape, totally ordered. `sketched`
+    * (batch_id, corpus_id, inter_grams, union_grams, sketched) for a
+    * single-key base — the sweep's integer-evidence output shape, totally
+    * ordered; a COMPOSITE key flattens to batch_<k>…/corpus_<k>… columns
+    * and the probe joins on the full tuple. `sketched`
     * tells exact from estimated evidence (r13 advisor): the verification
     * sets are KMV sketches capped at the index's `maxSet` — a doc with
     * fewer distinct grams keeps them ALL (counts exact), one at the cap
@@ -160,23 +191,29 @@ object DedupIndex {
     val im = idx.manifest(iv)
     require(im.props.get(AnnIndex.KindProp).contains(KindLsh),
       s"'$name' is not a dedup index")
-    val idCol = im.props(IdColProp)
+    val idCols = idColsOf(im)
     val maxSet = im.props(MaxSetProp).toInt
+    // output naming: the single-key shape keeps the sweep's
+    // (batch_id, corpus_id) columns; a composite key flattens to
+    // batch_<k>…/corpus_<k>… so the full tuple stays joinable/sortable
+    val (qNames, cNames) =
+      if (idCols.size == 1) (Seq("batch_id"), Seq("corpus_id"))
+      else (idCols.map("batch_" + _), idCols.map("corpus_" + _))
     // persisted: feeds the bucket-id probe (eager), the candidate join,
     // and the verification join; kept hot for the returned plan (the
     // failure path unpersists eagerly, success leaves it to the
     // ContextCleaner with the plan — the storedPlusDeltaJoin contract)
-    val sigs = graft.ops.LlmDedup.minhashSignatures(
-      batch.filter(col(idCol).isNotNull &&
-          col(im.props(TextColProp)).isNotNull)
-        .select(col(idCol).as("doc_id"), col(im.props(TextColProp))
-          .as("text")),
-      im.props(ShingleProp).toInt, maxSet)
+    val sigs = graft.ops.LlmDedup.minhashSignaturesKeyed(
+      batch.filter(idCols.map(col(_).isNotNull).reduce(_ && _)),
+      idCols, im.props(TextColProp), im.props(ShingleProp).toInt, maxSet)
+      .select(idCols.zip(qNames).map { case (c, n) => col(c).as(n) } :+
+        col("sig") :+ col("sh_set"): _*)
       .persist()
     var served = false
     try {
-      val banded = graft.ops.LlmDedup.bandedSignatures(sigs)
-        .select(col("doc_id").as("batch_id"), col("bkey"))
+      val banded = graft.ops.LlmDedup.bandedSignatures(sigs,
+          keyCols = qNames)
+        .select(qNames.map(col) :+ col("bkey"): _*)
       // batch band keys → index bucket ids: ≤ numBuckets longs collected,
       // independent of batch or corpus size
       val bids = banded
@@ -195,26 +232,26 @@ object DedupIndex {
         .map(_.toLong).getOrElse(50000L)
       val bandSide = if (sigs.count() <= bcastCap) broadcast(banded) else banded
       val cand = entries.join(bandSide, Seq("bkey"))
-        .select(col("batch_id"), col(idCol).as("corpus_id"),
-          col("sh_set").as("set_c"))
+        .select(qNames.map(col) ++
+          idCols.zip(cNames).map { case (c, n) => col(c).as(n) } :+
+          col("sh_set").as("set_c"): _*)
         .distinct()
       val out = cand
-        .join(sigs.select(col("doc_id").as("batch_id"),
-          col("sh_set").as("set_q")), Seq("batch_id"))
+        .join(sigs.select(qNames.map(col) :+
+          col("sh_set").as("set_q"): _*), qNames)
         .withColumn("jaccard",
           graft.functions.SortedKmvJaccard(col("set_q"), col("set_c"), maxSet))
         .filter(col("jaccard") >= threshold)
         .withColumn("_inter",
           graft.functions.SortedIntersectCount(col("set_q"), col("set_c")))
-        .select(col("batch_id"), col("corpus_id"),
-          col("_inter").cast("long").as("inter_grams"),
+        .select(qNames.map(col) ++ cNames.map(col) :+
+          col("_inter").cast("long").as("inter_grams") :+
           (size(col("set_q")) + size(col("set_c")) - col("_inter"))
-            .cast("long").as("union_grams"),
+            .cast("long").as("union_grams") :+
           // a set AT the cap was KMV-truncated: counts are estimates
           (size(col("set_q")) >= maxSet || size(col("set_c")) >= maxSet)
-            .as("sketched"))
-        .orderBy(col("batch_id").asc_nulls_first,
-          col("corpus_id").asc_nulls_first)
+            .as("sketched"): _*)
+        .orderBy((qNames ++ cNames).map(col(_).asc_nulls_first): _*)
       served = true
       out
     } finally { if (!served) sigs.unpersist(blocking = false) }

@@ -496,6 +496,15 @@ object BenchHeavy {
         graft.store.AnnIndex.retrain(annStore, "ann", clusters = 32,
           iters = 2)
       }
+      // r14 (VERDICT r13 next #7): re-train AT THE 4096-CELL CLAMP — the
+      // case whose farthest-first reduction used to be
+      // O(clusters² × pool × dim) of single-threaded driver CPU (minutes);
+      // with the incremental + fork-join form this must stay single-digit
+      // seconds of driver time on top of the distributed passes.
+      t("ann_retrain_maxcells") {
+        graft.store.AnnIndex.retrain(annStore, "ann", clusters = 4096,
+          iters = 1)
+      }
       // r13: persisted dedup index — the incremental-ingest serving path.
       // The pair to read: dedup_idx_batch (index-served batch dedup:
       // map-side batch signatures + bucket-targeted band join) vs

@@ -152,12 +152,52 @@ class DedupIndexSpec extends SparkSuite {
       s"SQL-served near-dups must cover original + refreshed variant: $got")
   }
 
-  test("refusals: unkeyed/non-long bases, duplicate create, missing index") {
+  test("COMPOSITE (PK,SK) keys: create/refresh/probe carry the full key " +
+      "tuple; derived numBuckets keeps the declared cadence on replay") {
+    val store = freshStore()
+    val docs = (0L until 160L)
+      .map(i => (i, i % 4, docText(i))).toDF("doc_id", "part", "text")
+    store.commitBucketed(docs, Seq("doc_id", "part"), 8)
+    // declared cadence of 2 docs/refresh → derived buckets 4×16×2 = 128
+    DedupIndex.create(store, "lshc", "text", maxSet = Int.MaxValue,
+      expectedBatch = 2)
+    val idx = SecondaryIndex.indexStore(store, "lshc")
+    assert(idx.manifest(idx.currentVersion()).numBuckets == 128,
+      "expectedBatch=2 must derive 4×Bands×2 = 128 buckets")
+    // live churn: one new near-dup source lands, then refresh — the
+    // declared-cadence sizing must keep this on the REPLAY route
+    store.upsertEq(Seq((5033L, 5033L % 4, docText(33) + " zz zz"))
+      .toDF("doc_id", "part", "text").withColumn("op", lit("PUT")))
+    val filesBefore = idx.manifest(idx.currentVersion()).inlineFiles.toSet
+    DedupIndex.refresh(store, "lshc")
+    val filesAfter = idx.manifest(idx.currentVersion()).inlineFiles.toSet
+    assert(filesBefore.intersect(filesAfter).size * 2 > filesBefore.size,
+      s"the derived default must keep a cadence-sized batch on replay: " +
+        s"kept ${filesBefore.intersect(filesAfter).size} of ${filesBefore.size}")
+    // composite probe: the batch carries BOTH key columns; output
+    // flattens to batch_*/corpus_* and matches on the full tuple
+    val batch = Seq((9033L, 1L, docText(33) + " qq qq"))
+      .toDF("doc_id", "part", "text")
+    val out = DedupIndex.nearDups(store, "lshc", batch, 0.5)
+    assert(out.columns.take(4).toSeq ==
+      Seq("batch_doc_id", "batch_part", "corpus_doc_id", "corpus_part"))
+    val got = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(got == Set((9033L, 1L, 33L, 1L), (9033L, 1L, 5033L, 1L)),
+      s"composite probe must match both sources on the full tuple: $got")
+    // the probe stays bucket-targeted off the corpus
+    assert(!DedupIndex.nearDups(store, "lshc", batch, 0.5)
+      .inputFiles.exists(_.contains(s"${store.root}/data")),
+      "the composite probe must never touch the corpus table")
+  }
+
+  test("refusals: unkeyed bases, duplicate create, missing index") {
     val store = freshStore()
     store.commitSnapshot(corpus(20))
     val e = intercept[IllegalArgumentException](
       DedupIndex.create(store, "lsh", "text"))
-    assert(e.getMessage.contains("LONG primary key"))
+    assert(e.getMessage.contains("unkeyed"))
     val keyed = freshStore()
     keyed.commitBucketed(corpus(20), Seq("doc_id"), 2)
     DedupIndex.create(keyed, "lsh", "text")
