@@ -1477,6 +1477,46 @@ private[catalog] final class StatsPruningScanBuilder(name: String,
               } yield acc :+ (dt ->
                 (if (vals.isEmpty) null
                  else vals.maxBy(v => BigDecimal(v.toString))))
+            // SUM (r14): from per-file ANALYZED sums ([[TableStore
+            // .analyze]]) — every file must carry one (or be provably
+            // all-null, contributing nothing); the merge is exact
+            // BigDecimal arithmetic, served only when the total fits the
+            // SUM result type (an overflowing total declines to the scan,
+            // which then wraps/nulls/throws by the session's own ANSI
+            // semantics — never replicated here)
+            case sm: Sum if !sm.isDistinct =>
+              for {
+                n <- refName(sm.column())
+                dt = m.schema.fields.find(_.name == n).map(_.dataType).orNull
+                if dt != null && graft.store.FileStats.sumExact(dt)
+                total <- perFile match {
+                  case Some(fs) =>
+                    if (fs.forall { case (rows, cs) => cs.get(n).exists(c =>
+                        c.sum.isDefined || c.nulls == rows || rows == 0) }) {
+                      val sums = fs.flatMap(_._2.get(n).flatMap(_.sum))
+                        .map(BigDecimal(_))
+                      Some(if (sums.isEmpty) None
+                        else Some(sums.foldLeft(BigDecimal(0))(_ + _)))
+                    } else None
+                  case None if m.isSharded => // unfiltered: one bounded sweep
+                    store.analyzedSums(m, Seq(n)).map(_.head)
+                  case None => None // inline file without stats: no proof
+                }
+                rt = graft.store.FileStats.sumResultType(dt)
+                fitted <- total match {
+                  case None => Some(null) // SUM over zero values is NULL
+                  case Some(v) => rt match {
+                    case LongType =>
+                      if (v.isValidLong) Some(java.lang.Long.valueOf(v.toLong))
+                      else None
+                    case d: DecimalType =>
+                      val dec = org.apache.spark.sql.types.Decimal(v)
+                      if (dec.changePrecision(d.precision, d.scale)) Some(dec)
+                      else None
+                    case _ => None
+                  }
+                }
+              } yield acc :+ (rt -> fitted)
             case _ => None
           }
         }

@@ -29,7 +29,7 @@ object GraftProcedures {
       "create_index", "refresh_index", "drop_index", "index_lookup_view",
       "create_ann_index", "ann_topk_view",
       "create_branch", "drop_branch", "fast_forward", "rebase_branch",
-      "expire_branches", "rebucket",
+      "expire_branches", "rebucket", "analyze_table",
       "create_agg_view", "refresh_agg_view", "drop_agg_view", "agg_view",
       "create_join_view", "refresh_join_view", "drop_join_view")
 
@@ -56,6 +56,7 @@ object GraftProcedures {
     case "rebase_branch" => new RebaseBranchProc(catalog)
     case "expire_branches" => new ExpireBranchesProc(catalog)
     case "rebucket" => new RebucketProc(catalog)
+    case "analyze_table" => new AnalyzeProc(catalog)
     case "create_agg_view" => new CreateAggViewProc(catalog)
     case "refresh_agg_view" => new RefreshAggViewProc(catalog)
     case "drop_agg_view" => new DropAggViewProc(catalog)
@@ -854,6 +855,30 @@ object GraftProcedures {
         else input.getUTF8String(2).toString.split(',').map(_.trim)
           .filter(_.nonEmpty).toSeq
       val v = store.rebucket(input.getInt(1), keys)
+      result(
+        StructType(Seq(StructField("version", LongType))), Array(v))
+    }
+  }
+
+  /** ANALYZE (r14): record per-file exact column sums in the manifest
+    * stats ([[graft.store.TableStore.analyze]]) so `SUM(col)` dashboards
+    * serve from metadata like COUNT/MIN/MAX. Incremental — only files
+    * missing a sum are read — and the commit is content-preserving, so
+    * derivatives just advance their watermarks. `columns` restricts the
+    * set (default: every exact-summable column). */
+  private final class AnalyzeProc(catalog: GraftCatalog)
+      extends GraftProc("analyze_table",
+        "record per-file exact column sums for metadata-served SUM") {
+    override def parameters(): Array[ProcedureParameter] = Array(
+      ProcedureParameter.in("table", StringType).build(),
+      ProcedureParameter.in("columns", StringType).defaultValue("''").build())
+    override def call(input: InternalRow): java.util.Iterator[Scan] = {
+      val store = storeFor(catalog, input.getUTF8String(0).toString)
+      val cols =
+        if (input.numFields < 2 || input.isNullAt(1)) Nil
+        else input.getUTF8String(1).toString.split(',').map(_.trim)
+          .filter(_.nonEmpty).toSeq
+      val v = store.analyze(cols)
       result(
         StructType(Seq(StructField("version", LongType))), Array(v))
     }

@@ -3,7 +3,7 @@ package graft.catalog
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, Literal, PlanExpression}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions.{count => fcount, lit, max => fmax, min => fmin, sum => fsum}
@@ -33,7 +33,9 @@ import graft.store.FileStats
   *  - global aggregate (no GROUP BY), every aggregate one of
   *    COUNT(*)/COUNT(col) (non-DISTINCT, no FILTER clause)/MIN/MAX over a
   *    bare column whose type orders exactly in footer bounds
-  *    ([[FileStats.minMaxExact]] — strings/floats refuse);
+  *    ([[FileStats.minMaxExact]] — strings/floats refuse), or (r14)
+  *    SUM over a [[FileStats.sumExact]] column whose all-match files all
+  *    carry ANALYZED sums ([[graft.store.TableStore.analyze]]);
   *  - the child peels to a main-store DSv2 graft snapshot scan through
   *    deterministic subquery-free Filters/Projects only
   *    ([[AggViewRewrite.peelScan]], which also screens out scans whose
@@ -97,7 +99,7 @@ class HybridMetaAggRule extends Rule[LogicalPlan] {
       case _ => ()
     })
     if (aggExprs.isEmpty) return None
-    // ('count | 'min | 'max, column name or "" for COUNT(*))
+    // ('count | 'min | 'max | 'sum, column name or "" for COUNT(*))
     val kinds: Seq[(Char, String)] = aggExprs.toSeq.map { ae =>
       if (ae.isDistinct || ae.filter.nonEmpty) return None
       ae.aggregateFunction match {
@@ -110,6 +112,14 @@ class HybridMetaAggRule extends Rule[LogicalPlan] {
         case Max(ar: AttributeReference)
             if baseCols.contains(ar.name) &&
               FileStats.minMaxExact(ar.dataType) => ('x', ar.name)
+        // SUM (r14): served from per-file ANALYZED sums for the all-match
+        // files ([[graft.store.TableStore.analyze]]); any evalMode is
+        // sound — an unfitting stats-side partial declines below, so
+        // overflow semantics stay the scan's own
+        case s: Sum if s.child.isInstanceOf[AttributeReference] && {
+          val ar = s.child.asInstanceOf[AttributeReference]
+          baseCols.contains(ar.name) && FileStats.sumExact(ar.dataType)
+        } => ('s', s.child.asInstanceOf[AttributeReference].name)
         case _ => return None
       }
     }
@@ -178,6 +188,8 @@ class HybridMetaAggRule extends Rule[LogicalPlan] {
         meta._3.get(n).exists(c => c.min.isDefined || c.nulls == meta._2)
       case ('x', n) =>
         meta._3.get(n).exists(c => c.max.isDefined || c.nulls == meta._2)
+      case ('s', n) =>
+        meta._3.get(n).exists(c => c.sum.isDefined || c.nulls == meta._2)
       case _ => false
     }
     val (statFiles, moved) = allMatch0.partition(statsServable)
@@ -185,11 +197,42 @@ class HybridMetaAggRule extends Rule[LogicalPlan] {
     val scanFiles = (straddle0 ++ moved.map(_._1)).sorted
 
     // ---- stats-side partial row ----------------------------------------
+    // partial column type per kind: counts are LONG; sums accumulate in
+    // the exact domain (LONG for integrals — an unfitting stats-side
+    // partial declines below; DECIMAL(38, s) for decimals) and cast to
+    // the query's SUM result type at the merge; min/max ride the column
+    // type itself
+    def partialType(k: Char, n: String): org.apache.spark.sql.types.DataType =
+      k match {
+        case 'c' => LongType
+        case 's' => m.schema(n).dataType match {
+          case d: org.apache.spark.sql.types.DecimalType =>
+            org.apache.spark.sql.types.DecimalType(38, d.scale)
+          case _ => LongType
+        }
+        case _ => m.schema(n).dataType
+      }
     val partialNames = kinds.indices.map(i => s"_g_pc_$i")
     val partialVals: Seq[Any] = kinds.map {
       case ('c', "") => statFiles.map(_._2).sum
       case ('c', n) =>
         statFiles.map(f => f._2 - f._3(n).nulls).sum
+      case ('s', n) =>
+        val sums = statFiles.flatMap(_._3(n).sum).map(BigDecimal(_))
+        if (sums.isEmpty) null
+        else {
+          val total = sums.foldLeft(BigDecimal(0))(_ + _)
+          partialType('s', n) match {
+            case LongType =>
+              if (total.isValidLong) java.lang.Long.valueOf(total.toLong)
+              else return None // can't carry the partial exactly: decline
+            case d: org.apache.spark.sql.types.DecimalType =>
+              val dec = org.apache.spark.sql.types.Decimal(total)
+              if (dec.changePrecision(d.precision, d.scale)) dec
+              else return None
+            case _ => return None
+          }
+        }
       case (k, n) =>
         val dt = m.schema(n).dataType
         val bs = statFiles.flatMap(f =>
@@ -200,8 +243,7 @@ class HybridMetaAggRule extends Rule[LogicalPlan] {
         else bs.maxBy(v => BigDecimal(v.toString))
     }
     val partialAttrs = kinds.zip(partialNames).map { case ((k, n), pn) =>
-      AttributeReference(pn,
-        if (k == 'c') LongType else m.schema(n).dataType)()
+      AttributeReference(pn, partialType(k, n))()
     }
     val statsDF = DatasetBridge.ofRows(store.spark, LocalRelation(
       partialAttrs, Seq(InternalRow.fromSeq(partialVals))))
@@ -220,6 +262,11 @@ class HybridMetaAggRule extends Rule[LogicalPlan] {
           case (('c', ""), pn) => fcount(lit(1)).as(pn)
           case (('c', n), pn) => fcount(byName(n)).as(pn)
           case (('n', n), pn) => fmin(byName(n)).as(pn)
+          case (('s', n), pn) =>
+            // cast BEFORE summing so the straddler partial lands in the
+            // same exact domain as the stats-side partial column
+            fsum(byName(n).cast(partialType('s', n))).cast(partialType('s', n))
+              .as(pn)
           case ((_, n), pn) => fmax(byName(n)).as(pn)
         }
         store.readFiles(m, scanFiles).filter(cond)
@@ -232,6 +279,13 @@ class HybridMetaAggRule extends Rule[LogicalPlan] {
           .as(s"_g_out_$i")
       case ((('n', _), pn), i) =>
         fmin(ColumnBridge.column(UnresolvedAttribute.quoted(pn)))
+          .as(s"_g_out_$i")
+      case ((('s', n), pn), i) =>
+        // merged exact partials cast to the query's SUM result type —
+        // a total that does not fit lands exactly where the scan's own
+        // sum would (NULL / ANSI error), never a silently-wrong value
+        fsum(ColumnBridge.column(UnresolvedAttribute.quoted(pn)))
+          .cast(FileStats.sumResultType(m.schema(n).dataType))
           .as(s"_g_out_$i")
       case (((_, _), pn), i) =>
         fmax(ColumnBridge.column(UnresolvedAttribute.quoted(pn)))

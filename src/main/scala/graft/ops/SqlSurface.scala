@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{col, lit, when}
 
 import graft.Tables.load
 import graft.catalog.GraftCatalog
@@ -310,6 +310,113 @@ object SqlSurface {
       s"sharded filtered aggregate not served from metadata:\n$plan")
     require(!plan.contains("Parquet"),
       "sharded filtered manifest aggregate must not scan files")
+    out
+  }
+
+  /** METADATA-SERVED SUM (`sql_agg_metadata_sum`, r14): footer stats carry
+    * COUNT/MIN/MAX but no sums, so `SUM(col)` always paid a full scan —
+    * `CALL analyze_table` records per-file EXACT column sums in the
+    * manifest ([[graft.store.TableStore.analyze]], one bounded incremental
+    * pass) and the dashboard totals query then plans ZERO data files. The
+    * fixture sums a LONG column with planted NULLs (sum skips them) and an
+    * exact DECIMAL column; the require()s pin the zero-scan plan. */
+  private val sqlAggMetadataSum: Q = (s, d) => {
+    val cat = catalogFor(s, d)
+    val wh = warehouseFor(d)
+    val store = new TableStore(s, s"$wh/analytics/orders_sum")
+    if (store.currentVersion() < 0) {
+      val base = load(s, d, "orders").select(col("o_orderkey"),
+        when(col("o_custkey") % 7 === 0, lit(null))
+          .otherwise(col("o_custkey")).as("cust_n"),
+        (col("o_orderkey") % 1000).cast("decimal(10,2)").as("price"))
+      store.commitSnapshot(base.filter(col("o_orderkey") % 2 === 0)
+        .coalesce(1))
+      store.commitAppend(base.filter(col("o_orderkey") % 2 === 1)
+        .coalesce(1))
+      s.sql(s"CALL $cat.system.analyze_table('analytics.orders_sum')")
+    }
+    s.catalog.refreshTable(s"$cat.analytics.orders_sum")
+    val out = s.sql(
+      s"""SELECT COUNT(*) AS n_rows, SUM(cust_n) AS sum_cust,
+         |  SUM(price) AS sum_price
+         |FROM $cat.analytics.orders_sum""".stripMargin)
+    val plan = out.queryExecution.executedPlan.toString
+    require(plan.contains("graft-manifest-agg") || plan.contains("LocalTableScan"),
+      s"SUM not served from analyzed manifest stats:\n$plan")
+    require(!plan.contains("Parquet"), "metadata SUM must not scan files")
+    out
+  }
+
+  /** [[sqlAggMetadataSum]] on the SHARDED metadata tier: per-file sums
+    * ride the shard rows, analyze merges them in ONE distributed shard
+    * rewrite, and the unfiltered serve aggregates them in one bounded
+    * sweep ([[graft.store.TableStore.analyzedSums]] — driver residue is
+    * O(#partitions × #columns) partial strings, never per-file rows). */
+  private val sqlAggMetadataSumSharded: Q = (s, d) => {
+    val cat = catalogFor(s, d)
+    val wh = warehouseFor(d)
+    val store = new TableStore(s, s"$wh/analytics/orders_sum_s")
+    if (store.currentVersion() < 0) {
+      s.conf.set("spark.graft.manifest.inlineThreshold", "2")
+      try {
+        val base = load(s, d, "orders").select(col("o_orderkey"),
+          when(col("o_custkey") % 7 === 0, lit(null))
+            .otherwise(col("o_custkey")).as("cust_n"),
+          (col("o_orderkey") % 1000).cast("decimal(10,2)").as("price"))
+        store.commitSnapshot(base.filter(col("o_orderkey") % 4 === 0)
+          .coalesce(1))
+        (1 to 3).foreach(i => store.commitAppend(
+          base.filter(col("o_orderkey") % 4 === i).coalesce(1)))
+        s.sql(s"CALL $cat.system.analyze_table('analytics.orders_sum_s')")
+        require(store.manifest(store.currentVersion()).isSharded,
+          "fixture error: the table must sit on the sharded tier")
+      } finally s.conf.unset("spark.graft.manifest.inlineThreshold")
+    }
+    s.catalog.refreshTable(s"$cat.analytics.orders_sum_s")
+    val out = s.sql(
+      s"""SELECT COUNT(*) AS n_rows, SUM(cust_n) AS sum_cust,
+         |  SUM(price) AS sum_price
+         |FROM $cat.analytics.orders_sum_s""".stripMargin)
+    val plan = out.queryExecution.executedPlan.toString
+    require(plan.contains("graft-manifest-agg") || plan.contains("LocalTableScan"),
+      s"sharded SUM not served from analyzed stats:\n$plan")
+    require(!plan.contains("Parquet"), "metadata SUM must not scan files")
+    out
+  }
+
+  /** FILTERED SUM through the hybrid serve (`sql_agg_metadata_sum_hybrid`,
+    * r14): `SUM … WHERE <range>` with a straddling file — analyzed sums
+    * answer the provably all-match files, the one straddler is scanned
+    * with the predicate re-applied row-exact, and the two-level merge
+    * combines them ([[graft.catalog.HybridMetaAggRule]] 's' kind). */
+  private val sqlAggMetadataSumHybrid: Q = (s, d) => {
+    val cat = catalogFor(s, d)
+    val wh = warehouseFor(d)
+    val store = new TableStore(s, s"$wh/analytics/orders_sum_h")
+    if (store.currentVersion() < 0) {
+      val base = load(s, d, "orders").select(col("o_orderkey"),
+        when(col("o_custkey") % 7 === 0, lit(null))
+          .otherwise(col("o_custkey")).as("cust_n"),
+        (col("o_orderkey") % 1000).cast("decimal(10,2)").as("price"),
+        (col("o_orderkey") % 8).as("seg8"))
+      store.commitSnapshot(base.filter(col("seg8") <= 1).coalesce(1))
+      Seq((2, 3), (4, 5), (6, 7)).foreach { case (a, b) =>
+        store.commitAppend(
+          base.filter(col("seg8") >= a && col("seg8") <= b).coalesce(1))
+      }
+      s.sql(s"CALL $cat.system.analyze_table('analytics.orders_sum_h')")
+    }
+    s.catalog.refreshTable(s"$cat.analytics.orders_sum_h")
+    val out = s.sql(
+      s"""SELECT COUNT(*) AS n_rows, SUM(cust_n) AS sum_cust,
+         |  SUM(price) AS sum_price
+         |FROM $cat.analytics.orders_sum_h WHERE seg8 <= 2""".stripMargin)
+    require(graft.catalog.HybridMetaAgg.served(out),
+      s"straddled filtered SUM must take the hybrid serve:\n" +
+        s"${out.queryExecution.optimizedPlan}")
+    require(out.inputFiles.length == 1,
+      s"the hybrid SUM must scan ONLY the straddler file, " +
+        s"planned ${out.inputFiles.length}")
     out
   }
 
@@ -1544,6 +1651,9 @@ object SqlSurface {
     "sql_agg_metadata_where_sharded" -> sqlAggMetadataWhereSharded,
     "sql_agg_metadata_where_hybrid" -> sqlAggMetadataWhereHybrid,
     "sql_agg_metadata_where_hybrid_sharded" -> sqlAggMetadataWhereHybridSharded,
+    "sql_agg_metadata_sum" -> sqlAggMetadataSum,
+    "sql_agg_metadata_sum_sharded" -> sqlAggMetadataSumSharded,
+    "sql_agg_metadata_sum_hybrid" -> sqlAggMetadataSumHybrid,
     "sql_topk_pushdown" -> sqlTopkPushdown,
     "sql_delete_mor" -> sqlDeleteMor,
     "sql_delete_eq" -> sqlDeleteEq,
@@ -1893,6 +2003,30 @@ object SqlSurface {
       """SELECT COUNT(*) AS n_rows, COUNT(o_custkey) AS n_cust,
         |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
         |FROM orders WHERE o_orderkey % 8 <= 4""".stripMargin,
+
+    "sql_agg_metadata_sum" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN o_custkey % 7 = 0 THEN NULL
+        |                ELSE o_custkey END) AS BIGINT) AS sum_cust,
+        |  CAST(SUM(CAST(o_orderkey % 1000 AS DECIMAL(10,2)))
+        |    AS DECIMAL(20,2)) AS sum_price
+        |FROM orders""".stripMargin,
+
+    "sql_agg_metadata_sum_sharded" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN o_custkey % 7 = 0 THEN NULL
+        |                ELSE o_custkey END) AS BIGINT) AS sum_cust,
+        |  CAST(SUM(CAST(o_orderkey % 1000 AS DECIMAL(10,2)))
+        |    AS DECIMAL(20,2)) AS sum_price
+        |FROM orders""".stripMargin,
+
+    "sql_agg_metadata_sum_hybrid" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN o_custkey % 7 = 0 THEN NULL
+        |                ELSE o_custkey END) AS BIGINT) AS sum_cust,
+        |  CAST(SUM(CAST(o_orderkey % 1000 AS DECIMAL(10,2)))
+        |    AS DECIMAL(20,2)) AS sum_price
+        |FROM orders WHERE o_orderkey % 8 <= 2""".stripMargin,
 
     "sql_topk_pushdown" ->
       """SELECT o_orderkey, o_custkey FROM orders

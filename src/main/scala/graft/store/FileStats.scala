@@ -36,8 +36,17 @@ object FileStats {
 
   /** Bounds + null count for one column of one file. `min`/`max` are encoded
     * as strings (numeric `toString` / raw UTF-8), re-typed against the table
-    * schema at prune time; absent when the footer had no usable bounds. */
-  final case class ColStat(min: Option[String], max: Option[String], nulls: Long)
+    * schema at prune time; absent when the footer had no usable bounds.
+    *
+    * `sum` (round 14) is the EXACT column sum over the file's non-null
+    * rows — a plain decimal string, absent until [[graft.store.TableStore
+    * .analyze]] computes it (footers don't carry sums, so it costs one
+    * read of the file, paid once: files are immutable and the value rides
+    * manifest inheritance through compaction/append/DV commits for free).
+    * With every candidate file carrying one, `SUM(col)` answers from
+    * metadata like COUNT/MIN/MAX. Recorded only for [[sumExact]] types. */
+  final case class ColStat(min: Option[String], max: Option[String],
+      nulls: Long, sum: Option[String] = None)
 
   /** Footer-level metadata for one data file. `bytes`/`modTime` let the scan
     * build `FileStatus`es without re-listing the filesystem. */
@@ -53,6 +62,24 @@ object FileStats {
     case ByteType | ShortType | IntegerType | LongType | DateType |
          TimestampType | TimestampNTZType | _: DecimalType => true
     case _ => false
+  }
+
+  /** Types whose column SUM a metadata-served aggregate may answer from
+    * per-file analyzed sums: exact integer/decimal arithmetic only.
+    * Floats/doubles are refused — FP addition is order-dependent, so a
+    * stats-merged sum could differ from the scan's in the last ulp. */
+  def sumExact(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | _: DecimalType =>
+      true
+    case _ => false
+  }
+
+  /** Spark's SUM result type for a [[sumExact]] input column (integrals
+    * widen to LONG; decimals gain 10 digits of headroom, capped at 38). */
+  def sumResultType(dt: DataType): DataType = dt match {
+    case d: DecimalType =>
+      DecimalType(math.min(38, d.precision + 10), d.scale)
+    case _ => LongType
   }
 
   /** Parse a recorded bound back into the Catalyst-INTERNAL value for
@@ -469,7 +496,8 @@ object FileStats {
     cols.map { case (c, cs) =>
       val mn = cs.min.map(v => s""""min":${js(v)},""").getOrElse("")
       val mx = cs.max.map(v => s""""max":${js(v)},""").getOrElse("")
-      s"""${js(c)}:{$mn$mx"nulls":${cs.nulls}}"""
+      val sm = cs.sum.map(v => s""""sum":${js(v)},""").getOrElse("")
+      s"""${js(c)}:{$mn$mx$sm"nulls":${cs.nulls}}"""
     }.mkString("{", ",", "}")
 
   def colsFromJson(s: String): Map[String, ColStat] = {
@@ -481,7 +509,8 @@ object FileStats {
         c -> ColStat(
           (cv \ "min").extractOpt[String],
           (cv \ "max").extractOpt[String],
-          (cv \ "nulls").extract[Long])
+          (cv \ "nulls").extract[Long],
+          (cv \ "sum").extractOpt[String])
       }.toMap
       case _ => Map.empty
     }
@@ -502,7 +531,8 @@ object FileStats {
             c -> ColStat(
               (cv \ "min").extractOpt[String],
               (cv \ "max").extractOpt[String],
-              (cv \ "nulls").extract[Long])
+              (cv \ "nulls").extract[Long],
+              (cv \ "sum").extractOpt[String])
           }.toMap
           case _ => Map.empty[String, ColStat]
         }

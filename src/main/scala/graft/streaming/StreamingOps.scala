@@ -221,7 +221,13 @@ object StreamingOps {
       maxDvFiles: Int = 8,
       refreshIndexes: Boolean = true,
       refreshAggs: Boolean = true,
-      branchMaxAgeMs: Long = 0L)
+      branchMaxAgeMs: Long = 0L,
+      /** Some(cols) keeps per-file SUM stats fresh on the cadence
+        * ([[graft.store.TableStore.analyze]] — Some(Nil) = every
+        * exact-summable column); only files the span added pay a read,
+        * and the content-preserving commit replays as a watermark-only
+        * advance through every derivative. None (default) = off. */
+      analyzeCols: Option[Seq[String]] = None)
 
   /** One maintenance pass (shared by the stream loop and direct callers). */
   def maintain(store: TableStore, policy: CdcMaintenance): Unit = {
@@ -260,6 +266,14 @@ object StreamingOps {
         store.commitIncremental(content, fat, expectedParent = Some(cur))
       }
     }
+    // SUM-stats analysis rides the cadence right after the hygiene
+    // rewrites (compaction just minted new files; analyzing here means the
+    // pass ends with every file carrying sums) and before the derivative
+    // refreshes (the analyze commit is content-preserving, so they replay
+    // it as a watermark-only advance). Branch views skip — analyze is a
+    // main-store op by contract.
+    if (store.branch.isEmpty)
+      policy.analyzeCols.foreach(cols => store.analyze(cols))
     // Derivative refreshes run AFTER the hygiene rewrites above (whose
     // content-preserving commits replay as watermark-only advances, so the
     // derivatives end the pass FRESH against the final head) and BEFORE

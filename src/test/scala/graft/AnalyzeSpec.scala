@@ -1,0 +1,220 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.catalog.GraftCatalog
+import graft.store.TableStore
+import graft.streaming.StreamingOps
+
+/** ANALYZE — per-file exact column sums (round 14): footer stats carry
+  * COUNT/MIN/MAX but no sums, so `SUM(col)` always paid a full scan.
+  * [[TableStore.analyze]] records the sums in the manifest stats with one
+  * bounded incremental pass; the scan builder then serves metadata `SUM`
+  * like COUNT/MIN/MAX, the hybrid rule merges analyzed sums with a
+  * straddler scan, and everything declines (never lies) when any file
+  * lacks proof. */
+class AnalyzeSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val warehouse = {
+    val w = Files.createTempDirectory("graft_analyze").toString
+    spark.conf.set("spark.sql.catalog.an_cat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.an_cat.warehouse", w)
+    w
+  }
+
+  /** (k LONG, n LONG nullable, price DECIMAL(10,2)) rows; n NULL when
+    * k % 7 == 0 — SUM must skip them on both routes. */
+  private def rows(from: Long, to: Long) =
+    (from to to).map { k =>
+      (k, if (k % 7 == 0) None else Some(k * 3), k % 100)
+    }.toDF("k", "n", "p0")
+      .withColumn("price", col("p0").cast("decimal(10,2)")).drop("p0")
+
+  private def decEq(got: java.math.BigDecimal, want: BigDecimal): Boolean =
+    got.compareTo(want.bigDecimal) == 0
+
+  private def zeroScan(df: org.apache.spark.sql.DataFrame): Boolean = {
+    val plan = df.queryExecution.executedPlan.toString
+    (plan.contains("graft-manifest-agg") || plan.contains("LocalTableScan")) &&
+      !plan.contains("Parquet")
+  }
+
+  test("inline tier: analyze records sums; SUM serves zero-scan and exact " +
+      "(NULLs skipped, decimal exact), and a commit-without-analyze declines") {
+    val store = new TableStore(spark, s"$warehouse/analytics/an_inline")
+    store.commitSnapshot(rows(1, 400).coalesce(1))
+    store.commitAppend(rows(401, 700).coalesce(1))
+    val v = store.analyze()
+    assert(v == store.currentVersion() && v == 2L,
+      s"analyze must commit the next version, got $v")
+    // the commit is content-preserving metadata: same file list
+    assert(store.manifest(v).inlineFiles.toSet ==
+      store.manifest(v - 1).inlineFiles.toSet)
+    assert(store.manifest(v).props.get(TableStore.ContentPreservingProp)
+      .contains("true"))
+    spark.catalog.refreshTable("an_cat.analytics.an_inline")
+    val q = "SELECT COUNT(*) AS c, SUM(n) AS sn, SUM(price) AS sp " +
+      "FROM an_cat.analytics.an_inline"
+    val served = spark.sql(q)
+    assert(zeroScan(served), s"SUM must serve from analyzed stats:\n" +
+      served.queryExecution.executedPlan)
+    val r = served.collect().head
+    val expN = (1L to 700L).filter(_ % 7 != 0).map(_ * 3).sum
+    val expP = BigDecimal((1L to 700L).map(_ % 100).sum).setScale(2)
+    assert(r.getLong(0) == 700 && r.getLong(1) == expN &&
+      decEq(r.getDecimal(2), expP))
+    // a new un-analyzed file breaks the proof: the serve must DECLINE to a
+    // scan (still exact), never serve a stale/partial total
+    store.commitAppend(rows(701, 720).coalesce(1))
+    spark.catalog.refreshTable("an_cat.analytics.an_inline")
+    val declined = spark.sql(q)
+    assert(!zeroScan(declined),
+      "an un-analyzed file must decline the metadata SUM")
+    assert(declined.collect().head.getLong(0) == 720)
+  }
+
+  test("incremental: the second analyze reads ONLY the new file") {
+    val store = new TableStore(spark, s"$warehouse/analytics/an_incr")
+    store.commitSnapshot(rows(1, 500).coalesce(1))
+    store.analyze()
+    store.commitAppend(rows(501, 540).coalesce(1))
+    val read = new java.util.concurrent.atomic.AtomicLong()
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          read.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      store.analyze()
+      Thread.sleep(2000)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(read.get() < 500,
+      s"incremental analyze re-read the corpus: ${read.get()} records " +
+        "(only the 40-row appended file should pay)")
+    // and the enriched stats really cover every file now
+    val m = store.manifest(store.currentVersion())
+    assert(m.inlineFiles.forall(f =>
+      m.inlineStats(f).cols("n").sum.isDefined))
+    // nothing needy -> analyze is a no-op, no empty commit
+    val cur = store.currentVersion()
+    assert(store.analyze() == cur)
+  }
+
+  test("all-null column sums to NULL; float columns refuse analysis") {
+    val store = new TableStore(spark, s"$warehouse/analytics/an_null")
+    store.commitSnapshot(
+      (1L to 50L).map(k => (k, None: Option[Long], k.toDouble))
+        .toDF("k", "empty", "f").coalesce(1))
+    store.analyze(Seq("k", "empty"))
+    spark.catalog.refreshTable("an_cat.analytics.an_null")
+    val served = spark.sql(
+      "SELECT SUM(empty) AS se, SUM(k) AS sk FROM an_cat.analytics.an_null")
+    assert(zeroScan(served))
+    val r = served.collect().head
+    assert(r.isNullAt(0) && r.getLong(1) == (1L to 50L).sum)
+    intercept[IllegalArgumentException] { store.analyze(Seq("f")) }
+    intercept[IllegalArgumentException] { store.analyze(Seq("nope")) }
+  }
+
+  test("delete vectors mask rows the sums still count: SUM declines under " +
+      "DVs and stays exact through the scan") {
+    val store = new TableStore(spark, s"$warehouse/analytics/an_dv")
+    store.commitBucketed(rows(1, 300), Seq("k"), 4)
+    store.analyze()
+    spark.catalog.refreshTable("an_cat.analytics.an_dv")
+    val q = "SELECT SUM(n) AS sn FROM an_cat.analytics.an_dv"
+    assert(zeroScan(spark.sql(q)))
+    store.deleteMor(col("k") <= 10)
+    spark.catalog.refreshTable("an_cat.analytics.an_dv")
+    val masked = spark.sql(q)
+    assert(!zeroScan(masked), "a DV'd snapshot must decline the metadata SUM")
+    assert(masked.collect().head.getLong(0) ==
+      (11L to 300L).filter(_ % 7 != 0).map(_ * 3).sum)
+  }
+
+  test("sharded tier: analyze merges sums in one distributed shard " +
+      "rewrite; the unfiltered serve sweeps them with zero data-file I/O") {
+    val store = new TableStore(spark, s"$warehouse/analytics/an_shard")
+    spark.conf.set("spark.graft.manifest.inlineThreshold", "2")
+    try {
+      store.commitSnapshot(rows(1, 200).coalesce(1))
+      (1 to 3).foreach(i =>
+        store.commitAppend(rows(i * 200 + 1, i * 200 + 200).coalesce(1)))
+      assert(store.manifest(store.currentVersion()).isSharded,
+        "fixture error: the table must sit on the sharded tier")
+      store.analyze()
+      assert(store.manifest(store.currentVersion()).isSharded,
+        "analyze must keep the metadata tier")
+    } finally spark.conf.unset("spark.graft.manifest.inlineThreshold")
+    spark.catalog.refreshTable("an_cat.analytics.an_shard")
+    val served = spark.sql(
+      "SELECT COUNT(*) AS c, SUM(n) AS sn, SUM(price) AS sp " +
+        "FROM an_cat.analytics.an_shard")
+    assert(zeroScan(served), s"sharded SUM must serve from analyzed stats:\n" +
+      served.queryExecution.executedPlan)
+    val r = served.collect().head
+    assert(r.getLong(0) == 800 &&
+      r.getLong(1) == (1L to 800L).filter(_ % 7 != 0).map(_ * 3).sum &&
+      decEq(r.getDecimal(2),
+        BigDecimal((1L to 800L).map(_ % 100).sum).setScale(2)))
+  }
+
+  test("hybrid filtered SUM: declines before analyze, then serves with " +
+      "only the straddler scanned") {
+    val store = new TableStore(spark, s"$warehouse/analytics/an_hybrid")
+    val base = rows(1, 800).withColumn("seg", col("k") % 8)
+    store.commitSnapshot(base.filter(col("seg") <= 1).coalesce(1))
+    Seq((2, 3), (4, 5), (6, 7)).foreach { case (a, b) =>
+      store.commitAppend(
+        base.filter(col("seg") >= a && col("seg") <= b).coalesce(1))
+    }
+    spark.catalog.refreshTable("an_cat.analytics.an_hybrid")
+    val q = "SELECT COUNT(*) AS c, SUM(n) AS sn, SUM(price) AS sp " +
+      "FROM an_cat.analytics.an_hybrid WHERE seg <= 2"
+    val before = spark.sql(q)
+    assert(!graft.catalog.HybridMetaAgg.served(before),
+      "without analyzed sums the hybrid SUM must decline")
+    store.analyze()
+    spark.catalog.refreshTable("an_cat.analytics.an_hybrid")
+    val after = spark.sql(q)
+    assert(graft.catalog.HybridMetaAgg.served(after),
+      s"analyzed straddled SUM must take the hybrid serve:\n" +
+        after.queryExecution.optimizedPlan)
+    assert(after.inputFiles.length == 1,
+      s"only the straddler file may scan, got ${after.inputFiles.length}")
+    val ks = (1L to 800L).filter(_ % 8 <= 2)
+    val r = after.collect().head
+    assert(r.getLong(0) == ks.size &&
+      r.getLong(1) == ks.filter(_ % 7 != 0).map(_ * 3).sum &&
+      decEq(r.getDecimal(2),
+        BigDecimal(ks.map(_ % 100).sum).setScale(2)))
+  }
+
+  test("the maintenance cadence keeps sums fresh (analyzeCols policy): " +
+      "compaction's fresh files re-analyze in the same pass") {
+    val store = new TableStore(spark, s"$warehouse/analytics/an_maint")
+    store.commitBucketed(rows(1, 300), Seq("k"), 4)
+    store.analyze()
+    // churn + hygiene: the upsert adds files, compact rewrites buckets —
+    // both mint sum-less files; the cadence analyze restores the proof
+    store.upsertEq((301L to 320L).map(k => (k, Some(k * 3), k % 100, "PUT"))
+      .toDF("k", "n", "p0", "op")
+      .withColumn("price", col("p0").cast("decimal(10,2)"))
+      .select("k", "n", "price", "op"))
+    StreamingOps.maintain(store, StreamingOps.CdcMaintenance(
+      maxFilesPerBucket = 1, maxDvFiles = 0, analyzeCols = Some(Nil)))
+    spark.catalog.refreshTable("an_cat.analytics.an_maint")
+    val served = spark.sql(
+      "SELECT SUM(n) AS sn FROM an_cat.analytics.an_maint")
+    assert(zeroScan(served),
+      s"the cadence must leave every file analyzed:\n" +
+        served.queryExecution.executedPlan)
+    assert(served.collect().head.getLong(0) ==
+      (1L to 320L).filter(k => k % 7 != 0 || k > 300).map(_ * 3).sum)
+  }
+}
