@@ -2,7 +2,7 @@ package graft.catalog
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, Literal, PlanExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, ExprId, Literal, PlanExpression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -12,30 +12,43 @@ import org.apache.spark.sql.types.LongType
 
 import graft.store.FileStats
 
-/** HYBRID metadata-served filtered aggregates (VERDICT r13 next #2).
+/** HYBRID metadata-served aggregates (VERDICT r13 next #2; GROUP BY r14).
   *
-  * `SELECT COUNT(*)/COUNT(c)/MIN(c)/MAX(c) FROM t WHERE <pred>` answers
-  * with ZERO data-file I/O when every candidate file is provably all-match
-  * (the scan builder's exact pushdown + [[graft.catalog.GraftCatalog]]
-  * `pushAggregation`). That serve was ALL-OR-NOTHING: one file straddling
-  * the predicate dropped the whole query to a full residual scan — and an
-  * arbitrary range on a real data layout almost always straddles one file.
+  * `SELECT COUNT(*)/COUNT(c)/MIN(c)/MAX(c)/SUM(c) FROM t WHERE <pred>`
+  * answers with ZERO data-file I/O when every candidate file is provably
+  * all-match (the scan builder's exact pushdown + [[graft.catalog
+  * .GraftCatalog]] `pushAggregation`). That serve was ALL-OR-NOTHING: one
+  * file straddling the predicate dropped the whole query to a full
+  * residual scan — and an arbitrary range on a real data layout almost
+  * always straddles one file.
   *
   * This rule is the standard engine hybrid: footer stats answer the
   * all-match files, a scan reads ONLY the straddlers (with the predicate
   * re-applied exactly, row by row), and a two-level merge combines them —
-  * COUNT as a sum of partial counts, MIN/MAX over partial extrema. At
-  * 100 TB a range predicate straddles O(1) boundary files per sorted run,
-  * so the scan side is a handful of files where the all-or-nothing path
-  * read millions.
+  * COUNT/SUM as sums of partial counts/sums, MIN/MAX over partial extrema.
+  * At 100 TB a range predicate straddles O(1) boundary files per sorted
+  * run, so the scan side is a handful of files where the all-or-nothing
+  * path read millions.
+  *
+  * GROUP BY (r14): grouping by bare columns serves too, when a file's
+  * stats PROVE its group key — every grouping column per-file CONSTANT
+  * (min == max, null-free; or provably all-NULL → the SQL NULL group).
+  * That is the date/tenant-chunked ingest layout, where `SELECT day,
+  * COUNT(*), SUM(x) … GROUP BY day` is the standing dashboard query: each
+  * proven file contributes one (group key, partials) row from metadata,
+  * group-straddling files scan, and the final re-aggregation merges both
+  * sides at O(#files + #groups) rows — never the table. Unfiltered
+  * GROUP BY qualifies (the global unfiltered case stays with
+  * `pushAggregation`, which serves it without this rule's re-aggregation).
   *
   * Soundness gates (all must hold, else the plan is untouched):
-  *  - global aggregate (no GROUP BY), every aggregate one of
-  *    COUNT(*)/COUNT(col) (non-DISTINCT, no FILTER clause)/MIN/MAX over a
-  *    bare column whose type orders exactly in footer bounds
-  *    ([[FileStats.minMaxExact]] — strings/floats refuse), or (r14)
-  *    SUM over a [[FileStats.sumExact]] column whose all-match files all
-  *    carry ANALYZED sums ([[graft.store.TableStore.analyze]]);
+  *  - every aggregate one of COUNT(*)/COUNT(col) (non-DISTINCT, no FILTER
+  *    clause)/MIN/MAX over a bare column whose type orders exactly in
+  *    footer bounds ([[FileStats.minMaxExact]] — strings/floats refuse),
+  *    or SUM over a [[FileStats.sumExact]] column whose stats-served
+  *    files all carry ANALYZED sums ([[graft.store.TableStore.analyze]]);
+  *  - grouping expressions (if any) are bare [[FileStats.minMaxExact]]
+  *    base columns;
   *  - the child peels to a main-store DSv2 graft snapshot scan through
   *    deterministic subquery-free Filters/Projects only
   *    ([[AggViewRewrite.peelScan]], which also screens out scans whose
@@ -44,23 +57,24 @@ import graft.store.FileStats
   *  - no delete vectors (footer stats count masked rows);
   *  - file classification is CONSERVATIVE: a file whose stats cannot
   *    prove all-match ([[FileStats.mustMatch]] refuses strings, floats,
-  *    null-tainted predicates, …) or that lacks a needed bound is simply
-  *    scanned — never served from stats.
+  *    null-tainted predicates, …), whose group key is unproven, or that
+  *    lacks a needed bound/sum is simply scanned — never served.
   *
   * The classification is driver-side free on the inline tier and ONE
   * distributed metadata sweep on the sharded tier
   * ([[graft.store.TableStore.hybridMatchMeta]] — the same sweep the scan
   * builder runs for exact pushdown, whose per-file verdicts a straddler
-  * used to discard). All-match empty (nothing provable) declines — the
-  * ordinary scan is already the right plan. Kill switch:
-  * `spark.graft.agg.metadata.hybrid=false`. */
+  * used to discard); the stats side materializes O(proven files) tiny
+  * rows on the driver, bounded by `spark.graft.exact.maxFiles`. All-match
+  * empty (nothing provable) declines — the ordinary scan is already the
+  * right plan. Kill switch: `spark.graft.agg.metadata.hybrid=false`. */
 class HybridMetaAggRule extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString("spark.graft.agg.metadata.hybrid", "true")
         .toBoolean) return plan
     plan.transformUp {
-      case agg: Aggregate if agg.groupingExpressions.isEmpty =>
+      case agg: Aggregate =>
         try rewrite(agg).getOrElse(agg)
         catch { case e: Exception =>
           logWarning(s"hybrid metadata aggregate declined on error: $e")
@@ -74,9 +88,16 @@ class HybridMetaAggRule extends Rule[LogicalPlan] {
       case Some(x) => x
       case None => return None
     }
-    // unfiltered (or exactly-decidable, already consumed) aggregates are
-    // pushAggregation's zero-I/O serve — nothing to hybridize
-    if (conds.isEmpty) return None
+    // grouping must be bare exact-typed base columns (after the inlining
+    // peelScan already did); anything else declines
+    val groupCols: Seq[AttributeReference] = agg.groupingExpressions.map {
+      case ar: AttributeReference if FileStats.minMaxExact(ar.dataType) => ar
+      case _ => return None
+    }
+    // a global unfiltered (or exactly-consumed) aggregate is
+    // pushAggregation's zero-I/O serve — nothing to hybridize; an
+    // unfiltered GROUP BY is ours (pushAggregation declines GROUP BY)
+    if (conds.isEmpty && groupCols.isEmpty) return None
     val table = rel.relation.table match {
       case t: SnapshotTable => t
       case _ => return None
@@ -87,9 +108,11 @@ class HybridMetaAggRule extends Rule[LogicalPlan] {
     if (m.hasDeletes) return None
     val baseCols = m.schema.fieldNames.toSet
     if (!rel.scan.readSchema().fieldNames.forall(baseCols)) return None
-    // conditions must re-anchor by NAME onto the straddler read
-    if (!conds.forall(_.references.forall(r =>
+    // conditions and grouping refs must re-anchor by NAME onto the
+    // straddler read
+    if (!(conds ++ groupCols).forall(_.references.forall(r =>
       rel.output.exists(_.exprId == r.exprId)))) return None
+    if (!groupCols.forall(g => baseCols.contains(g.name))) return None
 
     // ---- aggregate coverage --------------------------------------------
     val aggExprs = scala.collection.mutable.ArrayBuffer.empty[AggregateExpression]
@@ -112,9 +135,9 @@ class HybridMetaAggRule extends Rule[LogicalPlan] {
         case Max(ar: AttributeReference)
             if baseCols.contains(ar.name) &&
               FileStats.minMaxExact(ar.dataType) => ('x', ar.name)
-        // SUM (r14): served from per-file ANALYZED sums for the all-match
-        // files ([[graft.store.TableStore.analyze]]); any evalMode is
-        // sound — an unfitting stats-side partial declines below, so
+        // SUM (r14): served from per-file ANALYZED sums for the stats-
+        // served files ([[graft.store.TableStore.analyze]]); any evalMode
+        // is sound — an unfitting stats-side partial declines below, so
         // overflow semantics stay the scan's own
         case s: Sum if s.child.isInstanceOf[AttributeReference] && {
           val ar = s.child.asInstanceOf[AttributeReference]
@@ -123,8 +146,8 @@ class HybridMetaAggRule extends Rule[LogicalPlan] {
         case _ => return None
       }
     }
-    // outputs must hang entirely off the covered aggregates (no bare base
-    // attributes survive a global aggregate anyway; subqueries decline)
+    // outputs must hang entirely off the covered aggregates and grouping
+    // columns (subqueries decline)
     if (agg.aggregateExpressions.exists(_.find(e =>
       e.isInstanceOf[PlanExpression[_]]).isDefined)) return None
 
@@ -178,10 +201,17 @@ class HybridMetaAggRule extends Rule[LogicalPlan] {
       }
     if (allMatch0.isEmpty) return None // nothing provable: scan is right
 
-    // a kept file missing a needed bound moves to the scan side — stats
-    // only ever serve what they can prove
+    // a kept file missing a needed bound/sum — or (GROUP BY) whose group
+    // key its stats cannot PROVE (constant and null-free, or provably
+    // all-NULL) — moves to the scan side: stats only ever serve proof
+    def groupProvable(meta: (String, Long, Map[String, FileStats.ColStat]))
+        : Boolean = groupCols.forall { g =>
+      meta._3.get(g.name).exists(c =>
+        (c.nulls == 0 && c.min.isDefined && c.min == c.max) ||
+          c.nulls == meta._2)
+    }
     def statsServable(meta: (String, Long, Map[String, FileStats.ColStat]))
-        : Boolean = kinds.forall {
+        : Boolean = groupProvable(meta) && kinds.forall {
       case ('c', "") => true
       case ('c', n) => meta._3.contains(n)
       case ('n', n) =>
@@ -196,12 +226,11 @@ class HybridMetaAggRule extends Rule[LogicalPlan] {
     if (statFiles.isEmpty) return None
     val scanFiles = (straddle0 ++ moved.map(_._1)).sorted
 
-    // ---- stats-side partial row ----------------------------------------
+    // ---- stats-side partial rows (one per proven file) ------------------
     // partial column type per kind: counts are LONG; sums accumulate in
     // the exact domain (LONG for integrals — an unfitting stats-side
-    // partial declines below; DECIMAL(38, s) for decimals) and cast to
-    // the query's SUM result type at the merge; min/max ride the column
-    // type itself
+    // partial declines; DECIMAL(38, s) for decimals) and cast to the
+    // query's SUM result type at the merge; min/max ride the column type
     def partialType(k: Char, n: String): org.apache.spark.sql.types.DataType =
       k match {
         case 'c' => LongType
@@ -212,52 +241,60 @@ class HybridMetaAggRule extends Rule[LogicalPlan] {
         }
         case _ => m.schema(n).dataType
       }
+    val groupNames = groupCols.indices.map(i => s"_g_gk_$i")
     val partialNames = kinds.indices.map(i => s"_g_pc_$i")
-    val partialVals: Seq[Any] = kinds.map {
-      case ('c', "") => statFiles.map(_._2).sum
-      case ('c', n) =>
-        statFiles.map(f => f._2 - f._3(n).nulls).sum
-      case ('s', n) =>
-        val sums = statFiles.flatMap(_._3(n).sum).map(BigDecimal(_))
-        if (sums.isEmpty) null
-        else {
-          val total = sums.foldLeft(BigDecimal(0))(_ + _)
-          partialType('s', n) match {
-            case LongType =>
-              if (total.isValidLong) java.lang.Long.valueOf(total.toLong)
-              else return None // can't carry the partial exactly: decline
-            case d: org.apache.spark.sql.types.DecimalType =>
-              val dec = org.apache.spark.sql.types.Decimal(total)
-              if (dec.changePrecision(d.precision, d.scale)) dec
-              else return None
-            case _ => return None
+    def statRow(f: (String, Long, Map[String, FileStats.ColStat]))
+        : InternalRow = {
+      val gks: Seq[Any] = groupCols.map { g =>
+        val c = f._3(g.name)
+        if (c.nulls == f._2) null
+        else FileStats.parseBound(c.min.get, g.dataType)
+      }
+      val ps: Seq[Any] = kinds.map {
+        case ('c', "") => f._2
+        case ('c', n) => f._2 - f._3(n).nulls
+        case ('s', n) =>
+          f._3(n).sum match {
+            case None => null // provably all-NULL: contributes nothing
+            case Some(s) =>
+              val v = BigDecimal(s)
+              partialType('s', n) match {
+                case LongType =>
+                  if (v.isValidLong) java.lang.Long.valueOf(v.toLong)
+                  else return null // caller declines on null marker
+                case d: org.apache.spark.sql.types.DecimalType =>
+                  val dec = org.apache.spark.sql.types.Decimal(v)
+                  if (dec.changePrecision(d.precision, d.scale)) dec
+                  else return null
+                case _ => return null
+              }
           }
-        }
-      case (k, n) =>
-        val dt = m.schema(n).dataType
-        val bs = statFiles.flatMap(f =>
-          (if (k == 'n') f._3(n).min else f._3(n).max)
-            .map(FileStats.parseBound(_, dt)))
-        if (bs.isEmpty) null
-        else if (k == 'n') bs.minBy(v => BigDecimal(v.toString))
-        else bs.maxBy(v => BigDecimal(v.toString))
+        case (k, n) =>
+          val dt = m.schema(n).dataType
+          (if (k == 'n') f._3(n).min else f._3(n).max) match {
+            case Some(b) => FileStats.parseBound(b, dt)
+            case None => null // provably all-NULL under statsServable
+          }
+      }
+      InternalRow.fromSeq(gks ++ ps)
     }
-    val partialAttrs = kinds.zip(partialNames).map { case ((k, n), pn) =>
-      AttributeReference(pn, partialType(k, n))()
-    }
-    val statsDF = DatasetBridge.ofRows(store.spark, LocalRelation(
-      partialAttrs, Seq(InternalRow.fromSeq(partialVals))))
+    val statRows = statFiles.map(statRow)
+    if (statRows.exists(_ == null)) return None // unfittable exact partial
+    val partialAttrs =
+      groupCols.zip(groupNames).map { case (g, gn) =>
+        AttributeReference(gn, g.dataType)()
+      } ++ kinds.zip(partialNames).map { case ((k, n), pn) =>
+        AttributeReference(pn, partialType(k, n))()
+      }
+    val statsDF = DatasetBridge.ofRows(store.spark,
+      LocalRelation(partialAttrs, statRows))
 
-    // ---- scan-side partial row (straddlers only, predicate exact) ------
+    // ---- scan-side partial rows (straddlers only, predicate exact) -----
+    def byName(n: String) =
+      ColumnBridge.column(UnresolvedAttribute.quoted(n))
     val merged =
       if (scanFiles.isEmpty) statsDF
       else {
-        val cond = ColumnBridge.column(conds.reduce(
-          org.apache.spark.sql.catalyst.expressions.And).transformUp {
-            case ar: AttributeReference => UnresolvedAttribute.quoted(ar.name)
-          })
-        def byName(n: String) =
-          ColumnBridge.column(UnresolvedAttribute.quoted(n))
         val partials = kinds.zip(partialNames).map {
           case (('c', ""), pn) => fcount(lit(1)).as(pn)
           case (('c', n), pn) => fcount(byName(n)).as(pn)
@@ -269,9 +306,19 @@ class HybridMetaAggRule extends Rule[LogicalPlan] {
               .as(pn)
           case ((_, n), pn) => fmax(byName(n)).as(pn)
         }
-        store.readFiles(m, scanFiles).filter(cond)
-          .agg(partials.head, partials.tail: _*)
-          .union(statsDF)
+        val raw0 = store.readFiles(m, scanFiles)
+        val raw = if (conds.isEmpty) raw0 else raw0.filter(
+          ColumnBridge.column(conds.reduce(
+            org.apache.spark.sql.catalyst.expressions.And).transformUp {
+              case ar: AttributeReference => UnresolvedAttribute.quoted(ar.name)
+            }))
+        val scanAgg =
+          if (groupCols.isEmpty) raw.agg(partials.head, partials.tail: _*)
+          else raw
+            .groupBy(groupCols.zip(groupNames).map { case (g, gn) =>
+              byName(g.name).as(gn) }: _*)
+            .agg(partials.head, partials.tail: _*)
+        scanAgg.union(statsDF)
       }
     val mergeCols = kinds.zip(partialNames).zipWithIndex.map {
       case ((('c', _), pn), i) =>
@@ -291,9 +338,14 @@ class HybridMetaAggRule extends Rule[LogicalPlan] {
         fmax(ColumnBridge.column(UnresolvedAttribute.quoted(pn)))
           .as(s"_g_out_$i")
     }
-    val mergedAgg = merged.agg(mergeCols.head, mergeCols.tail: _*)
+    val mergedAgg =
+      if (groupCols.isEmpty) merged.agg(mergeCols.head, mergeCols.tail: _*)
+      else merged.groupBy(groupNames.map(byName): _*)
+        .agg(mergeCols.head, mergeCols.tail: _*)
 
     // ---- splice with the original output exprIds -----------------------
+    val groupIdx: Map[ExprId, Int] =
+      groupCols.zipWithIndex.map { case (g, i) => g.exprId -> i }.toMap
     val outCols = agg.aggregateExpressions.map { ne =>
       var ok = true
       val t = (ne match {
@@ -305,6 +357,8 @@ class HybridMetaAggRule extends Rule[LogicalPlan] {
             case -1 => ok = false; ae
             case i => UnresolvedAttribute.quoted(s"_g_out_$i")
           }
+        case ar: AttributeReference if groupIdx.contains(ar.exprId) =>
+          UnresolvedAttribute.quoted(s"_g_gk_${groupIdx(ar.exprId)}")
       }
       if (!ok || t.find(e => e.isInstanceOf[AttributeReference] ||
           e.isInstanceOf[AggregateExpression]).isDefined) return None
@@ -316,7 +370,8 @@ class HybridMetaAggRule extends Rule[LogicalPlan] {
         case (n, o) => n.dataType != o.dataType
       }) return None
     logInfo(s"hybrid metadata aggregate over ${store.root}: " +
-      s"${statFiles.size} files from stats, ${scanFiles.size} scanned")
+      s"${statFiles.size} files from stats, ${scanFiles.size} scanned" +
+      (if (groupCols.isEmpty) "" else s", ${groupCols.size} group keys"))
     Some(org.apache.spark.sql.catalyst.plans.logical.Project(
       agg.output.zip(repPlan.output).map { case (o, n) =>
         Alias(n, o.name)(exprId = o.exprId, qualifier = o.qualifier,
@@ -326,9 +381,9 @@ class HybridMetaAggRule extends Rule[LogicalPlan] {
 }
 
 object HybridMetaAgg {
-  /** Test probe: did the plan take the hybrid serve (a union of a
-    * straddler-only scan with a stats LocalRelation)? Recognized by the
-    * single-row local partial relation's column naming. */
+  /** Test probe: did the plan take the hybrid serve (a stats LocalRelation
+    * of per-file partial rows, alone or unioned with a straddler-only
+    * scan)? Recognized by the partial relation's column naming. */
   def served(df: org.apache.spark.sql.DataFrame): Boolean =
     df.queryExecution.optimizedPlan.exists {
       case l: LocalRelation => l.output.exists(_.name.startsWith("_g_pc_"))

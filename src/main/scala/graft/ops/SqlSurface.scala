@@ -420,6 +420,86 @@ object SqlSurface {
     out
   }
 
+  /** GROUP BY metadata aggregates (`sql_agg_metadata_group`, r14): the
+    * standing dashboard query over a date/tenant-chunked ingest —
+    * `SELECT seg, COUNT(*), MIN/MAX, SUM … GROUP BY seg` — serves each
+    * per-file-CONSTANT file as one (group key, partials) metadata row
+    * (stats prove the key: min == max, null-free) and scans ONLY the
+    * group-straddling file; the final re-aggregation merges both sides at
+    * O(#files + #groups) rows. The fixture commits one file per seg value
+    * plus one MIXED head file; the require()s pin the hybrid plan and the
+    * single scanned file. */
+  private val sqlAggMetadataGroup: Q = (s, d) => {
+    val cat = catalogFor(s, d)
+    val wh = warehouseFor(d)
+    val store = new TableStore(s, s"$wh/analytics/orders_grp")
+    if (store.currentVersion() < 0) {
+      val base = load(s, d, "orders").select(col("o_orderkey"),
+        when(col("o_custkey") % 7 === 0, lit(null))
+          .otherwise(col("o_custkey")).as("cust_n"),
+        (col("o_orderkey") % 1000).cast("decimal(10,2)").as("price"),
+        (col("o_orderkey") % 4).as("seg"))
+      // one MIXED file (all segs — must scan) + one file per seg value
+      // (key proven from stats — must not)
+      store.commitSnapshot(base.filter(col("o_orderkey") <= 100).coalesce(1))
+      (0 to 3).foreach(i => store.commitAppend(
+        base.filter(col("o_orderkey") > 100 && col("seg") === i).coalesce(1)))
+      s.sql(s"CALL $cat.system.analyze_table('analytics.orders_grp')")
+    }
+    s.catalog.refreshTable(s"$cat.analytics.orders_grp")
+    val out = s.sql(
+      s"""SELECT seg, COUNT(*) AS n_rows, COUNT(cust_n) AS n_cust,
+         |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+         |  SUM(cust_n) AS sum_cust, SUM(price) AS sum_price
+         |FROM $cat.analytics.orders_grp
+         |GROUP BY seg
+         |ORDER BY seg ASC NULLS FIRST""".stripMargin)
+    require(graft.catalog.HybridMetaAgg.served(out),
+      s"the chunked GROUP BY must take the hybrid metadata serve:\n" +
+        s"${out.queryExecution.optimizedPlan}")
+    require(out.inputFiles.length == 1,
+      s"only the mixed head file may scan, planned ${out.inputFiles.length}")
+    out
+  }
+
+  /** [[sqlAggMetadataGroup]] on the SHARDED metadata tier — the per-file
+    * verdicts and group keys come from the one distributed
+    * `hybridMatchMeta` sweep, O(proven files) driver residue under the
+    * exact-maxFiles cap. */
+  private val sqlAggMetadataGroupSharded: Q = (s, d) => {
+    val cat = catalogFor(s, d)
+    val wh = warehouseFor(d)
+    val store = new TableStore(s, s"$wh/analytics/orders_grp_s")
+    if (store.currentVersion() < 0) {
+      s.conf.set("spark.graft.manifest.inlineThreshold", "2")
+      try {
+        val base = load(s, d, "orders").select(col("o_orderkey"),
+          when(col("o_custkey") % 7 === 0, lit(null))
+            .otherwise(col("o_custkey")).as("cust_n"),
+          (col("o_orderkey") % 4).as("seg"))
+        store.commitSnapshot(base.filter(col("o_orderkey") <= 100).coalesce(1))
+        (0 to 3).foreach(i => store.commitAppend(
+          base.filter(col("o_orderkey") > 100 && col("seg") === i).coalesce(1)))
+        s.sql(s"CALL $cat.system.analyze_table('analytics.orders_grp_s')")
+        require(store.manifest(store.currentVersion()).isSharded,
+          "fixture error: the table must sit on the sharded tier")
+      } finally s.conf.unset("spark.graft.manifest.inlineThreshold")
+    }
+    s.catalog.refreshTable(s"$cat.analytics.orders_grp_s")
+    val out = s.sql(
+      s"""SELECT seg, COUNT(*) AS n_rows, MIN(o_orderkey) AS min_key,
+         |  MAX(o_orderkey) AS max_key, SUM(cust_n) AS sum_cust
+         |FROM $cat.analytics.orders_grp_s
+         |GROUP BY seg
+         |ORDER BY seg ASC NULLS FIRST""".stripMargin)
+    require(graft.catalog.HybridMetaAgg.served(out),
+      s"the sharded chunked GROUP BY must take the hybrid serve:\n" +
+        s"${out.queryExecution.optimizedPlan}")
+    require(out.inputFiles.length == 1,
+      s"only the mixed head file may scan, planned ${out.inputFiles.length}")
+    out
+  }
+
   /** HYBRID straddle-tolerant metadata aggregate
     * (`sql_agg_metadata_where_hybrid`, VERDICT r13 next #2,
     * [[graft.catalog.HybridMetaAggRule]]): the all-or-nothing serve above
@@ -1654,6 +1734,8 @@ object SqlSurface {
     "sql_agg_metadata_sum" -> sqlAggMetadataSum,
     "sql_agg_metadata_sum_sharded" -> sqlAggMetadataSumSharded,
     "sql_agg_metadata_sum_hybrid" -> sqlAggMetadataSumHybrid,
+    "sql_agg_metadata_group" -> sqlAggMetadataGroup,
+    "sql_agg_metadata_group_sharded" -> sqlAggMetadataGroupSharded,
     "sql_topk_pushdown" -> sqlTopkPushdown,
     "sql_delete_mor" -> sqlDeleteMor,
     "sql_delete_eq" -> sqlDeleteEq,
@@ -2027,6 +2109,28 @@ object SqlSurface {
         |  CAST(SUM(CAST(o_orderkey % 1000 AS DECIMAL(10,2)))
         |    AS DECIMAL(20,2)) AS sum_price
         |FROM orders WHERE o_orderkey % 8 <= 2""".stripMargin,
+
+    "sql_agg_metadata_group" ->
+      """SELECT o_orderkey % 4 AS seg, COUNT(*) AS n_rows,
+        |  COUNT(CASE WHEN o_custkey % 7 = 0 THEN NULL
+        |             ELSE o_custkey END) AS n_cust,
+        |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+        |  CAST(SUM(CASE WHEN o_custkey % 7 = 0 THEN NULL
+        |                ELSE o_custkey END) AS BIGINT) AS sum_cust,
+        |  CAST(SUM(CAST(o_orderkey % 1000 AS DECIMAL(10,2)))
+        |    AS DECIMAL(20,2)) AS sum_price
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY seg ASC NULLS FIRST""".stripMargin,
+
+    "sql_agg_metadata_group_sharded" ->
+      """SELECT o_orderkey % 4 AS seg, COUNT(*) AS n_rows,
+        |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+        |  CAST(SUM(CASE WHEN o_custkey % 7 = 0 THEN NULL
+        |                ELSE o_custkey END) AS BIGINT) AS sum_cust
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY seg ASC NULLS FIRST""".stripMargin,
 
     "sql_topk_pushdown" ->
       """SELECT o_orderkey, o_custkey FROM orders

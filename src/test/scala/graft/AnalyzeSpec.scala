@@ -195,6 +195,40 @@ class AnalyzeSpec extends SparkSuite {
         BigDecimal(ks.map(_ % 100).sum).setScale(2)))
   }
 
+  test("GROUP BY metadata aggregates: per-file-constant keys (and an " +
+      "all-NULL group file) serve with ZERO data files; parity with the " +
+      "scan plan") {
+    val store = new TableStore(spark, s"$warehouse/analytics/an_group")
+    val base = rows(1, 800).withColumn("seg",
+      when(col("k") % 10 === 0, lit(null)).otherwise(col("k") % 4))
+    // one file per live seg value + one file of NULL-seg rows: every
+    // file's group key is PROVEN from stats (constant, or all-NULL)
+    store.commitSnapshot(base.filter(col("seg") === 0).coalesce(1))
+    (1 to 3).foreach(i =>
+      store.commitAppend(base.filter(col("seg") === i).coalesce(1)))
+    store.commitAppend(base.filter(col("seg").isNull).coalesce(1))
+    store.analyze()
+    spark.catalog.refreshTable("an_cat.analytics.an_group")
+    val q = "SELECT seg, COUNT(*) AS c, COUNT(n) AS cn, SUM(n) AS sn, " +
+      "SUM(price) AS sp, MIN(k) AS mn, MAX(k) AS mx " +
+      "FROM an_cat.analytics.an_group GROUP BY seg " +
+      "ORDER BY seg ASC NULLS FIRST"
+    val served = spark.sql(q)
+    assert(graft.catalog.HybridMetaAgg.served(served),
+      s"chunked GROUP BY must serve from metadata:\n" +
+        served.queryExecution.optimizedPlan)
+    assert(served.inputFiles.isEmpty,
+      s"all group keys are proven — no data file may scan, " +
+        s"got ${served.inputFiles.length}")
+    val got = served.collect().map(_.toString).toSeq
+    spark.conf.set("spark.graft.agg.metadata.hybrid", "false")
+    val want =
+      try spark.sql(q).collect().map(_.toString).toSeq
+      finally spark.conf.unset("spark.graft.agg.metadata.hybrid")
+    assert(got == want, s"hybrid GROUP BY diverged:\ngot  $got\nwant $want")
+    assert(got.size == 5) // four live segs + the NULL group
+  }
+
   test("the maintenance cadence keeps sums fresh (analyzeCols policy): " +
       "compaction's fresh files re-analyze in the same pass") {
     val store = new TableStore(spark, s"$warehouse/analytics/an_maint")
