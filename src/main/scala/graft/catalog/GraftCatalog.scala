@@ -1258,8 +1258,10 @@ private[catalog] final class StatsPruningScanBuilder(name: String,
     * PARTIAL (`isPartiallyPushed` default true): Spark's TakeOrdered
     * stays above, so the planned subset only has to CONTAIN the top-n —
     * which the threshold construction guarantees (every excluded file's
-    * rows provably rank after ≥ n kept rows). Filters, DVs, pushed
-    * aggregates, multi-key sorts, and partition-path columns decline;
+    * rows provably rank after ≥ n kept rows). An exactly-decidable WHERE
+    * composes (the walk runs over the kept all-match subset) and a
+    * multi-key ORDER BY prunes on its leading key (r14); residual
+    * filters, DVs, pushed aggregates, and partition-path columns decline;
     * the sharded tier reuses [[graft.store.TableStore.hybridMatchMeta]]'s
     * one distributed metadata sweep under the `spark.graft.exact
     * .maxFiles` cap. The reference's only published query is the
@@ -1273,8 +1275,15 @@ private[catalog] final class StatsPruningScanBuilder(name: String,
       orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
       limit: Int): Boolean = {
     import org.apache.spark.sql.connector.expressions.{NamedReference, NullOrdering, SortDirection}
-    if (pushedExprs.nonEmpty || aggResult.isDefined || m.hasDeletes ||
-      limit <= 0 || orders.length != 1) return false
+    // r14 extensions beyond the initial single-key unfiltered shape:
+    //  - an exactly-decidable WHERE composes (kept files are ALL-match, so
+    //    the walk over them guarantees n matching rows — the same argument
+    //    pushLimit uses);
+    //  - a multi-key ORDER BY prunes on its LEADING key: every excluded
+    //    file's rows are STRICTLY worse than >= n kept rows on the first
+    //    key, so no tie-break can ever rank them into the top-n.
+    if ((pushedExprs.nonEmpty && exactFiles.isEmpty) || aggResult.isDefined ||
+      m.hasDeletes || limit <= 0 || orders.isEmpty) return false
     val so = orders(0)
     val colName = so.expression() match {
       case nr: NamedReference if nr.fieldNames().length == 1 =>
@@ -1315,16 +1324,20 @@ private[catalog] final class StatsPruningScanBuilder(name: String,
     }
     val fbs: Seq[FB] =
       if (!m.isSharded) {
-        if (!m.inlineFiles.forall(m.inlineStats.contains)) return false
-        m.inlineFiles.map { f =>
+        val candidates = exactFiles.getOrElse(m.inlineFiles)
+        if (!candidates.forall(m.inlineStats.contains)) return false
+        candidates.map { f =>
           val st = m.usableStat(m.inlineStats(f))
           fb(f, st.rows, st.cols.get(colName))
         }
-      } else {
-        if (m.nFiles > exactCap) return false
-        val (all, unknown) = store.hybridMatchMeta(m, Nil)
-        all.map { case (p, r, cols) => fb(p, r, cols.get(colName)) } ++
-          unknown.map(p => FB(p, 0L, 0L, None, None, allNull = false))
+      } else exactMeta match {
+        case Some(metas) => // exact-filtered: verdicts already driver-held
+          metas.map { case (p, r, cols) => fb(p, r, cols.get(colName)) }
+        case None =>
+          if (m.nFiles > exactCap) return false
+          val (all, unknown) = store.hybridMatchMeta(m, Nil)
+          all.map { case (p, r, cols) => fb(p, r, cols.get(colName)) } ++
+            unknown.map(p => FB(p, 0L, 0L, None, None, allNull = false))
       }
     // rows guaranteed at-or-above the top: nulls (when they sort first,
     // from any kept file) plus non-null rows of files wholly ≤ t

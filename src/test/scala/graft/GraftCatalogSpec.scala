@@ -953,6 +953,42 @@ class GraftCatalogSpec extends SparkSuite {
     assert(planned(filt) > 2, "a filtered top-k must not file-prune")
   }
 
+  test("SORTED top-k composes with exact-decidable filters and prunes on " +
+      "the LEADING key of a multi-key ORDER BY (r14)") {
+    val store = new TableStore(spark, s"$warehouse/analytics/topk2")
+    // 8 range-disjoint files on k, each with a CONSTANT seg = i % 2 —
+    // `WHERE seg = 0` decides every file, and within the kept half the
+    // lowest-range file alone covers the top-5
+    def chunk(i: Int) = ((i * 100L + 1) to (i * 100L + 100))
+      .map(k => (k, k * 2, i % 2)).toDF("k", "amt", "seg").coalesce(1)
+    store.commitSnapshot(chunk(0))
+    (1 to 7).foreach(i => store.commitAppend(chunk(i)))
+    spark.catalog.refreshTable("spec_cat.analytics.topk2")
+    def planned(df: org.apache.spark.sql.DataFrame): Int =
+      "InMemoryFileIndex\\((\\d+) paths\\)".r
+        .findFirstMatchIn(df.queryExecution.executedPlan.toString)
+        .map(_.group(1).toInt).getOrElse(-1)
+    val filtered = spark.sql("SELECT k FROM spec_cat.analytics.topk2 " +
+      "WHERE seg = 0 ORDER BY k ASC NULLS LAST LIMIT 5")
+    assert(filtered.collect().map(_.getLong(0)).toSeq == (1L to 5L))
+    assert(planned(filtered) == 1,
+      s"exact-filtered top-5 must plan 1 file, ${planned(filtered)}")
+    // filtered DESC: kept files {0,2,4,6} -> the top range among them is
+    // file 6 (601-700)
+    val fd = spark.sql("SELECT k FROM spec_cat.analytics.topk2 " +
+      "WHERE seg = 0 ORDER BY k DESC NULLS LAST LIMIT 5")
+    assert(fd.collect().map(_.getLong(0)).toSeq == (700L to 696L by -1L))
+    assert(planned(fd) == 1,
+      s"exact-filtered DESC top-5 must plan 1 file, ${planned(fd)}")
+    // multi-key: the tie-break key cannot rescue rows strictly worse on
+    // the leading key, so pruning on k alone stays sound
+    val mk = spark.sql("SELECT k, amt FROM spec_cat.analytics.topk2 " +
+      "ORDER BY k ASC NULLS LAST, amt DESC LIMIT 5")
+    assert(mk.collect().map(_.getLong(0)).toSeq == (1L to 5L))
+    assert(planned(mk) == 1,
+      s"multi-key top-5 must plan 1 file on the leading key, ${planned(mk)}")
+  }
+
   test("HYBRID filtered metadata aggregates on the SHARDED tier: the " +
       "three-way sweep feeds the stats merge; only straddlers scanned") {
     spark.conf.set("spark.graft.manifest.inlineThreshold", "4")
