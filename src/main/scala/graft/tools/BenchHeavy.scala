@@ -25,47 +25,52 @@ object BenchHeavy {
   /** The round this build belongs to — drives the default artifact name so
     * an argument-less run can never overwrite a PRIOR round's committed
     * baseline (ADVICE r12). */
-  private val Round = 13
+  private val Round = 14
 
-  /** Round-12 readings (BENCH_HEAVY_r12.json, full coverage): the baseline
-    * this round's artifact ships so regressions diff mechanically. Probes
-    * new in r13 have no baseline entry. */
-  private val R12Baseline: Map[String, Double] = Map(
-    "cdc_apply" -> 1.159, "dedup_fuzzy_minhash" -> 2.031,
-    "dedup_minhash_sql" -> 1.664, "dedup_ngram_jaccard" -> 4.093,
-    "dedup_embedding" -> 1.568, "dedup_clusters" -> 4.319,
-    "join_multi_q3" -> 0.833, "join_multi_q5" -> 1.244,
-    "join_multi_q10" -> 1.156, "text_chunk" -> 0.311,
-    "pipeline_decontaminate" -> 0.425, "sample_stratified" -> 0.212,
-    "commit_bucketed" -> 1.799, "count_bytestock" -> 0.202,
-    "delete_mor" -> 0.602, "count_dv" -> 0.486, "upsert_mor" -> 2.389,
-    "count_dv2" -> 0.259, "purge_deletes" -> 2.009,
-    "count_purged" -> 0.101, "gsi_create" -> 0.805,
-    "upsert_mor2" -> 2.183, "gsi_refresh" -> 2.484, "upsert_eq" -> 1.267,
-    "count_eq" -> 0.78, "agg_create" -> 1.487, "upsert_eq2" -> 1.195,
-    "agg_refresh" -> 1.64, "upsert_eq3" -> 1.263,
-    "agg_refresh_replay" -> 1.808, "rebucket_composite" -> 2.098,
-    "delete_eq_prefix" -> 0.305, "count_eq_prefix" -> 0.686,
-    "wap_rebase_publish" -> 2.888, "jv_dim_commit" -> 2.397,
-    "jv_create" -> 4.521, "jv_dim_update" -> 0.411,
-    "jv_refresh_dim" -> 2.548, "jv_dim_scatter" -> 0.939,
-    "jv_refresh_dim_scatter" -> 2.537, "jv_fact_update" -> 1.393,
-    "jv_refresh_fact" -> 2.444, "jv_fact_update_b" -> 1.305,
-    "jv_refresh_fact_sync" -> 5.035, "jv2_status_commit" -> 1.555,
-    "jv2_create" -> 6.22, "jv2_dim_update" -> 0.546,
-    "jv2_refresh_dim" -> 2.729, "agg_refresh_post_rebucket" -> 2.221,
-    "upsert_eq4" -> 1.433, "agg_tail_read" -> 1.177,
-    "agg_scan_group" -> 1.673, "jv_tail_dim_update" -> 0.728,
-    "jv_tail_read" -> 3.702, "jv_tail_read_noprune" -> 3.739,
-    "jv_scan_join" -> 1.681, "jv_tail_refresh" -> 10.104,
-    "jv_tail_point_fact" -> 1.052, "jv_tail_point_dim" -> 0.641,
-    "jv_tail_point_read" -> 3.583, "jv_tail_point_read_noprune" -> 3.895,
-    "pyr_dim_commit" -> 1.002, "pyr_create" -> 4.196,
-    "pyr_fact_update" -> 1.221, "pyr_tail_read" -> 5.137,
-    "pyr_scan_join3" -> 2.659, "ann_commit" -> 1.271,
-    "ann_create" -> 1.531, "ann_upsert" -> 1.101, "ann_refresh" -> 1.277,
-    "ann_point" -> 0.16, "ann_brute" -> 0.552, "ann_point_half" -> 0.104,
-    "ann_brute_half" -> 0.113)
+  /** Round-13 readings (BENCH_HEAVY_r13.json, full coverage): the
+    * baseline this round's artifact ships so regressions diff
+    * mechanically. Probes new in r14 have no baseline entry. */
+  private val PriorBaseline: Map[String, Double] = Map(
+    "cdc_apply" -> 1.201, "dedup_fuzzy_minhash" -> 1.895,
+    "dedup_minhash_sql" -> 1.548, "dedup_ngram_jaccard" -> 2.954,
+    "dedup_embedding" -> 1.033, "dedup_clusters" -> 3.947,
+    "join_multi_q3" -> 0.649, "join_multi_q5" -> 1.255,
+    "join_multi_q10" -> 0.744, "text_chunk" -> 0.215,
+    "pipeline_decontaminate" -> 0.348, "sample_stratified" -> 0.143,
+    "commit_bucketed" -> 1.452, "count_bytestock" -> 0.179,
+    "delete_mor" -> 0.638, "count_dv" -> 0.398,
+    "upsert_mor" -> 1.979, "count_dv2" -> 0.243,
+    "purge_deletes" -> 1.678, "count_purged" -> 0.092,
+    "gsi_create" -> 0.708, "upsert_mor2" -> 1.948,
+    "gsi_refresh" -> 2.04, "upsert_eq" -> 1.157,
+    "count_eq" -> 0.569, "agg_create" -> 1.397,
+    "upsert_eq2" -> 1.08, "agg_refresh" -> 1.667,
+    "upsert_eq3" -> 1.18, "agg_refresh_replay" -> 1.776,
+    "rebucket_composite" -> 1.682, "delete_eq_prefix" -> 0.228,
+    "count_eq_prefix" -> 0.544, "wap_rebase_publish" -> 2.577,
+    "jv_dim_commit" -> 2.525, "jv_create" -> 5.762,
+    "jv_dim_update" -> 0.53, "jv_refresh_dim" -> 3.229,
+    "jv_dim_scatter" -> 1.173, "jv_refresh_dim_scatter" -> 3.474,
+    "jv_fact_update" -> 1.757, "jv_refresh_fact" -> 2.957,
+    "jv_fact_update_b" -> 1.793, "jv_refresh_fact_sync" -> 6.028,
+    "jv2_status_commit" -> 1.848, "jv2_create" -> 8.096,
+    "jv2_dim_update" -> 0.667, "jv2_refresh_dim" -> 3.613,
+    "agg_refresh_post_rebucket" -> 2.839, "upsert_eq4" -> 2.152,
+    "agg_tail_read" -> 1.523, "agg_scan_group" -> 2.015,
+    "jv_tail_dim_update" -> 0.746, "jv_tail_read" -> 4.75,
+    "jv_tail_read_noprune" -> 4.485, "jv_scan_join" -> 1.795,
+    "jv_tail_refresh" -> 11.554, "jv_tail_point_fact" -> 1.202,
+    "jv_tail_point_dim" -> 0.753, "jv_tail_point_read" -> 4.837,
+    "jv_tail_point_read_noprune" -> 4.607, "pyr_dim_commit" -> 1.092,
+    "pyr_create" -> 4.756, "pyr_fact_update" -> 1.21,
+    "pyr_tail_read" -> 5.172, "pyr_scan_join3" -> 2.696,
+    "ann_commit" -> 1.592, "ann_create" -> 2.098,
+    "ann_upsert" -> 1.227, "ann_refresh" -> 1.519,
+    "ann_point" -> 0.278, "ann_brute" -> 0.809,
+    "ann_retrain" -> 2.816, "dedup_idx_commit" -> 0.897,
+    "dedup_idx_create" -> 2.113, "dedup_idx_upsert" -> 0.511,
+    "dedup_idx_refresh" -> 1.495, "dedup_idx_batch" -> 0.933,
+    "ann_point_half" -> 0.178, "ann_brute_half" -> 0.454)
 
   def main(args: Array[String]): Unit = {
     val outFile = args.headOption.getOrElse(s"BENCH_HEAVY_r$Round.json")
@@ -539,6 +544,39 @@ object BenchHeavy {
             .withColumn("doc_id", col("doc_id") + 95000000L),
           threshold = 0.5).count()
       }
+      // r14: ANALYZE — per-file exact column sums → metadata-served SUM.
+      // The pair to read: sum_meta (zero-I/O serve from analyzed sums) vs
+      // sum_scan (the full pass every SUM paid before analyze).
+      // analyze_full is the one bounded pass that buys it; analyze_incr is
+      // the per-cadence steady state (only the appended file read).
+      val liHeavy = spark.read.parquet(s"$out/lineitem.parquet")
+        .select(col("l_orderkey"), col("l_partkey"),
+          col("l_quantity").cast("decimal(12,2)").as("qty"))
+      spark.conf.set("spark.sql.catalog.hb_cat",
+        classOf[graft.catalog.GraftCatalog].getName)
+      spark.conf.set("spark.sql.catalog.hb_cat.warehouse", out)
+      val anStore = new graft.store.TableStore(spark, s"$out/nsb/an_bench")
+      t("analyze_commit") {
+        anStore.commitSnapshot(liHeavy.repartition(32))
+      }
+      t("analyze_full") { anStore.analyze() }
+      anStore.commitAppend(liHeavy.filter(col("l_orderkey") % 997 === 3)
+        .coalesce(1))
+      t("analyze_incr") { anStore.analyze() }
+      val sumSql = "SELECT SUM(l_orderkey) AS sk, SUM(qty) AS sq, " +
+        "COUNT(*) AS c FROM hb_cat.nsb.an_bench"
+      t("sum_meta") {
+        val df = spark.sql(sumSql)
+        val plan = df.queryExecution.executedPlan.toString
+        require(!plan.contains("Parquet"),
+          s"sum_meta must serve zero-scan, got:\n$plan")
+        df.collect()
+      }
+      t("sum_scan") {
+        anStore.readSnapshot()
+          .agg(sum(col("l_orderkey")), sum(col("qty")), count(lit(1)))
+          .collect()
+      }
       // SUBLINEARITY: the same index/query shapes on a HALF-SIZE corpus —
       // brute scales with rows; the point query scales with rows/cells ×
       // nProbe, so the point/brute ratio WIDENS with corpus size (compare
@@ -570,7 +608,7 @@ object BenchHeavy {
     // never per-probe minima); `adjudicated` carries the evidence.
     val adjudicated = scala.collection.mutable.LinkedHashMap[String, String]()
     timings.toSeq.foreach { case (name, first) =>
-      R12Baseline.get(name).filter(b => first > 1.3 * b).foreach { base =>
+      PriorBaseline.get(name).filter(b => first > 1.3 * b).foreach { base =>
         if (HeavyQueries.contains(name)) {
           def one(): Double = {
             val s0 = System.nanoTime()
@@ -600,7 +638,7 @@ object BenchHeavy {
     val adjJson = adjudicated
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"heavy_total","value":${math.rint(timings.values.sum * 100) / 100},"unit":"sec","copies":$copies,"src":"$src","timings":${jmap(timings)},"baseline_round":12,"r12_baseline":${jmap(R12Baseline)},"adjudicated":$adjJson}"""
+      s"""{"metric":"heavy_total","value":${math.rint(timings.values.sum * 100) / 100},"unit":"sec","copies":$copies,"src":"$src","timings":${jmap(timings)},"baseline_round":13,"prior_baseline":${jmap(PriorBaseline)},"adjudicated":$adjJson}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       json.getBytes("UTF-8"))
     println(json)

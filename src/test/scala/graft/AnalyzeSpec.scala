@@ -66,6 +66,16 @@ class AnalyzeSpec extends SparkSuite {
     val expP = BigDecimal((1L to 700L).map(_ % 100).sum).setScale(2)
     assert(r.getLong(0) == 700 && r.getLong(1) == expN &&
       decEq(r.getDecimal(2), expP))
+    // AVG rides for free: Spark's partial aggregate pushdown rewrites it
+    // to SUM + COUNT, both of which the analyzed stats serve — the mean
+    // query is zero-scan too, and exact (integer sum divided once)
+    val avg = spark.sql("SELECT AVG(n) AS an, AVG(price) AS ap " +
+      "FROM an_cat.analytics.an_inline")
+    assert(zeroScan(avg), s"AVG must serve via pushed SUM+COUNT:\n" +
+      avg.queryExecution.executedPlan)
+    val ar = avg.collect().head
+    val nk = (1L to 700L).filterNot(_ % 7 == 0)
+    assert(ar.getDouble(0) == nk.map(_ * 3).sum.toDouble / nk.size)
     // a new un-analyzed file breaks the proof: the serve must DECLINE to a
     // scan (still exact), never serve a stale/partial total
     store.commitAppend(rows(701, 720).coalesce(1))
