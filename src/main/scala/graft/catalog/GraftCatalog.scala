@@ -167,6 +167,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     else if (ident.name.endsWith("$metrics"))
       metricsMetaTable(Identifier.of(ident.namespace,
         ident.name.stripSuffix("$metrics")))
+    else if (ident.name.endsWith("$column_stats"))
+      columnStatsMetaTable(Identifier.of(ident.namespace,
+        ident.name.stripSuffix("$column_stats")))
     else if (Seq("$join_", "$agg_", "$idx_").exists(ident.name.contains)) {
       // Derivative stores as queryable tables — each IS a graft table
       // under the base's root:
@@ -462,6 +465,65 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     * a straggler task. Aggregated from the manifest metadata only — inline
     * tiers on the driver, sharded tiers as a distributed scan over the
     * shard files whose result is O(#buckets). */
+  /** `` `tbl$column_stats` `` (r14): one row per live column — the
+    * engine's ANALYZE output surface (Iceberg/Trino stats-table analog).
+    * Exact fields (null_count, min_v/max_v in the manifest's exact string
+    * encodings, sum_v from analyzed sums) are NULL unless EVERY file
+    * proves them — the same conservative gates the metadata-aggregate
+    * serves apply; `ndv_est` is the global distinct-count estimate from
+    * the analyze-maintained HLL sidecar (EXACT below the sketch's
+    * set-mode threshold, ~hundreds of distinct values), with
+    * `ndv_as_of`/`ndv_covered_files` surfacing its freshness honestly
+    * (a covered file removed by a rewrite stops the incremental merge
+    * until a full analyze re-bases it). `masks_live` flags DV/eq masks —
+    * all stats here describe RAW file contents. One bounded distributed
+    * sweep on the sharded tier; driver-free of per-file rows. */
+  private def columnStatsMetaTable(ident: Identifier): Table = {
+    import org.apache.spark.sql.types._
+    val store = storeFor(ident)
+    val cur = store.currentVersion()
+    if (cur < 0) throw new NoSuchTableException(ident)
+    val m = store.manifest(cur)
+    val ndv = store.readNdvState()
+    val (sums, marked) = store.columnStatsSweep(m,
+      ndv.map(_.gen).getOrElse(-1L))
+    val schema = StructType(Seq(
+      StructField("col_name", StringType),
+      StructField("data_type", StringType),
+      StructField("row_count", LongType),
+      StructField("null_count", LongType),
+      StructField("min_v", StringType),
+      StructField("max_v", StringType),
+      StructField("sum_v", StringType),
+      StructField("ndv_est", LongType),
+      StructField("ndv_as_of", LongType),
+      StructField("ndv_covered_files", LongType),
+      StructField("n_files", LongType),
+      StructField("masks_live", BooleanType)))
+    def s(x: String) = org.apache.spark.unsafe.types.UTF8String.fromString(x)
+    val rows = m.schema.fields.toSeq
+      .filterNot(f => m.droppedCols.contains(f.name))
+      .sortBy(_.name).map { f =>
+        val cs = sums.getOrElse(f.name,
+          TableStore.ColSummary(None, None, None, None))
+        val est = ndv.flatMap(_.cols.get(f.name)).map { b64 =>
+          java.lang.Long.valueOf(math.round(
+            org.apache.datasketches.hll.HllSketch.heapify(
+              java.util.Base64.getDecoder.decode(b64)).getEstimate))
+        }.orNull
+        org.apache.spark.sql.catalyst.InternalRow(
+          s(f.name), s(f.dataType.simpleString), m.totalRows,
+          cs.nullCount.map(java.lang.Long.valueOf).orNull,
+          cs.min.map(s).orNull, cs.max.map(s).orNull,
+          cs.sum.map(s).orNull,
+          est,
+          ndv.map(st => java.lang.Long.valueOf(st.version)).orNull,
+          ndv.map(_ => java.lang.Long.valueOf(marked)).orNull,
+          m.nFiles, m.hasDeletes)
+      }
+    new MetaTable(s"${ident.name}$$column_stats", schema, rows.toArray)
+  }
+
   private def partitionsMetaTable(ident: Identifier): Table = {
     import org.apache.spark.sql.types._
     val store = storeFor(ident)

@@ -420,6 +420,39 @@ object SqlSurface {
     out
   }
 
+  /** COLUMN STATISTICS surface (`sql_column_stats`, r14): `` `tbl$column_stats` ``
+    * is the engine's ANALYZE output — per-column null counts, exact
+    * min/max (manifest string encodings), exact analyzed sums, and the
+    * HLL distinct-count estimate maintained by the analyze sidecar. The
+    * fixture's columns are LOW-CARDINALITY on purpose: a datasketches
+    * HLL sketch is EXACT below its set-mode threshold (~hundreds of
+    * values), so `ndv_est` here is deterministic and the DuckDB oracle
+    * recomputes every cell with plain aggregates (COUNT(DISTINCT),
+    * MIN/MAX/SUM cast to VARCHAR). The string column proves the refusal
+    * semantics: truncatable bounds and FP/string sums never serve, so
+    * min/max/sum read NULL while null_count and NDV stay live. */
+  private val sqlColumnStats: Q = (s, d) => {
+    val cat = catalogFor(s, d)
+    val wh = warehouseFor(d)
+    val store = new TableStore(s, s"$wh/analytics/orders_cs")
+    if (store.currentVersion() < 0) {
+      val base = load(s, d, "orders").select(
+        (col("o_orderkey") % 8).as("seg"),
+        when(col("o_custkey") % 7 === 0, lit(null))
+          .otherwise(col("o_custkey") % 50).as("cust_n"),
+        (col("o_orderkey") % 97).cast("decimal(10,2)").as("price"),
+        col("o_orderstatus").as("status"))
+      store.commitSnapshot(base.filter(col("seg") <= 3).coalesce(1))
+      store.commitAppend(base.filter(col("seg") > 3).coalesce(1))
+      s.sql(s"CALL $cat.system.analyze_table('analytics.orders_cs')")
+    }
+    s.catalog.refreshTable(s"$cat.analytics.orders_cs")
+    s.sql(
+      s"""SELECT col_name, null_count, min_v, max_v, sum_v, ndv_est
+         |FROM $cat.analytics.`orders_cs$$column_stats`
+         |ORDER BY col_name ASC NULLS FIRST""".stripMargin)
+  }
+
   /** GROUP BY metadata aggregates (`sql_agg_metadata_group`, r14): the
     * standing dashboard query over a date/tenant-chunked ingest —
     * `SELECT seg, COUNT(*), MIN/MAX, SUM … GROUP BY seg` — serves each
@@ -1736,6 +1769,7 @@ object SqlSurface {
     "sql_agg_metadata_sum_hybrid" -> sqlAggMetadataSumHybrid,
     "sql_agg_metadata_group" -> sqlAggMetadataGroup,
     "sql_agg_metadata_group_sharded" -> sqlAggMetadataGroupSharded,
+    "sql_column_stats" -> sqlColumnStats,
     "sql_topk_pushdown" -> sqlTopkPushdown,
     "sql_delete_mor" -> sqlDeleteMor,
     "sql_delete_eq" -> sqlDeleteEq,
@@ -2109,6 +2143,36 @@ object SqlSurface {
         |  CAST(SUM(CAST(o_orderkey % 1000 AS DECIMAL(10,2)))
         |    AS DECIMAL(20,2)) AS sum_price
         |FROM orders WHERE o_orderkey % 8 <= 2""".stripMargin,
+
+    "sql_column_stats" ->
+      """WITH base AS (
+        |  SELECT o_orderkey % 8 AS seg,
+        |    CASE WHEN o_custkey % 7 = 0 THEN NULL
+        |         ELSE o_custkey % 50 END AS cust_n,
+        |    CAST(o_orderkey % 97 AS DECIMAL(10,2)) AS price,
+        |    o_orderstatus AS status
+        |  FROM orders)
+        |SELECT * FROM (
+        |  SELECT 'cust_n' AS col_name,
+        |    CAST(COUNT(CASE WHEN cust_n IS NULL THEN 1 END) AS BIGINT)
+        |      AS null_count,
+        |    CAST(CAST(MIN(cust_n) AS BIGINT) AS VARCHAR) AS min_v,
+        |    CAST(CAST(MAX(cust_n) AS BIGINT) AS VARCHAR) AS max_v,
+        |    CAST(CAST(SUM(cust_n) AS BIGINT) AS VARCHAR) AS sum_v,
+        |    CAST(COUNT(DISTINCT cust_n) AS BIGINT) AS ndv_est FROM base
+        |  UNION ALL
+        |  SELECT 'price', CAST(0 AS BIGINT), CAST(MIN(price) AS VARCHAR),
+        |    CAST(MAX(price) AS VARCHAR), CAST(SUM(price) AS VARCHAR),
+        |    CAST(COUNT(DISTINCT price) AS BIGINT) FROM base
+        |  UNION ALL
+        |  SELECT 'seg', CAST(0 AS BIGINT), CAST(MIN(seg) AS VARCHAR),
+        |    CAST(MAX(seg) AS VARCHAR),
+        |    CAST(CAST(SUM(seg) AS BIGINT) AS VARCHAR),
+        |    CAST(COUNT(DISTINCT seg) AS BIGINT) FROM base
+        |  UNION ALL
+        |  SELECT 'status', CAST(0 AS BIGINT), NULL, NULL, NULL,
+        |    CAST(COUNT(DISTINCT status) AS BIGINT) FROM base)
+        |ORDER BY col_name ASC NULLS FIRST""".stripMargin,
 
     "sql_agg_metadata_group" ->
       """SELECT o_orderkey % 4 AS seg, COUNT(*) AS n_rows,

@@ -2386,11 +2386,13 @@ class TableStore(val spark: SparkSession, val root: String,
     * describe RAW file contents, and every metadata-agg serve path already
     * declines while masks are live. */
   def analyze(cols: Seq[String] = Nil): Long = {
-    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    import org.apache.spark.sql.functions.{col, count, hll_sketch_agg, lit, sum}
     require(branch.isEmpty, "analyze runs on the main table store")
     val cur = currentVersion()
     require(cur >= 0, "cannot analyze an empty table")
     val m = manifest(cur)
+    require(!m.schema.fieldNames.contains(TableStore.NdvMarker),
+      s"column name ${TableStore.NdvMarker} is reserved")
     val partCols = m.partitionBy.filter(m.schema.fieldNames.contains).toSet
     val eligible = m.schema.fields.toSeq.filter(f =>
       FileStats.sumExact(f.dataType) && !partCols(f.name) &&
@@ -2398,19 +2400,59 @@ class TableStore(val spark: SparkSession, val root: String,
     cols.foreach(c => require(eligible.exists(_.name == c),
       s"column '$c' is not sum-analyzable (missing, partition, or " +
         "non-exact type: only integral/decimal columns carry exact sums)"))
-    if (eligible.isEmpty) return cur
+    // NDV (r14 session 2): every atomic non-partition column also gets a
+    // global distinct-count HLL sketch (datasketches, the same family
+    // Spark's hll_sketch_agg/hll_union use) — strings and floats included
+    // (estimates are approximate by nature, so FP/truncation exactness
+    // concerns do not apply)
+    val ndvEligible = m.schema.fields.toSeq.filter(f =>
+      (f.dataType match {
+        case org.apache.spark.sql.types.ByteType |
+             org.apache.spark.sql.types.ShortType |
+             org.apache.spark.sql.types.IntegerType |
+             org.apache.spark.sql.types.LongType |
+             org.apache.spark.sql.types.FloatType |
+             org.apache.spark.sql.types.DoubleType |
+             org.apache.spark.sql.types.StringType |
+             org.apache.spark.sql.types.BooleanType |
+             org.apache.spark.sql.types.DateType |
+             org.apache.spark.sql.types.TimestampType |
+             org.apache.spark.sql.types.TimestampNTZType => true
+        case _: org.apache.spark.sql.types.DecimalType => true
+        case _ => false
+      }) && !partCols(f.name) &&
+        (cols.isEmpty || cols.contains(f.name)))
+    if (eligible.isEmpty && ndvEligible.isEmpty) return cur
     val names = eligible.map(_.name)
 
-    def needsWork(rows: Long, cs: Map[String, FileStats.ColStat]): Boolean =
+    def needsSum(rows: Long, cs: Map[String, FileStats.ColStat]): Boolean =
       names.exists(n => cs.get(n) match {
         case Some(c) => c.sum.isEmpty && c.nulls != rows
         case None => true
       })
-    // (sum cast to exact decimal then string, non-null count) per column;
-    // grouped by the metadata file path — one distributed pass, one row
-    // per analyzed file. The metadata path is normalized through
-    // hadoop.fs.Path so it joins against manifest entries (which store
-    // Path.toString form) regardless of the scheme spelling.
+    // NDV coverage rides a PSEUDO-COLUMN marker in each file's stats
+    // (`_g_ndv_gen`, generation in the nulls slot): markers inherit with
+    // the stats through append/compact commits, so coverage needs no old
+    // manifests. The sidecar sketch is valid for generation g iff every
+    // file marked g is still live AND no file is unmarked — checked by
+    // counting, O(files) metadata
+    val ndvPrev = readNdvState()
+    val prevGen = ndvPrev.map(_.gen).getOrElse(0L)
+    def markerGen(cs: Map[String, FileStats.ColStat]): Option[Long] =
+      cs.get(TableStore.NdvMarker).map(_.nulls)
+    def ndvCast(f: org.apache.spark.sql.types.StructField)
+        : org.apache.spark.sql.Column = f.dataType match {
+      case org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.StringType => col(f.name)
+      // injective per-value canonical form — distinct counts preserved
+      case _ => col(f.name).cast("string")
+    }
+    // (sum cast to exact decimal then string, non-null count, NDV sketch)
+    // per column; grouped by the metadata file path — one distributed
+    // pass, one row per analyzed file. The metadata path is normalized
+    // through hadoop.fs.Path so it joins against manifest entries (which
+    // store Path.toString form) regardless of the scheme spelling.
     val normPath = org.apache.spark.sql.functions.udf(
       (s: String) => new Path(s).toString)
     def fileAggs(raw: DataFrame): DataFrame = {
@@ -2422,35 +2464,109 @@ class TableStore(val spark: SparkSession, val root: String,
         }
         Seq(sum(col(f.name).cast(dec)).cast("string").as(s"_g_sum_${f.name}"),
           count(col(f.name)).as(s"_g_cnt_${f.name}"))
-      }
+      } ++ ndvEligible.map(f =>
+        hll_sketch_agg(ndvCast(f)).as(s"_g_hll_${f.name}"))
       raw.groupBy(normPath(col("_metadata.file_path")).as("_g_path"))
         .agg(count(lit(1)).as("_g_rows"), aggs: _*)
     }
     def mergeStats(rows: Long, cs: Map[String, FileStats.ColStat],
-        r: org.apache.spark.sql.Row): Map[String, FileStats.ColStat] =
-      names.foldLeft(cs) { (acc, n) =>
+        r: org.apache.spark.sql.Row, newGen: Option[Long])
+        : Map[String, FileStats.ColStat] = {
+      val withSums = names.foldLeft(cs) { (acc, n) =>
         val sumStr = Option(r.getAs[String](s"_g_sum_$n"))
         val nonNull = r.getAs[Long](s"_g_cnt_$n")
         val prev = acc.getOrElse(n, FileStats.ColStat(None, None, rows - nonNull))
         acc + (n -> prev.copy(sum = sumStr))
       }
+      newGen match {
+        case Some(g) => withSums +
+          (TableStore.NdvMarker -> FileStats.ColStat(None, None, g))
+        case None => withSums
+      }
+    }
     val rescanFraction = spark.conf
       .getOption("spark.graft.analyze.rescanFraction")
       .map(_.toDouble).getOrElse(0.5)
+    val needyCap = spark.conf.getOption("spark.graft.exact.maxFiles")
+      .map(_.toLong).getOrElse(200000L)
     val next = cur + 1
     val nowMs = System.currentTimeMillis()
     val props = m.props ++ TableStore.ContentPreserving
+    val ndvNames = ndvEligible.map(_.name)
+
+    // merge this pass's per-file sketches (as (col -> bytes) rows) with
+    // the carried-over state and write the sidecar; `coveredAll` = this
+    // pass sketched every live file (fresh generation)
+    def finishNdv(perFile: Seq[Array[Byte]] => Array[Byte],
+        sketchesOf: String => Seq[Array[Byte]], readCount: Long,
+        markedCount: Long, mergeable: Boolean, coveredAll: Boolean)
+        : Option[Long] = {
+      if (ndvNames.isEmpty || !(coveredAll || mergeable)) return None
+      val newGen = if (coveredAll) prevGen + 1 else prevGen
+      val merged: Map[String, String] = ndvNames.map { n =>
+        val fresh = sketchesOf(n)
+        val carried =
+          if (coveredAll) Nil
+          else ndvPrev.flatMap(_.cols.get(n))
+            .map(java.util.Base64.getDecoder.decode(_)).toSeq
+        n -> java.util.Base64.getEncoder
+          .encodeToString(perFile(carried ++ fresh))
+      }.toMap
+      // marker count after this commit = |previously-marked ∪ read set|;
+      // callers pass markedCount ALREADY NET of the overlap with the read
+      // set (re-reading a marked file is harmless — HLL union of the same
+      // values is idempotent — but it must not double-count here)
+      val files =
+        if (coveredAll) readCount
+        else markedCount + readCount
+      writeNdvState(TableStore.NdvState(next, newGen, files, merged))
+      Some(newGen)
+    }
+    def unionBytes(bufs: Seq[Array[Byte]]): Array[Byte] = {
+      val u = new org.apache.datasketches.hll.Union(12)
+      bufs.filter(_ != null).foreach(b => u.update(
+        org.apache.datasketches.hll.HllSketch.heapify(b)))
+      u.getResult.toCompactByteArray
+    }
 
     if (!m.isSharded) {
-      val needy = m.inlineFiles.filter(f => m.inlineStats.get(f)
-        .map(m.usableStat).forall(s => needsWork(s.rows, s.cols)))
-      if (needy.isEmpty) return cur
+      val infos = m.inlineFiles.map(f =>
+        f -> m.inlineStats.get(f).map(m.usableStat))
+      val sumNeedy = infos.collect {
+        case (f, s) if s.forall(x => needsSum(x.rows, x.cols)) => f
+      }.toSet
+      val marked = infos.collect {
+        case (f, Some(s)) if markerGen(s.cols).contains(prevGen) => f
+      }.toSet
+      val mergeable = ndvNames.nonEmpty &&
+        ndvPrev.exists(_.files == marked.size)
+      val intendNdv = ndvNames.nonEmpty && (ndvPrev.isEmpty || mergeable)
+      // an INVALID sidecar (a covered file was removed — rewrites, not
+      // appends) stops merging and keeps its honest as-of; opting in to
+      // `ndvRescan` re-bases it with one full pass
+      val rebase = ndvNames.nonEmpty && ndvPrev.nonEmpty && !mergeable &&
+        spark.conf.getOption("spark.graft.analyze.ndvRescan")
+          .exists(_.toBoolean)
+      val unmarked = m.inlineFiles.filterNot(marked).toSet
+      val readSet0 =
+        if (intendNdv) sumNeedy ++ unmarked else sumNeedy
+      if (readSet0.isEmpty && !rebase) return cur
+      val fullRoute = rebase ||
+        readSet0.size >= rescanFraction * m.inlineFiles.size
+      val readSet = if (fullRoute) m.inlineFiles.toSet else readSet0
+      val coveredAll = ndvNames.nonEmpty && readSet.size == m.inlineFiles.size
       val byPath = fileAggs(spark.read.schema(dataReadSchema(m))
-        .parquet(needy: _*)).collect()
+        .parquet(readSet.toSeq.sorted: _*)).collect()
         .map(r => r.getAs[String]("_g_path") -> r).toMap
+      val newGen = finishNdv(unionBytes,
+        n => byPath.values.toSeq.map(_.getAs[Array[Byte]](s"_g_hll_$n")),
+        readSet.size,
+        marked.size - (readSet & marked).size, // marked files NOT re-read
+        mergeable, coveredAll)
       val enriched = m.inlineStats.map { case (p, st) =>
         byPath.get(new Path(p).toString) match { // both sides Path-normed
-          case Some(r) => p -> st.copy(cols = mergeStats(st.rows, st.cols, r))
+          case Some(r) =>
+            p -> st.copy(cols = mergeStats(st.rows, st.cols, r, newGen))
           case None => p -> st
         }
       }
@@ -2462,52 +2578,263 @@ class TableStore(val spark: SparkSession, val root: String,
       import sp.implicits._
       val metaDs = ManifestShards.read(spark, m.shards.map(_.path))
       val nms = names
-      val needy = metaDs.filter(fm => needsWork(fm.rows,
-        FileStats.colsFromJson(fm.stats))).map(_.path)
-      val needyCount = needy.count()
-      if (needyCount == 0) return cur
-      // route like the derivative refreshes: a mostly-unanalyzed table
-      // takes one full pass (computing a sum twice is harmless — values
-      // are identical); a trickle of new files reads only those files.
-      // The subset route collects needy PATHS to the driver, so it is
-      // additionally capped by the exact-path residue bound.
-      val needyCap = spark.conf.getOption("spark.graft.exact.maxFiles")
-        .map(_.toLong).getOrElse(200000L)
-      val raw =
-        if (needyCount >= rescanFraction * m.nFiles || needyCount > needyCap)
-          rawUnmaskedRead(m)
-        else spark.read.schema(dataReadSchema(m))
-          .parquet(needy.collect().toSeq: _*)
-      val sums = fileAggs(raw)
-      val merged = metaDs.toDF()
-        .join(sums, col("path") === col("_g_path"), "left")
-        .map { r =>
-          val rows = r.getAs[Long]("rows")
-          val stats0 = FileStats.colsFromJson(r.getAs[String]("stats"))
-          val stats =
-            if (r.isNullAt(r.fieldIndex("_g_path"))) stats0
-            else nms.foldLeft(stats0) { (acc, n) =>
-              val sumStr = Option(r.getAs[String](s"_g_sum_$n"))
-              val nonNull = r.getAs[Long](s"_g_cnt_$n")
-              val prev = acc.getOrElse(n,
-                FileStats.ColStat(None, None, rows - nonNull))
-              acc + (n -> prev.copy(sum = sumStr))
-            }
-          ManifestShards.FileMeta(r.getAs[String]("path"),
-            r.getAs[Long]("bucket"), r.getAs[Long]("bytes"),
-            r.getAs[Long]("mod_ms"), rows, stats.size,
-            FileStats.colsToJson(stats))
+      val marker = TableStore.NdvMarker
+      val pg = prevGen
+      // one metadata sweep: per-file (sumNeedy, marked) → three counts
+      val flags = metaDs.map { fm =>
+        val cs = FileStats.colsFromJson(fm.stats)
+        (fm.path, needsSum(fm.rows, cs),
+          cs.get(marker).exists(_.nulls == pg))
+      }.persist()
+      try {
+        val cntRow = flags.toDF("p", "sn", "mk").agg(
+          sum(org.apache.spark.sql.functions.when(col("sn"), 1L)
+            .otherwise(0L)).as("a"),
+          sum(org.apache.spark.sql.functions.when(col("mk"), 1L)
+            .otherwise(0L)).as("b"),
+          sum(org.apache.spark.sql.functions.when(col("sn") && col("mk"), 1L)
+            .otherwise(0L)).as("c")).collect().head
+        def cnt(i: Int): Long = if (cntRow.isNullAt(i)) 0L else cntRow.getLong(i)
+        val (sumNeedyCount, markedCount, overlapCount) =
+          (cnt(0), cnt(1), cnt(2))
+        val mergeable = ndvNames.nonEmpty &&
+          ndvPrev.exists(_.files == markedCount)
+        val intendNdv = ndvNames.nonEmpty && (ndvPrev.isEmpty || mergeable)
+        val rebase = ndvNames.nonEmpty && ndvPrev.nonEmpty && !mergeable &&
+          spark.conf.getOption("spark.graft.analyze.ndvRescan")
+            .exists(_.toBoolean)
+        val readCount0 =
+          if (intendNdv) flags.filter(t => t._2 || !t._3).count()
+          else sumNeedyCount
+        if (readCount0 == 0 && !rebase) return cur
+        // route like the derivative refreshes: a mostly-unanalyzed table
+        // takes one full pass (recomputing a sum/sketch is harmless —
+        // values are identical / unions idempotent); a trickle of new
+        // files reads only those files. The subset route collects needy
+        // PATHS to the driver, so the exact-path residue bound caps it.
+        val fullRoute = rebase || readCount0 >= rescanFraction * m.nFiles ||
+          readCount0 > needyCap
+        val readPaths: Option[Set[String]] =
+          if (fullRoute) None
+          else Some((if (intendNdv) flags.filter(t => t._2 || !t._3)
+            else flags.filter(_._2)).map(_._1).collect().toSet)
+        val coveredAll = ndvNames.nonEmpty &&
+          (fullRoute || readPaths.exists(_.size == m.nFiles))
+        val raw = readPaths match {
+          case None => rawUnmaskedRead(m)
+          case Some(ps) => spark.read.schema(dataReadSchema(m))
+            .parquet(ps.toSeq.sorted: _*)
         }
-      val tier = shardTier(merged, m.nFiles, next)
-      try writeManifestAtomic(m.copy(version = next, parent = cur,
-        committedAtMs = nowMs, shards = tier.shards, props = props))
-      catch { case e: Throwable =>
-        tier.newShardDir.foreach(d => fs.delete(d, true))
-        tier.newShardDir.foreach(endStaging)
-        throw e
+        val sums = fileAggs(raw).persist()
+        try {
+          val readCount = sums.count()
+          // global sketch union DISTRIBUTED (one tiny row back), then the
+          // driver merges with the carried sidecar state
+          val newGen =
+            if (ndvNames.isEmpty || !(coveredAll || mergeable)) None
+            else {
+              val unions = sums.agg(
+                org.apache.spark.sql.functions
+                  .hll_union_agg(col(s"_g_hll_${ndvNames.head}"))
+                  .as("u0"),
+                ndvNames.tail.zipWithIndex.map { case (n, i) =>
+                  org.apache.spark.sql.functions
+                    .hll_union_agg(col(s"_g_hll_$n")).as(s"u${i + 1}")
+                }: _*).collect().head
+              finishNdv(unionBytes,
+                n => Option(unions.getAs[Array[Byte]](
+                  s"u${ndvNames.indexOf(n)}")).toSeq,
+                readCount, markedCount - overlapCount, mergeable, coveredAll)
+            }
+          val merged = metaDs.toDF()
+            .join(sums, col("path") === col("_g_path"), "left")
+            .map { r =>
+              val rows = r.getAs[Long]("rows")
+              val stats0 = FileStats.colsFromJson(r.getAs[String]("stats"))
+              val stats =
+                if (r.isNullAt(r.fieldIndex("_g_path"))) stats0
+                else {
+                  val withSums = nms.foldLeft(stats0) { (acc, n) =>
+                    val sumStr = Option(r.getAs[String](s"_g_sum_$n"))
+                    val nonNull = r.getAs[Long](s"_g_cnt_$n")
+                    val prev = acc.getOrElse(n,
+                      FileStats.ColStat(None, None, rows - nonNull))
+                    acc + (n -> prev.copy(sum = sumStr))
+                  }
+                  newGen match {
+                    case Some(g) => withSums +
+                      (marker -> FileStats.ColStat(None, None, g))
+                    case None => withSums
+                  }
+                }
+              ManifestShards.FileMeta(r.getAs[String]("path"),
+                r.getAs[Long]("bucket"), r.getAs[Long]("bytes"),
+                r.getAs[Long]("mod_ms"), rows, stats.size,
+                FileStats.colsToJson(stats))
+            }
+          val tier = shardTier(merged, m.nFiles, next)
+          try writeManifestAtomic(m.copy(version = next, parent = cur,
+            committedAtMs = nowMs, shards = tier.shards, props = props))
+          catch { case e: Throwable =>
+            tier.newShardDir.foreach(d => fs.delete(d, true))
+            tier.newShardDir.foreach(endStaging)
+            throw e
+          }
+          tier.newShardDir.foreach(endStaging)
+          next
+        } finally { sums.unpersist(); () }
+      } finally { flags.unpersist(); () }
+    }
+  }
+
+  /** Per-column GLOBAL stats over `m` in ONE bounded job — the
+    * `$column_stats` sweep. Executor-side partials per partition (nulls
+    * sum, extrema over the exact-typed stat strings, exact sum merge,
+    * NDV-marker count for `gen`), driver merge over O(#partitions)
+    * results. Each field is `None` unless EVERY file proves it (the same
+    * conservative gates the metadata-aggregate serves use): null_count
+    * needs a stat entry everywhere; min/max need [[FileStats
+    * .minMaxExact]] types with bounds-or-all-null everywhere; sum needs
+    * [[FileStats.sumExact]] with an analyzed sum-or-all-null everywhere. */
+  private[graft] def columnStatsSweep(m: Manifest, gen: Long)
+      : (Map[String, TableStore.ColSummary], Long) = {
+    val sp = spark
+    import sp.implicits._
+    val live = m.schema.fields.toSeq
+      .filterNot(f => m.droppedCols.contains(f.name))
+    val names = live.map(_.name)
+    val exactMm = live.map(f => FileStats.minMaxExact(f.dataType))
+    val exactSum = live.map(f => FileStats.sumExact(f.dataType))
+    val marker = TableStore.NdvMarker
+    // per-partition partial: (statOk, nulls, minOk, min, maxOk, max,
+    // sumOk, sum-or-null, anyVal) per column + marked count
+    val partials = fileMetaDS(m).mapPartitions { it =>
+      val n = names.size
+      val statOk = Array.fill(n)(true)
+      val nulls = Array.fill(n)(0L)
+      val minOk = Array.fill(n)(true)
+      val mins = Array.fill[String](n)(null)
+      val maxOk = Array.fill(n)(true)
+      val maxs = Array.fill[String](n)(null)
+      val sumOk = Array.fill(n)(true)
+      val sums = Array.fill[BigDecimal](n)(null)
+      val anyVal = Array.fill(n)(false)
+      var marked = 0L
+      def lt(a: String, b: String) = BigDecimal(a) < BigDecimal(b)
+      it.foreach { fm =>
+        val cs = FileStats.colsFromJson(fm.stats)
+        if (cs.get(marker).exists(_.nulls == gen)) marked += 1
+        var i = 0
+        while (i < n) {
+          cs.get(names(i)) match {
+            case Some(c) =>
+              nulls(i) += c.nulls
+              val allNull = c.nulls == fm.rows
+              if (exactMm(i)) {
+                c.min match {
+                  case Some(v) =>
+                    anyVal(i) = true
+                    if (mins(i) == null || lt(v, mins(i))) mins(i) = v
+                  case None => if (!allNull) minOk(i) = false
+                }
+                c.max match {
+                  case Some(v) =>
+                    anyVal(i) = true
+                    if (maxs(i) == null || lt(maxs(i), v)) maxs(i) = v
+                  case None => if (!allNull) maxOk(i) = false
+                }
+              }
+              if (exactSum(i)) c.sum match {
+                case Some(v) =>
+                  sums(i) = Option(sums(i)).getOrElse(BigDecimal(0)) +
+                    BigDecimal(v)
+                case None =>
+                  if (!allNull && fm.rows > 0) sumOk(i) = false
+              }
+            case None =>
+              statOk(i) = false
+          }
+          i += 1
+        }
       }
-      tier.newShardDir.foreach(endStaging)
-      next
+      Iterator.single((statOk.toSeq, nulls.toSeq, minOk.toSeq,
+        mins.toSeq.map(Option(_)), maxOk.toSeq, maxs.toSeq.map(Option(_)),
+        sumOk.toSeq, sums.toSeq.map(Option(_).map(_.toString)),
+        anyVal.toSeq, marked))
+    }.collect()
+    val marked = partials.map(_._10).sum
+    val out = names.zipWithIndex.map { case (nm, i) =>
+      val statOk = partials.forall(_._1(i))
+      val minOk = exactMm(i) && statOk && partials.forall(_._3(i))
+      val maxOk = exactMm(i) && statOk && partials.forall(_._5(i))
+      val sumOk = exactSum(i) && statOk && partials.forall(_._7(i))
+      val mins = partials.flatMap(_._4(i))
+      val maxs = partials.flatMap(_._6(i))
+      val sums = partials.flatMap(_._8(i)).map(BigDecimal(_))
+      nm -> TableStore.ColSummary(
+        if (statOk) Some(partials.map(_._2(i)).sum) else None,
+        if (minOk && mins.nonEmpty) Some(mins.minBy(BigDecimal(_))) else None,
+        if (maxOk && maxs.nonEmpty) Some(maxs.maxBy(BigDecimal(_))) else None,
+        if (sumOk && sums.nonEmpty)
+          Some(sums.foldLeft(BigDecimal(0))(_ + _).toString) else None)
+    }.toMap
+    (out, marked)
+  }
+
+  /** The NDV sidecar (`<root>/analyze/ndv.json`): one global HLL sketch
+    * per analyzed column, its covered generation/file count, and the
+    * snapshot it reflects. Lives OUTSIDE the manifest lifecycle (commit
+    * props are per-commit, so manifest-carried state would vanish on the
+    * next data commit); the vacuum sweeps never touch `analyze/` (they
+    * key off data/shard/DV trees). Last-writer-wins overwrite via
+    * temp+rename — racing analyzes produce equivalent content. */
+  private def ndvSidecarPath = new Path(rootPath, "analyze/ndv.json")
+
+  private[graft] def readNdvState(): Option[TableStore.NdvState] = {
+    val f = fs
+    if (!f.exists(ndvSidecarPath)) return None
+    try {
+      val in = f.open(ndvSidecarPath)
+      val txt = try {
+        val out = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, out, 65536, false)
+        new String(out.toByteArray, "UTF-8")
+      } finally in.close()
+      import org.json4s._
+      implicit val fmt: Formats = DefaultFormats
+      val j = org.json4s.jackson.JsonMethods.parse(txt)
+      Some(TableStore.NdvState(
+        (j \ "version").extract[Long], (j \ "gen").extract[Long],
+        (j \ "files").extract[Long],
+        (j \ "cols") match {
+          case JObject(cs) => cs.map { case (n, v) =>
+            n -> v.extract[String] }.toMap
+          case _ => Map.empty[String, String]
+        }))
+    } catch { case _: Exception => None }
+  }
+
+  private def writeNdvState(st: TableStore.NdvState): Unit = {
+    def js(s: String) = "\"" + s.flatMap {
+      case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+    } + "\""
+    val cols = st.cols.toSeq.sortBy(_._1)
+      .map { case (n, b) => s"${js(n)}:${js(b)}" }.mkString("{", ",", "}")
+    val json = s"""{"version":${st.version},"gen":${st.gen},""" +
+      s""""files":${st.files},"cols":$cols}"""
+    val f = fs
+    f.mkdirs(ndvSidecarPath.getParent)
+    val tmp = new Path(ndvSidecarPath.getParent,
+      s".ndv-${java.util.UUID.randomUUID()}.tmp")
+    val out = f.create(tmp, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    if (!f.rename(tmp, ndvSidecarPath)) {
+      f.delete(ndvSidecarPath, false)
+      if (!f.rename(tmp, ndvSidecarPath)) {
+        f.delete(tmp, false)
+        throw new java.io.IOException(s"cannot replace $ndvSidecarPath")
+      }
     }
   }
 
@@ -3959,6 +4286,29 @@ object TableStore {
   private[graft] val ContentPreservingProp = "graft.commit.content-preserving"
   private[graft] val ContentPreserving: Map[String, String] =
     Map(ContentPreservingProp -> "true")
+
+  /** NDV coverage marker — a pseudo-column in each file's stats map whose
+    * `nulls` slot carries the sketch GENERATION that covered the file.
+    * Rides stats inheritance through append/compact/DV commits like any
+    * column stat; never collides with real columns (reserved, checked at
+    * analyze) and never consulted by pruning (pruning looks up SCHEMA
+    * names only). */
+  private[graft] val NdvMarker = "_g_ndv_gen"
+
+  /** The NDV sidecar state: `version` = the analyze commit it reflects,
+    * `gen` = the marker generation its sketches cover, `files` = how many
+    * files carry that marker (staleness check: fewer live marked files
+    * means a covered file was removed — the sketch can only over-count
+    * from then on, so it stops merging until a full pass re-bases it),
+    * `cols` = base64 compact HLL sketch per column. */
+  final case class NdvState(version: Long, gen: Long, files: Long,
+      cols: Map[String, String])
+
+  /** One column's provable global stats ([[TableStore.columnStatsSweep]]):
+    * each field None unless EVERY file proves it; values in the manifest's
+    * exact string encodings. */
+  final case class ColSummary(nullCount: Option[Long], min: Option[String],
+      max: Option[String], sum: Option[String])
 
   // ---------------------------------------------- plan-time span memos
   // The freshness-tolerant rewrites price every candidate span BEFORE

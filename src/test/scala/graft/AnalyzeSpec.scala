@@ -88,7 +88,11 @@ class AnalyzeSpec extends SparkSuite {
 
   test("incremental: the second analyze reads ONLY the new file") {
     val store = new TableStore(spark, s"$warehouse/analytics/an_incr")
-    store.commitSnapshot(rows(1, 500).coalesce(1))
+    // three base files: the one appended file stays under the 0.5
+    // full-pass routing fraction
+    store.commitSnapshot(rows(1, 250).coalesce(1))
+    store.commitAppend(rows(251, 400).coalesce(1))
+    store.commitAppend(rows(401, 500).coalesce(1))
     store.analyze()
     store.commitAppend(rows(501, 540).coalesce(1))
     val read = new java.util.concurrent.atomic.AtomicLong()
@@ -103,7 +107,7 @@ class AnalyzeSpec extends SparkSuite {
       store.analyze()
       Thread.sleep(2000)
     } finally spark.sparkContext.removeSparkListener(listener)
-    assert(read.get() < 500,
+    assert(read.get() < 250,
       s"incremental analyze re-read the corpus: ${read.get()} records " +
         "(only the 40-row appended file should pay)")
     // and the enriched stats really cover every file now
@@ -237,6 +241,82 @@ class AnalyzeSpec extends SparkSuite {
       finally spark.conf.unset("spark.graft.agg.metadata.hybrid")
     assert(got == want, s"hybrid GROUP BY diverged:\ngot  $got\nwant $want")
     assert(got.size == 5) // four live segs + the NULL group
+  }
+
+  test("NDV sketches + $column_stats: exact at low cardinality, merged on " +
+      "append, as-of kept under a partial rewrite, re-based by ndvRescan") {
+    // Part A — append-merge on a plain snapshot store (appends add one
+    // file; a bucketed append would cluster into every bucket and
+    // legitimately take the full-pass route)
+    val store = new TableStore(spark, s"$warehouse/analytics/an_ndv")
+    def mk(from: Long, to: Long) =
+      rows(from, to).withColumn("cat", col("k") % 10)
+    store.commitSnapshot(mk(1, 100).coalesce(1))
+    store.commitAppend(mk(101, 200).coalesce(1))
+    store.commitAppend(mk(201, 300).coalesce(1))
+    store.commitAppend(mk(301, 400).coalesce(1))
+    store.analyze()
+    val st1 = store.readNdvState().get
+    assert(st1.gen == 1 && st1.files == 4 &&
+      st1.version == store.currentVersion())
+    spark.catalog.refreshTable("an_cat.analytics.an_ndv")
+    def stats(tbl: String): Map[String, org.apache.spark.sql.Row] =
+      spark.sql("SELECT col_name, ndv_est, null_count, min_v, max_v, " +
+          s"sum_v, ndv_as_of, ndv_covered_files, n_files FROM " +
+          s"an_cat.analytics.`$tbl$$column_stats`")
+        .collect().map(r => r.getString(0) -> r).toMap
+    val s1 = stats("an_ndv")
+    // cat has 10 distinct values — HLL is EXACT at this cardinality
+    assert(s1("cat").getLong(1) == 10)
+    // k: 400 distinct — allow the documented estimate tolerance
+    assert(math.abs(s1("k").getLong(1) - 400) <= 20)
+    assert(s1("cat").getLong(2) == 0 && s1("cat").getString(3) == "0" &&
+      s1("cat").getString(4) == "9")
+    assert(s1("n").getLong(2) == (1L to 400L).count(_ % 7 == 0))
+    assert(s1("price").getString(5) ==
+      BigDecimal((1L to 400L).map(_ % 100).sum).setScale(2).toString)
+    // append + analyze: the sketch MERGES (same generation, +1 file) and
+    // the new values surface in the estimate
+    store.commitAppend(mk(401, 430).withColumn("cat", col("k") % 10 + 10)
+      .coalesce(1))
+    store.analyze()
+    val st2 = store.readNdvState().get
+    assert(st2.gen == 1 && st2.files == 5 &&
+      st2.version == store.currentVersion())
+    spark.catalog.refreshTable("an_cat.analytics.an_ndv")
+    val s2 = stats("an_ndv")
+    assert(s2("cat").getLong(1) == 20) // 10 original + 10 shifted values
+    assert(s2("cat").getLong(7) == 5 && s2("cat").getLong(8) == 5)
+
+    // Part B — a PARTIAL rewrite (bucket-targeted commitIncremental)
+    // removes a covered file: the sidecar stops merging and keeps its
+    // honest as-of; sums stay incremental; ndvRescan re-bases
+    val store2 = new TableStore(spark, s"$warehouse/analytics/an_ndv2")
+    store2.commitBucketed(mk(1, 400), Seq("k"), 4)
+    store2.analyze()
+    val st3a = store2.readNdvState().get
+    assert(st3a.gen == 1 && st3a.files == 4)
+    val touched = store2.readBuckets(Seq(0L))
+    store2.commitIncremental(touched, Seq(0L))
+    store2.analyze()
+    val st3 = store2.readNdvState().get
+    assert(st3.version == st3a.version && st3.gen == 1,
+      "an invalidated sketch must keep its as-of, not silently merge")
+    spark.catalog.refreshTable("an_cat.analytics.an_ndv2")
+    val s3 = stats("an_ndv2")
+    assert(s3("cat").getLong(6) == st3a.version) // ndv_as_of stays honest
+    assert(s3("cat").getString(5) != null, "sums must still serve")
+    // opt-in re-base: one full pass, fresh generation, as-of at head
+    spark.conf.set("spark.graft.analyze.ndvRescan", "true")
+    try store2.analyze()
+    finally spark.conf.unset("spark.graft.analyze.ndvRescan")
+    val st4 = store2.readNdvState().get
+    assert(st4.gen == 2 && st4.version == store2.currentVersion())
+    spark.catalog.refreshTable("an_cat.analytics.an_ndv2")
+    val s4 = stats("an_ndv2")
+    assert(s4("cat").getLong(1) == 10 &&
+      s4("cat").getLong(6) == store2.currentVersion() &&
+      s4("cat").getLong(7) == s4("cat").getLong(8))
   }
 
   test("the maintenance cadence keeps sums fresh (analyzeCols policy): " +
