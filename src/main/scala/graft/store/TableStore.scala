@@ -2404,8 +2404,10 @@ class TableStore(val spark: SparkSession, val root: String,
     // global distinct-count HLL sketch (datasketches, the same family
     // Spark's hll_sketch_agg/hll_union use) — strings and floats included
     // (estimates are approximate by nature, so FP/truncation exactness
-    // concerns do not apply)
-    val ndvEligible = m.schema.fields.toSeq.filter(f =>
+    // concerns do not apply). ONLY on unrestricted analyze: a
+    // cols-restricted pass would otherwise overwrite the sidecar with a
+    // subset and silently drop the other columns' sketches.
+    val ndvEligible = m.schema.fields.toSeq.filter(f => cols.isEmpty &&
       (f.dataType match {
         case org.apache.spark.sql.types.ByteType |
              org.apache.spark.sql.types.ShortType |
@@ -2420,8 +2422,7 @@ class TableStore(val spark: SparkSession, val root: String,
              org.apache.spark.sql.types.TimestampNTZType => true
         case _: org.apache.spark.sql.types.DecimalType => true
         case _ => false
-      }) && !partCols(f.name) &&
-        (cols.isEmpty || cols.contains(f.name)))
+      }) && !partCols(f.name))
     if (eligible.isEmpty && ndvEligible.isEmpty) return cur
     val names = eligible.map(_.name)
 
@@ -2547,20 +2548,29 @@ class TableStore(val spark: SparkSession, val root: String,
       val rebase = ndvNames.nonEmpty && ndvPrev.nonEmpty && !mergeable &&
         spark.conf.getOption("spark.graft.analyze.ndvRescan")
           .exists(_.toBoolean)
-      val unmarked = m.inlineFiles.filterNot(marked).toSet
+      // zero-row files never produce an agg row, so they can never carry
+      // a marker — exclude them from the unmarked set or analyze would
+      // re-read (and re-commit for) them forever
+      val unmarked = infos.collect {
+        case (f, s) if !marked(f) && s.forall(_.rows > 0) => f
+      }.toSet
       val readSet0 =
         if (intendNdv) sumNeedy ++ unmarked else sumNeedy
       if (readSet0.isEmpty && !rebase) return cur
       val fullRoute = rebase ||
         readSet0.size >= rescanFraction * m.inlineFiles.size
       val readSet = if (fullRoute) m.inlineFiles.toSet else readSet0
-      val coveredAll = ndvNames.nonEmpty && readSet.size == m.inlineFiles.size
+      val coveredAll = ndvNames.nonEmpty &&
+        readSet.size == m.inlineFiles.size
       val byPath = fileAggs(spark.read.schema(dataReadSchema(m))
         .parquet(readSet.toSeq.sorted: _*)).collect()
         .map(r => r.getAs[String]("_g_path") -> r).toMap
+      // the sidecar's file count must equal the markers that will LIVE
+      // after this commit — agg rows written (byPath), not files read
+      // (an empty file yields no row and no marker)
       val newGen = finishNdv(unionBytes,
         n => byPath.values.toSeq.map(_.getAs[Array[Byte]](s"_g_hll_$n")),
-        readSet.size,
+        byPath.size,
         marked.size - (readSet & marked).size, // marked files NOT re-read
         mergeable, coveredAll)
       val enriched = m.inlineStats.map { case (p, st) =>
@@ -2581,13 +2591,18 @@ class TableStore(val spark: SparkSession, val root: String,
       val marker = TableStore.NdvMarker
       val pg = prevGen
       // one metadata sweep: per-file (sumNeedy, marked) → three counts
+      // (path, sum-needy, marked, empty): zero-row files never produce an
+      // agg row so they can never carry a marker — they are skipped by the
+      // NDV read set (they contribute no distinct values) WITHOUT counting
+      // as marked, or the sidecar's file-count validation would never hold
+      // on tables carrying empty files
       val flags = metaDs.map { fm =>
         val cs = FileStats.colsFromJson(fm.stats)
         (fm.path, needsSum(fm.rows, cs),
-          cs.get(marker).exists(_.nulls == pg))
+          cs.get(marker).exists(_.nulls == pg), fm.rows == 0L)
       }.persist()
       try {
-        val cntRow = flags.toDF("p", "sn", "mk").agg(
+        val cntRow = flags.toDF("p", "sn", "mk", "em").agg(
           sum(org.apache.spark.sql.functions.when(col("sn"), 1L)
             .otherwise(0L)).as("a"),
           sum(org.apache.spark.sql.functions.when(col("mk"), 1L)
@@ -2604,7 +2619,7 @@ class TableStore(val spark: SparkSession, val root: String,
           spark.conf.getOption("spark.graft.analyze.ndvRescan")
             .exists(_.toBoolean)
         val readCount0 =
-          if (intendNdv) flags.filter(t => t._2 || !t._3).count()
+          if (intendNdv) flags.filter(t => t._2 || (!t._3 && !t._4)).count()
           else sumNeedyCount
         if (readCount0 == 0 && !rebase) return cur
         // route like the derivative refreshes: a mostly-unanalyzed table
@@ -2616,7 +2631,8 @@ class TableStore(val spark: SparkSession, val root: String,
           readCount0 > needyCap
         val readPaths: Option[Set[String]] =
           if (fullRoute) None
-          else Some((if (intendNdv) flags.filter(t => t._2 || !t._3)
+          else Some((if (intendNdv)
+              flags.filter(t => t._2 || (!t._3 && !t._4))
             else flags.filter(_._2)).map(_._1).collect().toSet)
         val coveredAll = ndvNames.nonEmpty &&
           (fullRoute || readPaths.exists(_.size == m.nFiles))
