@@ -1690,6 +1690,81 @@ private[catalog] final class StatsPruningScanBuilder(name: String,
     scan
   }
 
+  /** Per-column V2 statistics for the CBO (r14): min/max/nullCount folded
+    * from the DRIVER-HELD manifest stats (inline tier only — a per-plan
+    * distributed sweep would tax every query; the sharded tier still
+    * serves distinctCount) and distinctCount from the analyze-maintained
+    * NDV sidecar. Computed lazily ONLY when `spark.sql.cbo.enabled` (the
+    * sole consumer) — default sessions never pay the fold or the sidecar
+    * read. Values use the same conservative gates as the metadata
+    * aggregate serves: anything unprovable is simply absent. */
+  private def v2ColumnStats(): java.util.Map[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+    import org.apache.spark.sql.connector.read.colstats.ColumnStatistics
+    val out = new java.util.HashMap[
+      org.apache.spark.sql.connector.expressions.NamedReference,
+      ColumnStatistics]()
+    val ndv = store.readNdvState()
+    val live = m.schema.fields.toSeq
+      .filterNot(f => m.droppedCols.contains(f.name))
+    val perFile: Seq[graft.store.FileStats.FileStat] =
+      if (m.isSharded) Nil
+      else m.inlineFiles.flatMap(f => m.inlineStats.get(f).map(m.usableStat))
+    val haveAllStats = !m.isSharded && perFile.size == m.inlineFiles.size
+    live.foreach { f =>
+      val est: Option[Long] = ndv.flatMap(_.cols.get(f.name)).map { b64 =>
+        math.round(org.apache.datasketches.hll.HllSketch.heapify(
+          java.util.Base64.getDecoder.decode(b64)).getEstimate)
+      }
+      val (nulls, mn, mx): (Option[Long], Option[Any], Option[Any]) =
+        if (!haveAllStats) (None, None, None)
+        else {
+          val cs = perFile.map(s => (s.rows, s.cols.get(f.name)))
+          if (cs.exists(_._2.isEmpty)) (None, None, None)
+          else {
+            val nullsSum = Some(cs.map(_._2.get.nulls).sum)
+            val exact = graft.store.FileStats.minMaxExact(f.dataType)
+            def bound(pick: graft.store.FileStats.ColStat => Option[String],
+                takeMin: Boolean): Option[Any] =
+              if (!exact || !cs.forall { case (rows, c) =>
+                  pick(c.get).isDefined || c.get.nulls == rows }) None
+              else {
+                val vs = cs.flatMap(c => pick(c._2.get))
+                if (vs.isEmpty) None
+                else Some(graft.store.FileStats.parseBound(
+                  if (takeMin) vs.minBy(BigDecimal(_))
+                  else vs.maxBy(BigDecimal(_)), f.dataType))
+              }
+            (nullsSum, bound(_.min, takeMin = true),
+              bound(_.max, takeMin = false))
+          }
+        }
+      if (est.isDefined || nulls.isDefined || mn.isDefined || mx.isDefined)
+        out.put(
+          org.apache.spark.sql.connector.expressions.Expressions
+            .column(f.name),
+          new ColumnStatistics {
+            override def distinctCount(): java.util.OptionalLong =
+              est.map(java.util.OptionalLong.of)
+                .getOrElse(java.util.OptionalLong.empty)
+            override def nullCount(): java.util.OptionalLong =
+              nulls.map(java.util.OptionalLong.of)
+                .getOrElse(java.util.OptionalLong.empty)
+            override def min(): java.util.Optional[Object] =
+              java.util.Optional.ofNullable(
+                mn.map(_.asInstanceOf[Object]).orNull)
+            override def max(): java.util.Optional[Object] =
+              java.util.Optional.ofNullable(
+                mx.map(_.asInstanceOf[Object]).orNull)
+          })
+    }
+    out
+  }
+
+  private def cboOn: Boolean = store.spark.conf
+    .getOption("spark.sql.cbo.enabled").contains("true")
+
   override def build(): org.apache.spark.sql.connector.read.Scan = {
     aggResult.foreach { case (schema, row) =>
       return registerIfExact(new org.apache.spark.sql.connector.read.LocalScan {
@@ -1736,14 +1811,26 @@ private[catalog] final class StatsPruningScanBuilder(name: String,
     // Bucketed tables advertise their keys for join-driven runtime pruning
     // (the DSv2 dynamic-pruning contract): a selective dim-side filter
     // narrows the fact scan to the buckets its join keys hash into.
+    // Under CBO the wrapper also decorates per-column statistics (and a
+    // plain stats-only wrapper serves them for unbucketed layouts — with
+    // no filter attributes it never participates in runtime pruning).
+    val colStats: () => java.util.Map[
+        org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+      if (cboOn) () => v2ColumnStats()
+      else () => java.util.Collections.emptyMap()
     registerIfExact(if (m.bucketKeys.nonEmpty && m.numBuckets > 0) {
       if (spjOn)
         new KeyedRuntimePrunableScan(m.bucketKeys, m.schema, replanWith, scan,
           new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
             Array(org.apache.spark.sql.connector.expressions.Expressions
-              .bucket(m.numBuckets, m.bucketKeys: _*)), m.numBuckets))
-      else new RuntimePrunableScan(m.bucketKeys, m.schema, replanWith, scan)
-    } else scan)
+              .bucket(m.numBuckets, m.bucketKeys: _*)), m.numBuckets),
+          colStats)
+      else new RuntimePrunableScan(m.bucketKeys, m.schema, replanWith, scan,
+        colStats)
+    } else if (cboOn)
+      new RuntimePrunableScan(Nil, m.schema, replanWith, scan, colStats)
+    else scan)
   }
 }
 

@@ -35,11 +35,33 @@ import org.apache.spark.sql.types.StructType
   * scan builder keeps. */
 class RuntimePrunableScan(attrs: Seq[String], schema: StructType,
     rebuild: Seq[Expression] => Scan,
-    @volatile private var delegate: Scan) extends Scan
+    @volatile private var delegate: Scan,
+    colStatsProvider: () => java.util.Map[NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+      () => java.util.Collections.emptyMap()) extends Scan
     with SupportsRuntimeFiltering with SupportsReportStatistics {
 
-  override def estimateStatistics(): Statistics =
-    org.apache.spark.sql.graftbridge.KeyGroupedScanBridge.forwardStats(delegate)
+  /** Delegate size/row estimates, DECORATED with per-column statistics
+    * (r14, CBO feed): min/max/nullCount from the driver-held manifest
+    * stats, distinctCount from the analyze-maintained NDV sidecar —
+    * Spark's `transformV2Stats` maps these into the relation's
+    * `attributeStats`, so with `spark.sql.cbo.enabled` the optimizer
+    * prices joins/filters over graft tables from REAL statistics instead
+    * of size heuristics. The provider memoizes per scan instance; an
+    * empty map (CBO off, or nothing provable) forwards untouched. */
+  private lazy val decoratedCols = colStatsProvider()
+  override def estimateStatistics(): Statistics = {
+    val base = org.apache.spark.sql.graftbridge.KeyGroupedScanBridge
+      .forwardStats(delegate)
+    if (decoratedCols.isEmpty) base
+    else new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong = base.sizeInBytes()
+      override def numRows(): java.util.OptionalLong = base.numRows()
+      override def columnStats(): java.util.Map[NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+        decoratedCols
+    }
+  }
   override def readSchema(): StructType = delegate.readSchema()
   override def description(): String =
     s"runtimePrunable[${attrs.mkString(",")}] ${delegate.description()}"
@@ -76,8 +98,12 @@ class RuntimePrunableScan(attrs: Seq[String], schema: StructType,
   * reporting partitioning mid-plan. */
 final class KeyedRuntimePrunableScan(attrs: Seq[String], schema: StructType,
     rebuild: Seq[Expression] => Scan, initial: Scan,
-    partitioning: Partitioning)
-    extends RuntimePrunableScan(attrs, schema, rebuild, initial)
+    partitioning: Partitioning,
+    colStatsProvider: () => java.util.Map[NamedReference,
+      org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
+      () => java.util.Collections.emptyMap())
+    extends RuntimePrunableScan(attrs, schema, rebuild, initial,
+      colStatsProvider)
     with SupportsReportPartitioning {
   override def outputPartitioning(): Partitioning = partitioning
 }

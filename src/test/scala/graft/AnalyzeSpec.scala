@@ -319,6 +319,43 @@ class AnalyzeSpec extends SparkSuite {
       s4("cat").getLong(7) == s4("cat").getLong(8))
   }
 
+  test("CBO feed: with spark.sql.cbo.enabled the scan reports per-column " +
+      "V2 statistics (manifest min/max/nulls + analyze NDV) into the " +
+      "relation's attributeStats") {
+    val store = new TableStore(spark, s"$warehouse/analytics/an_cbo")
+    store.commitBucketed(rows(1, 300).withColumn("cat", col("k") % 10),
+      Seq("k"), 4)
+    store.analyze()
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      spark.catalog.refreshTable("an_cat.analytics.an_cbo")
+      val df = spark.sql(
+        "SELECT k, cat FROM an_cat.analytics.an_cbo WHERE cat > 2")
+      val rel = df.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2ScanRelation => r
+      }.head
+      val stats = rel.stats.attributeStats
+      val catStat = stats.find(_._1.name == "cat").map(_._2)
+        .getOrElse(fail(s"no column stats for 'cat' in ${stats}"))
+      assert(catStat.distinctCount.contains(BigInt(10)),
+        s"NDV must feed the CBO, got ${catStat.distinctCount}")
+      assert(catStat.nullCount.contains(BigInt(0)))
+      assert(catStat.min.contains(0L) && catStat.max.contains(9L),
+        s"manifest bounds must feed the CBO, got ${catStat.min}/${catStat.max}")
+      // the k column (bucket key) reports too
+      assert(stats.exists(_._1.name == "k"))
+    } finally spark.conf.unset("spark.sql.cbo.enabled")
+    // CBO off: no column stats computed, no sidecar read at plan time
+    spark.catalog.refreshTable("an_cat.analytics.an_cbo")
+    val off = spark.sql("SELECT k FROM an_cat.analytics.an_cbo")
+    val relOff = off.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.v2
+        .DataSourceV2ScanRelation => r
+    }.head
+    assert(relOff.stats.attributeStats.isEmpty)
+  }
+
   test("the maintenance cadence keeps sums fresh (analyzeCols policy): " +
       "compaction's fresh files re-analyze in the same pass") {
     val store = new TableStore(spark, s"$warehouse/analytics/an_maint")
