@@ -1508,6 +1508,18 @@ private[catalog] final class StatsPruningScanBuilder(name: String,
       if (!m.isSharded) None
       else if (m.shards.exists(r => r.files > 0 && r.rows == 0)) None
       else Some(m.shards.map(_.rows).sum)
+    // ONE bounded distributed sweep serves EVERY pushed SUM on the
+    // unfiltered sharded tier — a per-column sweep would re-read the
+    // shard metadata once per aggregate
+    lazy val shardedSumSweep: Option[Map[String, Option[BigDecimal]]] = {
+      val sumCols = agg.aggregateExpressions().toSeq.collect {
+        case s: Sum if !s.isDistinct => refName(s.column())
+      }.flatten.distinct.filter(n => m.schema.fields.exists(f =>
+        f.name == n && graft.store.FileStats.sumExact(f.dataType)))
+      if (sumCols.isEmpty) None
+      else store.analyzedSums(m, sumCols)
+        .map(vals => sumCols.zip(vals).toMap)
+    }
     def minMaxOk(dt: DataType): Boolean =
       graft.store.FileStats.minMaxExact(dt)
     def parse(s: String, dt: DataType): Any =
@@ -1574,7 +1586,7 @@ private[catalog] final class StatsPruningScanBuilder(name: String,
                         else Some(sums.foldLeft(BigDecimal(0))(_ + _)))
                     } else None
                   case None if m.isSharded => // unfiltered: one bounded sweep
-                    store.analyzedSums(m, Seq(n)).map(_.head)
+                    shardedSumSweep.flatMap(_.get(n))
                   case None => None // inline file without stats: no proof
                 }
                 rt = graft.store.FileStats.sumResultType(dt)

@@ -89,6 +89,31 @@ object ShardScale {
       println(s"[scale] LIMIT-10 planned files: $planned of ${store.manifest(
         store.currentVersion()).nFiles} (must be O(files covering 10 rows))")
     }
+    // r14: the ANALYZE → metadata-SUM path at the real sharded tier — one
+    // bounded pass records per-file sums + NDV sketches across 2k files,
+    // then the totals dashboard answers with ZERO data files (the
+    // analyzedSums sweep reads shard metadata only)
+    timed("analyze (sums + NDV, all files)") { store.analyze() }
+    timed("metadata SUM (SQL, zero-scan)") {
+      val w = new java.io.File(root).getParent
+      val tbl = s"scale_cat.`${new java.io.File(root).getName}`"
+      spark.catalog.refreshTable(tbl)
+      val df = spark.sql(
+        s"SELECT COUNT(*) AS c, SUM(k) AS sk, SUM(v) AS sv FROM $tbl")
+      val plan = df.queryExecution.executedPlan.toString
+      require(!plan.contains("Parquet"),
+        s"metadata SUM must plan zero data files:\n$plan")
+      val r = df.collect().head
+      println(s"[scale] SUM row: c=${r.getLong(0)} sk=${r.getLong(1)} " +
+        s"sv=${r.getLong(2)}")
+    }
+    timed("$column_stats sweep") {
+      val tbl = s"scale_cat.`${new java.io.File(root).getName}$$column_stats`"
+      val rows = spark.sql(s"SELECT col_name, ndv_est, sum_v FROM $tbl")
+        .collect()
+      println(s"[scale] column_stats: " +
+        rows.map(r => s"${r.getString(0)} ndv=${r.get(1)}").mkString(", "))
+    }
     println(s"[scale] driver materializations: " +
       s"${TableStore.driverMaterializations.get() - before} (must be 0)")
     spark.stop()

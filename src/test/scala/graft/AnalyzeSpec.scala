@@ -176,6 +176,15 @@ class AnalyzeSpec extends SparkSuite {
       r.getLong(1) == (1L to 800L).filter(_ % 7 != 0).map(_ * 3).sum &&
       decEq(r.getDecimal(2),
         BigDecimal((1L to 800L).map(_ % 100).sum).setScale(2)))
+    // NDV rides the SAME sharded pass: the sidecar covers all four files
+    // and $column_stats serves the (exact, low-cardinality) estimate
+    // through the distributed sweep
+    val st = store.readNdvState().get
+    assert(st.gen == 1 && st.files == 4)
+    val cs = spark.sql("SELECT col_name, ndv_est FROM " +
+        "an_cat.analytics.`an_shard$column_stats`")
+      .collect().map(r2 => r2.getString(0) -> r2.getLong(1)).toMap
+    assert(cs("price") == 100, s"price has 100 distinct values, got $cs")
   }
 
   test("hybrid filtered SUM: declines before analyze, then serves with " +
@@ -241,6 +250,36 @@ class AnalyzeSpec extends SparkSuite {
       finally spark.conf.unset("spark.graft.agg.metadata.hybrid")
     assert(got == want, s"hybrid GROUP BY diverged:\ngot  $got\nwant $want")
     assert(got.size == 5) // four live segs + the NULL group
+    // GROUP BY composes with a STRADDLING WHERE (a fully-decidable one is
+    // consumed by exact pushdown and correctly declines the rewrite — the
+    // ExactPushedScans soundness registry): k-range-chunked files with a
+    // range-derived group column, filtered mid-chunk — the in-range chunk
+    // serves from stats, ONLY the straddler scans
+    val store2 = new TableStore(spark, s"$warehouse/analytics/an_group_f")
+    val b2 = rows(1, 800)
+      .withColumn("seg", ((col("k") - 1) / lit(200)).cast("long"))
+    (0 to 3).foreach { i =>
+      val chunk = b2.filter(col("k") > i * 200 && col("k") <= (i + 1) * 200)
+        .coalesce(1)
+      if (i == 0) store2.commitSnapshot(chunk) else store2.commitAppend(chunk)
+    }
+    store2.analyze()
+    spark.catalog.refreshTable("an_cat.analytics.an_group_f")
+    val qf = "SELECT seg, COUNT(*) AS c, SUM(n) AS sn " +
+      "FROM an_cat.analytics.an_group_f WHERE k <= 250 " +
+      "GROUP BY seg ORDER BY seg ASC NULLS FIRST"
+    val fServed = spark.sql(qf)
+    assert(graft.catalog.HybridMetaAgg.served(fServed),
+      s"filtered GROUP BY must serve:\n${fServed.queryExecution.optimizedPlan}")
+    assert(fServed.inputFiles.length == 1,
+      s"only the straddler chunk may scan, got ${fServed.inputFiles.length}")
+    val gotF = fServed.collect().map(_.toString).toSeq
+    spark.conf.set("spark.graft.agg.metadata.hybrid", "false")
+    val wantF =
+      try spark.sql(qf).collect().map(_.toString).toSeq
+      finally spark.conf.unset("spark.graft.agg.metadata.hybrid")
+    assert(gotF == wantF,
+      s"filtered hybrid GROUP BY diverged:\ngot  $gotF\nwant $wantF")
   }
 
   test("NDV sketches + $column_stats: exact at low cardinality, merged on " +
