@@ -578,10 +578,11 @@ object AggViewRewrite {
     * (PullOutGroupingExpressions hoists compound group exprs into
     * `_groupingexpression` aliases). Shared by the aggregate and join
     * rewrites. */
-  private[catalog] def peelScan(p: LogicalPlan)
+  private[catalog] def peelScan(p: LogicalPlan,
+      acceptExactPushed: Boolean = false)
       : Option[(DataSourceV2ScanRelation, Seq[Expression],
         Map[org.apache.spark.sql.catalyst.expressions.ExprId, Expression])] =
-    peelScanOrTail(p).collect {
+    peelScanOrTail(p, acceptExactPushed).collect {
       case (Right(rel), conds, subst) => (rel, conds, subst)
     }
 
@@ -589,7 +590,8 @@ object AggViewRewrite {
     * a [[JoinViewRewrite.TailInfoTag]] — the join rewrite's stale-star
     * splice — returning Left(info) so the aggregate rule can compose a
     * stacked aggregate above a tail-served join. */
-  private[catalog] def peelScanOrTail(p: LogicalPlan)
+  private[catalog] def peelScanOrTail(p: LogicalPlan,
+      acceptExactPushed: Boolean = false)
       : Option[(Either[JoinViewRewrite.TailInfo, DataSourceV2ScanRelation],
         Seq[Expression],
         Map[org.apache.spark.sql.catalyst.expressions.ExprId, Expression])] = {
@@ -629,9 +631,12 @@ object AggViewRewrite {
             } => go(ch, conds, projects :+ pl)
           // an exact-pushed scan already folded a WHERE into its file
           // subset with no residual Filter — it is NOT the full table, so
-          // no view/index may serve for it (r13 advisor, wrong-results)
+          // no view/index may serve for it (r13 advisor, wrong-results).
+          // The hybrid metadata rule opts IN (acceptExactPushed): it
+          // re-reads the CONSUMED predicate from the registry and
+          // re-classifies files with it, so the serve stays sound.
           case r: DataSourceV2ScanRelation
-              if !ExactPushedScans.contains(r.scan) =>
+              if acceptExactPushed || !ExactPushedScans.contains(r.scan) =>
             Some((Right(r), conds, projects))
           case _ => None
         }

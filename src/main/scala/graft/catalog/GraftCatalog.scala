@@ -1697,7 +1697,7 @@ private[catalog] final class StatsPruningScanBuilder(name: String,
       val totalsUsable = !m.isSharded ||
         !m.shards.exists(r => r.files > 0 && r.rows == 0)
       if (!totalsUsable || keptRows < m.totalRows)
-        ExactPushedScans.register(scan)
+        ExactPushedScans.register(scan, pushedExprs)
     }
     scan
   }

@@ -84,19 +84,28 @@ class HybridMetaAggRule extends Rule[LogicalPlan] {
   }
 
   private def rewrite(agg: Aggregate): Option[LogicalPlan] = {
-    val (rel, conds, _) = AggViewRewrite.peelScan(agg.child) match {
-      case Some(x) => x
-      case None => return None
-    }
+    // accept exact-pushed scans: their CONSUMED predicate (no residual
+    // Filter survives) comes back from the registry and joins the
+    // classification below, so `WHERE <decidable> GROUP BY <chunk col>`
+    // keeps its metadata serve instead of scanning the kept subset
+    val (rel, residual, _) =
+      AggViewRewrite.peelScan(agg.child, acceptExactPushed = true) match {
+        case Some(x) => x
+        case None => return None
+      }
+    val consumed: Seq[Expression] =
+      ExactPushedScans.consumedOf(rel.scan).getOrElse(Nil)
+    val conds = residual ++ consumed
     // grouping must be bare exact-typed base columns (after the inlining
     // peelScan already did); anything else declines
     val groupCols: Seq[AttributeReference] = agg.groupingExpressions.map {
       case ar: AttributeReference if FileStats.minMaxExact(ar.dataType) => ar
       case _ => return None
     }
-    // a global unfiltered (or exactly-consumed) aggregate is
-    // pushAggregation's zero-I/O serve — nothing to hybridize; an
-    // unfiltered GROUP BY is ours (pushAggregation declines GROUP BY)
+    // a global unfiltered (or exactly-consumed-and-already-served)
+    // aggregate is pushAggregation's zero-I/O serve — nothing to
+    // hybridize; an unfiltered GROUP BY is ours (pushAggregation
+    // declines GROUP BY)
     if (conds.isEmpty && groupCols.isEmpty) return None
     val table = rel.relation.table match {
       case t: SnapshotTable => t
@@ -108,10 +117,14 @@ class HybridMetaAggRule extends Rule[LogicalPlan] {
     if (m.hasDeletes) return None
     val baseCols = m.schema.fieldNames.toSet
     if (!rel.scan.readSchema().fieldNames.forall(baseCols)) return None
-    // conditions and grouping refs must re-anchor by NAME onto the
-    // straddler read
-    if (!(conds ++ groupCols).forall(_.references.forall(r =>
+    // residual conditions and grouping refs must re-anchor by NAME onto
+    // the straddler read (their refs resolve through the peeled plan);
+    // CONSUMED conditions came from the pushdown translation — their refs
+    // are name-anchored against the base schema by construction
+    if (!(residual ++ groupCols).forall(_.references.forall(r =>
       rel.output.exists(_.exprId == r.exprId)))) return None
+    if (!consumed.forall(_.references.forall(r =>
+      baseCols.contains(r.name)))) return None
     if (!groupCols.forall(g => baseCols.contains(g.name))) return None
 
     // ---- aggregate coverage --------------------------------------------

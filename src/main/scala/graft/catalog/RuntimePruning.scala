@@ -123,9 +123,17 @@ final class KeyedRuntimePrunableScan(attrs: Seq[String], schema: StructType,
   * merely declines an optimization (never admits a wrong serve). */
 object ExactPushedScans {
   private val scans = java.util.Collections.synchronizedMap(
-    new java.util.WeakHashMap[Scan, java.lang.Boolean]())
-  def register(s: Scan): Unit = scans.put(s, java.lang.Boolean.TRUE)
+    new java.util.WeakHashMap[Scan, Seq[Expression]]())
+  def register(s: Scan, consumed: Seq[Expression]): Unit =
+    scans.put(s, consumed)
   def contains(s: Scan): Boolean = scans.containsKey(s)
+  /** The predicate the exact pushdown CONSUMED (no residual Filter node
+    * remains) — catalyst expressions over the base schema, anchored by
+    * column NAME. The view/index rewrites still decline outright (they
+    * cannot re-apply a predicate to materialized rows); the hybrid
+    * metadata-aggregate rule re-classifies files with it, so a fully
+    * decidable WHERE keeps its GROUP BY metadata serve (r14). */
+  def consumedOf(s: Scan): Option[Seq[Expression]] = Option(scans.get(s))
 }
 
 object RuntimePruning {

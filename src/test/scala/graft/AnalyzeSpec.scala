@@ -250,11 +250,31 @@ class AnalyzeSpec extends SparkSuite {
       finally spark.conf.unset("spark.graft.agg.metadata.hybrid")
     assert(got == want, s"hybrid GROUP BY diverged:\ngot  $got\nwant $want")
     assert(got.size == 5) // four live segs + the NULL group
-    // GROUP BY composes with a STRADDLING WHERE (a fully-decidable one is
-    // consumed by exact pushdown and correctly declines the rewrite — the
-    // ExactPushedScans soundness registry): k-range-chunked files with a
-    // range-derived group column, filtered mid-chunk — the in-range chunk
-    // serves from stats, ONLY the straddler scans
+    // GROUP BY composes with a FULLY-DECIDABLE WHERE: exact pushdown
+    // consumes the Filter node, the registry hands the consumed predicate
+    // back to the rule, and the grouped serve stays ZERO-file
+    val qd = "SELECT seg, COUNT(*) AS c, SUM(n) AS sn " +
+      "FROM an_cat.analytics.an_group WHERE seg <= 2 " +
+      "GROUP BY seg ORDER BY seg ASC NULLS FIRST"
+    val dServed = spark.sql(qd)
+    assert(graft.catalog.HybridMetaAgg.served(dServed),
+      s"decidable-WHERE GROUP BY must serve:\n" +
+        dServed.queryExecution.optimizedPlan)
+    assert(dServed.inputFiles.isEmpty,
+      s"all kept files are proven — zero data files, " +
+        s"got ${dServed.inputFiles.length}")
+    val gotD = dServed.collect().map(_.toString).toSeq
+    spark.conf.set("spark.graft.agg.metadata.hybrid", "false")
+    val wantD =
+      try spark.sql(qd).collect().map(_.toString).toSeq
+      finally spark.conf.unset("spark.graft.agg.metadata.hybrid")
+    assert(gotD == wantD,
+      s"decidable hybrid GROUP BY diverged:\ngot  $gotD\nwant $wantD")
+    assert(gotD.size == 3) // segs 0..2; seg 3 and the NULL group filtered
+
+    // GROUP BY composes with a STRADDLING WHERE too: k-range-chunked
+    // files with a range-derived group column, filtered mid-chunk — the
+    // in-range chunk serves from stats, ONLY the straddler scans
     val store2 = new TableStore(spark, s"$warehouse/analytics/an_group_f")
     val b2 = rows(1, 800)
       .withColumn("seg", ((col("k") - 1) / lit(200)).cast("long"))
