@@ -378,7 +378,7 @@ object MaterializedAgg {
         refreshInternal(base, dcName(name, d), Some(toV), None))
       st.commitIncremental(st.readSnapshot(av).limit(0), Nil,
         expectedParent = Some(av),
-        props = am.props + (BaseVersionProp -> toV.toString))
+        props = TableStore.refreshProps(am.props) + (BaseVersionProp -> toV.toString))
       movePin(base, name, toV)
       return toV
     }
@@ -402,7 +402,7 @@ object MaterializedAgg {
         base.readSnapshot(toV).groupBy(keys.map(col): _*)
           .agg(exprs.head, exprs.tail: _*),
         keys, am.numBuckets, expectedParent = Some(av),
-        props = am.props + (BaseVersionProp -> toV.toString))
+        props = TableStore.refreshProps(am.props) + (BaseVersionProp -> toV.toString))
       movePin(base, name, toV)
       return toV
     }
@@ -506,7 +506,7 @@ object MaterializedAgg {
         // compaction, purge): just advance the watermark
         st.commitIncremental(st.readSnapshot(av).limit(0), Nil,
           expectedParent = Some(av),
-          props = am.props + (BaseVersionProp -> toV.toString))
+          props = TableStore.refreshProps(am.props) + (BaseVersionProp -> toV.toString))
         movePin(base, name, toV)
         return toV
       }
@@ -594,7 +594,7 @@ object MaterializedAgg {
       st.commitIncremental(
         merged.select(am.schema.fieldNames.map(col): _*), touched,
         expectedParent = Some(av),
-        props = am.props + (BaseVersionProp -> toV.toString))
+        props = TableStore.refreshProps(am.props) + (BaseVersionProp -> toV.toString))
       movePin(base, name, toV)
       toV
     } finally {

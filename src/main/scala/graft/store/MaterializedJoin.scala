@@ -499,7 +499,7 @@ object MaterializedJoin {
     val pk = vm0.bucketKeys
     // writes the FULL suffixed dim-prop set (not just the watermarks):
     // a refresh of a legacy un-suffixed-props view migrates it in place
-    def newProps = (vm0.props -- Seq("graft.join.r-root",
+    def newProps = (TableStore.refreshProps(vm0.props) -- Seq("graft.join.r-root",
         "graft.join.l-keys", "graft.join.r-keys", "graft.join.r-cols",
         "graft.join.r-version", "graft.join.l-index")) +
       (LVersionProp -> toL.toString) +

@@ -283,7 +283,7 @@ object SecondaryIndex {
       if (TableStore.contentPreservingSpan(base, fromV, toV)) {
         idx.commitIncremental(idx.readSnapshot(iv).limit(0), Nil,
           expectedParent = Some(iv),
-          props = im.props + (BaseVersionProp -> toV.toString))
+          props = TableStore.refreshProps(im.props) + (BaseVersionProp -> toV.toString))
         movePin(base, name, toV)
         return toV
       }
@@ -302,7 +302,7 @@ object SecondaryIndex {
         idx.commitBucketed(
           proj(base.readSnapshot(toV)),
           indexKeys, im.numBuckets, expectedParent = Some(iv),
-          props = im.props + (BaseVersionProp -> toV.toString))
+          props = TableStore.refreshProps(im.props) + (BaseVersionProp -> toV.toString))
         movePin(base, name, toV)
         return toV
       }
@@ -332,7 +332,7 @@ object SecondaryIndex {
         // purge): just advance the watermark
         idx.commitIncremental(idx.readSnapshot(iv).limit(0), Nil,
           expectedParent = Some(iv),
-          props = im.props + (BaseVersionProp -> toV.toString))
+          props = TableStore.refreshProps(im.props) + (BaseVersionProp -> toV.toString))
         movePin(base, name, toV)
         return toV
       }
@@ -355,7 +355,7 @@ object SecondaryIndex {
           idx.commitBucketed(
             proj(base.readSnapshot(toV)),
             indexKeys, im.numBuckets, expectedParent = Some(iv),
-            props = im.props + (BaseVersionProp -> toV.toString)) }
+            props = TableStore.refreshProps(im.props) + (BaseVersionProp -> toV.toString)) }
         movePin(base, name, toV)
         return toV
       }
@@ -371,7 +371,7 @@ object SecondaryIndex {
       val updated = kept.unionByName(post)
       phase(base.spark, "idx:commit-incremental") {
         idx.commitIncremental(updated, touched, expectedParent = Some(iv),
-          props = im.props + (BaseVersionProp -> toV.toString)) }
+          props = TableStore.refreshProps(im.props) + (BaseVersionProp -> toV.toString)) }
     } finally { pre.unpersist(); post.unpersist() }
     movePin(base, name, toV)
     toV

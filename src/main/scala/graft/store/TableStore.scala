@@ -2049,7 +2049,7 @@ class TableStore(val spark: SparkSession, val root: String,
       // every masked file already left the manifest
       val m = pm.copy(version = parent + 1, parent = parent,
         committedAtMs = System.currentTimeMillis(),
-        props = TableStore.ContentPreserving,
+        props = maintenanceProps(pm),
         dvRefs = Nil, eqRefs = Nil, fileVersions = Map.empty)
       writeManifestAtomic(m)
       return m.version
@@ -2063,11 +2063,11 @@ class TableStore(val spark: SparkSession, val root: String,
         ++ eqBuckets).toSet.toSeq
       commitIncremental(readBuckets(buckets, pm.version), buckets,
         expectedParent = Some(parent), dropDvs = true,
-        props = TableStore.ContentPreserving)
+        props = maintenanceProps(pm))
     } else
       commitReplaceFiles(affected, readFiles(pm, affected),
         expectedParent = Some(parent), dropDvs = true,
-        props = TableStore.ContentPreserving)
+        props = maintenanceProps(pm))
   }
 
   /** Bucket-layout evolution: rewrite the current snapshot hash-bucketed on
@@ -2094,7 +2094,7 @@ class TableStore(val spark: SparkSession, val root: String,
     require(newKeys != m.bucketKeys || numBuckets != m.numBuckets,
       s"table is already bucketed on $newKeys x $numBuckets")
     commitBucketed(readSnapshot(cur), newKeys, numBuckets,
-      expectedParent = Some(cur), props = TableStore.ContentPreserving)
+      expectedParent = Some(cur), props = maintenanceProps(m))
   }
 
   /** Metadata-only schema evolution (VERDICT r4 #1): commit a new snapshot
@@ -2325,6 +2325,14 @@ class TableStore(val spark: SparkSession, val root: String,
     * bound can exclude them. Bucketed tables sort WITHIN each bucket (the
     * bucket stays the partition key; `sortBy` tightens file bounds inside
     * it). */
+  /** Props for a content-preserving MAINTENANCE rewrite: the marker plus
+    * the parent's derivative-defining props ([[TableStore
+    * .DerivativePropPrefixes]] — see the companion note). */
+  private def maintenanceProps(pm: Manifest): Map[String, String] =
+    pm.props.filter { case (k, _) =>
+      TableStore.DerivativePropPrefixes.exists(k.startsWith) } ++
+      TableStore.ContentPreserving
+
   def compact(targetFiles: Int = 1, sortBy: Seq[String] = Nil,
       zorderBy: Seq[String] = Nil): Long = {
     import org.apache.spark.sql.functions.col
@@ -2345,14 +2353,14 @@ class TableStore(val spark: SparkSession, val root: String,
             bucketExpr(m.bucketKeys, m.numBuckets))
           .sortWithinPartitions(arrangeBy: _*)
       commitBucketed(arranged, m.bucketKeys, m.numBuckets,
-        props = TableStore.ContentPreserving, cluster = false)
+        props = maintenanceProps(m), cluster = false)
     } else {
       val arranged =
         if (arrangeBy.isEmpty) df.repartition(targetFiles)
         else df.repartitionByRange(targetFiles, arrangeBy: _*)
           .sortWithinPartitions(arrangeBy: _*)
       commitSnapshot(arranged, m.partitionBy,
-        props = TableStore.ContentPreserving)
+        props = maintenanceProps(m))
     }
   }
 
@@ -4302,6 +4310,29 @@ object TableStore {
   private[graft] val ContentPreservingProp = "graft.commit.content-preserving"
   private[graft] val ContentPreserving: Map[String, String] =
     Map(ContentPreservingProp -> "true")
+
+  /** Per-commit markers that must NEVER inherit onto a derivative
+    * REFRESH commit: maintenance rewrites carry ContentPreserving forward
+    * beside the defining props ([[maintenanceProps]]); a DATA-changing
+    * refresh that inherited the marker from such a parent would fool
+    * every span pricer into a watermark-only advance — SILENT WRONG
+    * RESULTS downstream (found by the r14 soak: a view-store purge
+    * before the join refresh marked the refresh content-preserving and
+    * the stacked aggregate skipped the whole epoch's delta). Every
+    * derivative refresh builds its props through this filter. */
+  private[graft] def refreshProps(p: Map[String, String])
+      : Map[String, String] = p - ContentPreservingProp
+
+  /** Manifest-prop namespaces that DEFINE a derivative store (indexes,
+    * agg/join views keep their metadata in manifest props, re-passed by
+    * every refresh): a content-preserving maintenance rewrite (purge,
+    * compact, rebucket) must CARRY them forward — dropping them orphans
+    * the derivative, and every later read/refresh dies on a missing key
+    * (found by the r14 soak the moment its cadence purged a join view's
+    * eq masks). Per-commit audit markers (cdc route, …) stay per-commit. */
+  private[graft] val DerivativePropPrefixes: Seq[String] = Seq(
+    "graft.index.", "graft.ann.", "graft.dedup.", "graft.agg.",
+    "graft.join.")
 
   /** NDV coverage marker — a pseudo-column in each file's stats map whose
     * `nulls` slot carries the sketch GENERATION that covered the file.

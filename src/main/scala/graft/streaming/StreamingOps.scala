@@ -282,6 +282,42 @@ object StreamingOps {
     // joins are derivatives of MAIN (shared trees, main-numbered
     // watermarks); a branch CDC loop's staged commits reach them after
     // publish, through the next main-side maintenance pass.
+    // Derivative-store MASK hygiene runs BEFORE the refreshes below
+    // (r14): a purge commit after the stacked refreshes would leave every
+    // derivative-of-a-derivative one commit stale at pass end (the purge
+    // is content-preserving, so the refresh absorbs it as a watermark-only
+    // advance); the refreshes' own fresh masks wait for the next pass —
+    // bounded by the cadence. Vacuum stays in the GC block below (pins
+    // must move forward first).
+    def joinStoresOf(base: graft.store.TableStore)
+        : Seq[graft.store.TableStore] =
+      graft.store.MaterializedJoin.list(base)
+        .map(graft.store.MaterializedJoin.viewStore(base, _))
+        .flatMap(vs => vs +: joinStoresOf(vs))
+    lazy val derivativeStores: Seq[graft.store.TableStore] = {
+      val joinStores = joinStoresOf(store)
+      graft.store.SecondaryIndex.list(store)
+        .map(graft.store.SecondaryIndex.indexStore(store, _)) ++
+      graft.store.MaterializedAgg.list(store)
+        .map(graft.store.MaterializedAgg.aggStore(store, _)) ++
+      joinStores ++
+      // stacked aggregates over join views (and their own covering
+      // indexes) are commits-per-refresh too
+      joinStores.flatMap { vs =>
+        graft.store.MaterializedAgg.list(vs)
+          .map(graft.store.MaterializedAgg.aggStore(vs, _)) ++
+        graft.store.SecondaryIndex.list(vs)
+          .map(graft.store.SecondaryIndex.indexStore(vs, _))
+      }
+    }
+    if (store.branch.isEmpty) derivativeStores.foreach { d =>
+      val dv = d.currentVersion()
+      if (dv >= 0) {
+        val dm = d.manifest(dv)
+        if (dm.dvRefs.size + dm.eqRefs.size > policy.maxDvFiles)
+          d.purgeDeletes(expectedParent = Some(dv))
+      }
+    }
     if (policy.refreshIndexes && store.branch.isEmpty)
       graft.store.SecondaryIndex.list(store)
         .foreach(n => graft.store.SecondaryIndex.refresh(store, n))
@@ -322,42 +358,14 @@ object StreamingOps {
       if (policy.retentionMs > 0) store.vacuumOlderThan(policy.retentionMs)
       store.vacuum(policy.keepSnapshots)
       // derivative stores are graft tables too — every refresh commits a
-      // snapshot, and a join view's equality upserts stack delete masks;
-      // without their own hygiene a week-long feed accumulates one
+      // snapshot; without retention a week-long feed accumulates one
       // manifest (plus superseded bucket files) per refresh per
-      // derivative, unboundedly. Same knobs as the base: purge past the
-      // mask threshold, keep `keepSnapshots` snapshots.
-      // join stores recurse through the pyramid: every level's view store
-      // (and its stacked aggregates + covering indexes) commits one
-      // snapshot per refresh and needs the same hygiene
-      def joinStoresOf(base: graft.store.TableStore)
-          : Seq[graft.store.TableStore] =
-        graft.store.MaterializedJoin.list(base)
-          .map(graft.store.MaterializedJoin.viewStore(base, _))
-          .flatMap(vs => vs +: joinStoresOf(vs))
-      val joinStores = joinStoresOf(store)
-      val derivatives =
-        graft.store.SecondaryIndex.list(store)
-          .map(graft.store.SecondaryIndex.indexStore(store, _)) ++
-        graft.store.MaterializedAgg.list(store)
-          .map(graft.store.MaterializedAgg.aggStore(store, _)) ++
-        joinStores ++
-        // stacked aggregates over join views (and their own covering
-        // indexes) are commits-per-refresh too
-        joinStores.flatMap { vs =>
-          graft.store.MaterializedAgg.list(vs)
-            .map(graft.store.MaterializedAgg.aggStore(vs, _)) ++
-          graft.store.SecondaryIndex.list(vs)
-            .map(graft.store.SecondaryIndex.indexStore(vs, _))
-        }
-      derivatives.foreach { d =>
-        val dv = d.currentVersion()
-        if (dv >= 0) {
-          val dm = d.manifest(dv)
-          if (dm.dvRefs.size + dm.eqRefs.size > policy.maxDvFiles)
-            d.purgeDeletes(expectedParent = Some(dv))
-          d.vacuum(policy.keepSnapshots)
-        }
+      // derivative, unboundedly. The mask PURGES ran before the refreshes
+      // above (see the note there); here each derivative keeps
+      // `keepSnapshots` snapshots. The list re-walks the pyramid AFTER
+      // the refreshes so late-created levels are swept too.
+      derivativeStores.foreach { d =>
+        if (d.currentVersion() >= 0) d.vacuum(policy.keepSnapshots)
       }
     }
     ()

@@ -68,8 +68,14 @@ class DerivativeSoakSpec extends SparkSuite {
       (s"x$k", s"t${k % 5}")).toDF("xk", "tier"), Seq("xk"), 4)
     MaterializedJoin.create(vs, "jv2", dim2, Seq("extra"), Seq("xk"),
       Seq("tier"))
+    // maxDvFiles = 0: every pass purges its masks, so the epoch-end
+    // statistics assertion below exercises the metadata-SUM serve (which
+    // declines while DV/eq masks are live — the stale-serve asserts in
+    // step 5 still see the masked mid-epoch state); analyzeCols keeps
+    // per-file sums fresh on the cadence (r14)
     val policy = StreamingOps.CdcMaintenance(everyNCommits = 1,
-      maxFilesPerBucket = 3, keepSnapshots = 3, branchMaxAgeMs = 0L)
+      maxFilesPerBucket = 3, keepSnapshots = 3, branchMaxAgeMs = 0L,
+      maxDvFiles = 0, analyzeCols = Some(Nil))
 
     def factNow() = fact.readSnapshot()
     def dimNow() = dim.readSnapshot().select(col("k"), col("attr"))
@@ -83,6 +89,21 @@ class DerivativeSoakSpec extends SparkSuite {
       .select(col("id"), col("fk"), col("amt"), col("attr"), col("tier"))
 
     def assertAllFreshAndExact(epoch: Int): Unit = {
+      // the statistics subsystem rides the same cadence (r14): the pass
+      // purged every mask and analyzed every fresh file, so the totals
+      // dashboard serves from metadata with ZERO data files — and exactly
+      spark.catalog.refreshTable("soak_cat.analytics.fact")
+      val sumDf = spark.sql(
+        "SELECT SUM(amt) AS s, COUNT(*) AS c FROM soak_cat.analytics.fact")
+      val sumPlan = sumDf.queryExecution.executedPlan.toString
+      assert(!sumPlan.contains("Parquet"),
+        s"epoch $epoch: post-cadence SUM must serve from analyzed stats:\n" +
+          sumPlan)
+      val sumRow = sumDf.collect().head
+      val expect = factNow().agg(sum("amt"), count(lit(1))).collect().head
+      assert(sumRow.getLong(0) == expect.getLong(0) &&
+        sumRow.getLong(1) == expect.getLong(1),
+        s"epoch $epoch: metadata SUM diverged from the live snapshot")
       // freshness flags across the layers
       assert(SecondaryIndex.status(fact).forall(s => s._3 == s._4),
         s"epoch $epoch: a base GSI is stale after the cadence")
