@@ -338,7 +338,7 @@ object SqlSurface {
     s.catalog.refreshTable(s"$cat.analytics.orders_sum")
     val out = s.sql(
       s"""SELECT COUNT(*) AS n_rows, SUM(cust_n) AS sum_cust,
-         |  SUM(price) AS sum_price
+         |  CAST(SUM(price) AS DOUBLE) AS sum_price
          |FROM $cat.analytics.orders_sum""".stripMargin)
     val plan = out.queryExecution.executedPlan.toString
     require(plan.contains("graft-manifest-agg") || plan.contains("LocalTableScan"),
@@ -375,7 +375,7 @@ object SqlSurface {
     s.catalog.refreshTable(s"$cat.analytics.orders_sum_s")
     val out = s.sql(
       s"""SELECT COUNT(*) AS n_rows, SUM(cust_n) AS sum_cust,
-         |  SUM(price) AS sum_price
+         |  CAST(SUM(price) AS DOUBLE) AS sum_price
          |FROM $cat.analytics.orders_sum_s""".stripMargin)
     val plan = out.queryExecution.executedPlan.toString
     require(plan.contains("graft-manifest-agg") || plan.contains("LocalTableScan"),
@@ -409,7 +409,7 @@ object SqlSurface {
     s.catalog.refreshTable(s"$cat.analytics.orders_sum_h")
     val out = s.sql(
       s"""SELECT COUNT(*) AS n_rows, SUM(cust_n) AS sum_cust,
-         |  SUM(price) AS sum_price
+         |  CAST(SUM(price) AS DOUBLE) AS sum_price
          |FROM $cat.analytics.orders_sum_h WHERE seg8 <= 2""".stripMargin)
     require(graft.catalog.HybridMetaAgg.served(out),
       s"straddled filtered SUM must take the hybrid serve:\n" +
@@ -483,7 +483,7 @@ object SqlSurface {
     val out = s.sql(
       s"""SELECT seg, COUNT(*) AS n_rows, COUNT(cust_n) AS n_cust,
          |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
-         |  SUM(cust_n) AS sum_cust, SUM(price) AS sum_price
+         |  SUM(cust_n) AS sum_cust, CAST(SUM(price) AS DOUBLE) AS sum_price
          |FROM $cat.analytics.orders_grp
          |GROUP BY seg
          |ORDER BY seg ASC NULLS FIRST""".stripMargin)
@@ -2125,7 +2125,7 @@ object SqlSurface {
         |  CAST(SUM(CASE WHEN o_custkey % 7 = 0 THEN NULL
         |                ELSE o_custkey END) AS BIGINT) AS sum_cust,
         |  CAST(SUM(CAST(o_orderkey % 1000 AS DECIMAL(10,2)))
-        |    AS DECIMAL(20,2)) AS sum_price
+        |    AS DOUBLE) AS sum_price
         |FROM orders""".stripMargin,
 
     "sql_agg_metadata_sum_sharded" ->
@@ -2133,7 +2133,7 @@ object SqlSurface {
         |  CAST(SUM(CASE WHEN o_custkey % 7 = 0 THEN NULL
         |                ELSE o_custkey END) AS BIGINT) AS sum_cust,
         |  CAST(SUM(CAST(o_orderkey % 1000 AS DECIMAL(10,2)))
-        |    AS DECIMAL(20,2)) AS sum_price
+        |    AS DOUBLE) AS sum_price
         |FROM orders""".stripMargin,
 
     "sql_agg_metadata_sum_hybrid" ->
@@ -2141,7 +2141,7 @@ object SqlSurface {
         |  CAST(SUM(CASE WHEN o_custkey % 7 = 0 THEN NULL
         |                ELSE o_custkey END) AS BIGINT) AS sum_cust,
         |  CAST(SUM(CAST(o_orderkey % 1000 AS DECIMAL(10,2)))
-        |    AS DECIMAL(20,2)) AS sum_price
+        |    AS DOUBLE) AS sum_price
         |FROM orders WHERE o_orderkey % 8 <= 2""".stripMargin,
 
     "sql_column_stats" ->
@@ -2182,7 +2182,7 @@ object SqlSurface {
         |  CAST(SUM(CASE WHEN o_custkey % 7 = 0 THEN NULL
         |                ELSE o_custkey END) AS BIGINT) AS sum_cust,
         |  CAST(SUM(CAST(o_orderkey % 1000 AS DECIMAL(10,2)))
-        |    AS DECIMAL(20,2)) AS sum_price
+        |    AS DOUBLE) AS sum_price
         |FROM orders
         |GROUP BY 1
         |ORDER BY seg ASC NULLS FIRST""".stripMargin,
