@@ -25,9 +25,22 @@ object Verify {
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        val raw = fn(spark, sfDir)
+        // Dump LTZ timestamps as NTZ (identical micros at the UTC
+        // session): the engine's warehouse pins INT64-MICROS-adjusted-
+        // to-UTC parquet (TableStore), which the driver's hasher reads
+        // tz-AWARE while the DuckDB oracle frame is tz-naive — the NTZ
+        // cast restores the naive encoding every round has hashed.
+        val df = raw.schema.fields.foldLeft(raw) { (d, f) =>
+          f.dataType match {
+            case org.apache.spark.sql.types.TimestampType =>
+              d.withColumn(f.name, d.col(f.name).cast("timestamp_ntz"))
+            case _ => d
+          }
+        }
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }

@@ -1702,14 +1702,17 @@ private[catalog] final class StatsPruningScanBuilder(name: String,
     scan
   }
 
-  /** Per-column V2 statistics for the CBO (r14): min/max/nullCount folded
-    * from the DRIVER-HELD manifest stats (inline tier only — a per-plan
-    * distributed sweep would tax every query; the sharded tier still
-    * serves distinctCount) and distinctCount from the analyze-maintained
-    * NDV sidecar. Computed lazily ONLY when `spark.sql.cbo.enabled` (the
-    * sole consumer) — default sessions never pay the fold or the sidecar
-    * read. Values use the same conservative gates as the metadata
-    * aggregate serves: anything unprovable is simply absent. */
+  /** Per-column V2 statistics for the CBO (r14; sharded bounds r15):
+    * min/max/nullCount folded from the DRIVER-HELD manifest stats on the
+    * inline tier, and from ONE bounded distributed `columnStatsSweep` on
+    * the sharded tier (the 100 TB tier, where join pricing needs bounds
+    * most — executor partials, O(#partitions × #cols) driver residue,
+    * memoized per scan); distinctCount from the analyze-maintained NDV
+    * sidecar on both tiers. Computed lazily ONLY when
+    * `spark.sql.cbo.enabled` (the sole consumer) — default sessions never
+    * pay the fold, the sweep, or the sidecar read. Values use the same
+    * conservative gates as the metadata aggregate serves: anything
+    * unprovable is simply absent. */
   private def v2ColumnStats(): java.util.Map[
       org.apache.spark.sql.connector.expressions.NamedReference,
       org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
@@ -1724,13 +1727,28 @@ private[catalog] final class StatsPruningScanBuilder(name: String,
       if (m.isSharded) Nil
       else m.inlineFiles.flatMap(f => m.inlineStats.get(f).map(m.usableStat))
     val haveAllStats = !m.isSharded && perFile.size == m.inlineFiles.size
+    // sharded tier (r15): the 100 TB tier is exactly where the CBO needs
+    // real bounds — ONE bounded distributed sweep (the $column_stats
+    // job: executor partials, O(#partitions × #cols) driver residue),
+    // memoized per scan through the provider's lazy val. CBO-off
+    // sessions never reach here.
+    val shardedSummary: Map[String, graft.store.TableStore.ColSummary] =
+      if (!m.isSharded) Map.empty
+      else store.columnStatsSweep(m, ndv.map(_.gen).getOrElse(-1L))._1
     live.foreach { f =>
       val est: Option[Long] = ndv.flatMap(_.cols.get(f.name)).map { b64 =>
         math.round(org.apache.datasketches.hll.HllSketch.heapify(
           java.util.Base64.getDecoder.decode(b64)).getEstimate)
       }
       val (nulls, mn, mx): (Option[Long], Option[Any], Option[Any]) =
-        if (!haveAllStats) (None, None, None)
+        if (m.isSharded) {
+          val cs = shardedSummary.get(f.name)
+          (cs.flatMap(_.nullCount),
+            cs.flatMap(_.min).map(
+              graft.store.FileStats.parseBound(_, f.dataType)),
+            cs.flatMap(_.max).map(
+              graft.store.FileStats.parseBound(_, f.dataType)))
+        } else if (!haveAllStats) (None, None, None)
         else {
           val cs = perFile.map(s => (s.rows, s.cols.get(f.name)))
           if (cs.exists(_._2.isEmpty)) (None, None, None)

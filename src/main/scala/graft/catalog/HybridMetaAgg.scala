@@ -48,7 +48,14 @@ import graft.store.FileStats
   *    or SUM over a [[FileStats.sumExact]] column whose stats-served
   *    files all carry ANALYZED sums ([[graft.store.TableStore.analyze]]);
   *  - grouping expressions (if any) are bare [[FileStats.minMaxExact]]
-  *    base columns;
+  *    base columns, or (r15) whitelisted deterministic unary chains over
+  *    one — truncations (`date_trunc`, `trunc`), `year`, widening/
+  *    date↔timestamp casts, and floor-division by a positive literal are
+  *    additionally MONOTONE, so E(min) == E(max) proves E constant across
+  *    the file (the day-chunked ingest: ts spans the day inside a file,
+  *    `date_trunc('day', ts)` does not); non-monotone extractions
+  *    (`month`, `day`, `hour`, `pmod`) prove only on a per-file-constant
+  *    input;
   *  - the child peels to a main-store DSv2 graft snapshot scan through
   *    deterministic subquery-free Filters/Projects only
   *    ([[AggViewRewrite.peelScan]], which also screens out scans whose
@@ -70,6 +77,83 @@ import graft.store.FileStats
   * right plan. Kill switch: `spark.graft.agg.metadata.hybrid=false`. */
 class HybridMetaAggRule extends Rule[LogicalPlan] {
 
+  /** One validated grouping expression: `raw` as the Aggregate wrote it
+    * (what the select list references — a hoisted `_groupingexpression`
+    * alias attribute for compound keys), `expanded` the same expression
+    * inlined to scan attributes, `base` its single input column, and
+    * `monotone` whether x ≤ y ⇒ E(x) ≤ E(y) (range proof from bounds). */
+  private case class GroupKey(raw: Expression, expanded: Expression,
+      base: AttributeReference, monotone: Boolean)
+
+  /** Classify a scan-level grouping expression as a whitelisted pure
+    * unary chain E(col): every node deterministic, NULL-intolerant
+    * (E(NULL) = NULL, so an all-NULL file keeps the SQL NULL group), and
+    * evaluable on a literal bound. Returns (base column, monotone). The
+    * whitelist is closed under composition — `year(CAST(ts AS DATE))`,
+    * `date_trunc('day', ts)`, `k div 1000` all qualify; anything outside
+    * it (string ops, UDFs, multi-column exprs) declines the rewrite. */
+  private def classifyGroupExpr(e: Expression)
+      : Option[(AttributeReference, Boolean)] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types._
+    def posLit(x: Expression): Boolean = x match {
+      case Literal(v: Byte, _) => v > 0
+      case Literal(v: Short, _) => v > 0
+      case Literal(v: Int, _) => v > 0
+      case Literal(v: Long, _) => v > 0
+      case Literal(v: Decimal, _) => v.toBigDecimal.signum > 0
+      case _ => false
+    }
+    def nonZeroLit(x: Expression): Boolean = x match {
+      case Literal(v: Byte, _) => v != 0
+      case Literal(v: Short, _) => v != 0
+      case Literal(v: Int, _) => v != 0
+      case Literal(v: Long, _) => v != 0
+      case Literal(v: Decimal, _) => v.toBigDecimal.signum != 0
+      case _ => false
+    }
+    // order-preserving casts only: widening integrals, date↔timestamp
+    // (ts → date truncates, still monotone); narrowing integral casts
+    // WRAP under non-ANSI eval and are refused
+    def castMonotone(from: DataType, to: DataType): Boolean = (from, to) match {
+      case (DateType, TimestampType | TimestampNTZType) => true
+      case (TimestampType | TimestampNTZType, DateType) => true
+      case (TimestampType, TimestampNTZType) => true
+      case (TimestampNTZType, TimestampType) => true
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case _ => false
+    }
+    def chain(x: Expression): Option[(AttributeReference, Boolean)] = x match {
+      case ar: AttributeReference =>
+        if (FileStats.minMaxExact(ar.dataType)) Some((ar, true)) else None
+      // monotone: truncation to a period start / year extraction
+      case TruncTimestamp(Literal(_, _), c, _) => chain(c)
+      case TruncDate(c, Literal(_, _)) => chain(c)
+      case Year(c) => chain(c)
+      case c: Cast if castMonotone(c.child.dataType, c.dataType) =>
+        chain(c.child)
+      case IntegralDivide(c, d, _) if posLit(d) => chain(c)
+      // deterministic but NOT monotone (resets within the enclosing
+      // period / wraps): constant-input proof only
+      case Quarter(c) => chain(c).map { case (a, _) => (a, false) }
+      case Month(c) => chain(c).map { case (a, _) => (a, false) }
+      case DayOfMonth(c) => chain(c).map { case (a, _) => (a, false) }
+      case DayOfYear(c) => chain(c).map { case (a, _) => (a, false) }
+      case DayOfWeek(c) => chain(c).map { case (a, _) => (a, false) }
+      case WeekDay(c) => chain(c).map { case (a, _) => (a, false) }
+      case WeekOfYear(c) => chain(c).map { case (a, _) => (a, false) }
+      case Hour(c, _) => chain(c).map { case (a, _) => (a, false) }
+      case Minute(c, _) => chain(c).map { case (a, _) => (a, false) }
+      case Second(c, _) => chain(c).map { case (a, _) => (a, false) }
+      case Pmod(c, d, _) if nonZeroLit(d) =>
+        chain(c).map { case (a, _) => (a, false) }
+      case _ => None
+    }
+    if (!e.deterministic) None else chain(e)
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString("spark.graft.agg.metadata.hybrid", "true")
         .toBoolean) return plan
@@ -88,7 +172,7 @@ class HybridMetaAggRule extends Rule[LogicalPlan] {
     // Filter survives) comes back from the registry and joins the
     // classification below, so `WHERE <decidable> GROUP BY <chunk col>`
     // keeps its metadata serve instead of scanning the kept subset
-    val (rel, residual, _) =
+    val (rel, residual, subst) =
       AggViewRewrite.peelScan(agg.child, acceptExactPushed = true) match {
         case Some(x) => x
         case None => return None
@@ -96,17 +180,25 @@ class HybridMetaAggRule extends Rule[LogicalPlan] {
     val consumed: Seq[Expression] =
       ExactPushedScans.consumedOf(rel.scan).getOrElse(Nil)
     val conds = residual ++ consumed
-    // grouping must be bare exact-typed base columns (after the inlining
-    // peelScan already did); anything else declines
-    val groupCols: Seq[AttributeReference] = agg.groupingExpressions.map {
-      case ar: AttributeReference if FileStats.minMaxExact(ar.dataType) => ar
-      case _ => return None
+    // grouping: bare exact-typed base columns, or (r15) a whitelisted
+    // deterministic unary CHAIN over one — PullOutGroupingExpressions has
+    // hoisted compound group exprs into `_groupingexpression` aliases by
+    // the time this rule runs, so expand through peelScan's substitution
+    // first, then classify the scan-level expression
+    val groupKeys: Seq[GroupKey] = agg.groupingExpressions.map { raw =>
+      val expanded = raw.transformUp {
+        case ar: AttributeReference => subst.getOrElse(ar.exprId, ar)
+      }
+      classifyGroupExpr(expanded) match {
+        case Some((base, monotone)) => GroupKey(raw, expanded, base, monotone)
+        case None => return None
+      }
     }
     // a global unfiltered (or exactly-consumed-and-already-served)
     // aggregate is pushAggregation's zero-I/O serve — nothing to
     // hybridize; an unfiltered GROUP BY is ours (pushAggregation
     // declines GROUP BY)
-    if (conds.isEmpty && groupCols.isEmpty) return None
+    if (conds.isEmpty && groupKeys.isEmpty) return None
     val table = rel.relation.table match {
       case t: SnapshotTable => t
       case _ => return None
@@ -121,15 +213,45 @@ class HybridMetaAggRule extends Rule[LogicalPlan] {
     // the straddler read (their refs resolve through the peeled plan);
     // CONSUMED conditions came from the pushdown translation — their refs
     // are name-anchored against the base schema by construction
-    if (!(residual ++ groupCols).forall(_.references.forall(r =>
+    if (!(residual ++ groupKeys.map(_.expanded)).forall(_.references.forall(r =>
       rel.output.exists(_.exprId == r.exprId)))) return None
     if (!consumed.forall(_.references.forall(r =>
       baseCols.contains(r.name)))) return None
-    if (!groupCols.forall(g => baseCols.contains(g.name))) return None
+    if (!groupKeys.forall(g => baseCols.contains(g.base.name))) return None
+
+    // ---- AVG derivation (r15) ------------------------------------------
+    // AVG(col) = SUM(col)/COUNT(col) from the partials this rule already
+    // computes. INTEGRAL inputs only: Spark's Average accumulates an
+    // integral column in a double buffer, which is exact while partial
+    // sums fit 2^53, so `CAST(SUM AS DOUBLE) / CAST(COUNT AS DOUBLE)` is
+    // bit-identical to the scan's own result — and an unfitting exact
+    // partial already declines below. Decimal/float AVG keeps the scan
+    // (decimal AVG carries its own rounding; float sums are
+    // order-dependent). COUNT is per-column (AVG skips NULLs) and the
+    // empty/all-NULL group guards to NULL exactly as Average does.
+    val aggES: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression] = {
+      import org.apache.spark.sql.catalyst.expressions.{Cast, Divide, EqualTo, If, NamedExpression}
+      import org.apache.spark.sql.catalyst.expressions.aggregate.Average
+      import org.apache.spark.sql.types.{ByteType, DoubleType, IntegerType, ShortType}
+      agg.aggregateExpressions.map(_.transformDown {
+        case ae @ AggregateExpression(Average(ar: AttributeReference, _), _,
+            false, None, _)
+            if baseCols.contains(ar.name) && (ar.dataType match {
+              case ByteType | ShortType | IntegerType | LongType => true
+              case _ => false
+            }) =>
+          val sumE = AggregateExpression(Sum(ar), ae.mode, isDistinct = false,
+            None, NamedExpression.newExprId)
+          val cntE = AggregateExpression(Count(Seq(ar)), ae.mode,
+            isDistinct = false, None, NamedExpression.newExprId)
+          If(EqualTo(cntE, Literal(0L)), Literal(null, DoubleType),
+            Divide(Cast(sumE, DoubleType), Cast(cntE, DoubleType)))
+      }.asInstanceOf[org.apache.spark.sql.catalyst.expressions.NamedExpression])
+    }
 
     // ---- aggregate coverage --------------------------------------------
     val aggExprs = scala.collection.mutable.ArrayBuffer.empty[AggregateExpression]
-    agg.aggregateExpressions.foreach(_.foreach {
+    aggES.foreach(_.foreach {
       case ae: AggregateExpression
           if !aggExprs.exists(_.semanticEquals(ae)) => aggExprs += ae
       case _ => ()
@@ -161,7 +283,7 @@ class HybridMetaAggRule extends Rule[LogicalPlan] {
     }
     // outputs must hang entirely off the covered aggregates and grouping
     // columns (subqueries decline)
-    if (agg.aggregateExpressions.exists(_.find(e =>
+    if (aggES.exists(_.find(e =>
       e.isInstanceOf[PlanExpression[_]]).isDefined)) return None
 
     // cheap shape gate: a predicate [[FileStats.mustMatch]] can never
@@ -215,16 +337,40 @@ class HybridMetaAggRule extends Rule[LogicalPlan] {
     if (allMatch0.isEmpty) return None // nothing provable: scan is right
 
     // a kept file missing a needed bound/sum — or (GROUP BY) whose group
-    // key its stats cannot PROVE (constant and null-free, or provably
-    // all-NULL) — moves to the scan side: stats only ever serve proof
-    def groupProvable(meta: (String, Long, Map[String, FileStats.ColStat]))
-        : Boolean = groupCols.forall { g =>
-      meta._3.get(g.name).exists(c =>
-        (c.nulls == 0 && c.min.isDefined && c.min == c.max) ||
-          c.nulls == meta._2)
-    }
+    // key its stats cannot PROVE — moves to the scan side: stats only
+    // ever serve proof. A key E(col) is proven when the file is all-NULL
+    // in col (E null-intolerant → the SQL NULL group), when col is
+    // per-file CONSTANT (null-free, min == max → evaluate E on the
+    // bound), or — MONOTONE chains only — when E(min) == E(max) != NULL:
+    // x ≤ y ⇒ E(x) ≤ E(y) pins E constant across the whole [min, max]
+    // range (the date-chunked ingest, where ts spans the day inside each
+    // file but date_trunc('day', ts) does not)
+    def evalOn(g: GroupKey, v: Any): Option[Any] =
+      if (g.expanded eq g.base) Some(v)
+      else try Some(g.expanded.transformUp {
+        case _: AttributeReference => Literal(v, g.base.dataType)
+      }.eval(null)) // ANSI eval error (overflow, …) → unprovable
+      catch { case _: Exception => None }
+    def groupKeysOf(meta: (String, Long, Map[String, FileStats.ColStat]))
+        : Option[Seq[Any]] = Some(groupKeys.map { g =>
+      val c = meta._3.getOrElse(g.base.name, return None)
+      if (c.nulls == meta._2) null
+      else if (c.nulls != 0 || c.min.isEmpty || c.max.isEmpty) return None
+      else {
+        val lo = FileStats.parseBound(c.min.get, g.base.dataType)
+        if (c.min == c.max) evalOn(g, lo).getOrElse(return None)
+        else if (!g.monotone) return None
+        else {
+          val hi = FileStats.parseBound(c.max.get, g.base.dataType)
+          val kl = evalOn(g, lo).getOrElse(return None)
+          val kh = evalOn(g, hi).getOrElse(return None)
+          // a NULL eval output under min < max carries no range proof
+          if (kl != null && kl == kh) kl else return None
+        }
+      }
+    })
     def statsServable(meta: (String, Long, Map[String, FileStats.ColStat]))
-        : Boolean = groupProvable(meta) && kinds.forall {
+        : Boolean = kinds.forall {
       case ('c', "") => true
       case ('c', n) => meta._3.contains(n)
       case ('n', n) =>
@@ -235,9 +381,12 @@ class HybridMetaAggRule extends Rule[LogicalPlan] {
         meta._3.get(n).exists(c => c.sum.isDefined || c.nulls == meta._2)
       case _ => false
     }
-    val (statFiles, moved) = allMatch0.partition(statsServable)
+    val classified = allMatch0.map(f => (f, groupKeysOf(f)))
+    val (statFiles, moved) = classified.partition { case (f, ks) =>
+      ks.isDefined && statsServable(f)
+    }
     if (statFiles.isEmpty) return None
-    val scanFiles = (straddle0 ++ moved.map(_._1)).sorted
+    val scanFiles = (straddle0 ++ moved.map(_._1._1)).sorted
 
     // ---- stats-side partial rows (one per proven file) ------------------
     // partial column type per kind: counts are LONG; sums accumulate in
@@ -254,15 +403,12 @@ class HybridMetaAggRule extends Rule[LogicalPlan] {
         }
         case _ => m.schema(n).dataType
       }
-    val groupNames = groupCols.indices.map(i => s"_g_gk_$i")
+    val groupNames = groupKeys.indices.map(i => s"_g_gk_$i")
     val partialNames = kinds.indices.map(i => s"_g_pc_$i")
-    def statRow(f: (String, Long, Map[String, FileStats.ColStat]))
-        : InternalRow = {
-      val gks: Seq[Any] = groupCols.map { g =>
-        val c = f._3(g.name)
-        if (c.nulls == f._2) null
-        else FileStats.parseBound(c.min.get, g.dataType)
-      }
+    def statRow(fk: ((String, Long, Map[String, FileStats.ColStat]),
+        Option[Seq[Any]])): InternalRow = {
+      val f = fk._1
+      val gks: Seq[Any] = fk._2.get // proven keys, computed once above
       val ps: Seq[Any] = kinds.map {
         case ('c', "") => f._2
         case ('c', n) => f._2 - f._3(n).nulls
@@ -294,8 +440,8 @@ class HybridMetaAggRule extends Rule[LogicalPlan] {
     val statRows = statFiles.map(statRow)
     if (statRows.exists(_ == null)) return None // unfittable exact partial
     val partialAttrs =
-      groupCols.zip(groupNames).map { case (g, gn) =>
-        AttributeReference(gn, g.dataType)()
+      groupKeys.zip(groupNames).map { case (g, gn) =>
+        AttributeReference(gn, g.expanded.dataType)()
       } ++ kinds.zip(partialNames).map { case ((k, n), pn) =>
         AttributeReference(pn, partialType(k, n))()
       }
@@ -326,10 +472,15 @@ class HybridMetaAggRule extends Rule[LogicalPlan] {
               case ar: AttributeReference => UnresolvedAttribute.quoted(ar.name)
             }))
         val scanAgg =
-          if (groupCols.isEmpty) raw.agg(partials.head, partials.tail: _*)
+          if (groupKeys.isEmpty) raw.agg(partials.head, partials.tail: _*)
           else raw
-            .groupBy(groupCols.zip(groupNames).map { case (g, gn) =>
-              byName(g.name).as(gn) }: _*)
+            // straddlers compute the EXPANDED key expression row-exact,
+            // name-anchored onto the file read
+            .groupBy(groupKeys.zip(groupNames).map { case (g, gn) =>
+              ColumnBridge.column(g.expanded.transformUp {
+                case ar: AttributeReference =>
+                  UnresolvedAttribute.quoted(ar.name)
+              }).as(gn) }: _*)
             .agg(partials.head, partials.tail: _*)
         scanAgg.union(statsDF)
       }
@@ -352,26 +503,29 @@ class HybridMetaAggRule extends Rule[LogicalPlan] {
           .as(s"_g_out_$i")
     }
     val mergedAgg =
-      if (groupCols.isEmpty) merged.agg(mergeCols.head, mergeCols.tail: _*)
+      if (groupKeys.isEmpty) merged.agg(mergeCols.head, mergeCols.tail: _*)
       else merged.groupBy(groupNames.map(byName): _*)
         .agg(mergeCols.head, mergeCols.tail: _*)
 
     // ---- splice with the original output exprIds -----------------------
-    val groupIdx: Map[ExprId, Int] =
-      groupCols.zipWithIndex.map { case (g, i) => g.exprId -> i }.toMap
-    val outCols = agg.aggregateExpressions.map { ne =>
+    // outermost-first so a compound group key (its RAW, pre-substitution
+    // shape — the select list references the same hoisted alias attribute)
+    // is replaced whole before its children are visited
+    def groupIdxOf(e: Expression): Int =
+      groupKeys.indexWhere(_.raw.semanticEquals(e))
+    val outCols = aggES.map { ne =>
       var ok = true
       val t = (ne match {
         case Alias(c, _) => c
         case o => o
-      }).transformUp {
+      }).transformDown {
         case ae: AggregateExpression =>
           aggExprs.indexWhere(_.semanticEquals(ae)) match {
             case -1 => ok = false; ae
             case i => UnresolvedAttribute.quoted(s"_g_out_$i")
           }
-        case ar: AttributeReference if groupIdx.contains(ar.exprId) =>
-          UnresolvedAttribute.quoted(s"_g_gk_${groupIdx(ar.exprId)}")
+        case e if groupIdxOf(e) >= 0 =>
+          UnresolvedAttribute.quoted(s"_g_gk_${groupIdxOf(e)}")
       }
       if (!ok || t.find(e => e.isInstanceOf[AttributeReference] ||
           e.isInstanceOf[AggregateExpression]).isDefined) return None
@@ -384,7 +538,7 @@ class HybridMetaAggRule extends Rule[LogicalPlan] {
       }) return None
     logInfo(s"hybrid metadata aggregate over ${store.root}: " +
       s"${statFiles.size} files from stats, ${scanFiles.size} scanned" +
-      (if (groupCols.isEmpty) "" else s", ${groupCols.size} group keys"))
+      (if (groupKeys.isEmpty) "" else s", ${groupKeys.size} group keys"))
     Some(org.apache.spark.sql.catalyst.plans.logical.Project(
       agg.output.zip(repPlan.output).map { case (o, n) =>
         Alias(n, o.name)(exprId = o.exprId, qualifier = o.qualifier,

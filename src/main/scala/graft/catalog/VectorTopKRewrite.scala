@@ -189,8 +189,12 @@ class VectorTopKRewriteRule extends Rule[LogicalPlan] {
       case _ => return None
     }
     val nProbe = conf.getConfString("spark.graft.ann.sql.nProbe", "0").toInt
+    // widenToFill (r15): at explicit nProbe a selective key predicate can
+    // under-fill k — the serve doubles the probe set (bounded counts over
+    // the bucket-targeted pool, ≤ log2(cells) rounds) until k survivors
+    // or the probe is exhaustive, instead of returning < k rows
     val rep = AnnIndex.topk(store, name, qVec, k, nProbe = nProbe,
-      indexVersion = indexV, keyFilter = keyFilter)
+      indexVersion = indexV, keyFilter = keyFilter, widenToFill = true)
     // align the serve to the query's output: index key columns pass
     // through by name; the cosine output must BE the primary sort
     // expression (semantically) — anything else declines

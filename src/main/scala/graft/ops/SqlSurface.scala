@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.functions.{col, lit, when}
+import org.apache.spark.sql.functions.{col, lit, when, year}
 
 import graft.Tables.load
 import graft.catalog.GraftCatalog
@@ -530,6 +530,120 @@ object SqlSurface {
         s"${out.queryExecution.optimizedPlan}")
     require(out.inputFiles.length == 1,
       s"only the mixed head file may scan, planned ${out.inputFiles.length}")
+    out
+  }
+
+  /** EXPRESSION grouping in the metadata serve
+    * (`sql_agg_metadata_group_expr`, r15): the real standing dashboard
+    * query on a time-chunked ingest is `GROUP BY date_trunc('year', ts)`
+    * — the raw timestamp is NOT per-file constant (it spans the whole
+    * year inside each chunk), but truncation is MONOTONE, so equal
+    * truncated bounds prove the key constant across the file's range
+    * ([[graft.catalog.HybridMetaAggRule]] monotone chains). Seven
+    * year-chunked files, every key proven, ZERO data files scanned. */
+  private val sqlAggMetadataGroupExpr: Q = (s, d) => {
+    val cat = catalogFor(s, d)
+    val wh = warehouseFor(d)
+    val store = new TableStore(s, s"$wh/analytics/orders_grpx")
+    if (store.currentVersion() < 0) {
+      val base = load(s, d, "orders").select(col("o_orderkey"),
+        when(col("o_custkey") % 7 === 0, lit(null))
+          .otherwise(col("o_custkey")).as("cust_n"),
+        col("o_orderdate").as("ts"))
+      store.commitSnapshot(base.filter(year(col("ts")) === 1995).coalesce(1))
+      (1996 to 2001).foreach(y => store.commitAppend(
+        base.filter(year(col("ts")) === y).coalesce(1)))
+      s.sql(s"CALL $cat.system.analyze_table('analytics.orders_grpx')")
+    }
+    s.catalog.refreshTable(s"$cat.analytics.orders_grpx")
+    val out = s.sql(
+      s"""SELECT date_trunc('year', ts) AS yr, COUNT(*) AS n_rows,
+         |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+         |  SUM(cust_n) AS sum_cust
+         |FROM $cat.analytics.orders_grpx
+         |GROUP BY date_trunc('year', ts)
+         |ORDER BY yr ASC NULLS FIRST""".stripMargin)
+    require(graft.catalog.HybridMetaAgg.served(out),
+      s"the year-chunked GROUP BY date_trunc must metadata-serve:\n" +
+        s"${out.queryExecution.optimizedPlan}")
+    require(out.inputFiles.isEmpty,
+      s"every group key is proven from bounds — expected zero scanned " +
+        s"files, planned ${out.inputFiles.length}")
+    out
+  }
+
+  /** [[sqlAggMetadataGroupExpr]] on the SHARDED metadata tier: the
+    * truncated-bound proof rides the one distributed `hybridMatchMeta`
+    * sweep — per-file verdicts and group-key bounds come back as
+    * metadata rows, never file reads. */
+  private val sqlAggMetadataGroupExprSharded: Q = (s, d) => {
+    val cat = catalogFor(s, d)
+    val wh = warehouseFor(d)
+    val store = new TableStore(s, s"$wh/analytics/orders_grpx_s")
+    if (store.currentVersion() < 0) {
+      s.conf.set("spark.graft.manifest.inlineThreshold", "2")
+      try {
+        val base = load(s, d, "orders").select(col("o_orderkey"),
+          when(col("o_custkey") % 7 === 0, lit(null))
+            .otherwise(col("o_custkey")).as("cust_n"),
+          col("o_orderdate").as("ts"))
+        store.commitSnapshot(base.filter(year(col("ts")) === 1995).coalesce(1))
+        (1996 to 2001).foreach(y => store.commitAppend(
+          base.filter(year(col("ts")) === y).coalesce(1)))
+        s.sql(s"CALL $cat.system.analyze_table('analytics.orders_grpx_s')")
+        require(store.manifest(store.currentVersion()).isSharded,
+          "fixture error: the table must sit on the sharded tier")
+      } finally s.conf.unset("spark.graft.manifest.inlineThreshold")
+    }
+    s.catalog.refreshTable(s"$cat.analytics.orders_grpx_s")
+    val out = s.sql(
+      s"""SELECT date_trunc('year', ts) AS yr, COUNT(*) AS n_rows,
+         |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+         |  SUM(cust_n) AS sum_cust
+         |FROM $cat.analytics.orders_grpx_s
+         |GROUP BY date_trunc('year', ts)
+         |ORDER BY yr ASC NULLS FIRST""".stripMargin)
+    require(graft.catalog.HybridMetaAgg.served(out),
+      s"the sharded year-chunked GROUP BY date_trunc must serve:\n" +
+        s"${out.queryExecution.optimizedPlan}")
+    require(out.inputFiles.isEmpty,
+      s"expected zero scanned files, planned ${out.inputFiles.length}")
+    out
+  }
+
+  /** AVG in the grouped metadata serve (`sql_agg_metadata_group_avg`,
+    * r15): `AVG(col)` derives as SUM/COUNT from the partials the hybrid
+    * rule already computes — INTEGRAL inputs only, where Spark's own
+    * double-buffer accumulation is exact and the derived divide is
+    * bit-identical to the scan's result. Seg-chunked layout, all keys
+    * proven, analyzed sums serve both the AVG and the SUM at zero file
+    * I/O. */
+  private val sqlAggMetadataGroupAvg: Q = (s, d) => {
+    val cat = catalogFor(s, d)
+    val wh = warehouseFor(d)
+    val store = new TableStore(s, s"$wh/analytics/orders_grpa")
+    if (store.currentVersion() < 0) {
+      val base = load(s, d, "orders").select(col("o_orderkey"),
+        when(col("o_custkey") % 7 === 0, lit(null))
+          .otherwise(col("o_custkey")).as("cust_n"),
+        (col("o_orderkey") % 4).as("seg"))
+      store.commitSnapshot(base.filter(col("seg") === 0).coalesce(1))
+      (1 to 3).foreach(i => store.commitAppend(
+        base.filter(col("seg") === i).coalesce(1)))
+      s.sql(s"CALL $cat.system.analyze_table('analytics.orders_grpa')")
+    }
+    s.catalog.refreshTable(s"$cat.analytics.orders_grpa")
+    val out = s.sql(
+      s"""SELECT seg, COUNT(*) AS n_rows, AVG(cust_n) AS avg_cust,
+         |  SUM(cust_n) AS sum_cust
+         |FROM $cat.analytics.orders_grpa
+         |GROUP BY seg
+         |ORDER BY seg ASC NULLS FIRST""".stripMargin)
+    require(graft.catalog.HybridMetaAgg.served(out),
+      s"the grouped AVG must derive from metadata partials:\n" +
+        s"${out.queryExecution.optimizedPlan}")
+    require(out.inputFiles.isEmpty,
+      s"expected zero scanned files, planned ${out.inputFiles.length}")
     out
   }
 
@@ -1109,6 +1223,45 @@ object SqlSurface {
     require(graft.catalog.VectorTopKRewrite.served(out),
       "the FILTERED vector top-k (key-column predicate) must serve from " +
         "the ANN index")
+    out
+  }
+
+  /** SELECTIVE filtered vector top-k at an EXPLICIT probe width
+    * (`sql_vector_topk_filtered_selective`, r15): at nProbe < cells a
+    * selective key predicate used to return < k rows (survivors may live
+    * in unprobed cells) — the serve now WIDENS the probe set (doubling,
+    * bounded candidate counts) until k fill or the probe is exhaustive
+    * ([[graft.store.AnnIndex.topk]] widenToFill). The predicate here
+    * matches EXACTLY k rows corpus-wide, so the widened serve provably
+    * returns all of them — bit-identical to the DuckDB brute force. */
+  private val sqlVectorTopkFilteredSelective: Q = (s, d) => {
+    import s.implicits._
+    val cat = catalogFor(s, d)
+    val store = new TableStore(s, s"${warehouseFor(d)}/analytics/vec_sql")
+    if (store.currentVersion() < 0) {
+      store.commitBucketed(load(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding")), Seq("vec_id"), 16)
+      graft.store.AnnIndex.create(store, "emb_ann", "embedding",
+        clusters = 16, iters = 4)
+    }
+    graft.functions.GraftFunctions.register(s)
+    s.catalog.refreshTable(s"$cat.analytics.vec_sql")
+    val qv = load(s, d, "embeddings").filter(col("vec_id") === 0)
+      .select(col("embedding")).as[Array[Float]].head()
+    val arr = qv.map(f => s"CAST($f AS FLOAT)").mkString("ARRAY(", ",", ")")
+    s.conf.set("spark.graft.ann.sql.nProbe", "2")
+    val out = try s.sql(
+      s"""SELECT vec_id,
+         |  round(graft_cosine(embedding, $arr), 6) AS cos_sim
+         |FROM $cat.analytics.vec_sql
+         |WHERE vec_id < 20
+         |ORDER BY cos_sim DESC, vec_id ASC
+         |LIMIT 20""".stripMargin)
+    finally s.conf.unset("spark.graft.ann.sql.nProbe")
+    require(graft.catalog.VectorTopKRewrite.served(out),
+      "the selective filtered top-k must serve from the ANN index")
+    require(out.count() == 20,
+      s"probe widening must fill k=20 rows, got ${out.count()}")
     out
   }
 
@@ -1748,6 +1901,7 @@ object SqlSurface {
     "sql_agg_rewrite" -> sqlAggRewrite,
     "sql_vector_topk" -> sqlVectorTopk,
     "sql_vector_topk_filtered" -> sqlVectorTopkFiltered,
+    "sql_vector_topk_filtered_selective" -> sqlVectorTopkFilteredSelective,
     "sql_agg_tail_mm" -> sqlAggTailMm,
     "sql_join_view" -> sqlJoinView,
     "sql_join_rewrite" -> sqlJoinRewrite,
@@ -1769,6 +1923,9 @@ object SqlSurface {
     "sql_agg_metadata_sum_hybrid" -> sqlAggMetadataSumHybrid,
     "sql_agg_metadata_group" -> sqlAggMetadataGroup,
     "sql_agg_metadata_group_sharded" -> sqlAggMetadataGroupSharded,
+    "sql_agg_metadata_group_expr" -> sqlAggMetadataGroupExpr,
+    "sql_agg_metadata_group_expr_sharded" -> sqlAggMetadataGroupExprSharded,
+    "sql_agg_metadata_group_avg" -> sqlAggMetadataGroupAvg,
     "sql_column_stats" -> sqlColumnStats,
     "sql_topk_pushdown" -> sqlTopkPushdown,
     "sql_delete_mor" -> sqlDeleteMor,
@@ -1958,6 +2115,16 @@ object SqlSurface {
         |     SQRT(LIST_DOT_PRODUCT(q.qv, q.qv))), 6) AS cos_sim
         |FROM embeddings, q
         |WHERE vec_id % 3 = 0 AND vec_id > 10
+        |ORDER BY cos_sim DESC NULLS LAST, vec_id ASC NULLS FIRST
+        |LIMIT 20""".stripMargin,
+    "sql_vector_topk_filtered_selective" ->
+      """WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0)
+        |SELECT vec_id,
+        |  ROUND(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), q.qv) /
+        |    (SQRT(LIST_DOT_PRODUCT(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) *
+        |     SQRT(LIST_DOT_PRODUCT(q.qv, q.qv))), 6) AS cos_sim
+        |FROM embeddings, q
+        |WHERE vec_id < 20
         |ORDER BY cos_sim DESC NULLS LAST, vec_id ASC NULLS FIRST
         |LIMIT 20""".stripMargin,
 
@@ -2190,6 +2357,36 @@ object SqlSurface {
     "sql_agg_metadata_group_sharded" ->
       """SELECT o_orderkey % 4 AS seg, COUNT(*) AS n_rows,
         |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+        |  CAST(SUM(CASE WHEN o_custkey % 7 = 0 THEN NULL
+        |                ELSE o_custkey END) AS BIGINT) AS sum_cust
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY seg ASC NULLS FIRST""".stripMargin,
+
+    "sql_agg_metadata_group_expr" ->
+      """SELECT CAST(date_trunc('year', o_orderdate) AS TIMESTAMP) AS yr,
+        |  COUNT(*) AS n_rows,
+        |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+        |  CAST(SUM(CASE WHEN o_custkey % 7 = 0 THEN NULL
+        |                ELSE o_custkey END) AS BIGINT) AS sum_cust
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY yr ASC NULLS FIRST""".stripMargin,
+
+    "sql_agg_metadata_group_expr_sharded" ->
+      """SELECT CAST(date_trunc('year', o_orderdate) AS TIMESTAMP) AS yr,
+        |  COUNT(*) AS n_rows,
+        |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
+        |  CAST(SUM(CASE WHEN o_custkey % 7 = 0 THEN NULL
+        |                ELSE o_custkey END) AS BIGINT) AS sum_cust
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY yr ASC NULLS FIRST""".stripMargin,
+
+    "sql_agg_metadata_group_avg" ->
+      """SELECT o_orderkey % 4 AS seg, COUNT(*) AS n_rows,
+        |  AVG(CASE WHEN o_custkey % 7 = 0 THEN NULL
+        |           ELSE o_custkey END) AS avg_cust,
         |  CAST(SUM(CASE WHEN o_custkey % 7 = 0 THEN NULL
         |                ELSE o_custkey END) AS BIGINT) AS sum_cust
         |FROM orders

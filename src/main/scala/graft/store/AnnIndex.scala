@@ -429,11 +429,16 @@ object AnnIndex {
     * shrinks each probed cell's candidate pool, so the effective recall
     * for a selective predicate is lower than unfiltered at the same
     * nProbe (matching rows may live in unprobed cells) — at the default
-    * exhaustive probe the filtered serve is EXACT. */
+    * exhaustive probe the filtered serve is EXACT. `widenToFill` (r15)
+    * closes the under-fill half of that trade: when the probed pool holds
+    * fewer than k survivors, the probe set doubles (≤ log2(cells) bounded
+    * candidate counts) until k fill or the probe is exhaustive — the
+    * standard IVF adaptive-probe loop. */
   def topk(base: TableStore, name: String, queryVec: Array[Float], k: Int,
       nProbe: Int = 2, excludeId: Option[Long] = None,
       indexVersion: Long = -1L,
-      keyFilter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      keyFilter: Option[org.apache.spark.sql.Column] = None,
+      widenToFill: Boolean = false): DataFrame = {
     val s = base.spark
     import s.implicits._
     val idx = SecondaryIndex.indexStore(base, name)
@@ -449,26 +454,6 @@ object AnnIndex {
     val vecCol = im.props(VecColProp)
     val idCols = idColsOf(im)
     val q = VecKernels.normalize(queryVec)
-    val probe = if (nProbe <= 0) cents.length else nProbe
-    val cells = cents.indices
-      .sortBy(c => (-VecKernels.dotD(q, cents(c)), c)).take(probe)
-    // probed cells → bucket ids from the frozen metadata map (computed at
-    // create through the engine's own bucket expression; a local job only
-    // as back-compat fallback), then a bucket-targeted read: the file set
-    // is a strict subset by construction, independent of filter pushdown
-    val bids = im.props.get(CellBucketsProp) match {
-      case Some(m) =>
-        val byCell = m.split(',').map { e =>
-          val Array(c, b) = e.split(':'); c.toInt -> b.toLong
-        }.toMap
-        cells.map(byCell).distinct.sorted
-      case None =>
-        cells.toDF("cell")
-          .select(TableStore.bucketExpr(Seq("cell"), im.numBuckets).as("b"))
-          .distinct().collect().map(_.getLong(0)).toSeq.sorted
-    }
-    val entries = idx.readBuckets(bids, iv)
-      .filter(col("cell").isin(cells.map(Int.box): _*))
     // excludeId addresses a SINGLE LONG-keyed base: on a composite or
     // non-long key the equality would cast-and-null-out and silently drop
     // every row, so refuse loudly instead (composite callers hold their
@@ -477,11 +462,49 @@ object AnnIndex {
         im.schema(idCols.head).dataType ==
           org.apache.spark.sql.types.LongType),
       s"excludeId addresses a single-LONG-keyed base; '$name' keys on $idCols")
-    val kept0 = excludeId match {
-      case Some(id) => entries.filter(col(idCols.head) =!= id)
-      case None => entries
+    // candidate pool at a given probe width: probed cells → bucket ids
+    // from the frozen metadata map (computed at create through the
+    // engine's own bucket expression; a local job only as back-compat
+    // fallback), then a bucket-targeted read — the file set is a strict
+    // subset by construction, independent of filter pushdown
+    def candidates(probe: Int): DataFrame = {
+      val cells = cents.indices
+        .sortBy(c => (-VecKernels.dotD(q, cents(c)), c)).take(probe)
+      val bids = im.props.get(CellBucketsProp) match {
+        case Some(m) =>
+          val byCell = m.split(',').map { e =>
+            val Array(c, b) = e.split(':'); c.toInt -> b.toLong
+          }.toMap
+          cells.map(byCell).distinct.sorted
+        case None =>
+          cells.toDF("cell")
+            .select(TableStore.bucketExpr(Seq("cell"), im.numBuckets).as("b"))
+            .distinct().collect().map(_.getLong(0)).toSeq.sorted
+      }
+      val entries = idx.readBuckets(bids, iv)
+        .filter(col("cell").isin(cells.map(Int.box): _*))
+      val kept0 = excludeId match {
+        case Some(id) => entries.filter(col(idCols.head) =!= id)
+        case None => entries
+      }
+      keyFilter.fold(kept0)(kept0.filter)
     }
-    val kept = keyFilter.fold(kept0)(kept0.filter)
+    val total = cents.length
+    var probe = if (nProbe <= 0) total else math.min(nProbe, total)
+    var kept = candidates(probe)
+    // adaptive widening (r15, VERDICT r14 next #6): a selective key
+    // predicate can leave < k survivors in the probed cells — a vector DB
+    // widens the probe set until k fill (or the probe is exhaustive)
+    // rather than returning an under-filled result. Each check is one
+    // bounded count over the bucket-targeted candidate pool (id/key
+    // columns only after pruning), so the loop stays sublinear until it
+    // provably cannot: the k-fill walk doubles at most log2(cells) times.
+    if (widenToFill && probe < total) {
+      while (probe < total && kept.limit(k).count() < k) {
+        probe = math.min(total, probe * 2)
+        kept = candidates(probe)
+      }
+    }
     val qv = queryVec
     val score = udf((v: Seq[Float]) => VecKernels.cosine(v.toArray, qv))
     kept.select((idCols.map(col) :+

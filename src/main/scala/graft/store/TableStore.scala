@@ -70,6 +70,13 @@ class TableStore(val spark: SparkSession, val root: String,
   // carries no ids, which is every non-graft read.
   spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
   spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+  // The warehouse stores TIMESTAMP as INT64 MICROS (Iceberg's choice, and
+  // what the adjusted-to-UTC flag round-trips losslessly): Spark's default
+  // INT96 writes NO footer statistics, which would silently disable min/max
+  // file pruning, metadata-served aggregates and group-key proofs on every
+  // LTZ timestamp column the store ever writes. Session conf because
+  // Spark's parquet sink reads it from SQLConf, not per-write options.
+  spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
 
   private val rootPath = new Path(root)
   private def fs: FileSystem =

@@ -25,52 +25,55 @@ object BenchHeavy {
   /** The round this build belongs to — drives the default artifact name so
     * an argument-less run can never overwrite a PRIOR round's committed
     * baseline (ADVICE r12). */
-  private val Round = 14
+  private val Round = 15
 
-  /** Round-13 readings (BENCH_HEAVY_r13.json, full coverage): the
+  /** Round-14 readings (BENCH_HEAVY_r14.json, full coverage): the
     * baseline this round's artifact ships so regressions diff
-    * mechanically. Probes new in r14 have no baseline entry. */
+    * mechanically. Probes new in r15 have no baseline entry. */
   private val PriorBaseline: Map[String, Double] = Map(
-    "cdc_apply" -> 1.201, "dedup_fuzzy_minhash" -> 1.895,
-    "dedup_minhash_sql" -> 1.548, "dedup_ngram_jaccard" -> 2.954,
-    "dedup_embedding" -> 1.033, "dedup_clusters" -> 3.947,
-    "join_multi_q3" -> 0.649, "join_multi_q5" -> 1.255,
-    "join_multi_q10" -> 0.744, "text_chunk" -> 0.215,
-    "pipeline_decontaminate" -> 0.348, "sample_stratified" -> 0.143,
-    "commit_bucketed" -> 1.452, "count_bytestock" -> 0.179,
-    "delete_mor" -> 0.638, "count_dv" -> 0.398,
-    "upsert_mor" -> 1.979, "count_dv2" -> 0.243,
-    "purge_deletes" -> 1.678, "count_purged" -> 0.092,
-    "gsi_create" -> 0.708, "upsert_mor2" -> 1.948,
-    "gsi_refresh" -> 2.04, "upsert_eq" -> 1.157,
-    "count_eq" -> 0.569, "agg_create" -> 1.397,
-    "upsert_eq2" -> 1.08, "agg_refresh" -> 1.667,
-    "upsert_eq3" -> 1.18, "agg_refresh_replay" -> 1.776,
-    "rebucket_composite" -> 1.682, "delete_eq_prefix" -> 0.228,
-    "count_eq_prefix" -> 0.544, "wap_rebase_publish" -> 2.577,
-    "jv_dim_commit" -> 2.525, "jv_create" -> 5.762,
-    "jv_dim_update" -> 0.53, "jv_refresh_dim" -> 3.229,
-    "jv_dim_scatter" -> 1.173, "jv_refresh_dim_scatter" -> 3.474,
-    "jv_fact_update" -> 1.757, "jv_refresh_fact" -> 2.957,
-    "jv_fact_update_b" -> 1.793, "jv_refresh_fact_sync" -> 6.028,
-    "jv2_status_commit" -> 1.848, "jv2_create" -> 8.096,
-    "jv2_dim_update" -> 0.667, "jv2_refresh_dim" -> 3.613,
-    "agg_refresh_post_rebucket" -> 2.839, "upsert_eq4" -> 2.152,
-    "agg_tail_read" -> 1.523, "agg_scan_group" -> 2.015,
-    "jv_tail_dim_update" -> 0.746, "jv_tail_read" -> 4.75,
-    "jv_tail_read_noprune" -> 4.485, "jv_scan_join" -> 1.795,
-    "jv_tail_refresh" -> 11.554, "jv_tail_point_fact" -> 1.202,
-    "jv_tail_point_dim" -> 0.753, "jv_tail_point_read" -> 4.837,
-    "jv_tail_point_read_noprune" -> 4.607, "pyr_dim_commit" -> 1.092,
-    "pyr_create" -> 4.756, "pyr_fact_update" -> 1.21,
-    "pyr_tail_read" -> 5.172, "pyr_scan_join3" -> 2.696,
-    "ann_commit" -> 1.592, "ann_create" -> 2.098,
-    "ann_upsert" -> 1.227, "ann_refresh" -> 1.519,
-    "ann_point" -> 0.278, "ann_brute" -> 0.809,
-    "ann_retrain" -> 2.816, "dedup_idx_commit" -> 0.897,
-    "dedup_idx_create" -> 2.113, "dedup_idx_upsert" -> 0.511,
-    "dedup_idx_refresh" -> 1.495, "dedup_idx_batch" -> 0.933,
-    "ann_point_half" -> 0.178, "ann_brute_half" -> 0.454)
+    "cdc_apply" -> 4.773, "dedup_fuzzy_minhash" -> 2.962,
+    "dedup_minhash_sql" -> 2.25, "dedup_ngram_jaccard" -> 3.396,
+    "dedup_embedding" -> 1.277, "dedup_clusters" -> 5.882,
+    "join_multi_q3" -> 1.173, "join_multi_q5" -> 1.603,
+    "join_multi_q10" -> 1.015, "text_chunk" -> 0.275,
+    "pipeline_decontaminate" -> 0.414, "sample_stratified" -> 0.338,
+    "commit_bucketed" -> 3.002, "count_bytestock" -> 0.205,
+    "delete_mor" -> 0.807, "count_dv" -> 0.523,
+    "upsert_mor" -> 2.642, "count_dv2" -> 0.422,
+    "purge_deletes" -> 2.191, "count_purged" -> 0.131,
+    "gsi_create" -> 0.953, "upsert_mor2" -> 2.359,
+    "gsi_refresh" -> 2.817, "upsert_eq" -> 1.604,
+    "count_eq" -> 0.878, "agg_create" -> 1.751,
+    "upsert_eq2" -> 1.54, "agg_refresh" -> 2.138,
+    "upsert_eq3" -> 1.583, "agg_refresh_replay" -> 2.143,
+    "rebucket_composite" -> 2.583, "delete_eq_prefix" -> 0.392,
+    "count_eq_prefix" -> 0.773, "wap_rebase_publish" -> 3.434,
+    "jv_dim_commit" -> 2.803, "jv_create" -> 5.827,
+    "jv_dim_update" -> 0.527, "jv_refresh_dim" -> 3.04,
+    "jv_dim_scatter" -> 1.205, "jv_refresh_dim_scatter" -> 3.285,
+    "jv_fact_update" -> 1.756, "jv_refresh_fact" -> 3.089,
+    "jv_fact_update_b" -> 1.841, "jv_refresh_fact_sync" -> 5.222,
+    "jv2_status_commit" -> 1.56, "jv2_create" -> 7.319,
+    "jv2_dim_update" -> 0.631, "jv2_refresh_dim" -> 3.218,
+    "agg_refresh_post_rebucket" -> 3.425, "upsert_eq4" -> 1.995,
+    "agg_tail_read" -> 1.35, "agg_scan_group" -> 1.953,
+    "jv_tail_dim_update" -> 0.74, "jv_tail_read" -> 4.496,
+    "jv_tail_read_noprune" -> 5.256, "jv_scan_join" -> 2.279,
+    "jv_tail_refresh" -> 15.638, "jv_tail_point_fact" -> 1.458,
+    "jv_tail_point_dim" -> 0.894, "jv_tail_point_read" -> 5.448,
+    "jv_tail_point_read_noprune" -> 4.315, "pyr_dim_commit" -> 1.26,
+    "pyr_create" -> 4.431, "pyr_fact_update" -> 1.23,
+    "pyr_tail_read" -> 5.277, "pyr_scan_join3" -> 2.358,
+    "ann_commit" -> 1.384, "ann_create" -> 2.093,
+    "ann_upsert" -> 1.257, "ann_refresh" -> 1.468,
+    "ann_point" -> 0.254, "ann_brute" -> 0.854,
+    "ann_retrain" -> 4.556, "ann_retrain_maxcells" -> 17.286,
+    "dedup_idx_commit" -> 0.858, "dedup_idx_create" -> 2.214,
+    "dedup_idx_upsert" -> 0.46, "dedup_idx_refresh" -> 1.405,
+    "dedup_idx_batch" -> 0.87, "analyze_commit" -> 2.818,
+    "analyze_full" -> 2.312, "analyze_incr" -> 0.13,
+    "sum_meta" -> 0.161, "sum_scan" -> 0.554,
+    "ann_point_half" -> 0.171, "ann_brute_half" -> 0.478)
 
   def main(args: Array[String]): Unit = {
     val outFile = args.headOption.getOrElse(s"BENCH_HEAVY_r$Round.json")
@@ -325,6 +328,43 @@ object BenchHeavy {
     t("agg_scan_group") {
       store.readSnapshot().groupBy(col("o_custkey"))
         .agg(count(lit(1))).count()
+    }
+    // r15 (VERDICT r14 next #8): the sql_agg_tail_mm SERVING READ as its
+    // own probe — a MIN/MAX aggregate view served stale via
+    // storedPlusTail after extrema-dirtying churn (retraction delete +
+    // monotone insert), so a real regression of the dirty-group
+    // covering-index recompute can never hide inside fixture noise.
+    // The fixture legs time separately; agg_tail_mm_read is the pin.
+    val mmStore = new graft.store.TableStore(spark, s"$out/li_mm_store")
+    t("agg_mm_commit") {
+      mmStore.commitBucketed(
+        spark.read.parquet(s"$out/lineitem.parquet")
+          .select(col("l_orderkey"), col("l_linenumber"),
+            (col("l_orderkey") % 97).as("okb"),
+            col("l_returnflag"),
+            col("l_quantity").cast("decimal(18,2)").as("qty"),
+            col("l_discount").cast("decimal(18,2)").as("disc")),
+        keys = Seq("l_orderkey", "l_linenumber"), numBuckets = 16)
+    }
+    t("agg_mm_create") {
+      graft.store.MaterializedAgg.create(mmStore, "by_flag_mm",
+        Seq("okb", "l_returnflag"), Seq("qty"), numBuckets = 8,
+        minMaxCols = Seq("disc"))
+    }
+    t("agg_mm_churn") {
+      // retraction: remove many groups' extrema rows; monotone: new rows
+      // below every stored minimum — both dirty-route shapes in one tail
+      mmStore.deleteEq(
+        mmStore.readSnapshot().filter(col("l_orderkey") % 10 === 4)
+          .select(col("l_orderkey"), col("l_linenumber")))
+      mmStore.commitAppend(mmStore.readSnapshot()
+        .filter(col("l_orderkey") % 10 === 2)
+        .withColumn("disc", lit("-1.50").cast("decimal(18,2)")))
+    }
+    t("agg_tail_mm_read") {
+      graft.store.MaterializedAgg.storedPlusTail(mmStore,
+        graft.store.MaterializedAgg.viewMeta(mmStore, "by_flag_mm").get,
+        mmStore.currentVersion()).get.count()
     }
 
     // r11: JOIN-side freshness-tolerant serving at the heavy corpus —

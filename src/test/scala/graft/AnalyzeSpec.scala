@@ -302,6 +302,110 @@ class AnalyzeSpec extends SparkSuite {
       s"filtered hybrid GROUP BY diverged:\ngot  $gotF\nwant $wantF")
   }
 
+  test("expression grouping (r15): monotone chains prove from truncated " +
+      "bounds, non-monotone extractions need a constant input, AVG derives " +
+      "from SUM/COUNT partials — each with rule-off parity") {
+    // year-chunked timestamps: ts SPANS each file's year (min < max), so
+    // only the monotone truncation proof can serve; plus an all-NULL file
+    val store = new TableStore(spark, s"$warehouse/analytics/an_gexpr")
+    val base = rows(1, 800).withColumn("ts",
+      when(col("k") % 10 === 0, lit(null))
+        .otherwise(date_add(lit("2020-01-01").cast("date"),
+          col("k").cast("int")).cast("timestamp")))
+    val live = base.filter(col("ts").isNotNull)
+    store.commitSnapshot(live.filter(year(col("ts")) === 2020).coalesce(1))
+    Seq(2021, 2022).foreach(y =>
+      store.commitAppend(live.filter(year(col("ts")) === y).coalesce(1)))
+    store.commitAppend(base.filter(col("ts").isNull).coalesce(1))
+    store.analyze()
+    spark.catalog.refreshTable("an_cat.analytics.an_gexpr")
+
+    def parity(q: String, wantServed: Boolean, maxFiles: Int = 0): Unit = {
+      val df = spark.sql(q)
+      assert(graft.catalog.HybridMetaAgg.served(df) == wantServed,
+        s"served=${!wantServed} unexpected for:\n$q\n" +
+          df.queryExecution.optimizedPlan)
+      if (wantServed)
+        assert(df.inputFiles.length <= maxFiles,
+          s"expected ≤ $maxFiles scanned files, got ${df.inputFiles.length}")
+      val got = df.collect().map(_.toString).toSeq
+      spark.conf.set("spark.graft.agg.metadata.hybrid", "false")
+      val want =
+        try spark.sql(q).collect().map(_.toString).toSeq
+        finally spark.conf.unset("spark.graft.agg.metadata.hybrid")
+      assert(got == want, s"hybrid diverged on:\n$q\ngot  $got\nwant $want")
+    }
+
+    // date_trunc over a spanning range: monotone proof, zero files, and
+    // the all-NULL file lands in the SQL NULL group
+    parity("SELECT date_trunc('year', ts) AS yr, COUNT(*) AS c, " +
+      "SUM(n) AS sn, MIN(k) AS mn FROM an_cat.analytics.an_gexpr " +
+      "GROUP BY 1 ORDER BY yr ASC NULLS FIRST", wantServed = true)
+    // year() extraction is monotone too
+    parity("SELECT year(ts) AS y, COUNT(*) AS c FROM " +
+      "an_cat.analytics.an_gexpr GROUP BY 1 ORDER BY y ASC NULLS FIRST",
+      wantServed = true)
+    // month() over a year-spanning file carries NO range proof: only the
+    // all-NULL file proves (the NULL group), all three live files scan
+    parity("SELECT month(ts) AS m, COUNT(*) AS c FROM " +
+      "an_cat.analytics.an_gexpr GROUP BY 1 ORDER BY m ASC NULLS FIRST",
+      wantServed = true, maxFiles = 3)
+    // … and with no provable file at all the rewrite declines outright
+    val storeSpan = new TableStore(spark, s"$warehouse/analytics/an_gspan")
+    storeSpan.commitSnapshot(live.filter(year(col("ts")) === 2020).coalesce(1))
+    storeSpan.commitAppend(live.filter(year(col("ts")) === 2021).coalesce(1))
+    storeSpan.analyze()
+    spark.catalog.refreshTable("an_cat.analytics.an_gspan")
+    parity("SELECT month(ts) AS m, COUNT(*) AS c FROM " +
+      "an_cat.analytics.an_gspan GROUP BY 1 ORDER BY m ASC NULLS FIRST",
+      wantServed = false)
+    // floor division by a positive literal is monotone: year files carry
+    // k ranges [1,365] [366,729] [731,799] (+ the null-ts file [10,800]),
+    // so under k div 400 the first and third chunks prove (both bounds in
+    // bucket 0 resp. 1) and the two straddlers scan — parity
+    parity("SELECT k div 400 AS b, COUNT(*) AS c, SUM(n) AS sn FROM " +
+      "an_cat.analytics.an_gexpr GROUP BY 1 ORDER BY b ASC NULLS FIRST",
+      wantServed = true, maxFiles = 2)
+
+    // non-monotone month() DOES serve when the input is per-file CONSTANT
+    val store2 = new TableStore(spark, s"$warehouse/analytics/an_gconst")
+    val cbase = rows(1, 300).withColumn("ts",
+      when(col("k") <= 100, lit("2020-01-15"))
+        .when(col("k") <= 200, lit("2020-02-15"))
+        .otherwise(lit("2021-01-15")).cast("timestamp"))
+    store2.commitSnapshot(cbase.filter(col("k") <= 100).coalesce(1))
+    store2.commitAppend(
+      cbase.filter(col("k") > 100 && col("k") <= 200).coalesce(1))
+    store2.commitAppend(cbase.filter(col("k") > 200).coalesce(1))
+    store2.analyze()
+    spark.catalog.refreshTable("an_cat.analytics.an_gconst")
+    parity("SELECT month(ts) AS m, COUNT(*) AS c FROM " +
+      "an_cat.analytics.an_gconst GROUP BY 1 ORDER BY m ASC NULLS FIRST",
+      wantServed = true)
+
+    // AVG: integral input derives as SUM/COUNT (zero files, grouped and
+    // filtered-global), decimal input keeps the scan
+    parity("SELECT year(ts) AS y, AVG(n) AS a, COUNT(n) AS c FROM " +
+      "an_cat.analytics.an_gexpr GROUP BY 1 ORDER BY y ASC NULLS FIRST",
+      wantServed = true)
+    // k ≤ 729: the first two year chunks prove all-match, chunk 3 is
+    // pruned, only the wide null-ts file straddles and scans
+    parity("SELECT AVG(n) AS a FROM an_cat.analytics.an_gexpr " +
+      "WHERE k <= 729", wantServed = true, maxFiles = 1)
+    parity("SELECT year(ts) AS y, AVG(price) AS a FROM " +
+      "an_cat.analytics.an_gexpr GROUP BY 1 ORDER BY y ASC NULLS FIRST",
+      wantServed = false)
+    // AVG without analyzed sums declines (no partial to derive from)
+    val store3 = new TableStore(spark, s"$warehouse/analytics/an_gnoan")
+    store3.commitSnapshot(rows(1, 200).withColumn("seg", col("k") % 2)
+      .coalesce(1))
+    store3.commitAppend(rows(201, 400).withColumn("seg", col("k") % 2)
+      .coalesce(1))
+    spark.catalog.refreshTable("an_cat.analytics.an_gnoan")
+    parity("SELECT seg, AVG(n) AS a FROM an_cat.analytics.an_gnoan " +
+      "GROUP BY seg ORDER BY seg ASC NULLS FIRST", wantServed = false)
+  }
+
   test("NDV sketches + $column_stats: exact at low cardinality, merged on " +
       "append, as-of kept under a partial rewrite, re-based by ndvRescan") {
     // Part A — append-merge on a plain snapshot store (appends add one
@@ -413,6 +517,40 @@ class AnalyzeSpec extends SparkSuite {
         .DataSourceV2ScanRelation => r
     }.head
     assert(relOff.stats.attributeStats.isEmpty)
+
+    // SHARDED tier (r15): bounds/nulls come from the one distributed
+    // columnStatsSweep — the 100 TB tier prices joins from real bounds
+    val storeS = new TableStore(spark, s"$warehouse/analytics/an_cbo_s")
+    spark.conf.set("spark.graft.manifest.inlineThreshold", "2")
+    try {
+      storeS.commitSnapshot(
+        rows(1, 150).withColumn("cat", col("k") % 10).coalesce(1))
+      (1 to 2).foreach(i => storeS.commitAppend(
+        rows(i * 150 + 1, (i + 1) * 150).withColumn("cat", col("k") % 10)
+          .coalesce(1)))
+      storeS.analyze()
+      assert(storeS.manifest(storeS.currentVersion()).isSharded)
+    } finally spark.conf.unset("spark.graft.manifest.inlineThreshold")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      spark.catalog.refreshTable("an_cat.analytics.an_cbo_s")
+      val dfS = spark.sql(
+        "SELECT k, cat, n FROM an_cat.analytics.an_cbo_s WHERE cat > 2")
+      val relS = dfS.queryExecution.optimizedPlan.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2ScanRelation => r
+      }.head
+      val statsS = relS.stats.attributeStats
+      val kStat = statsS.find(_._1.name == "k").map(_._2)
+        .getOrElse(fail(s"no sharded column stats for 'k' in $statsS"))
+      assert(kStat.min.contains(1L) && kStat.max.contains(450L),
+        s"sharded bounds must feed the CBO, got ${kStat.min}/${kStat.max}")
+      assert(kStat.nullCount.contains(BigInt(0)))
+      val nStat = statsS.find(_._1.name == "n").map(_._2)
+        .getOrElse(fail("no sharded column stats for 'n'"))
+      assert(nStat.nullCount.exists(_ > 0), // the k%7 NULL plants
+        s"sharded null counts must feed the CBO, got ${nStat.nullCount}")
+    } finally spark.conf.unset("spark.sql.cbo.enabled")
   }
 
   test("the maintenance cadence keeps sums fresh (analyzeCols policy): " +

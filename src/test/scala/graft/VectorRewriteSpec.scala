@@ -188,10 +188,9 @@ class VectorRewriteSpec extends SparkSuite {
         .readSnapshot().inputFiles.toSet
       assert(df.inputFiles.toSet.size < allIdx.size,
         "nProbe=2 of 8 cells must read a strict subset of index buckets")
-      // filtered + probed: still a strict-subset bucket read; a SELECTIVE
-      // predicate may drop below k under probing (matching rows can live
-      // in unprobed cells — the documented recall trade) but every row
-      // returned satisfies it
+      // filtered + probed: still a strict-subset bucket read; a dense
+      // predicate (half of every cell matches) fills k from the initial
+      // probe, and every returned row satisfies it
       val fdf = spark.sql(topkSql("vr_cat.analytics.vecs2", arrLit(qv),
         extra = "WHERE vec_id % 2 = 0"))
       assert(VectorTopKRewrite.served(fdf), "filtered probed serve expected")
@@ -200,6 +199,24 @@ class VectorRewriteSpec extends SparkSuite {
       val fRows = fdf.collect().map(_.getLong(0))
       assert(fRows.forall(_ % 2 == 0),
         s"probed filtered serve returned non-matching rows: ${fRows.toSeq}")
+      assert(fRows.length == 5,
+        s"a dense predicate must fill k under probing, got ${fRows.length}")
+      // SELECTIVE predicate (r15 widening): only 5 matching rows exist
+      // corpus-wide, scattered across cells — the old nProbe=2 serve
+      // under-filled; the adaptive loop widens (up to exhaustive) until
+      // k survivors, so the result is exactly the brute-force top-k
+      val sdf = spark.sql(topkSql("vr_cat.analytics.vecs2", arrLit(qv),
+        extra = "WHERE vec_id < 5"))
+      assert(VectorTopKRewrite.served(sdf), "selective probed serve expected")
+      val sRows = sdf.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      spark.conf.set("spark.graft.ann.rewrite", "false")
+      val sBrute = try spark.sql(topkSql("vr_cat.analytics.vecs2",
+          arrLit(qv), extra = "WHERE vec_id < 5"))
+          .collect().map(r => (r.getLong(0), r.getDouble(1)))
+        finally spark.conf.unset("spark.graft.ann.rewrite")
+      assert(sRows.length == 5 && sRows.toSeq == sBrute.toSeq,
+        s"widened selective serve must match brute force: " +
+          s"${sRows.toSeq} vs ${sBrute.toSeq}")
       // an all-match predicate (kept residual: modulo never reaches the
       // exact-pushdown path) keeps the full k under the same probe
       val adf = spark.sql(topkSql("vr_cat.analytics.vecs2", arrLit(qv),
