@@ -185,7 +185,17 @@ object FileStats {
         if (d.isNaN || d.isInfinite) None else Some(d.toString)
       case (BOOLEAN, b: java.lang.Boolean) => Some(b.toString)
       case (BINARY | FIXED_LEN_BYTE_ARRAY, b: Binary) => dt match {
-        case StringType => Some(b.toStringUsingUTF8)
+        // strict UTF-8 decode (r15): a foreign writer's TRUNCATED bound
+        // can split a codepoint, and the lenient decoder's U+FFFD
+        // replacement is NOT order-preserving (it sorts above ASCII —
+        // recording it could raise a min above the true min and prune a
+        // live file). Valid UTF-8 round-trips bytewise, so the recorded
+        // bound keeps parquet's unsigned-lexicographic order; anything
+        // else drops the bound (the file simply never prunes on it).
+        case StringType =>
+          try Some(java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+            .decode(java.nio.ByteBuffer.wrap(b.getBytes)).toString)
+          catch { case _: java.nio.charset.CharacterCodingException => None }
         case d: DecimalType =>
           Some(BigDecimal(BigInt(b.getBytes), scaleOf(pt).getOrElse(d.scale)).toString)
         case _ => None

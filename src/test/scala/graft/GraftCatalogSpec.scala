@@ -1548,4 +1548,65 @@ class GraftCatalogSpec extends SparkSuite {
       .collect().map(_.mkString("|")).sorted.toSeq
     assert(got == want)
   }
+
+  test("string bounds prune files (r15): a string-keyed point query on a " +
+      "PK-chunked layout plans a strict file subset; serving refusals " +
+      "stay (MIN/MAX of a string never metadata-serves)") {
+    // DynamoDB-style string PK (the reference's PK/SK: S key schema):
+    // three files chunked by key prefix — footer BINARY/UTF8 bounds are
+    // recorded as manifest strings and mightMatch orders them bytewise
+    val store = new TableStore(spark, s"$warehouse/analytics/str_keys")
+    val base = (0 until 300).map { i =>
+      (f"k_$i%03d", i.toLong)
+    }.toDF("pk", "v")
+    store.commitSnapshot(base.filter(col("pk") < "k_100").coalesce(1))
+    store.commitAppend(
+      base.filter(col("pk") >= "k_100" && col("pk") < "k_200").coalesce(1))
+    store.commitAppend(base.filter(col("pk") >= "k_200").coalesce(1))
+    spark.catalog.refreshTable("spec_cat.analytics.str_keys")
+    def planned(df: org.apache.spark.sql.DataFrame): Int =
+      "InMemoryFileIndex\\((\\d+) paths\\)".r
+        .findFirstMatchIn(df.queryExecution.executedPlan.toString)
+        .map(_.group(1).toInt).getOrElse(-1)
+    // point query: only the middle chunk can hold the key
+    val point = spark.sql(
+      "SELECT pk, v FROM spec_cat.analytics.str_keys WHERE pk = 'k_150'")
+    assert(planned(point) == 1,
+      s"string equality must prune to the one chunk whose bounds admit " +
+        s"it, planned ${planned(point)}")
+    assert(point.collect().map(_.getLong(1)).toSeq == Seq(150L))
+    // range query: two chunks overlap [k_150, k_250)
+    val range = spark.sql(
+      "SELECT pk, v FROM spec_cat.analytics.str_keys " +
+        "WHERE pk >= 'k_150' AND pk < 'k_250'")
+    assert(planned(range) == 2,
+      s"string range must plan the two overlapping chunks, " +
+        s"planned ${planned(range)}")
+    assert(range.count() == 100L)
+    // provably-no-match: bounds prove zero rows, zero files planned
+    val none = spark.sql(
+      "SELECT pk FROM spec_cat.analytics.str_keys WHERE pk = 'z_999'")
+    assert(planned(none) <= 0,
+      s"out-of-bounds string equality must prune every file, " +
+        s"planned ${planned(none)}")
+    assert(none.count() == 0)
+    // the EMPTY-range metadata serve composes: when every file's string
+    // bounds prove no-match, the exact-pushdown path keeps an empty file
+    // set and COUNT answers 0 with zero scan
+    val cnt = spark.sql("SELECT COUNT(*) AS n " +
+      "FROM spec_cat.analytics.str_keys WHERE pk = 'z_999'")
+    val cplan = cnt.queryExecution.executedPlan.toString
+    assert(cplan.contains("graft-manifest-agg") ||
+      cplan.contains("LocalTableScan"),
+      s"no-match string COUNT must serve from metadata:\n$cplan")
+    assert(cnt.head().getLong(0) == 0L)
+    // the SERVING refusal is unchanged: MIN/MAX over a string column
+    // never answers from metadata (writers may truncate string bounds)
+    val mm = spark.sql("SELECT MIN(pk) AS mn, MAX(pk) AS mx " +
+      "FROM spec_cat.analytics.str_keys")
+    val plan = mm.queryExecution.executedPlan.toString
+    assert(!plan.contains("graft-manifest-agg"),
+      s"string MIN/MAX must scan, not metadata-serve:\n$plan")
+    assert(mm.head().getString(0) == "k_000" && mm.head().getString(1) == "k_299")
+  }
 }
