@@ -667,6 +667,10 @@ object AggViewRewrite {
     * catalog, like the rest of graft, attaches at runtime). */
   def install(spark: SparkSession): Unit = spark.experimental.synchronized {
     if (!spark.experimental.extraOptimizations
+        .exists(_.isInstanceOf[MonotoneRangeRewriteRule]))
+      spark.experimental.extraOptimizations =
+        new MonotoneRangeRewriteRule +: spark.experimental.extraOptimizations
+    if (!spark.experimental.extraOptimizations
         .exists(_.isInstanceOf[AggViewRewriteRule]))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ new AggViewRewriteRule

@@ -1858,9 +1858,13 @@ private[catalog] final class StatsPruningScanBuilder(name: String,
           colStats)
       else new RuntimePrunableScan(m.bucketKeys, m.schema, replanWith, scan,
         colStats)
-    } else if (cboOn)
-      new RuntimePrunableScan(Nil, m.schema, replanWith, scan, colStats)
-    else scan)
+    } else
+      // always wrapped (r15): the wrapper is a pure delegate when no
+      // runtime filtering applies, and it carries BOTH the CBO column
+      // stats (cboOn) and the monotone-range rewrite's optimizer-time
+      // re-prune hook — an unbucketed layout under a truncation
+      // predicate still plans only the admissible files
+      new RuntimePrunableScan(Nil, m.schema, replanWith, scan, colStats))
   }
 }
 

@@ -88,6 +88,16 @@ class RuntimePrunableScan(attrs: Seq[String], schema: StructType,
         exprs.map(RuntimePruning.inValueCount).sum <= RuntimePruning.MaxRuntimeInValues)
       delegate = rebuild(exprs)
   }
+
+  /** Optimizer-time re-plan under extra catalyst predicates — the
+    * monotone-range rewrite's hook (r15): V2 filter pushdown runs BEFORE
+    * the user-rule batch, so ranges derived from a truncation predicate
+    * arrive after the scan is built; this re-prunes the file list through
+    * the same replan the runtime-filter path uses. Sound for any
+    * predicate IMPLIED by the plan's residual Filter (rows are still
+    * checked row-exact above). */
+  private[catalog] def pruneWith(exprs: Seq[Expression]): Unit =
+    if (exprs.nonEmpty) delegate = rebuild(exprs)
 }
 
 /** [[RuntimePrunableScan]] for scans that also report their key-grouped

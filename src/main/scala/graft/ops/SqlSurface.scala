@@ -572,6 +572,43 @@ object SqlSurface {
     out
   }
 
+  /** Truncation-predicate metadata aggregate
+    * (`sql_agg_metadata_where_expr`, r15): the standing dashboard filter
+    * `WHERE date_trunc('year', ts) = X` defeats every stats path as
+    * written (no V1 pushdown, no bare column for the bound proofs) —
+    * [[graft.catalog.MonotoneRangeRewriteRule]] rewrites it to the
+    * equivalent half-open range on the bare column, and the hybrid
+    * metadata serve then proves the one all-match chunk: COUNT/SUM of a
+    * whole year answers with ZERO data files scanned. */
+  private val sqlAggMetadataWhereExpr: Q = (s, d) => {
+    val cat = catalogFor(s, d)
+    val wh = warehouseFor(d)
+    val store = new TableStore(s, s"$wh/analytics/orders_grpx")
+    if (store.currentVersion() < 0) {
+      val base = load(s, d, "orders").select(col("o_orderkey"),
+        when(col("o_custkey") % 7 === 0, lit(null))
+          .otherwise(col("o_custkey")).as("cust_n"),
+        col("o_orderdate").as("ts"))
+      store.commitSnapshot(base.filter(year(col("ts")) === 1995).coalesce(1))
+      (1996 to 2001).foreach(y => store.commitAppend(
+        base.filter(year(col("ts")) === y).coalesce(1)))
+      s.sql(s"CALL $cat.system.analyze_table('analytics.orders_grpx')")
+    }
+    s.catalog.refreshTable(s"$cat.analytics.orders_grpx")
+    val out = s.sql(
+      s"""SELECT COUNT(*) AS n_rows, COUNT(cust_n) AS n_cust,
+         |  SUM(cust_n) AS sum_cust
+         |FROM $cat.analytics.orders_grpx
+         |WHERE date_trunc('year', ts) = TIMESTAMP '1996-01-01 00:00:00'""".stripMargin)
+    require(graft.catalog.HybridMetaAgg.served(out),
+      s"the truncation-predicate aggregate must metadata-serve:\n" +
+        s"${out.queryExecution.optimizedPlan}")
+    require(out.inputFiles.isEmpty,
+      s"the 1996 chunk is proven all-match — expected zero scanned " +
+        s"files, planned ${out.inputFiles.length}")
+    out
+  }
+
   /** [[sqlAggMetadataGroupExpr]] on the SHARDED metadata tier: the
     * truncated-bound proof rides the one distributed `hybridMatchMeta`
     * sweep — per-file verdicts and group-key bounds come back as
@@ -1924,6 +1961,7 @@ object SqlSurface {
     "sql_agg_metadata_group" -> sqlAggMetadataGroup,
     "sql_agg_metadata_group_sharded" -> sqlAggMetadataGroupSharded,
     "sql_agg_metadata_group_expr" -> sqlAggMetadataGroupExpr,
+    "sql_agg_metadata_where_expr" -> sqlAggMetadataWhereExpr,
     "sql_agg_metadata_group_expr_sharded" -> sqlAggMetadataGroupExprSharded,
     "sql_agg_metadata_group_avg" -> sqlAggMetadataGroupAvg,
     "sql_column_stats" -> sqlColumnStats,
@@ -2362,6 +2400,15 @@ object SqlSurface {
         |FROM orders
         |GROUP BY 1
         |ORDER BY seg ASC NULLS FIRST""".stripMargin,
+
+    "sql_agg_metadata_where_expr" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  COUNT(CASE WHEN o_custkey % 7 = 0 THEN NULL
+        |             ELSE o_custkey END) AS n_cust,
+        |  CAST(SUM(CASE WHEN o_custkey % 7 = 0 THEN NULL
+        |                ELSE o_custkey END) AS BIGINT) AS sum_cust
+        |FROM orders
+        |WHERE date_trunc('year', o_orderdate) = TIMESTAMP '1996-01-01 00:00:00'""".stripMargin,
 
     "sql_agg_metadata_group_expr" ->
       """SELECT CAST(date_trunc('year', o_orderdate) AS TIMESTAMP) AS yr,
