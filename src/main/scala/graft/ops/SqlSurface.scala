@@ -609,6 +609,44 @@ object SqlSurface {
     out
   }
 
+  /** [[sqlAggMetadataWhereExpr]] on the SHARDED metadata tier — the
+    * rewritten range predicate feeds the one distributed
+    * `hybridMatchMeta` classification sweep, so the truncation-predicate
+    * dashboard COUNT on the 100 TB tier is one bounded metadata job and
+    * zero data files. */
+  private val sqlAggMetadataWhereExprSharded: Q = (s, d) => {
+    val cat = catalogFor(s, d)
+    val wh = warehouseFor(d)
+    val store = new TableStore(s, s"$wh/analytics/orders_grpx_s")
+    if (store.currentVersion() < 0) {
+      s.conf.set("spark.graft.manifest.inlineThreshold", "2")
+      try {
+        val base = load(s, d, "orders").select(col("o_orderkey"),
+          when(col("o_custkey") % 7 === 0, lit(null))
+            .otherwise(col("o_custkey")).as("cust_n"),
+          col("o_orderdate").as("ts"))
+        store.commitSnapshot(base.filter(year(col("ts")) === 1995).coalesce(1))
+        (1996 to 2001).foreach(y => store.commitAppend(
+          base.filter(year(col("ts")) === y).coalesce(1)))
+        s.sql(s"CALL $cat.system.analyze_table('analytics.orders_grpx_s')")
+        require(store.manifest(store.currentVersion()).isSharded,
+          "fixture error: the table must sit on the sharded tier")
+      } finally s.conf.unset("spark.graft.manifest.inlineThreshold")
+    }
+    s.catalog.refreshTable(s"$cat.analytics.orders_grpx_s")
+    val out = s.sql(
+      s"""SELECT COUNT(*) AS n_rows, COUNT(cust_n) AS n_cust,
+         |  SUM(cust_n) AS sum_cust
+         |FROM $cat.analytics.orders_grpx_s
+         |WHERE date_trunc('year', ts) = TIMESTAMP '1996-01-01 00:00:00'""".stripMargin)
+    require(graft.catalog.HybridMetaAgg.served(out),
+      s"the sharded truncation-predicate aggregate must serve:\n" +
+        s"${out.queryExecution.optimizedPlan}")
+    require(out.inputFiles.isEmpty,
+      s"expected zero scanned files, planned ${out.inputFiles.length}")
+    out
+  }
+
   /** [[sqlAggMetadataGroupExpr]] on the SHARDED metadata tier: the
     * truncated-bound proof rides the one distributed `hybridMatchMeta`
     * sweep — per-file verdicts and group-key bounds come back as
@@ -1962,6 +2000,7 @@ object SqlSurface {
     "sql_agg_metadata_group_sharded" -> sqlAggMetadataGroupSharded,
     "sql_agg_metadata_group_expr" -> sqlAggMetadataGroupExpr,
     "sql_agg_metadata_where_expr" -> sqlAggMetadataWhereExpr,
+    "sql_agg_metadata_where_expr_sharded" -> sqlAggMetadataWhereExprSharded,
     "sql_agg_metadata_group_expr_sharded" -> sqlAggMetadataGroupExprSharded,
     "sql_agg_metadata_group_avg" -> sqlAggMetadataGroupAvg,
     "sql_column_stats" -> sqlColumnStats,
@@ -2402,6 +2441,15 @@ object SqlSurface {
         |ORDER BY seg ASC NULLS FIRST""".stripMargin,
 
     "sql_agg_metadata_where_expr" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  COUNT(CASE WHEN o_custkey % 7 = 0 THEN NULL
+        |             ELSE o_custkey END) AS n_cust,
+        |  CAST(SUM(CASE WHEN o_custkey % 7 = 0 THEN NULL
+        |                ELSE o_custkey END) AS BIGINT) AS sum_cust
+        |FROM orders
+        |WHERE date_trunc('year', o_orderdate) = TIMESTAMP '1996-01-01 00:00:00'""".stripMargin,
+
+    "sql_agg_metadata_where_expr_sharded" ->
       """SELECT COUNT(*) AS n_rows,
         |  COUNT(CASE WHEN o_custkey % 7 = 0 THEN NULL
         |             ELSE o_custkey END) AS n_cust,

@@ -113,6 +113,33 @@ class MonotoneRangeSpec extends SparkSuite {
       s"the whole chunk is proven: zero files, got ${agg.inputFiles.length}")
     val row = agg.head()
     assert(row.getLong(0) == 31L && row.getLong(1) == (59L to 89L).sum)
+    // the dashboard's FULL shape — expression GROUP BY under an
+    // expression WHERE — composes: the rewrite bares the predicate, the
+    // hybrid rule proves the monotone group keys, zero files scan
+    val full = spark.sql("SELECT date_trunc('month', ts) AS mon, " +
+      "COUNT(*) AS n, SUM(k) AS sk FROM mr_cat.analytics.mono " +
+      "WHERE date_trunc('month', ts) >= TIMESTAMP '2021-02-01 00:00:00' " +
+      "GROUP BY 1 ORDER BY mon ASC NULLS FIRST")
+    assert(graft.catalog.HybridMetaAgg.served(full),
+      s"grouped dashboard under a truncation WHERE must serve:\n" +
+        s"${full.queryExecution.optimizedPlan}")
+    assert(full.inputFiles.isEmpty,
+      s"all kept chunks prove their keys: zero files, " +
+        s"got ${full.inputFiles.length}")
+    val gotF = full.collect().map(_.toString).toSeq
+    spark.conf.set("spark.graft.filter.monotoneRewrite", "false")
+    spark.conf.set("spark.graft.agg.metadata.hybrid", "false")
+    val wantF = try spark.sql("SELECT date_trunc('month', ts) AS mon, " +
+        "COUNT(*) AS n, SUM(k) AS sk FROM mr_cat.analytics.mono " +
+        "WHERE date_trunc('month', ts) >= TIMESTAMP '2021-02-01 00:00:00' " +
+        "GROUP BY 1 ORDER BY mon ASC NULLS FIRST")
+        .collect().map(_.toString).toSeq
+      finally {
+        spark.conf.unset("spark.graft.filter.monotoneRewrite")
+        spark.conf.unset("spark.graft.agg.metadata.hybrid")
+      }
+    assert(gotF == wantF,
+      s"composed serve diverged:\ngot  $gotF\nwant $wantF")
     // kill switch restores the plain scan
     spark.conf.set("spark.graft.filter.monotoneRewrite", "false")
     try {
