@@ -116,6 +116,64 @@ object ShardScale {
     }
     println(s"[scale] driver materializations: " +
       s"${TableStore.driverMaterializations.get() - before} (must be 0)")
+
+    // ---- r15: the TIME-CHUNKED ingest at the sharded tier ---------------
+    // 1,500 range-partitioned files over ~4 years of timestamps (~1 day
+    // per file, month-boundary files straddle — the realistic layout a
+    // continuous ingest produces). The standing dashboard shapes must
+    // stay metadata-bound at this file count: expression GROUP BY serves
+    // all non-straddling files from truncated-bound proofs, the
+    // truncation WHERE rewrites to a bare range and prunes the plain
+    // scan, and the monthly COUNT answers from the hybrid serve.
+    val tsRoot = graft.util.Scratch.dir("shard_scale_ts")
+    val tsStore = new TableStore(spark, tsRoot)
+    val nFiles = 1500
+    timed(s"time-chunked commit ($nFiles range files)") {
+      val rows = spark.range(0, nFiles.toLong * 400)
+        .select(org.apache.spark.sql.functions.timestamp_seconds(
+          lit(1577836800L) + ($"id" / 400).cast("long") * 86400L +
+            ($"id" % 400) * 216L).as("ts"),
+          ($"id" % 97).as("v"))
+        .repartitionByRange(nFiles, $"ts")
+      tsStore.commitSnapshot(rows)
+    }
+    val tm = tsStore.manifest(tsStore.currentVersion())
+    println(s"[scale] ts table: files=${tm.nFiles} sharded=${tm.isSharded}")
+    timed("analyze (time-chunked)") { tsStore.analyze() }
+    val tsTbl = s"scale_cat.`${new java.io.File(tsRoot).getName}`"
+    spark.catalog.refreshTable(tsTbl)
+    timed("GROUP BY date_trunc('month') dashboard (expr keys from bounds)") {
+      val df = spark.sql(s"SELECT date_trunc('month', ts) AS mon, " +
+        s"COUNT(*) AS n, SUM(v) AS sv FROM $tsTbl GROUP BY 1 ORDER BY mon")
+      require(graft.catalog.HybridMetaAgg.served(df),
+        "the monthly dashboard must metadata-serve")
+      val scanned = df.inputFiles.length
+      val months = df.count()
+      println(s"[scale] monthly GROUP BY: $months groups, " +
+        s"$scanned of ${tm.nFiles} files scanned (boundary straddlers only)")
+      require(scanned < 120,
+        s"only month-boundary straddlers may scan, got $scanned")
+    }
+    timed("WHERE date_trunc('month') = X count (rewrite + hybrid)") {
+      val df = spark.sql(s"SELECT COUNT(*) AS n FROM $tsTbl " +
+        "WHERE date_trunc('month', ts) = TIMESTAMP '2021-03-01 00:00:00'")
+      require(graft.catalog.HybridMetaAgg.served(df),
+        "the truncation-WHERE count must metadata-serve")
+      println(s"[scale] monthly COUNT: n=${df.head().getLong(0)} " +
+        s"scanned=${df.inputFiles.length}")
+    }
+    timed("plain SELECT under CAST(ts AS DATE) = D (file pruning)") {
+      val df = spark.sql(s"SELECT v FROM $tsTbl " +
+        "WHERE CAST(ts AS DATE) = DATE '2021-03-15'")
+      val n = df.count()
+      val planned = "InMemoryFileIndex\\((\\d+) paths\\)".r
+        .findFirstMatchIn(df.queryExecution.executedPlan.toString)
+        .map(_.group(1).toLong).getOrElse(-1L)
+      println(s"[scale] day point-select: rows=$n planned=$planned of " +
+        s"${tm.nFiles} (one day's chunk + boundary neighbors)")
+      require(planned >= 0 && planned <= 5,
+        s"the day predicate must prune to the day's files, got $planned")
+    }
     spark.stop()
   }
 }
