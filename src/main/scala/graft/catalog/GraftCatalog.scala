@@ -1138,13 +1138,53 @@ private[catalog] final class StatsPruningScanBuilder(name: String,
   private var pendingPrune: Option[StructType] = None
   private var pushedExprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Nil
 
-  private def ensureInner(files: Seq[String],
-      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]): Unit =
-    if (inner == null) {
-      RuntimePruning.lastPlannedFiles.put(name, files.size)
-      inner = org.apache.spark.sql.graftbridge.ParquetTableBridge
+  /** FileRefs for `files` when the driver already KNOWS their sizes
+    * (inline stats) — the manifest-seeded DSv2 index then skips the
+    * filesystem listing entirely; None falls back to the listing route
+    * (sharded subsets whose sweep returned paths only). */
+  private def knownRefs(files: Seq[String])
+      : Option[Seq[org.apache.spark.sql.graftbridge.StatsScanBridge.FileRef]] =
+    if (m.isSharded) None
+    else {
+      val out = Seq.newBuilder[
+        org.apache.spark.sql.graftbridge.StatsScanBridge.FileRef]
+      val it = files.iterator
+      while (it.hasNext) {
+        val f = it.next()
+        m.inlineStats.get(f) match {
+          case Some(st) => out += org.apache.spark.sql.graftbridge
+            .StatsScanBridge.FileRef(f, st.bytes, st.modTime)
+          case None => return None
+        }
+      }
+      Some(out.result())
+    }
+
+  /** The inner parquet scan builder over a resolved file set. With known
+    * refs (manifest bytes/modTime) the table is the manifest-seeded DSv2
+    * index — NO filesystem listing at plan time (r15: `bulkListLeafFiles`
+    * was ~90% of every planning pass at a 1,500-file table, one
+    * distributed listing job per pass); without, the stock path-list
+    * table lists once per build. */
+  private def innerBuilder(files: Seq[String],
+      refs: Option[Seq[org.apache.spark.sql.graftbridge.StatsScanBridge.FileRef]])
+      : ScanBuilder = {
+    RuntimePruning.lastPlannedFiles.put(name, files.size)
+    (refs.orElse(knownRefs(files)) match {
+      case Some(rs) => org.apache.spark.sql.graftbridge.ManifestIndexBridge
+        .create(name, store.spark, m.location, rs, m.schema)
+      case None => org.apache.spark.sql.graftbridge.ParquetTableBridge
         .create(name, store.spark, files, m.schema)
-        .asInstanceOf[SupportsRead].newScanBuilder(options)
+    }).asInstanceOf[SupportsRead].newScanBuilder(options)
+  }
+
+  private def ensureInner(files: Seq[String],
+      exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression],
+      refs: Option[Seq[
+        org.apache.spark.sql.graftbridge.StatsScanBridge.FileRef]] = None)
+      : Unit =
+    if (inner == null) {
+      inner = innerBuilder(files, refs)
       if (exprs.nonEmpty)
         org.apache.spark.sql.graftbridge.CatalystPushBridge.push(inner, exprs)
       pendingPrune.foreach(s => inner
@@ -1230,8 +1270,10 @@ private[catalog] final class StatsPruningScanBuilder(name: String,
     // manifest shards — only surviving files reach the driver's scan plan.
     // DV'd snapshots defer (their V1 fallback prunes lazily in buildScan);
     // filterless scans defer too, so a later pushLimit can shrink the list.
-    if (!m.hasDeletes && exprs.nonEmpty)
-      ensureInner(store.pruneCandidatePaths(m, exprs), exprs)
+    if (!m.hasDeletes && exprs.nonEmpty) {
+      val rs = store.pruneRefs(m, m.schema, exprs)
+      ensureInner(rs.map(_.path), exprs, Some(rs))
+    }
     filters // all post-scan: the Filter node stays, pruning is best-effort
   }
 
@@ -1660,10 +1702,15 @@ private[catalog] final class StatsPruningScanBuilder(name: String,
           graft.store.FileStats.mightMatch(m.usableStat(st), m.schema, extra)))
       case (None, None) => store.pruneCandidatePaths(m, exprs)
     }
-    RuntimePruning.lastPlannedFiles.put(name, files.size)
-    val sb = org.apache.spark.sql.graftbridge.ParquetTableBridge
-      .create(name, store.spark, files, m.schema)
-      .asInstanceOf[SupportsRead].newScanBuilder(options)
+    val knownAll: Option[Seq[
+        org.apache.spark.sql.graftbridge.StatsScanBridge.FileRef]] =
+      (exactFiles, exactMeta) match {
+        case (None, None) if m.isSharded =>
+          // the re-prune above IS pruneRefs — reuse its refs (memoized)
+          Some(store.pruneRefs(m, m.schema, exprs))
+        case _ => None
+      }
+    val sb = innerBuilder(files, knownAll)
     if (exprs.nonEmpty)
       org.apache.spark.sql.graftbridge.CatalystPushBridge.push(sb, exprs)
     pendingPrune.foreach(s => sb
@@ -1834,9 +1881,13 @@ private[catalog] final class StatsPruningScanBuilder(name: String,
     }
     // exact mode pushes NO exprs into parquet (kept files are all-match;
     // the predicate is already fully served by the file subset)
-    ensureInner(limitFiles.orElse(exactFiles).getOrElse(
-        store.pruneCandidatePaths(m, pushedExprs)),
-      if (exactFiles.isDefined) Nil else pushedExprs)
+    limitFiles.orElse(exactFiles) match {
+      case Some(fs) =>
+        ensureInner(fs, if (exactFiles.isDefined) Nil else pushedExprs)
+      case None =>
+        val rs = store.pruneRefs(m, m.schema, pushedExprs)
+        ensureInner(rs.map(_.path), pushedExprs, Some(rs))
+    }
     val scan = wrapKeyGrouped(inner.build())
     // Bucketed tables advertise their keys for join-driven runtime pruning
     // (the DSv2 dynamic-pruning contract): a selective dim-side filter

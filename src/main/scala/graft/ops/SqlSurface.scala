@@ -828,7 +828,7 @@ object SqlSurface {
       s"""SELECT o_orderkey, o_custkey FROM $cat.analytics.orders_topk
          |ORDER BY o_orderkey ASC NULLS FIRST
          |LIMIT 20""".stripMargin)
-    val planned = "InMemoryFileIndex\\((\\d+) paths\\)".r
+    val planned = "FileIndex\\((\\d+) paths\\)".r
       .findFirstMatchIn(out.queryExecution.executedPlan.toString)
       .map(_.group(1).toInt).getOrElse(-1)
     require(planned == 1,

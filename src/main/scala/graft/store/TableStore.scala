@@ -297,6 +297,27 @@ class TableStore(val spark: SparkSession, val root: String,
         FileRef(f, s.map(_.bytes).getOrElse(0L), s.map(_.modTime).getOrElse(0L))
       }
     } else {
+      // memoized process-wide (r15): every PLANNING PASS of every query
+      // over a sharded table re-ran this distributed shard read (a
+      // GROUP BY at 1,500 files paid ~2.5 s of metadata jobs per pass,
+      // 3+ passes per query — optimizer, inspection, execution). The
+      // survivors depend only on the IMMUTABLE manifest content, the
+      // read schema, and the predicate's name-anchored form; the result
+      // is exactly what the scan materializes to the driver anyway, so
+      // caching it adds no new residue class — but entries are bounded
+      // (count + size guard) and invalidated with the manifest memo.
+      val exprsKey =
+        try filters.map(_.sql).mkString("&")
+        catch { case _: Exception => null }
+      val memoOn = exprsKey != null &&
+        spark.conf.getOption("spark.graft.meta.manifestCache")
+          .forall(_.toBoolean)
+      val mKey = (epochMemoKey, m.version,
+        dataSchema.catalogString.hashCode + "#" + exprsKey)
+      if (memoOn) {
+        val hit = TableStore.pruneMemo.get(mKey)
+        if (hit != null) return hit
+      }
       val sp = spark
       import sp.implicits._
       // shard-level pruning: a ShardRef records exactly which buckets it
@@ -327,7 +348,13 @@ class TableStore(val spark: SparkSession, val root: String,
             }
           }
         }
-      matched.collect().toSeq.map(fm => FileRef(fm.path, fm.bytes, fm.mod_ms))
+      val out =
+        matched.collect().toSeq.map(fm => FileRef(fm.path, fm.bytes, fm.mod_ms))
+      if (memoOn && out.size <= 100000) {
+        if (TableStore.pruneMemo.size > 64) TableStore.pruneMemo.clear()
+        TableStore.pruneMemo.put(mKey, out)
+      }
+      out
     }
   }
 
@@ -373,6 +400,26 @@ class TableStore(val spark: SparkSession, val root: String,
   private[graft] def hybridMatchMeta(m: Manifest,
       exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
       : (Seq[(String, Long, Map[String, FileStats.ColStat])], Seq[String]) = {
+    // memoized process-wide (r15): a dashboard re-plans the SAME query
+    // repeatedly — and ONE query plans several times (optimizer fixpoint,
+    // require()-style plan inspection, execution) — each pass re-paying
+    // this distributed sweep. The verdicts depend only on the IMMUTABLE
+    // manifest content and the predicate's name-anchored form
+    // (classification reads columns by NAME), so (store, epoch, version,
+    // exprs.sql) identifies the result exactly like the manifest memo.
+    // Entries are O(kept files): results past the size guard skip the
+    // memo rather than grow it; same conf + invalidation as manifests.
+    val exprsKey =
+      try exprs.map(_.sql).mkString("&")
+      catch { case _: Exception => null } // un-SQL-able shape: skip memo
+    val memoOn = exprsKey != null &&
+      spark.conf.getOption("spark.graft.meta.manifestCache")
+        .forall(_.toBoolean)
+    val mKey = (epochMemoKey, m.version, exprsKey)
+    if (memoOn) {
+      val hit = TableStore.classifyMemo.get(mKey)
+      if (hit != null) return hit
+    }
     val sp = spark
     import sp.implicits._
     val schemaJson = m.schema.json
@@ -395,9 +442,14 @@ class TableStore(val spark: SparkSession, val root: String,
       }
     }.collect()
     val (must, straddle) = rows.partition(_._1)
-    (must.sortBy(_._2).toSeq.map { case (_, p, r, sj) =>
+    val out = (must.sortBy(_._2).toSeq.map { case (_, p, r, sj) =>
       (p, r, FileStats.colsFromJson(sj) -- dropped)
     }, straddle.map(_._2).sorted.toSeq)
+    if (memoOn && out._1.size + out._2.size <= 8192) {
+      if (TableStore.classifyMemo.size > 64) TableStore.classifyMemo.clear()
+      TableStore.classifyMemo.put(mKey, out)
+    }
+    out
   }
 
   /** Data-file paths of the given buckets — O(selected buckets' files)
@@ -4390,6 +4442,21 @@ object TableStore {
   private[graft] val manifestMemo = new java.util.concurrent.ConcurrentHashMap[
     (String, String, Long), Manifest] // (memoKey, root epoch, version)
 
+  /** Process-wide sharded-classification memo ([[TableStore
+    * .hybridMatchMeta]]): (epochMemoKey, version, exprs.sql) → the
+    * three-way verdicts. Entries are O(kept files) — results past the
+    * in-method size guard never enter; bounded by wholesale clear. */
+  private[graft] val classifyMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, String),
+    (Seq[(String, Long, Map[String, FileStats.ColStat])], Seq[String])]
+
+  /** Process-wide sharded-pruning memo ([[TableStore.pruneRefs]]):
+    * (epochMemoKey, version, schemaHash#exprs.sql) → surviving FileRefs.
+    * Same lifecycle as [[classifyMemo]]. */
+  private[graft] val pruneMemo = new java.util.concurrent.ConcurrentHashMap[
+    (String, Long, String),
+    Seq[org.apache.spark.sql.graftbridge.StatsScanBridge.FileRef]]
+
   /** Drop every process-wide metadata memo entry under `memoKeyPrefix` —
     * the manifest cache, the span memos, and the derivative-registry
     * snapshots. Called by every path that DELETES or RENUMBERS committed
@@ -4410,6 +4477,8 @@ object TableStore {
     diffSizeMemo.keySet.removeIf(k => hit(k._1))
     diffByteMemo.keySet.removeIf(k => hit(k._1))
     registryMemo.keySet.removeIf(k => hit(k._2))
+    classifyMemo.keySet.removeIf(k => hit(k._1))
+    pruneMemo.keySet.removeIf(k => hit(k._1))
   }
 
   /** Process-wide derivative-REGISTRY snapshots (join/agg-view and index

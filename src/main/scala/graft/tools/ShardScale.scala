@@ -83,7 +83,7 @@ object ShardScale {
       val tbl = s"scale_cat.`${new java.io.File(root).getName}`"
       val df = spark.sql(s"SELECT * FROM $tbl LIMIT 10")
       require(df.collect().length == 10)
-      val planned = "InMemoryFileIndex\\((\\d+) paths\\)".r
+      val planned = "FileIndex\\((\\d+) paths\\)".r
         .findFirstMatchIn(df.queryExecution.executedPlan.toString)
         .map(_.group(1).toLong).getOrElse(-1L)
       println(s"[scale] LIMIT-10 planned files: $planned of ${store.manifest(
@@ -166,7 +166,7 @@ object ShardScale {
       val df = spark.sql(s"SELECT v FROM $tsTbl " +
         "WHERE CAST(ts AS DATE) = DATE '2021-03-15'")
       val n = df.count()
-      val planned = "InMemoryFileIndex\\((\\d+) paths\\)".r
+      val planned = "FileIndex\\((\\d+) paths\\)".r
         .findFirstMatchIn(df.queryExecution.executedPlan.toString)
         .map(_.group(1).toLong).getOrElse(-1L)
       println(s"[scale] day point-select: rows=$n planned=$planned of " +

@@ -424,7 +424,7 @@ class GraftCatalogSpec extends SparkSuite {
     val q = spark.sql("SELECT v FROM spec_cat.analytics.skippy WHERE k = 400")
     assert(q.collect().map(_.getString(0)).toSeq == Seq("name400"))
     val plan = q.queryExecution.executedPlan.toString
-    val m = "InMemoryFileIndex\\((\\d+) paths\\)".r.findFirstMatchIn(plan)
+    val m = "FileIndex\\((\\d+) paths\\)".r.findFirstMatchIn(plan)
     assert(m.nonEmpty, plan.take(800))
     assert(m.get.group(1).toInt == 1,
       s"expected 1 of 8 files after stats skipping, scanned ${m.get.group(1)}")
@@ -749,7 +749,7 @@ class GraftCatalogSpec extends SparkSuite {
       val df = spark.sql(sql)
       val n = df.collect().length.toLong
       val plan = df.queryExecution.executedPlan.toString
-      val files = "InMemoryFileIndex\\((\\d+) paths\\)".r
+      val files = "FileIndex\\((\\d+) paths\\)".r
         .findFirstMatchIn(plan).map(_.group(1).toLong)
         .getOrElse(sys.error(s"no file index in plan:\n${plan.take(600)}"))
       (files, n)
@@ -785,7 +785,7 @@ class GraftCatalogSpec extends SparkSuite {
         val df = spark.sql(sql)
         val n = df.collect().length.toLong
         val plan = df.queryExecution.executedPlan.toString
-        val files = "InMemoryFileIndex\\((\\d+) paths\\)".r
+        val files = "FileIndex\\((\\d+) paths\\)".r
           .findFirstMatchIn(plan).map(_.group(1).toLong)
           .getOrElse(sys.error(s"no file index in plan:\n${plan.take(600)}"))
         (files, n)
@@ -841,7 +841,7 @@ class GraftCatalogSpec extends SparkSuite {
     val scan = q("SELECT k FROM spec_cat.analytics.decid WHERE k <= 300")
     assert(scan.collect().map(_.getLong(0)).sorted.toSeq == (1L to 300L))
     val scanPlan = scan.queryExecution.executedPlan.toString
-    val planned = "InMemoryFileIndex\\((\\d+) paths\\)".r
+    val planned = "FileIndex\\((\\d+) paths\\)".r
       .findFirstMatchIn(scanPlan).map(_.group(1).toLong).getOrElse(-1L)
     assert(planned == 3L, s"decidable scan should plan 3 files, planned $planned")
     assert(!scanPlan.contains("Filter ("),
@@ -849,7 +849,7 @@ class GraftCatalogSpec extends SparkSuite {
     // decidable + LIMIT: the kept prefix covering n rows
     val lim = q("SELECT * FROM spec_cat.analytics.decid WHERE k > 100 LIMIT 5")
     assert(lim.collect().length == 5)
-    val limPlanned = "InMemoryFileIndex\\((\\d+) paths\\)".r
+    val limPlanned = "FileIndex\\((\\d+) paths\\)".r
       .findFirstMatchIn(lim.queryExecution.executedPlan.toString)
       .map(_.group(1).toLong).getOrElse(-1L)
     assert(limPlanned == 1L, s"decidable LIMIT should plan 1 file, planned $limPlanned")
@@ -923,7 +923,7 @@ class GraftCatalogSpec extends SparkSuite {
       .toDF("k", "amt").coalesce(1))
     spark.catalog.refreshTable("spec_cat.analytics.topk")
     def planned(df: org.apache.spark.sql.DataFrame): Int =
-      "InMemoryFileIndex\\((\\d+) paths\\)".r
+      "FileIndex\\((\\d+) paths\\)".r
         .findFirstMatchIn(df.queryExecution.executedPlan.toString)
         .map(_.group(1).toInt).getOrElse(-1)
     // ASC NULLS LAST: the lowest-range file alone guarantees 5 rows
@@ -965,7 +965,7 @@ class GraftCatalogSpec extends SparkSuite {
     (1 to 7).foreach(i => store.commitAppend(chunk(i)))
     spark.catalog.refreshTable("spec_cat.analytics.topk2")
     def planned(df: org.apache.spark.sql.DataFrame): Int =
-      "InMemoryFileIndex\\((\\d+) paths\\)".r
+      "FileIndex\\((\\d+) paths\\)".r
         .findFirstMatchIn(df.queryExecution.executedPlan.toString)
         .map(_.group(1).toInt).getOrElse(-1)
     val filtered = spark.sql("SELECT k FROM spec_cat.analytics.topk2 " +
@@ -1043,7 +1043,7 @@ class GraftCatalogSpec extends SparkSuite {
       val scan = spark.sql(
         "SELECT k FROM spec_cat.analytics.shdecid WHERE k <= 300")
       assert(scan.collect().map(_.getLong(0)).sorted.toSeq == (1L to 300L))
-      val planned = "InMemoryFileIndex\\((\\d+) paths\\)".r
+      val planned = "FileIndex\\((\\d+) paths\\)".r
         .findFirstMatchIn(scan.queryExecution.executedPlan.toString)
         .map(_.group(1).toLong).getOrElse(-1L)
       assert(planned == 3L, s"sharded decidable scan: 3 files, planned $planned")
@@ -1051,7 +1051,7 @@ class GraftCatalogSpec extends SparkSuite {
       val lim = spark.sql(
         "SELECT * FROM spec_cat.analytics.shdecid WHERE k > 200 LIMIT 7")
       assert(lim.collect().length == 7)
-      assert("InMemoryFileIndex\\((\\d+) paths\\)".r
+      assert("FileIndex\\((\\d+) paths\\)".r
         .findFirstMatchIn(lim.queryExecution.executedPlan.toString)
         .map(_.group(1).toLong).contains(1L))
       // a straddling file (k <= 450) falls back, results exact
@@ -1565,7 +1565,7 @@ class GraftCatalogSpec extends SparkSuite {
     store.commitAppend(base.filter(col("pk") >= "k_200").coalesce(1))
     spark.catalog.refreshTable("spec_cat.analytics.str_keys")
     def planned(df: org.apache.spark.sql.DataFrame): Int =
-      "InMemoryFileIndex\\((\\d+) paths\\)".r
+      "FileIndex\\((\\d+) paths\\)".r
         .findFirstMatchIn(df.queryExecution.executedPlan.toString)
         .map(_.group(1).toInt).getOrElse(-1)
     // point query: only the middle chunk can hold the key

@@ -41,7 +41,7 @@ class MonotoneRangeSpec extends SparkSuite {
   }
 
   private def planned(df: org.apache.spark.sql.DataFrame): Int =
-    "InMemoryFileIndex\\((\\d+) paths\\)".r
+    "FileIndex\\((\\d+) paths\\)".r
       .findFirstMatchIn(df.queryExecution.executedPlan.toString)
       .map(_.group(1).toInt).getOrElse(-1)
 
