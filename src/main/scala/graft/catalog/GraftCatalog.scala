@@ -1170,7 +1170,12 @@ private[catalog] final class StatsPruningScanBuilder(name: String,
       refs: Option[Seq[org.apache.spark.sql.graftbridge.StatsScanBridge.FileRef]])
       : ScanBuilder = {
     RuntimePruning.lastPlannedFiles.put(name, files.size)
-    (refs.orElse(knownRefs(files)) match {
+    // a ref with bytes == 0 is pruneRefs' fabricated placeholder for a
+    // file missing from inlineStats (a real parquet file is never zero
+    // bytes) — a zero-length FileStatus would plan NO splits and silently
+    // drop that file's rows, so an incomplete ref set falls back whole to
+    // the listing route (r15 advisor)
+    (refs.filter(_.forall(_.bytes > 0L)).orElse(knownRefs(files)) match {
       case Some(rs) => org.apache.spark.sql.graftbridge.ManifestIndexBridge
         .create(name, store.spark, m.location, rs, m.schema)
       case None => org.apache.spark.sql.graftbridge.ParquetTableBridge

@@ -114,12 +114,26 @@ class HybridMetaAggRule extends Rule[LogicalPlan] {
     }
     // order-preserving casts only: widening integrals, date↔timestamp
     // (ts → date truncates, still monotone); narrowing integral casts
-    // WRAP under non-ANSI eval and are refused
+    // WRAP under non-ANSI eval and are refused. Any cast crossing the
+    // instant↔wall-clock boundary (LTZ↔NTZ, LTZ↔date) is monotone ONLY
+    // under a fixed-offset session zone: a DST fall-back repeats local
+    // times (and historic midnight transitions — Brazil's DST end — step
+    // the local DATE backwards), so E(min)==E(max) would falsely prove a
+    // group key constant across the file (r15 advisor; mirrors
+    // [[MonotoneRangeRewrite]]'s guard on the same crossing).
+    def fixedOffsetSession: Boolean = {
+      val tz = conf.sessionLocalTimeZone
+      tz == "UTC" ||
+        (try java.time.ZoneId.of(tz).getRules.isFixedOffset
+         catch { case _: Exception => false })
+    }
     def castMonotone(from: DataType, to: DataType): Boolean = (from, to) match {
-      case (DateType, TimestampType | TimestampNTZType) => true
-      case (TimestampType | TimestampNTZType, DateType) => true
-      case (TimestampType, TimestampNTZType) => true
-      case (TimestampNTZType, TimestampType) => true
+      case (DateType, TimestampNTZType) => true
+      case (TimestampNTZType, DateType) => true
+      case (DateType, TimestampType) => fixedOffsetSession
+      case (TimestampType, DateType) => fixedOffsetSession
+      case (TimestampType, TimestampNTZType) => fixedOffsetSession
+      case (TimestampNTZType, TimestampType) => fixedOffsetSession
       case (ByteType, ShortType | IntegerType | LongType) => true
       case (ShortType, IntegerType | LongType) => true
       case (IntegerType, LongType) => true
@@ -222,13 +236,20 @@ class HybridMetaAggRule extends Rule[LogicalPlan] {
     // ---- AVG derivation (r15) ------------------------------------------
     // AVG(col) = SUM(col)/COUNT(col) from the partials this rule already
     // computes. INTEGRAL inputs only: Spark's Average accumulates an
-    // integral column in a double buffer, which is exact while partial
-    // sums fit 2^53, so `CAST(SUM AS DOUBLE) / CAST(COUNT AS DOUBLE)` is
-    // bit-identical to the scan's own result — and an unfitting exact
-    // partial already declines below. Decimal/float AVG keeps the scan
-    // (decimal AVG carries its own rounding; float sums are
+    // integral column in a double buffer, which is exact while every
+    // accumulated prefix fits 2^53, so `CAST(SUM AS DOUBLE) /
+    // CAST(COUNT AS DOUBLE)` matches the scan's own result bit-for-bit in
+    // that regime. Past 2^53 Average's per-element rounding and this
+    // rule's single end rounding can differ in the last ulp, so any
+    // stats-served file whose |sum| exceeds 2^53 declines the rewrite
+    // when an AVG rides it (r15 advisor; `avgSumCols` below) — plain SUM
+    // keeps its full exact-long range. The residual window (per-group
+    // merged sums crossing 2^53 only through straddler contributions) is
+    // accepted as a documented ≤1-ulp divergence. Decimal/float AVG keeps
+    // the scan (decimal AVG carries its own rounding; float sums are
     // order-dependent). COUNT is per-column (AVG skips NULLs) and the
     // empty/all-NULL group guards to NULL exactly as Average does.
+    val avgSumCols = scala.collection.mutable.Set.empty[String]
     val aggES: Seq[org.apache.spark.sql.catalyst.expressions.NamedExpression] = {
       import org.apache.spark.sql.catalyst.expressions.{Cast, Divide, EqualTo, If, NamedExpression}
       import org.apache.spark.sql.catalyst.expressions.aggregate.Average
@@ -240,6 +261,7 @@ class HybridMetaAggRule extends Rule[LogicalPlan] {
               case ByteType | ShortType | IntegerType | LongType => true
               case _ => false
             }) =>
+          avgSumCols += ar.name
           val sumE = AggregateExpression(Sum(ar), ae.mode, isDistinct = false,
             None, NamedExpression.newExprId)
           val cntE = AggregateExpression(Count(Seq(ar)), ae.mode,
@@ -417,6 +439,10 @@ class HybridMetaAggRule extends Rule[LogicalPlan] {
             case None => null // provably all-NULL: contributes nothing
             case Some(s) =>
               val v = BigDecimal(s)
+              // AVG-fed sums additionally stay within double-exact range
+              // (see the AVG derivation comment above)
+              if (avgSumCols.contains(n) &&
+                v.abs > BigDecimal(9007199254740992L)) return null
               partialType('s', n) match {
                 case LongType =>
                   if (v.isValidLong) java.lang.Long.valueOf(v.toLong)

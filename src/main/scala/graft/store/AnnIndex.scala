@@ -505,10 +505,19 @@ object AnnIndex {
         kept = candidates(probe)
       }
     }
-    val qv = queryVec
-    val score = udf((v: Seq[Float]) => VecKernels.cosine(v.toArray, qv))
+    // scoring rides the codegen'd CosineSim expression (same double fold
+    // as VecKernels.cosine — the SQL rewrite's oracle parity depends on
+    // that identity), not a per-row Scala UDF (r15 verdict #8); the
+    // widening loop's limit(k).count() probes above get the same codegen
+    val score = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.CosineSim(
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          .quoted(vecCol),
+        org.apache.spark.sql.catalyst.expressions.Literal.create(
+          queryVec, org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType))))
     kept.select((idCols.map(col) :+
-        round(score(col(vecCol)), 6).as("cos_sim")): _*)
+        round(score, 6).as("cos_sim")): _*)
       .orderBy(col("cos_sim").desc_nulls_last +:
         idCols.map(col(_).asc_nulls_first): _*)
       .limit(k)

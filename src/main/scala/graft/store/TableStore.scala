@@ -177,6 +177,14 @@ class TableStore(val spark: SparkSession, val root: String,
   private[graft] def memoKey: String =
     root + branch.map("#" + _).getOrElse("")
 
+  /** Session-dependent rendering context for predicate memo keys:
+    * `Expression.sql` prints timestamp literals in the session zone with
+    * no zone marker, and comparison semantics follow the ANSI flag —
+    * both must qualify any memo keyed on a predicate's SQL form. */
+  private[graft] def sessionEvalKey: String =
+    spark.sessionState.conf.sessionLocalTimeZone + "/" +
+      spark.sessionState.conf.ansiEnabled
+
   // ------------------------------------------------- manifest tier plumbing
 
   /** Above this file count a commit writes a SHARDED manifest
@@ -306,8 +314,13 @@ class TableStore(val spark: SparkSession, val root: String,
       // is exactly what the scan materializes to the driver anyway, so
       // caching it adds no new residue class — but entries are bounded
       // (count + size guard) and invalidated with the manifest memo.
+      // the session timezone (and ANSI flag) joins the key: `_.sql`
+      // renders timestamp literals in the session zone WITHOUT a zone
+      // marker, so two sessions in one JVM with different timezones
+      // querying the same table would otherwise collide on identical keys
+      // for different instants (r15 advisor)
       val exprsKey =
-        try filters.map(_.sql).mkString("&")
+        try sessionEvalKey + "&" + filters.map(_.sql).mkString("&")
         catch { case _: Exception => null }
       val memoOn = exprsKey != null &&
         spark.conf.getOption("spark.graft.meta.manifestCache")
@@ -409,8 +422,8 @@ class TableStore(val spark: SparkSession, val root: String,
     // exprs.sql) identifies the result exactly like the manifest memo.
     // Entries are O(kept files): results past the size guard skip the
     // memo rather than grow it; same conf + invalidation as manifests.
-    val exprsKey =
-      try exprs.map(_.sql).mkString("&")
+    val exprsKey = // timezone/ANSI-qualified, same reason as pruneRefs'
+      try sessionEvalKey + "&" + exprs.map(_.sql).mkString("&")
       catch { case _: Exception => null } // un-SQL-able shape: skip memo
     val memoOn = exprsKey != null &&
       spark.conf.getOption("spark.graft.meta.manifestCache")
