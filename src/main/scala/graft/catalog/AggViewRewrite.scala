@@ -686,5 +686,9 @@ object AggViewRewrite {
         .exists(_.isInstanceOf[HybridMetaAggRule]))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ new HybridMetaAggRule
+    if (!spark.experimental.extraOptimizations
+        .exists(_.isInstanceOf[NdvServeRule]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ new NdvServeRule
   }
 }

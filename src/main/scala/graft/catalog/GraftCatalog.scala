@@ -1402,29 +1402,50 @@ private[catalog] final class StatsPruningScanBuilder(name: String,
     if (m.partitionBy.contains(colName)) return false
     val dt = m.schema.fields.find(_.name == colName)
       .map(_.dataType).getOrElse(return false)
-    if (!graft.store.FileStats.minMaxExact(dt)) return false
+    // strings qualify too (r16): top-n planning only PRUNES on bounds —
+    // the kept subset must contain the true top-n, Spark's TakeOrdered
+    // still picks it — and a writer-truncated bound still ENCLOSES the
+    // file's range, so the threshold walk stays conservative without any
+    // exactness flag (unlike MIN/MAX serving, no bound is returned as a
+    // value)
+    if (!graft.store.FileStats.minMaxExact(dt) &&
+      dt != org.apache.spark.sql.types.StringType) return false
     val desc = so.direction() == SortDirection.DESCENDING
     val nullsTop = so.nullOrdering() == NullOrdering.NULLS_FIRST
     val exactCap = store.spark.conf
       .getOption("spark.graft.exact.maxFiles").map(_.toLong)
       .getOrElse(200000L)
-    // (path, rows, nulls, bestKey, worstKey): keys oriented so SMALLER =
-    // closer to the top whatever the direction; undefined = unusable
+    // key ordering oriented so SMALLER = closer to the top whatever the
+    // direction: numerics through BigDecimal, strings bytewise
+    val ord: Ordering[Any] = {
+      val base: Ordering[Any] = dt match {
+        case org.apache.spark.sql.types.StringType => new Ordering[Any] {
+          def compare(a: Any, b: Any): Int =
+            a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+              .compareTo(
+                b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+        }
+        case _ => Ordering.by((v: Any) => v.asInstanceOf[BigDecimal])
+      }
+      if (desc) base.reverse else base
+    }
+    // (path, rows, nulls, bestKey, worstKey): undefined = unusable
     // bounds, file always kept and contributing no guarantee
     final case class FB(path: String, rows: Long, nulls: Long,
-      best: Option[BigDecimal], worst: Option[BigDecimal],
+      best: Option[Any], worst: Option[Any],
       allNull: Boolean)
     def fb(path: String, rows: Long,
         cs: Option[graft.store.FileStats.ColStat]): FB = cs match {
       case Some(c) =>
-        def key(s: String): BigDecimal = {
-          val v = BigDecimal(
+        def key(s: String): Any = dt match {
+          case org.apache.spark.sql.types.StringType =>
+            graft.store.FileStats.parseBound(s, dt) // UTF8String
+          case _ => BigDecimal(
             graft.store.FileStats.parseBound(s, dt).toString)
-          if (desc) -v else v
         }
         (c.min.map(key), c.max.map(key)) match {
           case (Some(a), Some(b)) =>
-            FB(path, rows, c.nulls, Some(a.min(b)), Some(a.max(b)),
+            FB(path, rows, c.nulls, Some(ord.min(a, b)), Some(ord.max(a, b)),
               allNull = false)
           case _ => FB(path, rows, c.nulls, None, None,
             allNull = c.nulls == rows && rows > 0)
@@ -1452,9 +1473,9 @@ private[catalog] final class StatsPruningScanBuilder(name: String,
     // from any kept file) plus non-null rows of files wholly ≤ t
     val nullGuarantee = if (nullsTop) fbs.map(_.nulls).sum else 0L
     var acc = nullGuarantee
-    var t: Option[BigDecimal] = None
+    var t: Option[Any] = None
     if (acc < limit) {
-      val it = fbs.filter(_.worst.isDefined).sortBy(_.worst.get).iterator
+      val it = fbs.filter(_.worst.isDefined).sortBy(_.worst.get)(ord).iterator
       while (t.isEmpty && it.hasNext) {
         val f = it.next()
         acc += f.rows - f.nulls
@@ -1466,7 +1487,7 @@ private[catalog] final class StatsPruningScanBuilder(name: String,
       (nullsTop && f.nulls > 0) ||
       // a provably ALL-NULL file matters only when nulls sort first
       (f.best.isEmpty && !(f.allNull && !nullsTop)) ||
-      f.best.exists(b => t.exists(b <= _))).map(_.path)
+      f.best.exists(b => t.exists(ord.lteq(b, _)))).map(_.path)
     if (kept.size >= fbs.size) return false // nothing pruned
     limitFiles = Some(kept)
     true
@@ -1571,6 +1592,25 @@ private[catalog] final class StatsPruningScanBuilder(name: String,
       graft.store.FileStats.minMaxExact(dt)
     def parse(s: String, dt: DataType): Any =
       graft.store.FileStats.parseBound(s, dt)
+    // bound ordering for the cross-file merge: numerics through BigDecimal
+    // (the encodings are decimal strings), strings bytewise (UTF8String —
+    // parquet's UTF8 comparator order, the order the bounds were taken in)
+    def boundOrd(dt: DataType): Ordering[Any] = dt match {
+      case StringType => new Ordering[Any] {
+        def compare(a: Any, b: Any): Int =
+          a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+            .compareTo(b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+      }
+      case _ => Ordering.by((v: Any) => BigDecimal(v.toString))
+    }
+    // STRING MIN/MAX serves only when every contributing file's bound is
+    // flagged EXACT (attained, not writer-truncated — [[graft.store
+    // .FileStats.ColStat.exact]], recorded at commit for engine-written
+    // untruncated footers): a truncated min is a valid enclosure but not
+    // necessarily a value any row holds, so returning it would be wrong
+    def stringServable(dt: DataType,
+        c: graft.store.FileStats.ColStat): Boolean =
+      dt != StringType || c.exact
     val resolved: Option[Seq[(DataType, Any)]] =
       agg.aggregateExpressions().toSeq.foldLeft(
         Option(Seq.empty[(DataType, Any)])) { (accOpt, fn) =>
@@ -1591,26 +1631,27 @@ private[catalog] final class StatsPruningScanBuilder(name: String,
                 fs <- perFile
                 n <- refName(mn.column())
                 dt = m.schema.fields.find(_.name == n).map(_.dataType).orNull
-                if dt != null && minMaxOk(dt)
-                // every file: a defined lower bound, or provably all-NULL
+                if dt != null && (minMaxOk(dt) || dt == StringType)
+                // every file: a defined lower bound (exact-flagged when
+                // the type is string), or provably all-NULL
                 if fs.forall { case (rows, cs) => cs.get(n).exists(c =>
-                  c.min.isDefined || c.nulls == rows) }
+                  (c.min.isDefined && stringServable(dt, c)) ||
+                    c.nulls == rows) }
                 vals = fs.flatMap(_._2(n).min).map(parse(_, dt))
               } yield acc :+ (dt ->
-                (if (vals.isEmpty) null
-                 else vals.minBy(v => BigDecimal(v.toString))))
+                (if (vals.isEmpty) null else vals.min(boundOrd(dt))))
             case mx: Max =>
               for {
                 fs <- perFile
                 n <- refName(mx.column())
                 dt = m.schema.fields.find(_.name == n).map(_.dataType).orNull
-                if dt != null && minMaxOk(dt)
+                if dt != null && (minMaxOk(dt) || dt == StringType)
                 if fs.forall { case (rows, cs) => cs.get(n).exists(c =>
-                  c.max.isDefined || c.nulls == rows) }
+                  (c.max.isDefined && stringServable(dt, c)) ||
+                    c.nulls == rows) }
                 vals = fs.flatMap(_._2(n).max).map(parse(_, dt))
               } yield acc :+ (dt ->
-                (if (vals.isEmpty) null
-                 else vals.maxBy(v => BigDecimal(v.toString))))
+                (if (vals.isEmpty) null else vals.max(boundOrd(dt))))
             // SUM (r14): from per-file ANALYZED sums ([[TableStore
             // .analyze]]) — every file must carry one (or be provably
             // all-null, contributing nothing); the merge is exact

@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LocalRelation, Lo
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions.{count => fcount, lit, max => fmax, min => fmin, sum => fsum}
 import org.apache.spark.sql.graftbridge.{ColumnBridge, DatasetBridge}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, StringType}
 
 import graft.store.FileStats
 
@@ -80,93 +80,27 @@ class HybridMetaAggRule extends Rule[LogicalPlan] {
   /** One validated grouping expression: `raw` as the Aggregate wrote it
     * (what the select list references — a hoisted `_groupingexpression`
     * alias attribute for compound keys), `expanded` the same expression
-    * inlined to scan attributes, `base` its single input column, and
-    * `monotone` whether x ≤ y ⇒ E(x) ≤ E(y) (range proof from bounds). */
+    * inlined to scan attributes, and `chain` the classified unary chain
+    * ([[graft.store.ExprBounds.Chain]] — base column, monotonicity, and
+    * the periodic granularity proof). */
   private case class GroupKey(raw: Expression, expanded: Expression,
-      base: AttributeReference, monotone: Boolean)
+      chain: graft.store.ExprBounds.Chain) {
+    def base: AttributeReference = chain.base
+    def monotone: Boolean = chain.monotone
+  }
 
   /** Classify a scan-level grouping expression as a whitelisted pure
-    * unary chain E(col): every node deterministic, NULL-intolerant
-    * (E(NULL) = NULL, so an all-NULL file keeps the SQL NULL group), and
-    * evaluable on a literal bound. Returns (base column, monotone). The
-    * whitelist is closed under composition — `year(CAST(ts AS DATE))`,
-    * `date_trunc('day', ts)`, `k div 1000` all qualify; anything outside
-    * it (string ops, UDFs, multi-column exprs) declines the rewrite. */
+    * unary chain E(col) — shared with the WHERE-side proofs
+    * ([[graft.store.ExprBounds]], r16): truncations/`year`/widening
+    * casts/positive floor-div are MONOTONE (E(min) == E(max) proves
+    * constancy over the file range); periodic extractions (`month`,
+    * `day`, `hour`, …) carry a calendar granularity proof (bounds inside
+    * one period pin E constant); `pmod` proves only on a per-file
+    * constant input. Anything outside the whitelist (string ops, UDFs,
+    * multi-column exprs) declines the rewrite. */
   private def classifyGroupExpr(e: Expression)
-      : Option[(AttributeReference, Boolean)] = {
-    import org.apache.spark.sql.catalyst.expressions._
-    import org.apache.spark.sql.types._
-    def posLit(x: Expression): Boolean = x match {
-      case Literal(v: Byte, _) => v > 0
-      case Literal(v: Short, _) => v > 0
-      case Literal(v: Int, _) => v > 0
-      case Literal(v: Long, _) => v > 0
-      case Literal(v: Decimal, _) => v.toBigDecimal.signum > 0
-      case _ => false
-    }
-    def nonZeroLit(x: Expression): Boolean = x match {
-      case Literal(v: Byte, _) => v != 0
-      case Literal(v: Short, _) => v != 0
-      case Literal(v: Int, _) => v != 0
-      case Literal(v: Long, _) => v != 0
-      case Literal(v: Decimal, _) => v.toBigDecimal.signum != 0
-      case _ => false
-    }
-    // order-preserving casts only: widening integrals, date↔timestamp
-    // (ts → date truncates, still monotone); narrowing integral casts
-    // WRAP under non-ANSI eval and are refused. Any cast crossing the
-    // instant↔wall-clock boundary (LTZ↔NTZ, LTZ↔date) is monotone ONLY
-    // under a fixed-offset session zone: a DST fall-back repeats local
-    // times (and historic midnight transitions — Brazil's DST end — step
-    // the local DATE backwards), so E(min)==E(max) would falsely prove a
-    // group key constant across the file (r15 advisor; mirrors
-    // [[MonotoneRangeRewrite]]'s guard on the same crossing).
-    def fixedOffsetSession: Boolean = {
-      val tz = conf.sessionLocalTimeZone
-      tz == "UTC" ||
-        (try java.time.ZoneId.of(tz).getRules.isFixedOffset
-         catch { case _: Exception => false })
-    }
-    def castMonotone(from: DataType, to: DataType): Boolean = (from, to) match {
-      case (DateType, TimestampNTZType) => true
-      case (TimestampNTZType, DateType) => true
-      case (DateType, TimestampType) => fixedOffsetSession
-      case (TimestampType, DateType) => fixedOffsetSession
-      case (TimestampType, TimestampNTZType) => fixedOffsetSession
-      case (TimestampNTZType, TimestampType) => fixedOffsetSession
-      case (ByteType, ShortType | IntegerType | LongType) => true
-      case (ShortType, IntegerType | LongType) => true
-      case (IntegerType, LongType) => true
-      case _ => false
-    }
-    def chain(x: Expression): Option[(AttributeReference, Boolean)] = x match {
-      case ar: AttributeReference =>
-        if (FileStats.minMaxExact(ar.dataType)) Some((ar, true)) else None
-      // monotone: truncation to a period start / year extraction
-      case TruncTimestamp(Literal(_, _), c, _) => chain(c)
-      case TruncDate(c, Literal(_, _)) => chain(c)
-      case Year(c) => chain(c)
-      case c: Cast if castMonotone(c.child.dataType, c.dataType) =>
-        chain(c.child)
-      case IntegralDivide(c, d, _) if posLit(d) => chain(c)
-      // deterministic but NOT monotone (resets within the enclosing
-      // period / wraps): constant-input proof only
-      case Quarter(c) => chain(c).map { case (a, _) => (a, false) }
-      case Month(c) => chain(c).map { case (a, _) => (a, false) }
-      case DayOfMonth(c) => chain(c).map { case (a, _) => (a, false) }
-      case DayOfYear(c) => chain(c).map { case (a, _) => (a, false) }
-      case DayOfWeek(c) => chain(c).map { case (a, _) => (a, false) }
-      case WeekDay(c) => chain(c).map { case (a, _) => (a, false) }
-      case WeekOfYear(c) => chain(c).map { case (a, _) => (a, false) }
-      case Hour(c, _) => chain(c).map { case (a, _) => (a, false) }
-      case Minute(c, _) => chain(c).map { case (a, _) => (a, false) }
-      case Second(c, _) => chain(c).map { case (a, _) => (a, false) }
-      case Pmod(c, d, _) if nonZeroLit(d) =>
-        chain(c).map { case (a, _) => (a, false) }
-      case _ => None
-    }
-    if (!e.deterministic) None else chain(e)
-  }
+      : Option[graft.store.ExprBounds.Chain] =
+    graft.store.ExprBounds.classify(e)
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!conf.getConfString("spark.graft.agg.metadata.hybrid", "true")
@@ -204,7 +138,7 @@ class HybridMetaAggRule extends Rule[LogicalPlan] {
         case ar: AttributeReference => subst.getOrElse(ar.exprId, ar)
       }
       classifyGroupExpr(expanded) match {
-        case Some((base, monotone)) => GroupKey(raw, expanded, base, monotone)
+        case Some(chain) => GroupKey(raw, expanded, chain)
         case None => return None
       }
     }
@@ -288,10 +222,12 @@ class HybridMetaAggRule extends Rule[LogicalPlan] {
             if baseCols.contains(ar.name) => ('c', ar.name)
         case Min(ar: AttributeReference)
             if baseCols.contains(ar.name) &&
-              FileStats.minMaxExact(ar.dataType) => ('n', ar.name)
+              (FileStats.minMaxExact(ar.dataType) ||
+                ar.dataType == StringType) => ('n', ar.name)
         case Max(ar: AttributeReference)
             if baseCols.contains(ar.name) &&
-              FileStats.minMaxExact(ar.dataType) => ('x', ar.name)
+              (FileStats.minMaxExact(ar.dataType) ||
+                ar.dataType == StringType) => ('x', ar.name)
         // SUM (r14): served from per-file ANALYZED sums for the stats-
         // served files ([[graft.store.TableStore.analyze]]); any evalMode
         // is sound — an unfitting stats-side partial declines below, so
@@ -315,18 +251,22 @@ class HybridMetaAggRule extends Rule[LogicalPlan] {
     // back all-straddle.
     def provable(e: Expression): Boolean = {
       import org.apache.spark.sql.catalyst.expressions._
+      def sideOk(x: Expression): Boolean = x match {
+        case ar: AttributeReference =>
+          FileStats.minMaxExact(ar.dataType) || ar.dataType == StringType
+        // whitelisted chain over one column (r16): `month(ts) = 5` — the
+        // per-file proofs run in [[graft.store.ExprBounds]]
+        case other => graft.store.ExprBounds.classify(other).isDefined
+      }
       e match {
         case And(l, r) => provable(l) && provable(r)
         case Or(l, r) => provable(l) && provable(r)
         case b: BinaryComparison => (b.left, b.right) match {
-          case (ar: AttributeReference, v) if v.foldable =>
-            FileStats.minMaxExact(ar.dataType)
-          case (v, ar: AttributeReference) if v.foldable =>
-            FileStats.minMaxExact(ar.dataType)
+          case (x, v) if v.foldable => sideOk(x)
+          case (v, x) if v.foldable => sideOk(x)
           case _ => false
         }
-        case In(ar: AttributeReference, vs) if vs.forall(_.foldable) =>
-          FileStats.minMaxExact(ar.dataType)
+        case In(x, vs) if vs.forall(_.foldable) => sideOk(x)
         case IsNull(_: AttributeReference) => true
         case IsNotNull(_: AttributeReference) => true
         case _ => false
@@ -363,16 +303,17 @@ class HybridMetaAggRule extends Rule[LogicalPlan] {
     // ever serve proof. A key E(col) is proven when the file is all-NULL
     // in col (E null-intolerant → the SQL NULL group), when col is
     // per-file CONSTANT (null-free, min == max → evaluate E on the
-    // bound), or — MONOTONE chains only — when E(min) == E(max) != NULL:
-    // x ≤ y ⇒ E(x) ≤ E(y) pins E constant across the whole [min, max]
-    // range (the date-chunked ingest, where ts spans the day inside each
-    // file but date_trunc('day', ts) does not)
+    // bound), when — MONOTONE chains — E(min) == E(max) != NULL (x ≤ y ⇒
+    // E(x) ≤ E(y) pins E constant across the whole [min, max] range: the
+    // date-chunked ingest, where ts spans the day inside each file but
+    // date_trunc('day', ts) does not), or (r16) when a PERIODIC chain's
+    // granularity proof holds — P(min) == P(max) puts the whole file
+    // inside one calendar period of the extraction, so `GROUP BY
+    // month(ts)` serves on a month-chunked layout where min never equals
+    // max
     def evalOn(g: GroupKey, v: Any): Option[Any] =
       if (g.expanded eq g.base) Some(v)
-      else try Some(g.expanded.transformUp {
-        case _: AttributeReference => Literal(v, g.base.dataType)
-      }.eval(null)) // ANSI eval error (overflow, …) → unprovable
-      catch { case _: Exception => None }
+      else graft.store.ExprBounds.evalOn(g.expanded, g.base.dataType, v)
     def groupKeysOf(meta: (String, Long, Map[String, FileStats.ColStat]))
         : Option[Seq[Any]] = Some(groupKeys.map { g =>
       val c = meta._3.getOrElse(g.base.name, return None)
@@ -381,24 +322,41 @@ class HybridMetaAggRule extends Rule[LogicalPlan] {
       else {
         val lo = FileStats.parseBound(c.min.get, g.base.dataType)
         if (c.min == c.max) evalOn(g, lo).getOrElse(return None)
-        else if (!g.monotone) return None
-        else {
+        else if (g.monotone) {
           val hi = FileStats.parseBound(c.max.get, g.base.dataType)
           val kl = evalOn(g, lo).getOrElse(return None)
           val kh = evalOn(g, hi).getOrElse(return None)
           // a NULL eval output under min < max carries no range proof
           if (kl != null && kl == kh) kl else return None
+        } else g.chain.gran match {
+          case Some(p) =>
+            val hi = FileStats.parseBound(c.max.get, g.base.dataType)
+            val pl = graft.store.ExprBounds
+              .evalOn(p, g.base.dataType, lo).filter(_ != null)
+            val ph = graft.store.ExprBounds
+              .evalOn(p, g.base.dataType, hi).filter(_ != null)
+            if (pl.isDefined && pl == ph)
+              evalOn(g, lo).getOrElse(return None)
+            else return None
+          case None => return None
         }
       }
     })
+    // a served STRING MIN/MAX bound must be EXACT (attained — truncated
+    // writer bounds enclose the range but need not be values any row
+    // holds); proofs and group keys never need the flag
+    def mmOk(n: String, c: FileStats.ColStat): Boolean =
+      m.schema(n).dataType != StringType || c.exact
     def statsServable(meta: (String, Long, Map[String, FileStats.ColStat]))
         : Boolean = kinds.forall {
       case ('c', "") => true
       case ('c', n) => meta._3.contains(n)
       case ('n', n) =>
-        meta._3.get(n).exists(c => c.min.isDefined || c.nulls == meta._2)
+        meta._3.get(n).exists(c =>
+          (c.min.isDefined && mmOk(n, c)) || c.nulls == meta._2)
       case ('x', n) =>
-        meta._3.get(n).exists(c => c.max.isDefined || c.nulls == meta._2)
+        meta._3.get(n).exists(c =>
+          (c.max.isDefined && mmOk(n, c)) || c.nulls == meta._2)
       case ('s', n) =>
         meta._3.get(n).exists(c => c.sum.isDefined || c.nulls == meta._2)
       case _ => false

@@ -55,7 +55,24 @@ class MonotoneRangeRewriteRule extends Rule[LogicalPlan] {
             case Some(r) => (r, true)
             case None => (c, false)
           })
-          if (!rewritten.exists(_._2)) f
+          // PERIODIC chain conjuncts (r16): `month(ts) = 5` has no
+          // invertible range form, but the file-bound proofs in
+          // [[graft.store.ExprBounds]] can still prune its file list —
+          // hand the raw conjunct to the replan hook (sound: it is
+          // implied by this very Filter, which stays row-exact above)
+          val periodic = rewritten.collect {
+            case (c, false) if graft.store.ExprBounds.prunable(c) => c
+          }
+          if (!rewritten.exists(_._2)) {
+            if (periodic.nonEmpty) child match {
+              case rel: DataSourceV2ScanRelation => rel.scan match {
+                case rp: RuntimePrunableScan => rp.pruneWith(periodic)
+                case _ => ()
+              }
+              case _ => ()
+            }
+            f
+          }
           // a provably-empty conjunct (unaligned equality literal): the
           // main optimizer's PruneFilters ran before this batch, so fold
           // the Filter to the empty relation here
@@ -63,10 +80,12 @@ class MonotoneRangeRewriteRule extends Rule[LogicalPlan] {
             org.apache.spark.sql.catalyst.plans.logical.LocalRelation(
               f.output, data = Seq.empty)
           else {
-            val derived = rewritten.collect { case (r, true) => r }
-              .flatMap(splitAnd).filterNot(_.isInstanceOf[Literal])
+            val derived = (rewritten.collect { case (r, true) => r }
+              .flatMap(splitAnd).filterNot(_.isInstanceOf[Literal])) ++
+              periodic
             // pushdown already ran: hand the derived bare-column ranges
-            // to the scan's replan hook so the FILE LIST shrinks too
+            // (and raw periodic conjuncts) to the scan's replan hook so
+            // the FILE LIST shrinks too
             child match {
               case rel: DataSourceV2ScanRelation => rel.scan match {
                 case rp: RuntimePrunableScan if derived.nonEmpty =>

@@ -82,10 +82,21 @@ class RuntimePrunableScan(attrs: Seq[String], schema: StructType,
   }
 
   override def filter(filters: Array[Filter]): Unit = {
-    val exprs = filters.toSeq
+    val exprs0 = filters.toSeq
       .flatMap(V2PredicateTranslator.v1FilterToCatalyst(_, schema))
-    if (exprs.nonEmpty &&
-        exprs.map(RuntimePruning.inValueCount).sum <= RuntimePruning.MaxRuntimeInValues)
+    if (exprs0.isEmpty) return
+    // an oversized IN set used to DROP runtime pruning entirely — a star
+    // join whose dim side selects 1M keys stopped file-pruning exactly
+    // when the fact was biggest (r15 verdict #4). Summarize instead:
+    // fold the key set to its [min, max] range (a strict superset, so
+    // pruning stays conservative; the join re-checks rows anyway) and
+    // re-plan on that — O(#files) driver cost regardless of key count.
+    val exprs =
+      if (exprs0.map(RuntimePruning.inValueCount).sum <=
+        RuntimePruning.MaxRuntimeInValues) exprs0
+      else exprs0.map(RuntimePruning.summarizeOversized)
+    if (exprs.map(RuntimePruning.inValueCount).sum <=
+        RuntimePruning.MaxRuntimeInValues)
       delegate = rebuild(exprs)
   }
 
@@ -160,6 +171,33 @@ object RuntimePruning {
       case And(l, r) => inValueCount(l) + inValueCount(r)
       case Or(l, r) => inValueCount(l) + inValueCount(r)
       case _ => 1
+    }
+  }
+
+  /** Fold any IN over a bare column whose value list would bust the
+    * runtime budget into the enclosing [min, max] range — a strict
+    * SUPERSET of the key set, so every pruning consumer stays
+    * conservative (bounds checks admit at least the files the exact set
+    * would; the join above re-checks rows exactly). NULL members drop
+    * (an IN never matches on NULL), an all-NULL or unorderable list
+    * degrades to an always-true literal (prunes nothing). */
+  private[graft] def summarizeOversized(e: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{And, GreaterThanOrEqual, In, LessThanOrEqual, Literal, Or}
+    e match {
+      case And(l, r) => And(summarizeOversized(l), summarizeOversized(r))
+      case Or(l, r) => Or(summarizeOversized(l), summarizeOversized(r))
+      case In(a: org.apache.spark.sql.catalyst.expressions.AttributeReference,
+          vs) if vs.size > 1 && vs.forall(_.isInstanceOf[Literal]) =>
+        val vals = vs.collect { case Literal(v, _) if v != null => v }
+        val ord =
+          try org.apache.spark.sql.catalyst.util.TypeUtils
+            .getInterpretedOrdering(a.dataType).asInstanceOf[Ordering[Any]]
+          catch { case _: Exception => return Literal.TrueLiteral }
+        if (vals.isEmpty) Literal.TrueLiteral
+        else And(
+          GreaterThanOrEqual(a, Literal(vals.min(ord), a.dataType)),
+          LessThanOrEqual(a, Literal(vals.max(ord), a.dataType)))
+      case other => other
     }
   }
 

@@ -239,6 +239,58 @@ object LlmSim {
     brute
   }
 
+  /** INDEX-SERVED batch ANN (`sim_search_ann_batch`, r16, VERDICT r15
+    * next #5): a 100-query batch probes the PERSISTED IVF index —
+    * map-side cell assignment of the batch (the create-time kernel),
+    * bucket-targeted read of the probed cells' union, broadcast
+    * cell-equi-join, per-query rank window — O(batch × nProbe ×
+    * corpus/cells), no driver loop, no brute force. The batch clusters
+    * on 8 base vectors (the realistic repeated/clustered serving shape),
+    * so the probed union stays a STRICT SUBSET of the 64 cells and the
+    * index read a strict subset of its files (require()d). Exactness is
+    * structural: each query's top-5 — itself plus its four
+    * power-of-two-scaled clones, all cosine exactly 1.0 — normalizes
+    * bit-identically, lands in the query's own nearest cell, and nProbe
+    * ≥ 1 always probes it; DuckDB brute force computes the same ranking. */
+  private val simSearchAnnBatch: Q = (s, d) => {
+    val base = load(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    // 4 clones per base vector i < 8: vec_id = 10000000 + i*100 + j
+    val planted = base.filter(col("vec_id") < 8)
+      .select(col("vec_id"), explode(sequence(lit(1), lit(4))).as("j"),
+        col("embedding"))
+      .select((lit(10000000L) + col("vec_id") * 100 + col("j")).as("vec_id"),
+        transform(col("embedding"),
+          x => x * pow(lit(2.0), col("j")).cast("float")).as("embedding"))
+    val store = new graft.store.TableStore(s,
+      graft.util.Scratch.dir("ann_batch"))
+    store.commitBucketed(base.unionByName(planted), Seq("vec_id"), 16)
+    graft.store.AnnIndex.create(store, "ann", "embedding",
+      clusters = 64, iters = 4)
+    val queries = base.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("bv"), col("embedding"))
+      .crossJoin(s.range(0, 100).select(col("id").as("q_id")))
+      .filter(col("bv") === col("q_id") % 8)
+      .select(col("q_id"), col("embedding").as("qv"))
+    val out = graft.store.AnnIndex.topkBatch(store, "ann", queries,
+      "q_id", "qv", k = 5, nProbe = 2)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos_sim"))
+    // the index-side read must be a STRICT SUBSET of the index's files,
+    // and nothing of the BASE corpus store may be read (the batch side
+    // legitimately reads the raw embeddings source)
+    val idxStore = graft.store.SecondaryIndex.indexStore(store, "ann")
+    val idxFiles = idxStore.manifest(idxStore.currentVersion())
+      .inlineFiles.toSet
+    val read = out.inputFiles.toSet
+    val idxRead = read.filter(idxFiles)
+    require(idxRead.nonEmpty && idxRead.size < idxFiles.size,
+      s"batch probe must read a STRICT SUBSET of the index's " +
+        s"${idxFiles.size} files, read ${idxRead.size}")
+    require(!read.exists(f => f.startsWith(store.root) &&
+      !f.contains("/index/")),
+      "the batch probe must never touch the base corpus store")
+    out
+  }
+
   /** Batch top-k (SURVEY §2.J extension `sim_search_batch`): k nearest
     * corpus vectors for EACH of a set of query vectors — the realistic ANN
     * serving shape. The query set broadcasts (small side), scoring is one
@@ -428,6 +480,7 @@ object LlmSim {
     "sim_search_ann_index" -> simSearchAnnIndex,
     "sim_search_ann_recall" -> simSearchAnnRecall,
     "sim_search_batch" -> simSearchBatch,
+    "sim_search_ann_batch" -> simSearchAnnBatch,
     "multimodal_schema" -> multimodalSchema,
     "multimodal_decode" -> multimodalDecode,
     "multimodal_resize" -> multimodalResize,
@@ -460,6 +513,35 @@ object LlmSim {
     "sim_search_ivf" -> plantedTopKOracle,
     "sim_search_ivf_kmeans" -> plantedTopKOracle,
     "sim_search_ann_index" -> plantedTopKOracle,
+
+    "sim_search_ann_batch" ->
+      """WITH qs AS (
+        |  SELECT t.g AS q_id, CAST(e.embedding AS DOUBLE[]) AS qv
+        |  FROM generate_series(0, 99) t(g)
+        |  JOIN embeddings e ON e.vec_id = t.g % 8),
+        |planted AS (
+        |  SELECT 10000000 + e.vec_id * 100 + j AS vec_id,
+        |         LIST_TRANSFORM(e.embedding,
+        |           x -> x * CAST(POWER(2, j) AS FLOAT)) AS embedding
+        |  FROM embeddings e, generate_series(1, 4) t(j)
+        |  WHERE e.vec_id < 8),
+        |corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL SELECT vec_id, embedding FROM planted),
+        |scored AS (
+        |  SELECT qs.q_id, c.vec_id,
+        |    ROUND(LIST_DOT_PRODUCT(CAST(c.embedding AS DOUBLE[]), qs.qv) /
+        |      (SQRT(LIST_DOT_PRODUCT(CAST(c.embedding AS DOUBLE[]),
+        |                             CAST(c.embedding AS DOUBLE[]))) *
+        |       SQRT(LIST_DOT_PRODUCT(qs.qv, qs.qv))), 6) AS cos_sim
+        |  FROM corpus c, qs),
+        |ranked AS (
+        |  SELECT q_id, vec_id, cos_sim,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY cos_sim DESC NULLS LAST, vec_id ASC) AS INT) AS rank
+        |  FROM scored)
+        |SELECT q_id, rank, vec_id, cos_sim FROM ranked WHERE rank <= 5
+        |ORDER BY q_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin,
 
     "sim_search_ann_recall" ->
       """WITH q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),

@@ -313,6 +313,128 @@ object SqlSurface {
     out
   }
 
+  /** STRING-KEYED metadata aggregates (`sql_agg_metadata_string`, r16):
+    * the reference's canonical key schema is STRING PK/SK (README.md:81-82
+    * — DynamoDB `PK`/`SK: S`), and until this round every metadata serve
+    * refused strings outright (writers may truncate binary bounds, so a
+    * recorded min need not be attained). Two facts close the gap: (a)
+    * truncated bounds still ENCLOSE the file's range, so all-match /
+    * no-match PROOFS are sound on any valid bound — `WHERE pk >= 'B' AND
+    * pk < 'C'` on a PK-chunked layout is exactly decidable; (b) the engine
+    * writes its own parquet with untruncated footer statistics, recorded
+    * as an `exact` flag at commit ([[graft.store.FileStats.ColStat]]), so
+    * MIN/MAX may return those attained bounds verbatim. The standing
+    * dashboard over the PK/SK table — COUNT + key extrema under a key
+    * range — then plans ZERO data files. Foreign/truncated bounds keep
+    * the old refusal (StringBoundsSpec pins the decline). */
+  private val sqlAggMetadataString: Q = (s, d) => {
+    val cat = catalogFor(s, d)
+    val wh = warehouseFor(d)
+    val store = new TableStore(s, s"$wh/analytics/kv_str")
+    if (store.currentVersion() < 0) {
+      val orders = load(s, d, "orders")
+      def chunk(i: Int) = orders
+        .filter(col("o_orderkey") % 4 === i).selectExpr(
+          "concat(substring('ABCD', cast(o_orderkey % 4 as int) + 1, 1), " +
+            "format_string('%08d', o_orderkey)) AS pk",
+          "concat(o_orderstatus, '#', format_string('%08d', o_orderkey)) " +
+            "AS sk",
+          "o_custkey").coalesce(1)
+      store.commitSnapshot(chunk(0))
+      (1 to 3).foreach(i => store.commitAppend(chunk(i)))
+    }
+    s.catalog.refreshTable(s"$cat.analytics.kv_str")
+    val out = s.sql(
+      s"""SELECT COUNT(*) AS n_rows, MIN(pk) AS min_pk, MAX(pk) AS max_pk,
+         |  MIN(sk) AS min_sk, MAX(sk) AS max_sk
+         |FROM $cat.analytics.kv_str
+         |WHERE pk >= 'B' AND pk < 'C'""".stripMargin)
+    val plan = out.queryExecution.executedPlan.toString
+    require(plan.contains("graft-manifest-agg") || plan.contains("LocalTableScan"),
+      s"string-keyed aggregate not served from the manifest:\n$plan")
+    require(!plan.contains("Parquet"),
+      "string-keyed metadata aggregate must not scan files")
+    out
+  }
+
+  /** [[sqlAggMetadataString]] on the SHARDED metadata tier: the string
+    * decidability verdicts and the exact-flagged bounds ride the one
+    * distributed shard sweep ([[graft.store.TableStore.exactMatchMeta]]),
+    * so the PK-range dashboard on a million-file string-keyed table is
+    * still one bounded metadata job + zero data I/O. */
+  private val sqlAggMetadataStringSharded: Q = (s, d) => {
+    val cat = catalogFor(s, d)
+    val wh = warehouseFor(d)
+    val store = new TableStore(s, s"$wh/analytics/kv_str_s")
+    if (store.currentVersion() < 0) {
+      s.conf.set("spark.graft.manifest.inlineThreshold", "2")
+      try {
+        val orders = load(s, d, "orders")
+        def chunk(i: Int) = orders
+          .filter(col("o_orderkey") % 4 === i).selectExpr(
+            "concat(substring('ABCD', cast(o_orderkey % 4 as int) + 1, 1), " +
+              "format_string('%08d', o_orderkey)) AS pk",
+            "concat(o_orderstatus, '#', format_string('%08d', o_orderkey)) " +
+              "AS sk",
+            "o_custkey").coalesce(1)
+        store.commitSnapshot(chunk(0))
+        (1 to 3).foreach(i => store.commitAppend(chunk(i)))
+      } finally s.conf.unset("spark.graft.manifest.inlineThreshold")
+      require(store.manifest(store.currentVersion()).isSharded,
+        "fixture error: the table must sit on the sharded tier")
+    }
+    s.catalog.refreshTable(s"$cat.analytics.kv_str_s")
+    val out = s.sql(
+      s"""SELECT COUNT(*) AS n_rows, MIN(pk) AS min_pk, MAX(pk) AS max_pk,
+         |  MIN(sk) AS min_sk, MAX(sk) AS max_sk
+         |FROM $cat.analytics.kv_str_s
+         |WHERE pk >= 'C' AND pk < 'D'""".stripMargin)
+    val plan = out.queryExecution.executedPlan.toString
+    require(plan.contains("graft-manifest-agg") || plan.contains("LocalTableScan"),
+      s"sharded string-keyed aggregate not served from metadata:\n$plan")
+    require(!plan.contains("Parquet"),
+      "sharded string-keyed metadata aggregate must not scan files")
+    out
+  }
+
+  /** GROUP BY over a STRING tenant key (`sql_agg_metadata_string_group`,
+    * r16): the tenant-chunked ingest layout where the chunk key is a
+    * string — each file's tenant bounds collapse to a point (min == max
+    * pins every row to that exact value even on truncated bounds, since
+    * bounds enclose the range), so the hybrid rule serves every file as
+    * one (tenant, partials) metadata row and the per-group string MIN/MAX
+    * returns exact-flagged bounds. Zero data files scanned. */
+  private val sqlAggMetadataStringGroup: Q = (s, d) => {
+    val cat = catalogFor(s, d)
+    val wh = warehouseFor(d)
+    val store = new TableStore(s, s"$wh/analytics/kv_str_g")
+    if (store.currentVersion() < 0) {
+      val orders = load(s, d, "orders")
+      def chunk(i: Int) = orders
+        .filter(col("o_orderkey") % 4 === i).selectExpr(
+          "substring('ABCD', cast(o_orderkey % 4 as int) + 1, 1) AS tenant",
+          "concat(o_orderstatus, '#', format_string('%08d', o_orderkey)) " +
+            "AS sk",
+          "o_custkey").coalesce(1)
+      store.commitSnapshot(chunk(0))
+      (1 to 3).foreach(i => store.commitAppend(chunk(i)))
+    }
+    s.catalog.refreshTable(s"$cat.analytics.kv_str_g")
+    val out = s.sql(
+      s"""SELECT tenant, COUNT(*) AS n_rows,
+         |  MIN(sk) AS min_sk, MAX(sk) AS max_sk
+         |FROM $cat.analytics.kv_str_g
+         |GROUP BY tenant
+         |ORDER BY tenant ASC NULLS FIRST""".stripMargin)
+    require(graft.catalog.HybridMetaAgg.served(out),
+      s"string-tenant GROUP BY must take the hybrid metadata serve:\n" +
+        s"${out.queryExecution.optimizedPlan}")
+    require(out.inputFiles.isEmpty,
+      s"every file's tenant is proven constant — zero scan expected, " +
+        s"planned ${out.inputFiles.length}")
+    out
+  }
+
   /** METADATA-SERVED SUM (`sql_agg_metadata_sum`, r14): footer stats carry
     * COUNT/MIN/MAX but no sums, so `SUM(col)` always paid a full scan —
     * `CALL analyze_table` records per-file EXACT column sums in the
@@ -451,6 +573,46 @@ object SqlSurface {
       s"""SELECT col_name, null_count, min_v, max_v, sum_v, ndv_est
          |FROM $cat.analytics.`orders_cs$$column_stats`
          |ORDER BY col_name ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** `approx_count_distinct` from the analyze NDV sidecar
+    * (`sql_agg_metadata_ndv`, r16, VERDICT r15 next #2): analyze already
+    * maintains one global HLL sketch per column incrementally — this
+    * query pins plain SQL `approx_count_distinct` answering from it with
+    * ZERO data-file I/O ([[graft.catalog.NdvServeRule]]). The fixture's
+    * columns are LOW-CARDINALITY on purpose: a datasketches sketch is
+    * EXACT below its set-mode threshold (~hundreds of values), so the
+    * served estimates are deterministic and the DuckDB oracle recomputes
+    * them with plain COUNT(DISTINCT). Stale-sidecar / filtered / tighter-
+    * rsd declines are spec-pinned (NdvServeSpec). */
+  private val sqlAggMetadataNdv: Q = (s, d) => {
+    val cat = catalogFor(s, d)
+    val wh = warehouseFor(d)
+    val store = new TableStore(s, s"$wh/analytics/orders_ndv")
+    if (store.currentVersion() < 0) {
+      val base = load(s, d, "orders").select(
+        (col("o_orderkey") % 200).as("k200"),
+        col("o_orderstatus").as("status"),
+        when(col("o_custkey") % 7 === 0, lit(null))
+          .otherwise(col("o_custkey") % 50).as("cust_n"))
+      store.commitSnapshot(base.filter(col("o_orderkey") % 2 === 0)
+        .coalesce(1))
+      store.commitAppend(base.filter(col("o_orderkey") % 2 === 1)
+        .coalesce(1))
+      s.sql(s"CALL $cat.system.analyze_table('analytics.orders_ndv')")
+    }
+    s.catalog.refreshTable(s"$cat.analytics.orders_ndv")
+    val out = s.sql(
+      s"""SELECT approx_count_distinct(k200) AS ndv_k,
+         |  approx_count_distinct(status) AS ndv_s,
+         |  approx_count_distinct(cust_n) AS ndv_c
+         |FROM $cat.analytics.orders_ndv""".stripMargin)
+    require(graft.catalog.NdvServe.served(out),
+      s"approx_count_distinct must serve from the NDV sidecar:\n" +
+        s"${out.queryExecution.optimizedPlan}")
+    require(!out.queryExecution.executedPlan.toString.contains("Parquet"),
+      "the NDV serve must not scan files")
+    out
   }
 
   /** GROUP BY metadata aggregates (`sql_agg_metadata_group`, r14): the
@@ -680,6 +842,104 @@ object SqlSurface {
          |ORDER BY yr ASC NULLS FIRST""".stripMargin)
     require(graft.catalog.HybridMetaAgg.served(out),
       s"the sharded year-chunked GROUP BY date_trunc must serve:\n" +
+        s"${out.queryExecution.optimizedPlan}")
+    require(out.inputFiles.isEmpty,
+      s"expected zero scanned files, planned ${out.inputFiles.length}")
+    out
+  }
+
+  /** PERIODIC-extraction WHERE proofs (`sql_agg_metadata_where_periodic`,
+    * r16, VERDICT r15 next #3): `WHERE month(ts) = 5` is non-invertible
+    * (month wraps every year — correctly outside
+    * [[graft.catalog.MonotoneRangeRewriteRule]]), so it used to defeat
+    * every stats path even on a month-chunked layout. The granularity
+    * proof closes it ([[graft.store.ExprBounds]]): a file whose ts bounds
+    * fall inside ONE calendar month has `month(ts)` provably constant —
+    * evaluate it once on the bound, prune ≠ 5 files, metadata-serve the
+    * all-May ones. Two years month-chunked = 24 files: 2 served, 22
+    * pruned, ZERO scanned. The WHERE side now proves exactly what the
+    * GROUP side already proved — the r15 verdict's asymmetry, closed. */
+  private val sqlAggMetadataWherePeriodic: Q = (s, d) => {
+    val cat = catalogFor(s, d)
+    val wh = warehouseFor(d)
+    val store = new TableStore(s, s"$wh/analytics/orders_per")
+    if (store.currentVersion() < 0) {
+      val base = load(s, d, "orders")
+        .filter(year(col("o_orderdate")).isin(1995, 1996))
+        .select(col("o_orderkey"),
+          when(col("o_custkey") % 7 === 0, lit(null))
+            .otherwise(col("o_custkey")).as("cust_n"),
+          col("o_orderdate").as("ts"))
+      val chunks = for (y <- Seq(1995, 1996); mo <- 1 to 12) yield (y, mo)
+      store.commitSnapshot(base.filter(
+        year(col("ts")) === chunks.head._1 &&
+          org.apache.spark.sql.functions.month(col("ts")) === chunks.head._2)
+        .coalesce(1))
+      chunks.tail.foreach { case (y, mo) => store.commitAppend(
+        base.filter(year(col("ts")) === y &&
+          org.apache.spark.sql.functions.month(col("ts")) === mo)
+          .coalesce(1))
+      }
+      s.sql(s"CALL $cat.system.analyze_table('analytics.orders_per')")
+    }
+    s.catalog.refreshTable(s"$cat.analytics.orders_per")
+    val out = s.sql(
+      s"""SELECT COUNT(*) AS n_rows, COUNT(cust_n) AS n_cust,
+         |  SUM(cust_n) AS sum_cust,
+         |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+         |FROM $cat.analytics.orders_per
+         |WHERE month(ts) = 5""".stripMargin)
+    require(graft.catalog.HybridMetaAgg.served(out),
+      s"the periodic-WHERE aggregate must metadata-serve:\n" +
+        s"${out.queryExecution.optimizedPlan}")
+    require(out.inputFiles.isEmpty,
+      s"every month chunk is decidable — expected zero scanned files, " +
+        s"planned ${out.inputFiles.length}")
+    out
+  }
+
+  /** [[sqlAggMetadataWherePeriodic]] on the SHARDED metadata tier: the
+    * granularity proofs evaluate INSIDE the one distributed
+    * `hybridMatchMeta` sweep (expressions ride the closure, timezones
+    * ride their resolved `timeZoneId` — no session lookup on executors),
+    * so `WHERE month(ts) = 5` on a million-file month-chunked table is
+    * one bounded metadata job and zero data I/O. */
+  private val sqlAggMetadataWherePeriodicSharded: Q = (s, d) => {
+    val cat = catalogFor(s, d)
+    val wh = warehouseFor(d)
+    val store = new TableStore(s, s"$wh/analytics/orders_per_s")
+    if (store.currentVersion() < 0) {
+      s.conf.set("spark.graft.manifest.inlineThreshold", "2")
+      try {
+        val base = load(s, d, "orders")
+          .filter(year(col("o_orderdate")).isin(1995, 1996))
+          .select(col("o_orderkey"),
+            when(col("o_custkey") % 7 === 0, lit(null))
+              .otherwise(col("o_custkey")).as("cust_n"),
+            col("o_orderdate").as("ts"))
+        val chunks = for (y <- Seq(1995, 1996); mo <- 1 to 12) yield (y, mo)
+        store.commitSnapshot(base.filter(
+          year(col("ts")) === chunks.head._1 &&
+            org.apache.spark.sql.functions.month(col("ts")) === chunks.head._2)
+          .coalesce(1))
+        chunks.tail.foreach { case (y, mo) => store.commitAppend(
+          base.filter(year(col("ts")) === y &&
+            org.apache.spark.sql.functions.month(col("ts")) === mo)
+            .coalesce(1))
+        }
+        s.sql(s"CALL $cat.system.analyze_table('analytics.orders_per_s')")
+        require(store.manifest(store.currentVersion()).isSharded,
+          "fixture error: the table must sit on the sharded tier")
+      } finally s.conf.unset("spark.graft.manifest.inlineThreshold")
+    }
+    s.catalog.refreshTable(s"$cat.analytics.orders_per_s")
+    val out = s.sql(
+      s"""SELECT COUNT(*) AS n_rows, SUM(cust_n) AS sum_cust,
+         |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+         |FROM $cat.analytics.orders_per_s
+         |WHERE month(ts) = 8""".stripMargin)
+    require(graft.catalog.HybridMetaAgg.served(out),
+      s"the sharded periodic-WHERE aggregate must serve:\n" +
         s"${out.queryExecution.optimizedPlan}")
     require(out.inputFiles.isEmpty,
       s"expected zero scanned files, planned ${out.inputFiles.length}")
@@ -1993,6 +2253,10 @@ object SqlSurface {
     "sql_agg_metadata_where_sharded" -> sqlAggMetadataWhereSharded,
     "sql_agg_metadata_where_hybrid" -> sqlAggMetadataWhereHybrid,
     "sql_agg_metadata_where_hybrid_sharded" -> sqlAggMetadataWhereHybridSharded,
+    "sql_agg_metadata_string" -> sqlAggMetadataString,
+    "sql_agg_metadata_ndv" -> sqlAggMetadataNdv,
+    "sql_agg_metadata_string_sharded" -> sqlAggMetadataStringSharded,
+    "sql_agg_metadata_string_group" -> sqlAggMetadataStringGroup,
     "sql_agg_metadata_sum" -> sqlAggMetadataSum,
     "sql_agg_metadata_sum_sharded" -> sqlAggMetadataSumSharded,
     "sql_agg_metadata_sum_hybrid" -> sqlAggMetadataSumHybrid,
@@ -2000,6 +2264,9 @@ object SqlSurface {
     "sql_agg_metadata_group_sharded" -> sqlAggMetadataGroupSharded,
     "sql_agg_metadata_group_expr" -> sqlAggMetadataGroupExpr,
     "sql_agg_metadata_where_expr" -> sqlAggMetadataWhereExpr,
+    "sql_agg_metadata_where_periodic" -> sqlAggMetadataWherePeriodic,
+    "sql_agg_metadata_where_periodic_sharded" ->
+      sqlAggMetadataWherePeriodicSharded,
     "sql_agg_metadata_where_expr_sharded" -> sqlAggMetadataWhereExprSharded,
     "sql_agg_metadata_group_expr_sharded" -> sqlAggMetadataGroupExprSharded,
     "sql_agg_metadata_group_avg" -> sqlAggMetadataGroupAvg,
@@ -2364,6 +2631,43 @@ object SqlSurface {
         |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
         |FROM orders WHERE o_orderkey % 8 <= 4""".stripMargin,
 
+    "sql_agg_metadata_ndv" ->
+      """SELECT COUNT(DISTINCT o_orderkey % 200) AS ndv_k,
+        |  COUNT(DISTINCT o_orderstatus) AS ndv_s,
+        |  COUNT(DISTINCT CASE WHEN o_custkey % 7 = 0 THEN NULL
+        |                      ELSE o_custkey % 50 END) AS ndv_c
+        |FROM orders""".stripMargin,
+
+    "sql_agg_metadata_string" ->
+      """SELECT COUNT(*) AS n_rows, MIN(pk) AS min_pk, MAX(pk) AS max_pk,
+        |  MIN(sk) AS min_sk, MAX(sk) AS max_sk
+        |FROM (SELECT concat(substring('ABCD',
+        |        CAST(o_orderkey % 4 AS INT) + 1, 1),
+        |        printf('%08d', o_orderkey)) AS pk,
+        |      concat(o_orderstatus, '#', printf('%08d', o_orderkey)) AS sk
+        |      FROM orders)
+        |WHERE pk >= 'B' AND pk < 'C'""".stripMargin,
+
+    "sql_agg_metadata_string_sharded" ->
+      """SELECT COUNT(*) AS n_rows, MIN(pk) AS min_pk, MAX(pk) AS max_pk,
+        |  MIN(sk) AS min_sk, MAX(sk) AS max_sk
+        |FROM (SELECT concat(substring('ABCD',
+        |        CAST(o_orderkey % 4 AS INT) + 1, 1),
+        |        printf('%08d', o_orderkey)) AS pk,
+        |      concat(o_orderstatus, '#', printf('%08d', o_orderkey)) AS sk
+        |      FROM orders)
+        |WHERE pk >= 'C' AND pk < 'D'""".stripMargin,
+
+    "sql_agg_metadata_string_group" ->
+      """SELECT tenant, COUNT(*) AS n_rows,
+        |  MIN(sk) AS min_sk, MAX(sk) AS max_sk
+        |FROM (SELECT substring('ABCD',
+        |        CAST(o_orderkey % 4 AS INT) + 1, 1) AS tenant,
+        |      concat(o_orderstatus, '#', printf('%08d', o_orderkey)) AS sk
+        |      FROM orders)
+        |GROUP BY tenant
+        |ORDER BY tenant ASC NULLS FIRST""".stripMargin,
+
     "sql_agg_metadata_sum" ->
       """SELECT COUNT(*) AS n_rows,
         |  CAST(SUM(CASE WHEN o_custkey % 7 = 0 THEN NULL
@@ -2457,6 +2761,26 @@ object SqlSurface {
         |                ELSE o_custkey END) AS BIGINT) AS sum_cust
         |FROM orders
         |WHERE date_trunc('year', o_orderdate) = TIMESTAMP '1996-01-01 00:00:00'""".stripMargin,
+
+    "sql_agg_metadata_where_periodic" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  COUNT(CASE WHEN o_custkey % 7 = 0 THEN NULL
+        |             ELSE o_custkey END) AS n_cust,
+        |  CAST(SUM(CASE WHEN o_custkey % 7 = 0 THEN NULL
+        |                ELSE o_custkey END) AS BIGINT) AS sum_cust,
+        |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        |FROM orders
+        |WHERE year(o_orderdate) IN (1995, 1996)
+        |  AND month(o_orderdate) = 5""".stripMargin,
+
+    "sql_agg_metadata_where_periodic_sharded" ->
+      """SELECT COUNT(*) AS n_rows,
+        |  CAST(SUM(CASE WHEN o_custkey % 7 = 0 THEN NULL
+        |                ELSE o_custkey END) AS BIGINT) AS sum_cust,
+        |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+        |FROM orders
+        |WHERE year(o_orderdate) IN (1995, 1996)
+        |  AND month(o_orderdate) = 8""".stripMargin,
 
     "sql_agg_metadata_group_expr" ->
       """SELECT CAST(date_trunc('year', o_orderdate) AS TIMESTAMP) AS yr,

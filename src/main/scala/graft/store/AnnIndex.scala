@@ -523,6 +523,99 @@ object AnnIndex {
       .limit(k)
   }
 
+  /** INDEX-SERVED BATCH top-k (r16, VERDICT r15 next #5): k nearest
+    * corpus vectors for EACH row of a query DataFrame, through the
+    * persisted index — no driver loop over queries, no corpus brute
+    * force. The create-time assignment kernel runs MAP-SIDE over the
+    * batch (each query → its `nProbe` nearest cells, centroids
+    * broadcast), the probed cells' union drives ONE bucket-targeted
+    * index read (distinct cells are bounded by the index's cell count,
+    * never the batch size), the batch side broadcasts into an equi-join
+    * on `cell`, scoring rides the codegen'd [[graft.functions.CosineSim]]
+    * fold, and a per-query rank window takes the top k — O(batch ×
+    * nProbe × corpus/cells) work, sublinear in the corpus.
+    *
+    * Semantics match [[topk]] per query at the same `nProbe` (recall
+    * trades identically; `nProbe <= 0` probes exhaustively and is exact).
+    * The batch must fit a broadcast (the realistic serving shape —
+    * thousands of query vectors); million-query batches should map
+    * [[topk]]'s cells themselves or raise `nProbe` to exhaustive and
+    * join unbroadcast.
+    *
+    * `queries` needs two columns: `qidCol` (any orderable id) and
+    * `vecQCol` (`array<float>`). Output: (qid, rank, idCols…, cos_sim)
+    * ordered by (qid, rank). */
+  def topkBatch(base: TableStore, name: String,
+      queries: org.apache.spark.sql.DataFrame, qidCol: String,
+      vecQCol: String, k: Int, nProbe: Int = 2,
+      indexVersion: Long = -1L): DataFrame = {
+    val s = base.spark
+    import s.implicits._
+    val idx = SecondaryIndex.indexStore(base, name)
+    val iv = if (indexVersion >= 0) indexVersion else idx.currentVersion()
+    require(iv >= 0, s"ANN index '$name' does not exist")
+    val im = idx.manifest(iv)
+    require(im.props.get(KindProp).contains(KindAnn),
+      s"'$name' is not an ANN index")
+    val cents = centsFromJson(im.props(CentroidsProp))
+    val vecCol = im.props(VecColProp)
+    val idCols = idColsOf(im)
+    require(!idCols.contains(qidCol) && qidCol != "cell" &&
+      qidCol != vecCol, s"query id column '$qidCol' collides with index " +
+      s"columns (${idCols.mkString(",")}, cell, $vecCol)")
+    val total = cents.length
+    val probe = if (nProbe <= 0) total else math.min(nProbe, total)
+    // map-side probe-cell assignment: the create-time kernel generalized
+    // to the p nearest centroids, centroids broadcast once per executor
+    val bc = s.sparkContext.broadcast(cents)
+    val p = probe
+    val cellsOf = org.apache.spark.sql.functions.udf((v: Seq[Float]) => {
+      val q = VecKernels.normalize(v.toArray)
+      val cs = bc.value
+      cs.indices.sortBy(c => (-VecKernels.dotD(q, cs(c)), c)).take(p)
+    })
+    val exploded = queries
+      .select(col(qidCol).as("_q_id"), col(vecQCol).as("_q_vec"))
+      .withColumn("_q_cell", explode(cellsOf(col("_q_vec"))))
+    // the probed union: bounded by the CELL COUNT, not the batch — one
+    // tiny distinct over the broadcastable batch side
+    val cells = exploded.select(col("_q_cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq.sorted
+    val bids = im.props.get(CellBucketsProp) match {
+      case Some(mstr) =>
+        val byCell = mstr.split(',').map { e =>
+          val Array(c, b) = e.split(':'); c.toInt -> b.toLong
+        }.toMap
+        cells.map(byCell).distinct.sorted
+      case None =>
+        cells.toDF("cell")
+          .select(TableStore.bucketExpr(Seq("cell"), im.numBuckets).as("b"))
+          .distinct().collect().map(_.getLong(0)).toSeq.sorted
+    }
+    val entries = idx.readBuckets(bids, iv)
+      .filter(col("cell").isin(cells.map(Int.box): _*))
+    val score = org.apache.spark.sql.graftbridge.ColumnBridge.column(
+      graft.functions.CosineSim(
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          .quoted(vecCol),
+        org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          .quoted("_q_vec")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("_q_id")
+      .orderBy(col("cos_sim").desc_nulls_last +:
+        idCols.map(col(_).asc_nulls_first): _*)
+    entries
+      .join(org.apache.spark.sql.functions.broadcast(exploded),
+        entries("cell") === org.apache.spark.sql.functions.col("_q_cell"))
+      .select((col("_q_id") +: idCols.map(col)) :+
+        round(score, 6).as("cos_sim"): _*)
+      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rank") <= k)
+      .select((col("_q_id").as(qidCol) +: col("rank") +: idCols.map(col)) :+
+        col("cos_sim"): _*)
+      .orderBy(col(qidCol).asc_nulls_first, col("rank").asc_nulls_first)
+  }
+
   /** [[topk]] with the query vector fetched by primary key — one
     * bucket-pruned point read of the base table, never a corpus scan.
     * Single-LONG-keyed bases only (the composite-key caller holds its own

@@ -44,9 +44,20 @@ object FileStats {
     * read of the file, paid once: files are immutable and the value rides
     * manifest inheritance through compaction/append/DV commits for free).
     * With every candidate file carrying one, `SUM(col)` answers from
-    * metadata like COUNT/MIN/MAX. Recorded only for [[sumExact]] types. */
+    * metadata like COUNT/MIN/MAX. Recorded only for [[sumExact]] types.
+    *
+    * `exact` (round 16) marks STRING bounds whose values are ATTAINED
+    * domain values, not writer-truncated enclosures — recorded at commit
+    * time when the writing session's parquet statistics truncation is the
+    * untruncated default (parquet-mr either writes binary footer bounds
+    * verbatim or omits them entirely at that setting; every manifest file
+    * is engine-written, so the session conf at stat time IS the writer's).
+    * Pruning and all-match proofs never need it (any valid enclosure is
+    * sound both ways); returning a bound AS a result — MIN/MAX serving,
+    * string top-k thresholds used as answers — requires it. Non-string
+    * bounds are exact by encoding ([[minMaxExact]]) and leave it false. */
   final case class ColStat(min: Option[String], max: Option[String],
-      nulls: Long, sum: Option[String] = None)
+      nulls: Long, sum: Option[String] = None, exact: Boolean = false)
 
   /** Footer-level metadata for one data file. `bytes`/`modTime` let the scan
     * build `FileStatus`es without re-listing the filesystem. */
@@ -83,12 +94,14 @@ object FileStats {
   }
 
   /** Parse a recorded bound back into the Catalyst-INTERNAL value for
-    * `dt` — only the [[minMaxExact]] types. */
+    * `dt` — the [[minMaxExact]] types plus strings (whose SERVING callers
+    * gate on [[ColStat.exact]] themselves). */
   def parseBound(s: String, dt: DataType): Any = dt match {
     case ByteType => s.toByte
     case ShortType => s.toShort
     case IntegerType | DateType => s.toInt
     case LongType | TimestampType | TimestampNTZType => s.toLong
+    case StringType => UTF8String.fromString(s)
     case d: DecimalType =>
       org.apache.spark.sql.types.Decimal(BigDecimal(s), d.precision, d.scale)
     case other => throw new IllegalStateException(s"unexpected $other")
@@ -158,8 +171,15 @@ object FileStats {
           }
         }
       }
+      // string bounds are EXACT attained values when the writing session
+      // does not truncate footer statistics (parquet-mr's default: binary
+      // bounds are written verbatim or omitted entirely) — every manifest
+      // file is engine-written, so the conf at stat time is the writer's
+      val stringExact = conf.getInt(
+        "parquet.statistics.truncate.length", Int.MaxValue) == Int.MaxValue
       val cols = acc.collect { case (n, (mn, mx, nulls, true)) =>
-        n -> ColStat(mn, mx, nulls)
+        n -> ColStat(mn, mx, nulls, exact = stringExact && mn.isDefined &&
+          schema.fields.exists(f => f.name == n && f.dataType == StringType))
       }.toMap
       FileStat(status.getLen, status.getModificationTime, rows, cols)
     } finally reader.close()
@@ -363,7 +383,10 @@ object FileStats {
         }
       case Literal(v: Boolean, BooleanType) => v
       case Literal(null, BooleanType) => false
-      case _ => true
+      // whitelisted expression chains over one column — `month(ts) = 5`
+      // on a month-chunked layout prunes from the same bounds (r16,
+      // [[ExprBounds]]); unrecognized shapes keep the conservative true
+      case other => ExprBounds.might(stat, schema, other).getOrElse(true)
     }
   }
 
@@ -372,11 +395,16 @@ object FileStats {
     * the dual of [[mightMatch]]. Together they make a file DECIDABLE
     * (all-match or no-match), which lets the scan claim a filter as fully
     * pushed and a `COUNT(*) WHERE …` serve from footer stats with zero
-    * file I/O. Restricted to exactly-ordered stat encodings
-    * (integral/date/timestamp/decimal): string bounds may be
-    * writer-truncated (an upper bound, not the max) and float/double
-    * footer ordering is NaN-poisoned — those types return false and the
-    * caller falls back to the ordinary residual-filter scan. Default
+    * file I/O. Restricted to totally-ordered stat encodings:
+    * integral/date/timestamp/decimal, and (r16) STRINGS — a truncated
+    * writer bound still ENCLOSES the true range (truncated min ≤ every
+    * value ≤ truncated max, parquet's contract), and every proof here
+    * only needs enclosure: `min ≥ v` proves all-match for `col ≥ v`
+    * whether or not min is attained, and the point-equality case
+    * `min == max == v` pins every row to v exactly BECAUSE the bounds
+    * enclose. Only returning a bound AS a value (MIN/MAX serving) needs
+    * [[ColStat.exact]] — that check lives with those callers.
+    * Float/double stay refused (NaN-poisoned footer ordering). Default
     * false on anything unmodeled: a wrong `true` here loses rows or
     * counts phantoms, so soundness = under-claiming. */
   def mustMatch(stat: FileStat, schema: StructType,
@@ -385,7 +413,8 @@ object FileStats {
 
   private def exactDom(dt: DataType): Boolean = dt match {
     case ByteType | ShortType | IntegerType | LongType | DateType |
-         TimestampType | TimestampNTZType | _: DecimalType => true
+         TimestampType | TimestampNTZType | StringType |
+         _: DecimalType => true
     case _ => false
   }
 
@@ -446,7 +475,10 @@ object FileStats {
       case IsNull(a: AttributeReference) =>
         colStat(a).exists(_._1.nulls >= stat.rows)
       case Literal(v: Boolean, BooleanType) => v
-      case _ => false
+      // chain conjuncts prove all-match from the same range/granularity
+      // proofs (r16) — `WHERE month(ts) = 5` metadata-serves the files a
+      // month-chunked layout makes provably all-May
+      case other => ExprBounds.must(stat, schema, other).getOrElse(false)
     }
   }
 
@@ -507,7 +539,8 @@ object FileStats {
       val mn = cs.min.map(v => s""""min":${js(v)},""").getOrElse("")
       val mx = cs.max.map(v => s""""max":${js(v)},""").getOrElse("")
       val sm = cs.sum.map(v => s""""sum":${js(v)},""").getOrElse("")
-      s"""${js(c)}:{$mn$mx$sm"nulls":${cs.nulls}}"""
+      val xb = if (cs.exact) """"xact":true,""" else ""
+      s"""${js(c)}:{$mn$mx$sm$xb"nulls":${cs.nulls}}"""
     }.mkString("{", ",", "}")
 
   def colsFromJson(s: String): Map[String, ColStat] = {
@@ -520,7 +553,9 @@ object FileStats {
           (cv \ "min").extractOpt[String],
           (cv \ "max").extractOpt[String],
           (cv \ "nulls").extract[Long],
-          (cv \ "sum").extractOpt[String])
+          (cv \ "sum").extractOpt[String],
+          // absent in pre-r16 manifests: conservatively inexact
+          (cv \ "xact").extractOpt[Boolean].getOrElse(false))
       }.toMap
       case _ => Map.empty
     }
@@ -542,7 +577,8 @@ object FileStats {
               (cv \ "min").extractOpt[String],
               (cv \ "max").extractOpt[String],
               (cv \ "nulls").extract[Long],
-              (cv \ "sum").extractOpt[String])
+              (cv \ "sum").extractOpt[String],
+              (cv \ "xact").extractOpt[Boolean].getOrElse(false))
           }.toMap
           case _ => Map.empty[String, ColStat]
         }

@@ -64,6 +64,45 @@ class AnnIndexSpec extends SparkSuite {
       s"clone cosine must be exactly 1.0: ${planted.toSeq}")
   }
 
+  test("topkBatch (r16): the index-served batch probe matches per-query " +
+      "topk exactly at the same nProbe, reads a strict subset of index " +
+      "files, and never touches the base table") {
+    val store = freshStore()
+    store.commitBucketed(corpus(200), Seq("vec_id"), 8)
+    AnnIndex.create(store, "ann", "embedding", clusters = 8, iters = 3,
+      numBuckets = 8)
+    // 30 queries clustered on 3 directions (axes 0..2)
+    val queries = (0 until 30).map { i =>
+      val v = new Array[Float](dim); v(i % 3) = 1.0f
+      v(4 + (i % 3)) = 0.02f
+      (i.toLong, v)
+    }.toDF("q_id", "qv")
+    val got = AnnIndex.topkBatch(store, "ann", queries, "q_id", "qv",
+      k = 4, nProbe = 2)
+    val rows = got.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // parity per query with the single-vector path at the same probe
+    (0 until 30).foreach { i =>
+      val v = new Array[Float](dim); v(i % 3) = 1.0f
+      v(4 + (i % 3)) = 0.02f
+      val single = AnnIndex.topk(store, "ann", v, k = 4, nProbe = 2)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val batch = rows.filter(_._1 == i.toLong).sortBy(_._2)
+        .map(r => (r._3, r._4)).toSeq
+      assert(batch == single,
+        s"batch row set diverged from topk for query $i:\n" +
+          s"batch  $batch\nsingle $single")
+    }
+    val allIdx = SecondaryIndex.indexStore(store, "ann")
+      .readSnapshot().inputFiles.toSet
+    val idxRead = got.inputFiles.toSet.filter(allIdx)
+    assert(idxRead.nonEmpty && idxRead.size < allIdx.size,
+      s"batch probe must read a strict subset of index files: " +
+        s"${idxRead.size} of ${allIdx.size}")
+    assert(!got.inputFiles.exists(_.contains(s"${store.root}/data")),
+      "batch probe must never touch the base table")
+  }
+
   test("refresh assigns new vectors into FROZEN cells incrementally and " +
       "retracts deletes; centroids never retrain") {
     val store = freshStore()

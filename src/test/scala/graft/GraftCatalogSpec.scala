@@ -692,8 +692,11 @@ class GraftCatalogSpec extends SparkSuite {
           s"unsafe shape must not push: $sql")
         assert(d.head().getLong(0) == want, sql)
     }
+    // string MIN serves since r16 (engine-written bounds carry the exact
+    // flag); result identical either way
     val smin = spark.sql("SELECT MIN(s) FROM spec_cat.analytics.aggpd")
-    assert(!smin.queryExecution.executedPlan.toString.contains("graft-manifest-agg"))
+    assert(smin.queryExecution.executedPlan.toString.contains("graft-manifest-agg") ||
+      smin.queryExecution.executedPlan.toString.contains("LocalTableScan"))
     assert(smin.head().getString(0) == "s1")
     val grp = spark.sql(
       "SELECT k % 2, COUNT(*) FROM spec_cat.analytics.aggpd GROUP BY 1 ORDER BY 1")
@@ -1600,13 +1603,18 @@ class GraftCatalogSpec extends SparkSuite {
       cplan.contains("LocalTableScan"),
       s"no-match string COUNT must serve from metadata:\n$cplan")
     assert(cnt.head().getLong(0) == 0L)
-    // the SERVING refusal is unchanged: MIN/MAX over a string column
-    // never answers from metadata (writers may truncate string bounds)
+    // string MIN/MAX SERVES from metadata since r16: these files are
+    // engine-written with untruncated footer statistics, so their bounds
+    // carry the exact flag and may be returned verbatim (StringBoundsSpec
+    // pins the truncated-bound DECLINE)
     val mm = spark.sql("SELECT MIN(pk) AS mn, MAX(pk) AS mx " +
       "FROM spec_cat.analytics.str_keys")
     val plan = mm.queryExecution.executedPlan.toString
-    assert(!plan.contains("graft-manifest-agg"),
-      s"string MIN/MAX must scan, not metadata-serve:\n$plan")
+    assert(plan.contains("graft-manifest-agg") ||
+      plan.contains("LocalTableScan"),
+      s"exact-flagged string MIN/MAX must serve from metadata:\n$plan")
+    assert(!plan.contains("Parquet"),
+      s"exact-flagged string MIN/MAX must not scan:\n$plan")
     assert(mm.head().getString(0) == "k_000" && mm.head().getString(1) == "k_299")
   }
 }

@@ -140,13 +140,26 @@ class MonotoneRangeSpec extends SparkSuite {
       }
     assert(gotF == wantF,
       s"composed serve diverged:\ngot  $gotF\nwant $wantF")
-    // kill switch restores the plain scan
+    // kill switches: rewrite-off ALONE no longer kills the serve (r16 —
+    // the chain proofs in ExprBounds serve the truncation WHERE directly
+    // through the hybrid rule, no range rewrite needed); both off
+    // restores the plain scan
     spark.conf.set("spark.graft.filter.monotoneRewrite", "false")
     try {
       val off = spark.sql("SELECT COUNT(*) AS n FROM mr_cat.analytics.mono " +
         "WHERE date_trunc('month', ts) = TIMESTAMP '2021-03-01 00:00:00'")
-      assert(!graft.catalog.HybridMetaAgg.served(off))
+      assert(graft.catalog.HybridMetaAgg.served(off),
+        "chain proofs must keep serving with the range rewrite off")
       assert(off.head().getLong(0) == 31L)
-    } finally spark.conf.unset("spark.graft.filter.monotoneRewrite")
+      spark.conf.set("spark.graft.agg.metadata.hybrid", "false")
+      val bothOff = spark.sql(
+        "SELECT COUNT(*) AS n FROM mr_cat.analytics.mono " +
+          "WHERE date_trunc('month', ts) = TIMESTAMP '2021-03-01 00:00:00'")
+      assert(!graft.catalog.HybridMetaAgg.served(bothOff))
+      assert(bothOff.head().getLong(0) == 31L)
+    } finally {
+      spark.conf.unset("spark.graft.filter.monotoneRewrite")
+      spark.conf.unset("spark.graft.agg.metadata.hybrid")
+    }
   }
 }

@@ -1,0 +1,157 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.catalog.GraftCatalog
+import graft.store.TableStore
+
+/** Periodic-extraction WHERE proofs ([[graft.store.ExprBounds]], r16,
+  * VERDICT r15 next #3): `WHERE month(ts) = 5` is non-invertible, so the
+  * monotone range rewrite correctly ignores it — the granularity proof
+  * (bounds inside one calendar period pin the extraction constant) makes
+  * it prune files and metadata-serve aggregates anyway on a
+  * period-chunked layout. Every case checks rule-on/rule-off parity. */
+class PeriodicProofSpec extends SparkSuite {
+  import spark.implicits._
+
+  private lazy val warehouse = {
+    val w = Files.createTempDirectory("graft_per").toString
+    spark.conf.set("spark.sql.catalog.per_cat", classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.per_cat.warehouse", w)
+    w
+  }
+
+  // month-chunked LTZ timestamps: 2021-01-01 + k days, k in [0, 119] —
+  // four ~30-day files; ts is never per-file constant but its month is
+  private lazy val store = {
+    val st = new TableStore(spark, s"$warehouse/analytics/perm")
+    if (st.currentVersion() < 0) {
+      val base = (0 until 120).map { k =>
+        (k.toLong, if (k % 11 == 0) None else Some(k.toLong * 3))
+      }.toDF("k", "v").withColumn("ts",
+        date_add(lit("2021-01-01").cast("date"), col("k").cast("int"))
+          .cast("timestamp"))
+      val m = month(col("ts"))
+      st.commitSnapshot(base.filter(m === 1).coalesce(1))
+      (2 to 4).foreach(i => st.commitAppend(base.filter(m === i).coalesce(1)))
+      st.analyze()
+    }
+    st
+  }
+
+  private def planned(df: org.apache.spark.sql.DataFrame): Int =
+    "FileIndex\\((\\d+) paths\\)".r
+      .findFirstMatchIn(df.queryExecution.executedPlan.toString)
+      .map(_.group(1).toInt).getOrElse(-1)
+
+  /** Run with the proofs live, re-run with both stats rules off, compare. */
+  private def parity(q: String): org.apache.spark.sql.DataFrame = {
+    val df = spark.sql(q)
+    val got = df.collect().map(_.toString).sorted.toSeq
+    spark.conf.set("spark.graft.agg.metadata.hybrid", "false")
+    spark.conf.set("spark.graft.filter.monotoneRewrite", "false")
+    val want =
+      try spark.sql(q).collect().map(_.toString).sorted.toSeq
+      finally {
+        spark.conf.unset("spark.graft.agg.metadata.hybrid")
+        spark.conf.unset("spark.graft.filter.monotoneRewrite")
+      }
+    assert(got == want, s"periodic proof diverged on:\n$q\ngot  $got\nwant $want")
+    df
+  }
+
+  test("WHERE month(ts) = m metadata-serves on the month-chunked layout: " +
+      "zero files scanned, parity with the rules off") {
+    store
+    spark.catalog.refreshTable("per_cat.analytics.perm")
+    val q = "SELECT COUNT(*) AS n, COUNT(v) AS nv, SUM(v) AS sv, " +
+      "MIN(k) AS mn, MAX(k) AS mx " +
+      "FROM per_cat.analytics.perm WHERE month(ts) = 2"
+    val df = parity(q)
+    assert(graft.catalog.HybridMetaAgg.served(df),
+      s"month() WHERE must take the hybrid serve:\n" +
+        s"${df.queryExecution.optimizedPlan}")
+    assert(df.inputFiles.isEmpty,
+      s"all four chunks decide — zero scan expected, got ${df.inputFiles.length}")
+    val r = df.head()
+    assert(r.getLong(0) == 28L && r.getLong(3) == 31L && r.getLong(4) == 58L)
+  }
+
+  test("range and IN shapes prove too; a granularity the layout cannot " +
+      "prove (dayofmonth on month chunks) falls back with exact results") {
+    store
+    spark.catalog.refreshTable("per_cat.analytics.perm")
+    // month(ts) <= 2: chunks 1-2 all-match, 3-4 pruned
+    val le = parity("SELECT COUNT(*) AS n FROM per_cat.analytics.perm " +
+      "WHERE month(ts) <= 2")
+    assert(le.head().getLong(0) == 59L)
+    assert(le.inputFiles.isEmpty, "range shape must serve zero-scan")
+    // IN over months
+    val in = parity("SELECT COUNT(*) AS n FROM per_cat.analytics.perm " +
+      "WHERE month(ts) IN (1, 3)")
+    assert(in.head().getLong(0) == 62L)
+    assert(in.inputFiles.isEmpty, "IN shape must serve zero-scan")
+    // quarter(ts) = 1: every chunk is inside Q1 (granularity QUARTER) —
+    // all-match everywhere except April (quarter 2, pruned)
+    val qt = parity("SELECT COUNT(*) AS n FROM per_cat.analytics.perm " +
+      "WHERE quarter(ts) = 1")
+    assert(qt.head().getLong(0) == 90L)
+    assert(qt.inputFiles.isEmpty, "quarter shape must serve zero-scan")
+    // day(ts) = 15 needs DAY granularity — a month-spanning file cannot
+    // prove it, so every chunk straddles and the ordinary scan answers
+    val dm = parity("SELECT COUNT(*) AS n FROM per_cat.analytics.perm " +
+      "WHERE day(ts) = 15")
+    assert(dm.head().getLong(0) == 4L)
+  }
+
+  test("a plain SELECT under month(ts) = m prunes its FILE LIST through " +
+      "the replan hook (non-invertible: the Filter itself stays)") {
+    store
+    spark.catalog.refreshTable("per_cat.analytics.perm")
+    val sel = parity("SELECT k, v FROM per_cat.analytics.perm " +
+      "WHERE month(ts) = 3")
+    assert(planned(sel) == 1,
+      s"month() point SELECT must plan only the March chunk, " +
+        s"planned ${planned(sel)}")
+    assert(sel.count() == 31L)
+  }
+
+  test("GROUP BY month(ts) serves from the granularity proof (the r15 " +
+      "WHERE/GROUP asymmetry, closed from the GROUP side too)") {
+    store
+    spark.catalog.refreshTable("per_cat.analytics.perm")
+    val g = parity("SELECT month(ts) AS mo, COUNT(*) AS n, SUM(v) AS sv " +
+      "FROM per_cat.analytics.perm GROUP BY month(ts) " +
+      "ORDER BY mo ASC NULLS FIRST")
+    assert(graft.catalog.HybridMetaAgg.served(g),
+      s"GROUP BY month() must take the hybrid serve:\n" +
+        s"${g.queryExecution.optimizedPlan}")
+    assert(g.inputFiles.isEmpty,
+      s"every chunk's month is proven — zero scan, got ${g.inputFiles.length}")
+    assert(g.collect().map(r => (r.getInt(0), r.getLong(1))).toSeq ==
+      Seq((1, 31L), (2, 28L), (3, 31L), (4, 30L)))
+  }
+
+  test("an unchunked layout straddles everywhere: proofs decline, the " +
+      "ordinary scan stays, results exact") {
+    val st = new TableStore(spark, s"$warehouse/analytics/perx")
+    if (st.currentVersion() < 0) {
+      val base = (0 until 120).map(k => k.toLong).toDF("k").withColumn("ts",
+        date_add(lit("2021-01-01").cast("date"), col("k").cast("int"))
+          .cast("timestamp"))
+      // two files, BOTH spanning all four months (odd/even days)
+      st.commitSnapshot(base.filter(col("k") % 2 === 0).coalesce(1))
+      st.commitAppend(base.filter(col("k") % 2 === 1).coalesce(1))
+    }
+    spark.catalog.refreshTable("per_cat.analytics.perx")
+    val df = parity("SELECT COUNT(*) AS n FROM per_cat.analytics.perx " +
+      "WHERE month(ts) = 2")
+    assert(df.head().getLong(0) == 28L)
+    assert(!graft.catalog.HybridMetaAgg.served(df),
+      "unprovable layout must decline the hybrid serve")
+    assert(planned(df) == 2,
+      s"both straddling files must scan, planned ${planned(df)}")
+  }
+}

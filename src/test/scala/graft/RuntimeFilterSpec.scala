@@ -127,17 +127,56 @@ class RuntimeFilterSpec extends SparkSuite {
     }
   }
 
-  test("an oversized runtime IN set leaves the scan unpruned (guard, not a failure)") {
-    setup
-    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, In, Literal}
+  test("an oversized runtime IN set summarizes to its [min, max] range " +
+      "instead of dropping pruning (r16): a 200k-key runtime filter still " +
+      "plans a strict file subset on a range-chunked fact") {
+    import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, GreaterThanOrEqual, In, LessThanOrEqual, Literal}
     import org.apache.spark.sql.types.LongType
     val a = AttributeReference("l_orderkey", LongType)()
     val big = In(a, (1 to (RuntimePruning.MaxRuntimeInValues + 1))
       .map(i => Literal(i.toLong)))
     assert(RuntimePruning.inValueCount(big) > RuntimePruning.MaxRuntimeInValues)
-    // the guard path: filter() with an oversized set must not replan
-    val smallAndBig = RuntimePruning.inValueCount(
-      org.apache.spark.sql.catalyst.expressions.And(big, Literal.TrueLiteral))
-    assert(smallAndBig == RuntimePruning.MaxRuntimeInValues + 2)
+    // the fold: [min, max] range, a strict superset of the key set
+    RuntimePruning.summarizeOversized(big) match {
+      case And(GreaterThanOrEqual(_, Literal(lo, _)),
+          LessThanOrEqual(_, Literal(hi, _))) =>
+        assert(lo == 1L && hi == (RuntimePruning.MaxRuntimeInValues + 1).toLong)
+      case other => fail(s"expected a range fold, got $other")
+    }
+    // end-to-end on a real range-chunked catalog table: push a 200k-key
+    // runtime filter through the wrapper's filter() hook and assert the
+    // re-plan kept only the chunks the range overlaps
+    import org.apache.spark.sql.functions.col
+    val fact = new TableStore(spark, s"$wh/a/factrange")
+    if (fact.currentVersion() < 0) {
+      import spark.implicits._
+      val base = (0L until 600000L by 3L).toDF("k") // 200k rows
+      fact.commitSnapshot(base.filter(col("k") < 150000L).coalesce(1))
+      (1 to 3).foreach(i => fact.commitAppend(base.filter(
+        col("k") >= i * 150000L && col("k") < (i + 1) * 150000L)
+        .coalesce(1)))
+    }
+    spark.catalog.refreshTable(s"$cat.a.factrange")
+    val df = spark.sql(s"SELECT k FROM $cat.a.factrange")
+    val scans = df.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+          if b.scan.isInstanceOf[graft.catalog.RuntimePrunableScan] =>
+        b.scan.asInstanceOf[graft.catalog.RuntimePrunableScan]
+    }
+    assert(scans.nonEmpty, "catalog scan must be runtime-prunable")
+    // 150,000 distinct keys, all inside chunk 0's [0, 150k) range
+    val keys: Array[Any] =
+      (0L until 150000L).map(v => v: Any).toArray
+    scans.head.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("k", keys)))
+    val planned = {
+      import scala.jdk.CollectionConverters._
+      RuntimePruning.lastPlannedFiles.entrySet().asScala
+        .filter(_.getKey.startsWith(s"$cat.a.factrange@"))
+        .map(_.getValue.intValue()).headOption.getOrElse(-1)
+    }
+    assert(planned == 1,
+      s"summarized 150k-key runtime filter must keep only chunk 0, " +
+        s"planned $planned of 4")
   }
 }
