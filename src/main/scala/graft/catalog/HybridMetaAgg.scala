@@ -329,12 +329,12 @@ class HybridMetaAggRule extends Rule[LogicalPlan] {
           // a NULL eval output under min < max carries no range proof
           if (kl != null && kl == kh) kl else return None
         } else g.chain.gran match {
-          case Some(p) =>
+          case Some(gr) =>
             val hi = FileStats.parseBound(c.max.get, g.base.dataType)
             val pl = graft.store.ExprBounds
-              .evalOn(p, g.base.dataType, lo).filter(_ != null)
+              .evalOn(gr.proof, g.base.dataType, lo).filter(_ != null)
             val ph = graft.store.ExprBounds
-              .evalOn(p, g.base.dataType, hi).filter(_ != null)
+              .evalOn(gr.proof, g.base.dataType, hi).filter(_ != null)
             if (pl.isDefined && pl == ph)
               evalOn(g, lo).getOrElse(return None)
             else return None

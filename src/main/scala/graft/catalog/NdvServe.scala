@@ -21,8 +21,10 @@ import org.apache.spark.sql.types.LongType
   * Soundness gates (all must hold, else the plan is untouched):
   *  - UNFILTERED, ungrouped aggregate whose every aggregate function is
   *    a non-DISTINCT, FILTER-free `approx_count_distinct(col, rsd)` over
-  *    a bare column — any other aggregate in the list declines (mixed
-  *    serves belong to pushAggregation/HybridMetaAgg);
+  *    a bare column or a `COUNT(*)` (the mixed cardinality dashboard —
+  *    the row total is exact from manifest metadata on both tiers); at
+  *    least one HLL must be present, and any other aggregate declines
+  *    (those serves belong to pushAggregation/HybridMetaAgg);
   *  - the requested rsd is NO TIGHTER than the sketch's own
   *    (1.04 / √2^lgK, read off the deserialized sketch itself) — a user
   *    who asked for better accuracy than the sidecar carries gets the
@@ -77,7 +79,12 @@ class NdvServeRule extends Rule[LogicalPlan] {
     if (m.version != store.currentVersion()) return None // time travel
     val baseCols = m.schema.fieldNames.toSet
 
-    // every aggregate: approx_count_distinct over a bare live column
+    // every aggregate: approx_count_distinct over a bare live column, or
+    // COUNT(*) (r16: the mixed cardinality dashboard `SELECT COUNT(*),
+    // approx_count_distinct(x)` — the row total is exact from manifest
+    // metadata on both tiers, same gates pushAggregation uses); at least
+    // one HLL must be present (a pure-count aggregate belongs to
+    // pushAggregation, which serves more shapes)
     val aggExprs = scala.collection.mutable.ArrayBuffer.empty[AggregateExpression]
     agg.aggregateExpressions.foreach(_.foreach {
       case ae: AggregateExpression
@@ -85,26 +92,41 @@ class NdvServeRule extends Rule[LogicalPlan] {
       case _ => ()
     })
     if (aggExprs.isEmpty) return None
-    val targets: Seq[(String, Double)] = aggExprs.toSeq.map { ae =>
+    val targets: Seq[Option[(String, Double)]] = aggExprs.toSeq.map { ae =>
       if (ae.isDistinct || ae.filter.nonEmpty) return None
       ae.aggregateFunction match {
         case hll: HyperLogLogPlusPlus => hll.child match {
           case ar: AttributeReference
               if baseCols.contains(ar.name) &&
                 !m.droppedCols.contains(ar.name) =>
-            (ar.name, hll.relativeSD)
+            Some((ar.name, hll.relativeSD))
           case _ => return None
         }
+        case org.apache.spark.sql.catalyst.expressions.aggregate
+            .Count(Seq(org.apache.spark.sql.catalyst.expressions
+            .Literal(_, _))) => None
         case _ => return None
       }
     }
+    if (targets.forall(_.isEmpty)) return None
+    // COUNT(*) needs an exact row total: inline per-file rows, or shard
+    // totals (a summary with files > 0 but rows == 0 can only come from
+    // the unknown-rows fallback — decline)
+    lazy val totalRows: Option[Long] =
+      if (!m.isSharded) {
+        if (m.inlineFiles.forall(m.inlineStats.contains))
+          Some(m.inlineFiles.map(m.inlineStats(_).rows).sum)
+        else None
+      } else if (m.shards.exists(r => r.files > 0 && r.rows == 0)) None
+      else Some(m.shards.map(_.rows).sum)
+    if (targets.exists(_.isEmpty) && totalRows.isEmpty) return None
     if (agg.aggregateExpressions.exists(_.find(e =>
       e.isInstanceOf[PlanExpression[_]]).isDefined)) return None
 
     // sidecar present, carries every target column's sketch
     val ndv = store.readNdvState().getOrElse(return None)
     val sketches: Map[String, org.apache.datasketches.hll.HllSketch] =
-      targets.map(_._1).distinct.map { n =>
+      targets.flatten.map(_._1).distinct.map { n =>
         val b64 = ndv.cols.getOrElse(n, return None)
         n -> org.apache.datasketches.hll.HllSketch.heapify(
           java.util.Base64.getDecoder.decode(b64))
@@ -112,7 +134,7 @@ class NdvServeRule extends Rule[LogicalPlan] {
     // rsd compatibility: the sketch's relative standard error is
     // 1.04 / sqrt(2^lgK) — serve only when the query accepted at least
     // that much error
-    if (targets.exists { case (n, rsd) =>
+    if (targets.flatten.exists { case (n, rsd) =>
       rsd < 1.04 / math.sqrt(math.pow(2, sketches(n).getLgConfigK))
     }) return None
     // coverage: every live non-empty file is marked with the sidecar's
@@ -125,7 +147,10 @@ class NdvServeRule extends Rule[LogicalPlan] {
     val outNames = targets.indices.map(i => s"_g_ndv_$i")
     val outAttrs = outNames.map(n => AttributeReference(n, LongType,
       nullable = false)())
-    val row = InternalRow.fromSeq(targets.map(t => estimates(t._1)))
+    val row = InternalRow.fromSeq(targets.map {
+      case Some((n, _)) => estimates(n)
+      case None => totalRows.get // gated non-empty above
+    })
     val local = LocalRelation(outAttrs, Seq(row))
     // splice with the original output exprIds
     val outCols = agg.aggregateExpressions.map { ne =>
@@ -142,7 +167,7 @@ class NdvServeRule extends Rule[LogicalPlan] {
       t
     }
     logInfo(s"approx_count_distinct served from the NDV sidecar over " +
-      s"${store.root}: ${targets.map(_._1).distinct.mkString(",")}")
+      s"${store.root}: ${targets.flatten.map(_._1).distinct.mkString(",")}")
     Some(org.apache.spark.sql.catalyst.plans.logical.Project(
       agg.output.zip(outCols).map { case (o, n) =>
         Alias(n.asInstanceOf[Expression], o.name)(exprId = o.exprId,

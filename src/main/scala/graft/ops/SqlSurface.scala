@@ -397,6 +397,42 @@ object SqlSurface {
     out
   }
 
+  /** STRING top-k pushdown (`sql_topk_string`, r16): `ORDER BY pk DESC
+    * LIMIT n` over the PK-chunked string-keyed table plans ONLY the files
+    * whose bounds can reach the global top-n — pruning needs no exactness
+    * flag (a truncated bound still encloses, so the threshold walk stays
+    * conservative); the key-ordered preview on the reference's own string
+    * schema opens one chunk instead of the table. */
+  private val sqlTopkString: Q = (s, d) => {
+    val cat = catalogFor(s, d)
+    val wh = warehouseFor(d)
+    val store = new TableStore(s, s"$wh/analytics/kv_str_t")
+    if (store.currentVersion() < 0) {
+      val orders = load(s, d, "orders")
+      def chunk(i: Int) = orders
+        .filter(col("o_orderkey") % 4 === i).selectExpr(
+          "concat(substring('ABCD', cast(o_orderkey % 4 as int) + 1, 1), " +
+            "format_string('%08d', o_orderkey)) AS pk",
+          "concat(o_orderstatus, '#', format_string('%08d', o_orderkey)) " +
+            "AS sk",
+          "o_custkey").coalesce(1)
+      store.commitSnapshot(chunk(0))
+      (1 to 3).foreach(i => store.commitAppend(chunk(i)))
+    }
+    s.catalog.refreshTable(s"$cat.analytics.kv_str_t")
+    val out = s.sql(
+      s"""SELECT pk, sk, o_custkey
+         |FROM $cat.analytics.kv_str_t
+         |ORDER BY pk DESC
+         |LIMIT 10""".stripMargin)
+    val planned = "FileIndex\\((\\d+) paths\\)".r
+      .findFirstMatchIn(out.queryExecution.executedPlan.toString)
+      .map(_.group(1).toInt).getOrElse(-1)
+    require(planned == 1,
+      s"the string top-10 must plan only the tail chunk, planned $planned")
+    out
+  }
+
   /** GROUP BY over a STRING tenant key (`sql_agg_metadata_string_group`,
     * r16): the tenant-chunked ingest layout where the chunk key is a
     * string — each file's tenant bounds collapse to a point (min == max
@@ -2257,6 +2293,7 @@ object SqlSurface {
     "sql_agg_metadata_ndv" -> sqlAggMetadataNdv,
     "sql_agg_metadata_string_sharded" -> sqlAggMetadataStringSharded,
     "sql_agg_metadata_string_group" -> sqlAggMetadataStringGroup,
+    "sql_topk_string" -> sqlTopkString,
     "sql_agg_metadata_sum" -> sqlAggMetadataSum,
     "sql_agg_metadata_sum_sharded" -> sqlAggMetadataSumSharded,
     "sql_agg_metadata_sum_hybrid" -> sqlAggMetadataSumHybrid,
@@ -2657,6 +2694,17 @@ object SqlSurface {
         |      concat(o_orderstatus, '#', printf('%08d', o_orderkey)) AS sk
         |      FROM orders)
         |WHERE pk >= 'C' AND pk < 'D'""".stripMargin,
+
+    "sql_topk_string" ->
+      """SELECT pk, sk, o_custkey
+        |FROM (SELECT concat(substring('ABCD',
+        |        CAST(o_orderkey % 4 AS INT) + 1, 1),
+        |        printf('%08d', o_orderkey)) AS pk,
+        |      concat(o_orderstatus, '#', printf('%08d', o_orderkey)) AS sk,
+        |      o_custkey
+        |      FROM orders)
+        |ORDER BY pk DESC
+        |LIMIT 10""".stripMargin,
 
     "sql_agg_metadata_string_group" ->
       """SELECT tenant, COUNT(*) AS n_rows,

@@ -31,14 +31,32 @@ import org.apache.spark.sql.types._
   * own resolved state (timezones ride `timeZoneId`), never the session. */
 object ExprBounds {
 
+  /** Granularity record for the LOWEST periodic node of a chain:
+    * `proof` = the calendar floor P over the base column (P(min) == P(max)
+    * pins the extraction constant); `child` = the periodic node's input
+    * expression over the base (the domain period starts live in);
+    * `unit`/`tz` step one period forward for the bounded ENUMERATION
+    * proof (a file spanning k ≤ [[ExprBounds.MaxPeriods]] periods has its
+    * extraction values ⊆ {E at each covered period start} — a
+    * month-boundary straddler proves `month(ts) = 5` false when neither
+    * covered month is May). */
+  final case class Gran(proof: Expression, child: Expression,
+      unit: String, tz: Option[String])
+
   /** One classified chain: `base` the single input column, `monotone`
     * whether x ≤ y ⇒ E(x) ≤ E(y) over the whole domain, `gran` the
-    * granularity-proof expression over `base` for the LOWEST periodic
-    * node (absent when the chain is fully monotone or carries an
-    * un-proofable node). A chain with `monotone = false` and no `gran`
-    * still proves on per-file-constant input (min == max). */
+    * granularity record for the LOWEST periodic node (absent when the
+    * chain is fully monotone or carries an un-proofable node). A chain
+    * with `monotone = false` and no `gran` still proves on
+    * per-file-constant input (min == max). */
   final case class Chain(base: AttributeReference, monotone: Boolean,
-      gran: Option[Expression])
+      gran: Option[Gran])
+
+  /** Enumeration cap: a file spanning more covered periods than this
+    * stays conservative (the per-file eval cost is bounded at
+    * 2 × MaxPeriods tiny interpreter calls). 40 covers a month of days
+    * and several years of months/quarters. */
+  val MaxPeriods = 40
 
   private def posLit(x: Expression): Boolean = x match {
     case Literal(v: Byte, _) => v > 0
@@ -85,16 +103,32 @@ object ExprBounds {
       case _ => false
     }
 
+  /** The calendar granularity of a periodic node: (unit, timezone).
+    * Date-read extractions are constant within a DAY of their date input;
+    * time-read ones within their own unit. */
+  private def periodicUnit(x: Expression): Option[(String, Option[String])] =
+    x match {
+      case Quarter(_) => Some(("QUARTER", None))
+      case Month(_) => Some(("MONTH", None))
+      case DayOfMonth(_) | DayOfYear(_) | DayOfWeek(_) | WeekDay(_) =>
+        Some(("DAY", None))
+      case WeekOfYear(_) => Some(("WEEK", None))
+      case h: Hour => Some(("HOUR", h.timeZoneId))
+      case mi: Minute => Some(("MINUTE", mi.timeZoneId))
+      case sec: Second => Some(("SECOND", sec.timeZoneId))
+      case _ => None
+    }
+
   /** Classify `e` as a whitelisted pure unary chain over one column:
     * every node deterministic, NULL-intolerant (E(NULL) = NULL), and
     * evaluable on a literal bound. Base columns are the exactly-ordered
     * stat encodings plus strings (whose only chain is the identity —
     * no whitelisted node takes a string input). */
   def classify(e: Expression): Option[Chain] = {
-    // gran(childExpr): the granularity floor for a periodic node — all
-    // inputs within one period of it share the node's output. Date-read
-    // extractions at DAY granularity are the date itself (identity).
-    def periodic(x: Expression, granOf: Expression => Option[Expression])
+    // a periodic node: all inputs within one `unit` period of its child
+    // domain share the node's output — record the floor P(child) for the
+    // constancy proof and (child, unit, tz) for the period enumeration
+    def periodic(x: Expression, unit: String, tz: Option[String])
         : Option[Chain] =
       x match {
         case u: UnaryExpression => classify(u.child).map { c =>
@@ -103,7 +137,20 @@ object ExprBounds {
             // the LOWEST periodic node's proof wins; a periodic node over
             // an already-periodic child keeps the child's (proving the
             // lowest constant pins everything above)
-            gran = if (c.monotone) granOf(u.child) else c.gran)
+            gran =
+              if (!c.monotone) c.gran
+              else {
+                val proof = u.child.dataType match {
+                  case DateType =>
+                    if (unit == "DAY") u.child
+                    else TruncDate(u.child, Literal(unit))
+                  case TimestampType | TimestampNTZType =>
+                    TruncTimestamp(Literal(unit), u.child, tz)
+                  case _ => return Some(Chain(c.base, monotone = false,
+                    gran = None))
+                }
+                Some(Gran(proof, u.child, unit, tz))
+              })
         }
         case _ => None
       }
@@ -121,24 +168,9 @@ object ExprBounds {
       case IntegralDivide(c, d, _) if posLit(d) => classify(c)
       // periodic (deterministic, NOT monotone): each carries the calendar
       // granularity its value is constant within
-      case Quarter(_) =>
-        periodic(e, ch => Some(TruncDate(ch, Literal("QUARTER"))))
-      case Month(_) =>
-        periodic(e, ch => Some(TruncDate(ch, Literal("MONTH"))))
-      case DayOfMonth(_) | DayOfYear(_) | DayOfWeek(_) | WeekDay(_) =>
-        // date-typed input read at DAY granularity: the date itself
-        periodic(e, ch => Some(ch))
-      case WeekOfYear(_) =>
-        periodic(e, ch => Some(TruncDate(ch, Literal("WEEK"))))
-      case h @ Hour(_, _) =>
-        periodic(e, ch => Some(TruncTimestamp(Literal("HOUR"), ch,
-          h.timeZoneId)))
-      case mi @ Minute(_, _) =>
-        periodic(e, ch => Some(TruncTimestamp(Literal("MINUTE"), ch,
-          mi.timeZoneId)))
-      case sec @ Second(_, _) =>
-        periodic(e, ch => Some(TruncTimestamp(Literal("SECOND"), ch,
-          sec.timeZoneId)))
+      case p if periodicUnit(p).isDefined =>
+        val (unit, tz) = periodicUnit(p).get
+        periodic(p, unit, tz)
       // pmod: constant-input proof only (trunc-toward-zero `div` windows
       // do NOT pin pmod around zero, so no granularity companion)
       case Pmod(c, d, _) if nonZeroLit(d) =>
@@ -159,25 +191,70 @@ object ExprBounds {
 
   // ------------------------------------------------- per-file WHERE proofs
 
-  /** The output-value range [lo, hi] E provably takes on a file with
-    * column bounds [mn, mx] (internal values) and `nulls` nulls out of
-    * `rows`: Some((lo, hi)) when provable — constant-input, monotone
-    * range, or granularity proof — None otherwise. lo == hi for the
-    * constant proofs. */
-  private def outRange(ch: Chain, e: Expression, mn: Any, mx: Any)
-      : Option[(Any, Any)] = {
+  /** What E provably takes on a file with column bounds [mn, mx]:
+    * Left((lo, hi)) an inclusive INTERVAL (constant-input or monotone
+    * proofs; lo == hi for constants), Right(values) an enumerated value
+    * SET (periodic chains over a file spanning ≤ [[MaxPeriods]] covered
+    * periods — the extraction is constant within each period, so its
+    * file-wide values are a subset of {E at each covered period start}),
+    * None when nothing is provable. */
+  private def outDomain(ch: Chain, e: Expression, mn: Any, mx: Any)
+      : Option[Either[(Any, Any), Seq[Any]]] = {
     def ev(v: Any): Option[Any] =
       evalOn(e, ch.base.dataType, v).filter(_ != null)
-    if (mn == mx) ev(mn).map(v => (v, v))
-    else if (ch.monotone)
-      for { lo <- ev(mn); hi <- ev(mx) } yield (lo, hi)
-    else ch.gran match {
-      case Some(p) =>
-        val pl = evalOn(p, ch.base.dataType, mn).filter(_ != null)
-        val ph = evalOn(p, ch.base.dataType, mx).filter(_ != null)
-        if (pl.isDefined && pl == ph) ev(mn).map(v => (v, v)) else None
-      case None => None
+    if (mn == mx) return ev(mn).map(v => scala.Left((v, v)))
+    if (ch.monotone)
+      return (for { lo <- ev(mn); hi <- ev(mx) } yield scala.Left((lo, hi)))
+    val g = ch.gran.getOrElse(return None)
+    val pl = evalOn(g.proof, ch.base.dataType, mn)
+      .filter(_ != null).getOrElse(return None)
+    val ph = evalOn(g.proof, ch.base.dataType, mx)
+      .filter(_ != null).getOrElse(return None)
+    if (pl == ph) return ev(mn).map(v => scala.Left((v, v)))
+    // ENUMERATION: step period starts pl → ph in the periodic node's
+    // child domain, evaluating the chain FROM that node up at each start
+    // (the tail is the original expression with the node's child replaced
+    // by a hole — everything below the node is the all-monotone child
+    // chain the starts already live in)
+    val childDt = g.child.dataType
+    val pNode = e.find {
+      case u: UnaryExpression =>
+        periodicUnit(u).isDefined && u.child.semanticEquals(g.child)
+      case _ => false
+    }.getOrElse(return None)
+    val hole = AttributeReference("_g_hole", childDt)()
+    val eHole = e.transformUp {
+      case n if n eq pNode =>
+        n.asInstanceOf[UnaryExpression].withNewChildren(Seq(hole))
     }
+    def evAt(start: Any): Option[Any] =
+      try Option(eHole.transformUp {
+        case a: AttributeReference if a eq hole => Literal(start, childDt)
+      }.eval(null))
+      catch { case _: Exception => None }
+    def step(cur: Any): Option[Any] = {
+      val l = Literal(cur, childDt)
+      val se = (childDt, g.unit) match {
+        case (DateType, "DAY") => DateAdd(l, Literal(1))
+        case (DateType, "WEEK") => DateAdd(l, Literal(7))
+        case (DateType, "MONTH") => AddMonths(l, Literal(1))
+        case (DateType, "QUARTER") => AddMonths(l, Literal(3))
+        case (TimestampType | TimestampNTZType, u) =>
+          TimestampAdd(u, Literal(1L), l, g.tz)
+        case _ => return None
+      }
+      try Option(se.eval(null)) catch { case _: Exception => None }
+    }
+    val vals = Seq.newBuilder[Any]
+    var cur = pl
+    var steps = 0
+    while (steps <= MaxPeriods) {
+      vals += evAt(cur).getOrElse(return None)
+      if (cur == ph) return Some(scala.Right(vals.result().distinct))
+      cur = step(cur).getOrElse(return None)
+      steps += 1
+    }
+    None // spans more periods than the cap: conservative
   }
 
   /** Normalize a conjunct into (chain expr, op-as-range-test, literal).
@@ -279,9 +356,16 @@ object ExprBounds {
       case _: Exception => None
     }).getOrElse(return Some(!wantMust)) // NULL literal: no row matches
     val ord = ordering(ex.dataType).getOrElse(return Some(!wantMust))
-    outRange(ch, ex, mn, mx) match {
-      case Some((lo, hi)) =>
+    outDomain(ch, ex, mn, mx) match {
+      case Some(scala.Left((lo, hi))) =>
         Some(if (wantMust) mustT(ord, lo, hi, v) else mightT(ord, lo, hi, v))
+      case Some(scala.Right(vals)) =>
+        // enumerated SET: each member is a point; the file's rows take a
+        // SUBSET of these values, so might = any member could match and
+        // must = every member provably matches (over-approximation only
+        // strengthens must and keeps might conservative)
+        Some(if (wantMust) vals.forall(s => mustT(ord, s, s, v))
+             else vals.exists(s => mightT(ord, s, s, v)))
       case None => Some(!wantMust) // unprovable: might yes, must no
     }
   }

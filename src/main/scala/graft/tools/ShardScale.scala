@@ -174,6 +174,100 @@ object ShardScale {
       require(planned >= 0 && planned <= 5,
         s"the day predicate must prune to the day's files, got $planned")
     }
+
+    // ---- r16: periodic WHERE proofs at the sharded tier ------------------
+    // `WHERE month(ts) = 3` over the same 1,500 day-files: every file
+    // inside one calendar month proves month() constant (granularity
+    // proof), so only the ~8 month-boundary straddlers of the 4 Marches
+    // scan — O(boundaries), not O(corpus)
+    timed("WHERE month(ts) = 3 count (periodic granularity proof)") {
+      val df = spark.sql(s"SELECT COUNT(*) AS n, SUM(v) AS sv FROM $tsTbl " +
+        "WHERE month(ts) = 3")
+      require(graft.catalog.HybridMetaAgg.served(df),
+        "the periodic-WHERE count must metadata-serve")
+      val scanned = df.inputFiles.length
+      println(s"[scale] month(ts)=3 COUNT: n=${df.head().getLong(0)} " +
+        s"scanned=$scanned of ${tm.nFiles} (month-boundary straddlers)")
+      require(scanned < 40,
+        s"only month-boundary straddlers may scan, got $scanned")
+    }
+    timed("WHERE month(ts) = 3 count, repeat (memoized verdicts)") {
+      val df = spark.sql(s"SELECT COUNT(*) AS n, SUM(v) AS sv FROM $tsTbl " +
+        "WHERE month(ts) = 3")
+      require(df.head().getLong(0) == 49600L)
+    }
+    timed("GROUP BY month(ts) dashboard (periodic group keys)") {
+      val df = spark.sql(s"SELECT month(ts) AS mo, COUNT(*) AS n " +
+        s"FROM $tsTbl GROUP BY month(ts) ORDER BY mo")
+      require(graft.catalog.HybridMetaAgg.served(df),
+        "GROUP BY month() must metadata-serve")
+      val scanned = df.inputFiles.length
+      require(df.count() == 12L)
+      println(s"[scale] GROUP BY month: 12 groups, $scanned of " +
+        s"${tm.nFiles} files scanned")
+      require(scanned < 120,
+        s"only month-boundary straddlers may scan, got $scanned")
+    }
+    // r16: approx_count_distinct from the NDV sidecar at this tier — the
+    // coverage check is one distributed sweep, the serve zero data files
+    timed("approx_count_distinct (NDV sidecar, sharded coverage sweep)") {
+      val df = spark.sql(s"SELECT approx_count_distinct(v) AS ndv " +
+        s"FROM $tsTbl")
+      require(graft.catalog.NdvServe.served(df),
+        "the cardinality dashboard must serve from the sidecar")
+      val ndv = df.head().getLong(0)
+      println(s"[scale] NDV serve: $ndv (exact: 97), zero data files")
+      require(ndv == 97L, s"set-mode sketch must be exact here, got $ndv")
+    }
+
+    // ---- r16: STRING-PK serving at the sharded tier ----------------------
+    // 1,500 PK-range-chunked string-keyed files (the reference's PK/SK: S
+    // schema at ingest scale): a chunk-aligned key-range dashboard —
+    // COUNT + MIN/MAX of the keys — answers from the one distributed
+    // decidability sweep with ZERO data files
+    val pkRoot = graft.util.Scratch.dir("shard_scale_pk")
+    val pkStore = new TableStore(spark, pkRoot)
+    timed(s"string-PK commit ($nFiles range files)") {
+      val rows = spark.range(0, nFiles.toLong * 400)
+        .select(format_string("PK%09d", $"id").as("pk"),
+          concat(lit("SK#"), format_string("%09d", $"id")).as("sk"),
+          ($"id" % 97).as("v"))
+        .repartitionByRange(nFiles, $"pk")
+      pkStore.commitSnapshot(rows)
+    }
+    val pm = pkStore.manifest(pkStore.currentVersion())
+    println(s"[scale] pk table: files=${pm.nFiles} sharded=${pm.isSharded}")
+    val pkTbl = s"scale_cat.`${new java.io.File(pkRoot).getName}`"
+    spark.catalog.refreshTable(pkTbl)
+    timed("string PK-range COUNT + MIN/MAX (hybrid: straddlers only)") {
+      // repartitionByRange samples its split points, so the literals
+      // straddle O(1) boundary chunks — the hybrid serve answers every
+      // interior chunk from its exact-flagged string bounds and scans
+      // only the straddlers
+      val df = spark.sql(s"SELECT COUNT(*) AS n, MIN(pk) AS mn, " +
+        s"MAX(sk) AS mx FROM $pkTbl " +
+        "WHERE pk >= 'PK000100000' AND pk < 'PK000200000'")
+      require(graft.catalog.HybridMetaAgg.served(df),
+        "the string key-range dashboard must metadata-serve")
+      val scanned = df.inputFiles.length
+      val r = df.head()
+      println(s"[scale] string PK-range serve: n=${r.getLong(0)} " +
+        s"min=${r.getString(1)} max=${r.getString(2)}, " +
+        s"scanned=$scanned of ${pm.nFiles} (boundary straddlers)")
+      require(r.getLong(0) == 100000L)
+      require(scanned <= 4,
+        s"only PK-boundary straddlers may scan, got $scanned")
+    }
+    timed("string top-k preview (ORDER BY pk LIMIT 10)") {
+      val df = spark.sql(s"SELECT pk, v FROM $pkTbl ORDER BY pk LIMIT 10")
+      require(df.count() == 10)
+      val planned = "FileIndex\\((\\d+) paths\\)".r
+        .findFirstMatchIn(df.queryExecution.executedPlan.toString)
+        .map(_.group(1).toLong).getOrElse(-1L)
+      println(s"[scale] string top-10: planned=$planned of ${pm.nFiles}")
+      require(planned >= 0 && planned <= 3,
+        s"the string top-k walk must plan the head chunk(s), got $planned")
+    }
     spark.stop()
   }
 }

@@ -50,11 +50,20 @@ class NdvServeSpec extends SparkSuite {
     val tight = spark.sql("SELECT approx_count_distinct(m37, 0.005) AS a " +
       "FROM ndv_cat.analytics.ndvt")
     assert(!NdvServe.served(tight), "tighter-rsd NDV must scan")
-    // a mixed aggregate list declines (COUNT(*) belongs elsewhere)
+    // the MIXED cardinality dashboard serves too (r16): COUNT(*) joins
+    // from exact manifest row totals, zero scan
     val mixed = spark.sql("SELECT approx_count_distinct(m37) AS a, " +
       "COUNT(*) AS n FROM ndv_cat.analytics.ndvt")
-    assert(!NdvServe.served(mixed))
+    assert(NdvServe.served(mixed),
+      s"mixed NDV + COUNT(*) must serve:\n${mixed.queryExecution.optimizedPlan}")
+    assert(!mixed.queryExecution.executedPlan.toString.contains("Parquet"))
     assert(mixed.head() == org.apache.spark.sql.Row(37L, 400L))
+    // a COUNT(col) in the list still declines (per-column null totals
+    // belong to pushAggregation)
+    val cnt = spark.sql("SELECT approx_count_distinct(m37) AS a, " +
+      "COUNT(tag) AS n FROM ndv_cat.analytics.ndvt")
+    assert(!NdvServe.served(cnt))
+    assert(cnt.head() == org.apache.spark.sql.Row(37L, 320L))
     // stale: an append the sidecar never saw declines; re-analyze serves
     store.commitAppend(Seq((9999L, 999, Some("zZ"))).toDF("k", "m37", "tag")
       .coalesce(1))

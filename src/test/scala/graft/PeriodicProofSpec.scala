@@ -134,6 +134,40 @@ class PeriodicProofSpec extends SparkSuite {
       Seq((1, 31L), (2, 28L), (3, 31L), (4, 30L)))
   }
 
+  test("period ENUMERATION prunes boundary straddlers whose covered " +
+      "months provably exclude the literal (r16): only the two chunks " +
+      "touching February scan") {
+    val st = new TableStore(spark, s"$warehouse/analytics/perb")
+    if (st.currentVersion() < 0) {
+      val base = (0 until 120).map(k =>
+        (k.toLong, if (k % 11 == 0) None else Some(k.toLong * 3)))
+        .toDF("k", "v").withColumn("ts",
+          date_add(lit("2021-01-01").cast("date"), col("k").cast("int"))
+            .cast("timestamp"))
+      // chunks: {Jan}, {Jan,Feb}, {Feb}, {Feb,Mar}, {Mar,Apr}, {Apr} —
+      // one all-Feb chunk serves from stats, the two Feb-touching
+      // straddlers scan, and the {Mar,Apr} straddler is the enumeration's
+      // case: its gran proof fails (two periods) but neither covered
+      // month is 2, so it PRUNES where r16-pre-enumeration scanned it
+      val cuts = Seq(0, 25, 40, 50, 70, 100, 120)
+      st.commitSnapshot(base.filter(col("k") < cuts(1)).coalesce(1))
+      (1 until 6).foreach(i => st.commitAppend(base.filter(
+        col("k") >= cuts(i) && col("k") < cuts(i + 1)).coalesce(1)))
+      st.analyze()
+    }
+    spark.catalog.refreshTable("per_cat.analytics.perb")
+    val df = parity("SELECT COUNT(*) AS n, SUM(v) AS sv " +
+      "FROM per_cat.analytics.perb WHERE month(ts) = 2")
+    assert(graft.catalog.HybridMetaAgg.served(df),
+      s"boundary-straddled periodic WHERE must hybrid-serve:\n" +
+        s"${df.queryExecution.optimizedPlan}")
+    assert(df.head().getLong(0) == 28L)
+    assert(df.inputFiles.length == 2,
+      s"the {Mar,Apr} and {Apr} chunks prove month != 2 by enumeration — " +
+        s"only the two Feb-touching chunks may scan, " +
+        s"got ${df.inputFiles.length}")
+  }
+
   test("an unchunked layout straddles everywhere: proofs decline, the " +
       "ordinary scan stays, results exact") {
     val st = new TableStore(spark, s"$warehouse/analytics/perx")
