@@ -1836,11 +1836,16 @@ private[catalog] final class StatsPruningScanBuilder(name: String,
       val (nulls, mn, mx): (Option[Long], Option[Any], Option[Any]) =
         if (m.isSharded) {
           val cs = shardedSummary.get(f.name)
+          // string bounds stay out of the CBO feed (Spark's own ANALYZE
+          // stores no string min/max and the estimator never prices on
+          // them) even now that the sweep can return them (r16)
+          val mmOk = f.dataType !=
+            org.apache.spark.sql.types.StringType
           (cs.flatMap(_.nullCount),
-            cs.flatMap(_.min).map(
-              graft.store.FileStats.parseBound(_, f.dataType)),
-            cs.flatMap(_.max).map(
-              graft.store.FileStats.parseBound(_, f.dataType)))
+            if (mmOk) cs.flatMap(_.min).map(
+              graft.store.FileStats.parseBound(_, f.dataType)) else None,
+            if (mmOk) cs.flatMap(_.max).map(
+              graft.store.FileStats.parseBound(_, f.dataType)) else None)
         } else if (!haveAllStats) (None, None, None)
         else {
           val cs = perFile.map(s => (s.rows, s.cols.get(f.name)))

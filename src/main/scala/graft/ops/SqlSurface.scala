@@ -588,7 +588,9 @@ object SqlSurface {
     * recomputes every cell with plain aggregates (COUNT(DISTINCT),
     * MIN/MAX/SUM cast to VARCHAR). The string column proves the refusal
     * semantics: truncatable bounds and FP/string sums never serve, so
-    * min/max/sum read NULL while null_count and NDV stay live. */
+    * sum reads NULL while null_count and NDV stay live; since r16 the
+    * string MIN/MAX serve (every file engine-written with exact-flagged
+    * bounds), leaving only the sum refusal. */
   private val sqlColumnStats: Q = (s, d) => {
     val cat = catalogFor(s, d)
     val wh = warehouseFor(d)
@@ -2766,7 +2768,8 @@ object SqlSurface {
         |    CAST(CAST(SUM(seg) AS BIGINT) AS VARCHAR),
         |    CAST(COUNT(DISTINCT seg) AS BIGINT) FROM base
         |  UNION ALL
-        |  SELECT 'status', CAST(0 AS BIGINT), NULL, NULL, NULL,
+        |  SELECT 'status', CAST(0 AS BIGINT), MIN(status), MAX(status),
+        |    NULL,
         |    CAST(COUNT(DISTINCT status) AS BIGINT) FROM base)
         |ORDER BY col_name ASC NULLS FIRST""".stripMargin,
 

@@ -2804,6 +2804,10 @@ class TableStore(val spark: SparkSession, val root: String,
     val live = m.schema.fields.toSeq
       .filterNot(f => m.droppedCols.contains(f.name))
     val names = live.map(_.name)
+    // strings join min/max (r16) when EVERY contributing file's bound is
+    // exact-flagged (attained, not writer-truncated) — the same gate the
+    // metadata MIN/MAX serves use; a single inexact bound voids the column
+    val isStr = live.map(_.dataType == org.apache.spark.sql.types.StringType)
     val exactMm = live.map(f => FileStats.minMaxExact(f.dataType))
     val exactSum = live.map(f => FileStats.sumExact(f.dataType))
     val marker = TableStore.NdvMarker
@@ -2821,7 +2825,12 @@ class TableStore(val spark: SparkSession, val root: String,
       val sums = Array.fill[BigDecimal](n)(null)
       val anyVal = Array.fill(n)(false)
       var marked = 0L
-      def lt(a: String, b: String) = BigDecimal(a) < BigDecimal(b)
+      def lt(i: Int, a: String, b: String): Boolean =
+        if (isStr(i))
+          org.apache.spark.unsafe.types.UTF8String.fromString(a)
+            .compareTo(
+              org.apache.spark.unsafe.types.UTF8String.fromString(b)) < 0
+        else BigDecimal(a) < BigDecimal(b)
       it.foreach { fm =>
         val cs = FileStats.colsFromJson(fm.stats)
         if (cs.get(marker).exists(_.nulls == gen)) marked += 1
@@ -2831,18 +2840,19 @@ class TableStore(val spark: SparkSession, val root: String,
             case Some(c) =>
               nulls(i) += c.nulls
               val allNull = c.nulls == fm.rows
-              if (exactMm(i)) {
+              if (exactMm(i) || isStr(i)) {
+                val strOk = !isStr(i) || c.exact
                 c.min match {
-                  case Some(v) =>
+                  case Some(v) if strOk =>
                     anyVal(i) = true
-                    if (mins(i) == null || lt(v, mins(i))) mins(i) = v
-                  case None => if (!allNull) minOk(i) = false
+                    if (mins(i) == null || lt(i, v, mins(i))) mins(i) = v
+                  case _ => if (!allNull) minOk(i) = false
                 }
                 c.max match {
-                  case Some(v) =>
+                  case Some(v) if strOk =>
                     anyVal(i) = true
-                    if (maxs(i) == null || lt(maxs(i), v)) maxs(i) = v
-                  case None => if (!allNull) maxOk(i) = false
+                    if (maxs(i) == null || lt(i, maxs(i), v)) maxs(i) = v
+                  case _ => if (!allNull) maxOk(i) = false
                 }
               }
               if (exactSum(i)) c.sum match {
@@ -2866,16 +2876,24 @@ class TableStore(val spark: SparkSession, val root: String,
     val marked = partials.map(_._10).sum
     val out = names.zipWithIndex.map { case (nm, i) =>
       val statOk = partials.forall(_._1(i))
-      val minOk = exactMm(i) && statOk && partials.forall(_._3(i))
-      val maxOk = exactMm(i) && statOk && partials.forall(_._5(i))
+      val minOk = (exactMm(i) || isStr(i)) && statOk &&
+        partials.forall(_._3(i))
+      val maxOk = (exactMm(i) || isStr(i)) && statOk &&
+        partials.forall(_._5(i))
       val sumOk = exactSum(i) && statOk && partials.forall(_._7(i))
       val mins = partials.flatMap(_._4(i))
       val maxs = partials.flatMap(_._6(i))
       val sums = partials.flatMap(_._8(i)).map(BigDecimal(_))
+      def bOrd: Ordering[String] =
+        if (isStr(i)) new Ordering[String] {
+          def compare(a: String, b: String): Int =
+            org.apache.spark.unsafe.types.UTF8String.fromString(a)
+              .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+        } else Ordering.by(BigDecimal(_))
       nm -> TableStore.ColSummary(
         if (statOk) Some(partials.map(_._2(i)).sum) else None,
-        if (minOk && mins.nonEmpty) Some(mins.minBy(BigDecimal(_))) else None,
-        if (maxOk && maxs.nonEmpty) Some(maxs.maxBy(BigDecimal(_))) else None,
+        if (minOk && mins.nonEmpty) Some(mins.min(bOrd)) else None,
+        if (maxOk && maxs.nonEmpty) Some(maxs.max(bOrd)) else None,
         if (sumOk && sums.nonEmpty)
           Some(sums.foldLeft(BigDecimal(0))(_ + _).toString) else None)
     }.toMap
