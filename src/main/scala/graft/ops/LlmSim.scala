@@ -298,6 +298,12 @@ object LlmSim {
     * top-k is a rank window whose partial `WindowGroupLimit` runs before the
     * exchange — each map task forwards at most k rows per query.
     *
+    * This is the EXHAUSTIVE (exact) shape: every query still scores the
+    * whole corpus. A large batch against a 100 TB corpus should probe the
+    * persisted index instead — [[graft.store.AnnIndex.topkBatch]] (r16)
+    * reads only the batch's probed cells' buckets, O(batch × nProbe ×
+    * corpus/cells), with the same per-query output shape.
+    *
     * Reducer skew guard (VERDICT r5 #8): a single per-`q_id` window funnels
     * each query through ONE reducer, and at 100 TB the partial group limit
     * still leaves k × nMapTasks rows per query on that reducer. With
