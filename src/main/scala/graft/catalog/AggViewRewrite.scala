@@ -690,5 +690,9 @@ object AggViewRewrite {
         .exists(_.isInstanceOf[NdvServeRule]))
       spark.experimental.extraOptimizations =
         spark.experimental.extraOptimizations :+ new NdvServeRule
+    if (!spark.experimental.extraOptimizations
+        .exists(_.isInstanceOf[TopKMetaPruneRule]))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ new TopKMetaPruneRule
   }
 }

@@ -1415,82 +1415,28 @@ private[catalog] final class StatsPruningScanBuilder(name: String,
     val exactCap = store.spark.conf
       .getOption("spark.graft.exact.maxFiles").map(_.toLong)
       .getOrElse(200000L)
-    // key ordering oriented so SMALLER = closer to the top whatever the
-    // direction: numerics through BigDecimal, strings bytewise
-    val ord: Ordering[Any] = {
-      val base: Ordering[Any] = dt match {
-        case org.apache.spark.sql.types.StringType => new Ordering[Any] {
-          def compare(a: Any, b: Any): Int =
-            a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-              .compareTo(
-                b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
-        }
-        case _ => Ordering.by((v: Any) => v.asInstanceOf[BigDecimal])
-      }
-      if (desc) base.reverse else base
-    }
-    // (path, rows, nulls, bestKey, worstKey): undefined = unusable
-    // bounds, file always kept and contributing no guarantee
-    final case class FB(path: String, rows: Long, nulls: Long,
-      best: Option[Any], worst: Option[Any],
-      allNull: Boolean)
-    def fb(path: String, rows: Long,
-        cs: Option[graft.store.FileStats.ColStat]): FB = cs match {
-      case Some(c) =>
-        def key(s: String): Any = dt match {
-          case org.apache.spark.sql.types.StringType =>
-            graft.store.FileStats.parseBound(s, dt) // UTF8String
-          case _ => BigDecimal(
-            graft.store.FileStats.parseBound(s, dt).toString)
-        }
-        (c.min.map(key), c.max.map(key)) match {
-          case (Some(a), Some(b)) =>
-            FB(path, rows, c.nulls, Some(ord.min(a, b)), Some(ord.max(a, b)),
-              allNull = false)
-          case _ => FB(path, rows, c.nulls, None, None,
-            allNull = c.nulls == rows && rows > 0)
-        }
-      case None => FB(path, rows, 0L, None, None, allNull = false)
-    }
-    val fbs: Seq[FB] =
+    val entries: Seq[(String, Long, Option[graft.store.FileStats.ColStat])] =
       if (!m.isSharded) {
         val candidates = exactFiles.getOrElse(m.inlineFiles)
         if (!candidates.forall(m.inlineStats.contains)) return false
         candidates.map { f =>
           val st = m.usableStat(m.inlineStats(f))
-          fb(f, st.rows, st.cols.get(colName))
+          (f, st.rows, st.cols.get(colName))
         }
       } else exactMeta match {
         case Some(metas) => // exact-filtered: verdicts already driver-held
-          metas.map { case (p, r, cols) => fb(p, r, cols.get(colName)) }
+          metas.map { case (p, r, cols) => (p, r, cols.get(colName)) }
         case None =>
           if (m.nFiles > exactCap) return false
           val (all, unknown) = store.hybridMatchMeta(m, Nil)
-          all.map { case (p, r, cols) => fb(p, r, cols.get(colName)) } ++
-            unknown.map(p => FB(p, 0L, 0L, None, None, allNull = false))
+          all.map { case (p, r, cols) => (p, r, cols.get(colName)) } ++
+            unknown.map(p => (p, 0L,
+              None: Option[graft.store.FileStats.ColStat]))
       }
-    // rows guaranteed at-or-above the top: nulls (when they sort first,
-    // from any kept file) plus non-null rows of files wholly ≤ t
-    val nullGuarantee = if (nullsTop) fbs.map(_.nulls).sum else 0L
-    var acc = nullGuarantee
-    var t: Option[Any] = None
-    if (acc < limit) {
-      val it = fbs.filter(_.worst.isDefined).sortBy(_.worst.get)(ord).iterator
-      while (t.isEmpty && it.hasNext) {
-        val f = it.next()
-        acc += f.rows - f.nulls
-        if (acc >= limit) t = Some(f.worst.get)
-      }
-      if (t.isEmpty) return false // table can't guarantee n rows: no win
+    TopKFileWalk.keep(entries, dt, desc, nullsTop, limit) match {
+      case Some(kept) => limitFiles = Some(kept); true
+      case None => false
     }
-    val kept = fbs.filter(f =>
-      (nullsTop && f.nulls > 0) ||
-      // a provably ALL-NULL file matters only when nulls sort first
-      (f.best.isEmpty && !(f.allNull && !nullsTop)) ||
-      f.best.exists(b => t.exists(ord.lteq(b, _)))).map(_.path)
-    if (kept.size >= fbs.size) return false // nothing pruned
-    limitFiles = Some(kept)
-    true
   }
 
   /** Requested schema WITH `_g_file`/`_g_pos` present — set when the query
@@ -1765,6 +1711,21 @@ private[catalog] final class StatsPruningScanBuilder(name: String,
     wrapKeyGrouped(sb.build())
   }
 
+  /** File-list-targeted re-plan — the top-k × decidable-WHERE
+    * composition's rebuild route ([[RuntimePrunableScan.pruneToFiles]]):
+    * the caller proved every row of `files` matches the plan's residual
+    * Filter, so NO predicates are re-applied to the parquet scan (the
+    * exact-pushdown contract); column pruning and the key-grouped wrap
+    * survive the swap like every other re-plan. */
+  private def replanFiles(files: Seq[String])
+      : org.apache.spark.sql.connector.read.Scan = {
+    val sb = innerBuilder(files, None)
+    pendingPrune.foreach(s => sb
+      .asInstanceOf[org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns]
+      .pruneColumns(s))
+    wrapKeyGrouped(sb.build())
+  }
+
   /** The rewrite rules (agg/join view, vector top-k) must see an
     * exact-pushed scan as FILTERED even though no Filter node survives —
     * registering the final scan object is what makes that visible.
@@ -1957,16 +1918,17 @@ private[catalog] final class StatsPruningScanBuilder(name: String,
           new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
             Array(org.apache.spark.sql.connector.expressions.Expressions
               .bucket(m.numBuckets, m.bucketKeys: _*)), m.numBuckets),
-          colStats)
+          colStats, Some(replanFiles))
       else new RuntimePrunableScan(m.bucketKeys, m.schema, replanWith, scan,
-        colStats)
+        colStats, Some(replanFiles))
     } else
       // always wrapped (r15): the wrapper is a pure delegate when no
       // runtime filtering applies, and it carries BOTH the CBO column
       // stats (cboOn) and the monotone-range rewrite's optimizer-time
       // re-prune hook — an unbucketed layout under a truncation
       // predicate still plans only the admissible files
-      new RuntimePrunableScan(Nil, m.schema, replanWith, scan, colStats))
+      new RuntimePrunableScan(Nil, m.schema, replanWith, scan, colStats,
+        Some(replanFiles)))
   }
 }
 

@@ -38,7 +38,8 @@ class RuntimePrunableScan(attrs: Seq[String], schema: StructType,
     @volatile private var delegate: Scan,
     colStatsProvider: () => java.util.Map[NamedReference,
       org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
-      () => java.util.Collections.emptyMap()) extends Scan
+      () => java.util.Collections.emptyMap(),
+    rebuildFiles: Option[Seq[String] => Scan] = None) extends Scan
     with SupportsRuntimeFiltering with SupportsReportStatistics {
 
   /** Delegate size/row estimates, DECORATED with per-column statistics
@@ -109,6 +110,18 @@ class RuntimePrunableScan(attrs: Seq[String], schema: StructType,
     * checked row-exact above). */
   private[catalog] def pruneWith(exprs: Seq[Expression]): Unit =
     if (exprs.nonEmpty) delegate = rebuild(exprs)
+
+  /** Optimizer-time re-plan to an EXPLICIT file list — the top-k ×
+    * decidable-WHERE composition's hook (r17): the caller has proven
+    * every row of `files` matches the plan's Filter (and that the top-n
+    * rows live inside them), so the rebuilt scan carries no pushed
+    * predicates at all. Returns false when this scan has no file-list
+    * rebuild route (the caller then leaves the plan untouched). */
+  private[catalog] def pruneToFiles(files: Seq[String]): Boolean =
+    rebuildFiles match {
+      case Some(rb) => delegate = rb(files); true
+      case None => false
+    }
 }
 
 /** [[RuntimePrunableScan]] for scans that also report their key-grouped
@@ -122,9 +135,10 @@ final class KeyedRuntimePrunableScan(attrs: Seq[String], schema: StructType,
     partitioning: Partitioning,
     colStatsProvider: () => java.util.Map[NamedReference,
       org.apache.spark.sql.connector.read.colstats.ColumnStatistics] =
-      () => java.util.Collections.emptyMap())
+      () => java.util.Collections.emptyMap(),
+    rebuildFiles: Option[Seq[String] => Scan] = None)
     extends RuntimePrunableScan(attrs, schema, rebuild, initial,
-      colStatsProvider)
+      colStatsProvider, rebuildFiles)
     with SupportsReportPartitioning {
   override def outputPartitioning(): Partitioning = partitioning
 }

@@ -291,6 +291,51 @@ object LlmSim {
     out
   }
 
+  /** FILTERED + adaptively-widened batch ANN
+    * (`sim_search_ann_batch_filtered`, r17, VERDICT r16 next #1):
+    * [[simSearchAnnBatch]]'s fixture under the common `WHERE <key pred>
+    * ORDER BY cos LIMIT k` batch shape — the key predicate keeps only the
+    * planted clones, applied EXACTLY to the probed cells' index rows
+    * before the per-query rank, and `widenToFill` guarantees k rows per
+    * query even where the filter empties a probed cell (the under-fill
+    * trap the single-query path closed in r15). Each query's filtered
+    * top-4 is its own four bit-identically-normalized clones (cosine
+    * exactly 1.0, living in the query's first-probed cell), so the serve
+    * is exact and DuckDB brute force over the planted subset recomputes
+    * it. The k-fill is require()d for all 100 queries. */
+  private val simSearchAnnBatchFiltered: Q = (s, d) => {
+    val base = load(s, d, "embeddings").select(col("vec_id"), col("embedding"))
+    val planted = base.filter(col("vec_id") < 8)
+      .select(col("vec_id"), explode(sequence(lit(1), lit(4))).as("j"),
+        col("embedding"))
+      .select((lit(10000000L) + col("vec_id") * 100 + col("j")).as("vec_id"),
+        transform(col("embedding"),
+          x => x * pow(lit(2.0), col("j")).cast("float")).as("embedding"))
+    val store = new graft.store.TableStore(s,
+      graft.util.Scratch.dir("ann_batch_f"))
+    store.commitBucketed(base.unionByName(planted), Seq("vec_id"), 16)
+    graft.store.AnnIndex.create(store, "ann", "embedding",
+      clusters = 64, iters = 4)
+    val queries = base.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("bv"), col("embedding"))
+      .crossJoin(s.range(0, 100).select(col("id").as("q_id")))
+      .filter(col("bv") === col("q_id") % 8)
+      .select(col("q_id"), col("embedding").as("qv"))
+    val out = graft.store.AnnIndex.topkBatch(store, "ann", queries,
+      "q_id", "qv", k = 4, nProbe = 2,
+      keyFilter = Some(col("vec_id") >= 10000000L), widenToFill = true)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("cos_sim"))
+    // k-FILL contract: every one of the 100 queries returns exactly k
+    // rows under the filter (an under-filled result is the trap)
+    val counts = out.groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n")).collect()
+    require(counts.length == 100 && counts.forall(_.getLong(1) == 4L),
+      s"filtered batch must fill k=4 for all 100 queries, got " +
+        s"${counts.length} queries, min fill " +
+        s"${if (counts.isEmpty) 0 else counts.map(_.getLong(1)).min}")
+    out
+  }
+
   /** Batch top-k (SURVEY §2.J extension `sim_search_batch`): k nearest
     * corpus vectors for EACH of a set of query vectors — the realistic ANN
     * serving shape. The query set broadcasts (small side), scoring is one
@@ -487,6 +532,7 @@ object LlmSim {
     "sim_search_ann_recall" -> simSearchAnnRecall,
     "sim_search_batch" -> simSearchBatch,
     "sim_search_ann_batch" -> simSearchAnnBatch,
+    "sim_search_ann_batch_filtered" -> simSearchAnnBatchFiltered,
     "multimodal_schema" -> multimodalSchema,
     "multimodal_decode" -> multimodalDecode,
     "multimodal_resize" -> multimodalResize,
@@ -547,6 +593,32 @@ object LlmSim {
         |      ORDER BY cos_sim DESC NULLS LAST, vec_id ASC) AS INT) AS rank
         |  FROM scored)
         |SELECT q_id, rank, vec_id, cos_sim FROM ranked WHERE rank <= 5
+        |ORDER BY q_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin,
+
+    "sim_search_ann_batch_filtered" ->
+      """WITH qs AS (
+        |  SELECT t.g AS q_id, CAST(e.embedding AS DOUBLE[]) AS qv
+        |  FROM generate_series(0, 99) t(g)
+        |  JOIN embeddings e ON e.vec_id = t.g % 8),
+        |planted AS (
+        |  SELECT 10000000 + e.vec_id * 100 + j AS vec_id,
+        |         LIST_TRANSFORM(e.embedding,
+        |           x -> x * CAST(POWER(2, j) AS FLOAT)) AS embedding
+        |  FROM embeddings e, generate_series(1, 4) t(j)
+        |  WHERE e.vec_id < 8),
+        |scored AS (
+        |  SELECT qs.q_id, c.vec_id,
+        |    ROUND(LIST_DOT_PRODUCT(CAST(c.embedding AS DOUBLE[]), qs.qv) /
+        |      (SQRT(LIST_DOT_PRODUCT(CAST(c.embedding AS DOUBLE[]),
+        |                             CAST(c.embedding AS DOUBLE[]))) *
+        |       SQRT(LIST_DOT_PRODUCT(qs.qv, qs.qv))), 6) AS cos_sim
+        |  FROM planted c, qs),
+        |ranked AS (
+        |  SELECT q_id, vec_id, cos_sim,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY cos_sim DESC NULLS LAST, vec_id ASC) AS INT) AS rank
+        |  FROM scored)
+        |SELECT q_id, rank, vec_id, cos_sim FROM ranked WHERE rank <= 4
         |ORDER BY q_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin,
 
     "sim_search_ann_recall" ->

@@ -231,10 +231,9 @@ object SqlSurface {
          |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key,
          |  MIN(o_orderdate) AS min_date, MAX(o_orderdate) AS max_date
          |FROM $cat.analytics.orders_agg""".stripMargin)
-    val plan = out.queryExecution.executedPlan.toString
-    require(plan.contains("graft-manifest-agg") || plan.contains("LocalTableScan"),
-      s"aggregate not served from the manifest:\n$plan")
-    require(!plan.contains("Parquet"), "manifest aggregate must not scan files")
+    require(graft.util.PlanScans.metadataOnly(out),
+      s"aggregate not served from the manifest (zero-scan contract):\n" +
+        s"${out.queryExecution.executedPlan}")
     out
   }
 
@@ -267,11 +266,9 @@ object SqlSurface {
       s"""SELECT COUNT(*) AS n_rows, COUNT(o_custkey) AS n_cust,
          |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
          |FROM $cat.analytics.orders_agg_w WHERE seg = 2""".stripMargin)
-    val plan = out.queryExecution.executedPlan.toString
-    require(plan.contains("graft-manifest-agg") || plan.contains("LocalTableScan"),
-      s"filtered aggregate not served from the manifest:\n$plan")
-    require(!plan.contains("Parquet"),
-      "filtered manifest aggregate must not scan files")
+    require(graft.util.PlanScans.metadataOnly(out),
+      s"filtered aggregate not served from the manifest:\n" +
+        s"${out.queryExecution.executedPlan}")
     out
   }
 
@@ -305,11 +302,9 @@ object SqlSurface {
       s"""SELECT COUNT(*) AS n_rows, COUNT(o_custkey) AS n_cust,
          |  MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
          |FROM $cat.analytics.orders_agg_ws WHERE seg = 1""".stripMargin)
-    val plan = out.queryExecution.executedPlan.toString
-    require(plan.contains("graft-manifest-agg") || plan.contains("LocalTableScan"),
-      s"sharded filtered aggregate not served from metadata:\n$plan")
-    require(!plan.contains("Parquet"),
-      "sharded filtered manifest aggregate must not scan files")
+    require(graft.util.PlanScans.metadataOnly(out),
+      s"sharded filtered aggregate not served from metadata:\n" +
+        s"${out.queryExecution.executedPlan}")
     out
   }
 
@@ -349,11 +344,9 @@ object SqlSurface {
          |  MIN(sk) AS min_sk, MAX(sk) AS max_sk
          |FROM $cat.analytics.kv_str
          |WHERE pk >= 'B' AND pk < 'C'""".stripMargin)
-    val plan = out.queryExecution.executedPlan.toString
-    require(plan.contains("graft-manifest-agg") || plan.contains("LocalTableScan"),
-      s"string-keyed aggregate not served from the manifest:\n$plan")
-    require(!plan.contains("Parquet"),
-      "string-keyed metadata aggregate must not scan files")
+    require(graft.util.PlanScans.metadataOnly(out),
+      s"string-keyed aggregate not served from the manifest:\n" +
+        s"${out.queryExecution.executedPlan}")
     out
   }
 
@@ -389,11 +382,9 @@ object SqlSurface {
          |  MIN(sk) AS min_sk, MAX(sk) AS max_sk
          |FROM $cat.analytics.kv_str_s
          |WHERE pk >= 'C' AND pk < 'D'""".stripMargin)
-    val plan = out.queryExecution.executedPlan.toString
-    require(plan.contains("graft-manifest-agg") || plan.contains("LocalTableScan"),
-      s"sharded string-keyed aggregate not served from metadata:\n$plan")
-    require(!plan.contains("Parquet"),
-      "sharded string-keyed metadata aggregate must not scan files")
+    require(graft.util.PlanScans.metadataOnly(out),
+      s"sharded string-keyed aggregate not served from metadata:\n" +
+        s"${out.queryExecution.executedPlan}")
     out
   }
 
@@ -498,10 +489,9 @@ object SqlSurface {
       s"""SELECT COUNT(*) AS n_rows, SUM(cust_n) AS sum_cust,
          |  CAST(SUM(price) AS DOUBLE) AS sum_price
          |FROM $cat.analytics.orders_sum""".stripMargin)
-    val plan = out.queryExecution.executedPlan.toString
-    require(plan.contains("graft-manifest-agg") || plan.contains("LocalTableScan"),
-      s"SUM not served from analyzed manifest stats:\n$plan")
-    require(!plan.contains("Parquet"), "metadata SUM must not scan files")
+    require(graft.util.PlanScans.metadataOnly(out),
+      s"SUM not served from analyzed manifest stats:\n" +
+        s"${out.queryExecution.executedPlan}")
     out
   }
 
@@ -535,10 +525,9 @@ object SqlSurface {
       s"""SELECT COUNT(*) AS n_rows, SUM(cust_n) AS sum_cust,
          |  CAST(SUM(price) AS DOUBLE) AS sum_price
          |FROM $cat.analytics.orders_sum_s""".stripMargin)
-    val plan = out.queryExecution.executedPlan.toString
-    require(plan.contains("graft-manifest-agg") || plan.contains("LocalTableScan"),
-      s"sharded SUM not served from analyzed stats:\n$plan")
-    require(!plan.contains("Parquet"), "metadata SUM must not scan files")
+    require(graft.util.PlanScans.metadataOnly(out),
+      s"sharded SUM not served from analyzed stats:\n" +
+        s"${out.queryExecution.executedPlan}")
     out
   }
 
@@ -643,13 +632,57 @@ object SqlSurface {
     val out = s.sql(
       s"""SELECT approx_count_distinct(k200) AS ndv_k,
          |  approx_count_distinct(status) AS ndv_s,
-         |  approx_count_distinct(cust_n) AS ndv_c
+         |  approx_count_distinct(cust_n) AS ndv_c,
+         |  COUNT(cust_n) AS cnt_c, COUNT(*) AS n_rows
          |FROM $cat.analytics.orders_ndv""".stripMargin)
     require(graft.catalog.NdvServe.served(out),
       s"approx_count_distinct must serve from the NDV sidecar:\n" +
         s"${out.queryExecution.optimizedPlan}")
-    require(!out.queryExecution.executedPlan.toString.contains("Parquet"),
+    require(graft.util.PlanScans.metadataOnly(out),
       "the NDV serve must not scan files")
+    out
+  }
+
+  /** PER-GROUP NDV from the per-file sketch sidecar
+    * (`sql_agg_metadata_ndv_group`, r17, VERDICT r16 next #4): the
+    * tenant-cardinality dashboard — `GROUP BY seg` +
+    * `approx_count_distinct` + exact COUNTs — over a seg-chunked ingest.
+    * analyze keeps one HLL per (file, DECLARED column)
+    * (`spark.graft.analyze.ndvGroupCols`); the serve proves each file's
+    * group from stats (min == max, null-free), merges that group's
+    * sketches DISTRIBUTED, and reads ZERO data files — only the sidecar
+    * parquet ([[graft.catalog.NdvServeRule]] grouped arm). Cardinalities
+    * stay below the datasketches set-mode threshold so estimates are
+    * exact and DuckDB recomputes them with COUNT(DISTINCT). */
+  private val sqlAggMetadataNdvGroup: Q = (s, d) => {
+    val cat = catalogFor(s, d)
+    val wh = warehouseFor(d)
+    val store = new TableStore(s, s"$wh/analytics/orders_ndvg")
+    if (store.currentVersion() < 0) {
+      val base = load(s, d, "orders").select(
+        (col("o_orderkey") % 4).as("seg"),
+        (col("o_orderkey") % 200).as("k200"),
+        when(col("o_custkey") % 7 === 0, lit(null))
+          .otherwise(col("o_custkey") % 50).as("cust_n"))
+      store.commitSnapshot(base.filter(col("seg") === 0).coalesce(1))
+      (1 to 3).foreach(i =>
+        store.commitAppend(base.filter(col("seg") === i).coalesce(1)))
+      s.conf.set("spark.graft.analyze.ndvGroupCols", "k200,cust_n")
+      try s.sql(s"CALL $cat.system.analyze_table('analytics.orders_ndvg')")
+      finally s.conf.unset("spark.graft.analyze.ndvGroupCols")
+    }
+    s.catalog.refreshTable(s"$cat.analytics.orders_ndvg")
+    val out = s.sql(
+      s"""SELECT seg, approx_count_distinct(k200) AS ndv_k,
+         |  approx_count_distinct(cust_n) AS ndv_c,
+         |  COUNT(*) AS n_rows, COUNT(cust_n) AS n_cust
+         |FROM $cat.analytics.orders_ndvg
+         |GROUP BY seg
+         |ORDER BY seg ASC NULLS FIRST""".stripMargin)
+    require(graft.catalog.NdvServe.servedGroup(out),
+      s"per-group NDV must serve from the per-file sketch sidecar:\n" +
+        s"${out.queryExecution.optimizedPlan}\n" +
+        s"read: ${out.inputFiles.mkString(",")}")
     out
   }
 
@@ -1638,6 +1671,49 @@ object SqlSurface {
     out
   }
 
+  /** SQL-TRANSPARENT BATCH vector top-k (`sql_vector_topk_batch`, r17,
+    * VERDICT r16 next #5): the join-shaped batch query — a query-vector
+    * COLUMN, not a literal — `ROW_NUMBER() OVER (PARTITION BY q_id ORDER
+    * BY round(graft_cosine(t.embedding, q.qv), 6) DESC, vec_id ASC) …
+    * WHERE rank <= k` over `queries CROSS JOIN corpus` is served from the
+    * fresh ANN index by splicing [[graft.store.AnnIndex.topkBatch]]'s
+    * plan ([[graft.catalog.VectorTopKRewriteRule]] batch arm): the brute
+    * O(batch × corpus) scored cross join becomes the bucket-targeted
+    * probe of the batch's cells, read from the narrow index. At the
+    * default exhaustive probe the serve is EXACT, so DuckDB brute force
+    * agrees bit-for-bit. */
+  private val sqlVectorTopkBatch: Q = (s, d) => {
+    val cat = catalogFor(s, d)
+    val store = new TableStore(s, s"${warehouseFor(d)}/analytics/vec_sql")
+    if (store.currentVersion() < 0) {
+      store.commitBucketed(load(s, d, "embeddings")
+        .select(col("vec_id"), col("embedding")), Seq("vec_id"), 16)
+      graft.store.AnnIndex.create(store, "emb_ann", "embedding",
+        clusters = 16, iters = 4)
+    }
+    graft.functions.GraftFunctions.register(s)
+    s.catalog.refreshTable(s"$cat.analytics.vec_sql")
+    load(s, d, "embeddings").filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      .createOrReplaceTempView("vec_queries")
+    val out = s.sql(
+      s"""WITH scored AS (
+         |  SELECT q.q_id, t.vec_id,
+         |    round(graft_cosine(t.embedding, q.qv), 6) AS cos_sim
+         |  FROM vec_queries q CROSS JOIN $cat.analytics.vec_sql t),
+         |ranked AS (
+         |  SELECT q_id, vec_id, cos_sim,
+         |    ROW_NUMBER() OVER (PARTITION BY q_id
+         |      ORDER BY cos_sim DESC, vec_id ASC) AS rank
+         |  FROM scored)
+         |SELECT q_id, rank, vec_id, cos_sim FROM ranked WHERE rank <= 5
+         |ORDER BY q_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin)
+    require(graft.catalog.VectorTopKRewrite.served(out),
+      s"the batch vector top-k must serve from the ANN index:\n" +
+        s"${out.queryExecution.optimizedPlan}")
+    out
+  }
+
   /** TRANSPARENT materialized-view rewrite (`sql_agg_rewrite`,
     * [[graft.catalog.AggViewRewriteRule]]): create a view over a bucketed
     * lineitem projection, route a scattered SQL DELETE through the auto
@@ -2275,6 +2351,7 @@ object SqlSurface {
     "sql_vector_topk" -> sqlVectorTopk,
     "sql_vector_topk_filtered" -> sqlVectorTopkFiltered,
     "sql_vector_topk_filtered_selective" -> sqlVectorTopkFilteredSelective,
+    "sql_vector_topk_batch" -> sqlVectorTopkBatch,
     "sql_agg_tail_mm" -> sqlAggTailMm,
     "sql_join_view" -> sqlJoinView,
     "sql_join_rewrite" -> sqlJoinRewrite,
@@ -2293,6 +2370,7 @@ object SqlSurface {
     "sql_agg_metadata_where_hybrid_sharded" -> sqlAggMetadataWhereHybridSharded,
     "sql_agg_metadata_string" -> sqlAggMetadataString,
     "sql_agg_metadata_ndv" -> sqlAggMetadataNdv,
+    "sql_agg_metadata_ndv_group" -> sqlAggMetadataNdvGroup,
     "sql_agg_metadata_string_sharded" -> sqlAggMetadataStringSharded,
     "sql_agg_metadata_string_group" -> sqlAggMetadataStringGroup,
     "sql_topk_string" -> sqlTopkString,
@@ -2511,6 +2589,25 @@ object SqlSurface {
         |ORDER BY cos_sim DESC NULLS LAST, vec_id ASC NULLS FIRST
         |LIMIT 20""".stripMargin,
 
+    "sql_vector_topk_batch" ->
+      """WITH qs AS (
+        |  SELECT vec_id AS q_id, CAST(embedding AS DOUBLE[]) AS qv
+        |  FROM embeddings WHERE vec_id < 8),
+        |scored AS (
+        |  SELECT qs.q_id, e.vec_id,
+        |    ROUND(LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]), qs.qv) /
+        |      (SQRT(LIST_DOT_PRODUCT(CAST(e.embedding AS DOUBLE[]),
+        |                             CAST(e.embedding AS DOUBLE[]))) *
+        |       SQRT(LIST_DOT_PRODUCT(qs.qv, qs.qv))), 6) AS cos_sim
+        |  FROM embeddings e, qs),
+        |ranked AS (
+        |  SELECT q_id, vec_id, cos_sim,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY cos_sim DESC NULLS LAST, vec_id ASC) AS INT) AS rank
+        |  FROM scored)
+        |SELECT q_id, rank, vec_id, cos_sim FROM ranked WHERE rank <= 5
+        |ORDER BY q_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin,
+
     "sql_agg_rewrite" ->
       """SELECT okb, l_returnflag, COUNT(*) AS n,
         |  CAST(SUM(qty) AS DOUBLE) AS sum_qty,
@@ -2674,8 +2771,23 @@ object SqlSurface {
       """SELECT COUNT(DISTINCT o_orderkey % 200) AS ndv_k,
         |  COUNT(DISTINCT o_orderstatus) AS ndv_s,
         |  COUNT(DISTINCT CASE WHEN o_custkey % 7 = 0 THEN NULL
-        |                      ELSE o_custkey % 50 END) AS ndv_c
+        |                      ELSE o_custkey % 50 END) AS ndv_c,
+        |  COUNT(CASE WHEN o_custkey % 7 = 0 THEN NULL
+        |             ELSE o_custkey % 50 END) AS cnt_c,
+        |  COUNT(*) AS n_rows
         |FROM orders""".stripMargin,
+
+    "sql_agg_metadata_ndv_group" ->
+      """SELECT o_orderkey % 4 AS seg,
+        |  COUNT(DISTINCT o_orderkey % 200) AS ndv_k,
+        |  COUNT(DISTINCT CASE WHEN o_custkey % 7 = 0 THEN NULL
+        |                      ELSE o_custkey % 50 END) AS ndv_c,
+        |  COUNT(*) AS n_rows,
+        |  COUNT(CASE WHEN o_custkey % 7 = 0 THEN NULL
+        |             ELSE o_custkey % 50 END) AS n_cust
+        |FROM orders
+        |GROUP BY 1
+        |ORDER BY seg ASC NULLS FIRST""".stripMargin,
 
     "sql_agg_metadata_string" ->
       """SELECT COUNT(*) AS n_rows, MIN(pk) AS min_pk, MAX(pk) AS max_pk,

@@ -537,10 +537,27 @@ object AnnIndex {
     *
     * Semantics match [[topk]] per query at the same `nProbe` (recall
     * trades identically; `nProbe <= 0` probes exhaustively and is exact).
-    * The batch must fit a broadcast (the realistic serving shape —
-    * thousands of query vectors); million-query batches should map
-    * [[topk]]'s cells themselves or raise `nProbe` to exhaustive and
-    * join unbroadcast.
+    *
+    * Parity with the single-query path (r17, VERDICT r16 next #1):
+    * `keyFilter` is the same exact predicate over the index KEY columns,
+    * applied to the probed cells' rows BEFORE the per-query top-k; and
+    * `widenToFill` closes the same under-fill trap — at explicit nProbe a
+    * selective filter (or a lopsided cell layout) can leave < k survivors
+    * in a query's probed cells, so each widening round DOUBLES the probe
+    * width for exactly the still-under-filled queries (per-query results
+    * equal [[topk]] at the first width that fills k, or the exhaustive
+    * probe). Satisfaction is decided distributed — one per-round count
+    * over the ranked candidates, never a per-query driver loop — and the
+    * rounds are bounded by log2(cells).
+    *
+    * `broadcastBatch` (r17, VERDICT r16 next #3) picks the join route:
+    * true broadcasts the batch into the cell equi-join (the realistic
+    * thousands-of-queries serving shape); false lets the join SHUFFLE on
+    * `cell` instead (shuffled hash join, batch side the build side) — the
+    * million-query route, where the per-query rank window still
+    * partial-limits to ≤ k rows per query per map task before its
+    * exchange. Everything else — the one bucket-targeted read of the
+    * probed cells' union, bounded by the CELL count — is route-agnostic.
     *
     * `queries` needs two columns: `qidCol` (any orderable id) and
     * `vecQCol` (`array<float>`). Output: (qid, rank, idCols…, cos_sim)
@@ -548,7 +565,10 @@ object AnnIndex {
   def topkBatch(base: TableStore, name: String,
       queries: org.apache.spark.sql.DataFrame, qidCol: String,
       vecQCol: String, k: Int, nProbe: Int = 2,
-      indexVersion: Long = -1L): DataFrame = {
+      indexVersion: Long = -1L,
+      keyFilter: Option[org.apache.spark.sql.Column] = None,
+      widenToFill: Boolean = false,
+      broadcastBatch: Boolean = true): DataFrame = {
     val s = base.spark
     import s.implicits._
     val idx = SecondaryIndex.indexStore(base, name)
@@ -564,36 +584,9 @@ object AnnIndex {
       qidCol != vecCol, s"query id column '$qidCol' collides with index " +
       s"columns (${idCols.mkString(",")}, cell, $vecCol)")
     val total = cents.length
-    val probe = if (nProbe <= 0) total else math.min(nProbe, total)
-    // map-side probe-cell assignment: the create-time kernel generalized
-    // to the p nearest centroids, centroids broadcast once per executor
+    // centroids broadcast once per executor; the assignment kernel closes
+    // over the handle (same shape as the create-time kernel)
     val bc = s.sparkContext.broadcast(cents)
-    val p = probe
-    val cellsOf = org.apache.spark.sql.functions.udf((v: Seq[Float]) => {
-      val q = VecKernels.normalize(v.toArray)
-      val cs = bc.value
-      cs.indices.sortBy(c => (-VecKernels.dotD(q, cs(c)), c)).take(p)
-    })
-    val exploded = queries
-      .select(col(qidCol).as("_q_id"), col(vecQCol).as("_q_vec"))
-      .withColumn("_q_cell", explode(cellsOf(col("_q_vec"))))
-    // the probed union: bounded by the CELL COUNT, not the batch — one
-    // tiny distinct over the broadcastable batch side
-    val cells = exploded.select(col("_q_cell")).distinct()
-      .collect().map(_.getInt(0)).toSeq.sorted
-    val bids = im.props.get(CellBucketsProp) match {
-      case Some(mstr) =>
-        val byCell = mstr.split(',').map { e =>
-          val Array(c, b) = e.split(':'); c.toInt -> b.toLong
-        }.toMap
-        cells.map(byCell).distinct.sorted
-      case None =>
-        cells.toDF("cell")
-          .select(TableStore.bucketExpr(Seq("cell"), im.numBuckets).as("b"))
-          .distinct().collect().map(_.getLong(0)).toSeq.sorted
-    }
-    val entries = idx.readBuckets(bids, iv)
-      .filter(col("cell").isin(cells.map(Int.box): _*))
     val score = org.apache.spark.sql.graftbridge.ColumnBridge.column(
       graft.functions.CosineSim(
         org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
@@ -604,13 +597,76 @@ object AnnIndex {
       .partitionBy("_q_id")
       .orderBy(col("cos_sim").desc_nulls_last +:
         idCols.map(col(_).asc_nulls_first): _*)
-    entries
-      .join(org.apache.spark.sql.functions.broadcast(exploded),
-        entries("cell") === org.apache.spark.sql.functions.col("_q_cell"))
-      .select((col("_q_id") +: idCols.map(col)) :+
-        round(score, 6).as("cos_sim"): _*)
-      .withColumn("rank", org.apache.spark.sql.functions.row_number().over(w))
-      .filter(col("rank") <= k)
+    // one probing ROUND at width p over `pending`: map-side p-nearest-cell
+    // assignment, ONE bucket-targeted read of the probed union (bounded by
+    // the cell count, never the batch size), key filter, cell equi-join,
+    // codegen'd scoring, per-query rank — rows with rank ≤ k
+    def probeRound(pending: DataFrame, p: Int): DataFrame = {
+      val cellsOf = org.apache.spark.sql.functions.udf((v: Seq[Float]) => {
+        val q = VecKernels.normalize(v.toArray)
+        val cs = bc.value
+        cs.indices.sortBy(c => (-VecKernels.dotD(q, cs(c)), c)).take(p)
+      })
+      val exploded = pending
+        .select(col(qidCol).as("_q_id"), col(vecQCol).as("_q_vec"))
+        .withColumn("_q_cell", explode(cellsOf(col("_q_vec"))))
+      val cells = exploded.select(col("_q_cell")).distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+      val bids = im.props.get(CellBucketsProp) match {
+        case Some(mstr) =>
+          val byCell = mstr.split(',').map { e =>
+            val Array(c, b) = e.split(':'); c.toInt -> b.toLong
+          }.toMap
+          cells.map(byCell).distinct.sorted
+        case None =>
+          cells.toDF("cell")
+            .select(TableStore.bucketExpr(Seq("cell"), im.numBuckets).as("b"))
+            .distinct().collect().map(_.getLong(0)).toSeq.sorted
+      }
+      val entries0 = idx.readBuckets(bids, iv)
+        .filter(col("cell").isin(cells.map(Int.box): _*))
+      val entries = keyFilter.fold(entries0)(entries0.filter)
+      val batchSide =
+        if (broadcastBatch)
+          org.apache.spark.sql.functions.broadcast(exploded)
+        else exploded.hint("shuffle_hash")
+      entries
+        .join(batchSide, entries("cell") ===
+          org.apache.spark.sql.functions.col("_q_cell"))
+        .select((col("_q_id") +: idCols.map(col)) :+
+          round(score, 6).as("cos_sim"): _*)
+        .withColumn("rank",
+          org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("rank") <= k)
+    }
+    var p = if (nProbe <= 0) total else math.min(nProbe, total)
+    var pending = queries
+    var lastRes = probeRound(pending, p)
+    val parts = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    // adaptive widening: per round, queries whose probed pool already
+    // fills k are FINAL at this width (identical to topk's per-query
+    // doubling — rank ≤ k rows count k iff the candidate pool holds ≥ k);
+    // the under-filled remainder re-probes at double width. ≤ log2(cells)
+    // rounds, each one bounded distributed job — no driver qid loop.
+    var exhausted = p >= total
+    while (widenToFill && !exhausted) {
+      val sat = lastRes.groupBy(col("_q_id"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("_g_n"))
+        .filter(col("_g_n") >= k).select(col("_q_id").as("_q_sat"))
+      parts += lastRes.join(sat, lastRes("_q_id") === col("_q_sat"),
+        "left_semi")
+      pending = pending.join(sat, pending(qidCol) === col("_q_sat"),
+        "left_anti")
+      if (pending.isEmpty) { lastRes = null; exhausted = true }
+      else {
+        p = math.min(total, p * 2)
+        lastRes = probeRound(pending, p)
+        exhausted = p >= total
+      }
+    }
+    if (lastRes != null) parts += lastRes
+    parts.reduce(_.unionByName(_))
       .select((col("_q_id").as(qidCol) +: col("rank") +: idCols.map(col)) :+
         col("cos_sim"): _*)
       .orderBy(col(qidCol).asc_nulls_first, col("rank").asc_nulls_first)

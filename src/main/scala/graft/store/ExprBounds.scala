@@ -144,6 +144,21 @@ object ExprBounds {
                   case DateType =>
                     if (unit == "DAY") u.child
                     else TruncDate(u.child, Literal(unit))
+                  // sub-day units over INSTANT timestamps are gated on a
+                  // fixed-offset zone (ADVICE r16): across a DST
+                  // fall-back, TruncTimestamp resolves both ambiguous
+                  // wall-clock instants to the earlier offset, so
+                  // P(min) == P(max) can hold while minute()/second()
+                  // vary for rows between them — the constancy proof
+                  // would mis-serve. Calendar-day-and-above units are
+                  // safe (a repeated wall-clock hour stays inside its
+                  // day/month/quarter), and TimestampNTZ carries no zone
+                  // at all, so both stay ungated.
+                  case TimestampType
+                      if Set("HOUR", "MINUTE", "SECOND")(unit) &&
+                        !fixedOffset(tz) =>
+                    return Some(Chain(c.base, monotone = false,
+                      gran = None))
                   case TimestampType | TimestampNTZType =>
                     TruncTimestamp(Literal(unit), u.child, tz)
                   case _ => return Some(Chain(c.base, monotone = false,
@@ -160,8 +175,18 @@ object ExprBounds {
         if (FileStats.minMaxExact(ar.dataType) || ar.dataType == StringType)
           Some(Chain(ar, monotone = true, None))
         else None
-      // monotone: truncation to a period start / year extraction
-      case TruncTimestamp(Literal(_, _), c, _) => classify(c)
+      // monotone: truncation to a period start / year extraction.
+      // TruncTimestamp over an INSTANT input is monotone only in a
+      // fixed-offset zone (same family as the ADVICE r16 periodic gate:
+      // a midnight DST fall-back — Brazil's, historically — steps the
+      // local DATE backwards, so day-level trunc over instants can
+      // DECREASE); outside one the chain keeps only the constant-input
+      // proof. TimestampNTZ has no zone and stays ungated.
+      case t @ TruncTimestamp(Literal(_, _), c, _) =>
+        classify(c).map { ch =>
+          if (c.dataType != TimestampType || fixedOffset(t.timeZoneId)) ch
+          else Chain(ch.base, monotone = false, gran = None)
+        }
       case TruncDate(c, Literal(_, _)) => classify(c)
       case Year(c) => classify(c)
       case cast: Cast if castMonotone(cast) => classify(cast.child)

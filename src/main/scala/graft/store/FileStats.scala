@@ -109,15 +109,33 @@ object FileStats {
 
   // ------------------------------------------------------------- collection
 
+  /** Is the committing session's parquet writer configured to record
+    * UNTRUNCATED binary footer statistics (parquet-mr's default: binary
+    * bounds are written verbatim or omitted entirely)? Captured at the
+    * DRIVER, at commit time, from the same configuration stack the write
+    * job used (session-level overrides included) — never inferred
+    * executor-side at stat-reading time (ADVICE r16: a future re-stat
+    * path or a per-write conf override must not mark truncated bounds
+    * exact). */
+  def writerUntruncated(spark: SparkSession): Boolean =
+    spark.sessionState.newHadoopConf()
+      .getInt("parquet.statistics.truncate.length", Int.MaxValue) ==
+      Int.MaxValue
+
   /** Read footer stats for `files`. Driver-side below `localCutoff` files
     * (a footer read is ~ms on a warm FS); distributed above it — O(#files)
-    * tiny structs return to the driver, same order as the file list itself. */
+    * tiny structs return to the driver, same order as the file list itself.
+    * `stringBoundsExact` overrides the [[writerUntruncated]] capture for
+    * callers statting files some OTHER session wrote (none today; every
+    * manifest file is statted by its committing session). */
   def collect(spark: SparkSession, files: Seq[String], schema: StructType,
-      localCutoff: Int = 32): Map[String, FileStat] = {
+      localCutoff: Int = 32, stringBoundsExact: Option[Boolean] = None)
+      : Map[String, FileStat] = {
     if (files.isEmpty) return Map.empty
     val conf = spark.sparkContext.hadoopConfiguration
+    val exact = stringBoundsExact.getOrElse(writerUntruncated(spark))
     if (files.size <= localCutoff)
-      files.map(f => f -> statOfFile(f, conf, schema)).toMap
+      files.map(f => f -> statOfFile(f, conf, schema, exact)).toMap
     else {
       val serConf = new org.apache.spark.SerializableWritable(new Configuration(conf))
       val bc = spark.sparkContext.broadcast(serConf)
@@ -126,14 +144,14 @@ object FileStats {
         .parallelize(files, math.min(files.size, spark.sparkContext.defaultParallelism))
         .map { f =>
           val sch = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-          f -> statOfFile(f, bc.value.value, sch)
+          f -> statOfFile(f, bc.value.value, sch, exact)
         }
         .collect().toMap
     }
   }
 
   private[store] def statOfFile(path: String, conf: Configuration,
-      schema: StructType): FileStat = {
+      schema: StructType, stringBoundsExact: Boolean): FileStat = {
     val p = new Path(path)
     val status = p.getFileSystem(conf).getFileStatus(p)
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
@@ -171,14 +189,14 @@ object FileStats {
           }
         }
       }
-      // string bounds are EXACT attained values when the writing session
-      // does not truncate footer statistics (parquet-mr's default: binary
-      // bounds are written verbatim or omitted entirely) — every manifest
-      // file is engine-written, so the conf at stat time is the writer's
-      val stringExact = conf.getInt(
-        "parquet.statistics.truncate.length", Int.MaxValue) == Int.MaxValue
+      // string bounds are EXACT attained values when the WRITING session
+      // did not truncate footer statistics (parquet-mr's default: binary
+      // bounds are written verbatim or omitted entirely) — the flag is
+      // captured by the committing session's driver at write time and
+      // threaded here ([[writerUntruncated]]), never re-inferred from the
+      // configuration visible at stat-reading time (ADVICE r16)
       val cols = acc.collect { case (n, (mn, mx, nulls, true)) =>
-        n -> ColStat(mn, mx, nulls, exact = stringExact && mn.isDefined &&
+        n -> ColStat(mn, mx, nulls, exact = stringBoundsExact && mn.isDefined &&
           schema.fields.exists(f => f.name == n && f.dataType == StringType))
       }.toMap
       FileStat(status.getLen, status.getModificationTime, rows, cols)

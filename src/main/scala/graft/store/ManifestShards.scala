@@ -55,11 +55,14 @@ object ManifestShards {
   final case class ShardRef(path: String, files: Long, bytes: Long,
       rows: Long, buckets: Seq[Long])
 
-  /** Footer-stat entry for one data file (runs on executors). */
+  /** Footer-stat entry for one data file (runs on executors).
+    * `stringBoundsExact` is the committing driver's write-time truncation
+    * capture ([[FileStats.writerUntruncated]]) — threaded, not re-read
+    * from the executor-visible conf (ADVICE r16). */
   def metaOfFile(path: String, conf: Configuration,
-      schema: StructType): FileMeta = {
+      schema: StructType, stringBoundsExact: Boolean): FileMeta = {
     val norm = new Path(path).toString
-    val st = FileStats.statOfFile(norm, conf, schema)
+    val st = FileStats.statOfFile(norm, conf, schema, stringBoundsExact)
     FileMeta(norm, TableStore.bucketOfFile(norm).getOrElse(-1L), st.bytes,
       st.modTime, st.rows, st.cols.size, FileStats.colsToJson(st.cols))
   }
@@ -78,6 +81,7 @@ object ManifestShards {
     import sp.implicits._
     val bc = confBroadcast(spark)
     val schemaJson = schema.json
+    val exact = FileStats.writerUntruncated(spark)
     spark.sparkContext
       .parallelize(dirs, math.min(math.max(dirs.size, 1),
         spark.sparkContext.defaultParallelism))
@@ -91,7 +95,7 @@ object ManifestShards {
         while (it.hasNext) {
           val s = it.next()
           if (s.isFile && s.getPath.getName.endsWith(".parquet"))
-            out += metaOfFile(s.getPath.toString, conf, sch)
+            out += metaOfFile(s.getPath.toString, conf, sch, exact)
         }
         out
       }.toDS()
@@ -105,12 +109,13 @@ object ManifestShards {
     import sp.implicits._
     val bc = confBroadcast(spark)
     val schemaJson = schema.json
+    val exact = FileStats.writerUntruncated(spark)
     spark.sparkContext
       .parallelize(files, math.min(math.max(files.size, 1),
         spark.sparkContext.defaultParallelism))
       .map { f =>
         val sch = DataType.fromJson(schemaJson).asInstanceOf[StructType]
-        metaOfFile(f, bc.value.value, sch)
+        metaOfFile(f, bc.value.value, sch, exact)
       }.toDS()
   }
 

@@ -25,55 +25,59 @@ object BenchHeavy {
   /** The round this build belongs to — drives the default artifact name so
     * an argument-less run can never overwrite a PRIOR round's committed
     * baseline (ADVICE r12). */
-  private val Round = 15
+  private val Round = 17
 
-  /** Round-14 readings (BENCH_HEAVY_r14.json, full coverage): the
-    * baseline this round's artifact ships so regressions diff
-    * mechanically. Probes new in r15 have no baseline entry. */
+  /** Round-16 readings (BENCH_HEAVY_r16.json — RE-BASED r17, VERDICT
+    * r16 next #6: the r13 baseline was three rounds and measurable box
+    * drift stale): the baseline this round's artifact ships so
+    * regressions diff mechanically. Probes new in r17 have no baseline
+    * entry. */
   private val PriorBaseline: Map[String, Double] = Map(
-    "cdc_apply" -> 4.773, "dedup_fuzzy_minhash" -> 2.962,
-    "dedup_minhash_sql" -> 2.25, "dedup_ngram_jaccard" -> 3.396,
-    "dedup_embedding" -> 1.277, "dedup_clusters" -> 5.882,
-    "join_multi_q3" -> 1.173, "join_multi_q5" -> 1.603,
-    "join_multi_q10" -> 1.015, "text_chunk" -> 0.275,
-    "pipeline_decontaminate" -> 0.414, "sample_stratified" -> 0.338,
-    "commit_bucketed" -> 3.002, "count_bytestock" -> 0.205,
-    "delete_mor" -> 0.807, "count_dv" -> 0.523,
-    "upsert_mor" -> 2.642, "count_dv2" -> 0.422,
-    "purge_deletes" -> 2.191, "count_purged" -> 0.131,
-    "gsi_create" -> 0.953, "upsert_mor2" -> 2.359,
-    "gsi_refresh" -> 2.817, "upsert_eq" -> 1.604,
-    "count_eq" -> 0.878, "agg_create" -> 1.751,
-    "upsert_eq2" -> 1.54, "agg_refresh" -> 2.138,
-    "upsert_eq3" -> 1.583, "agg_refresh_replay" -> 2.143,
-    "rebucket_composite" -> 2.583, "delete_eq_prefix" -> 0.392,
-    "count_eq_prefix" -> 0.773, "wap_rebase_publish" -> 3.434,
-    "jv_dim_commit" -> 2.803, "jv_create" -> 5.827,
-    "jv_dim_update" -> 0.527, "jv_refresh_dim" -> 3.04,
-    "jv_dim_scatter" -> 1.205, "jv_refresh_dim_scatter" -> 3.285,
-    "jv_fact_update" -> 1.756, "jv_refresh_fact" -> 3.089,
-    "jv_fact_update_b" -> 1.841, "jv_refresh_fact_sync" -> 5.222,
-    "jv2_status_commit" -> 1.56, "jv2_create" -> 7.319,
-    "jv2_dim_update" -> 0.631, "jv2_refresh_dim" -> 3.218,
-    "agg_refresh_post_rebucket" -> 3.425, "upsert_eq4" -> 1.995,
-    "agg_tail_read" -> 1.35, "agg_scan_group" -> 1.953,
-    "jv_tail_dim_update" -> 0.74, "jv_tail_read" -> 4.496,
-    "jv_tail_read_noprune" -> 5.256, "jv_scan_join" -> 2.279,
-    "jv_tail_refresh" -> 15.638, "jv_tail_point_fact" -> 1.458,
-    "jv_tail_point_dim" -> 0.894, "jv_tail_point_read" -> 5.448,
-    "jv_tail_point_read_noprune" -> 4.315, "pyr_dim_commit" -> 1.26,
-    "pyr_create" -> 4.431, "pyr_fact_update" -> 1.23,
-    "pyr_tail_read" -> 5.277, "pyr_scan_join3" -> 2.358,
-    "ann_commit" -> 1.384, "ann_create" -> 2.093,
-    "ann_upsert" -> 1.257, "ann_refresh" -> 1.468,
-    "ann_point" -> 0.254, "ann_brute" -> 0.854,
-    "ann_retrain" -> 4.556, "ann_retrain_maxcells" -> 17.286,
-    "dedup_idx_commit" -> 0.858, "dedup_idx_create" -> 2.214,
-    "dedup_idx_upsert" -> 0.46, "dedup_idx_refresh" -> 1.405,
-    "dedup_idx_batch" -> 0.87, "analyze_commit" -> 2.818,
-    "analyze_full" -> 2.312, "analyze_incr" -> 0.13,
-    "sum_meta" -> 0.161, "sum_scan" -> 0.554,
-    "ann_point_half" -> 0.171, "ann_brute_half" -> 0.478)
+    "agg_create" -> 2.176, "agg_mm_churn" -> 2.073,
+    "agg_mm_commit" -> 3.476, "agg_mm_create" -> 4.433,
+    "agg_refresh" -> 2.772, "agg_refresh_post_rebucket" -> 3.223,
+    "agg_refresh_replay" -> 2.534, "agg_scan_group" -> 2.178,
+    "agg_tail_mm_read" -> 18.266, "agg_tail_read" -> 1.624,
+    "analyze_commit" -> 2.414, "analyze_full" -> 1.212,
+    "analyze_incr" -> 0.187, "ann_brute" -> 0.94,
+    "ann_brute_half" -> 0.407, "ann_commit" -> 2.729,
+    "ann_create" -> 2.981, "ann_point" -> 0.397,
+    "ann_point_half" -> 0.16, "ann_refresh" -> 1.422,
+    "ann_retrain" -> 3.517, "ann_retrain_maxcells" -> 10.668,
+    "ann_upsert" -> 1.736, "cdc_apply" -> 1.311,
+    "commit_bucketed" -> 2.143, "count_bytestock" -> 0.323,
+    "count_dv" -> 0.585, "count_dv2" -> 0.348,
+    "count_eq" -> 1.0, "count_eq_prefix" -> 0.862,
+    "count_purged" -> 0.158, "dedup_clusters" -> 6.504,
+    "dedup_embedding" -> 1.383, "dedup_fuzzy_minhash" -> 2.19,
+    "dedup_idx_batch" -> 0.969, "dedup_idx_commit" -> 1.068,
+    "dedup_idx_create" -> 3.055, "dedup_idx_refresh" -> 1.893,
+    "dedup_idx_upsert" -> 0.559, "dedup_minhash_sql" -> 2.38,
+    "dedup_ngram_jaccard" -> 3.896, "delete_eq_prefix" -> 0.372,
+    "delete_mor" -> 1.051, "gsi_create" -> 1.192,
+    "gsi_refresh" -> 3.119, "join_multi_q10" -> 1.356,
+    "join_multi_q3" -> 0.984, "join_multi_q5" -> 2.125,
+    "jv2_create" -> 9.348, "jv2_dim_update" -> 0.891,
+    "jv2_refresh_dim" -> 4.337, "jv2_status_commit" -> 1.723,
+    "jv_create" -> 6.804, "jv_dim_commit" -> 3.326,
+    "jv_dim_scatter" -> 1.671, "jv_dim_update" -> 0.718,
+    "jv_fact_update" -> 2.134, "jv_fact_update_b" -> 2.46,
+    "jv_refresh_dim" -> 4.215, "jv_refresh_dim_scatter" -> 3.807,
+    "jv_refresh_fact" -> 3.719, "jv_refresh_fact_sync" -> 7.047,
+    "jv_scan_join" -> 1.771, "jv_tail_dim_update" -> 0.764,
+    "jv_tail_point_dim" -> 0.798, "jv_tail_point_fact" -> 1.464,
+    "jv_tail_point_read" -> 5.363, "jv_tail_point_read_noprune" -> 5.115,
+    "jv_tail_read" -> 5.017, "jv_tail_read_noprune" -> 4.516,
+    "jv_tail_refresh" -> 12.473, "pipeline_decontaminate" -> 0.568,
+    "purge_deletes" -> 2.7, "pyr_create" -> 5.204,
+    "pyr_dim_commit" -> 1.229, "pyr_fact_update" -> 1.627,
+    "pyr_scan_join3" -> 3.584, "pyr_tail_read" -> 8.056,
+    "rebucket_composite" -> 2.929, "sample_stratified" -> 0.239,
+    "sum_meta" -> 0.198, "sum_scan" -> 0.374,
+    "text_chunk" -> 0.336, "upsert_eq" -> 1.912,
+    "upsert_eq2" -> 1.78, "upsert_eq3" -> 2.046,
+    "upsert_eq4" -> 1.895, "upsert_mor" -> 3.134,
+    "upsert_mor2" -> 2.649, "wap_rebase_publish" -> 4.691)
 
   def main(args: Array[String]): Unit = {
     val outFile = args.headOption.getOrElse(s"BENCH_HEAVY_r$Round.json")
@@ -535,6 +539,19 @@ object BenchHeavy {
             (id, graft.functions.VecKernels.cosine(v, qv)) })
           .toDF("vec_id", "cos").orderBy(col("cos").desc).limit(20).count()
       }
+      // r17 (VERDICT r16 next #3): the UNBROADCAST batch route — a
+      // 2,048-query batch through the persisted index with the cell
+      // equi-join SHUFFLED (no broadcast of the batch side), per-query
+      // rank partial-limited. Pins the wall time of the million-query
+      // shape's join plan at bench scale.
+      t("ann_batch_large") {
+        val queries = embHeavy.filter(col("vec_id") % 557 === 3L)
+          .limit(2048)
+          .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+        graft.store.AnnIndex.topkBatch(annStore, "ann", queries,
+          "q_id", "qv", k = 10, nProbe = 1,
+          broadcastBatch = false).count()
+      }
       // r13: centroid re-training on the current snapshot (atomic swap —
       // the one O(base) pass distribution drift costs, VERDICT r12 #2c)
       t("ann_retrain") {
@@ -678,7 +695,7 @@ object BenchHeavy {
     val adjJson = adjudicated
       .map { case (k, v) => s""""$k":$v""" }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"heavy_total","value":${math.rint(timings.values.sum * 100) / 100},"unit":"sec","copies":$copies,"src":"$src","timings":${jmap(timings)},"baseline_round":13,"prior_baseline":${jmap(PriorBaseline)},"adjudicated":$adjJson}"""
+      s"""{"metric":"heavy_total","value":${math.rint(timings.values.sum * 100) / 100},"unit":"sec","copies":$copies,"src":"$src","timings":${jmap(timings)},"baseline_round":16,"prior_baseline":${jmap(PriorBaseline)},"adjudicated":$adjJson}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outFile),
       json.getBytes("UTF-8"))
     println(json)

@@ -21,4 +21,24 @@ object PlanScans {
     q.collect()
     fileScans(q.queryExecution.executedPlan).map(_.metrics("numFiles").value).sum
   }
+
+  /** Structural probe for the zero-scan metadata serves (r17, VERDICT r16
+    * next #8 — replaces the brittle `plan.contains("graft-manifest-agg")` /
+    * `!plan.contains("Parquet")` string asserts): EVERY leaf of the
+    * executed plan is a local relation — the pushAggregation LocalScan
+    * plans as a LocalTableScan, optimizer-spliced LocalRelations likewise,
+    * and an AQE-collapsed empty side is an EmptyRelationExec — so the
+    * query provably touches zero data files of any format. */
+  def metadataOnly(df: DataFrame): Boolean = {
+    def leavesLocal(p: SparkPlan): Boolean = p match {
+      case a: AdaptiveSparkPlanExec => leavesLocal(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        leavesLocal(s.plan)
+      case _: org.apache.spark.sql.execution.LocalTableScanExec => true
+      case _: org.apache.spark.sql.execution.EmptyRelationExec => true
+      case l if l.children.isEmpty => false
+      case other => other.children.forall(leavesLocal)
+    }
+    leavesLocal(df.queryExecution.executedPlan)
+  }
 }

@@ -103,6 +103,75 @@ class AnnIndexSpec extends SparkSuite {
       "batch probe must never touch the base table")
   }
 
+  test("topkBatch parity with topk under keyFilter + widenToFill (r17, " +
+      "VERDICT r16 next #1): a selective key predicate empties some " +
+      "queries' probed cells at nProbe=1 — widening fills k per query, " +
+      "matching the single-query adaptive probe exactly") {
+    val store = freshStore()
+    store.commitBucketed(corpus(200), Seq("vec_id"), 8)
+    AnnIndex.create(store, "ann", "embedding", clusters = 8, iters = 3,
+      numBuckets = 8)
+    // vec_id % 4 == 0 ⇔ direction family axis 0: queries near axes 1/2
+    // find ZERO survivors in their nearest cell — the exact under-fill
+    // trap widenToFill closes
+    val filt = Some(col("vec_id") % 4 === 0)
+    val queries = (0 until 12).map { i =>
+      val v = new Array[Float](dim); v(i % 3) = 1.0f
+      v(4 + (i % 3)) = 0.02f
+      (i.toLong, v)
+    }.toDF("q_id", "qv")
+    val got = AnnIndex.topkBatch(store, "ann", queries, "q_id", "qv",
+      k = 4, nProbe = 1, keyFilter = filt, widenToFill = true)
+    val rows = got.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // k-FILL: every query gets exactly k rows despite the filter
+    (0 until 12).foreach { i =>
+      assert(rows.count(_._1 == i.toLong) == 4,
+        s"query $i must widen to fill k=4, got " +
+          s"${rows.count(_._1 == i.toLong)}")
+    }
+    // every returned id satisfies the predicate
+    assert(rows.forall(_._3 % 4 == 0), "keyFilter must be exact")
+    // per-query parity with the single-vector adaptive path
+    (0 until 12).foreach { i =>
+      val v = new Array[Float](dim); v(i % 3) = 1.0f
+      v(4 + (i % 3)) = 0.02f
+      val single = AnnIndex.topk(store, "ann", v, k = 4, nProbe = 1,
+        keyFilter = filt, widenToFill = true)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      val batch = rows.filter(_._1 == i.toLong).sortBy(_._2)
+        .map(r => (r._3, r._4)).toSeq
+      assert(batch == single,
+        s"filtered+widened batch diverged from topk for query $i:\n" +
+          s"batch  $batch\nsingle $single")
+    }
+  }
+
+  test("topkBatch unbroadcast route (r17, VERDICT r16 next #3): " +
+      "broadcastBatch=false shuffles the cell equi-join instead of " +
+      "broadcasting the batch, with identical results") {
+    val store = freshStore()
+    store.commitBucketed(corpus(200), Seq("vec_id"), 8)
+    AnnIndex.create(store, "ann", "embedding", clusters = 8, iters = 3,
+      numBuckets = 8)
+    val queries = (0 until 20).map { i =>
+      val v = new Array[Float](dim); v(i % 3) = 1.0f
+      v(4 + (i % 3)) = 0.02f
+      (i.toLong, v)
+    }.toDF("q_id", "qv")
+    val bro = AnnIndex.topkBatch(store, "ann", queries, "q_id", "qv",
+      k = 4, nProbe = 2)
+    val shf = AnnIndex.topkBatch(store, "ann", queries, "q_id", "qv",
+      k = 4, nProbe = 2, broadcastBatch = false)
+    // structural: the static plan picks a shuffled hash join (the hint),
+    // not a broadcast of the batch side
+    val plan = shf.queryExecution.sparkPlan.toString
+    assert(plan.contains("ShuffledHashJoin"),
+      s"unbroadcast route must shuffle the equi-join:\n$plan")
+    assert(shf.collect().toSeq == bro.collect().toSeq,
+      "both join routes must return identical rows")
+  }
+
   test("refresh assigns new vectors into FROZEN cells incrementally and " +
       "retracts deletes; centroids never retrain") {
     val store = freshStore()

@@ -188,4 +188,53 @@ class PeriodicProofSpec extends SparkSuite {
     assert(planned(df) == 2,
       s"both straddling files must scan, planned ${planned(df)}")
   }
+
+  test("periodic WHERE composes with top-k pushdown (VERDICT r16 next " +
+      "#7): ORDER BY k LIMIT n under month(ts) IN (m1, m2) plans only " +
+      "the one kept chunk that can hold the top rows") {
+    store
+    spark.catalog.refreshTable("per_cat.analytics.perm")
+    // the periodic IN keeps exactly the Feb+Mar chunks (both all-match,
+    // exactly decidable); pushTopN then walks the kept subset's k bounds
+    // and keeps only the Feb chunk (28 rows ≥ 5 guarantees the top-5)
+    val df = parity("SELECT k, v FROM per_cat.analytics.perm " +
+      "WHERE month(ts) IN (2, 3) ORDER BY k ASC LIMIT 5")
+    assert(planned(df) == 1,
+      s"top-5 under the periodic WHERE must plan 1 file, " +
+        s"planned ${planned(df)}")
+    assert(df.collect().map(_.getLong(0)).toSeq == (31L to 35L))
+  }
+
+  test("sub-day granularity proofs over INSTANT timestamps are gated on " +
+      "a fixed-offset zone (ADVICE r16): a DST zone declines the " +
+      "constancy proof; UTC and NTZ keep it; day-level trunc over " +
+      "instants loses monotonicity in a non-fixed zone") {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types._
+    import graft.store.ExprBounds
+    val ts = AttributeReference("ts", TimestampType)()
+    val ntz = AttributeReference("tn", TimestampNTZType)()
+    // hour() in a DST zone: classified, but with NO granularity proof
+    // (TruncTimestamp resolves both ambiguous fall-back instants to the
+    // earlier offset, so P(min)==P(max) cannot pin minute/hour constancy)
+    val dst = ExprBounds.classify(Hour(ts, Some("America/New_York"))).get
+    assert(!dst.monotone && dst.gran.isEmpty,
+      s"DST-zone hour() must keep only the constant-input proof: $dst")
+    val utc = ExprBounds.classify(Hour(ts, Some("UTC"))).get
+    assert(utc.gran.isDefined, "fixed-offset hour() keeps its proof")
+    val noz = ExprBounds.classify(Hour(ntz, Some("America/New_York"))).get
+    assert(noz.gran.isDefined, "NTZ hour() carries no zone — ungated")
+    // date_trunc('DAY', instant) in a zone with midnight transitions
+    // (Brazil's historic DST end) can step BACKWARDS — not monotone
+    val trunc = ExprBounds.classify(TruncTimestamp(Literal("DAY"),
+      ts, Some("America/Sao_Paulo"))).get
+    assert(!trunc.monotone && trunc.gran.isEmpty,
+      s"non-fixed-zone trunc over instants must not claim monotone: $trunc")
+    val truncUtc = ExprBounds.classify(TruncTimestamp(Literal("DAY"),
+      ts, Some("UTC"))).get
+    assert(truncUtc.monotone, "UTC trunc stays monotone")
+    val truncNtz = ExprBounds.classify(TruncTimestamp(Literal("DAY"),
+      ntz, Some("America/Sao_Paulo"))).get
+    assert(truncNtz.monotone, "NTZ trunc has no zone — stays monotone")
+  }
 }

@@ -225,4 +225,47 @@ class VectorRewriteSpec extends SparkSuite {
         "all-match filtered probe must still return k rows")
     } finally spark.conf.unset("spark.graft.ann.sql.nProbe")
   }
+
+  test("BATCH rewrite (r17): the join-shaped per-query rank window over " +
+      "queries × corpus serves from the index, bit-identical to brute " +
+      "force at the exhaustive probe; a stale index declines") {
+    val store = new TableStore(spark, s"$warehouse/analytics/vecb")
+    store.commitBucketed(corpus(240), Seq("vec_id"), 8)
+    AnnIndex.create(store, "ann", "embedding", clusters = 8, iters = 3)
+    graft.functions.GraftFunctions.register(spark)
+    spark.catalog.refreshTable("vr_cat.analytics.vecb")
+    corpus(240).filter(col("vec_id") < 6)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      .createOrReplaceTempView("vrq")
+    val sql =
+      """WITH scored AS (
+        |  SELECT q.q_id, t.vec_id,
+        |    round(graft_cosine(t.embedding, q.qv), 6) AS cos_sim
+        |  FROM vrq q CROSS JOIN vr_cat.analytics.vecb t),
+        |ranked AS (
+        |  SELECT q_id, vec_id, cos_sim,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY cos_sim DESC, vec_id ASC) AS rank
+        |  FROM scored)
+        |SELECT q_id, rank, vec_id, cos_sim FROM ranked WHERE rank <= 3
+        |ORDER BY q_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin
+    val served = spark.sql(sql)
+    assert(VectorTopKRewrite.served(served),
+      s"batch rewrite expected:\n${served.queryExecution.optimizedPlan}")
+    val got = served.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    spark.conf.set("spark.graft.ann.rewrite", "false")
+    val brute = try spark.sql(sql).collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+      finally spark.conf.unset("spark.graft.ann.rewrite")
+    assert(got == brute,
+      s"batch serve must match brute force:\ngot   $got\nbrute $brute")
+    // stale index: an append the index has not replayed declines the serve
+    store.commitAppend(corpus(4).withColumn("vec_id",
+      col("vec_id") + 5000L).coalesce(1))
+    spark.catalog.refreshTable("vr_cat.analytics.vecb")
+    val stale = spark.sql(sql)
+    assert(!VectorTopKRewrite.served(stale),
+      "a stale index must decline the batch serve")
+  }
 }
