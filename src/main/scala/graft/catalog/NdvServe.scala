@@ -201,8 +201,14 @@ class NdvServeRule extends Rule[LogicalPlan] {
     * group's estimate is the union of its files' sketches — merged
     * DISTRIBUTED (`hll_union_agg` groupBy over the sidecar parquet joined
     * to the proof sweep), never a driver group loop. All-NULL `g` files
-    * form the NULL group. DECLINES (ordinary scan): any group-straddling
-    * or unproven file, an HLL column outside the declared set, sidecar
+    * form the NULL group. A file-DECIDABLE WHERE is admissible (r17:
+    * the filtered tenant dashboard) — conjuncts, residual or consumed
+    * by the exact pushdown, join the sweep as per-file might/must
+    * verdicts: no-match files are EXCLUDED from every group, all-match
+    * files keep their whole-file sketches valid as per-group partials,
+    * and any straddler declines.
+    * DECLINES (ordinary scan): any group- or WHERE-straddling or
+    * unproven file, an HLL column outside the declared set, sidecar
     * coverage/generation mismatch, rsd tighter than the sketches', masks,
     * branch, time travel — the same contract as the global serve. The
     * sidecar parquet is metadata-tier I/O: zero DATA files scan. */
@@ -213,13 +219,15 @@ class NdvServeRule extends Rule[LogicalPlan] {
       case Seq(ar: AttributeReference) => ar
       case _ => return None
     }
+    // acceptExactPushed: unlike the view serves, this arm re-reads the
+    // CONSUMED predicate from the registry below and re-classifies files
+    // with it (the HybridMetaAgg pattern), so the restricted file subset
+    // stays sound
     val (rel, residual, _) =
-      AggViewRewrite.peelScan(agg.child) match {
+      AggViewRewrite.peelScan(agg.child, acceptExactPushed = true) match {
         case Some(x) => x
         case None => return None
       }
-    if (residual.nonEmpty) return None
-    if (ExactPushedScans.contains(rel.scan)) return None
     val table = rel.relation.table match {
       case t: SnapshotTable => t
       case _ => return None
@@ -230,6 +238,45 @@ class NdvServeRule extends Rule[LogicalPlan] {
     if (m.hasDeletes) return None
     if (m.version != store.currentVersion()) return None
     val baseCols = m.schema.fieldNames.toSet
+    // a WHERE is admissible when it is file-DECIDABLE (r17 extension —
+    // the filtered tenant dashboard): whole-file sketches stay valid
+    // per-group partials exactly when every included file is all-match,
+    // so each conjunct (residual, or consumed by the exact pushdown)
+    // joins the proof sweep as a per-file might/must verdict; any
+    // straddler declines the serve. Conjuncts anchor onto the base
+    // schema by the scan output's exprIds (consumed exprs arrive
+    // name-anchored already).
+    val rawConds = residual ++
+      ExactPushedScans.consumedOf(rel.scan).getOrElse(Nil)
+    def splitAnd(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        splitAnd(l) ++ splitAnd(r)
+      case other => Seq(other)
+    }
+    val conjuncts: Seq[Expression] = rawConds.flatMap(splitAnd).map { c =>
+      if (!c.deterministic) return None
+      var okc = true
+      val t = c.transformUp {
+        case ar: AttributeReference =>
+          rel.output.find(_.exprId == ar.exprId) match {
+            case Some(o) if baseCols.contains(o.name) =>
+              AttributeReference(o.name, m.schema(o.name).dataType,
+                m.schema(o.name).nullable)()
+            case Some(_) => okc = false; ar
+            case None =>
+              if (baseCols.contains(ar.name) &&
+                m.schema(ar.name).dataType == ar.dataType) ar
+              else { okc = false; ar }
+          }
+      }
+      if (!okc || t.exists(_.isInstanceOf[PlanExpression[_]])) return None
+      t
+    }
+    // the group attr must BE a scan output column (exprId-anchored): a
+    // Project alias that merely shares a base column's NAME must not
+    // masquerade as it
+    if (!rel.output.exists(o => o.exprId == gAttr.exprId &&
+      o.name == gAttr.name)) return None
     if (!baseCols.contains(gAttr.name) ||
       m.droppedCols.contains(gAttr.name)) return None
     val gdt = m.schema(gAttr.name).dataType
@@ -296,10 +343,22 @@ class NdvServeRule extends Rule[LogicalPlan] {
     val gen = gstate.gen
     val marker = graft.store.TableStore.NdvMarker
     val dropped = m.droppedCols.toSet
+    val schemaRef = m.schema
+    val condsRef = conjuncts
     def proofOf(rows: Long, raw: Map[String, graft.store.FileStats.ColStat])
-        : (Boolean, Boolean, String, Seq[Long]) = {
+        : (Boolean, Boolean, Boolean, String, Seq[Long]) = {
       val marked = raw.get(marker).exists(_.nulls == gen)
       val cs = raw -- dropped
+      // WHERE verdicts first: a provably no-match file is EXCLUDED (its
+      // rows never reach any group); a might-but-not-must straddler
+      // poisons the serve (its whole-file sketch over-counts)
+      if (condsRef.nonEmpty) {
+        val st = graft.store.FileStats.FileStat(0L, 0L, rows, cs)
+        if (!graft.store.FileStats.mightMatch(st, schemaRef, condsRef))
+          return (marked, true, true, null, Seq.fill(cnts.length)(0L))
+        if (!graft.store.FileStats.mustMatch(st, schemaRef, condsRef))
+          return (marked, false, false, null, Seq.fill(cnts.length)(0L))
+      }
       val nn = new Array[Long](cnts.length)
       var ok = true
       var i = 0
@@ -316,7 +375,7 @@ class NdvServeRule extends Rule[LogicalPlan] {
             c.min == c.max => c.min.get
         case _ => ok = false; null
       }
-      (marked, ok, gk, nn.toSeq)
+      (marked, ok, false, gk, nn.toSeq)
     }
     val exactCap = sp.conf.getOption("spark.graft.exact.maxFiles")
       .map(_.toLong).getOrElse(200000L)
@@ -328,36 +387,41 @@ class NdvServeRule extends Rule[LogicalPlan] {
           val st = m.inlineStats(f)
           if (st.rows == 0L) None
           else {
-            val (mk, ok, gk, nn) = proofOf(st.rows, st.cols)
-            Some((new org.apache.hadoop.fs.Path(f).toString, mk, ok, gk,
-              st.rows, nn))
+            val (mk, ok, exc, gk, nn) = proofOf(st.rows, st.cols)
+            Some((new org.apache.hadoop.fs.Path(f).toString, mk, ok, exc,
+              gk, st.rows, nn))
           }
         }
-        rows.toDF("path", "marked", "ok", "gk", "rows", "nn")
+        rows.toDF("path", "marked", "ok", "exc", "gk", "rows", "nn")
       } else {
         if (m.nFiles > exactCap) return None
         graft.store.ManifestShards.read(sp, m.shards.map(_.path))
           .flatMap { fm =>
             if (fm.rows == 0L) None
             else {
-              val (mk, ok, gk, nn) = proofOf(fm.rows,
+              val (mk, ok, exc, gk, nn) = proofOf(fm.rows,
                 graft.store.FileStats.colsFromJson(fm.stats))
-              Some((fm.path, mk, ok, gk, fm.rows, nn))
+              Some((fm.path, mk, ok, exc, gk, fm.rows, nn))
             }
-          }.toDF("path", "marked", "ok", "gk", "rows", "nn")
+          }.toDF("path", "marked", "ok", "exc", "gk", "rows", "nn")
       }
     val checked = proof.persist()
     try {
+      // coverage over ALL live non-empty files (markers + straddler-free)
+      // and the INCLUDED count (the WHERE's must-match subset) in one agg
       val v = checked.agg(
         fsum(when(!fcol("marked") || !fcol("ok"), 1L).otherwise(0L)).as("bad"),
-        org.apache.spark.sql.functions.count(lit(1)).as("n")).head()
+        org.apache.spark.sql.functions.count(lit(1)).as("n"),
+        fsum(when(!fcol("exc"), 1L).otherwise(0L)).as("kept")).head()
       val bad = if (v.isNullAt(0)) 0L else v.getLong(0)
       if (bad > 0L || v.getLong(1) != gstate.files) return None
+      val kept = if (v.isNullAt(2)) 0L else v.getLong(2)
       val sidecar = sp.read.parquet(gstate.dir)
         .filter(fcol("col").isin(hllCols: _*))
         .select(fcol("path").as("_s_path"), fcol("col"), fcol("sketch"))
-      val joined = checked.join(sidecar, fcol("path") === fcol("_s_path"))
-      if (joined.count() != gstate.files * hllCols.size) return None
+      val joined = checked.filter(!fcol("exc"))
+        .join(sidecar, fcol("path") === fcol("_s_path"))
+      if (joined.count() != kept * hllCols.size) return None
       val needStar = targets.contains(Star)
       val first = hllCols.head
       val aggCols: Seq[org.apache.spark.sql.Column] =

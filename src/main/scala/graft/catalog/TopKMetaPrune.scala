@@ -16,9 +16,24 @@ import org.apache.spark.sql.types.{DataType, StringType}
   * STRICT subset; None when nothing is provable or nothing is pruned. */
 private[catalog] object TopKFileWalk {
 
+  /** One candidate file: `rows`/`cs` from its stats; `allMatch` = every
+    * row is a CANDIDATE row (all-match under the WHERE in play, or no
+    * WHERE). A non-all-match entry (a straddler under a partially
+    * decidable WHERE, r17) contributes NOTHING to the top-n guarantee —
+    * its matching row count is unknown — but is still PRUNABLE by its
+    * key bounds and still forces a keep when its rows could rank (nulls
+    * under NULLS FIRST, unusable bounds, best ≤ t). */
+  final case class Entry(path: String, rows: Long,
+      cs: Option[graft.store.FileStats.ColStat], allMatch: Boolean = true)
+
   def keep(entries: Seq[(String, Long, Option[graft.store.FileStats.ColStat])],
       dt: DataType, desc: Boolean, nullsTop: Boolean, limit: Int)
-      : Option[Seq[String]] = {
+      : Option[Seq[String]] =
+    keepEntries(entries.map { case (p, r, cs) => Entry(p, r, cs) },
+      dt, desc, nullsTop, limit)
+
+  def keepEntries(entries: Seq[Entry], dt: DataType, desc: Boolean,
+      nullsTop: Boolean, limit: Int): Option[Seq[String]] = {
     // key ordering oriented so SMALLER = closer to the top whatever the
     // direction: numerics through BigDecimal, strings bytewise
     val ord: Ordering[Any] = {
@@ -33,13 +48,14 @@ private[catalog] object TopKFileWalk {
       }
       if (desc) base.reverse else base
     }
-    // (path, rows, nulls, bestKey, worstKey): undefined = unusable
-    // bounds, file always kept and contributing no guarantee
-    final case class FB(path: String, rows: Long, nulls: Long,
-      best: Option[Any], worst: Option[Any],
+    // (path, guarRows/guarNulls: counted toward the top-n guarantee —
+    // zero for non-all-match entries; hasNulls/allNull: from the REAL
+    // stat, for keep decisions; bestKey/worstKey: undefined = unusable
+    // bounds, file always kept and contributing no guarantee)
+    final case class FB(path: String, guarRows: Long, guarNulls: Long,
+      hasNulls: Boolean, best: Option[Any], worst: Option[Any],
       allNull: Boolean)
-    def fb(path: String, rows: Long,
-        cs: Option[graft.store.FileStats.ColStat]): FB = cs match {
+    def fb(e: Entry): FB = e.cs match {
       case Some(c) =>
         def key(s: String): Any = dt match {
           case StringType =>
@@ -47,32 +63,35 @@ private[catalog] object TopKFileWalk {
           case _ => BigDecimal(
             graft.store.FileStats.parseBound(s, dt).toString)
         }
+        val gr = if (e.allMatch) e.rows else 0L
+        val gn = if (e.allMatch) c.nulls else 0L
         (c.min.map(key), c.max.map(key)) match {
           case (Some(a), Some(b)) =>
-            FB(path, rows, c.nulls, Some(ord.min(a, b)), Some(ord.max(a, b)),
-              allNull = false)
-          case _ => FB(path, rows, c.nulls, None, None,
-            allNull = c.nulls == rows && rows > 0)
+            FB(e.path, gr, gn, c.nulls > 0,
+              Some(ord.min(a, b)), Some(ord.max(a, b)), allNull = false)
+          case _ => FB(e.path, gr, gn, c.nulls > 0, None, None,
+            allNull = c.nulls == e.rows && e.rows > 0)
         }
-      case None => FB(path, rows, 0L, None, None, allNull = false)
+      case None => FB(e.path, if (e.allMatch) e.rows else 0L, 0L,
+        hasNulls = true, None, None, allNull = false)
     }
-    val fbs = entries.map { case (p, r, cs) => fb(p, r, cs) }
-    // rows guaranteed at-or-above the top: nulls (when they sort first,
-    // from any kept file) plus non-null rows of files wholly ≤ t
-    val nullGuarantee = if (nullsTop) fbs.map(_.nulls).sum else 0L
+    val fbs = entries.map(fb)
+    // rows guaranteed at-or-above the top: guaranteed nulls (when they
+    // sort first) plus guaranteed non-null rows of files wholly ≤ t
+    val nullGuarantee = if (nullsTop) fbs.map(_.guarNulls).sum else 0L
     var acc = nullGuarantee
     var t: Option[Any] = None
     if (acc < limit) {
       val it = fbs.filter(_.worst.isDefined).sortBy(_.worst.get)(ord).iterator
       while (t.isEmpty && it.hasNext) {
         val f = it.next()
-        acc += f.rows - f.nulls
+        acc += f.guarRows - f.guarNulls
         if (acc >= limit) t = Some(f.worst.get)
       }
       if (t.isEmpty) return None // table can't guarantee n rows: no win
     }
     val kept = fbs.filter(f =>
-      (nullsTop && f.nulls > 0) ||
+      (nullsTop && f.hasNulls) ||
       // a provably ALL-NULL file matters only when nulls sort first
       (f.best.isEmpty && !(f.allNull && !nullsTop)) ||
       f.best.exists(b => t.exists(ord.lteq(b, _)))).map(_.path)
@@ -182,20 +201,22 @@ class TopKMetaPruneRule extends Rule[LogicalPlan] {
     val exactCap = store.spark.conf
       .getOption("spark.graft.exact.maxFiles").map(_.toLong)
       .getOrElse(200000L)
-    // per-file decidability → the kept (all-match) entries with the sort
-    // column's stats; any undecidable file declines the whole rewrite
-    val entries: Seq[(String, Long, Option[graft.store.FileStats.ColStat])] =
+    // per-file verdicts → the might-match candidates with the sort
+    // column's stats: all-match files carry their row counts into the
+    // walk's top-n guarantee; STRADDLERS (might but not must) contribute
+    // no guarantee yet stay prunable by bounds (r17 extension — a
+    // day-chunked layout's month-boundary files must not void the whole
+    // composition). The Filter survives whenever a straddler is kept.
+    val entries: Seq[TopKFileWalk.Entry] =
       if (!m.isSharded) {
         if (!m.inlineFiles.forall(m.inlineStats.contains)) return None
-        val out = Seq.newBuilder[
-          (String, Long, Option[graft.store.FileStats.ColStat])]
+        val out = Seq.newBuilder[TopKFileWalk.Entry]
         m.inlineFiles.foreach { f =>
           val st = m.usableStat(m.inlineStats(f))
-          if (graft.store.FileStats.mightMatch(st, m.schema, conjuncts)) {
-            if (!graft.store.FileStats.mustMatch(st, m.schema, conjuncts))
-              return None
-            out += ((f, st.rows, st.cols.get(colName)))
-          }
+          if (graft.store.FileStats.mightMatch(st, m.schema, conjuncts))
+            out += TopKFileWalk.Entry(f, st.rows, st.cols.get(colName),
+              allMatch = graft.store.FileStats.mustMatch(st, m.schema,
+                conjuncts))
         }
         out.result()
       } else {
@@ -204,19 +225,44 @@ class TopKMetaPruneRule extends Rule[LogicalPlan] {
             .nonEmpty) return None
         store.exactMatchMeta(m, conjuncts) match {
           case scala.Right(metas) =>
-            metas.map { case (p, r, cols) => (p, r, cols.get(colName)) }
-          case scala.Left(_) => return None
+            metas.map { case (p, r, cols) =>
+              TopKFileWalk.Entry(p, r, cols.get(colName)) }
+          case _ =>
+            // straddlers present: the exact sweep declines, so pull every
+            // file's stats through the memoized unfiltered sweep (the
+            // pushTopN fallback's bound: ≤ exactCap driver residue) and
+            // classify might/must per file here — straddlers enter the
+            // walk with their real bounds but ZERO guarantee
+            val (all, unknown) = store.hybridMatchMeta(m, Nil)
+            if (unknown.nonEmpty) return None
+            all.flatMap { case (p, r, cols) =>
+              val st = graft.store.FileStats.FileStat(0L, 0L, r, cols)
+              if (!graft.store.FileStats.mightMatch(st, m.schema, conjuncts))
+                None
+              else Some(TopKFileWalk.Entry(p, r, cols.get(colName),
+                allMatch = graft.store.FileStats.mustMatch(st, m.schema,
+                  conjuncts)))
+            }
         }
       }
-    val kept = TopKFileWalk.keep(entries, dt, desc, nullsTop, n)
+    val kept = TopKFileWalk.keepEntries(entries, dt, desc, nullsTop, n)
       .getOrElse(return None)
+    val keptSet = kept.toSet
+    val allMatchPaths = entries.filter(_.allMatch).map(_.path).toSet
+    val dropFilter = keptSet.forall(allMatchPaths)
     // re-plan the scan to exactly the walked subset (the runtime-filter
-    // replan machinery, file-list-targeted), then drop the Filter
+    // replan machinery, file-list-targeted); drop the Filter ONLY when
+    // every kept file is provably all-match (else it stays, row-exact,
+    // over the pruned scan)
     rel.scan match {
       case rp: RuntimePrunableScan if rp.pruneToFiles(kept) =>
         logInfo(s"top-$n under a decidable WHERE planned ${kept.size} of " +
-          s"${entries.size} all-match files over ${store.root}")
-        Some(rebuildChild(rel))
+          s"${entries.size} candidate files over ${store.root} " +
+          s"(filter ${if (dropFilter) "dropped" else "kept"})")
+        // the scan object mutated in place; with the Filter kept the
+        // logical child is returned unchanged (row-exact above the
+        // pruned scan)
+        Some(if (dropFilter) rebuildChild(rel) else child)
       case _ => None
     }
   }

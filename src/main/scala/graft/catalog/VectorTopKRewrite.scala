@@ -103,10 +103,16 @@ class VectorTopKRewriteRule extends Rule[LogicalPlan] {
     * tie-breaks, no predicate between the window and the join, exhaustive
     * probe by default so the serve is EXACT); additionally the window must
     * be a lone `row_number` partitioned by ONE query-side column, the join
-    * conditionless (the batch shape), and every output column must map to
-    * the partition id, an index key, the rounded cosine, or the rank —
-    * any other query-side column in the output declines (the serve cannot
-    * re-join it without duplicating the query subplan). */
+    * conditionless (the batch shape), any WHERE between the window and
+    * the join must reference ONLY corpus-side index key columns (it then
+    * rides [[graft.store.AnnIndex.topkBatch]]'s exact `keyFilter` with
+    * the per-query widening guaranteeing k-fill), the batch side must be
+    * null-vector-free (one bounded plan-time check — a null query vector
+    * would brute-rank null scores where the probe has nothing to probe),
+    * and every output column must map to the partition id, an index key,
+    * the rounded cosine, or the rank — any other query-side column in
+    * the output declines (the serve cannot re-join it without
+    * duplicating the query subplan). */
   private def rewriteBatch(cond: Expression,
       w: org.apache.spark.sql.catalyst.plans.logical.Window,
       f: Filter): Option[LogicalPlan] = {
@@ -131,9 +137,13 @@ class VectorTopKRewriteRule extends Rule[LogicalPlan] {
       case Seq(ar: AttributeReference) => ar
       case _ => return None
     }
-    // peel alias Projects below the window down to a conditionless
-    // inner/cross join of (query side, corpus scan)
+    // peel alias Projects (and deterministic subquery-free Filters — the
+    // batch analog of the r13 filtered vector query; collected conditions
+    // must later reference ONLY corpus-side index key columns) below the
+    // window down to a conditionless inner/cross join of (query side,
+    // corpus scan)
     val subst = scala.collection.mutable.Map.empty[ExprId, Expression]
+    val rawConds = scala.collection.mutable.ArrayBuffer.empty[Expression]
     var cur = w.child
     var peeling = true
     while (peeling) cur match {
@@ -146,6 +156,12 @@ class VectorTopKRewriteRule extends Rule[LogicalPlan] {
           case _ => ()
         }
         cur = c
+      case Filter(c, ch) if c.deterministic &&
+          c.find(e => e.isInstanceOf[PlanExpression[_]] ||
+            e.isInstanceOf[org.apache.spark.sql.catalyst.expressions
+              .aggregate.AggregateExpression]).isEmpty =>
+        rawConds += c
+        cur = ch
       // InferWindowGroupLimit's partial limiter is semantics-preserving
       // (it only drops rows that provably can't reach rank ≤ k) — the
       // spliced probe computes the same top-k, so peel through it
@@ -154,13 +170,27 @@ class VectorTopKRewriteRule extends Rule[LogicalPlan] {
         cur = wgl.child
       case _ => peeling = false
     }
+    // the corpus side may carry Filters the optimizer pushed below the
+    // join (a corpus-only key predicate always lands there) — peel them
+    // into the same condition pool
+    def scanSide(x: LogicalPlan)
+        : Option[(DataSourceV2ScanRelation, Seq[Expression])] = x match {
+      case s: DataSourceV2ScanRelation => Some((s, Nil))
+      case Filter(c, s: DataSourceV2ScanRelation)
+          if c.deterministic &&
+            c.find(e => e.isInstanceOf[PlanExpression[_]] ||
+              e.isInstanceOf[org.apache.spark.sql.catalyst.expressions
+                .aggregate.AggregateExpression]).isEmpty =>
+        Some((s, Seq(c)))
+      case _ => None
+    }
     val (querySide, rel) = cur match {
       case org.apache.spark.sql.catalyst.plans.logical.Join(l, r,
           org.apache.spark.sql.catalyst.plans.Cross |
           org.apache.spark.sql.catalyst.plans.Inner, None, _) =>
-        (l, r) match {
-          case (q, s: DataSourceV2ScanRelation) => (q, s)
-          case (s: DataSourceV2ScanRelation, q) => (q, s)
+        (scanSide(r), scanSide(l)) match {
+          case (Some((s, cs)), _) => rawConds ++= cs; (l, s)
+          case (_, Some((s, cs))) => rawConds ++= cs; (r, s)
           case _ => return None
         }
       case _ => return None
@@ -209,6 +239,24 @@ class VectorTopKRewriteRule extends Rule[LogicalPlan] {
     val idCols = AnnIndex.idColsFor(store, name, indexV)
     if (idCols.contains("_gq_id") || idCols.contains("_gq_vec"))
       return None
+    // peeled WHERE conditions serve from the index iff they reference
+    // ONLY corpus-side index key columns (which ride every index row
+    // verbatim — the predicate applies exactly, BEFORE the per-query
+    // rank, matching the brute plan's Filter-below-Window placement);
+    // anything else — a query-side reference included — declines
+    val idColSet = idCols.toSet
+    val keyFilter: Option[org.apache.spark.sql.Column] =
+      if (rawConds.isEmpty) None
+      else {
+        val expanded = rawConds.map(expand)
+        if (!expanded.forall(_.references.forall(r =>
+            rel.output.exists(_.exprId == r.exprId) &&
+              idColSet.contains(r.name)))) return None
+        Some(ColumnBridge.column(expanded.reduce(
+          org.apache.spark.sql.catalyst.expressions.And).transformUp {
+            case ar: AttributeReference => UnresolvedAttribute.quoted(ar.name)
+          }))
+      }
     val tail = orders.tail.map { o =>
       expand(o.child) match {
         case ar: AttributeReference
@@ -223,8 +271,17 @@ class VectorTopKRewriteRule extends Rule[LogicalPlan] {
       store.spark, Project(Seq(
         Alias(qidAttr, "_gq_id")(), Alias(qVecAttr, "_gq_vec")()),
         querySide))
+    // a NULL query vector scores null against every corpus row, and the
+    // brute rank window still NUMBERS those rows (row_number over a
+    // nulls-last order emits k arbitrary-keyed rows with null cos) — the
+    // probe has no cells to probe for it, so the outputs would diverge.
+    // One bounded plan-time pass over the batch side declines the splice
+    // when any null vector exists (the scan then answers, nulls and all).
+    if (qVecAttr.nullable &&
+      qDf.filter(col("_gq_vec").isNull).limit(1).count() > 0) return None
     val rep = AnnIndex.topkBatch(store, name, qDf, "_gq_id", "_gq_vec",
-      k, nProbe = nProbe, indexVersion = indexV, widenToFill = true)
+      k, nProbe = nProbe, indexVersion = indexV, keyFilter = keyFilter,
+      widenToFill = true)
     // align every output column of the matched Filter: the partition id,
     // an index key, the rounded cosine, or the rank — else decline
     val sortKey = expand(orders.head.child)

@@ -196,6 +196,21 @@ object ShardScale {
         "WHERE month(ts) = 3")
       require(df.head().getLong(0) == 49600L)
     }
+    // r17: top-k COMPOSED with the periodic WHERE (TopKMetaPruneRule —
+    // the walk prunes to the guaranteeing chunks + reachable straddlers;
+    // the Filter stays row-exact above the pruned scan)
+    timed("ORDER BY ts LIMIT 10 WHERE month(ts) = 3 (topk × periodic)") {
+      val df = spark.sql(s"SELECT v, ts FROM $tsTbl " +
+        "WHERE month(ts) = 3 ORDER BY ts ASC LIMIT 10")
+      require(df.count() == 10)
+      val planned = "FileIndex\\((\\d+) paths\\)".r
+        .findFirstMatchIn(df.queryExecution.executedPlan.toString)
+        .map(_.group(1).toLong).getOrElse(-1L)
+      println(s"[scale] topk × periodic: planned=$planned of ${tm.nFiles}")
+      require(planned >= 1 && planned <= 12,
+        s"the top-10 walk must plan only the guaranteeing chunk(s) + " +
+          s"straddlers, got $planned")
+    }
     timed("GROUP BY month(ts) dashboard (periodic group keys)") {
       val df = spark.sql(s"SELECT month(ts) AS mo, COUNT(*) AS n " +
         s"FROM $tsTbl GROUP BY month(ts) ORDER BY mo")

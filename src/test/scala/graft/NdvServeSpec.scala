@@ -150,6 +150,50 @@ class NdvServeSpec extends SparkSuite {
       Seq((0L, 38L), (1L, 38L), (2L, 37L), (3L, 37L)))
   }
 
+  test("per-group NDV under a file-DECIDABLE WHERE (r17): no-match " +
+      "chunks are excluded from every group (the consumed-exact-pushdown " +
+      "branch); a WHERE-straddling chunk declines (residual branch)") {
+    val store = new TableStore(spark, s"$warehouse/analytics/ndvgw")
+    // 8 files: seg 0..3 × k-halves [0,200) / [200,400) — the group key
+    // AND the WHERE column are both chunk-decidable
+    val base = (0 until 400).map { k =>
+      (k.toLong, (k % 4).toLong, k % 37)
+    }.toDF("k", "seg", "m37")
+    var first = true
+    for (h <- 0 to 1; i <- 0 to 3) {
+      val chunk = base.filter(col("seg") === i &&
+        (if (h == 0) col("k") < 200 else col("k") >= 200)).coalesce(1)
+      if (first) { store.commitSnapshot(chunk); first = false }
+      else store.commitAppend(chunk)
+    }
+    spark.conf.set("spark.graft.analyze.ndvGroupCols", "m37")
+    try spark.sql("CALL ndv_cat.system.analyze_table('analytics.ndvgw')")
+    finally spark.conf.unset("spark.graft.analyze.ndvGroupCols")
+    spark.catalog.refreshTable("ndv_cat.analytics.ndvgw")
+    // k < 200 is EXACTLY decidable (low halves all-match, high halves
+    // no-match) — pushFilters consumes it whole, the serve reads the
+    // consumed conjuncts back and excludes the high-half chunks
+    val q = spark.sql("SELECT seg, approx_count_distinct(m37) AS a, " +
+      "COUNT(*) AS n FROM ndv_cat.analytics.ndvgw WHERE k < 200 " +
+      "GROUP BY seg ORDER BY seg")
+    assert(NdvServe.servedGroup(q),
+      s"filtered per-group serve expected:\n${q.queryExecution.optimizedPlan}")
+    // per seg: 50 k-values under 200, stepping 4 — all 37 residues hit
+    assert(q.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      (0L to 3L).map(s => (s, 37L, 50L)),
+      s"filtered per-group results diverged: ${q.collect().toSeq}")
+    // k < 100 straddles every low-half chunk: the serve must DECLINE and
+    // the ordinary scan answers exactly
+    val strad = spark.sql("SELECT seg, approx_count_distinct(m37) AS a, " +
+      "COUNT(*) AS n FROM ndv_cat.analytics.ndvgw WHERE k < 100 " +
+      "GROUP BY seg ORDER BY seg")
+    assert(!NdvServe.servedGroup(strad),
+      "a WHERE-straddling chunk must decline the per-group serve")
+    assert(strad.collect().map(r =>
+      (r.getLong(0), r.getLong(2))).toSeq == (0L to 3L).map(s => (s, 25L)))
+  }
+
   test("per-group NDV on the SHARDED tier: the proof sweep and the " +
       "sketch merge both run distributed; incremental analyze carries " +
       "the per-file sidecar forward") {

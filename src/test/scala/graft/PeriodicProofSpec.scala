@@ -205,6 +205,36 @@ class PeriodicProofSpec extends SparkSuite {
     assert(df.collect().map(_.getLong(0)).toSeq == (31L to 35L))
   }
 
+  test("topk × periodic composition TOLERATES straddlers (r17): on the " +
+      "boundary-cut layout the Filter stays and the walk prunes to the " +
+      "guaranteeing chunk plus the reachable straddler") {
+    // same cuts as the enumeration test: files [0,25) [25,40) [40,50)
+    // [50,70) [70,100) [100,120); month = 2 ⇔ k ∈ [31, 59)
+    val st = new TableStore(spark, s"$warehouse/analytics/pert")
+    if (st.currentVersion() < 0) {
+      val base = (0 until 120).map(k =>
+        (k.toLong, k.toLong * 3)).toDF("k", "v").withColumn("ts",
+        date_add(lit("2021-01-01").cast("date"), col("k").cast("int"))
+          .cast("timestamp"))
+      val cuts = Seq(0, 25, 40, 50, 70, 100, 120)
+      st.commitSnapshot(base.filter(col("k") < cuts(1)).coalesce(1))
+      (1 until 6).foreach(i => st.commitAppend(base.filter(
+        col("k") >= cuts(i) && col("k") < cuts(i + 1)).coalesce(1)))
+      st.analyze()
+    }
+    spark.catalog.refreshTable("per_cat.analytics.pert")
+    // candidates: [25,40) straddles (Feb rows 31..39), [40,50) all-Feb
+    // (the 10-row guarantee → t = 49), [50,70) straddles but best = 50
+    // > t — pruned. Planned: 2 of 6 files, Filter retained (row-exact).
+    val df = parity("SELECT k, v FROM per_cat.analytics.pert " +
+      "WHERE month(ts) = 2 ORDER BY k ASC LIMIT 5")
+    assert(planned(df) == 2,
+      s"top-5 under the straddled periodic WHERE must plan 2 files " +
+        s"(guaranteeing chunk + reachable straddler), " +
+        s"planned ${planned(df)}")
+    assert(df.collect().map(_.getLong(0)).toSeq == (31L to 35L))
+  }
+
   test("sub-day granularity proofs over INSTANT timestamps are gated on " +
       "a fixed-offset zone (ADVICE r16): a DST zone declines the " +
       "constancy proof; UTC and NTZ keep it; day-level trunc over " +

@@ -260,6 +260,36 @@ class VectorRewriteSpec extends SparkSuite {
       finally spark.conf.unset("spark.graft.ann.rewrite")
     assert(got == brute,
       s"batch serve must match brute force:\ngot   $got\nbrute $brute")
+    // KEY-FILTERED batch (r17): a corpus-key predicate — pushed below the
+    // join by the optimizer — rides topkBatch's exact keyFilter; at the
+    // exhaustive probe the filtered serve equals brute force bit-for-bit
+    val fsql =
+      """WITH scored AS (
+        |  SELECT q.q_id, t.vec_id,
+        |    round(graft_cosine(t.embedding, q.qv), 6) AS cos_sim
+        |  FROM vrq q CROSS JOIN vr_cat.analytics.vecb t
+        |  WHERE t.vec_id % 2 = 0),
+        |ranked AS (
+        |  SELECT q_id, vec_id, cos_sim,
+        |    ROW_NUMBER() OVER (PARTITION BY q_id
+        |      ORDER BY cos_sim DESC, vec_id ASC) AS rank
+        |  FROM scored)
+        |SELECT q_id, rank, vec_id, cos_sim FROM ranked WHERE rank <= 3
+        |ORDER BY q_id ASC NULLS FIRST, rank ASC NULLS FIRST""".stripMargin
+    val fServed = spark.sql(fsql)
+    assert(VectorTopKRewrite.served(fServed),
+      s"key-filtered batch rewrite expected:\n" +
+        s"${fServed.queryExecution.optimizedPlan}")
+    val fGot = fServed.collect().map(r =>
+      (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(fGot.forall(_._3 % 2 == 0), "keyFilter must be exact")
+    spark.conf.set("spark.graft.ann.rewrite", "false")
+    val fBrute = try spark.sql(fsql).collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSeq
+      finally spark.conf.unset("spark.graft.ann.rewrite")
+    assert(fGot == fBrute,
+      s"filtered batch serve must match brute force:\n" +
+        s"got   $fGot\nbrute $fBrute")
     // stale index: an append the index has not replayed declines the serve
     store.commitAppend(corpus(4).withColumn("vec_id",
       col("vec_id") + 5000L).coalesce(1))
