@@ -215,15 +215,15 @@ class NdvServeRule extends Rule[LogicalPlan] {
   private def rewriteGrouped(agg: Aggregate): Option[LogicalPlan] = {
     import org.apache.spark.sql.functions.{col => fcol, element_at, lit, sum => fsum, when, hll_union_agg, hll_sketch_estimate, date_from_unix_date, timestamp_micros}
     import org.apache.spark.sql.types._
-    val gAttr = agg.groupingExpressions match {
-      case Seq(ar: AttributeReference) => ar
+    val gRaw = agg.groupingExpressions match {
+      case Seq(e) => e
       case _ => return None
     }
     // acceptExactPushed: unlike the view serves, this arm re-reads the
     // CONSUMED predicate from the registry below and re-classifies files
     // with it (the HybridMetaAgg pattern), so the restricted file subset
     // stays sound
-    val (rel, residual, _) =
+    val (rel, residual, subst) =
       AggViewRewrite.peelScan(agg.child, acceptExactPushed = true) match {
         case Some(x) => x
         case None => return None
@@ -272,17 +272,30 @@ class NdvServeRule extends Rule[LogicalPlan] {
       if (!okc || t.exists(_.isInstanceOf[PlanExpression[_]])) return None
       t
     }
-    // the group attr must BE a scan output column (exprId-anchored): a
+    // the grouping may be a bare column OR a whitelisted expression
+    // chain over one (r17 session 2: `GROUP BY month(ts)` — the
+    // time-cardinality dashboard): classify it through the shared
+    // [[graft.store.ExprBounds]] classifier; per-file constancy proofs
+    // below mirror the hybrid rule's (constant input / monotone
+    // E(min)==E(max) / granularity P(min)==P(max))
+    val gExpanded = gRaw.transformUp {
+      case ar: AttributeReference => subst.getOrElse(ar.exprId, ar)
+    }
+    val gChain = graft.store.ExprBounds.classify(gExpanded)
+      .getOrElse(return None)
+    val gBase = gChain.base
+    // the chain's base must BE a scan output column (exprId-anchored): a
     // Project alias that merely shares a base column's NAME must not
     // masquerade as it
-    if (!rel.output.exists(o => o.exprId == gAttr.exprId &&
-      o.name == gAttr.name)) return None
-    if (!baseCols.contains(gAttr.name) ||
-      m.droppedCols.contains(gAttr.name)) return None
-    val gdt = m.schema(gAttr.name).dataType
-    // the group key must decode from its stat encoding back to the exact
-    // column value (TimestampNTZ declines: micros → NTZ has no
-    // session-independent SQL constructor)
+    if (!rel.output.exists(o => o.exprId == gBase.exprId &&
+      o.name == gBase.name)) return None
+    if (!baseCols.contains(gBase.name) ||
+      m.droppedCols.contains(gBase.name) ||
+      m.schema(gBase.name).dataType != gBase.dataType) return None
+    val gdt = gExpanded.dataType
+    // the group key must round-trip through a string encoding back to
+    // the exact value (TimestampNTZ declines: micros → NTZ has no
+    // session-independent SQL constructor; float/bool never classify)
     val decodable = gdt match {
       case ByteType | ShortType | IntegerType | LongType | DateType |
            TimestampType | StringType => true
@@ -334,17 +347,60 @@ class NdvServeRule extends Rule[LogicalPlan] {
 
     val sp = store.spark
     // proof sweep: one row per live NON-EMPTY file — (marked-at-gen,
-    // group-provable, group key's stat encoding or null, rows, non-null
-    // counts per COUNT column; ok=false on anything unprovable). Driver
-    // rows on the inline tier (bounded by the inline threshold), one
-    // distributed map over the shard rows otherwise.
-    val gname = gAttr.name
+    // group-provable, group KEY's string encoding or null, rows,
+    // non-null counts per COUNT column; ok=false on anything
+    // unprovable). Driver rows on the inline tier (bounded by the
+    // inline threshold), one distributed map over the shard rows
+    // otherwise.
+    val gname = gBase.name
+    val gBaseDt = gBase.dataType
+    val gExprRef = gExpanded
+    val gMonotone = gChain.monotone
+    val gGran = gChain.gran
     val cnts = cntCols.toArray
     val gen = gstate.gen
     val marker = graft.store.TableStore.NdvMarker
     val dropped = m.droppedCols.toSet
     val schemaRef = m.schema
     val condsRef = conjuncts
+    // one proven key, ENCODED canonically (ints/micros/days via
+    // toString, strings verbatim, decimals via Decimal.toString — equal
+    // values encode equally, so string groupBy == value groupBy)
+    def encodeKey(v: Any): String = v match {
+      case null => null
+      case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+      case d: org.apache.spark.sql.types.Decimal => d.toString
+      case other => other.toString
+    }
+    // Some(encoded-or-null) when the file's key is PROVEN (the hybrid
+    // rule's three proofs); None = unprovable
+    def keyOf(rows: Long, cs: Map[String, graft.store.FileStats.ColStat])
+        : Option[String] = {
+      val c = cs.getOrElse(gname, return None)
+      if (c.nulls >= rows && rows > 0) return Some(null) // NULL group
+      if (c.nulls != 0 || c.min.isEmpty || c.max.isEmpty) return None
+      val lo = graft.store.FileStats.parseBound(c.min.get, gBaseDt)
+      def ev(v: Any): Option[Any] =
+        graft.store.ExprBounds.evalOn(gExprRef, gBaseDt, v)
+      if (c.min == c.max) ev(lo).map(encodeKey)
+      else if (gMonotone) {
+        val hi = graft.store.FileStats.parseBound(c.max.get, gBaseDt)
+        (ev(lo), ev(hi)) match {
+          case (Some(kl), Some(kh)) if kl != null && kl == kh =>
+            Some(encodeKey(kl))
+          case _ => None
+        }
+      } else gGran match {
+        case Some(gr) =>
+          val hi = graft.store.FileStats.parseBound(c.max.get, gBaseDt)
+          val pl = graft.store.ExprBounds
+            .evalOn(gr.proof, gBaseDt, lo).filter(_ != null)
+          val ph = graft.store.ExprBounds
+            .evalOn(gr.proof, gBaseDt, hi).filter(_ != null)
+          if (pl.isDefined && pl == ph) ev(lo).map(encodeKey) else None
+        case None => None
+      }
+    }
     def proofOf(rows: Long, raw: Map[String, graft.store.FileStats.ColStat])
         : (Boolean, Boolean, Boolean, String, Seq[Long]) = {
       val marked = raw.get(marker).exists(_.nulls == gen)
@@ -369,11 +425,9 @@ class NdvServeRule extends Rule[LogicalPlan] {
         }
         i += 1
       }
-      val gk: String = cs.get(gname) match {
-        case Some(c) if c.nulls >= rows && rows > 0 => null // NULL group
-        case Some(c) if c.nulls == 0 && c.min.isDefined &&
-            c.min == c.max => c.min.get
-        case _ => ok = false; null
+      val gk: String = keyOf(rows, cs) match {
+        case Some(k) => k
+        case None => ok = false; null
       }
       (marked, ok, false, gk, nn.toSeq)
     }
@@ -471,7 +525,7 @@ class NdvServeRule extends Rule[LogicalPlan] {
                 case i => org.apache.spark.sql.catalyst.analysis
                   .UnresolvedAttribute(targetCol(targets(i)))
               }
-            case ar: AttributeReference if ar.exprId == gAttr.exprId =>
+            case e if e.semanticEquals(gRaw) =>
               org.apache.spark.sql.catalyst.analysis
                 .UnresolvedAttribute("_g_key")
           }

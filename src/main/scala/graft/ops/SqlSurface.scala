@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.functions.{col, lit, when, year}
+import org.apache.spark.sql.functions.{col, lit, month, when, year}
 
 import graft.Tables.load
 import graft.catalog.GraftCatalog
@@ -681,6 +681,44 @@ object SqlSurface {
          |ORDER BY seg ASC NULLS FIRST""".stripMargin)
     require(graft.catalog.NdvServe.servedGroup(out),
       s"per-group NDV must serve from the per-file sketch sidecar:\n" +
+        s"${out.queryExecution.optimizedPlan}\n" +
+        s"read: ${out.inputFiles.mkString(",")}")
+    out
+  }
+
+  /** PER-GROUP NDV over an EXPRESSION key
+    * (`sql_agg_metadata_ndv_group_expr`, r17 session 2): the
+    * time-cardinality dashboard — `GROUP BY month(dt)` +
+    * `approx_count_distinct` — on a calendar-month-chunked ingest. The
+    * granularity proof (bounds inside one calendar month pin `month()`
+    * constant) assigns each file its group, the per-file sketches merge
+    * per month, and zero data files scan. DuckDB recomputes the exact
+    * counts (cardinalities below set mode). */
+  private val sqlAggMetadataNdvGroupExpr: Q = (s, d) => {
+    val cat = catalogFor(s, d)
+    val wh = warehouseFor(d)
+    val store = new TableStore(s, s"$wh/analytics/orders_ndvgm")
+    if (store.currentVersion() < 0) {
+      val base = load(s, d, "orders")
+        .filter(year(col("o_orderdate")) === 1995)
+        .select(col("o_orderdate").as("od"),
+          (col("o_custkey") % 100).as("cust_n"))
+      store.commitSnapshot(base.filter(month(col("od")) === 1).coalesce(1))
+      (2 to 12).foreach(i =>
+        store.commitAppend(base.filter(month(col("od")) === i).coalesce(1)))
+      s.conf.set("spark.graft.analyze.ndvGroupCols", "cust_n")
+      try s.sql(s"CALL $cat.system.analyze_table('analytics.orders_ndvgm')")
+      finally s.conf.unset("spark.graft.analyze.ndvGroupCols")
+    }
+    s.catalog.refreshTable(s"$cat.analytics.orders_ndvgm")
+    val out = s.sql(
+      s"""SELECT month(od) AS mo, approx_count_distinct(cust_n) AS ndv_c,
+         |  COUNT(*) AS n_rows
+         |FROM $cat.analytics.orders_ndvgm
+         |GROUP BY month(od)
+         |ORDER BY mo ASC NULLS FIRST""".stripMargin)
+    require(graft.catalog.NdvServe.servedGroup(out),
+      s"month() per-group NDV must serve from the sketch sidecar:\n" +
         s"${out.queryExecution.optimizedPlan}\n" +
         s"read: ${out.inputFiles.mkString(",")}")
     out
@@ -2371,6 +2409,7 @@ object SqlSurface {
     "sql_agg_metadata_string" -> sqlAggMetadataString,
     "sql_agg_metadata_ndv" -> sqlAggMetadataNdv,
     "sql_agg_metadata_ndv_group" -> sqlAggMetadataNdvGroup,
+    "sql_agg_metadata_ndv_group_expr" -> sqlAggMetadataNdvGroupExpr,
     "sql_agg_metadata_string_sharded" -> sqlAggMetadataStringSharded,
     "sql_agg_metadata_string_group" -> sqlAggMetadataStringGroup,
     "sql_topk_string" -> sqlTopkString,
@@ -2776,6 +2815,14 @@ object SqlSurface {
         |             ELSE o_custkey % 50 END) AS cnt_c,
         |  COUNT(*) AS n_rows
         |FROM orders""".stripMargin,
+
+    "sql_agg_metadata_ndv_group_expr" ->
+      """SELECT CAST(month(o_orderdate) AS INT) AS mo,
+        |  COUNT(DISTINCT o_custkey % 100) AS ndv_c,
+        |  COUNT(*) AS n_rows
+        |FROM orders WHERE year(o_orderdate) = 1995
+        |GROUP BY 1
+        |ORDER BY mo ASC NULLS FIRST""".stripMargin,
 
     "sql_agg_metadata_ndv_group" ->
       """SELECT o_orderkey % 4 AS seg,

@@ -36,11 +36,8 @@ class AnalyzeSpec extends SparkSuite {
   private def decEq(got: java.math.BigDecimal, want: BigDecimal): Boolean =
     got.compareTo(want.bigDecimal) == 0
 
-  private def zeroScan(df: org.apache.spark.sql.DataFrame): Boolean = {
-    val plan = df.queryExecution.executedPlan.toString
-    (plan.contains("graft-manifest-agg") || plan.contains("LocalTableScan")) &&
-      !plan.contains("Parquet")
-  }
+  private def zeroScan(df: org.apache.spark.sql.DataFrame): Boolean =
+    graft.util.PlanScans.metadataOnly(df) // structural, r17 hygiene
 
   test("inline tier: analyze records sums; SUM serves zero-scan and exact " +
       "(NULLs skipped, decimal exact), and a commit-without-analyze declines") {

@@ -95,10 +95,9 @@ class DerivativeSoakSpec extends SparkSuite {
       spark.catalog.refreshTable("soak_cat.analytics.fact")
       val sumDf = spark.sql(
         "SELECT SUM(amt) AS s, COUNT(*) AS c FROM soak_cat.analytics.fact")
-      val sumPlan = sumDf.queryExecution.executedPlan.toString
-      assert(!sumPlan.contains("Parquet"),
+      assert(graft.util.PlanScans.metadataOnly(sumDf),
         s"epoch $epoch: post-cadence SUM must serve from analyzed stats:\n" +
-          sumPlan)
+          sumDf.queryExecution.executedPlan)
       val sumRow = sumDf.collect().head
       val expect = factNow().agg(sum("amt"), count(lit(1))).collect().head
       assert(sumRow.getLong(0) == expect.getLong(0) &&

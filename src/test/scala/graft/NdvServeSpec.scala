@@ -194,6 +194,48 @@ class NdvServeSpec extends SparkSuite {
       (r.getLong(0), r.getLong(2))).toSeq == (0L to 3L).map(s => (s, 25L)))
   }
 
+  test("per-group NDV over an EXPRESSION key (r17): GROUP BY month(ts) " +
+      "serves from the granularity proof on the month-chunked layout; " +
+      "an unchunked layout declines with exact fallback") {
+    val store = new TableStore(spark, s"$warehouse/analytics/ndvgm")
+    val base = (0 until 120).map(k => (k.toLong, k % 13)).toDF("k", "v")
+      .withColumn("ts",
+        date_add(lit("2021-01-01").cast("date"), col("k").cast("int"))
+          .cast("timestamp"))
+    store.commitSnapshot(base.filter(month(col("ts")) === 1).coalesce(1))
+    (2 to 4).foreach(i =>
+      store.commitAppend(base.filter(month(col("ts")) === i).coalesce(1)))
+    spark.conf.set("spark.graft.analyze.ndvGroupCols", "v")
+    try spark.sql("CALL ndv_cat.system.analyze_table('analytics.ndvgm')")
+    finally spark.conf.unset("spark.graft.analyze.ndvGroupCols")
+    spark.catalog.refreshTable("ndv_cat.analytics.ndvgm")
+    val q = spark.sql("SELECT month(ts) AS mo, " +
+      "approx_count_distinct(v) AS a, COUNT(*) AS n " +
+      "FROM ndv_cat.analytics.ndvgm GROUP BY month(ts) ORDER BY mo")
+    assert(NdvServe.servedGroup(q),
+      s"expression-key per-group serve expected:\n" +
+        s"${q.queryExecution.optimizedPlan}")
+    // every month holds ≥ 28 consecutive k — all 13 v-residues hit
+    assert(q.collect().map(r =>
+        (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1, 13L, 31L), (2, 13L, 28L), (3, 13L, 31L), (4, 13L, 30L)),
+      s"expression-key results diverged: ${q.collect().toSeq}")
+    // an UNCHUNKED layout (both files span all months) declines
+    val st2 = new TableStore(spark, s"$warehouse/analytics/ndvgm2")
+    st2.commitSnapshot(base.filter(col("k") % 2 === 0).coalesce(1))
+    st2.commitAppend(base.filter(col("k") % 2 === 1).coalesce(1))
+    spark.conf.set("spark.graft.analyze.ndvGroupCols", "v")
+    try spark.sql("CALL ndv_cat.system.analyze_table('analytics.ndvgm2')")
+    finally spark.conf.unset("spark.graft.analyze.ndvGroupCols")
+    spark.catalog.refreshTable("ndv_cat.analytics.ndvgm2")
+    val strad = spark.sql("SELECT month(ts) AS mo, " +
+      "approx_count_distinct(v) AS a FROM ndv_cat.analytics.ndvgm2 " +
+      "GROUP BY month(ts) ORDER BY mo")
+    assert(!NdvServe.servedGroup(strad),
+      "month-straddling files must decline the expression-key serve")
+    assert(strad.collect().map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4))
+  }
+
   test("per-group NDV on the SHARDED tier: the proof sweep and the " +
       "sketch merge both run distributed; incremental analyze carries " +
       "the per-file sidecar forward") {
