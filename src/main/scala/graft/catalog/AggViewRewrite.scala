@@ -457,9 +457,14 @@ class AggViewRewriteRule extends Rule[LogicalPlan] {
     // ---- assemble over the view store ---------------------------------
     val viewConds = conds.map(toViewExpr)
     if (viewConds.exists(_.isEmpty)) return None
+    // reuse token for the tail memo: the consuming Aggregate's output
+    // exprIds — stable across re-plannings of one analyzed tree, distinct
+    // for any other aggregate, so the memoized subplan is never spliced
+    // twice into one plan (see MaterializedAgg.storedPlusTail)
+    val reuseTok = agg.aggregateExpressions.map(_.exprId.id).mkString(",")
     val raw0 = serve match {
       case AggViewRewrite.ServeTail(toV) =>
-        MaterializedAgg.storedPlusTail(store, vm, toV) match {
+        MaterializedAgg.storedPlusTail(store, vm, toV, reuseTok) match {
           case Some(df) => df
           case None => return None // MIN/MAX view not tail-serveable
         }
@@ -495,7 +500,7 @@ class AggViewRewriteRule extends Rule[LogicalPlan] {
       val compRaw = serve match {
         case AggViewRewrite.ServeTail(toV) =>
           // companions track no extrema — always tail-serveable
-          MaterializedAgg.storedPlusTail(store, cm, toV).get
+          MaterializedAgg.storedPlusTail(store, cm, toV, reuseTok).get
         case AggViewRewrite.ServeJoinDelta(pre, post, _) =>
           MaterializedAgg.storedPlusDelta(store, cm, pre, post)
         case AggViewRewrite.ServeStored => MaterializedAgg

@@ -174,6 +174,15 @@ class JoinViewRewriteRule extends Rule[LogicalPlan] {
     }
     val lm = factE.fold(t => t._1.viewStore.manifest(t._1.viewVersion),
       _.table.graftManifest)
+    // memo reuse token (see MaterializedJoin.tailMemo): the matched scans'
+    // RELATION attrs — created at analysis, so stable across re-plannings
+    // of one analyzed tree, and fresh per occurrence after self-join
+    // dedup, so a memoized splice can never land twice in one plan. The
+    // plan's own output is NOT usable here: column pruning inserts
+    // optimizer-fresh aliases that change ids on every planning.
+    val reuseTok = (factE.fold(_ => Seq.empty[Long],
+        s => s.rel.output.map(_.exprId.id)) ++
+      legs.flatMap(_.rel.output.map(_.exprId.id))).mkString(",")
     val factIds: Set[ExprId] = factE.fold(
       { case (_, conds, subst) =>
         (factPlan.output.map(_.exprId) ++
@@ -305,7 +314,8 @@ class JoinViewRewriteRule extends Rule[LogicalPlan] {
             case (i, d2) if d2 eq d => legs(i).table.graftManifest.version
           }.get)
           val t = MaterializedJoin.storedPlusDeltaJoin(lStore, vm,
-            info.pre, info.post, info.keys, toRs)
+            info.pre, info.post, info.keys, toRs,
+            reuseTok)
           if (t.isEmpty) dbg(s"tail-over-tail: '${vm.name}' declined " +
             "(drift/expired dim snapshot/off-watermark index)")
           t.flatMap(tl =>
@@ -381,7 +391,7 @@ class JoinViewRewriteRule extends Rule[LogicalPlan] {
             case (i, d2) if d2 eq d => legs(i).table.graftManifest.version
           }.get)
           val t = MaterializedJoin.storedPlusTail(lStore, vm, lm.version,
-            toRs)
+            toRs, reuseTok)
           if (t.isEmpty) dbg(s"tail: '${vm.name}' not tail-serveable " +
             "(drift/expired span/map column/off-watermark index)")
           t.flatMap(tl =>

@@ -814,7 +814,63 @@ object MaterializedJoin {
     * Returns the same [[Tail]] contract, so a further level (or a stacked
     * aggregate) composes again. None = schema/layout drift or an expired
     * dim snapshot — decline, never fail. */
+  /** ONE spliced Tail per content-unique span and consuming node — the
+    * exact contract of [[MaterializedAgg.storedPlusTail]]'s memo (which see
+    * for the safety argument): `reuseToken` carries the consuming plan's
+    * output exprIds (stable across re-plannings of one analyzed tree,
+    * distinct per node, so a memoized subplan is never spliced twice into
+    * one plan; empty = no memo); keys pin the store epochs and scanned
+    * versions, so recreated tables and new commits can never false-hit;
+    * the bag rides the registry under the fact's memoKey, so any commit to
+    * the fact or a store nested under it (view, index) drops it. Dim
+    * stores live under their own roots, but a dim key pins (epoch,
+    * version) whose manifest content is immutable — a NEW dim commit
+    * changes the scanned version upstream, never this one's content.
+    * Branch stores skip the memo. */
+  private def tailMemo(l: TableStore, fullKey: String)(
+      compute: => Option[Tail]): Option[Tail] = {
+    if (fullKey.isEmpty || l.memoKey.contains('#')) return compute
+    val bag = TableStore.registryGet("jointail", l.memoKey) match {
+      case m: java.util.concurrent.ConcurrentHashMap[String @unchecked,
+          Option[Tail] @unchecked] => m
+      case _ =>
+        val m = new java.util.concurrent.ConcurrentHashMap[String,
+          Option[Tail]]()
+        TableStore.registryPut("jointail", l.memoKey, m)
+        m
+    }
+    bag.get(fullKey) match {
+      case null =>
+        if (sys.env.contains("GRAFT_MEMO_DEBUG"))
+          System.err.println(s"[tailMemo] MISS $fullKey")
+        val r = compute
+        bag.put(fullKey, r)
+        r
+      case r =>
+        if (sys.env.contains("GRAFT_MEMO_DEBUG"))
+          System.err.println(s"[tailMemo] HIT  $fullKey")
+        r
+    }
+  }
+
+  private def dimEpochKey(spark: org.apache.spark.sql.SparkSession,
+      vm: ViewMeta, toRs: Seq[Long]): String =
+    vm.dims.zip(toRs).map { case (d, toR) =>
+      new TableStore(spark, d.rRoot).epochMemoKey + "@" + toR
+    }.mkString(";")
+
   private[graft] def storedPlusDeltaJoin(l: TableStore, vm: ViewMeta,
+      pre: DataFrame, post: DataFrame, keys: DataFrame,
+      toRs: Seq[Long], reuseToken: String = ""): Option[Tail] =
+    tailMemo(l, if (reuseToken.isEmpty) "" else Seq(reuseToken,
+      l.epochMemoKey, vm.name, vm.viewVersion, vm.lVersion,
+      dimEpochKey(l.spark, vm, toRs), System.identityHashCode(pre),
+      System.identityHashCode(post), System.identityHashCode(keys),
+      System.identityHashCode(l.spark), l.sessionEvalKey).mkString("|")) {
+      storedPlusDeltaJoinImpl(l, vm, pre, post, keys, toRs)
+    }
+
+  private def storedPlusDeltaJoinImpl(l: TableStore, vm: ViewMeta,
       pre: DataFrame, post: DataFrame, keys: DataFrame,
       toRs: Seq[Long]): Option[Tail] = {
     val st = viewStore(l, vm.name)
@@ -962,6 +1018,15 @@ object MaterializedJoin {
       post: DataFrame, keys: DataFrame)
 
   private[graft] def storedPlusTail(l: TableStore, vm: ViewMeta,
+      toL: Long, toRs: Seq[Long], reuseToken: String = ""): Option[Tail] =
+    tailMemo(l, if (reuseToken.isEmpty) "" else Seq(reuseToken,
+      l.epochMemoKey, vm.name, vm.viewVersion, vm.lVersion, toL,
+      dimEpochKey(l.spark, vm, toRs),
+      System.identityHashCode(l.spark), l.sessionEvalKey).mkString("|")) {
+      storedPlusTailImpl(l, vm, toL, toRs)
+    }
+
+  private def storedPlusTailImpl(l: TableStore, vm: ViewMeta,
       toL: Long, toRs: Seq[Long]): Option[Tail] = {
     val st = viewStore(l, vm.name)
     val vm0 = st.manifest(vm.viewVersion)

@@ -1,22 +1,28 @@
 package graft.tools
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.scheduler.SparkListener
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ui.{SparkListenerSQLExecutionEnd, SparkListenerSQLExecutionStart}
 
 import scala.collection.mutable
 
-/** Dev-only: job-level wall-time attribution for named SparkEntry queries.
+/** Dev-only: SQL-execution-level wall-time attribution for named SparkEntry
+  * queries.
   *
   * The lifecycle fixtures (sql_join_pyramid & co) spend their bench seconds
-  * across dozens of Spark jobs — commits, refreshes, require() probes, the
+  * across dozens of Spark actions — commits, refreshes, require() probes, the
   * final query. This runs a query twice (min-of-2, like the bench) under a
-  * listener that records every job's duration and call site, then prints the
-  * jobs of the FASTER run sorted by cost plus the driver-side gap (wall time
-  * not covered by any job = planning / footer I/O / manifest JSON).
+  * listener that records every SQL execution's duration and call site
+  * (the execution description IS the action call site, e.g. "parquet at
+  * TableStore.scala:1319"), then prints the executions of the FASTER run
+  * sorted by cost, an aggregation by site, and the driver-side gap (wall
+  * time covered by no execution = planning, footer I/O, manifest JSON, FS
+  * listing). Executions can overlap, so the gap is computed on the merged
+  * execution-interval union, not the plain sum.
   */
 object ProfJobs {
-  private final case class JobRec(id: Int, start: Long, var end: Long,
-      site: String, desc: String)
+  private final case class ExecRec(id: Long, start: Long, var end: Long,
+      site: String)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -33,39 +39,57 @@ object ProfJobs {
       graft.Tables.load(spark, sfDir, t).limit(1).count())
 
     args.foreach { name =>
-      val runs = (1 to 2).map { i =>
-        val jobs = mutable.LinkedHashMap[Int, JobRec]()
+      val runs = (1 to 2).map { _ =>
+        val execs = mutable.LinkedHashMap[Long, ExecRec]()
         val listener = new SparkListener {
-          override def onJobStart(j: SparkListenerJobStart): Unit = {
-            val site = Option(j.properties)
-              .flatMap(p => Option(p.getProperty("callSite.short")))
-              .getOrElse("?")
-            val desc = Option(j.properties)
-              .flatMap(p => Option(p.getProperty("spark.job.description")))
-              .getOrElse("")
-            jobs.synchronized {
-              jobs(j.jobId) = JobRec(j.jobId, j.time, -1L, site, desc)
+          override def onOtherEvent(
+              e: org.apache.spark.scheduler.SparkListenerEvent): Unit =
+            e match {
+              case s: SparkListenerSQLExecutionStart =>
+                execs.synchronized {
+                  execs(s.executionId) =
+                    ExecRec(s.executionId, s.time, -1L, s.description)
+                }
+              case s: SparkListenerSQLExecutionEnd =>
+                execs.synchronized {
+                  execs.get(s.executionId).foreach(_.end = s.time)
+                }
+              case _ => ()
             }
-          }
-          override def onJobEnd(j: SparkListenerJobEnd): Unit =
-            jobs.synchronized { jobs.get(j.jobId).foreach(_.end = j.time) }
         }
         spark.sparkContext.addSparkListener(listener)
         val t0 = System.nanoTime()
         val rows = graft.SparkEntry.queries(name)(spark, sfDir).count()
         val wall = (System.nanoTime() - t0) / 1e9
+        // give the listener bus a beat so end events land before we snapshot
+        Thread.sleep(300)
         spark.sparkContext.removeSparkListener(listener)
         spark.catalog.clearCache()
-        (wall, rows, jobs.values.toSeq)
+        (wall, rows, execs.values.toSeq)
       }
-      val (wall, rows, jobs) = runs.minBy(_._1)
-      val done = jobs.filter(_.end > 0)
-      val jobSec = done.map(j => (j.end - j.start) / 1e3).sum
-      println(f"\n===== $name wall=$wall%.2f s rows=$rows jobs=${jobs.size} " +
-        f"jobtime=$jobSec%.2f s driver-gap=${wall - jobSec}%.2f s =====")
-      done.sortBy(j => -(j.end - j.start)).take(40).foreach { j =>
-        println(f"  ${(j.end - j.start) / 1e3}%7.3f s  job=${j.id}%-4d " +
-          s"${j.site}  ${j.desc.take(80)}")
+      val (wall, rows, execs) = runs.minBy(_._1)
+      val done = execs.filter(_.end > 0)
+      // merged-interval coverage: overlapping executions counted once
+      val covered = {
+        val iv = done.map(e => (e.start, e.end)).sortBy(_._1)
+        var tot = 0L; var curS = Long.MinValue; var curE = Long.MinValue
+        iv.foreach { case (s2, e2) =>
+          if (s2 > curE) { tot += (curE - curS) max 0; curS = s2; curE = e2 }
+          else if (e2 > curE) curE = e2
+        }
+        (tot + ((curE - curS) max 0)) / 1e3
+      }
+      println(f"\n===== $name wall=$wall%.2f s rows=$rows " +
+        f"execs=${execs.size} covered=$covered%.2f s " +
+        f"driver-gap=${wall - covered}%.2f s =====")
+      done.sortBy(e => -(e.end - e.start)).take(30).foreach { e =>
+        println(f"  ${(e.end - e.start) / 1e3}%7.3f s  exec=${e.id}%-4d ${e.site.take(100)}")
+      }
+      println("  -- by site --")
+      done.groupBy(_.site).map { case (site, es) =>
+        (es.map(e => (e.end - e.start) / 1e3).sum, es.size, site)
+      }.toSeq.sortBy(-_._1).take(30).foreach { case (sec, n, site) =>
+        println(f"  $sec%7.3f s  n=$n%-3d ${site.take(100)}")
       }
     }
     spark.stop()
