@@ -49,6 +49,40 @@ object SqlSurface {
         .map(col): _*)
   }
 
+  /** Run INDEPENDENT fixture steps concurrently (optimization guide §2.6:
+    * Spark's scheduler happily overlaps jobs inside one application —
+    * these steps were only sequential because the driver called them
+    * sequentially, and each leaves most of local[N] idle through its
+    * stage tails). Used ONLY for steps with no mutual dependency: commits
+    * and DML chains against DIFFERENT stores. 2-3 in flight is enough to
+    * back-fill the tail without fighting for executors; the first failed
+    * step rethrows its ORIGINAL cause so require() messages surface
+    * unchanged (the remaining steps are awaited first — no half-finished
+    * commit escapes the fixture). */
+  private def inParallel(s: org.apache.spark.sql.SparkSession)(
+      fs: (() => Unit)*): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(fs.size, 3))
+    try {
+      val futs = fs.map { f =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            org.apache.spark.sql.SparkSession.setActiveSession(s)
+            f()
+          }
+        })
+      }
+      var firstErr: Throwable = null
+      futs.foreach { fut =>
+        try { fut.get(); () }
+        catch { case e: java.util.concurrent.ExecutionException =>
+          if (firstErr == null) firstErr = Option(e.getCause).getOrElse(e)
+        }
+      }
+      if (firstErr != null) throw firstErr
+    } finally { pool.shutdown(); () }
+  }
+
   /** The matching DuckDB fact CTE body (no trailing comma). */
   private def liKeyedFactSql(extra: Seq[String] = Nil): String = {
     val extraSel = extra.map(c => s"MAX($c) AS $c,").mkString(" ")
@@ -1888,26 +1922,35 @@ object SqlSurface {
     s.sql(s"DROP TABLE IF EXISTS $cat.analytics.li_fact")
     s.sql(s"DROP TABLE IF EXISTS $cat.analytics.ord_dim")
     val fact = new TableStore(s, s"$wh/analytics/li_fact")
-    fact.commitBucketed(liKeyedFact(s, d, Seq("l_returnflag")),
-      keys = Seq("l_orderkey", "l_linenumber"), numBuckets = 16)
     val dim = new TableStore(s, s"$wh/analytics/ord_dim")
-    dim.commitBucketed(
-      load(s, d, "orders").select(col("o_orderkey"), col("o_orderstatus"),
-        col("o_totalprice").cast("decimal(18,2)").as("o_totalprice")),
-      keys = Seq("o_orderkey"), numBuckets = 16)
+    // two independent stores load concurrently (guide §2.6)
+    inParallel(s)(
+      () => { fact.commitBucketed(liKeyedFact(s, d, Seq("l_returnflag")),
+        keys = Seq("l_orderkey", "l_linenumber"), numBuckets = 16); () },
+      () => { dim.commitBucketed(load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").as("o_totalprice")),
+        keys = Seq("o_orderkey"), numBuckets = 16); () })
     s.catalog.refreshTable(s"$cat.analytics.li_fact")
     s.catalog.refreshTable(s"$cat.analytics.ord_dim")
     s.sql(s"CALL $cat.system.create_join_view('analytics.li_fact', " +
       "'enriched', 'analytics.ord_dim', 'l_orderkey', 'o_orderkey', " +
       "'o_orderstatus,o_totalprice', 'inner')")
     s.conf.set("spark.graft.delete.mode", "auto")
-    try {
-      s.sql(s"UPDATE $cat.analytics.ord_dim SET o_totalprice = " +
-        "CAST(o_totalprice + 7 AS DECIMAL(18,2)) WHERE o_orderkey % 10 = 1")
-      s.catalog.refreshTable(s"$cat.analytics.ord_dim")
-      s.sql(s"DELETE FROM $cat.analytics.ord_dim WHERE o_orderkey % 20 = 3")
-      s.sql(s"DELETE FROM $cat.analytics.li_fact WHERE l_orderkey % 30 = 11")
-    } finally s.conf.unset("spark.graft.delete.mode")
+    // the dim UPDATE→DELETE chain and the fact DELETE touch different
+    // stores — run the two chains concurrently (guide §2.6)
+    try inParallel(s)(
+      () => {
+        s.sql(s"UPDATE $cat.analytics.ord_dim SET o_totalprice = " +
+          "CAST(o_totalprice + 7 AS DECIMAL(18,2)) WHERE o_orderkey % 10 = 1")
+        s.catalog.refreshTable(s"$cat.analytics.ord_dim")
+        s.sql(s"DELETE FROM $cat.analytics.ord_dim WHERE o_orderkey % 20 = 3")
+        ()
+      },
+      () => { s.sql(
+        s"DELETE FROM $cat.analytics.li_fact WHERE l_orderkey % 30 = 11")
+        () })
+    finally s.conf.unset("spark.graft.delete.mode")
     require(s.sql(s"SELECT stale FROM $cat.analytics.`li_fact$$joins` " +
       "WHERE name = 'enriched'").head().getBoolean(0),
       "$joins must show the view stale after two-sided DML")
@@ -1939,13 +1982,15 @@ object SqlSurface {
     s.sql(s"DROP TABLE IF EXISTS $cat.analytics.li_jr")
     s.sql(s"DROP TABLE IF EXISTS $cat.analytics.ord_jr")
     val fact = new TableStore(s, s"$wh/analytics/li_jr")
-    fact.commitBucketed(liKeyedFact(s, d, Seq("l_returnflag")),
-      keys = Seq("l_orderkey", "l_linenumber"), numBuckets = 16)
     val dim = new TableStore(s, s"$wh/analytics/ord_jr")
-    dim.commitBucketed(
-      load(s, d, "orders").select(col("o_orderkey"), col("o_orderstatus"),
-        col("o_totalprice").cast("decimal(18,2)").as("o_totalprice")),
-      keys = Seq("o_orderkey"), numBuckets = 16)
+    // two independent stores load concurrently (guide §2.6)
+    inParallel(s)(
+      () => { fact.commitBucketed(liKeyedFact(s, d, Seq("l_returnflag")),
+        keys = Seq("l_orderkey", "l_linenumber"), numBuckets = 16); () },
+      () => { dim.commitBucketed(load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").as("o_totalprice")),
+        keys = Seq("o_orderkey"), numBuckets = 16); () })
     s.catalog.refreshTable(s"$cat.analytics.li_jr")
     s.catalog.refreshTable(s"$cat.analytics.ord_jr")
     s.sql(s"CALL $cat.system.create_join_view('analytics.li_jr', " +
@@ -1989,13 +2034,15 @@ object SqlSurface {
     s.sql(s"DROP TABLE IF EXISTS $cat.analytics.li_tl")
     s.sql(s"DROP TABLE IF EXISTS $cat.analytics.ord_tl")
     val fact = new TableStore(s, s"$wh/analytics/li_tl")
-    fact.commitBucketed(liKeyedFact(s, d),
-      keys = Seq("l_orderkey", "l_linenumber"), numBuckets = 16)
     val dim = new TableStore(s, s"$wh/analytics/ord_tl")
-    dim.commitBucketed(
-      load(s, d, "orders").select(col("o_orderkey"), col("o_orderstatus"),
-        col("o_totalprice").cast("decimal(18,2)").as("o_totalprice")),
-      keys = Seq("o_orderkey"), numBuckets = 16)
+    // two independent stores load concurrently (guide §2.6)
+    inParallel(s)(
+      () => { fact.commitBucketed(liKeyedFact(s, d),
+        keys = Seq("l_orderkey", "l_linenumber"), numBuckets = 16); () },
+      () => { dim.commitBucketed(load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").as("o_totalprice")),
+        keys = Seq("o_orderkey"), numBuckets = 16); () })
     s.catalog.refreshTable(s"$cat.analytics.li_tl")
     s.catalog.refreshTable(s"$cat.analytics.ord_tl")
     s.sql(s"CALL $cat.system.create_join_view('analytics.li_tl', " +
@@ -2068,13 +2115,15 @@ object SqlSurface {
     s.sql(s"DROP TABLE IF EXISTS $cat.analytics.li_td")
     s.sql(s"DROP TABLE IF EXISTS $cat.analytics.ord_td")
     val fact = new TableStore(s, s"$wh/analytics/li_td")
-    fact.commitBucketed(liKeyedFact(s, d),
-      keys = Seq("l_orderkey", "l_linenumber"), numBuckets = 16)
     val dim = new TableStore(s, s"$wh/analytics/ord_td")
-    dim.commitBucketed(
-      load(s, d, "orders").select(col("o_orderkey"), col("o_orderstatus"),
-        col("o_totalprice").cast("decimal(18,2)").as("o_totalprice")),
-      keys = Seq("o_orderkey"), numBuckets = 16)
+    // two independent stores load concurrently (guide §2.6)
+    inParallel(s)(
+      () => { fact.commitBucketed(liKeyedFact(s, d),
+        keys = Seq("l_orderkey", "l_linenumber"), numBuckets = 16); () },
+      () => { dim.commitBucketed(load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").as("o_totalprice")),
+        keys = Seq("o_orderkey"), numBuckets = 16); () })
     s.catalog.refreshTable(s"$cat.analytics.li_td")
     s.catalog.refreshTable(s"$cat.analytics.ord_td")
     s.sql(s"CALL $cat.system.create_join_view('analytics.li_td', " +
@@ -2083,15 +2132,22 @@ object SqlSurface {
     // two-sided churn, NO refresh: a fact eq-route update, a projected
     // dim price update, and dim deletes (inner → their facts must leave
     // the served result)
-    fact.upsertEq(fact.readSnapshot().filter(col("l_orderkey") % 997 === 2)
-      .withColumn("qty", (col("qty") + lit(5)).cast("decimal(18,2)"))
-      .withColumn("op", lit("PUT")))
-    dim.upsertEq(dim.readSnapshot().filter(col("o_orderkey") % 11 === 4)
-      .withColumn("o_totalprice",
-        (col("o_totalprice") + lit(9)).cast("decimal(18,2)"))
-      .withColumn("op", lit("PUT")))
-    dim.upsertEq(dim.readSnapshot().filter(col("o_orderkey") % 53 === 1)
-      .withColumn("op", lit("REMOVE")))
+    // the fact upsert and the dim upsert→remove chain touch different
+    // stores — run the two chains concurrently (guide §2.6)
+    inParallel(s)(
+      () => { fact.upsertEq(fact.readSnapshot()
+        .filter(col("l_orderkey") % 997 === 2)
+        .withColumn("qty", (col("qty") + lit(5)).cast("decimal(18,2)"))
+        .withColumn("op", lit("PUT"))); () },
+      () => {
+        dim.upsertEq(dim.readSnapshot().filter(col("o_orderkey") % 11 === 4)
+          .withColumn("o_totalprice",
+            (col("o_totalprice") + lit(9)).cast("decimal(18,2)"))
+          .withColumn("op", lit("PUT")))
+        dim.upsertEq(dim.readSnapshot().filter(col("o_orderkey") % 53 === 1)
+          .withColumn("op", lit("REMOVE")))
+        ()
+      })
     s.catalog.refreshTable(s"$cat.analytics.li_td")
     s.catalog.refreshTable(s"$cat.analytics.ord_td")
     val vvBefore = graft.store.MaterializedJoin
@@ -2141,16 +2197,18 @@ object SqlSurface {
     s.sql(s"DROP TABLE IF EXISTS $cat.analytics.li_sr")
     s.sql(s"DROP TABLE IF EXISTS $cat.analytics.ord_sr")
     val fact = new TableStore(s, s"$wh/analytics/li_sr")
-    fact.commitBucketed(
-      liKeyedFact(s, d).withColumn("okb", col("l_orderkey") % 97)
-        .select(col("l_orderkey"), col("l_linenumber"), col("okb"),
-          col("qty")),
-      keys = Seq("l_orderkey", "l_linenumber"), numBuckets = 16)
     val dim = new TableStore(s, s"$wh/analytics/ord_sr")
-    dim.commitBucketed(
-      load(s, d, "orders").select(col("o_orderkey"), col("o_orderstatus"),
-        col("o_totalprice").cast("decimal(18,2)").as("o_totalprice")),
-      keys = Seq("o_orderkey"), numBuckets = 16)
+    // two independent stores load concurrently (guide §2.6)
+    inParallel(s)(
+      () => { fact.commitBucketed(
+        liKeyedFact(s, d).withColumn("okb", col("l_orderkey") % 97)
+          .select(col("l_orderkey"), col("l_linenumber"), col("okb"),
+            col("qty")),
+        keys = Seq("l_orderkey", "l_linenumber"), numBuckets = 16); () },
+      () => { dim.commitBucketed(load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          col("o_totalprice").cast("decimal(18,2)").as("o_totalprice")),
+        keys = Seq("o_orderkey"), numBuckets = 16); () })
     s.catalog.refreshTable(s"$cat.analytics.li_sr")
     s.catalog.refreshTable(s"$cat.analytics.ord_sr")
     s.sql(s"CALL $cat.system.create_join_view('analytics.li_sr', " +
@@ -2198,16 +2256,18 @@ object SqlSurface {
     s.sql(s"DROP TABLE IF EXISTS $cat.analytics.ord_m")
     s.sql(s"DROP TABLE IF EXISTS $cat.analytics.sup_m")
     val fact = new TableStore(s, s"$wh/analytics/li_m")
-    fact.commitBucketed(liKeyedFact(s, d, Seq("l_suppkey")),
-      keys = Seq("l_orderkey", "l_linenumber"), numBuckets = 16)
     val ord = new TableStore(s, s"$wh/analytics/ord_m")
-    ord.commitBucketed(
-      load(s, d, "orders").select(col("o_orderkey"), col("o_orderstatus")),
-      keys = Seq("o_orderkey"), numBuckets = 16)
     val sup = new TableStore(s, s"$wh/analytics/sup_m")
-    sup.commitBucketed(
-      load(s, d, "supplier").select(col("s_suppkey"), col("s_nationkey")),
-      keys = Seq("s_suppkey"), numBuckets = 8)
+    // three independent stores load concurrently (guide §2.6)
+    inParallel(s)(
+      () => { fact.commitBucketed(liKeyedFact(s, d, Seq("l_suppkey")),
+        keys = Seq("l_orderkey", "l_linenumber"), numBuckets = 16); () },
+      () => { ord.commitBucketed(load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus")),
+        keys = Seq("o_orderkey"), numBuckets = 16); () },
+      () => { sup.commitBucketed(load(s, d, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey")),
+        keys = Seq("s_suppkey"), numBuckets = 8); () })
     s.catalog.refreshTable(s"$cat.analytics.li_m")
     s.catalog.refreshTable(s"$cat.analytics.ord_m")
     s.catalog.refreshTable(s"$cat.analytics.sup_m")
@@ -2215,13 +2275,18 @@ object SqlSurface {
       "'analytics.ord_m;analytics.sup_m', 'l_orderkey;l_suppkey', " +
       "'o_orderkey;s_suppkey', 'o_orderstatus;s_nationkey', 'inner')")
     s.conf.set("spark.graft.delete.mode", "auto")
-    try {
-      s.sql(s"UPDATE $cat.analytics.sup_m SET s_nationkey = " +
-        "s_nationkey + 100 WHERE s_suppkey % 9 = 2")
-      s.catalog.refreshTable(s"$cat.analytics.ord_m")
-      s.sql(s"DELETE FROM $cat.analytics.ord_m WHERE o_orderkey % 25 = 7")
-      s.sql(s"DELETE FROM $cat.analytics.li_m WHERE l_orderkey % 40 = 13")
-    } finally s.conf.unset("spark.graft.delete.mode")
+    // three independent per-table DML chains run concurrently (guide §2.6)
+    try inParallel(s)(
+      () => { s.sql(s"UPDATE $cat.analytics.sup_m SET s_nationkey = " +
+        "s_nationkey + 100 WHERE s_suppkey % 9 = 2"); () },
+      () => {
+        s.catalog.refreshTable(s"$cat.analytics.ord_m")
+        s.sql(s"DELETE FROM $cat.analytics.ord_m WHERE o_orderkey % 25 = 7")
+        ()
+      },
+      () => { s.sql(
+        s"DELETE FROM $cat.analytics.li_m WHERE l_orderkey % 40 = 13"); () })
+    finally s.conf.unset("spark.graft.delete.mode")
     require(s.sql(s"SELECT COUNT(*) FROM $cat.analytics.`li_m$$joins` " +
       "WHERE name = 'star' AND stale").head().getLong(0) > 0,
       "$joins must show the star stale after three-sided DML")
@@ -2259,14 +2324,18 @@ object SqlSurface {
     s.sql(s"DROP TABLE IF EXISTS $cat.analytics.ord_py")
     s.sql(s"DROP TABLE IF EXISTS $cat.analytics.cust_py")
     val fact = new TableStore(s, s"$wh/analytics/li_py")
-    fact.commitBucketed(liKeyedFact(s, d),
-      keys = Seq("l_orderkey", "l_linenumber"), numBuckets = 16)
     val ord = new TableStore(s, s"$wh/analytics/ord_py")
-    ord.commitBucketed(load(s, d, "orders").select(col("o_orderkey"),
-      col("o_custkey"), col("o_orderstatus")), Seq("o_orderkey"), 16)
     val cust = new TableStore(s, s"$wh/analytics/cust_py")
-    cust.commitBucketed(load(s, d, "customer").select(col("c_custkey"),
-      col("c_mktsegment")), Seq("c_custkey"), 8)
+    // three independent stores load concurrently (guide §2.6)
+    inParallel(s)(
+      () => { fact.commitBucketed(liKeyedFact(s, d),
+        keys = Seq("l_orderkey", "l_linenumber"), numBuckets = 16); () },
+      () => { ord.commitBucketed(load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus")), Seq("o_orderkey"), 16); () },
+      () => { cust.commitBucketed(load(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")),
+        Seq("c_custkey"), 8); () })
     Seq("li_py", "ord_py", "cust_py")
       .foreach(t => s.catalog.refreshTable(s"$cat.analytics.$t"))
     s.sql(s"CALL $cat.system.create_join_view('analytics.li_py', 'v1', " +
@@ -2278,15 +2347,20 @@ object SqlSurface {
     // churn every level: fact quantities, orders RE-POINTED to another
     // customer (the snowflake cascade: those lineitems must swing to the
     // new customer's segment), a customer segment update
-    fact.upsertEq(fact.readSnapshot().filter(col("l_orderkey") % 31 === 2)
-      .withColumn("qty", (col("qty") + lit(3)).cast("decimal(18,2)"))
-      .withColumn("op", lit("PUT")))
-    ord.upsertEq(ord.readSnapshot().filter(col("o_orderkey") % 41 === 1)
-      .withColumn("o_custkey", col("o_custkey") % 100 + 1)
-      .withColumn("op", lit("PUT")))
-    cust.upsertEq(cust.readSnapshot().filter(col("c_custkey") % 13 === 4)
-      .withColumn("c_mktsegment", lit("SEG_V2"))
-      .withColumn("op", lit("PUT")))
+    // three independent stores churn concurrently (guide §2.6)
+    inParallel(s)(
+      () => { fact.upsertEq(fact.readSnapshot()
+        .filter(col("l_orderkey") % 31 === 2)
+        .withColumn("qty", (col("qty") + lit(3)).cast("decimal(18,2)"))
+        .withColumn("op", lit("PUT"))); () },
+      () => { ord.upsertEq(ord.readSnapshot()
+        .filter(col("o_orderkey") % 41 === 1)
+        .withColumn("o_custkey", col("o_custkey") % 100 + 1)
+        .withColumn("op", lit("PUT"))); () },
+      () => { cust.upsertEq(cust.readSnapshot()
+        .filter(col("c_custkey") % 13 === 4)
+        .withColumn("c_mktsegment", lit("SEG_V2"))
+        .withColumn("op", lit("PUT"))); () })
     s.sql(s"CALL $cat.system.refresh_join_view('analytics.li_py', 'v1')")
     s.sql(s"CALL $cat.system.refresh_join_view(" +
       "'analytics.li_py$join_v1', 'v2')")
@@ -2324,14 +2398,18 @@ object SqlSurface {
     s.sql(s"DROP TABLE IF EXISTS $cat.analytics.ord_pt")
     s.sql(s"DROP TABLE IF EXISTS $cat.analytics.cust_pt")
     val fact = new TableStore(s, s"$wh/analytics/li_pt")
-    fact.commitBucketed(liKeyedFact(s, d),
-      keys = Seq("l_orderkey", "l_linenumber"), numBuckets = 16)
     val ord = new TableStore(s, s"$wh/analytics/ord_pt")
-    ord.commitBucketed(load(s, d, "orders").select(col("o_orderkey"),
-      col("o_custkey"), col("o_orderstatus")), Seq("o_orderkey"), 16)
     val cust = new TableStore(s, s"$wh/analytics/cust_pt")
-    cust.commitBucketed(load(s, d, "customer").select(col("c_custkey"),
-      col("c_mktsegment")), Seq("c_custkey"), 8)
+    // three independent stores load concurrently (guide §2.6)
+    inParallel(s)(
+      () => { fact.commitBucketed(liKeyedFact(s, d),
+        keys = Seq("l_orderkey", "l_linenumber"), numBuckets = 16); () },
+      () => { ord.commitBucketed(load(s, d, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus")), Seq("o_orderkey"), 16); () },
+      () => { cust.commitBucketed(load(s, d, "customer")
+        .select(col("c_custkey"), col("c_mktsegment")),
+        Seq("c_custkey"), 8); () })
     Seq("li_pt", "ord_pt", "cust_pt")
       .foreach(t => s.catalog.refreshTable(s"$cat.analytics.$t"))
     s.sql(s"CALL $cat.system.create_join_view('analytics.li_pt', 'v1', " +

@@ -307,19 +307,6 @@ object MaterializedJoin {
     require(mapped.isEmpty,
       s"map-typed columns cannot ride a join view (row netting groups " +
         s"on them): ${mapped.toSeq}")
-    // the documented 'one live row per key' dim contract, ENFORCED
-    // (ADVICE r9): commitBucketed does not dedupe, and a dup-keyed dim
-    // would fan the view out to duplicate fact-PK rows that a later
-    // equality upsert collapses inconsistently. One cheap distributed
-    // group-count per dim, only at create.
-    dims.zip(rvs).foreach { case (d, rv) =>
-      val dup = d.r.readSnapshot(rv).groupBy(d.rKeys.map(col): _*)
-        .agg(count(lit(1)).as("_g_dup_n")).filter(col("_g_dup_n") > 1L)
-        .limit(1).count()
-      require(dup == 0L,
-        s"dim ${d.r.root} has duplicate rows for join key ${d.rKeys}; " +
-          "join views require one live row per key (dedupe the dim first)")
-    }
     val st = viewStore(l, name)
     require(st.currentVersion() < 0, s"join view '$name' already exists")
     // store-API sessions get the transparent rewrites too
@@ -338,20 +325,55 @@ object MaterializedJoin {
     val factDf = l.readSnapshot(lv).persist()
     val createdIdx = scala.collection.mutable.ArrayBuffer.empty[String]
     try {
-      // the FACT-side twin of the dim contract above (r11): the view is
-      // maintained by EQUALITY upserts on the fact keys, and the tail
-      // serving dedupes affected rows by them — a dup-keyed fact would
-      // silently collapse to one row per key on the first row-level
-      // refresh (commitBucketed does not dedupe, so the create itself
-      // would diverge from every later maintenance pass). One distributed
-      // group-count over the already-persisted frame, only at create.
-      val dupF = factDf.groupBy(lm.bucketKeys.map(col): _*)
-        .agg(count(lit(1)).as("_g_dup_n")).filter(col("_g_dup_n") > 1L)
-        .limit(1).count()
-      require(dupF == 0L,
-        s"fact ${l.root} has duplicate rows for key ${lm.bucketKeys}; " +
-          "join views require one live row per fact key (row-level " +
-          "maintenance is an equality upsert) — dedupe the fact first")
+      // the 'one live row per key' contract, ENFORCED for dims (ADVICE
+      // r9) and the fact (r11): commitBucketed does not dedupe, and a
+      // dup-keyed side would fan the view out to duplicate fact-PK rows
+      // that a later equality upsert collapses inconsistently / silently
+      // collapse on the first row-level refresh. One distributed
+      // group-count per SIDE, only at create — all of them independent
+      // read-only gates, so they run CONCURRENTLY (optimization guide
+      // §2.6: each count leaves most of the cluster idle through its
+      // tail; the fact check doubles as the factDf cache materialization)
+      // and every one completes before any index or view commit below.
+      val dupGates: Seq[() => Unit] =
+        dims.zip(rvs).map { case (d, rv) => () => {
+          val dup = d.r.readSnapshot(rv).groupBy(d.rKeys.map(col): _*)
+            .agg(count(lit(1)).as("_g_dup_n")).filter(col("_g_dup_n") > 1L)
+            .limit(1).count()
+          require(dup == 0L,
+            s"dim ${d.r.root} has duplicate rows for join key ${d.rKeys};" +
+              " join views require one live row per key (dedupe the dim " +
+              "first)")
+        }} :+ (() => {
+          val dupF = factDf.groupBy(lm.bucketKeys.map(col): _*)
+            .agg(count(lit(1)).as("_g_dup_n")).filter(col("_g_dup_n") > 1L)
+            .limit(1).count()
+          require(dupF == 0L,
+            s"fact ${l.root} has duplicate rows for key ${lm.bucketKeys};" +
+              " join views require one live row per fact key (row-level " +
+              "maintenance is an equality upsert) — dedupe the fact first")
+        })
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(dupGates.size, 3))
+      try {
+        val sp = l.spark
+        val futs = dupGates.map(g => pool.submit(
+          new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = {
+              org.apache.spark.sql.SparkSession.setActiveSession(sp)
+              g()
+            }
+          }))
+        var firstErr: Throwable = null
+        futs.foreach { fut =>
+          try { fut.get(); () }
+          catch { case e: java.util.concurrent.ExecutionException =>
+            if (firstErr == null)
+              firstErr = Option(e.getCause).getOrElse(e)
+          }
+        }
+        if (firstErr != null) throw firstErr
+      } finally { pool.shutdown(); () }
       dims.zipWithIndex.foreach { case (d, i) =>
         if (needIdx(i)) {
           val nm = jIdxName(name, i)
