@@ -134,9 +134,19 @@ object FileStats {
     if (files.isEmpty) return Map.empty
     val conf = spark.sparkContext.hadoopConfiguration
     val exact = stringBoundsExact.getOrElse(writerUntruncated(spark))
-    if (files.size <= localCutoff)
-      files.map(f => f -> statOfFile(f, conf, schema, exact)).toMap
-    else {
+    if (files.size <= localCutoff) {
+      // driver-side, but CONCURRENT: a footer read is a few ms of mostly
+      // I/O wait, and every commit pays this on its critical path — a
+      // 16-file bucketed commit reads its 16 footers in one wave instead
+      // of serially (guide §2.6 applied to driver-side metadata I/O)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      Await.result(
+        Future.traverse(files.toList)(f =>
+          Future(f -> statOfFile(f, conf, schema, exact))),
+        Duration.Inf).toMap
+    } else {
       val serConf = new org.apache.spark.SerializableWritable(new Configuration(conf))
       val bc = spark.sparkContext.broadcast(serConf)
       val schemaJson = schema.json

@@ -58,16 +58,42 @@ object ProfJobs {
             }
         }
         spark.sparkContext.addSparkListener(listener)
+        // poor-man's driver profiler: sample the query thread every 10 ms,
+        // histogram the topmost graft/planning frame (driver-gap decomposition)
+        val mainThread = Thread.currentThread()
+        val frameHist = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+        @volatile var sampling = true
+        val sampler = new Thread(() => {
+          while (sampling) {
+            val st = mainThread.getStackTrace
+            val frame = st.find { e =>
+              val c = e.getClassName
+              c.startsWith("graft.") ||
+                c.contains("catalyst.optimizer") ||
+                c.contains("catalyst.analysis") ||
+                c.contains("execution.datasources") ||
+                c.contains("parquet.hadoop")
+            }.map(e => s"${e.getClassName.split('.').last}.${e.getMethodName}")
+              .getOrElse(st.headOption.map(e =>
+                s"${e.getClassName.split('.').last}.${e.getMethodName}")
+                .getOrElse("?"))
+            frameHist.merge(frame, 1, (a, b) => a + b)
+            Thread.sleep(10)
+          }
+        })
+        sampler.setDaemon(true)
+        sampler.start()
         val t0 = System.nanoTime()
         val rows = graft.SparkEntry.queries(name)(spark, sfDir).count()
         val wall = (System.nanoTime() - t0) / 1e9
+        sampling = false
         // give the listener bus a beat so end events land before we snapshot
         Thread.sleep(300)
         spark.sparkContext.removeSparkListener(listener)
         spark.catalog.clearCache()
-        (wall, rows, execs.values.toSeq)
+        (wall, rows, execs.values.toSeq, frameHist)
       }
-      val (wall, rows, execs) = runs.minBy(_._1)
+      val (wall, rows, execs, frameHist) = runs.minBy(_._1)
       val done = execs.filter(_.end > 0)
       // merged-interval coverage: overlapping executions counted once
       val covered = {
@@ -84,6 +110,11 @@ object ProfJobs {
         f"driver-gap=${wall - covered}%.2f s =====")
       done.sortBy(e => -(e.end - e.start)).take(30).foreach { e =>
         println(f"  ${(e.end - e.start) / 1e3}%7.3f s  exec=${e.id}%-4d ${e.site.take(100)}")
+      }
+      println("  -- driver thread samples (10ms) --")
+      import scala.jdk.CollectionConverters._
+      frameHist.asScala.toSeq.sortBy(-_._2).take(15).foreach {
+        case (f, n) => println(f"  ${n * 0.01}%7.2f s  $f")
       }
       println("  -- by site --")
       done.groupBy(_.site).map { case (site, es) =>
