@@ -276,33 +276,60 @@ object MaterializedAgg {
     val createdCompanions =
       scala.collection.mutable.ArrayBuffer.empty[String]
     def cleanup(): Unit = {
-      createdCompanions.foreach(cn =>
+      createdCompanions.synchronized(createdCompanions.toList).foreach(cn =>
         try { drop(base, cn, internal = true); () }
         catch { case _: Exception => () })
       if (minMaxCols.nonEmpty)
         try { SecondaryIndex.drop(base, mmIndexName(name)); () }
         catch { case _: Exception => () }
+      // a concurrently-landed main view must not survive a sibling's
+      // failure (required absent above, so the delete removes only this
+      // call's artifact — see the concurrency note below)
+      try {
+        val pth = new org.apache.hadoop.fs.Path(
+          s"${base.root}/agg/$name")
+        TableStore.invalidateMeta(base.root)
+        pth.getFileSystem(base.spark.sparkContext.hadoopConfiguration)
+          .delete(pth, true)
+        ()
+      } catch { case _: Exception => () }
     }
+    // companions, the covering index, and the main view are commits to
+    // DIFFERENT stores over the same base snapshot — they run
+    // CONCURRENTLY (optimization guide §2.6). Failure atomicity is kept
+    // by widening cleanup() to remove a main view that already landed;
+    // the transient mid-create window (view visible, index/companion
+    // still building) is decline-safe: the MM tail serve re-validates the
+    // index and falls back to the scan, and companion reads only happen
+    // through views whose props already name them.
     try {
-      distinctCols.foreach { d =>
-        create(base, dcName(name, d), groupBy :+ d, sumCols = Nil,
-          numBuckets = numBuckets)
-        createdCompanions += dcName(name, d)
-      }
-      if (minMaxCols.nonEmpty)
-        SecondaryIndex.create(base, mmIndexName(name), groupBy, minMaxCols,
-          numBuckets)
-      val exprs = aggExprs(sumCols, minMaxCols)
-      st.commitBucketed(
-        base.readSnapshot(bv).groupBy(groupBy.map(col): _*)
-          .agg(exprs.head, exprs.tail: _*),
-        groupBy, numBuckets,
-        props = Map(BaseVersionProp -> bv.toString,
-          SumColsProp -> sumCols.mkString(","),
-          MinMaxColsProp -> minMaxCols.mkString(","),
-          DistinctColsProp -> distinctCols.mkString(",")) ++
-          (if (minMaxCols.nonEmpty)
-            Map(MmIndexProp -> mmIndexName(name)) else Map.empty))
+      val steps: Seq[() => Unit] =
+        distinctCols.map { d => () => {
+          create(base, dcName(name, d), groupBy :+ d, sumCols = Nil,
+            numBuckets = numBuckets)
+          createdCompanions.synchronized {
+            createdCompanions += dcName(name, d); ()
+          }
+        }} ++
+        (if (minMaxCols.nonEmpty)
+          Seq(() => { SecondaryIndex.create(base, mmIndexName(name),
+            groupBy, minMaxCols, numBuckets); () })
+         else Nil) :+
+        (() => {
+          val exprs = aggExprs(sumCols, minMaxCols)
+          st.commitBucketed(
+            base.readSnapshot(bv).groupBy(groupBy.map(col): _*)
+              .agg(exprs.head, exprs.tail: _*),
+            groupBy, numBuckets,
+            props = Map(BaseVersionProp -> bv.toString,
+              SumColsProp -> sumCols.mkString(","),
+              MinMaxColsProp -> minMaxCols.mkString(","),
+              DistinctColsProp -> distinctCols.mkString(",")) ++
+              (if (minMaxCols.nonEmpty)
+                Map(MmIndexProp -> mmIndexName(name)) else Map.empty))
+          ()
+        })
+      MaterializedJoin.runConcurrent(base.spark, steps)
     } catch { case e: Throwable => cleanup(); throw e }
     movePin(base, name, bv)
     bv

@@ -185,6 +185,35 @@ object MaterializedJoin {
     metas
   }
 
+  /** Run independent store actions concurrently (optimization guide §2.6:
+    * the scheduler overlaps jobs; these were only sequential because the
+    * driver called them sequentially). All actions are awaited; the first
+    * failure rethrows its ORIGINAL cause so require() messages surface
+    * unchanged. */
+  private[store] def runConcurrent(sp: org.apache.spark.sql.SparkSession,
+      fs: Seq[() => Unit]): Unit = {
+    if (fs.size <= 1) { fs.foreach(_()); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(fs.size, 3))
+    try {
+      val futs = fs.map(f => pool.submit(
+        new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = {
+            org.apache.spark.sql.SparkSession.setActiveSession(sp)
+            f()
+          }
+        }))
+      var firstErr: Throwable = null
+      futs.foreach { fut =>
+        try { fut.get(); () }
+        catch { case e: java.util.concurrent.ExecutionException =>
+          if (firstErr == null) firstErr = Option(e.getCause).getOrElse(e)
+        }
+      }
+      if (firstErr != null) throw firstErr
+    } finally { pool.shutdown(); () }
+  }
+
   private def requireMain(st: TableStore, what: String): Unit =
     require(st.branch.isEmpty,
       s"join views are maintained against MAIN $what, not branch " +
@@ -353,75 +382,82 @@ object MaterializedJoin {
               " join views require one live row per fact key (row-level " +
               "maintenance is an equality upsert) — dedupe the fact first")
         })
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(
-        math.min(dupGates.size, 3))
-      try {
-        val sp = l.spark
-        val futs = dupGates.map(g => pool.submit(
-          new java.util.concurrent.Callable[Unit] {
-            def call(): Unit = {
-              org.apache.spark.sql.SparkSession.setActiveSession(sp)
-              g()
+      runConcurrent(l.spark, dupGates)
+      // index builds and the view build are commits to DIFFERENT stores
+      // off the same persisted fact frame — they run CONCURRENTLY (guide
+      // §2.6). Failure atomicity is preserved by WIDENING the rollback:
+      // where "view commits last" used to guarantee a failed create
+      // leaves nothing a reader resolves, now a sibling's failure also
+      // deletes a view store that already landed (required empty above,
+      // so the delete removes only this call's artifact). The transient
+      // mid-create window (view visible, index still building) is
+      // decline-safe by design: every index consumer re-validates
+      // existence/watermark and falls back to the scan.
+      val idxBuilds: Seq[() => Unit] =
+        dims.zipWithIndex.flatMap { case (d, i) =>
+          if (!needIdx(i)) None
+          else Some(() => {
+            val nm = jIdxName(name, i)
+            if (SecondaryIndex.list(l).contains(nm)) {
+              // adopting a pre-existing index silently would bucket-prune
+              // by the WRONG clustering if its keys differ (silently
+              // missed fact rows — ADVICE r9); require an exact covering
+              // match
+              val ist = SecondaryIndex.indexStore(l, nm)
+              val im = ist.manifest(ist.currentVersion())
+              require(im.bucketKeys == d.lKeys &&
+                  lm.schema.fieldNames.forall(
+                    im.schema.fieldNames.contains),
+                s"an index named '$nm' already exists but does not cover " +
+                  s"this join (keys ${im.bucketKeys} vs ${d.lKeys}); drop " +
+                  "or rename it first")
+            } else {
+              SecondaryIndex.create(l, nm, d.lKeys,
+                projection = lm.schema.fieldNames.toSeq
+                  .filterNot(c => d.lKeys.contains(c) ||
+                    lm.bucketKeys.contains(c)),
+                nb, source = Some((factDf, lv)))
+              createdIdx.synchronized { createdIdx += nm; () }
             }
-          }))
-        var firstErr: Throwable = null
-        futs.foreach { fut =>
-          try { fut.get(); () }
-          catch { case e: java.util.concurrent.ExecutionException =>
-            if (firstErr == null)
-              firstErr = Option(e.getCause).getOrElse(e)
-          }
-        }
-        if (firstErr != null) throw firstErr
-      } finally { pool.shutdown(); () }
-      dims.zipWithIndex.foreach { case (d, i) =>
-        if (needIdx(i)) {
-          val nm = jIdxName(name, i)
-          if (SecondaryIndex.list(l).contains(nm)) {
-            // adopting a pre-existing index silently would bucket-prune by
-            // the WRONG clustering if its keys differ (silently missed
-            // fact rows — ADVICE r9); require an exact covering match
-            val ist = SecondaryIndex.indexStore(l, nm)
-            val im = ist.manifest(ist.currentVersion())
-            require(im.bucketKeys == d.lKeys &&
-                lm.schema.fieldNames.forall(im.schema.fieldNames.contains),
-              s"an index named '$nm' already exists but does not cover " +
-                s"this join (keys ${im.bucketKeys} vs ${d.lKeys}); drop " +
-                "or rename it first")
-          } else {
-            SecondaryIndex.create(l, nm, d.lKeys,
-              projection = lm.schema.fieldNames.toSeq
-                .filterNot(c => d.lKeys.contains(c) ||
-                  lm.bucketKeys.contains(c)),
-              nb, source = Some((factDf, lv)))
-            createdIdx += nm
-          }
-        }
-      }
-      st.commitBucketed(
-        joined(factDf,
-          dims.zip(rvs).map { case (d, rv) =>
-            (d.r.readSnapshot(rv), d.lKeys, d.rKeys, d.rCols) },
-          joinType, lm.schema.fieldNames.toSeq),
-        lm.bucketKeys, nb,
-        props = Map(LVersionProp -> lv.toString, TypeProp -> joinType,
-          NDimsProp -> dims.size.toString) ++
-          dims.zipWithIndex.flatMap { case (d, i) =>
-            Map(rRootProp(i) -> d.r.root,
-              rVersionProp(i) -> rvs(i).toString,
-              lKeysProp(i) -> d.lKeys.mkString(","),
-              rKeysProp(i) -> d.rKeys.mkString(","),
-              rColsProp(i) -> d.rCols.mkString(",")) ++
-              (if (needIdx(i)) Map(idxNameProp(i) -> jIdxName(name, i))
-               else Map.empty)
           })
+        }
+      val viewBuild: () => Unit = () => {
+        st.commitBucketed(
+          joined(factDf,
+            dims.zip(rvs).map { case (d, rv) =>
+              (d.r.readSnapshot(rv), d.lKeys, d.rKeys, d.rCols) },
+            joinType, lm.schema.fieldNames.toSeq),
+          lm.bucketKeys, nb,
+          props = Map(LVersionProp -> lv.toString, TypeProp -> joinType,
+            NDimsProp -> dims.size.toString) ++
+            dims.zipWithIndex.flatMap { case (d, i) =>
+              Map(rRootProp(i) -> d.r.root,
+                rVersionProp(i) -> rvs(i).toString,
+                lKeysProp(i) -> d.lKeys.mkString(","),
+                rKeysProp(i) -> d.rKeys.mkString(","),
+                rColsProp(i) -> d.rCols.mkString(",")) ++
+                (if (needIdx(i)) Map(idxNameProp(i) -> jIdxName(name, i))
+                 else Map.empty)
+            })
+        ()
+      }
+      runConcurrent(l.spark, idxBuilds :+ viewBuild)
     } catch { case e: Throwable =>
       // drop only what THIS call created — a pre-existing (validated)
-      // user index survives a failed create (ADVICE r9)
+      // user index survives a failed create (ADVICE r9); the view store
+      // (empty before this call) is removed whole so no reader resolves
+      // a half-created view
       createdIdx.foreach { nm =>
         try { SecondaryIndex.drop(l, nm); () }
         catch { case _: Exception => () }
       }
+      try {
+        val pth = new org.apache.hadoop.fs.Path(s"${l.root}/join/$name")
+        TableStore.invalidateMeta(l.root)
+        pth.getFileSystem(l.spark.sparkContext.hadoopConfiguration)
+          .delete(pth, true)
+        ()
+      } catch { case _: Exception => () }
       throw e
     } finally { factDf.unpersist(); () }
     movePin(l, s"join-pin-$name", lv)
